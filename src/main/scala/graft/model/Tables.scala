@@ -1,0 +1,37 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated test tables (`/root/repo/TESTDATA.md`,
+  * schemas in `/root/repo/FIXTURES.md` §B) plus the reference-shaped
+  * canonical schemas (SURVEY.md §1.2; reference DDL at
+  * `/root/reference/src/clickhouse/stock_master.py:18-30` and
+  * `/root/reference/src/clickhouse/price_client.py:78-96`).
+  *
+  * Scale posture: loaders are plain `spark.read.parquet` so Catalyst keeps
+  * full predicate-pushdown / column-pruning / partition-discovery freedom.
+  * Nothing is cached or collected here; at 100 TB these reads become
+  * distributed columnar scans whose cost is governed entirely by what the
+  * downstream plan actually projects and filters.
+  */
+object Tables {
+
+  /** All driver test tables, one parquet file/dir each. */
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

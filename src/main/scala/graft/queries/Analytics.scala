@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.{Parity, Tables}
+
+/** The analytics half of the reference surface (SURVEY.md §2.4–§2.7):
+  * the six-method ClickHouse SQL query API of
+  * `/root/reference/src/clickhouse/client.py` plus the derived views of
+  * `/root/reference/src/setup/setup_clickhouse.py:247-295`, re-expressed as
+  * Catalyst-planned DataFrame transformations over the driver test tables
+  * (role mapping in `/root/repo/FIXTURES.md` §C: `orders`/`lineitem` stand
+  * in for `stock_price`, `customer`⋈`nation`⋈`region` for `stock_master`).
+  *
+  * Scale posture (100 TB): every dimension join (`customer`, `nation`,
+  * `region`, `supplier`) broadcasts — the dim side is O(k·10⁶) rows at most,
+  * so no fact-side shuffle; windows partition by high-cardinality keys
+  * (custkey/suppkey) so state per key is bounded; grouped aggregates rely on
+  * partial (map-side) aggregation, which the integer-cents measures of
+  * [[graft.model.Parity]] keep exact under any merge order; top-k plans as
+  * `TakeOrderedAndProject` (no global sort materialization).
+  */
+object Analytics {
+  import Parity._
+
+  /** Flagship — `get_top_performers` (`client.py:123-150`): CTE of
+    * lag-window per key ordered by date (W1), pct-change arithmetic (T10),
+    * `prev > 0` filter (W3), top-k by change (O1). Recast per FIXTURES §C:
+    * per-customer lag over order dates on o_totalprice, joined to the
+    * customer dim (J1, broadcast).
+    */
+  def topPerformers(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val cust   = Tables.customer(spark, dir)
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val priced = orders
+      .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+      .filter(col("prev_price") > 0)
+      .withColumn("change_pct",
+        r6((col("o_totalprice") - col("prev_price")) / col("prev_price") * 100))
+    priced
+      .join(broadcast(cust), priced("o_custkey") === cust("c_custkey"))
+      .select(col("c_custkey"), col("c_name"),
+        col("o_orderkey"), col("o_orderdate").cast("date").as("order_date"),
+        col("o_totalprice"), col("prev_price"), col("change_pct"))
+      .orderBy(desc("change_pct"), col("o_orderkey"))
+      .limit(k)
+  }
+
+  /** `get_market_summary` (A1, `client.py:106-119`): grouped
+    * count/avg/sum/sum per market, ordered by total amount. Market =
+    * region name via supplier→nation→region broadcast chain. */
+  def marketSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    val dim = sup
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .select(col("s_suppkey"), col("r_name").as("market"))
+    li.join(broadcast(dim), li("l_suppkey") === dim("s_suppkey"))
+      .groupBy("market")
+      .agg(
+        count(lit(1)).as("n_items"),
+        moneyAvg(col("l_extendedprice")).as("avg_price"),
+        sum(round(col("l_quantity"), 0).cast("long")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("total_amount"))
+      .orderBy(desc("total_amount"), col("market"))
+  }
+
+  /** `daily_market_summary` view (A2, `setup_clickhouse.py:252-264`):
+    * per-date grouped aggregates. */
+  def dailySummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").cast("date").as("order_date"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        moneyAvg(col("o_totalprice")).as("avg_price"),
+        moneySum(col("o_totalprice")).as("total_amount"))
+      .orderBy("order_date")
+
+  /** Conditional counts (A3, `stock_master.py:261-270`):
+    * `countIf(is_active=1)`-style per-market stats. */
+  def condCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_finished"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_open"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_pending"))
+      .orderBy("o_orderpriority")
+
+  /** Distinct-key counts (A4, `price_client.py:303`). Exact here for oracle
+    * parity; at 100 TB swap to `approx_count_distinct` (HLL) — same plan
+    * shape, no second shuffle. */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** Date-range stats per key (A5, `price_client.py:294-299`, `:221-234`). */
+  def minMaxDates(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_suppkey")
+      .agg(
+        min(col("l_shipdate").cast("date")).as("first_ship"),
+        max(col("l_shipdate").cast("date")).as("last_ship"),
+        count(lit(1)).as("n_ship"))
+      .orderBy("l_suppkey")
+
+  /** `get_correlation_matrix` (J2+A6, `client.py:204-235`): per-key daily
+    * series self-joined on date, Pearson corr per key pair. Keys = nations
+    * (25 → 625 pairs; reference guards ≤50 symbols at `client.py:207-209` —
+    * the cap stays a parameter here). The daily series is built with exact
+    * integer-cents sums so the corr INPUTS are bit-identical across
+    * engines; corr itself is rounded (O(1) magnitude).
+    * Scale: the self-join shuffles on date only after the series is reduced
+    * to |keys|×|dates| rows — at 100 TB that reduction (a partial-agg
+    * shuffle on the fact) is the dominant cost and the pairwise stage stays
+    * tiny as long as |keys| is capped, exactly like the reference's guard. */
+  def correlationMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val li  = Tables.lineitem(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val dim = sup.join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val daily = li.join(broadcast(dim), li("l_suppkey") === dim("s_suppkey"))
+      .groupBy(col("n_name"), col("l_shipdate").cast("date").as("d"))
+      .agg(moneySum(col("l_extendedprice")).as("rev"))
+    val a = daily.select(col("n_name").as("key_a"), col("d"), col("rev").as("rev_a"))
+    val b = daily.select(col("n_name").as("key_b"), col("d"), col("rev").as("rev_b"))
+    a.join(b, Seq("d"))
+      .filter(col("key_a") < col("key_b"))
+      .groupBy("key_a", "key_b")
+      .agg(r4(corr(col("rev_a"), col("rev_b"))).as("correlation"),
+        count(lit(1)).as("n_days"))
+      .orderBy("key_a", "key_b")
+  }
+
+  /** `get_backtest_universe` (J3+P6+A9, `client.py:152-177`): distinct keys
+    * whose turnover exceeds a floor in a window, semi-joined to the dim with
+    * a null-aware OR predicate — returned as a DataFrame, never collected
+    * (the reference materializes a Python list; at scale that's a driver
+    * OOM, so the set stays distributed). */
+  def backtestUniverse(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val cust   = Tables.customer(spark, dir)
+    val big = orders
+      .filter(col("o_orderdate") >= lit("1998-01-01") &&
+        col("o_orderdate") < lit("1999-01-01") &&
+        col("o_totalprice") > 150000)
+      .select("o_custkey").distinct()
+    cust
+      .filter(col("c_acctbal").isNull || col("c_acctbal") > 0)
+      .join(big, cust("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** `latest_prices` view (J4, `setup_clickhouse.py:267-283`): correlated
+    * scalar subquery `trade_date = (SELECT max(trade_date) … sp2.symbol =
+    * sp.symbol)` decorrelated into a per-key window — one shuffle on the
+    * key instead of a rescan per row. */
+  def latestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("latest_date"), col("o_totalprice"))
+      .orderBy("o_custkey")
+  }
+
+  /** `calculate_returns` (W1+W2+T10, `client.py:179-202`): per-key daily
+    * return (lag) and cumulative return (first_value over an unbounded
+    * frame). Pure per-row arithmetic on exact inputs — no accumulation, so
+    * bit-deterministic without rounding tricks; r6 only for display parity. */
+  def returns(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+      .withColumn("base_price", first("o_totalprice").over(wAll))
+      .filter(col("prev_price").isNotNull && col("prev_price") > 0)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        col("o_totalprice"),
+        r6(col("o_totalprice") / col("prev_price") - 1).as("daily_return"),
+        r6(col("o_totalprice") / col("base_price") - 1).as("cum_return"))
+      .orderBy("o_custkey", "order_date", "o_orderkey")
+  }
+
+  /** Point lookup, latest row (O3, `stock_master.py:196-202`). At scale this
+    * is a partition-pruned + min/max-skipped scan, not an index probe. */
+  def pointLookupLatest(spark: SparkSession, dir: String, key: Long = 42L): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") === key)
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+      .limit(1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"), col("o_totalprice"))
+
+  /** Standalone top-k (O1, `client.py:146-147`): plans as
+    * TakeOrderedAndProject — per-partition heap + driver merge of k rows,
+    * no global sort. Revenue is per-row arithmetic (exact). */
+  def topK(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        r4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"), col("l_linenumber"))
+      .limit(k)
+
+  /** Distribution stats (A7, `krx_delisted_crawler.py:389-391`). */
+  def distribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  /** Global scalar stats (A8, `price_client.py:174-183`, `:290-303`). */
+  def globalStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        min(col("l_shipdate").cast("date")).as("min_date"),
+        max(col("l_shipdate").cast("date")).as("max_date"))
+}
