@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Analytics
+import graft.queries.{Analytics, IngestQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,6 +34,15 @@ object SparkEntry {
     "q12_topk_revenue"     -> ((s, d) => Analytics.topK(s, d)),
     "q13_distribution"     -> ((s, d) => Analytics.distribution(s, d)),
     "q14_global_stats"     -> ((s, d) => Analytics.globalStats(s, d)),
+    "q15_normalize"        -> ((s, d) => IngestQueries.normalize(s, d)),
+    "q16_validate"         -> ((s, d) => IngestQueries.validate(s, d)),
+    "q17_dedup_by_key"     -> ((s, d) => IngestQueries.dedupByKey(s, d)),
+    "q18_relaxed_union"    -> ((s, d) => IngestQueries.relaxedUnion(s, d)),
+    "q19_anti_new_keys"    -> ((s, d) => IngestQueries.antiJoinNewKeys(s, d)),
+    "q20_upsert"           -> ((s, d) => IngestQueries.upsert(s, d)),
+    "q21_compact_replacing"-> ((s, d) => IngestQueries.compactReplacing(s, d)),
+    "q22_update_where"     -> ((s, d) => IngestQueries.updateWhere(s, d)),
+    "q23_delete_where"     -> ((s, d) => IngestQueries.deleteWhere(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -171,5 +180,68 @@ object SparkEntry {
         |       MIN(CAST(l_shipdate AS DATE)) AS min_date,
         |       MAX(CAST(l_shipdate AS DATE)) AS max_date
         |FROM lineitem""".stripMargin,
+    "q15_normalize" ->
+      """SELECT c_custkey,
+        |       TRY_CAST(regexp_replace(c_name, '[^0-9]', '', 'g') AS BIGINT) AS code,
+        |       substr(regexp_replace(c_name, '[^0-9]', '', 'g'), 1, 6) AS code6,
+        |       NULLIF(trim(c_mktsegment), '') AS segment
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "q16_validate" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE regexp_full_match(event_type, '[a-z]+')
+        |  AND event_type IS NOT NULL AND length(event_type) > 0
+        |  AND value IS NOT NULL AND value >= 0 AND value <= 1000
+        |  AND user_id IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "q17_dedup_by_key" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |        ORDER BY l_linenumber DESC, l_extendedprice DESC, l_partkey DESC,
+        |                 l_suppkey DESC, l_quantity DESC, l_discount DESC,
+        |                 l_tax DESC, l_shipdate DESC) AS rn
+        |      FROM lineitem)
+        |WHERE rn = 1
+        |ORDER BY l_orderkey""".stripMargin,
+    "q18_relaxed_union" ->
+      """SELECT c_custkey AS entity_key, c_name AS name, 'customer' AS kind,
+        |       c_acctbal AS acctbal, c_mktsegment AS segment
+        |FROM customer
+        |UNION ALL
+        |SELECT s_suppkey, s_name, 'supplier', s_acctbal, NULL
+        |FROM supplier
+        |ORDER BY kind, entity_key""".stripMargin,
+    "q19_anti_new_keys" ->
+      """SELECT DISTINCT o_custkey
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = o.o_custkey
+        |                    AND o2.o_orderdate < TIMESTAMP '1998-01-01')
+        |ORDER BY o_custkey""".stripMargin,
+    "q20_upsert" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "q21_compact_replacing" ->
+      """SELECT user_id, event_type, event_id, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q22_update_where" ->
+      """SELECT CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |       COUNT(*) AS n
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY o_orderstatus""".stripMargin,
+    "q23_delete_where" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE NOT (c_mktsegment = 'BUILDING')
+        |ORDER BY c_custkey""".stripMargin,
   )
 }
