@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, IngestQueries}
+import graft.queries.{Analytics, EventWindows, IngestQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,6 +43,10 @@ object SparkEntry {
     "q21_compact_replacing"-> ((s, d) => IngestQueries.compactReplacing(s, d)),
     "q22_update_where"     -> ((s, d) => IngestQueries.updateWhere(s, d)),
     "q23_delete_where"     -> ((s, d) => IngestQueries.deleteWhere(s, d)),
+    "q24_tumbling_window"  -> ((s, d) => EventWindows.tumbling(s, d)),
+    "q25_sliding_window"   -> ((s, d) => EventWindows.sliding(s, d)),
+    "q26_sessionize"       -> ((s, d) => EventWindows.sessionize(s, d)),
+    "q27_json_extract"     -> ((s, d) => EventWindows.jsonExtract(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -243,5 +247,49 @@ object SparkEntry {
         |FROM customer
         |WHERE NOT (c_mktsegment = 'BUILDING')
         |ORDER BY c_custkey""".stripMargin,
+    "q24_tumbling_window" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+         |       event_type, COUNT(*) AS n_events,
+         |       ${moneySum("value")} AS sum_value
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY window_start, event_type""".stripMargin,
+    "q25_sliding_window" ->
+      s"""SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP)
+         |         - k.k * INTERVAL '30 minutes' AS window_start,
+         |       event_type, COUNT(*) AS n_events,
+         |       ${moneySum("value")} AS sum_value
+         |FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+         |GROUP BY 1, 2
+         |ORDER BY window_start, event_type""".stripMargin,
+    "q26_sessionize" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, event_id, ts, value,
+         |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         |              THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT user_id, ts, value,
+         |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM flagged)
+         |SELECT user_id, session_id,
+         |       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+         |       CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+         |       COUNT(*) AS n_events,
+         |       ${moneySum("value")} AS sum_value
+         |FROM sess
+         |GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+    "q27_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |       MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
   )
 }
