@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, EventWindows, IngestQueries}
+import graft.queries.{Analytics, EventWindows, ExtQueries, IngestQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,12 +47,60 @@ object SparkEntry {
     "q25_sliding_window"   -> ((s, d) => EventWindows.sliding(s, d)),
     "q26_sessionize"       -> ((s, d) => EventWindows.sessionize(s, d)),
     "q27_json_extract"     -> ((s, d) => EventWindows.jsonExtract(s, d)),
+    "q28_token_stats"      -> ((s, d) => ExtQueries.tokenStats(s, d)),
+    "q29_quality_score"    -> ((s, d) => ExtQueries.qualityScore(s, d)),
+    "q30_langid"           -> ((s, d) => ExtQueries.languageId(s, d)),
+    "q31_fingerprint"      -> ((s, d) => ExtQueries.fingerprint(s, d)),
+    "q32_dedup_exact"      -> ((s, d) => ExtQueries.dedupExact(s, d)),
+    "q33_dedup_ngram_jaccard" -> ((s, d) => ExtQueries.dedupNgramJaccard(s, d)),
+    "q34_dedup_minhash_lsh"   -> ((s, d) => ExtQueries.dedupMinhashLsh(s, d)),
+    "q35_dedup_simhash"    -> ((s, d) => ExtQueries.dedupSimhash(s, d)),
+    "q36_embed_near_dup"   -> ((s, d) => ExtQueries.embeddingNearDup(s, d)),
+    "q37_ann_brute_topk"   -> ((s, d) => ExtQueries.annBruteTopK(s, d)),
+    "q38_ann_lsh_topk"     -> ((s, d) => ExtQueries.annLshTopK(s, d)),
+    "q39_multimodal_meta"  -> ((s, d) => ExtQueries.multimodalMeta(s, d)),
+    "q40_frame_sample"     -> ((s, d) => ExtQueries.frameSample(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
   private def cents(c: String) = s"CAST(ROUND($c*100,0) AS BIGINT)"
   private def moneySum(c: String) = s"CAST(SUM(${cents(c)}) AS DOUBLE)/100.0"
   private def moneyAvg(c: String) = s"CAST(SUM(${cents(c)}) AS DOUBLE)/100.0/COUNT($c)"
+
+  // Shared SQL fragments for the graft.ext text/similarity operators.
+  // These mirror graft.ext.TextOps/TextDedup/Similarity exactly: same
+  // normalization, same integer hash constants (generated from the same
+  // Scala values), so Spark and DuckDB compute identical integers.
+  /** lower+trim+collapse-whitespace — TextOps.normText. */
+  private val nCte =
+    """n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents)"""
+  private val tokCte =
+    "tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM n)"
+  /** distinct char-8-gram shingles — TextDedup.docCharShingles.
+    * (`unnest(range(...))` rather than a lateral `generate_series`, which
+    * DuckDB's binder rejects with correlated arguments.) */
+  private val char8Cte =
+    "sh AS (SELECT DISTINCT doc_id, substr(t, g, 8) AS sh " +
+      "FROM (SELECT doc_id, t, unnest(range(1, length(t)-6)) AS g FROM n) z)"
+  /** TextOps.hash8 over an 8-char column: polynomial ord-hash mod 2^31-1.
+    * ord() is INT32 in DuckDB — cast before multiplying. */
+  private def hv8(c: String): String = {
+    val terms = graft.ext.TextOps.Pow31.zipWithIndex.map { case (w, i) =>
+      s"CAST(ord(substr($c,${i + 1},1)) AS BIGINT)*$w"
+    }
+    s"(${terms.mkString(" + ")}) % ${graft.ext.TextOps.HashP}"
+  }
+  /** TextDedup.Perms as a VALUES relation. */
+  private val permValues = graft.ext.TextDedup.Perms
+    .map { case (j, band, slot, a, b, w) => s"($j,$band,$slot,$a,$b,$w)" }
+    .mkString(",")
+  /** Similarity.planes(4, 64) as DuckDB DOUBLE[] literals. */
+  private def planeLit(m: Int): String =
+    graft.ext.Similarity.planes(4, 64)(m).map(x => s"$x.0").mkString("[", ",", "]")
+  /** Normalized double-precision embeddings with L2 norm. */
+  private val embCte =
+    "nm AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb, " +
+      "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings)"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -291,5 +339,173 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q28_token_stats" ->
+      s"""WITH $nCte
+         |SELECT doc_id,
+         |       len(string_split(t, ' ')) AS n_ws_tokens,
+         |       len(regexp_extract_all(t, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_bpe_tokens,
+         |       length(t) AS n_chars_norm
+         |FROM n
+         |ORDER BY doc_id""".stripMargin,
+    "q29_quality_score" ->
+      s"""WITH $nCte,
+         |$tokCte,
+         |st AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(length(w)) AS tok_chars,
+         |              SUM(CASE WHEN w IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END) AS n_stop
+         |       FROM tok GROUP BY doc_id),
+         |base AS (SELECT doc_id, length(t) AS n_chars,
+         |                length(t) - length(regexp_replace(t, '[^a-z0-9 ]', '', 'g')) AS n_punct
+         |         FROM n)
+         |SELECT b.doc_id AS doc_id, st.n_tokens,
+         |       ROUND(CAST(st.tok_chars AS DOUBLE)/st.n_tokens, 4) AS mean_tok_len,
+         |       ROUND(CAST(b.n_punct AS DOUBLE)/b.n_chars, 4) AS punct_ratio,
+         |       ROUND(CAST(st.n_stop AS DOUBLE)/st.n_tokens, 4) AS stop_ratio,
+         |       CASE WHEN st.n_tokens BETWEEN 10 AND 1000
+         |                 AND CAST(st.n_stop AS DOUBLE)/st.n_tokens >= 0.05
+         |            THEN 1 ELSE 0 END AS is_quality
+         |FROM base b JOIN st ON st.doc_id = b.doc_id
+         |ORDER BY 1""".stripMargin,
+    "q30_langid" ->
+      s"""WITH $nCte,
+         |$tokCte,
+         |sc AS (SELECT doc_id,
+         |        SUM(CASE WHEN w IN ('the','a','of','and') THEN 1 ELSE 0 END) AS s_en,
+         |        SUM(CASE WHEN w IN ('der','und','die','ist') THEN 1 ELSE 0 END) AS s_de,
+         |        SUM(CASE WHEN w IN ('le','et','les','une') THEN 1 ELSE 0 END) AS s_fr,
+         |        SUM(CASE WHEN w IN ('el','y','los','las') THEN 1 ELSE 0 END) AS s_es
+         |       FROM tok GROUP BY doc_id)
+         |SELECT doc_id, s_en, s_de, s_fr, s_es,
+         |  CASE WHEN s_en+s_de+s_fr+s_es = 0 THEN 'und'
+         |       WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+         |       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS predicted_lang
+         |FROM sc
+         |ORDER BY doc_id""".stripMargin,
+    "q31_fingerprint" ->
+      s"""WITH $nCte,
+         |$char8Cte
+         |SELECT doc_id,
+         |       CAST(SUM(${hv8("sh")}) % ${graft.ext.TextOps.HashP} AS BIGINT) AS fingerprint,
+         |       COUNT(*) AS n_shingles
+         |FROM sh
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "q32_dedup_exact" ->
+      s"""WITH $nCte
+         |SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_copies, length(t) AS n_chars_norm
+         |FROM n
+         |GROUP BY t
+         |ORDER BY rep_id""".stripMargin,
+    "q33_dedup_ngram_jaccard" ->
+      s"""WITH $nCte,
+         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+         |sh AS (SELECT DISTINCT doc_id, toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2] AS sh
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS g FROM tk) z),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |iv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       ROUND(CAST(n_inter AS DOUBLE)/(za.n+zb.n-n_inter), 4) AS jaccard
+         |FROM iv JOIN sz za ON za.doc_id = iv.doc_a JOIN sz zb ON zb.doc_id = iv.doc_b
+         |WHERE CAST(n_inter AS DOUBLE)/(za.n+zb.n-n_inter) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q34_dedup_minhash_lsh" ->
+      s"""WITH $nCte,
+         |$char8Cte,
+         |h AS (SELECT doc_id, ${hv8("sh")} AS hv FROM sh),
+         |perm AS (SELECT * FROM (VALUES $permValues) AS p(j, band, slot, a, b, w)),
+         |sig AS (SELECT doc_id, j, band, w,
+         |               MIN((a*hv + b) % ${graft.ext.TextOps.HashP}) AS mh
+         |        FROM h CROSS JOIN perm GROUP BY doc_id, j, band, w),
+         |bh AS (SELECT doc_id, band, CAST(SUM(mh*w) AS BIGINT) AS band_hash
+         |       FROM sig GROUP BY doc_id, band),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bh x JOIN bh y
+         |           ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |iv AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+         |       FROM cand c
+         |       JOIN sh sa ON sa.doc_id = c.doc_a
+         |       JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         |       GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       ROUND(CAST(n_inter AS DOUBLE)/(za.n+zb.n-n_inter), 4) AS jaccard
+         |FROM iv JOIN sz za ON za.doc_id = iv.doc_a JOIN sz zb ON zb.doc_id = iv.doc_b
+         |WHERE CAST(n_inter AS DOUBLE)/(za.n+zb.n-n_inter) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q35_dedup_simhash" ->
+      s"""WITH $nCte,
+         |$tokCte,
+         |th AS (SELECT doc_id, ${hv8("rpad(w, 8, ' ')")} AS hv FROM tok),
+         |bits AS (SELECT * FROM (VALUES ${(0 until 32).map(b => s"($b,${1L << b})").mkString(",")}) AS b(bit, pw)),
+         |votes AS (SELECT doc_id, bit, pw,
+         |                 SUM(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |          FROM th CROSS JOIN bits GROUP BY doc_id, bit, pw),
+         |fp AS (SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN pw ELSE 0 END) AS BIGINT) AS fp
+         |       FROM votes GROUP BY doc_id),
+         |bnd AS (SELECT doc_id, fp, shift, (fp >> shift) & 255 AS bv
+         |        FROM fp CROSS JOIN (VALUES (0),(8),(16),(24)) AS s(shift)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |                x.fp AS fp_a, y.fp AS fp_b
+         |         FROM bnd x JOIN bnd y
+         |           ON x.shift = y.shift AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(fp_a, fp_b)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q36_embed_near_dup" ->
+      s"""WITH $embCte
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS bucket,
+         |       ROUND(list_dot_product(a.emb, b.emb)/(a.nrm*b.nrm), 4) AS cos
+         |FROM nm a JOIN nm b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ROUND(list_dot_product(a.emb, b.emb)/(a.nrm*b.nrm), 4) >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q37_ann_brute_topk" ->
+      s"""WITH $embCte,
+         |q AS (SELECT * FROM nm WHERE vec_id < 10),
+         |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |              ROUND(list_dot_product(q.emb, c.emb)/(q.nrm*c.nrm), 4) AS score
+         |       FROM nm c CROSS JOIN q WHERE c.vec_id <> q.vec_id),
+         |rk AS (SELECT query_id, neighbor_id, score,
+         |              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+         |       FROM sc)
+         |SELECT query_id, neighbor_id, score, CAST(rnk AS INT) AS rank
+         |FROM rk WHERE rnk <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "q38_ann_lsh_topk" ->
+      s"""WITH $embCte,
+         |bk AS (SELECT vec_id, emb, nrm,
+         |    (CASE WHEN list_dot_product(emb, ${planeLit(0)}::DOUBLE[]) > 0 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(emb, ${planeLit(1)}::DOUBLE[]) > 0 THEN 2 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(emb, ${planeLit(2)}::DOUBLE[]) > 0 THEN 4 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(emb, ${planeLit(3)}::DOUBLE[]) > 0 THEN 8 ELSE 0 END) AS bucket
+         |  FROM nm),
+         |q AS (SELECT * FROM bk WHERE vec_id < 10),
+         |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.bucket,
+         |              ROUND(list_dot_product(q.emb, c.emb)/(q.nrm*c.nrm), 4) AS score
+         |       FROM bk c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+         |rk AS (SELECT query_id, neighbor_id, bucket, score,
+         |              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+         |       FROM sc)
+         |SELECT query_id, neighbor_id, bucket, score, CAST(rnk AS INT) AS rank
+         |FROM rk WHERE rnk <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+    "q39_multimodal_meta" ->
+      """SELECT doc_id,
+        |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |       length(text) AS byte_len,
+        |       CAST(64 + length(text) % 448 AS INT) AS width,
+        |       CAST(64 + (length(text) * 7) % 448 AS INT) AS height,
+        |       CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + length(text) % 30 ELSE 1 END AS INT) AS n_frames
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q40_frame_sample" ->
+      """WITH m AS (SELECT doc_id, 1 + length(text) % 30 AS n_frames
+        |           FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx
+        |FROM (SELECT doc_id, unnest(range(0, n_frames, 5)) AS frame_idx FROM m) z
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

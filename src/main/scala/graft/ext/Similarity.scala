@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ArrayType(FloatType)`):
+  * brute-force cosine top-k as the exact baseline, a random-hyperplane
+  * LSH-bucketed variant as the scale path, and cosine near-duplicate pair
+  * detection. Extension surface beyond the reference (BASELINE.json north
+  * star) over the `embeddings` table.
+  *
+  * Cosine is computed with higher-order functions (`zip_with` +
+  * `aggregate`) in double precision — no UDFs, no vector library, runs
+  * inside the JVM row-by-row with zero serialization overhead.
+  *
+  * Scale posture: brute force is O(|Q|·N) with the query side broadcast —
+  * exact, and fine whenever |Q| is small. The LSH variant buckets both
+  * sides by sign-of-projection onto fixed integer hyperplanes, so the join
+  * is equi on bucket (hash join, no cross product) and probes only
+  * N/2^planes candidates per query — the IVF-style recall/cost dial.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double precision (sequential fold — deterministic order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Fixed integer hyperplanes for sign-LSH: weight i of plane m is
+    * `((i·(2m+3)) mod 11) - 5` — exact integer arithmetic, reproducible in
+    * the oracle as literal arrays. */
+  def planes(nPlanes: Int, dim: Int): Seq[Seq[Int]] =
+    (0 until nPlanes).map(m => (0 until dim).map(i => ((i * (2 * m + 3)) % 11) - 5))
+
+  /** LSH bucket id: bit m set iff the projection onto plane m is > 0. */
+  def bucketCol(emb: Column, nPlanes: Int, dim: Int): Column =
+    planes(nPlanes, dim).zipWithIndex.map { case (w, m) =>
+      when(dot(emb, array(w.map(x => lit(x.toDouble)): _*)) > 0, 1L << m).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Brute-force cosine top-k: every query row against every corpus row,
+    * rank by (rounded score desc, id) per query — the rounded score is the
+    * ranking key so ordering is reproducible cross-engine. Query side is
+    * small by contract → broadcast; the corpus side streams, nothing
+    * collects. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                embCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  /** LSH-bucketed approximate top-k: both sides keyed by sign-LSH bucket,
+    * candidates = same-bucket rows only (equi join on bucket), then exact
+    * cosine rank within the candidates. Recall < 1 by design; the plan is
+    * one hash join + one bounded window instead of a cross product. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, k: Int, nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+      bucketCol(col(embCol), nPlanes, dim).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
+      bucketCol(col(embCol), nPlanes, dim).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("bucket"),
+        round(cosine(col("q_emb"), col("c_emb")), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("bucket"), col("score"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a coarse partition key
+    * (here: a label/cluster column — the IVF idea: only intra-bucket pairs
+    * are candidates, so the self-join is equi on the bucket key instead of
+    * a full cross product). */
+  def nearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
+                   bucketColName: String, threshold: Double): DataFrame = {
+    val a = corpus.select(col(bucketColName).as("bucket"),
+      col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    val b = corpus.select(col(bucketColName).as("bucket"),
+      col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("bucket"), col("cos"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.Parity
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, n-gram-heuristic language ID, and document
+  * fingerprinting. Extension surface beyond the reference (which has no
+  * text analytics — SURVEY.md §2.10); designed for the `documents` table.
+  *
+  * Scale posture: every operator is one narrow projection over the scan
+  * (token stats, fingerprints) or one explode + hash-aggregate keyed by
+  * doc_id (quality/langid) — no joins against anything large, no driver
+  * collection, and doc_id-keyed aggregation parallelizes to any executor
+  * count with bounded per-key state.
+  */
+object TextAnalysis {
+  import TextOps._
+
+  /** BPE-ish tokenizer regex: letter runs, single digits, single
+    * punctuation marks — the classic pre-tokenization shape (letters
+    * merge, digits don't). Applied to normalized (lowercase) text. */
+  val BpeishPattern = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+  /** Stopword list used for quality scoring (subset present in any
+    * realistic English corpus). */
+  val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Marker tokens per language for the n-gram/stopword language-ID
+    * heuristic. Disjoint across languages so scores are independent. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "und", "die", "ist"),
+    "fr" -> Seq("le", "et", "les", "une"),
+    "es" -> Seq("el", "y", "los", "las"))
+
+  /** Token statistics per document: whitespace token count, BPE-ish token
+    * count, and normalized char length. Pure per-row expressions — fuses
+    * with the scan, zero shuffles. */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = normText(col(textCol))
+    docs.select(
+      col(idCol),
+      size(tokens(t)).as("n_ws_tokens"),
+      size(regexp_extract_all(t, lit(BpeishPattern), lit(0))).as("n_bpe_tokens"),
+      length(t).as("n_chars_norm"))
+  }
+
+  /** Exploded (doc_id, token) view of normalized text — the shared shuffle
+    * input for quality scoring and langid. */
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(tokens(normText(col(textCol)))).as("w"))
+
+  /** Quality scoring per document: token count, mean token length,
+    * punctuation ratio, stopword ratio, and a boolean-ish quality gate
+    * (the length/punct/stopword heuristics web-scale corpus filters use).
+    * One explode + one hash aggregation on doc_id; ratios are int/int
+    * divisions so the oracle reproduces them exactly. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = tokenized(docs, idCol, textCol)
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("w"))).as("tok_chars"),
+        sum(when(col("w").isInCollection(Stopwords), 1).otherwise(0)).as("n_stop"))
+    val t = normText(col(textCol))
+    val base = docs.select(
+      col(idCol),
+      length(t).as("n_chars"),
+      (length(t) - length(regexp_replace(t, "[^a-z0-9 ]", ""))).as("n_punct"))
+    base.join(tok, idCol)
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        Parity.r4(col("tok_chars").cast("double") / col("n_tokens")).as("mean_tok_len"),
+        Parity.r4(col("n_punct").cast("double") / col("n_chars")).as("punct_ratio"),
+        Parity.r4(col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        when(col("n_tokens").between(10, 1000) &&
+          col("n_stop").cast("double") / col("n_tokens") >= 0.05, 1).otherwise(0)
+          .as("is_quality"))
+  }
+
+  /** Language ID via marker-token scoring: count marker hits per language,
+    * predict the argmax with a fixed priority order on ties ('und' when no
+    * marker hits at all). A real system swaps the marker table for
+    * char-n-gram profiles; the plan shape (explode → broadcast-joinable
+    * marker set → doc-keyed agg) is identical at any corpus size. */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scoreCols = LangMarkers.map { case (lang, markers) =>
+      sum(when(col("w").isInCollection(markers), 1).otherwise(0)).as(s"s_$lang")
+    }
+    val scored = tokenized(docs, idCol, textCol)
+      .groupBy(idCol)
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    val total = LangMarkers.map { case (l, _) => col(s"s_$l") }.reduce(_ + _)
+    val predicted = when(total === 0, "und")
+      .when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
+      .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
+      .when(col("s_fr") >= col("s_es"), "fr")
+      .otherwise("es")
+    scored.select(col(idCol), col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
+      predicted.as("predicted_lang"))
+  }
+
+  /** Document fingerprint: order-independent sum of distinct char-8-gram
+    * rolling hashes mod 2^31-1 (a set-hash — robust to shingle order, so
+    * it is shuffle-order-stable and identical in the oracle). One explode
+    * + one doc-keyed aggregation. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame =
+    docs.select(col(idCol), explode(charShingles(normText(col(textCol)), k)).as("sh"))
+      .distinct()
+      .select(col(idCol), hash8(col("sh")).as("hv"))
+      .groupBy(idCol)
+      .agg((sum(col("hv")) % lit(HashP)).as("fingerprint"),
+        count(lit(1)).as("n_shingles"))
+}

@@ -1,0 +1,189 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for a training-data pipeline: exact
+  * (normalized-hash) dedup, n-gram Jaccard, MinHash+LSH, and SimHash.
+  * Extension surface beyond the reference (BASELINE.json north star) over
+  * the `documents` table.
+  *
+  * Scale posture — the four tiers trade exactness for join volume:
+  *  - exact: one hash aggregation on the normalized text. O(N).
+  *  - n-gram Jaccard: inverted-index self-join on shingles; cost is
+  *    Σ_shingle n_s², so it is reserved for verification of candidate
+  *    pairs or low-frequency shingle spaces.
+  *  - MinHash+LSH: the 100 TB path — fixed-size signatures (one explode +
+  *    doc-keyed min-agg), banding shrinks the self-join to signature
+  *    collisions only, then exact Jaccard verifies just the candidates.
+  *  - SimHash: constant per-doc state (one 32-bit fingerprint), candidate
+  *    pairs from byte-band collisions, Hamming-distance verify.
+  *
+  * All hashing is integer arithmetic from [[TextOps]] — deterministic
+  * across engines and shuffle orders, so every operator is oracle-checked
+  * value-for-value, not just row-counted.
+  */
+object TextDedup {
+  import TextOps._
+
+  /** Fixed MinHash permutations `h_j(x) = (a_j·x + b_j) mod 2^31-1`,
+    * 16 hashes banded 4×4 (b=4 bands, r=4 rows → s-curve threshold ≈0.7).
+    * Constants are fixed so signatures are reproducible run-to-run (and in
+    * the DuckDB oracle); (band, slot, weight) are materialized explicitly
+    * to keep band assembly identical on both engines. */
+  val Perms: Seq[(Int, Int, Int, Long, Long, Long)] =
+    // (j, band, slot, a, b, weight = 31^slot)
+    Seq(
+      (0, 0, 0, 1000003L, 12345L, 1L), (1, 0, 1, 1000033L, 54321L, 31L),
+      (2, 0, 2, 1000037L, 7777L, 961L), (3, 0, 3, 1000039L, 3333L, 29791L),
+      (4, 1, 0, 1000081L, 999L, 1L), (5, 1, 1, 1000099L, 111L, 31L),
+      (6, 1, 2, 1000117L, 2025L, 961L), (7, 1, 3, 1000121L, 4242L, 29791L),
+      (8, 2, 0, 1000133L, 8888L, 1L), (9, 2, 1, 1000151L, 606L, 31L),
+      (10, 2, 2, 1000159L, 909L, 961L), (11, 2, 3, 1000171L, 13579L, 29791L),
+      (12, 3, 0, 1000183L, 24680L, 1L), (13, 3, 1, 1000187L, 97531L, 31L),
+      (14, 3, 2, 1000193L, 86420L, 961L), (15, 3, 3, 1000199L, 55555L, 29791L))
+
+  /** Exact dedup: group documents by normalized text, keep the minimum id
+    * as the canonical representative. One shuffle on the (hashable) text;
+    * at 100 TB, group on `xxhash64(norm)` instead to shrink shuffle keys —
+    * same plan shape. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(normText(col(textCol)).as("norm"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+      .select(col("rep_id"), col("n_copies"), length(col("norm")).as("n_chars_norm"))
+
+  /** Distinct (doc, char-k-gram shingle) pairs — the inverted-index input
+    * shared by Jaccard verification and MinHash. */
+  def docCharShingles(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(charShingles(normText(col(textCol)), k)).as("sh"))
+      .distinct()
+
+  /** Distinct (doc, word-n-gram shingle) pairs. */
+  def docWordShingles(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(wordShingles(tokens(normText(col(textCol))), n)).as("sh"))
+      .distinct()
+
+  /** Pairwise Jaccard ≥ threshold over a (doc_id, sh) shingle relation:
+    * inverted-index self-join on the shingle, intersection counts, set
+    * sizes, `|A∩B| / (|A|+|B|-|A∩B|)`. Emits (doc_a < doc_b, jaccard). */
+  def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = shingles.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = shingles.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    val jac = col("n_inter").cast("double") /
+      (col("na") + col("nb") - col("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+  }
+
+  /** Word-n-gram Jaccard near-dup pairs (direct inverted-index join — the
+    * exact tier; word n-gram spaces are high-cardinality so per-shingle
+    * postings stay short). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.8): DataFrame =
+    jaccardPairs(docWordShingles(docs, idCol, textCol, n), threshold)
+
+  /** MinHash band hashes: (doc_id, band, band_hash), one row per doc per
+    * band. Signature = per-doc min of each permuted shingle hash; band
+    * hash = weighted sum of the band's 4 mins (exact integer arithmetic,
+    * order-independent). */
+  def minhashBands(shingles: DataFrame): DataFrame = {
+    val spark = shingles.sparkSession
+    import spark.implicits._
+    val perms = Perms.toDF("j", "band", "slot", "a", "b", "w")
+    shingles
+      .select(col("doc_id"), hash8(col("sh")).as("hv"))
+      .crossJoin(broadcast(perms))
+      .groupBy(col("doc_id"), col("j"), col("band"), col("w"))
+      .agg(min((col("a") * col("hv") + col("b")) % lit(HashP)).as("mh"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(sum(col("mh") * col("w")).as("band_hash"))
+  }
+
+  /** MinHash+LSH near-dup pairs: band-collision candidates, verified with
+    * exact Jaccard on the candidates only. The self-join touches band
+    * hashes (4 rows/doc), never the shingle index — that join is deferred
+    * to the (tiny) candidate set. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, threshold: Double = 0.8): DataFrame = {
+    val shingles = docCharShingles(docs, idCol, textCol, k)
+    val bands = minhashBands(shingles)
+    val cands = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(cands, shingles, threshold)
+  }
+
+  /** Exact Jaccard restricted to candidate pairs. */
+  private def verifyJaccard(cands: DataFrame, shingles: DataFrame,
+                            threshold: Double): DataFrame = {
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(shingles.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(shingles.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    val jac = col("n_inter").cast("double") /
+      (col("na") + col("nb") - col("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+  }
+
+  /** 32-bit SimHash fingerprints: per-token-occurrence hash, ±1 vote per
+    * bit position, sign → bit. One explode to (doc × token × 32 bits) of
+    * integer votes, two doc-keyed aggregations — constant output state per
+    * doc, the cheapest sketch of the family. */
+  def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bits = (0 until 32).map(bit => (bit, 1L << bit)).toDF("bit", "pw")
+    docs.select(col(idCol).as("doc_id"),
+        explode(tokens(normText(col(textCol)))).as("w"))
+      .select(col("doc_id"), hash8(rpad(col("w"), 8, " ")).as("hv"))
+      .crossJoin(broadcast(bits))
+      .groupBy(col("doc_id"), col("bit"), col("pw"))
+      .agg(sum(when(expr("(hv >> bit) & 1") === 1, 1).otherwise(-1)).as("vote"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("vote") > 0, col("pw")).otherwise(0L)).as("fp"))
+  }
+
+  /** SimHash near-dup pairs: candidates share at least one of the four
+    * fingerprint bytes (the standard rotate-and-block trick collapsed to
+    * byte bands), verified by Hamming distance ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fps = simhashFingerprints(docs, idCol, textCol)
+    val shifts = Seq(0, 8, 16, 24).toDF("shift")
+    val banded = fps.crossJoin(broadcast(shifts))
+      .select(col("doc_id"), col("fp"), col("shift"),
+        expr("(fp >> shift) & 255").as("bv"))
+    val cands = banded.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"),
+        col("shift"), col("bv"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
+        col("shift"), col("bv")), Seq("shift", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "fp_a", "fp_b").distinct()
+    cands
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+  }
+}

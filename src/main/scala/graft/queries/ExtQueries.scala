@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.model.Tables
+
+/** Oracle-checked query wrappers for the LLM-data-pipeline extension
+  * operators (`graft.ext`): dedup, similarity search, text analysis and
+  * multimodal plumbing pinned to the driver `documents` / `embeddings`
+  * tables. The ops themselves are generic (`DataFrame` in/out); these
+  * bind concrete columns, thresholds and deterministic output orders so
+  * the DuckDB gate can hash-compare values.
+  */
+object ExtQueries {
+
+  // ---- text analysis -----------------------------------------------------
+
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenStats(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  def languageId(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageId(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  // ---- dedup -------------------------------------------------------------
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.exactGroups(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("rep_id")
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .orderBy("doc_a", "doc_b")
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+        k = 8, threshold = 0.8)
+      .orderBy("doc_a", "doc_b")
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        "label", threshold = 0.35)
+      .orderBy("id_a", "id_b")
+
+  // ---- similarity search -------------------------------------------------
+
+  /** Query set: the first 10 vectors (vec_id < 10) against the whole
+    * corpus. */
+  def annBruteTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  // ---- multimodal --------------------------------------------------------
+
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMeta(
+        Multimodal.attachPayload(Tables.documents(spark, dir), "doc_id", "text"))
+      .toDF()
+      .select(col("doc_id"), col("media_type"), col("byte_len"),
+        col("width"), col("height"), col("n_frames"))
+      .orderBy("doc_id")
+
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.decodeMeta(
+          Multimodal.attachPayload(Tables.documents(spark, dir), "doc_id", "text")),
+        stride = 5)
+      .orderBy("doc_id", "frame_idx")
+}
