@@ -76,11 +76,13 @@ object SparkEntry {
     """n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents)"""
   private val tokCte =
     "tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM n)"
-  /** distinct char-8-gram shingles — TextDedup.docCharShingles.
-    * (`unnest(range(...))` rather than a lateral `generate_series`, which
-    * DuckDB's binder rejects with correlated arguments.) */
-  private val char8Cte =
-    "sh AS (SELECT DISTINCT doc_id, substr(t, g, 8) AS sh " +
+  /** distinct char-8-gram shingle HASHES — TextDedup.docShingleHashes:
+    * hash first, distinct over the hash values (set semantics over hv on
+    * both engines). `unnest(range(...))` rather than a lateral
+    * `generate_series`, which DuckDB's binder rejects with correlated
+    * arguments. */
+  private def char8HashCte =
+    "h AS (SELECT DISTINCT doc_id, " + hv8("substr(t, g, 8)") + " AS hv " +
       "FROM (SELECT doc_id, t, unnest(range(1, length(t)-6)) AS g FROM n) z)"
   /** TextOps.hash8 over an 8-char column: polynomial ord-hash mod 2^31-1.
     * ord() is INT32 in DuckDB — cast before multiplying. */
@@ -384,11 +386,11 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
     "q31_fingerprint" ->
       s"""WITH $nCte,
-         |$char8Cte
+         |$char8HashCte
          |SELECT doc_id,
-         |       CAST(SUM(${hv8("sh")}) % ${graft.ext.TextOps.HashP} AS BIGINT) AS fingerprint,
+         |       CAST(SUM(hv) % ${graft.ext.TextOps.HashP} AS BIGINT) AS fingerprint,
          |       COUNT(*) AS n_shingles
-         |FROM sh
+         |FROM h
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
     "q32_dedup_exact" ->
@@ -413,22 +415,21 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q34_dedup_minhash_lsh" ->
       s"""WITH $nCte,
-         |$char8Cte,
-         |h AS (SELECT doc_id, ${hv8("sh")} AS hv FROM sh),
+         |$char8HashCte,
          |perm AS (SELECT * FROM (VALUES $permValues) AS p(j, band, slot, a, b, w)),
          |sig AS (SELECT doc_id, j, band, w,
-         |               MIN((a*hv + b) % ${graft.ext.TextOps.HashP}) AS mh
+         |               MIN((hv*a + b) % ${graft.ext.TextOps.HashP}) AS mh
          |        FROM h CROSS JOIN perm GROUP BY doc_id, j, band, w),
          |bh AS (SELECT doc_id, band, CAST(SUM(mh*w) AS BIGINT) AS band_hash
          |       FROM sig GROUP BY doc_id, band),
          |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |         FROM bh x JOIN bh y
          |           ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id),
          |iv AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
          |       FROM cand c
-         |       JOIN sh sa ON sa.doc_id = c.doc_a
-         |       JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         |       JOIN h sa ON sa.doc_id = c.doc_a
+         |       JOIN h sb ON sb.doc_id = c.doc_b AND sb.hv = sa.hv
          |       GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
          |       ROUND(CAST(n_inter AS DOUBLE)/(za.n+zb.n-n_inter), 4) AS jaccard
@@ -437,8 +438,10 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q35_dedup_simhash" ->
       s"""WITH $nCte,
-         |$tokCte,
-         |th AS (SELECT doc_id, ${hv8("rpad(w, 8, ' ')")} AS hv FROM tok),
+         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+         |bg AS (SELECT doc_id, toks[g] || ' ' || toks[g+1] AS f
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS g FROM tk) z),
+         |th AS (SELECT doc_id, ${hv8("rpad(f, 8, ' ')")} AS hv FROM bg),
          |bits AS (SELECT * FROM (VALUES ${(0 until 32).map(b => s"($b,${1L << b})").mkString(",")}) AS b(bit, pw)),
          |votes AS (SELECT doc_id, bit, pw,
          |                 SUM(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote

@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
   * detection. Extension surface beyond the reference (BASELINE.json north
   * star) over the `embeddings` table.
   *
-  * Cosine is computed with higher-order functions (`zip_with` +
-  * `aggregate`) in double precision — no UDFs, no vector library, runs
-  * inside the JVM row-by-row with zero serialization overhead.
+  * Cosine is computed by [[graft.functions.VectorDot]] — a native
+  * codegen'd Catalyst expression (tight primitive loop, no allocation) —
+  * in double precision; no UDFs, no vector library, no serialization.
   *
   * Scale posture: brute force is O(|Q|·N) with the query side broadcast —
   * exact, and fine whenever |Q| is small. The LSH variant buckets both
@@ -21,10 +21,9 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double precision (sequential fold — deterministic order). */
+  /** Σ aᵢ·bᵢ in double precision (sequential — deterministic order). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorOps.vecDot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -36,10 +35,12 @@ object Similarity {
   def planes(nPlanes: Int, dim: Int): Seq[Seq[Int]] =
     (0 until nPlanes).map(m => (0 until dim).map(i => ((i * (2 * m + 3)) % 11) - 5))
 
-  /** LSH bucket id: bit m set iff the projection onto plane m is > 0. */
+  /** LSH bucket id: bit m set iff the projection onto plane m is > 0.
+    * (Float literals: the weights are small integers, exact in float32, so
+    * float⇄double promotion matches the oracle's double arithmetic.) */
   def bucketCol(emb: Column, nPlanes: Int, dim: Int): Column =
     planes(nPlanes, dim).zipWithIndex.map { case (w, m) =>
-      when(dot(emb, array(w.map(x => lit(x.toDouble)): _*)) > 0, 1L << m).otherwise(0L)
+      when(dot(emb, array(w.map(x => lit(x.toFloat)): _*)) > 0, 1L << m).otherwise(0L)
     }.reduce(_ + _)
 
   /** Brute-force cosine top-k: every query row against every corpus row,
@@ -50,7 +51,8 @@ object Similarity {
   def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 embCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
+    val c = graft.model.Tables.fanOut(corpus)
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -71,8 +73,9 @@ object Similarity {
               embCol: String, k: Int, nPlanes: Int = 4, dim: Int = 64): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
       bucketCol(col(embCol), nPlanes, dim).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
-      bucketCol(col(embCol), nPlanes, dim).as("bucket"))
+    val c = graft.model.Tables.fanOut(corpus)
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
+        bucketCol(col(embCol), nPlanes, dim).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("bucket"),
@@ -91,9 +94,10 @@ object Similarity {
     * a full cross product). */
   def nearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
                    bucketColName: String, threshold: Double): DataFrame = {
-    val a = corpus.select(col(bucketColName).as("bucket"),
+    val fanned = graft.model.Tables.fanOut(corpus)
+    val a = fanned.select(col(bucketColName).as("bucket"),
       col(idCol).as("id_a"), col(embCol).as("emb_a"))
-    val b = corpus.select(col(bucketColName).as("bucket"),
+    val b = fanned.select(col(bucketColName).as("bucket"),
       col(idCol).as("id_b"), col(embCol).as("emb_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.model.Parity
+import graft.model.Tables.fanOut
 
 /** Text-analysis operators for a training-data pipeline: token counting,
   * quality scoring, n-gram-heuristic language ID, and document
@@ -50,7 +51,7 @@ object TextAnalysis {
   /** Exploded (doc_id, token) view of normalized text — the shared shuffle
     * input for quality scoring and langid. */
   private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), explode(tokens(normText(col(textCol)))).as("w"))
+    fanOut(docs).select(col(idCol), explode(tokens(normText(col(textCol)))).as("w"))
 
   /** Quality scoring per document: token count, mean token length,
     * punctuation ratio, stopword ratio, and a boolean-ish quality gate
@@ -103,14 +104,17 @@ object TextAnalysis {
       predicted.as("predicted_lang"))
   }
 
-  /** Document fingerprint: order-independent sum of distinct char-8-gram
-    * rolling hashes mod 2^31-1 (a set-hash — robust to shingle order, so
-    * it is shuffle-order-stable and identical in the oracle). One explode
-    * + one doc-keyed aggregation. */
+  /** Document fingerprint: order-independent sum of the distinct
+    * char-8-gram rolling-hash values mod 2^31-1 (a set-hash — robust to
+    * shingle order, so it is shuffle-order-stable and identical in the
+    * oracle). Shingles hash to longs before the distinct, so the shuffle
+    * carries 16-byte rows — same idiom as [[TextDedup.docShingleHashes]].
+    */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame =
-    docs.select(col(idCol), explode(charShingles(normText(col(textCol)), k)).as("sh"))
-      .distinct()
+    fanOut(docs)
+      .select(col(idCol), explode(charShingles(normText(col(textCol)), k)).as("sh"))
       .select(col(idCol), hash8(col("sh")).as("hv"))
+      .distinct()
       .groupBy(idCol)
       .agg((sum(col("hv")) % lit(HashP)).as("fingerprint"),
         count(lit(1)).as("n_shingles"))

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.model.Tables.fanOut
 
 /** Near-duplicate detection for a training-data pipeline: exact
   * (normalized-hash) dedup, n-gram Jaccard, MinHash+LSH, and SimHash.
@@ -13,11 +14,15 @@ import org.apache.spark.sql.functions._
   *  - n-gram Jaccard: inverted-index self-join on shingles; cost is
   *    Σ_shingle n_s², so it is reserved for verification of candidate
   *    pairs or low-frequency shingle spaces.
-  *  - MinHash+LSH: the 100 TB path — fixed-size signatures (one explode +
-  *    doc-keyed min-agg), banding shrinks the self-join to signature
-  *    collisions only, then exact Jaccard verifies just the candidates.
-  *  - SimHash: constant per-doc state (one 32-bit fingerprint), candidate
-  *    pairs from byte-band collisions, Hamming-distance verify.
+  *  - MinHash+LSH: the 100 TB path — shingles are hashed to longs at the
+  *    scan (the shuffle carries 16-byte rows, never strings), the whole
+  *    16-hash signature is computed in ONE doc-keyed aggregation (16
+  *    `min` aggregates — no row multiplication), banding shrinks the
+  *    self-join to signature collisions, and exact Jaccard verifies just
+  *    the candidates.
+  *  - SimHash: constant per-doc state (one 32-bit fingerprint over word
+  *    bigram features), candidate pairs from byte-band collisions,
+  *    Hamming-distance verify.
   *
   * All hashing is integer arithmetic from [[TextOps]] — deterministic
   * across engines and shuffle orders, so every operator is oracle-checked
@@ -48,36 +53,53 @@ object TextDedup {
     * at 100 TB, group on `xxhash64(norm)` instead to shrink shuffle keys —
     * same plan shape. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(normText(col(textCol)).as("norm"))
+    fanOut(docs).groupBy(normText(col(textCol)).as("norm"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
       .select(col("rep_id"), col("n_copies"), length(col("norm")).as("n_chars_norm"))
 
-  /** Distinct (doc, char-k-gram shingle) pairs — the inverted-index input
-    * shared by Jaccard verification and MinHash. */
-  def docCharShingles(docs: DataFrame, idCol: String, textCol: String,
-                      k: Int = 8): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+  /** Distinct (doc, char-k-gram shingle HASH) pairs — the inverted-index
+    * input shared by MinHash and its Jaccard verification. Shingles are
+    * hashed to longs BEFORE the distinct so the shuffle carries fixed
+    * 16-byte rows; set semantics are over hash values on both engines
+    * (collisions, p≈2⁻³¹ per doc-pair, affect Spark and the oracle
+    * identically). */
+  def docShingleHashes(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8): DataFrame =
+    fanOut(docs).select(col(idCol).as("doc_id"),
         explode(charShingles(normText(col(textCol)), k)).as("sh"))
+      .select(col("doc_id"), hash8(col("sh")).as("hv"))
       .distinct()
 
   /** Distinct (doc, word-n-gram shingle) pairs. */
   def docWordShingles(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    fanOut(docs).select(col(idCol).as("doc_id"),
         explode(wordShingles(tokens(normText(col(textCol))), n)).as("sh"))
       .distinct()
 
   /** Pairwise Jaccard ≥ threshold over a (doc_id, sh) shingle relation:
     * inverted-index self-join on the shingle, intersection counts, set
     * sizes, `|A∩B| / (|A|+|B|-|A∩B|)`. Emits (doc_a < doc_b, jaccard). */
-  def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
-    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = shingles.select(col("doc_id").as("doc_a"), col("sh"))
-    val b = shingles.select(col("doc_id").as("doc_b"), col("sh"))
-    val inter = a.join(b, Seq("sh"))
+  def jaccardPairs(shingles: DataFrame, shCol: String, threshold: Double): DataFrame = {
+    // The shingle index feeds three plan branches (sizes + both join
+    // sides); stage it once instead of re-exploding the corpus per branch
+    // (at warehouse scale this materialization is a staging table).
+    val sh = shingles.persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col(shCol))
+    val b = sh.select(col("doc_id").as("doc_b"), col(shCol))
+    val inter = a.join(b, Seq(shCol))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"))
+    finishJaccard(inter, sizes, threshold)
+  }
+
+  /** Stage-once wrapper: persist a multiply-consumed relation. */
+  private def staged(df: DataFrame): DataFrame = df.persist()
+
+  private def finishJaccard(inter: DataFrame, sizes: DataFrame,
+                            threshold: Double): DataFrame = {
     val jac = col("n_inter").cast("double") /
       (col("na") + col("nb") - col("n_inter"))
     inter
@@ -92,23 +114,25 @@ object TextDedup {
     * postings stay short). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8): DataFrame =
-    jaccardPairs(docWordShingles(docs, idCol, textCol, n), threshold)
+    jaccardPairs(docWordShingles(docs, idCol, textCol, n), "sh", threshold)
 
   /** MinHash band hashes: (doc_id, band, band_hash), one row per doc per
-    * band. Signature = per-doc min of each permuted shingle hash; band
-    * hash = weighted sum of the band's 4 mins (exact integer arithmetic,
-    * order-independent). */
-  def minhashBands(shingles: DataFrame): DataFrame = {
-    val spark = shingles.sparkSession
-    import spark.implicits._
-    val perms = Perms.toDF("j", "band", "slot", "a", "b", "w")
-    shingles
-      .select(col("doc_id"), hash8(col("sh")).as("hv"))
-      .crossJoin(broadcast(perms))
-      .groupBy(col("doc_id"), col("j"), col("band"), col("w"))
-      .agg(min((col("a") * col("hv") + col("b")) % lit(HashP)).as("mh"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(sum(col("mh") * col("w")).as("band_hash"))
+    * band. The full 16-hash signature is computed in a single doc-keyed
+    * aggregation (16 `min` columns over the same shingle-hash rows — no
+    * perm × shingle row explosion), then the 4 band hashes are assembled
+    * per row and exploded. Exact integer arithmetic, order-independent. */
+  def minhashBands(hashed: DataFrame): DataFrame = {
+    val minCols = Perms.map { case (j, _, _, a, b, _) =>
+      min((col("hv") * lit(a) + lit(b)) % lit(HashP)).as(s"mh_$j")
+    }
+    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bandStructs = Perms.groupBy(_._2).toSeq.sortBy(_._1).map { case (band, ps) =>
+      val bandHash = ps.map { case (j, _, _, _, _, w) => col(s"mh_$j") * lit(w) }
+        .reduce(_ + _)
+      struct(lit(band).as("band"), bandHash.as("band_hash"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
   }
 
   /** MinHash+LSH near-dup pairs: band-collision candidates, verified with
@@ -117,7 +141,8 @@ object TextDedup {
     * to the (tiny) candidate set. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 8, threshold: Double = 0.8): DataFrame = {
-    val shingles = docCharShingles(docs, idCol, textCol, k)
+    // Consumed by signatures, sizes, and both verify branches — stage it.
+    val shingles = staged(docShingleHashes(docs, idCol, textCol, k))
     val bands = minhashBands(shingles)
     val cands = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash")),
@@ -127,35 +152,31 @@ object TextDedup {
     verifyJaccard(cands, shingles, threshold)
   }
 
-  /** Exact Jaccard restricted to candidate pairs. */
+  /** Exact Jaccard restricted to candidate pairs (over shingle hashes). */
   private def verifyJaccard(cands: DataFrame, shingles: DataFrame,
                             threshold: Double): DataFrame = {
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
-      .join(shingles.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(shingles.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .join(shingles.select(col("doc_id").as("doc_a"), col("hv")), Seq("doc_a"))
+      .join(shingles.select(col("doc_id").as("doc_b"), col("hv")), Seq("doc_b", "hv"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"))
-    val jac = col("n_inter").cast("double") /
-      (col("na") + col("nb") - col("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .filter(jac >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+    finishJaccard(inter, sizes, threshold)
   }
 
-  /** 32-bit SimHash fingerprints: per-token-occurrence hash, ±1 vote per
-    * bit position, sign → bit. One explode to (doc × token × 32 bits) of
-    * integer votes, two doc-keyed aggregations — constant output state per
-    * doc, the cheapest sketch of the family. */
+  /** 32-bit SimHash fingerprints over word-BIGRAM features: per-feature
+    * hash, ±1 vote per bit position, sign → bit. Bigrams (not unigrams)
+    * carry enough entropy that unrelated docs land ~16 bits apart even on
+    * a small vocabulary, so Hamming ≤ 3 selects only true near-dups.
+    * One explode to (doc × feature × 32 bits) of integer votes, two
+    * doc-keyed aggregations — constant output state per doc. */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bits = (0 until 32).map(bit => (bit, 1L << bit)).toDF("bit", "pw")
-    docs.select(col(idCol).as("doc_id"),
-        explode(tokens(normText(col(textCol)))).as("w"))
-      .select(col("doc_id"), hash8(rpad(col("w"), 8, " ")).as("hv"))
+    fanOut(docs).select(col(idCol).as("doc_id"),
+        explode(wordShingles(tokens(normText(col(textCol))), 2)).as("f"))
+      .select(col("doc_id"), hash8(rpad(col("f"), 8, " ")).as("hv"))
       .crossJoin(broadcast(bits))
       .groupBy(col("doc_id"), col("bit"), col("pw"))
       .agg(sum(when(expr("(hv >> bit) & 1") === 1, 1).otherwise(-1)).as("vote"))

@@ -44,4 +44,15 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Small-input fan-out. Parquet splits at row-group granularity, so a
+    * small single-file table arrives as ONE partition and any
+    * explode/self-join-heavy operator downstream serializes on one core.
+    * Repartition up to the session's default parallelism only when the
+    * scan produced fewer partitions — on a real many-row-group (100 TB)
+    * input this is a no-op, so large scans never pay an extra shuffle. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }
