@@ -1,0 +1,71 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+
+/** Similarity search: the codegen dot-product expression, cosine top-k
+  * ranking, LSH bucketing consistency, and near-dup pair detection.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("VectorDot computes the exact double dot product") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.5f, -0.5f), Array(2.0f, 2.0f))
+    ).toDF("a", "b")
+    val out = df.select(VectorOps.vecDot(col("a"), col("b"))).as[Double].collect()
+    assert(out.toSeq == Seq(32.0, 0.0))
+  }
+
+  test("VectorDot interpreted eval agrees with codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = graft.functions.VectorDot(
+      Literal.create(Array(1.0f, 2.0f)), Literal.create(Array(3.0f, 4.0f)))
+    assert(e.eval(null) == 11.0)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val df = Seq((1L, Array(3.0f, 4.0f))).toDF("id", "emb")
+    val c = df.select(round(Similarity.cosine(col("emb"), col("emb")), 6))
+      .as[Double].collect()(0)
+    assert(c == 1.0)
+  }
+
+  test("bruteTopK ranks the most-similar vectors first") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),   // query
+      (1L, Array(2.0f, 0.0f)),   // cos 1.0
+      (2L, Array(1.0f, 1.0f)),   // cos ~0.707
+      (3L, Array(0.0f, 1.0f)),   // cos 0
+      (4L, Array(-1.0f, 0.0f))   // cos -1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteTopK(corpus, corpus.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(out.toSeq == Seq((1L, 1), (2L, 2), (3L, 3)))
+  }
+
+  test("lshTopK only returns same-bucket candidates, self excluded") {
+    val emb = graft.model.Tables.embeddings(spark, sf001)
+    val out = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 3)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    // bucket ids stay within [0, 2^4)
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 16))
+  }
+
+  test("nearDupPairs is symmetric-free (a<b) and respects the threshold") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.01f), 0),
+      (3L, Array(0.0f, 1.0f), 0), (4L, Array(1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.nearDupPairs(corpus, "vec_id", "embedding", "label", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L))) // 1⋈3 below threshold, 4 in other bucket
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Dedup tiers against a corpus with known structure: exact copies, a
+  * near-dup pair (one word changed), and unrelated documents. Every tier
+  * must find the planted structure and nothing else.
+  */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches the " +
+      "birds fly south for winter and the river runs cold past the old mill"
+  private val nearDup = base.replace("cold", "warm")
+  private val unrelated =
+    "completely different content about database engines columnar storage " +
+      "vectorized execution query optimizers and distributed shuffle joins"
+
+  private def corpus = Seq(
+    (0L, base), (1L, "  " + base.toUpperCase + "  "), // exact dup after normalize
+    (2L, nearDup), (3L, unrelated)
+  ).toDF("doc_id", "text")
+
+  test("exactGroups merges normalization-equal docs") {
+    val out = TextDedup.exactGroups(corpus, "doc_id", "text")
+      .orderBy("rep_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("ngramJaccardPairs finds the near-dup pair and the exact pair only") {
+    val pairs = TextDedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3,
+        threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("minhashLshPairs surfaces the same near-dup structure") {
+    val pairs = TextDedup.minhashLshPairs(corpus, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))          // identical → always collides
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never
+  }
+
+  test("identical docs have identical minhash band hashes") {
+    val bands = TextDedup.minhashBands(
+        TextDedup.docShingleHashes(corpus, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    (0 until 4).foreach { b =>
+      assert(bands((0L, b)) == bands((1L, b)))
+    }
+  }
+
+  test("simhash: exact dup at Hamming 0; unrelated far away") {
+    val fps = TextDedup.simhashFingerprints(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) == fps(1L))
+    assert(java.lang.Long.bitCount(fps(0L) ^ fps(3L)) > 3)
+    val pairs = TextDedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 3L)))
+  }
+}
