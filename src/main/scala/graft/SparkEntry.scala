@@ -60,6 +60,7 @@ object SparkEntry {
     "q38_ann_lsh_topk"     -> ((s, d) => ExtQueries.annLshTopK(s, d)),
     "q39_multimodal_meta"  -> ((s, d) => ExtQueries.multimodalMeta(s, d)),
     "q40_frame_sample"     -> ((s, d) => ExtQueries.frameSample(s, d)),
+    "q41_session_window"   -> ((s, d) => EventWindows.sessionWindowNative(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -510,5 +511,25 @@ object SparkEntry {
         |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx
         |FROM (SELECT doc_id, unnest(range(0, n_frames, 5)) AS frame_idx FROM m) z
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q41_session_window" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, event_id, ts, value,
+         |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+         |              THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT user_id, ts, value,
+         |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM flagged)
+         |SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+         |       CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+         |       user_id, COUNT(*) AS n_events,
+         |       ${moneySum("value")} AS sum_value
+         |FROM sess
+         |GROUP BY user_id, session_id
+         |ORDER BY user_id, session_start""".stripMargin,
   )
 }

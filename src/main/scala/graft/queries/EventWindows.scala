@@ -74,6 +74,22 @@ object EventWindows {
       .orderBy("user_id", "session_id")
   }
 
+  /** Native Spark `session_window` sessionization (the same operator the
+    * streaming surface uses — graft.streaming.EventStream.sessionWindows —
+    * here in batch mode, oracle-checked from first principles: Spark
+    * merges events with gap < gapDuration, so the oracle CTE splits on
+    * `diff >= gap`, and window end = last event + gap). */
+  def sessionWindowNative(spark: SparkSession, dir: String,
+                          gap: String = "30 minutes"): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+      .select(
+        ntz(col("session_window.start")).as("session_start"),
+        ntz(col("session_window.end")).as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
   /** Dynamic JSON props column → typed fields (`events.props` carries a
     * JSON object; the reference's analogue is the inferred-then-normalized
     * crawl schema, SURVEY.md §1.3). get_json_object is a codegen'd

@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+import graft.model.Parity
+
+/** Structured-Streaming surface over the `events` shape (SURVEY.md §2.9).
+  *
+  * The reference is daily batch (no streams), but its planned daily-delta
+  * design (`/root/reference/progress.md:91-148`) is exactly a streaming
+  * ingest: new events arrive, land in time buckets, dedup against
+  * already-seen keys, close sessions on inactivity. Each transform here is
+  * a pure `DataFrame => DataFrame` usable under BOTH `spark.read` and
+  * `spark.readStream` — batch backfill and live tail share one
+  * implementation (the EventWindows batch queries are the oracle-checked
+  * twins of these).
+  *
+  * Scale posture: all stateful ops key by high-cardinality columns
+  * (user_id, event keys), so state partitions across executors; watermarks
+  * bound state size (late rows beyond the delay are dropped instead of
+  * accumulating); sinks are append-mode parquet with checkpointing.
+  */
+object EventStream {
+
+  /** Event schema (matches the driver's events.parquet at every scale
+    * factor, with ts as a proper timestamp). Declared explicitly:
+    * streaming sources cannot infer schemas. */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming source: tail a directory of event parquet. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Tumbling window counts per event_type; watermark bounds state. */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour",
+                     watermarkDelay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Parity.moneySum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding window counts (width/slide buckets per event). */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+                    slide: String = "30 minutes",
+                    watermarkDelay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Parity.moneySum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Native gap-based session windows per user (Spark `session_window`
+    * merges events closer than `gap`; window end = last event + gap). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermarkDelay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        Parity.moneySum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"),
+        col("n_events"), col("sum_value"))
+
+  /** Late-data-aware dedup by event identity: duplicates arriving within
+    * the watermark horizon are dropped; state for keys older than the
+    * watermark is reclaimed. (The streaming form of U2 key dedup.) */
+  def dedupEvents(events: DataFrame,
+                  watermarkDelay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicates("user_id", "event_id")
+
+  // ---- custom state: explicit sessionization -----------------------------
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class OpenSession(start: Long, last: Long, n: Long, cents: Long)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_events: Long,
+                        sum_value: Double)
+
+  /** Sessionization with explicit state (`flatMapGroupsWithState`): the
+    * shape to reach for when session logic outgrows `session_window`
+    * (per-session caps, custom merge rules, emitted heartbeats...).
+    * State per user is one open session; closed sessions emit on the next
+    * event past the gap or on event-time timeout at the watermark.
+    * Money accumulates as integer cents (Parity idiom) so emitted sums are
+    * order-exact. */
+  def statefulSessions(events: Dataset[Ev], gapMs: Long,
+                       watermarkDelay: String = "2 hours"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[OpenSession]) =>
+          def toOut(s: OpenSession): SessionOut = SessionOut(
+            userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+            s.n, s.cents / 100.0)
+          if (rows.isEmpty && state.hasTimedOut) {
+            val out = state.getOption.map(toOut).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              val cents = math.round(e.value * 100)
+              open match {
+                case Some(s) if t - s.last <= gapMs =>
+                  open = Some(OpenSession(s.start, math.max(s.last, t), s.n + 1, s.cents + cents))
+                case Some(s) =>
+                  closed += toOut(s)
+                  open = Some(OpenSession(t, t, 1, cents))
+                case None =>
+                  open = Some(OpenSession(t, t, 1, cents))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Append-mode parquet sink with checkpointing — the durable landing
+    * pattern for a streaming ingest (exactly-once per file-sink contract). */
+  def writeParquet(df: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming transforms driven through MemoryStream micro-batches:
+  * windowed aggregation, late-data dedup, and explicit-state
+  * sessionization (closed-session emission on gap crossing).
+  */
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  case class EvRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double, props: String)
+
+  /** Hour-aligned offset away from epoch 0: a row at exactly the initial
+    * watermark (epoch 0) is dropped as late by stateful operators. */
+  private val baseMin = 1020L
+  private def at(min: Long) = new java.sql.Timestamp((baseMin + min) * 60000L)
+  private def mins(t: java.sql.Timestamp) = t.getTime / 60000L - baseMin
+  private def ev(id: Long, min: Long, user: Long = 1L, typ: String = "click",
+                 v: Double = 1.0) = EvRow(id, at(min), user, typ, v, "{}")
+
+  private def drain(q: StreamingQuery): Unit = {
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("tumblingCounts aggregates per hour bucket and type") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[EvRow]
+    val q = EventStream.tumblingCounts(in.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("tumb").outputMode("complete").start()
+    in.addData(ev(1, 5), ev(2, 20), ev(3, 65), ev(4, 10, typ = "view"))
+    drain(q)
+    val rows = spark.table("tumb")
+      .collect().map(r => (mins(r.getTimestamp(0)), r.getString(2),
+        r.getLong(3))).toSet
+    assert(rows == Set((0L, "click", 2L), (0L, "view", 1L), (60L, "click", 1L)))
+  }
+
+  test("dedupEvents drops duplicate (user_id, event_id) arrivals") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[EvRow]
+    val q = EventStream.dedupEvents(in.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    in.addData(ev(1, 0), ev(1, 0), ev(2, 1))
+    q.processAllAvailable()
+    in.addData(ev(1, 2), ev(3, 3)) // event 1 re-arrives late → dropped
+    drain(q)
+    assert(spark.table("dedup").select("event_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
+  test("statefulSessions closes a session when the gap is exceeded") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[EventStream.Ev]
+    val q = EventStream.statefulSessions(in.toDS(), gapMs = 30 * 60000L,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    in.addData(EventStream.Ev(1L, at(0), 10.0), EventStream.Ev(1L, at(5), 2.5))
+    q.processAllAvailable()
+    // 100 min later: past the 30-min gap → first session must close
+    in.addData(EventStream.Ev(1L, at(100), 1.0))
+    q.processAllAvailable()
+    in.addData(EventStream.Ev(2L, at(300), 1.0)) // advance watermark further
+    drain(q)
+    val sessions = spark.table("sess")
+      .collect().map(r => (r.getLong(0), mins(r.getTimestamp(1)),
+        mins(r.getTimestamp(2)), r.getLong(3), r.getDouble(4)))
+    assert(sessions.contains((1L, 0L, 5L, 2L, 12.5)))
+  }
+
+  test("sessionWindows (native) emits finalized sessions past the watermark") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[EvRow]
+    val q = EventStream.sessionWindows(in.toDF(), "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("swin").outputMode("append").start()
+    in.addData(ev(1, 0), ev(2, 5))
+    q.processAllAvailable()
+    in.addData(ev(3, 200)) // watermark → 190 min, far past session end 35 min
+    q.processAllAvailable()
+    in.addData(ev(4, 400))
+    drain(q)
+    val rows = spark.table("swin")
+      .collect().map(r => (r.getLong(2), mins(r.getTimestamp(0)),
+        mins(r.getTimestamp(1)), r.getLong(3)))
+    assert(rows.contains((1L, 0L, 35L, 2L)))
+  }
+}
