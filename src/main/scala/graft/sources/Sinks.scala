@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write-side operators (SURVEY.md §2.1 SNK1/SNK2/SNK6, §4.1): the
+  * storage layout that stands in for the reference's ClickHouse DDL.
+  *
+  * The reference declares `PARTITION BY toYYYYMM(trade_date)` and
+  * `ORDER BY (symbol, trade_date)` with a skip index
+  * (`/root/reference/src/clickhouse/price_client.py:78-96`). The Spark
+  * equivalent at 100 TB:
+  *  - month-directory partitioning → Catalyst partition pruning on any
+  *    `part_month` predicate (and on date predicates via the derived
+  *    column written alongside);
+  *  - sort-within-partitions on the key columns → tight parquet row-group
+  *    min/max stats, so key predicates skip row groups on read (the skip
+  *    index approximation);
+  *  - batch sizing is partition sizing (`repartition` by month) — the
+  *    engine-native form of the reference's 10k-row insert batches
+  *    (`price_client.py:116-172`).
+  */
+object Sinks {
+
+  /** Derived month column name used for partition directories. */
+  val MonthCol = "part_month"
+
+  /** SNK1 — timestamped parquet backup
+    * (`krx_delisted_crawler.py:359-369`): `<dir>/<prefix>_<stamp>.parquet`.
+    * The stamp is injected so jobs are reproducible/testable. */
+  def backupParquet(df: DataFrame, baseDir: String, prefix: String,
+                    stamp: String): String = {
+    val path = s"$baseDir/${prefix}_$stamp.parquet"
+    df.write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** Fact-table write with ClickHouse-equivalent layout: monthly partition
+    * directories + key-sorted row groups. One shuffle (by month) sizes
+    * output files; the sort is partition-local (no global sort). */
+  def writeMonthlyPartitioned(df: DataFrame, dateCol: String,
+                              sortKeys: Seq[String], path: String): Unit =
+    df.withColumn(MonthCol, date_format(col(dateCol), "yyyyMM"))
+      .repartition(col(MonthCol))
+      .sortWithinPartitions(sortKeys.map(col): _*)
+      .write.partitionBy(MonthCol).mode("overwrite").parquet(path)
+
+  /** Read the partitioned fact back; month predicates prune directories,
+    * key predicates skip row groups via the write-time sort. */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,38 @@
+package graft
+
+import graft.queries.Analytics
+
+/** Physical-plan shape guards: the properties that make these queries
+  * scale (predicate pushdown, column pruning, broadcast joins, top-k
+  * without a global sort) are asserted so regressions fail fast, not at
+  * the benchmark.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("point lookup pushes the key equality into the parquet scan") {
+    val p = plan(Analytics.pointLookupLatest(spark, sf001))
+    assert(p.contains("EqualTo(o_custkey,42)"), s"missing pushed filter:\n$p")
+  }
+
+  test("top performers: broadcast dim join + top-k without global sort") {
+    val p = plan(Analytics.topPerformers(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("market summary prunes the lineitem scan to the needed columns") {
+    val p = plan(Analytics.marketSummary(spark, sf001))
+    assert(p.contains("l_extendedprice") && !p.contains("l_comment"),
+      s"scan not pruned:\n$p")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("backtest universe plans the semi-join side without full materialization") {
+    val p = plan(Analytics.backtestUniverse(spark, sf001))
+    assert(p.contains("LeftSemi"), s"semi join missing:\n$p")
+  }
+}

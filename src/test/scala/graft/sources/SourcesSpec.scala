@@ -1,0 +1,66 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SRC3 HTML-fixture golden parsing (the reference's own test pattern:
+  * inline HTML → expected rows) and the partitioned sink round trip with
+  * partition-pruning evidence.
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val html =
+    """<html><body>
+      |<table><tr><td>tiny</td></tr></table>
+      |<table>
+      |  <tr><th> Company </th><th>Code</th><th>Date</th></tr>
+      |  <tr><td>Samsung&nbsp;Electronics</td><td>005930</td><td>2020-01-01</td></tr>
+      |  <tr><td><b>Kakao</b></td><td>035720</td><td>2020-02-02</td><td>EXTRA</td></tr>
+      |  <tr><td>ShortRow</td><td>123456</td></tr>
+      |</table>
+      |</body></html>""".stripMargin
+
+  test("discoverHeader reads the largest table's first row") {
+    assert(HtmlTableSource.discoverHeader(html) == Seq("Company", "Code", "Date"))
+  }
+
+  test("parse picks the largest table, strips tags/entities, pads and truncates") {
+    val df = HtmlTableSource.parse(spark, Seq(html).toDS(),
+      Seq("company", "code", "date"))
+    val rows = df.orderBy("code").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      ("Samsung Electronics", "005930", "2020-01-01"),
+      ("Kakao", "035720", "2020-02-02"),   // EXTRA truncated
+      ("ShortRow", "123456", "")))         // padded
+  }
+
+  test("parse of a document with no table yields no rows") {
+    assert(HtmlTableSource.parse(spark, Seq("<p>nope</p>").toDS(),
+      Seq("a")).count() == 0)
+  }
+
+  test("monthly-partitioned sink round-trips and prunes partitions on read") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val orders = graft.model.Tables.orders(spark, sf001)
+    Sinks.writeMonthlyPartitioned(orders, "o_orderdate",
+      Seq("o_custkey", "o_orderdate"), s"$base/orders")
+    val back = Sinks.readPartitioned(spark, s"$base/orders")
+    assert(back.count() == orders.count())
+    val pruned = back.filter(col(Sinks.MonthCol) === "199801")
+    val expected = orders.filter(date_format(col("o_orderdate"), "yyyyMM") === "199801")
+    assert(pruned.count() == expected.count() && pruned.count() > 0)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("part_month"), s"no partition pruning in:\n$plan")
+  }
+
+  test("timestamped backup writes to a stamped path") {
+    val base = java.nio.file.Files.createTempDirectory("graft_bk").toString
+    val path = Sinks.backupParquet(Seq((1, "x")).toDF("k", "v"), base,
+      "delisted", "20260812_120000")
+    assert(path.endsWith("delisted_20260812_120000.parquet"))
+    assert(spark.read.parquet(path).count() == 1)
+  }
+}
