@@ -61,6 +61,7 @@ object SparkEntry {
     "q39_multimodal_meta"  -> ((s, d) => ExtQueries.multimodalMeta(s, d)),
     "q40_frame_sample"     -> ((s, d) => ExtQueries.frameSample(s, d)),
     "q41_session_window"   -> ((s, d) => EventWindows.sessionWindowNative(s, d)),
+    "q42_key_in_range"     -> ((s, d) => Analytics.keyInRange(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -531,5 +532,13 @@ object SparkEntry {
          |FROM sess
          |GROUP BY user_id, session_id
          |ORDER BY user_id, session_start""".stripMargin,
+    "q42_key_in_range" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice
+        |FROM orders
+        |WHERE o_custkey IN (1, 7, 42, 99, 123)
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |  AND o_totalprice > 0
+        |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
   )
 }

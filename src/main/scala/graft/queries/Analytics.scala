@@ -226,6 +226,34 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
       .orderBy("c_mktsegment")
 
+  /** `get_stock_data` (P5, `client.py:73-102`): key IN-list + date range +
+    * positive-value filter, deterministic order. All three predicates push
+    * to the parquet scan (the IN-list becomes an `In` filter). */
+  def keyInRange(spark: SparkSession, dir: String,
+                 keys: Seq[Long] = Seq(1L, 7L, 42L, 99L, 123L)): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey").isin(keys: _*) &&
+        col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1997-01-01") &&
+        col("o_totalprice") > 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("order_date"), col("o_totalprice"))
+      .orderBy("o_custkey", "order_date", "o_orderkey")
+
+  /** A4 at 100 TB: HLL approximate distinct counts — same single-shuffle
+    * plan shape as [[distinctCounts]] without the exact-distinct
+    * expansion. Not oracle-comparable (sketch values are engine-specific);
+    * accuracy is unit-tested against the exact counts. */
+  def distinctCountsApprox(spark: SparkSession, dir: String,
+                           rsd: Double = 0.05): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_suppkey"), rsd).as("n_suppliers"),
+        approx_count_distinct(col("l_partkey"), rsd).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
   /** Global scalar stats (A8, `price_client.py:174-183`, `:290-303`). */
   def globalStats(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

@@ -49,4 +49,17 @@ object Sinks {
     * key predicates skip row groups via the write-time sort. */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** SNK6 DDL + co-located layout: catalog table bucketed and sorted by
+    * the join keys. Two tables bucketed the same way join with ZERO
+    * shuffle exchange — the big-fact⋈big-fact answer when broadcast is
+    * off the table (at 100 TB, pre-bucketing the fact pays for itself on
+    * the first repeated join). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    keys: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

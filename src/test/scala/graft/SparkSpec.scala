@@ -15,10 +15,14 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // Keep catalog artifacts (derby metastore, warehouse) out of the repo.
+    val scratch = java.nio.file.Files.createTempDirectory("graft_spark").toString
+    System.setProperty("derby.system.home", scratch)
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
