@@ -62,6 +62,8 @@ object SparkEntry {
     "q40_frame_sample"     -> ((s, d) => ExtQueries.frameSample(s, d)),
     "q41_session_window"   -> ((s, d) => EventWindows.sessionWindowNative(s, d)),
     "q42_key_in_range"     -> ((s, d) => Analytics.keyInRange(s, d)),
+    "q43_running_total"    -> ((s, d) => Analytics.runningTotal(s, d)),
+    "q44_monthly_rollup"   -> ((s, d) => Analytics.monthlyRollup(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -540,5 +542,20 @@ object SparkEntry {
         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
         |  AND o_totalprice > 0
         |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
+    "q43_running_total" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice,
+        |       CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT))
+        |              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0
+        |         AS cum_total
+        |FROM orders
+        |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
+    "q44_monthly_rollup" ->
+      s"""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |       COUNT(*) AS n_orders,
+         |       ${moneySum("o_totalprice")} AS total_amount
+         |FROM orders
+         |GROUP BY 1
+         |ORDER BY month""".stripMargin,
   )
 }

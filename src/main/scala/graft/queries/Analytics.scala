@@ -254,6 +254,31 @@ object Analytics {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Running turnover per key (W2-family: cumulative frame
+    * `ROWS UNBOUNDED PRECEDING..CURRENT`). Exact under any partition
+    * order: the frame accumulates integer cents. */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        col("o_totalprice"),
+        (sum(round(col("o_totalprice") * 100, 0).cast("long")).over(w)
+          .cast("double") / 100.0).as("cum_total"))
+      .orderBy("o_custkey", "order_date", "o_orderkey")
+  }
+
+  /** Monthly rollup (§4.1 partition granularity as a query: the
+    * `toYYYYMM` bucket the reference partitions storage by). */
+  def monthlyRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total_amount"))
+      .orderBy("month")
+
   /** Global scalar stats (A8, `price_client.py:174-183`, `:290-303`). */
   def globalStats(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
