@@ -64,6 +64,7 @@ object SparkEntry {
     "q42_key_in_range"     -> ((s, d) => Analytics.keyInRange(s, d)),
     "q43_running_total"    -> ((s, d) => Analytics.runningTotal(s, d)),
     "q44_monthly_rollup"   -> ((s, d) => Analytics.monthlyRollup(s, d)),
+    "q45_data_quality"     -> ((s, d) => Analytics.dataQuality(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -557,5 +558,15 @@ object SparkEntry {
          |FROM orders
          |GROUP BY 1
          |ORDER BY month""".stripMargin,
+    "q45_data_quality" ->
+      """SELECT c_mktsegment,
+        |       COUNT(*) AS n_total,
+        |       CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_acctbal,
+        |       CAST(SUM(CASE WHEN c_acctbal <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpositive,
+        |       CAST(SUM(CASE WHEN length(trim(c_name)) = 0 OR c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_blank_name,
+        |       ROUND(CAST(SUM(CASE WHEN c_acctbal <= 0 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*), 4) AS nonpositive_share
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
   )
 }

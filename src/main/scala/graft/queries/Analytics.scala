@@ -279,6 +279,23 @@ object Analytics {
         moneySum(col("o_totalprice")).as("total_amount"))
       .orderBy("month")
 
+  /** Data-quality report — the capability the reference *intended* but
+    * stubbed (SURVEY §1.4: `check_stock_data.py` calls
+    * `get_stocks_missing_listing_date` etc. on methods that don't exist):
+    * per-group null/invalid field counts and shares. */
+  def dataQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("c_acctbal").isNull, 1).otherwise(0)).as("n_null_acctbal"),
+        sum(when(col("c_acctbal") <= 0, 1).otherwise(0)).as("n_nonpositive"),
+        sum(when(length(trim(col("c_name"))) === 0 || col("c_name").isNull, 1)
+          .otherwise(0)).as("n_blank_name"),
+        r4(sum(when(col("c_acctbal") <= 0, 1).otherwise(0)).cast("double") /
+          count(lit(1))).as("nonpositive_share"))
+      .orderBy("c_mktsegment")
+
   /** Global scalar stats (A8, `price_client.py:174-183`, `:290-303`). */
   def globalStats(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
