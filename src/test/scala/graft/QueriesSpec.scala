@@ -37,6 +37,17 @@ class QueriesSpec extends SparkSpec {
       byWindow.count())
   }
 
+  test("money aggregation is bit-identical under different partitionings") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val a = graft.queries.Analytics.marketSummary(spark, sf001).collect().toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "17")
+      val b = graft.queries.Analytics.marketSummary(spark, sf001).collect().toSeq
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("compaction is idempotent") {
     val ev = graft.model.Tables.events(spark, sf001)
     val once = graft.ingest.Ingest.compactReplacing(ev,

@@ -26,6 +26,16 @@ class SimilaritySpec extends SparkSpec {
     assert(e.eval(null) == 11.0)
   }
 
+  test("VectorDot: null input yields null; length mismatch uses the shorter") {
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), None: Option[Array[Float]]),
+      (Some(Array(1.0f, 2.0f, 9.0f)), Some(Array(3.0f, 4.0f)))
+    ).toDF("a", "b")
+    val out = df.select(VectorOps.vecDot(col("a"), col("b"))).collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getDouble(0) == 11.0)
+  }
+
   test("cosine of a vector with itself is 1") {
     val df = Seq((1L, Array(3.0f, 4.0f))).toDF("id", "emb")
     val c = df.select(round(Similarity.cosine(col("emb"), col("emb")), 6))
