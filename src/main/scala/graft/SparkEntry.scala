@@ -65,6 +65,7 @@ object SparkEntry {
     "q43_running_total"    -> ((s, d) => Analytics.runningTotal(s, d)),
     "q44_monthly_rollup"   -> ((s, d) => Analytics.monthlyRollup(s, d)),
     "q45_data_quality"     -> ((s, d) => Analytics.dataQuality(s, d)),
+    "q46_asof_join"        -> ((s, d) => Analytics.asofLargeOrder(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -568,5 +569,19 @@ object SparkEntry {
         |FROM customer
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "q46_asof_join" ->
+      """WITH refs AS (
+        |  SELECT o_custkey, o_orderdate AS ref_ts, o_orderkey AS ref_orderkey,
+        |         o_totalprice AS ref_price
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                                     ORDER BY o_orderkey DESC) AS rn
+        |        FROM orders WHERE o_totalprice > 200000)
+        |  WHERE rn = 1)
+        |SELECT l.o_custkey, l.o_orderkey, CAST(l.o_orderdate AS DATE) AS order_date,
+        |       l.o_totalprice, r.ref_orderkey, r.ref_price
+        |FROM orders l
+        |ASOF LEFT JOIN refs r
+        |  ON l.o_custkey = r.o_custkey AND l.o_orderdate >= r.ref_ts
+        |ORDER BY l.o_custkey, order_date, l.o_orderkey""".stripMargin,
   )
 }

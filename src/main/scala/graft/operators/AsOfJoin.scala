@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join — for each left row, the latest right row with the same key
+  * and `rightTs <= leftTs` (the canonical market-data lookup: price
+  * as-of a timestamp). The reference delegates all temporal logic to
+  * lag windows, but a reference user porting quote/trade alignment needs
+  * this operator; Spark has no native form.
+  *
+  * Implementation composes existing operators (preferred over a custom
+  * SparkPlan — SURVEY §7.2): tag and union both sides, one window per
+  * key ordered by (ts, side, tiebreak) with an ignore-nulls `last` over
+  * the unbounded-preceding frame, keep the left rows. Right rows at the
+  * same timestamp sort before left rows, so `<=` semantics hold.
+  *
+  * Scale: ONE shuffle on the key (the window partition) regardless of
+  * either side's size — no range-join explosion, no per-row probes.
+  * State per key is the sort, bounded by per-key row counts. Ties on
+  * (key, rightTs) must be pre-deduplicated by the caller for determinism
+  * (`Ingest.compactReplacing`).
+  */
+object AsOfJoin {
+
+  /** `left` gains `valueCols` from the as-of matched `right` row (null
+    * when no right row is at-or-before). Both inputs must share `key`;
+    * `valueCols` must exist on `right` and not collide with `left`
+    * columns (pre-rename on the right side); `tieBreak` must totally
+    * order left rows within (key, ts). */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+           leftTs: String, rightTs: String, valueCols: Seq[String],
+           tieBreak: Seq[Column]): DataFrame = {
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumns(valueCols.map(c => s"__v_$c" -> lit(null)).toMap)
+    val r = right.select(
+      (col(key) +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
+        valueCols.map(c => col(c).as(s"__v_$c"))): _*)
+    val w = Window.partitionBy(key)
+      .orderBy(col("__ts").asc +: col("__side").asc +: tieBreak: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = valueCols.foldLeft(l.unionByName(r, allowMissingColumns = true)) {
+      (df, c) => df.withColumn(s"__m_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
+    }
+    val out = matched.filter(col("__side") === 1)
+    valueCols.foldLeft(out)((df, c) => df.withColumn(c, col(s"__m_$c")))
+      .drop(("__ts" +: "__side" +: valueCols.flatMap(c => Seq(s"__v_$c", s"__m_$c"))): _*)
+  }
+}

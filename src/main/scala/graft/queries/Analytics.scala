@@ -296,6 +296,26 @@ object Analytics {
           count(lit(1))).as("nonpositive_share"))
       .orderBy("c_mktsegment")
 
+  /** As-of join (graft.operators.AsOfJoin): every order annotated with
+    * the customer's most recent at-or-before large order (> 200k) — the
+    * quote/trade-alignment shape. Oracle uses DuckDB's native ASOF JOIN;
+    * our composition must agree exactly. */
+  def asofLargeOrder(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val refs = graft.ingest.Ingest.compactReplacing(
+        orders.filter(col("o_totalprice") > 200000),
+        Seq("o_custkey", "o_orderdate"), col("o_orderkey"), Nil)
+      .select(col("o_custkey"), col("o_orderdate").as("ref_ts"),
+        col("o_orderkey").as("ref_orderkey"), col("o_totalprice").as("ref_price"))
+    graft.operators.AsOfJoin.asOf(orders, refs, "o_custkey",
+        "o_orderdate", "ref_ts", Seq("ref_orderkey", "ref_price"),
+        Seq(col("o_orderkey")))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"), col("o_totalprice"),
+        col("ref_orderkey"), col("ref_price"))
+      .orderBy("o_custkey", "order_date", "o_orderkey")
+  }
+
   /** Global scalar stats (A8, `price_client.py:174-183`, `:290-303`). */
   def globalStats(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

@@ -1,0 +1,31 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** As-of join semantics on hand-built series: at-or-before matching,
+  * same-timestamp inclusion, no-match nulls, key isolation.
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOf picks the latest right row at-or-before each left ts") {
+    val trades = Seq(
+      ("A", 1, "t1"), ("A", 5, "t2"), ("A", 10, "t3"), ("B", 3, "t4")
+    ).toDF("k", "ts", "trade")
+    val quotes = Seq(
+      ("A", 1, 100.0), ("A", 4, 104.0), ("A", 10, 110.0), ("B", 9, 900.0)
+    ).toDF("k", "ts", "px")
+      .select(col("k"), col("ts").as("qts"), col("px").as("quote_px"))
+    val out = AsOfJoin.asOf(trades, quotes, "k", "ts", "qts",
+        Seq("quote_px"), Seq(col("trade")))
+      .orderBy("k", "ts")
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out.toSeq == Seq(
+      ("A", 1, Some(100.0)),   // same-ts quote matches (<=)
+      ("A", 5, Some(104.0)),   // latest at-or-before
+      ("A", 10, Some(110.0)),
+      ("B", 3, None)))         // B's only quote is later → null
+  }
+}
