@@ -66,6 +66,7 @@ object SparkEntry {
     "q44_monthly_rollup"   -> ((s, d) => Analytics.monthlyRollup(s, d)),
     "q45_data_quality"     -> ((s, d) => Analytics.dataQuality(s, d)),
     "q46_asof_join"        -> ((s, d) => Analytics.asofLargeOrder(s, d)),
+    "q47_dedup_clusters"   -> ((s, d) => ExtQueries.dedupClusters(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -583,5 +584,28 @@ object SparkEntry {
         |ASOF LEFT JOIN refs r
         |  ON l.o_custkey = r.o_custkey AND l.o_orderdate >= r.ref_ts
         |ORDER BY l.o_custkey, order_date, l.o_orderkey""".stripMargin,
+    "q47_dedup_clusters" ->
+      s"""WITH RECURSIVE $nCte,
+         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+         |sh AS (SELECT DISTINCT doc_id, toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2] AS sh
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS g FROM tk) z),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |iv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b
+         |          FROM iv JOIN sz za ON za.doc_id = iv.doc_a JOIN sz zb ON zb.doc_id = iv.doc_b
+         |          WHERE CAST(n_inter AS DOUBLE)/(za.n+zb.n-n_inter) >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |reach(node, label) AS (
+         |  SELECT src AS node, src AS label FROM edges
+         |  UNION
+         |  SELECT e.dst AS node, r.label AS label FROM reach r JOIN edges e ON e.src = r.node)
+         |SELECT node AS doc_id, MIN(label) AS cluster_id,
+         |       CAST(CASE WHEN node = MIN(label) THEN 1 ELSE 0 END AS INT) AS is_rep
+         |FROM reach
+         |GROUP BY node
+         |ORDER BY doc_id""".stripMargin,
   )
 }

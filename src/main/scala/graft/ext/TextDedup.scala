@@ -164,6 +164,18 @@ object TextDedup {
     finishJaccard(inter, sizes, threshold)
   }
 
+  /** Near-dup CLUSTERS: word-n-gram Jaccard pairs grouped into connected
+    * components; cluster id = min doc_id, which doubles as the kept
+    * representative. The pairs → groups step every corpus dedup ends
+    * with. */
+  def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, threshold: Double = 0.8): DataFrame =
+    graft.operators.ConnectedComponents.labelPropagation(
+        ngramJaccardPairs(docs, idCol, textCol, n, threshold),
+        "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        when(col("node") === col("label"), 1).otherwise(0).as("is_rep"))
+
   /** 32-bit SimHash fingerprints over word-BIGRAM features: per-feature
     * hash, ±1 vote per bit position, sign → bit. Bigrams (not unigrams)
     * carry enough entropy that unrelated docs land ~16 bits apart even on

@@ -48,6 +48,11 @@ object ExtQueries {
         k = 8, threshold = 0.8)
       .orderBy("doc_a", "doc_b")
 
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.dedupClusters(Tables.documents(spark, dir), "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .orderBy("doc_id")
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     TextDedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
         maxHamming = 3)

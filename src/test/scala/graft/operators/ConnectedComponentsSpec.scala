@@ -1,0 +1,28 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Min-label propagation: chained pairs collapse into one component,
+  * disjoint pairs stay separate. */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("labelPropagation groups transitively connected nodes") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val out = ConnectedComponents.labelPropagation(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("dedupClusters marks the min doc as representative") {
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (20L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (30L, "entirely unrelated text about catalyst plans and shuffle exchanges here")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextDedup.dedupClusters(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set((10L, 10L, 1), (20L, 10L, 0)))
+  }
+}
