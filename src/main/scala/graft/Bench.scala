@@ -6,8 +6,24 @@ import org.apache.spark.sql.SparkSession
   * agg per table) is run untimed first so the first timed query doesn't
   * absorb JVM/codegen/scan cold-start; queries run in sorted name order so
   * per-round numbers are comparable.
+  *
+  * The JSON line goes to stdout AND to `bench_out.json` in the working
+  * directory, because sbt interleaves `[info]`/log noise on stdout and the
+  * line must stay machine-parseable. A query that throws is reported in an
+  * `errors` map (name -> message) instead of being silently timed.
   */
 object Bench {
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,19 +36,42 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup: `events` needs its dedicated loader (TIMESTAMP(NANOS) parquet
+    // is rejected by the vectorized reader; Tables.events reads nanos-as-long).
     graft.model.Tables.names.foreach { t =>
-      try graft.model.Tables.load(spark, sfDir, t).count()
-      catch { case _: Throwable => () }
+      try {
+        val df =
+          if (t == "events") graft.model.Tables.events(spark, sfDir)
+          else graft.model.Tables.load(spark, sfDir, t)
+        df.count()
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warmup failed for $t: ${e.getMessage}")
+      }
     }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // File first (clean, no sbt log prefixes), then stdout as the last line.
+    try {
+      val w = new java.io.PrintWriter("bench_out.json")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
+    println(line)
   }
 }

@@ -329,8 +329,8 @@ object SparkEntry {
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          |sess AS (
          |  SELECT user_id, ts, value,
-         |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          |  FROM flagged)
          |SELECT user_id, session_id,
          |       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
@@ -342,7 +342,7 @@ object SparkEntry {
          |ORDER BY user_id, session_id""".stripMargin,
     "q27_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        |       SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |       MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events
@@ -378,10 +378,10 @@ object SparkEntry {
       s"""WITH $nCte,
          |$tokCte,
          |sc AS (SELECT doc_id,
-         |        SUM(CASE WHEN w IN ('the','a','of','and') THEN 1 ELSE 0 END) AS s_en,
-         |        SUM(CASE WHEN w IN ('der','und','die','ist') THEN 1 ELSE 0 END) AS s_de,
-         |        SUM(CASE WHEN w IN ('le','et','les','une') THEN 1 ELSE 0 END) AS s_fr,
-         |        SUM(CASE WHEN w IN ('el','y','los','las') THEN 1 ELSE 0 END) AS s_es
+         |        CAST(SUM(CASE WHEN w IN ('the','a','of','and') THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+         |        CAST(SUM(CASE WHEN w IN ('der','und','die','ist') THEN 1 ELSE 0 END) AS BIGINT) AS s_de,
+         |        CAST(SUM(CASE WHEN w IN ('le','et','les','une') THEN 1 ELSE 0 END) AS BIGINT) AS s_fr,
+         |        CAST(SUM(CASE WHEN w IN ('el','y','los','las') THEN 1 ELSE 0 END) AS BIGINT) AS s_es
          |       FROM tok GROUP BY doc_id)
          |SELECT doc_id, s_en, s_de, s_fr, s_es,
          |  CASE WHEN s_en+s_de+s_fr+s_es = 0 THEN 'und'

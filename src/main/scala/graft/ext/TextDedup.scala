@@ -48,14 +48,23 @@ object TextDedup {
       (12, 3, 0, 1000183L, 24680L, 1L), (13, 3, 1, 1000187L, 97531L, 31L),
       (14, 3, 2, 1000193L, 86420L, 961L), (15, 3, 3, 1000199L, 55555L, 29791L))
 
-  /** Exact dedup: group documents by normalized text, keep the minimum id
-    * as the canonical representative. One shuffle on the (hashable) text;
-    * at 100 TB, group on `xxhash64(norm)` instead to shrink shuffle keys —
-    * same plan shape. */
-  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    fanOut(docs).groupBy(normText(col(textCol)).as("norm"))
-      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
-      .select(col("rep_id"), col("n_copies"), length(col("norm")).as("n_chars_norm"))
+  /** Exact dedup: group documents by `xxhash64` of the normalized text,
+    * keep the minimum id as the canonical representative. The shuffle
+    * carries an 8-byte key + 12 bytes of aggregation state instead of the
+    * whole document — the difference between shuffling ~20 B/doc and
+    * shuffling the corpus at 100 TB. A 64-bit collision merging two
+    * distinct documents needs ~2³² docs for even-odds (birthday bound);
+    * the normalized length rides along as aggregation state, not as a
+    * group key. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = normText(col(textCol))
+    fanOut(docs)
+      .select(col(idCol).as("id"), xxhash64(norm).as("h"), length(norm).as("len"))
+      .groupBy("h")
+      .agg(min(col("id")).as("rep_id"), count(lit(1)).as("n_copies"),
+        min(col("len")).as("n_chars_norm"))
+      .select(col("rep_id"), col("n_copies"), col("n_chars_norm"))
+  }
 
   /** Distinct (doc, char-k-gram shingle HASH) pairs — the inverted-index
     * input shared by MinHash and its Jaccard verification. Shingles are
@@ -77,14 +86,42 @@ object TextDedup {
         explode(wordShingles(tokens(normText(col(textCol))), n)).as("sh"))
       .distinct()
 
+  /** Default document-frequency cap for the exact inverted-index tier: a
+    * shingle present in more documents than this is dropped from the
+    * shingle space on BOTH sides of the comparison (sizes and
+    * intersections). Without a cap the self-join cost is Σ_shingle n_s² —
+    * one hot shingle (a boilerplate phrase) creates a quadratic posting
+    * join that no amount of cluster buys back at 100 TB. Hot shingles
+    * also carry no dedup signal (they match everything), so df-capping is
+    * standard corpus-dedup practice. The oracle SQL mirrors the cap. */
+  val DefaultMaxDf = 64
+
+  /** Drop shingles whose document frequency exceeds `maxDf`. The hot set
+    * is tiny by definition (only shingles with > maxDf postings), so it
+    * broadcasts and the cap costs one partial-aggregated pass + a
+    * broadcast anti-join at the scan — no extra shuffle of the index. */
+  private def dfCapped(shingles: DataFrame, shCol: String, maxDf: Int): DataFrame = {
+    val hot = shingles.groupBy(shCol).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(shCol)
+    shingles.join(broadcast(hot), Seq(shCol), "left_anti")
+  }
+
   /** Pairwise Jaccard ≥ threshold over a (doc_id, sh) shingle relation:
-    * inverted-index self-join on the shingle, intersection counts, set
-    * sizes, `|A∩B| / (|A|+|B|-|A∩B|)`. Emits (doc_a < doc_b, jaccard). */
-  def jaccardPairs(shingles: DataFrame, shCol: String, threshold: Double): DataFrame = {
-    // The shingle index feeds three plan branches (sizes + both join
-    // sides); stage it once instead of re-exploding the corpus per branch
-    // (at warehouse scale this materialization is a staging table).
-    val sh = shingles.persist()
+    * df-cap the shingle space, inverted-index self-join on the shingle,
+    * intersection counts, set sizes, `|A∩B| / (|A|+|B|-|A∩B|)`. Emits
+    * (doc_a < doc_b, jaccard). Jaccard is computed over the CAPPED
+    * shingle space (sizes and intersections both exclude hot shingles),
+    * so the definition stays internally consistent. */
+  def jaccardPairs(shingles: DataFrame, shCol: String, threshold: Double,
+                   maxDf: Int = DefaultMaxDf): DataFrame = {
+    // The raw index feeds the hot-shingle aggregation and the capped
+    // index; the capped index feeds three plan branches (sizes + both
+    // join sides). Stage both once instead of re-exploding the corpus
+    // per branch (at warehouse scale this materialization is a staging
+    // table).
+    val raw = shingles.persist()
+    val sh = dfCapped(raw, shCol, maxDf).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col(shCol))
     val b = sh.select(col("doc_id").as("doc_b"), col(shCol))
@@ -110,11 +147,13 @@ object TextDedup {
   }
 
   /** Word-n-gram Jaccard near-dup pairs (direct inverted-index join — the
-    * exact tier; word n-gram spaces are high-cardinality so per-shingle
-    * postings stay short). */
+    * exact tier, df-capped so no posting list exceeds `maxDf`; word
+    * n-gram spaces are high-cardinality so the cap rarely bites, but it
+    * bounds the worst case at any scale). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.8): DataFrame =
-    jaccardPairs(docWordShingles(docs, idCol, textCol, n), "sh", threshold)
+                        n: Int = 3, threshold: Double = 0.8,
+                        maxDf: Int = DefaultMaxDf): DataFrame =
+    jaccardPairs(docWordShingles(docs, idCol, textCol, n), "sh", threshold, maxDf)
 
   /** MinHash band hashes: (doc_id, band, band_hash), one row per doc per
     * band. The full 16-hash signature is computed in a single doc-keyed

@@ -34,6 +34,14 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame):
         return False, f"row count differs: spark={len(a)} oracle={len(b)}"
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Dtype-strict: the driver's hash gate is dtype-sensitive (e.g. DuckDB
+        # HUGEINT sums land as float64/object vs Spark's int64). Treat signed/
+        # unsigned ints as one family; everything else must match in kind.
+        ak = "i" if av.dtype.kind in "iu" else av.dtype.kind
+        bk = "i" if bv.dtype.kind in "iu" else bv.dtype.kind
+        if ak != bk:
+            return False, (f"col {c} dtype kind differs: spark={av.dtype} "
+                           f"oracle={bv.dtype} (driver hash would fail)")
         try:
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 ok = np.allclose(av.astype(float), bv.astype(float),
