@@ -103,9 +103,39 @@ object SparkEntry {
   private val permValues = graft.ext.TextDedup.Perms
     .map { case (j, band, slot, a, b, w) => s"($j,$band,$slot,$a,$b,$w)" }
     .mkString(",")
+  /** Shared CTE chain for the MinHash+LSH tier — q34 (pairs) and q47
+    * (cluster edges) both consume it: char-8-gram shingle hashes →
+    * one-aggregation 16-min signature → band hashes → band-collision
+    * candidates → exact-Jaccard sizes (`sz`) and intersections (`iv`).
+    * Mirrors TextDedup.minhashLshPairs. */
+  private def minhashCtes =
+    s"""$char8HashCte,
+       |perm AS (SELECT * FROM (VALUES $permValues) AS p(j, band, slot, a, b, w)),
+       |sig AS (SELECT doc_id, j, band, w,
+       |               MIN((hv*a + b) % ${graft.ext.TextOps.HashP}) AS mh
+       |        FROM h CROSS JOIN perm GROUP BY doc_id, j, band, w),
+       |bh AS (SELECT doc_id, band, CAST(SUM(mh*w) AS BIGINT) AS band_hash
+       |       FROM sig GROUP BY doc_id, band),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bh x JOIN bh y
+       |           ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id),
+       |iv AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+       |       FROM cand c
+       |       JOIN h sa ON sa.doc_id = c.doc_a
+       |       JOIN h sb ON sb.doc_id = c.doc_b AND sb.hv = sa.hv
+       |       GROUP BY 1, 2)""".stripMargin
   /** Similarity.planes(4, 64) as DuckDB DOUBLE[] literals. */
   private def planeLit(m: Int): String =
     graft.ext.Similarity.planes(4, 64)(m).map(x => s"$x.0").mkString("[", ",", "]")
+  /** TextDedup.simhashFingerprints' 32 conditional-sum vote columns — the
+    * same single-aggregation shape as the Spark side (no bit cross join). */
+  private val simhashVoteCols = (0 until 32)
+    .map(b => s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b")
+    .mkString(", ")
+  private val simhashFpExpr = (0 until 32)
+    .map(b => s"(CASE WHEN v_$b > 0 THEN ${1L << b} ELSE 0 END)")
+    .mkString(" + ")
   /** Normalized double-precision embeddings with L2 norm. */
   private val embCte =
     "nm AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb, " +
@@ -409,8 +439,11 @@ object SparkEntry {
     "q33_dedup_ngram_jaccard" ->
       s"""WITH $nCte,
          |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
-         |sh AS (SELECT DISTINCT doc_id, toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2] AS sh
+         |sh0 AS (SELECT DISTINCT doc_id, toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2] AS sh
          |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS g FROM tk) z),
+         |hot AS (SELECT sh FROM sh0 GROUP BY sh
+         |        HAVING COUNT(*) > ${graft.ext.TextDedup.DefaultMaxDf}),
+         |sh AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
          |iv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
          |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -422,22 +455,7 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q34_dedup_minhash_lsh" ->
       s"""WITH $nCte,
-         |$char8HashCte,
-         |perm AS (SELECT * FROM (VALUES $permValues) AS p(j, band, slot, a, b, w)),
-         |sig AS (SELECT doc_id, j, band, w,
-         |               MIN((hv*a + b) % ${graft.ext.TextOps.HashP}) AS mh
-         |        FROM h CROSS JOIN perm GROUP BY doc_id, j, band, w),
-         |bh AS (SELECT doc_id, band, CAST(SUM(mh*w) AS BIGINT) AS band_hash
-         |       FROM sig GROUP BY doc_id, band),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM bh x JOIN bh y
-         |           ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id),
-         |iv AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
-         |       FROM cand c
-         |       JOIN h sa ON sa.doc_id = c.doc_a
-         |       JOIN h sb ON sb.doc_id = c.doc_b AND sb.hv = sa.hv
-         |       GROUP BY 1, 2)
+         |$minhashCtes
          |SELECT doc_a, doc_b,
          |       ROUND(CAST(n_inter AS DOUBLE)/(za.n+zb.n-n_inter), 4) AS jaccard
          |FROM iv JOIN sz za ON za.doc_id = iv.doc_a JOIN sz zb ON zb.doc_id = iv.doc_b
@@ -449,12 +467,8 @@ object SparkEntry {
          |bg AS (SELECT doc_id, toks[g] || ' ' || toks[g+1] AS f
          |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS g FROM tk) z),
          |th AS (SELECT doc_id, ${hv8("rpad(f, 8, ' ')")} AS hv FROM bg),
-         |bits AS (SELECT * FROM (VALUES ${(0 until 32).map(b => s"($b,${1L << b})").mkString(",")}) AS b(bit, pw)),
-         |votes AS (SELECT doc_id, bit, pw,
-         |                 SUM(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-         |          FROM th CROSS JOIN bits GROUP BY doc_id, bit, pw),
-         |fp AS (SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN pw ELSE 0 END) AS BIGINT) AS fp
-         |       FROM votes GROUP BY doc_id),
+         |votes AS (SELECT doc_id, $simhashVoteCols FROM th GROUP BY doc_id),
+         |fp AS (SELECT doc_id, CAST($simhashFpExpr AS BIGINT) AS fp FROM votes),
          |bnd AS (SELECT doc_id, fp, shift, (fp >> shift) & 255 AS bv
          |        FROM fp CROSS JOIN (VALUES (0),(8),(16),(24)) AS s(shift)),
          |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
@@ -586,13 +600,7 @@ object SparkEntry {
         |ORDER BY l.o_custkey, order_date, l.o_orderkey""".stripMargin,
     "q47_dedup_clusters" ->
       s"""WITH RECURSIVE $nCte,
-         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
-         |sh AS (SELECT DISTINCT doc_id, toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2] AS sh
-         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS g FROM tk) z),
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |iv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-         |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |       GROUP BY 1, 2),
+         |$minhashCtes,
          |pairs AS (SELECT doc_a, doc_b
          |          FROM iv JOIN sz za ON za.doc_id = iv.doc_a JOIN sz zb ON zb.doc_id = iv.doc_b
          |          WHERE CAST(n_inter AS DOUBLE)/(za.n+zb.n-n_inter) >= 0.8),

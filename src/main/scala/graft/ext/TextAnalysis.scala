@@ -56,30 +56,27 @@ object TextAnalysis {
   /** Quality scoring per document: token count, mean token length,
     * punctuation ratio, stopword ratio, and a boolean-ish quality gate
     * (the length/punct/stopword heuristics web-scale corpus filters use).
-    * One explode + one hash aggregation on doc_id; ratios are int/int
-    * divisions so the oracle reproduces them exactly. */
+    * Token statistics come from higher-order functions over the split
+    * token array (`aggregate`/`filter`), so the whole operator is ONE
+    * per-row projection fused with the scan — zero shuffles, zero joins,
+    * bounded memory per row at any corpus size. */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = tokenized(docs, idCol, textCol)
-      .groupBy(idCol)
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(length(col("w"))).as("tok_chars"),
-        sum(when(col("w").isInCollection(Stopwords), 1).otherwise(0)).as("n_stop"))
     val t = normText(col(textCol))
-    val base = docs.select(
+    val toks = tokens(t)
+    val nTokens = size(toks).cast("long")
+    val tokChars = aggregate(toks, lit(0L), (acc, w) => acc + length(w).cast("long"))
+    val nStop = size(filter(toks, w => w.isInCollection(Stopwords))).cast("long")
+    val nChars = length(t)
+    val nPunct = nChars - length(regexp_replace(t, "[^a-z0-9 ]", ""))
+    docs.select(
       col(idCol),
-      length(t).as("n_chars"),
-      (length(t) - length(regexp_replace(t, "[^a-z0-9 ]", ""))).as("n_punct"))
-    base.join(tok, idCol)
-      .select(
-        col(idCol),
-        col("n_tokens"),
-        Parity.r4(col("tok_chars").cast("double") / col("n_tokens")).as("mean_tok_len"),
-        Parity.r4(col("n_punct").cast("double") / col("n_chars")).as("punct_ratio"),
-        Parity.r4(col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
-        when(col("n_tokens").between(10, 1000) &&
-          col("n_stop").cast("double") / col("n_tokens") >= 0.05, 1).otherwise(0)
-          .as("is_quality"))
+      nTokens.as("n_tokens"),
+      Parity.r4(tokChars.cast("double") / nTokens).as("mean_tok_len"),
+      Parity.r4(nPunct.cast("double") / nChars).as("punct_ratio"),
+      Parity.r4(nStop.cast("double") / nTokens).as("stop_ratio"),
+      when(nTokens.between(10, 1000) &&
+        nStop.cast("double") / nTokens >= 0.05, 1).otherwise(0)
+        .as("is_quality"))
   }
 
   /** Language ID via marker-token scoring: count marker hits per language,

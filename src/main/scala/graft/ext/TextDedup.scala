@@ -119,9 +119,11 @@ object TextDedup {
     // index; the capped index feeds three plan branches (sizes + both
     // join sides). Stage both once instead of re-exploding the corpus
     // per branch (at warehouse scale this materialization is a staging
-    // table).
-    val raw = shingles.persist()
-    val sh = dfCapped(raw, shCol, maxDf).persist()
+    // table). `staged` (localCheckpoint) rather than persist(): blocks
+    // are reclaimed by the ContextCleaner when the plan is GC'd, so a
+    // long-lived session doesn't accumulate pinned cache per call.
+    val raw = staged(shingles)
+    val sh = staged(dfCapped(raw, shCol, maxDf))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col(shCol))
     val b = sh.select(col("doc_id").as("doc_b"), col(shCol))
@@ -132,8 +134,13 @@ object TextDedup {
     finishJaccard(inter, sizes, threshold)
   }
 
-  /** Stage-once wrapper: persist a multiply-consumed relation. */
-  private def staged(df: DataFrame): DataFrame = df.persist()
+  /** Stage-once wrapper: materialize a multiply-consumed relation.
+    * `localCheckpoint` (not `persist`) — it cuts lineage, and its blocks
+    * are released by the ContextCleaner once the DataFrame is garbage
+    * collected, where `persist` pins an entry in the CacheManager until
+    * an explicit `unpersist` that a lazily-returned plan can never
+    * schedule. */
+  private def staged(df: DataFrame): DataFrame = df.localCheckpoint()
 
   private def finishJaccard(inter: DataFrame, sizes: DataFrame,
                             threshold: Double): DataFrame = {
@@ -203,14 +210,21 @@ object TextDedup {
     finishJaccard(inter, sizes, threshold)
   }
 
-  /** Near-dup CLUSTERS: word-n-gram Jaccard pairs grouped into connected
+  /** Near-dup CLUSTERS: MinHash+LSH candidate pairs (exact-Jaccard
+    * verified over char-k-gram shingle hashes) grouped into connected
     * components; cluster id = min doc_id, which doubles as the kept
     * representative. The pairs → groups step every corpus dedup ends
-    * with. */
+    * with. Edges come from the LSH tier, never the full inverted-index
+    * self-join: at corpus scale the candidate path is the only viable
+    * pair source, and at threshold 0.8 — well above the 4×4 banding
+    * s-curve midpoint ≈0.7 — LSH recall against the exact tier is
+    * near-total (candidate-miss probability (1-0.8⁴)⁴ ≈ 3.6% per pair,
+    * and missed pairs are overwhelmingly re-linked transitively inside
+    * their cluster). */
   def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
-                    n: Int = 3, threshold: Double = 0.8): DataFrame =
+                    k: Int = 8, threshold: Double = 0.8): DataFrame =
     graft.operators.ConnectedComponents.labelPropagation(
-        ngramJaccardPairs(docs, idCol, textCol, n, threshold),
+        minhashLshPairs(docs, idCol, textCol, k, threshold),
         "doc_a", "doc_b")
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),
         when(col("node") === col("label"), 1).otherwise(0).as("is_rep"))
@@ -219,20 +233,25 @@ object TextDedup {
     * hash, ±1 vote per bit position, sign → bit. Bigrams (not unigrams)
     * carry enough entropy that unrelated docs land ~16 bits apart even on
     * a small vocabulary, so Hamming ≤ 3 selects only true near-dups.
-    * One explode to (doc × feature × 32 bits) of integer votes, two
-    * doc-keyed aggregations — constant output state per doc. */
+    * ONE doc-keyed aggregation with 32 conditional-sum columns — no row
+    * multiplication anywhere: the shuffle carries one (doc_id, feature
+    * hash) row per feature in, and 32 ints of aggregation state per doc
+    * out. The fingerprint is assembled from the 32 vote columns in a
+    * final projection. */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val bits = (0 until 32).map(bit => (bit, 1L << bit)).toDF("bit", "pw")
-    fanOut(docs).select(col(idCol).as("doc_id"),
+    val voteCols = (0 until 32).map { b =>
+      sum(when(shiftright(col("hv"), b).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1))
+        .as(s"v_$b")
+    }
+    val votes = fanOut(docs).select(col(idCol).as("doc_id"),
         explode(wordShingles(tokens(normText(col(textCol))), 2)).as("f"))
       .select(col("doc_id"), hash8(rpad(col("f"), 8, " ")).as("hv"))
-      .crossJoin(broadcast(bits))
-      .groupBy(col("doc_id"), col("bit"), col("pw"))
-      .agg(sum(when(expr("(hv >> bit) & 1") === 1, 1).otherwise(-1)).as("vote"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("vote") > 0, col("pw")).otherwise(0L)).as("fp"))
+      .groupBy("doc_id")
+      .agg(voteCols.head, voteCols.tail: _*)
+    val fp = (0 until 32)
+      .map(b => when(col(s"v_$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), fp.as("fp"))
   }
 
   /** SimHash near-dup pairs: candidates share at least one of the four

@@ -38,7 +38,12 @@ object ConnectedComponents {
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"))
         .localCheckpoint()
-      changed = updated.filter(col("new_label") < col("label")).count()
+      // Convergence is checked every OTHER round: the count is a full
+      // extra job over the label set, and near-dup graphs are shallow, so
+      // paying at most one redundant propagation round halves the number
+      // of driver-blocking jobs versus checking per iteration.
+      if (i % 2 == 1 || i == maxIter - 1)
+        changed = updated.filter(col("new_label") < col("label")).count()
       labels = updated.select(col("node"), col("new_label").as("label"))
       i += 1
     }

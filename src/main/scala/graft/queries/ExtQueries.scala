@@ -50,7 +50,7 @@ object ExtQueries {
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     TextDedup.dedupClusters(Tables.documents(spark, dir), "doc_id", "text",
-        n = 3, threshold = 0.8)
+        k = 8, threshold = 0.8)
       .orderBy("doc_id")
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =

@@ -21,7 +21,7 @@ class ConnectedComponentsSpec extends SparkSpec {
       (30L, "entirely unrelated text about catalyst plans and shuffle exchanges here")
     ).toDF("doc_id", "text")
     val out = graft.ext.TextDedup.dedupClusters(docs, "doc_id", "text",
-        n = 3, threshold = 0.5)
+        k = 8, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(out == Set((10L, 10L, 1), (20L, 10L, 0)))
   }
