@@ -67,6 +67,7 @@ object SparkEntry {
     "q45_data_quality"     -> ((s, d) => Analytics.dataQuality(s, d)),
     "q46_asof_join"        -> ((s, d) => Analytics.asofLargeOrder(s, d)),
     "q47_dedup_clusters"   -> ((s, d) => ExtQueries.dedupClusters(s, d)),
+    "q48_csv_roundtrip"    -> ((s, d) => IngestQueries.csvRoundtrip(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -615,5 +616,9 @@ object SparkEntry {
          |FROM reach
          |GROUP BY node
          |ORDER BY doc_id""".stripMargin,
+    "q48_csv_roundtrip" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+         |FROM read_csv('${graft.queries.IngestQueries.CsvDropPath}/*.csv', header=true)
+         |ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -28,25 +28,29 @@ object AsOfJoin {
     * when no right row is at-or-before). Both inputs must share `key`;
     * `valueCols` must exist on `right` and not collide with `left`
     * columns (pre-rename on the right side); `tieBreak` must totally
-    * order left rows within (key, ts). */
+    * order left rows within (key, ts).
+    *
+    * All value columns travel in ONE struct through a single
+    * ignore-nulls `last`: right rows carry a non-null struct (even when
+    * individual fields are null), left rows carry null. Every output
+    * value therefore comes from the SAME matched right row — a null
+    * field in the latest right row stays null rather than falling back
+    * to an older row per-column. */
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String, valueCols: Seq[String],
            tieBreak: Seq[Column]): DataFrame = {
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-      .withColumns(valueCols.map(c => s"__v_$c" -> lit(null)).toMap)
-    val r = right.select(
-      (col(key) +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
-        valueCols.map(c => col(c).as(s"__v_$c"))): _*)
+    val r = right.select(col(key), col(rightTs).as("__ts"), lit(0).as("__side"),
+      struct(valueCols.map(col): _*).as("__vs"))
     val w = Window.partitionBy(key)
       .orderBy(col("__ts").asc +: col("__side").asc +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = valueCols.foldLeft(l.unionByName(r, allowMissingColumns = true)) {
-      (df, c) => df.withColumn(s"__m_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }
+    val matched = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__m", last(col("__vs"), ignoreNulls = true).over(w))
     val out = matched.filter(col("__side") === 1)
-    valueCols.foldLeft(out)((df, c) => df.withColumn(c, col(s"__m_$c")))
-      .drop(("__ts" +: "__side" +: valueCols.flatMap(c => Seq(s"__v_$c", s"__m_$c"))): _*)
+    valueCols.foldLeft(out)((df, c) => df.withColumn(c, col(s"__m.$c")))
+      .drop("__ts", "__side", "__vs", "__m")
   }
 }

@@ -128,4 +128,28 @@ object IngestQueries {
       col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"), col("c_mktsegment"))
       .orderBy("c_custkey")
+
+  /** Fixed drop location for the CSV round-trip — the oracle SQL reads
+    * the same files via DuckDB `read_csv`, so the path must be static. */
+  val CsvDropPath = "/root/repo/data/csv_customer"
+
+  /** SRC8 CSV bulk load (`setup_clickhouse.py:143-170`): land the
+    * customer table as a CSV drop, then bulk-load it back through the
+    * declared-schema reader. Exercises the full write → parse → typed
+    * scan path; the oracle reads the identical files with DuckDB
+    * `read_csv`, so every parsed value is hash-compared. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    graft.sources.CsvSource.write(
+      Tables.customer(spark, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment"),
+      CsvDropPath)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    graft.sources.CsvSource.read(spark, CsvDropPath, schema)
+      .orderBy("c_custkey")
+  }
 }

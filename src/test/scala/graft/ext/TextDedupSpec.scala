@@ -54,6 +54,26 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("df-cap drops hot shingles from sizes AND intersections") {
+    // Six docs share only a boilerplate phrase (its two trigrams reach
+    // df=8 > maxDf=4); docs 10/11 are true near-dups that ALSO carry the
+    // boilerplate. The cap must (a) kill the boilerplate-only pairs
+    // entirely and (b) change the surviving pair's jaccard, because both
+    // its size and intersection shrink by the two hot shingles.
+    val docs = ((0 until 6).map(i => (i.toLong, s"alpha beta gamma delta filler$i")) ++
+      Seq((10L, "alpha beta gamma delta epsilon zeta eta theta"),
+          (11L, "alpha beta gamma delta epsilon zeta eta iota"))).toDF("doc_id", "text")
+    val uncapped = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5, maxDf = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(uncapped.size == 16)              // C(6,2) boilerplate pairs + (10,11)
+    assert(uncapped((10L, 11L)) == 0.7143)   // 5 shared / 7 union trigrams
+    val capped = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped == Map((10L, 11L) -> 0.6)) // 3 shared / 5 union after the cap
+  }
+
   test("simhash: exact dup at Hamming 0; unrelated far away") {
     val fps = TextDedup.simhashFingerprints(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -28,4 +28,22 @@ class AsOfJoinSpec extends SparkSpec {
       ("A", 10, Some(110.0)),
       ("B", 3, None)))         // B's only quote is later → null
   }
+
+  test("all value columns come from the SAME matched row (null field stays null)") {
+    // The latest quote before ts=5 has px=NULL: the output must carry
+    // (px=null, venue="x2") from that one row — not stitch px=101.0 from
+    // the older row with venue from the newer one.
+    val trades = Seq(("A", 5, "t1")).toDF("k", "ts", "trade")
+    val quotes = Seq(
+      ("A", 1, Some(101.0), "x1"),
+      ("A", 4, None, "x2")
+    ).toDF("k", "qts", "px", "venue")
+      .select(col("k"), col("qts"), col("px").as("quote_px"), col("venue").as("quote_venue"))
+    val out = AsOfJoin.asOf(trades, quotes, "k", "ts", "qts",
+        Seq("quote_px", "quote_venue"), Seq(col("trade")))
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).isNullAt(out(0).fieldIndex("quote_px")))
+    assert(out(0).getAs[String]("quote_venue") == "x2")
+  }
 }

@@ -56,6 +56,59 @@ class SourcesSpec extends SparkSpec {
       plan.contains("part_month"), s"no partition pruning in:\n$plan")
   }
 
+  test("csv source round-trips types, nulls, and quoted separators") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val df = Seq(
+      (1L, Some("plain"), Some(1.5)),
+      (2L, Some("has, comma and \"quote\""), None),
+      (3L, None: Option[String], Some(-0.25))
+    ).toDF("id", "name", "v")
+    CsvSource.write(df, s"$base/drop")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("v", DoubleType)))
+    val back = CsvSource.read(spark, s"$base/drop", schema)
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(back == Set(
+      (1L, Some("plain"), Some(1.5)),
+      (2L, Some("has, comma and \"quote\""), None),
+      (3L, None, Some(-0.25))))
+  }
+
+  test("csv source nulls malformed cells instead of aborting (PERMISSIVE)") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_csvbad").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/bad.csv"),
+      "id,v\n1,2.5\n2,notanumber\n".getBytes)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", DoubleType)))
+    val back = CsvSource.read(spark, s"$base/bad.csv", schema)
+      .orderBy("id").collect()
+    assert(back.length == 2)
+    assert(back(0).getDouble(1) == 2.5)
+    assert(back(1).isNullAt(1))
+  }
+
+  test("tableInfo reports per-partition rows/bytes/files and a summary") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ti").toString
+    val orders = graft.model.Tables.orders(spark, sf001)
+    Sinks.writeMonthlyPartitioned(orders, "o_orderdate",
+      Seq("o_custkey", "o_orderdate"), s"$base/orders")
+    val stats = TableInfo.partitionStats(spark, s"$base/orders").collect()
+    assert(stats.map(_.getLong(1)).sum == orders.count())   // rows add up
+    assert(stats.forall(r => r.getLong(2) > 0 && r.getLong(3) > 0))
+    val nMonths = orders.select(date_format(col("o_orderdate"), "yyyyMM"))
+      .distinct().count()
+    assert(stats.length == nMonths)
+    val sum = TableInfo.summary(spark, s"$base/orders", "o_custkey").collect()(0)
+    assert(sum.getAs[Long]("n_rows") == orders.count())
+    assert(sum.getAs[Long]("n_keys") ==
+      orders.select("o_custkey").distinct().count())
+    assert(sum.getAs[Long]("n_partitions") == nMonths)
+  }
+
   test("timestamped backup writes to a stamped path") {
     val base = java.nio.file.Files.createTempDirectory("graft_bk").toString
     val path = Sinks.backupParquet(Seq((1, "x")).toDF("k", "v"), base,
