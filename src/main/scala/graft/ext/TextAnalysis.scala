@@ -48,11 +48,6 @@ object TextAnalysis {
       length(t).as("n_chars_norm"))
   }
 
-  /** Exploded (doc_id, token) view of normalized text — the shared shuffle
-    * input for quality scoring and langid. */
-  private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    fanOut(docs).select(col(idCol), explode(tokens(normText(col(textCol)))).as("w"))
-
   /** Quality scoring per document: token count, mean token length,
     * punctuation ratio, stopword ratio, and a boolean-ish quality gate
     * (the length/punct/stopword heuristics web-scale corpus filters use).
@@ -81,16 +76,17 @@ object TextAnalysis {
 
   /** Language ID via marker-token scoring: count marker hits per language,
     * predict the argmax with a fixed priority order on ties ('und' when no
-    * marker hits at all). A real system swaps the marker table for
-    * char-n-gram profiles; the plan shape (explode → broadcast-joinable
-    * marker set → doc-keyed agg) is identical at any corpus size. */
+    * marker hits at all). Marker counting is a `filter` higher-order
+    * function over the token array — one per-row projection fused with
+    * the scan, zero shuffles (a real system swaps the marker table for
+    * char-n-gram profiles; the per-row shape is identical at any corpus
+    * size). */
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(normText(col(textCol)))
     val scoreCols = LangMarkers.map { case (lang, markers) =>
-      sum(when(col("w").isInCollection(markers), 1).otherwise(0)).as(s"s_$lang")
+      size(filter(toks, w => w.isInCollection(markers))).cast("long").as(s"s_$lang")
     }
-    val scored = tokenized(docs, idCol, textCol)
-      .groupBy(idCol)
-      .agg(scoreCols.head, scoreCols.tail: _*)
+    val scored = docs.select((col(idCol) +: scoreCols): _*)
     val total = LangMarkers.map { case (l, _) => col(s"s_$l") }.reduce(_ + _)
     val predicted = when(total === 0, "und")
       .when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
@@ -109,8 +105,8 @@ object TextAnalysis {
     */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame =
     fanOut(docs)
-      .select(col(idCol), explode(charShingles(normText(col(textCol)), k)).as("sh"))
-      .select(col(idCol), hash8(col("sh")).as("hv"))
+      .select(col(idCol), explode(graft.functions.TextKernelOps.shingleHashes(
+        normText(col(textCol)), k)).as("hv"))
       .distinct()
       .groupBy(idCol)
       .agg((sum(col("hv")) % lit(HashP)).as("fingerprint"),

@@ -20,8 +20,13 @@ object ConnectedComponents {
     * undirected input (one row per pair, any orientation). */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    // Materialize the edge input ONCE before symmetrizing: the union's
+    // two branches would otherwise each re-evaluate the (potentially
+    // expensive — e.g. a whole MinHash verify) upstream plan.
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val sym = e
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     var labels = sym.select(col("src").as("node")).distinct()
