@@ -31,6 +31,13 @@ object QBench {
         (System.nanoTime() - t0) / 1e9
       }
       println(f"QBENCH $name cold=${times(0)}%.2f warm=${times(1)}%.2f")
+      // GRAFT_EXPLAIN=1: dump the final (post-AQE) physical plan.
+      if (sys.env.contains("GRAFT_EXPLAIN")) {
+        val df = fn(spark, sfDir)
+        df.count()
+        println(s"=== $name final plan ===")
+        println(df.queryExecution.executedPlan.toString)
+      }
     }
     spark.stop()
   }

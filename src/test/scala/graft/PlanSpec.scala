@@ -35,4 +35,25 @@ class PlanSpec extends SparkSpec {
     val p = plan(Analytics.backtestUniverse(spark, sf001))
     assert(p.contains("LeftSemi"), s"semi join missing:\n$p")
   }
+
+  test("quality score and langid are single-stage projections (no exchange)") {
+    import graft.ext.TextAnalysis
+    val docs = graft.model.Tables.documents(spark, sf001)
+    Seq(TextAnalysis.qualityScore(docs, "doc_id", "text"),
+        TextAnalysis.languageId(docs, "doc_id", "text")).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"unexpected shuffle in projection:\n$p")
+    }
+  }
+
+  test("minhash signature aggregation runs off the scan without a distinct") {
+    import graft.ext.TextDedup
+    val docs = graft.model.Tables.documents(spark, sf001)
+    val p = plan(TextDedup.minhashBands(
+      TextDedup.docShingleHashes(docs, "doc_id", "text")))
+    // the signature path itself (bands over raw hashes) has exactly the
+    // doc-keyed aggregation exchange; assert the kernel expression is
+    // in-plan (codegen'd scan-side hashing, not interpreted HOFs)
+    assert(p.contains("shingle_hashes"), s"native kernel missing:\n$p")
+  }
 }
