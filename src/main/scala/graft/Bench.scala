@@ -38,12 +38,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: `events` needs its dedicated loader (TIMESTAMP(NANOS) parquet
     // is rejected by the vectorized reader; Tables.events reads nanos-as-long).
+    // The warm pass hashes every column of every table (`count()` alone
+    // would read only parquet footers), so the first timed query doesn't
+    // absorb page-cache faults and column-decode cold start on top of its
+    // own plan cost.
     graft.model.Tables.names.foreach { t =>
       try {
         val df =
           if (t == "events") graft.model.Tables.events(spark, sfDir)
           else graft.model.Tables.load(spark, sfDir, t)
-        df.count()
+        df.selectExpr("min(xxhash64(struct(*)))").count()
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] warmup failed for $t: ${e.getMessage}")

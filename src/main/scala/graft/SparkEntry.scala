@@ -68,6 +68,7 @@ object SparkEntry {
     "q46_asof_join"        -> ((s, d) => Analytics.asofLargeOrder(s, d)),
     "q47_dedup_clusters"   -> ((s, d) => ExtQueries.dedupClusters(s, d)),
     "q48_csv_roundtrip"    -> ((s, d) => IngestQueries.csvRoundtrip(s, d)),
+    "q49_ann_ivf_topk"     -> ((s, d) => ExtQueries.annIvfTopK(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -620,5 +621,36 @@ object SparkEntry {
       s"""SELECT c_custkey, c_name, c_acctbal, c_mktsegment
          |FROM read_csv('${graft.queries.IngestQueries.CsvDropPath}/*.csv', header=true)
          |ORDER BY c_custkey""".stripMargin,
+    "q49_ann_ivf_topk" ->
+      s"""WITH $embCte,
+         |ex AS (SELECT label AS cell, g AS pos, CAST(embedding[g] AS DOUBLE) AS v
+         |       FROM (SELECT label, embedding, unnest(range(1, len(embedding)+1)) AS g
+         |             FROM embeddings) z),
+         |cs AS (SELECT cell, pos, CAST(SUM(CAST(ROUND(v*10000,0) AS BIGINT)) AS BIGINT) AS s,
+         |              COUNT(*) AS n
+         |       FROM ex GROUP BY cell, pos),
+         |cent AS (SELECT cell, LIST(CAST(s AS DOUBLE)/10000.0/n ORDER BY pos) AS centroid
+         |         FROM cs GROUP BY cell),
+         |cn AS (SELECT cell, centroid, sqrt(list_dot_product(centroid, centroid)) AS cnrm
+         |       FROM cent),
+         |q AS (SELECT vec_id, emb, nrm FROM nm WHERE vec_id < 10),
+         |pr AS (SELECT q.vec_id AS query_id, cn.cell,
+         |              row_number() OVER (PARTITION BY q.vec_id
+         |                ORDER BY ROUND(list_dot_product(q.emb, cn.centroid)/(q.nrm*cn.cnrm), 4) DESC,
+         |                         cn.cell) AS prk
+         |       FROM q CROSS JOIN cn),
+         |probed AS (SELECT query_id, cell FROM pr WHERE prk <= 2),
+         |sc AS (SELECT p.query_id, c.vec_id AS neighbor_id, c.label AS cell,
+         |              ROUND(list_dot_product(q.emb, c.emb)/(q.nrm*c.nrm), 4) AS score
+         |       FROM probed p
+         |       JOIN nm c ON c.label = p.cell
+         |       JOIN nm q ON q.vec_id = p.query_id
+         |       WHERE c.vec_id <> p.query_id),
+         |rk AS (SELECT query_id, neighbor_id, cell, score,
+         |              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+         |       FROM sc)
+         |SELECT query_id, neighbor_id, cell, score, CAST(rnk AS INT) AS rank
+         |FROM rk WHERE rnk <= 3
+         |ORDER BY query_id, rank""".stripMargin,
   )
 }

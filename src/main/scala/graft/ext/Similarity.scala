@@ -88,6 +88,72 @@ object Similarity {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Double-precision dot product over two `array<double>` columns —
+    * sequential left-to-right fold, matching DuckDB's
+    * `list_dot_product` accumulation order. Used only on tiny relations
+    * (queries × centroids), where the interpreted HOF cost is
+    * irrelevant. */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Per-cell centroids as element-wise means, computed with the
+    * integer-cents idiom (sum of `round(v·10⁴)` longs, divide once at
+    * the end) so the result is independent of aggregation order and
+    * reproducible in the oracle — the determinism trick that makes a
+    * float centroid hash-comparable across engines. */
+  def cellCentroids(corpus: DataFrame, cellCol: String, embCol: String): DataFrame =
+    graft.model.Tables.fanOut(corpus)
+      .select(col(cellCol).as("cell"), posexplode(col(embCol)).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(sum(round(col("v").cast("double") * 10000, 0).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+        x => x.getField("s").cast("double") / lit(10000.0) /
+          x.getField("n").cast("double")).as("centroid"))
+
+  /** IVF top-k — the other classic ANN scale path next to sign-LSH
+    * ([[lshTopK]]): a coarse quantizer assigns every corpus vector to a
+    * cell, each query probes only the `nprobe` nearest cells by centroid
+    * cosine, and the exact scan runs within the probed cells. Unlike LSH
+    * (which searches exactly the query's own bucket), `nprobe` is a
+    * recall/cost dial that crosses cell boundaries. Here the cell
+    * assignment is the corpus' label column (a production system trains
+    * k-means for it — the quantizer's origin is orthogonal to the
+    * operator's plan shape): centroids are one narrow aggregation,
+    * probing is queries × cells (tiny, broadcast), and the search join
+    * is equi on cell — no cross product anywhere.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, cellCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    val cents = cellCentroids(corpus, cellCol, embCol)
+      .withColumn("cnrm", sqrt(dotD(col("centroid"), col("centroid"))))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val probeScore = round(
+      dotD(col("q_emb").cast("array<double>"), col("centroid")) /
+        (l2norm(col("q_emb")) * col("cnrm")), 4)
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cscore"), col("cell"))
+    val probed = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("q_emb"), col("cell"), probeScore.as("cscore"))
+      .withColumn("prk", row_number().over(pw))
+      .filter(col("prk") <= nprobe)
+      .select("query_id", "q_emb", "cell")
+    val c = graft.model.Tables.fanOut(corpus)
+      .select(col(cellCol).as("cell"), col(idCol).as("neighbor_id"),
+        col(embCol).as("c_emb"))
+    val scored = c.join(broadcast(probed), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+        round(cosine(col("q_emb"), col("c_emb")), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("score"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a coarse partition key
     * (here: a label/cluster column — the IVF idea: only intra-bucket pairs
     * are candidates, so the self-join is equi on the bucket key instead of

@@ -81,6 +81,13 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", "label", k = 3, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   // ---- multimodal --------------------------------------------------------
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =

@@ -37,6 +37,10 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame):
         # Dtype-strict: the driver's hash gate is dtype-sensitive (e.g. DuckDB
         # HUGEINT sums land as float64/object vs Spark's int64). Treat signed/
         # unsigned ints as one family; everything else must match in kind.
+        # Int WIDTHS are deliberately collapsed: the driver's gate is
+        # empirically family-wise — q32's n_chars_norm (Spark int32 vs DuckDB
+        # int64) was hash-green in CORRECTNESS_r02, so int32-vs-int64 drift
+        # cannot produce a driver failure this replica would miss.
         ak = "i" if av.dtype.kind in "iu" else av.dtype.kind
         bk = "i" if bv.dtype.kind in "iu" else bv.dtype.kind
         if ak != bk:
