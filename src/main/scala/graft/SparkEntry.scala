@@ -617,9 +617,14 @@ object SparkEntry {
          |FROM reach
          |GROUP BY node
          |ORDER BY doc_id""".stripMargin,
+    // Oracled against the ORIGINAL parquet table, not the CSV files: the
+    // operator's contract is a lossless write→parse→typed-scan round
+    // trip, and reading the source table keeps the gate independent of
+    // when the fixed drop directory is rewritten at another scale factor
+    // (e.g. a bench run between Verify and the DuckDB compare).
     "q48_csv_roundtrip" ->
       s"""SELECT c_custkey, c_name, c_acctbal, c_mktsegment
-         |FROM read_csv('${graft.queries.IngestQueries.CsvDropPath}/*.csv', header=true)
+         |FROM customer
          |ORDER BY c_custkey""".stripMargin,
     "q49_ann_ivf_topk" ->
       s"""WITH $embCte,

@@ -74,6 +74,22 @@ class TextDedupSpec extends SparkSpec {
     assert(capped == Map((10L, 11L) -> 0.6)) // 3 shared / 5 union after the cap
   }
 
+  test("LSH pairs == exact char-8-gram tier at threshold 0.8 (driver fixture)") {
+    // The cluster operator (q47) sources edges from the LSH candidate
+    // tier; this pins the claim that at threshold 0.8 (above the 4×4
+    // banding s-curve midpoint ≈0.7) candidate recall against the exact
+    // inverted-index tier is total on the driver corpus.
+    val docs = graft.model.Tables.documents(spark, sf001)
+    val lsh = TextDedup.minhashLshPairs(docs, "doc_id", "text", k = 8,
+        threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = TextDedup.jaccardPairs(
+        TextDedup.docShingleHashes(docs, "doc_id", "text", k = 8), "hv",
+        threshold = 0.8, maxDf = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
+  }
+
   test("simhash: exact dup at Hamming 0; unrelated far away") {
     val fps = TextDedup.simhashFingerprints(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
