@@ -100,15 +100,18 @@ object TextAnalysis {
   /** Document fingerprint: order-independent sum of the distinct
     * char-8-gram rolling-hash values mod 2^31-1 (a set-hash — robust to
     * shingle order, so it is shuffle-order-stable and identical in the
-    * oracle). Shingles hash to longs before the distinct, so the shuffle
-    * carries 16-byte rows — same idiom as [[TextDedup.docShingleHashes]].
-    */
+    * oracle). The shingle SET is per-document, so the distinct is
+    * per-row (`array_distinct` over the kernel's hash array) and the
+    * whole operator is one projection fused with the scan — zero
+    * shuffles, nothing leaves the row. Docs shorter than k have no
+    * shingles and are excluded (the oracle's empty `range` does the
+    * same). */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame =
-    fanOut(docs)
-      .select(col(idCol), explode(graft.functions.TextKernelOps.shingleHashes(
-        normText(col(textCol)), k)).as("hv"))
-      .distinct()
-      .groupBy(idCol)
-      .agg((sum(col("hv")) % lit(HashP)).as("fingerprint"),
-        count(lit(1)).as("n_shingles"))
+    docs
+      .select(col(idCol), array_distinct(graft.functions.TextKernelOps.shingleHashes(
+        normText(col(textCol)), k)).as("hvs"))
+      .filter(size(col("hvs")) > 0)
+      .select(col(idCol),
+        (aggregate(col("hvs"), lit(0L), (a, x) => a + x) % lit(HashP)).as("fingerprint"),
+        size(col("hvs")).cast("long").as("n_shingles"))
 }
