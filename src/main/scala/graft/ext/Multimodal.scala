@@ -80,6 +80,22 @@ object Multimodal {
       .select(col("doc_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 
+  /** Resize stub: binary → binary at target dimensions (STUB — a real
+    * implementation calls an image library per partition; none ship in
+    * this container). Deterministic: the output payload is the input
+    * cycled to exactly `w·h` bytes. What's real is the stage's shape —
+    * payload in, payload out, same transport column, so resize chains
+    * between decode and feature-extract with no schema break and no
+    * shuffle. */
+  def resizeStub(blobs: Dataset[MediaBlob], w: Int, h: Int): Dataset[MediaBlob] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map { b =>
+      val out = Array.tabulate(w * h)(i =>
+        if (b.payload.length > 0) b.payload(i % b.payload.length) else 0.toByte)
+      MediaBlob(b.doc_id, b.media_type, out)
+    })
+  }
+
   /** Feature-extract stub: fixed-width feature vector per blob derived
     * from payload bytes (STUB — stands in for an embedding model). Shows
     * the binary → Array[Float] batch shape. */

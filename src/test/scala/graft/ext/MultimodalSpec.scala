@@ -36,6 +36,19 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_._2).toSeq == (0 until 18 by 5).toSeq)
   }
 
+  test("resizeStub re-shapes payloads in place and chains into decode") {
+    val resized = Multimodal.resizeStub(
+      Multimodal.attachPayload(docs, "doc_id", "text"), w = 4, h = 3)
+    val blobs = resized.collect()
+    assert(blobs.forall(_.payload.length == 12))
+    assert(blobs.map(_.media_type).sorted.toSeq == Seq("audio", "image", "video"))
+    // the resized payload cycles the original bytes
+    assert(new String(blobs.find(_.doc_id == 0L).get.payload.take(5), "UTF-8") == "image")
+    // chains into the decode stage without a schema break
+    val meta = Multimodal.decodeMeta(resized).collect()
+    assert(meta.forall(_.byte_len == 12L))
+  }
+
   test("featureStub emits fixed-width float vectors in [0,1]") {
     val feats = Multimodal.featureStub(
         Multimodal.attachPayload(docs, "doc_id", "text"), dim = 8)
