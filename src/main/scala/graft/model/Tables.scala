@@ -49,10 +49,17 @@ object Tables {
     * small single-file table arrives as ONE partition and any
     * explode/self-join-heavy operator downstream serializes on one core.
     * Repartition up to the session's default parallelism only when the
-    * scan produced fewer partitions — on a real many-row-group (100 TB)
-    * input this is a no-op, so large scans never pay an extra shuffle. */
+    * input is smaller than one split per core — on a real many-row-group
+    * (100 TB) input this is a no-op, so large scans never pay an extra
+    * shuffle. The decision reads optimizer STATS (file-listing size), not
+    * `df.rdd` — forcing the RDD would physical-plan and codegen a scan
+    * stage just to read its partition count, then throw it away. */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val splitBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (size < BigInt(splitBytes) * target) df.repartition(target) else df
   }
 }
