@@ -69,6 +69,7 @@ object SparkEntry {
     "q47_dedup_clusters"   -> ((s, d) => ExtQueries.dedupClusters(s, d)),
     "q48_csv_roundtrip"    -> ((s, d) => IngestQueries.csvRoundtrip(s, d)),
     "q49_ann_ivf_topk"     -> ((s, d) => ExtQueries.annIvfTopK(s, d)),
+    "q50_corpus_report"    -> ((s, d) => ExtQueries.corpusReport(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -657,5 +658,33 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, cell, score, CAST(rnk AS INT) AS rank
          |FROM rk WHERE rnk <= 3
          |ORDER BY query_id, rank""".stripMargin,
+    "q50_corpus_report" ->
+      s"""WITH $nCte,
+         |$tokCte,
+         |st AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |        SUM(CASE WHEN w IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END) AS n_stop,
+         |        CAST(SUM(CASE WHEN w IN ('the','a','of','and') THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+         |        CAST(SUM(CASE WHEN w IN ('der','und','die','ist') THEN 1 ELSE 0 END) AS BIGINT) AS s_de,
+         |        CAST(SUM(CASE WHEN w IN ('le','et','les','une') THEN 1 ELSE 0 END) AS BIGINT) AS s_fr,
+         |        CAST(SUM(CASE WHEN w IN ('el','y','los','las') THEN 1 ELSE 0 END) AS BIGINT) AS s_es
+         |       FROM tok GROUP BY doc_id),
+         |pd AS (SELECT doc_id, n_tokens,
+         |        CASE WHEN n_tokens BETWEEN 10 AND 1000
+         |                  AND CAST(n_stop AS DOUBLE)/n_tokens >= 0.05
+         |             THEN 1 ELSE 0 END AS is_quality,
+         |        CASE WHEN s_en+s_de+s_fr+s_es = 0 THEN 'und'
+         |             WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+         |             WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+         |             WHEN s_fr >= s_es THEN 'fr'
+         |             ELSE 'es' END AS predicted_lang
+         |       FROM st),
+         |rep AS (SELECT MIN(doc_id) AS doc_id FROM n GROUP BY t)
+         |SELECT pd.predicted_lang, pd.is_quality,
+         |       COUNT(*) AS n_docs,
+         |       CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |       ROUND(CAST(SUM(pd.n_tokens) AS DOUBLE)/COUNT(*), 4) AS avg_tokens
+         |FROM pd LEFT JOIN rep r ON r.doc_id = pd.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -88,6 +88,29 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Corpus report — the summary every training-data pipeline run ends
+    * with: per (predicted language, quality gate) document counts,
+    * unique-text counts (exact-dedup representatives), and mean token
+    * counts. Composes languageId + qualityScore (both zero-shuffle
+    * per-row projections over ONE scan) with the exact-dedup tier; the
+    * whole report costs the dedup aggregation plus one group-by. */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val lang = TextAnalysis.languageId(docs, "doc_id", "text")
+      .select(col("doc_id"), col("predicted_lang"))
+    val qual = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("is_quality"))
+    val reps = TextDedup.exactGroups(docs, "doc_id", "text")
+      .select(col("rep_id").as("doc_id"), lit(1).as("is_rep"))
+    lang.join(qual, "doc_id")
+      .join(reps, Seq("doc_id"), "left")
+      .groupBy("predicted_lang", "is_quality")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_rep"), lit(0))).cast("long").as("n_unique"),
+        round(sum(col("n_tokens")).cast("double") / count(lit(1)), 4).as("avg_tokens"))
+      .orderBy("predicted_lang", "is_quality")
+  }
+
   // ---- multimodal --------------------------------------------------------
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
