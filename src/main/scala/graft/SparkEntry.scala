@@ -442,8 +442,13 @@ object SparkEntry {
     "q33_dedup_ngram_jaccard" ->
       s"""WITH $nCte,
          |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
-         |sh0 AS (SELECT DISTINCT doc_id, toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2] AS sh
-         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS g FROM tk) z),
+         |sh0 AS (SELECT DISTINCT doc_id,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(1, length(sg)+1),
+         |             i -> CAST(ord(substr(sg, i, 1)) AS BIGINT))),
+         |           (h, c) -> (h * 31 + c) % ${graft.ext.TextOps.HashP}) AS sh
+         |       FROM (SELECT doc_id, toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2] AS sg
+         |             FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS g FROM tk) z) y),
          |hot AS (SELECT sh FROM sh0 GROUP BY sh
          |        HAVING COUNT(*) > ${graft.ext.TextDedup.DefaultMaxDf}),
          |sh AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),

@@ -50,13 +50,20 @@ object Similarity {
     * collects. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 embCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    // Norms are per-ROW, so compute them before the pairing join — the
+    // oracle's `nm` CTE shape. Inlining `cosine` instead would re-run a
+    // norm dot product for both sides of every candidate pair (3×
+    // kernel work per pair instead of 1 dot + amortized norms).
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+      l2norm(col(embCol)).as("q_nrm"))
     val c = graft.model.Tables.fanOut(corpus)
-      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
+        l2norm(col(embCol)).as("c_nrm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("q_emb"), col("c_emb")), 4).as("score"))
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4)
+          .as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("score"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -72,14 +79,17 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               embCol: String, k: Int, nPlanes: Int = 4, dim: Int = 64): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+      l2norm(col(embCol)).as("q_nrm"),
       bucketCol(col(embCol), nPlanes, dim).as("bucket"))
     val c = graft.model.Tables.fanOut(corpus)
       .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
+        l2norm(col(embCol)).as("c_nrm"),
         bucketCol(col(embCol), nPlanes, dim).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("bucket"),
-        round(cosine(col("q_emb"), col("c_emb")), 4).as("score"))
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4)
+          .as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("score"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -128,24 +138,27 @@ object Similarity {
               embCol: String, cellCol: String, k: Int, nprobe: Int = 2): DataFrame = {
     val cents = cellCentroids(corpus, cellCol, embCol)
       .withColumn("cnrm", sqrt(dotD(col("centroid"), col("centroid"))))
-    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+      l2norm(col(embCol)).as("q_nrm"))
     val probeScore = round(
       dotD(col("q_emb").cast("array<double>"), col("centroid")) /
-        (l2norm(col("q_emb")) * col("cnrm")), 4)
+        (col("q_nrm") * col("cnrm")), 4)
     val pw = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("cscore"), col("cell"))
     val probed = q.crossJoin(broadcast(cents))
-      .select(col("query_id"), col("q_emb"), col("cell"), probeScore.as("cscore"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell"),
+        probeScore.as("cscore"))
       .withColumn("prk", row_number().over(pw))
       .filter(col("prk") <= nprobe)
-      .select("query_id", "q_emb", "cell")
+      .select("query_id", "q_emb", "q_nrm", "cell")
     val c = graft.model.Tables.fanOut(corpus)
       .select(col(cellCol).as("cell"), col(idCol).as("neighbor_id"),
-        col(embCol).as("c_emb"))
+        col(embCol).as("c_emb"), l2norm(col(embCol)).as("c_nrm"))
     val scored = c.join(broadcast(probed), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("cell"),
-        round(cosine(col("q_emb"), col("c_emb")), 4).as("score"))
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4)
+          .as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("score"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -162,12 +175,15 @@ object Similarity {
                    bucketColName: String, threshold: Double): DataFrame = {
     val fanned = graft.model.Tables.fanOut(corpus)
     val a = fanned.select(col(bucketColName).as("bucket"),
-      col(idCol).as("id_a"), col(embCol).as("emb_a"))
+      col(idCol).as("id_a"), col(embCol).as("emb_a"),
+      l2norm(col(embCol)).as("nrm_a"))
     val b = fanned.select(col(bucketColName).as("bucket"),
-      col(idCol).as("id_b"), col(embCol).as("emb_b"))
+      col(idCol).as("id_b"), col(embCol).as("emb_b"),
+      l2norm(col(embCol)).as("nrm_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 4))
+      .withColumn("cos", round(
+        dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 4))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("bucket"), col("cos"))
   }

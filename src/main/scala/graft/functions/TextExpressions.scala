@@ -103,6 +103,42 @@ object GraftTextKernels {
     new GenericArrayData(out)
   }
 
+  /** Full-length rolling hash of every word n-gram of the single-space-
+    * separated string `s`: h ← (h·31 + cp) mod 2³¹-1 per code point,
+    * seed 0 — unlike [[wordNgramHash8]] this hashes EVERY character, so
+    * distinct n-grams collide only with p≈2⁻³¹. Mirrored in the oracle
+    * by `list_reduce(list_prepend(0, list_transform(range(..), ord)),
+    * (h,c) -> (h*31+c) % 2147483647)`. */
+  def wordNgramHashFull(s: UTF8String, n: Int): ArrayData = {
+    val cp = codePoints(s)
+    if (cp.length == 0) return new GenericArrayData(Array.emptyLongArray)
+    var nTok = 1
+    var i = 0
+    while (i < cp.length) { if (cp(i) == ' ') nTok += 1; i += 1 }
+    val m = nTok - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](nTok + 1)
+    var t = 1
+    starts(0) = 0
+    i = 0
+    while (i < cp.length) {
+      if (cp(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTok) = cp.length + 1
+    val out = new Array[Long](m)
+    var g = 0
+    while (g < m) {
+      val until = starts(g + n) - 1
+      var h = 0L
+      var j = starts(g)
+      while (j < until) { h = (h * 31L + cp(j)) % P; j += 1 }
+      out(g) = h
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Hash of the first 8 chars (space-padded) of every word n-gram of
     * the single-space-separated string `s` — exactly
     * `hash8(rpad(wordShingles(tokens(s), n)(i), 8, ' '))`. */
@@ -198,6 +234,31 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `array<long>` of full-length rolling hashes (31-Horner mod 2³¹-1)
+  * of every word n-gram — the 8-byte element form of the exact
+  * inverted-index tier: n-gram strings never leave the row. */
+case class WordNgramHashFull(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_ngram_hash_full"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftTextKernels.wordNgramHashFull(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftTextKernels.wordNgramHashFull($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramHashFull =
+    copy(child = newChild)
+}
+
 /** `array<long>` of `hash8(rpad(ngram, 8, ' '))` for every word n-gram —
   * the codegen'd form of the SimHash feature extraction. */
 case class WordNgramHash8(child: Expression, n: Int) extends UnaryExpression {
@@ -234,4 +295,8 @@ object TextKernelOps {
   /** Column form of [[WordNgrams]]. */
   def wordNgrams(c: Column, n: Int): Column =
     GraftExpressionBridge.column(WordNgrams(GraftExpressionBridge.expression(c), n))
+
+  /** Column form of [[WordNgramHashFull]]. */
+  def wordNgramHashFull(c: Column, n: Int): Column =
+    GraftExpressionBridge.column(WordNgramHashFull(GraftExpressionBridge.expression(c), n))
 }

@@ -49,6 +49,22 @@ class TextExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("word_ngram_hash_full == 31-Horner over each n-gram's chars") {
+    def scalaHash(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31L + c.toInt) % TextOps.HashP)
+    val samples = Seq("one", "one two", "one two three", "a b c d e f g") ++
+      Gen.listOfN(40, normish).sample.getOrElse(Seq.empty).filter(_.nonEmpty)
+    Seq(2, 3).foreach { n =>
+      val kernel = samples.toDF("t")
+        .select(col("t"), TextKernelOps.wordNgramHashFull(col("t"), n).as("h"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val expected = samples.toDF("t")
+        .select(col("t"), TextOps.wordShingles(TextOps.tokens(col("t")), n).as("g"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).map(scalaHash)).toMap
+      samples.foreach { t => assert(kernel(t) == expected(t), s"mismatch for '$t' n=$n") }
+    }
+  }
+
   test("word_ngrams == wordShingles over tokens (random + edges)") {
     val samples = Seq("one", "one two", "one two three", "a b c d e f g") ++
       Gen.listOfN(40, normish).sample.getOrElse(Seq.empty).filter(_.nonEmpty)
