@@ -2,18 +2,37 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.VectorDot
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{ShingleHashes, VectorDot, WordNgramHash8, WordNgramHashFull, WordNgrams}
 
 /** `SparkSessionExtensions` hook: registers the engine's native Catalyst
   * expressions as SQL functions, so `spark.sql` users get the codegen'd
-  * kernels too (`SELECT vector_dot(a, b) ...`).
+  * kernels too (`SELECT vector_dot(a, b)`,
+  * `SELECT explode(shingle_hashes(text, 8))`, ...).
   *
   * Activate per session with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
   * `.withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** The width/arity argument of a text kernel must be a literal int —
+    * it parameterizes codegen, not per-row data. */
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got $other")
+  }
+
+  private def textKernel(name: String, clazz: Class[_],
+                         build: (Expression, Int) => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, s"$name(text, n) takes exactly two arguments")
+      build(children.head, intLit(children(1), name))
+    })
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("vector_dot"),
@@ -22,5 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "vector_dot(a, b) takes exactly two arguments")
         VectorDot(children.head, children(1))
       }))
+    ext.injectFunction(textKernel("shingle_hashes",
+      classOf[ShingleHashes], ShingleHashes.apply))
+    ext.injectFunction(textKernel("word_ngrams",
+      classOf[WordNgrams], WordNgrams.apply))
+    ext.injectFunction(textKernel("word_ngram_hash8",
+      classOf[WordNgramHash8], WordNgramHash8.apply))
+    ext.injectFunction(textKernel("word_ngram_hash_full",
+      classOf[WordNgramHashFull], WordNgramHashFull.apply))
   }
 }

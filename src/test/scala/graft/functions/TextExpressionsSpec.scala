@@ -79,6 +79,15 @@ class TextExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("kernels are registered as SQL functions via GraftExtensions") {
+    val row = spark.sql(
+      """SELECT size(shingle_hashes('abcdefghij', 8)) AS a,
+        |       size(word_ngrams('one two three', 2)) AS b,
+        |       size(word_ngram_hash_full('one two three', 3)) AS c
+        |""".stripMargin).collect()(0)
+    assert(row.getInt(0) == 3 && row.getInt(1) == 2 && row.getInt(2) == 1)
+  }
+
   test("kernels run inside whole-stage codegen") {
     val df = Seq("the quick brown fox jumps").toDF("t")
       .select(explode(TextKernelOps.shingleHashes(col("t"), 8)).as("hv"))
