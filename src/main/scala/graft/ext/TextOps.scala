@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
   * partition-parallel at any scale. Hash arithmetic is integer-only
   * (deterministic across engines AND across partition orders), which is
   * what lets the DuckDB oracle reproduce every value bit-for-bit.
+  *
+  * The shingling/hashing forms below double as the executable REFERENCE
+  * of the hash math: the hot paths run the codegen'd kernels in
+  * [[graft.functions]], and parity specs pin those kernels to these
+  * formulations value-for-value.
   */
 object TextOps {
 
