@@ -48,6 +48,25 @@ class QueriesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("dedup tier results are identical under different partitionings") {
+    // The hash tiers shuffle integer shingle hashes through staged
+    // checkpoints; none of it may depend on partition count or order.
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(): Seq[(Long, Long, Double)] =
+      graft.queries.ExtQueries.dedupNgramJaccard(spark, sf001)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def runLsh(): Seq[(Long, Long, Double)] =
+      graft.queries.ExtQueries.dedupMinhashLsh(spark, sf001)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val (a1, a2) = (run(), runLsh())
+      spark.conf.set("spark.sql.shuffle.partitions", "17")
+      assert(run() == a1)
+      assert(runLsh() == a2)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("compaction is idempotent") {
     val ev = graft.model.Tables.events(spark, sf001)
     val once = graft.ingest.Ingest.compactReplacing(ev,
