@@ -62,4 +62,29 @@ class DailyPipelineSpec extends SparkSpec {
     assert(replay.count() == s1.count())
     assert(replay.exceptAll(s1).count() == 0)
   }
+
+  test("full daily run: EUC-KR crawl drop on disk → decode → parse → state → client report") {
+    // The whole reference journey in one pass: a raw KRX-style HTML drop
+    // (EUC-KR bytes, Korean headers) through charset-fallback decode,
+    // table parse, normalize/validate/merge, and the client's per-market
+    // count report.
+    val html =
+      """<table>
+        |<tr><th>종목코드</th><th>회사명</th><th>시장구분</th><th>상장일</th></tr>
+        |<tr><td>005930</td><td>삼성전자</td><td>KOSPI</td><td>2000-01-02</td></tr>
+        |<tr><td>035720</td><td>카카오</td><td>KOSDAQ</td><td>2017-07-10</td></tr>
+        |</table>""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft_daily_e2e")
+    java.nio.file.Files.write(dir.resolve("kospi_drop.html"), html.getBytes("EUC-KR"))
+    val raw = graft.sources.TextDecode.readHtmlTables(spark, s"$dir/*.html",
+      Seq("종목코드", "회사명", "시장구분", "상장일"))
+    val state = DailyPipeline.runBatch(DailyPipeline.emptyState(spark), raw,
+      "2026-01-02 02:00:00")
+    val samsung = state.filter($"symbol" === "005930").collect()(0)
+    assert(samsung.getAs[String]("name") == "삼성전자")
+    assert(samsung.getAs[java.sql.Date]("listing_date").toString == "2000-01-02")
+    val report = new graft.queries.MasterClient(state).getStockCount()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(report.toSeq == Seq(("KOSDAQ", 1L, 0L, 1L), ("KOSPI", 1L, 0L, 1L)))
+  }
 }
