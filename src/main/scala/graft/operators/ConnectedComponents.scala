@@ -54,4 +54,75 @@ object ConnectedComponents {
     }
     labels
   }
+
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the extreme-scale variant: each round REWRITES the edge set toward
+    * stars centered on component minima, so convergence takes
+    * O(log² diameter) rounds instead of the diameter-many rounds of
+    * [[labelPropagation]]. Same output contract: (node, label) with
+    * label = component min.
+    *
+    *  - large-star: every node attaches its STRICTLY LARGER neighbors to
+    *    the minimum of its neighborhood (including itself);
+    *  - small-star: every node attaches its smaller-or-equal neighbors,
+    *    and itself, to that minimum.
+    *
+    * Each phase is one symmetric-neighborhood aggregation + join —
+    * identical shuffle shape to one label-prop round. Preferred when
+    * components may be DEEP (long chains); near-dup graphs are shallow,
+    * so [[labelPropagation]] remains the default for the dedup tiers. */
+  def alternatingStar(edges: DataFrame, srcCol: String, dstCol: String,
+                      maxIter: Int = 30): DataFrame = {
+    val init = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    // every node, including isolated-after-rewrite roots, must surface
+    val nodes = init.select(col("a").as("node"))
+      .union(init.select(col("b").as("node"))).distinct()
+      .localCheckpoint()
+
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+
+    def mins(nb: DataFrame): DataFrame =
+      nb.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+
+    var e = init
+    var stable = false
+    var i = 0
+    while (!stable && i < maxIter) {
+      // large-star: (v, m(u)) for v > u — m(u) ≤ u < v keeps pairs canonical
+      val nbL = sym(e)
+      val large = nbL.filter(col("v") > col("u"))
+        .join(mins(nbL), Seq("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint()
+      // small-star: (v, m(u)) for v ≤ u, plus (u, m(u))
+      val nbS = sym(large)
+      val sMin = mins(nbS)
+      val small = nbS.filter(col("v") < col("u"))
+        .join(sMin, Seq("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .union(sMin.select(col("m").as("a"), col("u").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .distinct()
+        .localCheckpoint()
+      stable = small.exceptAll(e).isEmpty && e.exceptAll(small).isEmpty
+      e = small
+      i += 1
+    }
+    // fixed point: stars around component minima → label = min neighbor
+    val labeled = sym(e).groupBy(col("u").as("node"))
+      .agg(least(min(col("v")), first(col("u"))).as("label"))
+    nodes.join(labeled, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+  }
 }
