@@ -72,6 +72,34 @@ class EventStreamSpec extends SparkSpec {
     assert(sessions.contains((1L, 0L, 5L, 2L, 12.5)))
   }
 
+  test("slidingCounts buckets each event into width/slide overlapping windows") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[EvRow]
+    val q = EventStream.slidingCounts(in.toDF(), "1 hour", "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("slid").outputMode("complete").start()
+    in.addData(ev(1, 45)) // minute 45: epoch-aligned hour windows at 0 and 30
+    drain(q)
+    val starts = spark.table("slid")
+      .collect().map(r => mins(r.getTimestamp(0))).sorted.toSeq
+    assert(starts == Seq(0L, 30L))
+  }
+
+  test("writeParquet lands an append stream durably with a checkpoint") {
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_sink_stream").toString
+    val in = MemoryStream[EvRow]
+    val q = EventStream.writeParquet(
+      EventStream.dedupEvents(in.toDF(), "1 hour"),
+      s"$base/out", s"$base/ckpt")
+    in.addData(ev(1, 0), ev(1, 0), ev(2, 1))
+    q.processAllAvailable()
+    q.stop()
+    val landed = spark.read.parquet(s"$base/out")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(landed == Seq(1L, 2L))  // dedup applied before the sink
+    assert(new java.io.File(s"$base/ckpt").exists)  // checkpoint written
+  }
+
   test("sessionWindows (native) emits finalized sessions past the watermark") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[EvRow]
