@@ -59,7 +59,12 @@ class MarketClient(master: DataFrame, price: DataFrame) {
     * applies. */
   def getTopPerformers(tradeDate: String, limit: Int = 20): DataFrame = {
     val w = Window.partitionBy("symbol").orderBy("trade_date")
-    price.select(col("symbol"), col("trade_date"), col("close_price"),
+    // The day-equality filter cannot push below the lag window (lag must
+    // see earlier rows), but `<= tradeDate` CAN be applied first — lag
+    // only looks backward — so the window never sorts future history and
+    // month-partition pruning cuts the scan.
+    price.filter(col("trade_date") <= lit(tradeDate))
+      .select(col("symbol"), col("trade_date"), col("close_price"),
         col("volume"), lag("close_price", 1).over(w).as("prev_close"))
       .filter(col("trade_date") === lit(tradeDate) && col("prev_close") > 0)
       .join(dim.select("symbol", "name"), Seq("symbol"))
