@@ -90,6 +90,33 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
   }
 
+  test("incremental minhash == full run restricted to batch-touching pairs") {
+    val batch = Seq(
+      (10L, base),                       // near-dups doc 0/1/2 from the corpus
+      (11L, "totally fresh content about streaming watermarks and state stores")
+    ).toDF("doc_id", "text")
+    val union = corpus.unionByName(batch)
+    val full = TextDedup.minhashLshPairs(union, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expected = full.filter { case ((a, b), _) => a >= 10L || b >= 10L }
+
+    val state0 = TextDedup.minhashState(corpus, "doc_id", "text")
+    val (pairs, state1) = TextDedup.minhashLshIncremental(state0, batch,
+      "doc_id", "text", threshold = 0.5)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.contains((0L, 10L)))      // batch doc linked into the corpus
+
+    // second increment from the extended state: an exact copy of doc 10
+    val batch2 = Seq((20L, base)).toDF("doc_id", "text")
+    val (pairs2, _) = TextDedup.minhashLshIncremental(state1, batch2,
+      "doc_id", "text", threshold = 0.5)
+    val got2 = pairs2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2.contains((10L, 20L)) && got2.contains((0L, 20L)))
+    assert(got2.forall { case (a, b) => a == 20L || b == 20L })
+  }
+
   test("simhash: exact dup at Hamming 0; unrelated far away") {
     val fps = TextDedup.simhashFingerprints(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
