@@ -90,6 +90,26 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
   }
 
+  test("incremental exact dedup assigns known hashes and groups fresh ones") {
+    val state0 = TextDedup.exactState(corpus, "doc_id", "text")
+    val batch = Seq(
+      (10L, base),                // exact copy of doc 0 → joins its group
+      (11L, "brand new text one"), (12L, "brand new text one"), // new group
+      (13L, "another singleton")
+    ).toDF("doc_id", "text")
+    val (asg, state1) = TextDedup.exactGroupsIncremental(state0, batch,
+      "doc_id", "text")
+    val m = asg.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(m(10L) == ((0L, 0)))   // existing group, rep stays doc 0
+    assert(m(11L) == ((11L, 1)))  // new group headed by min batch id
+    assert(m(12L) == ((11L, 0)))
+    assert(m(13L) == ((13L, 1)))
+    // extended state now resolves a copy of the NEW group's text
+    val (asg2, _) = TextDedup.exactGroupsIncremental(state1,
+      Seq((20L, "brand new text one")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(asg2.collect()(0).getLong(1) == 11L)
+  }
+
   test("incremental minhash == full run restricted to batch-touching pairs") {
     val batch = Seq(
       (10L, base),                       // near-dups doc 0/1/2 from the corpus
