@@ -70,6 +70,7 @@ object SparkEntry {
     "q48_csv_roundtrip"    -> ((s, d) => IngestQueries.csvRoundtrip(s, d)),
     "q49_ann_ivf_topk"     -> ((s, d) => ExtQueries.annIvfTopK(s, d)),
     "q50_corpus_report"    -> ((s, d) => ExtQueries.corpusReport(s, d)),
+    "q51_json_roundtrip"   -> ((s, d) => IngestQueries.jsonRoundtrip(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -691,5 +692,11 @@ object SparkEntry {
          |FROM pd LEFT JOIN rep r ON r.doc_id = pd.doc_id
          |GROUP BY 1, 2
          |ORDER BY 1, 2""".stripMargin,
+    // Lossless-round-trip invariant against the ORIGINAL table (same
+    // rationale as q48).
+    "q51_json_roundtrip" ->
+      s"""SELECT doc_id, text, lang, source, n_chars
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
   )
 }

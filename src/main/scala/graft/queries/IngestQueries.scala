@@ -133,6 +133,30 @@ object IngestQueries {
     * the same files via DuckDB `read_csv`, so the path must be static. */
   val CsvDropPath = "/root/repo/data/csv_customer"
 
+  /** Fixed drop location for the JSON-lines round-trip. */
+  val JsonDropPath = "/root/repo/data/json_documents"
+
+  /** JSON-lines bulk load: land the documents table as a JSON drop, bulk
+    * it back through the declared-schema reader. Same contract as
+    * [[csvRoundtrip]]: the oracle compares against the ORIGINAL table,
+    * so green means the write → parse → typed-scan loop is lossless
+    * (including text with quotes/escapes). */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    graft.sources.JsonSource.write(
+      Tables.documents(spark, dir)
+        .select("doc_id", "text", "lang", "source", "n_chars"),
+      JsonDropPath)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    graft.sources.JsonSource.read(spark, JsonDropPath, schema)
+      .orderBy("doc_id")
+  }
+
   /** SRC8 CSV bulk load (`setup_clickhouse.py:143-170`): land the
     * customer table as a CSV drop, then bulk-load it back through the
     * declared-schema reader. Exercises the full write → parse → typed

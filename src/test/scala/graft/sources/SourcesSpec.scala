@@ -91,6 +91,30 @@ class SourcesSpec extends SparkSpec {
     assert(back(1).isNullAt(1))
   }
 
+  test("json source round-trips types/nulls and nulls malformed lines (PERMISSIVE)") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val df = Seq(
+      (1L, Some("""quotes " and \ slashes"""), Some(1.5)),
+      (2L, None: Option[String], None: Option[Double])
+    ).toDF("id", "name", "v")
+    JsonSource.write(df, s"$base/drop")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("v", DoubleType)))
+    val back = JsonSource.read(spark, s"$base/drop", schema)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(back == Set(
+      (1L, Some("""quotes " and \ slashes"""), Some(1.5)),
+      (2L, None, None)))
+    // malformed line → all-null row, not an abort
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/bad.json"),
+      "{\"id\": 1, \"v\": 2.5}\nnot json at all\n".getBytes)
+    val bad = JsonSource.read(spark, s"$base/bad.json", schema).collect()
+    assert(bad.length == 2)
+    assert(bad.count(_.isNullAt(0)) == 1)
+  }
+
   test("tableInfo reports per-partition rows/bytes/files and a summary") {
     val base = java.nio.file.Files.createTempDirectory("graft_ti").toString
     val orders = graft.model.Tables.orders(spark, sf001)
