@@ -139,6 +139,114 @@ object GraftTextKernels {
     new GenericArrayData(out)
   }
 
+  /** MinHash permutation constants `h_j(x) = (a_j·x + b_j) mod P`, 16
+    * permutations banded 4×4 (band = j/4, slot = j%4). Source of truth
+    * for [[graft.ext.TextDedup.Perms]] (derived from these arrays) and
+    * the oracle CTE generator — one place to change, no drift. */
+  val MinhashA: Array[Long] = Array(
+    1000003L, 1000033L, 1000037L, 1000039L, 1000081L, 1000099L, 1000117L,
+    1000121L, 1000133L, 1000151L, 1000159L, 1000171L, 1000183L, 1000187L,
+    1000193L, 1000199L)
+  val MinhashB: Array[Long] = Array(
+    12345L, 54321L, 7777L, 3333L, 999L, 111L, 2025L, 4242L, 8888L, 606L,
+    909L, 13579L, 24680L, 97531L, 86420L, 55555L)
+  /** 31^slot weights for band-hash assembly. */
+  private val BandW: Array[Long] = Array(1L, 31L, 961L, 29791L)
+
+  /** The 4 MinHash band hashes of `s` in ONE pass: every k-char shingle
+    * hash feeds 16 running minima `min_j (a_j·hv + b_j) mod P`; band b's
+    * hash is `Σ_slot min_{4b+slot}·31^slot`. Value-identical to the
+    * explode → groupBy(16 × min) formulation ([[graft.ext.TextDedup
+    * .minhashBandsFromIndex]], pinned by a parity spec) — min over
+    * duplicate shingle occurrences equals min over the distinct set, so
+    * skipping the distinct is exact, and computing the signature at the
+    * scan removes the corpus-wide (doc, shingle-hash) shuffle entirely.
+    * Returns an EMPTY array when the text has no k-shingle (matching the
+    * aggregation form, where such docs produce no group). */
+  def minhashBandHashes(s: UTF8String, k: Int): ArrayData = {
+    val cp = codePoints(s)
+    val m = cp.length - k + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val w = if (k == 8) W8 else weights(k)
+    val mins = Array.fill(16)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h += cp(i + j) * w(j); j += 1 }
+      val hv = h % P
+      j = 0
+      while (j < 16) {
+        val v = (hv * MinhashA(j) + MinhashB(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](4)
+    var b = 0
+    while (b < 4) {
+      out(b) = mins(4 * b) * BandW(0) + mins(4 * b + 1) * BandW(1) +
+        mins(4 * b + 2) * BandW(2) + mins(4 * b + 3) * BandW(3)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 32-bit SimHash over word n-gram features in ONE pass: per n-gram,
+    * `hash8(rpad(ngram, 8, ' '))` (identical to [[wordNgramHash8]]) votes
+    * ±1 on each of 32 bit positions — one vote per OCCURRENCE, matching
+    * the explode → groupBy(32 × conditional sum) formulation
+    * ([[graft.ext.TextDedup.simhashFingerprintsAgg]], parity-specced) and
+    * the oracle's non-distinct feature CTE. Bit b is set iff its vote sum
+    * is strictly positive. Returns -1 when the text has fewer than n
+    * tokens (the aggregation form emits no group for such docs; fp is
+    * otherwise in [0, 2³²) so the sentinel is unambiguous). */
+  def simhash32(s: UTF8String, n: Int): Long = {
+    val cp = codePoints(s)
+    var nTok = if (cp.length == 0) 0 else 1
+    var i = 0
+    while (i < cp.length) { if (cp(i) == ' ') nTok += 1; i += 1 }
+    val m = nTok - n + 1
+    if (m <= 0 || cp.length == 0) return -1L
+    val starts = new Array[Int](nTok + 1)
+    var t = 1
+    starts(0) = 0
+    i = 0
+    while (i < cp.length) {
+      if (cp(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTok) = cp.length + 1
+    val votes = new Array[Int](32)
+    var g = 0
+    while (g < m) {
+      val from = starts(g)
+      val until = starts(g + n) - 1
+      var h = 0L
+      var j = 0
+      while (j < 8) {
+        val c = if (from + j < until) cp(from + j) else ' '.toInt
+        h += c * W8(j)
+        j += 1
+      }
+      val hv = h % P
+      var b = 0
+      while (b < 32) {
+        if (((hv >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      g += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
   /** Hash of the first 8 chars (space-padded) of every word n-gram of
     * the single-space-separated string `s` — exactly
     * `hash8(rpad(wordShingles(tokens(s), n)(i), 8, ' '))`. */
@@ -283,6 +391,56 @@ case class WordNgramHash8(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `array<long>` of the 4 MinHash band hashes of a string — the whole
+  * LSH signature computed at the scan (no shingle explode, no doc-keyed
+  * aggregation). Empty array when the text is shorter than k. */
+case class MinHashBandHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1 && k <= 8, s"k must be in [1, 8], got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_band_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftTextKernels.minhashBandHashes(input.asInstanceOf[UTF8String], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftTextKernels.minhashBandHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandHashes =
+    copy(child = newChild)
+}
+
+/** `long` 32-bit SimHash fingerprint over word n-gram features, computed
+  * at the scan (no feature explode, no vote aggregation); -1 sentinel for
+  * texts with no n-gram. */
+case class SimHash32(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftTextKernels.simhash32(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftTextKernels.simhash32($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
 object TextKernelOps {
   /** Column form of [[ShingleHashes]]. */
   def shingleHashes(c: Column, k: Int): Column =
@@ -299,4 +457,12 @@ object TextKernelOps {
   /** Column form of [[WordNgramHashFull]]. */
   def wordNgramHashFull(c: Column, n: Int): Column =
     GraftExpressionBridge.column(WordNgramHashFull(GraftExpressionBridge.expression(c), n))
+
+  /** Column form of [[MinHashBandHashes]]. */
+  def minhashBandHashes(c: Column, k: Int): Column =
+    GraftExpressionBridge.column(MinHashBandHashes(GraftExpressionBridge.expression(c), k))
+
+  /** Column form of [[SimHash32]]. */
+  def simhash32(c: Column, n: Int): Column =
+    GraftExpressionBridge.column(SimHash32(GraftExpressionBridge.expression(c), n))
 }

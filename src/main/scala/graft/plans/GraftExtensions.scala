@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{ShingleHashes, VectorDot, WordNgramHash8, WordNgramHashFull, WordNgrams}
+import graft.functions.{MinHashBandHashes, ShingleHashes, SimHash32, VectorDot, WordNgramHash8, WordNgramHashFull, WordNgrams}
 
 /** `SparkSessionExtensions` hook: registers the engine's native Catalyst
   * expressions as SQL functions, so `spark.sql` users get the codegen'd
@@ -49,5 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[WordNgramHash8], WordNgramHash8.apply))
     ext.injectFunction(textKernel("word_ngram_hash_full",
       classOf[WordNgramHashFull], WordNgramHashFull.apply))
+    ext.injectFunction(textKernel("minhash_band_hashes",
+      classOf[MinHashBandHashes], MinHashBandHashes.apply))
+    ext.injectFunction(textKernel("simhash32",
+      classOf[SimHash32], SimHash32.apply))
   }
 }

@@ -46,14 +46,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("minhash signature aggregation runs off the scan without a distinct") {
+  test("minhash bands and simhash fingerprints are scan-side projections") {
     import graft.ext.TextDedup
     val docs = graft.model.Tables.documents(spark, sf001)
-    val p = plan(TextDedup.minhashBands(
-      TextDedup.docShingleHashes(docs, "doc_id", "text")))
-    // the signature path itself (bands over raw hashes) has exactly the
-    // doc-keyed aggregation exchange; assert the kernel expression is
-    // in-plan (codegen'd scan-side hashing, not interpreted HOFs)
-    assert(p.contains("shingle_hashes"), s"native kernel missing:\n$p")
+    val bands = plan(TextDedup.minhashBands(docs, "doc_id", "text"))
+    assert(bands.contains("minhash_band_hashes"), s"native kernel missing:\n$bands")
+    assert(!bands.contains("HashAggregate"), s"unexpected aggregation:\n$bands")
+    val fps = plan(TextDedup.simhashFingerprints(docs, "doc_id", "text"))
+    assert(fps.contains("simhash32"), s"native kernel missing:\n$fps")
+    assert(!fps.contains("HashAggregate") && !fps.contains("Generate"),
+      s"fingerprinting should be a pure projection:\n$fps")
   }
 }

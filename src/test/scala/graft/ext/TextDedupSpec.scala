@@ -46,12 +46,41 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("identical docs have identical minhash band hashes") {
-    val bands = TextDedup.minhashBands(
-        TextDedup.docShingleHashes(corpus, "doc_id", "text"))
+    val bands = TextDedup.minhashBands(corpus, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     (0 until 4).foreach { b =>
       assert(bands((0L, b)) == bands((1L, b)))
     }
+  }
+
+  test("scan-side minhash bands == groupBy-min signature over the index") {
+    val texts = Seq("", "abc", "abcdefgh", "abcdefghi",
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy cat",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa") ++
+      (0 until 30).map(i => s"doc $i body with shared words and tail token$i")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val native = asMap(TextDedup.minhashBands(docs, "doc_id", "text"))
+    val viaAgg = asMap(TextDedup.minhashBandsFromIndex(
+      TextDedup.docShingleHashes(docs, "doc_id", "text")))
+    assert(native == viaAgg)
+  }
+
+  test("scan-side simhash fingerprints == vote-aggregation formulation") {
+    val texts = Seq("", "one", "one two", "one two three",
+      "the quick brown fox jumps over the lazy dog") ++
+      (0 until 30).map(i => s"doc $i body with shared words and tail token$i")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = asMap(TextDedup.simhashFingerprints(docs, "doc_id", "text"))
+    val viaAgg = asMap(TextDedup.simhashFingerprintsAgg(docs, "doc_id", "text"))
+    assert(native == viaAgg) // docs with <2 tokens absent from BOTH
+    assert(!native.contains(0L) && !native.contains(1L))
   }
 
   test("df-cap drops hot shingles from sizes AND intersections") {
