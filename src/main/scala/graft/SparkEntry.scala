@@ -71,6 +71,9 @@ object SparkEntry {
     "q49_ann_ivf_topk"     -> ((s, d) => ExtQueries.annIvfTopK(s, d)),
     "q50_corpus_report"    -> ((s, d) => ExtQueries.corpusReport(s, d)),
     "q51_json_roundtrip"   -> ((s, d) => IngestQueries.jsonRoundtrip(s, d)),
+    "q52_hash_split"       -> ((s, d) => ExtQueries.splitStats(s, d)),
+    "q53_repetition"       -> ((s, d) => ExtQueries.repetitionStats(s, d)),
+    "q54_pii_scrub"        -> ((s, d) => ExtQueries.piiScrub(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -140,6 +143,17 @@ object SparkEntry {
   private val simhashFpExpr = (0 until 32)
     .map(b => s"(CASE WHEN v_$b > 0 THEN ${1L << b} ELSE 0 END)")
     .mkString(" + ")
+  /** Full-length 31-Horner rolling hash mod 2³¹-1 of a string expression —
+    * GraftTextKernels.wordNgramHashFull's per-span math (token identity
+    * for the repetition stats). */
+  private def fullHash(c: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(1, length($c)+1),
+       |    i -> CAST(ord(substr($c, i, 1)) AS BIGINT))),
+       |  (h, c) -> (h * 31 + c) % ${graft.ext.TextOps.HashP})""".stripMargin
+  /** Sampling.bucket100 over doc_id. */
+  private val bucketExpr =
+    s"((doc_id * 1000003 + 12345) % ${graft.ext.TextOps.HashP}) % 100"
   /** Normalized double-precision embeddings with L2 norm. */
   private val embCte =
     "nm AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb, " +
@@ -697,6 +711,67 @@ object SparkEntry {
     "q51_json_roundtrip" ->
       s"""SELECT doc_id, text, lang, source, n_chars
          |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "q52_hash_split" ->
+      s"""WITH b AS (SELECT doc_id, length(text) AS len, $bucketExpr AS bucket
+         |           FROM documents)
+         |SELECT CASE WHEN bucket < 90 THEN 'train'
+         |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+         |       COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+         |       CAST(SUM(len) AS BIGINT) AS sum_chars,
+         |       CAST(SUM(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_in_10pct_sample
+         |FROM b GROUP BY 1
+         |ORDER BY split""".stripMargin,
+    // Token/bigram identity = the same full-length rolling hash the
+    // kernel computes, so distinct/frequency semantics (collisions
+    // included) are engine-identical.
+    "q53_repetition" ->
+      s"""WITH $nCte,
+         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n WHERE t <> ''),
+         |th AS (SELECT doc_id, ${fullHash("w")} AS hv
+         |       FROM (SELECT doc_id, unnest(toks) AS w FROM tk) z),
+         |tc AS (SELECT doc_id, hv, COUNT(*) AS c FROM th GROUP BY 1, 2),
+         |ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |              COUNT(*) AS n_distinct, MAX(c) AS top
+         |       FROM tc GROUP BY 1),
+         |bg AS (SELECT doc_id, toks[g] || ' ' || toks[g+1] AS sg
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS g FROM tk) z),
+         |bh AS (SELECT doc_id, ${fullHash("sg")} AS hv FROM bg),
+         |bs AS (SELECT doc_id, COUNT(*) AS n_bg, COUNT(DISTINCT hv) AS nd_bg
+         |       FROM bh GROUP BY 1)
+         |SELECT ts.doc_id, ts.n_tokens,
+         |       ROUND(CAST(n_distinct AS DOUBLE)/n_tokens, 4) AS distinct_ratio,
+         |       ROUND(CAST(top AS DOUBLE)/n_tokens, 4) AS top_token_frac,
+         |       COALESCE(ROUND(1.0 - CAST(nd_bg AS DOUBLE)/n_bg, 4), 0.0)
+         |         AS dup_bigram_frac,
+         |       CASE WHEN ROUND(CAST(n_distinct AS DOUBLE)/n_tokens, 4) < 0.5
+         |              OR ROUND(CAST(top AS DOUBLE)/n_tokens, 4) > 0.2
+         |              OR COALESCE(ROUND(1.0 - CAST(nd_bg AS DOUBLE)/n_bg, 4), 0.0) > 0.5
+         |            THEN 1 ELSE 0 END AS is_repetitive
+         |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+         |ORDER BY ts.doc_id""".stripMargin,
+    // Augmentation (same expression as ExtQueries.piiScrub) injects
+    // doc_id-derived PII so the redaction regexes bite on every row;
+    // counts are against the augmented original, replacements cascade
+    // URL -> EMAIL -> PHONE.
+    "q54_pii_scrub" ->
+      s"""WITH $nCte,
+         |a AS (SELECT doc_id,
+         |        t || ' contact user' || CAST(doc_id AS VARCHAR)
+         |          || '@mail.example.com or https://ex.org/d/'
+         |          || CAST(doc_id AS VARCHAR)
+         |          || '?ref=a call 010-1234-5678' AS t
+         |      FROM n)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(t, '${graft.ext.TextClean.EmailPattern}')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(t, '${graft.ext.TextClean.UrlPattern}')) AS BIGINT) AS n_urls,
+         |       CAST(len(regexp_extract_all(t, '${graft.ext.TextClean.PhonePattern}')) AS BIGINT) AS n_phones,
+         |       regexp_replace(regexp_replace(regexp_replace(t,
+         |         '${graft.ext.TextClean.UrlPattern}', '<URL>', 'g'),
+         |         '${graft.ext.TextClean.EmailPattern}', '<EMAIL>', 'g'),
+         |         '${graft.ext.TextClean.PhonePattern}', '<PHONE>', 'g') AS clean_text
+         |FROM a
          |ORDER BY doc_id""".stripMargin,
   )
 }

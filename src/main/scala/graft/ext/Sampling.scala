@@ -1,0 +1,42 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for a training-data
+  * pipeline. Everything is keyed integer arithmetic — no RNG, no
+  * `rand()` — so assignments are (a) reproducible run-to-run and
+  * engine-to-engine (the DuckDB oracle computes identical buckets), and
+  * (b) STABLE UNDER APPEND: a document's split never changes when the
+  * corpus grows, which is what keeps train/test contamination impossible
+  * across dataset versions. At 100 TB both ops are pure scan-side
+  * projections/filters — zero shuffle, trivially partition-parallel.
+  */
+object Sampling {
+
+  /** Affine-mod bucket in [0, 100): `((key·a + b) mod P) mod 100`.
+    * The multiplier/offset are coprime to P = 2³¹-1, so buckets are
+    * uniform over any contiguous or sparse key range. */
+  def bucket100(key: Column): Column =
+    ((key.cast("long") * lit(1000003L) + lit(12345L)) % lit(TextOps.HashP)) % 100
+
+  /** Assign each row to a named split by cumulative percentage:
+    * `weights = Seq("train" -> 90, "val" -> 5, "test" -> 5)` (must sum to
+    * 100). Deterministic in the key — appends never reshuffle existing
+    * assignments. */
+  def hashSplit(df: DataFrame, keyCol: String,
+                weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.map(_._2).sum == 100, "split weights must sum to 100")
+    val b = bucket100(col(keyCol))
+    val cum = weights.scanLeft(0)(_ + _._2).tail
+    val split = weights.zip(cum).foldRight(lit(weights.last._1): Column) {
+      case (((name, _), hi), rest) => when(b < hi, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", split)
+  }
+
+  /** Keep a deterministic `pct`% of rows by key — the scan-side
+    * subsample every at-scale experiment starts with. */
+  def deterministicSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.filter(bucket100(col(keyCol)) < pct)
+}

@@ -97,6 +97,34 @@ object TextAnalysis {
       predicted.as("predicted_lang"))
   }
 
+  /** Within-document repetition profile — the Gopher-style repetition
+    * filter (Rae et al. 2021 §A1.3: repetitious documents are low-quality
+    * training data): distinct-token ratio, most-frequent-token share, and
+    * duplicate-bigram fraction, with a composite `is_repetitive` gate.
+    * All five raw counts come from the one-pass codegen'd
+    * [[graft.functions.RepetitionStats]] kernel, so the operator is a
+    * pure projection fused with the scan — zero shuffles at any corpus
+    * size. Token identity is the full-length rolling hash (the oracle
+    * groups on the same integers, so distinct/frequency semantics match
+    * exactly). Empty documents are excluded on both engines. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = normText(col(textCol))
+    val distinctRatio = Parity.r4(col("rs")(1).cast("double") / col("rs")(0))
+    val topFrac = Parity.r4(col("rs")(2).cast("double") / col("rs")(0))
+    val dupBigram = when(col("rs")(3) > 0,
+      Parity.r4(lit(1.0) - col("rs")(4).cast("double") / col("rs")(3)))
+      .otherwise(lit(0.0))
+    docs.filter(length(t) > 0)
+      .select(col(idCol), graft.functions.TextKernelOps.repetitionStats(t).as("rs"))
+      .select(col(idCol),
+        col("rs")(0).as("n_tokens"),
+        distinctRatio.as("distinct_ratio"),
+        topFrac.as("top_token_frac"),
+        dupBigram.as("dup_bigram_frac"),
+        when(distinctRatio < 0.5 || topFrac > 0.2 || dupBigram > 0.5, 1)
+          .otherwise(0).as("is_repetitive"))
+  }
+
   /** Document fingerprint: order-independent sum of the distinct
     * char-8-gram rolling-hash values mod 2^31-1 (a set-hash — robust to
     * shingle order, so it is shuffle-order-stable and identical in the

@@ -247,6 +247,56 @@ object GraftTextKernels {
     fp
   }
 
+  /** Within-document repetition stats in ONE pass:
+    * `[n_tokens, n_distinct_tokens, top_token_count, n_bigrams,
+    * n_distinct_bigrams]`. Token identity is the full-length 31-Horner
+    * rolling hash (exactly [[wordNgramHashFull]] with n = 1; bigrams with
+    * n = 2, hashing the joining space too), so the oracle can reproduce
+    * the SAME distinct/frequency semantics — including the ~2⁻³¹ hash
+    * collisions — by grouping on the same integers. All zeros for empty
+    * text (callers exclude empty docs on both engines). */
+  def repetitionStats(s: UTF8String): ArrayData = {
+    val cp = codePoints(s)
+    if (cp.length == 0)
+      return new GenericArrayData(Array[Long](0L, 0L, 0L, 0L, 0L))
+    var nTok = 1
+    var i = 0
+    while (i < cp.length) { if (cp(i) == ' ') nTok += 1; i += 1 }
+    val starts = new Array[Int](nTok + 1)
+    var t = 1
+    starts(0) = 0
+    i = 0
+    while (i < cp.length) {
+      if (cp(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTok) = cp.length + 1
+    def spanHash(from: Int, until: Int): Long = {
+      var h = 0L
+      var j = from
+      while (j < until) { h = (h * 31L + cp(j)) % P; j += 1 }
+      h
+    }
+    val tokCounts = new java.util.HashMap[Long, Int](nTok * 2)
+    var top = 0
+    var g = 0
+    while (g < nTok) {
+      val h = spanHash(starts(g), starts(g + 1) - 1)
+      val c = tokCounts.merge(h, 1, (a, b) => a + b)
+      if (c > top) top = c
+      g += 1
+    }
+    val nBg = nTok - 1
+    val bgSeen = new java.util.HashSet[Long](nBg * 2)
+    g = 0
+    while (g < nBg) {
+      bgSeen.add(spanHash(starts(g), starts(g + 2) - 1))
+      g += 1
+    }
+    new GenericArrayData(Array[Long](nTok.toLong, tokCounts.size.toLong,
+      top.toLong, nBg.toLong, bgSeen.size.toLong))
+  }
+
   /** Hash of the first 8 chars (space-padded) of every word n-gram of
     * the single-space-separated string `s` — exactly
     * `hash8(rpad(wordShingles(tokens(s), n)(i), 8, ' '))`. */
@@ -391,6 +441,29 @@ case class WordNgramHash8(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `array<long>` `[n_tokens, n_distinct_tokens, top_token_count,
+  * n_bigrams, n_distinct_bigrams]` of a normalized string — the
+  * one-pass repetition profile behind Gopher-style repetition filters. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftTextKernels.repetitionStats(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftTextKernels.repetitionStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
 /** `array<long>` of the 4 MinHash band hashes of a string — the whole
   * LSH signature computed at the scan (no shingle explode, no doc-keyed
   * aggregation). Empty array when the text is shorter than k. */
@@ -465,4 +538,8 @@ object TextKernelOps {
   /** Column form of [[SimHash32]]. */
   def simhash32(c: Column, n: Int): Column =
     GraftExpressionBridge.column(SimHash32(GraftExpressionBridge.expression(c), n))
+
+  /** Column form of [[RepetitionStats]]. */
+  def repetitionStats(c: Column): Column =
+    GraftExpressionBridge.column(RepetitionStats(GraftExpressionBridge.expression(c)))
 }

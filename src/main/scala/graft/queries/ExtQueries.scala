@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.ext.{Multimodal, Sampling, Similarity, TextAnalysis, TextClean, TextDedup, TextOps}
 import graft.model.Tables
 
 /** Oracle-checked query wrappers for the LLM-data-pipeline extension
@@ -109,6 +109,46 @@ object ExtQueries {
         sum(coalesce(col("is_rep"), lit(0))).cast("long").as("n_unique"),
         round(sum(col("n_tokens")).cast("double") / count(lit(1)), 4).as("avg_tokens"))
       .orderBy("predicted_lang", "is_quality")
+  }
+
+  /** Within-document repetition profile per doc (q53) — Gopher-style
+    * repetition filtering over the corpus. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Deterministic 90/5/5 hash-split stats (q52): per-split doc counts,
+    * id ranges, char volume, and how many of each split's docs the
+    * deterministic 10% subsample keeps. Split assignment is affine-mod
+    * arithmetic on doc_id — stable under corpus appends, reproducible in
+    * the oracle. */
+  def splitStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Sampling.hashSplit(docs, "doc_id", Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .withColumn("in_sample",
+        when(Sampling.bucket100(col("doc_id")) < 10, 1L).otherwise(0L))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+        sum(length(col("text"))).cast("long").as("sum_chars"),
+        sum(col("in_sample")).as("n_in_10pct_sample"))
+      .orderBy("split")
+  }
+
+  /** PII scrub (q54) over normalized text AUGMENTED with synthetic
+    * doc_id-derived PII (the corpus is word-soup with none of its own) —
+    * the augmentation runs identically in the oracle, so the redaction
+    * regexes are exercised value-for-value on every row rather than
+    * no-op'ing to a trivially green pass-through. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val aug = concat(TextOps.normText(col("text")),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or https://ex.org/d/"), col("doc_id").cast("string"),
+      lit("?ref=a call 010-1234-5678"))
+    TextClean.piiScrub(docs.select(col("doc_id"), aug.as("aug_text")),
+        "doc_id", "aug_text")
+      .orderBy("doc_id")
   }
 
   // ---- multimodal --------------------------------------------------------

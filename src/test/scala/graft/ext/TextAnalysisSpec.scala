@@ -39,6 +39,59 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq("en", "de", "und"))
   }
 
+  test("repetitionStats flags repetitious docs and passes varied ones") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),      // one token repeated
+      (2L, "buy now buy now buy now buy now buy now"),       // repeated bigrams
+      (3L, "each word in this sentence appears exactly once"),
+      (4L, "single"),                                        // no bigrams
+      (5L, "ab xy ab xy zq")                                 // partial repetition
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Double]("distinct_ratio") == 0.125)
+    assert(got(1L).getAs[Double]("top_token_frac") == 1.0)
+    assert(got(1L).getAs[Double]("dup_bigram_frac") > 0.8)
+    assert(got(1L).getAs[Int]("is_repetitive") == 1)
+    assert(got(2L).getAs[Int]("is_repetitive") == 1)
+    assert(got(3L).getAs[Double]("distinct_ratio") == 1.0)
+    assert(got(3L).getAs[Int]("is_repetitive") == 0)
+    assert(got(4L).getAs[Long]("n_tokens") == 1L)
+    assert(got(4L).getAs[Double]("dup_bigram_frac") == 0.0) // no bigrams → 0
+    assert(got(5L).getAs[Double]("distinct_ratio") == 0.6)
+  }
+
+  test("repetition kernel counts match the explode/aggregate formulation") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextKernelOps
+    val texts = Seq("", "one", "one one", "one two one two three",
+      "the quick brown fox the quick brown fox") ++
+      (0 until 20).map(i => s"doc $i words repeat repeat and tail token${i % 7}")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").filter(length(col("text")) > 0)
+    val t = TextOps.normText(col("text"))
+    val viaKernel = docs
+      .select(col("doc_id"), TextKernelOps.repetitionStats(t).as("rs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val tokCounts = docs
+      .select(col("doc_id"), explode(TextKernelOps.wordNgramHashFull(t, 1)).as("hv"))
+      .groupBy("doc_id", "hv").count()
+      .groupBy("doc_id")
+      .agg(sum("count").as("n"), count(lit(1)).as("nd"), max("count").as("top"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val bgCounts = docs
+      .select(col("doc_id"), explode(TextKernelOps.wordNgramHashFull(t, 2)).as("hv"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), countDistinct("hv").as("nd"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    viaKernel.foreach { case (id, rs) =>
+      val (n, nd, top) = tokCounts(id)
+      assert((rs(0), rs(1), rs(2)) == ((n, nd, top)), s"token stats mismatch doc $id")
+      val (nBg, ndBg) = bgCounts.getOrElse(id, (0L, 0L))
+      assert((rs(3), rs(4)) == ((nBg, ndBg)), s"bigram stats mismatch doc $id")
+    }
+  }
+
   test("fingerprint is identical for normalization-equal texts, differs otherwise") {
     val df = Seq(
       (1L, "some document text here padded to shingle length"),
