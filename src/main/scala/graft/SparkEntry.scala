@@ -74,6 +74,9 @@ object SparkEntry {
     "q52_hash_split"       -> ((s, d) => ExtQueries.splitStats(s, d)),
     "q53_repetition"       -> ((s, d) => ExtQueries.repetitionStats(s, d)),
     "q54_pii_scrub"        -> ((s, d) => ExtQueries.piiScrub(s, d)),
+    "q55_token_histogram"  -> ((s, d) => ExtQueries.tokenHistogram(s, d)),
+    "q56_corpus_quantiles" -> ((s, d) => ExtQueries.corpusQuantiles(s, d)),
+    "q57_stratified_mix"   -> ((s, d) => ExtQueries.stratifiedMixture(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -773,5 +776,39 @@ object SparkEntry {
          |         '${graft.ext.TextClean.PhonePattern}', '<PHONE>', 'g') AS clean_text
          |FROM a
          |ORDER BY doc_id""".stripMargin,
+    "q55_token_histogram" ->
+      s"""WITH $nCte,
+         |c AS (SELECT CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens FROM n)
+         |SELECT n_tokens - (n_tokens % 16) AS bucket_lo,
+         |       COUNT(*) AS n_docs,
+         |       MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+         |FROM c GROUP BY 1
+         |ORDER BY bucket_lo""".stripMargin,
+    "q56_corpus_quantiles" ->
+      s"""WITH $nCte,
+         |c AS (SELECT CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
+         |             CAST(length(t) AS BIGINT) AS n_chars
+         |      FROM n),
+         |q AS (SELECT quantile_cont(n_tokens, [0.25, 0.5, 0.75, 0.9, 0.99]) AS qt,
+         |             quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.9, 0.99]) AS qc
+         |      FROM c)
+         |SELECT ROUND(qt[1], 4) AS tok_p25, ROUND(qt[2], 4) AS tok_p50,
+         |       ROUND(qt[3], 4) AS tok_p75, ROUND(qt[4], 4) AS tok_p90,
+         |       ROUND(qt[5], 4) AS tok_p99,
+         |       ROUND(qc[1], 4) AS chr_p25, ROUND(qc[2], 4) AS chr_p50,
+         |       ROUND(qc[3], 4) AS chr_p75, ROUND(qc[4], 4) AS chr_p90,
+         |       ROUND(qc[5], 4) AS chr_p99
+         |FROM q""".stripMargin,
+    "q57_stratified_mix" ->
+      s"""WITH b AS (SELECT lang, $bucketExpr AS bucket FROM documents),
+         |k AS (SELECT lang, COUNT(*) AS n_kept FROM b
+         |      WHERE bucket < (CASE lang WHEN 'en' THEN 25
+         |                                WHEN 'zh' THEN 100 ELSE 60 END)
+         |      GROUP BY lang),
+         |t AS (SELECT lang, COUNT(*) AS n_total FROM b GROUP BY lang)
+         |SELECT t.lang, t.n_total, COALESCE(k.n_kept, 0) AS n_kept,
+         |       ROUND(CAST(COALESCE(k.n_kept, 0) AS DOUBLE)/t.n_total, 4) AS kept_rate
+         |FROM t LEFT JOIN k ON t.lang = k.lang
+         |ORDER BY t.lang""".stripMargin,
   )
 }

@@ -39,4 +39,18 @@ object Sampling {
     * subsample every at-scale experiment starts with. */
   def deterministicSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
     df.filter(bucket100(col(keyCol)) < pct)
+
+  /** Stratified deterministic sampling: per-stratum keep percentages —
+    * the corpus-rebalancing step of training-data mixture design
+    * (downsample the dominant language/source, keep the rare ones).
+    * Strata absent from `rates` keep `defaultPct`. Same affine-mod
+    * bucket as [[deterministicSample]], so per-stratum samples nest and
+    * stay stable under append; still a pure scan-side filter. */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       rates: Map[String, Int], defaultPct: Int): DataFrame = {
+    val pct = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct): Column) {
+      case (acc, (s, p)) => when(col(stratumCol) === s, lit(p)).otherwise(acc)
+    }
+    df.filter(bucket100(col(keyCol)) < pct)
+  }
 }

@@ -136,10 +136,60 @@ object TextAnalysis {
     * same). */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame =
     docs
+      .select(col(idCol), graft.functions.TextKernelOps.shingleSetHash(
+        normText(col(textCol)), k).as("fh"))
+      .filter(col("fh")(1) > 0)
+      .select(col(idCol),
+        col("fh")(0).as("fingerprint"),
+        col("fh")(1).as("n_shingles"))
+
+  /** The pre-kernel formulation of [[fingerprint]] (array_distinct +
+    * interpreted `aggregate` HOF over the shingle-hash array) — kept as
+    * the executable reference; a parity spec pins the one-pass kernel to
+    * it value-for-value. */
+  private[ext] def fingerprintHof(docs: DataFrame, idCol: String, textCol: String,
+                                  k: Int = 8): DataFrame =
+    docs
       .select(col(idCol), array_distinct(graft.functions.TextKernelOps.shingleHashes(
         normText(col(textCol)), k)).as("hvs"))
       .filter(size(col("hvs")) > 0)
       .select(col(idCol),
         (aggregate(col("hvs"), lit(0L), (a, x) => a + x) % lit(HashP)).as("fingerprint"),
         size(col("hvs")).cast("long").as("n_shingles"))
+
+  /** Corpus token-length histogram: fixed-width 16-token buckets keyed by
+    * `bucket_lo = n_tokens - (n_tokens mod 16)` — pure integer
+    * arithmetic, so bucket edges are engine-exact (no float log2 at a
+    * power-of-two boundary). One scan-side projection + one tiny
+    * aggregation; the histogram every corpus intake report starts with. */
+  def tokenHistogram(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = size(tokens(normText(col(textCol)))).cast("long")
+    docs.select(n.as("n_tokens"))
+      .select(col("n_tokens"), (col("n_tokens") - col("n_tokens") % 16).as("bucket_lo"))
+      .groupBy("bucket_lo")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"))
+  }
+
+  /** Exact corpus quantiles of token count and normalized char length
+    * (p25/p50/p75/p90/p99, linear interpolation — Spark's exact
+    * `percentile` and DuckDB's `quantile_cont` share the Hive/type-7
+    * definition). One scan + one single-group aggregation; at 100 TB the
+    * same shape runs as a partial-aggregated `percentile_approx` — this
+    * is the exactness-first variant the oracle can verify. */
+  def corpusQuantiles(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = normText(col(textCol))
+    val probs = "array(0.25D, 0.5D, 0.75D, 0.9D, 0.99D)"
+    docs.select(size(tokens(t)).cast("long").as("n_tokens"),
+        length(t).cast("long").as("n_chars"))
+      .agg(expr(s"percentile(n_tokens, $probs)").as("qt"),
+        expr(s"percentile(n_chars, $probs)").as("qc"))
+      .select(
+        Parity.r4(col("qt")(0)).as("tok_p25"), Parity.r4(col("qt")(1)).as("tok_p50"),
+        Parity.r4(col("qt")(2)).as("tok_p75"), Parity.r4(col("qt")(3)).as("tok_p90"),
+        Parity.r4(col("qt")(4)).as("tok_p99"),
+        Parity.r4(col("qc")(0)).as("chr_p25"), Parity.r4(col("qc")(1)).as("chr_p50"),
+        Parity.r4(col("qc")(2)).as("chr_p75"), Parity.r4(col("qc")(3)).as("chr_p90"),
+        Parity.r4(col("qc")(4)).as("chr_p99"))
+  }
 }

@@ -247,6 +247,31 @@ object GraftTextKernels {
     fp
   }
 
+  /** Shingle SET hash in ONE pass: `[fingerprint, n_shingles]` where
+    * fingerprint = (Σ distinct k-shingle hashes) mod P — the
+    * order-independent set-hash of [[shingleHashes]] ∘ distinct ∘ sum,
+    * without materializing the hash array or running the interpreted
+    * `array_distinct`/`aggregate` HOFs per row. `[0, 0]` when the text
+    * has no k-shingle. */
+  def shingleSetHash(s: UTF8String, k: Int): ArrayData = {
+    val cp = codePoints(s)
+    val m = cp.length - k + 1
+    if (m <= 0) return new GenericArrayData(Array[Long](0L, 0L))
+    val w = if (k == 8) W8 else weights(k)
+    val seen = new java.util.HashSet[Long](m * 2)
+    var sum = 0L
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h += cp(i + j) * w(j); j += 1 }
+      val hv = h % P
+      if (seen.add(hv)) sum += hv
+      i += 1
+    }
+    new GenericArrayData(Array[Long](sum % P, seen.size.toLong))
+  }
+
   /** Within-document repetition stats in ONE pass:
     * `[n_tokens, n_distinct_tokens, top_token_count, n_bigrams,
     * n_distinct_bigrams]`. Token identity is the full-length 31-Horner
@@ -441,6 +466,31 @@ case class WordNgramHash8(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `array<long>` `[fingerprint, n_shingles]` — the order-independent
+  * set-hash of a document's distinct k-char shingles, one pass, no
+  * intermediate array. */
+case class ShingleSetHash(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1 && k <= 8, s"k must be in [1, 8], got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_set_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftTextKernels.shingleSetHash(input.asInstanceOf[UTF8String], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftTextKernels.shingleSetHash($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSetHash =
+    copy(child = newChild)
+}
+
 /** `array<long>` `[n_tokens, n_distinct_tokens, top_token_count,
   * n_bigrams, n_distinct_bigrams]` of a normalized string — the
   * one-pass repetition profile behind Gopher-style repetition filters. */
@@ -542,4 +592,8 @@ object TextKernelOps {
   /** Column form of [[RepetitionStats]]. */
   def repetitionStats(c: Column): Column =
     GraftExpressionBridge.column(RepetitionStats(GraftExpressionBridge.expression(c)))
+
+  /** Column form of [[ShingleSetHash]]. */
+  def shingleSetHash(c: Column, k: Int): Column =
+    GraftExpressionBridge.column(ShingleSetHash(GraftExpressionBridge.expression(c), k))
 }

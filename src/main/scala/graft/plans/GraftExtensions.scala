@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{MinHashBandHashes, RepetitionStats, ShingleHashes, SimHash32, VectorDot, WordNgramHash8, WordNgramHashFull, WordNgrams}
+import graft.functions.{MinHashBandHashes, RepetitionStats, ShingleHashes, ShingleSetHash, SimHash32, VectorDot, WordNgramHash8, WordNgramHashFull, WordNgrams}
 
 /** `SparkSessionExtensions` hook: registers the engine's native Catalyst
   * expressions as SQL functions, so `spark.sql` users get the codegen'd
@@ -53,6 +53,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[MinHashBandHashes], MinHashBandHashes.apply))
     ext.injectFunction(textKernel("simhash32",
       classOf[SimHash32], SimHash32.apply))
+    ext.injectFunction(textKernel("shingle_set_hash",
+      classOf[ShingleSetHash], ShingleSetHash.apply))
     ext.injectFunction((
       new FunctionIdentifier("repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),

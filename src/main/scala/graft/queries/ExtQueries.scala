@@ -151,6 +151,34 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus token-length histogram (q55): 16-token fixed-width buckets. */
+  def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenHistogram(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("bucket_lo")
+
+  /** Exact corpus length quantiles (q56): one-row token/char percentile
+    * report. */
+  def corpusQuantiles(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusQuantiles(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Stratified mixture rebalance (q57): downsample dominant languages
+    * (en → 25%), keep rare ones whole (zh → 100%), 60% default —
+    * deterministic per-language sample, reported as per-language
+    * total/kept/rate. */
+  def stratifiedMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val kept = Sampling.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 25, "zh" -> 100), defaultPct = 60)
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round(coalesce(col("n_kept"), lit(0L)).cast("double") / col("n_total"), 4)
+          .as("kept_rate"))
+      .orderBy("lang")
+  }
+
   // ---- multimodal --------------------------------------------------------
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =

@@ -92,6 +92,52 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("one-pass set-hash fingerprint == array_distinct/aggregate HOF form") {
+    val texts = Seq("", "short", "abcdefgh", "abcdefgh abcdefgh",
+      "the quick brown fox jumps over the lazy dog") ++
+      (0 until 25).map(i => s"document $i with some repeated repeated text tail$i")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val native = asMap(TextAnalysis.fingerprint(docs, "doc_id", "text"))
+    val hof = asMap(TextAnalysis.fingerprintHof(docs, "doc_id", "text"))
+    assert(native == hof) // short docs absent from BOTH
+    assert(!native.contains(0L) && !native.contains(1L))
+  }
+
+  test("tokenHistogram buckets by exact 16-token widths") {
+    val docs = Seq(
+      (1L, (1 to 5).map(_ => "w").mkString(" ")),    // 5 tokens  -> bucket 0
+      (2L, (1 to 17).map(_ => "w").mkString(" ")),   // 17 tokens -> bucket 16
+      (3L, (1 to 16).map(_ => "w").mkString(" ")),   // 16 tokens -> bucket 16
+      (4L, (1 to 40).map(_ => "w").mkString(" ")))   // 40 tokens -> bucket 32
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenHistogram(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == ((1L, 5L, 5L)))
+    assert(got(16L) == ((2L, 16L, 17L)))
+    assert(got(32L) == ((1L, 40L, 40L)))
+  }
+
+  test("stratifiedSample keeps rare strata whole and downsamples dominant ones") {
+    val docs = (0L until 1000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "zh")).toDF("doc_id", "lang")
+    val kept = Sampling.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 10, "zh" -> 100), defaultPct = 50)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("zh") == 500)          // 100% stratum keeps everything
+    assert(kept("en") < 120)           // ~10% of 500
+    // nested in the unstratified sample at the same rate
+    val flat = Sampling.deterministicSample(docs, "doc_id", 10)
+      .collect().map(_.getLong(0)).toSet
+    val enKept = Sampling.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 10), defaultPct = 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(enKept.subsetOf(flat))
+  }
+
   test("fingerprint is identical for normalization-equal texts, differs otherwise") {
     val df = Seq(
       (1L, "some document text here padded to shingle length"),
