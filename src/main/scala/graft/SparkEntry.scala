@@ -77,6 +77,8 @@ object SparkEntry {
     "q55_token_histogram"  -> ((s, d) => ExtQueries.tokenHistogram(s, d)),
     "q56_corpus_quantiles" -> ((s, d) => ExtQueries.corpusQuantiles(s, d)),
     "q57_stratified_mix"   -> ((s, d) => ExtQueries.stratifiedMixture(s, d)),
+    "q58_decontamination"  -> ((s, d) => ExtQueries.decontamination(s, d)),
+    "q59_sequence_packing" -> ((s, d) => ExtQueries.sequencePacking(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -799,6 +801,35 @@ object SparkEntry {
          |       ROUND(qc[3], 4) AS chr_p75, ROUND(qc[4], 4) AS chr_p90,
          |       ROUND(qc[5], 4) AS chr_p99
          |FROM q""".stripMargin,
+    "q58_decontamination" ->
+      s"""WITH $nCte,
+         |$char8HashCte,
+         |bh AS (SELECT DISTINCT hv FROM h WHERE doc_id < 5),
+         |sz AS (SELECT doc_id, COUNT(*) AS n_shingles FROM h
+         |       WHERE doc_id >= 5 GROUP BY 1),
+         |ov AS (SELECT doc_id, COUNT(*) AS n_contam FROM h
+         |       WHERE doc_id >= 5 AND hv IN (SELECT hv FROM bh) GROUP BY 1)
+         |SELECT sz.doc_id, sz.n_shingles,
+         |       COALESCE(ov.n_contam, 0) AS n_contam,
+         |       ROUND(CAST(COALESCE(ov.n_contam, 0) AS DOUBLE)/sz.n_shingles, 4)
+         |         AS contam_frac,
+         |       CASE WHEN ROUND(CAST(COALESCE(ov.n_contam, 0) AS DOUBLE)/sz.n_shingles, 4) >= 0.35
+         |            THEN 1 ELSE 0 END AS flagged
+         |FROM sz LEFT JOIN ov ON sz.doc_id = ov.doc_id
+         |ORDER BY sz.doc_id""".stripMargin,
+    "q59_sequence_packing" ->
+      s"""WITH $nCte,
+         |c AS (SELECT doc_id, CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
+         |      FROM n),
+         |p AS (SELECT doc_id, n_tokens,
+         |             CAST(floor(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |               / 2048.0) AS BIGINT) AS bin
+         |      FROM c)
+         |SELECT bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |       MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+         |FROM p GROUP BY bin
+         |ORDER BY bin""".stripMargin,
     "q57_stratified_mix" ->
       s"""WITH b AS (SELECT lang, $bucketExpr AS bucket FROM documents),
          |k AS (SELECT lang, COUNT(*) AS n_kept FROM b

@@ -179,6 +179,23 @@ object ExtQueries {
       .orderBy("lang")
   }
 
+  /** Benchmark decontamination (q58): docs 0-4 stand in for a held-out
+    * eval suite; every other doc is scored by its distinct char-8-gram
+    * overlap with that suite. */
+  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextDedup.contaminationReport(
+        docs.filter(col("doc_id") >= 5), docs.filter(col("doc_id") < 5),
+        "doc_id", "text", k = 8, flagFrac = 0.35)
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing report (q59): 2048-token bins over doc_id order. */
+  def sequencePacking(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Packing.packingReport(Tables.documents(spark, dir),
+        "doc_id", "text", budget = 2048)
+      .orderBy("bin")
+
   // ---- multimodal --------------------------------------------------------
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =

@@ -166,6 +166,24 @@ class TextDedupSpec extends SparkSpec {
     assert(got2.forall { case (a, b) => a == 20L || b == 20L })
   }
 
+  test("contaminationReport scores train docs by benchmark shingle overlap") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),       // verbatim copy
+      (2L, "the quick brown fox went somewhere else entirely"),  // partial overlap
+      (3L, "completely unrelated words about cooking pasta")     // none
+    ).toDF("doc_id", "text")
+    val got = TextDedup.contaminationReport(train, bench, "doc_id", "text",
+        k = 8, flagFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    val (n1, c1, f1, flag1) = got(1L)
+    assert(n1 == c1 && f1 == 1.0 && flag1 == 1)   // full contamination
+    val (_, c2, f2, flag2) = got(2L)
+    assert(c2 > 0 && f2 > 0.0 && f2 < 0.5 && flag2 == 0)
+    assert(got(3L)._2 == 0L && got(3L)._4 == 0)
+  }
+
   test("simhash: exact dup at Hamming 0; unrelated far away") {
     val fps = TextDedup.simhashFingerprints(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
