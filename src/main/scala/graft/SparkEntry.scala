@@ -79,6 +79,7 @@ object SparkEntry {
     "q57_stratified_mix"   -> ((s, d) => ExtQueries.stratifiedMixture(s, d)),
     "q58_decontamination"  -> ((s, d) => ExtQueries.decontamination(s, d)),
     "q59_sequence_packing" -> ((s, d) => ExtQueries.sequencePacking(s, d)),
+    "q60_vocab_topk"       -> ((s, d) => ExtQueries.vocabTopK(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -801,6 +802,18 @@ object SparkEntry {
          |       ROUND(qc[3], 4) AS chr_p75, ROUND(qc[4], 4) AS chr_p90,
          |       ROUND(qc[5], 4) AS chr_p99
          |FROM q""".stripMargin,
+    "q60_vocab_topk" ->
+      s"""WITH $nCte,
+         |$tokCte,
+         |agg AS (SELECT w, COUNT(*) AS n_occurrences,
+         |               COUNT(DISTINCT doc_id) AS n_docs
+         |        FROM tok GROUP BY w),
+         |rk AS (SELECT w, n_occurrences, n_docs,
+         |              row_number() OVER (ORDER BY n_occurrences DESC, w) AS rnk
+         |       FROM agg)
+         |SELECT w, n_occurrences, n_docs, CAST(rnk AS INT) AS rank
+         |FROM rk WHERE rnk <= 20
+         |ORDER BY rank""".stripMargin,
     "q58_decontamination" ->
       s"""WITH $nCte,
          |$char8HashCte,

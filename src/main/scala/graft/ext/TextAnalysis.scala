@@ -171,6 +171,28 @@ object TextAnalysis {
         min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"))
   }
 
+  /** Corpus vocabulary top-k: the most frequent tokens with occurrence
+    * and document frequencies — the Zipf table every corpus audit (and
+    * stopword/boilerplate hunt) starts with. One explode + one
+    * token-keyed aggregation: partial aggs collapse each partition to
+    * its local vocabulary before the shuffle, so the exchanged volume is
+    * vocab-bounded, not corpus-bounded; the top-k is a
+    * TakeOrderedAndProject, never a global sort. */
+  def vocabTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = graft.model.Tables.fanOut(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(normText(col(textCol)))).as("w"))
+    val agg = tok.groupBy("w")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("doc_id").as("n_docs"))
+    agg.orderBy(col("n_occurrences").desc, col("w")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n_occurrences").desc, col("w")))
+          .cast("int"))
+  }
+
   /** Exact corpus quantiles of token count and normalized char length
     * (p25/p50/p75/p90/p99, linear interpolation — Spark's exact
     * `percentile` and DuckDB's `quantile_cont` share the Hive/type-7

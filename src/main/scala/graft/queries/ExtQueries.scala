@@ -196,6 +196,12 @@ object ExtQueries {
         "doc_id", "text", budget = 2048)
       .orderBy("bin")
 
+  /** Vocabulary top-20 (q60): the corpus Zipf head with occurrence and
+    * doc frequencies. */
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabTopK(Tables.documents(spark, dir), "doc_id", "text", k = 20)
+      .orderBy("rank")
+
   // ---- multimodal --------------------------------------------------------
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =

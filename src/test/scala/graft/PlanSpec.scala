@@ -40,10 +40,28 @@ class PlanSpec extends SparkSpec {
     import graft.ext.TextAnalysis
     val docs = graft.model.Tables.documents(spark, sf001)
     Seq(TextAnalysis.qualityScore(docs, "doc_id", "text"),
-        TextAnalysis.languageId(docs, "doc_id", "text")).foreach { df =>
+        TextAnalysis.languageId(docs, "doc_id", "text"),
+        TextAnalysis.repetitionStats(docs, "doc_id", "text"),
+        TextAnalysis.fingerprint(docs, "doc_id", "text"),
+        graft.ext.TextClean.piiScrub(docs, "doc_id", "text")).foreach { df =>
       val p = plan(df)
       assert(!p.contains("Exchange"), s"unexpected shuffle in projection:\n$p")
     }
+  }
+
+  test("candidate semi-join pushes below the shingle explode") {
+    import graft.ext.TextDedup
+    import org.apache.spark.sql.functions.col
+    val docs = graft.model.Tables.documents(spark, sf001)
+    val cands = docs.select(col("doc_id")).limit(10)
+    val p = plan(TextDedup.docShingleHashes(docs, "doc_id", "text")
+      .join(cands, Seq("doc_id"), "left_semi"))
+    val gen = p.indexOf("Generate")
+    val semi = p.indexOf("LeftSemi")
+    assert(gen >= 0 && semi >= 0, s"expected explode + semi join:\n$p")
+    // tree prints parents first: the Generate must sit ABOVE the semi
+    // join, i.e. only candidate docs are ever exploded into shingles
+    assert(gen < semi, s"semi join did not push below the explode:\n$p")
   }
 
   test("minhash bands and simhash fingerprints are scan-side projections") {
