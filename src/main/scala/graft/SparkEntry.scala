@@ -80,6 +80,7 @@ object SparkEntry {
     "q58_decontamination"  -> ((s, d) => ExtQueries.decontamination(s, d)),
     "q59_sequence_packing" -> ((s, d) => ExtQueries.sequencePacking(s, d)),
     "q60_vocab_topk"       -> ((s, d) => ExtQueries.vocabTopK(s, d)),
+    "q61_dup_passages"     -> ((s, d) => ExtQueries.dupPassages(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -814,6 +815,18 @@ object SparkEntry {
          |SELECT w, n_occurrences, n_docs, CAST(rnk AS INT) AS rank
          |FROM rk WHERE rnk <= 20
          |ORDER BY rank""".stripMargin,
+    // Span strings are rebuilt with list-slice + array_to_string — the
+    // same characters (tokens joined by single spaces) the kernel hashes.
+    "q61_dup_passages" ->
+      s"""WITH $nCte,
+         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+         |pg AS (SELECT doc_id, array_to_string(toks[g:g+19], ' ') AS sg
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-18)) AS g FROM tk) z),
+         |ph AS (SELECT DISTINCT doc_id, ${fullHash("sg")} AS hv FROM pg)
+         |SELECT hv AS passage_hash, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+         |FROM ph GROUP BY hv
+         |HAVING COUNT(*) >= 2
+         |ORDER BY passage_hash""".stripMargin,
     "q58_decontamination" ->
       s"""WITH $nCte,
          |$char8HashCte,

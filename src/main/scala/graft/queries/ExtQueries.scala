@@ -202,6 +202,13 @@ object ExtQueries {
     TextAnalysis.vocabTopK(Tables.documents(spark, dir), "doc_id", "text", k = 20)
       .orderBy("rank")
 
+  /** Duplicated 20-token passages across documents (q61) — span-level
+    * dedup report. */
+  def dupPassages(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.dupPassages(Tables.documents(spark, dir), "doc_id", "text",
+        n = 20, minDocs = 2)
+      .orderBy("passage_hash")
+
   // ---- multimodal --------------------------------------------------------
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =

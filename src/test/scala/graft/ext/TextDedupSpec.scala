@@ -184,6 +184,20 @@ class TextDedupSpec extends SparkSpec {
     assert(got(3L)._2 == 0L && got(3L)._4 == 0)
   }
 
+  test("dupPassages finds a boilerplate span embedded in distinct docs") {
+    val boiler = (1 to 6).map(i => s"common$i").mkString(" ") // 6-token span
+    val docs = Seq(
+      (1L, s"intro one $boiler outro alpha"),
+      (2L, s"different opening here $boiler and a tail"),
+      (3L, "no shared span in this document at all whatsoever truly")
+    ).toDF("doc_id", "text")
+    val got = TextDedup.dupPassages(docs, "doc_id", "text", n = 6, minDocs = 2)
+      .collect()
+    assert(got.length == 1)                      // exactly the boilerplate span
+    assert(got(0).getAs[Long]("n_docs") == 2L)
+    assert(got(0).getAs[Long]("first_doc") == 1L)
+  }
+
   test("simhash: exact dup at Hamming 0; unrelated far away") {
     val fps = TextDedup.simhashFingerprints(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
