@@ -81,6 +81,13 @@ object SparkEntry {
     "q59_sequence_packing" -> ((s, d) => ExtQueries.sequencePacking(s, d)),
     "q60_vocab_topk"       -> ((s, d) => ExtQueries.vocabTopK(s, d)),
     "q61_dup_passages"     -> ((s, d) => ExtQueries.dupPassages(s, d)),
+    "q62_c4_filter"        -> ((s, d) => ExtQueries.c4Filter(s, d)),
+    "q63_source_quota"     -> ((s, d) => ExtQueries.sourceQuota(s, d)),
+    "q64_shard_shuffle"    -> ((s, d) => ExtQueries.shardShuffle(s, d)),
+    "q65_snapshot_diff"    -> ((s, d) => ExtQueries.snapshotDiff(s, d)),
+    "q66_orc_roundtrip"    -> ((s, d) => IngestQueries.orcRoundtrip(s, d)),
+    "q67_rarity_score"     -> ((s, d) => ExtQueries.rarityScore(s, d)),
+    "q68_bloom_new_docs"   -> ((s, d) => ExtQueries.bloomNewDocs(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -867,5 +874,87 @@ object SparkEntry {
          |       ROUND(CAST(COALESCE(k.n_kept, 0) AS DOUBLE)/t.n_total, 4) AS kept_rate
          |FROM t LEFT JOIN k ON t.lang = k.lang
          |ORDER BY t.lang""".stripMargin,
+    "q62_c4_filter" ->
+      s"""WITH $nCte,
+         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+         |m AS (SELECT doc_id,
+         |        CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT)))*1.0
+         |          / len(toks) AS ml,
+         |        len(list_filter(toks, w -> length(w) >= 7))*1.0 / len(toks) AS lf,
+         |        CAST(len(list_filter(toks,
+         |          w -> w IN ('the','a','of','and','to','in'))) AS BIGINT) AS ns
+         |      FROM tk),
+         |r AS (SELECT *, CASE WHEN n_tokens < 50 THEN 'too_short'
+         |                     WHEN ml < 4.2 OR ml > 4.8 THEN 'word_len'
+         |                     WHEN lf > 0.06 THEN 'long_token_frac'
+         |                     WHEN ns < 2 THEN 'no_stopwords'
+         |                     ELSE 'kept' END AS reject_reason
+         |      FROM m)
+         |SELECT doc_id, n_tokens, ROUND(ml, 4) AS mean_tok_len,
+         |       ROUND(lf, 4) AS long_frac, ns AS n_stopwords,
+         |       CASE WHEN reject_reason = 'kept' THEN 1 ELSE 0 END AS keep,
+         |       reject_reason
+         |FROM r
+         |ORDER BY doc_id""".stripMargin,
+    "q63_source_quota" ->
+      s"""WITH ranked AS (
+         |  SELECT source, doc_id, n_chars,
+         |         ROW_NUMBER() OVER (PARTITION BY source
+         |           ORDER BY $bucketExpr, doc_id) AS qrank
+         |  FROM documents)
+         |SELECT source, doc_id, n_chars
+         |FROM ranked WHERE qrank <= 15
+         |ORDER BY source, doc_id""".stripMargin,
+    "q64_shard_shuffle" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |         CAST(((doc_id * 2654435761 + 97) % ${graft.ext.TextOps.HashP}) % 8
+         |           AS INT) AS shard
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+         |         ORDER BY $bucketExpr, doc_id) AS BIGINT) AS pos
+         |FROM s
+         |ORDER BY shard, pos""".stripMargin,
+    "q65_snapshot_diff" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |v2 AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 13 = 1 THEN text || ' v2' ELSE text END AS text
+         |  FROM base WHERE doc_id % 17 <> 3
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id % 29 = 0),
+         |a AS (SELECT doc_id AS k, md5(text) AS old_hash FROM base),
+         |b AS (SELECT doc_id AS k, md5(text) AS new_hash FROM v2),
+         |j AS (SELECT COALESCE(a.k, b.k) AS doc_id, a.old_hash, b.new_hash
+         |      FROM a FULL OUTER JOIN b ON a.k = b.k)
+         |SELECT doc_id,
+         |       CASE WHEN old_hash IS NULL THEN 'added'
+         |            WHEN new_hash IS NULL THEN 'removed'
+         |            WHEN old_hash <> new_hash THEN 'changed' END AS change_type,
+         |       COALESCE(old_hash, '') AS old_hash,
+         |       COALESCE(new_hash, '') AS new_hash
+         |FROM j
+         |WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
+         |ORDER BY doc_id""".stripMargin,
+    "q66_orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q67_rarity_score" ->
+      s"""WITH $nCte,
+         |$tokCte,
+         |v AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+         |r AS (SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT) AS rank
+         |      FROM v QUALIFY rank <= 20)
+         |SELECT t.doc_id, COUNT(*) AS n_tokens,
+         |       CAST(SUM(CASE WHEN r.rank IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |       ROUND(CAST(SUM(r.rank) AS DOUBLE) / COUNT(r.rank), 4) AS mean_rank,
+         |       ROUND(CAST(SUM(CASE WHEN r.rank IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / COUNT(*), 4) AS oov_rate
+         |FROM tok t LEFT JOIN r ON t.w = r.w
+         |GROUP BY t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
   )
 }

@@ -53,4 +53,46 @@ object Sampling {
     }
     df.filter(bucket100(col(keyCol)) < pct)
   }
+
+  /** Second, independent affine hash (different multiplier/offset, both
+    * coprime to P) for shard assignment — independent of [[bucket100]],
+    * so shard membership does not correlate with split/sample
+    * membership. */
+  def shardOf(key: Column, nShards: Int): Column =
+    (((key.cast("long") * lit(2654435761L) + lit(97L)) % lit(TextOps.HashP))
+      % nShards).cast("int")
+
+  /** Deterministic per-key quota: keep at most `cap` rows per key, the
+    * winners chosen by hash order (then id as tie-break) so the kept set
+    * is reproducible and has no correlation with ingest order — the
+    * per-domain / per-source cap every web corpus applies against
+    * boilerplate-heavy origins. One hash-partitioned window (rank
+    * truncation is a running count, not a sort buffer); a pathological
+    * mega-key is the documented AQE-skew case, and because the rank order
+    * is a uniform hash a two-level cap (cap per salt-cell, then re-cap)
+    * degrades gracefully if one key outgrows a partition. */
+  def perKeyQuota(df: DataFrame, keyCol: String, idCol: String,
+                  cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(bucket100(col(idCol)), col(idCol))
+    df.withColumn("qrank", row_number().over(w))
+      .filter(col("qrank") <= cap)
+      .drop("qrank")
+  }
+
+  /** Deterministic corpus shuffle for training: assign each row a shard
+    * (independent hash) and a position within its shard (hash order) —
+    * the global-random-order guarantee sequence training needs, without
+    * RNG. At 100 TB this is exactly Spark's shuffle-write shape: one
+    * exchange hash-partitioned by shard + a partition-local sort; no
+    * global sort, no driver state, and the order is stable run-to-run so
+    * resumed jobs read identical batches. */
+  def shardShuffle(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(bucket100(col(keyCol)), col(keyCol))
+    df.withColumn("shard", shardOf(col(keyCol), nShards))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
 }

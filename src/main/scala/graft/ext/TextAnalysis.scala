@@ -193,6 +193,36 @@ object TextAnalysis {
           .cast("int"))
   }
 
+  /** Token-rarity scoring against the corpus's own unigram distribution —
+    * the integer-exact stand-in for LM-perplexity quality scoring (rare
+    * vocabulary ≈ high perplexity): rank the top-`vocabK` unigrams by
+    * frequency, score each document by its tokens' mean rank and its
+    * out-of-vocabulary rate. All-integer until the final division, so
+    * oracle-exact where a log-prob scorer would drift. Two stages, both
+    * scale-flat: the vocab aggregation is partial-agg'd then truncated to
+    * `vocabK` rows (broadcast side), and the scoring pass is one explode +
+    * broadcast-hash left join + doc-keyed aggregation — no big shuffle
+    * beyond the doc-keyed partial agg. */
+  def rarityScore(docs: DataFrame, idCol: String, textCol: String,
+                  vocabK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = graft.model.Tables.fanOut(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(normText(col(textCol)))).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("w"))).cast("long"))
+      .select("w", "rank")
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("rank").isNull, 1L).otherwise(0L)).as("n_oov"),
+        Parity.r4(sum("rank").cast("double") / count(col("rank"))).as("mean_rank"),
+        Parity.r4(sum(when(col("rank").isNull, 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("oov_rate"))
+  }
+
   /** Exact corpus quantiles of token count and normalized char length
     * (p25/p50/p75/p90/p99, linear interpolation — Spark's exact
     * `percentile` and DuckDB's `quantile_cont` share the Hive/type-7

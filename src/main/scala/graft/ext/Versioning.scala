@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-version operators for a training-data pipeline: what changed
+  * between two corpus snapshots, and probabilistic new-row detection
+  * against a previous run. Extension surface beyond the reference (whose
+  * nearest analogue is the new/delisted-key anti joins, SURVEY.md §2.4
+  * J5); both operators are what a 100 TB corpus refresh actually runs
+  * before deciding how much downstream work to redo.
+  */
+object Versioning {
+
+  /** Row content hash for change detection: md5 over the value columns
+    * joined with a  separator (md5 is available and identical in
+    * DuckDB, so diffs are oracle-checkable — unlike xxhash64, which the
+    * oracle engine lacks). */
+  def rowHash(cols: Seq[String]): Column =
+    md5(concat_ws("", cols.map(col): _*))
+
+  /** Snapshot diff by key: one full-outer sort-merge join on the key,
+    * emitting only `added` / `removed` / `changed` rows (`unchanged` is
+    * implied and usually ~all of a 100 TB corpus — materializing it would
+    * be the scale bug). Shuffle volume is two key+hash projections (the
+    * value columns collapse to one md5 before the exchange), so the diff
+    * moves ~48 bytes/row regardless of document size. */
+  def snapshotDiff(prev: DataFrame, next: DataFrame, keyCol: String,
+                   valueCols: Seq[String]): DataFrame = {
+    val a = prev.select(col(keyCol).as("k"), rowHash(valueCols).as("old_hash"))
+    val b = next.select(col(keyCol).as("k"), rowHash(valueCols).as("new_hash"))
+    a.join(b, Seq("k"), "full_outer")
+      .withColumn("change_type",
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") =!= col("new_hash"), "changed"))
+      .filter(col("change_type").isNotNull)
+      .select(col("k").as(keyCol), col("change_type"),
+        coalesce(col("old_hash"), lit("")).as("old_hash"),
+        coalesce(col("new_hash"), lit("")).as("new_hash"))
+  }
+
+  /** Probabilistic new-content detection: build a Bloom filter over the
+    * previous snapshot's content hashes (`bloom_filter_agg` — one
+    * distributed aggregation collapsing the corpus to a fixed-size bit
+    * array), ship the sketch to every probe task as a literal (the
+    * `might_contain` expression requires a constant/scalar filter — the
+    * one-row sketch IS the aggregation result, a few MB regardless of
+    * corpus size, so materializing it is broadcast semantics, not a data
+    * collect), and probe each next-snapshot row. `is_new = 1` is DEFINITE
+    * new content (Bloom filters have no false negatives); `is_new = 0` is
+    * "probably seen" at the configured false-positive rate. This is the
+    * cheap pre-pass that lets a corpus refresh skip re-deduplicating the
+    * ~99% of a 100 TB snapshot it already processed: one agg + one
+    * sketch ship instead of the full-corpus join the exact diff needs.
+    * Not oracle-expressible (DuckDB has no matching Bloom implementation)
+    * — verified by spec on the no-false-negative guarantee instead. */
+  def bloomNewDocs(prev: DataFrame, next: DataFrame, keyCol: String,
+                   valueCols: Seq[String],
+                   expectedItems: Long = 1000000L,
+                   numBits: Long = 8388608L): DataFrame = {
+    val fp = xxhash64(concat_ws("", valueCols.map(col): _*))
+    val bf = prev.select(fp.as("h"))
+      .agg(expr(s"bloom_filter_agg(h, ${expectedItems}L, ${numBits}L)").as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    next.select(col(keyCol),
+      when(call_function("might_contain", lit(bf), fp), 0).otherwise(1)
+        .as("is_new"))
+  }
+}

@@ -62,5 +62,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "repetition_stats(text) takes exactly one argument")
         RepetitionStats(children.head)
       }))
+    // Spark ships Bloom-filter build/probe expressions for its own runtime
+    // join filtering but does not register them as SQL functions; expose
+    // them so the membership-sketch operators (Versioning.bloomNewDocs)
+    // can build a distributed Bloom aggregate and probe it per row.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "bloom_filter_agg(xxhash64_value, estimatedItems, numBits) takes three arguments")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "might_contain(bloom, value) takes two arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }))
   }
 }

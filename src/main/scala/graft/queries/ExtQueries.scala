@@ -209,6 +209,65 @@ object ExtQueries {
         n = 20, minDocs = 2)
       .orderBy("passage_hash")
 
+  /** C4/Gopher rule-cascade quality filter (q62): per-doc metrics, the
+    * 0/1 keep gate, and the first-failing-rule reject reason. Default
+    * thresholds — calibrated so every rule fires on the driver corpus. */
+  def c4Filter(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.QualityFilters.c4Filter(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Per-source quota (q63): keep at most 15 docs per source,
+    * deterministic hash-order winners — the per-origin cap against
+    * boilerplate-heavy domains. */
+  def sourceQuota(spark: SparkSession, dir: String): DataFrame =
+    Sampling.perKeyQuota(Tables.documents(spark, dir), "source", "doc_id", cap = 15)
+      .select("source", "doc_id", "n_chars")
+      .orderBy("source", "doc_id")
+
+  /** Deterministic corpus shuffle (q64): 8 shards, hash-ordered
+    * positions — the reproducible global training order. */
+  def shardShuffle(spark: SparkSession, dir: String): DataFrame =
+    Sampling.shardShuffle(Tables.documents(spark, dir), "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+
+  /** Snapshot diff (q65): documents vs a deterministically mutated v2
+    * (every 17th doc removed, every 13th's text edited, every 29th
+    * re-keyed as an append) — added/removed/changed rows only. The
+    * mutation runs identically in the oracle, so every change_type and
+    * both content hashes are value-checked. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val v2 = base.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 1, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(base.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    graft.ext.Versioning.snapshotDiff(base, v2, "doc_id", Seq("text"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-rarity scoring (q67): per-doc mean unigram rank + OOV rate
+    * against the corpus top-20 vocabulary — the integer-exact perplexity
+    * proxy. */
+  def rarityScore(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.rarityScore(Tables.documents(spark, dir), "doc_id", "text",
+        vocabK = 20)
+      .orderBy("doc_id")
+
+  /** Bloom-filter new-content detection (q68): docs 0-399 are the
+    * previous snapshot; every doc is probed against their content-hash
+    * Bloom filter. No oracle (DuckDB has no matching Bloom build) —
+    * the no-false-negative guarantee is spec-verified instead; the
+    * driver records a rows-only check. */
+  def bloomNewDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ext.Versioning.bloomNewDocs(
+        docs.filter(col("doc_id") < 400), docs, "doc_id", Seq("text"))
+      .orderBy("doc_id")
+  }
+
   // ---- multimodal --------------------------------------------------------
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =

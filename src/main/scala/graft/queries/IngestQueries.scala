@@ -176,4 +176,27 @@ object IngestQueries {
     graft.sources.CsvSource.read(spark, CsvDropPath, schema)
       .orderBy("c_custkey")
   }
+
+  val OrcDropPath = "/root/repo/data/orc_documents"
+
+  /** ORC columnar round-trip (q66): land the documents table as ORC,
+    * read it back through the declared-schema vectorized reader. The
+    * oracle compares against the ORIGINAL parquet (DuckDB reads no ORC),
+    * so green means the parquet → ORC → scan loop is lossless across
+    * every type including full text. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    graft.sources.OrcSource.write(
+      Tables.documents(spark, dir)
+        .select("doc_id", "text", "lang", "source", "n_chars"),
+      OrcDropPath)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    graft.sources.OrcSource.read(spark, OrcDropPath, schema)
+      .orderBy("doc_id")
+  }
 }

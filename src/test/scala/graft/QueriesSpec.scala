@@ -17,8 +17,15 @@ class QueriesSpec extends SparkSpec {
     assert(changes.zip(changes.tail).forall { case (a, b) => a >= b })
   }
 
+  /** Queries deliberately without oracle SQL — non-oracle-expressible
+    * operators (the driver records a rows-only check); each must carry
+    * its own value-level spec instead. */
+  private val rowsOnlyQueries = Set(
+    "q68_bloom_new_docs") // DuckDB has no matching Bloom build; VersioningSpec pins no-false-negatives
+
   test("every registered query has an oracle and runs non-empty on sf0.001") {
-    val missingOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val missingOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
+      rowsOnlyQueries
     assert(missingOracle.isEmpty, s"queries without oracle: $missingOracle")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf001)

@@ -46,4 +46,38 @@ class SamplingSpec extends SparkSpec {
       Sampling.hashSplit(Seq(1L).toDF("id"), "id", Seq("a" -> 50, "b" -> 40))
     }
   }
+
+  test("perKeyQuota caps each key and keeps a deterministic winner set") {
+    val df = (0L until 300L).map(i => (i, s"k${i % 3}")).toDF("id", "key")
+    val kept = Sampling.perKeyQuota(df, "key", "id", cap = 10)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    val perKey = kept.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perKey == Map("k0" -> 10, "k1" -> 10, "k2" -> 10))
+    // deterministic: rerun yields the identical kept set
+    val again = Sampling.perKeyQuota(df, "key", "id", cap = 10)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(kept.toSet == again.toSet)
+    // a key under its cap is kept whole
+    val small = Seq((1L, "x"), (2L, "x")).toDF("id", "key")
+    assert(Sampling.perKeyQuota(small, "key", "id", cap = 10).count() == 2)
+  }
+
+  test("shardShuffle assigns every row one shard with contiguous positions") {
+    val df = (0L until 400L).toDF("id")
+    val rows = Sampling.shardShuffle(df, "id", nShards = 4)
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length == 400)
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      // positions are 1..n within each shard, no gaps or ties
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // shard hash is independent of bucket100: shards are roughly even
+    rows.groupBy(_._2).values.foreach(rs => assert(rs.length > 60))
+    // deterministic order: position of each id is stable across runs
+    val again = Sampling.shardShuffle(df, "id", nShards = 4)
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }

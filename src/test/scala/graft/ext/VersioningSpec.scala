@@ -1,0 +1,39 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VersioningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val prev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "text")
+    val next = Seq((2L, "beta"), (3L, "gamma-edited"), (4L, "delta")).toDF("id", "text")
+    val got = Versioning.snapshotDiff(prev, next, "id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshotDiff hashes cover multi-column rows") {
+    val prev = Seq((1L, "a", 10L)).toDF("id", "t", "n")
+    val next = Seq((1L, "a", 11L)).toDF("id", "t", "n")
+    val got = Versioning.snapshotDiff(prev, next, "id", Seq("t", "n")).collect()
+    assert(got.length == 1 && got.head.getString(1) == "changed")
+    // same content -> empty diff
+    assert(Versioning.snapshotDiff(prev, prev, "id", Seq("t", "n")).count() == 0)
+  }
+
+  test("bloomNewDocs never marks previously-seen content as new") {
+    val prev = (0L until 200L).map(i => (i, s"doc body $i")).toDF("id", "text")
+    // next repeats prev's content under new ids, plus genuinely new rows
+    val next = ((0L until 200L).map(i => (i + 1000L, s"doc body $i")) ++
+      (0L until 50L).map(i => (i + 2000L, s"fresh content $i"))).toDF("id", "text")
+    val got = Versioning.bloomNewDocs(prev, next, "id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // no false negatives: every repeated-content row must probe as seen
+    (0L until 200L).foreach(i => assert(got(i + 1000L) == 0))
+    // the sketch is useful: most genuinely-new rows are flagged new
+    val flagged = (0L until 50L).count(i => got(i + 2000L) == 1)
+    assert(flagged > 40)
+  }
+}

@@ -140,4 +140,23 @@ class SourcesSpec extends SparkSpec {
     assert(path.endsWith("delisted_20260812_120000.parquet"))
     assert(spark.read.parquet(path).count() == 1)
   }
+
+  test("orc source round-trips types, nulls, and unicode text") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val rows = Seq(
+      (1L, "plain ascii", Some(3.5)),
+      (2L, "quotes \" and, commas", None),
+      (3L, "한글 unicode ✓", Some(-0.25)))
+    val df = rows.toDF("id", "text", "score")
+    OrcSource.write(df, s"$dir/t")
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("text", StringType),
+      StructField("score", DoubleType)))
+    val back = OrcSource.read(spark, s"$dir/t", schema)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(back == rows.toSet)
+  }
 }
