@@ -88,6 +88,12 @@ object SparkEntry {
     "q66_orc_roundtrip"    -> ((s, d) => IngestQueries.orcRoundtrip(s, d)),
     "q67_rarity_score"     -> ((s, d) => ExtQueries.rarityScore(s, d)),
     "q68_bloom_new_docs"   -> ((s, d) => ExtQueries.bloomNewDocs(s, d)),
+    "q69_status_pivot"     -> ((s, d) => Analytics.statusPivot(s, d)),
+    "q70_revenue_rollup"   -> ((s, d) => Analytics.revenueRollup(s, d)),
+    "q71_revenue_quartiles" -> ((s, d) => Analytics.revenueQuartiles(s, d)),
+    "q72_gap_fill"         -> ((s, d) => Analytics.monthlyGapFill(s, d)),
+    "q73_event_funnel"     -> ((s, d) => EventWindows.eventFunnel(s, d)),
+    "q74_cohort_retention" -> ((s, d) => EventWindows.cohortRetention(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -956,5 +962,93 @@ object SparkEntry {
          |FROM tok t LEFT JOIN r ON t.w = r.w
          |GROUP BY t.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+    "q69_status_pivot" -> {
+      def n(s: String, a: String) =
+        s"CAST(SUM(CASE WHEN o_orderstatus = '$s' THEN 1 ELSE 0 END) AS BIGINT) AS $a"
+      def amt(s: String, a: String) =
+        s"CAST(SUM(CASE WHEN o_orderstatus = '$s' THEN ${cents("o_totalprice")} ELSE 0 END) AS DOUBLE)/100.0 AS $a"
+      s"""SELECT o_orderpriority,
+         |       ${n("F", "f_n")}, ${amt("F", "f_amt")},
+         |       ${n("O", "o_n")}, ${amt("O", "o_amt")},
+         |       ${n("P", "p_n")}, ${amt("P", "p_amt")}
+         |FROM orders
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin
+    },
+    "q70_revenue_rollup" ->
+      s"""SELECT COALESCE(r.r_name, 'ALL') AS market,
+         |       COALESCE(n.n_name, 'ALL') AS nation,
+         |       CASE WHEN r.r_name IS NULL AND n.n_name IS NULL THEN 2
+         |            WHEN n.n_name IS NULL THEN 1 ELSE 0 END AS lvl,
+         |       COUNT(*) AS n_items,
+         |       ${moneySum("l.l_extendedprice")} AS total
+         |FROM lineitem l
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY ROLLUP(r.r_name, n.n_name)
+         |ORDER BY lvl, market, nation""".stripMargin,
+    "q71_revenue_quartiles" ->
+      s"""WITH totals AS (
+         |  SELECT o_custkey, ${moneySum("o_totalprice")} AS total
+         |  FROM orders GROUP BY o_custkey),
+         |j AS (
+         |  SELECT c.c_mktsegment, t.o_custkey, t.total,
+         |         NTILE(4) OVER (PARTITION BY c.c_mktsegment
+         |           ORDER BY t.total DESC, t.o_custkey) AS quartile
+         |  FROM totals t JOIN customer c ON t.o_custkey = c.c_custkey)
+         |SELECT c_mktsegment, quartile, COUNT(*) AS n_customers,
+         |       ${moneySum("total")} AS sum_total,
+         |       MIN(total) AS min_total, MAX(total) AS max_total
+         |FROM j
+         |GROUP BY c_mktsegment, quartile
+         |ORDER BY c_mktsegment, quartile""".stripMargin,
+    "q72_gap_fill" ->
+      s"""WITH b AS (
+         |  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS mn,
+         |         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS mx
+         |  FROM orders),
+         |spine AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS DATE) AS month FROM b),
+         |monthly AS (
+         |  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |         ${moneySum("o_totalprice")} AS amt
+         |  FROM orders WHERE o_custkey < 20
+         |  GROUP BY 1, 2),
+         |keys AS (SELECT DISTINCT o_custkey FROM monthly),
+         |g AS (SELECT k.o_custkey, s.month, m.amt
+         |      FROM keys k CROSS JOIN spine s
+         |      LEFT JOIN monthly m ON k.o_custkey = m.o_custkey AND s.month = m.month)
+         |SELECT o_custkey, month,
+         |       COALESCE(last_value(amt IGNORE NULLS) OVER (
+         |         PARTITION BY o_custkey ORDER BY month
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS amt_filled,
+         |       CASE WHEN amt IS NULL THEN 1 ELSE 0 END AS is_gap
+         |FROM g
+         |ORDER BY o_custkey, month""".stripMargin,
+    "q73_event_funnel" ->
+      s"""WITH v AS (SELECT user_id, MIN(ts) AS tv FROM events
+         |           WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, MIN(e.ts) AS tc
+         |      FROM events e JOIN v ON e.user_id = v.user_id
+         |      WHERE e.event_type = 'click' AND e.ts > v.tv
+         |      GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, MIN(e.ts) AS tp
+         |      FROM events e JOIN c ON e.user_id = c.user_id
+         |      WHERE e.event_type = 'purchase' AND e.ts > c.tc
+         |      GROUP BY e.user_id)
+         |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+         |UNION ALL SELECT '2_click', COUNT(*) FROM c
+         |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+         |ORDER BY stage""".stripMargin,
+    "q74_cohort_retention" ->
+      s"""WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         |coh AS (SELECT user_id, MIN(d) AS cohort_day FROM act GROUP BY user_id)
+         |SELECT c.cohort_day,
+         |       date_diff('day', c.cohort_day, a.d) AS day_offset,
+         |       COUNT(DISTINCT a.user_id) AS n_users
+         |FROM act a JOIN coh c ON a.user_id = c.user_id
+         |WHERE date_diff('day', c.cohort_day, a.d) <= 7
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -325,4 +325,105 @@ object Analytics {
         countDistinct(col("l_suppkey")).as("n_suppliers"),
         min(col("l_shipdate").cast("date")).as("min_date"),
         max(col("l_shipdate").cast("date")).as("max_date"))
+
+  /** PIVOT (q69): order counts and exact money totals per priority ×
+    * status — the wide-table report shape `DataFrame.pivot` exists for.
+    * Pivot values are DECLARED (`Seq("F","O","P")`), so Spark skips the
+    * distinct-scan planning pass and the output schema is static — the
+    * only pivot form that makes sense on a 100 TB fact. One partial-agg'd
+    * shuffle on the group key; statuses fan out as columns, not rows. */
+  def statusPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("amt"))
+      .select(col("o_orderpriority"),
+        coalesce(col("F_n"), lit(0L)).as("f_n"),
+        coalesce(col("F_amt"), lit(0.0)).as("f_amt"),
+        coalesce(col("O_n"), lit(0L)).as("o_n"),
+        coalesce(col("O_amt"), lit(0.0)).as("o_amt"),
+        coalesce(col("P_n"), lit(0L)).as("p_n"),
+        coalesce(col("P_amt"), lit(0.0)).as("p_amt"))
+      .orderBy("o_orderpriority")
+
+  /** ROLLUP (q70): revenue by region → nation with subtotal and
+    * grand-total rows (grouping sets — the OLAP cube surface). `lvl`
+    * disambiguates aggregation depth the way `GROUPING()` would (the
+    * dimension names are never null in this schema). Rollup costs the
+    * same single shuffle as the plain group-by: Spark expands grouping
+    * sets BEFORE the exchange and partial-aggregates each set map-side. */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    val dim = sup.join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .select(col("s_suppkey"), col("r_name"), col("n_name"))
+    li.join(broadcast(dim), li("l_suppkey") === dim("s_suppkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_items"), moneySum(col("l_extendedprice")).as("total"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("market"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        when(col("r_name").isNull && col("n_name").isNull, 2)
+          .when(col("n_name").isNull, 1).otherwise(0).as("lvl"),
+        col("n_items"), col("total"))
+      .orderBy("lvl", "market", "nation")
+  }
+
+  /** NTILE quartiles (q71): customers ranked into revenue quartiles
+    * WITHIN their market segment, reported per (segment, quartile). The
+    * ntile order is total-ordered (revenue desc, then key) so tile
+    * boundaries are deterministic on both engines. Customer totals are
+    * one partial-agg'd shuffle; the per-segment window sorts only
+    * customer-level rows (corpus-reduced), never the fact. */
+  def revenueQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(moneySum(col("o_totalprice")).as("total"))
+    val seg = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("total").desc, col("o_custkey"))
+    totals.join(seg, totals("o_custkey") === seg("c_custkey"))
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy("c_mktsegment", "quartile")
+      .agg(count(lit(1)).as("n_customers"),
+        moneySum(col("total")).as("sum_total"),
+        min(col("total")).as("min_total"),
+        max(col("total")).as("max_total"))
+      .orderBy("c_mktsegment", "quartile")
+  }
+
+  /** Time-series gap fill (q72): a dense month spine per tracked
+    * customer, monthly totals forward-filled across order-less months —
+    * the resample/ffill every market-data series needs before modeling
+    * (the reference's daily prices have the same trading-halt gaps).
+    * The spine is generated from the global date bounds (one tiny agg +
+    * `sequence`), cross-joined only against the TRACKED key set, so grid
+    * size is |keys|·|months|, never fact-sized; the forward fill is one
+    * running `last(ignoreNulls)` window per key. */
+  def monthlyGapFill(spark: SparkSession, dir: String,
+                     maxKey: Int = 20): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val monthly = o.filter(col("o_custkey") < maxKey)
+      .groupBy(col("o_custkey"),
+        trunc(col("o_orderdate").cast("date"), "MM").as("month"))
+      .agg(moneySum(col("o_totalprice")).as("amt"))
+    val spine = o.agg(
+        trunc(min(col("o_orderdate")).cast("date"), "MM").as("mn"),
+        trunc(max(col("o_orderdate")).cast("date"), "MM").as("mx"))
+      .select(explode(expr("sequence(mn, mx, interval 1 month)")).as("month"))
+    val keys = monthly.select("o_custkey").distinct()
+    val w = Window.partitionBy("o_custkey").orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keys.crossJoin(spine)
+      .join(monthly, Seq("o_custkey", "month"), "left")
+      .select(col("o_custkey"), col("month"),
+        coalesce(last(col("amt"), ignoreNulls = true).over(w), lit(0.0))
+          .as("amt_filled"),
+        when(col("amt").isNull, 1).otherwise(0).as("is_gap"))
+      .orderBy("o_custkey", "month")
+  }
 }

@@ -101,4 +101,46 @@ object EventWindows {
       .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy("event_type")
+
+  /** Ordered funnel (q73): view → click-after-view → purchase-after-click,
+    * per user, reported as per-stage user counts with step conversion.
+    * Each stage is one user-keyed min-timestamp aggregation joined to the
+    * previous stage's user set — all three joins are user-keyed
+    * aggregations over an already-reduced (one row per user) left side,
+    * so the fact is scanned once per stage with its event-type filter
+    * pushed to the scan and nothing larger than |users| is ever joined. */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def stage(t: String) = ev.filter(col("event_type") === t)
+    val v = stage("view").groupBy("user_id").agg(min(col("ts")).as("tv"))
+    val c = stage("click").join(v, "user_id").filter(col("ts") > col("tv"))
+      .groupBy("user_id").agg(min(col("ts")).as("tc"))
+    val p = stage("purchase").join(c, "user_id").filter(col("ts") > col("tc"))
+      .groupBy("user_id").agg(min(col("ts")).as("tp"))
+    val n1 = v.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
+    val n2 = c.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("2_click"))
+    val n3 = p.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("3_purchase"))
+    n1.unionByName(n2).unionByName(n3)
+      .select(col("stage"), col("n_users"))
+      .orderBy("stage")
+  }
+
+  /** Cohort retention (q74): users grouped by first-activity day, then
+    * counted per (cohort day, day offset) for the first week — the
+    * retention triangle every behavioral report draws. Two user-keyed
+    * aggregations (first day, distinct active days) and one broadcast-
+    * size join; the matrix itself is |days|×8 rows. */
+  def cohortRetention(spark: SparkSession, dir: String,
+                      maxOffset: Int = 7): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .distinct()
+    val cohort = act.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+    act.join(cohort, "user_id")
+      .withColumn("day_offset", datediff(col("d"), col("cohort_day")))
+      .filter(col("day_offset") <= maxOffset)
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
 }

@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Cross-checks for the OLAP-shape queries (q69-q74): internal
+  * consistency invariants the DuckDB oracle can't express (it only
+  * compares final values). */
+class OlapShapesSpec extends SparkSpec {
+
+  test("pivot counts re-aggregate to the conditional-counts query") {
+    val pivot = Analytics.statusPivot(spark, sf001)
+      .select(col("o_orderpriority"),
+        (col("f_n") + col("o_n") + col("p_n")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cond = Analytics.condCounts(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pivot == cond)
+  }
+
+  test("rollup levels are internally consistent") {
+    val rows = Analytics.revenueRollup(spark, sf001).collect()
+    val grand = rows.filter(_.getInt(2) == 2)
+    assert(grand.length == 1)
+    val l0Items = rows.filter(_.getInt(2) == 0).map(_.getLong(3)).sum
+    val l1Items = rows.filter(_.getInt(2) == 1).map(_.getLong(3)).sum
+    assert(l0Items == grand.head.getLong(3) && l1Items == grand.head.getLong(3))
+  }
+
+  test("ntile quartile sizes within a segment differ by at most one") {
+    Analytics.revenueQuartiles(spark, sf001).collect()
+      .groupBy(_.getString(0)).foreach { case (_, qs) =>
+        val sizes = qs.map(_.getLong(2))
+        assert(sizes.max - sizes.min <= 1)
+        assert(qs.map(_.getInt(1)).sorted.toSeq == (1 to qs.length).toSeq)
+      }
+  }
+
+  test("gap fill emits a dense spine with carried values") {
+    val rows = Analytics.monthlyGapFill(spark, sf001, maxKey = 5).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, ms) =>
+      // dense: every month present exactly once per key
+      assert(ms.map(_.getDate(1)).distinct.length == ms.length)
+      // carried: a gap month repeats the previous filled value
+      val sorted = ms.sortBy(_.getDate(1).toString)
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) if cur.getInt(3) == 1 =>
+          assert(cur.getDouble(2) == prev.getDouble(2))
+        case _ =>
+      }
+    }
+  }
+
+  test("funnel stage counts are non-increasing") {
+    val counts = EventWindows.eventFunnel(spark, sf001)
+      .orderBy("stage").collect().map(_.getLong(1))
+    assert(counts.length == 3)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("cohort retention offset-0 covers every user exactly once") {
+    val rows = EventWindows.cohortRetention(spark, sf001).collect()
+    val day0 = rows.filter(_.getInt(1) == 0).map(_.getLong(2)).sum
+    val users = graft.model.Tables.events(spark, sf001)
+      .select("user_id").distinct().count()
+    assert(day0 == users)
+    assert(rows.forall(_.getInt(1) >= 0))
+  }
+}
