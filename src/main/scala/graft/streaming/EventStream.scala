@@ -146,4 +146,41 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .start()
+
+  // ---- streaming joins ---------------------------------------------------
+
+  /** Stream-static enrichment: each incoming event joined to a static
+    * dimension (the streaming twin of the J1 broadcast fact⋈dim join —
+    * the dim is re-read per micro-batch, so slowly-changing dimensions
+    * pick up updates without restarting the query). Stateless: no
+    * watermark needed, no join state accumulates. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    joinKey: String): DataFrame =
+    events.join(broadcast(dim), Seq(joinKey), "left")
+
+  /** Stream-stream interval join: each click matched to the SAME user's
+    * views at most `horizon` BEFORE it (the attribution shape — which
+    * impression led to this action). Both sides carry watermarks and the
+    * join condition bounds event-time distance, so Spark can expire join
+    * state: view-side rows are dropped once `click_ts > view_ts + horizon`
+    * passes the watermark — state is bounded by rate × horizon, not by
+    * stream length. */
+  def clickAttribution(events: DataFrame,
+                       horizon: String = "30 minutes",
+                       watermarkDelay: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermarkDelay)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermarkDelay)
+    clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"interval $horizon"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+  }
 }

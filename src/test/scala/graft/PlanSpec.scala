@@ -75,4 +75,41 @@ class PlanSpec extends SparkSpec {
     assert(!fps.contains("HashAggregate") && !fps.contains("Generate"),
       s"fingerprinting should be a pure projection:\n$fps")
   }
+
+  test("c4 filter cascade is a single-stage projection (no exchange)") {
+    val docs = graft.model.Tables.documents(spark, sf001)
+    val p = plan(graft.ext.QualityFilters.c4Filter(docs, "doc_id", "text"))
+    assert(!p.contains("Exchange"), s"unexpected shuffle in rule cascade:\n$p")
+  }
+
+  test("rarity scoring joins the vocabulary via broadcast, never sort-merge") {
+    val docs = graft.model.Tables.documents(spark, sf001)
+    val p = plan(graft.ext.TextAnalysis.rarityScore(docs, "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact-side shuffle join crept in:\n$p")
+  }
+
+  test("rollup expands grouping sets below a single aggregation exchange") {
+    val p = plan(Analytics.revenueRollup(spark, sf001))
+    assert(p.contains("Expand"), s"grouping-set expand missing:\n$p")
+    // one exchange for the rollup agg (dims broadcast, fact never
+    // re-shuffled); AQE may add a final coalesce but no second hash
+    // partitioning on the grouping keys
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"rollup should shuffle once, saw $exchanges:\n$p")
+  }
+
+  test("snapshot diff collapses value columns to one hash before the join") {
+    val docs = graft.model.Tables.documents(spark, sf001)
+    val p = plan(graft.ext.Versioning.snapshotDiff(
+      docs.select("doc_id", "text"), docs.select("doc_id", "text"),
+      "doc_id", Seq("text")))
+    assert(p.contains("FullOuter"), s"full-outer join missing:\n$p")
+    assert(p.contains("md5"), s"row hash missing:\n$p")
+    // the wide text column must not survive past the projection feeding
+    // the exchange: hash first, shuffle 16-byte digests
+    val exch = p.indexOf("Exchange")
+    assert(exch >= 0 && !p.substring(0, exch).contains("text#"),
+      s"text column crossed the exchange unhashed:\n$p")
+  }
 }

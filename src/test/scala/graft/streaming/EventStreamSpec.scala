@@ -116,4 +116,35 @@ class EventStreamSpec extends SparkSpec {
         mins(r.getTimestamp(1)), r.getLong(3)))
     assert(rows.contains((1L, 0L, 35L, 2L)))
   }
+
+  test("enrichWithDim joins each micro-batch against the static dimension") {
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[EvRow]
+    val q = EventStream.enrichWithDim(in.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    in.addData(ev(1, 0, user = 1), ev(2, 1, user = 2), ev(3, 2, user = 99))
+    drain(q)
+    val rows = spark.table("enrich")
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("tier")).toMap
+    // left join: unknown user keeps the event with a null tier
+    assert(rows == Map(1L -> "gold", 2L -> "basic", 3L -> null))
+  }
+
+  test("clickAttribution matches clicks to in-horizon prior views only") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[EvRow]
+    val q = EventStream.clickAttribution(in.toDF(), "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    in.addData(
+      ev(10, 0, user = 1, typ = "view"),
+      ev(11, 10, user = 1, typ = "click"),  // 10 min after view → attributed
+      ev(20, 0, user = 2, typ = "view"),
+      ev(21, 50, user = 2, typ = "click"),  // 50 min after view → outside horizon
+      ev(30, 5, user = 3, typ = "click"))   // no prior view at all
+    drain(q)
+    val rows = spark.table("attr")
+      .collect().map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("view_id")))
+    assert(rows.toSet == Set((11L, 10L)))
+  }
 }
