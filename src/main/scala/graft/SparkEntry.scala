@@ -94,6 +94,8 @@ object SparkEntry {
     "q72_gap_fill"         -> ((s, d) => Analytics.monthlyGapFill(s, d)),
     "q73_event_funnel"     -> ((s, d) => EventWindows.eventFunnel(s, d)),
     "q74_cohort_retention" -> ((s, d) => EventWindows.cohortRetention(s, d)),
+    "q75_chunking"         -> ((s, d) => ExtQueries.chunk(s, d)),
+    "q76_kmeans_step"      -> ((s, d) => ExtQueries.kmeansStep(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -1050,5 +1052,57 @@ object SparkEntry {
          |WHERE date_diff('day', c.cohort_day, a.d) <= 7
          |GROUP BY 1, 2
          |ORDER BY 1, 2""".stripMargin,
+    "q75_chunking" ->
+      s"""WITH $nCte,
+         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+         |m AS (SELECT doc_id, toks,
+         |        GREATEST((CAST(len(toks) AS BIGINT) - 16 + 47) // 48, 1) AS n_chunks
+         |      FROM tk),
+         |g AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx FROM m)
+         |SELECT doc_id, chunk_idx,
+         |       chunk_idx * 48 AS tok_start,
+         |       CAST(len(list_slice(toks, chunk_idx*48 + 1, chunk_idx*48 + 64)) AS BIGINT)
+         |         AS n_tok_chunk,
+         |       array_to_string(list_slice(toks, chunk_idx*48 + 1, chunk_idx*48 + 64), ' ')
+         |         AS chunk_text
+         |FROM g
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q76_kmeans_step" ->
+      s"""WITH $embCte,
+         |ex AS (SELECT label AS cell, g AS pos, CAST(embedding[g] AS DOUBLE) AS v
+         |       FROM (SELECT label, embedding, unnest(range(1, len(embedding)+1)) AS g
+         |             FROM embeddings) z),
+         |cs AS (SELECT cell, pos, CAST(SUM(CAST(ROUND(v*10000,0) AS BIGINT)) AS BIGINT) AS s,
+         |              COUNT(*) AS n
+         |       FROM ex GROUP BY cell, pos),
+         |cent AS (SELECT cell, LIST(CAST(s AS DOUBLE)/10000.0/n ORDER BY pos) AS centroid
+         |         FROM cs GROUP BY cell),
+         |cn AS (SELECT cell, centroid, sqrt(list_dot_product(centroid, centroid)) AS cnrm
+         |       FROM cent),
+         |sc AS (SELECT v.vec_id, v.emb, v.label AS old_cell, cn.cell,
+         |              ROUND(list_dot_product(v.emb, cn.centroid)/(v.nrm*cn.cnrm), 4) AS score
+         |       FROM nm v CROSS JOIN cn),
+         |asg AS (SELECT vec_id, emb, old_cell, cell FROM sc
+         |        QUALIFY row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY score DESC, cell) = 1),
+         |ex2 AS (SELECT cell, g AS pos, emb[g] AS v
+         |        FROM (SELECT cell, emb, unnest(range(1, len(emb)+1)) AS g FROM asg) z),
+         |cs2 AS (SELECT cell, pos, CAST(SUM(CAST(ROUND(v*10000,0) AS BIGINT)) AS BIGINT) AS s,
+         |               COUNT(*) AS n
+         |        FROM ex2 GROUP BY cell, pos),
+         |cent2 AS (SELECT cell, LIST(CAST(s AS DOUBLE)/10000.0/n ORDER BY pos) AS nc
+         |          FROM cs2 GROUP BY cell),
+         |sz AS (SELECT cell, COUNT(*) AS n_assigned,
+         |              CAST(SUM(CASE WHEN old_cell = cell THEN 1 ELSE 0 END) AS BIGINT)
+         |                AS n_stayed
+         |       FROM asg GROUP BY cell)
+         |SELECT cn.cell, sz.n_assigned, sz.n_stayed,
+         |       ROUND(list_dot_product(cn.centroid, c2.nc) /
+         |         (sqrt(list_dot_product(cn.centroid, cn.centroid)) *
+         |          sqrt(list_dot_product(c2.nc, c2.nc))), 4) AS centroid_cos
+         |FROM cn
+         |JOIN cent2 c2 ON cn.cell = c2.cell
+         |JOIN sz ON sz.cell = cn.cell
+         |ORDER BY cn.cell""".stripMargin,
   )
 }

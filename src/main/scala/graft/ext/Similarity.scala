@@ -167,6 +167,53 @@ object Similarity {
         col("rank").cast("int").as("rank"))
   }
 
+  /** One k-means refinement step over the embedding corpus (q76): score
+    * every vector against the current centroids (label-cell seeds —
+    * [[cellCentroids]]), reassign to the argmax-cosine cell, recompute
+    * centroids over the new assignment, and report per-cell movement
+    * (size before/after, old↔new centroid cosine). This is the training
+    * iteration behind every IVF/clustering quantizer, expressed in the
+    * engine's own deterministic idioms: centroids use the integer-cents
+    * sum so they are aggregation-order-exact, scores are rounded before
+    * ranking so the argmax is reproducible cross-engine.
+    *
+    * Scale shape: centroids are k·dim rows after a partial-agg'd shuffle
+    * of (cell, pos, value) triples; the assignment join is corpus ×
+    * broadcast(k centroids) with a per-row argmax window keyed by the
+    * vector id (high-cardinality — state is one row); the refine
+    * aggregation is the same centroid shuffle again. Nothing fact-sized
+    * is ever sort-merge joined. */
+  def kmeansStep(corpus: DataFrame, idCol: String, embCol: String,
+                 cellCol: String): DataFrame = {
+    val cents = cellCentroids(corpus, cellCol, embCol)
+      .withColumn("cnrm", sqrt(dotD(col("centroid"), col("centroid"))))
+    val vecs = graft.model.Tables.fanOut(corpus)
+      .select(col(idCol).as("vid"), col(embCol).as("emb"),
+        l2norm(col(embCol)).as("nrm"), col(cellCol).as("old_cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vid").orderBy(desc("score"), col("cell"))
+    val assigned = vecs.crossJoin(broadcast(cents))
+      .select(col("vid"), col("emb"), col("old_cell"), col("cell"),
+        round(dotD(col("emb").cast("array<double>"), col("centroid")) /
+          (col("nrm") * col("cnrm")), 4).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vid"), col("emb"), col("old_cell"), col("cell"))
+    val newCents = cellCentroids(assigned, "cell", "emb")
+      .select(col("cell"), col("centroid").as("new_centroid"))
+    val sizes = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(when(col("old_cell") === col("cell"), 1L).otherwise(0L)).as("n_stayed"))
+    cents.join(newCents, Seq("cell"))
+      .join(sizes, Seq("cell"))
+      .select(col("cell"), col("n_assigned"), col("n_stayed"),
+        round(dotD(col("centroid"), col("new_centroid")) /
+          (sqrt(dotD(col("centroid"), col("centroid"))) *
+            sqrt(dotD(col("new_centroid"), col("new_centroid")))), 4)
+          .as("centroid_cos"))
+      .orderBy("cell")
+  }
+
   /** Embedding-cosine near-duplicate pairs within a coarse partition key
     * (here: a label/cluster column — the IVF idea: only intra-bucket pairs
     * are candidates, so the self-join is equi on the bucket key instead of

@@ -268,6 +268,21 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Document chunking (q75): 64-token windows with 16-token overlap,
+    * provenance-keyed — the context-window shaping pass before sequence
+    * training or embedding. */
+  def chunk(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Chunking.chunk(Tables.documents(spark, dir), "doc_id", "text",
+        chunkTokens = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** One k-means refinement step (q76) over the embeddings corpus,
+    * seeded by the label cells: per-cell reassignment counts and
+    * old-vs-new centroid cosine. */
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansStep(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", "label")
+
   // ---- multimodal --------------------------------------------------------
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =

@@ -78,4 +78,18 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((1L, 2L))) // 1⋈3 below threshold, 4 in other bucket
   }
+
+  test("kmeansStep conserves the corpus and reports sane movement") {
+    val emb = graft.model.Tables.embeddings(spark, sf001)
+    val rows = Similarity.kmeansStep(emb, "vec_id", "embedding", "label")
+      .collect()
+    assert(rows.nonEmpty)
+    // every vector is assigned to exactly one cell
+    assert(rows.map(_.getLong(1)).sum == emb.count())
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))          // stayed <= assigned
+      val cos = r.getDouble(3)
+      assert(cos >= -1.0001 && cos <= 1.0001)       // valid cosine
+    }
+  }
 }
