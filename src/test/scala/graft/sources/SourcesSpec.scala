@@ -141,6 +141,18 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 1)
   }
 
+  test("compactFiles bin-packs a fragmented directory without losing rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val df = spark.range(0, 1000).selectExpr("id", "id * 2 AS v")
+    df.repartition(20).write.parquet(s"$dir/t")   // 20 small files
+    val (before, after) = Sinks.compactFiles(spark, s"$dir/t",
+      targetBytes = 1L << 30)
+    assert(before == 20 && after == 1)
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 1000)
+    assert(back.agg(sum(col("v"))).head().getLong(0) == (0L until 1000L).map(_ * 2).sum)
+  }
+
   test("orc source round-trips types, nulls, and unicode text") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
