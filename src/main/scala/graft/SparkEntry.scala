@@ -173,9 +173,11 @@ object SparkEntry {
        |  list_transform(range(1, length($c)+1),
        |    i -> CAST(ord(substr($c, i, 1)) AS BIGINT))),
        |  (h, c) -> (h * 31 + c) % ${graft.ext.TextOps.HashP})""".stripMargin
-  /** Sampling.bucket100 over doc_id. */
+  /** Sampling.bucket100 over doc_id (same mod-P-before-multiply
+    * reduction as the Scala side — identical values for keys < P, no
+    * overflow beyond). */
   private val bucketExpr =
-    s"((doc_id * 1000003 + 12345) % ${graft.ext.TextOps.HashP}) % 100"
+    s"(((doc_id % ${graft.ext.TextOps.HashP}) * 1000003 + 12345) % ${graft.ext.TextOps.HashP}) % 100"
   /** Normalized double-precision embeddings with L2 norm. */
   private val embCte =
     "nm AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb, " +
@@ -917,8 +919,8 @@ object SparkEntry {
     "q64_shard_shuffle" ->
       s"""WITH s AS (
          |  SELECT doc_id,
-         |         CAST(((doc_id * 2654435761 + 97) % ${graft.ext.TextOps.HashP}) % 8
-         |           AS INT) AS shard
+         |         CAST((((doc_id % ${graft.ext.TextOps.HashP}) * 2654435761 + 97)
+         |           % ${graft.ext.TextOps.HashP}) % 8 AS INT) AS shard
          |  FROM documents)
          |SELECT doc_id, shard,
          |       CAST(ROW_NUMBER() OVER (PARTITION BY shard

@@ -34,7 +34,7 @@ object Chunking {
     // any realistic token count (n ≪ 2⁵³).
     val nChunks = greatest(
       floor((n - overlap + (stride - 1)).cast("long") / stride).cast("long"), lit(1L))
-    docs.select(col(idCol), toks.as("toks"), n.as("n"),
+    docs.select(col(idCol), toks.as("toks"),
         explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
       .select(col(idCol), col("chunk_idx"),
         (col("chunk_idx") * stride).as("tok_start"),

@@ -14,11 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Affine-mod bucket in [0, 100): `((key·a + b) mod P) mod 100`.
-    * The multiplier/offset are coprime to P = 2³¹-1, so buckets are
-    * uniform over any contiguous or sparse key range. */
+  /** Affine-mod bucket in [0, 100): `(((key mod P)·a + b) mod P) mod
+    * 100`. The multiplier/offset are coprime to P = 2³¹-1, so buckets
+    * are uniform over any contiguous or sparse key range. The key is
+    * reduced mod P BEFORE the multiply, so the product stays below
+    * 2⁶³ for any non-negative long key — no silent signed overflow at
+    * extreme key ranges (the oracle SQL mirrors the same reduction). */
   def bucket100(key: Column): Column =
-    ((key.cast("long") * lit(1000003L) + lit(12345L)) % lit(TextOps.HashP)) % 100
+    (((key.cast("long") % lit(TextOps.HashP)) * lit(1000003L) + lit(12345L))
+      % lit(TextOps.HashP)) % 100
 
   /** Assign each row to a named split by cumulative percentage:
     * `weights = Seq("train" -> 90, "val" -> 5, "test" -> 5)` (must sum to
@@ -57,10 +61,11 @@ object Sampling {
   /** Second, independent affine hash (different multiplier/offset, both
     * coprime to P) for shard assignment — independent of [[bucket100]],
     * so shard membership does not correlate with split/sample
-    * membership. */
+    * membership. Same mod-P-before-multiply guard: (P-1)·2654435761 <
+    * 2⁶³, so no overflow for any non-negative key. */
   def shardOf(key: Column, nShards: Int): Column =
-    (((key.cast("long") * lit(2654435761L) + lit(97L)) % lit(TextOps.HashP))
-      % nShards).cast("int")
+    ((((key.cast("long") % lit(TextOps.HashP)) * lit(2654435761L) + lit(97L))
+      % lit(TextOps.HashP)) % nShards).cast("int")
 
   /** Deterministic per-key quota: keep at most `cap` rows per key, the
     * winners chosen by hash order (then id as tie-break) so the kept set

@@ -185,8 +185,14 @@ object Similarity {
     * is ever sort-merge joined. */
   def kmeansStep(corpus: DataFrame, idCol: String, embCol: String,
                  cellCol: String): DataFrame = {
+    // Both multi-consumer intermediates are staged (localCheckpoint, the
+    // TextDedup idiom): `cents` feeds the assignment broadcast AND the
+    // final drift join; `assigned` feeds the new-centroid aggregation
+    // AND the size report. Without staging, each second consumer re-runs
+    // the full corpus × centroids scoring pass.
     val cents = cellCentroids(corpus, cellCol, embCol)
       .withColumn("cnrm", sqrt(dotD(col("centroid"), col("centroid"))))
+      .localCheckpoint()
     val vecs = graft.model.Tables.fanOut(corpus)
       .select(col(idCol).as("vid"), col(embCol).as("emb"),
         l2norm(col(embCol)).as("nrm"), col(cellCol).as("old_cell"))
@@ -199,6 +205,7 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("vid"), col("emb"), col("old_cell"), col("cell"))
+      .localCheckpoint()
     val newCents = cellCentroids(assigned, "cell", "emb")
       .select(col("cell"), col("centroid").as("new_centroid"))
     val sizes = assigned.groupBy("cell")

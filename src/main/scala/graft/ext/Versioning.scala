@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
 object Versioning {
 
   /** Row content hash for change detection: md5 over the value columns
+    * (each null-coalesced to a NUL sentinel: `concat_ws` SKIPS nulls,
+    * so without it ("x", null) and (null, "x") would hash identically)
     * joined with a  separator (md5 is available and identical in
     * DuckDB, so diffs are oracle-checkable — unlike xxhash64, which the
     * oracle engine lacks). */
   def rowHash(cols: Seq[String]): Column =
-    md5(concat_ws("", cols.map(col): _*))
+    md5(concat_ws("", cols.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0000"))): _*))
 
   /** Snapshot diff by key: one full-outer sort-merge join on the key,
     * emitting only `added` / `removed` / `changed` rows (`unchanged` is
@@ -59,7 +62,8 @@ object Versioning {
                    valueCols: Seq[String],
                    expectedItems: Long = 1000000L,
                    numBits: Long = 8388608L): DataFrame = {
-    val fp = xxhash64(concat_ws("", valueCols.map(col): _*))
+    val fp = xxhash64(concat_ws("", valueCols.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0000"))): _*))
     val bf = prev.select(fp.as("h"))
       .agg(expr(s"bloom_filter_agg(h, ${expectedItems}L, ${numBits}L)").as("bf"))
       .head().getAs[Array[Byte]]("bf")

@@ -64,30 +64,49 @@ object Sinks {
       .saveAsTable(table)
 
   /** Small-file compaction: rewrite a parquet directory into
-    * target-sized files and atomically swap it in. The operational
-    * counterpart of the row-level compaction (SNK7): streaming sinks and
-    * fine-grained ingests leave thousands of KB-sized files per
-    * partition, and at 100 TB the resulting task-per-file scheduling and
-    * footer-read overhead dominate scan cost long before data volume
-    * does. One `repartition(⌈bytes/target⌉)` round-robin shuffle sizes
-    * the output; the rewrite lands in a sibling tmp directory first so
-    * readers never observe a half-written table. Returns (files before,
-    * files after). */
+    * target-sized files. The operational counterpart of the row-level
+    * compaction (SNK7): streaming sinks and fine-grained ingests leave
+    * thousands of KB-sized files per partition, and at 100 TB the
+    * resulting task-per-file scheduling and footer-read overhead
+    * dominate scan cost long before data volume does.
+    *
+    * A partitioned table root (subdirectories, no top-level data files)
+    * is compacted PER PARTITION DIRECTORY, preserving the layout and its
+    * pruning. Each rewrite lands in a sibling tmp directory and swaps in
+    * via rename→rename→delete, so the live path is never deleted before
+    * its replacement exists — a crash mid-swap strands a `_precompact`
+    * backup instead of losing the table (single-writer contract; a
+    * fully atomic swap needs a transactional table format). Returns
+    * (files before, files after) across all compacted leaves. */
   def compactFiles(spark: SparkSession, path: String,
                    targetBytes: Long = 128L << 20): (Int, Int) = {
     import org.apache.hadoop.fs.Path
-    val hPath = new Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dataFiles(p: Path) =
       fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    val before = dataFiles(hPath)
-    val nOut = math.max(1,
-      math.ceil(before.map(_.getLen).sum.toDouble / targetBytes).toInt)
-    val tmp = new Path(path + "_compacting")
-    spark.read.parquet(path).repartition(nOut)
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(hPath, true)
-    fs.rename(tmp, hPath)
-    (before.length, dataFiles(hPath).length)
+    def compactLeaf(p: Path): (Int, Int) = {
+      val before = dataFiles(p)
+      if (before.isEmpty) return (0, 0)
+      val nOut = math.max(1,
+        math.ceil(before.map(_.getLen).sum.toDouble / targetBytes).toInt)
+      if (nOut >= before.length) return (before.length, before.length)
+      val tmp = new Path(p.toString + "_compacting")
+      val old = new Path(p.toString + "_precompact")
+      spark.read.parquet(p.toString).repartition(nOut)
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.rename(p, old)
+      fs.rename(tmp, p)
+      fs.delete(old, true)
+      (before.length, dataFiles(p).length)
+    }
+    val topLevel = dataFiles(root)
+    val leaves =
+      if (topLevel.nonEmpty) Seq(root)
+      else fs.listStatus(root).filter(_.isDirectory).map(_.getPath).toSeq
+        .filterNot(_.getName.endsWith("_compacting"))
+        .filterNot(_.getName.endsWith("_precompact"))
+    val results = leaves.map(compactLeaf)
+    (results.map(_._1).sum, results.map(_._2).sum)
   }
 }

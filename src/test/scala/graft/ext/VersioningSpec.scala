@@ -23,6 +23,20 @@ class VersioningSpec extends SparkSpec {
     assert(Versioning.snapshotDiff(prev, prev, "id", Seq("t", "n")).count() == 0)
   }
 
+  test("snapshotDiff distinguishes null-position and boundary-shift rows") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // ("x", null) vs (null, "x"): concat_ws skips nulls, so without the
+    // NUL sentinel both would hash to md5("x") and the change vanishes
+    val prev = Seq((1L, Some("x"), Option.empty[String]),
+      (2L, Some("en"), Some("gb"))).toDF("id", "a", "b")
+    val next = Seq((1L, Option.empty[String], Some("x")),
+      (2L, Some("eng"), Some("b"))).toDF("id", "a", "b")
+    val got = Versioning.snapshotDiff(prev, next, "id", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // both rows changed: null moved columns / content crossed the boundary
+    assert(got == Map(1L -> "changed", 2L -> "changed"))
+  }
+
   test("bloomNewDocs never marks previously-seen content as new") {
     val prev = (0L until 200L).map(i => (i, s"doc body $i")).toDF("id", "text")
     // next repeats prev's content under new ids, plus genuinely new rows

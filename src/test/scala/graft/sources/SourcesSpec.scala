@@ -153,6 +153,21 @@ class SourcesSpec extends SparkSpec {
     assert(back.agg(sum(col("v"))).head().getLong(0) == (0L until 1000L).map(_ * 2).sum)
   }
 
+  test("compactFiles preserves a partitioned layout, compacting per leaf") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_p").toString
+    spark.range(0, 400)
+      .selectExpr("id", "CAST(id % 2 AS STRING) AS part")
+      .repartition(10).write.partitionBy("part").parquet(s"$dir/t")
+    val (before, after) = Sinks.compactFiles(spark, s"$dir/t",
+      targetBytes = 1L << 30)
+    assert(before > 2 && after == 2)            // one file per partition leaf
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 400)
+    // partition layout survives: pruning column still present and usable
+    assert(back.filter(col("part") === "1").count() == 200)
+    assert(new java.io.File(s"$dir/t/part=0").isDirectory)
+  }
+
   test("orc source round-trips types, nulls, and unicode text") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
