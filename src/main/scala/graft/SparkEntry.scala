@@ -96,6 +96,8 @@ object SparkEntry {
     "q74_cohort_retention" -> ((s, d) => EventWindows.cohortRetention(s, d)),
     "q75_chunking"         -> ((s, d) => ExtQueries.chunk(s, d)),
     "q76_kmeans_step"      -> ((s, d) => ExtQueries.kmeansStep(s, d)),
+    "q77_bpe_merge_pairs"  -> ((s, d) => ExtQueries.bpeMergePairs(s, d)),
+    "q78_quality_sample"   -> ((s, d) => ExtQueries.qualityWeightedSample(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -1106,5 +1108,39 @@ object SparkEntry {
          |JOIN cent2 c2 ON cn.cell = c2.cell
          |JOIN sz ON sz.cell = cn.cell
          |ORDER BY cn.cell""".stripMargin,
+    "q77_bpe_merge_pairs" ->
+      s"""WITH $nCte,
+         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+         |bg AS (SELECT doc_id, toks[g] || ' ' || toks[g+1] AS pair
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS g FROM tk) z),
+         |agg AS (SELECT pair, COUNT(*) AS n_occurrences,
+         |               COUNT(DISTINCT doc_id) AS n_docs
+         |        FROM bg GROUP BY pair),
+         |rk AS (SELECT pair, n_occurrences, n_docs,
+         |              CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair) AS INT)
+         |                AS rank
+         |       FROM agg)
+         |SELECT pair, n_occurrences, n_docs, rank
+         |FROM rk WHERE rank <= 20
+         |ORDER BY rank""".stripMargin,
+    "q78_quality_sample" ->
+      s"""WITH $nCte,
+         |$tokCte,
+         |st AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |              SUM(CASE WHEN w IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END) AS n_stop
+         |       FROM tok GROUP BY doc_id),
+         |q AS (SELECT doc_id,
+         |             CASE WHEN n_tokens BETWEEN 10 AND 1000
+         |                       AND CAST(n_stop AS DOUBLE)/n_tokens >= 0.05
+         |                  THEN 1 ELSE 0 END AS is_quality
+         |      FROM st),
+         |k AS (SELECT is_quality,
+         |             CASE WHEN $bucketExpr < 20 + is_quality * 60 THEN 1 ELSE 0 END AS kept
+         |      FROM q)
+         |SELECT is_quality, COUNT(*) AS n_total,
+         |       CAST(SUM(kept) AS BIGINT) AS n_kept,
+         |       ROUND(CAST(SUM(kept) AS DOUBLE)/COUNT(*), 4) AS kept_rate
+         |FROM k GROUP BY is_quality
+         |ORDER BY is_quality""".stripMargin,
   )
 }

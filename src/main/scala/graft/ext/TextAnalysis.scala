@@ -223,6 +223,30 @@ object TextAnalysis {
           / count(lit(1))).as("oov_rate"))
   }
 
+  /** BPE merge-candidate table: the most frequent ADJACENT token pairs
+    * with occurrence and document frequencies — the statistic the first
+    * iteration of byte-pair/WordPiece vocabulary training maximizes
+    * over. Same plan shape as [[vocabTopK]]: one generator explode (the
+    * codegen'd [[graft.functions.WordNgrams]] kernel emits the bigrams
+    * at the scan), one pair-keyed aggregation whose exchanged volume is
+    * pair-vocabulary-bounded after partial aggregation, and a top-k that
+    * plans as TakeOrderedAndProject, never a global sort. */
+  def bpeMergePairs(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = graft.model.Tables.fanOut(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextKernelOps.wordNgrams(
+          normText(col(textCol)), 2)).as("pair"))
+    bg.groupBy("pair")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("doc_id").as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("pair")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n_occurrences").desc, col("pair")))
+          .cast("int"))
+  }
+
   /** Exact corpus quantiles of token count and normalized char length
     * (p25/p50/p75/p90/p99, linear interpolation — Spark's exact
     * `percentile` and DuckDB's `quantile_cont` share the Hive/type-7

@@ -283,6 +283,32 @@ object ExtQueries {
     Similarity.kmeansStep(Tables.embeddings(spark, dir), "vec_id",
         "embedding", "label")
 
+  /** BPE merge candidates (q77): top-20 adjacent token pairs — the
+    * first-iteration merge table of byte-pair vocabulary training. */
+  def bpeMergePairs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeMergePairs(Tables.documents(spark, dir), "doc_id", "text",
+        k = 20)
+      .orderBy("rank")
+
+  /** Quality-weighted deterministic sampling (q78): keep rate depends on
+    * the q29 quality gate (80% for quality docs, 20% otherwise) via the
+    * same affine-mod bucket as every other sampling op — the
+    * quality-aware mixture step between scoring and training. Reported
+    * per (is_quality): totals, kept, rate. */
+  def qualityWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("is_quality"))
+    val keepPct = lit(20) + col("is_quality") * 60
+    scored
+      .withColumn("kept",
+        when(Sampling.bucket100(col("doc_id")) < keepPct, 1L).otherwise(0L))
+      .groupBy("is_quality")
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"),
+        round(sum(col("kept")).cast("double") / count(lit(1)), 4).as("kept_rate"))
+      .orderBy("is_quality")
+  }
+
   // ---- multimodal --------------------------------------------------------
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
