@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 import graft.model.Parity
 
@@ -146,6 +146,56 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .start()
+
+  // ---- transformWithState (Spark 4 arbitrary state API) ------------------
+
+  case class SpendEv(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SpendState(cents: Long, hwmCents: Long)
+  case class SpendOut(user_id: Long, total: Double, high_water: Double,
+                      is_new_high: Boolean)
+
+  /** Per-user running spend with a high-water mark, on the Spark 4
+    * `transformWithState` API (the successor to
+    * `flatMapGroupsWithState`): typed `ValueState` per key, optional
+    * TTL, timer support, and the RocksDB state store underneath — the
+    * state backend that actually scales (spillable, incremental
+    * checkpoints) where the HDFS-backed map store holds all state on
+    * heap. One output row per micro-batch per active user (the
+    * running-total q43 shape, streamed). State per key is two longs;
+    * money accumulates as integer cents (Parity idiom). Requires
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider` on the session. */
+  class RunningSpendProcessor
+    extends StatefulProcessor[Long, SpendEv, SpendOut] {
+    @transient private var state: ValueState[SpendState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SpendState]("spend",
+        org.apache.spark.sql.Encoders.product[SpendState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[SpendEv],
+                                 timers: TimerValues): Iterator[SpendOut] = {
+      val prev = if (state.exists()) state.get() else SpendState(0L, 0L)
+      val batch = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+      if (batch.isEmpty) Iterator.empty
+      else {
+        val cents = prev.cents + batch.map(e => math.round(e.value * 100)).sum
+        val hwm = math.max(prev.hwmCents, cents)
+        state.update(SpendState(cents, hwm))
+        Iterator.single(SpendOut(user, cents / 100.0, hwm / 100.0,
+          cents > prev.hwmCents))
+      }
+    }
+  }
+
+  /** Wire [[RunningSpendProcessor]] over a stream of (user, ts, value). */
+  def runningSpend(events: Dataset[SpendEv]): Dataset[SpendOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningSpendProcessor,
+        TimeMode.None(), OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[SpendOut])
+  }
 
   // ---- streaming joins ---------------------------------------------------
 

@@ -131,6 +131,32 @@ class EventStreamSpec extends SparkSpec {
     assert(rows == Map(1L -> "gold", 2L -> "basic", 3L -> null))
   }
 
+  test("transformWithState running spend carries state across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val before = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[EventStream.SpendEv]
+      val q = EventStream.runningSpend(in.toDS())
+        .writeStream.format("memory").queryName("spend").outputMode("append").start()
+      in.addData(EventStream.SpendEv(1L, at(0), 10.50),
+        EventStream.SpendEv(1L, at(1), 4.25))
+      q.processAllAvailable()
+      in.addData(EventStream.SpendEv(1L, at(2), 5.25))   // 20.00 total
+      drain(q)
+      val rows = spark.table("spend")
+        .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+      // batch 1: 14.75 total (new high); batch 2: 20.00 total (new high)
+      assert(rows.toSet == Set((14.75, 14.75, true), (20.00, 20.00, true)))
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("clickAttribution matches clicks to in-horizon prior views only") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[EvRow]
