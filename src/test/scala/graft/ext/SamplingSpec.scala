@@ -62,6 +62,23 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.perKeyQuota(small, "key", "id", cap = 10).count() == 2)
   }
 
+  test("bucket and shard hashes stay in range for extreme long keys") {
+    // Pre-fix, key·2654435761 overflowed signed 64-bit above ~3.47e9 and
+    // produced NEGATIVE shard ids; the mod-P-before-multiply form must
+    // keep every assignment in contract across the full key range.
+    val extremes = Seq(0L, 1L, Int.MaxValue.toLong, 3470000000L,
+      1L << 40, 1L << 60, Long.MaxValue)
+    val df = extremes.toDF("id")
+    val got = df.select(
+        Sampling.bucket100(col("id")).as("b"),
+        Sampling.shardOf(col("id"), 8).as("s"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    got.foreach { case (b, s) =>
+      assert(b >= 0 && b < 100, s"bucket out of range: $b")
+      assert(s >= 0 && s < 8, s"shard out of range: $s")
+    }
+  }
+
   test("shardShuffle assigns every row one shard with contiguous positions") {
     val df = (0L until 400L).toDF("id")
     val rows = Sampling.shardShuffle(df, "id", nShards = 4)
