@@ -179,17 +179,25 @@ object TextAnalysis {
     * vocab-bounded, not corpus-bounded; the top-k is a
     * TakeOrderedAndProject, never a global sort. */
   def vocabTopK(docs: DataFrame, idCol: String, textCol: String,
-                k: Int = 20): DataFrame = {
+                k: Int = 20): DataFrame =
+    explodedTopK(docs, idCol, explode(tokens(normText(col(textCol)))), "w", k)
+
+  /** Shared top-k-of-exploded-terms shape behind [[vocabTopK]] and
+    * [[bpeMergePairs]]: one generator explode, a term-keyed aggregation
+    * whose exchanged volume is term-vocabulary-bounded after partial
+    * aggregation, and a deterministic (count desc, term) top-k that
+    * plans as TakeOrderedAndProject — never a global sort. */
+  private def explodedTopK(docs: DataFrame, idCol: String, exploded: Column,
+                           termCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = graft.model.Tables.fanOut(docs)
-      .select(col(idCol).as("doc_id"),
-        explode(tokens(normText(col(textCol)))).as("w"))
-    val agg = tok.groupBy("w")
+    graft.model.Tables.fanOut(docs)
+      .select(col(idCol).as("doc_id"), exploded.as(termCol))
+      .groupBy(termCol)
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct("doc_id").as("n_docs"))
-    agg.orderBy(col("n_occurrences").desc, col("w")).limit(k)
+      .orderBy(col("n_occurrences").desc, col(termCol)).limit(k)
       .withColumn("rank",
-        row_number().over(Window.orderBy(col("n_occurrences").desc, col("w")))
+        row_number().over(Window.orderBy(col("n_occurrences").desc, col(termCol)))
           .cast("int"))
   }
 
@@ -226,26 +234,13 @@ object TextAnalysis {
   /** BPE merge-candidate table: the most frequent ADJACENT token pairs
     * with occurrence and document frequencies — the statistic the first
     * iteration of byte-pair/WordPiece vocabulary training maximizes
-    * over. Same plan shape as [[vocabTopK]]: one generator explode (the
-    * codegen'd [[graft.functions.WordNgrams]] kernel emits the bigrams
-    * at the scan), one pair-keyed aggregation whose exchanged volume is
-    * pair-vocabulary-bounded after partial aggregation, and a top-k that
-    * plans as TakeOrderedAndProject, never a global sort. */
+    * over. [[explodedTopK]] over the codegen'd
+    * [[graft.functions.WordNgrams]] bigram kernel. */
   def bpeMergePairs(docs: DataFrame, idCol: String, textCol: String,
-                    k: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bg = graft.model.Tables.fanOut(docs)
-      .select(col(idCol).as("doc_id"),
-        explode(graft.functions.TextKernelOps.wordNgrams(
-          normText(col(textCol)), 2)).as("pair"))
-    bg.groupBy("pair")
-      .agg(count(lit(1)).as("n_occurrences"),
-        countDistinct("doc_id").as("n_docs"))
-      .orderBy(col("n_occurrences").desc, col("pair")).limit(k)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("n_occurrences").desc, col("pair")))
-          .cast("int"))
-  }
+                    k: Int = 20): DataFrame =
+    explodedTopK(docs, idCol,
+      explode(graft.functions.TextKernelOps.wordNgrams(
+        normText(col(textCol)), 2)), "pair", k)
 
   /** Exact corpus quantiles of token count and normalized char length
     * (p25/p50/p75/p90/p99, linear interpolation — Spark's exact

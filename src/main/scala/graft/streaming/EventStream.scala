@@ -176,14 +176,21 @@ object EventStream {
     override def handleInputRows(user: Long, rows: Iterator[SpendEv],
                                  timers: TimerValues): Iterator[SpendOut] = {
       val prev = if (state.exists()) state.get() else SpendState(0L, 0L)
+      // Event-time order matters: the high-water mark is taken after
+      // EVERY event, so an intra-batch peak (spend then refund) is
+      // captured and the output is invariant to micro-batch boundaries —
+      // replaying the same events under a different trigger split yields
+      // the same high_water.
       val batch = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
       if (batch.isEmpty) Iterator.empty
       else {
-        val cents = prev.cents + batch.map(e => math.round(e.value * 100)).sum
-        val hwm = math.max(prev.hwmCents, cents)
-        state.update(SpendState(cents, hwm))
-        Iterator.single(SpendOut(user, cents / 100.0, hwm / 100.0,
-          cents > prev.hwmCents))
+        val end = batch.foldLeft(prev) { (s, e) =>
+          val c = s.cents + math.round(e.value * 100)
+          SpendState(c, math.max(s.hwmCents, c))
+        }
+        state.update(end)
+        Iterator.single(SpendOut(user, end.cents / 100.0, end.hwmCents / 100.0,
+          end.hwmCents > prev.hwmCents))
       }
     }
   }

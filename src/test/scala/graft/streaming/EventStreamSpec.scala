@@ -144,11 +144,19 @@ class EventStreamSpec extends SparkSpec {
         EventStream.SpendEv(1L, at(1), 4.25))
       q.processAllAvailable()
       in.addData(EventStream.SpendEv(1L, at(2), 5.25))   // 20.00 total
+      q.processAllAvailable()
+      // spend then refund in ONE batch: the intra-batch peak (30.00) is
+      // the high-water mark even though the end-of-batch total is lower —
+      // output must not depend on where micro-batch boundaries fall
+      in.addData(EventStream.SpendEv(1L, at(3), 10.00),
+        EventStream.SpendEv(1L, at(4), -6.00))
       drain(q)
       val rows = spark.table("spend")
         .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
-      // batch 1: 14.75 total (new high); batch 2: 20.00 total (new high)
-      assert(rows.toSet == Set((14.75, 14.75, true), (20.00, 20.00, true)))
+      // batch 1: 14.75 (new high); batch 2: 20.00 (new high);
+      // batch 3: total 24.00, peak 30.00 (new high)
+      assert(rows.toSet == Set((14.75, 14.75, true), (20.00, 20.00, true),
+        (24.00, 30.00, true)))
     } finally {
       before match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
