@@ -98,6 +98,8 @@ object SparkEntry {
     "q76_kmeans_step"      -> ((s, d) => ExtQueries.kmeansStep(s, d)),
     "q77_bpe_merge_pairs"  -> ((s, d) => ExtQueries.bpeMergePairs(s, d)),
     "q78_quality_sample"   -> ((s, d) => ExtQueries.qualityWeightedSample(s, d)),
+    "q79_max_drawdown"     -> ((s, d) => Analytics.maxDrawdown(s, d)),
+    "q80_volatility"       -> ((s, d) => Analytics.returnVolatility(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -1142,5 +1144,34 @@ object SparkEntry {
          |       ROUND(CAST(SUM(kept) AS DOUBLE)/COUNT(*), 4) AS kept_rate
          |FROM k GROUP BY is_quality
          |ORDER BY is_quality""".stripMargin,
+    "q79_max_drawdown" ->
+      """WITH p AS (
+        |  SELECT o_custkey, o_totalprice,
+        |         MAX(o_totalprice) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM orders)
+        |SELECT o_custkey, COUNT(*) AS n_orders,
+        |       MAX(o_totalprice) AS peak_price,
+        |       ROUND(MIN(o_totalprice / peak - 1), 4) AS max_drawdown
+        |FROM p
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+    "q80_volatility" ->
+      """WITH r AS (
+        |  SELECT o_custkey,
+        |         o_totalprice / lag(o_totalprice) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) - 1 AS ret,
+        |         lag(o_totalprice) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |  FROM orders)
+        |SELECT o_custkey, COUNT(*) AS n_returns,
+        |       ROUND(AVG(ret), 4) AS mean_return,
+        |       ROUND(STDDEV_SAMP(ret), 4) AS volatility
+        |FROM r
+        |WHERE prev_price IS NOT NULL AND prev_price > 0
+        |GROUP BY o_custkey
+        |HAVING COUNT(*) >= 2
+        |ORDER BY o_custkey""".stripMargin,
   )
 }

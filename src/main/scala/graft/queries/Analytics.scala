@@ -326,6 +326,45 @@ object Analytics {
         min(col("l_shipdate").cast("date")).as("min_date"),
         max(col("l_shipdate").cast("date")).as("max_date"))
 
+  /** Max drawdown per key (q79): running price peak, worst
+    * peak-to-current decline — the risk metric every price-series
+    * surface reports. One window (running max over the per-key series)
+    * plus one per-key aggregation; the window partitions by the
+    * high-cardinality key, so state is bounded and partitions are even
+    * at any scale. Drawdown ratios are exact IEEE divisions of exact
+    * inputs; only the final reported minimum is rounded. */
+  def maxDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("peak", max(col("o_totalprice")).over(w))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        max(col("o_totalprice")).as("peak_price"),
+        r4(min(col("o_totalprice") / col("peak") - 1)).as("max_drawdown"))
+      .orderBy("o_custkey")
+  }
+
+  /** Return volatility per key (q80): mean and sample standard deviation
+    * of the per-order returns series (the q10 lag form) — the other half
+    * of the risk report next to [[maxDrawdown]]. Return inputs are exact
+    * IEEE divisions; mean/stddev are rounded (r4) for cross-engine
+    * compare, the same contract as the q07 correlation. One window + one
+    * partial-agg'd aggregation, both keyed by the high-cardinality key. */
+  def returnVolatility(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+      .filter(col("prev_price").isNotNull && col("prev_price") > 0)
+      .withColumn("ret", col("o_totalprice") / col("prev_price") - 1)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_returns"),
+        r4(avg(col("ret"))).as("mean_return"),
+        r4(stddev_samp(col("ret"))).as("volatility"))
+      .filter(col("n_returns") >= 2)
+      .orderBy("o_custkey")
+  }
+
   /** PIVOT (q69): order counts and exact money totals per priority ×
     * status — the wide-table report shape `DataFrame.pivot` exists for.
     * Pivot values are DECLARED (`Seq("F","O","P")`), so Spark skips the

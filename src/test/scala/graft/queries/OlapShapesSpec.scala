@@ -52,6 +52,21 @@ class OlapShapesSpec extends SparkSpec {
     }
   }
 
+  test("max drawdown is in [-1, 0] and volatility is non-negative") {
+    val dd = Analytics.maxDrawdown(spark, sf001).collect()
+    assert(dd.nonEmpty)
+    dd.foreach { r =>
+      val d = r.getDouble(3)
+      assert(d <= 0.0 && d >= -1.0, s"drawdown out of range: $d")
+    }
+    val vol = Analytics.returnVolatility(spark, sf001).collect()
+    assert(vol.nonEmpty)
+    vol.foreach { r =>
+      assert(r.getLong(1) >= 2)
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
   test("funnel stage counts are non-increasing") {
     val counts = EventWindows.eventFunnel(spark, sf001)
       .orderBy("stage").collect().map(_.getLong(1))
