@@ -100,6 +100,7 @@ object SparkEntry {
     "q78_quality_sample"   -> ((s, d) => ExtQueries.qualityWeightedSample(s, d)),
     "q79_max_drawdown"     -> ((s, d) => Analytics.maxDrawdown(s, d)),
     "q80_volatility"       -> ((s, d) => Analytics.returnVolatility(s, d)),
+    "q81_top_per_group"    -> ((s, d) => Analytics.topSuppliersPerNation(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -1173,5 +1174,19 @@ object SparkEntry {
         |GROUP BY o_custkey
         |HAVING COUNT(*) >= 2
         |ORDER BY o_custkey""".stripMargin,
+    "q81_top_per_group" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, ${moneySum("l_extendedprice")} AS revenue
+         |  FROM lineitem GROUP BY l_suppkey),
+         |j AS (
+         |  SELECT n.n_name, s.s_suppkey, s.s_name, r.revenue,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY n.n_name
+         |           ORDER BY r.revenue DESC, s.s_suppkey) AS INT) AS rank
+         |  FROM rev r
+         |  JOIN supplier s ON r.l_suppkey = s.s_suppkey
+         |  JOIN nation n ON s.s_nationkey = n.n_nationkey)
+         |SELECT n_name, rank, s_suppkey, s_name, revenue
+         |FROM j WHERE rank <= 5
+         |ORDER BY n_name, rank""".stripMargin,
   )
 }

@@ -365,6 +365,31 @@ object Analytics {
       .orderBy("o_custkey")
   }
 
+  /** Grouped top-k (q81): top-5 suppliers by revenue WITHIN each nation —
+    * the per-group ranking pattern that complements the global top-k
+    * (q01/q12, which plan as TakeOrderedAndProject). Revenue reduces the
+    * fact with one partial-agg'd shuffle keyed by supplier; the rank
+    * window then runs over supplier-level rows partitioned by nation —
+    * corpus-reduced input, bounded per-partition sort. */
+  def topSuppliersPerNation(spark: SparkSession, dir: String,
+                            k: Int = 5): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val dim = sup.join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val rev = li.groupBy("l_suppkey")
+      .agg(moneySum(col("l_extendedprice")).as("revenue"))
+    val w = Window.partitionBy("n_name")
+      .orderBy(col("revenue").desc, col("s_suppkey"))
+    rev.join(broadcast(dim), rev("l_suppkey") === dim("s_suppkey"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("n_name"), col("rank"), col("s_suppkey"), col("s_name"),
+        col("revenue"))
+      .orderBy("n_name", "rank")
+  }
+
   /** PIVOT (q69): order counts and exact money totals per priority ×
     * status — the wide-table report shape `DataFrame.pivot` exists for.
     * Pivot values are DECLARED (`Seq("F","O","P")`), so Spark skips the

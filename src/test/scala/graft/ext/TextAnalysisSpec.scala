@@ -149,4 +149,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L) == fps(2L))
     assert(fps(1L) != fps(3L))
   }
+
+  test("percentile_approx (the 100TB quantile path) lands near the exact report") {
+    import org.apache.spark.sql.functions._
+    // corpusQuantiles is the oracle-checkable exact variant; at scale the
+    // same shape runs partial-aggregated percentile_approx — pin that the
+    // approximate path stays within sketch tolerance of the exact one.
+    val docs = graft.model.Tables.documents(spark, sf001)
+    val exact = TextAnalysis.corpusQuantiles(docs, "doc_id", "text")
+      .collect()(0)
+    val approx = docs
+      .select(size(TextOps.tokens(TextOps.normText(col("text"))))
+        .cast("long").as("n_tokens"))
+      .agg(expr("percentile_approx(n_tokens, array(0.25D, 0.5D, 0.9D), 10000)")
+        .as("qa"))
+      .collect()(0).getSeq[Long](0)
+    assert(math.abs(approx(0) - exact.getDouble(0)) <= 2.0) // p25
+    assert(math.abs(approx(1) - exact.getDouble(1)) <= 2.0) // p50
+    assert(math.abs(approx(2) - exact.getDouble(3)) <= 2.0) // p90
+  }
 }

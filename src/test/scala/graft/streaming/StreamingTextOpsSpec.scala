@@ -44,4 +44,34 @@ class StreamingTextOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getAs[Int]("is_repetitive")).toMap
     assert(flags == Map(1L -> 1, 2L -> 0))
   }
+
+  test("c4Filter and chunking run per micro-batch on a stream") {
+    implicit val ctx = spark.sqlContext
+    // The rule cascade is a pure projection, and chunking is a generator
+    // projection — both stateless, so they stream unchanged: the arrival
+    // path can reject and window documents before anything stateful runs.
+    val th = graft.ext.QualityFilters.Thresholds(
+      minTokens = 3, meanTokLenLo = 1.0, meanTokLenHi = 10.0,
+      longTokLen = 10, maxLongFrac = 0.9, minStopwords = 1)
+    val in = MemoryStream[Doc]
+    val q = graft.ext.QualityFilters.c4Filter(in.toDF(), "doc_id", "text", th)
+      .writeStream.format("memory").queryName("c4s").outputMode("append").start()
+    in.addData(Doc(1L, "the cat sat"), Doc(2L, "no"))
+    q.processAllAvailable()
+    q.stop()
+    val keep = spark.table("c4s").collect()
+      .map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(keep == Map(1L -> "kept", 2L -> "too_short"))
+
+    val in2 = MemoryStream[Doc]
+    val q2 = graft.ext.Chunking.chunk(in2.toDF(), "doc_id", "text",
+        chunkTokens = 4, overlap = 1)
+      .writeStream.format("memory").queryName("chunks").outputMode("append").start()
+    in2.addData(Doc(1L, "a b c d e f g"))
+    q2.processAllAvailable()
+    q2.stop()
+    val chunks = spark.table("chunks").collect()
+      .map(r => (r.getLong(1), r.getString(4))).sortBy(_._1)
+    assert(chunks.toSeq == Seq((0L, "a b c d"), (1L, "d e f g")))
+  }
 }
