@@ -368,9 +368,13 @@ object Analytics {
   /** Grouped top-k (q81): top-5 suppliers by revenue WITHIN each nation —
     * the per-group ranking pattern that complements the global top-k
     * (q01/q12, which plan as TakeOrderedAndProject). Revenue reduces the
-    * fact with one partial-agg'd shuffle keyed by supplier; the rank
-    * window then runs over supplier-level rows partitioned by nation —
-    * corpus-reduced input, bounded per-partition sort. */
+    * fact with one partial-agg'd shuffle keyed by supplier, so the rank
+    * window sees one row per SUPPLIER, never fact rows. The window
+    * partitions by nation (low cardinality): per-partition input grows
+    * as |suppliers|/|nations|, so at extreme supplier counts the salted
+    * two-level form (top-k per (nation, salt) cell, then re-rank the
+    * k·|salts| survivors) is the drop-in — the final rank's input is
+    * then k-bounded regardless of scale. */
   def topSuppliersPerNation(spark: SparkSession, dir: String,
                             k: Int = 5): DataFrame = {
     val li = Tables.lineitem(spark, dir)
