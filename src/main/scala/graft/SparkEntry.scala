@@ -101,6 +101,7 @@ object SparkEntry {
     "q79_max_drawdown"     -> ((s, d) => Analytics.maxDrawdown(s, d)),
     "q80_volatility"       -> ((s, d) => Analytics.returnVolatility(s, d)),
     "q81_top_per_group"    -> ((s, d) => Analytics.topSuppliersPerNation(s, d)),
+    "q82_set_ops"          -> ((s, d) => Analytics.activityOverlap(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -1188,5 +1189,16 @@ object SparkEntry {
          |SELECT n_name, rank, s_suppkey, s_name, revenue
          |FROM j WHERE rank <= 5
          |ORDER BY n_name, rank""".stripMargin,
+    "q82_set_ops" ->
+      """WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE year(o_orderdate) = 1995),
+        |y96 AS (SELECT DISTINCT o_custkey FROM orders
+        |        WHERE year(o_orderdate) = 1996)
+        |SELECT 'both_years' AS cohort, o_custkey
+        |FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96) a
+        |UNION ALL
+        |SELECT 'only_1995' AS cohort, o_custkey
+        |FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96) b
+        |ORDER BY cohort, o_custkey""".stripMargin,
   )
 }

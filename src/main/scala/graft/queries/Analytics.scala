@@ -394,6 +394,23 @@ object Analytics {
       .orderBy("n_name", "rank")
   }
 
+  /** Set operations (q82): customers active in BOTH 1995 and 1996
+    * (INTERSECT) vs active in 1995 only (EXCEPT) — the §2.8 family's
+    * remaining members next to union (U1) and dedup (U2), labeled and
+    * stacked into one report. Each side reduces to a distinct key set
+    * first (partial-agg'd), so the set ops join key lists, never fact
+    * rows. */
+  def activityOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val y95 = o.filter(expr("year(o_orderdate) = 1995")).select("o_custkey").distinct()
+    val y96 = o.filter(expr("year(o_orderdate) = 1996")).select("o_custkey").distinct()
+    val both = y95.intersect(y96).withColumn("cohort", lit("both_years"))
+    val only95 = y95.except(y96).withColumn("cohort", lit("only_1995"))
+    both.unionByName(only95)
+      .select(col("cohort"), col("o_custkey"))
+      .orderBy("cohort", "o_custkey")
+  }
+
   /** PIVOT (q69): order counts and exact money totals per priority ×
     * status — the wide-table report shape `DataFrame.pivot` exists for.
     * Pivot values are DECLARED (`Seq("F","O","P")`), so Spark skips the
