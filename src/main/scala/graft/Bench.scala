@@ -10,10 +10,14 @@ import org.apache.spark.sql.SparkSession
   * the JSON carries `method` and both raw `pass_totals` so the
   * measurement is self-describing.
   *
-  * The JSON line goes to stdout AND to `bench_out.json` in the working
-  * directory, because sbt interleaves `[info]`/log noise on stdout and the
-  * line must stay machine-parseable. A query that throws is reported in an
-  * `errors` map (name -> message) instead of being silently timed.
+  * Two JSON artifacts: `bench_out.json` in the working directory carries
+  * the FULL per-query map plus both pass totals; stdout gets only a
+  * COMPACT summary line (total, method, n_queries, errors, sf). The
+  * driver captures just the tail of stdout (~4 KB) — the 82-query map is
+  * ~5.5 KB and overflowed it in round 4 (`BENCH_r04.json parsed: null`),
+  * so the per-query detail must never ride on stdout. A query that
+  * throws is reported in an `errors` map (name -> message) instead of
+  * being silently timed.
   */
 object Bench {
   private def jsonEscape(s: String): String =
@@ -96,14 +100,18 @@ object Bench {
     val total = results.flatMap(_._2).sum
     val passTotals = Seq(pass1, pass2)
       .map(p => p.flatMap(_._2).sum).mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-2","pass_totals":$passTotals,"queries":$qs,"errors":$errJson,"sf":"${jsonEscape(sfDir)}"}"""
-    // File first (clean, no sbt log prefixes), then stdout as the last line.
+    val nQueries = results.size
+    // Full detail (per-query map + pass totals) only in the file; the
+    // stdout line must stay well under the driver's ~4 KB tail capture.
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-2","n_queries":$nQueries,"pass_totals":$passTotals,"queries":$qs,"errors":$errJson,"sf":"${jsonEscape(sfDir)}"}"""
+    val compactLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-2","n_queries":$nQueries,"pass_totals":$passTotals,"errors":$errJson,"sf":"${jsonEscape(sfDir)}"}"""
     try {
       val w = new java.io.PrintWriter("bench_out.json")
-      try w.println(line) finally w.close()
+      try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }
     spark.stop()
-    println(line)
+    println(compactLine)
   }
 }

@@ -87,7 +87,7 @@ object SparkEntry {
     "q65_snapshot_diff"    -> ((s, d) => ExtQueries.snapshotDiff(s, d)),
     "q66_orc_roundtrip"    -> ((s, d) => IngestQueries.orcRoundtrip(s, d)),
     "q67_rarity_score"     -> ((s, d) => ExtQueries.rarityScore(s, d)),
-    "q68_bloom_new_docs"   -> ((s, d) => ExtQueries.bloomNewDocs(s, d)),
+    "q68_exact_new_docs"   -> ((s, d) => ExtQueries.exactNewDocs(s, d)),
     "q69_status_pivot"     -> ((s, d) => Analytics.statusPivot(s, d)),
     "q70_revenue_rollup"   -> ((s, d) => Analytics.revenueRollup(s, d)),
     "q71_revenue_quartiles" -> ((s, d) => Analytics.revenueQuartiles(s, d)),
@@ -972,6 +972,17 @@ object SparkEntry {
          |FROM tok t LEFT JOIN r ON t.w = r.w
          |GROUP BY t.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+    // Mirrors Versioning.exactNewDocs: md5 content hash of the prev
+    // snapshot (doc_id < 400), left-join marker probe over every doc.
+    // md5(text) == rowHash(Seq("text")) because documents.text is
+    // non-null in the corpus (same simplification as q65's oracle).
+    "q68_exact_new_docs" ->
+      """WITH ph AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 400)
+        |SELECT d.doc_id,
+        |       CASE WHEN ph.h IS NULL THEN 1 ELSE 0 END AS is_new
+        |FROM (SELECT doc_id, md5(text) AS h FROM documents) d
+        |LEFT JOIN ph ON d.h = ph.h
+        |ORDER BY d.doc_id""".stripMargin,
     "q69_status_pivot" -> {
       def n(s: String, a: String) =
         s"CAST(SUM(CASE WHEN o_orderstatus = '$s' THEN 1 ELSE 0 END) AS BIGINT) AS $a"

@@ -43,6 +43,25 @@ object Versioning {
         coalesce(col("new_hash"), lit("")).as("new_hash"))
   }
 
+  /** Exact new-content detection: flag each `next` row whose content hash
+    * (md5 over the value columns, [[rowHash]]) does not appear anywhere in
+    * `prev`. One distinct over prev's hashes, then a left join marker on
+    * the 32-hex-char hash — shuffle volume is key+hash projections
+    * regardless of document width, the same fixed-width-key discipline as
+    * [[snapshotDiff]]. This is the oracle-checkable ground truth that
+    * [[bloomNewDocs]] approximates: run the Bloom pre-pass to cheaply
+    * discard the ~99% of a 100 TB refresh that is definitely-seen, then
+    * (if exactness is required) run this join only on the survivors. */
+  def exactNewDocs(prev: DataFrame, next: DataFrame, keyCol: String,
+                   valueCols: Seq[String]): DataFrame = {
+    val prevH = prev.select(rowHash(valueCols).as("h")).distinct()
+      .withColumn("seen", lit(1))
+    next.select(col(keyCol), rowHash(valueCols).as("h"))
+      .join(prevH, Seq("h"), "left")
+      .select(col(keyCol),
+        when(col("seen").isNotNull, 0).otherwise(1).as("is_new"))
+  }
+
   /** Probabilistic new-content detection: build a Bloom filter over the
     * previous snapshot's content hashes (`bloom_filter_agg` — one
     * distributed aggregation collapsing the corpus to a fixed-size bit
@@ -57,7 +76,8 @@ object Versioning {
     * ~99% of a 100 TB snapshot it already processed: one agg + one
     * sketch ship instead of the full-corpus join the exact diff needs.
     * Not oracle-expressible (DuckDB has no matching Bloom implementation)
-    * — verified by spec on the no-false-negative guarantee instead. */
+    * — verified by spec on the no-false-negative guarantee and on being a
+    * sound pre-pass for [[exactNewDocs]] (bloom-new ⊆ exact-new). */
   def bloomNewDocs(prev: DataFrame, next: DataFrame, keyCol: String,
                    valueCols: Seq[String],
                    expectedItems: Long = 1000000L,

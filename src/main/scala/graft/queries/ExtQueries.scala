@@ -256,14 +256,16 @@ object ExtQueries {
         vocabK = 20)
       .orderBy("doc_id")
 
-  /** Bloom-filter new-content detection (q68): docs 0-399 are the
-    * previous snapshot; every doc is probed against their content-hash
-    * Bloom filter. No oracle (DuckDB has no matching Bloom build) —
-    * the no-false-negative guarantee is spec-verified instead; the
-    * driver records a rows-only check. */
-  def bloomNewDocs(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact new-content detection (q68): docs 0-399 are the previous
+    * snapshot; every doc's md5 content hash is anti-probed against
+    * theirs (left join marker on the hash — the same fixed-width-key
+    * idiom as q65's snapshot diff, and oracle-checkable because DuckDB
+    * has the identical md5). `Versioning.bloomNewDocs` is the documented
+    * probabilistic scale pre-pass for this query (no false negatives;
+    * spec-verified bloom-new ⊆ exact-new). */
+  def exactNewDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    graft.ext.Versioning.bloomNewDocs(
+    graft.ext.Versioning.exactNewDocs(
         docs.filter(col("doc_id") < 400), docs, "doc_id", Seq("text"))
       .orderBy("doc_id")
   }

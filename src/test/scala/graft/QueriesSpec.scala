@@ -19,9 +19,11 @@ class QueriesSpec extends SparkSpec {
 
   /** Queries deliberately without oracle SQL — non-oracle-expressible
     * operators (the driver records a rows-only check); each must carry
-    * its own value-level spec instead. */
-  private val rowsOnlyQueries = Set(
-    "q68_bloom_new_docs") // DuckDB has no matching Bloom build; VersioningSpec pins no-false-negatives
+    * its own value-level spec instead. Currently empty: every registered
+    * query is oracle-checked (q68 moved from the Bloom form to the exact
+    * md5 anti-join in round 5; the Bloom sketch stays as a library-level
+    * scale pre-pass pinned by VersioningSpec). */
+  private val rowsOnlyQueries = Set.empty[String]
 
   test("every registered query has an oracle and runs non-empty on sf0.001") {
     val missingOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --

@@ -37,6 +37,34 @@ class VersioningSpec extends SparkSpec {
     assert(got == Map(1L -> "changed", 2L -> "changed"))
   }
 
+  test("exactNewDocs flags exactly the rows whose content is absent from prev") {
+    val prev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "text")
+    // 10: repeats prev content under a new id (seen); 11: fresh; 12: seen
+    val next = Seq((10L, "alpha"), (11L, "delta"), (12L, "beta"))
+      .toDF("id", "text")
+    val got = Versioning.exactNewDocs(prev, next, "id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(10L -> 0, 11L -> 1, 12L -> 0))
+  }
+
+  test("bloomNewDocs is a sound pre-pass: bloom-new is a subset of exact-new") {
+    val prev = (0L until 300L).map(i => (i, s"doc body $i")).toDF("id", "text")
+    val next = ((0L until 300L).map(i => (i + 1000L, s"doc body $i")) ++
+      (0L until 80L).map(i => (i + 2000L, s"fresh content $i"))).toDF("id", "text")
+    val bloom = Versioning.bloomNewDocs(prev, next, "id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val exact = Versioning.exactNewDocs(prev, next, "id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // Bloom has no false negatives, so anything it calls NEW is truly new:
+    // bloom is_new=1 must imply exact is_new=1 on every probed row.
+    bloom.foreach { case (id, isNew) =>
+      if (isNew == 1) assert(exact(id) == 1, s"bloom flagged seen row $id as new")
+    }
+    // and the exact side agrees with ground truth by construction
+    (0L until 300L).foreach(i => assert(exact(i + 1000L) == 0))
+    (0L until 80L).foreach(i => assert(exact(i + 2000L) == 1))
+  }
+
   test("bloomNewDocs never marks previously-seen content as new") {
     val prev = (0L until 200L).map(i => (i, s"doc body $i")).toDF("id", "text")
     // next repeats prev's content under new ids, plus genuinely new rows
