@@ -569,14 +569,24 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, bucket, score, CAST(rnk AS INT) AS rank
          |FROM rk WHERE rnk <= 3
          |ORDER BY query_id, rank""".stripMargin,
+    // Image rows mirror Multimodal.bmpPayload/decodeBmp: a real BMP whose
+    // width/height derive from doc_id and whose byte length is the exact
+    // file size (54-byte headers + 4-byte-padded pixel rows). Audio/video
+    // mirror the documented decode stub over the text bytes.
     "q39_multimodal_meta" ->
-      """SELECT doc_id,
-        |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |       length(text) AS byte_len,
-        |       CAST(64 + length(text) % 448 AS INT) AS width,
-        |       CAST(64 + (length(text) * 7) % 448 AS INT) AS height,
-        |       CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + length(text) % 30 ELSE 1 END AS INT) AS n_frames
-        |FROM documents
+      """WITH m AS (SELECT doc_id,
+        |                  CAST(doc_id % 3 AS INT) AS m3,
+        |                  CAST(1 + doc_id % 64 AS INT) AS bw,
+        |                  CAST(1 + (doc_id * 7) % 64 AS INT) AS bh,
+        |                  length(text) AS tlen
+        |           FROM documents)
+        |SELECT doc_id,
+        |       CASE m3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |       CAST(CASE WHEN m3 = 0 THEN 54 + ((bw*3+3)//4)*4*bh ELSE tlen END AS BIGINT) AS byte_len,
+        |       CAST(CASE WHEN m3 = 0 THEN bw ELSE 64 + tlen % 448 END AS INT) AS width,
+        |       CAST(CASE WHEN m3 = 0 THEN bh ELSE 64 + (tlen * 7) % 448 END AS INT) AS height,
+        |       CAST(CASE WHEN m3 = 2 THEN 1 + tlen % 30 ELSE 1 END AS INT) AS n_frames
+        |FROM m
         |ORDER BY doc_id""".stripMargin,
     "q40_frame_sample" ->
       """WITH m AS (SELECT doc_id, 1 + length(text) % 30 AS n_frames

@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` stages (the Scala analogue of arrow-batched pandas
   * UDFs: one iterator per partition, no per-row serialization round trip).
   *
-  * The container has no image/audio codecs, so [[decodeStub]] is a
-  * clearly-marked DETERMINISTIC FAKE — it derives metadata from payload
-  * bytes with pure arithmetic. The Spark-side contract (schema, binary
-  * transport, partition-batched execution, explode-style frame sampling)
-  * is real and tested; swapping the stub for libjpeg/ffmpeg changes one
-  * function.
+  * The IMAGE path is a REAL decode: image rows carry well-formed BMP
+  * payloads and [[decodeBmp]] reads width/height from the actual
+  * BITMAPINFOHEADER bytes — pure integer arithmetic, no codec library
+  * needed. Audio/video metadata still comes from [[decodeStub]], a
+  * clearly-marked DETERMINISTIC FAKE (the container ships no audio/video
+  * codecs); swapping it for ffmpeg changes one function. The Spark-side
+  * contract (schema, binary transport, partition-batched execution,
+  * explode-style frame sampling) is real and tested for all modalities.
   *
   * Scale posture: payloads never hit the driver; decode is a narrow
   * per-partition map (no shuffle); frame sampling is a generator explode
@@ -33,26 +35,82 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, media_type: String, byte_len: Long,
                        width: Int, height: Int, n_frames: Int)
 
-  /** Attach a synthetic payload to the documents table: the UTF-8 bytes of
-    * the text as the opaque blob, modality tag cycling image/audio/video
-    * by doc_id. (In production the payload column arrives from the lake;
-    * this builds one deterministically for tests/oracle.) */
+  /** Attach a synthetic payload to the documents table, modality tag
+    * cycling image/audio/video by doc_id. Image rows get a WELL-FORMED
+    * BMP built by [[bmpPayload]] (dimensions derived from doc_id, pixel
+    * bytes filled from the text) so the decode stage exercises a real
+    * header parse; audio/video rows carry the UTF-8 text bytes as the
+    * opaque blob. (In production the payload column arrives from the
+    * lake; this builds one deterministically for tests/oracle.) */
   def attachPayload(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaBlob] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(
-        col(idCol).cast("long").as("doc_id"),
-        when(col(idCol) % 3 === 0, "image")
-          .when(col(idCol) % 3 === 1, "audio")
-          .otherwise("video").as("media_type"),
-        col(textCol).cast("binary").as("payload"))
-      .as[MediaBlob]
+    docs.select(col(idCol).cast("long").as("_1"),
+        col(textCol).cast("string").as("_2"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        id % 3 match {
+          case 0 => MediaBlob(id, "image", bmpPayload(id, bytes))
+          case 1 => MediaBlob(id, "audio", bytes)
+          case _ => MediaBlob(id, "video", bytes)
+        }
+      })
   }
 
-  /** STUB DECODER — deterministic fake. A real implementation decodes the
-    * payload with an image/audio/video codec; none ship in this container,
-    * so metadata is derived from the byte length with fixed arithmetic
-    * (making the operator oracle-checkable end-to-end). */
+  /** Build a complete 24-bit BMP (BITMAPFILEHEADER + BITMAPINFOHEADER +
+    * padded pixel rows) with dimensions derived from the doc id:
+    * `width = 1 + id % 64`, `height = 1 + (id·7) % 64`. Rows are padded
+    * to 4-byte stride per the format, so `byte_len = 54 + stride·height`
+    * — all integer arithmetic the oracle mirrors. Pixel bytes cycle
+    * `fill`, so the content is deterministic but non-trivial. */
+  def bmpPayload(docId: Long, fill: Array[Byte]): Array[Byte] = {
+    val w = (1 + docId % 64).toInt
+    val h = (1 + (docId * 7) % 64).toInt
+    val stride = ((w * 3 + 3) / 4) * 4
+    val dataLen = stride * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + dataLen)          // file size
+    buf.putInt(0)                     // reserved
+    buf.putInt(54)                    // pixel data offset
+    buf.putInt(40)                    // BITMAPINFOHEADER size
+    buf.putInt(w).putInt(h)
+    buf.putShort(1)                   // planes
+    buf.putShort(24)                  // bits per pixel
+    buf.putInt(0)                     // BI_RGB, uncompressed
+    buf.putInt(dataLen)               // image size
+    buf.putInt(2835).putInt(2835)     // 72 DPI in pixels/metre
+    buf.putInt(0).putInt(0)           // palette counts
+    var i = 0
+    while (i < dataLen) {
+      buf.put(if (fill.nonEmpty) fill(i % fill.length) else 0.toByte)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** REAL BMP header parse: (width, |height|) from the little-endian
+    * int32s at offsets 18/22 of a payload opening with the `BM` magic
+    * (height is negative for top-down BMPs — the pixel count is the
+    * absolute value). Returns None for anything that isn't a plausible
+    * BMP so callers can fall back. */
+  def decodeBmp(payload: Array[Byte]): Option[(Int, Int)] =
+    if (payload.length >= 26 && payload(0) == 'B'.toByte && payload(1) == 'M'.toByte) {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val w = bb.getInt(18)
+      val h = bb.getInt(22)
+      if (w > 0 && h != 0) Some((w, math.abs(h))) else None
+    } else None
+
+  /** STUB DECODER for audio/video — deterministic fake. A real
+    * implementation decodes the payload with an audio/video codec; none
+    * ship in this container, so metadata is derived from the byte length
+    * with fixed arithmetic (making the operator oracle-checkable
+    * end-to-end). Image rows never reach this path when their payload is
+    * a parseable BMP. */
   def decodeStub(b: MediaBlob): MediaMeta = {
     val len = b.payload.length.toLong
     MediaMeta(
@@ -64,11 +122,24 @@ object Multimodal {
       n_frames = if (b.media_type == "video") (1 + len % 30).toInt else 1)
   }
 
+  /** Decode one blob: real BMP header parse for image payloads (width and
+    * height read from the actual header bytes), stub arithmetic for the
+    * codec-less modalities and for image payloads that fail the BMP
+    * sniff. */
+  def decode(b: MediaBlob): MediaMeta =
+    if (b.media_type == "image")
+      decodeBmp(b.payload) match {
+        case Some((w, h)) =>
+          MediaMeta(b.doc_id, b.media_type, b.payload.length.toLong, w, h, 1)
+        case None => decodeStub(b)
+      }
+    else decodeStub(b)
+
   /** Decode a partition of blobs to metadata: typed `mapPartitions`, one
     * batch-shaped iterator per partition (the arrow-UDF execution shape). */
   def decodeMeta(blobs: Dataset[MediaBlob]): Dataset[MediaMeta] = {
     import blobs.sparkSession.implicits._
-    blobs.mapPartitions(_.map(decodeStub))
+    blobs.mapPartitions(_.map(decode))
   }
 
   /** Frame sampling for video rows: every `stride`-th frame index of each

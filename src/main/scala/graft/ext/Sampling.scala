@@ -73,9 +73,8 @@ object Sampling {
     * per-domain / per-source cap every web corpus applies against
     * boilerplate-heavy origins. One hash-partitioned window (rank
     * truncation is a running count, not a sort buffer); a pathological
-    * mega-key is the documented AQE-skew case, and because the rank order
-    * is a uniform hash a two-level cap (cap per salt-cell, then re-cap)
-    * degrades gracefully if one key outgrows a partition. */
+    * mega-key outgrowing a partition is handled by the two-level
+    * [[perKeyQuotaSalted]] form, which produces identical output. */
   def perKeyQuota(df: DataFrame, keyCol: String, idCol: String,
                   cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -84,6 +83,35 @@ object Sampling {
     df.withColumn("qrank", row_number().over(w))
       .filter(col("qrank") <= cap)
       .drop("qrank")
+  }
+
+  /** Skew-safe two-level form of [[perKeyQuota]] — IDENTICAL output,
+    * bounded per-task state on power-law keys. Phase 1 salts each row by
+    * an independent hash of the id into `salts` cells and keeps the cap
+    * smallest rows (same hash order) per (key, salt) cell: every true
+    * winner survives, because a row among the cap smallest of its whole
+    * key group is a fortiori among the cap smallest of its own cell.
+    * Phase 2 re-ranks the ≤ cap·salts survivors per key and keeps the
+    * true cap. A 10⁹-row hot source therefore costs `salts` windows of
+    * ~N/salts rows each plus one window of ≤ cap·salts rows — no single
+    * task ever materializes the hot key — while the winner set (and hence
+    * the oracle hash) is exactly [[perKeyQuota]]'s. The salt reuses
+    * [[shardOf]]'s independent affine hash, so it is deterministic,
+    * uncorrelated with the bucket100 rank order, and retry-stable. */
+  def perKeyQuotaSalted(df: DataFrame, keyCol: String, idCol: String,
+                        cap: Int, salts: Int = 16): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val cell = Window.partitionBy(col(keyCol), col("__qsalt"))
+      .orderBy(bucket100(col(idCol)), col(idCol))
+    val whole = Window.partitionBy(col(keyCol))
+      .orderBy(bucket100(col(idCol)), col(idCol))
+    df.withColumn("__qsalt", shardOf(col(idCol), salts))
+      .withColumn("__cellrank", row_number().over(cell))
+      .filter(col("__cellrank") <= cap)
+      .withColumn("qrank", row_number().over(whole))
+      .filter(col("qrank") <= cap)
+      .drop("__qsalt", "__cellrank", "qrank")
   }
 
   /** Deterministic corpus shuffle for training: assign each row a shard

@@ -134,14 +134,42 @@ object Analytics {
     val daily = li.join(broadcast(dim), li("l_suppkey") === dim("s_suppkey"))
       .groupBy(col("n_name"), col("l_shipdate").cast("date").as("d"))
       .agg(moneySum(col("l_extendedprice")).as("rev"))
-    val a = daily.select(col("n_name").as("key_a"), col("d"), col("rev").as("rev_a"))
-    val b = daily.select(col("n_name").as("key_b"), col("d"), col("rev").as("rev_b"))
-    a.join(b, Seq("d"))
+    correlationPanel(daily, "n_name", "d", "rev", maxKeys = 50)
+      .orderBy("key_a", "key_b")
+  }
+
+  /** Pairwise Pearson correlation over a reduced (key, date, value) panel
+    * with a BOUNDED pair stage. The reference hard-refuses more than 50
+    * symbols (`client.py:207-209`); refusing is not an option for a
+    * library operator, and silently truncating would bias the matrix
+    * invisibly — so beyond `maxKeys` the matrix is computed over the
+    * `maxKeys` MOST-ACTIVE keys: highest integer-cents Σ|value| (exact,
+    * so the ranking is deterministic across partitionings), key-ordered
+    * tiebreak. The activity ranking is one partial-agg'd pass over the
+    * already-reduced panel; the retained key set (≤ maxKeys rows)
+    * broadcasts into a semi join, so the date-keyed self-join input is
+    * ≤ maxKeys·|dates| rows no matter how many keys the corpus grows —
+    * the pair stage is capped by construction, never by luck. At or
+    * under the cap the semi join keeps every key and the output equals
+    * the unfiltered matrix. */
+  def correlationPanel(daily: DataFrame, keyCol: String, dateCol: String,
+                       valCol: String, maxKeys: Int): DataFrame = {
+    require(maxKeys > 1, "maxKeys must be at least 2 for a pair matrix")
+    val active = daily.groupBy(col(keyCol))
+      .agg(sum(abs(round(col(valCol) * 100, 0)).cast("long")).as("__activity"))
+      .orderBy(col("__activity").desc, col(keyCol))
+      .limit(maxKeys)
+      .select(col(keyCol))
+    val kept = daily.join(broadcast(active), Seq(keyCol), "left_semi")
+    val a = kept.select(col(keyCol).as("key_a"), col(dateCol).as("__d"),
+      col(valCol).as("__va"))
+    val b = kept.select(col(keyCol).as("key_b"), col(dateCol).as("__d"),
+      col(valCol).as("__vb"))
+    a.join(b, Seq("__d"))
       .filter(col("key_a") < col("key_b"))
       .groupBy("key_a", "key_b")
-      .agg(r4(corr(col("rev_a"), col("rev_b"))).as("correlation"),
+      .agg(r4(corr(col("__va"), col("__vb"))).as("correlation"),
         count(lit(1)).as("n_days"))
-      .orderBy("key_a", "key_b")
   }
 
   /** `get_backtest_universe` (J3+P6+A9, `client.py:152-177`): distinct keys
@@ -371,27 +399,47 @@ object Analytics {
     * fact with one partial-agg'd shuffle keyed by supplier, so the rank
     * window sees one row per SUPPLIER, never fact rows. The window
     * partitions by nation (low cardinality): per-partition input grows
-    * as |suppliers|/|nations|, so at extreme supplier counts the salted
-    * two-level form (top-k per (nation, salt) cell, then re-rank the
-    * k·|salts| survivors) is the drop-in — the final rank's input is
-    * then k-bounded regardless of scale. */
+    * as |suppliers|/|nations|, so at extreme supplier counts use
+    * [[topSuppliersPerNationSalted]] — the callable two-level form
+    * (`Skew.saltedTopKPerGroup`) whose final rank input is k·salts-bounded
+    * regardless of scale and whose output is identical (specced). */
   def topSuppliersPerNation(spark: SparkSession, dir: String,
                             k: Int = 5): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val sup = Tables.supplier(spark, dir)
-    val nat = Tables.nation(spark, dir)
-    val dim = sup.join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
-      .select(col("s_suppkey"), col("s_name"), col("n_name"))
-    val rev = li.groupBy("l_suppkey")
-      .agg(moneySum(col("l_extendedprice")).as("revenue"))
     val w = Window.partitionBy("n_name")
       .orderBy(col("revenue").desc, col("s_suppkey"))
-    rev.join(broadcast(dim), rev("l_suppkey") === dim("s_suppkey"))
+    supplierRevenue(spark, dir)
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
       .select(col("n_name"), col("rank"), col("s_suppkey"), col("s_name"),
         col("revenue"))
       .orderBy("n_name", "rank")
+  }
+
+  /** Skew-safe variant of [[topSuppliersPerNation]]: identical winners
+    * and ranks via `Skew.saltedTopKPerGroup` — top-k per (nation, salt)
+    * cell first, true re-rank over the ≤ k·salts survivors — for
+    * deployments where one nation's supplier count outgrows a window
+    * partition. The (revenue desc, s_suppkey) order is total, which is
+    * what makes the two forms provably equal. */
+  def topSuppliersPerNationSalted(spark: SparkSession, dir: String,
+                                  k: Int = 5, salts: Int = 16): DataFrame =
+    graft.operators.Skew.saltedTopKPerGroup(supplierRevenue(spark, dir),
+        Seq("n_name"), Seq(col("revenue").desc, col("s_suppkey")), k, salts)
+      .select(col("n_name"), col("rank"), col("s_suppkey"), col("s_name"),
+        col("revenue"))
+      .orderBy("n_name", "rank")
+
+  /** Shared input of the q81 forms: per-supplier exact revenue (one
+    * partial-agg'd shuffle keyed by supplier) + broadcast nation dim. */
+  private def supplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val dim = sup.join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    li.groupBy("l_suppkey")
+      .agg(moneySum(col("l_extendedprice")).as("revenue"))
+      .join(broadcast(dim), col("l_suppkey") === dim("s_suppkey"))
   }
 
   /** Set operations (q82): customers active in BOTH 1995 and 1996

@@ -218,9 +218,14 @@ object ExtQueries {
 
   /** Per-source quota (q63): keep at most 15 docs per source,
     * deterministic hash-order winners — the per-origin cap against
-    * boilerplate-heavy domains. */
+    * boilerplate-heavy domains. Runs the salted two-level form because
+    * `source` is low-cardinality (the skewed-window case at scale);
+    * output is provably identical to the single-window
+    * `Sampling.perKeyQuota`, which SamplingSpec pins on a synthetic
+    * hot key. */
   def sourceQuota(spark: SparkSession, dir: String): DataFrame =
-    Sampling.perKeyQuota(Tables.documents(spark, dir), "source", "doc_id", cap = 15)
+    Sampling.perKeyQuotaSalted(Tables.documents(spark, dir), "source", "doc_id",
+        cap = 15, salts = 16)
       .select("source", "doc_id", "n_chars")
       .orderBy("source", "doc_id")
 

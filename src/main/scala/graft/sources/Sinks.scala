@@ -73,11 +73,15 @@ object Sinks {
     * A partitioned table root (subdirectories, no top-level data files)
     * is compacted PER PARTITION DIRECTORY, preserving the layout and its
     * pruning. Each rewrite lands in a sibling tmp directory and swaps in
-    * via rename→rename→delete, so the live path is never deleted before
-    * its replacement exists — a crash mid-swap strands a `_precompact`
-    * backup instead of losing the table (single-writer contract; a
-    * fully atomic swap needs a transactional table format). Returns
-    * (files before, files after) across all compacted leaves. */
+    * via rename→rename→delete, with every rename's return value checked:
+    * a failed move-aside aborts before anything is touched; a failed
+    * swap-in restores the original and aborts; the `_precompact` backup
+    * is deleted only after the live path verifiably exists again. A
+    * stranded `_precompact`/`_compacting` from a prior crash makes the
+    * leaf REFUSE to compact until it is explicitly recovered — renaming
+    * over it could orphan the only surviving copy (single-writer
+    * contract; a fully atomic swap needs a transactional table format).
+    * Returns (files before, files after) across all compacted leaves. */
   def compactFiles(spark: SparkSession, path: String,
                    targetBytes: Long = 128L << 20): (Int, Int) = {
     import org.apache.hadoop.fs.Path
@@ -93,11 +97,21 @@ object Sinks {
       if (nOut >= before.length) return (before.length, before.length)
       val tmp = new Path(p.toString + "_compacting")
       val old = new Path(p.toString + "_precompact")
+      if (fs.exists(old) || fs.exists(tmp))
+        throw new java.io.IOException(
+          s"stranded ${old.getName} or ${tmp.getName} beside $p from an " +
+            "unfinished compaction — restore or remove it before compacting")
       spark.read.parquet(p.toString).repartition(nOut)
         .write.mode("overwrite").parquet(tmp.toString)
-      fs.rename(p, old)
-      fs.rename(tmp, p)
-      fs.delete(old, true)
+      if (!fs.rename(p, old))
+        throw new java.io.IOException(
+          s"compaction aborted: could not move $p aside (nothing changed)")
+      if (!fs.rename(tmp, p)) {
+        fs.rename(old, p) // put the original back; the rewrite stays in tmp
+        throw new java.io.IOException(
+          s"compaction aborted: could not swap $tmp into $p; original restored")
+      }
+      if (fs.exists(p)) fs.delete(old, true) // drop backup only once live
       (before.length, dataFiles(p).length)
     }
     val topLevel = dataFiles(root)

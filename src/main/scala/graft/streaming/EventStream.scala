@@ -178,9 +178,13 @@ object EventStream {
       val prev = if (state.exists()) state.get() else SpendState(0L, 0L)
       // Event-time order matters: the high-water mark is taken after
       // EVERY event, so an intra-batch peak (spend then refund) is
-      // captured and the output is invariant to micro-batch boundaries —
-      // replaying the same events under a different trigger split yields
-      // the same high_water.
+      // captured and the output is invariant to micro-batch boundaries
+      // GIVEN event-time-ordered arrival across batches — TimeMode.None
+      // provides no cross-batch reordering, so a late event that lands in
+      // a later batch folds after already-committed state and can yield a
+      // different high_water than a run where it shared a batch. True
+      // boundary invariance under out-of-order arrival needs event-time
+      // timers buffering events until the watermark passes them.
       val batch = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
       if (batch.isEmpty) Iterator.empty
       else {

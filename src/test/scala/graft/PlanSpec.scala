@@ -76,6 +76,18 @@ class PlanSpec extends SparkSpec {
       s"fingerprinting should be a pure projection:\n$fps")
   }
 
+  test("simhash candidates join on MJM prefixes, not raw byte bands") {
+    import graft.ext.TextDedup
+    val docs = graft.model.Tables.documents(spark, sf001)
+    val p = plan(TextDedup.simhashPairs(docs, "doc_id", "text"))
+    // The candidate equi-join must key on the block-permutation prefix
+    // (t, pfx) — 2^15+ buckets per table — never on an 8-bit byte band
+    // of the raw fingerprint (the N²/256-per-band scheme MJM replaces).
+    assert(p.contains("pfx"), s"MJM prefix key missing from plan:\n$p")
+    assert(!p.contains("& 255"),
+      s"raw byte-band self-join crept back in:\n$p")
+  }
+
   test("c4 filter cascade is a single-stage projection (no exchange)") {
     val docs = graft.model.Tables.documents(spark, sf001)
     val p = plan(graft.ext.QualityFilters.c4Filter(docs, "doc_id", "text"))

@@ -62,6 +62,24 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.perKeyQuota(small, "key", "id", cap = 10).count() == 2)
   }
 
+  test("perKeyQuotaSalted equals perKeyQuota on a synthetic hot key") {
+    // One pathological mega-source (4700 of 5000 rows on "hot") plus two
+    // normal keys — the power-law shape that breaks a single
+    // partition-by-key window at scale. The two-level form must keep the
+    // IDENTICAL winner set: cell-capping can never evict a true winner
+    // (a row among the cap smallest of its key group is among the cap
+    // smallest of its own salt cell).
+    val df = (0L until 5000L)
+      .map(i => (i, if (i < 4700) "hot" else s"k${i % 2}")).toDF("id", "key")
+    val plain = Sampling.perKeyQuota(df, "key", "id", cap = 15)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    for (salts <- Seq(1, 4, 16)) {
+      val salted = Sampling.perKeyQuotaSalted(df, "key", "id", cap = 15, salts)
+        .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+      assert(salted == plain, s"winner set diverged at salts=$salts")
+    }
+  }
+
   test("bucket and shard hashes stay in range for extreme long keys") {
     // Pre-fix, key·2654435761 overflowed signed 64-bit above ~3.47e9 and
     // produced NEGATIVE shard ids; the mod-P-before-multiply form must

@@ -32,6 +32,30 @@ class SkewAndExtensionsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("cold", 1L, 4.0), ("hot", 3L, 6.0)))
   }
 
+  test("saltedTopKPerGroup equals the plain rank window (q81 forms agree)") {
+    // Synthetic skew: one group holds most rows; the (v desc, id) order
+    // is total, so both forms must produce the identical ranked winners.
+    val df = (0L until 2000L)
+      .map(i => (i, if (i < 1800) "hot" else s"g${i % 3}", (i * 37) % 1009))
+      .toDF("id", "grp", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("v").desc, col("id"))
+    val plain = df.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 7)
+      .collect().map(r => (r.getString(1), r.getInt(3), r.getLong(0))).toSet
+    for (salts <- Seq(1, 4, 16)) {
+      val salted = Skew.saltedTopKPerGroup(df, Seq("grp"),
+          Seq(col("v").desc, col("id")), k = 7, salts = salts)
+        .collect().map(r => (r.getString(1), r.getInt(3), r.getLong(0))).toSet
+      assert(salted == plain, s"ranked winners diverged at salts=$salts")
+    }
+    // and the registered q81 pair agrees end-to-end on real tables
+    val a = graft.queries.Analytics.topSuppliersPerNation(spark, sf001).collect().toSeq
+    val b = graft.queries.Analytics.topSuppliersPerNationSalted(spark, sf001)
+      .collect().toSeq
+    assert(a == b)
+  }
+
   test("vector_dot is callable from SQL via GraftExtensions") {
     val d = spark.sql(
       """SELECT vector_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),

@@ -27,6 +27,24 @@ class OlapShapesSpec extends SparkSpec {
     assert(l0Items == grand.head.getLong(3) && l1Items == grand.head.getLong(3))
   }
 
+  test("correlationPanel bounds the pair stage to the most-active keys") {
+    import spark.implicits._
+    // 8 keys whose integer-cents activity strictly increases with the key
+    // index; cap 5 must keep exactly k3..k7 (no silent truncation — the
+    // retained set is the documented deterministic top-by-activity).
+    val daily = (for (k <- 0 until 8; d <- 0 until 10)
+      yield (s"k$k", d, (k + 1) * 10.0 + d % 3)).toDF("key", "d", "v")
+    val capped = Analytics.correlationPanel(daily, "key", "d", "v", maxKeys = 5)
+      .collect()
+    val keysSeen = capped.flatMap(r => Seq(r.getString(0), r.getString(1))).toSet
+    assert(keysSeen == Set("k3", "k4", "k5", "k6", "k7"))
+    assert(capped.length == 10) // C(5,2) pairs, each over all 10 dates
+    assert(capped.forall(_.getLong(3) == 10))
+    // at-or-under the cap the matrix is the full unfiltered one
+    val full = Analytics.correlationPanel(daily, "key", "d", "v", maxKeys = 8)
+    assert(full.count() == 28) // C(8,2)
+  }
+
   test("ntile quartile sizes within a segment differ by at most one") {
     Analytics.revenueQuartiles(spark, sf001).collect()
       .groupBy(_.getString(0)).foreach { case (_, qs) =>

@@ -168,6 +168,22 @@ class SourcesSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/t/part=0").isDirectory)
   }
 
+  test("compactFiles refuses a leaf with a stranded pre-compaction backup") {
+    // A leftover _precompact marks an unfinished swap from a prior crash;
+    // compacting over it could delete the only surviving copy, so the
+    // operator must fail fast and leave BOTH directories untouched.
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_s").toString
+    spark.range(0, 100).selectExpr("id", "id AS v")
+      .repartition(5).write.parquet(s"$dir/t")
+    spark.range(0, 7).toDF("id").write.parquet(s"$dir/t_precompact")
+    val e = intercept[java.io.IOException] {
+      Sinks.compactFiles(spark, s"$dir/t", targetBytes = 1L << 30)
+    }
+    assert(e.getMessage.contains("_precompact"))
+    assert(spark.read.parquet(s"$dir/t").count() == 100)
+    assert(spark.read.parquet(s"$dir/t_precompact").count() == 7)
+  }
+
   test("orc source round-trips types, nulls, and unicode text") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
