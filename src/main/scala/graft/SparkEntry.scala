@@ -102,6 +102,12 @@ object SparkEntry {
     "q80_volatility"       -> ((s, d) => Analytics.returnVolatility(s, d)),
     "q81_top_per_group"    -> ((s, d) => Analytics.topSuppliersPerNation(s, d)),
     "q82_set_ops"          -> ((s, d) => Analytics.activityOverlap(s, d)),
+    "q83_moving_average"   -> ((s, d) => Analytics.movingAverage(s, d)),
+    "q84_bollinger_bands"  -> ((s, d) => Analytics.bollingerBands(s, d)),
+    "q85_beta_vs_market"   -> ((s, d) => Analytics.betaVsMarket(s, d)),
+    "q86_cube_summary"     -> ((s, d) => Analytics.cubeSummary(s, d)),
+    "q87_unpivot_metrics"  -> ((s, d) => Analytics.unpivotMetrics(s, d)),
+    "q88_tfidf_top_terms"  -> ((s, d) => ExtQueries.tfidfTopTerms(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -1221,5 +1227,133 @@ object SparkEntry {
         |SELECT 'only_1995' AS cohort, o_custkey
         |FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96) b
         |ORDER BY cohort, o_custkey""".stripMargin,
+    // Frame sums accumulate integer cents (the windowed moneySum idiom) so
+    // both engines divide identical exact integers — no rounding needed.
+    "q83_moving_average" ->
+      """WITH c AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |         o_totalprice,
+        |         CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, order_date, o_totalprice,
+        |       CAST(COUNT(*) OVER w AS INT) AS n_in_frame,
+        |       CAST(SUM(cents) OVER w AS DOUBLE)/100.0/(COUNT(*) OVER w) AS ma_price
+        |FROM c
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY order_date, o_orderkey
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
+    // σ from the exact integer identity n·Σx²−(Σx)² over frame cents; the
+    // breakout comparisons run on unrounded IEEE-identical values, display
+    // columns rounded after.
+    "q84_bollinger_bands" ->
+      """WITH c AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |         o_totalprice,
+        |         CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders),
+        |f AS (
+        |  SELECT o_custkey, o_orderkey, order_date, o_totalprice,
+        |         SUM(cents) OVER w AS s1,
+        |         SUM(cents*cents) OVER w AS s2,
+        |         COUNT(*) OVER w AS nf
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY order_date, o_orderkey
+        |               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+        |b AS (
+        |  SELECT *, CAST(s1 AS DOUBLE)/100.0/nf AS ma,
+        |         sqrt(CAST(nf*s2 - s1*s1 AS DOUBLE) /
+        |              CAST(nf*(nf-1) AS DOUBLE))/100.0 AS sd
+        |  FROM f WHERE nf >= 2)
+        |SELECT o_custkey, o_orderkey, order_date, o_totalprice,
+        |       CAST(nf AS INT) AS n_in_frame,
+        |       ma AS ma_price, ROUND(sd, 4) AS band_sd,
+        |       CAST(o_totalprice > ma + 2*sd AS INT) AS breakout_up,
+        |       CAST(o_totalprice < ma - 2*sd AS INT) AS breakout_down
+        |FROM b
+        |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
+    // Series reduce to exact cents-sum revenues before any window/join;
+    // covar_pop/var_pop are order-dependent O(1) accumulations → final
+    // ratio rounded, the q07 corr contract.
+    "q85_beta_vs_market" ->
+      s"""WITH li AS (
+         |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d, l_extendedprice
+         |  FROM lineitem),
+         |daily AS (
+         |  SELECT l_suppkey, d, ${moneySum("l_extendedprice")} AS rev
+         |  FROM li GROUP BY 1, 2),
+         |market AS (
+         |  SELECT d, ${moneySum("l_extendedprice")} AS mkt_rev
+         |  FROM li GROUP BY 1),
+         |rets AS (
+         |  SELECT l_suppkey, d,
+         |         lag(d) OVER (PARTITION BY l_suppkey ORDER BY d) AS prev_d,
+         |         lag(rev) OVER (PARTITION BY l_suppkey ORDER BY d) AS prev_rev,
+         |         rev
+         |  FROM daily),
+         |j AS (
+         |  SELECT r.l_suppkey,
+         |         r.rev / r.prev_rev - 1 AS ret_s,
+         |         m1.mkt_rev / m2.mkt_rev - 1 AS ret_m
+         |  FROM rets r
+         |  JOIN market m1 ON r.d = m1.d
+         |  JOIN market m2 ON r.prev_d = m2.d
+         |  WHERE r.prev_rev IS NOT NULL AND r.prev_rev > 0 AND m2.mkt_rev > 0)
+         |SELECT l_suppkey, COUNT(*) AS n_days,
+         |       ROUND(covar_pop(ret_s, ret_m) / var_pop(ret_m), 4) AS beta,
+         |       ROUND(corr(ret_s, ret_m), 4) AS mkt_corr
+         |FROM j
+         |GROUP BY l_suppkey
+         |HAVING COUNT(*) >= 10
+         |ORDER BY l_suppkey""".stripMargin,
+    // GROUPING(a, b) bit order (first arg = MSB) matches Spark's
+    // grouping_id() over the same column list.
+    "q86_cube_summary" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+         |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+         |       COUNT(*) AS n_items,
+         |       ${moneySum("l_quantity")} AS sum_qty,
+         |       ${moneySum("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY gid, returnflag, linestatus""".stripMargin,
+    "q87_unpivot_metrics" ->
+      s"""WITH wide AS (
+         |  SELECT l_returnflag,
+         |         CAST(COUNT(*) AS DOUBLE) AS n_items,
+         |         ${moneySum("l_quantity")} AS sum_qty,
+         |         ${moneySum("l_extendedprice")} AS sum_price,
+         |         ${moneySum("l_discount")} AS sum_disc
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, metric, value FROM (
+         |  SELECT l_returnflag, 'n_items' AS metric, n_items AS value FROM wide
+         |  UNION ALL
+         |  SELECT l_returnflag, 'sum_qty', sum_qty FROM wide
+         |  UNION ALL
+         |  SELECT l_returnflag, 'sum_price', sum_price FROM wide
+         |  UNION ALL
+         |  SELECT l_returnflag, 'sum_disc', sum_disc FROM wide)
+         |ORDER BY l_returnflag, metric""".stripMargin,
+    // Winner set is all-integer (tf desc, term); the IDF weight is the
+    // only float and is display-rounded. ln = natural log both sides.
+    "q88_tfidf_top_terms" ->
+      """WITH ns AS (
+        |  SELECT doc_id, source,
+        |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents),
+        |toks AS (SELECT doc_id, source, unnest(string_split(t, ' ')) AS w
+        |         FROM ns),
+        |tot AS (SELECT COUNT(DISTINCT doc_id) AS n_total FROM documents),
+        |dft AS (SELECT w, COUNT(DISTINCT doc_id) AS n_docs FROM toks GROUP BY w),
+        |tf AS (SELECT source, w, COUNT(*) AS tf FROM toks GROUP BY source, w),
+        |j AS (
+        |  SELECT tf.source, tf.w, tf.tf, dft.n_docs,
+        |         ROUND(tf.tf * ln(CAST(n_total AS DOUBLE)/n_docs), 4) AS tfidf,
+        |         row_number() OVER (PARTITION BY tf.source
+        |           ORDER BY tf.tf DESC, tf.w) AS rnk
+        |  FROM tf JOIN dft USING (w) CROSS JOIN tot)
+        |SELECT source, CAST(rnk AS INT) AS rank, w, tf, n_docs, tfidf
+        |FROM j WHERE rnk <= 10
+        |ORDER BY source, rank""".stripMargin,
   )
 }

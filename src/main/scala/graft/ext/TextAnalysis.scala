@@ -201,6 +201,42 @@ object TextAnalysis {
           .cast("int"))
   }
 
+  /** Corpus TF-IDF head per source: the top-`k` terms of each source slice
+    * weighted by corpus-wide inverse document frequency — the relevance
+    * ranking every curation dashboard puts next to the raw vocab head
+    * ([[vocabTopK]]). Ranking is all-integer (tf desc, term) so the
+    * winner set is oracle-exact; the IDF weight `tf · ln(N/df)` is the
+    * only float and is display-rounded (r4), the q07 contract.
+    *
+    * Scale posture: one explode feeding two partial-agg'd aggregations —
+    * (source, term) term frequencies and term-keyed document frequencies —
+    * so every exchanged row is a term key with counts, never a document;
+    * the df side joins back on the term key (AQE picks broadcast when the
+    * vocab fits); N is a 1-row aggregate cross-joined as a broadcast
+    * scalar, not a driver collect. The final rank window partitions by
+    * `source` over VOCABULARY-sized rows (the per-source term table), so
+    * its input is corpus-size-independent; a hot source with a giant
+    * vocabulary would take the [[graft.operators.Skew.saltedTopKPerGroup]]
+    * form, same as q63/q81. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    srcCol: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = fanOut(docs)
+      .select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        explode(tokens(normText(col(textCol)))).as("w"))
+    val total = docs.agg(countDistinct(col(idCol)).as("n_total"))
+    val dfT = tok.groupBy("w").agg(countDistinct("doc_id").as("n_docs"))
+    val tf = tok.groupBy("source", "w").agg(count(lit(1)).as("tf"))
+    val win = Window.partitionBy("source").orderBy(col("tf").desc, col("w"))
+    tf.join(dfT, "w")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        Parity.r4(col("tf") * log(col("n_total").cast("double") / col("n_docs"))))
+      .withColumn("rank", row_number().over(win).cast("int"))
+      .filter(col("rank") <= k)
+      .select("source", "rank", "w", "tf", "n_docs", "tfidf")
+  }
+
   /** Token-rarity scoring against the corpus's own unigram distribution —
     * the integer-exact stand-in for LM-perplexity quality scoring (rare
     * vocabulary ≈ high perplexity): rank the top-`vocabK` unigrams by

@@ -459,6 +459,143 @@ object Analytics {
       .orderBy("cohort", "o_custkey")
   }
 
+  /** Moving average (q83): n-row trailing mean of the per-key price
+    * series — the smoothing primitive under every technical-indicator
+    * surface (`client.py`'s price-history consumers chart it). The frame
+    * sum accumulates integer cents (exact under any partition order; the
+    * windowed analogue of [[graft.model.Parity.moneySum]]), divided once
+    * by the frame row count, so Spark and the oracle compute identical
+    * doubles with no rounding. Window partitions by the high-cardinality
+    * key → bounded state, even partitions at any scale. */
+  def movingAverage(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(-(n - 1), Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      .withColumn("ma_price",
+        sum(col("cents")).over(w).cast("double") / 100.0 /
+          count(lit(1)).over(w))
+      .withColumn("n_in_frame", count(lit(1)).over(w).cast("int"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        col("o_totalprice"), col("n_in_frame"), col("ma_price"))
+      .orderBy("o_custkey", "order_date", "o_orderkey")
+  }
+
+  /** Bollinger bands (q84): trailing mean ± 2σ per key, with breakout
+    * flags — mean-reversion screening over the same price series as
+    * [[movingAverage]]. σ comes from the exact integer identity
+    * `n·Σx² − (Σx)²` over frame cents (both terms < 2⁶³ for any plausible
+    * price/frame, so the subtraction is exact in both engines), divided
+    * and square-rooted once: IEEE-deterministic, so the breakout
+    * comparisons can never disagree across engines. The mean is reported
+    * UNROUNDED — cents/nf lands on exact .xxxx5 boundaries (eighth-cents)
+    * where the engines' ROUND conventions differ; σ is irrational, so r4
+    * is safe there. Flags are computed before any display rounding. */
+  def bollingerBands(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(-(n - 1), Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      .withColumn("s1", sum(col("cents")).over(w))
+      .withColumn("s2", sum(col("cents") * col("cents")).over(w))
+      .withColumn("nf", count(lit(1)).over(w))
+      .filter(col("nf") >= 2)
+      .withColumn("ma", col("s1").cast("double") / 100.0 / col("nf"))
+      .withColumn("sd",
+        sqrt((col("nf") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("nf") * (col("nf") - 1)).cast("double")) / 100.0)
+      .withColumn("breakout_up",
+        (col("o_totalprice") > col("ma") + col("sd") * 2).cast("int"))
+      .withColumn("breakout_down",
+        (col("o_totalprice") < col("ma") - col("sd") * 2).cast("int"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"), col("o_totalprice"),
+        col("nf").cast("int").as("n_in_frame"), col("ma").as("ma_price"),
+        r4(col("sd")).as("band_sd"), col("breakout_up"), col("breakout_down"))
+      .orderBy("o_custkey", "order_date", "o_orderkey")
+  }
+
+  /** Beta vs market (q85): per-supplier regression slope of the
+    * supplier's daily-revenue returns against the whole-market returns
+    * over the same date pairs — the systematic-risk companion to the q07
+    * correlation matrix. Both series reduce the fact FIRST (one
+    * partial-agg'd shuffle to (suppkey, date) cents; the market series is
+    * |dates| rows and broadcasts), so the window and the covariance see
+    * reduced rows, never fact rows. covar_pop/var_pop are
+    * order-dependent accumulations of O(1) magnitudes → final ratio
+    * rounded (r4), the q07 contract. */
+  def betaVsMarket(spark: SparkSession, dir: String,
+                   minDays: Int = 10): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_shipdate").cast("date").as("d"),
+        col("l_extendedprice"))
+    val daily = li.groupBy("l_suppkey", "d")
+      .agg(moneySum(col("l_extendedprice")).as("rev"))
+    val market = li.groupBy("d")
+      .agg(moneySum(col("l_extendedprice")).as("mkt_rev"))
+    val w = Window.partitionBy("l_suppkey").orderBy("d")
+    val rets = daily
+      .withColumn("prev_rev", lag("rev", 1).over(w))
+      .withColumn("prev_d", lag("d", 1).over(w))
+      .filter(col("prev_rev").isNotNull && col("prev_rev") > 0)
+      .withColumn("ret_s", col("rev") / col("prev_rev") - 1)
+    val m1 = market.select(col("d"), col("mkt_rev").as("mkt_now"))
+    val m2 = market.select(col("d").as("prev_d"), col("mkt_rev").as("mkt_prev"))
+    rets
+      .join(broadcast(m1), "d")
+      .join(broadcast(m2), "prev_d")
+      .filter(col("mkt_prev") > 0)
+      .withColumn("ret_m", col("mkt_now") / col("mkt_prev") - 1)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_days"),
+        r4(covar_pop(col("ret_s"), col("ret_m")) / var_pop(col("ret_m")))
+          .as("beta"),
+        r4(corr(col("ret_s"), col("ret_m"))).as("mkt_corr"))
+      .filter(col("n_days") >= minDays)
+      .orderBy("l_suppkey")
+  }
+
+  /** CUBE with grouping markers (q86): all four grouping combinations of
+    * (returnflag, linestatus) in one pass — the §2.6 rollup family's
+    * completion (q44/q70 cover ROLLUP). Spark plans CUBE as a single
+    * Expand + one partial-agg'd shuffle: the fact is read once, expanded
+    * 4× into cheap aggregation rows, never re-scanned per grouping set.
+    * `grouping_id()` uses the standard bit order (first listed column =
+    * most significant bit), which DuckDB's GROUPING(...) mirrors. */
+  def cubeSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_items"),
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_price"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("n_items"), col("sum_qty"), col("sum_price"))
+      .orderBy("gid", "returnflag", "linestatus")
+
+  /** UNPIVOT (q87): the wide per-returnflag metric columns melted to
+    * (metric, value) long form — the inverse of the q69 pivot, the shape
+    * metric stores and chart layers ingest. The wide input is already
+    * aggregated (|flags| rows), so the unpivot explodes a handful of rows
+    * by the metric count — O(1) work regardless of fact scale; every
+    * measure is exact (integer counts / cents sums) cast to one double
+    * column. Uses `Dataset.unpivot`, Spark's native melt. */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n_items"),
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_price"),
+        moneySum(col("l_discount")).as("sum_disc"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("n_items"), col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+  }
+
   /** PIVOT (q69): order counts and exact money totals per priority ×
     * status — the wide-table report shape `DataFrame.pivot` exists for.
     * Pivot values are DECLARED (`Seq("F","O","P")`), so Spark skips the

@@ -202,6 +202,14 @@ object ExtQueries {
     TextAnalysis.vocabTopK(Tables.documents(spark, dir), "doc_id", "text", k = 20)
       .orderBy("rank")
 
+  /** Corpus TF-IDF head per source (q88): top-10 terms of each source
+    * slice, integer-ranked by term frequency, weighted by corpus-wide
+    * IDF. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(Tables.documents(spark, dir), "doc_id", "text",
+        "source", k = 10)
+      .orderBy("source", "rank")
+
   /** Duplicated 20-token passages across documents (q61) — span-level
     * dedup report. */
   def dupPassages(spark: SparkSession, dir: String): DataFrame =

