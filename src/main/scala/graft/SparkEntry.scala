@@ -579,20 +579,35 @@ object SparkEntry {
     // width/height derive from doc_id and whose byte length is the exact
     // file size (54-byte headers + 4-byte-padded pixel rows). Audio/video
     // mirror the documented decode stub over the text bytes.
+    // Mirrors the payload builders' integer arithmetic: BMP byte layout
+    // for image rows, canonical PCM WAV layout (44-byte header, zero-pad
+    // to block align) for audio rows, raw text bytes for video rows.
     "q39_multimodal_meta" ->
       """WITH m AS (SELECT doc_id,
         |                  CAST(doc_id % 3 AS INT) AS m3,
         |                  CAST(1 + doc_id % 64 AS INT) AS bw,
         |                  CAST(1 + (doc_id * 7) % 64 AS INT) AS bh,
+        |                  CAST(1 + doc_id % 2 AS INT) AS ch,
+        |                  CAST(8000 + (doc_id % 5) * 4000 AS INT) AS sr,
         |                  length(text) AS tlen
-        |           FROM documents)
+        |           FROM documents),
+        |m2 AS (SELECT *, tlen + CASE WHEN tlen % ch = 0 THEN 0 ELSE 1 END AS adata
+        |       FROM m)
         |SELECT doc_id,
         |       CASE m3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |       CAST(CASE WHEN m3 = 0 THEN 54 + ((bw*3+3)//4)*4*bh ELSE tlen END AS BIGINT) AS byte_len,
-        |       CAST(CASE WHEN m3 = 0 THEN bw ELSE 64 + tlen % 448 END AS INT) AS width,
-        |       CAST(CASE WHEN m3 = 0 THEN bh ELSE 64 + (tlen * 7) % 448 END AS INT) AS height,
-        |       CAST(CASE WHEN m3 = 2 THEN 1 + tlen % 30 ELSE 1 END AS INT) AS n_frames
-        |FROM m
+        |       CAST(CASE WHEN m3 = 0 THEN 54 + ((bw*3+3)//4)*4*bh
+        |                 WHEN m3 = 1 THEN 44 + adata
+        |                 ELSE tlen END AS BIGINT) AS byte_len,
+        |       CAST(CASE WHEN m3 = 0 THEN bw WHEN m3 = 1 THEN 0
+        |                 ELSE 64 + tlen % 448 END AS INT) AS width,
+        |       CAST(CASE WHEN m3 = 0 THEN bh WHEN m3 = 1 THEN 0
+        |                 ELSE 64 + (tlen * 7) % 448 END AS INT) AS height,
+        |       CAST(CASE WHEN m3 = 2 THEN 1 + tlen % 30
+        |                 WHEN m3 = 1 THEN adata // ch
+        |                 ELSE 1 END AS INT) AS n_frames,
+        |       CAST(CASE WHEN m3 = 1 THEN sr ELSE 0 END AS INT) AS sample_rate,
+        |       CAST(CASE WHEN m3 = 1 THEN ch ELSE 0 END AS INT) AS n_channels
+        |FROM m2
         |ORDER BY doc_id""".stripMargin,
     "q40_frame_sample" ->
       """WITH m AS (SELECT doc_id, 1 + length(text) % 30 AS n_frames

@@ -9,14 +9,17 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` stages (the Scala analogue of arrow-batched pandas
   * UDFs: one iterator per partition, no per-row serialization round trip).
   *
-  * The IMAGE path is a REAL decode: image rows carry well-formed BMP
-  * payloads and [[decodeBmp]] reads width/height from the actual
-  * BITMAPINFOHEADER bytes — pure integer arithmetic, no codec library
-  * needed. Audio/video metadata still comes from [[decodeStub]], a
-  * clearly-marked DETERMINISTIC FAKE (the container ships no audio/video
-  * codecs); swapping it for ffmpeg changes one function. The Spark-side
-  * contract (schema, binary transport, partition-batched execution,
-  * explode-style frame sampling) is real and tested for all modalities.
+  * The IMAGE and AUDIO paths are REAL decodes: image rows carry
+  * well-formed BMP payloads and [[decodeBmp]] reads width/height from the
+  * actual BITMAPINFOHEADER bytes; audio rows carry well-formed PCM WAV
+  * payloads and [[decodeWav]] reads sample rate / channels / sample count
+  * from the actual RIFF header — pure integer arithmetic, no codec
+  * library needed for either. Video metadata still comes from
+  * [[decodeStub]], a clearly-marked DETERMINISTIC FAKE (no video codec
+  * ships in this container); swapping it for ffmpeg changes one function.
+  * The Spark-side contract (schema, binary transport, partition-batched
+  * execution, explode-style frame sampling) is real and tested for all
+  * modalities.
   *
   * Scale posture: payloads never hit the driver; decode is a narrow
   * per-partition map (no shuffle); frame sampling is a generator explode
@@ -30,16 +33,21 @@ object Multimodal {
     * payload bytes. */
   case class MediaBlob(doc_id: Long, media_type: String, payload: Array[Byte])
 
-  /** Decoded (stub) metadata: byte length plus fake modality-specific
-    * dimensions. */
+  /** Decoded metadata: byte length plus modality-specific dimensions.
+    * Image fills width/height (real, from the BMP header); audio fills
+    * sample_rate/n_channels and reports its sample count as n_frames
+    * (real, from the WAV header); video fills n_frames (stub). Fields
+    * that don't apply to a modality are 0. */
   case class MediaMeta(doc_id: Long, media_type: String, byte_len: Long,
-                       width: Int, height: Int, n_frames: Int)
+                       width: Int, height: Int, n_frames: Int,
+                       sample_rate: Int, n_channels: Int)
 
   /** Attach a synthetic payload to the documents table, modality tag
     * cycling image/audio/video by doc_id. Image rows get a WELL-FORMED
-    * BMP built by [[bmpPayload]] (dimensions derived from doc_id, pixel
-    * bytes filled from the text) so the decode stage exercises a real
-    * header parse; audio/video rows carry the UTF-8 text bytes as the
+    * BMP built by [[bmpPayload]] and audio rows a WELL-FORMED PCM WAV
+    * built by [[wavPayload]] (dimensions/rates derived from doc_id,
+    * content bytes filled from the text) so both decode stages exercise a
+    * real header parse; video rows carry the UTF-8 text bytes as the
     * opaque blob. (In production the payload column arrives from the
     * lake; this builds one deterministically for tests/oracle.) */
   def attachPayload(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaBlob] = {
@@ -52,7 +60,7 @@ object Multimodal {
         val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         id % 3 match {
           case 0 => MediaBlob(id, "image", bmpPayload(id, bytes))
-          case 1 => MediaBlob(id, "audio", bytes)
+          case 1 => MediaBlob(id, "audio", wavPayload(id, bytes))
           case _ => MediaBlob(id, "video", bytes)
         }
       })
@@ -91,6 +99,60 @@ object Multimodal {
     buf.array()
   }
 
+  /** Build a complete canonical PCM WAV (RIFF + fmt + data chunks, 44-byte
+    * header) with format derived from the doc id:
+    * `sample_rate = 8000 + (id % 5)·4000`, `channels = 1 + id % 2`, 8-bit
+    * samples. Data bytes cycle straight from `fill`, padded by one zero
+    * byte when stereo needs an even length, so
+    * `byte_len = 44 + len + pad` and `n_samples = (len + pad) / channels`
+    * — all integer arithmetic the oracle mirrors. */
+  def wavPayload(docId: Long, fill: Array[Byte]): Array[Byte] = {
+    val sr = (8000 + (docId % 5) * 4000).toInt
+    val ch = (1 + docId % 2).toInt
+    val dataLen = fill.length + (if (fill.length % ch == 0) 0 else 1)
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+    buf.putInt(36 + dataLen)          // RIFF chunk size
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(16)                    // fmt chunk size
+    buf.putShort(1)                   // PCM
+    buf.putShort(ch.toShort)
+    buf.putInt(sr)
+    buf.putInt(sr * ch)               // byte rate (8-bit samples)
+    buf.putShort(ch.toShort)          // block align
+    buf.putShort(8)                   // bits per sample
+    buf.put("data".getBytes("US-ASCII"))
+    buf.putInt(dataLen)
+    var i = 0
+    while (i < fill.length) { buf.put(fill(i)); i += 1 }
+    buf.array()
+  }
+
+  /** REAL WAV header parse: (sample_rate, channels, n_samples) from the
+    * canonical-layout RIFF/WAVE header — channels at offset 22, sample
+    * rate at 24, bits at 34, data length at 40, all little-endian.
+    * `n_samples = data_len / block_align`. Returns None for anything that
+    * isn't a plausible canonical PCM WAV so callers can fall back. */
+  def decodeWav(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+    def ascii(off: Int, s: String) =
+      s.zipWithIndex.forall { case (c, i) => payload(off + i) == c.toByte }
+    if (payload.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE") &&
+        ascii(12, "fmt ") && ascii(36, "data")) {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ch = bb.getShort(22).toInt
+      val sr = bb.getInt(24)
+      val bits = bb.getShort(34).toInt
+      val dataLen = bb.getInt(40)
+      val blockAlign = ch * bits / 8
+      if (ch > 0 && sr > 0 && bits > 0 && dataLen >= 0 && blockAlign > 0)
+        Some((sr, ch, dataLen / blockAlign))
+      else None
+    } else None
+  }
+
   /** REAL BMP header parse: (width, |height|) from the little-endian
     * int32s at offsets 18/22 of a payload opening with the `BM` magic
     * (height is negative for top-down BMPs — the pixel count is the
@@ -105,12 +167,12 @@ object Multimodal {
       if (w > 0 && h != 0) Some((w, math.abs(h))) else None
     } else None
 
-  /** STUB DECODER for audio/video — deterministic fake. A real
-    * implementation decodes the payload with an audio/video codec; none
-    * ship in this container, so metadata is derived from the byte length
-    * with fixed arithmetic (making the operator oracle-checkable
-    * end-to-end). Image rows never reach this path when their payload is
-    * a parseable BMP. */
+  /** STUB DECODER for video (and malformed-payload fallback) —
+    * deterministic fake. A real implementation decodes the payload with a
+    * video codec; none ships in this container, so metadata is derived
+    * from the byte length with fixed arithmetic (making the operator
+    * oracle-checkable end-to-end). Image/audio rows never reach this path
+    * when their payload is a parseable BMP/WAV. */
   def decodeStub(b: MediaBlob): MediaMeta = {
     val len = b.payload.length.toLong
     MediaMeta(
@@ -119,21 +181,32 @@ object Multimodal {
       byte_len = len,
       width = (64 + len % 448).toInt,
       height = (64 + (len * 7) % 448).toInt,
-      n_frames = if (b.media_type == "video") (1 + len % 30).toInt else 1)
+      n_frames = if (b.media_type == "video") (1 + len % 30).toInt else 1,
+      sample_rate = 0,
+      n_channels = 0)
   }
 
-  /** Decode one blob: real BMP header parse for image payloads (width and
-    * height read from the actual header bytes), stub arithmetic for the
-    * codec-less modalities and for image payloads that fail the BMP
-    * sniff. */
-  def decode(b: MediaBlob): MediaMeta =
-    if (b.media_type == "image")
+  /** Decode one blob: real header parses for image (BMP: width/height)
+    * and audio (WAV: sample rate / channels / sample count as n_frames)
+    * payloads, stub arithmetic for video and for payloads that fail
+    * their format sniff. */
+  def decode(b: MediaBlob): MediaMeta = b.media_type match {
+    case "image" =>
       decodeBmp(b.payload) match {
         case Some((w, h)) =>
-          MediaMeta(b.doc_id, b.media_type, b.payload.length.toLong, w, h, 1)
+          MediaMeta(b.doc_id, b.media_type, b.payload.length.toLong, w, h, 1,
+            0, 0)
         case None => decodeStub(b)
       }
-    else decodeStub(b)
+    case "audio" =>
+      decodeWav(b.payload) match {
+        case Some((sr, ch, n)) =>
+          MediaMeta(b.doc_id, b.media_type, b.payload.length.toLong, 0, 0, n,
+            sr, ch)
+        case None => decodeStub(b)
+      }
+    case _ => decodeStub(b)
+  }
 
   /** Decode a partition of blobs to metadata: typed `mapPartitions`, one
     * batch-shaped iterator per partition (the arrow-UDF execution shape). */

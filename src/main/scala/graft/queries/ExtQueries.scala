@@ -331,7 +331,8 @@ object ExtQueries {
         Multimodal.attachPayload(Tables.documents(spark, dir), "doc_id", "text"))
       .toDF()
       .select(col("doc_id"), col("media_type"), col("byte_len"),
-        col("width"), col("height"), col("n_frames"))
+        col("width"), col("height"), col("n_frames"),
+        col("sample_rate"), col("n_channels"))
       .orderBy("doc_id")
 
   def frameSample(spark: SparkSession, dir: String): DataFrame =

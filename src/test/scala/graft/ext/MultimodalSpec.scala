@@ -13,24 +13,48 @@ class MultimodalSpec extends SparkSpec {
     (0L, "image payload bytes"), (1L, "audio payload"), (2L, "video payload xyz")
   ).toDF("doc_id", "text")
 
-  test("attachPayload tags modality by id; image rows carry real BMP bytes") {
+  test("attachPayload tags modality by id; image/audio rows carry real file bytes") {
     val blobs = Multimodal.attachPayload(docs, "doc_id", "text").collect()
     assert(blobs.map(_.media_type).toSeq == Seq("image", "audio", "video"))
-    // audio/video stay opaque UTF-8 blobs; the image blob is a BMP file
-    assert(new String(blobs(1).payload, "UTF-8") == "audio payload")
+    // video stays an opaque UTF-8 blob; image is a BMP file, audio a WAV
+    assert(new String(blobs(2).payload, "UTF-8") == "video payload xyz")
     assert(blobs(0).payload(0) == 'B'.toByte && blobs(0).payload(1) == 'M'.toByte)
+    assert(new String(blobs(1).payload.take(4), "US-ASCII") == "RIFF")
+    // the WAV data chunk carries the text bytes ("audio payload", 13
+    // bytes, zero-padded to stereo block align)
+    assert(new String(blobs(1).payload.slice(44, 57), "UTF-8") == "audio payload")
   }
 
-  test("decodeMeta reads image dimensions from the actual BMP header") {
+  test("decodeMeta reads image and audio metadata from the actual headers") {
     val meta = Multimodal.decodeMeta(
       Multimodal.attachPayload(docs, "doc_id", "text")).collect()
     // doc 0: bmpPayload embeds width 1 + 0%64 = 1, height 1 + 0%64 = 1;
     // stride pads one 3-byte pixel row to 4 bytes -> 54 + 4 total bytes
     val img = meta.find(_.doc_id == 0L).get
     assert(img.width == 1 && img.height == 1 && img.byte_len == 58L &&
-      img.n_frames == 1)
+      img.n_frames == 1 && img.sample_rate == 0 && img.n_channels == 0)
+    // doc 1: wavPayload embeds sr 8000 + (1%5)*4000 = 12000, ch 1+1%2 = 2;
+    // "audio payload" (13 bytes) pads to 14 -> 58 total, 7 stereo samples
+    val aud = meta.find(_.doc_id == 1L).get
+    assert(aud.sample_rate == 12000 && aud.n_channels == 2 &&
+      aud.byte_len == 58L && aud.n_frames == 7 &&
+      aud.width == 0 && aud.height == 0)
     val vid = meta.find(_.doc_id == 2L).get
     assert(vid.media_type == "video" && vid.n_frames == 1 + (17 % 30))
+  }
+
+  test("decodeWav parses arbitrary headers, not the id arithmetic") {
+    // Re-stamp the header with a rate/layout the id would never derive:
+    // the decoder must report what the HEADER says.
+    val wav = Multimodal.wavPayload(1L, "abcdef".getBytes("UTF-8"))
+    val bb = java.nio.ByteBuffer.wrap(wav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(22, 1.toShort).putInt(24, 44100).putShort(34, 16.toShort)
+    // 6 data bytes at 16-bit mono = 3 samples
+    assert(Multimodal.decodeWav(wav).contains((44100, 1, 3)))
+    // non-WAV audio payloads fall back to the documented stub
+    val junk = Multimodal.decode(
+      Multimodal.MediaBlob(9L, "audio", "not a riff wave".getBytes("UTF-8")))
+    assert(junk.sample_rate == 0 && junk.width == 64 + 15 % 448)
   }
 
   test("decodeBmp parses arbitrary headers, not the id arithmetic") {
@@ -65,7 +89,7 @@ class MultimodalSpec extends SparkSpec {
     assert(blobs.forall(_.payload.length == 12))
     assert(blobs.map(_.media_type).sorted.toSeq == Seq("audio", "image", "video"))
     // the resized payload cycles the original bytes
-    assert(new String(blobs.find(_.doc_id == 1L).get.payload.take(5), "UTF-8") == "audio")
+    assert(new String(blobs.find(_.doc_id == 2L).get.payload.take(5), "UTF-8") == "video")
     // chains into the decode stage without a schema break (the truncated
     // image payload no longer parses as a BMP, so it takes the stub path)
     val meta = Multimodal.decodeMeta(resized).collect()

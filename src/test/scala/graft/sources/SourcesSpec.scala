@@ -56,6 +56,28 @@ class SourcesSpec extends SparkSpec {
       plan.contains("part_month"), s"no partition pruning in:\n$plan")
   }
 
+  test("meteredWrite reports confirmed rows, progress ticks, and rows/sec") {
+    val base = java.nio.file.Files.createTempDirectory("graft_meter").toString
+    val df = spark.range(1000).toDF("id").repartition(4)
+    val ticks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val lastRows = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val m = Metering.meteredWrite(df, expectedRows = Some(1000L),
+        logEveryTasks = 1,
+        onProgress = e => { ticks.incrementAndGet(); lastRows.set(e.rows) }) {
+      d => Sinks.backupParquet(d, base, "metered", "s1"); ()
+    }
+    assert(m.rows == 1000L, s"recordsWritten: $m")
+    assert(m.bytes > 0 && m.seconds > 0 && m.rowsPerSec > 0)
+    assert(m.tasks >= 4)
+    // every task completion ticked, and the ticks saw monotone row counts
+    assert(ticks.get() >= 4)
+    assert(lastRows.get() > 0)
+    // the completion line carries the reference's rows-in-seconds shape
+    assert(m.toString.contains("rows/sec"))
+    // the metered write really landed
+    assert(spark.read.parquet(s"$base/metered_s1.parquet").count() == 1000)
+  }
+
   test("csv source round-trips types, nulls, and quoted separators") {
     import org.apache.spark.sql.types._
     val base = java.nio.file.Files.createTempDirectory("graft_csv").toString
