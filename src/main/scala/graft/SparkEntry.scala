@@ -108,6 +108,14 @@ object SparkEntry {
     "q86_cube_summary"     -> ((s, d) => Analytics.cubeSummary(s, d)),
     "q87_unpivot_metrics"  -> ((s, d) => Analytics.unpivotMetrics(s, d)),
     "q88_tfidf_top_terms"  -> ((s, d) => ExtQueries.tfidfTopTerms(s, d)),
+    "q89_rsi"              -> ((s, d) => Analytics.rsi(s, d)),
+    "q90_vwap"             -> ((s, d) => Analytics.vwap(s, d)),
+    "q91_weekly_ohlc"      -> ((s, d) => Analytics.weeklyOhlc(s, d)),
+    "q92_market_breadth"   -> ((s, d) => Analytics.marketBreadth(s, d)),
+    "q93_up_streaks"       -> ((s, d) => Analytics.longestUpStreak(s, d)),
+    "q94_cross_source_leak" -> ((s, d) => ExtQueries.crossSourceLeakage(s, d)),
+    "q95_dedup_containment" -> ((s, d) => ExtQueries.dedupContainment(s, d)),
+    "q96_vocab_coverage"   -> ((s, d) => ExtQueries.vocabCoverage(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -1370,5 +1378,194 @@ object SparkEntry {
         |SELECT source, CAST(rnk AS INT) AS rank, w, tf, n_docs, tfidf
         |FROM j WHERE rnk <= 10
         |ORDER BY source, rank""".stripMargin,
+    // Gains/losses are integer cents; the count terms of avg-gain /
+    // avg-loss cancel, so RSI = 100·Σgain/(Σgain+Σloss) divides two
+    // exact integers (flat frame → neutral 50 by convention).
+    "q89_rsi" ->
+      s"""WITH c AS (
+         |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+         |         o_totalprice, ${cents("o_totalprice")} AS px
+         |  FROM orders),
+         |l AS (
+         |  SELECT *, px - lag(px) OVER (PARTITION BY o_custkey
+         |            ORDER BY order_date, o_orderkey) AS chg
+         |  FROM c),
+         |g AS (
+         |  SELECT o_custkey, o_orderkey, order_date, o_totalprice,
+         |         CASE WHEN chg > 0 THEN chg ELSE 0 END AS gain,
+         |         CASE WHEN chg < 0 THEN -chg ELSE 0 END AS loss
+         |  FROM l WHERE chg IS NOT NULL),
+         |f AS (
+         |  SELECT o_custkey, o_orderkey, order_date, o_totalprice,
+         |         CAST(SUM(gain) OVER w AS BIGINT) AS sg,
+         |         CAST(SUM(loss) OVER w AS BIGINT) AS sl,
+         |         COUNT(*) OVER w AS nc
+         |  FROM g
+         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY order_date, o_orderkey
+         |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT o_custkey, o_orderkey, order_date, o_totalprice,
+         |       CASE WHEN sg + sl = 0 THEN 50.0
+         |            ELSE ROUND(CAST(sg AS DOUBLE)*100.0/CAST(sg + sl AS DOUBLE), 4)
+         |       END AS rsi
+         |FROM f WHERE nc = 14
+         |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
+    // Numerator and denominator both accumulate integer centi-units; the
+    // VWAP is fixed-point floor(p·10⁴/q)/10⁴ — all-integer until one
+    // exact final division, immune to the ROUND(p/q) half-tie where the
+    // shortest-decimal (Spark HALF_UP) and binary-double (DuckDB)
+    // roundings disagree.
+    "q90_vwap" ->
+      s"""SELECT l_suppkey,
+         |       date_trunc('month', CAST(l_shipdate AS DATE)) AS month,
+         |       COUNT(*) AS n_items,
+         |       CAST(SUM(${cents("l_quantity")}) AS DOUBLE)/100.0 AS total_qty,
+         |       ${moneySum("l_extendedprice")} AS total_notional,
+         |       CAST((CAST(SUM(${cents("l_extendedprice")}) AS BIGINT) * 10000) //
+         |            CAST(SUM(${cents("l_quantity")}) AS BIGINT) AS DOUBLE)/10000.0
+         |         AS vwap
+         |FROM lineitem
+         |GROUP BY 1, 2
+         |ORDER BY l_suppkey, month""".stripMargin,
+    // Open/close = price at the (date, orderkey) extremes of the week;
+    // both engines truncate weeks to the ISO Monday.
+    "q91_weekly_ohlc" ->
+      s"""WITH c AS (
+         |  SELECT o_custkey, date_trunc('week', CAST(o_orderdate AS DATE)) AS week,
+         |         CAST(o_orderdate AS DATE) AS d, o_orderkey, o_totalprice
+         |  FROM orders),
+         |r AS (
+         |  SELECT *,
+         |         row_number() OVER (PARTITION BY o_custkey, week
+         |           ORDER BY d, o_orderkey) AS rn_a,
+         |         row_number() OVER (PARTITION BY o_custkey, week
+         |           ORDER BY d DESC, o_orderkey DESC) AS rn_d
+         |  FROM c)
+         |SELECT o_custkey, week,
+         |       MAX(CASE WHEN rn_a = 1 THEN o_totalprice END) AS open,
+         |       MAX(o_totalprice) AS high,
+         |       MIN(o_totalprice) AS low,
+         |       MAX(CASE WHEN rn_d = 1 THEN o_totalprice END) AS close,
+         |       COUNT(*) AS n_orders,
+         |       ${moneySum("o_totalprice")} AS volume
+         |FROM r
+         |GROUP BY o_custkey, week
+         |ORDER BY o_custkey, week""".stripMargin,
+    // Change sign is an exact integer-cents compare; breadth divides two
+    // exact counts.
+    "q92_market_breadth" ->
+      s"""WITH c AS (
+         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date, o_orderkey,
+         |         ${cents("o_totalprice")} AS px
+         |  FROM orders),
+         |l AS (
+         |  SELECT *, px - lag(px) OVER (PARTITION BY o_custkey
+         |            ORDER BY order_date, o_orderkey) AS chg
+         |  FROM c)
+         |SELECT order_date,
+         |       CAST(SUM(CASE WHEN chg > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         |       CAST(SUM(CASE WHEN chg < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+         |       CAST(SUM(CASE WHEN chg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
+         |       ROUND(CAST(SUM(CASE WHEN chg > 0 THEN 1 ELSE 0 END) -
+         |                  SUM(CASE WHEN chg < 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+         |             COUNT(*), 6) AS breadth
+         |FROM l WHERE chg IS NOT NULL
+         |GROUP BY order_date
+         |ORDER BY order_date""".stripMargin,
+    // Gaps-and-islands: island id = running count of non-up rows, so a
+    // maximal run of strictly-increasing prices shares one island; the
+    // NULL first-row compare falls to the ELSE 0 branch on both engines.
+    "q93_up_streaks" ->
+      s"""WITH c AS (
+         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date, o_orderkey,
+         |         ${cents("o_totalprice")} AS px
+         |  FROM orders),
+         |l AS (
+         |  SELECT *, CASE WHEN px > lag(px) OVER (PARTITION BY o_custkey
+         |              ORDER BY order_date, o_orderkey) THEN 1 ELSE 0 END AS up
+         |  FROM c),
+         |i AS (
+         |  SELECT *, SUM(1 - up) OVER (PARTITION BY o_custkey
+         |            ORDER BY order_date, o_orderkey
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM l),
+         |g AS (SELECT o_custkey, island, SUM(up) AS run_len, COUNT(*) AS n_rows
+         |      FROM i GROUP BY 1, 2)
+         |SELECT o_custkey, CAST(MAX(run_len) AS INT) AS longest_up_streak,
+         |       CAST(SUM(n_rows) AS INT) AS n_orders
+         |FROM g GROUP BY o_custkey
+         |ORDER BY o_custkey""".stripMargin,
+    // The verified near-dup pairs of the q34 tier, joined to their
+    // source labels and rolled up per unordered source pair.
+    "q94_cross_source_leak" ->
+      s"""WITH $nCte,
+         |$minhashCtes,
+         |p AS (SELECT doc_a, doc_b
+         |      FROM iv JOIN sz za ON za.doc_id = iv.doc_a
+         |              JOIN sz zb ON zb.doc_id = iv.doc_b
+         |      WHERE CAST(n_inter AS DOUBLE)/(za.n+zb.n-n_inter) >= 0.8),
+         |x AS (SELECT LEAST(sa.source, sb.source) AS source_lo,
+         |             GREATEST(sa.source, sb.source) AS source_hi,
+         |             doc_a, doc_b
+         |      FROM p JOIN documents sa ON sa.doc_id = p.doc_a
+         |             JOIN documents sb ON sb.doc_id = p.doc_b
+         |      WHERE sa.source <> sb.source),
+         |y AS (SELECT *, row_number() OVER (PARTITION BY source_lo, source_hi
+         |             ORDER BY doc_a, doc_b) AS rn
+         |      FROM x)
+         |SELECT source_lo, source_hi, COUNT(*) AS n_pairs,
+         |       MAX(CASE WHEN rn = 1 THEN doc_a END) AS example_doc_a,
+         |       MAX(CASE WHEN rn = 1 THEN doc_b END) AS example_doc_b
+         |FROM y GROUP BY source_lo, source_hi
+         |ORDER BY source_lo, source_hi""".stripMargin,
+    // Same capped shingle space as q33; asymmetric |A∩B|/|A| instead of
+    // Jaccard, pair kept when EITHER direction clears the threshold.
+    "q95_dedup_containment" ->
+      s"""WITH $nCte,
+         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+         |sh0 AS (SELECT DISTINCT doc_id,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(1, length(sg)+1),
+         |             i -> CAST(ord(substr(sg, i, 1)) AS BIGINT))),
+         |           (h, c) -> (h * 31 + c) % ${graft.ext.TextOps.HashP}) AS sh
+         |       FROM (SELECT doc_id, toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2] AS sg
+         |             FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS g FROM tk) z) y),
+         |hot AS (SELECT sh FROM sh0 GROUP BY sh
+         |        HAVING COUNT(*) > ${graft.ext.TextDedup.DefaultMaxDf}),
+         |sh AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |iv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, za.n AS n_a, zb.n AS n_b, n_inter,
+         |       ROUND(CAST(n_inter AS DOUBLE)/za.n, 4) AS contain_a,
+         |       ROUND(CAST(n_inter AS DOUBLE)/zb.n, 4) AS contain_b
+         |FROM iv JOIN sz za ON za.doc_id = iv.doc_a
+         |        JOIN sz zb ON zb.doc_id = iv.doc_b
+         |WHERE GREATEST(CAST(n_inter AS DOUBLE)/za.n,
+         |               CAST(n_inter AS DOUBLE)/zb.n) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Integer token counts; cumulative sums compared at the same
+    // (count desc, word) total order on both engines.
+    "q96_vocab_coverage" ->
+      s"""WITH $nCte,
+         |tok AS (SELECT unnest(string_split(t, ' ')) AS w FROM n),
+         |freq AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY w),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
+         |               COUNT(*) AS n_vocab FROM freq),
+         |top AS (SELECT w, n,
+         |               row_number() OVER (ORDER BY n DESC, w) AS rank,
+         |               CAST(SUM(n) OVER (ORDER BY n DESC, w
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |                 AS BIGINT) AS cum
+         |        FROM freq),
+         |cuts AS (SELECT * FROM (VALUES (5),(10),(20),(50)) AS c(cutoff)),
+         |j AS (SELECT cutoff, CAST(MAX(rank) AS INT) AS n_vocab_used,
+         |             MAX(cum) AS covered_tokens
+         |      FROM cuts JOIN top ON top.rank <= cuts.cutoff
+         |      GROUP BY cutoff)
+         |SELECT cutoff, n_vocab_used, covered_tokens, n_vocab, total_tokens,
+         |       ROUND(CAST(covered_tokens AS DOUBLE)/total_tokens, 6) AS coverage
+         |FROM j CROSS JOIN tot
+         |ORDER BY cutoff""".stripMargin,
   )
 }

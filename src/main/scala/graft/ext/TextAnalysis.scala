@@ -299,4 +299,45 @@ object TextAnalysis {
         Parity.r4(col("qc")(2)).as("chr_p75"), Parity.r4(col("qc")(3)).as("chr_p90"),
         Parity.r4(col("qc")(4)).as("chr_p99"))
   }
+
+  /** Vocabulary coverage curve: for each cutoff k, what fraction of all
+    * corpus token OCCURRENCES the k most frequent words cover — the
+    * Zipf-coverage report a tokenizer-vocabulary decision reads
+    * (e.g. "8k types cover 97% of tokens"). Cutoffs larger than the
+    * vocabulary clamp to full coverage, with `n_vocab_used` reporting
+    * the clamp.
+    *
+    * Scale: the corpus reduces to (word, count) via one partial-agg'd
+    * exchange; the cumulative window then runs over ONLY the top
+    * max(cutoffs) rows (TakeOrderedAndProject, never a vocab-wide global
+    * sort), so the single-partition window is bounded by the largest
+    * requested cutoff, not by vocabulary size. Counts are exact
+    * integers; the one double division is rounded (r6). */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    cutoffs: Seq[Int] = Seq(5, 10, 20, 50)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val freq = fanOut(docs)
+      .select(explode(tokens(normText(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val totals = freq.agg(sum(col("n")).as("total_tokens"),
+      count(lit(1)).as("n_vocab"))
+    val ord = Window.orderBy(col("n").desc, col("w"))
+    val top = freq.orderBy(col("n").desc, col("w")).limit(cutoffs.max)
+      .withColumn("rank", row_number().over(ord))
+      .withColumn("cum", sum(col("n")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cutoffs.toDF("cutoff")
+      .join(top, col("rank") <= col("cutoff"))
+      .groupBy("cutoff")
+      .agg(max(col("rank")).cast("int").as("n_vocab_used"),
+        max(col("cum")).as("covered_tokens"))
+      .crossJoin(broadcast(totals))
+      .select(col("cutoff"), col("n_vocab_used"), col("covered_tokens"),
+        col("n_vocab"), col("total_tokens"),
+        Parity.r6(col("covered_tokens").cast("double") /
+          col("total_tokens")).as("coverage"))
+      .orderBy("cutoff")
+  }
 }

@@ -696,4 +696,134 @@ object Analytics {
         when(col("amt").isNull, 1).otherwise(0).as("is_gap"))
       .orderBy("o_custkey", "month")
   }
+
+  /** RSI (q89): Relative Strength Index over each customer's order-price
+    * series — the oscillator companion to q83/q84 (SMA variant of
+    * Wilder's RSI: plain frame sums, no recursive smoothing, so the
+    * result is windowed arithmetic both engines compute identically).
+    * Gains/losses accumulate as integer cents inside the frame; the
+    * count terms of avg-gain/avg-loss cancel in the ratio, so
+    * RSI = 100·Σgain/(Σgain+Σloss) over exact integers — one double
+    * division at the end (r4). Frames shorter than `n` changes are
+    * excluded (no partial-window RSI). A flat frame (no gains, no
+    * losses) is the neutral 50 by convention. Scale: the window
+    * partitions by high-cardinality custkey; one exchange total. */
+  def rsi(spark: SparkSession, dir: String, n: Int = 14): DataFrame = {
+    val wl = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wf = wl.rowsBetween(-(n - 1), Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      .withColumn("chg", col("cents") - lag("cents", 1).over(wl))
+      .filter(col("chg").isNotNull)
+      .withColumn("gain", when(col("chg") > 0, col("chg")).otherwise(lit(0L)))
+      .withColumn("loss", when(col("chg") < 0, -col("chg")).otherwise(lit(0L)))
+      .withColumn("sum_gain", sum(col("gain")).over(wf))
+      .withColumn("sum_loss", sum(col("loss")).over(wf))
+      .withColumn("n_chg", count(lit(1)).over(wf))
+      .filter(col("n_chg") === n)
+      .withColumn("rsi",
+        when(col("sum_gain") + col("sum_loss") === 0, lit(50.0))
+          .otherwise(r4(col("sum_gain").cast("double") * 100.0 /
+            (col("sum_gain") + col("sum_loss")).cast("double"))))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        col("o_totalprice"), col("rsi"))
+      .orderBy("o_custkey", "order_date", "o_orderkey")
+  }
+
+  /** VWAP (q90): volume-weighted average price per supplier × month —
+    * the liquidity-normalized price the reference's per-market averages
+    * approximate. Both numerator (notional) and denominator (quantity)
+    * accumulate as integer centi-units, and the VWAP itself is
+    * fixed-point: floor(pcents·10⁴ / qcents) / 10⁴ — all-integer until
+    * one exact final division, so no cross-engine double-rounding tie
+    * can flip the last digit (ROUND(p/q, 4) can: a ratio landing exactly
+    * on .00005 rounds differently from the shortest-decimal and the
+    * binary double). One partial-agg'd exchange on (suppkey, month). */
+  def vwap(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"),
+        trunc(col("l_shipdate").cast("date"), "MM").as("month"))
+      .agg(
+        sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("pcents"),
+        sum(round(col("l_quantity") * 100, 0).cast("long")).as("qcents"),
+        count(lit(1)).as("n_items"))
+      .select(col("l_suppkey"), col("month"), col("n_items"),
+        (col("qcents").cast("double") / 100.0).as("total_qty"),
+        (col("pcents").cast("double") / 100.0).as("total_notional"),
+        (expr("pcents * 10000 div qcents").cast("double") / 10000.0).as("vwap"))
+      .orderBy("l_suppkey", "month")
+
+  /** Weekly OHLC resample (q91): candlestick bars — per customer per
+    * ISO week (Monday-truncated on both engines): open = first price in
+    * week order, close = last, high/low = extremes, volume = exact
+    * cents-sum. Open/close pick by min/max over a (rank, price) struct —
+    * a single aggregation pass, no extra window or re-scan; ordering
+    * inside the week is the deterministic (date, orderkey) total order
+    * packed into one comparable struct. One exchange on (custkey, week). */
+  def weeklyOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        date_trunc("week", col("o_orderdate")).cast("date").as("week"),
+        col("o_orderdate").cast("date").as("d"), col("o_orderkey"),
+        col("o_totalprice"))
+    o.groupBy("o_custkey", "week")
+      .agg(
+        min(struct(col("d"), col("o_orderkey"), col("o_totalprice")))
+          .getField("o_totalprice").as("open"),
+        max(col("o_totalprice")).as("high"),
+        min(col("o_totalprice")).as("low"),
+        max(struct(col("d"), col("o_orderkey"), col("o_totalprice")))
+          .getField("o_totalprice").as("close"),
+        count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("volume"))
+      .orderBy("o_custkey", "week")
+  }
+
+  /** Market breadth (q92): per trading date, how many customers' prices
+    * rose / fell / held vs their previous order — the advancers-vs-
+    * decliners indicator on top of the q01 lag idiom. The change sign is
+    * an exact integer-cents compare; the breadth ratio divides two exact
+    * counts (r6). The window partitions by custkey (high-cardinality),
+    * then one date-keyed partial agg — two bounded exchanges. */
+  def marketBreadth(spark: SparkSession, dir: String): DataFrame = {
+    val wl = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      .withColumn("chg", col("cents") - lag("cents", 1).over(wl))
+      .filter(col("chg").isNotNull)
+      .groupBy(col("o_orderdate").cast("date").as("order_date"))
+      .agg(
+        sum(when(col("chg") > 0, 1).otherwise(0)).as("n_up"),
+        sum(when(col("chg") < 0, 1).otherwise(0)).as("n_down"),
+        sum(when(col("chg") === 0, 1).otherwise(0)).as("n_flat"))
+      .withColumn("breadth",
+        r6((col("n_up") - col("n_down")).cast("double") /
+          (col("n_up") + col("n_down") + col("n_flat")).cast("double")))
+      .orderBy("order_date")
+  }
+
+  /** Longest up-streak (q93): per customer, the longest run of strictly
+    * increasing consecutive order prices — the gaps-and-islands shape
+    * (§2.6 completion; ClickHouse users reach for this with
+    * arrayForEach tricks, SQL engines with the running-reset trick).
+    * Island id = running count of non-up rows, so each maximal up-run
+    * shares one id; two window passes + one bounded agg, all partitioned
+    * by high-cardinality custkey. Streak compares are exact integer
+    * cents. */
+  def longestUpStreak(spark: SparkSession, dir: String): DataFrame = {
+    val wl = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wrun = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      .withColumn("up",
+        when(col("cents") > lag("cents", 1).over(wl), 1).otherwise(0))
+      .withColumn("island", sum(lit(1) - col("up")).over(wrun))
+      .groupBy("o_custkey", "island")
+      .agg(sum(col("up")).as("run_len"), count(lit(1)).as("n_rows"))
+      .groupBy("o_custkey")
+      .agg(max(col("run_len")).cast("int").as("longest_up_streak"),
+        sum(col("n_rows")).cast("int").as("n_orders"))
+      .orderBy("o_custkey")
+  }
 }

@@ -38,6 +38,15 @@ object ExtQueries {
     TextDedup.exactGroups(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("rep_id")
 
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.ngramContainmentPairs(Tables.documents(spark, dir), "doc_id",
+        "text", n = 3, threshold = 0.6)
+      .orderBy("doc_a", "doc_b")
+
+  def crossSourceLeakage(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.crossSourceLeakage(Tables.documents(spark, dir), "doc_id",
+        "text", "source", k = 8, threshold = 0.8)
+
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     TextDedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
         n = 3, threshold = 0.8)
@@ -341,4 +350,7 @@ object ExtQueries {
           Multimodal.attachPayload(Tables.documents(spark, dir), "doc_id", "text")),
         stride = 5)
       .orderBy("doc_id", "frame_idx")
+
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(Tables.documents(spark, dir), "doc_id", "text")
 }

@@ -168,4 +168,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(approx(1) - exact.getDouble(1)) <= 2.0) // p50
     assert(math.abs(approx(2) - exact.getDouble(3)) <= 2.0) // p90
   }
+
+  test("vocabCoverage is monotone, exact at the top word, and clamps past the vocab") {
+    import spark.implicits._
+    // 3-word vocab with known counts: aa×7, bb×3, cc×1 (11 tokens).
+    val docs = Seq((1L, "aa aa aa bb"), (2L, "aa aa bb cc"), (3L, "aa bb aa"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.vocabCoverage(docs, "doc_id", "text",
+        cutoffs = Seq(1, 2, 10))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(5)))
+    assert(rows.toSeq == Seq(
+      (1, 1, 7L, 0.636364),  // top word covers 7/11
+      (2, 2, 10L, 0.909091), // top 2 cover 10/11
+      (10, 3, 11L, 1.0)      // cutoff past the vocab clamps to all 3 types
+    ))
+  }
 }

@@ -37,6 +37,42 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((0L, 1L), (0L, 2L), (1L, 2L)))
   }
 
+  test("containment catches a subset document that Jaccard misses") {
+    // Doc 11 is a strict prefix (about a third) of doc 10: its shingles
+    // are fully contained, so contain(B) ≈ 1 — but the union is
+    // dominated by the long side, so Jaccard stays far below any
+    // near-dup threshold. The asymmetric tier must emit the pair; the
+    // symmetric tier must not.
+    val filler = "meanwhile distant mountains echo with ancient songs of " +
+      "travelers crossing frozen passes under pale morning light"
+    val long = base + " " + filler + " " + base.replace("fox", "hare")
+    val short = long.split(" ").take(long.split(" ").length / 3).mkString(" ")
+    val docs = Seq((10L, long), (11L, short), (12L, unrelated)).toDF("doc_id", "text")
+    val cont = TextDedup.ngramContainmentPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(6)))
+    assert(cont.map(p => (p._1, p._2)).toSeq == Seq((10L, 11L)))
+    assert(cont.head._3 == 1.0) // contain_b: every short-side shingle is in the long doc
+    val jac = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5).collect()
+    assert(!jac.exists(r => r.getLong(0) == 10L && r.getLong(1) == 11L))
+  }
+
+  test("crossSourceLeakage rolls near-dup pairs up per source pair") {
+    // Near-dups planted across (web, books) and inside web; only the
+    // cross-source pair may appear, keyed by the ordered source pair.
+    val docs = Seq(
+      (0L, base, "web"), (1L, nearDup, "books"),        // cross-source near-dup
+      (2L, unrelated, "web"), (3L, unrelated + " x", "web"), // same-source near-dup
+      (4L, "entirely disjoint text about gardens and bees and hives", "forums")
+    ).toDF("doc_id", "text", "source")
+    val out = TextDedup.crossSourceLeakage(docs, "doc_id", "text", "source",
+        k = 8, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("books", "web", 1L, 0L, 1L)))
+  }
+
   test("minhashLshPairs surfaces the same near-dup structure") {
     val pairs = TextDedup.minhashLshPairs(corpus, "doc_id", "text",
         threshold = 0.5)

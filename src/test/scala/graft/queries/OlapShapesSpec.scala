@@ -100,4 +100,56 @@ class OlapShapesSpec extends SparkSpec {
     assert(day0 == users)
     assert(rows.forall(_.getInt(1) >= 0))
   }
+
+  test("RSI stays in [0, 100] and only full frames are emitted") {
+    val rows = Analytics.rsi(spark, sf001, n = 5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getDouble(4)
+      assert(v >= 0.0 && v <= 100.0, s"rsi out of range: $v")
+    }
+    // Frame length 5 needs 5 changes = 6 orders: customers with fewer
+    // orders must be absent entirely.
+    import org.apache.spark.sql.functions._
+    val small = graft.model.Tables.orders(spark, sf001)
+      .groupBy("o_custkey").count().filter(col("count") < 6)
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => !small.contains(r.getLong(0))))
+  }
+
+  test("weekly OHLC bars bracket open/close and reconcile with raw orders") {
+    import org.apache.spark.sql.functions._
+    val bars = Analytics.weeklyOhlc(spark, sf001).collect()
+    assert(bars.nonEmpty)
+    bars.foreach { r =>
+      val (open, high, low, close) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(high >= low && high >= open && high >= close &&
+        low <= open && low <= close)
+    }
+    val nBars = bars.map(_.getLong(6)).sum
+    assert(nBars == graft.model.Tables.orders(spark, sf001).count())
+  }
+
+  test("market breadth counts partition the change rows and breadth is in [-1, 1]") {
+    val rows = Analytics.marketBreadth(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (up, down, flat, b) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(up + down + flat > 0)
+      assert(b >= -1.0 && b <= 1.0)
+      assert(math.abs(b - (up - down).toDouble / (up + down + flat)) < 1e-6)
+    }
+  }
+
+  test("longest up-streak is bounded by the customer's change count") {
+    val streaks = Analytics.longestUpStreak(spark, sf001).collect()
+    assert(streaks.nonEmpty)
+    streaks.foreach { r =>
+      val (longest, n) = (r.getInt(1), r.getInt(2))
+      assert(longest >= 0 && longest <= n - 1,
+        s"streak $longest out of range for $n orders")
+    }
+  }
 }
