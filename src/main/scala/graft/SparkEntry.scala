@@ -116,6 +116,11 @@ object SparkEntry {
     "q94_cross_source_leak" -> ((s, d) => ExtQueries.crossSourceLeakage(s, d)),
     "q95_dedup_containment" -> ((s, d) => ExtQueries.dedupContainment(s, d)),
     "q96_vocab_coverage"   -> ((s, d) => ExtQueries.vocabCoverage(s, d)),
+    "q97_asof_tolerance"   -> ((s, d) => Analytics.asofWithinTolerance(s, d)),
+    "q98_hhi_concentration" -> ((s, d) => Analytics.hhiConcentration(s, d)),
+    "q99_rank_shift"       -> ((s, d) => Analytics.rankShift(s, d)),
+    "q100_percentile_report" -> ((s, d) => Analytics.percentileReport(s, d)),
+    "q101_twap"            -> ((s, d) => Analytics.twap(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -1567,5 +1572,105 @@ object SparkEntry {
          |       ROUND(CAST(covered_tokens AS DOUBLE)/total_tokens, 6) AS coverage
          |FROM j CROSS JOIN tot
          |ORDER BY cutoff""".stripMargin,
+    // DuckDB's native ASOF finds the latest at-or-before match; the
+    // staleness bound then nulls out matches older than 7 days — the
+    // same post-match projection semantics as AsOfJoin.asOfWithin.
+    "q97_asof_tolerance" ->
+      """WITH refs AS (
+        |  SELECT o_custkey, o_orderdate AS ref_ts, o_orderkey AS ref_orderkey,
+        |         o_totalprice AS ref_price
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                                     ORDER BY o_orderkey DESC) AS rn
+        |        FROM orders WHERE o_totalprice > 200000)
+        |  WHERE rn = 1),
+        |m AS (
+        |  SELECT l.o_custkey, l.o_orderkey, CAST(l.o_orderdate AS DATE) AS order_date,
+        |         l.o_totalprice, r.ref_orderkey, r.ref_price,
+        |         date_diff('day', CAST(r.ref_ts AS DATE), CAST(l.o_orderdate AS DATE)) AS age
+        |  FROM orders l
+        |  ASOF LEFT JOIN refs r
+        |    ON l.o_custkey = r.o_custkey AND l.o_orderdate >= r.ref_ts)
+        |SELECT o_custkey, o_orderkey, order_date, o_totalprice,
+        |       CASE WHEN age <= 7 THEN ref_orderkey END AS ref_orderkey,
+        |       CASE WHEN age <= 7 THEN ref_price END AS ref_price,
+        |       CAST(CASE WHEN age <= 7 THEN age END AS INT) AS staleness_days
+        |FROM m
+        |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
+    // HHI = Σc²/(Σc)² over integer cents; squares accumulate in HUGEINT
+    // (Spark mirrors with DECIMAL(38)) so the ratio divides exact
+    // integers converted once to double.
+    "q98_hhi_concentration" ->
+      s"""WITH monthly AS (
+         |  SELECT l_suppkey, date_trunc('month', CAST(l_shipdate AS DATE)) AS month,
+         |         CAST(SUM(${cents("l_extendedprice")}) AS BIGINT) AS c
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT month, CAST(COUNT(*) AS INT) AS n_suppliers,
+         |       CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)/100.0 AS total_rev,
+         |       ROUND(CAST(MAX(c) AS DOUBLE)/CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE), 6) AS top_share,
+         |       ROUND(CAST(SUM(CAST(c AS HUGEINT)*c) AS DOUBLE) /
+         |             (CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)*CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)), 6) AS hhi
+         |FROM monthly
+         |GROUP BY month
+         |ORDER BY month""".stripMargin,
+    // Ranks are dense integers over the unique (cents desc, suppkey)
+    // order; the shift compares a supplier's consecutive ACTIVE months.
+    "q99_rank_shift" ->
+      s"""WITH monthly AS (
+         |  SELECT l_suppkey, date_trunc('month', CAST(l_shipdate AS DATE)) AS month,
+         |         CAST(SUM(${cents("l_extendedprice")}) AS BIGINT) AS c
+         |  FROM lineitem GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY month
+         |              ORDER BY c DESC, l_suppkey) AS rnk
+         |  FROM monthly),
+         |shifted AS (
+         |  SELECT *, lag(rnk) OVER (PARTITION BY l_suppkey ORDER BY month) AS prev_rnk
+         |  FROM ranked)
+         |SELECT l_suppkey, month, CAST(c AS DOUBLE)/100.0 AS revenue,
+         |       CAST(rnk AS INT) AS rnk, CAST(prev_rnk AS INT) AS prev_rnk,
+         |       CAST(prev_rnk - rnk AS INT) AS shift
+         |FROM shifted WHERE prev_rnk IS NOT NULL
+         |ORDER BY l_suppkey, month""".stripMargin,
+    // percent_rank/cume_dist over the unique (cents, custkey) order —
+    // both engines divide the same small integers.
+    "q100_percentile_report" ->
+      s"""WITH rev AS (
+         |  SELECT o_custkey, CAST(SUM(${cents("o_totalprice")}) AS BIGINT) AS c
+         |  FROM orders GROUP BY o_custkey),
+         |seg AS (
+         |  SELECT c_mktsegment, o_custkey, c
+         |  FROM rev JOIN customer ON o_custkey = c_custkey)
+         |SELECT c_mktsegment, o_custkey, CAST(c AS DOUBLE)/100.0 AS revenue,
+         |       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+         |       ROUND(cume_dist() OVER w, 6) AS cume
+         |FROM seg
+         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c ASC, o_custkey ASC)
+         |ORDER BY c_mktsegment, o_custkey""".stripMargin,
+    // Day-close price (highest (orderkey, linenumber) row of the day)
+    // weighted by calendar days current, last price carried to month
+    // end; fixed-point floor division as in q90.
+    "q101_twap" ->
+      s"""WITH daily AS (
+         |  SELECT l_suppkey, d, px, date_trunc('month', d) AS month FROM (
+         |    SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+         |           ${cents("l_extendedprice")} AS px,
+         |           row_number() OVER (PARTITION BY l_suppkey, CAST(l_shipdate AS DATE)
+         |             ORDER BY l_orderkey DESC, l_linenumber DESC) AS rn
+         |    FROM lineitem) z
+         |  WHERE rn = 1),
+         |spans AS (
+         |  SELECT *, lead(d) OVER (PARTITION BY l_suppkey, month ORDER BY d) AS next_d
+         |  FROM daily),
+         |wtd AS (
+         |  SELECT l_suppkey, month,
+         |         date_diff('day', d, COALESCE(next_d, last_day(d) + 1)) AS w_days, px
+         |  FROM spans)
+         |SELECT l_suppkey, month, CAST(COUNT(*) AS INT) AS n_price_days,
+         |       CAST(SUM(w_days) AS INT) AS span_days,
+         |       CAST((CAST(SUM(w_days * px) AS BIGINT) * 100) //
+         |            CAST(SUM(w_days) AS BIGINT) AS DOUBLE)/10000.0 AS twap
+         |FROM wtd
+         |GROUP BY l_suppkey, month
+         |ORDER BY l_suppkey, month""".stripMargin,
   )
 }

@@ -53,4 +53,39 @@ object AsOfJoin {
     valueCols.foldLeft(out)((df, c) => df.withColumn(c, col(s"__m.$c")))
       .drop("__ts", "__side", "__vs", "__m")
   }
+
+  /** As-of join with a STALENESS BOUND: like [[asOf]], but a match older
+    * than `maxDays` (calendar days, left ts minus right ts) is treated
+    * as no-match — the quote-alignment contract where a price from last
+    * quarter must not silently back-fill today's row. Adds
+    * `staleness_days` (null when unmatched or out-of-window) so callers
+    * can audit match quality.
+    *
+    * Same single-shuffle plan as [[asOf]] — the tolerance is a post-match
+    * projection, not a range join: the window still finds the latest
+    * at-or-before row, then the bound nulls it out. (A match-the-newest-
+    * IN-window semantics would be identical: the latest match is the
+    * only candidate that can satisfy the bound.) */
+  def asOfWithin(left: DataFrame, right: DataFrame, key: String,
+                 leftTs: String, rightTs: String, valueCols: Seq[String],
+                 tieBreak: Seq[Column], maxDays: Int): DataFrame = {
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val r = right.select(col(key), col(rightTs).as("__ts"), lit(0).as("__side"),
+      struct((col(rightTs).as("__rts") +: valueCols.map(col)): _*).as("__vs"))
+    val w = Window.partitionBy(key)
+      .orderBy(col("__ts").asc +: col("__side").asc +: tieBreak: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__m0", last(col("__vs"), ignoreNulls = true).over(w))
+      .withColumn("__age",
+        datediff(col(leftTs).cast("date"), col("__m0.__rts").cast("date")))
+      .withColumn("__m", when(col("__age") <= maxDays, col("__m0")))
+    val out = matched.filter(col("__side") === 1)
+      .withColumn("staleness_days",
+        when(col("__m").isNotNull, col("__age")))
+    valueCols.foldLeft(out)((df, c) => df.withColumn(c, col(s"__m.$c")))
+      .drop("__ts", "__side", "__vs", "__m0", "__m", "__age")
+  }
 }

@@ -826,4 +826,140 @@ object Analytics {
         sum(col("n_rows")).cast("int").as("n_orders"))
       .orderBy("o_custkey")
   }
+
+  /** As-of join with staleness bound (q97): q46's reference-price
+    * alignment, but a match older than `maxDays` is treated as no-match
+    * and every kept match reports its age — the quote-alignment contract
+    * where last quarter's price must not silently back-fill today.
+    * Same single-key-shuffle window plan as q46
+    * ([[graft.operators.AsOfJoin.asOfWithin]]); the bound is a
+    * projection, never a range join. */
+  def asofWithinTolerance(spark: SparkSession, dir: String,
+                          maxDays: Int = 7): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val refs = graft.ingest.Ingest.compactReplacing(
+        orders.filter(col("o_totalprice") > 200000),
+        Seq("o_custkey", "o_orderdate"), col("o_orderkey"), Nil)
+      .select(col("o_custkey"), col("o_orderdate").as("ref_ts"),
+        col("o_orderkey").as("ref_orderkey"), col("o_totalprice").as("ref_price"))
+    graft.operators.AsOfJoin.asOfWithin(orders, refs, "o_custkey",
+        "o_orderdate", "ref_ts", Seq("ref_orderkey", "ref_price"),
+        Seq(col("o_orderkey")), maxDays)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"), col("o_totalprice"),
+        col("ref_orderkey"), col("ref_price"), col("staleness_days"))
+      .orderBy("o_custkey", "order_date", "o_orderkey")
+  }
+
+  /** Market concentration (q98): per-month Herfindahl–Hirschman index of
+    * supplier revenue shares, plus the top share — the regulator's
+    * concentration read on top of the q85 market model. All-integer
+    * until the final ratios: HHI = Σc²/(Σc)² over integer cents, with
+    * the squares accumulated in DECIMAL(38) (long² would overflow at
+    * warehouse revenue magnitudes; DuckDB mirrors with HUGEINT).
+    * Two partial-agg'd exchanges: fact → (suppkey, month) cents, then
+    * (month). */
+  def hhiConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"),
+        trunc(col("l_shipdate").cast("date"), "MM").as("month"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("c"))
+    val dec = col("c").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    monthly.groupBy("month")
+      .agg(count(lit(1)).cast("int").as("n_suppliers"),
+        sum(col("c")).as("total_cents"),
+        max(col("c")).as("max_cents"),
+        sum(dec * dec).as("sum_sq"))
+      .select(col("month"), col("n_suppliers"),
+        (col("total_cents").cast("double") / 100.0).as("total_rev"),
+        r6(col("max_cents").cast("double") / col("total_cents").cast("double"))
+          .as("top_share"),
+        r6(col("sum_sq").cast("double") /
+          (col("total_cents").cast("double") * col("total_cents").cast("double")))
+          .as("hhi"))
+      .orderBy("month")
+  }
+
+  /** Rank shift (q99): each supplier's monthly revenue rank and its
+    * movement vs the supplier's previous ACTIVE month — the
+    * league-table delta a market-share report leads with. Ranks are
+    * dense integers over the (cents desc, suppkey) total order, so the
+    * whole result is integer-exact. The rank window partitions by month
+    * over supplier-reduced rows (|suppliers| per partition, never fact
+    * rows); the shift window partitions by high-cardinality suppkey. */
+  def rankShift(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"),
+        trunc(col("l_shipdate").cast("date"), "MM").as("month"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("c"))
+    val wm = Window.partitionBy("month").orderBy(col("c").desc, col("l_suppkey"))
+    val ws = Window.partitionBy("l_suppkey").orderBy("month")
+    monthly
+      .withColumn("rnk", row_number().over(wm))
+      .withColumn("prev_rnk", lag("rnk", 1).over(ws))
+      .filter(col("prev_rnk").isNotNull)
+      .select(col("l_suppkey"), col("month"),
+        (col("c").cast("double") / 100.0).as("revenue"),
+        col("rnk").cast("int").as("rnk"),
+        col("prev_rnk").cast("int").as("prev_rnk"),
+        (col("prev_rnk") - col("rnk")).cast("int").as("shift"))
+      .orderBy("l_suppkey", "month")
+  }
+
+  /** Percentile report (q100): each customer's percent_rank and
+    * cume_dist of lifetime revenue within their market segment — the
+    * distribution placement the reference's global-stats query (q14)
+    * can't give per-entity. The ordering is the unique (cents, custkey)
+    * total order, so both ratios divide small exact integers
+    * identically on both engines (r6 display). Revenue reduces the fact
+    * first; the windows run over customer-count rows per segment. */
+  def percentileReport(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val rev = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("c"))
+    val seg = rev.join(broadcast(cust),
+        rev("o_custkey") === cust("c_custkey"))
+      .select(col("c_mktsegment"), col("o_custkey"), col("c"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c").asc, col("o_custkey").asc)
+    seg
+      .withColumn("pct_rank", r6(percent_rank().over(w)))
+      .withColumn("cume", r6(cume_dist().over(w)))
+      .select(col("c_mktsegment"), col("o_custkey"),
+        (col("c").cast("double") / 100.0).as("revenue"),
+        col("pct_rank"), col("cume"))
+      .orderBy("c_mktsegment", "o_custkey")
+  }
+
+  /** TWAP (q101): time-weighted average price per supplier × month —
+    * each day's closing price (deterministically the highest
+    * (orderkey, linenumber) row of the day) weighted by the calendar
+    * days it stays current, the last price carrying to month end. The
+    * weighted sum is integer cents × integer days; the TWAP is the same
+    * tie-proof fixed-point floor division as q90. One reduction to
+    * (suppkey, day), a lead window over (suppkey, month), one final
+    * agg. */
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("d"))
+      .agg(max(struct(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("px")))
+        .getField("px").as("px"))
+      .withColumn("month", trunc(col("d"), "MM"))
+    val wd = Window.partitionBy("l_suppkey", "month").orderBy("d")
+    daily
+      .withColumn("next_d", lead("d", 1).over(wd))
+      .withColumn("w_days",
+        datediff(coalesce(col("next_d"), date_add(last_day(col("d")), 1)),
+          col("d")))
+      .groupBy("l_suppkey", "month")
+      .agg(count(lit(1)).cast("int").as("n_price_days"),
+        sum(col("w_days")).cast("int").as("span_days"),
+        sum(col("w_days") * col("px")).as("wsum"))
+      .select(col("l_suppkey"), col("month"), col("n_price_days"),
+        col("span_days"),
+        (expr("wsum * 100 div span_days").cast("double") / 10000.0).as("twap"))
+      .orderBy("l_suppkey", "month")
+  }
 }

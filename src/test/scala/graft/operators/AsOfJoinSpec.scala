@@ -46,4 +46,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(0).isNullAt(out(0).fieldIndex("quote_px")))
     assert(out(0).getAs[String]("quote_venue") == "x2")
   }
+
+  test("asOfWithin nulls matches older than the staleness bound") {
+    val trades = Seq(
+      ("A", "2024-03-01", "t1"),  // quote 2 days old → kept, staleness 2
+      ("A", "2024-03-20", "t2"),  // same quote now 21 days old → nulled
+      ("B", "2024-03-05", "t3")   // no quote at all → nulled
+    ).toDF("k", "ts", "trade").withColumn("ts", col("ts").cast("date"))
+    val quotes = Seq(("A", "2024-02-28", 100.0))
+      .toDF("k", "qts", "quote_px").withColumn("qts", col("qts").cast("date"))
+    val out = AsOfJoin.asOfWithin(trades, quotes, "k", "ts", "qts",
+        Seq("quote_px"), Seq(col("trade")), maxDays = 7)
+      .orderBy("k", "ts")
+      .collect().map { r =>
+        (r.getString(0),
+          if (r.isNullAt(r.fieldIndex("quote_px"))) None
+          else Some(r.getDouble(r.fieldIndex("quote_px"))),
+          if (r.isNullAt(r.fieldIndex("staleness_days"))) None
+          else Some(r.getInt(r.fieldIndex("staleness_days"))))
+      }
+    assert(out.toSeq == Seq(
+      ("A", Some(100.0), Some(2)),
+      ("A", None, None),
+      ("B", None, None)))
+  }
 }

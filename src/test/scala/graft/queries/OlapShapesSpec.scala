@@ -152,4 +152,63 @@ class OlapShapesSpec extends SparkSpec {
         s"streak $longest out of range for $n orders")
     }
   }
+
+  test("HHI sits in [1/n, 1] and top share never exceeds it... proportionally") {
+    val rows = Analytics.hhiConcentration(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, top, hhi) = (r.getInt(1), r.getDouble(3), r.getDouble(4))
+      assert(hhi >= 1.0 / n - 1e-6 && hhi <= 1.0 + 1e-6,
+        s"hhi $hhi out of range for n=$n")
+      // HHI ≥ top² (the top supplier alone contributes top²).
+      assert(hhi >= top * top - 1e-6)
+    }
+  }
+
+  test("monthly ranks are a permutation and shifts cancel per month pair") {
+    val rows = Analytics.rankShift(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // Within one month, emitted ranks are distinct (the order is unique).
+    rows.groupBy(_.getDate(1)).foreach { case (_, rs) =>
+      val rnks = rs.map(_.getInt(3))
+      assert(rnks.distinct.length == rnks.length)
+    }
+    rows.foreach(r => assert(r.getInt(5) == r.getInt(4) - r.getInt(3)))
+  }
+
+  test("percentile report: pct_rank and cume are in [0,1] and monotone together") {
+    val rows = Analytics.percentileReport(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, c) = (r.getDouble(3), r.getDouble(4))
+      assert(p >= 0.0 && p <= 1.0 && c > 0.0 && c <= 1.0)
+    }
+    // Per segment: sorting by revenue must sort both measures.
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r.getDouble(2), r.getLong(1)))
+      val ps = sorted.map(_.getDouble(3))
+      assert(ps.zip(ps.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("TWAP lies between the month's min and max day-close price") {
+    import org.apache.spark.sql.functions._
+    val li = graft.model.Tables.lineitem(spark, sf001)
+      .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("d"))
+      .agg(max(struct(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("px")))
+        .getField("px").as("px"))
+      .groupBy(col("l_suppkey"), trunc(col("d"), "MM").as("month"))
+      .agg(min("px").as("lo"), max("px").as("hi"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val rows = Analytics.twap(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi) = li((r.getLong(0), r.getDate(1).toString))
+      val t = r.getDouble(4) * 100 // back to cents
+      assert(t >= lo - 0.01 && t <= hi + 0.01,
+        s"twap $t outside [$lo, $hi]")
+    }
+  }
 }
