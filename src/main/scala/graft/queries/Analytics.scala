@@ -962,4 +962,58 @@ object Analytics {
         (expr("wsum * 100 div span_days").cast("double") / 10000.0).as("twap"))
       .orderBy("l_suppkey", "month")
   }
+
+  /** Pareto / ABC classification (q104): suppliers bucketed by cumulative
+    * revenue share — A while the running share is ≤ 80%, B to 95%, C
+    * beyond; the classic inventory-analysis cut. ALL class boundaries are
+    * integer compares (cum·5 ≤ total·4, cum·20 ≤ total·19 over exact
+    * cents), so no float threshold can waver at a boundary; only the
+    * display share is a rounded double. The cumulative window runs over
+    * supplier-count rows (the fact reduces first), the same
+    * bounded-window posture as q96. */
+  def paretoAbc(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy("l_suppkey")
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("c"))
+    val ord = Window.orderBy(col("c").desc, col("l_suppkey"))
+    val tot = rev.agg(sum(col("c")).as("total"))
+    rev
+      .withColumn("cum", sum(col("c")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .select(col("l_suppkey"),
+        (col("c").cast("double") / 100.0).as("revenue"),
+        r6(col("cum").cast("double") / col("total").cast("double"))
+          .as("cum_share"),
+        when(col("cum") * 5 <= col("total") * 4, "A")
+          .when(col("cum") * 20 <= col("total") * 19, "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy(col("revenue").desc, col("l_suppkey"))
+  }
+
+  /** Robust anomaly flags (q106): daily market revenue days whose
+    * deviation from the median exceeds 3 robust sigmas (MAD · 1.4826) —
+    * the outlier detector that, unlike z-scores, one fat-finger day
+    * cannot drag. Median and MAD are Spark's exact `percentile` over
+    * integer cents (DuckDB `quantile_cont` matches type-7), so both
+    * engines evaluate the identical doubles; the robust score is
+    * display-rounded (r4). Two passes over the |days|-sized daily
+    * relation (stats broadcast back); the fact reduces to days first. */
+  def robustAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("c"))
+    val med = daily.agg(expr("percentile(c, 0.5D)").as("med"))
+    val mad = daily.crossJoin(broadcast(med))
+      .select(abs(col("c") - col("med")).as("dev"))
+      .agg(expr("percentile(dev, 0.5D)").as("mad"))
+    daily.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .withColumn("score", (col("c") - col("med")) / (col("mad") * 1.4826))
+      .filter(abs(col("score")) > 3.0)
+      .select(col("d"), (col("c").cast("double") / 100.0).as("revenue"),
+        (col("med") / 100.0).as("median_rev"),
+        (col("mad") / 100.0).as("mad_rev"),
+        r4(col("score")).as("robust_score"))
+      .orderBy("d")
+  }
 }

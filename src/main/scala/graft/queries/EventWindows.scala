@@ -143,4 +143,47 @@ object EventWindows {
       .agg(countDistinct("user_id").as("n_users"))
       .orderBy("cohort_day", "day_offset")
   }
+
+  /** Event transition matrix (q102): for each ordered pair of
+    * consecutive event types within a user's stream, the transition
+    * count and probability — the first-order Markov model a
+    * click-stream analysis starts from. The lag window partitions by
+    * high-cardinality user_id (per-key state = one previous row); the
+    * pair aggregation is keyed by the tiny (from, to) space, so the
+    * second exchange carries ≤ |types|² rows after partial agg.
+    * Probabilities divide exact counts (r6). */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .withColumn("from_type", lag("event_type", 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy("from_type")
+    pairs
+      .withColumn("p", r6(
+        col("n").cast("double") / sum(col("n")).over(wf)))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Conversion latency (q103): distribution of the time from a user's
+    * first `view` to their first subsequent `purchase` — the
+    * time-to-convert read on top of the q73 funnel. Latencies are exact
+    * integer seconds (epoch-microsecond subtraction, floor division);
+    * the quantiles are Spark's exact `percentile` (type-7, mirrored by
+    * DuckDB `quantile_cont`). Two user-keyed min-aggregations and one
+    * single-row report. */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("uv"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id").filter(unix_micros(col("ts")) > col("uv"))
+      .groupBy("user_id", "uv").agg(min(unix_micros(col("ts"))).as("up"))
+    p.select(expr("(up - uv) div 1000000").as("latency_sec"))
+      .agg(count(lit(1)).as("n_converted"),
+        r4(expr("percentile(latency_sec, 0.5D)")).as("p50_sec"),
+        r4(expr("percentile(latency_sec, 0.9D)")).as("p90_sec"),
+        max(col("latency_sec")).as("max_sec"))
+  }
 }

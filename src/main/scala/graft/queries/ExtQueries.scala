@@ -353,4 +353,26 @@ object ExtQueries {
 
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabCoverage(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** ANN recall evaluation (q105): recall@3 of the sign-LSH tier (q38)
+    * against the brute-force exact top-3 (q37) per query — the quality
+    * harness an ANN deployment reads before trading exactness for the
+    * bucketed plan. Both sides are the already-bounded top-k relations
+    * (|Q|·k rows), so the join and the report cost nothing at any corpus
+    * size; recall divides exact counts (r6). */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = annBruteTopK(spark, dir).filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id")
+    val lsh = annLshTopK(spark, dir).select("query_id", "neighbor_id")
+    val hits = brute.join(lsh, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    brute.groupBy("query_id").agg(count(lit(1)).as("k_eff"))
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col("query_id"), col("k_eff").cast("int").as("k_eff"),
+        col("n_hit"),
+        graft.model.Parity.r6(col("n_hit").cast("double") / col("k_eff"))
+          .as("recall"))
+      .orderBy("query_id")
+  }
 }
