@@ -121,6 +121,11 @@ object SparkEntry {
     "q99_rank_shift"       -> ((s, d) => Analytics.rankShift(s, d)),
     "q100_percentile_report" -> ((s, d) => Analytics.percentileReport(s, d)),
     "q101_twap"            -> ((s, d) => Analytics.twap(s, d)),
+    "q102_event_transitions" -> ((s, d) => EventWindows.eventTransitions(s, d)),
+    "q103_conversion_latency" -> ((s, d) => EventWindows.conversionLatency(s, d)),
+    "q104_pareto_abc"      -> ((s, d) => Analytics.paretoAbc(s, d)),
+    "q105_ann_recall"      -> ((s, d) => ExtQueries.annRecall(s, d)),
+    "q106_robust_anomalies" -> ((s, d) => Analytics.robustAnomalies(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -1672,5 +1677,120 @@ object SparkEntry {
          |FROM wtd
          |GROUP BY l_suppkey, month
          |ORDER BY l_suppkey, month""".stripMargin,
+    // Lag ordering compares microsecond epochs on both sides (Spark's ts
+    // is already micros; epoch_us truncates DuckDB's TIMESTAMP_NS the
+    // same way), tie-broken by unique event_id. Probabilities use the
+    // fixed-point floor-division idiom (q90/q101) — all-integer, no
+    // rounding tie possible.
+    "q102_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS from_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT from_type, event_type AS to_type, COUNT(*) AS n
+        |  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |tots AS (
+        |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+        |  FROM pairs GROUP BY from_type)
+        |SELECT pr.from_type, pr.to_type, pr.n,
+        |       CAST((pr.n * 1000000) // t.tot AS DOUBLE)/1000000.0 AS p
+        |FROM pairs pr JOIN tots t ON pr.from_type = t.from_type
+        |ORDER BY pr.from_type, pr.to_type""".stripMargin,
+    // First-view/first-subsequent-purchase epochs are exact integer
+    // micros on both engines; latency is floor-divided to whole seconds
+    // BEFORE the percentiles, so quantile_cont interpolates the same
+    // integer set as Spark's type-7 `percentile`.
+    "q103_conversion_latency" ->
+      """WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS uv FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (SELECT e.user_id, v.uv, MIN(epoch_us(e.ts)) AS up
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.uv
+        |      GROUP BY e.user_id, v.uv),
+        |lat AS (SELECT (up - uv) // 1000000 AS latency_sec FROM p)
+        |SELECT COUNT(*) AS n_converted,
+        |       ROUND(quantile_cont(latency_sec, 0.5), 4) AS p50_sec,
+        |       ROUND(quantile_cont(latency_sec, 0.9), 4) AS p90_sec,
+        |       MAX(latency_sec) AS max_sec
+        |FROM lat""".stripMargin,
+    // Class boundaries are all-integer compares over exact cents
+    // (cum·5 ≤ total·4, cum·20 ≤ total·19); the display share is
+    // fixed-point floor division — no float threshold anywhere.
+    "q104_pareto_abc" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, CAST(SUM(${cents("l_extendedprice")}) AS BIGINT) AS c
+         |  FROM lineitem GROUP BY l_suppkey),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM rev),
+         |cm AS (
+         |  SELECT l_suppkey, c,
+         |         CAST(SUM(c) OVER (ORDER BY c DESC, l_suppkey
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM rev)
+         |SELECT l_suppkey, CAST(c AS DOUBLE)/100.0 AS revenue,
+         |       CAST((cum * 1000000) // total AS DOUBLE)/1000000.0 AS cum_share,
+         |       CASE WHEN cum * 5 <= total * 4 THEN 'A'
+         |            WHEN cum * 20 <= total * 19 THEN 'B'
+         |            ELSE 'C' END AS abc_class
+         |FROM cm CROSS JOIN tot
+         |ORDER BY revenue DESC, l_suppkey""".stripMargin,
+    // Both sides are the q37/q38 CTEs verbatim (rounded score is the
+    // ranking key on both engines) cut to top-3; recall divides exact
+    // hit counts with fixed-point floor division.
+    "q105_ann_recall" ->
+      s"""WITH $embCte,
+         |q AS (SELECT * FROM nm WHERE vec_id < 10),
+         |bsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |               ROUND(list_dot_product(q.emb, c.emb)/(q.nrm*c.nrm), 4) AS score
+         |        FROM nm c CROSS JOIN q WHERE c.vec_id <> q.vec_id),
+         |br AS (SELECT query_id, neighbor_id FROM (
+         |         SELECT query_id, neighbor_id,
+         |                row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY score DESC, neighbor_id) AS rnk
+         |         FROM bsc) WHERE rnk <= 3),
+         |bk AS (SELECT vec_id, emb, nrm,
+         |    (CASE WHEN list_dot_product(emb, ${planeLit(0)}::DOUBLE[]) > 0 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(emb, ${planeLit(1)}::DOUBLE[]) > 0 THEN 2 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(emb, ${planeLit(2)}::DOUBLE[]) > 0 THEN 4 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(emb, ${planeLit(3)}::DOUBLE[]) > 0 THEN 8 ELSE 0 END) AS bucket
+         |  FROM nm),
+         |lq AS (SELECT * FROM bk WHERE vec_id < 10),
+         |lsc AS (SELECT lq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |               ROUND(list_dot_product(lq.emb, c.emb)/(lq.nrm*c.nrm), 4) AS score
+         |        FROM bk c JOIN lq ON c.bucket = lq.bucket AND c.vec_id <> lq.vec_id),
+         |ls AS (SELECT query_id, neighbor_id FROM (
+         |         SELECT query_id, neighbor_id,
+         |                row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY score DESC, neighbor_id) AS rnk
+         |         FROM lsc) WHERE rnk <= 3),
+         |hits AS (SELECT b.query_id, COUNT(*) AS n_hit FROM br b
+         |         WHERE EXISTS (SELECT 1 FROM ls l
+         |                       WHERE l.query_id = b.query_id
+         |                         AND l.neighbor_id = b.neighbor_id)
+         |         GROUP BY b.query_id),
+         |ke AS (SELECT query_id, COUNT(*) AS k_eff FROM br GROUP BY query_id)
+         |SELECT ke.query_id, CAST(ke.k_eff AS INT) AS k_eff,
+         |       COALESCE(h.n_hit, 0) AS n_hit,
+         |       CAST((COALESCE(h.n_hit, 0) * 1000000) // ke.k_eff AS DOUBLE)/1000000.0 AS recall
+         |FROM ke LEFT JOIN hits h ON ke.query_id = h.query_id
+         |ORDER BY ke.query_id""".stripMargin,
+    // Median and MAD are type-7 percentiles over exact integer cents
+    // (quantile_cont ≡ Spark `percentile`), so both engines score with
+    // the identical doubles; only the display score is rounded.
+    "q106_robust_anomalies" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d,
+         |         CAST(SUM(${cents("o_totalprice")}) AS BIGINT) AS c
+         |  FROM orders GROUP BY 1),
+         |med AS (SELECT quantile_cont(c, 0.5) AS med FROM daily),
+         |mad AS (SELECT quantile_cont(ABS(c - med), 0.5) AS mad
+         |        FROM daily CROSS JOIN med)
+         |SELECT d, CAST(c AS DOUBLE)/100.0 AS revenue,
+         |       med/100.0 AS median_rev, mad/100.0 AS mad_rev,
+         |       ROUND((c - med)/(mad*1.4826), 4) AS robust_score
+         |FROM daily CROSS JOIN med CROSS JOIN mad
+         |WHERE ABS((c - med)/(mad*1.4826)) > 3.0
+         |ORDER BY d""".stripMargin,
   )
 }

@@ -967,8 +967,9 @@ object Analytics {
     * revenue share — A while the running share is ≤ 80%, B to 95%, C
     * beyond; the classic inventory-analysis cut. ALL class boundaries are
     * integer compares (cum·5 ≤ total·4, cum·20 ≤ total·19 over exact
-    * cents), so no float threshold can waver at a boundary; only the
-    * display share is a rounded double. The cumulative window runs over
+    * cents), so no float threshold can waver at a boundary; the display
+    * share uses the tie-proof fixed-point floor division of q90/q101
+    * rather than ROUND on a ratio. The cumulative window runs over
     * supplier-count rows (the fact reduces first), the same
     * bounded-window posture as q96. */
   def paretoAbc(spark: SparkSession, dir: String): DataFrame = {
@@ -983,7 +984,7 @@ object Analytics {
       .crossJoin(broadcast(tot))
       .select(col("l_suppkey"),
         (col("c").cast("double") / 100.0).as("revenue"),
-        r6(col("cum").cast("double") / col("total").cast("double"))
+        expr("CAST((cum * 1000000) div total AS DOUBLE) / 1000000.0")
           .as("cum_share"),
         when(col("cum") * 5 <= col("total") * 4, "A")
           .when(col("cum") * 20 <= col("total") * 19, "B")

@@ -151,7 +151,8 @@ object EventWindows {
     * high-cardinality user_id (per-key state = one previous row); the
     * pair aggregation is keyed by the tiny (from, to) space, so the
     * second exchange carries ≤ |types|² rows after partial agg.
-    * Probabilities divide exact counts (r6). */
+    * Probabilities divide exact counts with the tie-proof fixed-point
+    * idiom of q90/q101 (all-integer floor division, then one divide). */
   def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val pairs = Tables.events(spark, dir)
@@ -161,8 +162,10 @@ object EventWindows {
       .agg(count(lit(1)).as("n"))
     val wf = Window.partitionBy("from_type")
     pairs
-      .withColumn("p", r6(
-        col("n").cast("double") / sum(col("n")).over(wf)))
+      .withColumn("tot", sum(col("n")).over(wf))
+      .withColumn("p",
+        expr("CAST((n * 1000000) div tot AS DOUBLE) / 1000000.0"))
+      .drop("tot")
       .orderBy("from_type", "to_type")
   }
 

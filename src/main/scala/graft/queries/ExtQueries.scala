@@ -359,7 +359,8 @@ object ExtQueries {
     * harness an ANN deployment reads before trading exactness for the
     * bucketed plan. Both sides are the already-bounded top-k relations
     * (|Q|·k rows), so the join and the report cost nothing at any corpus
-    * size; recall divides exact counts (r6). */
+    * size; recall divides exact counts with the tie-proof fixed-point
+    * floor division of q90/q101. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val brute = annBruteTopK(spark, dir).filter(col("rank") <= 3)
       .select("query_id", "neighbor_id")
@@ -371,7 +372,7 @@ object ExtQueries {
       .na.fill(0L, Seq("n_hit"))
       .select(col("query_id"), col("k_eff").cast("int").as("k_eff"),
         col("n_hit"),
-        graft.model.Parity.r6(col("n_hit").cast("double") / col("k_eff"))
+        expr("CAST((n_hit * 1000000) div k_eff AS DOUBLE) / 1000000.0")
           .as("recall"))
       .orderBy("query_id")
   }
