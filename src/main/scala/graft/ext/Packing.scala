@@ -11,20 +11,52 @@ import org.apache.spark.sql.functions._
   * falls in (greedy by running token count), so bins can overhang by at
   * most one document — the standard concat-and-chunk formulation.
   *
-  * The assignment is an exclusive prefix sum over the corpus order. At
-  * test scale it runs as one unpartitioned window (exact, oracle-
-  * mirrorable); at 100 TB the same two-pass shape distributes: per-range
-  * partial sums on a range-partitioned sort, then a tiny driver-side
-  * exclusive scan over the per-range totals broadcast back as offsets —
-  * the window below IS that plan with one range. Packing is inherently
-  * an ordered prefix operation; there is no shuffle-free form.
+  * The assignment is an exclusive prefix sum over the corpus order,
+  * computed with the distributed two-pass scheme of
+  * [[graft.operators.PrefixSum]] — per-range partial sums under a
+  * deterministic key bucketing, a driver-side exclusive scan over the
+  * ≤ `ranges` per-range totals, broadcast offsets back. No single task
+  * ever sees more than one range, so the plan survives a corpus of any
+  * size — the failure mode of the naive global-window form (kept as
+  * [[packByBudgetGlobalWindow]] for the equality spec) is the one
+  * unpartitioned window that drags every (doc, count) row to a single
+  * task. Packing is inherently an ordered prefix operation; two passes
+  * over the narrow (key, n_tokens) projection is the shuffle-minimal
+  * form (at 100 TB the projection would be persisted between the
+  * passes; the semantics don't depend on it).
+  *
+  * Bin assignment is invariant to WHERE the range boundaries fall (any
+  * contiguous split yields the same prefix sums — PackingSpec pins
+  * equality for range counts 1/3/8/64 on a skewed corpus), so the
+  * quantile approximation only affects balance, never values.
   */
 object Packing {
 
   /** (doc_id, n_tokens, bin) with `bin = floor(prefix_tokens / budget)`,
-    * prefix exclusive, ordered by `keyCol`. */
+    * prefix exclusive, ordered by `keyCol` (numeric). Distributed
+    * two-pass prefix sum; `ranges` defaults to the session's shuffle
+    * parallelism. */
   def packByBudget(docs: DataFrame, keyCol: String, textCol: String,
-                   budget: Int): DataFrame = {
+                   budget: Int, ranges: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val n = size(TextOps.tokens(TextOps.normText(col(textCol)))).cast("long")
+    // Narrow projection first: only (key, n_tokens) ever reaches the
+    // prefix machinery — the text never travels through an exchange.
+    val base = docs.select(col(keyCol), n.as("n_tokens"))
+    graft.operators.PrefixSum.exclusive(base, keyCol, descending = false,
+        ties = Seq.empty, valueCol = "n_tokens", outCol = "prefix",
+        ranges = ranges)
+      .select(col(keyCol), col("n_tokens"),
+        floor(col("prefix") / budget).as("bin"))
+  }
+
+  /** The naive single-window form of [[packByBudget]]: exact and
+    * oracle-mirrorable, but the unpartitioned window moves every
+    * (key, n_tokens) row to ONE task — reference semantics for the
+    * equality spec, not a scale path. */
+  private[graft] def packByBudgetGlobalWindow(
+      docs: DataFrame, keyCol: String, textCol: String,
+      budget: Int): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val n = size(TextOps.tokens(TextOps.normText(col(textCol)))).cast("long")
     val w = Window.orderBy(keyCol)

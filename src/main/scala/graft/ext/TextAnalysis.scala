@@ -188,18 +188,20 @@ object TextAnalysis {
     * aggregation, and a deterministic (count desc, term) top-k that
     * plans as TakeOrderedAndProject — never a global sort. */
   private def explodedTopK(docs: DataFrame, idCol: String, exploded: Column,
-                           termCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                           termCol: String, k: Int): DataFrame =
     graft.model.Tables.fanOut(docs)
       .select(col(idCol).as("doc_id"), exploded.as(termCol))
       .groupBy(termCol)
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct("doc_id").as("n_docs"))
       .orderBy(col("n_occurrences").desc, col(termCol)).limit(k)
+      // The global limit emits ONE partition in sort order, so ids are
+      // consecutive from 0 and rank needs no window at all — no re-sort
+      // of the k rows, no unpartitioned-window warning drowning real
+      // signals in the bench tail. (The nondeterministic id pins the
+      // projection above the limit; Catalyst won't reorder it.)
       .withColumn("rank",
-        row_number().over(Window.orderBy(col("n_occurrences").desc, col(termCol)))
-          .cast("int"))
-  }
+        (monotonically_increasing_id() + 1).cast("int"))
 
   /** Corpus TF-IDF head per source: the top-`k` terms of each source slice
     * weighted by corpus-wide inverse document frequency — the relevance
@@ -249,14 +251,14 @@ object TextAnalysis {
     * beyond the doc-keyed partial agg. */
   def rarityScore(docs: DataFrame, idCol: String, textCol: String,
                   vocabK: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tok = graft.model.Tables.fanOut(docs)
       .select(col(idCol).as("doc_id"),
         explode(tokens(normText(col(textCol)))).as("w"))
     val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(vocabK)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("c").desc, col("w"))).cast("long"))
+      // Single sorted partition after the global limit → consecutive
+      // ids stand in for row_number (see explodedTopK).
+      .withColumn("rank", monotonically_increasing_id() + 1)
       .select("w", "rank")
     tok.join(broadcast(vocab), Seq("w"), "left")
       .groupBy("doc_id")
@@ -315,7 +317,6 @@ object TextAnalysis {
     * integers; the one double division is rounded (r6). */
   def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
                     cutoffs: Seq[Int] = Seq(5, 10, 20, 50)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
     val freq = fanOut(docs)
@@ -323,16 +324,17 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("n"))
     val totals = freq.agg(sum(col("n")).as("total_tokens"),
       count(lit(1)).as("n_vocab"))
-    val ord = Window.orderBy(col("n").desc, col("w"))
+    // Single sorted partition after the global limit → consecutive ids
+    // stand in for row_number (see explodedTopK), and the cumulative
+    // count becomes a plain SUM under the rank<=cutoff join — no
+    // running-total window over the head at all.
     val top = freq.orderBy(col("n").desc, col("w")).limit(cutoffs.max)
-      .withColumn("rank", row_number().over(ord))
-      .withColumn("cum", sum(col("n")).over(
-        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rank", monotonically_increasing_id() + 1)
     cutoffs.toDF("cutoff")
       .join(top, col("rank") <= col("cutoff"))
       .groupBy("cutoff")
       .agg(max(col("rank")).cast("int").as("n_vocab_used"),
-        max(col("cum")).as("covered_tokens"))
+        sum(col("n")).as("covered_tokens"))
       .crossJoin(broadcast(totals))
       .select(col("cutoff"), col("n_vocab_used"), col("covered_tokens"),
         col("n_vocab"), col("total_tokens"),

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** Distributed exclusive prefix sum — the two-pass scheme that replaces
+  * the single unpartitioned window every running-total/packing/Pareto
+  * operator naively plans:
+  *
+  *   1. split the ORDERING key's domain into contiguous ranges with a
+  *      pure function of the key (bucketing against driver-computed
+  *      approximate quantiles — a function, not a sampled exchange, so
+  *      every pass sees the same split; `repartitionByRange` re-samples
+  *      per job with a job-dependent seed and would misalign the
+  *      passes);
+  *   2. pass 1 — per-range value totals (map-side-combined aggregation,
+  *      ≤ `ranges` rows), exclusive-scanned on the DRIVER (metadata-
+  *      scale: one row per range, never one per input row);
+  *   3. pass 2 — within-range exclusive prefix via a window PARTITIONED
+  *      by range id, plus the broadcast per-range offset.
+  *
+  * No task ever holds more than one range, so the plan survives any
+  * input size; `ranges` (default: session shuffle parallelism) caps the
+  * per-task row count. The result is invariant to WHERE the boundaries
+  * fall — any contiguous split yields identical prefix sums (pinned by
+  * PackingSpec across range counts on a skewed corpus) — so the
+  * quantile approximation affects balance only, never values.
+  */
+object PrefixSum {
+
+  /** Adds `outCol` = exclusive running sum of `valueCol` (a LONG column)
+    * over the order (`keyCol` asc/desc, `ties`...). `keyCol` must be
+    * numeric (it is range-bucketed); rows tied on `keyCol` fall in one
+    * range and are ordered by `ties` within it, so the full sort key
+    * must be unique for a deterministic result — the same contract as a
+    * window's ORDER BY. Triggers pass-1 jobs at call time (quantiles +
+    * per-range totals). */
+  def exclusive(df: DataFrame, keyCol: String, descending: Boolean,
+                ties: Seq[Column], valueCol: String, outCol: String,
+                ranges: Int = 0): DataFrame = {
+    require(df.schema(keyCol).dataType.isInstanceOf[NumericType],
+      s"prefix sum range-buckets on a numeric key; " +
+        s"got ${df.schema(keyCol).dataType} for $keyCol")
+    val spark = df.sparkSession
+    val nRanges = (if (ranges > 0) ranges
+      else spark.sessionState.conf.numShufflePartitions).max(1)
+    // Pass 0: contiguous key ranges from approximate quantiles — scans
+    // only the key column. Duplicate quantiles (skew) leave ranges
+    // empty; correctness is boundary-agnostic.
+    val bounds =
+      if (nRanges == 1) Array.empty[Double]
+      else df.stat.approxQuantile(keyCol,
+        (1 until nRanges).map(_.toDouble / nRanges).toArray, 0.01)
+        .distinct.sorted
+    // rng increases along the SORT order: ascending counts boundaries
+    // below the key, descending counts boundaries above it. Equal keys
+    // always share a range, so `ties` ordering stays within one task.
+    val k = col(keyCol).cast("double")
+    val rng =
+      if (bounds.isEmpty) lit(0)
+      else aggregate(array(bounds.map(lit(_)): _*), lit(0),
+        (acc, b) => acc + (if (descending) when(k < b, 1).otherwise(0)
+                           else when(k > b, 1).otherwise(0)))
+    val based = df.withColumn("__rng", rng)
+    // Pass 1: per-range totals → driver-side exclusive scan (≤ nRanges
+    // rows cross the wire).
+    val totals = based.groupBy("__rng").agg(sum(valueCol).as("tot"))
+      .orderBy("__rng").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val offsets = totals.map(_._1).zip(
+      totals.scanLeft(0L)(_ + _._2).init).toSeq
+    val offsetDf = broadcast(
+      spark.createDataFrame(offsets).toDF("__rng", "__offset"))
+    // Pass 2: within-range exclusive prefix + broadcast offset.
+    val ord = (if (descending) col(keyCol).desc else col(keyCol).asc) +: ties
+    val w = Window.partitionBy("__rng").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    based.join(offsetDf, Seq("__rng"))
+      .withColumn(outCol,
+        coalesce(sum(col(valueCol)).over(w), lit(0L)) + col("__offset"))
+      .drop("__rng", "__offset")
+  }
+}

@@ -976,11 +976,14 @@ object Analytics {
     val rev = Tables.lineitem(spark, dir)
       .groupBy("l_suppkey")
       .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("c"))
-    val ord = Window.orderBy(col("c").desc, col("l_suppkey"))
     val tot = rev.agg(sum(col("c")).as("total"))
-    rev
-      .withColumn("cum", sum(col("c")).over(
-        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // Inclusive running revenue via the distributed two-pass prefix sum
+    // (PrefixSum.exclusive + the row's own cents) — no single task ever
+    // holds the whole supplier relation, however many keys survive the
+    // fact reduction.
+    graft.operators.PrefixSum.exclusive(rev, "c", descending = true,
+        ties = Seq(col("l_suppkey")), valueCol = "c", outCol = "cum_ex")
+      .withColumn("cum", col("cum_ex") + col("c"))
       .crossJoin(broadcast(tot))
       .select(col("l_suppkey"),
         (col("c").cast("double") / 100.0).as("revenue"),

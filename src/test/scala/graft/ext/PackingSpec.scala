@@ -32,6 +32,45 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("distributed two-pass packing equals the global-window reference") {
+    // Adversarial shape for the range scan: 1000 docs, token counts
+    // varying 1..23, keys deliberately unsorted at the source, and more
+    // requested ranges than the tiny input can fill (empty ranges must
+    // contribute zero offset). Equality must hold for EVERY range count —
+    // the prefix sum cannot depend on where the range boundaries fall.
+    val docs = scala.util.Random.shuffle((0L until 1000L).toList).map(i =>
+      (i, (0 to (i % 23).toInt).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ref = Packing.packByBudgetGlobalWindow(docs, "doc_id", "text", 256)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (nRanges <- Seq(1, 3, 8, 64)) {
+      val got = Packing.packByBudget(docs, "doc_id", "text", 256, ranges = nRanges)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == ref, s"ranges=$nRanges diverged from the global window")
+    }
+  }
+
+  test("distributed packing equals the reference on the sf0.001 corpus") {
+    val docs = graft.model.Tables.documents(spark, sf001)
+    val ref = Packing.packByBudgetGlobalWindow(docs, "doc_id", "text", 2048)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = Packing.packByBudget(docs, "doc_id", "text", 2048)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == ref)
+  }
+
+  test("distributed packing's window is keyed — no global-window task") {
+    val docs = (0L until 50L).map(i => (i, "a b")).toDF("doc_id", "text")
+    val plan = Packing.packByBudget(docs, "doc_id", "text", 16)
+      .queryExecution.executedPlan.toString
+    // The prefix window must shuffle on the range id, never on the empty
+    // partition spec that moves the corpus to one task.
+    assert(plan.contains("hashpartitioning(__rng"),
+      s"expected a range-id-keyed window exchange in:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"found a single-partition exchange in:\n$plan")
+  }
+
   test("budget must be positive") {
     intercept[IllegalArgumentException] {
       Packing.packByBudget(Seq((1L, "a")).toDF("doc_id", "text"), "doc_id", "text", 0)

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pins the distributed two-pass prefix sum to the global-window
+  * reference semantics for both directions, under ties, skew, and
+  * range counts from degenerate (1) to more-than-rows. The ascending
+  * path is additionally pinned end-to-end by PackingSpec (q59). */
+class PrefixSumSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Heavy ties (v repeats every 7) force equal keys across would-be
+  // boundaries; the tie column keeps the total order unique.
+  private lazy val data = scala.util.Random.shuffle(
+    (0L until 500L).toList).map(i => (i, i % 7, (i % 13) + 1))
+    .toDF("id", "v", "amt")
+
+  private def reference(descending: Boolean): Map[Long, Long] = {
+    val ord = if (descending) Seq(col("v").desc, col("id"))
+      else Seq(col("v").asc, col("id"))
+    val w = Window.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    data.withColumn("p", coalesce(sum(col("amt")).over(w), lit(0L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+  }
+
+  test("ascending exclusive prefix matches the global window, any range count") {
+    val ref = reference(descending = false)
+    for (n <- Seq(1, 4, 32, 1000)) {
+      val got = PrefixSum.exclusive(data, "v", descending = false,
+          ties = Seq(col("id")), valueCol = "amt", outCol = "p", ranges = n)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got == ref, s"ranges=$n diverged")
+    }
+  }
+
+  test("descending exclusive prefix matches the global window, any range count") {
+    val ref = reference(descending = true)
+    for (n <- Seq(1, 3, 32)) {
+      val got = PrefixSum.exclusive(data, "v", descending = true,
+          ties = Seq(col("id")), valueCol = "amt", outCol = "p", ranges = n)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got == ref, s"ranges=$n diverged")
+    }
+  }
+
+  test("prefix window is range-keyed — no unpartitioned window in the plan") {
+    val plan = PrefixSum.exclusive(data, "v", descending = false,
+        ties = Seq(col("id")), valueCol = "amt", outCol = "p", ranges = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__rng") ||
+      plan.contains("hashpartitioning(_rng"),
+      s"expected a range-id-keyed window exchange in:\n$plan")
+  }
+
+  test("non-numeric key is rejected") {
+    val df = Seq(("a", 1L)).toDF("k", "amt")
+    intercept[IllegalArgumentException] {
+      PrefixSum.exclusive(df, "k", descending = false, ties = Seq.empty,
+        valueCol = "amt", outCol = "p")
+    }
+  }
+}
