@@ -593,13 +593,14 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, bucket, score, CAST(rnk AS INT) AS rank
          |FROM rk WHERE rnk <= 3
          |ORDER BY query_id, rank""".stripMargin,
-    // Image rows mirror Multimodal.bmpPayload/decodeBmp: a real BMP whose
-    // width/height derive from doc_id and whose byte length is the exact
-    // file size (54-byte headers + 4-byte-padded pixel rows). Audio/video
-    // mirror the documented decode stub over the text bytes.
-    // Mirrors the payload builders' integer arithmetic: BMP byte layout
-    // for image rows, canonical PCM WAV layout (44-byte header, zero-pad
-    // to block align) for audio rows, raw text bytes for video rows.
+    // Mirrors the payload builders' integer arithmetic — every modality
+    // is a real container decode of a deterministically-built file: BMP
+    // byte layout (54-byte headers + 4-byte-padded pixel rows) for image
+    // rows, canonical PCM WAV layout (44-byte header, zero-pad to block
+    // align) for audio rows, animated GIF layout (13+6 header/GCT bytes,
+    // per frame 8-byte GCE + 10-byte descriptor + LZW-size byte + data
+    // split into <=255-byte length-prefixed sub-blocks + terminator,
+    // 1-byte trailer) for video rows.
     "q39_multimodal_meta" ->
       """WITH m AS (SELECT doc_id,
         |                  CAST(doc_id % 3 AS INT) AS m3,
@@ -607,20 +608,24 @@ object SparkEntry {
         |                  CAST(1 + (doc_id * 7) % 64 AS INT) AS bh,
         |                  CAST(1 + doc_id % 2 AS INT) AS ch,
         |                  CAST(8000 + (doc_id % 5) * 4000 AS INT) AS sr,
+        |                  CAST(1 + doc_id % 32 AS INT) AS vw,
+        |                  CAST(1 + (doc_id * 3) % 32 AS INT) AS vh,
+        |                  CAST(1 + doc_id % 10 AS INT) AS vf,
         |                  length(text) AS tlen
         |           FROM documents),
-        |m2 AS (SELECT *, tlen + CASE WHEN tlen % ch = 0 THEN 0 ELSE 1 END AS adata
+        |m2 AS (SELECT *, tlen + CASE WHEN tlen % ch = 0 THEN 0 ELSE 1 END AS adata,
+        |              vw*vh AS vd
         |       FROM m)
         |SELECT doc_id,
         |       CASE m3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
         |       CAST(CASE WHEN m3 = 0 THEN 54 + ((bw*3+3)//4)*4*bh
         |                 WHEN m3 = 1 THEN 44 + adata
-        |                 ELSE tlen END AS BIGINT) AS byte_len,
+        |                 ELSE 20 + vf*(20 + vd + (vd + 254)//255) END AS BIGINT) AS byte_len,
         |       CAST(CASE WHEN m3 = 0 THEN bw WHEN m3 = 1 THEN 0
-        |                 ELSE 64 + tlen % 448 END AS INT) AS width,
+        |                 ELSE vw END AS INT) AS width,
         |       CAST(CASE WHEN m3 = 0 THEN bh WHEN m3 = 1 THEN 0
-        |                 ELSE 64 + (tlen * 7) % 448 END AS INT) AS height,
-        |       CAST(CASE WHEN m3 = 2 THEN 1 + tlen % 30
+        |                 ELSE vh END AS INT) AS height,
+        |       CAST(CASE WHEN m3 = 2 THEN vf
         |                 WHEN m3 = 1 THEN adata // ch
         |                 ELSE 1 END AS INT) AS n_frames,
         |       CAST(CASE WHEN m3 = 1 THEN sr ELSE 0 END AS INT) AS sample_rate,
@@ -628,7 +633,7 @@ object SparkEntry {
         |FROM m2
         |ORDER BY doc_id""".stripMargin,
     "q40_frame_sample" ->
-      """WITH m AS (SELECT doc_id, 1 + length(text) % 30 AS n_frames
+      """WITH m AS (SELECT doc_id, 1 + doc_id % 10 AS n_frames
         |           FROM documents WHERE doc_id % 3 = 2)
         |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx
         |FROM (SELECT doc_id, unnest(range(0, n_frames, 5)) AS frame_idx FROM m) z
@@ -1415,7 +1420,7 @@ object SparkEntry {
          |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
          |SELECT o_custkey, o_orderkey, order_date, o_totalprice,
          |       CASE WHEN sg + sl = 0 THEN 50.0
-         |            ELSE ROUND(CAST(sg AS DOUBLE)*100.0/CAST(sg + sl AS DOUBLE), 4)
+         |            ELSE CAST((sg * 1000000) // (sg + sl) AS DOUBLE)/10000.0
          |       END AS rsi
          |FROM f WHERE nc = 14
          |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
@@ -1529,6 +1534,9 @@ object SparkEntry {
          |ORDER BY source_lo, source_hi""".stripMargin,
     // Same capped shingle space as q33; asymmetric |A∩B|/|A| instead of
     // Jaccard, pair kept when EITHER direction clears the threshold.
+    // Ratios are fixed-point floor division (q90 idiom) — the exact
+    // integer ratio can land on a rounding half-tie that ROUND splits
+    // differently across engines.
     "q95_dedup_containment" ->
       s"""WITH $nCte,
          |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
@@ -1547,8 +1555,8 @@ object SparkEntry {
          |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |       GROUP BY 1, 2)
          |SELECT doc_a, doc_b, za.n AS n_a, zb.n AS n_b, n_inter,
-         |       ROUND(CAST(n_inter AS DOUBLE)/za.n, 4) AS contain_a,
-         |       ROUND(CAST(n_inter AS DOUBLE)/zb.n, 4) AS contain_b
+         |       CAST((n_inter * 10000) // za.n AS DOUBLE)/10000.0 AS contain_a,
+         |       CAST((n_inter * 10000) // zb.n AS DOUBLE)/10000.0 AS contain_b
          |FROM iv JOIN sz za ON za.doc_id = iv.doc_a
          |        JOIN sz zb ON zb.doc_id = iv.doc_b
          |WHERE GREATEST(CAST(n_inter AS DOUBLE)/za.n,

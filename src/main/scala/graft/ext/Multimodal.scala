@@ -9,17 +9,21 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` stages (the Scala analogue of arrow-batched pandas
   * UDFs: one iterator per partition, no per-row serialization round trip).
   *
-  * The IMAGE and AUDIO paths are REAL decodes: image rows carry
+  * All THREE modalities are REAL container parses: image rows carry
   * well-formed BMP payloads and [[decodeBmp]] reads width/height from the
   * actual BITMAPINFOHEADER bytes; audio rows carry well-formed PCM WAV
   * payloads and [[decodeWav]] reads sample rate / channels / sample count
-  * from the actual RIFF header — pure integer arithmetic, no codec
-  * library needed for either. Video metadata still comes from
-  * [[decodeStub]], a clearly-marked DETERMINISTIC FAKE (no video codec
-  * ships in this container); swapping it for ffmpeg changes one function.
-  * The Spark-side contract (schema, binary transport, partition-batched
-  * execution, explode-style frame sampling) is real and tested for all
-  * modalities.
+  * from the actual RIFF header; video rows carry well-formed animated
+  * GIFs and [[decodeGif]] reads width/height from the logical screen
+  * descriptor and the frame count by WALKING the block structure
+  * (extensions, image descriptors, length-prefixed data sub-blocks) to
+  * the trailer — pure integer arithmetic, no codec library needed for
+  * any of them. Only pixel/sample CONTENT decoding (LZW expansion,
+  * resize, feature embedding) remains stubbed ([[resizeStub]],
+  * [[featureStub]]): those need codec/model libraries this container
+  * doesn't ship. The Spark-side contract (schema, binary transport,
+  * partition-batched execution, explode-style frame sampling) is real
+  * and tested for all modalities.
   *
   * Scale posture: payloads never hit the driver; decode is a narrow
   * per-partition map (no shuffle); frame sampling is a generator explode
@@ -36,20 +40,22 @@ object Multimodal {
   /** Decoded metadata: byte length plus modality-specific dimensions.
     * Image fills width/height (real, from the BMP header); audio fills
     * sample_rate/n_channels and reports its sample count as n_frames
-    * (real, from the WAV header); video fills n_frames (stub). Fields
-    * that don't apply to a modality are 0. */
+    * (real, from the WAV header); video fills width/height/n_frames
+    * (real, from the GIF screen descriptor + block walk). Fields that
+    * don't apply to a modality are 0. */
   case class MediaMeta(doc_id: Long, media_type: String, byte_len: Long,
                        width: Int, height: Int, n_frames: Int,
                        sample_rate: Int, n_channels: Int)
 
   /** Attach a synthetic payload to the documents table, modality tag
     * cycling image/audio/video by doc_id. Image rows get a WELL-FORMED
-    * BMP built by [[bmpPayload]] and audio rows a WELL-FORMED PCM WAV
-    * built by [[wavPayload]] (dimensions/rates derived from doc_id,
-    * content bytes filled from the text) so both decode stages exercise a
-    * real header parse; video rows carry the UTF-8 text bytes as the
-    * opaque blob. (In production the payload column arrives from the
-    * lake; this builds one deterministically for tests/oracle.) */
+    * BMP built by [[bmpPayload]], audio rows a WELL-FORMED PCM WAV built
+    * by [[wavPayload]], and video rows a WELL-FORMED animated GIF built
+    * by [[gifPayload]] (dimensions/rates/frame counts derived from
+    * doc_id, content bytes filled from the text) so all three decode
+    * stages exercise a real container parse. (In production the payload
+    * column arrives from the lake; this builds one deterministically for
+    * tests/oracle.) */
   def attachPayload(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaBlob] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -61,7 +67,7 @@ object Multimodal {
         id % 3 match {
           case 0 => MediaBlob(id, "image", bmpPayload(id, bytes))
           case 1 => MediaBlob(id, "audio", wavPayload(id, bytes))
-          case _ => MediaBlob(id, "video", bytes)
+          case _ => MediaBlob(id, "video", gifPayload(id, bytes))
         }
       })
   }
@@ -130,6 +136,115 @@ object Multimodal {
     buf.array()
   }
 
+  /** Build a complete animated GIF89a (header + logical screen descriptor
+    * + 2-entry global color table + per-frame graphic-control extension,
+    * image descriptor, and length-prefixed data sub-blocks + trailer)
+    * with geometry derived from the doc id: `width = 1 + id % 32`,
+    * `height = 1 + (id·3) % 32`, `n_frames = 1 + id % 10`. Each frame
+    * carries `d = width·height` content bytes cycled from `fill`, split
+    * into ≤255-byte sub-blocks, so
+    * `byte_len = 20 + n_frames·(20 + d + ceil(d/255))` — all integer
+    * arithmetic the oracle mirrors. (The sub-block BYTES are fill
+    * content, not valid LZW codes — the container structure is what the
+    * block-walking decoder reads; pixel expansion would need a codec.) */
+  def gifPayload(docId: Long, fill: Array[Byte]): Array[Byte] = {
+    val w = (1 + docId % 32).toInt
+    val h = (1 + (docId * 3) % 32).toInt
+    val nFrames = (1 + docId % 10).toInt
+    val d = w * h
+    val nSub = (d + 254) / 255
+    val buf = java.nio.ByteBuffer.allocate(20 + nFrames * (20 + d + nSub))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("GIF89a".getBytes("US-ASCII"))
+    buf.putShort(w.toShort).putShort(h.toShort) // logical screen
+    buf.put(0x80.toByte)                        // GCT present, 2 entries
+    buf.put(0.toByte).put(0.toByte)             // bg color, aspect
+    buf.put(Array[Byte](0, 0, 0, -1, -1, -1))   // GCT: black, white
+    var f = 0
+    var k = 0
+    while (f < nFrames) {
+      buf.put(0x21.toByte).put(0xF9.toByte).put(0x04.toByte) // GCE
+      buf.put(0.toByte)                         // flags
+      buf.putShort(10)                          // delay (centiseconds)
+      buf.put(0.toByte).put(0.toByte)           // transparent idx, term
+      buf.put(0x2C.toByte)                      // image descriptor
+      buf.putShort(0).putShort(0)               // left, top
+      buf.putShort(w.toShort).putShort(h.toShort)
+      buf.put(0.toByte)                         // no local color table
+      buf.put(7.toByte)                         // LZW min code size
+      var rem = d
+      while (rem > 0) {
+        val n = math.min(255, rem)
+        buf.put(n.toByte)
+        var j = 0
+        while (j < n) {
+          buf.put(if (fill.nonEmpty) fill(k % fill.length) else 0.toByte)
+          k += 1; j += 1
+        }
+        rem -= n
+      }
+      buf.put(0.toByte)                         // block terminator
+      f += 1
+    }
+    buf.put(0x3B.toByte)                        // trailer
+    buf.array()
+  }
+
+  /** REAL GIF container parse: (width, height, n_frames) from the actual
+    * bytes — width/height are the little-endian uint16s of the logical
+    * screen descriptor, and the frame count comes from WALKING the block
+    * stream (skip the global color table if flagged, skip extension
+    * blocks and their data sub-blocks, count image descriptors and skip
+    * their local color tables + LZW data sub-blocks) until the trailer.
+    * No LZW expansion — frame counting needs only the length-prefixed
+    * container structure. Returns None for anything that isn't a
+    * plausible GIF (bad magic, truncated walk, zero frames, unknown
+    * block type) so callers can fall back. */
+  def decodeGif(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+    def ascii(off: Int, s: String) =
+      s.zipWithIndex.forall { case (c, i) => payload(off + i) == c.toByte }
+    try {
+      if (payload.length < 14 ||
+          !(ascii(0, "GIF87a") || ascii(0, "GIF89a"))) None
+      else {
+        def u8(i: Int) = payload(i) & 0xff
+        def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
+        val w = u16(6)
+        val h = u16(8)
+        val packed = u8(10)
+        var pos = 13
+        if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 7) + 1))
+        def skipSubBlocks(): Unit = {
+          var n = u8(pos); pos += 1
+          while (n != 0) { pos += n; n = u8(pos); pos += 1 }
+        }
+        var frames = 0
+        var malformed = false
+        var done = false
+        while (!done && !malformed) {
+          u8(pos) match {
+            case 0x3B => done = true
+            case 0x21 =>            // extension: label byte, then sub-blocks
+              pos += 2
+              skipSubBlocks()
+            case 0x2C =>            // image descriptor
+              val ipacked = u8(pos + 9)
+              pos += 10
+              if ((ipacked & 0x80) != 0) pos += 3 * (1 << ((ipacked & 7) + 1))
+              pos += 1              // LZW minimum code size
+              skipSubBlocks()
+              frames += 1
+            case _ => malformed = true
+          }
+        }
+        if (!malformed && frames > 0 && w > 0 && h > 0) Some((w, h, frames))
+        else None
+      }
+    } catch {
+      case _: IndexOutOfBoundsException => None // truncated block walk
+    }
+  }
+
   /** REAL WAV header parse: (sample_rate, channels, n_samples) from the
     * canonical-layout RIFF/WAVE header — channels at offset 22, sample
     * rate at 24, bits at 34, data length at 40, all little-endian.
@@ -167,12 +282,10 @@ object Multimodal {
       if (w > 0 && h != 0) Some((w, math.abs(h))) else None
     } else None
 
-  /** STUB DECODER for video (and malformed-payload fallback) —
-    * deterministic fake. A real implementation decodes the payload with a
-    * video codec; none ships in this container, so metadata is derived
-    * from the byte length with fixed arithmetic (making the operator
-    * oracle-checkable end-to-end). Image/audio rows never reach this path
-    * when their payload is a parseable BMP/WAV. */
+  /** STUB DECODER — the malformed-payload fallback, deterministic fake:
+    * metadata derived from the byte length with fixed arithmetic (making
+    * even the fallback oracle-checkable). Image/audio/video rows never
+    * reach this path when their payload is a parseable BMP/WAV/GIF. */
   def decodeStub(b: MediaBlob): MediaMeta = {
     val len = b.payload.length.toLong
     MediaMeta(
@@ -186,10 +299,10 @@ object Multimodal {
       n_channels = 0)
   }
 
-  /** Decode one blob: real header parses for image (BMP: width/height)
-    * and audio (WAV: sample rate / channels / sample count as n_frames)
-    * payloads, stub arithmetic for video and for payloads that fail
-    * their format sniff. */
+  /** Decode one blob: real container parses for image (BMP:
+    * width/height), audio (WAV: sample rate / channels / sample count as
+    * n_frames), and video (GIF: width/height/frame count) payloads; stub
+    * arithmetic only for payloads that fail their format sniff. */
   def decode(b: MediaBlob): MediaMeta = b.media_type match {
     case "image" =>
       decodeBmp(b.payload) match {
@@ -203,6 +316,13 @@ object Multimodal {
         case Some((sr, ch, n)) =>
           MediaMeta(b.doc_id, b.media_type, b.payload.length.toLong, 0, 0, n,
             sr, ch)
+        case None => decodeStub(b)
+      }
+    case "video" =>
+      decodeGif(b.payload) match {
+        case Some((w, h, n)) =>
+          MediaMeta(b.doc_id, b.media_type, b.payload.length.toLong, w, h, n,
+            0, 0)
         case None => decodeStub(b)
       }
     case _ => decodeStub(b)

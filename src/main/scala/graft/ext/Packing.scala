@@ -22,8 +22,8 @@ import org.apache.spark.sql.functions._
   * unpartitioned window that drags every (doc, count) row to a single
   * task. Packing is inherently an ordered prefix operation; two passes
   * over the narrow (key, n_tokens) projection is the shuffle-minimal
-  * form (at 100 TB the projection would be persisted between the
-  * passes; the semantics don't depend on it).
+  * form (PrefixSum stages the projection once via localCheckpoint, so
+  * the text is tokenized exactly once however many passes read it).
   *
   * Bin assignment is invariant to WHERE the range boundaries fall (any
   * contiguous split yields the same prefix sums — PackingSpec pins

@@ -46,12 +46,18 @@ object PrefixSum {
     val spark = df.sparkSession
     val nRanges = (if (ranges > 0) ranges
       else spark.sessionState.conf.numShufflePartitions).max(1)
+    // Three passes read the input (quantiles, totals, final), so stage
+    // it once: localCheckpoint materializes the relation and cuts
+    // lineage (blocks released by the ContextCleaner on GC, unlike
+    // persist) — callers hand us a NARROW projection, so the
+    // materialized footprint is (key, value)-sized, not corpus-sized.
+    val input = df.localCheckpoint()
     // Pass 0: contiguous key ranges from approximate quantiles — scans
     // only the key column. Duplicate quantiles (skew) leave ranges
     // empty; correctness is boundary-agnostic.
     val bounds =
       if (nRanges == 1) Array.empty[Double]
-      else df.stat.approxQuantile(keyCol,
+      else input.stat.approxQuantile(keyCol,
         (1 until nRanges).map(_.toDouble / nRanges).toArray, 0.01)
         .distinct.sorted
     // rng increases along the SORT order: ascending counts boundaries
@@ -63,7 +69,7 @@ object PrefixSum {
       else aggregate(array(bounds.map(lit(_)): _*), lit(0),
         (acc, b) => acc + (if (descending) when(k < b, 1).otherwise(0)
                            else when(k > b, 1).otherwise(0)))
-    val based = df.withColumn("__rng", rng)
+    val based = input.withColumn("__rng", rng)
     // Pass 1: per-range totals → driver-side exclusive scan (≤ nRanges
     // rows cross the wire).
     val totals = based.groupBy("__rng").agg(sum(valueCol).as("tot"))

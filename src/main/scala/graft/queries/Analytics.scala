@@ -721,10 +721,13 @@ object Analytics {
       .withColumn("sum_loss", sum(col("loss")).over(wf))
       .withColumn("n_chg", count(lit(1)).over(wf))
       .filter(col("n_chg") === n)
+      // Fixed-point floor division (the q90 idiom): gains/losses are
+      // exact cents, so ROUND on the ratio could land on a half-tie the
+      // two engines split differently; all-integer floor cannot.
       .withColumn("rsi",
         when(col("sum_gain") + col("sum_loss") === 0, lit(50.0))
-          .otherwise(r4(col("sum_gain").cast("double") * 100.0 /
-            (col("sum_gain") + col("sum_loss")).cast("double"))))
+          .otherwise(expr("sum_gain * 1000000 div (sum_gain + sum_loss)")
+            .cast("double") / 10000.0))
       .select(col("o_custkey"), col("o_orderkey"),
         col("o_orderdate").cast("date").as("order_date"),
         col("o_totalprice"), col("rsi"))

@@ -13,13 +13,13 @@ class MultimodalSpec extends SparkSpec {
     (0L, "image payload bytes"), (1L, "audio payload"), (2L, "video payload xyz")
   ).toDF("doc_id", "text")
 
-  test("attachPayload tags modality by id; image/audio rows carry real file bytes") {
+  test("attachPayload tags modality by id; all rows carry real file bytes") {
     val blobs = Multimodal.attachPayload(docs, "doc_id", "text").collect()
     assert(blobs.map(_.media_type).toSeq == Seq("image", "audio", "video"))
-    // video stays an opaque UTF-8 blob; image is a BMP file, audio a WAV
-    assert(new String(blobs(2).payload, "UTF-8") == "video payload xyz")
+    // image is a BMP file, audio a WAV, video an animated GIF
     assert(blobs(0).payload(0) == 'B'.toByte && blobs(0).payload(1) == 'M'.toByte)
     assert(new String(blobs(1).payload.take(4), "US-ASCII") == "RIFF")
+    assert(new String(blobs(2).payload.take(6), "US-ASCII") == "GIF89a")
     // the WAV data chunk carries the text bytes ("audio payload", 13
     // bytes, zero-padded to stereo block align)
     assert(new String(blobs(1).payload.slice(44, 57), "UTF-8") == "audio payload")
@@ -39,8 +39,13 @@ class MultimodalSpec extends SparkSpec {
     assert(aud.sample_rate == 12000 && aud.n_channels == 2 &&
       aud.byte_len == 58L && aud.n_frames == 7 &&
       aud.width == 0 && aud.height == 0)
+    // doc 2: gifPayload embeds width 1 + 2%32 = 3, height 1 + 6%32 = 7,
+    // 1 + 2%10 = 3 frames; d = 21 bytes/frame in one sub-block ->
+    // byte_len = 20 + 3*(20 + 21 + 1) = 146
     val vid = meta.find(_.doc_id == 2L).get
-    assert(vid.media_type == "video" && vid.n_frames == 1 + (17 % 30))
+    assert(vid.media_type == "video" && vid.width == 3 && vid.height == 7 &&
+      vid.n_frames == 3 && vid.byte_len == 146L &&
+      vid.sample_rate == 0 && vid.n_channels == 0)
   }
 
   test("decodeWav parses arbitrary headers, not the id arithmetic") {
@@ -74,12 +79,32 @@ class MultimodalSpec extends SparkSpec {
     assert(junk.width == 64 + 12 % 448)
   }
 
+  test("decodeGif walks the actual block structure, not the id arithmetic") {
+    // Re-stamp the logical screen with dimensions the id would never
+    // derive: the decoder must report what the BYTES say.
+    val gif = Multimodal.gifPayload(2L, "xyz".getBytes("UTF-8"))
+    val bb = java.nio.ByteBuffer.wrap(gif).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(6, 320.toShort).putShort(8, 200.toShort)
+    assert(Multimodal.decodeGif(gif).contains((320, 200, 3)))
+    // the frame count comes from counting image descriptors in the walk:
+    // truncating the trailer makes the walk fail, not misreport
+    assert(Multimodal.decodeGif(gif.dropRight(1)).isEmpty)
+    // a GIF87a magic parses too
+    val g87 = gif.clone(); g87(4) = '7'.toByte
+    assert(Multimodal.decodeGif(g87).contains((320, 200, 3)))
+    // non-GIF video payloads fall back to the documented stub
+    val junk = Multimodal.decode(
+      Multimodal.MediaBlob(9L, "video", "not a gif at all".getBytes("UTF-8")))
+    assert(junk.width == 64 + 16 % 448 && junk.n_frames == 1 + 16 % 30)
+  }
+
   test("sampleFrames strides over video frames only") {
     val meta = Multimodal.decodeMeta(Multimodal.attachPayload(docs, "doc_id", "text"))
-    val frames = Multimodal.sampleFrames(meta, stride = 5)
+    val frames = Multimodal.sampleFrames(meta, stride = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1)))
     assert(frames.forall(_._1 == 2L))
-    assert(frames.map(_._2).toSeq == (0 until 18 by 5).toSeq)
+    // doc 2's GIF holds 3 frames (decoded from the block walk)
+    assert(frames.map(_._2).toSeq == Seq(0, 2))
   }
 
   test("resizeStub re-shapes payloads in place and chains into decode") {
@@ -88,10 +113,10 @@ class MultimodalSpec extends SparkSpec {
     val blobs = resized.collect()
     assert(blobs.forall(_.payload.length == 12))
     assert(blobs.map(_.media_type).sorted.toSeq == Seq("audio", "image", "video"))
-    // the resized payload cycles the original bytes
-    assert(new String(blobs.find(_.doc_id == 2L).get.payload.take(5), "UTF-8") == "video")
+    // the resized payload cycles the original (GIF container) bytes
+    assert(new String(blobs.find(_.doc_id == 2L).get.payload.take(3), "US-ASCII") == "GIF")
     // chains into the decode stage without a schema break (the truncated
-    // image payload no longer parses as a BMP, so it takes the stub path)
+    // payloads no longer parse as BMP/WAV/GIF, so they take the stub path)
     val meta = Multimodal.decodeMeta(resized).collect()
     assert(meta.forall(_.byte_len == 12L))
   }
