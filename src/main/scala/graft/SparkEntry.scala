@@ -126,6 +126,13 @@ object SparkEntry {
     "q104_pareto_abc"      -> ((s, d) => Analytics.paretoAbc(s, d)),
     "q105_ann_recall"      -> ((s, d) => ExtQueries.annRecall(s, d)),
     "q106_robust_anomalies" -> ((s, d) => Analytics.robustAnomalies(s, d)),
+    "q107_stochastic_k"    -> ((s, d) => Analytics.stochasticOscillator(s, d)),
+    "q108_obv"             -> ((s, d) => Analytics.onBalanceVolume(s, d)),
+    "q109_weekday_seasonality" -> ((s, d) => Analytics.weekdaySeasonality(s, d)),
+    "q110_shingle_novelty" -> ((s, d) => ExtQueries.shingleNovelty(s, d)),
+    "q111_lang_source_mix" -> ((s, d) => ExtQueries.langSourceMix(s, d)),
+    "q112_token_fertility" -> ((s, d) => ExtQueries.tokenFertility(s, d)),
+    "q113_revenue_autocorr" -> ((s, d) => Analytics.revenueAutocorr(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -1800,5 +1807,150 @@ object SparkEntry {
          |FROM daily CROSS JOIN med CROSS JOIN mad
          |WHERE ABS((c - med)/(mad*1.4826)) > 3.0
          |ORDER BY d""".stripMargin,
+    // Rolling min/max of exact cents; %K is fixed-point floor division
+    // with 50.0 on a flat channel (the q89 convention).
+    "q107_stochastic_k" ->
+      s"""WITH c AS (
+         |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+         |         o_totalprice, ${cents("o_totalprice")} AS px
+         |  FROM orders),
+         |f AS (
+         |  SELECT o_custkey, o_orderkey, order_date, o_totalprice, px,
+         |         CAST(MIN(px) OVER w AS BIGINT) AS lo,
+         |         CAST(MAX(px) OVER w AS BIGINT) AS hi,
+         |         COUNT(*) OVER w AS nw
+         |  FROM c
+         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY order_date, o_orderkey
+         |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT o_custkey, o_orderkey, order_date, o_totalprice,
+         |       CAST(lo AS DOUBLE)/100.0 AS low_n,
+         |       CAST(hi AS DOUBLE)/100.0 AS high_n,
+         |       CASE WHEN hi = lo THEN 50.0
+         |            ELSE CAST((px - lo) * 1000000 // (hi - lo) AS DOUBLE)/10000.0
+         |       END AS pct_k
+         |FROM f WHERE nw = 14
+         |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
+    // Signed centi-quantities under an integer-cents price tick; the
+    // running sum is per-supplier (both engines see the same unique
+    // (shipdate, orderkey, linenumber) order).
+    "q108_obv" ->
+      s"""WITH l AS (
+         |  SELECT l_suppkey, l_orderkey, l_linenumber,
+         |         CAST(l_shipdate AS DATE) AS ship_date, l_quantity,
+         |         ${cents("l_extendedprice")} AS px,
+         |         ${cents("l_quantity")} AS qc
+         |  FROM lineitem),
+         |s AS (
+         |  SELECT *, px - lag(px) OVER w AS chg
+         |  FROM l
+         |  WINDOW w AS (PARTITION BY l_suppkey
+         |               ORDER BY ship_date, l_orderkey, l_linenumber)),
+         |v AS (
+         |  SELECT *, CASE WHEN chg > 0 THEN qc
+         |                 WHEN chg < 0 THEN -qc
+         |                 ELSE 0 END AS sv
+         |  FROM s)
+         |SELECT l_suppkey, l_orderkey, l_linenumber, ship_date, l_quantity,
+         |       CAST(CAST(SUM(sv) OVER (PARTITION BY l_suppkey
+         |              ORDER BY ship_date, l_orderkey, l_linenumber
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |            AS DOUBLE)/100.0 AS obv
+         |FROM v
+         |ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber""".stripMargin,
+    // ISO weekday (1 = Monday) on both engines; money columns use the
+    // exact integer-cents idiom.
+    "q109_weekday_seasonality" ->
+      s"""SELECT CAST(isodow(CAST(o_orderdate AS DATE)) AS INT) AS iso_dow,
+         |       COUNT(*) AS n_orders,
+         |       ${moneySum("o_totalprice")} AS total_rev,
+         |       ${moneyAvg("o_totalprice")} AS avg_rev
+         |FROM orders
+         |GROUP BY 1
+         |ORDER BY iso_dow""".stripMargin,
+    // Same hashed word-3-gram space as q95 (NO df cap — novelty needs
+    // the full df spectrum; the df join is 1:1 per (doc, shingle) row,
+    // linear at any scale); novelty is fixed-point floor division.
+    "q110_shingle_novelty" ->
+      s"""WITH $nCte,
+         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+         |sh0 AS (SELECT DISTINCT doc_id,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(1, length(sg)+1),
+         |             i -> CAST(ord(substr(sg, i, 1)) AS BIGINT))),
+         |           (h, c) -> (h * 31 + c) % ${graft.ext.TextOps.HashP}) AS sh
+         |       FROM (SELECT doc_id, toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2] AS sg
+         |             FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS g FROM tk) z) y),
+         |df AS (SELECT sh, COUNT(*) AS df FROM sh0 GROUP BY sh)
+         |SELECT s.doc_id, COUNT(*) AS n_shingles,
+         |       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |       CAST((CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |            // COUNT(*) AS DOUBLE)/1000000.0 AS novelty
+         |FROM sh0 s JOIN df d ON s.sh = d.sh
+         |GROUP BY s.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
+    // Marker scoring identical to q30; shares divide exact counts
+    // fixed-point within each source slice.
+    "q111_lang_source_mix" ->
+      s"""WITH nn AS (SELECT source, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+         |            FROM documents),
+         |sc AS (SELECT source,
+         |        CAST(len(list_filter(string_split(t, ' '), w -> w IN ('the','a','of','and'))) AS BIGINT) AS s_en,
+         |        CAST(len(list_filter(string_split(t, ' '), w -> w IN ('der','und','die','ist'))) AS BIGINT) AS s_de,
+         |        CAST(len(list_filter(string_split(t, ' '), w -> w IN ('le','et','les','une'))) AS BIGINT) AS s_fr,
+         |        CAST(len(list_filter(string_split(t, ' '), w -> w IN ('el','y','los','las'))) AS BIGINT) AS s_es
+         |       FROM nn),
+         |pr AS (SELECT source,
+         |        CASE WHEN s_en+s_de+s_fr+s_es = 0 THEN 'und'
+         |             WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+         |             WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+         |             WHEN s_fr >= s_es THEN 'fr'
+         |             ELSE 'es' END AS predicted_lang
+         |       FROM sc),
+         |cnt AS (SELECT source, predicted_lang, COUNT(*) AS n_docs
+         |        FROM pr GROUP BY 1, 2),
+         |tots AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS tot
+         |         FROM cnt GROUP BY source)
+         |SELECT c.source, c.predicted_lang, c.n_docs,
+         |       CAST((c.n_docs * 1000000) // t.tot AS DOUBLE)/1000000.0 AS share
+         |FROM cnt c JOIN tots t ON c.source = t.source
+         |ORDER BY c.source, c.predicted_lang""".stripMargin,
+    // One scored projection (marker counts + both tokenizations), then a
+    // language-keyed aggregation of exact integers; fertility is
+    // fixed-point floor division.
+    "q112_token_fertility" ->
+      s"""WITH $nCte,
+         |sc AS (SELECT doc_id,
+         |        CAST(len(string_split(t, ' ')) AS BIGINT) AS n_ws,
+         |        CAST(len(regexp_extract_all(t, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
+         |        CAST(len(list_filter(string_split(t, ' '), w -> w IN ('the','a','of','and'))) AS BIGINT) AS s_en,
+         |        CAST(len(list_filter(string_split(t, ' '), w -> w IN ('der','und','die','ist'))) AS BIGINT) AS s_de,
+         |        CAST(len(list_filter(string_split(t, ' '), w -> w IN ('le','et','les','une'))) AS BIGINT) AS s_fr,
+         |        CAST(len(list_filter(string_split(t, ' '), w -> w IN ('el','y','los','las'))) AS BIGINT) AS s_es
+         |       FROM n),
+         |pr AS (SELECT n_ws, n_bpe,
+         |        CASE WHEN s_en+s_de+s_fr+s_es = 0 THEN 'und'
+         |             WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+         |             WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+         |             WHEN s_fr >= s_es THEN 'fr'
+         |             ELSE 'es' END AS predicted_lang
+         |       FROM sc)
+         |SELECT predicted_lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+         |       CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+         |       CAST((CAST(SUM(n_bpe) AS BIGINT) * 10000) // CAST(SUM(n_ws) AS BIGINT)
+         |            AS DOUBLE)/10000.0 AS fertility
+         |FROM pr
+         |GROUP BY predicted_lang
+         |ORDER BY predicted_lang""".stripMargin,
+    // The fact reduces to |days| integer-cents rows; adjacency is an
+    // equi join on d+1 (gap days drop); corr is display-rounded (r4).
+    "q113_revenue_autocorr" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d,
+         |         CAST(SUM(${cents("o_totalprice")}) AS BIGINT) AS c
+         |  FROM orders GROUP BY 1)
+         |SELECT COUNT(*) AS n_pairs,
+         |       ROUND(corr(CAST(a.c AS DOUBLE), CAST(b.c AS DOUBLE)), 4) AS autocorr
+         |FROM daily a JOIN daily b ON b.d = a.d + INTERVAL 1 DAY""".stripMargin,
   )
 }

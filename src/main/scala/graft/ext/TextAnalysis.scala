@@ -81,20 +81,74 @@ object TextAnalysis {
     * the scan, zero shuffles (a real system swaps the marker table for
     * char-n-gram profiles; the per-row shape is identical at any corpus
     * size). */
-  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(normText(col(textCol)))
-    val scoreCols = LangMarkers.map { case (lang, markers) =>
+  /** Per-language marker-hit count columns (`s_en`...`s_es`) over a token
+    * array — the scoring half of the language-ID heuristic, shared by
+    * [[languageId]], [[tokenFertility]], and [[langSourceMix]]. */
+  private def langScoreCols(toks: Column): Seq[Column] =
+    LangMarkers.map { case (lang, markers) =>
       size(filter(toks, w => w.isInCollection(markers))).cast("long").as(s"s_$lang")
     }
-    val scored = docs.select((col(idCol) +: scoreCols): _*)
+
+  /** Argmax language over materialized `s_*` score columns, fixed
+    * priority order on ties, 'und' when nothing matched. */
+  private def predictedLang: Column = {
     val total = LangMarkers.map { case (l, _) => col(s"s_$l") }.reduce(_ + _)
-    val predicted = when(total === 0, "und")
+    when(total === 0, "und")
       .when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
       .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
       .when(col("s_fr") >= col("s_es"), "fr")
       .otherwise("es")
-    scored.select(col(idCol), col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
-      predicted.as("predicted_lang"))
+  }
+
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(normText(col(textCol)))
+    docs.select((col(idCol) +: langScoreCols(toks)): _*)
+      .select(col(idCol), col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
+        predictedLang.as("predicted_lang"))
+  }
+
+  /** Tokenizer fertility by predicted language (q112): BPE-ish tokens
+    * per whitespace token — the "how many pieces does the tokenizer cut
+    * a word into" diagnostic every multilingual-corpus report carries
+    * (fertility >> 1 for a language signals an ill-fitting vocabulary).
+    * ONE projection computes marker scores and both token counts (no
+    * self-join of two scans), then a language-keyed aggregation of exact
+    * integers; the ratio is tie-proof fixed-point floor division. */
+  def tokenFertility(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = normText(col(textCol))
+    val toks = tokens(t)
+    val counts = Seq(
+      size(toks).cast("long").as("n_ws"),
+      size(regexp_extract_all(t, lit(BpeishPattern), lit(0))).cast("long").as("n_bpe"))
+    docs.select((counts ++ langScoreCols(toks)): _*)
+      .select(predictedLang.as("predicted_lang"), col("n_ws"), col("n_bpe"))
+      .groupBy("predicted_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_ws").as("ws_tokens"),
+        sum("n_bpe").as("bpe_tokens"))
+      .withColumn("fertility",
+        expr("CAST(bpe_tokens * 10000 div ws_tokens AS DOUBLE) / 10000.0"))
+      .orderBy("predicted_lang")
+  }
+
+  /** Language × source composition (q111): document counts per
+    * (source, predicted language) with the share of each source slice —
+    * the mixture report a curation run reads before re-weighting. Two
+    * tiny aggregations over the scored projection (the group space is
+    * |sources| × |languages|); shares divide exact counts fixed-point. */
+  def langSourceMix(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val toks = tokens(normText(col(textCol)))
+    val counts = docs
+      .select((col(srcCol).as("source") +: langScoreCols(toks)): _*)
+      .select(col("source"), predictedLang.as("predicted_lang"))
+      .groupBy("source", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val tots = counts.groupBy("source").agg(sum("n_docs").as("tot"))
+    counts.join(tots, Seq("source"))
+      .withColumn("share",
+        expr("CAST(n_docs * 1000000 div tot AS DOUBLE) / 1000000.0"))
+      .drop("tot")
+      .orderBy("source", "predicted_lang")
   }
 
   /** Within-document repetition profile — the Gopher-style repetition

@@ -1023,4 +1023,89 @@ object Analytics {
         r4(col("score")).as("robust_score"))
       .orderBy("d")
   }
+
+  /** Stochastic oscillator %K (q107): where the current price sits inside
+    * the rolling n-row low/high channel, 0..100 — the third classic
+    * bounded momentum indicator next to RSI (q89) and Bollinger (q84).
+    * All channel arithmetic is integer cents (rolling MIN/MAX of exact
+    * longs); %K is tie-proof fixed-point floor division, with the RSI
+    * convention of 50.0 for a flat channel. One key-partitioned window —
+    * per-task state is one customer's n-row frame at any scale. */
+  def stochasticOscillator(spark: SparkSession, dir: String, n: Int = 14): DataFrame = {
+    val wf = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(-(n - 1), Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("px", round(col("o_totalprice") * 100, 0).cast("long"))
+      .withColumn("lo", min(col("px")).over(wf))
+      .withColumn("hi", max(col("px")).over(wf))
+      .withColumn("nw", count(lit(1)).over(wf))
+      .filter(col("nw") === n)
+      .withColumn("pct_k",
+        when(col("hi") === col("lo"), lit(50.0))
+          .otherwise(expr("(px - lo) * 1000000 div (hi - lo)")
+            .cast("double") / 10000.0))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"), col("o_totalprice"),
+        (col("lo").cast("double") / 100.0).as("low_n"),
+        (col("hi").cast("double") / 100.0).as("high_n"),
+        col("pct_k"))
+      .orderBy("o_custkey", "order_date", "o_orderkey")
+  }
+
+  /** On-balance volume (q108): running signed-quantity accumulation per
+    * supplier — quantity flows INTO the total when the price ticks up,
+    * OUT when it ticks down, the classic volume-confirms-price read.
+    * Price changes and quantities are exact integer centi-units; the
+    * running sum is a key-partitioned window (per-supplier state only,
+    * no global ordering anywhere). */
+  def onBalanceVolume(spark: SparkSession, dir: String): DataFrame = {
+    val wl = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .withColumn("px", round(col("l_extendedprice") * 100, 0).cast("long"))
+      .withColumn("qc", round(col("l_quantity") * 100, 0).cast("long"))
+      .withColumn("chg", col("px") - lag("px", 1).over(wl))
+      .withColumn("sv",
+        when(col("chg") > 0, col("qc"))
+          .when(col("chg") < 0, -col("qc"))
+          .otherwise(lit(0L)))
+      .withColumn("obv_c", sum(col("sv")).over(
+        wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast("date").as("ship_date"), col("l_quantity"),
+        (col("obv_c").cast("double") / 100.0).as("obv"))
+      .orderBy("l_suppkey", "ship_date", "l_orderkey", "l_linenumber")
+  }
+
+  /** Weekday seasonality (q109): order count and exact-cents revenue by
+    * ISO weekday (1 = Monday) — the calendar-effect read every market
+    * summary carries. One partial-agg'd exchange over a 7-row group
+    * space. */
+  def weekdaySeasonality(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("iso_dow",
+        ((dayofweek(col("o_orderdate").cast("date")) + 5) % 7 + 1).cast("int"))
+      .groupBy("iso_dow")
+      .agg(count(lit(1)).as("n_orders"),
+        Parity.moneySum(col("o_totalprice")).as("total_rev"),
+        Parity.moneyAvg(col("o_totalprice")).as("avg_rev"))
+      .orderBy("iso_dow")
+
+  /** Calendar-adjacent revenue autocorrelation (q113): Pearson corr of
+    * daily market revenue against the NEXT calendar day's — the
+    * persistence scalar a mean-reversion read starts from. The fact
+    * reduces to |days| integer-cents rows first; adjacency is an equi
+    * join on d+1 (gap days drop out — no window, no global sort), and
+    * the one float statistic is display-rounded (r4), the q07
+    * contract. */
+  def revenueAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("c"))
+    val next = daily.select(col("d").as("d2"), col("c").as("c_next"))
+    daily.join(next, col("d2") === date_add(col("d"), 1))
+      .agg(count(lit(1)).as("n_pairs"),
+        r4(corr(col("c").cast("double"), col("c_next").cast("double")))
+          .as("autocorr"))
+  }
 }

@@ -351,6 +351,15 @@ object ExtQueries {
         stride = 5)
       .orderBy("doc_id", "frame_idx")
 
+  def shingleNovelty(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.shingleNovelty(Tables.documents(spark, dir), "doc_id", "text")
+
+  def langSourceMix(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langSourceMix(Tables.documents(spark, dir), "source", "text")
+
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenFertility(Tables.documents(spark, dir), "doc_id", "text")
+
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabCoverage(Tables.documents(spark, dir), "doc_id", "text")
 

@@ -65,6 +65,83 @@ class ReportQueriesSpec extends SparkSpec {
     assert(avg >= 0.1, s"avg recall@3 $avg below 0.1 floor")
   }
 
+  test("q107 %K stays inside the channel it measures") {
+    val rows = Analytics.stochasticOscillator(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, lo, hi, k) = (r.getAs[Double]("o_totalprice"),
+        r.getAs[Double]("low_n"), r.getAs[Double]("high_n"),
+        r.getAs[Double]("pct_k"))
+      assert(lo <= p + 1e-9 && p <= hi + 1e-9)
+      assert(k >= 0.0 && k <= 100.0)
+      if (p == hi && hi > lo) assert(k == 100.0)
+      if (p == lo && hi > lo) assert(k == 0.0)
+    }
+  }
+
+  test("q108 OBV steps by exactly the row's quantity or holds") {
+    val rows = Analytics.onBalanceVolume(spark, sf001).collect()
+      .groupBy(_.getAs[Long]("l_suppkey"))
+    rows.values.foreach { grp =>
+      // collected rows keep the query's (date, orderkey, linenumber) order
+      grp.sliding(2).foreach {
+        case Array(a, b) =>
+          val step = math.abs(b.getAs[Double]("obv") - a.getAs[Double]("obv"))
+          val qty = b.getAs[Double]("l_quantity")
+          assert(math.abs(step) < 1e-9 || math.abs(step - qty) < 1e-9,
+            s"obv stepped $step against qty $qty")
+        case _ =>
+      }
+    }
+  }
+
+  test("q109 weekday report partitions the order count") {
+    val rows = Analytics.weekdaySeasonality(spark, sf001).collect()
+    assert(rows.map(_.getAs[Int]("iso_dow")).toSeq.sorted == (1 to 7))
+    val total = graft.model.Tables.orders(spark, sf001).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == total)
+  }
+
+  test("q110 novelty counts the df=1 shingles exactly") {
+    val rows = ExtQueries.shingleNovelty(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, novel, s) = (r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_novel"), r.getAs[Double]("novelty"))
+      assert(novel >= 0 && novel <= n)
+      assert(s >= 0.0 && s <= 1.0)
+    }
+    // global cross-check: Σ n_novel = number of shingles with df = 1
+    val sh = graft.ext.TextDedup.docWordShingleHashes(
+      graft.model.Tables.documents(spark, sf001), "doc_id", "text")
+    val singletons = sh.groupBy("hv").count().filter(col("count") === 1).count()
+    assert(rows.map(_.getAs[Long]("n_novel")).sum == singletons)
+  }
+
+  test("q111 shares partition each source; q112 fertility >= 1") {
+    val mix = ExtQueries.langSourceMix(spark, sf001).collect()
+    mix.groupBy(_.getAs[String]("source")).foreach { case (src, grp) =>
+      val mass = grp.map(_.getAs[Double]("share")).sum
+      assert(mass <= 1.0 + 1e-9 && mass >= 1.0 - grp.length * 1e-6,
+        s"$src mass=$mass")
+    }
+    assert(mix.map(_.getAs[Long]("n_docs")).sum ==
+      graft.model.Tables.documents(spark, sf001).count())
+    // the BPE-ish pattern emits at least one piece per whitespace token
+    ExtQueries.tokenFertility(spark, sf001).collect().foreach { r =>
+      assert(r.getAs[Double]("fertility") >= 1.0)
+      assert(r.getAs[Long]("bpe_tokens") >= r.getAs[Long]("ws_tokens"))
+    }
+  }
+
+  test("q113 autocorr is a single bounded scalar") {
+    val r = Analytics.revenueAutocorr(spark, sf001).collect()
+    assert(r.length == 1)
+    val ac = r.head.getAs[Double]("autocorr")
+    assert(ac >= -1.0 && ac <= 1.0)
+    assert(r.head.getAs[Long]("n_pairs") > 0)
+  }
+
   test("q106 flags only rows beyond 3 robust sigmas") {
     val rows = Analytics.robustAnomalies(spark, sf001).collect()
     assert(rows.nonEmpty)
