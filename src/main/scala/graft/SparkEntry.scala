@@ -133,6 +133,9 @@ object SparkEntry {
     "q111_lang_source_mix" -> ((s, d) => ExtQueries.langSourceMix(s, d)),
     "q112_token_fertility" -> ((s, d) => ExtQueries.tokenFertility(s, d)),
     "q113_revenue_autocorr" -> ((s, d) => Analytics.revenueAutocorr(s, d)),
+    "q114_transit_overlap" -> ((s, d) => Analytics.transitOverlap(s, d)),
+    "q115_scd2_history"    -> ((s, d) => Analytics.scd2History(s, d)),
+    "q116_copurchase_rank" -> ((s, d) => Analytics.copurchaseRank(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -1952,5 +1955,59 @@ object SparkEntry {
          |SELECT COUNT(*) AS n_pairs,
          |       ROUND(corr(CAST(a.c AS DOUBLE), CAST(b.c AS DOUBLE)), 4) AS autocorr
          |FROM daily a JOIN daily b ON b.d = a.d + INTERVAL 1 DAY""".stripMargin,
+    // The oracle runs the NAIVE inequality join (DuckDB handles it as an
+    // IEJoin); the Spark side must produce identical pairs through the
+    // bucketized equi-join plan. Inclusive BETWEEN on both engines;
+    // synthetic transit duration is all-integer.
+    "q114_transit_overlap" ->
+      """WITH li AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |         CAST(l_shipdate AS DATE) AS ship
+        |  FROM lineitem),
+        |iv AS (
+        |  SELECT l_suppkey, l_orderkey AS i_orderkey,
+        |         l_linenumber AS i_linenumber, ship AS t_start,
+        |         ship + CAST(1 + (l_orderkey + l_linenumber) % 14 AS INT) AS t_end
+        |  FROM li WHERE l_quantity > 45)
+        |SELECT iv.l_suppkey AS l_suppkey, i_orderkey, i_linenumber, t_start, t_end,
+        |       COUNT(*) AS n_in_window
+        |FROM iv JOIN li p
+        |  ON p.l_suppkey = iv.l_suppkey
+        | AND p.ship BETWEEN iv.t_start AND iv.t_end
+        | AND NOT (p.l_orderkey = i_orderkey AND p.l_linenumber = i_linenumber)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY 1, 2, 3""".stripMargin,
+    // One lead window per key on both engines; zero-length validity
+    // (same-day revisions) is deterministic via the orderkey tiebreak.
+    "q115_scd2_history" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |                  CAST(o_orderdate AS DATE) AS valid_from, o_totalprice
+        |           FROM orders)
+        |SELECT o_custkey, o_orderkey, valid_from, o_totalprice,
+        |       lead(valid_from) OVER w AS valid_to,
+        |       CAST(CASE WHEN lead(valid_from) OVER w IS NULL
+        |            THEN 1 ELSE 0 END AS INT) AS is_current
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey)
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+    // Two hops of integer micro-unit mass; every per-edge contribution
+    // floors BEFORE the sum, so aggregation order cannot matter and
+    // both engines land on identical longs.
+    "q116_copurchase_rank" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |sd AS (SELECT s, COUNT(*) AS sdeg FROM e GROUP BY s),
+        |cd AS (SELECT c, COUNT(*) AS cdeg FROM e GROUP BY c),
+        |m1 AS (SELECT e.c, CAST(SUM(1000000 // sd.sdeg) AS BIGINT) AS m1
+        |       FROM e JOIN sd ON e.s = sd.s GROUP BY e.c),
+        |r2 AS (SELECT e.s, COUNT(*) AS n_customers,
+        |              CAST(SUM(m1.m1 // cd.cdeg) AS BIGINT) AS score_units
+        |       FROM e JOIN m1 ON e.c = m1.c JOIN cd ON e.c = cd.c
+        |       GROUP BY e.s)
+        |SELECT s AS l_suppkey, CAST(n_customers AS INT) AS n_customers,
+        |       score_units,
+        |       CAST(score_units AS DOUBLE)/1000000.0 AS score
+        |FROM r2
+        |ORDER BY score_units DESC, l_suppkey""".stripMargin,
   )
 }

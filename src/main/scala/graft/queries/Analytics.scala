@@ -1091,6 +1091,102 @@ object Analytics {
         Parity.moneyAvg(col("o_totalprice")).as("avg_rev"))
       .orderBy("iso_dow")
 
+  /** Transit-window overlap (q114): for each LARGE shipment (quantity >
+    * 45) of a supplier, how many of the supplier's other shipments went
+    * out while it was "in transit" — a deterministic synthetic window of
+    * `1 + (orderkey + linenumber) % 14` days from the ship date (the
+    * schema carries no receipt date). This is the RANGE-JOIN shape —
+    * key equality PLUS point-in-interval containment — executed through
+    * [[graft.operators.RangeJoin]]'s bucketized plan: an equi join on
+    * (suppkey, week bucket) with the exact BETWEEN re-checked after,
+    * never the quadratic nested-loop fallback Spark would otherwise
+    * plan. Intervals span ≤ 15 days → ≤ 3 week-bucket rows each. */
+  def transitOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_shipdate").cast("date").as("ship"))
+    val intervals = li.filter(col("l_quantity") > 45)
+      .select(col("l_suppkey"),
+        col("l_orderkey").as("i_orderkey"),
+        col("l_linenumber").as("i_linenumber"),
+        col("ship").as("t_start"),
+        expr("date_add(ship, CAST(1 + (l_orderkey + l_linenumber) % 14 AS INT))")
+          .as("t_end"))
+    val points = li.select(col("l_suppkey"),
+      col("l_orderkey").as("p_orderkey"),
+      col("l_linenumber").as("p_linenumber"), col("ship"))
+    graft.operators.RangeJoin.pointInInterval(points, intervals,
+        keys = Seq("l_suppkey"), pointCol = "ship",
+        startCol = "t_start", endCol = "t_end", bucketDays = 7)
+      .filter(!(col("p_orderkey") === col("i_orderkey") &&
+        col("p_linenumber") === col("i_linenumber")))
+      .groupBy("l_suppkey", "i_orderkey", "i_linenumber", "t_start", "t_end")
+      .agg(count(lit(1)).as("n_in_window"))
+      .orderBy("l_suppkey", "i_orderkey", "i_linenumber")
+  }
+
+  /** SCD2 history build (q115): the slowly-changing-dimension type-2
+    * shape every warehouse ingest eventually needs — each key's revision
+    * stream becomes [valid_from, valid_to) intervals with an is_current
+    * flag, via one key-partitioned lead window (no self-join, no global
+    * sort; per-task state is one customer's revisions). Here each order
+    * is treated as a revision of the customer's standing state. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("valid_from"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("valid_from"), col("o_totalprice"))
+      .withColumn("valid_to", lead("valid_from", 1).over(w))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1).otherwise(0).cast("int"))
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+
+  /** Co-purchase propagation rank (q116): two integer-exact hops of
+    * mass over the customer⋈supplier bipartite graph — each supplier
+    * starts with 10⁶ micro-units, splits them equally over its
+    * customers, and customers split what they received equally over
+    * their suppliers. The result ranks suppliers by co-purchase network
+    * centrality (a supplier scores high when its customers concentrate
+    * their buying on few suppliers — the PageRank-style read the
+    * connected-components tier can't give). ALL divisions are integer
+    * floor (each hop's per-edge contribution is a long), so sums are
+    * order-independent and both engines land on identical integers.
+    * Plan: one orderkey equi join builds the distinct edge list, then
+    * two rounds of key-keyed agg + broadcast-friendly degree joins —
+    * everything exchanges on cust/supp keys, nothing quadratic. */
+  def copurchaseRank(spark: SparkSession, dir: String): DataFrame = {
+    // Four consumers read the edge list (two degree aggs, two hops), so
+    // stage it once: the fact join + distinct run exactly once and only
+    // (c, s) long pairs are ever re-read (the q33/q95 localCheckpoint
+    // idiom — lineage cut, blocks freed by the ContextCleaner).
+    val edges = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("orderkey"), col("l_suppkey").as("s"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("orderkey"), col("o_custkey").as("c")),
+        Seq("orderkey"))
+      .select("c", "s").distinct()
+      .localCheckpoint()
+    val sdeg = edges.groupBy("s").agg(count(lit(1)).as("sdeg"))
+    val cdeg = edges.groupBy("c").agg(count(lit(1)).as("cdeg"))
+    // hop 1: suppliers → customers (each supplier splits 1e6 units)
+    val m1 = edges.join(sdeg, Seq("s"))
+      .select(col("c"), expr("1000000 div sdeg").as("share"))
+      .groupBy("c").agg(sum("share").as("m1"))
+    // hop 2: customers → suppliers
+    edges.join(m1, Seq("c")).join(cdeg, Seq("c"))
+      .select(col("s"), expr("m1 div cdeg").as("share"))
+      .groupBy("s").agg(count(lit(1)).as("n_customers"),
+        sum("share").as("score_units"))
+      .join(sdeg, Seq("s"))
+      .select(col("s").as("l_suppkey"), col("n_customers").cast("int")
+          .as("n_customers"),
+        col("score_units"),
+        (col("score_units").cast("double") / 1000000.0).as("score"))
+      .orderBy(col("score_units").desc, col("l_suppkey"))
+  }
+
   /** Calendar-adjacent revenue autocorrelation (q113): Pearson corr of
     * daily market revenue against the NEXT calendar day's — the
     * persistence scalar a mean-reversion read starts from. The fact

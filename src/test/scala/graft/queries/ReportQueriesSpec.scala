@@ -142,6 +142,45 @@ class ReportQueriesSpec extends SparkSpec {
     assert(r.head.getAs[Long]("n_pairs") > 0)
   }
 
+  test("q114 transit windows are bounded and counts positive") {
+    val rows = Analytics.transitOverlap(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val days = (r.getDate(4).toLocalDate.toEpochDay
+        - r.getDate(3).toLocalDate.toEpochDay).toInt
+      assert(days >= 1 && days <= 14, s"window length $days out of range")
+      assert(r.getAs[Long]("n_in_window") >= 1)
+    }
+  }
+
+  test("q115 SCD2 intervals chain and exactly one current row per key") {
+    val rows = Analytics.scd2History(spark, sf001).collect()
+    assert(rows.length == graft.model.Tables.orders(spark, sf001).count())
+    rows.groupBy(_.getAs[Long]("o_custkey")).values.foreach { grp =>
+      assert(grp.count(_.getAs[Int]("is_current") == 1) == 1)
+      // collected rows keep (valid_from, orderkey) order: each row's
+      // valid_to is the next row's valid_from, last is open-ended
+      grp.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.sql.Date]("valid_to") ==
+            b.getAs[java.sql.Date]("valid_from"))
+        case _ =>
+      }
+      assert(grp.last.getAs[java.sql.Date]("valid_to") == null)
+    }
+  }
+
+  test("q116 propagation conserves mass up to floor losses") {
+    val rows = Analytics.copurchaseRank(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val units = rows.map(_.getAs[Long]("score_units"))
+    // every supplier injects 1e6 micro-units; two floor-division hops
+    // only ever LOSE mass, never create it
+    assert(units.sum <= rows.length * 1000000L)
+    assert(units.sum > rows.length * 1000000L / 2, "over half the mass vanished")
+    assert(units.zip(units.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q106 flags only rows beyond 3 robust sigmas") {
     val rows = Analytics.robustAnomalies(spark, sf001).collect()
     assert(rows.nonEmpty)
