@@ -41,11 +41,11 @@ object RangeJoin {
       s"non-key columns must be disjoint across sides; both have $overlap")
     def bucketOf(c: Column): Column =
       floor(datediff(c, lit(java.sql.Date.valueOf("1970-01-01"))) / bucketDays)
-    val pb = points.withColumn("__bkt", bucketOf(col(pointCol)))
-    val ib = intervals.withColumn("__bkt",
+    val pb = points.withColumn("__graft_bkt", bucketOf(col(pointCol)))
+    val ib = intervals.withColumn("__graft_bkt",
       explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
-    pb.join(ib, keys :+ "__bkt")
+    pb.join(ib, keys :+ "__graft_bkt")
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
-      .drop("__bkt")
+      .drop("__graft_bkt")
   }
 }

@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     })
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Point-in-interval joins written in natural syntax get the
+    // bucketized linear plan instead of a nested-loop fallback.
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
     ext.injectFunction((
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
