@@ -136,6 +136,9 @@ object SparkEntry {
     "q114_transit_overlap" -> ((s, d) => Analytics.transitOverlap(s, d)),
     "q115_scd2_history"    -> ((s, d) => Analytics.scd2History(s, d)),
     "q116_copurchase_rank" -> ((s, d) => Analytics.copurchaseRank(s, d)),
+    "q117_cms_heavy_hitters" -> ((s, d) => ExtQueries.cmsHeavyHitters(s, d)),
+    "q118_decayed_revenue" -> ((s, d) => Analytics.decayedRevenue(s, d)),
+    "q119_fuzzy_pairs"     -> ((s, d) => ExtQueries.fuzzyPairs(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -2009,5 +2012,74 @@ object SparkEntry {
         |       CAST(score_units AS DOUBLE)/1000000.0 AS score
         |FROM r2
         |ORDER BY score_units DESC, l_suppkey""".stripMargin,
+    // The sketch replayed relationally: same 31-Horner token hash, same
+    // LCG row constants, 4×512 integer bucket sums, estimate = MIN over
+    // the token's buckets. All integers — the oracle builds the
+    // IDENTICAL sketch.
+    "q117_cms_heavy_hitters" ->
+      s"""WITH $nCte,
+         |$tokCte,
+         |vocab AS (SELECT w, COUNT(*) AS n FROM tok WHERE w <> '' GROUP BY w),
+         |hv AS (SELECT w, n, ${fullHash("w")} AS h FROM vocab),
+         |bk AS (SELECT w, n, t.i,
+         |         ((CASE t.i WHEN 0 THEN 1103515245*h + 12345
+         |                    WHEN 1 THEN 69069*h + 362437
+         |                    WHEN 2 THEN 1664525*h + 1013904223
+         |                    ELSE 22695477*h + 1 END)
+         |          % ${graft.ext.TextOps.HashP}) % 512 AS bucket
+         |       FROM hv CROSS JOIN (VALUES (0),(1),(2),(3)) t(i)),
+         |cms AS (SELECT i, bucket, CAST(SUM(n) AS BIGINT) AS bsum
+         |        FROM bk GROUP BY 1, 2),
+         |top AS (SELECT w, n,
+         |          CAST(row_number() OVER (ORDER BY n DESC, w) AS INT) AS rank
+         |        FROM vocab ORDER BY n DESC, w LIMIT 10)
+         |SELECT t.rank, t.w, t.n, MIN(c.bsum) AS est,
+         |       MIN(c.bsum) - t.n AS over
+         |FROM top t
+         |JOIN bk ON bk.w = t.w
+         |JOIN cms c ON c.i = bk.i AND c.bucket = bk.bucket
+         |GROUP BY t.rank, t.w, t.n
+         |ORDER BY t.rank""".stripMargin,
+    // Power-of-two decay by calendar-year age (capped at 9) — integer
+    // floor division on both engines; the anchor is the newest order.
+    "q118_decayed_revenue" ->
+      s"""WITH base AS (
+         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         |         ${cents("o_totalprice")} AS px
+         |  FROM orders),
+         |anch AS (SELECT MAX(d) AS dmax FROM base),
+         |aged AS (
+         |  SELECT o_custkey, d, px,
+         |         LEAST(year(dmax) - year(d), 9) AS age
+         |  FROM base CROSS JOIN anch)
+         |SELECT o_custkey, CAST(COUNT(*) AS INT) AS n_orders,
+         |       MAX(d) AS last_order,
+         |       CAST(CAST(SUM(px) AS BIGINT) AS DOUBLE)/100.0 AS lifetime_rev,
+         |       CAST(CAST(SUM(px // ([1,2,4,8,16,32,64,128,256,512][age + 1])) AS BIGINT)
+         |            AS DOUBLE)/100.0 AS decayed_rev
+         |FROM aged
+         |GROUP BY o_custkey
+         |ORDER BY decayed_rev DESC, o_custkey""".stripMargin,
+    // Candidates are q34's band collisions verbatim; edit distance runs
+    // on the printable-ASCII projection of the normalized text (DuckDB's
+    // levenshtein counts bytes, Spark counts chars — ASCII makes them
+    // agree); similarity is fixed-point floor division.
+    "q119_fuzzy_pairs" ->
+      s"""WITH $nCte,
+         |$minhashCtes,
+         |tt AS (SELECT doc_id, regexp_replace(t, '[^ -~]', '', 'g') AS ta FROM n),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         CAST(levenshtein(x.ta, y.ta) AS INT) AS dist,
+         |         GREATEST(length(x.ta), length(y.ta)) AS maxlen
+         |  FROM cand c
+         |  JOIN tt x ON x.doc_id = c.doc_a
+         |  JOIN tt y ON y.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, dist,
+         |       CASE WHEN maxlen = 0 THEN 1.0
+         |            ELSE CAST(((maxlen - dist) * 10000) // maxlen AS DOUBLE)/10000.0
+         |       END AS similarity
+         |FROM pairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

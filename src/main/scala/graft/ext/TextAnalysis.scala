@@ -107,6 +107,51 @@ object TextAnalysis {
         predictedLang.as("predicted_lang"))
   }
 
+  /** Count-min sketch parameters: 4 pairwise-independent rows of 512
+    * buckets over the 31-Horner token hash — multipliers/offsets are
+    * classic LCG constants, products stay under 2⁶² (hash < 2³¹). */
+  val CmsA = Seq(1103515245L, 69069L, 1664525L, 22695477L)
+  val CmsB = Seq(12345L, 362437L, 1013904223L, 1L)
+  val CmsW = 512L
+
+  /** Count-min sketch accuracy report (q117): the CMS built RELATIONALLY
+    * — bucket sums are a (row, bucket)-keyed aggregation, estimates are
+    * the MIN over each token's 4 buckets — next to the exact counts of
+    * the vocabulary head, so the sketch's overestimate is measured, not
+    * assumed. Everything is integer (hashes, bucket ids, sums), so the
+    * oracle replays the identical sketch; `over = est - n >= 0` is the
+    * CMS guarantee and a spec gate. Scale: ONE corpus pass builds the
+    * vocab relation (staged); the sketch aggregation and the top-k probe
+    * both read vocab-bounded rows — the sketch itself is 4·512 rows at
+    * any corpus size (the point of a sketch). */
+  def cmsHeavyHitters(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 10): DataFrame = {
+    val vocab = fanOut(docs)
+      .select(explode(tokens(normText(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .withColumn("h",
+        graft.functions.TextKernelOps.wordNgramHashFull(col("w"), 1).getItem(0))
+      .localCheckpoint() // feeds the sketch AND the exact top-k probe
+    val buckets = (0 until 4).map(i =>
+      ((lit(CmsA(i)) * col("h") + lit(CmsB(i))) % lit(TextOps.HashP)) % lit(CmsW))
+    val cms = vocab
+      .select(posexplode(array(buckets: _*)).as(Seq("i", "bucket")), col("n"))
+      .groupBy("i", "bucket").agg(sum("n").as("bsum"))
+    val top = vocab.orderBy(col("n").desc, col("w")).limit(k)
+      // single sorted post-limit partition -> consecutive ids stand in
+      // for row_number (see explodedTopK)
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
+    top
+      .select(col("rank"), col("w"), col("n"),
+        posexplode(array(buckets: _*)).as(Seq("i", "bucket")))
+      .join(cms, Seq("i", "bucket"))
+      .groupBy("rank", "w", "n")
+      .agg(min(col("bsum")).as("est"))
+      .withColumn("over", col("est") - col("n"))
+      .orderBy("rank")
+  }
+
   /** Tokenizer fertility by predicted language (q112): BPE-ish tokens
     * per whitespace token — the "how many pieces does the tokenizer cut
     * a word into" diagnostic every multilingual-corpus report carries

@@ -1187,6 +1187,33 @@ object Analytics {
       .orderBy(col("score_units").desc, col("l_suppkey"))
   }
 
+  /** Time-decayed revenue leaderboard (q118): customer value where each
+    * order's cents HALVE per calendar year of age relative to the
+    * dataset's newest order — the recency-weighted CRM score a plain
+    * lifetime sum overstates. Decay is integer floor division by a
+    * power-of-two looked up from a literal table (ages cap at 9 — a
+    * decade-old order contributes < 0.2%), so the score is exact and
+    * order-independent on both engines. One 1-row anchor broadcast, one
+    * customer-keyed aggregation. */
+  def decayedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir).select(col("o_custkey"),
+      col("o_orderdate").cast("date").as("d"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("px"))
+    val anchor = base.agg(max(col("d")).as("dmax"))
+    base.crossJoin(broadcast(anchor))
+      .withColumn("age", least(year(col("dmax")) - year(col("d")), lit(9)))
+      .withColumn("decayed",
+        expr("px div element_at(array(1L,2L,4L,8L,16L,32L,64L,128L,256L,512L), age + 1)"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), max(col("d")).as("last_order"),
+        sum(col("px")).as("rev_units"), sum(col("decayed")).as("score_units"))
+      .select(col("o_custkey"), col("n_orders").cast("int").as("n_orders"),
+        col("last_order"),
+        (col("rev_units").cast("double") / 100.0).as("lifetime_rev"),
+        (col("score_units").cast("double") / 100.0).as("decayed_rev"))
+      .orderBy(col("decayed_rev").desc, col("o_custkey"))
+  }
+
   /** Calendar-adjacent revenue autocorrelation (q113): Pearson corr of
     * daily market revenue against the NEXT calendar day's — the
     * persistence scalar a mean-reversion read starts from. The fact

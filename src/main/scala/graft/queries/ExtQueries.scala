@@ -351,6 +351,12 @@ object ExtQueries {
         stride = 5)
       .orderBy("doc_id", "frame_idx")
 
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cmsHeavyHitters(Tables.documents(spark, dir), "doc_id", "text")
+
+  def fuzzyPairs(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.fuzzyPairs(Tables.documents(spark, dir), "doc_id", "text")
+
   def shingleNovelty(spark: SparkSession, dir: String): DataFrame =
     TextDedup.shingleNovelty(Tables.documents(spark, dir), "doc_id", "text")
 

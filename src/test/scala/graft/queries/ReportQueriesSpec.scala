@@ -181,6 +181,44 @@ class ReportQueriesSpec extends SparkSpec {
     assert(units.zip(units.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q117 CMS never underestimates and ranks the exact head") {
+    val rows = ExtQueries.cmsHeavyHitters(spark, sf001).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 10))
+    rows.foreach { r =>
+      // the count-min guarantee: estimate >= exact count, always
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("n"))
+      assert(r.getAs[Long]("over") == r.getAs[Long]("est") - r.getAs[Long]("n"))
+    }
+    // exact counts are non-increasing down the rank order
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q118 decay never exceeds lifetime and newest orders keep full value") {
+    val rows = Analytics.decayedRevenue(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (life, dec) = (r.getAs[Double]("lifetime_rev"),
+        r.getAs[Double]("decayed_rev"))
+      assert(dec <= life + 1e-9)
+      assert(dec > 0.0) // cap at age 9 keeps >= 1/512 of every order
+    }
+    val scores = rows.map(_.getAs[Double]("decayed_rev"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q119 fuzzy pairs: similarity bounds and zero-distance identity") {
+    val rows = ExtQueries.fuzzyPairs(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d, s) = (r.getAs[Int]("dist"), r.getAs[Double]("similarity"))
+      assert(d >= 0 && s >= 0.0 && s <= 1.0)
+      if (d == 0) assert(s == 1.0)
+      if (s == 1.0) assert(d == 0)
+    }
+  }
+
   test("q106 flags only rows beyond 3 robust sigmas") {
     val rows = Analytics.robustAnomalies(spark, sf001).collect()
     assert(rows.nonEmpty)
