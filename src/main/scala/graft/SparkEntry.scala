@@ -139,6 +139,9 @@ object SparkEntry {
     "q117_cms_heavy_hitters" -> ((s, d) => ExtQueries.cmsHeavyHitters(s, d)),
     "q118_decayed_revenue" -> ((s, d) => Analytics.decayedRevenue(s, d)),
     "q119_fuzzy_pairs"     -> ((s, d) => ExtQueries.fuzzyPairs(s, d)),
+    "q120_session_paths"   -> ((s, d) => EventWindows.sessionPaths(s, d)),
+    "q121_local_supplier_volume" -> ((s, d) => Analytics.localSupplierVolume(s, d)),
+    "q122_sole_blame"      -> ((s, d) => Analytics.soleBlameSuppliers(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -2081,5 +2084,70 @@ object SparkEntry {
          |       END AS similarity
          |FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // q26's session assignment verbatim (strict > gap on micros), then
+    // per-session paths via ordered string_agg — the same (micros,
+    // event_id) order as Spark's struct sort.
+    "q120_session_paths" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         SUM(new_session) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |paths AS (
+        |  SELECT user_id, session_id,
+        |         string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id) AS path
+        |  FROM sess GROUP BY user_id, session_id),
+        |pc AS (SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path)
+        |SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS INT) AS rank,
+        |       path, n_sessions
+        |FROM pc
+        |ORDER BY n_sessions DESC, path
+        |LIMIT 10""".stripMargin,
+    // TPC-H Q5 shape: same-nation customer/supplier revenue by region ×
+    // nation; exact integer cents.
+    "q121_local_supplier_volume" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_items,
+         |       CAST(SUM(${cents("l_extendedprice")}) AS DOUBLE)/100.0 AS revenue
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+         |GROUP BY r_name, n_name
+         |ORDER BY r_name, revenue DESC, n_name""".stripMargin,
+    // TPC-H Q21 correlation shape over per-(order, supplier) lateness
+    // flags: late supplier, some co-supplier, no late co-supplier.
+    "q122_sole_blame" ->
+      """WITH pairs AS (
+        |  SELECT l_orderkey AS okey, l_suppkey AS skey,
+        |         MAX(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |                                 CAST(l_shipdate AS DATE)) > 60
+        |                  THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |blame AS (
+        |  SELECT l.okey, l.skey,
+        |         COUNT(*) AS n_others,
+        |         CAST(SUM(o.late) AS BIGINT) AS n_other_late
+        |  FROM pairs l
+        |  JOIN pairs o ON o.okey = l.okey AND o.skey <> l.skey
+        |  WHERE l.late = 1
+        |  GROUP BY l.okey, l.skey)
+        |SELECT skey AS l_suppkey, COUNT(*) AS n_sole_blame_orders
+        |FROM blame
+        |WHERE n_other_late = 0
+        |GROUP BY skey
+        |ORDER BY n_sole_blame_orders DESC, l_suppkey""".stripMargin,
   )
 }

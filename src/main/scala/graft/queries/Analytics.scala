@@ -1214,6 +1214,76 @@ object Analytics {
       .orderBy(col("decayed_rev").desc, col("o_custkey"))
   }
 
+  /** Local-supplier volume (q121, the TPC-H Q5 join shape): revenue by
+    * customer nation where the supplier sits in the SAME nation,
+    * region-filtered — the deepest join chain in the suite (lineitem ⋈
+    * orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region). Every dimension
+    * side broadcasts (region/nation are tiny, customer/supplier are
+    * key+nation projections); the only big exchange is lineitem ⋈
+    * orders on orderkey. Revenue is exact integer cents. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(col("cents")).cast("double") / 100.0).as("revenue"))
+      .orderBy(col("r_name"), col("revenue").desc, col("n_name"))
+  }
+
+  /** Sole-blame late suppliers (q122, the TPC-H Q21 correlation shape):
+    * for multi-supplier orders, the supplier who shipped LATE (> 60
+    * days after the order date) while every co-supplier shipped on
+    * time — one EXISTS (another supplier participated) and one
+    * NOT-EXISTS (another supplier was also late), both decorrelated to
+    * orderkey-keyed semi/anti joins over a reduced (orderkey, suppkey,
+    * any_late) relation. The fact reduces to per-(order, supplier)
+    * flags BEFORE any correlation, so the semi/anti tier joins
+    * order-supplier pairs, never raw lineitems. */
+  def soleBlameSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_suppkey").as("skey"),
+        col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("okey"), col("o_orderdate")), Seq("okey"))
+      .groupBy("okey", "skey")
+      .agg(max(when(datediff(col("l_shipdate").cast("date"),
+        col("o_orderdate").cast("date")) > 60, 1).otherwise(0)).as("late"))
+      .localCheckpoint() // three correlation branches read it
+    val late = pairs.filter(col("late") === 1)
+    val others = pairs.select(col("okey"), col("skey").as("other_skey"),
+      col("late").as("other_late"))
+    late
+      // EXISTS: some other supplier in the same order
+      .join(others.filter(col("other_skey").isNotNull), Seq("okey"))
+      .filter(col("other_skey") =!= col("skey"))
+      .groupBy("okey", "skey")
+      .agg(count(lit(1)).as("n_others"),
+        sum(col("other_late")).as("n_other_late"))
+      // NOT EXISTS: no other LATE supplier
+      .filter(col("n_other_late") === 0)
+      .groupBy("skey")
+      .agg(count(lit(1)).as("n_sole_blame_orders"))
+      .select(col("skey").as("l_suppkey"), col("n_sole_blame_orders"))
+      .orderBy(col("n_sole_blame_orders").desc, col("l_suppkey"))
+  }
+
   /** Calendar-adjacent revenue autocorrelation (q113): Pearson corr of
     * daily market revenue against the NEXT calendar day's — the
     * persistence scalar a mean-reversion read starts from. The fact

@@ -144,6 +144,39 @@ object EventWindows {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Session path mining (q120): the top-k full event-type sequences
+    * users walk within one session — the path report (view>click>
+    * purchase beats view>view>view) that sits one level above the q73
+    * funnel's fixed stages. Sessions are the q26 assignment (30-min
+    * gap); each session's path is built INSIDE the per-session
+    * aggregation (collect_list + array_sort over (micros, event_id)
+    * structs — bounded by session length, never a corpus-wide sort),
+    * and the path space aggregates path-keyed (tiny after partial agg).
+    * All counts exact. */
+  def sessionPaths(spark: SparkSession, dir: String,
+                   gapMinutes: Int = 30, k: Int = 10): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(
+          unix_micros(col("ts")).as("us"), col("event_id"),
+          col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(k)
+      // single sorted post-limit partition -> consecutive ids stand in
+      // for row_number without a global window
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
+      .select("rank", "path", "n_sessions")
+  }
+
   /** Event transition matrix (q102): for each ordered pair of
     * consecutive event types within a user's stream, the transition
     * count and probability — the first-order Markov model a

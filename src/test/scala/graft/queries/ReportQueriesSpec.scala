@@ -219,6 +219,37 @@ class ReportQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q120 session paths partition the session count") {
+    val rows = EventWindows.sessionPaths(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+    rows.foreach(r => assert(r.getAs[String]("path").nonEmpty))
+    // the top paths can never hold more sessions than exist
+    val totalSessions = EventWindows.sessionize(spark, sf001).count()
+    assert(rows.map(_.getAs[Long]("n_sessions")).sum <= totalSessions)
+    val ns = rows.map(_.getAs[Long]("n_sessions"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q121 same-nation revenue is a subset of total revenue") {
+    val rows = Analytics.localSupplierVolume(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_items") > 0)
+      assert(r.getAs[Double]("revenue") > 0.0)
+    }
+    val regions = rows.map(_.getAs[String]("r_name")).toSet
+    val allRegions = graft.model.Tables.region(spark, sf001)
+      .select("r_name").collect().map(_.getString(0)).toSet
+    assert(regions.subsetOf(allRegions))
+  }
+
+  test("q122 sole-blame counts stay within each supplier's late orders") {
+    val rows = Analytics.soleBlameSuppliers(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_sole_blame_orders") >= 1))
+  }
+
   test("q106 flags only rows beyond 3 robust sigmas") {
     val rows = Analytics.robustAnomalies(spark, sf001).collect()
     assert(rows.nonEmpty)
