@@ -18,12 +18,16 @@ import org.apache.spark.sql.functions._
   * descriptor and the frame count by WALKING the block structure
   * (extensions, image descriptors, length-prefixed data sub-blocks) to
   * the trailer — pure integer arithmetic, no codec library needed for
-  * any of them. Only pixel/sample CONTENT decoding (LZW expansion,
-  * resize, feature embedding) remains stubbed ([[resizeStub]],
-  * [[featureStub]]): those need codec/model libraries this container
-  * doesn't ship. The Spark-side contract (schema, binary transport,
-  * partition-batched execution, explode-style frame sampling) is real
-  * and tested for all modalities.
+  * any of them. Image RESIZE is also real ([[resizeBmp]]:
+  * nearest-neighbor pixel sampling over the uncompressed 24-bit pixel
+  * array), and [[byteHistogram]] is a real classical feature extractor
+  * (the normalized byte histogram file classifiers predate embeddings
+  * with). What remains stubbed is only what needs codec/model libraries
+  * this container doesn't ship: GIF LZW pixel expansion, audio/video
+  * content transforms, and learned embeddings ([[featureStub]] keeps
+  * that batch shape visible). The Spark-side contract (schema, binary
+  * transport, partition-batched execution, explode-style frame
+  * sampling) is real and tested for all modalities.
   *
   * Scale posture: payloads never hit the driver; decode is a narrow
   * per-partition map (no shuffle); frame sampling is a generator explode
@@ -360,6 +364,65 @@ object Multimodal {
     })
   }
 
+  /** REAL nearest-neighbor resize of a 24-bit uncompressed BMP — pure
+    * integer pixel arithmetic (source pixel (x·sw div tw, y·sh div th)
+    * per target pixel, rows re-padded to the 4-byte stride), no image
+    * library involved. Emits a complete well-formed BMP that
+    * [[decodeBmp]] reads back at the target dimensions. Returns None for
+    * payloads that aren't plausible 24-bit BMPs so [[resize]] can fall
+    * back to the documented stub. */
+  def resizeBmp(payload: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    val dims = decodeBmp(payload)
+    if (dims.isEmpty || tw <= 0 || th <= 0) return None
+    val (sw, sh) = dims.get
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val bpp = bb.getShort(28).toInt
+    val off = bb.getInt(10)
+    val srcStride = ((sw * 3 + 3) / 4) * 4
+    if (bpp != 24 || payload.length < off + srcStride * sh) return None
+    val dstStride = ((tw * 3 + 3) / 4) * 4
+    val out = java.nio.ByteBuffer.allocate(54 + dstStride * th)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte)
+    out.putInt(54 + dstStride * th).putInt(0).putInt(54)
+    out.putInt(40).putInt(tw).putInt(th)
+    out.putShort(1).putShort(24)
+    out.putInt(0).putInt(dstStride * th)
+    out.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * sh / th).toInt
+      var x = 0
+      while (x < tw) {
+        val sx = (x.toLong * sw / tw).toInt
+        val s = off + sy * srcStride + sx * 3
+        out.put(payload(s)).put(payload(s + 1)).put(payload(s + 2))
+        x += 1
+      }
+      var pad = dstStride - tw * 3
+      while (pad > 0) { out.put(0.toByte); pad -= 1 }
+      y += 1
+    }
+    Some(out.array())
+  }
+
+  /** Resize a partition of blobs: REAL nearest-neighbor pixel resize for
+    * 24-bit BMP payloads, the documented byte-cycling stub for
+    * everything else (audio/video content transforms need codecs). */
+  def resize(blobs: Dataset[MediaBlob], w: Int, h: Int): Dataset[MediaBlob] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map { b =>
+      resizeBmp(b.payload, w, h) match {
+        case Some(out) => MediaBlob(b.doc_id, b.media_type, out)
+        case None =>
+          val out = Array.tabulate(w * h)(i =>
+            if (b.payload.length > 0) b.payload(i % b.payload.length) else 0.toByte)
+          MediaBlob(b.doc_id, b.media_type, out)
+      }
+    })
+  }
+
   /** Feature-extract stub: fixed-width feature vector per blob derived
     * from payload bytes (STUB — stands in for an embedding model). Shows
     * the binary → Array[Float] batch shape. */
@@ -371,6 +434,29 @@ object Multimodal {
       val feats = Array.tabulate(dim)(i =>
         (if (len > 0) b.payload(i % len) & 0xff else 0).toFloat / 255f)
       (b.doc_id, feats)
+    }).toDF("doc_id", "features")
+  }
+
+  /** REAL classical feature extraction: the normalized byte histogram —
+    * the content-type/entropy signature file classifiers have used since
+    * long before learned embeddings (no model required, so unlike
+    * [[featureStub]] this is not a stand-in). `dim` buckets over the
+    * 0..255 byte range, L1-normalized; same binary → Array[Float] batch
+    * shape as the embedding path, so it feeds the ANN tier unchanged. */
+  def byteHistogram(blobs: Dataset[MediaBlob], dim: Int = 32): DataFrame = {
+    require(dim > 0 && 256 % dim == 0, s"dim must divide 256, got $dim")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val width = 256 / dim
+    blobs.mapPartitions(_.map { b =>
+      val counts = new Array[Int](dim)
+      var i = 0
+      while (i < b.payload.length) {
+        counts((b.payload(i) & 0xff) / width) += 1
+        i += 1
+      }
+      val n = math.max(b.payload.length, 1).toFloat
+      (b.doc_id, counts.map(_ / n))
     }).toDF("doc_id", "features")
   }
 }

@@ -64,11 +64,19 @@ object PrefixSum {
     // below the key, descending counts boundaries above it. Equal keys
     // always share a range, so `ties` ordering stays within one task.
     val k = col(keyCol).cast("double")
-    val rng =
+    val bucketed =
       if (bounds.isEmpty) lit(0)
       else aggregate(array(bounds.map(lit(_)): _*), lit(0),
         (acc, b) => acc + (if (descending) when(k < b, 1).otherwise(0)
                            else when(k > b, 1).otherwise(0)))
+    // NULL keys: every comparison is null -> bucket 0. Ascending order
+    // sorts nulls FIRST (range 0 is right); descending sorts them LAST,
+    // so they must land in the final range or the offsets shift every
+    // non-null row.
+    val rng =
+      if (descending) when(col(keyCol).isNull, lit(bounds.length))
+        .otherwise(bucketed)
+      else bucketed
     val based = input.withColumn("__rng", rng)
     // Pass 1: per-range totals → driver-side exclusive scan (≤ nRanges
     // rows cross the wire).

@@ -121,6 +121,54 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.forall(_.byte_len == 12L))
   }
 
+  test("resize really resamples BMP pixels, stubs the rest") {
+    // 2x1 source: left pixel (1,2,3), right pixel (200,201,202) — a 4x2
+    // nearest-neighbor upscale must repeat each source pixel twice per
+    // row, both rows identical.
+    val bb = java.nio.ByteBuffer.allocate(54 + 8) // 2x1, stride 8
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(62).putInt(0).putInt(54)
+    bb.putInt(40).putInt(2).putInt(1).putShort(1).putShort(24)
+    bb.putInt(0).putInt(8).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    bb.put(Array[Byte](1, 2, 3, 200.toByte, 201.toByte, 202.toByte, 0, 0))
+    val out = Multimodal.resizeBmp(bb.array(), 4, 2).get
+    assert(Multimodal.decodeBmp(out).contains((4, 2)))
+    val row0 = out.slice(54, 54 + 12)
+    val row1 = out.slice(66, 66 + 12)
+    assert(row0.toSeq == Seq[Byte](1, 2, 3, 1, 2, 3,
+      200.toByte, 201.toByte, 202.toByte, 200.toByte, 201.toByte, 202.toByte))
+    assert(row0.toSeq == row1.toSeq)
+    // through the Dataset stage: image rows re-decode at target dims,
+    // non-BMP payloads take the documented stub path
+    val resized = Multimodal.resize(
+      Multimodal.attachPayload(docs, "doc_id", "text"), w = 4, h = 3)
+    val meta = Multimodal.decodeMeta(resized).collect()
+    val img = meta.find(_.media_type == "image").get
+    assert(img.width == 4 && img.height == 3)
+    val vid = meta.find(_.media_type == "video").get
+    assert(vid.byte_len == 12L) // stub: cycled to w*h bytes
+  }
+
+  test("byteHistogram is a real L1-normalized byte distribution") {
+    import spark.implicits._
+    val blobs = Seq(
+      Multimodal.MediaBlob(1L, "video", Array[Byte](0, 0, 0, 127)),
+      Multimodal.MediaBlob(2L, "video", Array.empty[Byte])).toDS()
+    val feats = Multimodal.byteHistogram(blobs, dim = 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // 3 bytes in [0,128) bucket 0, 1 byte (127) also bucket 0 — all 4 low
+    assert(feats(1L) == Seq(1.0f, 0.0f))
+    assert(feats(2L) == Seq(0.0f, 0.0f))
+    val hi = Multimodal.byteHistogram(Seq(
+      Multimodal.MediaBlob(3L, "video", Array[Byte](-1, 0))).toDS(), dim = 2)
+      .collect().head.getSeq[Float](1)
+    assert(hi == Seq(0.5f, 0.5f)) // 0xff lands in the high bucket
+    // every histogram sums to ~1 for non-empty payloads
+    val real = Multimodal.byteHistogram(
+      Multimodal.attachPayload(docs, "doc_id", "text")).collect()
+    real.foreach(r => assert(math.abs(r.getSeq[Float](1).sum - 1.0f) < 1e-4))
+  }
+
   test("featureStub emits fixed-width float vectors in [0,1]") {
     val feats = Multimodal.featureStub(
         Multimodal.attachPayload(docs, "doc_id", "text"), dim = 8)

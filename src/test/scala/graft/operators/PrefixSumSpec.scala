@@ -55,6 +55,27 @@ class PrefixSumSpec extends SparkSpec {
       s"expected a range-id-keyed window exchange in:\n$plan")
   }
 
+  test("null keys take the window's null position in both directions") {
+    // Spark windows sort nulls FIRST ascending and LAST descending; the
+    // range bucketing must agree or every offset shifts.
+    val withNulls = (0L until 100L).map(i =>
+      (i, if (i % 10 == 0) null else java.lang.Long.valueOf(i % 5), 1L))
+      .toDF("id", "v", "amt")
+    for (desc <- Seq(false, true)) {
+      val ord = if (desc) Seq(col("v").desc, col("id"))
+        else Seq(col("v").asc, col("id"))
+      val w = Window.orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ref = withNulls
+        .withColumn("p", coalesce(sum(col("amt")).over(w), lit(0L)))
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val got = PrefixSum.exclusive(withNulls, "v", descending = desc,
+          ties = Seq(col("id")), valueCol = "amt", outCol = "p", ranges = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got == ref, s"desc=$desc diverged with null keys")
+    }
+  }
+
   test("non-numeric key is rejected") {
     val df = Seq(("a", 1L)).toDF("k", "amt")
     intercept[IllegalArgumentException] {
