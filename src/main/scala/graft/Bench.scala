@@ -118,11 +118,17 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
     val regressions = results.collect {
-      case (name, Some(t)) if prior.get(name).exists(p => t > 2 * p && t - p > 0.2) =>
+      case (name, Some(t))
+          if prior.get(name).exists(p => p > 0 && t > 2 * p && t - p > 0.2) =>
         name -> t / prior(name)
     }
+    // Locale.ROOT: a comma-decimal default locale would print "2,13"
+    // and corrupt both JSON lines.
     val regJson = regressions
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box(v))
+      }
       .mkString("{", ",", "}")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")

@@ -1753,7 +1753,8 @@ object SparkEntry {
          |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
          |  FROM rev)
          |SELECT l_suppkey, CAST(c AS DOUBLE)/100.0 AS revenue,
-         |       CAST((cum * 1000000) // total AS DOUBLE)/1000000.0 AS cum_share,
+         |       CAST(CAST((CAST(cum AS HUGEINT) * 1000000) // total AS BIGINT)
+         |            AS DOUBLE)/1000000.0 AS cum_share,
          |       CASE WHEN cum * 5 <= total * 4 THEN 'A'
          |            WHEN cum * 20 <= total * 19 THEN 'B'
          |            ELSE 'C' END AS abc_class

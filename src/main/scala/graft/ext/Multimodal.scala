@@ -373,15 +373,20 @@ object Multimodal {
     * back to the documented stub. */
   def resizeBmp(payload: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
     val dims = decodeBmp(payload)
-    if (dims.isEmpty || tw <= 0 || th <= 0) return None
+    if (dims.isEmpty || tw <= 0 || th <= 0 || payload.length < 54) return None
     val (sw, sh) = dims.get
     val bb = java.nio.ByteBuffer.wrap(payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val bpp = bb.getShort(28).toInt
     val off = bb.getInt(10)
     val srcStride = ((sw * 3 + 3) / 4) * 4
-    if (bpp != 24 || payload.length < off + srcStride * sh) return None
+    // size check in LONG arithmetic: a hostile header (w=h=60000, or a
+    // negative data offset) overflows the Int product and would slip
+    // past the bound into an out-of-range read
+    if (bpp != 24 || off < 54 ||
+        off.toLong + srcStride.toLong * sh > payload.length) return None
     val dstStride = ((tw * 3 + 3) / 4) * 4
+    if (54L + dstStride.toLong * th > Int.MaxValue) return None
     val out = java.nio.ByteBuffer.allocate(54 + dstStride * th)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     out.put('B'.toByte).put('M'.toByte)

@@ -39,6 +39,12 @@ object Packing {
   def packByBudget(docs: DataFrame, keyCol: String, textCol: String,
                    budget: Int, ranges: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    import org.apache.spark.sql.types.NumericType
+    // Non-numeric corpus keys (string/date orderings) can't be
+    // range-bucketed by quantile; they keep the pre-round-6 global
+    // window semantics rather than failing a previously-legal call.
+    if (!docs.schema(keyCol).dataType.isInstanceOf[NumericType])
+      return packByBudgetGlobalWindow(docs, keyCol, textCol, budget)
     val n = size(TextOps.tokens(TextOps.normText(col(textCol)))).cast("long")
     // Narrow projection first: only (key, n_tokens) ever reaches the
     // prefix machinery — the text never travels through an exchange.

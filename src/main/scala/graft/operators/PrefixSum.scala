@@ -72,9 +72,18 @@ object PrefixSum {
     // NULL keys: every comparison is null -> bucket 0. Ascending order
     // sorts nulls FIRST (range 0 is right); descending sorts them LAST,
     // so they must land in the final range or the offsets shift every
-    // non-null row.
+    // non-null row. NaN is the mirror image (it fails every comparison
+    // -> bucket 0, but Spark orders NaN GREATER than everything): last
+    // range ascending, first range descending (0 is already right).
+    val isFloating = df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => true
+      case _ => false
+    }
     val rng =
       if (descending) when(col(keyCol).isNull, lit(bounds.length))
+        .otherwise(bucketed)
+      else if (isFloating) when(isnan(col(keyCol)), lit(bounds.length))
         .otherwise(bucketed)
       else bucketed
     val based = input.withColumn("__rng", rng)

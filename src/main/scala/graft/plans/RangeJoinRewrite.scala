@@ -104,9 +104,17 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       val bktAlias = Alias(bucket(p), Marker)()
       val pointProj = Project(pointPlan.output :+ bktAlias, pointPlan)
       val genOut = AttributeReference(Marker, LongType)()
-      val seqExpr = new Sequence(bucket(s), bucket(e), Literal(1L))
-        .withTimeZone(conf.sessionLocalTimeZone)
-        .asInstanceOf[Expression]
+      // A reversed (e < s) or null-bounded interval must stay a
+      // NO-MATCH, not a runtime error: Sequence with step 1 THROWS on
+      // descending boundaries, so guard it behind an empty array (the
+      // null predicate also routes to the empty branch).
+      val seqExpr = If(
+        LessThanOrEqual(bucket(s), bucket(e)),
+        new Sequence(bucket(s), bucket(e), Literal(1L))
+          .withTimeZone(conf.sessionLocalTimeZone)
+          .asInstanceOf[Expression],
+        Literal.create(Array.empty[Long],
+          org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
       val ivGen = Generate(Explode(seqExpr),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
         generatorOutput = Seq(genOut), child = ivPlan)

@@ -976,9 +976,12 @@ object Analytics {
     * supplier-count rows (the fact reduces first), the same
     * bounded-window posture as q96. */
   def paretoAbc(spark: SparkSession, dir: String): DataFrame = {
+    // Staged once: the prefix sum's three passes AND the grand total
+    // read the supplier-reduced relation, not the lineitem aggregation.
     val rev = Tables.lineitem(spark, dir)
       .groupBy("l_suppkey")
       .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("c"))
+      .localCheckpoint()
     val tot = rev.agg(sum(col("c")).as("total"))
     // Inclusive running revenue via the distributed two-pass prefix sum
     // (PrefixSum.exclusive + the row's own cents) — no single task ever
@@ -988,9 +991,12 @@ object Analytics {
         ties = Seq(col("l_suppkey")), valueCol = "c", outCol = "cum_ex")
       .withColumn("cum", col("cum_ex") + col("c"))
       .crossJoin(broadcast(tot))
+      // cum·10⁶ overflows a long once total revenue passes ~9.2e12
+      // cents (~SF0.4); DECIMAL(38) mirrors the oracle's HUGEINT (the
+      // q98 idiom) so the fixed-point share survives any scale.
       .select(col("l_suppkey"),
         (col("c").cast("double") / 100.0).as("revenue"),
-        expr("CAST((cum * 1000000) div total AS DOUBLE) / 1000000.0")
+        expr("CAST((CAST(cum AS DECIMAL(38,0)) * 1000000) div total AS DOUBLE) / 1000000.0")
           .as("cum_share"),
         when(col("cum") * 5 <= col("total") * 4, "A")
           .when(col("cum") * 20 <= col("total") * 19, "B")
@@ -1271,7 +1277,7 @@ object Analytics {
       col("late").as("other_late"))
     late
       // EXISTS: some other supplier in the same order
-      .join(others.filter(col("other_skey").isNotNull), Seq("okey"))
+      .join(others, Seq("okey"))
       .filter(col("other_skey") =!= col("skey"))
       .groupBy("okey", "skey")
       .agg(count(lit(1)).as("n_others"),

@@ -149,6 +149,25 @@ class MultimodalSpec extends SparkSpec {
     assert(vid.byte_len == 12L) // stub: cycled to w*h bytes
   }
 
+  test("resizeBmp rejects hostile headers instead of reading out of range") {
+    // truncated: passes decodeBmp's 26-byte check but has no bpp field
+    val tiny = java.nio.ByteBuffer.allocate(26)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiny.put('B'.toByte).put('M'.toByte)
+    tiny.putInt(18, 2).putInt(22, 2)
+    assert(Multimodal.resizeBmp(tiny.array(), 2, 2).isEmpty)
+    // overflow bait: w=h=60000 makes the Int size product wrap negative
+    val evil = Multimodal.bmpPayload(0L, Array[Byte](1))
+    val eb = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    eb.putInt(18, 60000).putInt(22, 60000)
+    assert(Multimodal.resizeBmp(evil, 2, 2).isEmpty)
+    // negative pixel-data offset
+    val neg = Multimodal.bmpPayload(1L, Array[Byte](1))
+    java.nio.ByteBuffer.wrap(neg).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(10, -64)
+    assert(Multimodal.resizeBmp(neg, 2, 2).isEmpty)
+  }
+
   test("byteHistogram is a real L1-normalized byte distribution") {
     import spark.implicits._
     val blobs = Seq(

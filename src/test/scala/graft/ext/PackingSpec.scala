@@ -71,6 +71,18 @@ class PackingSpec extends SparkSpec {
       s"found a single-partition exchange in:\n$plan")
   }
 
+  test("non-numeric keys fall back to the global-window semantics") {
+    // string corpus keys were legal before the distributed form; they
+    // must keep working (via the reference path) rather than throw
+    val docs = Seq(("ka", "a b c"), ("kb", "d e"), ("kc", "f g h i"))
+      .toDF("doc_key", "text")
+    val got = Packing.packByBudget(docs, "doc_key", "text", budget = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val ref = Packing.packByBudgetGlobalWindow(docs, "doc_key", "text", 4)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == ref)
+  }
+
   test("budget must be positive") {
     intercept[IllegalArgumentException] {
       Packing.packByBudget(Seq((1L, "a")).toDF("doc_id", "text"), "doc_id", "text", 0)

@@ -76,6 +76,25 @@ class PrefixSumSpec extends SparkSpec {
     }
   }
 
+  test("NaN keys take the window's NaN position (greater than all)") {
+    val withNaN = (0L until 60L).map(i =>
+      (i, if (i % 12 == 0) Double.NaN else (i % 5).toDouble, 1L))
+      .toDF("id", "v", "amt")
+    for (desc <- Seq(false, true)) {
+      val ord = if (desc) Seq(col("v").desc, col("id"))
+        else Seq(col("v").asc, col("id"))
+      val w = Window.orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ref = withNaN
+        .withColumn("p", coalesce(sum(col("amt")).over(w), lit(0L)))
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val got = PrefixSum.exclusive(withNaN, "v", descending = desc,
+          ties = Seq(col("id")), valueCol = "amt", outCol = "p", ranges = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got == ref, s"desc=$desc diverged with NaN keys")
+    }
+  }
+
   test("non-numeric key is rejected") {
     val df = Seq(("a", 1L)).toDF("k", "amt")
     intercept[IllegalArgumentException] {

@@ -68,6 +68,25 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(got == expected.map(x => (x._2, x._3)))
   }
 
+  test("reversed intervals are a no-match, not a Sequence crash") {
+    // one dirty interval with e << s: the un-rewritten join returns zero
+    // rows for it; the rewrite must do the same instead of throwing
+    // 'Illegal sequence boundaries'
+    val dirty = Seq(
+      ("a", 100L, java.sql.Date.valueOf("2021-03-01"),
+        java.sql.Date.valueOf("2021-01-01")),
+      ("a", 101L, java.sql.Date.valueOf("2021-01-04"),
+        java.sql.Date.valueOf("2021-01-06"))).toDF("k", "iid", "s", "e")
+    val joined = points.join(dirty,
+      points("k") === dirty("k") && col("t") >= col("s") && col("t") <= col("e"))
+    assert(joined.queryExecution.executedPlan.toString.contains("__graft_bkt"))
+    val got = joined.select(col("iid"), col("t")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString))
+    assert(got.forall(_._1 == 101L))
+    assert(got.map(_._2).sorted.toSeq ==
+      Seq("2021-01-04", "2021-01-05", "2021-01-06"))
+  }
+
   test("one-sided inequality joins are left alone") {
     val l = Seq((1, 5), (2, 9)).toDF("id", "x")
     val r = Seq((10, 7), (20, 3)).toDF("rid", "y")
