@@ -124,4 +124,34 @@ class PlanSpec extends SparkSpec {
     assert(exch >= 0 && !p.substring(0, exch).contains("text#"),
       s"text column crossed the exchange unhashed:\n$p")
   }
+
+  test("transit overlap range-joins without a nested-loop fallback") {
+    val p = plan(Analytics.transitOverlap(spark, sf001))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"range join fell back to a quadratic strategy:\n$p")
+    assert(p.contains("__graft_bkt"), s"bucketized join key missing:\n$p")
+  }
+
+  test("local-supplier volume broadcasts every dimension") {
+    val p = plan(Analytics.localSupplierVolume(spark, sf001))
+    assert(!p.contains("SortMergeJoin"),
+      s"a dim join degraded to sort-merge:\n$p")
+    // 5 joins in the chain; at least the four pure-dimension ones must
+    // be broadcast (orders may or may not broadcast depending on stats)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"dimension chain not broadcast:\n$p")
+  }
+
+  test("prefix-sum queries run no unpartitioned window") {
+    Seq(Analytics.paretoAbc(spark, sf001),
+        graft.queries.ExtQueries.sequencePacking(spark, sf001)).foreach { df =>
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.nonEmpty, "expected the range-keyed prefix window")
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned window survived: $w"))
+    }
+  }
 }
