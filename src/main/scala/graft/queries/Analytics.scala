@@ -1241,9 +1241,13 @@ object Analytics {
       .select(col("s_suppkey"), col("s_nationkey"))
     val nat = Tables.nation(spark, dir)
     val reg = Tables.region(spark, dir)
+    // nation/region are unconditionally tiny -> forced broadcast;
+    // customer/supplier are key+nation PROJECTIONS that AQE broadcasts
+    // at bench scale but must be free to shuffle-join at 10^9 keys — a
+    // forced broadcast() there is an executor OOM at real scale.
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
         col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
