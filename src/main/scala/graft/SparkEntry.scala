@@ -142,6 +142,7 @@ object SparkEntry {
     "q120_session_paths"   -> ((s, d) => EventWindows.sessionPaths(s, d)),
     "q121_local_supplier_volume" -> ((s, d) => Analytics.localSupplierVolume(s, d)),
     "q122_sole_blame"      -> ((s, d) => Analytics.soleBlameSuppliers(s, d)),
+    "q123_grouping_sets"   -> ((s, d) => Analytics.segmentPrioritySets(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -2150,5 +2151,16 @@ object SparkEntry {
         |WHERE n_other_late = 0
         |GROUP BY skey
         |ORDER BY n_sole_blame_orders DESC, l_suppkey""".stripMargin,
+    // Explicit set list (both marginals + grand total, no 2-D cell);
+    // GROUPING_ID bit semantics match Spark's grouping_id().
+    "q123_grouping_sets" ->
+      s"""SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+         |       COALESCE(o_orderpriority, 'ALL') AS priority,
+         |       CAST(GROUPING_ID(c_mktsegment, o_orderpriority) AS INT) AS gid,
+         |       COUNT(*) AS n_orders,
+         |       ${moneySum("o_totalprice")} AS total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+         |ORDER BY gid, segment, priority""".stripMargin,
   )
 }

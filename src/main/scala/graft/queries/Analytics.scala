@@ -575,6 +575,29 @@ object Analytics {
         col("gid"), col("n_items"), col("sum_qty"), col("sum_price"))
       .orderBy("gid", "returnflag", "linestatus")
 
+  /** Explicit GROUPING SETS (q123): the arbitrary-set-list form that
+    * rollup (q70) and cube (q86) are special cases of — here the two
+    * one-dimension marginals plus the grand total, WITHOUT the
+    * two-dimension cell a cube would also pay for. Same single-Expand
+    * single-exchange plan as rollup: grouping sets never cost more than
+    * a plain group-by regardless of how many sets are declared. */
+  def segmentPrioritySets(spark: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+    joined
+      .groupingSets(
+        Seq(Seq(col("c_mktsegment")), Seq(col("o_orderpriority")), Seq.empty),
+        col("c_mktsegment"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total"))
+      .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n_orders"), col("total"))
+      .orderBy("gid", "segment", "priority")
+  }
+
   /** UNPIVOT (q87): the wide per-returnflag metric columns melted to
     * (metric, value) long form — the inverse of the q69 pivot, the shape
     * metric stores and chart layers ingest. The wide input is already

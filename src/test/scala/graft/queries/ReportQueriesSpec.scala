@@ -250,6 +250,20 @@ class ReportQueriesSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("n_sole_blame_orders") >= 1))
   }
 
+  test("q123 each grouping set re-aggregates to the grand total") {
+    val rows = Analytics.segmentPrioritySets(spark, sf001).collect()
+    val grand = rows.filter(_.getAs[Int]("gid") == 3)
+    assert(grand.length == 1)
+    val total = grand.head.getAs[Long]("n_orders")
+    // both one-dimension marginals partition the same order count; the
+    // 2-D cell a cube would add is deliberately absent
+    Seq(1, 2).foreach { gid =>
+      assert(rows.filter(_.getAs[Int]("gid") == gid)
+        .map(_.getAs[Long]("n_orders")).sum == total, s"gid=$gid")
+    }
+    assert(rows.map(_.getAs[Int]("gid")).toSet == Set(1, 2, 3))
+  }
+
   test("q106 flags only rows beyond 3 robust sigmas") {
     val rows = Analytics.robustAnomalies(spark, sf001).collect()
     assert(rows.nonEmpty)
