@@ -137,6 +137,65 @@ object EventStream {
       }
   }
 
+  case class PathEv(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                    event_type: String)
+  case class OpenPath(start: Long, last: Long, n: Int, path: List[String])
+  case class SessionPathOut(user_id: Long, session_start: java.sql.Timestamp,
+                            n_events: Int, path: String)
+
+  /** Streaming twin of the batch session-path miner (q120): the open
+    * session's state carries the ordered event-type PATH, emitted as one
+    * `a>b>c` string when the session closes (gap crossing or event-time
+    * timeout at the watermark). State per user stays bounded: one open
+    * session whose path is capped at `maxPathLen` types — the guard
+    * that keeps a pathological never-idle user from growing state
+    * without limit (the batch side has no such cap because its
+    * collect_list is bounded by the already-closed session). Gap
+    * semantics match the batch assignment exactly (close when the gap
+    * is STRICTLY exceeded). */
+  def statefulSessionPaths(events: Dataset[PathEv], gapMs: Long,
+                           watermarkDelay: String = "2 hours",
+                           maxPathLen: Int = 64): Dataset[SessionPathOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenPath, SessionPathOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[PathEv], state: GroupState[OpenPath]) =>
+          def toOut(s: OpenPath): SessionPathOut = SessionPathOut(
+            userId, new java.sql.Timestamp(s.start), s.n,
+            s.path.reverse.mkString(">"))
+          if (rows.isEmpty && state.hasTimedOut) {
+            val out = state.getOption.map(toOut).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionPathOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.last <= gapMs =>
+                  val p = if (s.path.length < maxPathLen) e.event_type :: s.path
+                    else s.path
+                  open = Some(OpenPath(s.start, math.max(s.last, t), s.n + 1, p))
+                case Some(s) =>
+                  closed += toOut(s)
+                  open = Some(OpenPath(t, t, 1, e.event_type :: Nil))
+                case None =>
+                  open = Some(OpenPath(t, t, 1, e.event_type :: Nil))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Append-mode parquet sink with checkpointing — the durable landing
     * pattern for a streaming ingest (exactly-once per file-sink contract). */
   def writeParquet(df: DataFrame, path: String, checkpoint: String): StreamingQuery =

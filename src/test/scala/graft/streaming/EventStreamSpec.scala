@@ -27,6 +27,47 @@ class EventStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("statefulSessionPaths emits the batch path string on session close") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[EventStream.PathEv]
+    val q = EventStream.statefulSessionPaths(in.toDS(), gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("spaths").outputMode("append").start()
+    def pev(id: Long, min: Long, user: Long, typ: String) =
+      EventStream.PathEv(user, at(min), id, typ)
+    // user 1: view>click>purchase, then a 100-min gap opens session 2;
+    // user 2: a lone view in its own session
+    in.addData(pev(1, 0, 1L, "view"), pev(2, 5, 1L, "click"),
+      pev(3, 10, 1L, "purchase"), pev(4, 2, 2L, "view"))
+    in.addData(pev(5, 110, 1L, "view"), pev(6, 115, 2L, "click"))
+    // push the watermark far enough to time out every open session
+    in.addData(pev(7, 400, 3L, "view"))
+    drain(q)
+    val rows = spark.table("spaths").collect()
+      .map(r => (r.getLong(0), mins(r.getTimestamp(1)), r.getInt(2),
+        r.getString(3))).toSet
+    assert(rows.contains((1L, 0L, 3, "view>click>purchase")))
+    assert(rows.contains((1L, 110L, 1, "view")))
+    // user 2's 113-min gap splits two singleton sessions
+    assert(rows.contains((2L, 2L, 1, "view")))
+    assert(rows.contains((2L, 115L, 1, "click")))
+  }
+
+  test("statefulSessionPaths caps per-session path state") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[EventStream.PathEv]
+    val q = EventStream.statefulSessionPaths(in.toDS(), gapMs = 30 * 60000L,
+        maxPathLen = 3)
+      .writeStream.format("memory").queryName("spcap").outputMode("append").start()
+    in.addData((0 until 6).map(i =>
+      EventStream.PathEv(1L, at(i), i.toLong, s"e$i")): _*)
+    in.addData(EventStream.PathEv(9L, at(500), 99L, "view")) // advance watermark
+    drain(q)
+    val sess = spark.table("spcap").collect()
+      .filter(_.getLong(0) == 1L).map(r => (r.getInt(2), r.getString(3)))
+    // 6 events counted, path truncated to the first 3 types
+    assert(sess.toSeq == Seq((6, "e0>e1>e2")))
+  }
+
   test("tumblingCounts aggregates per hour bucket and type") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[EvRow]
