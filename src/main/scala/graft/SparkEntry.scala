@@ -143,6 +143,8 @@ object SparkEntry {
     "q121_local_supplier_volume" -> ((s, d) => Analytics.localSupplierVolume(s, d)),
     "q122_sole_blame"      -> ((s, d) => Analytics.soleBlameSuppliers(s, d)),
     "q123_grouping_sets"   -> ((s, d) => Analytics.segmentPrioritySets(s, d)),
+    "q124_dedup_exact_incr"   -> ((s, d) => ExtQueries.dedupExactIncremental(s, d)),
+    "q125_dedup_minhash_incr" -> ((s, d) => ExtQueries.dedupMinhashIncremental(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -2162,5 +2164,38 @@ object SparkEntry {
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
          |ORDER BY gid, segment, priority""".stripMargin,
+    // Incremental exact dedup: the oracle recomputes the merged
+    // assignment from scratch (state = even ids, batch = odd), so the
+    // engine's differential state-probe path must equal a full re-run.
+    // Text equality stands in for the engine's xxhash64 group key (the
+    // q32 contract).
+    "q124_dedup_exact_incr" ->
+      s"""WITH $nCte,
+         |st AS (SELECT t, MIN(doc_id) AS rep_id FROM n
+         |       WHERE doc_id % 2 = 0 GROUP BY t),
+         |b AS (SELECT doc_id, t FROM n WHERE doc_id % 2 = 1),
+         |newg AS (SELECT t, MIN(doc_id) AS rep_id FROM b
+         |         WHERE NOT EXISTS (SELECT 1 FROM st WHERE st.t = b.t)
+         |         GROUP BY t)
+         |SELECT b.doc_id,
+         |       COALESCE(st.rep_id, ng.rep_id) AS rep_id,
+         |       CASE WHEN st.rep_id IS NULL AND b.doc_id = ng.rep_id
+         |            THEN 1 ELSE 0 END AS is_new_group
+         |FROM b LEFT JOIN st ON b.t = st.t
+         |       LEFT JOIN newg ng ON b.t = ng.t
+         |ORDER BY b.doc_id""".stripMargin,
+    // Incremental MinHash+LSH: the engine signs only the odd-id batch
+    // and probes the persisted even-id band/shingle state; the oracle is
+    // the FULL-corpus q34 pair run restricted to pairs touching the
+    // batch — differential semantics checked against a from-scratch run.
+    "q125_dedup_minhash_incr" ->
+      s"""WITH $nCte,
+         |$minhashCtes
+         |SELECT doc_a, doc_b,
+         |       ROUND(CAST(n_inter AS DOUBLE)/(za.n+zb.n-n_inter), 4) AS jaccard
+         |FROM iv JOIN sz za ON za.doc_id = iv.doc_a JOIN sz zb ON zb.doc_id = iv.doc_b
+         |WHERE CAST(n_inter AS DOUBLE)/(za.n+zb.n-n_inter) >= 0.8
+         |  AND (doc_a % 2 = 1 OR doc_b % 2 = 1)
+         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -39,21 +39,53 @@ object Packing {
   def packByBudget(docs: DataFrame, keyCol: String, textCol: String,
                    budget: Int, ranges: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    import org.apache.spark.sql.types.NumericType
-    // Non-numeric corpus keys (string/date orderings) can't be
-    // range-bucketed by quantile; they keep the pre-round-6 global
-    // window semantics rather than failing a previously-legal call.
-    if (!docs.schema(keyCol).dataType.isInstanceOf[NumericType])
-      return packByBudgetGlobalWindow(docs, keyCol, textCol, budget)
+    import org.apache.spark.sql.types.{NumericType, StringType, DateType,
+      TimestampType}
     val n = size(TextOps.tokens(TextOps.normText(col(textCol)))).cast("long")
+    val keyType = docs.schema(keyCol).dataType
+    // The prefix machinery range-buckets on a NUMERIC key. Non-numeric
+    // corpus orderings get an order-preserving numeric SURROGATE —
+    // never the single-task global window the two-pass scheme exists to
+    // eliminate (a silent fallback at 100 TB is a scale-killer with no
+    // signal). Strings: first 7 UTF-8 bytes read big-endian as an
+    // unsigned 56-bit int (Spark compares strings by unsigned UTF-8
+    // bytes, so the surrogate is monotone in the string order; ties —
+    // strings sharing a 7-byte prefix — share a bucket by construction
+    // and are ordered by the full key WITHIN it via the window's tie
+    // ordering, so boundaries still never affect values). Dates /
+    // timestamps: days / microseconds since epoch. Anything else fails
+    // fast instead of degrading.
+    val surrogate: Option[org.apache.spark.sql.Column] = keyType match {
+      case _: NumericType => None
+      case StringType => Some(
+        conv(rpad(hex(substring(encode(col(keyCol), "UTF-8"), 1, 7)),
+          14, "0"), 16, 10).cast("long"))
+      case DateType => Some(datediff(col(keyCol), to_date(lit("1970-01-01")))
+        .cast("long"))
+      case TimestampType => Some(unix_micros(col(keyCol)))
+      case other => throw new IllegalArgumentException(
+        s"packByBudget orders by a numeric/string/date/timestamp key; " +
+          s"got $other for $keyCol")
+    }
     // Narrow projection first: only (key, n_tokens) ever reaches the
     // prefix machinery — the text never travels through an exchange.
-    val base = docs.select(col(keyCol), n.as("n_tokens"))
-    graft.operators.PrefixSum.exclusive(base, keyCol, descending = false,
-        ties = Seq.empty, valueCol = "n_tokens", outCol = "prefix",
-        ranges = ranges)
-      .select(col(keyCol), col("n_tokens"),
-        floor(col("prefix") / budget).as("bin"))
+    surrogate match {
+      case None =>
+        val base = docs.select(col(keyCol), n.as("n_tokens"))
+        graft.operators.PrefixSum.exclusive(base, keyCol,
+            descending = false, ties = Seq.empty, valueCol = "n_tokens",
+            outCol = "prefix", ranges = ranges)
+          .select(col(keyCol), col("n_tokens"),
+            floor(col("prefix") / budget).as("bin"))
+      case Some(sk) =>
+        val base = docs.select(col(keyCol), sk.as("__pack_key"),
+          n.as("n_tokens"))
+        graft.operators.PrefixSum.exclusive(base, "__pack_key",
+            descending = false, ties = Seq(col(keyCol)),
+            valueCol = "n_tokens", outCol = "prefix", ranges = ranges)
+          .select(col(keyCol), col("n_tokens"),
+            floor(col("prefix") / budget).as("bin"))
+    }
   }
 
   /** The naive single-window form of [[packByBudget]]: exact and

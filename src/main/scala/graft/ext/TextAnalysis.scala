@@ -138,10 +138,9 @@ object TextAnalysis {
     val cms = vocab
       .select(posexplode(array(buckets: _*)).as(Seq("i", "bucket")), col("n"))
       .groupBy("i", "bucket").agg(sum("n").as("bsum"))
-    val top = vocab.orderBy(col("n").desc, col("w")).limit(k)
-      // single sorted post-limit partition -> consecutive ids stand in
-      // for row_number (see explodedTopK)
-      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
+    val top = graft.operators.SmallRank.afterLimit(
+      vocab.orderBy(col("n").desc, col("w")).limit(k),
+      col("n").desc, col("w"))
     top
       .select(col("rank"), col("w"), col("n"),
         posexplode(array(buckets: _*)).as(Seq("i", "bucket")))
@@ -294,13 +293,9 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct("doc_id").as("n_docs"))
       .orderBy(col("n_occurrences").desc, col(termCol)).limit(k)
-      // The global limit emits ONE partition in sort order, so ids are
-      // consecutive from 0 and rank needs no window at all — no re-sort
-      // of the k rows, no unpartitioned-window warning drowning real
-      // signals in the bench tail. (The nondeterministic id pins the
-      // projection above the limit; Catalyst won't reorder it.)
-      .withColumn("rank",
-        (monotonically_increasing_id() + 1).cast("int"))
+      // contractual 1..k rank over the limited head (see SmallRank)
+      .transform(graft.operators.SmallRank.afterLimit(_,
+        col("n_occurrences").desc, col(termCol)))
 
   /** Corpus TF-IDF head per source: the top-`k` terms of each source slice
     * weighted by corpus-wide inverse document frequency — the relevance
@@ -353,11 +348,10 @@ object TextAnalysis {
     val tok = graft.model.Tables.fanOut(docs)
       .select(col(idCol).as("doc_id"),
         explode(tokens(normText(col(textCol)))).as("w"))
-    val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w")).limit(vocabK)
-      // Single sorted partition after the global limit → consecutive
-      // ids stand in for row_number (see explodedTopK).
-      .withColumn("rank", monotonically_increasing_id() + 1)
+    val vocab = graft.operators.SmallRank.afterLimit(
+        tok.groupBy("w").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w")).limit(vocabK),
+        col("c").desc, col("w"))
       .select("w", "rank")
     tok.join(broadcast(vocab), Seq("w"), "left")
       .groupBy("doc_id")
@@ -423,12 +417,12 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("n"))
     val totals = freq.agg(sum(col("n")).as("total_tokens"),
       count(lit(1)).as("n_vocab"))
-    // Single sorted partition after the global limit → consecutive ids
-    // stand in for row_number (see explodedTopK), and the cumulative
-    // count becomes a plain SUM under the rank<=cutoff join — no
-    // running-total window over the head at all.
-    val top = freq.orderBy(col("n").desc, col("w")).limit(cutoffs.max)
-      .withColumn("rank", monotonically_increasing_id() + 1)
+    // Contractual rank over the limited head (see SmallRank); the
+    // cumulative count stays a plain SUM under the rank<=cutoff join —
+    // no running-total window over the head at all.
+    val top = graft.operators.SmallRank.afterLimit(
+      freq.orderBy(col("n").desc, col("w")).limit(cutoffs.max),
+      col("n").desc, col("w"))
     cutoffs.toDF("cutoff")
       .join(top, col("rank") <= col("cutoff"))
       .groupBy("cutoff")

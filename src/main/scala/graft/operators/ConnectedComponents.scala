@@ -39,16 +39,18 @@ object ConnectedComponents {
         .join(labels.select(col("node").as("dst"), col("label").as("dlabel")), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min("dlabel").as("nbr_label"))
+      // The changed-label count rides the SAME job that materializes the
+      // round (CollectMetrics inside the localCheckpoint action), so
+      // convergence is checked EVERY round at exactly one job per round —
+      // no separate count() pass, and no redundant extra propagation
+      // round the old every-other-round check paid for.
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$i")
       val updated = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"))
+        .observe(obs, count(when(col("new_label") < col("label"), 1)).as("changed"))
         .localCheckpoint()
-      // Convergence is checked every OTHER round: the count is a full
-      // extra job over the label set, and near-dup graphs are shallow, so
-      // paying at most one redundant propagation round halves the number
-      // of driver-blocking jobs versus checking per iteration.
-      if (i % 2 == 1 || i == maxIter - 1)
-        changed = updated.filter(col("new_label") < col("label")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = updated.select(col("node"), col("new_label").as("label"))
       i += 1
     }

@@ -30,7 +30,8 @@ import org.apache.spark.sql.types.NumericType
   */
 object PrefixSum {
 
-  /** Adds `outCol` = exclusive running sum of `valueCol` (a LONG column)
+  /** Adds `outCol` = exclusive running sum of `valueCol` (a LONG column;
+    * NULL values contribute 0 in both passes)
     * over the order (`keyCol` asc/desc, `ties`...). `keyCol` must be
     * numeric (it is range-bucketed); rows tied on `keyCol` fall in one
     * range and are ordered by `ties` within it, so the full sort key
@@ -88,8 +89,12 @@ object PrefixSum {
       else bucketed
     val based = input.withColumn("__rng", rng)
     // Pass 1: per-range totals → driver-side exclusive scan (≤ nRanges
-    // rows cross the wire).
-    val totals = based.groupBy("__rng").agg(sum(valueCol).as("tot"))
+    // rows cross the wire). NULL values contribute 0 — the same reading
+    // the pass-2 window sum gives them (sum skips nulls) — and the
+    // per-value coalesce also keeps an all-null range's total at 0L
+    // instead of a driver NPE on getLong.
+    val totals = based.groupBy("__rng")
+      .agg(sum(coalesce(col(valueCol), lit(0L))).as("tot"))
       .orderBy("__rng").collect()
       .map(r => (r.getInt(0), r.getLong(1)))
     val offsets = totals.map(_._1).zip(

@@ -16,9 +16,10 @@ import org.apache.spark.sql.types.{DateType, LongType}
   * [[graft.operators.RangeJoin]] at the LOGICAL level, so a user who
   * writes the NATURAL join syntax still gets the linear plan:
   *
-  *   - the point side gains `__graft_bkt = days(p) div 7`;
+  *   - the point side gains `__graft_bkt = days(p) div bucketDays`
+  *     (default 7; see the `spark.graft.rangeJoinRewrite.*` knobs);
   *   - the interval side explodes to every bucket in
-  *     `[days(s) div 7, days(e) div 7]`;
+  *     `[days(s) div bucketDays, days(e) div bucketDays]`;
   *   - the join gains the `__graft_bkt` equality (the original range
   *     conjuncts stay in place — they re-check the exact predicate on
   *     the bucket survivors);
@@ -35,8 +36,30 @@ import org.apache.spark.sql.types.{DateType, LongType}
   * naive result and the nested-loop-free plan.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
-  private val BucketDays = 7L
   private val Marker = "__graft_bkt"
+
+  /** Session-level tuning knobs (plain SQLConf strings, settable via
+    * `spark.conf.set`). The rule fires on ANY inner join carrying a
+    * point-in-interval date pair, so plans outside the curated queries
+    * need an off switch and a bucket-width dial: each interval row
+    * explodes into `span/bucketDays + 1` rows, so a corpus of month- or
+    * year-long intervals should widen the bucket (or disable the rule)
+    * rather than inflate its build side 5–50×. `skipEquiJoins` (opt-in)
+    * leaves joins that already carry an equi-key pair to the hash
+    * planner — the range conjunct then runs as a post-probe filter
+    * inside each key group, which is the better trade when keys are
+    * selective and the worse one when a key is hot; default keeps the
+    * round-6 behavior (rewrite, pinned by RangeJoinRewriteSpec). */
+  val EnabledKey = "spark.graft.rangeJoinRewrite.enabled"
+  val BucketDaysKey = "spark.graft.rangeJoinRewrite.bucketDays"
+  val SkipEquiKey = "spark.graft.rangeJoinRewrite.skipEquiJoins"
+
+  private def enabled: Boolean =
+    conf.getConfString(EnabledKey, "true").toBoolean
+  private def bucketDays: Long =
+    conf.getConfString(BucketDaysKey, "7").toLong.max(1L)
+  private def skipEquiJoins: Boolean =
+    conf.getConfString(SkipEquiKey, "false").toBoolean
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => conjuncts(a) ++ conjuncts(b)
@@ -47,11 +70,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     * session timezone: several datetime expressions are
     * TimeZoneAwareExpression and stay UNRESOLVED without one — the
     * optimizer's plan validator rejects the rewrite otherwise.) */
-  private def bucket(d: Expression): Expression =
+  private def bucket(d: Expression, bucketLen: Long): Expression =
     IntegralDivide(
       Cast(DateDiff(d, Literal(0, DateType)), LongType,
         Option(conf.sessionLocalTimeZone)),
-      Literal(BucketDays))
+      Literal(bucketLen))
 
   /** Normalize one inequality conjunct into "point ≥/> bound" and
     * "point ≤/< bound" readings: (point, bound, isLowerBound). */
@@ -64,13 +87,15 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       case _ => Seq.empty
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner, Some(cond), hint)
-        if !j.isStreaming &&
-          !left.output.exists(_.name == Marker) &&
-          !right.output.exists(_.name == Marker) =>
-      rewrite(left, right, cond, hint).getOrElse(j)
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if !j.isStreaming &&
+            !left.output.exists(_.name == Marker) &&
+            !right.output.exists(_.name == Marker) =>
+        rewrite(left, right, cond, hint).getOrElse(j)
+    }
 
   private def rewrite(left: LogicalPlan, right: LogicalPlan,
                       cond: Expression,
@@ -80,6 +105,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       e.references.nonEmpty && e.references.subsetOf(left.outputSet)
     def onRight(e: Expression) =
       e.references.nonEmpty && e.references.subsetOf(right.outputSet)
+    // Opt-in: a join that already gives the planner an equi pair to
+    // hash on is left alone (the range predicate becomes a post-probe
+    // filter inside each key group).
+    if (skipEquiJoins && all.exists {
+          case EqualTo(a, b) =>
+            (onLeft(a) && onRight(b)) || (onRight(a) && onLeft(b))
+          case _ => false
+        }) return None
     // A usable bound: point is a DateType expr wholly on one side, the
     // bound wholly on the other.
     def usable(p: Expression, b: Expression) =
@@ -99,9 +132,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       if (onLeft(s) && onLeft(e)) || (onRight(s) && onRight(e))
     } yield (p, s, e)).headOption
     pair.map { case (p, s, e) =>
+      val bkt = bucketDays
       val pointOnLeft = onLeft(p)
       val (pointPlan, ivPlan) = if (pointOnLeft) (left, right) else (right, left)
-      val bktAlias = Alias(bucket(p), Marker)()
+      val bktAlias = Alias(bucket(p, bkt), Marker)()
       val pointProj = Project(pointPlan.output :+ bktAlias, pointPlan)
       val genOut = AttributeReference(Marker, LongType)()
       // A reversed (e < s) or null-bounded interval must stay a
@@ -109,8 +143,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       // descending boundaries, so guard it behind an empty array (the
       // null predicate also routes to the empty branch).
       val seqExpr = If(
-        LessThanOrEqual(bucket(s), bucket(e)),
-        new Sequence(bucket(s), bucket(e), Literal(1L))
+        LessThanOrEqual(bucket(s, bkt), bucket(e, bkt)),
+        new Sequence(bucket(s, bkt), bucket(e, bkt), Literal(1L))
           .withTimeZone(conf.sessionLocalTimeZone)
           .asInstanceOf[Expression],
         Literal.create(Array.empty[Long],

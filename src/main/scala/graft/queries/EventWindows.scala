@@ -154,7 +154,23 @@ object EventWindows {
     * and the path space aggregates path-keyed (tiny after partial agg).
     * All counts exact. */
   def sessionPaths(spark: SparkSession, dir: String,
-                   gapMinutes: Int = 30, k: Int = 10): DataFrame = {
+                   gapMinutes: Int = 30, k: Int = 10): DataFrame =
+    sessionPathAssignments(spark, dir, gapMinutes)
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(k)
+      // contractual 1..k rank over the limited head (see SmallRank)
+      .transform(graft.operators.SmallRank.afterLimit(_,
+        col("n_sessions").desc, col("path")))
+      .select("rank", "path", "n_sessions")
+
+  /** Per-session path assignments feeding [[sessionPaths]]: one row per
+    * (user, session) with the session's start timestamp, event count,
+    * and ordered `a>b>c` event-type path. Exposed so the STREAMING twin
+    * ([[graft.streaming.EventStream.statefulSessionPaths]]) can be
+    * equivalence-checked against the batch assignment row-for-row
+    * (EventStreamParitySpec), not just at the top-k summary. */
+  def sessionPathAssignments(spark: SparkSession, dir: String,
+                             gapMinutes: Int = 30): DataFrame = {
     val gapUs = gapMinutes * 60L * 1000000L
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     Tables.events(spark, dir)
@@ -165,16 +181,13 @@ object EventWindows {
       .withColumn("session_id", sum("new_session").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_id")
-      .agg(array_join(transform(array_sort(collect_list(struct(
-          unix_micros(col("ts")).as("us"), col("event_id"),
-          col("event_type")))),
-        x => x.getField("event_type")), ">").as("path"))
-      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
-      .orderBy(col("n_sessions").desc, col("path")).limit(k)
-      // single sorted post-limit partition -> consecutive ids stand in
-      // for row_number without a global window
-      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
-      .select("rank", "path", "n_sessions")
+      .agg(min(ntz(col("ts"))).as("session_start"),
+        count(lit(1)).cast("int").as("n_events"),
+        array_join(transform(array_sort(collect_list(struct(
+            unix_micros(col("ts")).as("us"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .drop("session_id")
   }
 
   /** Event transition matrix (q102): for each ordered pair of

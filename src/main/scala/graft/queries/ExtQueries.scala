@@ -57,6 +57,38 @@ object ExtQueries {
         k = 8, threshold = 0.8)
       .orderBy("doc_a", "doc_b")
 
+  /** Incremental exact dedup (q124): persisted state built from the
+    * even-id half of the corpus, the odd half arriving as the daily
+    * batch — the state-probe shape a 100 TB ingest actually runs
+    * (sign/hash only the batch, probe the persisted group index, group
+    * the leftovers batch-internally). The oracle recomputes the merged
+    * assignment from scratch, so the differential path is value-checked
+    * against a full re-run, not just row-counted. */
+  def dedupExactIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val state = TextDedup.exactState(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    TextDedup.exactGroupsIncremental(state,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      ._1.orderBy("doc_id")
+  }
+
+  /** Incremental MinHash+LSH near-dup detection (q125): same
+    * even-state / odd-batch split as q124 over the persisted band +
+    * shingle state — only the batch is signed; candidates are band
+    * collisions touching the batch; verification reads candidate
+    * shingle sets only. Oracle = the full-corpus q34 pair run
+    * restricted to pairs touching the batch. */
+  def dedupMinhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val state = TextDedup.minhashState(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", k = 8)
+    TextDedup.minhashLshIncremental(state,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        k = 8, threshold = 0.8)
+      ._1.orderBy("doc_a", "doc_b")
+  }
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     TextDedup.dedupClusters(Tables.documents(spark, dir), "doc_id", "text",
         k = 8, threshold = 0.8)

@@ -141,7 +141,7 @@ object EventStream {
                     event_type: String)
   case class OpenPath(start: Long, last: Long, n: Int, path: List[String])
   case class SessionPathOut(user_id: Long, session_start: java.sql.Timestamp,
-                            n_events: Int, path: String)
+                            n_events: Int, path: String, truncated: Boolean)
 
   /** Streaming twin of the batch session-path miner (q120): the open
     * session's state carries the ordered event-type PATH, emitted as one
@@ -150,33 +150,50 @@ object EventStream {
     * session whose path is capped at `maxPathLen` types — the guard
     * that keeps a pathological never-idle user from growing state
     * without limit (the batch side has no such cap because its
-    * collect_list is bounded by the already-closed session). Gap
-    * semantics match the batch assignment exactly (close when the gap
-    * is STRICTLY exceeded). */
+    * collect_list is bounded by the already-closed session). A session
+    * that outgrew the cap is emitted with `truncated = true` — its
+    * `path` holds only the first `maxPathLen` event types while
+    * `n_events` keeps the true count, so the batch≡streaming
+    * equivalence (q120's twin) is explicit: exact for untruncated rows,
+    * flagged for the pathological tail. Gap semantics match the batch
+    * assignment exactly (close when the gap is STRICTLY exceeded),
+    * computed at MICROSECOND precision like the batch side's
+    * `unix_micros` arithmetic — millisecond truncation would silently
+    * diverge on sub-ms event data (EventStreamParitySpec pins
+    * row-for-row equality against
+    * [[graft.queries.EventWindows.sessionPathAssignments]]). */
   def statefulSessionPaths(events: Dataset[PathEv], gapMs: Long,
                            watermarkDelay: String = "2 hours",
                            maxPathLen: Int = 64): Dataset[SessionPathOut] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def tsOf(u: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(u, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(u, 1000000L) * 1000L).toInt)
+      t
+    }
     events.withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenPath, SessionPathOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[PathEv], state: GroupState[OpenPath]) =>
           def toOut(s: OpenPath): SessionPathOut = SessionPathOut(
-            userId, new java.sql.Timestamp(s.start), s.n,
-            s.path.reverse.mkString(">"))
+            userId, tsOf(s.start), s.n,
+            s.path.reverse.mkString(">"), truncated = s.n > s.path.length)
           if (rows.isEmpty && state.hasTimedOut) {
             val out = state.getOption.map(toOut).toSeq
             state.remove()
             out.iterator
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
             var open = state.getOption
             val closed = Seq.newBuilder[SessionPathOut]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = us(e.ts)
               open match {
-                case Some(s) if t - s.last <= gapMs =>
+                case Some(s) if t - s.last <= gapUs =>
                   val p = if (s.path.length < maxPathLen) e.event_type :: s.path
                     else s.path
                   open = Some(OpenPath(s.start, math.max(s.last, t), s.n + 1, p))
@@ -189,7 +206,10 @@ object EventStream {
             }
             open.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // state times are MICROS; the timeout API takes millis —
+              // round UP so the timeout never fires before the gap
+              state.setTimeoutTimestamp(
+                Math.floorDiv(s.last + gapUs + 999L, 1000L))
             }
             closed.result().iterator
           }

@@ -143,6 +143,50 @@ class PlanSpec extends SparkSpec {
       s"dimension chain not broadcast:\n$p")
   }
 
+  test("copurchase rank stages the edge list and plans nothing quadratic") {
+    val df = Analytics.copurchaseRank(spark, sf001)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join in the two-hop propagation:\n$p")
+    // the fact⋈orders edge build ran ONCE at staging time: the final
+    // plan reads the checkpointed (c, s) pairs, never the parquet facts
+    assert(p.contains("ExistingRDD"), s"edge staging missing:\n$p")
+    assert(!p.contains("lineitem") && !p.contains("orders"),
+      s"fact tables re-scanned past the edge staging:\n$p")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, "unexpected window in the hop pipeline")
+  }
+
+  test("decayed revenue shuffles the fact once and broadcasts the anchor") {
+    val p = plan(Analytics.decayedRevenue(spark, sf001))
+    // one customer-keyed aggregation exchange; the 1-row date anchor
+    // joins via broadcast, and the final ORDER BY is range, not hash
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected one fact shuffle, saw $exchanges:\n$p")
+    assert(p.contains("BroadcastExchange"), s"anchor not broadcast:\n$p")
+  }
+
+  test("session paths: every window is keyed or limit-bounded") {
+    val df = graft.queries.EventWindows.sessionPaths(spark, sf001)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the sessionization windows")
+    // the sessionization windows key on user_id; the SmallRank rank
+    // window is unpartitioned but sits above the k-row GlobalLimit, so
+    // its single task is bounded by construction, never by data volume
+    windows.foreach { w =>
+      val bounded = w.child.collectFirst {
+        case g: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => g
+      }.nonEmpty
+      assert(w.partitionSpec.nonEmpty || bounded,
+        s"unbounded unpartitioned window survived: $w")
+    }
+  }
+
   test("prefix-sum queries run no unpartitioned window") {
     Seq(Analytics.paretoAbc(spark, sf001),
         graft.queries.ExtQueries.sequencePacking(spark, sf001)).foreach { df =>

@@ -71,16 +71,37 @@ class PackingSpec extends SparkSpec {
       s"found a single-partition exchange in:\n$plan")
   }
 
-  test("non-numeric keys fall back to the global-window semantics") {
-    // string corpus keys were legal before the distributed form; they
-    // must keep working (via the reference path) rather than throw
-    val docs = Seq(("ka", "a b c"), ("kb", "d e"), ("kc", "f g h i"))
+  test("string keys pack through the two-pass path, matching the reference") {
+    // Adversarial for the 7-byte surrogate: many keys share a long
+    // common prefix (surrogate TIES — full-key tie ordering must kick
+    // in), lengths straddle the 7-byte cut, and keys arrive shuffled.
+    val keys = scala.util.Random.shuffle(
+      (0 until 500).map(i => f"prefix_shared_$i%03d") ++   // ties at 7 bytes
+        Seq("a", "ab", "abcdefg", "abcdefgh", "abcdefgz", "zz"))
+    val docs = keys.zipWithIndex
+      .map { case (k, i) => (k, (0 to i % 11).map(_ => "w").mkString(" ")) }
       .toDF("doc_key", "text")
-    val got = Packing.packByBudget(docs, "doc_key", "text", budget = 4)
+    val ref = Packing.packByBudgetGlobalWindow(docs, "doc_key", "text", 97)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
-    val ref = Packing.packByBudgetGlobalWindow(docs, "doc_key", "text", 4)
-      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
-    assert(got == ref)
+    for (nRanges <- Seq(1, 3, 16)) {
+      val got = Packing.packByBudget(docs, "doc_key", "text", 97, ranges = nRanges)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(got == ref, s"ranges=$nRanges diverged from the global window")
+    }
+    // and the plan is the keyed two-pass one, not the single-task window
+    val plan = Packing.packByBudget(docs, "doc_key", "text", 97)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__rng"),
+      s"string keys routed off the two-pass path:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"found a single-partition exchange in:\n$plan")
+  }
+
+  test("unsupported key types fail fast instead of degrading") {
+    val docs = Seq((Array[Byte](1), "a b")).toDF("doc_key", "text")
+    intercept[IllegalArgumentException] {
+      Packing.packByBudget(docs, "doc_key", "text", budget = 4)
+    }
   }
 
   test("budget must be positive") {

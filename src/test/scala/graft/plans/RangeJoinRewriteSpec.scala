@@ -96,6 +96,49 @@ class RangeJoinRewriteSpec extends SparkSpec {
       Set((1, 10)))
   }
 
+  test("the enabled flag turns the rewrite off session-wide") {
+    spark.conf.set(RangeJoinRewrite.EnabledKey, "false")
+    try {
+      val joined = points.join(intervals,
+        points("k") === intervals("k") && col("t") >= col("s") && col("t") <= col("e"))
+      assert(!joined.queryExecution.executedPlan.toString.contains("__graft_bkt"),
+        "rule fired while disabled")
+      // correctness is planner-independent: same rows either way
+      val got = joined.select(points("k"), col("iid"), col("t")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDate(2).toString)).toSet
+      assert(got == expected)
+    } finally spark.conf.unset(RangeJoinRewrite.EnabledKey)
+  }
+
+  test("skipEquiJoins leaves equi-keyed joins to the hash planner, keyless still rewrites") {
+    spark.conf.set(RangeJoinRewrite.SkipEquiKey, "true")
+    try {
+      val keyed = points.join(intervals,
+        points("k") === intervals("k") && col("t") >= col("s") && col("t") <= col("e"))
+      assert(!keyed.queryExecution.executedPlan.toString.contains("__graft_bkt"),
+        "equi-keyed join was rewritten despite skipEquiJoins")
+      val got = keyed.select(points("k"), col("iid"), col("t")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDate(2).toString)).toSet
+      assert(got == expected)
+      val keyless = points.filter(col("k") === "a").drop("k")
+        .join(intervals.drop("k"), col("t") >= col("s") && col("t") <= col("e"))
+      assert(keyless.queryExecution.executedPlan.toString.contains("__graft_bkt"),
+        "keyless range join lost the rewrite under skipEquiJoins")
+    } finally spark.conf.unset(RangeJoinRewrite.SkipEquiKey)
+  }
+
+  test("bucketDays is tunable: wider buckets still match ground truth") {
+    spark.conf.set(RangeJoinRewrite.BucketDaysKey, "30")
+    try {
+      val joined = points.join(intervals,
+        points("k") === intervals("k") && col("t") >= col("s") && col("t") <= col("e"))
+      assert(joined.queryExecution.executedPlan.toString.contains("__graft_bkt"))
+      val got = joined.select(points("k"), col("iid"), col("t")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDate(2).toString)).toSet
+      assert(got == expected)
+    } finally spark.conf.unset(RangeJoinRewrite.BucketDaysKey)
+  }
+
   test("explicit RangeJoin operator output passes through the rule untouched") {
     // the operator already buckets; the rule's marker guard must not
     // re-bucket it (exactly one __graft_bkt layer in the plan)

@@ -45,6 +45,8 @@ class EventStreamSpec extends SparkSpec {
     val rows = spark.table("spaths").collect()
       .map(r => (r.getLong(0), mins(r.getTimestamp(1)), r.getInt(2),
         r.getString(3))).toSet
+    // nothing here exceeds the path cap → no row may claim truncation
+    assert(spark.table("spaths").collect().forall(!_.getBoolean(4)))
     assert(rows.contains((1L, 0L, 3, "view>click>purchase")))
     assert(rows.contains((1L, 110L, 1, "view")))
     // user 2's 113-min gap splits two singleton sessions
@@ -63,9 +65,11 @@ class EventStreamSpec extends SparkSpec {
     in.addData(EventStream.PathEv(9L, at(500), 99L, "view")) // advance watermark
     drain(q)
     val sess = spark.table("spcap").collect()
-      .filter(_.getLong(0) == 1L).map(r => (r.getInt(2), r.getString(3)))
-    // 6 events counted, path truncated to the first 3 types
-    assert(sess.toSeq == Seq((6, "e0>e1>e2")))
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getInt(2), r.getString(3), r.getBoolean(4)))
+    // 6 events counted, path truncated to the first 3 types — and the
+    // divergence from the uncapped batch twin is FLAGGED, not silent
+    assert(sess.toSeq == Seq((6, "e0>e1>e2", true)))
   }
 
   test("tumblingCounts aggregates per hour bucket and type") {
