@@ -19,12 +19,21 @@ import org.apache.spark.sql.SparkSession
   * throws is reported in an `errors` map (name -> message) instead of
   * being silently timed.
   *
-  * Regression gate: before overwriting `bench_out.json`, the previous
-  * run's per-query minima are loaded and any query now slower than 2×
-  * its prior min (and by more than 0.2s absolute, so sub-second noise
-  * can't trip it) is reported in a `regressions` map (name → ratio) on
-  * BOTH json lines — a silent 2× like round 5's q63 becomes a visible
-  * field instead of a diff only the judge notices.
+  * Regression gate — CROSS-ROUND: every run appends its per-query
+  * minima (plus sf, cpu count, timestamp) as one line to
+  * `bench_history.jsonl`, and the gate compares the current run against
+  * the BEST prior minimum per query across ALL history lines with the
+  * same sf — not just the immediately preceding run, which the round-6
+  * gate did and so was blind to multi-round drift (q07 doubled between
+  * rounds 5 and 6 with an empty `regressions` map). Any query slower
+  * than 2× its best prior min (and by more than 0.2s absolute, so
+  * sub-second noise can't trip it) lands in the `regressions` map
+  * (name → ratio vs best prior) on BOTH json lines. The history file is
+  * seeded with the round-6 driver run, so the baseline reaches back
+  * even before the first round-7 run; local idle runs tighten the best
+  * mins and make the gate STRICTER, which is the right direction — a
+  * loaded driver machine can inflate a run, but can never relax the
+  * baseline it is judged against.
   */
 object Bench {
   private def jsonEscape(s: String): String =
@@ -100,23 +109,31 @@ object Bench {
     // timing means the query ran; a transient single-pass failure must
     // not make a fully-timed run read as failed.
     results.foreach { case (name, t) => if (t.isDefined) errors.remove(name) }
-    // Prior-run minima for the regression gate (absent/corrupt file or
-    // a different SF dir -> no baseline, no flags).
-    val prior: Map[String, Double] = try {
+    // Best prior minima across ALL history runs at this sf (absent /
+    // corrupt file or lines -> no baseline, no flags; a corrupt line
+    // never poisons the rest).
+    val historyFile = "bench_history.jsonl"
+    val prior: Map[String, Double] = {
       import org.json4s._
-      val src = scala.io.Source.fromFile("bench_out.json")
-      val j = try org.json4s.jackson.JsonMethods.parse(src.mkString)
-        finally src.close()
-      (j \ "sf") match {
-        case JString(s) if s == sfDir =>
-          (j \ "queries") match {
-            case JObject(fields) =>
-              fields.collect { case (k, JDouble(v)) => k -> v }.toMap
-            case _ => Map.empty[String, Double]
+      val lines = try {
+        val src = scala.io.Source.fromFile(historyFile)
+        try src.getLines().toList finally src.close()
+      } catch { case _: Throwable => Nil }
+      lines.flatMap { line =>
+        try {
+          val j = org.json4s.jackson.JsonMethods.parse(line)
+          (j \ "sf") match {
+            case JString(s) if s == sfDir =>
+              (j \ "queries") match {
+                case JObject(fields) =>
+                  fields.collect { case (k, JDouble(v)) => k -> v }
+                case _ => Nil
+              }
+            case _ => Nil
           }
-        case _ => Map.empty[String, Double]
-      }
-    } catch { case _: Throwable => Map.empty }
+        } catch { case _: Throwable => Nil }
+      }.groupMapReduce(_._1)(_._2)(math.min)
+    }
     val regressions = results.collect {
       case (name, Some(t))
           if prior.get(name).exists(p => p > 0 && t > 2 * p && t - p > 0.2) =>
@@ -147,6 +164,16 @@ object Bench {
     try {
       val w = new java.io.PrintWriter("bench_out.json")
       try w.println(fullLine) finally w.close()
+    } catch { case _: Throwable => () }
+    // Append this run's minima to the cross-round history (queries with
+    // both passes failed are omitted — a null can't become a baseline).
+    try {
+      val histLine =
+        s"""{"ts":${System.currentTimeMillis()},"cpus":"${jsonEscape(cpus)}","sf":"${jsonEscape(sfDir)}","queries":${
+          results.collect { case (k, Some(v)) => "\"" + k + "\":" + v }
+            .mkString("{", ",", "}")}}"""
+      val w = new java.io.FileWriter(historyFile, true)
+      try w.write(histLine + "\n") finally w.close()
     } catch { case _: Throwable => () }
     spark.stop()
     println(compactLine)
