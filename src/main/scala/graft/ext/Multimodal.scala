@@ -18,15 +18,21 @@ import org.apache.spark.sql.functions._
   * descriptor and the frame count by WALKING the block structure
   * (extensions, image descriptors, length-prefixed data sub-blocks) to
   * the trailer — pure integer arithmetic, no codec library needed for
-  * any of them. Image RESIZE is also real ([[resizeBmp]]:
-  * nearest-neighbor pixel sampling over the uncompressed 24-bit pixel
-  * array), and [[byteHistogram]] is a real classical feature extractor
-  * (the normalized byte histogram file classifiers predate embeddings
-  * with). What remains stubbed is only what needs codec/model libraries
-  * this container doesn't ship: GIF LZW pixel expansion, audio/video
-  * content transforms, and learned embeddings ([[featureStub]] keeps
-  * that batch shape visible). The Spark-side contract (schema, binary
-  * transport, partition-batched execution, explode-style frame
+  * any of them. Image RESIZE is real ([[resizeBmp]]: nearest-neighbor
+  * pixel sampling over the uncompressed 24-bit pixel array), GIF pixel
+  * CONTENT is real ([[decodeGifPixels]]: a complete GIF-flavor LZW
+  * decoder — variable code width, clear codes, KwKwK, interlace —
+  * cross-validated against the JDK's own ImageIO GIF encoder, feeding
+  * [[gifPixelStats]] and [[gifPixelHistogram]]), and [[byteHistogram]]
+  * is a real classical feature extractor (the normalized byte histogram
+  * file classifiers predate embeddings with), and audio CONTENT is real
+  * too ([[wavSampleStats]] / [[wavAutocorr]]: deinterleaved 8-bit PCM
+  * amplitude statistics and lag autocorrelation over
+  * [[decodeWavSamples]] — uncompressed PCM needs no codec). What
+  * remains stubbed is only what needs a model library this container
+  * doesn't ship: learned embeddings ([[featureStub]] keeps that batch
+  * shape visible). The Spark-side contract (schema,
+  * binary transport, partition-batched execution, explode-style frame
   * sampling) is real and tested for all modalities.
   *
   * Scale posture: payloads never hit the driver; decode is a narrow
@@ -141,29 +147,41 @@ object Multimodal {
   }
 
   /** Build a complete animated GIF89a (header + logical screen descriptor
-    * + 2-entry global color table + per-frame graphic-control extension,
-    * image descriptor, and length-prefixed data sub-blocks + trailer)
-    * with geometry derived from the doc id: `width = 1 + id % 32`,
-    * `height = 1 + (id·3) % 32`, `n_frames = 1 + id % 10`. Each frame
-    * carries `d = width·height` content bytes cycled from `fill`, split
-    * into ≤255-byte sub-blocks, so
-    * `byte_len = 20 + n_frames·(20 + d + ceil(d/255))` — all integer
-    * arithmetic the oracle mirrors. (The sub-block BYTES are fill
-    * content, not valid LZW codes — the container structure is what the
-    * block-walking decoder reads; pixel expansion would need a codec.) */
+    * + 128-entry grayscale global color table + per-frame graphic-control
+    * extension, image descriptor, and LZW-compressed length-prefixed data
+    * sub-blocks + trailer) with geometry derived from the doc id:
+    * `width = 1 + id % 32`, `height = 1 + (id·3) % 32`,
+    * `n_frames = 1 + id % 10`. Each frame's `d = width·height` PIXELS are
+    * 7-bit palette indices cycled from `fill` (`fill(k) & 0x7f`, k global
+    * across frames), encoded as a REAL LZW code stream: minimum code size
+    * 7, a clear code before every 125 literals so the dictionary never
+    * reaches 256 entries and every code stays exactly 8 bits — the
+    * classic "uncompressed GIF" encoding, decodable by any conforming
+    * LZW decoder (and by [[decodeGifPixels]], which implements the full
+    * variable-width algorithm, not just this subset). Byte arithmetic
+    * the oracle mirrors: `L = d + ceil(d/125) + 1` LZW bytes per frame,
+    * `byte_len = 398 + n_frames·(20 + L + ceil(L/255))` (13 header
+    * + 384 color table + 1 trailer + per-frame 8 GCE + 10 descriptor +
+    * 1 min-code-size + data sub-blocks + 1 terminator). */
   def gifPayload(docId: Long, fill: Array[Byte]): Array[Byte] = {
     val w = (1 + docId % 32).toInt
     val h = (1 + (docId * 3) % 32).toInt
     val nFrames = (1 + docId % 10).toInt
     val d = w * h
-    val nSub = (d + 254) / 255
-    val buf = java.nio.ByteBuffer.allocate(20 + nFrames * (20 + d + nSub))
+    val lzwLen = d + (d + 124) / 125 + 1
+    val nSub = (lzwLen + 254) / 255
+    val buf = java.nio.ByteBuffer.allocate(398 + nFrames * (20 + lzwLen + nSub))
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     buf.put("GIF89a".getBytes("US-ASCII"))
     buf.putShort(w.toShort).putShort(h.toShort) // logical screen
-    buf.put(0x80.toByte)                        // GCT present, 2 entries
+    buf.put(0x86.toByte)                        // GCT present, 2^7 entries
     buf.put(0.toByte).put(0.toByte)             // bg color, aspect
-    buf.put(Array[Byte](0, 0, 0, -1, -1, -1))   // GCT: black, white
+    var c = 0
+    while (c < 128) {                           // grayscale palette
+      val v = (c * 2).toByte
+      buf.put(v).put(v).put(v)
+      c += 1
+    }
     var f = 0
     var k = 0
     while (f < nFrames) {
@@ -176,16 +194,25 @@ object Multimodal {
       buf.putShort(w.toShort).putShort(h.toShort)
       buf.put(0.toByte)                         // no local color table
       buf.put(7.toByte)                         // LZW min code size
-      var rem = d
+      // LZW stream: CLEAR(128) every 125 literals, literal pixel codes,
+      // EOI(129) — dictionary stays < 256, so codes are exactly one byte
+      val codes = new Array[Byte](lzwLen)
+      var ci = 0
+      var i = 0
+      while (i < d) {
+        if (i % 125 == 0) { codes(ci) = 0x80.toByte; ci += 1 }
+        codes(ci) =
+          (if (fill.nonEmpty) fill(k % fill.length) & 0x7f else 0).toByte
+        ci += 1; k += 1; i += 1
+      }
+      codes(ci) = 0x81.toByte                   // end-of-information
+      var rem = lzwLen
+      var off = 0
       while (rem > 0) {
         val n = math.min(255, rem)
         buf.put(n.toByte)
-        var j = 0
-        while (j < n) {
-          buf.put(if (fill.nonEmpty) fill(k % fill.length) else 0.toByte)
-          k += 1; j += 1
-        }
-        rem -= n
+        buf.put(codes, off, n)
+        off += n; rem -= n
       }
       buf.put(0.toByte)                         // block terminator
       f += 1
@@ -249,6 +276,162 @@ object Multimodal {
     }
   }
 
+  /** REAL GIF LZW pixel expansion: every frame's palette-index bytes,
+    * decoded from the actual compressed data — a complete GIF-flavor LZW
+    * decoder (LSB-first variable-width codes starting at
+    * `minCodeSize + 1` bits, dictionary growth with width bumps at each
+    * power of two up to 12 bits, clear-code resets, the KwKwK
+    * first-use-of-just-added-code case, end-of-information) walked over
+    * the same block structure as [[decodeGif]]. Pure byte arithmetic —
+    * no codec library. Returns one `Array[Byte]` of `width·height`
+    * palette indices per frame (row-major), or None for anything
+    * malformed (bad magic, truncated stream, out-of-range code, frame
+    * pixel mismatch) so callers can fall back to the documented stub. */
+  def decodeGifPixels(payload: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    def ascii(off: Int, s: String) =
+      s.zipWithIndex.forall { case (c, i) => payload(off + i) == c.toByte }
+    try {
+      if (payload.length < 14 ||
+          !(ascii(0, "GIF87a") || ascii(0, "GIF89a"))) return None
+      def u8(i: Int) = payload(i) & 0xff
+      def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      val packed = u8(10)
+      var pos = 13
+      if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 7) + 1))
+      val frames = Seq.newBuilder[Array[Byte]]
+      var done = false
+      while (!done) {
+        u8(pos) match {
+          case 0x3B => done = true
+          case 0x21 =>
+            pos += 2
+            var n = u8(pos); pos += 1
+            while (n != 0) { pos += n; n = u8(pos); pos += 1 }
+          case 0x2C =>
+            val fw = u16(pos + 5)
+            val fh = u16(pos + 7)
+            val ipacked = u8(pos + 9)
+            pos += 10
+            if ((ipacked & 0x80) != 0) pos += 3 * (1 << ((ipacked & 7) + 1))
+            val mcs = u8(pos); pos += 1
+            // concatenate the frame's data sub-blocks
+            val data = new java.io.ByteArrayOutputStream()
+            var n = u8(pos); pos += 1
+            while (n != 0) {
+              data.write(payload, pos, n)
+              pos += n; n = u8(pos); pos += 1
+            }
+            lzwDecode(data.toByteArray, mcs, fw * fh) match {
+              case Some(px) =>
+                frames +=
+                  (if ((ipacked & 0x40) != 0) deinterlace(px, fw, fh) else px)
+              case None => return None
+            }
+          case _ => return None
+        }
+      }
+      val out = frames.result()
+      if (out.nonEmpty) Some(out) else None
+    } catch {
+      case _: IndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  /** GIF 4-pass interlace: file rows arrive 0,8,16… then 4,12… then
+    * 2,6… then 1,3,5… — remap them to top-down row order. */
+  private def deinterlace(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](px.length)
+    var src = 0
+    Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach { case (start, step) =>
+      var row = start
+      while (row < h) {
+        System.arraycopy(px, src * w, out, row * w, w)
+        src += 1
+        row += step
+      }
+    }
+    out
+  }
+
+  /** GIF-flavor LZW over a concatenated code stream: decode exactly
+    * `nPixels` palette indices (root codes `0 until 2^minCodeSize`).
+    * None on any malformed condition instead of throwing. */
+  private[ext] def lzwDecode(data: Array[Byte], minCodeSize: Int,
+                             nPixels: Int): Option[Array[Byte]] = {
+    if (minCodeSize < 2 || minCodeSize > 8 || nPixels < 0) return None
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val MaxDict = 4096
+    val prefix = new Array[Int](MaxDict)
+    val suffix = new Array[Byte](MaxDict)
+    val first = new Array[Byte](MaxDict)   // first byte of the code's string
+    val strLen = new Array[Int](MaxDict)
+    var i = 0
+    while (i < clear) {
+      prefix(i) = -1; suffix(i) = i.toByte; first(i) = i.toByte; strLen(i) = 1
+      i += 1
+    }
+    var dictSize = clear + 2
+    var width = minCodeSize + 1
+    val out = new Array[Byte](nPixels)
+    var outPos = 0
+    var bitPos = 0
+    val nBits = data.length * 8
+    def nextCode(): Int =
+      if (bitPos + width > nBits) -1
+      else {
+        var v = 0
+        var b = 0
+        while (b < width) {           // LSB-first packing
+          val p = bitPos + b
+          if (((data(p >> 3) >> (p & 7)) & 1) == 1) v |= 1 << b
+          b += 1
+        }
+        bitPos += width
+        v
+      }
+    // write code c's string at outPos (backwards via the prefix chain)
+    def emit(c: Int): Boolean = {
+      val len = strLen(c)
+      if (outPos + len > nPixels) return false
+      var p = outPos + len - 1
+      var cur = c
+      while (cur >= 0) { out(p) = suffix(cur); p -= 1; cur = prefix(cur) }
+      outPos += len
+      true
+    }
+    var prev = -1
+    var finished = false
+    while (!finished && outPos < nPixels) {
+      val code = nextCode()
+      if (code < 0 || code == eoi) finished = true
+      else if (code == clear) {
+        dictSize = clear + 2; width = minCodeSize + 1; prev = -1
+      } else if (prev == -1) {
+        if (code >= clear) return None       // first code after clear: a root
+        if (!emit(code)) return None
+        prev = code
+      } else {
+        val known = code < dictSize && code != clear + 0 && code != eoi
+        if (!known && code != dictSize) return None
+        // new dictionary entry: prev's string + first byte of current's
+        val newFirst = if (known) first(code) else first(prev)
+        if (dictSize < MaxDict) {
+          prefix(dictSize) = prev
+          suffix(dictSize) = newFirst
+          first(dictSize) = first(prev)
+          strLen(dictSize) = strLen(prev) + 1
+          dictSize += 1
+          if (dictSize == (1 << width) && width < 12) width += 1
+        }
+        if (!emit(code)) return None
+        prev = code
+      }
+    }
+    if (outPos == nPixels) Some(out) else None
+  }
+
   /** REAL WAV header parse: (sample_rate, channels, n_samples) from the
     * canonical-layout RIFF/WAVE header — channels at offset 22, sample
     * rate at 24, bits at 34, data length at 40, all little-endian.
@@ -270,6 +453,137 @@ object Multimodal {
         Some((sr, ch, dataLen / blockAlign))
       else None
     } else None
+  }
+
+  /** REAL WAV sample extraction: the canonical-header parse of
+    * [[decodeWav]] plus the PCM payload itself — returns
+    * `(sample_rate, channels, interleaved unsigned 8-bit samples)`.
+    * 8-bit PCM only (the canonical [[wavPayload]] shape; wider sample
+    * widths would need the same copy with a stride — deliberately not
+    * faked here): anything else returns None so callers fall back to
+    * the documented stub. The data slice is bounds-checked against the
+    * actual payload length, so a truncated file fails the decode
+    * instead of reading garbage. */
+  def decodeWavSamples(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    def ascii(off: Int, s: String) =
+      s.zipWithIndex.forall { case (c, i) => payload(off + i) == c.toByte }
+    if (payload.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE") &&
+        ascii(12, "fmt ") && ascii(36, "data")) {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ch = bb.getShort(22).toInt
+      val sr = bb.getInt(24)
+      val bits = bb.getShort(34).toInt
+      val dataLen = bb.getInt(40)
+      if (ch > 0 && sr > 0 && bits == 8 && dataLen >= 0 &&
+          44 + dataLen <= payload.length)
+        Some((sr, ch, java.util.Arrays.copyOfRange(payload, 44, 44 + dataLen)))
+      else None
+    } else None
+  }
+
+  /** REAL decoded-sample statistics for the audio modality: deinterleave
+    * every WAV payload's 8-bit PCM stream ([[decodeWavSamples]]) and
+    * aggregate each channel's amplitudes (`sample − 128`, the unsigned
+    * 8-bit midpoint) — count, exact integer sum and sum-of-squares
+    * (mean/RMS derive from these without any floating-point
+    * accumulation, so the oracle's integers match bit-for-bit), peak
+    * |amplitude|, and the strict mean-crossing count: positions where
+    * `dev_i = a_i·n − Σa` (the amplitude's exact deviation from the
+    * channel mean, scaled by `n` to stay integral) strictly changes
+    * sign between consecutive samples. Malformed payloads are dropped
+    * (None), keeping the operator a narrow per-partition flatMap — no
+    * shuffle, no driver traffic, same scale posture as
+    * [[gifPixelStats]]. */
+  def wavSampleStats(blobs: Dataset[MediaBlob]): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.filter(_.media_type == "audio").mapPartitions(_.flatMap { b =>
+      decodeWavSamples(b.payload).toSeq.flatMap { case (_, ch, data) =>
+        (0 until ch).flatMap { c =>
+          val n = if (data.length > c) (data.length - c + ch - 1) / ch else 0
+          if (n == 0) Nil
+          else {
+            var sum = 0L
+            var ss = 0L
+            var peak = 0
+            var i = c
+            while (i < data.length) {
+              val a = (data(i) & 0xff) - 128
+              sum += a
+              ss += a.toLong * a
+              val ab = math.abs(a)
+              if (ab > peak) peak = ab
+              i += ch
+            }
+            var cross = 0L
+            var prev = 0L
+            var started = false
+            i = c
+            while (i < data.length) {
+              val dev = ((data(i) & 0xff) - 128).toLong * n - sum
+              if (started &&
+                  ((prev > 0 && dev < 0) || (prev < 0 && dev > 0))) cross += 1
+              prev = dev
+              started = true
+              i += ch
+            }
+            Seq((b.doc_id, c, n.toLong, sum, ss, peak, cross))
+          }
+        }
+      }
+    }).toDF("doc_id", "channel", "n_samples", "sum_amp", "sum_sq", "peak",
+      "n_crossings")
+  }
+
+  /** Per-channel autocorrelation at the given lags — the classical
+    * pitch/periodicity feature, computed on exact integers:
+    * `R(L) = Σ a_i·a_{i+L}` over the channel's amplitude sequence, with
+    * `R(0)` as the normalizer (always > 0 for a non-empty channel).
+    * Emitted normalized (`ac<L> = round(R(L)/R(0), 4)`) alongside the
+    * raw `r0`, so the oracle checks both the exact integer energy and
+    * the rounded ratios. Same narrow no-shuffle decode shape as
+    * [[wavSampleStats]]. */
+  def wavAutocorr(blobs: Dataset[MediaBlob],
+                  lags: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ > 0), s"lags must be positive: $lags")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val lagList = lags.toList
+    val raw = blobs.filter(_.media_type == "audio").mapPartitions(_.flatMap { b =>
+      decodeWavSamples(b.payload).toSeq.flatMap { case (_, ch, data) =>
+        (0 until ch).flatMap { c =>
+          val n = if (data.length > c) (data.length - c + ch - 1) / ch else 0
+          if (n == 0) Nil
+          else {
+            val amp = new Array[Int](n)
+            var i = c
+            var j = 0
+            while (i < data.length) {
+              amp(j) = (data(i) & 0xff) - 128
+              j += 1
+              i += ch
+            }
+            var r0 = 0L
+            var k = 0
+            while (k < n) { r0 += amp(k).toLong * amp(k); k += 1 }
+            val rs = lagList.map { l =>
+              var s = 0L
+              var p = 0
+              while (p + l < n) { s += amp(p).toLong * amp(p + l); p += 1 }
+              s
+            }
+            Seq((b.doc_id, c, n.toLong, r0, rs))
+          }
+        }
+      }
+    }).toDF("doc_id", "channel", "n_samples", "r0", "rs")
+    raw.select(
+      col("doc_id") +: col("channel") +: col("n_samples") +: col("r0") +:
+        lagList.zipWithIndex.map { case (l, i) =>
+          graft.model.Parity.r4(col("rs")(i).cast("double") / col("r0"))
+            .as(s"ac$l")
+        }: _*)
   }
 
   /** REAL BMP header parse: (width, |height|) from the little-endian
@@ -414,7 +728,9 @@ object Multimodal {
 
   /** Resize a partition of blobs: REAL nearest-neighbor pixel resize for
     * 24-bit BMP payloads, the documented byte-cycling stub for
-    * everything else (audio/video content transforms need codecs). */
+    * everything else ("resize" has no audio meaning; GIF re-encode
+    * would need an LZW encoder — decode-side content features for both
+    * are real: [[wavSampleStats]], [[gifPixelStats]]). */
   def resize(blobs: Dataset[MediaBlob], w: Int, h: Int): Dataset[MediaBlob] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions(_.map { b =>
@@ -439,6 +755,64 @@ object Multimodal {
       val feats = Array.tabulate(dim)(i =>
         (if (len > 0) b.payload(i % len) & 0xff else 0).toFloat / 255f)
       (b.doc_id, feats)
+    }).toDF("doc_id", "features")
+  }
+
+  /** REAL decoded-pixel statistics for the video modality: LZW-expand
+    * every GIF frame ([[decodeGifPixels]]) and aggregate the palette
+    * indices — frame count, total pixels, exact integer pixel sum and
+    * max. The q126 oracle recomputes the identical integers from the
+    * payload-generation arithmetic, so the full container parse + LZW
+    * decode roundtrip is value-checked, not just length-checked.
+    * Malformed payloads are dropped (None), keeping the operator a
+    * narrow per-partition flatMap — no shuffle, no driver traffic. */
+  def gifPixelStats(blobs: Dataset[MediaBlob]): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.filter(_.media_type == "video").mapPartitions(_.flatMap { b =>
+      decodeGifPixels(b.payload).map { frames =>
+        var sum = 0L
+        var max = 0
+        var n = 0L
+        frames.foreach { f =>
+          n += f.length
+          var i = 0
+          while (i < f.length) {
+            val v = f(i) & 0xff
+            sum += v
+            if (v > max) max = v
+            i += 1
+          }
+        }
+        (b.doc_id, frames.length, n, sum, max)
+      }
+    }).toDF("doc_id", "n_frames", "n_pixels", "sum_px", "max_px")
+  }
+
+  /** Decoded-PIXEL histogram for video rows: the [[byteHistogram]]
+    * treatment applied to the LZW-expanded palette indices (0..127)
+    * instead of the raw container bytes — a real content feature for
+    * the third modality, same `doc_id → Array[Float]` shape, so it
+    * feeds the ANN tier unchanged. Malformed payloads are dropped. */
+  def gifPixelHistogram(blobs: Dataset[MediaBlob], dim: Int = 32): DataFrame = {
+    require(dim > 0 && 128 % dim == 0, s"dim must divide 128, got $dim")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val width = 128 / dim
+    blobs.filter(_.media_type == "video").mapPartitions(_.flatMap { b =>
+      decodeGifPixels(b.payload).map { frames =>
+        val counts = new Array[Int](dim)
+        var n = 0L
+        frames.foreach { f =>
+          var i = 0
+          while (i < f.length) {
+            counts(((f(i) & 0xff) % 128) / width) += 1
+            i += 1
+          }
+          n += f.length
+        }
+        (b.doc_id, counts.map(_ / math.max(n, 1L).toFloat))
+      }
     }).toDF("doc_id", "features")
   }
 

@@ -383,6 +383,43 @@ object ExtQueries {
         stride = 5)
       .orderBy("doc_id", "frame_idx")
 
+  /** GIF pixel statistics (q126): LZW-expand every video payload's
+    * frames and aggregate the decoded palette indices — the oracle
+    * replays the payload-generation arithmetic (pixels = text bytes
+    * & 0x7f, cycled across frames), so the whole container walk + LZW
+    * decode is value-checked per document. */
+  def gifPixelStats(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.gifPixelStats(
+        Multimodal.attachPayload(Tables.documents(spark, dir), "doc_id", "text"))
+      .withColumn("mean_px", graft.model.Parity.r4(
+        col("sum_px").cast("double") / col("n_pixels")))
+      .orderBy("doc_id")
+
+  /** WAV audio sample statistics (q127): deinterleave every audio
+    * payload's 8-bit PCM stream and aggregate per (doc, channel) — the
+    * oracle replays the payload-generation arithmetic (samples = text
+    * bytes, zero-padded to channel alignment), so container parse +
+    * deinterleave + exact integer aggregation are value-checked end to
+    * end. mean/RMS derive from the exact integer sums (no fp
+    * accumulation on either side). */
+  def wavAudioStats(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.wavSampleStats(
+        Multimodal.attachPayload(Tables.documents(spark, dir), "doc_id", "text"))
+      .withColumn("mean_amp", graft.model.Parity.r4(
+        col("sum_amp").cast("double") / col("n_samples")))
+      .withColumn("rms", graft.model.Parity.r4(
+        sqrt(col("sum_sq").cast("double") / col("n_samples"))))
+      .orderBy("doc_id", "channel")
+
+  /** WAV autocorrelation (q128): per-channel lag-{1,2,4,8}
+    * autocorrelation over the decoded amplitude sequence, normalized by
+    * the exact integer energy R(0) — the classical periodicity feature,
+    * integer-exact up to the final rounded ratio. */
+  def wavAudioAutocorr(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.wavAutocorr(
+        Multimodal.attachPayload(Tables.documents(spark, dir), "doc_id", "text"))
+      .orderBy("doc_id", "channel")
+
   def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.cmsHeavyHitters(Tables.documents(spark, dir), "doc_id", "text")
 

@@ -40,11 +40,11 @@ class MultimodalSpec extends SparkSpec {
       aud.byte_len == 58L && aud.n_frames == 7 &&
       aud.width == 0 && aud.height == 0)
     // doc 2: gifPayload embeds width 1 + 2%32 = 3, height 1 + 6%32 = 7,
-    // 1 + 2%10 = 3 frames; d = 21 bytes/frame in one sub-block ->
-    // byte_len = 20 + 3*(20 + 21 + 1) = 146
+    // 1 + 2%10 = 3 frames; d = 21 pixels -> LZW stream 21 + 1 + 1 = 23
+    // bytes in one sub-block -> byte_len = 398 + 3*(20 + 23 + 1) = 530
     val vid = meta.find(_.doc_id == 2L).get
     assert(vid.media_type == "video" && vid.width == 3 && vid.height == 7 &&
-      vid.n_frames == 3 && vid.byte_len == 146L &&
+      vid.n_frames == 3 && vid.byte_len == 530L &&
       vid.sample_rate == 0 && vid.n_channels == 0)
   }
 
@@ -96,6 +96,146 @@ class MultimodalSpec extends SparkSpec {
     val junk = Multimodal.decode(
       Multimodal.MediaBlob(9L, "video", "not a gif at all".getBytes("UTF-8")))
     assert(junk.width == 64 + 16 % 448 && junk.n_frames == 1 + 16 % 30)
+  }
+
+  test("gif LZW pixel expansion roundtrips the encoded fill bytes") {
+    val fill = "The quick brown fox jumps over 13 lazy dogs!".getBytes("UTF-8")
+    // id 5: w=6, h=16, 6 frames, d=96 — multiple clear-code restarts
+    val gif = Multimodal.gifPayload(5L, fill)
+    val frames = Multimodal.decodeGifPixels(gif).get
+    assert(frames.length == 6)
+    assert(frames.forall(_.length == 6 * 16))
+    val expected = (0 until 6 * 96).map(k => (fill(k % fill.length) & 0x7f).toByte)
+    assert(frames.flatten.toSeq == expected)
+    // the documented byte-length arithmetic holds for the LZW payload
+    val d = 96; val lzw = d + (d + 124) / 125 + 1
+    assert(gif.length == 398 + 6 * (20 + lzw + (lzw + 254) / 255))
+    // truncation and junk must fail the decode, not misreport pixels
+    assert(Multimodal.decodeGifPixels(gif.dropRight(1)).isEmpty)
+    assert(Multimodal.decodeGifPixels("not a gif".getBytes("UTF-8")).isEmpty)
+    // the metadata walk still reads the same container
+    assert(Multimodal.decodeGif(gif).contains((6, 16, 6)))
+  }
+
+  test("decodeGifPixels matches the JDK ImageIO encoder (variable-width LZW)") {
+    // The JDK's own GIF writer emits REAL growing-dictionary LZW
+    // (width bumps at 2^n, KwKwK sequences, no per-125 clears) — an
+    // authoritative external encoder our decoder must agree with.
+    val w = 40; val h = 30
+    val rnd = new scala.util.Random(42)
+    val px = Array.fill(w * h)(rnd.nextInt(128))
+    val cmap = Array.tabulate(128)(i => (i * 2).toByte)
+    val icm = new java.awt.image.IndexColorModel(7, 128, cmap, cmap, cmap)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, px(y * w + x))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos), "JDK GIF writer missing")
+    val gif = bos.toByteArray
+    val frames = Multimodal.decodeGifPixels(gif).get
+    assert(frames.length == 1 && frames.head.length == w * h)
+    // compare COLORS, not raw indices (the writer may permute the
+    // palette): decoded index -> this file's own color table -> gray
+    // must equal what ImageIO itself reads back per pixel
+    val gctOff = 13
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    for (y <- 0 until h; x <- 0 until w) {
+      val idx = frames.head(y * w + x) & 0xff
+      val gray = gif(gctOff + 3 * idx) & 0xff
+      assert(gray == (ref.getRGB(x, y) & 0xff),
+        s"pixel ($x,$y): decoded gray $gray vs ImageIO ${ref.getRGB(x, y) & 0xff}")
+    }
+  }
+
+  test("gifPixelStats aggregates decoded pixels; malformed payloads drop") {
+    import spark.implicits._
+    val fill = "abcXYZ".getBytes("UTF-8")
+    val good = Multimodal.MediaBlob(2L, "video", Multimodal.gifPayload(2L, fill))
+    val bad = Multimodal.MediaBlob(5L, "video", "junk".getBytes("UTF-8"))
+    val img = Multimodal.MediaBlob(0L, "image", Multimodal.bmpPayload(0L, fill))
+    val got = Multimodal.gifPixelStats(Seq(good, bad, img).toDS())
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    // id 2: w=3, h=7, 3 frames -> 63 pixels; sum/max from cycled fill
+    val pxs = (0 until 63).map(k => fill(k % fill.length) & 0x7f)
+    assert(got.toSeq == Seq((2L, 3, 63L, pxs.map(_.toLong).sum, pxs.max)))
+  }
+
+  test("gifPixelHistogram buckets decoded palette indices, L1-normalized") {
+    import spark.implicits._
+    val fill = Array.tabulate(64)(i => (i * 2).toByte) // indices 0..126 even
+    val blob = Multimodal.MediaBlob(2L, "video", Multimodal.gifPayload(2L, fill))
+    val row = Multimodal.gifPixelHistogram(Seq(blob).toDS(), dim = 4)
+      .collect().head
+    val feats = row.getAs[scala.collection.Seq[Float]]("features")
+    assert(feats.length == 4)
+    assert(math.abs(feats.sum - 1.0f) < 1e-5, s"not L1-normalized: $feats")
+    // recompute directly from the cycled fill (63 pixels for id 2)
+    val counts = new Array[Int](4)
+    (0 until 63).foreach(k => counts((fill(k % fill.length) & 0x7f) / 32) += 1)
+    assert(feats.toSeq == counts.map(_ / 63f).toSeq)
+  }
+
+  test("decodeWavSamples roundtrips PCM bytes; truncation fails the decode") {
+    val text = "audio payload" // 13 bytes, doc 1 -> stereo, padded to 14
+    val wav = Multimodal.wavPayload(1L, text.getBytes("UTF-8"))
+    val (sr, ch, data) = Multimodal.decodeWavSamples(wav).get
+    assert(sr == 12000 && ch == 2 && data.length == 14)
+    assert(new String(data.take(13), "UTF-8") == text && data(13) == 0)
+    // a truncated file must fail the decode (header promises more data)
+    assert(Multimodal.decodeWavSamples(wav.dropRight(1)).isEmpty)
+    assert(Multimodal.decodeWavSamples("RIFFjunk".getBytes("UTF-8")).isEmpty)
+    // 16-bit PCM is out of the canonical 8-bit contract -> None, stub path
+    val w16 = wav.clone(); w16(34) = 16
+    assert(Multimodal.decodeWavSamples(w16).isEmpty)
+  }
+
+  test("wavSampleStats deinterleaves channels and aggregates exactly") {
+    import spark.implicits._
+    // doc 1 -> stereo; "abcd" + no pad: ch0 = {a,c}, ch1 = {b,d}
+    val blob = Multimodal.MediaBlob(1L, "audio",
+      Multimodal.wavPayload(1L, "abcd".getBytes("UTF-8")))
+    val bad = Multimodal.MediaBlob(4L, "audio", "RIFFjunk".getBytes("UTF-8"))
+    val rows = Multimodal.wavSampleStats(Seq(blob, bad).toDS())
+      .orderBy("channel").collect()
+    assert(rows.length == 2) // malformed payload dropped
+    def amps(s: String) = s.map(c => c.toInt - 128)
+    val Seq(c0, c1) = Seq(amps("ac"), amps("bd"))
+    assert(rows(0).getLong(2) == 2 && rows(0).getLong(3) == c0.sum &&
+      rows(0).getLong(4) == c0.map(a => a.toLong * a).sum &&
+      rows(0).getInt(5) == c0.map(math.abs).max)
+    assert(rows(1).getLong(3) == c1.sum)
+    // two distinct samples always cross their mean exactly once (the
+    // mean lies strictly between them)
+    assert(rows.forall(_.getLong(6) == 1L))
+    // a channel that oscillates around its mean counts every strict
+    // flip (doc 4 -> ch = 1 + 4%2 = 1, mono)
+    val mono = Multimodal.MediaBlob(4L, "audio",
+      Multimodal.wavPayload(4L, "azaza".getBytes("UTF-8")))
+    val m = Multimodal.wavSampleStats(Seq(mono).toDS()).collect().head
+    // amps alternate a(-31) z(-6) strictly around mean -21 -> 4 crossings
+    assert(m.getLong(2) == 5 && m.getLong(6) == 4L)
+  }
+
+  test("wavAutocorr computes exact lag products normalized by R(0)") {
+    import spark.implicits._
+    // doc 4 -> mono, sr 8000 + (4%5)*4000 = 24000
+    val s = "abcabcabc" // period 3: ac at lag 3 ~ high
+    val blob = Multimodal.MediaBlob(4L, "audio",
+      Multimodal.wavPayload(4L, s.getBytes("UTF-8")))
+    val row = Multimodal.wavAutocorr(Seq(blob).toDS(), lags = Seq(1, 3))
+      .collect().head
+    val amp = s.map(c => c.toInt - 128)
+    val r0 = amp.map(a => a.toLong * a).sum
+    def r(l: Int) = (0 until amp.length - l).map(i => amp(i).toLong * amp(i + l)).sum
+    assert(row.getLong(2) == 9 && row.getLong(3) == r0)
+    def expect(l: Int) = math.round(r(l).toDouble / r0 * 10000) / 10000.0
+    assert(math.abs(row.getDouble(4) - expect(1)) < 1e-9)
+    assert(math.abs(row.getDouble(5) - expect(3)) < 1e-9)
+    // lag 3 aligns the period exactly: every product is a perfect
+    // square, so R(3) = 6/9 of R(0) on this 9-sample signal
+    assert(row.getLong(3) == 8106L && math.abs(row.getDouble(5) - 0.6667) < 1e-9)
   }
 
   test("sampleFrames strides over video frames only") {
