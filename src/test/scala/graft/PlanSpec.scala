@@ -198,4 +198,18 @@ class PlanSpec extends SparkSpec {
         s"unpartitioned window survived: $w"))
     }
   }
+
+  test("multimodal content decodes are narrow: one exchange (output sort) only") {
+    // GIF LZW stats (q126) and WAV PCM stats/autocorr (q127/q128) decode
+    // per partition; the ONLY exchange allowed is the deterministic
+    // output ORDER BY (range), never a hash shuffle or a join
+    Seq(graft.queries.ExtQueries.gifPixelStats(spark, sf001),
+        graft.queries.ExtQueries.wavAudioStats(spark, sf001),
+        graft.queries.ExtQueries.wavAudioAutocorr(spark, sf001)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"hash shuffle in a per-partition decode:\n$p")
+      assert(!p.contains("Join"), s"unexpected join in a decode pipeline:\n$p")
+    }
+  }
 }
