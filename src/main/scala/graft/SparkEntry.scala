@@ -148,6 +148,8 @@ object SparkEntry {
     "q126_gif_pixel_stats"    -> ((s, d) => ExtQueries.gifPixelStats(s, d)),
     "q127_wav_audio_stats"    -> ((s, d) => ExtQueries.wavAudioStats(s, d)),
     "q128_wav_autocorr"       -> ((s, d) => ExtQueries.wavAudioAutocorr(s, d)),
+    "q129_hard_negatives"     -> ((s, d) => ExtQueries.annHardNegatives(s, d)),
+    "q130_hard_negatives_lsh" -> ((s, d) => ExtQueries.annHardNegativesLsh(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -2320,5 +2322,41 @@ object SparkEntry {
         |             / SUM(amp*amp), 4) AS ac8
         |FROM w GROUP BY doc_id, channel
         |ORDER BY doc_id, channel""".stripMargin,
+    // Hard negatives: q37's exact ranking with the label inequality on
+    // the JOIN (per-query predicate, not a corpus pre-filter).
+    "q129_hard_negatives" ->
+      s"""WITH $embCte,
+         |q AS (SELECT * FROM nm WHERE vec_id < 10),
+         |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |              c.label AS n_label,
+         |              ROUND(list_dot_product(q.emb, c.emb)/(q.nrm*c.nrm), 4) AS score
+         |       FROM nm c CROSS JOIN q
+         |       WHERE c.vec_id <> q.vec_id AND c.label <> q.label),
+         |rk AS (SELECT query_id, neighbor_id, n_label, score,
+         |              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+         |       FROM sc)
+         |SELECT query_id, neighbor_id, n_label, score, CAST(rnk AS INT) AS rank
+         |FROM rk WHERE rnk <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "q130_hard_negatives_lsh" ->
+      s"""WITH $embCte,
+         |bk AS (SELECT vec_id, label, emb, nrm,
+         |    (CASE WHEN list_dot_product(emb, ${planeLit(0)}::DOUBLE[]) > 0 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(emb, ${planeLit(1)}::DOUBLE[]) > 0 THEN 2 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(emb, ${planeLit(2)}::DOUBLE[]) > 0 THEN 4 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(emb, ${planeLit(3)}::DOUBLE[]) > 0 THEN 8 ELSE 0 END) AS bucket
+         |  FROM nm),
+         |q AS (SELECT * FROM bk WHERE vec_id < 10),
+         |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |              c.label AS n_label,
+         |              ROUND(list_dot_product(q.emb, c.emb)/(q.nrm*c.nrm), 4) AS score
+         |       FROM bk c JOIN q ON c.bucket = q.bucket
+         |        AND c.vec_id <> q.vec_id AND c.label <> q.label),
+         |rk AS (SELECT query_id, neighbor_id, n_label, score,
+         |              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+         |       FROM sc)
+         |SELECT query_id, neighbor_id, n_label, score, CAST(rnk AS INT) AS rank
+         |FROM rk WHERE rnk <= 3
+         |ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -98,6 +98,64 @@ object Similarity {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Hard-negative mining: for each query, the top-k most-similar
+    * corpus rows whose LABEL DIFFERS from the query's — the standard
+    * contrastive-training negative sampler (similar enough to be hard,
+    * labeled differently so they are true negatives). The label
+    * inequality rides the JOIN (a per-query predicate), not a corpus
+    * pre-filter — each query keeps its own candidate pool. Same
+    * |Q|-bounded broadcast shape as [[bruteTopK]]: exact over the full
+    * corpus, queries small by contract. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    embCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("q_label"), col(embCol).as("q_emb"),
+      l2norm(col(embCol)).as("q_nrm"))
+    val c = graft.model.Tables.fanOut(corpus)
+      .select(col(idCol).as("neighbor_id"), col(labelCol).as("n_label"),
+        col(embCol).as("c_emb"), l2norm(col(embCol)).as("c_nrm"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("n_label") =!= col("q_label"))
+      .select(col("query_id"), col("neighbor_id"), col("n_label"),
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4)
+          .as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("n_label"),
+        col("score"), col("rank").cast("int").as("rank"))
+  }
+
+  /** The 100 TB path for [[hardNegatives]]: sign-LSH bucket equi join
+    * generates candidates (one hash join, no cross product), the label
+    * inequality filters them, exact cosine ranks the survivors. Recall
+    * < 1 by design, like [[lshTopK]]; candidates per query are bounded
+    * by bucket occupancy rather than corpus size. */
+  def hardNegativesLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       embCol: String, labelCol: String, k: Int,
+                       nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("q_label"), col(embCol).as("q_emb"),
+      l2norm(col(embCol)).as("q_nrm"),
+      bucketCol(col(embCol), nPlanes, dim).as("bucket"))
+    val c = graft.model.Tables.fanOut(corpus)
+      .select(col(idCol).as("neighbor_id"), col(labelCol).as("n_label"),
+        col(embCol).as("c_emb"), l2norm(col(embCol)).as("c_nrm"),
+        bucketCol(col(embCol), nPlanes, dim).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("n_label") =!= col("q_label"))
+      .select(col("query_id"), col("neighbor_id"), col("n_label"),
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4)
+          .as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("n_label"),
+        col("score"), col("rank").cast("int").as("rank"))
+  }
+
   /** Double-precision dot product over two `array<double>` columns —
     * sequential left-to-right fold, matching DuckDB's
     * `list_dot_product` accumulation order. Used only on tiny relations

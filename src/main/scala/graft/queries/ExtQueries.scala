@@ -122,6 +122,24 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard-negative mining (q129): per query, top-5 most-similar vectors
+    * with a DIFFERENT label — exact over the full corpus, |Q|-bounded. */
+  def annHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", "label", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed hard negatives (q130): the candidate-restricted scale
+    * path — same-bucket, different-label, exact rank. */
+  def annHardNegativesLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.hardNegativesLsh(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", "label", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",

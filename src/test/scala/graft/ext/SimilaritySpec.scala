@@ -58,6 +58,45 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1), (2L, 2), (3L, 3)))
   }
 
+  test("hardNegatives excludes same-label rows and ranks the rest exactly") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f), 7),   // query, label 7
+      (1L, Array(2.0f, 0.0f), 7),   // cos 1.0 but SAME label -> excluded
+      (2L, Array(1.0f, 1.0f), 3),   // cos ~0.707, label 3 -> rank 1
+      (3L, Array(0.0f, 1.0f), 3),   // cos 0 -> rank 2
+      (4L, Array(-1.0f, 0.0f), 5)   // cos -1 -> rank 3
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(corpus,
+        corpus.filter(col("vec_id") === 0), "vec_id", "embedding", "label",
+        k = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(4)))
+    assert(out.toSeq == Seq((2L, 3, 1), (3L, 3, 2), (4L, 5, 3)))
+  }
+
+  test("hardNegativesLsh candidates share a bucket, never a label") {
+    val emb = graft.model.Tables.embeddings(spark, sf001)
+    val queries = emb.filter(col("vec_id") < 10)
+    val out = Similarity.hardNegativesLsh(emb, queries, "vec_id",
+      "embedding", "label", k = 3).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+    // no returned neighbor may carry its query's label
+    val qLabels = queries.select("vec_id", "label").as[(Long, Int)]
+      .collect().toMap
+    assert(out.forall(r => r.getInt(2) != qLabels(r.getLong(0))))
+    // the LSH sliver is a subset of the exact hard-negative ranking's
+    // candidate set: every (query, neighbor) it returns scores the same
+    // as the brute path would
+    val brute = Similarity.hardNegatives(emb, queries, "vec_id",
+      "embedding", "label", k = Int.MaxValue)
+      .select("query_id", "neighbor_id", "score")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, s) => (q, n) -> s }.toMap
+    assert(out.forall(r =>
+      brute((r.getLong(0), r.getLong(1))) == r.getDouble(3)))
+  }
+
   test("lshTopK only returns same-bucket candidates, self excluded") {
     val emb = graft.model.Tables.embeddings(spark, sf001)
     val out = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
