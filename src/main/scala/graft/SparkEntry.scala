@@ -1692,7 +1692,7 @@ object SparkEntry {
          |    SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
          |           ${cents("l_extendedprice")} AS px,
          |           row_number() OVER (PARTITION BY l_suppkey, CAST(l_shipdate AS DATE)
-         |             ORDER BY l_orderkey DESC, l_linenumber DESC) AS rn
+         |             ORDER BY l_orderkey DESC, l_linenumber DESC, ${cents("l_extendedprice")} DESC) AS rn
          |    FROM lineitem) z
          |  WHERE rn = 1),
          |spans AS (
@@ -1862,7 +1862,7 @@ object SparkEntry {
          |  SELECT *, px - lag(px) OVER w AS chg
          |  FROM l
          |  WINDOW w AS (PARTITION BY l_suppkey
-         |               ORDER BY ship_date, l_orderkey, l_linenumber)),
+         |               ORDER BY ship_date, l_orderkey, l_linenumber, qc, px)),
          |v AS (
          |  SELECT *, CASE WHEN chg > 0 THEN qc
          |                 WHEN chg < 0 THEN -qc
@@ -1870,7 +1870,7 @@ object SparkEntry {
          |  FROM s)
          |SELECT l_suppkey, l_orderkey, l_linenumber, ship_date, l_quantity,
          |       CAST(CAST(SUM(sv) OVER (PARTITION BY l_suppkey
-         |              ORDER BY ship_date, l_orderkey, l_linenumber
+         |              ORDER BY ship_date, l_orderkey, l_linenumber, qc, px
          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |            AS DOUBLE)/100.0 AS obv
          |FROM v

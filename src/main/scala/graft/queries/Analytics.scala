@@ -1088,8 +1088,13 @@ object Analytics {
     * running sum is a key-partitioned window (per-supplier state only,
     * no global ordering anywhere). */
   def onBalanceVolume(spark: SparkSession, dir: String): DataFrame = {
+    // (shipdate, orderkey, linenumber) is NOT unique in the synthetic
+    // data (sf0.1 carries one exact duplicate) — qc/px tiebreakers make
+    // the window order total, else lag/cumsum over the tied pair is
+    // engine-nondeterministic and the oracle compare flakes.
     val wl = Window.partitionBy("l_suppkey")
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("qc"), col("px"))
     Tables.lineitem(spark, dir)
       .withColumn("px", round(col("l_extendedprice") * 100, 0).cast("long"))
       .withColumn("qc", round(col("l_quantity") * 100, 0).cast("long"))
