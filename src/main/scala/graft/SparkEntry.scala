@@ -150,6 +150,7 @@ object SparkEntry {
     "q128_wav_autocorr"       -> ((s, d) => ExtQueries.wavAudioAutocorr(s, d)),
     "q129_hard_negatives"     -> ((s, d) => ExtQueries.annHardNegatives(s, d)),
     "q130_hard_negatives_lsh" -> ((s, d) => ExtQueries.annHardNegativesLsh(s, d)),
+    "q131_hashing_vectorize"  -> ((s, d) => ExtQueries.hashingVectorize(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -2358,5 +2359,22 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, n_label, score, CAST(rnk AS INT) AS rank
          |FROM rk WHERE rnk <= 3
          |ORDER BY query_id, rank""".stripMargin,
+    // Feature-hashing vectorizer: token hash -> bucket h%32, sign from
+    // an independent LCG of the same hash; integer bucket sums
+    // normalized only at the final rounded ratio.
+    "q131_hashing_vectorize" ->
+      s"""WITH $nCte,
+         |$tokCte,
+         |hv AS (SELECT doc_id, ${fullHash("w")} AS h FROM tok WHERE w <> ''),
+         |bw AS (SELECT doc_id, CAST(h % 32 AS INT) AS bucket,
+         |              1 - 2*(((69069*h + 362437) % ${graft.ext.TextOps.HashP}) % 2) AS sgn
+         |       FROM hv),
+         |rawb AS (SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS raw
+         |         FROM bw GROUP BY doc_id, bucket HAVING SUM(sgn) <> 0),
+         |nrm AS (SELECT doc_id, SQRT(CAST(SUM(raw*raw) AS DOUBLE)) AS nr
+         |        FROM rawb GROUP BY doc_id)
+         |SELECT r.doc_id, r.bucket, r.raw, ROUND(r.raw / n.nr, 4) AS weight
+         |FROM rawb r JOIN nrm n ON r.doc_id = n.doc_id
+         |ORDER BY r.doc_id, r.bucket""".stripMargin,
   )
 }

@@ -151,6 +151,44 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Feature-hashing text vectorizer (the "hashing trick"): train-free
+    * sparse vectors straight from raw text — no vocabulary pass, no
+    * model. Each token occurrence lands in `h mod dim` with a sign from
+    * an independent LCG of the same hash (signed hashing keeps bucket
+    * collisions unbiased, per Weinberger et al.); per-document bucket
+    * sums are exact integers, L2-normalized only at the final rounded
+    * ratio. Output is the LONG form (doc_id, bucket, raw, weight) —
+    * relational, oracle-hashable, and pivotable to `Array[Float]` for
+    * the ANN tier when needed.
+    *
+    * Scale shape: one (doc, bucket)-keyed partial aggregation (≤ dim
+    * rows per doc out of the map side), then a doc-keyed window over
+    * ≤ dim rows per key for the norm. Nothing is vocabulary-sized; no
+    * driver state. */
+  def hashingVectorize(docs: DataFrame, idCol: String, textCol: String,
+                       dim: Int = 32): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val h = fanOut(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(normText(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"),
+        graft.functions.TextKernelOps.wordNgramHashFull(col("w"), 1)
+          .getItem(0).as("h"))
+    val signed = h.select(col("doc_id"),
+      (col("h") % dim).cast("int").as("bucket"),
+      (lit(1L) - lit(2L) * (((lit(69069L) * col("h") + lit(362437L))
+        % lit(HashP)) % 2)).as("sgn"))
+    val raw = signed.groupBy("doc_id", "bucket")
+      .agg(sum("sgn").as("raw"))
+      .filter(col("raw") =!= 0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    raw.withColumn("nr", sqrt(sum(col("raw") * col("raw")).over(w)
+        .cast("double")))
+      .select(col("doc_id"), col("bucket"), col("raw"),
+        Parity.r4(col("raw") / col("nr")).as("weight"))
+  }
+
   /** Tokenizer fertility by predicted language (q112): BPE-ish tokens
     * per whitespace token — the "how many pieces does the tokenizer cut
     * a word into" diagnostic every multilingual-corpus report carries

@@ -438,6 +438,13 @@ object ExtQueries {
         Multimodal.attachPayload(Tables.documents(spark, dir), "doc_id", "text"))
       .orderBy("doc_id", "channel")
 
+  /** Feature-hashing vectorizer (q131): train-free signed-hashing text
+    * vectors in long form, exact integer bucket sums, L2-normalized at
+    * the final rounded ratio. */
+  def hashingVectorize(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashingVectorize(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id", "bucket")
+
   def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.cmsHeavyHitters(Tables.documents(spark, dir), "doc_id", "text")
 

@@ -16,6 +16,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getInt(2) == 9)
   }
 
+  test("hashingVectorize: signed bucket sums, unit L2 norm, replayable hash") {
+    val df = Seq(
+      (1L, "cat cat dog"),
+      (2L, ""),                  // no tokens -> no rows
+      (3L, "cat")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.hashingVectorize(df, "doc_id", "text", dim = 32)
+      .orderBy("doc_id", "bucket").collect()
+    // replay the hash chain in-test: Horner 31-hash mod P, LCG sign
+    def h(w: String) = w.foldLeft(0L)((a, c) => (a * 31 + c) % 2147483647L)
+    def sgn(hv: Long) = 1L - 2L * (((69069L * hv + 362437L) % 2147483647L) % 2)
+    val cat = h("cat"); val dog = h("dog")
+    // doc 2 emits nothing
+    assert(!rows.exists(_.getLong(0) == 2L))
+    // doc 3: one token -> raw = sgn, weight = +-1.0 exactly
+    val d3 = rows.filter(_.getLong(0) == 3L)
+    assert(d3.length == 1 && d3.head.getInt(1) == (cat % 32).toInt &&
+      d3.head.getLong(2) == sgn(cat) && math.abs(d3.head.getDouble(3)) == 1.0)
+    // doc 1: cat bucket raw = 2*sgn(cat), dog raw = sgn(dog) (distinct
+    // buckets here), norm = sqrt(4+1)
+    val d1 = rows.filter(_.getLong(0) == 1L)
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert((cat % 32) != (dog % 32)) // fixture stays two-bucket
+    assert(d1((cat % 32).toInt)._1 == 2 * sgn(cat))
+    assert(d1((dog % 32).toInt)._1 == sgn(dog))
+    val n = math.sqrt(5.0)
+    assert(math.abs(d1((cat % 32).toInt)._2 -
+      math.round(2 * sgn(cat) / n * 10000) / 10000.0) < 1e-9)
+    // every document's weights are unit-L2 up to rounding
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val s = rs.map(r => r.getDouble(3) * r.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 1e-3, s"norm drift: $s")
+    }
+  }
+
   test("qualityScore computes ratios and gates on stopword presence") {
     val good = (1 to 6).map(_ => "the cat sat on a mat").mkString(" ") // 36 tokens
     val bad = "x y z !!! ???"

@@ -76,4 +76,45 @@ class OperatorFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("ZOrder preserves the exact row multiset on generated datasets") {
+    val gen = for {
+      n <- Gen.choose(1, 400)
+      xs <- Gen.listOfN(n, Gen.choose(-1000, 1000))
+      ys <- Gen.listOfN(n, Gen.oneOf(Gen.choose(0, 5), Gen.choose(0, 100000)))
+    } yield xs.zip(ys).zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+    val cases = Gen.listOfN(3, gen).sample.get
+    cases.zipWithIndex.foreach { case (rows, ci) =>
+      val df = rows.toDF("id", "x", "y")
+      for (bits <- Seq(1, 6)) {
+        val z = ZOrder.zorderBy(df, Seq("x", "y"), bits = bits,
+          numPartitions = 7)
+        assert(z.columns.toSeq == Seq("id", "x", "y"), s"case=$ci bits=$bits")
+        val got = z.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+          .sorted.toSeq
+        assert(got == rows.sorted.toSeq, s"case=$ci bits=$bits lost rows")
+      }
+    }
+  }
+
+  test("GIF LZW roundtrip and WAV stats agree with a brute recompute on random docs") {
+    val gen = Gen.listOfN(40, Gen.choose(32, 126)).map(_.map(_.toChar).mkString)
+    val texts = Gen.listOfN(8, gen).sample.get
+    texts.zipWithIndex.foreach { case (text, i) =>
+      val id = i.toLong * 3 + 2 // video modality ids
+      val bytes = text.getBytes("UTF-8")
+      val frames = graft.ext.Multimodal.decodeGifPixels(
+        graft.ext.Multimodal.gifPayload(id, bytes)).get
+      val w = (1 + id % 32).toInt; val h = (1 + (id * 3) % 32).toInt
+      val expected = (0 until (1 + id % 10).toInt * w * h)
+        .map(k => (bytes(k % bytes.length) & 0x7f).toByte)
+      assert(frames.flatten.toSeq == expected, s"doc $id pixel drift")
+      val aid = i.toLong * 3 + 1 // audio modality ids
+      val (_, ch, data) = graft.ext.Multimodal.decodeWavSamples(
+        graft.ext.Multimodal.wavPayload(aid, bytes)).get
+      assert(ch == (1 + aid % 2).toInt)
+      assert(data.length == bytes.length + (if (bytes.length % ch == 0) 0 else 1))
+      assert(data.take(bytes.length).toSeq == bytes.toSeq)
+    }
+  }
 }
