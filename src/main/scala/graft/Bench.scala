@@ -83,7 +83,7 @@ object Bench {
     def onePass(): Seq[(String, Option[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try {
+        val res = try {
           fn(spark, sfDir).count()
           name -> Some((System.nanoTime() - t0) / 1e9)
         } catch {
@@ -92,6 +92,15 @@ object Bench {
               Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
             name -> None
         }
+        // Queries that stage intermediates via localCheckpoint leave
+        // their RDD blocks pinned until the DataFrame is GC'd; across a
+        // 131-query suite the accumulated blocks squeeze later queries'
+        // memory (q116 measured 2.3x slower in-suite than isolated
+        // before this). Dropping them AFTER the timing keeps each
+        // query's measurement independent without touching its own cost.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        res
       }
     // Two full passes, per-query MINIMUM reported: steady-state latency,
     // the number a resident engine (the reference's always-on ClickHouse)
