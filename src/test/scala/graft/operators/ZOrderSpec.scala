@@ -53,6 +53,40 @@ class ZOrderSpec extends SparkSpec {
         }
       }.collect().toSeq
 
+  test("hilbert2D is a bijection whose consecutive cells are grid-adjacent") {
+    val bits = 4
+    val n = 1 << bits
+    val cells = spark.range(n.toLong * n)
+      .select((col("id") / n).cast("long").as("bx"),
+        (col("id") % n).cast("long").as("by"))
+      .select(col("bx"), col("by"),
+        ZOrder.hilbert2D(col("bx"), col("by"), bits).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // bijection onto [0, 4^bits)
+    assert(cells.map(_._3).distinct.length == n * n)
+    assert(cells.forall(c => c._3 >= 0 && c._3 < n.toLong * n))
+    // THE Hilbert property: walking d = 0,1,2,... moves one grid step
+    // at a time (Manhattan distance exactly 1) — the Morton curve
+    // violates this with diagonal jumps at every power-of-two boundary
+    val byD = cells.sortBy(_._3)
+    byD.sliding(2).foreach { case Array((x1, y1, d1), (x2, y2, d2)) =>
+      assert(d2 == d1 + 1)
+      assert(math.abs(x2 - x1) + math.abs(y2 - y1) == 1,
+        s"non-adjacent step at d=$d1 -> $d2: ($x1,$y1) -> ($x2,$y2)")
+    }
+  }
+
+  test("hilbertBy preserves rows with the same layout contract as zorderBy") {
+    val h = ZOrder.hilbertBy(grid, "x", "y", bits = 4, numPartitions = 16)
+    assert(h.columns.toSeq == Seq("x", "y", "payload"))
+    val chk = h.agg(count(lit(1)), sum("payload")).collect().head
+    assert(chk.getLong(0) == 10000L && chk.getLong(1) == 49995000L)
+    // the corner box stays confined, like (or tighter than) z-order
+    val ext = partExtents(h)
+    val boxH = ext.count { case (nx, _, ny, _) => nx < 25 && ny < 25 }
+    assert(boxH <= 6, s"hilbert box overlap: $boxH of ${ext.size}")
+  }
+
   test("zorderBy preserves rows and prunes on every interleaved dimension") {
     val z = ZOrder.zorderBy(grid, Seq("x", "y"), bits = 4, numPartitions = 16)
     // row preservation: same multiset (count + payload checksum), no
