@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, EventWindows, ExtQueries, IngestQueries}
+import graft.queries.{Analytics, Correlated, EventWindows, ExtQueries, IngestQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -151,6 +151,12 @@ object SparkEntry {
     "q129_hard_negatives"     -> ((s, d) => ExtQueries.annHardNegatives(s, d)),
     "q130_hard_negatives_lsh" -> ((s, d) => ExtQueries.annHardNegativesLsh(s, d)),
     "q131_hashing_vectorize"  -> ((s, d) => ExtQueries.hashingVectorize(s, d)),
+    "q132_small_qty_revenue"  -> ((s, d) => Correlated.smallQtyRevenue(s, d)),
+    "q133_large_orders"       -> ((s, d) => Correlated.largeOrders(s, d)),
+    "q134_idle_rich_customers" -> ((s, d) => Correlated.idleRichCustomers(s, d)),
+    "q135_min_cost_supplier"  -> ((s, d) => Correlated.minCostSupplier(s, d)),
+    "q136_promo_share"        -> ((s, d) => Correlated.promoShare(s, d)),
+    "q137_top_supplier"       -> ((s, d) => Correlated.topSupplier(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -2376,5 +2382,95 @@ object SparkEntry {
          |SELECT r.doc_id, r.bucket, r.raw, ROUND(r.raw / n.nr, 4) AS weight
          |FROM rawb r JOIN nrm n ON r.doc_id = n.doc_id
          |ORDER BY r.doc_id, r.bucket""".stripMargin,
+    // TPC-H Q17 correlation: qty below 20% of the part's own average,
+    // exact integer form 5*qty*cnt < sum_qty over cents.
+    "q132_small_qty_revenue" ->
+      s"""WITH li AS (
+         |  SELECT l_partkey, ${cents("l_quantity")} AS qc,
+         |         ${cents("l_extendedprice")} AS c
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand = 'Brand#12'),
+         |pp AS (SELECT l_partkey, CAST(SUM(qc) AS BIGINT) AS sum_qc,
+         |              COUNT(*) AS cnt
+         |       FROM li GROUP BY l_partkey)
+         |SELECT COUNT(*) AS n_small_qty_items,
+         |       CAST(SUM(li.c) AS DOUBLE)/100.0 AS revenue
+         |FROM li JOIN pp ON li.l_partkey = pp.l_partkey
+         |WHERE li.qc * pp.cnt * 5 < pp.sum_qc""".stripMargin,
+    // TPC-H Q18 HAVING shape: orders over 300 total qty, customer join
+    // after the group-filter.
+    "q133_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, CAST(SUM(${cents("l_quantity")}) AS BIGINT) AS qty_cents
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING SUM(${cents("l_quantity")}) > 30000)
+         |SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+         |       o_totalprice, CAST(qty_cents AS DOUBLE)/100.0 AS total_qty
+         |FROM big JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey
+         |LIMIT 100""".stripMargin,
+    // TPC-H Q22 shape: above-average positive balance, no order since the
+    // cutoff; bal*n > sum is the exact integer form of bal > avg.
+    "q134_idle_rich_customers" ->
+      s"""WITH cu AS (SELECT c_custkey, c_nationkey, ${cents("c_acctbal")} AS bc
+         |            FROM customer),
+         |pa AS (SELECT CAST(SUM(bc) AS BIGINT) AS sum_pos, COUNT(*) AS n_pos
+         |       FROM cu WHERE bc > 0)
+         |SELECT c_nationkey, COUNT(*) AS n_customers,
+         |       CAST(SUM(bc) AS DOUBLE)/100.0 AS total_acctbal
+         |FROM cu CROSS JOIN pa
+         |WHERE bc * n_pos > sum_pos
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey
+         |                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+         |GROUP BY c_nationkey
+         |ORDER BY c_nationkey""".stripMargin,
+    // TPC-H Q2 min-subquery shape: per part the cheapest supplier, ties
+    // to the lowest suppkey (row_number mirrors the struct-min argmin).
+    "q135_min_cost_supplier" ->
+      s"""WITH cost AS (
+         |  SELECT l_partkey, l_suppkey, CAST(MIN(${cents("l_extendedprice")}) AS BIGINT) AS mc
+         |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+         |best AS (
+         |  SELECT l_partkey, l_suppkey, mc,
+         |         ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY mc, l_suppkey) AS rn
+         |  FROM cost)
+         |SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, s_name, n_name,
+         |       CAST(mc AS DOUBLE)/100.0 AS best_price
+         |FROM best JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE rn = 1
+         |ORDER BY best_price DESC, p_partkey
+         |LIMIT 50""".stripMargin,
+    // TPC-H Q14 CASE-share shape: monthly PROMO revenue share in exact
+    // integer basis points (floor division on both engines).
+    "q136_promo_share" ->
+      s"""WITH li AS (
+         |  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         |         ${cents("l_extendedprice")} AS c,
+         |         CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |m AS (SELECT month,
+         |             CAST(SUM(CASE WHEN is_promo = 1 THEN c ELSE 0 END) AS BIGINT) AS pc,
+         |             CAST(SUM(c) AS BIGINT) AS tc
+         |      FROM li GROUP BY month)
+         |SELECT month, CAST(pc AS DOUBLE)/100.0 AS promo_revenue,
+         |       CAST(tc AS DOUBLE)/100.0 AS total_revenue,
+         |       CAST((pc * 10000) // tc AS INT) AS promo_share_bp
+         |FROM m ORDER BY month""".stripMargin,
+    // TPC-H Q15 view-max shape: suppliers achieving the quarter's maximum
+    // revenue (ties survive).
+    "q137_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, CAST(SUM(${cents("l_extendedprice")}) AS BIGINT) AS rc
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, CAST(rc AS DOUBLE)/100.0 AS total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE rc = (SELECT MAX(rc) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
   )
 }

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** TPC-H-class correlated-subquery shapes, decorrelated by hand into the
+  * aggregate-then-join plans Catalyst cannot always derive on its own
+  * (reference analogue: the multi-step SQL the reference pipeline issues
+  * through its query client, `/root/reference/src/clickhouse/client.py:73-235`,
+  * where every "for each key, compare to its own aggregate" question is
+  * answered by a second scan — here each is a single-pass agg + co-keyed
+  * join).
+  *
+  * Scale posture (100 TB): every query reduces the fact table FIRST —
+  * brand/date filters prune via broadcast dims or pushed predicates before
+  * any shuffle; per-key aggregates ride the same hash partitioning as the
+  * join that consumes them (one exchange, reused); global scalars are
+  * 1-row broadcasts; money/quantity math is exact integer cents
+  * ([[graft.model.Parity]]) so partial aggregation is merge-order-proof.
+  */
+object Correlated {
+
+  private def qcents(c: String) = round(col(c) * 100, 0).cast("long")
+
+  /** Small-quantity revenue (q132, the TPC-H Q17 correlation): revenue from
+    * lineitems of one brand whose quantity is below 20% of that part's own
+    * average quantity. Decorrelated: the brand's parts broadcast-prune the
+    * fact, per-part (sum, count) aggregates of the REDUCED fact join back
+    * on partkey — the filter `5·qty·cnt < sum_qty` is the exact integer
+    * form of `qty < 0.2·avg(qty)` (no division, no fp). One fact shuffle
+    * on partkey, reused by the agg and the join. */
+  def smallQtyRevenue(spark: SparkSession, dir: String, brand: String = "Brand#12"): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") === brand).select("p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), qcents("l_quantity").as("qc"),
+        qcents("l_extendedprice").as("cents"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+    val perPart = li.groupBy("l_partkey")
+      .agg(sum("qc").as("sum_qc"), count(lit(1)).as("cnt"))
+    li.join(perPart, Seq("l_partkey"))
+      .filter(col("qc") * col("cnt") * 5 < col("sum_qc"))
+      .agg(count(lit(1)).as("n_small_qty_items"),
+        (sum(col("cents")).cast("double") / 100.0).as("revenue"))
+  }
+
+  /** Large-volume orders (q133, the TPC-H Q18 HAVING shape): orders whose
+    * total quantity exceeds a threshold, joined back to customer. The
+    * HAVING runs on the orderkey-grouped fact BEFORE the dim joins, so only
+    * the surviving ~1% of orders reach the customer join; top-k plans as
+    * TakeOrderedAndProject. */
+  def largeOrders(spark: SparkSession, dir: String, minQty: Long = 300, k: Int = 100): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(qcents("l_quantity")).as("qty_cents"))
+      .filter(col("qty_cents") > minQty * 100)
+    big
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"), col("o_totalprice"),
+        (col("qty_cents").cast("double") / 100.0).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+  }
+
+  /** Idle rich customers (q134, the TPC-H Q22 shape): customers whose
+    * balance beats the average POSITIVE balance and who placed no order on
+    * or after the cutoff — per nation, how many and how much capital sits
+    * idle. Decorrelated: the global (sum, count) scalar broadcasts via a
+    * 1-row cross join (`bal·n > sum` is the exact integer form of
+    * `bal > avg`), the NOT EXISTS becomes a custkey anti join against the
+    * date-pruned order projection. */
+  def idleRichCustomers(spark: SparkSession, dir: String, cutoff: String = "2001-01-01"): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), qcents("c_acctbal").as("bc"))
+    val posAvg = cust.filter(col("bc") > 0)
+      .agg(sum("bc").as("sum_pos"), count(lit(1)).as("n_pos"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(cutoff)).select("o_custkey")
+    cust.crossJoin(broadcast(posAvg))
+      .filter(col("bc") * col("n_pos") > col("sum_pos"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("bc")).cast("double") / 100.0).as("total_acctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Cheapest supplier per part (q135, the TPC-H Q2 min-subquery shape):
+    * for each part, the supplier with the lowest observed unit price —
+    * ties broken to the lowest suppkey. Decorrelated: per-(part, supplier)
+    * min price, then ONE more partkey-keyed aggregation whose
+    * `min(struct(cost, suppkey))` carries the argmin through the partial
+    * merge (struct ordering is lexicographic, so this is the tie-broken
+    * winner with no window and no second join back). */
+  def minCostSupplier(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val cost = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), qcents("l_extendedprice").as("cents"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min("cents").as("min_cents"))
+    val best = cost.groupBy("l_partkey")
+      .agg(min(struct(col("min_cents"), col("l_suppkey"))).as("b"))
+      .select(col("l_partkey"), col("b.min_cents").as("cost_cents"),
+        col("b.l_suppkey").as("s_suppkey"))
+    best
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name", "s_nationkey"),
+        Seq("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("l_partkey").as("p_partkey"), col("s_suppkey"), col("s_name"),
+        col("n_name"), (col("cost_cents").cast("double") / 100.0).as("best_price"))
+      .orderBy(col("best_price").desc, col("p_partkey"))
+      .limit(k)
+  }
+
+  /** Promo revenue share by month (q136, the TPC-H Q14 CASE-share shape):
+    * what fraction of each month's revenue came from PROMO-type parts,
+    * in exact basis points (integer `10000·promo ÷ total` floor division —
+    * no fp ratio crosses the engine boundary). Part type broadcasts into
+    * the fact scan; one month-keyed aggregation. */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.part(spark, dir).select(col("p_partkey"),
+      (col("p_type") === "PROMO").cast("int").as("is_promo"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_shipdate"), qcents("l_extendedprice").as("cents"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(sum(when(col("is_promo") === 1, col("cents")).otherwise(0L)).as("pc"),
+        sum(col("cents")).as("tc"))
+      .select(col("month"),
+        (col("pc").cast("double") / 100.0).as("promo_revenue"),
+        (col("tc").cast("double") / 100.0).as("total_revenue"),
+        expr("CAST((pc * 10000L) DIV tc AS INT)").as("promo_share_bp"))
+      .orderBy("month")
+  }
+
+  /** Top supplier(s) by period revenue (q137, the TPC-H Q15 view-max
+    * shape): per-supplier revenue over one quarter, keep exactly the
+    * suppliers achieving the global maximum. Decorrelated: the max is a
+    * 1-row broadcast compared against the SAME aggregate it came from —
+    * cached so the revenue agg computes once, not twice. Ties (all rows at
+    * the max) survive, matching the correlated-subquery semantics. */
+  def topSupplier(spark: SparkSession, dir: String, from: String = "1996-01-01", until: String = "1996-04-01"): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(qcents("l_extendedprice")).as("rc"))
+      .localCheckpoint() // read twice: once for max, once for the probe
+    val mx = rev.agg(max("rc").as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rc") === col("mx"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rc").cast("double") / 100.0).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+}

@@ -212,4 +212,33 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Join"), s"unexpected join in a decode pipeline:\n$p")
     }
   }
+
+  test("small-qty revenue broadcasts the brand prune and never sort-merges") {
+    // q132 (TPC-H Q17 shape): the brand's parts must broadcast into the
+    // fact scan; the self-correlation joins on the SAME partkey hashing
+    val p = plan(graft.queries.Correlated.smallQtyRevenue(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), s"brand prune not broadcast:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in decorrelated agg:\n$p")
+  }
+
+  test("min-cost supplier is a window-free struct-min argmin") {
+    // q135 (TPC-H Q2 shape): the per-part winner comes from min(struct),
+    // never a row_number window or a join back to the cost table
+    val df = graft.queries.Correlated.minCostSupplier(spark, sf001)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"argmin fell back to a window: $windows")
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+  }
+
+  test("idle-rich customers: scalar broadcast + anti join, no correlation leftovers") {
+    // q134 (TPC-H Q22 shape): the global positive-balance average is a
+    // 1-row broadcast nested loop (the only acceptable cross join) and
+    // the NOT EXISTS plans as a broadcast/shuffled anti join
+    val p = plan(graft.queries.Correlated.idleRichCustomers(spark, sf001))
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"non-broadcast cartesian:\n$p")
+  }
 }
