@@ -157,6 +157,10 @@ object SparkEntry {
     "q135_min_cost_supplier"  -> ((s, d) => Correlated.minCostSupplier(s, d)),
     "q136_promo_share"        -> ((s, d) => Correlated.promoShare(s, d)),
     "q137_top_supplier"       -> ((s, d) => Correlated.topSupplier(s, d)),
+    "q138_temperature_mix"    -> ((s, d) => ExtQueries.temperatureMix(s, d)),
+    "q139_token_ks_drift"     -> ((s, d) => ExtQueries.tokenDrift(s, d)),
+    "q140_copurchase_pagerank" -> ((s, d) => Analytics.copurchasePageRank(s, d)),
+    "q141_grouped_packing"    -> ((s, d) => ExtQueries.groupedPacking(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -2472,5 +2476,87 @@ object SparkEntry {
          |FROM rev JOIN supplier ON l_suppkey = s_suppkey
          |WHERE rc = (SELECT MAX(rc) FROM rev)
          |ORDER BY s_suppkey""".stripMargin,
+    // Temperature-scaled mixture: ⌊1e6·√n⌋ weights (IEEE sqrt is
+    // correctly rounded — engine-identical), exact HUGEINT floor
+    // division for the ppm rates, independent affine hash gate.
+    "q138_temperature_mix" ->
+      s"""WITH c AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source),
+         |w AS (SELECT source, n_total,
+         |             CAST(floor(1000000*sqrt(n_total)) AS BIGINT) AS weight
+         |      FROM c),
+         |t AS (SELECT SUM(n_total) AS corpus_n, SUM(weight) AS sum_w FROM w),
+         |r AS (SELECT source, n_total, weight,
+         |             LEAST(1000000, CAST((CAST(1000000 AS HUGEINT) * (corpus_n*40//100) * weight)
+         |               // (CAST(sum_w AS HUGEINT) * n_total) AS BIGINT)) AS rate_ppm
+         |      FROM w CROSS JOIN t),
+         |k AS (SELECT d.source, COUNT(*) AS n_kept
+         |      FROM documents d JOIN r ON d.source = r.source
+         |      WHERE (((d.doc_id % ${graft.ext.TextOps.HashP}) * 2654435761 + 97)
+         |             % ${graft.ext.TextOps.HashP}) % 1000000 < r.rate_ppm
+         |      GROUP BY d.source)
+         |SELECT r.source, r.n_total, r.weight, r.rate_ppm,
+         |       COALESCE(k.n_kept, 0) AS n_kept
+         |FROM r LEFT JOIN k ON r.source = k.source
+         |ORDER BY r.source""".stripMargin,
+    // Exact two-sample KS over token counts, even vs odd doc ids:
+    // D's numerator |cum_a·N_b − cum_b·N_a| in HUGEINT, argmax at the
+    // smallest attaining value.
+    "q139_token_ks_drift" ->
+      s"""WITH $nCte,
+         |c AS (SELECT doc_id, CAST(len(string_split(t, ' ')) AS BIGINT) AS v FROM n),
+         |a AS (SELECT v, COUNT(*) AS ca FROM c WHERE doc_id % 2 = 0 GROUP BY v),
+         |b AS (SELECT v, COUNT(*) AS cb FROM c WHERE doc_id % 2 = 1 GROUP BY v),
+         |s AS (SELECT COALESCE(a.v, b.v) AS v, COALESCE(ca, 0) AS ca,
+         |             COALESCE(cb, 0) AS cb
+         |      FROM a FULL OUTER JOIN b ON a.v = b.v),
+         |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+         |             CAST(SUM(cb) AS BIGINT) AS n_b FROM s),
+         |p AS (SELECT v, SUM(ca) OVER (ORDER BY v) AS cum_a,
+         |             SUM(cb) OVER (ORDER BY v) AS cum_b FROM s),
+         |d AS (SELECT v, abs(CAST(cum_a AS HUGEINT)*n_b - CAST(cum_b AS HUGEINT)*n_a) AS dnum,
+         |             n_a, n_b
+         |      FROM p CROSS JOIN t)
+         |SELECT v AS at_value,
+         |       CAST(dnum*1000000 // (CAST(n_a AS HUGEINT)*n_b) AS BIGINT) AS ks_ppm,
+         |       n_a, n_b
+         |FROM d ORDER BY dnum DESC, v LIMIT 1""".stripMargin,
+    // 2-iteration integer PageRank over the undirected customer–supplier
+    // graph; per-edge floor division exactly as the Spark operator.
+    "q140_copurchase_pagerank" ->
+      s"""WITH ed AS (SELECT DISTINCT l_suppkey*2 AS sn, o_custkey*2+1 AS cn
+         |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |ud AS (SELECT sn AS u, cn AS v FROM ed UNION ALL SELECT cn, sn FROM ed),
+         |deg AS (SELECT u, COUNT(*) AS deg FROM ud GROUP BY u),
+         |r1 AS (SELECT ud.v AS u,
+         |              150000000000 + SUM((CAST(1000000000000 AS BIGINT)*85) // (100*deg.deg)) AS r
+         |       FROM ud JOIN deg ON ud.u = deg.u GROUP BY ud.v),
+         |r2 AS (SELECT ud.v AS u, 150000000000 + SUM((r1.r*85) // (100*deg.deg)) AS r
+         |       FROM ud JOIN r1 ON ud.u = r1.u JOIN deg ON ud.u = deg.u
+         |       GROUP BY ud.v)
+         |SELECT CASE WHEN d.u % 2 = 0 THEN 'supplier' ELSE 'customer' END AS node_type,
+         |       d.u // 2 AS node_key, CAST(d.deg AS BIGINT) AS degree,
+         |       CAST(r2.r AS BIGINT) AS rank_units
+         |FROM deg d JOIN r2 ON d.u = r2.u
+         |ORDER BY rank_units DESC, node_type, node_key
+         |LIMIT 25""".stripMargin,
+    // Per-language 2048-token packing: independent bin sequences per
+    // lang (the partitioned window IS the oracle semantics; the engine
+    // recovers it from one global prefix sum).
+    "q141_grouped_packing" ->
+      s"""WITH nl AS (SELECT doc_id, lang,
+         |                   lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+         |            FROM documents),
+         |c AS (SELECT doc_id, lang,
+         |             CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
+         |      FROM nl),
+         |p AS (SELECT lang, doc_id, n_tokens,
+         |             COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+         |      FROM c)
+         |SELECT lang, CAST(pre // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |       MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+         |FROM p GROUP BY lang, bin
+         |ORDER BY lang, bin""".stripMargin,
   )
 }

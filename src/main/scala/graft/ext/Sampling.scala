@@ -114,6 +114,62 @@ object Sampling {
       .drop("__qsalt", "__cellrank", "qrank")
   }
 
+  /** Independent per-million hash in [0, 1 000 000) — [[shardOf]]'s
+    * affine pair reduced mod 10⁶ instead of `nShards`, so keep/drop
+    * decisions are uncorrelated with [[bucket100]] splits and sampling.
+    * Same mod-P-before-multiply overflow guard. */
+  def ppmHash(key: Column): Column =
+    (((key.cast("long") % lit(TextOps.HashP)) * lit(2654435761L) + lit(97L))
+      % lit(TextOps.HashP)) % 1000000L
+
+  /** Temperature-scaled mixture sampling (α = ½): the data-mixing step
+    * that rebalances a multi-source corpus so dominant sources are
+    * downsampled toward √-proportional shares (the multilingual-corpus
+    * "temperature" trick — sampling weight ∝ n^α flattens the source
+    * distribution without discarding rare sources). Produces the
+    * per-stratum mixing report:
+    *
+    *   weight_s   = ⌊10⁶·√n_s⌋            (IEEE sqrt is correctly
+    *                                       rounded, so the integer
+    *                                       weight is engine-identical)
+    *   target T   = ⌊N·pct/100⌋           (total docs to keep)
+    *   rate_s ppm = min(10⁶, ⌊10⁶·T·w_s / (Σw·n_s)⌋)   (exact integer
+    *                floor division in 38-digit decimals — no double
+    *                rounding anywhere after the sqrt)
+    *   kept       = rows with ppmHash(key) < rate_s
+    *
+    * Keep decisions are per-row hash gates — stable under append, and
+    * independent of split/sample membership. At 100 TB: one grouped
+    * count of a 1-column projection (≤ n_strata rows shuffle), a
+    * broadcast of the ≤ n_strata rate table back onto the scan, and a
+    * second grouped count of the survivors. Nothing wider than the
+    * stratum column ever moves. */
+  def temperatureMixReport(df: DataFrame, stratumCol: String, keyCol: String,
+                           targetPct: Int): DataFrame = {
+    require(targetPct > 0 && targetPct <= 100,
+      s"targetPct must be in (0, 100], got $targetPct")
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("weight",
+        floor(lit(1000000L) * sqrt(col("n_total"))).cast("long"))
+    val totals = counts.agg(sum("n_total").as("corpus_n"),
+      sum("weight").as("sum_w"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("t_target", expr(s"corpus_n * $targetPct div 100"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          expr("CAST(1000000 AS DECIMAL(38,0)) * t_target * weight" +
+            " div (CAST(sum_w AS DECIMAL(38,0)) * n_total)").cast("long")))
+      .select(col(stratumCol), col("n_total"), col("weight"), col("rate_ppm"))
+    val kept = df
+      .join(broadcast(rates.select(col(stratumCol), col("rate_ppm"))),
+        Seq(stratumCol))
+      .filter(ppmHash(col(keyCol)) < col("rate_ppm"))
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq(stratumCol), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+  }
+
   /** Deterministic corpus shuffle for training: assign each row a shard
     * (independent hash) and a position within its shard (hash order) —
     * the global-random-order guarantee sequence training needs, without

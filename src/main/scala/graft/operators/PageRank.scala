@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration damped PageRank over an edge list, in integer rank
+  * units — the graph-centrality primitive behind dedup-cluster
+  * authority scoring, crawl frontier prioritization, and the
+  * "importance-weighted corpus" sampling weight.
+  *
+  * All arithmetic is exact 64-bit integer: each node starts at
+  * `Scale` (10¹²) units, and one round sends every neighbor
+  * ⌊85·r(u) / (100·deg(u))⌋ units plus the teleport constant
+  * ⌊15·Scale/100⌋ — per-edge floor division, so partial-aggregation
+  * order can never change a sum (the q116 co-purchase idiom,
+  * `graft.queries.Analytics.copurchaseRank`). Floors strictly lose
+  * mass, so ranks are bounded by the initial total and never overflow
+  * while `nodes·Scale·85 < 2⁶³` (≈ 10⁵ nodes at full concentration,
+  * far more under any realistic spread; beyond that, run with a
+  * smaller `Scale`).
+  *
+  * Scale shape: the edge list is staged once (`localCheckpoint` — it
+  * is read `iters`+1 times), the degree table is one grouped count,
+  * and every iteration is exactly one join + one keyed aggregation —
+  * both shuffles keyed on the node id, no driver-side state, no
+  * global windows. Iterations are a fixed small constant (the caller
+  * picks convergence depth), so the lineage stays bounded.
+  */
+object PageRank {
+
+  val Scale = 1000000000000L
+
+  /** Ranks after `iters` damped rounds over `edges` (columns `u`, `v`:
+    * LONG node ids; list one row per direction for an undirected
+    * graph). Returns (node, degree, rank_units) for every node with at
+    * least one outgoing edge. */
+  def ranks(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v")).localCheckpoint()
+    val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+    var r = deg.select(col("u"), lit(Scale).as("r"))
+    for (_ <- 1 to iters) {
+      r = e.join(r, Seq("u")).join(deg, Seq("u"))
+        .select(col("v"), expr("r * 85 div (100 * deg)").as("c"))
+        .groupBy(col("v").as("u"))
+        .agg((lit(15L * Scale / 100L) + sum(col("c"))).as("r"))
+    }
+    deg.join(r, Seq("u")).select(col("u").as("node"), col("deg").as("degree"),
+      col("r").as("rank_units"))
+  }
+}

@@ -1221,6 +1221,32 @@ object Analytics {
       .orderBy(col("score_units").desc, col("l_suppkey"))
   }
 
+  /** Co-purchase PageRank (q140): 2-iteration damped PageRank over the
+    * undirected customer–supplier co-purchase graph (the q116 edge
+    * list), in exact integer rank units via
+    * [[graft.operators.PageRank]]. Node ids pack type+key into one
+    * long (supplier → 2k, customer → 2k+1) so the generic operator
+    * runs untyped; the report decodes them back. Top 25 by rank. */
+  def copurchasePageRank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("orderkey"), col("l_suppkey").as("s"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("orderkey"), col("o_custkey").as("c")),
+        Seq("orderkey"))
+      .select((col("s") * 2).as("sn"), (col("c") * 2 + 1).as("cn"))
+      .distinct()
+    val edges = pairs.select(col("sn").as("u"), col("cn").as("v"))
+      .union(pairs.select(col("cn").as("u"), col("sn").as("v")))
+    graft.operators.PageRank.ranks(edges, iters = 2)
+      .select(
+        when(col("node") % 2 === 0, lit("supplier")).otherwise(lit("customer"))
+          .as("node_type"),
+        expr("node div 2").as("node_key"),
+        col("degree"), col("rank_units"))
+      .orderBy(col("rank_units").desc, col("node_type"), col("node_key"))
+      .limit(25)
+  }
+
   /** Time-decayed revenue leaderboard (q118): customer value where each
     * order's cents HALVE per calendar year of age relative to the
     * dataset's newest order — the recency-weighted CRM score a plain

@@ -255,6 +255,37 @@ object ExtQueries {
         "doc_id", "text", budget = 2048)
       .orderBy("bin")
 
+  /** Temperature-scaled mixture report (q138): √-proportional source
+    * rebalancing targeting 40% of the corpus — per-source weights,
+    * keep rates (ppm) and deterministic hash-gated kept counts. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMixReport(Tables.documents(spark, dir), "source",
+        "doc_id", targetPct = 40)
+      .orderBy("source")
+
+  /** Token-length KS drift (q139): exact two-sample Kolmogorov–Smirnov
+    * distance between the token-count distributions of the even- and
+    * odd-id corpus halves — the snapshot-drift monitor, integer-exact
+    * via the distributed prefix sum. */
+  def tokenDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      size(TextOps.tokens(TextOps.normText(col("text")))).cast("long")
+        .as("n_tokens"))
+    graft.ext.Drift.ksReport(
+      toks.filter(col("doc_id") % 2 === 0),
+      toks.filter(col("doc_id") % 2 === 1), "n_tokens")
+  }
+
+  /** Per-language packing report (q141): independent 2048-token bin
+    * sequences per language over doc_id order — per-group shards from
+    * ONE global prefix sum (no per-group window, so a dominant
+    * language can't serialize its slice). */
+  def groupedPacking(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Packing.packingReportGrouped(Tables.documents(spark, dir),
+        "lang", "doc_id", "text", budget = 2048)
+      .orderBy("lang", "bin")
+
   /** Vocabulary top-20 (q60): the corpus Zipf head with occurrence and
     * doc frequencies. */
   def vocabTopK(spark: SparkSession, dir: String): DataFrame =

@@ -189,7 +189,9 @@ class PlanSpec extends SparkSpec {
 
   test("prefix-sum queries run no unpartitioned window") {
     Seq(Analytics.paretoAbc(spark, sf001),
-        graft.queries.ExtQueries.sequencePacking(spark, sf001)).foreach { df =>
+        graft.queries.ExtQueries.sequencePacking(spark, sf001),
+        graft.queries.ExtQueries.groupedPacking(spark, sf001),
+        graft.queries.ExtQueries.tokenDrift(spark, sf001)).foreach { df =>
       val windows = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
       }
@@ -197,6 +199,34 @@ class PlanSpec extends SparkSpec {
       windows.foreach(w => assert(w.partitionSpec.nonEmpty,
         s"unpartitioned window survived: $w"))
     }
+  }
+
+  test("suite-wide: every window in every registered query is keyed or limit-bounded") {
+    // The one scale-killer Spark hands out silently is the unpartitioned
+    // window (one task owns the whole relation). Audit EVERY registered
+    // query's optimized plan: a Window must either be keyed or sit above
+    // a GlobalLimit (the contractual ≤k-row rank idiom). This subsumes
+    // the per-query pins and gates every future registration.
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        q(spark, sf001).queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty && w.child.collectFirst {
+              case g: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => g
+            }.isEmpty => name
+        }
+    }.distinct
+    assert(offenders.isEmpty,
+      s"unbounded unpartitioned windows in: ${offenders.mkString(", ")}")
+  }
+
+  test("pagerank iterations are keyed joins — nothing quadratic, top-k bounded") {
+    val p = plan(Analytics.copurchasePageRank(spark, sf001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join in the pagerank plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-25 must not global-sort:\n$p")
   }
 
   test("multimodal content decodes are narrow: one exchange (output sort) only") {

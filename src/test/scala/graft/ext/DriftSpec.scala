@@ -1,0 +1,47 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ks(a: Seq[Long], b: Seq[Long], ranges: Int = 0) =
+    Drift.ksReport(a.toDF("v"), b.toDF("v"), "v", ranges = ranges)
+      .collect().head
+
+  test("identical distributions have zero KS distance") {
+    val xs = Seq(1L, 2L, 2L, 3L, 9L, 9L, 9L)
+    val r = ks(xs, xs)
+    assert(r.getAs[Long]("ks_ppm") == 0L)
+    assert(r.getAs[Long]("n_a") == 7L && r.getAs[Long]("n_b") == 7L)
+    // all gaps are zero → argmax ties break to the smallest value
+    assert(r.getAs[Long]("at_value") == 1L)
+  }
+
+  test("disjoint supports have KS distance 1 (1e6 ppm) at cohort A's max") {
+    val r = ks(Seq(1L, 2L, 3L), Seq(10L, 11L))
+    assert(r.getAs[Long]("ks_ppm") == 1000000L)
+    // ECDF gap first reaches 1 once all of A is below all of B: at v=3
+    assert(r.getAs[Long]("at_value") == 3L)
+  }
+
+  test("matches the brute-force definition on uneven random cohorts") {
+    val rnd = new scala.util.Random(7)
+    val a = Seq.fill(400)(rnd.nextInt(40).toLong)
+    val b = Seq.fill(250)(rnd.nextInt(40).toLong + 5L)
+    // brute force over the merged support, exact rational arithmetic
+    val support = (a ++ b).distinct.sorted
+    val gaps = support.map { v =>
+      val d = math.abs(a.count(_ <= v).toLong * b.size -
+        b.count(_ <= v).toLong * a.size)
+      (d, v)
+    }
+    val (dmax, at) = gaps.maxBy { case (d, v) => (d, -v) }
+    val expPpm = dmax * 1000000L / (a.size.toLong * b.size)
+    for (ranges <- Seq(1, 4, 16)) {
+      val r = ks(a, b, ranges)
+      assert(r.getAs[Long]("ks_ppm") == expPpm, s"ranges=$ranges")
+      assert(r.getAs[Long]("at_value") == at, s"ranges=$ranges")
+    }
+  }
+}

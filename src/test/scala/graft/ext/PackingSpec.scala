@@ -97,6 +97,50 @@ class PackingSpec extends SparkSpec {
       s"found a single-partition exchange in:\n$plan")
   }
 
+  test("grouped packing equals the per-group window reference, bins reset per group") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // Skewed groups (one dominant), shuffled arrival, varying lengths.
+    val rows = scala.util.Random.shuffle(
+      (0L until 600L).map(i => ("en", i)) ++
+        (0L until 60L).map(i => ("de", i)) ++
+        (0L until 7L).map(i => ("ko", i)))
+    val docs = rows.map { case (g, i) =>
+      (g, i, (0 to (i % 13).toInt).map(_ => "w").mkString(" ")) }
+      .toDF("lang", "doc_id", "text")
+    val n = size(TextOps.tokens(TextOps.normText(col("text")))).cast("long")
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = docs.select(col("lang"), col("doc_id"), n.as("nt"))
+      .withColumn("bin", expr("coalesce(sum(nt) over (partition by lang " +
+        "order by doc_id rows between unbounded preceding and 1 preceding), 0) div 128"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    for (nRanges <- Seq(1, 4, 32)) {
+      val got = Packing.packByBudgetGrouped(docs, "lang", "doc_id", "text",
+          budget = 128, ranges = nRanges)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+      assert(got == ref, s"ranges=$nRanges diverged from the per-group window")
+    }
+    // every group's first doc starts a fresh bin 0 — no cross-group bleed
+    val rep = Packing.packingReportGrouped(docs, "lang", "doc_id", "text", 128)
+      .orderBy("lang", "bin").collect()
+    Seq("de", "en", "ko").foreach { g =>
+      assert(rep.filter(_.getString(0) == g).head.getAs[Long]("bin") == 0L,
+        s"group $g does not start at bin 0")
+    }
+  }
+
+  test("grouped packing plans keyed windows only") {
+    val docs = (0L until 50L).map(i => (if (i % 3 == 0) "a" else "b", i, "w w"))
+      .toDF("lang", "doc_id", "text")
+    val plan = Packing.packByBudgetGrouped(docs, "lang", "doc_id", "text", 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__rng"),
+      s"expected the range-id-keyed prefix window in:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"found a single-partition exchange in:\n$plan")
+  }
+
   test("unsupported key types fail fast instead of degrading") {
     val docs = Seq((Array[Byte](1), "a b")).toDF("doc_key", "text")
     intercept[IllegalArgumentException] {

@@ -115,4 +115,35 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("temperature mix flattens a skewed source distribution") {
+    // 800 'web', 150 'books', 50 'code' — α=½ should downsample web
+    // hardest and keep (nearly) all of the rarest source.
+    val rows = (0L until 800L).map(i => ("web", i)) ++
+      (800L until 950L).map(i => ("books", i)) ++
+      (950L until 1000L).map(i => ("code", i))
+    val df = rows.toDF("source", "doc_id")
+    val rep = Sampling.temperatureMixReport(df, "source", "doc_id",
+        targetPct = 40)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("weight"),
+          r.getAs[Long]("rate_ppm"), r.getAs[Long]("n_kept"))).toMap
+    assert(rep.keySet == Set("web", "books", "code"))
+    // weights are ⌊1e6·√n⌋
+    assert(rep("web")._2 == math.floor(1e6 * math.sqrt(800.0)).toLong)
+    // kept never exceeds total; rarer sources keep a HIGHER fraction
+    rep.values.foreach { case (n, _, _, k) => assert(k <= n && k >= 0) }
+    val rate = (s: String) => rep(s)._3
+    assert(rate("code") > rate("books") && rate("books") > rate("web"),
+      s"rates not flattening: $rep")
+    // expected keep counts land near rate·n (hash gate is uniform)
+    rep.values.foreach { case (n, _, ppm, k) =>
+      val exp = n * ppm / 1000000L
+      assert(math.abs(k - exp) <= n / 10 + 3, s"kept $k vs expected $exp")
+    }
+    // deterministic: a second run reproduces the report exactly
+    val again = Sampling.temperatureMixReport(df, "source", "doc_id", 40)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_kept")).toMap
+    assert(rep.map { case (s, t) => s -> t._4 } == again)
+  }
 }
