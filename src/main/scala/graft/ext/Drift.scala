@@ -38,11 +38,9 @@ object Drift {
       .select(col("v"),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
-    val pre = graft.operators.PrefixSum.exclusive(
-      graft.operators.PrefixSum.exclusive(spine, "v", descending = false,
-        ties = Seq.empty, valueCol = "cnt_a", outCol = "ex_a", ranges = ranges),
-      "v", descending = false,
-      ties = Seq.empty, valueCol = "cnt_b", outCol = "ex_b", ranges = ranges)
+    val pre = graft.operators.PrefixSum.exclusiveMulti(spine, "v",
+      descending = false, ties = Seq.empty,
+      valueCols = Seq("cnt_a" -> "ex_a", "cnt_b" -> "ex_b"), ranges = ranges)
     val totals = spine.agg(sum("cnt_a").as("n_a"), sum("cnt_b").as("n_b"))
     pre.crossJoin(broadcast(totals))
       .withColumn("dnum",

@@ -39,9 +39,14 @@ object PageRank {
     val e = edges.select(col("u").cast("long").as("u"),
       col("v").cast("long").as("v")).localCheckpoint()
     val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+    // Stage the degree-annotated edge list ONCE: each iteration is then
+    // a single u-keyed join + a single v-keyed aggregation, not a
+    // second degree join per round. (deg is also reused for the final
+    // report and the shared shuffle output feeds both consumers.)
+    val ed = e.join(deg, Seq("u")).localCheckpoint()
     var r = deg.select(col("u"), lit(Scale).as("r"))
     for (_ <- 1 to iters) {
-      r = e.join(r, Seq("u")).join(deg, Seq("u"))
+      r = ed.join(r, Seq("u"))
         .select(col("v"), expr("r * 85 div (100 * deg)").as("c"))
         .groupBy(col("v").as("u"))
         .agg((lit(15L * Scale / 100L) + sum(col("c"))).as("r"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
@@ -40,7 +40,19 @@ object PrefixSum {
     * per-range totals). */
   def exclusive(df: DataFrame, keyCol: String, descending: Boolean,
                 ties: Seq[Column], valueCol: String, outCol: String,
-                ranges: Int = 0): DataFrame = {
+                ranges: Int = 0): DataFrame =
+    exclusiveMulti(df, keyCol, descending, ties, Seq(valueCol -> outCol),
+      ranges)
+
+  /** [[exclusive]] for SEVERAL value columns in ONE two-pass run: the
+    * quantile scan, per-range totals job and range-keyed window are all
+    * shared, so n prefix columns cost the same shuffles as one (the KS
+    * drift statistic runs both cohort ECDFs through a single pass).
+    * `valueCols` maps each input value column to its output column. */
+  def exclusiveMulti(df: DataFrame, keyCol: String, descending: Boolean,
+                     ties: Seq[Column], valueCols: Seq[(String, String)],
+                     ranges: Int = 0): DataFrame = {
+    require(valueCols.nonEmpty, "at least one value column required")
     require(df.schema(keyCol).dataType.isInstanceOf[NumericType],
       s"prefix sum range-buckets on a numeric key; " +
         s"got ${df.schema(keyCol).dataType} for $keyCol")
@@ -88,26 +100,39 @@ object PrefixSum {
         .otherwise(bucketed)
       else bucketed
     val based = input.withColumn("__rng", rng)
-    // Pass 1: per-range totals → driver-side exclusive scan (≤ nRanges
-    // rows cross the wire). NULL values contribute 0 — the same reading
-    // the pass-2 window sum gives them (sum skips nulls) — and the
-    // per-value coalesce also keeps an all-null range's total at 0L
-    // instead of a driver NPE on getLong.
+    // Pass 1: per-range totals (ALL value columns in one aggregation)
+    // → driver-side exclusive scan (≤ nRanges rows cross the wire).
+    // NULL values contribute 0 — the same reading the pass-2 window sum
+    // gives them (sum skips nulls) — and the per-value coalesce also
+    // keeps an all-null range's total at 0L instead of a driver NPE on
+    // getLong.
+    val totAggs = valueCols.zipWithIndex.map { case ((vc, _), i) =>
+      sum(coalesce(col(vc), lit(0L))).as(s"__tot_$i")
+    }
     val totals = based.groupBy("__rng")
-      .agg(sum(coalesce(col(valueCol), lit(0L))).as("tot"))
+      .agg(totAggs.head, totAggs.tail: _*)
       .orderBy("__rng").collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
+      .map(r => (r.getInt(0), valueCols.indices.map(i => r.getLong(i + 1))))
     val offsets = totals.map(_._1).zip(
-      totals.scanLeft(0L)(_ + _._2).init).toSeq
-    val offsetDf = broadcast(
-      spark.createDataFrame(offsets).toDF("__rng", "__offset"))
-    // Pass 2: within-range exclusive prefix + broadcast offset.
+      totals.scanLeft(valueCols.indices.map(_ => 0L)) { case (acc, (_, ts)) =>
+        acc.zip(ts).map { case (a, t) => a + t }
+      }.init).map { case (rg, offs) => Row.fromSeq(rg +: offs) }
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__rng",
+        org.apache.spark.sql.types.IntegerType) +:
+        valueCols.indices.map(i => org.apache.spark.sql.types.StructField(
+          s"__offset_$i", org.apache.spark.sql.types.LongType)))
+    val offsetDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.toSeq, 1), offSchema))
+    // Pass 2: within-range exclusive prefix + broadcast offset, one
+    // shared range-keyed window for every value column.
     val ord = (if (descending) col(keyCol).desc else col(keyCol).asc) +: ties
     val w = Window.partitionBy("__rng").orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    based.join(offsetDf, Seq("__rng"))
-      .withColumn(outCol,
-        coalesce(sum(col(valueCol)).over(w), lit(0L)) + col("__offset"))
-      .drop("__rng", "__offset")
+    valueCols.zipWithIndex.foldLeft(based.join(offsetDf, Seq("__rng"))) {
+      case (acc, ((vc, oc), i)) =>
+        acc.withColumn(oc,
+          coalesce(sum(col(vc)).over(w), lit(0L)) + col(s"__offset_$i"))
+    }.drop("__rng" +: valueCols.indices.map(i => s"__offset_$i"): _*)
   }
 }
