@@ -32,15 +32,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as nanos-since-epoch (legacy long mode) and
-    * truncate to a real µs TimestampType. Integer `div` keeps the full 64
-    * bits (a double division would lose ns precision at 2024 epochs). The
-    * driver data carries nothing below µs, so this is lossless vs the
-    * DuckDB oracle's TIMESTAMP_NS view. */
+  /** `events.ts` has shipped as two physical types across driver data
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects, so it is read as nanos-since-epoch (legacy long
+    * mode) and truncated to µs with integer `div` (lossless: the data
+    * carries nothing below µs) — and plain µs TIMESTAMP, which arrives
+    * as TimestampType or TimestampNTZType directly. Normalize all three
+    * to a µs TimestampType column; the session timezone is pinned to UTC
+    * everywhere (Bench/Verify/specs), so the NTZ→LTZ cast relabels the
+    * same wall-clock micros rather than shifting them, and every
+    * downstream `unix_micros`/window sees identical values regardless of
+    * which generation wrote the file. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TimestampNTZType
+        raw.withColumn("ts", expr("cast(ts as timestamp)"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
