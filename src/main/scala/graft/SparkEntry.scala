@@ -161,6 +161,15 @@ object SparkEntry {
     "q139_token_ks_drift"     -> ((s, d) => ExtQueries.tokenDrift(s, d)),
     "q140_copurchase_pagerank" -> ((s, d) => Analytics.copurchasePageRank(s, d)),
     "q141_grouped_packing"    -> ((s, d) => ExtQueries.groupedPacking(s, d)),
+    "q142_triangle_census"    -> ((s, d) => Analytics.copurchaseTriangles(s, d)),
+    "q143_ship_coverage"      -> ((s, d) => Analytics.shipIntervalCoverage(s, d)),
+    "q144_systematic_sample"  -> ((s, d) => ExtQueries.systematicSample(s, d)),
+    "q145_event_chi_square"   -> ((s, d) => EventWindows.eventChiSquare(s, d)),
+    "q146_brand_skyline"      -> ((s, d) => Analytics.brandSkyline(s, d)),
+    "q147_seasonal_forecast"  -> ((s, d) => Analytics.seasonalForecast(s, d)),
+    "q148_supplier_ols"       -> ((s, d) => Analytics.supplierOls(s, d)),
+    "q149_transition_gini"    -> ((s, d) => EventWindows.transitionGini(s, d)),
+    "q150_session_trigrams"   -> ((s, d) => EventWindows.sessionTrigrams(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -2558,5 +2567,209 @@ object SparkEntry {
          |       MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
          |FROM p GROUP BY lang, bin
          |ORDER BY lang, bin""".stripMargin,
+    // Degree-oriented triangle census: orientation by (deg, id) row
+    // comparison, wedges at the minimum node, EXISTS closing probe —
+    // the oracle states the same oriented algorithm (each triangle
+    // generated exactly once), with DuckDB row-value comparisons.
+    "q142_triangle_census" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM items a JOIN items b ON a.okey = b.okey AND a.p < b.p),
+        |deg AS (SELECT node, COUNT(*) AS deg FROM (
+        |          SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) z
+        |        GROUP BY node),
+        |o AS (SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS s,
+        |             CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS t
+        |      FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+        |cand AS (SELECT o1.t AS u, o2.t AS v
+        |         FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t),
+        |tri AS (SELECT COUNT(*) AS n_triangles FROM cand
+        |        WHERE EXISTS (SELECT 1 FROM e WHERE e.u = cand.u AND e.v = cand.v)),
+        |ds AS (SELECT COUNT(*) AS n_nodes,
+        |              CAST(SUM((deg*(deg-1))//2) AS BIGINT) AS n_wedges FROM deg),
+        |es AS (SELECT COUNT(*) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |       CASE WHEN n_wedges = 0 THEN 0
+        |            ELSE (3*n_triangles*1000000)//n_wedges END AS clustering_ppm
+        |FROM ds CROSS JOIN es CROSS JOIN tri""".stripMargin,
+    // Gaps-and-islands interval union: running max of prior ends cuts
+    // islands; all arithmetic in exact epoch days.
+    "q143_ship_coverage" ->
+      """WITH iv AS (SELECT DISTINCT l_suppkey,
+        |              CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS day_start
+        |            FROM lineitem),
+        |iv2 AS (SELECT l_suppkey, day_start, day_start + 7 AS day_end FROM iv),
+        |m AS (SELECT l_suppkey, day_start, day_end,
+        |             CASE WHEN max(day_end) OVER wp IS NULL
+        |                    OR day_start > max(day_end) OVER wp
+        |                  THEN 1 ELSE 0 END AS cut
+        |      FROM iv2
+        |      WINDOW wp AS (PARTITION BY l_suppkey ORDER BY day_start, day_end
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |i AS (SELECT *, SUM(cut) OVER (PARTITION BY l_suppkey
+        |         ORDER BY day_start, day_end
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |      FROM m),
+        |isl AS (SELECT l_suppkey, island, MIN(day_start) AS s, MAX(day_end) AS e,
+        |               COUNT(*) AS n
+        |        FROM i GROUP BY l_suppkey, island)
+        |SELECT l_suppkey, CAST(SUM(n) AS BIGINT) AS n_intervals,
+        |       COUNT(*) AS n_islands,
+        |       CAST(SUM(e - s) AS BIGINT) AS covered_days,
+        |       CAST(MAX(e) - MIN(s) AS BIGINT) AS span_days
+        |FROM isl GROUP BY l_suppkey
+        |ORDER BY l_suppkey""".stripMargin,
+    // Systematic PPS sampling: exclusive prefix over doc_id order, k=100
+    // pointers, multiplicity = difference of exact integer ceils.
+    "q144_systematic_sample" ->
+      """WITH d AS (SELECT doc_id, source, n_chars,
+        |                  GREATEST(CAST(n_chars AS BIGINT), 1) AS w FROM documents),
+        |p AS (SELECT *,
+        |             COALESCE(SUM(w) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre,
+        |             SUM(w) OVER () AS total
+        |      FROM d),
+        |m AS (SELECT doc_id, source, n_chars,
+        |             CAST(((CAST(pre + w AS HUGEINT) * 100 + total - 1) // total)
+        |                - ((CAST(pre AS HUGEINT) * 100 + total - 1) // total)
+        |               AS BIGINT) AS multiplicity
+        |      FROM p)
+        |SELECT * FROM m WHERE multiplicity > 0
+        |ORDER BY doc_id""".stripMargin,
+    // Chi-square contingency over the FULL zero-filled grid; one floor
+    // division of exact integers per cell (HUGEINT ≡ Spark decimal(38)).
+    "q145_event_chi_square" ->
+      """WITH cells AS (SELECT event_type, user_id % 4 AS cohort, COUNT(*) AS obs
+        |               FROM events GROUP BY event_type, cohort),
+        |r AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS row_n FROM cells GROUP BY event_type),
+        |c AS (SELECT cohort, CAST(SUM(obs) AS BIGINT) AS col_n FROM cells GROUP BY cohort),
+        |t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
+        |g AS (SELECT r.event_type, c.cohort, r.row_n, c.col_n, t.n
+        |      FROM r CROSS JOIN c CROSS JOIN t),
+        |j AS (SELECT g.event_type, g.cohort, g.row_n, g.col_n, g.n,
+        |             COALESCE(cells.obs, 0) AS obs
+        |      FROM g LEFT JOIN cells ON g.event_type = cells.event_type
+        |                            AND g.cohort = cells.cohort)
+        |SELECT event_type, cohort, obs,
+        |       CAST(CAST(row_n AS HUGEINT) * col_n * 1000 // n AS BIGINT) AS expected_milli,
+        |       CAST((CAST(obs AS HUGEINT)*n - CAST(row_n AS HUGEINT)*col_n)
+        |            * (CAST(obs AS HUGEINT)*n - CAST(row_n AS HUGEINT)*col_n)
+        |            * 1000000 // (CAST(n AS HUGEINT) * row_n * col_n)
+        |           AS BIGINT) AS contrib_ppm
+        |FROM j ORDER BY event_type, cohort""".stripMargin,
+    // Skyline stated as the textbook NOT-EXISTS domination predicate —
+    // deliberately a DIFFERENT formulation from the engine's staircase
+    // window, so the oracle checks the algorithm, not the plan.
+    "q146_brand_skyline" ->
+      """WITH pts AS (SELECT p_brand,
+        |               CAST(ROUND(p_retailprice*100,0) AS BIGINT) AS pc,
+        |               p_size, COUNT(*) AS n_parts
+        |             FROM part GROUP BY p_brand, pc, p_size)
+        |SELECT p_brand, CAST(pc AS DOUBLE)/100.0 AS price, p_size, n_parts
+        |FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts o
+        |  WHERE o.p_brand = p.p_brand AND o.pc <= p.pc AND o.p_size >= p.p_size
+        |    AND (o.pc < p.pc OR o.p_size > p.p_size))
+        |ORDER BY p_brand, price""".stripMargin,
+    // Seasonal-naive backtest: lag over (nation, iso weekday) = Spark's
+    // weekday() partition; exact integer cents, truncating division on
+    // both engines (DuckDB // truncates toward zero like Spark div).
+    "q147_seasonal_forecast" ->
+      s"""WITH dim AS (SELECT s_suppkey, n_name
+         |            FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+         |daily AS (SELECT n_name, CAST(l_shipdate AS DATE) AS d,
+         |                 CAST(SUM(${cents("l_extendedprice")}) AS BIGINT) AS c
+         |          FROM lineitem JOIN dim ON l_suppkey = s_suppkey
+         |          GROUP BY n_name, d),
+         |f AS (SELECT n_name, c,
+         |             LAG(c, 1) OVER (PARTITION BY n_name, isodow(d) ORDER BY d) AS forecast
+         |      FROM daily)
+         |SELECT n_name, COUNT(*) AS n_forecasts,
+         |       CAST(SUM(ABS(c - forecast)) // COUNT(*) AS BIGINT) AS mae_cents,
+         |       CAST(SUM(c - forecast) // COUNT(*) AS BIGINT) AS bias_cents
+         |FROM f WHERE forecast IS NOT NULL
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // Closed-form 2-feature OLS from exact integer moments; one floor
+    // per milli coefficient, R² from the same moments (HUGEINT mirror
+    // of the engine's decimal(38) arithmetic).
+    "q148_supplier_ols" ->
+      s"""WITH li AS (SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS x1,
+         |                  CAST(ROUND(l_discount*10000,0) AS BIGINT) AS x2,
+         |                  ${cents("l_extendedprice")} AS y
+         |           FROM lineitem),
+         |g AS (SELECT l_suppkey, COUNT(*) AS n,
+         |             CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         |             CAST(SUM(y) AS BIGINT) AS sy,
+         |             CAST(SUM(x1*x1) AS BIGINT) AS s11,
+         |             CAST(SUM(x1*x2) AS BIGINT) AS s12,
+         |             CAST(SUM(x2*x2) AS BIGINT) AS s22,
+         |             CAST(SUM(x1*y) AS BIGINT) AS s1y,
+         |             CAST(SUM(x2*y) AS BIGINT) AS s2y,
+         |             SUM(CAST(y AS HUGEINT)*y) AS syy
+         |      FROM li GROUP BY l_suppkey),
+         |m AS (SELECT l_suppkey, n,
+         |             CAST(n AS HUGEINT)*s11 - CAST(s1 AS HUGEINT)*s1 AS ca,
+         |             CAST(n AS HUGEINT)*s12 - CAST(s1 AS HUGEINT)*s2 AS cb,
+         |             CAST(n AS HUGEINT)*s22 - CAST(s2 AS HUGEINT)*s2 AS cc,
+         |             CAST(n AS HUGEINT)*s1y - CAST(s1 AS HUGEINT)*sy AS cd,
+         |             CAST(n AS HUGEINT)*s2y - CAST(s2 AS HUGEINT)*sy AS ce,
+         |             CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy AS sst
+         |      FROM g),
+         |s AS (SELECT l_suppkey, n, cd, ce, sst,
+         |             (cc*cd - cb*ce) * 1000 // (ca*cc - cb*cb) AS b1,
+         |             (ca*ce - cb*cd) * 1000 // (ca*cc - cb*cb) AS b2
+         |      FROM m WHERE ca*cc - cb*cb > 0 AND sst > 0)
+         |SELECT l_suppkey, CAST(n AS INT) AS n_lines,
+         |       CAST(b1 AS BIGINT) AS qty_slope_milli,
+         |       CAST(b2 AS BIGINT) AS discount_slope_milli,
+         |       CAST((cd*b1 + ce*b2) * 1000 // sst AS BIGINT) AS r2_ppm
+         |FROM s ORDER BY l_suppkey""".stripMargin,
+    // Next-event Gini impurity over the q102 transition counts; exact
+    // floored ppm.
+    "q149_transition_gini" ->
+      """WITH pr AS (SELECT user_id, event_type,
+        |              LAG(event_type) OVER (PARTITION BY user_id
+        |                ORDER BY epoch_us(ts), event_id) AS from_type
+        |            FROM events),
+        |c AS (SELECT from_type, event_type AS to_type, COUNT(*) AS n
+        |      FROM pr WHERE from_type IS NOT NULL GROUP BY from_type, to_type),
+        |g AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_out,
+        |             CAST(COUNT(*) AS INT) AS n_next_types,
+        |             CAST(SUM(n*n) AS BIGINT) AS sq
+        |      FROM c GROUP BY from_type)
+        |SELECT from_type, n_out, n_next_types,
+        |       CAST((CAST(n_out AS HUGEINT)*n_out - sq) * 1000000
+        |            // (CAST(n_out AS HUGEINT)*n_out) AS BIGINT) AS gini_ppm
+        |FROM g ORDER BY from_type""".stripMargin,
+    // Session trigrams: q120's session assignment verbatim, two leads
+    // inside the (user, session) window, top-15 with contractual rank.
+    "q150_session_trigrams" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         SUM(new_session) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |tg AS (
+        |  SELECT event_type || '>' || LEAD(event_type, 1) OVER ws
+        |           || '>' || LEAD(event_type, 2) OVER ws AS trigram,
+        |         LEAD(event_type, 2) OVER ws AS t3
+        |  FROM sess
+        |  WINDOW ws AS (PARTITION BY user_id, session_id
+        |                ORDER BY epoch_us(ts), event_id)),
+        |c AS (SELECT trigram, COUNT(*) AS n_occurrences FROM tg
+        |      WHERE t3 IS NOT NULL GROUP BY trigram),
+        |k AS (SELECT * FROM c ORDER BY n_occurrences DESC, trigram LIMIT 15)
+        |SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, trigram) AS INT) AS rank,
+        |       trigram, n_occurrences
+        |FROM k ORDER BY n_occurrences DESC, trigram""".stripMargin,
   )
 }

@@ -53,4 +53,47 @@ object Drift {
           " AS BIGINT)").as("ks_ppm"),
         col("n_a"), col("n_b"))
   }
+
+  /** Chi-square independence scan between two categorical columns — the
+    * drift companion to [[ksReport]] for discrete features (does the
+    * event-type mix differ by cohort? does the language mix differ by
+    * source?). One contingency row per (a, b) cell of the FULL grid
+    * (absent combinations count 0 — dropping them would silently bias
+    * the statistic), with the cell's exact integer contribution to the
+    * χ² sum:
+    *
+    *   contrib_ppm = ⌊10⁶·(obs·N − row·col)² / (N·row·col)⌋
+    *               ≈ 10⁶·(obs − E)²/E  with E = row·col/N
+    *
+    * — one floor division of exact integers, computed in 38-digit
+    * decimals (obs·N alone overflows 64 bits at corpus scale; the
+    * decimal headroom is exact to N ≈ 10⁹ rows — beyond that,
+    * pre-aggregate or subsample the contingency input), so both engines
+    * floor the identical rational. `expected_milli` is ⌊10³·row·col/N⌋
+    * for display.
+    *
+    * Scale shape: one grouped count of the (a, b) projection (the only
+    * corpus-wide shuffle), two marginal rollups OF THAT RESULT (≤ cells
+    * rows), and the zero-filled grid is marginal-a × marginal-b — a
+    * broadcast cross of two tiny dimension lists. */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("obs"))
+      .localCheckpoint() // marginals + grid re-read it; ≤ cells rows
+    val rowM = cells.groupBy(col(aCol)).agg(sum("obs").as("row_n"))
+    val colM = cells.groupBy(col(bCol)).agg(sum("obs").as("col_n"))
+    val n = cells.agg(sum("obs").as("n"))
+    rowM.crossJoin(broadcast(colM)).crossJoin(broadcast(n))
+      .join(cells, Seq(aCol, bCol), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .withColumn("expected_milli",
+        expr("CAST(row_n AS DECIMAL(38,0)) * col_n * 1000 div n"))
+      .withColumn("__d",
+        expr("CAST(obs AS DECIMAL(38,0)) * n - CAST(row_n AS DECIMAL(38,0)) * col_n"))
+      .withColumn("contrib_ppm",
+        expr("CAST(__d AS DECIMAL(38,0)) * __d * 1000000" +
+          " div (CAST(n AS DECIMAL(38,0)) * row_n * col_n)"))
+      .select(col(aCol), col(bCol), col("obs"), col("expected_milli"),
+        col("contrib_ppm"))
+  }
 }

@@ -170,6 +170,41 @@ object Sampling {
       .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
   }
 
+  /** Weighted systematic sampling (probability-proportional-to-size):
+    * lay the rows out on a line where each row occupies a segment equal
+    * to its weight, then take k equally spaced pointers across the
+    * whole line — row i is drawn once per pointer landing inside its
+    * segment, so inclusion expectation is exactly k·wᵢ/W with at most
+    * ⌈wᵢ·k/W⌉ draws, and the sample is deterministic (no RNG): pointer
+    * j sits at ⌊j·W/k⌋, and the multiplicity of row i with exclusive
+    * prefix Wᵢ is
+    *
+    *   mᵢ = ⌈(Wᵢ+wᵢ)·k/W⌉ − ⌈Wᵢ·k/W⌉        (exact integer ceils)
+    *
+    * — the textbook systematic PPS scheme, made distributed: the
+    * exclusive prefix Wᵢ rides [[graft.operators.PrefixSum]]'s two-pass
+    * range-bucketed scan (no unpartitioned window), the scalar (W, k)
+    * broadcast, and the multiplicity is a per-row projection. Output is
+    * the selected rows with a `multiplicity` column (≥ 1). */
+  def systematicSample(df: DataFrame, keyCol: String, weightCol: String,
+                       k: Int, ranges: Int = 0): DataFrame = {
+    require(k > 0, s"sample size k must be positive, got $k")
+    val weighted = df.withColumn("__w",
+      greatest(col(weightCol).cast("long"), lit(1L)))
+    val pre = graft.operators.PrefixSum.exclusive(weighted, keyCol,
+      descending = false, ties = Seq.empty, valueCol = "__w",
+      outCol = "__pre", ranges = ranges)
+    val total = weighted.agg(sum("__w").as("__total"))
+    pre.crossJoin(broadcast(total))
+      .withColumn("multiplicity",
+        (expr(s"(CAST(__pre + __w AS DECIMAL(38,0)) * $k + __total - 1)" +
+          " div __total") -
+          expr(s"(CAST(__pre AS DECIMAL(38,0)) * $k + __total - 1)" +
+            " div __total")).cast("long"))
+      .filter(col("multiplicity") > 0)
+      .drop("__w", "__pre", "__total")
+  }
+
   /** Deterministic corpus shuffle for training: assign each row a shard
     * (independent hash) and a position within its shard (hash order) —
     * the global-random-order guarantee sequence training needs, without

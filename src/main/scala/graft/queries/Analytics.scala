@@ -1365,4 +1365,136 @@ object Analytics {
         r4(corr(col("c").cast("double"), col("c_next").cast("double")))
           .as("autocorr"))
   }
+
+  /** Co-purchase triangle census (q142): parts are connected when some
+    * order contains both; the report counts triangles — triples of
+    * parts pairwise co-purchased — and the global clustering
+    * coefficient, via [[graft.operators.Graph.triangleReport]]'s
+    * degree-oriented wedge join (nothing quadratic in a hub part's
+    * degree). Pair generation is a within-order self-join: bounded by
+    * basket size (TPC-H baskets are ≤ 7 lines), keyed on orderkey. */
+  def copurchaseTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = items.join(items.withColumnRenamed("p", "p2"), Seq("okey"))
+      .filter(col("p") < col("p2"))
+    graft.operators.Graph.triangleReport(
+      graft.operators.Graph.undirectedEdges(pairs, "p", "p2"))
+  }
+
+  /** Supplier shipping coverage (q143): merge each supplier's 7-day
+    * shipment-activity intervals [ship_day, ship_day+7) into maximal
+    * islands ([[graft.operators.Intervals]]) and report the duty cycle:
+    * how many distinct activity islands, how many days covered, over
+    * what span. Days are exact integers (epoch days), the window
+    * partitions by supplier — the gaps-and-islands sweep at fact
+    * scale. */
+  def shipIntervalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        datediff(col("l_shipdate").cast("date"), lit("1970-01-01"))
+          .cast("long").as("day_start"))
+      .distinct() // one interval per (supplier, ship day)
+      .withColumn("day_end", col("day_start") + 7)
+    graft.operators.Intervals.coverage(iv, "l_suppkey", "day_start", "day_end")
+      .select(col("l_suppkey"), col("n_intervals"), col("n_islands"),
+        col("covered").as("covered_days"), col("span").as("span_days"))
+      .orderBy("l_suppkey")
+  }
+
+  /** Brand price–size skyline (q146): per brand, the Pareto frontier of
+    * parts minimizing retail price while maximizing size — the
+    * "efficient catalog" no cheaper-and-bigger part dominates. 2-D, so
+    * [[graft.operators.Skyline.frontier2d]] computes it with one
+    * partitioned window over distinct (price, size) points instead of
+    * the quadratic NOT-EXISTS self-join the oracle states. Prices
+    * compare in exact integer cents. */
+  def brandSkyline(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skyline.frontier2d(
+        Tables.part(spark, dir).select(col("p_brand"),
+          round(col("p_retailprice") * 100, 0).cast("long").as("price_cents"),
+          col("p_size")),
+        "p_brand", "price_cents", "p_size")
+      .select(col("p_brand"),
+        (col("price_cents").cast("double") / 100.0).as("price"),
+        col("p_size"), col("n_rows").as("n_parts"))
+      .orderBy("p_brand", "price")
+
+  /** Seasonal-naive forecast backtest (q147): predict each nation's
+    * daily revenue with last week's same-weekday value and score the
+    * error — the baseline every real forecaster must beat, and the
+    * backtest loop that turns a revenue panel into a model-quality
+    * report. The panel reduces to (nation, day) integer cents first
+    * (ONE fact shuffle); the lag is a (nation, weekday)-partitioned
+    * window; MAE/bias are exact floored cents. */
+  def seasonalForecast(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"), col("l_shipdate").cast("date").as("d"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("c"))
+    val w = Window.partitionBy(col("n_name"), weekday(col("d"))).orderBy("d")
+    daily
+      .withColumn("forecast", lag(col("c"), 1).over(w))
+      .filter(col("forecast").isNotNull)
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_forecasts"),
+        expr("sum(abs(c - forecast)) div count(1)").as("mae_cents"),
+        expr("sum(c - forecast) div count(1)").as("bias_cents"))
+      .orderBy("n_name")
+  }
+
+  /** Per-supplier two-feature OLS (q148): regress line revenue (cents)
+    * on quantity and discount (basis points) via the closed-form normal
+    * equations — ONE aggregation pass accumulates the exact integer
+    * Gram/moment sums per supplier, and the 2×2 solve is pure
+    * projection arithmetic in 38-digit decimals (single floor per
+    * coefficient, so both engines land on identical milli integers;
+    * exact while the 4th-order centered product cc·cd stays inside
+    * decimal(38) — ~10⁵ rows per group at these magnitudes (it grows as
+    * n⁴); beyond that, rescale the units). No
+    * iteration, no driver: the whole fit is groupBy + project, the
+    * shape gradient descent can't match on a fixed design. R² comes
+    * from the same moments, floored to ppm against the floored
+    * coefficients. */
+  def supplierOls(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_suppkey"),
+      col("l_quantity").cast("long").as("x1"),
+      round(col("l_discount") * 10000, 0).cast("long").as("x2"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("y"))
+    li.groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n"),
+        sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      // centered second moments (×n), all exact
+      .withColumn("ca", expr("CAST(n AS DECIMAL(38,0)) * s11 - CAST(s1 AS DECIMAL(38,0)) * s1"))
+      .withColumn("cb", expr("CAST(n AS DECIMAL(38,0)) * s12 - CAST(s1 AS DECIMAL(38,0)) * s2"))
+      .withColumn("cc", expr("CAST(n AS DECIMAL(38,0)) * s22 - CAST(s2 AS DECIMAL(38,0)) * s2"))
+      .withColumn("cd", expr("CAST(n AS DECIMAL(38,0)) * s1y - CAST(s1 AS DECIMAL(38,0)) * sy"))
+      .withColumn("ce", expr("CAST(n AS DECIMAL(38,0)) * s2y - CAST(s2 AS DECIMAL(38,0)) * sy"))
+      .withColumn("sst", expr("CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .withColumn("det", expr("ca * cc - cb * cb"))
+      .filter(col("det") > 0 && col("sst") > 0)
+      // milli-scaled slopes: the 10³ factor keeps the 4th-order product
+      // cc·cd·scale three decimal digits under the 38-digit cap at
+      // bench scale (n⁴ growth per group — see scaladoc bound)
+      .withColumn("b1_milli", expr("(cc * cd - cb * ce) * 1000 div det"))
+      .withColumn("b2_milli", expr("(ca * ce - cb * cd) * 1000 div det"))
+      .withColumn("r2_ppm",
+        expr("(cd * b1_milli + ce * b2_milli) * 1000 div sst"))
+      .select(col("l_suppkey"), col("n").cast("int").as("n_lines"),
+        col("b1_milli").cast("long").as("qty_slope_milli"),
+        col("b2_milli").cast("long").as("discount_slope_milli"),
+        col("r2_ppm").cast("long").as("r2_ppm"))
+      .orderBy("l_suppkey")
+  }
 }

@@ -235,4 +235,76 @@ object EventWindows {
         r4(expr("percentile(latency_sec, 0.9D)")).as("p90_sec"),
         max(col("latency_sec")).as("max_sec"))
   }
+
+  /** Behavior–cohort independence (q145): does the event-type mix
+    * differ across user cohorts? Chi-square contingency scan
+    * ([[graft.ext.Drift.chiSquareCells]]) of event_type × (user_id mod
+    * 4) — the A/B-bucket sanity check a cohorted experiment runs before
+    * trusting its splits. Full zero-filled grid, exact integer
+    * contributions. */
+  def eventChiSquare(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Drift.chiSquareCells(
+        Tables.events(spark, dir)
+          .select(col("event_type"), (col("user_id") % 4).as("cohort")),
+        "event_type", "cohort")
+      .orderBy("event_type", "cohort")
+
+  /** Next-event Gini impurity (q149): per event type, how concentrated
+    * is what users do NEXT — impurity 0 means one deterministic
+    * follow-up, ↑ means spread. Uses the q102 transition counts
+    * unchanged (user-keyed lag window, tiny pair aggregation); the
+    * statistic is exact floored ppm over integer counts:
+    * gini = (n² − Σnᵢ²)·10⁶ div n². */
+  def transitionGini(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("from_type", lag("event_type", 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("from_type")
+      .agg(sum("n").as("n_out"),
+        count(lit(1)).as("n_next_types"),
+        sum(col("n") * col("n")).as("sq"))
+      .select(col("from_type"), col("n_out"),
+        col("n_next_types").cast("int").as("n_next_types"),
+        expr("(CAST(n_out AS DECIMAL(38,0)) * n_out - sq) * 1000000" +
+          " div (CAST(n_out AS DECIMAL(38,0)) * n_out)")
+          .as("gini_ppm"))
+      .orderBy("from_type")
+  }
+
+  /** Session trigram mining (q150): the top-15 three-step event
+    * sequences inside sessions — the pattern layer between q102's
+    * single transitions and q120's full paths (full paths fragment on
+    * long sessions; fixed-length n-grams aggregate across them). The
+    * session assignment is the q26/q120 30-minute-gap sweep; trigrams
+    * come from two leads over the (user, session)-partitioned window —
+    * per-key state, no self-join — and aggregate on the tiny trigram
+    * space. Top-k is TakeOrderedAndProject + contractual rank. */
+  def sessionTrigrams(spark: SparkSession, dir: String,
+                      gapMinutes: Int = 30, k: Int = 15): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy("user_id", "session_id")
+      .orderBy("ts", "event_id")
+    sess
+      .withColumn("t2", lead("event_type", 1).over(ws))
+      .withColumn("t3", lead("event_type", 2).over(ws))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("trigram"))
+      .groupBy("trigram").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("trigram")).limit(k)
+      .transform(graft.operators.SmallRank.afterLimit(_,
+        col("n_occurrences").desc, col("trigram")))
+      .select("rank", "trigram", "n_occurrences")
+  }
 }

@@ -286,6 +286,18 @@ object ExtQueries {
         "lang", "doc_id", "text", budget = 2048)
       .orderBy("lang", "bin")
 
+  /** Weighted systematic PPS sample (q144): 100 draws proportional to
+    * document length — the deterministic no-RNG sampler
+    * ([[graft.ext.Sampling.systematicSample]]) whose exclusive prefix
+    * rides the distributed two-pass prefix sum, so the layout-line scan
+    * never plans an unpartitioned window. Long docs can be drawn more
+    * than once (`multiplicity`). */
+  def systematicSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.systematicSample(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "n_chars", k = 100)
+      .orderBy("doc_id")
+
   /** Vocabulary top-20 (q60): the corpus Zipf head with occurrence and
     * doc frequencies. */
   def vocabTopK(spark: SparkSession, dir: String): DataFrame =

@@ -263,6 +263,74 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
   }
 
+  test("triangle census: staged edges, nothing quadratic, no window") {
+    val df = Analytics.copurchaseTriangles(spark, sf001)
+    val p = plan(df)
+    // the final merge of the three 1-row stat frames is a broadcast
+    // nested loop over single-row aggregates — the one acceptable cross
+    // shape; a CartesianProduct (non-broadcast) is never acceptable
+    assert(!p.contains("CartesianProduct"),
+      s"non-broadcast cartesian in the wedge pipeline:\n$p")
+    assert(p.contains("ExistingRDD"), s"edge staging missing:\n$p")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, "unexpected window in the wedge pipeline")
+  }
+
+  test("chi-square grid: one fact shuffle; marginals ride the staged cells") {
+    val p = plan(graft.queries.EventWindows.eventChiSquare(spark, sf001))
+    // the events fact is aggregated ONCE into (type, cohort) cells; the
+    // zero-filled grid and both marginals re-read the checkpointed cells
+    assert(p.contains("ExistingRDD"), s"cells not staged:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"tiny grid join degraded to sort-merge:\n$p")
+  }
+
+  test("skyline is window-only: no join, keyed window over distinct points") {
+    val df = Analytics.brandSkyline(spark, sf001)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"staircase skyline must not self-join:\n$p")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"frontier window missing or unpartitioned: $windows")
+  }
+
+  test("interval coverage plans keyed windows and a single fact aggregation") {
+    val df = Analytics.shipIntervalCoverage(spark, sf001)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"islands sweep must partition by key: $windows")
+    assert(!plan(df).contains("Join"), s"unexpected join:\n${plan(df)}")
+  }
+
+  test("supplier OLS is one aggregation: no join, no window") {
+    val df = Analytics.supplierOls(spark, sf001)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"closed-form fit must not join:\n$p")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, "unexpected window in the Gram aggregation")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected one supplier shuffle, saw $exchanges:\n$p")
+  }
+
+  test("systematic sample: prefix rides range-keyed windows, scalar broadcasts") {
+    val df = graft.queries.ExtQueries.systematicSample(spark, sf001)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"prefix window must key on the bucket range: $windows")
+    assert(plan(df).contains("BroadcastExchange"),
+      s"total-weight scalar not broadcast:\n${plan(df)}")
+  }
+
   test("idle-rich customers: scalar broadcast + anti join, no correlation leftovers") {
     // q134 (TPC-H Q22 shape): the global positive-balance average is a
     // 1-row broadcast nested loop (the only acceptable cross join) and

@@ -146,4 +146,33 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("n_kept")).toMap
     assert(rep.map { case (s, t) => s -> t._4 } == again)
   }
+
+  test("systematic sample: total multiplicity is exactly k, PPS bounds hold") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 500L).map(i => (i, 1L + (i * 7919) % 400))
+    val df = spark.createDataFrame(docs).toDF("id", "w").repartition(7)
+    val k = 37
+    val got = Sampling.systematicSample(df, "id", "w", k)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("multiplicity"))
+      .toMap
+    val total = docs.map(_._2).sum
+    assert(got.values.sum === k, s"pointer count drifted: $got")
+    // every selected row satisfies the PPS inclusion bound ⌈k·w/W⌉
+    got.foreach { case (id, m) =>
+      val w = docs.find(_._1 == id).get._2
+      assert(m <= (k * w + total - 1) / total,
+        s"row $id drawn $m times with weight $w")
+    }
+    // invariant to the range count of the underlying prefix sum
+    val again = Sampling.systematicSample(df, "id", "w", k, ranges = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("multiplicity"))
+      .toMap
+    assert(got === again)
+    // a weight-dominant row is drawn multiple times
+    val heavy = df.unionByName(Seq((10000L, total)).toDF("id", "w"))
+    val h = Sampling.systematicSample(heavy, "id", "w", k)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("multiplicity"))
+      .toMap
+    assert(h(10000L) >= k / 2 - 1, s"heavy row under-drawn: $h")
+  }
 }
