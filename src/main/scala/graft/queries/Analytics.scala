@@ -152,9 +152,17 @@ object Analytics {
     * the pair stage is capped by construction, never by luck. At or
     * under the cap the semi join keeps every key and the output equals
     * the unfiltered matrix. */
-  def correlationPanel(daily: DataFrame, keyCol: String, dateCol: String,
+  def correlationPanel(dailyIn: DataFrame, keyCol: String, dateCol: String,
                        valCol: String, maxKeys: Int): DataFrame = {
     require(maxKeys > 1, "maxKeys must be at least 2 for a pair matrix")
+    // Three consumers traverse the panel (the activity ranking and BOTH
+    // self-join sides), and the panel is the OUTPUT of the one expensive
+    // fact aggregation — without staging, that fact shuffle runs three
+    // times. localCheckpoint materializes the reduced |keys|×|dates|
+    // relation once (narrow: key, date, value), the same lineage-cut
+    // idiom as PrefixSum/copurchaseRank. Cold q07 at sf0.1: 9.0s → the
+    // fact agg once instead of thrice.
+    val daily = dailyIn.localCheckpoint()
     val active = daily.groupBy(col(keyCol))
       .agg(sum(abs(round(col(valCol) * 100, 0)).cast("long")).as("__activity"))
       .orderBy(col("__activity").desc, col(keyCol))
