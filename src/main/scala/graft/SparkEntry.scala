@@ -170,6 +170,11 @@ object SparkEntry {
     "q148_supplier_ols"       -> ((s, d) => Analytics.supplierOls(s, d)),
     "q149_transition_gini"    -> ((s, d) => EventWindows.transitionGini(s, d)),
     "q150_session_trigrams"   -> ((s, d) => EventWindows.sessionTrigrams(s, d)),
+    "q151_volume_shipping"    -> ((s, d) => Correlated.volumeShipping(s, d)),
+    "q152_market_share"       -> ((s, d) => Correlated.marketShare(s, d)),
+    "q153_supplier_diversity" -> ((s, d) => Correlated.supplierDiversity(s, d)),
+    "q154_concentrated_ship"  -> ((s, d) => Correlated.concentratedShipments(s, d)),
+    "q155_important_parts"    -> ((s, d) => Correlated.importantParts(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -2771,5 +2776,87 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, trigram) AS INT) AS rank,
         |       trigram, n_occurrences
         |FROM k ORDER BY n_occurrences DESC, trigram""".stripMargin,
+    // TPC-H Q7 shape: both directions of the nation pair; exact cents.
+    "q151_volume_shipping" ->
+      s"""WITH nat AS (SELECT n_nationkey, n_name FROM nation
+         |             WHERE n_name IN ('NATION_3', 'NATION_7')),
+         |s AS (SELECT s_suppkey, n_name AS supp_nation
+         |      FROM supplier JOIN nat ON s_nationkey = n_nationkey),
+         |c AS (SELECT c_custkey, n_name AS cust_nation
+         |      FROM customer JOIN nat ON c_nationkey = n_nationkey)
+         |SELECT supp_nation, cust_nation,
+         |       CAST(year(l_shipdate) AS INT) AS ship_year,
+         |       COUNT(*) AS n_items, ${moneySum("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN s ON l_suppkey = s_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN c ON o_custkey = c_custkey
+         |WHERE supp_nation <> cust_nation
+         |GROUP BY supp_nation, cust_nation, ship_year
+         |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
+    // TPC-H Q8 shape: one nation's share of a region market per year,
+    // exact integer basis points.
+    "q152_market_share" ->
+      s"""WITH mkt AS (SELECT n_nationkey FROM nation
+         |             JOIN region ON n_regionkey = r_regionkey
+         |             WHERE r_name = 'EUROPE'),
+         |s AS (SELECT s_suppkey,
+         |             CASE WHEN n_name = 'NATION_8' THEN 1 ELSE 0 END AS is_target
+         |      FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+         |li AS (SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+         |              ${cents("l_extendedprice")} AS c, s.is_target
+         |       FROM lineitem JOIN s ON l_suppkey = s.s_suppkey
+         |       JOIN orders ON l_orderkey = o_orderkey
+         |       WHERE o_custkey IN (SELECT c_custkey FROM customer
+         |                           WHERE c_nationkey IN (SELECT n_nationkey FROM mkt))),
+         |g AS (SELECT ship_year,
+         |             CAST(SUM(CASE WHEN is_target = 1 THEN c ELSE 0 END) AS BIGINT) AS tc,
+         |             CAST(SUM(c) AS BIGINT) AS mc
+         |      FROM li GROUP BY ship_year)
+         |SELECT ship_year, CAST(tc AS DOUBLE)/100.0 AS target_revenue,
+         |       CAST(mc AS DOUBLE)/100.0 AS market_revenue,
+         |       CAST((tc * 10000) // mc AS INT) AS share_bp
+         |FROM g ORDER BY ship_year""".stripMargin,
+    // TPC-H Q16 shape: distinct suppliers per (brand, size), NOT IN a
+    // disqualified set.
+    "q153_supplier_diversity" ->
+      """WITH bad AS (SELECT l_suppkey FROM lineitem
+        |             GROUP BY l_suppkey
+        |             HAVING COUNT(*) FILTER (WHERE l_returnflag = 'R'
+        |                                       AND l_discount >= 0.09) * 20
+        |                    > COUNT(*))
+        |SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (SELECT l_suppkey FROM bad)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+    // TPC-H Q20 shape: one year dominates a (supplier, part) shipping
+    // history; suppliers with >= 3 such parts.
+    "q154_concentrated_ship" ->
+      s"""WITH g AS (SELECT l_suppkey, l_partkey,
+         |             CAST(SUM(CASE WHEN year(l_shipdate) = 1997
+         |                           THEN ${cents("l_quantity")} ELSE 0 END) AS BIGINT) AS q_year,
+         |             CAST(SUM(${cents("l_quantity")}) AS BIGINT) AS q_total
+         |           FROM lineitem GROUP BY l_suppkey, l_partkey),
+         |f AS (SELECT l_suppkey, COUNT(*) AS n_concentrated_parts
+         |      FROM g WHERE q_year * 2 > q_total
+         |      GROUP BY l_suppkey HAVING COUNT(*) >= 3)
+         |SELECT s_suppkey, s_name, n_name, n_concentrated_parts
+         |FROM f JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |ORDER BY n_concentrated_parts DESC, s_suppkey""".stripMargin,
+    // TPC-H Q11 shape: parts whose corpus revenue share clears a ppm
+    // floor; the global scalar is the same aggregate re-read.
+    "q155_important_parts" ->
+      s"""WITH pp AS (SELECT l_partkey,
+         |              CAST(SUM(${cents("l_extendedprice")}) AS BIGINT) AS c
+         |            FROM lineitem GROUP BY l_partkey),
+         |t AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM pp),
+         |m AS (SELECT l_partkey, c,
+         |             CAST(CAST(c AS HUGEINT) * 1000000 // tot AS BIGINT) AS share_ppm
+         |      FROM pp CROSS JOIN t)
+         |SELECT l_partkey AS p_partkey, CAST(c AS DOUBLE)/100.0 AS revenue,
+         |       share_ppm
+         |FROM m WHERE share_ppm >= 900
+         |ORDER BY share_ppm DESC, p_partkey""".stripMargin,
   )
 }

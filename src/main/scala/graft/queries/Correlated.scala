@@ -158,4 +158,155 @@ object Correlated {
         (col("rc").cast("double") / 100.0).as("total_revenue"))
       .orderBy("s_suppkey")
   }
+
+  /** Volume shipping between a nation pair (q151, the TPC-H Q7 shape):
+    * yearly revenue flowing in EACH direction between two nations —
+    * supplier in one, customer in the other. The classic disjunctive
+    * pair predicate ((n1,n2) OR (n2,n1)) decorrelates into: filter the
+    * TWO-ROW nation dim first, tag supplier and customer sides with
+    * their nation name, and keep cross-nation rows. The only big
+    * exchange is lineitem ⋈ orders on orderkey; supplier/customer are
+    * key+nation projections AQE is free to broadcast at bench scale and
+    * shuffle at 10⁹ keys (the q121 stance). */
+  def volumeShipping(spark: SparkSession, dir: String,
+                     n1: String = "NATION_3", n2: String = "NATION_7"): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(n1, n2))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("ship_year"), qcents("l_extendedprice").as("cents"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "ship_year")
+      .agg(count(lit(1)).as("n_items"),
+        (sum(col("cents")).cast("double") / 100.0).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
+  /** National market share (q152, the TPC-H Q8 shape): within one
+    * region's customer market, what share of yearly revenue is supplied
+    * by one target nation — exact integer basis points (the Q8
+    * CASE-sum-over-sum, floor division, no fp ratio). The region prune
+    * broadcasts through nation→customer; the share's numerator rides
+    * the same aggregation as its denominator (one pass). */
+  def marketShare(spark: SparkSession, dir: String,
+                  region: String = "EUROPE",
+                  target: String = "NATION_8"): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir).filter(col("r_name") === region)
+    val marketNations = nat.join(broadcast(reg),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(marketNations), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nat.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), (col("n_name") === target).cast("int").as("is_target"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("ship_year"), qcents("l_extendedprice").as("cents"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("ship_year")
+      .agg(sum(when(col("is_target") === 1, col("cents")).otherwise(0L)).as("tc"),
+        sum(col("cents")).as("mc"))
+      .select(col("ship_year"),
+        (col("tc").cast("double") / 100.0).as("target_revenue"),
+        (col("mc").cast("double") / 100.0).as("market_revenue"),
+        expr("CAST((tc * 10000L) DIV mc AS INT)").as("share_bp"))
+      .orderBy("ship_year")
+  }
+
+  /** Supplier diversity per part segment (q153, the TPC-H Q16 NOT-IN
+    * shape): per (brand, size), how many DISTINCT suppliers ship it —
+    * excluding a disqualified supplier set (Q16's complaint filter,
+    * stated here as suppliers whose heavy-discount-return RATE exceeds
+    * 5% — a fraction, not an absolute count, so the cutoff splits the
+    * population at every scale factor). NOT IN decorrelates to an anti
+    * join against the (tiny, aggregated) offender list; the distinct
+    * count shuffles (brand, size, suppkey) triples once. */
+  def supplierDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val bad = li
+      .groupBy(col("l_suppkey"))
+      .agg(count(when(col("l_returnflag") === "R" &&
+          col("l_discount") >= 0.09, 1)).as("n_bad"),
+        count(lit(1)).as("n_all"))
+      .filter(col("n_bad") * 20 > col("n_all"))
+      .select(col("l_suppkey"))
+    val dim = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    li.select(col("l_partkey"), col("l_suppkey"))
+      .join(bad, Seq("l_suppkey"), "left_anti")
+      .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  /** Concentrated shipments (q154, the TPC-H Q20 nested-subquery
+    * shape): suppliers for whom a single year dominates their shipping
+    * history of some part — `2·qty(1997) > qty(total)` per (supplier,
+    * part), suppliers holding ≥ `minParts` such parts. The correlated
+    * half-of-own-total subquery collapses into ONE conditional
+    * aggregation pass (the year split and the total ride the same
+    * grouped agg); the qualifying pair set reduces to per-supplier
+    * counts before the dim join. */
+  def concentratedShipments(spark: SparkSession, dir: String,
+                            yr: Int = 1997, minParts: Int = 3): DataFrame = {
+    val flagged = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_partkey"),
+        year(col("l_shipdate")).as("y"), qcents("l_quantity").as("qc"))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(when(col("y") === yr, col("qc")).otherwise(0L)).as("q_year"),
+        sum(col("qc")).as("q_total"))
+      .filter(col("q_year") * 2 > col("q_total"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_concentrated_parts"))
+      .filter(col("n_concentrated_parts") >= minParts)
+    flagged
+      .join(Tables.supplier(spark, dir)
+        .select("s_suppkey", "s_name", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        col("n_concentrated_parts"))
+      .orderBy(col("n_concentrated_parts").desc, col("s_suppkey"))
+  }
+
+  /** Important parts (q155, the TPC-H Q11 group-vs-global shape): parts
+    * whose revenue share of the whole corpus exceeds a ppm threshold.
+    * The correlated `HAVING sum(...) > (SELECT sum(...) * f)` scalar is
+    * a 1-row broadcast; shares are exact integer ppm floor divisions —
+    * the per-part aggregate computes once (checkpointed) and feeds both
+    * the scalar and the probe. */
+  def importantParts(spark: SparkSession, dir: String,
+                     minPpm: Long = 900): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(qcents("l_extendedprice")).as("c"))
+      .localCheckpoint() // read twice: global scalar + per-part probe
+    val total = perPart.agg(sum("c").as("tot"))
+    perPart.crossJoin(broadcast(total))
+      .withColumn("share_ppm",
+        expr("CAST(c AS DECIMAL(38,0)) * 1000000 div tot").cast("long"))
+      .filter(col("share_ppm") >= minPpm)
+      .select(col("l_partkey").as("p_partkey"),
+        (col("c").cast("double") / 100.0).as("revenue"), col("share_ppm"))
+      .orderBy(col("share_ppm").desc, col("p_partkey"))
+  }
 }
