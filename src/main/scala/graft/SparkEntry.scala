@@ -175,6 +175,7 @@ object SparkEntry {
     "q153_supplier_diversity" -> ((s, d) => Correlated.supplierDiversity(s, d)),
     "q154_concentrated_ship"  -> ((s, d) => Correlated.concentratedShipments(s, d)),
     "q155_important_parts"    -> ((s, d) => Correlated.importantParts(s, d)),
+    "q156_value_sketch"       -> ((s, d) => Analytics.orderValueSketch(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -2858,5 +2859,34 @@ object SparkEntry {
          |       share_ppm
          |FROM m WHERE share_ppm >= 900
          |ORDER BY share_ppm DESC, p_partkey""".stripMargin,
+    // One-pass equi-width histogram quantile sketch: 256 cells, rank
+    // ⌊p·(n−1)⌋, deterministic within-cell interpolation — every number
+    // an exact integer on both engines.
+    "q156_value_sketch" ->
+      s"""WITH v AS (SELECT ${cents("o_totalprice")} AS v FROM orders
+         |           WHERE o_totalprice IS NOT NULL),
+         |st AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax, COUNT(*) AS n FROM v),
+         |cells AS (SELECT ((v - vmin) * 256) // (vmax - vmin + 1) AS cell,
+         |                 COUNT(*) AS cnt
+         |          FROM v CROSS JOIN st GROUP BY cell),
+         |cum AS (SELECT cell, cnt,
+         |               COALESCE(SUM(cnt) OVER (ORDER BY cell
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+         |        FROM cells),
+         |probs AS (SELECT CAST(unnest([250000, 500000, 900000, 990000]) AS BIGINT) AS prob_ppm),
+         |j AS (SELECT prob_ppm, cell, cnt, cum_excl, vmin, vmax, n,
+         |             (prob_ppm * (n - 1)) // 1000000 AS rk
+         |      FROM cum CROSS JOIN st CROSS JOIN probs),
+         |hit AS (SELECT * FROM j WHERE cum_excl <= rk AND rk < cum_excl + cnt),
+         |o AS (SELECT prob_ppm,
+         |             vmin + (cell * (vmax - vmin + 1)) // 256 AS cell_lo,
+         |             vmin + ((cell + 1) * (vmax - vmin + 1)) // 256 - 1 AS cell_hi,
+         |             cnt AS cell_count, n, rk, cum_excl
+         |      FROM hit)
+         |SELECT prob_ppm, cell_lo, cell_hi,
+         |       CAST(cell_count AS BIGINT) AS cell_count, n,
+         |       CAST(cell_lo + ((rk - cum_excl) * GREATEST(cell_hi - cell_lo, 0)) // cell_count
+         |            AS BIGINT) AS estimate
+         |FROM o ORDER BY prob_ppm""".stripMargin,
   )
 }

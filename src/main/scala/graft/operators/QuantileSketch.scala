@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-pass equi-width histogram quantile sketch — the mergeable
+  * approximate-quantile path for corpus-scale columns. Exact quantiles
+  * (`percentile`) materialize and sort every value; at 10¹² rows that is
+  * the query. The sketch instead reduces the column to ≤ `buckets`
+  * integer cells in one map-side-combined aggregation (cells merge by
+  * addition, so partial aggregation and multi-snapshot union are free),
+  * then answers any quantile from the cumulative cell counts with a
+  * deterministic within-cell linear interpolation — all arithmetic in
+  * exact integers, so the estimate is engine-identical, and the error is
+  * bounded by one cell width by construction.
+  *
+  * Plan shape: one (min, max, count) scalar broadcast, one cell-keyed
+  * grouped count (the only corpus-wide exchange), the cumulative scan
+  * over ≤ `buckets` rows rides [[PrefixSum]]'s range-keyed window (no
+  * unpartitioned window even here), and the probe joins the tiny
+  * literal probability list against the cell spine.
+  */
+object QuantileSketch {
+
+  /** Quantile estimates for `probs` (in ppm, e.g. 500000 = median) over
+    * LONG `valueCol`. Returns one row per probe: `prob_ppm`, the
+    * bracketing cell bounds `cell_lo`/`cell_hi`, the cell's count, the
+    * total count `n`, and the interpolated integer `estimate`.
+    * Rank semantics: the estimate targets zero-indexed rank
+    * ⌊p·(n−1)⌋ (lower-rounded, the deterministic integer analogue of
+    * type-1 quantiles). */
+  def histogramQuantiles(df: DataFrame, valueCol: String,
+                         buckets: Int = 256,
+                         probsPpm: Seq[Long] = Seq(250000L, 500000L,
+                           900000L, 990000L)): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(probsPpm.nonEmpty && probsPpm.forall(p => p >= 0 && p <= 1000000),
+      s"probs must be ppm in [0, 1e6], got $probsPpm")
+    val spark = df.sparkSession
+    val v = df.select(col(valueCol).cast("long").as("v")).filter(col("v").isNotNull)
+    val stats = v.agg(min("v").as("vmin"), max("v").as("vmax"),
+      count(lit(1)).as("n"))
+    // Cell id in [0, buckets): ((v−min)·B) div (range+1). The +1 keeps
+    // v = max inside the last cell without a special case.
+    val cells = v.crossJoin(broadcast(stats))
+      .withColumn("cell",
+        expr(s"((v - vmin) * $buckets) div (vmax - vmin + 1)"))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+    val cum = PrefixSum.exclusive(cells, "cell", descending = false,
+      ties = Seq.empty, valueCol = "cnt", outCol = "cum_excl")
+    val probs = spark.createDataFrame(
+        probsPpm.distinct.sorted.map(java.lang.Long.valueOf).map(Tuple1(_)))
+      .toDF("prob_ppm")
+    // rank = ⌊p·(n−1)⌋; the owning cell has cum_excl ≤ rank < cum_excl+cnt.
+    // Probe side is |probs| literal rows — broadcast against the ≤B-row
+    // spine; the range condition makes this the one deliberate
+    // nested-loop join in the engine, bounded by |probs|·buckets rows.
+    cum.crossJoin(broadcast(stats)).crossJoin(broadcast(probs))
+      .withColumn("rank", expr("(prob_ppm * (n - 1)) div 1000000"))
+      .filter(col("cum_excl") <= col("rank") &&
+        col("rank") < col("cum_excl") + col("cnt"))
+      .withColumn("cell_lo", expr(s"vmin + (cell * (vmax - vmin + 1)) div $buckets"))
+      .withColumn("cell_hi",
+        expr(s"vmin + ((cell + 1) * (vmax - vmin + 1)) div $buckets - 1"))
+      // greatest(…, 0): a degenerate range (vmax = vmin) collapses every
+      // cell to width 0 — the estimate stays at cell_lo instead of
+      // walking backwards. (v−min)·buckets must fit 64 bits — rescale
+      // wider-than-2⁵⁴ domains before sketching.
+      .withColumn("estimate",
+        expr("cell_lo + ((rank - cum_excl) *" +
+          " greatest(cell_hi - cell_lo, 0L)) div cnt"))
+      .select(col("prob_ppm"), col("cell_lo"), col("cell_hi"),
+        col("cnt").as("cell_count"), col("n"), col("estimate"))
+      .orderBy("prob_ppm")
+  }
+}

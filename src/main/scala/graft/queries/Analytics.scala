@@ -1374,6 +1374,18 @@ object Analytics {
           .as("autocorr"))
   }
 
+  /** Histogram-sketch order-value quantiles (q156): p25/p50/p90/p99 of
+    * order totals from the ONE-PASS mergeable equi-width sketch
+    * ([[graft.operators.QuantileSketch]]) instead of an exact
+    * sort-everything percentile — the 100 TB quantile path (cells merge
+    * by addition across partitions and snapshots; error ≤ one cell
+    * width; every number integer-exact across engines). */
+  def orderValueSketch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.QuantileSketch.histogramQuantiles(
+      Tables.orders(spark, dir)
+        .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
+      "cents", buckets = 256)
+
   /** Co-purchase triangle census (q142): parts are connected when some
     * order contains both; the report counts triangles — triples of
     * parts pairwise co-purchased — and the global clustering
