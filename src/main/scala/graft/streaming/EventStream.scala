@@ -216,6 +216,65 @@ object EventStream {
       }
   }
 
+  case class TransEv(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                     event_type: String)
+  case class LastEv(last_us: Long, last_id: Long, last_type: String)
+  case class TransitionOut(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming twin of the q102 transition matrix: per user, emit a
+    * (from_type, to_type) row for every consecutive event pair — the
+    * downstream matrix is then a tiny (from, to)-keyed streaming (or
+    * batch) aggregation. State per user is ONE row (the last event),
+    * GC'd by event-time timeout once the user idles past `idleTtlMs`
+    * beyond the watermark — bounded regardless of user count growth.
+    * The GC is an explicit, documented divergence from the batch twin:
+    * a pair whose gap exceeds `idleTtlMs` of EVENT time is dropped
+    * (the user "re-enters" fresh), where the batch lag window would
+    * still count it — the deliberate price of bounded state; size the
+    * TTL to the longest gap the matrix should bridge (the parity spec
+    * passes a TTL longer than its fixture's span, so the comparison is
+    * exact).
+    * Within a batch, rows process in exact (micros, event_id) order —
+    * the batch twin's lag-window order — so a single-batch (or
+    * in-order-arrival) run reproduces
+    * [[graft.queries.EventWindows.eventTransitions]] pair-for-pair
+    * (EventStreamParitySpec pins the aggregated matrix). A late
+    * cross-batch event older than the stored state would pair out of
+    * order; the watermark bounds that window exactly as it bounds the
+    * session twins. */
+  def statefulTransitions(events: Dataset[TransEv],
+                          watermarkDelay: String = "2 hours",
+                          idleTtlMs: Long = 24L * 3600 * 1000): Dataset[TransitionOut] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEv, TransitionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[TransEv], state: GroupState[LastEv]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            var prev = state.getOption
+            val out = Seq.newBuilder[TransitionOut]
+            sorted.foreach { e =>
+              prev.foreach(p =>
+                out += TransitionOut(userId, p.last_type, e.event_type))
+              prev = Some(LastEv(us(e.ts), e.event_id, e.event_type))
+            }
+            prev.foreach { p =>
+              state.update(p)
+              state.setTimeoutTimestamp(
+                Math.floorDiv(p.last_us + idleTtlMs * 1000L + 999L, 1000L))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Append-mode parquet sink with checkpointing — the durable landing
     * pattern for a streaming ingest (exactly-once per file-sink contract). */
   def writeParquet(df: DataFrame, path: String, checkpoint: String): StreamingQuery =

@@ -67,4 +67,39 @@ class EventStreamParitySpec extends SparkSpec {
       s"streaming sessions diverged from the batch assignment " +
         s"(${got.length} streamed vs ${batch.size} batch)")
   }
+
+  test("statefulTransitions ≡ batch eventTransitions matrix on sf0.001") {
+    implicit val ctx = spark.sqlContext
+    // Batch truth: the q102 (from, to, n) matrix.
+    val batch = graft.queries.EventWindows.eventTransitions(spark, sf001)
+      .collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"),
+        r.getAs[Long]("n")))
+      .toSet
+    val events = graft.model.Tables.events(spark, sf001)
+      .selectExpr("user_id", "ts", "event_id", "event_type")
+      .as[EventStream.TransEv]
+      .collect().sortBy(e => (usOf(e.ts), e.event_id))
+    val in = MemoryStream[EventStream.TransEv]
+    // TTL longer than the fixture's event-time span: the batch twin has
+    // no state GC, so an exact comparison must not let any user expire
+    val q = EventStream.statefulTransitions(in.toDS(),
+      idleTtlMs = 365L * 86400 * 1000)
+      .writeStream.format("memory").queryName("tpar").outputMode("append").start()
+    // three chunks: the one-row per-user state must carry pairs across
+    // TWO micro-batch boundaries
+    val third = events.length / 3
+    Seq(events.take(third), events.slice(third, 2 * third),
+        events.drop(2 * third)).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("tpar").groupBy("from_type", "to_type").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == batch,
+      s"streaming transition matrix diverged (${got.size} vs ${batch.size} cells)")
+  }
 }
