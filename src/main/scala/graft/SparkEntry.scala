@@ -176,6 +176,7 @@ object SparkEntry {
     "q154_concentrated_ship"  -> ((s, d) => Correlated.concentratedShipments(s, d)),
     "q155_important_parts"    -> ((s, d) => Correlated.importantParts(s, d)),
     "q156_value_sketch"       -> ((s, d) => Analytics.orderValueSketch(s, d)),
+    "q157_priority_sketch"    -> ((s, d) => Analytics.priorityValueSketch(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -2888,5 +2889,34 @@ object SparkEntry {
          |       CAST(cell_lo + ((rk - cum_excl) * GREATEST(cell_hi - cell_lo, 0)) // cell_count
          |            AS BIGINT) AS estimate
          |FROM o ORDER BY prob_ppm""".stripMargin,
+    // Grouped histogram sketch: shared global grid, per-group cumulative
+    // counts, same exact integer interpolation.
+    "q157_priority_sketch" ->
+      s"""WITH v AS (SELECT o_orderpriority AS g, ${cents("o_totalprice")} AS v
+         |           FROM orders WHERE o_totalprice IS NOT NULL),
+         |st AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM v),
+         |cells AS (SELECT g, ((v - vmin) * 256) // (vmax - vmin + 1) AS cell,
+         |                 COUNT(*) AS cnt
+         |          FROM v CROSS JOIN st GROUP BY g, cell),
+         |cum AS (SELECT g, cell, cnt,
+         |               COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY cell
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl,
+         |               SUM(cnt) OVER (PARTITION BY g) AS n
+         |        FROM cells),
+         |probs AS (SELECT CAST(unnest([250000, 500000, 900000, 990000]) AS BIGINT) AS prob_ppm),
+         |j AS (SELECT g, prob_ppm, cell, cnt, cum_excl, n, vmin, vmax,
+         |             (prob_ppm * (n - 1)) // 1000000 AS rk
+         |      FROM cum CROSS JOIN st CROSS JOIN probs),
+         |hit AS (SELECT * FROM j WHERE cum_excl <= rk AND rk < cum_excl + cnt),
+         |o AS (SELECT g, prob_ppm,
+         |             vmin + (cell * (vmax - vmin + 1)) // 256 AS cell_lo,
+         |             vmin + ((cell + 1) * (vmax - vmin + 1)) // 256 - 1 AS cell_hi,
+         |             cnt AS cell_count, CAST(n AS BIGINT) AS n, rk, cum_excl
+         |      FROM hit)
+         |SELECT g AS o_orderpriority, prob_ppm, cell_lo, cell_hi,
+         |       CAST(cell_count AS BIGINT) AS cell_count, n,
+         |       CAST(cell_lo + ((rk - cum_excl) * GREATEST(cell_hi - cell_lo, 0)) // cell_count
+         |            AS BIGINT) AS estimate
+         |FROM o ORDER BY o_orderpriority, prob_ppm""".stripMargin,
   )
 }

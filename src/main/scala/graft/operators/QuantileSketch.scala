@@ -73,4 +73,53 @@ object QuantileSketch {
         col("cnt").as("cell_count"), col("n"), col("estimate"))
       .orderBy("prob_ppm")
   }
+
+  /** Per-group histogram quantiles: the same one-pass sketch with a
+    * SHARED global cell grid (one (min, max) scalar over the whole
+    * column, so cells are comparable and mergeable across groups) and
+    * per-group cumulative counts. The cumulative scan is a window
+    * PARTITIONED by the group key over ≤ `buckets` rows per group —
+    * per-key state bounded by the grid, never by group size — and the
+    * probe joins the literal probability list against the per-group
+    * spine. One corpus-wide exchange total (the (group, cell) count).
+    * Returns one row per (group, probe). */
+  def groupedHistogramQuantiles(df: DataFrame, groupCol: String,
+                                valueCol: String, buckets: Int = 256,
+                                probsPpm: Seq[Long] = Seq(250000L, 500000L,
+                                  900000L, 990000L)): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(probsPpm.nonEmpty && probsPpm.forall(p => p >= 0 && p <= 1000000),
+      s"probs must be ppm in [0, 1e6], got $probsPpm")
+    val spark = df.sparkSession
+    val v = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val stats = v.agg(min("v").as("vmin"), max("v").as("vmax"))
+    val cells = v.crossJoin(broadcast(stats))
+      .withColumn("cell",
+        expr(s"((v - vmin) * $buckets) div (vmax - vmin + 1)"))
+      .groupBy("g", "cell").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("cell")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = cells
+      .withColumn("cum_excl", coalesce(sum("cnt").over(w), lit(0L)))
+      .withColumn("n", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+    val probs = spark.createDataFrame(
+        probsPpm.distinct.sorted.map(java.lang.Long.valueOf).map(Tuple1(_)))
+      .toDF("prob_ppm")
+    cum.crossJoin(broadcast(stats)).crossJoin(broadcast(probs))
+      .withColumn("rank", expr("(prob_ppm * (n - 1)) div 1000000"))
+      .filter(col("cum_excl") <= col("rank") &&
+        col("rank") < col("cum_excl") + col("cnt"))
+      .withColumn("cell_lo", expr(s"vmin + (cell * (vmax - vmin + 1)) div $buckets"))
+      .withColumn("cell_hi",
+        expr(s"vmin + ((cell + 1) * (vmax - vmin + 1)) div $buckets - 1"))
+      .withColumn("estimate",
+        expr("cell_lo + ((rank - cum_excl) *" +
+          " greatest(cell_hi - cell_lo, 0L)) div cnt"))
+      .select(col("g").as(groupCol), col("prob_ppm"), col("cell_lo"),
+        col("cell_hi"), col("cnt").as("cell_count"), col("n"), col("estimate"))
+      .orderBy(groupCol, "prob_ppm")
+  }
 }

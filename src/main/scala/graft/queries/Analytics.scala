@@ -1386,6 +1386,18 @@ object Analytics {
         .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
       "cents", buckets = 256)
 
+  /** Per-priority order-value sketch quantiles (q157): the grouped form
+    * of q156 — one shared global cell grid (cells comparable and
+    * mergeable across groups), per-group cumulative counts over ≤256
+    * rows per key, one corpus-wide (group, cell) exchange total. */
+  def priorityValueSketch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.QuantileSketch.groupedHistogramQuantiles(
+      Tables.orders(spark, dir)
+        .filter(col("o_totalprice").isNotNull)
+        .select(col("o_orderpriority"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
+      "o_orderpriority", "cents", buckets = 256)
+
   /** Co-purchase triangle census (q142): parts are connected when some
     * order contains both; the report counts triangles — triples of
     * parts pairwise co-purchased — and the global clustering

@@ -35,6 +35,25 @@ class QuantileSketchSpec extends SparkSpec {
     assert(rows.length === 1 && rows.head.getAs[Long]("estimate") === 42L)
   }
 
+  test("grouped sketch: per-group estimates within one global-grid cell") {
+    val vals = (0 until 3000).map(i => (s"g${i % 3}", ((i * 97L) % 7001) +
+      (i % 3) * 2000)) // shifted distributions per group
+    val df = vals.toDF("g", "v").repartition(6)
+    val buckets = 128
+    val got = QuantileSketch.groupedHistogramQuantiles(df, "g", "v", buckets,
+        Seq(500000L))
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Long]("estimate"))
+      .toMap
+    val all = vals.map(_._2)
+    val width = (all.max - all.min) / buckets + 1
+    vals.groupBy(_._1).foreach { case (g, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val exact = sorted((sorted.size - 1) / 2)
+      assert(math.abs(got(g) - exact) <= width,
+        s"group $g: est=${got(g)} exact=$exact width=$width")
+    }
+  }
+
   test("partitioning-invariant: cells merge by addition") {
     val df = (0 until 2000).map(i => ((i * 7919L) % 5000)).toDF("v")
     def run(parts: Int) =
