@@ -177,6 +177,9 @@ object SparkEntry {
     "q155_important_parts"    -> ((s, d) => Correlated.importantParts(s, d)),
     "q156_value_sketch"       -> ((s, d) => Analytics.orderValueSketch(s, d)),
     "q157_priority_sketch"    -> ((s, d) => Analytics.priorityValueSketch(s, d)),
+    "q158_weighted_median"    -> ((s, d) => Analytics.weightedMedianPrice(s, d)),
+    "q159_modal_priority"     -> ((s, d) => Analytics.modalPriority(s, d)),
+    "q160_source_diversity"   -> ((s, d) => ExtQueries.sourceDiversity(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -2918,5 +2921,52 @@ object SparkEntry {
          |       CAST(cell_lo + ((rk - cum_excl) * GREATEST(cell_hi - cell_lo, 0)) // cell_count
          |            AS BIGINT) AS estimate
          |FROM o ORDER BY o_orderpriority, prob_ppm""".stripMargin,
+    // Quantity-weighted lower median price per supplier: collapsed
+    // (supplier, price) weights, cumulative window, smallest price whose
+    // doubled cumulative weight reaches the total.
+    "q158_weighted_median" ->
+      s"""WITH pw AS (SELECT l_suppkey, ${cents("l_extendedprice")} AS price_c,
+         |                   CAST(SUM(${cents("l_quantity")}) AS BIGINT) AS w
+         |            FROM lineitem GROUP BY l_suppkey, price_c),
+         |c AS (SELECT l_suppkey, price_c, w,
+         |             SUM(w) OVER (PARTITION BY l_suppkey ORDER BY price_c
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |             SUM(w) OVER (PARTITION BY l_suppkey) AS tot
+         |      FROM pw)
+         |SELECT l_suppkey, CAST(MAX(tot) AS BIGINT) AS total_weight,
+         |       CAST(MIN(CASE WHEN cum * 2 >= tot THEN price_c END) AS DOUBLE)/100.0
+         |         AS weighted_median_price
+         |FROM c GROUP BY l_suppkey
+         |ORDER BY l_suppkey""".stripMargin,
+    // Modal order priority per segment. The engine carries the argmax
+    // through partial aggregation as min(struct(-n, priority)); the
+    // oracle deliberately states the rank-window form instead, so the
+    // comparison checks the tie rule (smallest priority wins), not the
+    // implementation.
+    "q159_modal_priority" ->
+      """WITH c AS (SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+        |           FROM orders JOIN customer ON o_custkey = c_custkey
+        |           GROUP BY c_mktsegment, o_orderpriority),
+        |r AS (SELECT c_mktsegment, o_orderpriority, n,
+        |             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |               ORDER BY n DESC, o_orderpriority) AS rn,
+        |             SUM(n) OVER (PARTITION BY c_mktsegment) AS n_orders
+        |      FROM c)
+        |SELECT c_mktsegment, o_orderpriority AS top_priority,
+        |       CAST(n AS BIGINT) AS n_top, CAST(n_orders AS BIGINT) AS n_orders,
+        |       CAST((n * 10000) // n_orders AS INT) AS share_bp
+        |FROM r WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+    // Inverse Simpson effective language count per source, exact milli.
+    "q160_source_diversity" ->
+      """WITH c AS (SELECT source, lang, COUNT(*) AS n FROM documents
+        |           GROUP BY source, lang),
+        |g AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+        |             CAST(COUNT(*) AS INT) AS n_langs,
+        |             CAST(SUM(n*n) AS BIGINT) AS sq
+        |      FROM c GROUP BY source)
+        |SELECT source, n_docs, n_langs,
+        |       CAST(CAST(n_docs AS HUGEINT) * n_docs * 1000 // sq AS BIGINT)
+        |         AS inv_simpson_milli
+        |FROM g ORDER BY source""".stripMargin,
   )
 }

@@ -233,6 +233,26 @@ object TextAnalysis {
       .orderBy("source", "predicted_lang")
   }
 
+  /** Per-source language diversity (q160): the inverse Simpson index
+    * N²/Σn² — the "effective number of languages" a source actually
+    * mixes (1 = monolingual, k = k perfectly balanced languages) — in
+    * exact floored milli-units, plus the raw language count. The
+    * entropy-free diversity read: no logarithm crosses the engine
+    * boundary, so the statistic is bit-identical (the same reason the
+    * q149 Gini uses Σp² instead of Σp·log p). One grouped count per
+    * (source, lang), then a tiny per-source rollup. */
+  def sourceDiversity(docs: DataFrame, srcCol: String, langCol: String): DataFrame =
+    docs.groupBy(col(srcCol).as("source"), col(langCol).as("lang"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(sum("n").as("n_docs"),
+        count(lit(1)).cast("int").as("n_langs"),
+        sum(col("n") * col("n")).as("sq"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        expr("(CAST(n_docs AS DECIMAL(38,0)) * n_docs * 1000 div sq)")
+          .cast("long").as("inv_simpson_milli"))
+      .orderBy("source")
+
   /** Within-document repetition profile — the Gopher-style repetition
     * filter (Rae et al. 2021 §A1.3: repetitious documents are low-quality
     * training data): distinct-token ratio, most-frequent-token share, and

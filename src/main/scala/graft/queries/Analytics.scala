@@ -1398,6 +1398,59 @@ object Analytics {
           round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
       "o_orderpriority", "cents", buckets = 256)
 
+  /** Weighted median unit price per supplier (q158): the
+    * quantity-weighted median — the "typical traded price" a plain
+    * median of line rows mis-states when line sizes differ. Rows
+    * collapse to (supplier, price) weight sums first (one fact
+    * exchange), the cumulative weight rides a supplier-partitioned
+    * window over the collapsed rows, and the median is the smallest
+    * price whose doubled cumulative weight reaches the total
+    * (lower-weighted-median; exact integers throughout, argmin via
+    * conditional min — no second join). */
+  def weightedMedianPrice(spark: SparkSession, dir: String): DataFrame = {
+    val pw = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("price_c"),
+        round(col("l_quantity") * 100, 0).cast("long").as("w"))
+      .groupBy("l_suppkey", "price_c").agg(sum("w").as("w"))
+    val wOrd = Window.partitionBy("l_suppkey").orderBy("price_c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("l_suppkey")
+    pw
+      .withColumn("cum", sum("w").over(wOrd))
+      .withColumn("tot", sum("w").over(wAll))
+      .groupBy("l_suppkey")
+      .agg(max(col("tot")).as("total_weight"),
+        min(when(col("cum") * 2 >= col("tot"), col("price_c")))
+          .as("median_c"))
+      .select(col("l_suppkey"), col("total_weight"),
+        (col("median_c").cast("double") / 100.0).as("weighted_median_price"))
+      .orderBy("l_suppkey")
+  }
+
+  /** Modal order priority per market segment (q159): the most frequent
+    * priority each segment files, ties to the lexicographically
+    * smallest — argmax carried through the partial merge as
+    * `min(struct(−n, priority))` (no window, no second join; the
+    * (segment, priority) space is tiny after one fact agg). Share in
+    * exact basis points. */
+  def modalPriority(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    counts
+      .groupBy("c_mktsegment")
+      .agg(sum("n").as("n_orders"),
+        min(struct((-col("n")).as("neg"), col("o_orderpriority").as("p")))
+          .as("b"))
+      .select(col("c_mktsegment"), col("b.p").as("top_priority"),
+        (-col("b.neg")).as("n_top"), col("n_orders"),
+        expr("CAST(((- b.neg) * 10000) div n_orders AS INT)").as("share_bp"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Co-purchase triangle census (q142): parts are connected when some
     * order contains both; the report counts triangles — triples of
     * parts pairwise co-purchased — and the global clustering

@@ -298,6 +298,11 @@ object ExtQueries {
         "doc_id", "n_chars", k = 100)
       .orderBy("doc_id")
 
+  /** Per-source language diversity (q160): inverse Simpson effective
+    * language count over the declared `lang` column, exact milli. */
+  def sourceDiversity(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceDiversity(Tables.documents(spark, dir), "source", "lang")
+
   /** Vocabulary top-20 (q60): the corpus Zipf head with occurrence and
     * doc frequencies. */
   def vocabTopK(spark: SparkSession, dir: String): DataFrame =
