@@ -180,6 +180,7 @@ object SparkEntry {
     "q158_weighted_median"    -> ((s, d) => Analytics.weightedMedianPrice(s, d)),
     "q159_modal_priority"     -> ((s, d) => Analytics.modalPriority(s, d)),
     "q160_source_diversity"   -> ((s, d) => ExtQueries.sourceDiversity(s, d)),
+    "q161_table_profile"      -> ((s, d) => Analytics.lineitemProfile(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -2956,6 +2957,19 @@ object SparkEntry {
         |       CAST(n AS BIGINT) AS n_top, CAST(n_orders AS BIGINT) AS n_orders,
         |       CAST((n * 10000) // n_orders AS INT) AS share_bp
         |FROM r WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+    // Per-column profile: one UNION ALL branch per lineitem column —
+    // generated from the same static column list the engine profiles.
+    "q161_table_profile" -> {
+      val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      liCols.map { c =>
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+           |CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+           |CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
     // Inverse Simpson effective language count per source, exact milli.
     "q160_source_diversity" ->
       """WITH c AS (SELECT source, lang, COUNT(*) AS n FROM documents

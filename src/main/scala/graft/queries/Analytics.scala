@@ -1398,6 +1398,37 @@ object Analytics {
           round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
       "o_orderpriority", "cents", buckets = 256)
 
+  /** Generic per-column table profile: for every listed column, the
+    * row count, null count and exact distinct count — the ANALYZE-style
+    * audit a pipeline runs before trusting a new drop. ONE aggregation
+    * pass computes every column's stats (Spark plans the multi-distinct
+    * via Expand — n_cols× the scan rows map-side, still one exchange),
+    * then the single wide row unpivots to a (column, stats) row per
+    * column — driver-sized, never data-sized. */
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column to profile")
+    val aggs = count(lit(1)).as("__n") +:
+      cols.flatMap { c =>
+        Seq(count(col(c)).as(s"__nn_$c"), countDistinct(col(c)).as(s"__nd_$c"))
+      }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', __n - `__nn_$c`, `__nd_$c`"
+    }.mkString(", ")
+    wide.selectExpr("__n AS n_rows",
+        s"stack(${cols.size}, $stackArgs) AS (column_name, n_nulls, n_distinct)")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"))
+      .orderBy("column_name")
+  }
+
+  /** Lineitem column profile (q161): the full-width audit over the
+    * fact table. */
+  def lineitemProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    tableProfile(li, li.columns.toSeq)
+  }
+
   /** Weighted median unit price per supplier (q158): the
     * quantity-weighted median — the "typical traded price" a plain
     * median of line rows mis-states when line sizes differ. Rows
