@@ -181,6 +181,7 @@ object SparkEntry {
     "q159_modal_priority"     -> ((s, d) => Analytics.modalPriority(s, d)),
     "q160_source_diversity"   -> ((s, d) => ExtQueries.sourceDiversity(s, d)),
     "q161_table_profile"      -> ((s, d) => Analytics.lineitemProfile(s, d)),
+    "q162_curation_pipeline"  -> ((s, d) => ExtQueries.curationPipeline(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -2957,6 +2958,63 @@ object SparkEntry {
         |       CAST(n AS BIGINT) AS n_top, CAST(n_orders AS BIGINT) AS n_orders,
         |       CAST((n * 10000) // n_orders AS INT) AS share_bp
         |FROM r WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+    // End-to-end curation funnel: the q62 quality cascade, the q32
+    // exact-dedup winner, the q138 temperature gate and the q59 packing
+    // prefix, chained verbatim — per-source funnel + global bin count.
+    "q162_curation_pipeline" ->
+      s"""WITH $nCte,
+         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+         |m AS (SELECT doc_id,
+         |        CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT)))*1.0
+         |          / len(toks) AS ml,
+         |        len(list_filter(toks, w -> length(w) >= 7))*1.0 / len(toks) AS lf,
+         |        CAST(len(list_filter(toks,
+         |          w -> w IN ('the','a','of','and','to','in'))) AS BIGINT) AS ns
+         |      FROM tk),
+         |qd AS (SELECT doc_id FROM m
+         |       WHERE NOT (n_tokens < 50) AND NOT (ml < 4.2 OR ml > 4.8)
+         |         AND NOT (lf > 0.06) AND NOT (ns < 2)),
+         |qn AS (SELECT n.doc_id, n.t FROM n JOIN qd ON n.doc_id = qd.doc_id),
+         |rep AS (SELECT MIN(doc_id) AS doc_id FROM qn GROUP BY t),
+         |dd AS (SELECT d.doc_id, d.source FROM documents d
+         |       JOIN rep ON d.doc_id = rep.doc_id),
+         |c AS (SELECT source, COUNT(*) AS n_total FROM dd GROUP BY source),
+         |w AS (SELECT source, n_total,
+         |             CAST(floor(1000000*sqrt(n_total)) AS BIGINT) AS weight
+         |      FROM c),
+         |t2 AS (SELECT SUM(n_total) AS corpus_n, SUM(weight) AS sum_w FROM w),
+         |rt AS (SELECT source,
+         |              LEAST(1000000, CAST((CAST(1000000 AS HUGEINT) * (corpus_n*40//100) * weight)
+         |                // (CAST(sum_w AS HUGEINT) * n_total) AS BIGINT)) AS rate_ppm
+         |       FROM w CROSS JOIN t2),
+         |fin AS (SELECT dd.doc_id, dd.source FROM dd JOIN rt ON dd.source = rt.source
+         |        WHERE (((dd.doc_id % ${graft.ext.TextOps.HashP}) * 2654435761 + 97)
+         |               % ${graft.ext.TextOps.HashP}) % 1000000 < rt.rate_ppm),
+         |ft AS (SELECT f.doc_id, f.source,
+         |              CAST(len(string_split(n.t, ' ')) AS BIGINT) AS n_tokens
+         |       FROM fin f JOIN n ON f.doc_id = n.doc_id),
+         |pre AS (SELECT doc_id,
+         |               COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+         |        FROM ft),
+         |nb AS (SELECT COUNT(DISTINCT pre // 2048) AS n_bins_global FROM pre),
+         |c0 AS (SELECT source, COUNT(*) AS n_input FROM documents GROUP BY source),
+         |c1 AS (SELECT d.source, COUNT(*) AS n_quality FROM documents d
+         |       JOIN qd ON d.doc_id = qd.doc_id GROUP BY d.source),
+         |c2 AS (SELECT source, COUNT(*) AS n_dedup FROM dd GROUP BY source),
+         |c3 AS (SELECT source, COUNT(*) AS n_final,
+         |              CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens_final
+         |       FROM ft GROUP BY source)
+         |SELECT c0.source, c0.n_input,
+         |       COALESCE(n_quality, 0) AS n_quality,
+         |       COALESCE(n_dedup, 0) AS n_dedup,
+         |       COALESCE(n_final, 0) AS n_final,
+         |       COALESCE(sum_tokens_final, 0) AS sum_tokens_final,
+         |       nb.n_bins_global
+         |FROM c0 LEFT JOIN c1 USING (source) LEFT JOIN c2 USING (source)
+         |LEFT JOIN c3 USING (source) CROSS JOIN nb
+         |ORDER BY c0.source""".stripMargin,
     // Per-column profile: one UNION ALL branch per lineitem column —
     // generated from the same static column list the engine profiles.
     "q161_table_profile" -> {

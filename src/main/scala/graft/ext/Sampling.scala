@@ -146,6 +146,32 @@ object Sampling {
     * stratum column ever moves. */
   def temperatureMixReport(df: DataFrame, stratumCol: String, keyCol: String,
                            targetPct: Int): DataFrame = {
+    val rates = mixRates(df, stratumCol, targetPct)
+    val kept = applyMixGate(df, rates, stratumCol, keyCol)
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq(stratumCol), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+  }
+
+  /** The keep DECISION of [[temperatureMixReport]] as a row filter: the
+    * input rows whose stratum-rate hash gate passes, original columns
+    * intact — the form a curation pipeline composes (q162) where the
+    * report only counts. Same rates, same gate, stable under append. */
+  def temperatureMixFilter(df: DataFrame, stratumCol: String, keyCol: String,
+                           targetPct: Int): DataFrame =
+    applyMixGate(df, mixRates(df, stratumCol, targetPct), stratumCol, keyCol)
+
+  private def applyMixGate(df: DataFrame, rates: DataFrame,
+                           stratumCol: String, keyCol: String): DataFrame =
+    df.join(broadcast(rates.select(col(stratumCol), col("rate_ppm"))),
+        Seq(stratumCol))
+      .filter(ppmHash(col(keyCol)) < col("rate_ppm"))
+      .drop("rate_ppm")
+
+  /** Per-stratum √-proportional keep rates shared by the report and the
+    * filter: exact ⌊10⁶·√n⌋ weights, decimal floor-division ppm. */
+  private def mixRates(df: DataFrame, stratumCol: String,
+                       targetPct: Int): DataFrame = {
     require(targetPct > 0 && targetPct <= 100,
       s"targetPct must be in (0, 100], got $targetPct")
     val counts = df.groupBy(col(stratumCol))
@@ -154,20 +180,13 @@ object Sampling {
         floor(lit(1000000L) * sqrt(col("n_total"))).cast("long"))
     val totals = counts.agg(sum("n_total").as("corpus_n"),
       sum("weight").as("sum_w"))
-    val rates = counts.crossJoin(broadcast(totals))
+    counts.crossJoin(broadcast(totals))
       .withColumn("t_target", expr(s"corpus_n * $targetPct div 100"))
       .withColumn("rate_ppm",
         least(lit(1000000L),
           expr("CAST(1000000 AS DECIMAL(38,0)) * t_target * weight" +
             " div (CAST(sum_w AS DECIMAL(38,0)) * n_total)").cast("long")))
       .select(col(stratumCol), col("n_total"), col("weight"), col("rate_ppm"))
-    val kept = df
-      .join(broadcast(rates.select(col(stratumCol), col("rate_ppm"))),
-        Seq(stratumCol))
-      .filter(ppmHash(col(keyCol)) < col("rate_ppm"))
-      .groupBy(col(stratumCol)).agg(count(lit(1)).as("n_kept"))
-    rates.join(kept, Seq(stratumCol), "left")
-      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
   }
 
   /** Weighted systematic sampling (probability-proportional-to-size):

@@ -298,6 +298,50 @@ object ExtQueries {
         "doc_id", "n_chars", k = 100)
       .orderBy("doc_id")
 
+  /** End-to-end curation pipeline (q162): the full LLM-data flow —
+    * C4-style quality gate → exact dedup (smallest id per normalized
+    * text) → temperature-scaled source rebalance → 2048-token packing —
+    * composed as ONE declarative plan from the operators the suite
+    * already oracles individually (q62, q32, q138, q59). The report is
+    * the per-source funnel (input → quality → dedup → final, with final
+    * token mass) plus the global packed-bin count. Scale posture: each
+    * stage reuses its operator's shape (zero-shuffle scoring, text-keyed
+    * dedup agg, broadcast rate gate, two-pass prefix packing); the
+    * funnel counts are source-keyed partial aggs of each stage's
+    * survivor projection. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keptIds = graft.ext.QualityFilters.c4Filter(docs, "doc_id", "text")
+      .filter(col("keep") === 1).select("doc_id")
+    val q = docs.join(keptIds, Seq("doc_id"))
+    val repIds = q.select(col("doc_id"), TextOps.normText(col("text")).as("t"))
+      .groupBy("t").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val dd = q.join(repIds, Seq("doc_id"))
+    val fin = Sampling.temperatureMixFilter(dd, "source", "doc_id",
+        targetPct = 40)
+      .localCheckpoint() // funnel count, token mass and packing re-read it
+    val c0 = docs.groupBy("source").agg(count(lit(1)).as("n_input"))
+    val c1 = q.groupBy("source").agg(count(lit(1)).as("n_quality"))
+    val c2 = dd.groupBy("source").agg(count(lit(1)).as("n_dedup"))
+    val c3 = fin.groupBy("source").agg(count(lit(1)).as("n_final"),
+      sum(size(TextOps.tokens(TextOps.normText(col("text")))).cast("long"))
+        .as("sum_tokens_final"))
+    val bins = graft.ext.Packing.packingReport(fin, "doc_id", "text", 2048)
+      .agg(count(lit(1)).as("n_bins_global"))
+    c0.join(c1, Seq("source"), "left")
+      .join(c2, Seq("source"), "left")
+      .join(c3, Seq("source"), "left")
+      .crossJoin(broadcast(bins))
+      .select(col("source"), col("n_input"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"),
+        coalesce(col("sum_tokens_final"), lit(0L)).as("sum_tokens_final"),
+        col("n_bins_global"))
+      .orderBy("source")
+  }
+
   /** Per-source language diversity (q160): inverse Simpson effective
     * language count over the declared `lang` column, exact milli. */
   def sourceDiversity(spark: SparkSession, dir: String): DataFrame =
