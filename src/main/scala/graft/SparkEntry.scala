@@ -182,6 +182,7 @@ object SparkEntry {
     "q160_source_diversity"   -> ((s, d) => ExtQueries.sourceDiversity(s, d)),
     "q161_table_profile"      -> ((s, d) => Analytics.lineitemProfile(s, d)),
     "q162_curation_pipeline"  -> ((s, d) => ExtQueries.curationPipeline(s, d)),
+    "q163_clamped_balance"    -> ((s, d) => Analytics.supplierBalance(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -3015,6 +3016,35 @@ object SparkEntry {
          |FROM c0 LEFT JOIN c1 USING (source) LEFT JOIN c2 USING (source)
          |LEFT JOIN c3 USING (source) CROSS JOIN nb
          |ORDER BY c0.source""".stripMargin,
+    // Clamped running balance via the prefix-sum/running-floor
+    // linearization: balance = S − min(0, min S); a clamp fires iff the
+    // prefix sum digs a new low.
+    "q163_clamped_balance" ->
+      s"""WITH mv AS (SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+         |              CASE WHEN l_returnflag = 'R' THEN -${cents("l_quantity")}
+         |                   ELSE ${cents("l_quantity")} END AS delta
+         |            FROM lineitem),
+         |s AS (SELECT *, SUM(delta) OVER wk AS ps FROM mv
+         |      WINDOW wk AS (PARTITION BY l_suppkey
+         |        ORDER BY l_shipdate, l_orderkey, l_linenumber
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |b AS (SELECT *, ps - LEAST(0, MIN(ps) OVER wk) AS balance,
+         |             CASE WHEN ps < LEAST(0, COALESCE(MIN(ps) OVER wp, 0))
+         |                  THEN 1 ELSE 0 END AS clamped
+         |      FROM s
+         |      WINDOW wk AS (PARTITION BY l_suppkey
+         |        ORDER BY l_shipdate, l_orderkey, l_linenumber
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |      wp AS (PARTITION BY l_suppkey
+         |        ORDER BY l_shipdate, l_orderkey, l_linenumber
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT l_suppkey, COUNT(*) AS n_moves,
+         |       CAST(SUM(delta) AS BIGINT) AS net_delta,
+         |       CAST(SUM(delta) - LEAST(0, MIN(ps)) AS BIGINT) AS final_balance,
+         |       CAST(MAX(balance) AS BIGINT) AS peak_balance,
+         |       CAST(SUM(clamped) AS BIGINT) AS n_clamps
+         |FROM b GROUP BY l_suppkey
+         |ORDER BY l_suppkey""".stripMargin,
     // Per-column profile: one UNION ALL branch per lineitem column —
     // generated from the same static column list the engine profiles.
     "q161_table_profile" -> {

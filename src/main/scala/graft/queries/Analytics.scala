@@ -1429,6 +1429,24 @@ object Analytics {
     tableProfile(li, li.columns.toSeq)
   }
 
+  /** Clamped supplier inventory balance (q163): chronological quantity
+    * flow per supplier where returns (`l_returnflag = 'R'`) draw down
+    * and the balance floors at zero — the `b := max(0, b + delta)`
+    * scan that looks sequential but linearizes to two stacked windows
+    * ([[graft.operators.ClampedScan]]: balance = prefix sum − running
+    * floor). One supplier-keyed shuffle, per-row state, exact
+    * integers. */
+  def supplierBalance(spark: SparkSession, dir: String): DataFrame = {
+    val qc = round(col("l_quantity") * 100, 0).cast("long")
+    val mv = Tables.lineitem(spark, dir).select(col("l_suppkey"),
+      col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+      when(col("l_returnflag") === "R", -qc).otherwise(qc).as("delta"))
+    graft.operators.ClampedScan.balanceReport(mv, "l_suppkey",
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+        "delta")
+      .orderBy("l_suppkey")
+  }
+
   /** Weighted median unit price per supplier (q158): the
     * quantity-weighted median — the "typical traded price" a plain
     * median of line rows mis-states when line sizes differ. Rows

@@ -331,6 +331,28 @@ class PlanSpec extends SparkSpec {
       s"total-weight scalar not broadcast:\n${plan(df)}")
   }
 
+  test("volume shipping: one fact-fact exchange pair, nation prune broadcast") {
+    val p = plan(graft.queries.Correlated.volumeShipping(spark, sf001))
+    assert(!p.contains("CartesianProduct"), s"quadratic join:\n$p")
+    // the two-row nation dim must broadcast into supplier/customer;
+    // lineitem x orders on orderkey is the only sort-merge candidate
+    assert(p.contains("BroadcastHashJoin"), s"nation prune not broadcast:\n$p")
+  }
+
+  test("market share: region prune broadcasts, customer set is a semi join") {
+    val p = plan(graft.queries.Correlated.marketShare(spark, sf001))
+    assert(p.contains("LeftSemi"), s"market membership not a semi join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"quadratic join:\n$p")
+  }
+
+  test("curation pipeline: final survivors staged once, rate gate broadcast") {
+    val p = plan(graft.queries.ExtQueries.curationPipeline(spark, sf001))
+    // the checkpointed survivor set feeds the funnel count, token mass
+    // and packing without re-running quality/dedup/mix
+    assert(p.contains("ExistingRDD"), s"survivor staging missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"quadratic join:\n$p")
+  }
+
   test("idle-rich customers: scalar broadcast + anti join, no correlation leftovers") {
     // q134 (TPC-H Q22 shape): the global positive-balance average is a
     // 1-row broadcast nested loop (the only acceptable cross join) and
