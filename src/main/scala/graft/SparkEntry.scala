@@ -183,6 +183,8 @@ object SparkEntry {
     "q161_table_profile"      -> ((s, d) => Analytics.lineitemProfile(s, d)),
     "q162_curation_pipeline"  -> ((s, d) => ExtQueries.curationPipeline(s, d)),
     "q163_clamped_balance"    -> ((s, d) => Analytics.supplierBalance(s, d)),
+    "q164_content_growth"     -> ((s, d) => ExtQueries.contentGrowth(s, d)),
+    "q165_source_similarity"  -> ((s, d) => ExtQueries.sourceSimilarity(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -3045,6 +3047,37 @@ object SparkEntry {
          |       CAST(SUM(clamped) AS BIGINT) AS n_clamps
          |FROM b GROUP BY l_suppkey
          |ORDER BY l_suppkey""".stripMargin,
+    // Heaps'-law content growth: first-doc per distinct char-8-gram
+    // shingle hash, 50-doc slices, cumulative shingle vocabulary.
+    "q164_content_growth" ->
+      s"""WITH $nCte,
+         |$char8HashCte,
+         |f AS (SELECT hv, MIN(doc_id) AS first_doc FROM h GROUP BY hv),
+         |b AS (SELECT first_doc // 50 AS bucket, COUNT(*) AS n_new_shingles
+         |      FROM f GROUP BY bucket)
+         |SELECT bucket, n_new_shingles,
+         |       CAST(SUM(n_new_shingles) OVER (ORDER BY bucket
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |         AS cum_shingles
+         |FROM b ORDER BY bucket""".stripMargin,
+    // Source-level MinHash: per-source union signatures from the same
+    // Perms table, pairwise matching-hash counts.
+    "q165_source_similarity" ->
+      s"""WITH $nCte,
+         |z AS (SELECT doc_id, t, unnest(range(1, length(t)-6)) AS g FROM n),
+         |sh AS (SELECT d.source, ${hv8("substr(z.t, z.g, 8)")} AS hv
+         |       FROM z JOIN documents d ON z.doc_id = d.doc_id),
+         |perms AS (SELECT * FROM (VALUES $permValues) AS p(j, band, slot, a, b, w)),
+         |m AS (SELECT source, j, MIN((hv * a + b) % ${graft.ext.TextOps.HashP}) AS mh
+         |      FROM sh CROSS JOIN perms GROUP BY source, j),
+         |pr AS (SELECT x.source AS source_a, y.source AS source_b,
+         |              CAST(SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS INT)
+         |                AS n_matching
+         |       FROM m x JOIN m y ON x.j = y.j AND x.source < y.source
+         |       GROUP BY x.source, y.source)
+         |SELECT source_a, source_b, n_matching,
+         |       CAST(n_matching AS DOUBLE)/16.0 AS est_similarity
+         |FROM pr ORDER BY source_a, source_b""".stripMargin,
     // Per-column profile: one UNION ALL branch per lineitem column —
     // generated from the same static column list the engine profiles.
     "q161_table_profile" -> {

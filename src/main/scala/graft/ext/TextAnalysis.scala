@@ -253,6 +253,32 @@ object TextAnalysis {
           .cast("long").as("inv_simpson_milli"))
       .orderBy("source")
 
+  /** Content growth curve (q164): new distinct char-8-gram shingles
+    * contributed per corpus slice of `bucketDocs` documents (by id
+    * order) and the cumulative shingle vocabulary — the Heaps'-law
+    * curve over CONTENT rather than tokens (the cumulative twin of
+    * q110's per-document novelty: it tells an ingest when new data
+    * stops adding new material). Each shingle's FIRST document is one
+    * hash-keyed min aggregation over the scan-side shingle kernel (the
+    * only corpus-wide shuffle; 16-byte rows); the per-bucket rollup is
+    * ≤ buckets rows and the cumulative rides the distributed prefix sum
+    * (no unpartitioned window). */
+  def contentGrowth(docs: DataFrame, idCol: String, textCol: String,
+                    bucketDocs: Int = 50): DataFrame = {
+    require(bucketDocs > 0, s"bucketDocs must be positive, got $bucketDocs")
+    val first = TextDedup.docShingleHashes(docs, idCol, textCol)
+      .groupBy("hv").agg(min("doc_id").as("first_doc"))
+    val buckets = first
+      .groupBy(expr(s"first_doc div $bucketDocs").as("bucket"))
+      .agg(count(lit(1)).as("n_new_shingles"))
+    graft.operators.PrefixSum.exclusive(buckets, "bucket",
+        descending = false, ties = Seq.empty, valueCol = "n_new_shingles",
+        outCol = "pre")
+      .select(col("bucket"), col("n_new_shingles"),
+        (col("pre") + col("n_new_shingles")).as("cum_shingles"))
+      .orderBy("bucket")
+  }
+
   /** Within-document repetition profile — the Gopher-style repetition
     * filter (Rae et al. 2021 §A1.3: repetitious documents are low-quality
     * training data): distinct-token ratio, most-frequent-token share, and

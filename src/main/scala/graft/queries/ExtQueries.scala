@@ -342,6 +342,18 @@ object ExtQueries {
       .orderBy("source")
   }
 
+  /** Content growth curve (q164): Heaps'-law shingle discovery per
+    * 50-doc slice with the cumulative riding the distributed prefix
+    * sum. */
+  def contentGrowth(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.contentGrowth(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Source-level MinHash similarity matrix (q165): per-source 16-hash
+    * union signatures, pairwise matching-hash Jaccard estimates. */
+  def sourceSimilarity(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.sourceMinhashSimilarity(Tables.documents(spark, dir),
+      "source", "text")
+
   /** Per-source language diversity (q160): inverse Simpson effective
     * language count over the declared `lang` column, exact milli. */
   def sourceDiversity(spark: SparkSession, dir: String): DataFrame =
