@@ -34,6 +34,28 @@ class IntervalsSpec extends SparkSpec {
     assert(r.getAs[Long]("span") === 22)
   }
 
+  test("randomized: islands match a brute-force sweep on every key") {
+    val rows = for (k <- 0L until 9L; i <- 0 until 80) yield {
+      val s = (k * 131 + i * 37) % 400
+      (k, s, s + 1 + (i * 13) % 25)
+    }
+    val got = Intervals.islands(rows.toDF("k", "s", "e").repartition(7),
+        "k", "s", "e")
+      .collect()
+      .groupBy(_.getAs[Long]("k"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("island_start"),
+        r.getAs[Long]("island_end"))).sorted.toSeq).toMap
+    rows.groupBy(_._1).foreach { case (k, iv) =>
+      val sorted = iv.map(t => (t._2, t._3)).sorted
+      val brute = sorted.tail.foldLeft(List(sorted.head)) {
+        case (acc @ ((cs, ce) :: rest), (s, e)) =>
+          if (s <= ce) (cs, math.max(ce, e)) :: rest else (s, e) :: acc
+        case (acc, _) => acc
+      }.reverse
+      assert(got(k) === brute, s"key $k islands diverged")
+    }
+  }
+
   test("keys are independent: a key's islands never leak into another") {
     val df = Seq((1L, 0L, 5L), (2L, 4L, 6L)).toDF("k", "s", "e")
     val r = Intervals.coverage(df, "k", "s", "e")
