@@ -353,6 +353,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"quadratic join:\n$p")
   }
 
+  test("clamped balance: one fact exchange, windows fused over one sort") {
+    val df = Analytics.supplierBalance(spark, sf001)
+    val p = plan(df)
+    // the linearized scan must shuffle the movement log ONCE (plus the
+    // output ORDER BY's range exchange) — prefix sum, running floor and
+    // clamp flags all ride the same supplier-keyed sort
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 1, s"expected one supplier shuffle, saw $hashEx:\n$p")
+    assert(!p.contains("Join"), s"the scan must not join:\n$p")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"clamped-scan windows must key on the supplier: $windows")
+  }
+
   test("idle-rich customers: scalar broadcast + anti join, no correlation leftovers") {
     // q134 (TPC-H Q22 shape): the global positive-balance average is a
     // 1-row broadcast nested loop (the only acceptable cross join) and
