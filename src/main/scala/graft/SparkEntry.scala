@@ -185,6 +185,10 @@ object SparkEntry {
     "q163_clamped_balance"    -> ((s, d) => Analytics.supplierBalance(s, d)),
     "q164_content_growth"     -> ((s, d) => ExtQueries.contentGrowth(s, d)),
     "q165_source_similarity"  -> ((s, d) => ExtQueries.sourceSimilarity(s, d)),
+    "q166_bracket_revenue"    -> ((s, d) => Correlated.bracketRevenue(s, d)),
+    "q167_returned_items"     -> ((s, d) => Correlated.returnedItemReport(s, d)),
+    "q168_late_priority_mix"  -> ((s, d) => Correlated.latePriorityMix(s, d)),
+    "q169_priority_check"     -> ((s, d) => Correlated.orderPriorityCheck(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -3078,6 +3082,59 @@ object SparkEntry {
          |SELECT source_a, source_b, n_matching,
          |       CAST(n_matching AS DOUBLE)/16.0 AS est_similarity
          |FROM pr ORDER BY source_a, source_b""".stripMargin,
+    // TPC-H Q19 shape: one fact pass under an OR-of-ANDs bracket.
+    "q166_bracket_revenue" ->
+      s"""WITH li AS (SELECT l_partkey, ${cents("l_quantity")} AS qc,
+         |                  ${cents("l_extendedprice")} AS c FROM lineitem)
+         |SELECT COUNT(*) AS n_items, CAST(SUM(c) AS DOUBLE)/100.0 AS revenue
+         |FROM li JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |       AND qc BETWEEN 100 AND 1100)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+         |       AND qc BETWEEN 1000 AND 2000)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+         |       AND qc BETWEEN 2000 AND 3000)""".stripMargin,
+    // TPC-H Q10 shape: quarterly returned revenue per customer, top 20.
+    "q167_returned_items" ->
+      s"""WITH li AS (SELECT l_orderkey, ${cents("l_extendedprice")} AS c
+         |            FROM lineitem
+         |            WHERE l_returnflag = 'R'
+         |              AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |              AND l_shipdate <  TIMESTAMP '1996-04-01'),
+         |g AS (SELECT o_custkey, COUNT(*) AS n_returned_items,
+         |             CAST(SUM(c) AS BIGINT) AS rc
+         |      FROM li JOIN orders ON l_orderkey = o_orderkey
+         |      GROUP BY o_custkey)
+         |SELECT c_custkey, c_name, n_name, n_returned_items,
+         |       CAST(rc AS DOUBLE)/100.0 AS returned_revenue
+         |FROM g JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |ORDER BY returned_revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
+    // TPC-H Q12 shape: late shipments split by order priority.
+    "q168_late_priority_mix" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_priority,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS n_low_priority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE date_diff('day', CAST(o_orderdate AS DATE),
+        |                CAST(l_shipdate AS DATE)) > 60
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // TPC-H Q4 shape: EXISTS a late lineitem, counted per priority.
+    "q169_priority_check" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_late_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND date_diff('day', CAST(o.o_orderdate AS DATE),
+        |                              CAST(l.l_shipdate AS DATE)) > 30)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // Per-column profile: one UNION ALL branch per lineitem column —
     // generated from the same static column list the engine profiles.
     "q161_table_profile" -> {

@@ -288,6 +288,105 @@ object Correlated {
       .orderBy(col("n_concentrated_parts").desc, col("s_suppkey"))
   }
 
+  /** Bracketed disjunctive revenue (q166, the TPC-H Q19 shape): revenue
+    * from lineitems matching ANY of three (brand, size-range,
+    * qty-range) brackets — the OR-of-ANDs predicate that tests whether
+    * the engine keeps a single fact scan with the whole disjunction
+    * pushed beside the join instead of unioning three scans. Part
+    * attributes broadcast; one pass, exact cents. */
+  def bracketRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), qcents("l_quantity").as("qc"),
+        qcents("l_extendedprice").as("cents"))
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("qc").between(100, 1100)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("qc").between(1000, 2000)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+          col("qc").between(2000, 3000)))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(col("cents")).cast("double") / 100.0).as("revenue"))
+  }
+
+  /** Returned-item reporting (q167, the TPC-H Q10 shape): customers
+    * ranked by the revenue they returned in one quarter — the churn
+    * report. The return+date filter prunes the fact at the scan; the
+    * orderkey join is the only big exchange; top-20 plans as
+    * TakeOrderedAndProject. */
+  def returnedItemReport(spark: SparkSession, dir: String,
+                         from: String = "1996-01-01",
+                         until: String = "1996-04-01", k: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R" &&
+        col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .select(col("l_orderkey"), qcents("l_extendedprice").as("cents"))
+    li.join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_returned_items"), sum("cents").as("rc"))
+      .join(Tables.customer(spark, dir)
+        .select("c_custkey", "c_name", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("n_returned_items"),
+        (col("rc").cast("double") / 100.0).as("returned_revenue"))
+      .orderBy(col("returned_revenue").desc, col("c_custkey"))
+      .limit(k)
+  }
+
+  /** Late-shipment priority mix (q168, the TPC-H Q12 shape): per return
+    * flag, how many LATE shipments (> 60 days after order) belong to
+    * urgent vs other orders — the logistics-priority crosstab. The
+    * lateness predicate joins fact to order dates on the one orderkey
+    * exchange; the priority split is a conditional aggregation. */
+  def latePriorityMix(spark: SparkSession, dir: String,
+                      lateDays: Int = 60): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+    li.join(Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate").cast("date"),
+        col("o_orderdate").cast("date")) > lateDays)
+      .groupBy("l_returnflag")
+      .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("n_high_priority"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("n_low_priority"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Order-priority checking (q169, the TPC-H Q4 EXISTS shape): orders
+    * placed in one quarter with AT LEAST ONE late lineitem, counted per
+    * priority. The EXISTS decorrelates to a semi join of the date-pruned
+    * orders against the lateness-filtered fact — the fact is never
+    * aggregated, the semi join keeps order rows unique, and the final
+    * rollup is ≤ |priorities| rows. */
+  def orderPriorityCheck(spark: SparkSession, dir: String,
+                         from: String = "1996-01-01",
+                         until: String = "1996-04-01",
+                         lateDays: Int = 30): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(until))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val lateLi = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(lateLi,
+        col("o_orderkey") === col("l_orderkey") &&
+          datediff(col("l_shipdate").cast("date"),
+            col("o_orderdate").cast("date")) > lateDays,
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Important parts (q155, the TPC-H Q11 group-vs-global shape): parts
     * whose revenue share of the whole corpus exceeds a ppm threshold.
     * The correlated `HAVING sum(...) > (SELECT sum(...) * f)` scalar is
