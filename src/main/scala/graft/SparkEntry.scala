@@ -189,6 +189,11 @@ object SparkEntry {
     "q167_returned_items"     -> ((s, d) => Correlated.returnedItemReport(s, d)),
     "q168_late_priority_mix"  -> ((s, d) => Correlated.latePriorityMix(s, d)),
     "q169_priority_check"     -> ((s, d) => Correlated.orderPriorityCheck(s, d)),
+    "q170_pricing_summary"    -> ((s, d) => Correlated.pricingSummary(s, d)),
+    "q171_ship_priority"      -> ((s, d) => Correlated.shippingPriority(s, d)),
+    "q172_revenue_delta"      -> ((s, d) => Correlated.revenueDelta(s, d)),
+    "q173_product_profit"     -> ((s, d) => Correlated.productTypeProfit(s, d)),
+    "q174_order_count_dist"   -> ((s, d) => Correlated.orderCountDistribution(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -2870,7 +2875,7 @@ object SparkEntry {
          |      FROM pp CROSS JOIN t)
          |SELECT l_partkey AS p_partkey, CAST(c AS DOUBLE)/100.0 AS revenue,
          |       share_ppm
-         |FROM m WHERE share_ppm >= 900
+         |FROM m WHERE share_ppm >= 700
          |ORDER BY share_ppm DESC, p_partkey""".stripMargin,
     // One-pass equi-width histogram quantile sketch: 256 cells, rank
     // ⌊p·(n−1)⌋, deterministic within-cell interpolation — every number
@@ -3135,6 +3140,87 @@ object SparkEntry {
         |                              CAST(l.l_shipdate AS DATE)) > 30)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // TPC-H Q1 shape: the canonical pricing-summary scan. All sums are
+    // exact integers (cents × integer percent) until the final division.
+    "q170_pricing_summary" ->
+      s"""WITH li AS (SELECT l_returnflag, l_linestatus,
+         |                  ${cents("l_quantity")} AS qc,
+         |                  ${cents("l_extendedprice")} AS c,
+         |                  ${cents("l_discount")} AS dc,
+         |                  ${cents("l_tax")} AS tc
+         |            FROM lineitem
+         |            WHERE l_shipdate <= TIMESTAMP '2000-12-01')
+         |SELECT l_returnflag, l_linestatus,
+         |       CAST(SUM(qc) AS DOUBLE)/100.0 AS sum_qty,
+         |       CAST(SUM(c) AS DOUBLE)/100.0 AS sum_base_price,
+         |       CAST(SUM(c*(100-dc)) AS DOUBLE)/10000.0 AS sum_disc_price,
+         |       CAST(SUM(c*(100-dc)*(100+tc)) AS DOUBLE)/1000000.0 AS sum_charge,
+         |       CAST(SUM(qc) AS DOUBLE)/COUNT(*)/100.0 AS avg_qty,
+         |       CAST(SUM(c) AS DOUBLE)/COUNT(*)/100.0 AS avg_price,
+         |       CAST(SUM(dc) AS DOUBLE)/COUNT(*)/100.0 AS avg_disc,
+         |       COUNT(*) AS count_order
+         |FROM li GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // TPC-H Q3 shape: unshipped revenue of one segment's orders, top 10.
+    "q171_ship_priority" ->
+      s"""WITH li AS (SELECT l_orderkey, ${cents("l_extendedprice")} AS c,
+         |                  ${cents("l_discount")} AS dc
+         |            FROM lineitem
+         |            WHERE l_shipdate > TIMESTAMP '1996-06-01'),
+         |ord AS (SELECT o_orderkey, o_orderdate, o_orderpriority
+         |        FROM orders JOIN customer ON o_custkey = c_custkey
+         |        WHERE o_orderdate < TIMESTAMP '1996-06-01'
+         |          AND c_mktsegment = 'BUILDING')
+         |SELECT l_orderkey,
+         |       CAST(SUM(c*(100-dc)) AS DOUBLE)/10000.0 AS revenue,
+         |       CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+         |FROM li JOIN ord ON l_orderkey = o_orderkey
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, order_date, l_orderkey
+         |LIMIT 10""".stripMargin,
+    // TPC-H Q6 shape: pure scan-side conditional aggregate; every
+    // predicate is a raw-column comparison (pushdown showcase).
+    "q172_revenue_delta" ->
+      s"""SELECT CAST(SUM(c*dc) AS DOUBLE)/10000.0 AS forecast_revenue,
+         |       COUNT(*) AS n_items
+         |FROM (SELECT ${cents("l_extendedprice")} AS c,
+         |             ${cents("l_discount")} AS dc
+         |      FROM lineitem
+         |      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |        AND l_shipdate <  TIMESTAMP '1997-01-01'
+         |        AND l_discount >= CAST(0.05 AS DOUBLE)
+         |        AND l_discount <= CAST(0.07 AS DOUBLE)
+         |        AND l_quantity < 24)""".stripMargin,
+    // TPC-H Q9 shape: nation×year margin on LIKE-pruned parts (retail
+    // price proxies the missing partsupp supply cost).
+    "q173_product_profit" ->
+      s"""WITH p AS (SELECT p_partkey, ${cents("p_retailprice")} AS rc
+         |           FROM part WHERE p_name LIKE '%red%'),
+         |sn AS (SELECT s_suppkey, n_name
+         |       FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+         |li AS (SELECT l_orderkey, ${cents("l_quantity")} AS qc,
+         |              ${cents("l_extendedprice")} AS c,
+         |              ${cents("l_discount")} AS dc, rc, n_name
+         |       FROM lineitem JOIN p ON l_partkey = p_partkey
+         |       JOIN sn ON l_suppkey = s_suppkey)
+         |SELECT n_name AS nation,
+         |       CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+         |       CAST(SUM(c*(100-dc) - rc*qc) AS DOUBLE)/10000.0 AS profit,
+         |       COUNT(*) AS n_items
+         |FROM li JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY nation, o_year
+         |ORDER BY nation, o_year DESC""".stripMargin,
+    // TPC-H Q13 shape: order-count histogram INCLUDING zero-order
+    // customers (the left-outer-join shape).
+    "q174_order_count_dist" ->
+      """WITH pc AS (SELECT o_custkey, COUNT(*) AS n FROM orders
+        |            WHERE o_orderpriority <> '1-URGENT'
+        |            GROUP BY o_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT COALESCE(n, 0) AS c_count
+        |      FROM customer LEFT JOIN pc ON c_custkey = o_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     // Per-column profile: one UNION ALL branch per lineitem column —
     // generated from the same static column list the engine profiles.
     "q161_table_profile" -> {

@@ -22,6 +22,8 @@ import graft.model.Tables
 object Correlated {
 
   private def qcents(c: String) = round(col(c) * 100, 0).cast("long")
+  /** Discount/tax as exact integer percent (the generator emits hundredths). */
+  private def pct(c: String) = round(col(c) * 100, 0).cast("long")
 
   /** Small-quantity revenue (q132, the TPC-H Q17 correlation): revenue from
     * lineitems of one brand whose quantity is below 20% of that part's own
@@ -392,9 +394,13 @@ object Correlated {
     * The correlated `HAVING sum(...) > (SELECT sum(...) * f)` scalar is
     * a 1-row broadcast; shares are exact integer ppm floor divisions —
     * the per-part aggregate computes once (checkpointed) and feeds both
-    * the scalar and the probe. */
+    * the scalar and the probe. The default threshold must split the
+    * population at the verification scale: sf0.01's max part share is
+    * ~898 ppm, so 700 keeps a non-trivial survivor set (~68/2000) and a
+    * non-trivial rejected set — a hash match then proves the share math,
+    * not just "both engines returned nothing". */
   def importantParts(spark: SparkSession, dir: String,
-                     minPpm: Long = 900): DataFrame = {
+                     minPpm: Long = 700): DataFrame = {
     val perPart = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
       .agg(sum(qcents("l_extendedprice")).as("c"))
@@ -407,5 +413,147 @@ object Correlated {
       .select(col("l_partkey").as("p_partkey"),
         (col("c").cast("double") / 100.0).as("revenue"), col("share_ppm"))
       .orderBy(col("share_ppm").desc, col("p_partkey"))
+  }
+
+  /** Pricing summary report (q170, the TPC-H Q1 shape): the canonical
+    * grouped-aggregate scan — every lineitem shipped by the cutoff rolls
+    * up into ≤|flag|·|status| rows of sums/averages. All money math is
+    * exact integer: prices in cents, discount/tax in integer percent
+    * (the generator emits exact hundredths), so disc price is cents·1e-2
+    * and charge cents·1e-4 — partial aggregation merges in any order
+    * without fp drift, and the doubles only appear in the final
+    * projection. Scale: one scan, one hash agg (map-side partial), no
+    * join, no window — the plan every columnar engine should produce. */
+  def pricingSummary(spark: SparkSession, dir: String,
+                     cutoff: String = "2000-12-01"): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit(cutoff))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        qcents("l_quantity").as("qc"), qcents("l_extendedprice").as("c"),
+        pct("l_discount").as("dc"), pct("l_tax").as("tc"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        (sum("qc").cast("double") / 100.0).as("sum_qty"),
+        (sum("c").cast("double") / 100.0).as("sum_base_price"),
+        (sum(col("c") * (lit(100L) - col("dc"))).cast("double") / 10000.0)
+          .as("sum_disc_price"),
+        (sum(col("c") * (lit(100L) - col("dc")) * (lit(100L) + col("tc")))
+          .cast("double") / 1000000.0).as("sum_charge"),
+        (sum("qc").cast("double") / count(lit(1)) / 100.0).as("avg_qty"),
+        (sum("c").cast("double") / count(lit(1)) / 100.0).as("avg_price"),
+        (sum("dc").cast("double") / count(lit(1)) / 100.0).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Shipping priority (q171, the TPC-H Q3 shape): unshipped revenue of
+    * one market segment's orders, top 10 by revenue. The segment prune
+    * broadcasts (customer is the smallest side after the filter), the
+    * date-pruned orders join the shipdate-pruned fact on orderkey — ONE
+    * fact shuffle — and the top-k plans as TakeOrderedAndProject, so only
+    * 10 rows leave the final agg. `o_orderpriority` stands in for the
+    * reference schema's missing `o_shippriority`. */
+  def shippingPriority(spark: SparkSession, dir: String,
+                       segment: String = "BUILDING",
+                       date: String = "1996-06-01", k: Int = 10): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === segment).select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit(date))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit(date))
+      .select(col("l_orderkey"), qcents("l_extendedprice").as("c"),
+        pct("l_discount").as("dc"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("c") * (lit(100L) - col("dc"))).as("rev_e4"))
+      .select(col("l_orderkey"),
+        (col("rev_e4").cast("double") / 10000.0).as("revenue"),
+        col("o_orderdate").cast("date").as("order_date"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("order_date"), col("l_orderkey"))
+      .limit(k)
+  }
+
+  /** Forecast revenue delta (q172, the TPC-H Q6 shape): what extra revenue
+    * would have been booked in a year had discounts in a band been waived
+    * for small orders. The cleanest pushdown showcase in the suite: every
+    * predicate is a RAW-column comparison (shipdate range, discount band,
+    * quantity cap) so all three reach the parquet scan as PushedFilters,
+    * and the single-row answer needs no shuffle beyond the final
+    * 1-partition partial-agg merge. Money math stays integer (cents ×
+    * integer percent) until the one output division. */
+  def revenueDelta(spark: SparkSession, dir: String,
+                   year: String = "1996",
+                   discLo: Double = 0.05, discHi: Double = 0.07,
+                   maxQty: Double = 24.0): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(s"$year-01-01") &&
+        col("l_shipdate") < lit(s"${year.toInt + 1}-01-01") &&
+        col("l_discount") >= lit(discLo) && col("l_discount") <= lit(discHi) &&
+        col("l_quantity") < lit(maxQty))
+      .select(qcents("l_extendedprice").as("c"), pct("l_discount").as("dc"))
+      .agg((sum(col("c") * col("dc")).cast("double") / 10000.0)
+        .as("forecast_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Product-type profit (q173, the TPC-H Q9 shape): per nation per year,
+    * the margin earned on parts whose name matches a pattern. The
+    * reference schema carries no partsupp, so unit cost is proxied by the
+    * part's retail price (margin = disc price − retail·qty, both exact
+    * 1e-4-cents integers; negative margins are meaningful). The join
+    * topology is the Q9 one: LIKE-pruned part and the supplier⋈nation dim
+    * both broadcast into the fact, orders joins on orderkey for the year
+    * column — the fact shuffles ONCE (orderkey), everything else rides
+    * broadcasts, and the rollup is |nation|·|year| rows. */
+  def productTypeProfit(spark: SparkSession, dir: String,
+                        namePattern: String = "%red%"): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_name").like(namePattern))
+      .select(col("p_partkey"), qcents("p_retailprice").as("rc"))
+    val supNat = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        qcents("l_quantity").as("qc"), qcents("l_extendedprice").as("c"),
+        pct("l_discount").as("dc"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+    li.join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate").cast("date")).as("o_year"))
+      .agg((sum(col("c") * (lit(100L) - col("dc")) -
+        col("rc") * col("qc")).cast("double") / 10000.0).as("profit"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Customer order-count distribution (q174, the TPC-H Q13 shape): how
+    * many customers placed exactly k qualifying orders — INCLUDING the
+    * zero-order customers, which is what forces the LEFT OUTER join (the
+    * one join shape the rest of the suite lacks). Decorrelated for scale:
+    * qualifying orders pre-aggregate to per-custkey counts (map-side
+    * partial, custkey exchange), customer LEFT-joins that ≤|customer|-row
+    * count table, and missing matches coalesce to 0 — the wide customer
+    * row never rides a fact-sized shuffle. `o_orderpriority` stands in
+    * for the reference schema's missing comment filter. */
+  def orderCountDistribution(spark: SparkSession, dir: String,
+                             excludePriority: String = "1-URGENT"): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= excludePriority)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
   }
 }

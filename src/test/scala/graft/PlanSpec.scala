@@ -377,4 +377,78 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n$p")
     assert(!p.contains("CartesianProduct"), s"non-broadcast cartesian:\n$p")
   }
+
+  test("pricing summary is one scan + one aggregation: no join, no window") {
+    // q170 (TPC-H Q1 shape): the canonical grouped scan — the shipdate
+    // cutoff reaches the parquet scan, and nothing but the hash agg's own
+    // exchange appears in the plan
+    val df = graft.queries.Correlated.pricingSummary(spark, sf001)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate cutoff not pushed to the scan:\n$p")
+  }
+
+  test("shipping priority: segment prune broadcasts, one fact shuffle, top-k") {
+    // q171 (TPC-H Q3 shape): the BUILDING customers broadcast into the
+    // date-pruned orders, the fact joins on orderkey, and the top 10 plans
+    // as TakeOrderedAndProject — no global sort of the grouped output
+    val p = plan(graft.queries.Correlated.shippingPriority(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), s"segment prune not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+  }
+
+  test("revenue delta pushes every predicate into the parquet scan") {
+    // q172 (TPC-H Q6 shape): shipdate range, discount band, and quantity
+    // cap are all raw-column comparisons — all must appear as PushedFilters
+    val df = graft.queries.Correlated.revenueDelta(spark, sf001)
+    val p = plan(df)
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"scan-side agg grew a join/window:\n$p")
+    // the rendered plan truncates long PushedFilters lists — read the
+    // scan node's metadata, which carries the full string
+    val pushed = df.queryExecution.sparkPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata("PushedFilters")
+    }.getOrElse(sys.error("no parquet scan in the plan"))
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity").foreach { f =>
+      assert(pushed.contains(f), s"predicate $f not pushed: $pushed")
+    }
+  }
+
+  test("product profit: part and supplier⋈nation dims broadcast, fact shuffles once") {
+    // q173 (TPC-H Q9 shape): the LIKE-pruned part list and the
+    // supplier⋈nation dim both broadcast; the only shuffled join is the
+    // fact⋈orders orderkey join feeding the nation×year rollup
+    val df = graft.queries.Correlated.productTypeProfit(spark, sf001)
+    val p = plan(df)
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(nBroadcast >= 2, s"expected ≥2 broadcast dim joins, got $nBroadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the dim joins:\n$p")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+  }
+
+  test("order-count distribution: left outer join preserves zero-order customers") {
+    // q174 (TPC-H Q13 shape): orders pre-aggregate to per-custkey counts
+    // BEFORE the customer join (the wide row never rides a fact-sized
+    // shuffle) and the join itself is genuinely LeftOuter
+    val df = graft.queries.Correlated.orderCountDistribution(spark, sf001)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.joinType
+    }
+    assert(joins.exists(_.toString == "LeftOuter"),
+      s"zero-order customers need a LeftOuter join, got: $joins")
+    val join = df.queryExecution.optimizedPlan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.get
+    val rightAgg = join.right.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(rightAgg.isDefined,
+      s"orders not pre-aggregated below the join:\n${join.right}")
+  }
 }
