@@ -194,6 +194,8 @@ object SparkEntry {
     "q172_revenue_delta"      -> ((s, d) => Correlated.revenueDelta(s, d)),
     "q173_product_profit"     -> ((s, d) => Correlated.productTypeProfit(s, d)),
     "q174_order_count_dist"   -> ((s, d) => Correlated.orderCountDistribution(s, d)),
+    "q175_triangle_sampled"   -> ((s, d) => Analytics.copurchaseTrianglesSampled(s, d)),
+    "q176_profile_sampled"    -> ((s, d) => Analytics.lineitemProfileSampled(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -2616,6 +2618,33 @@ object SparkEntry {
         |       CASE WHEN n_wedges = 0 THEN 0
         |            ELSE (3*n_triangles*1000000)//n_wedges END AS clustering_ppm
         |FROM ds CROSS JOIN es CROSS JOIN tri""".stripMargin,
+    // Doulion edge-sampled triangle census: the same oriented-wedge
+    // algorithm on the hash-gated edge subset, estimate scaled by 1/p^3
+    // in exact integer floor division.
+    "q175_triangle_sampled" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS p FROM lineitem),
+         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+         |       FROM items a JOIN items b ON a.okey = b.okey AND a.p < b.p),
+         |tot AS (SELECT COUNT(*) AS n_edges_total FROM e0),
+         |e AS (SELECT u, v FROM e0
+         |      WHERE ((((u*1000003 + v) % ${graft.ext.TextOps.HashP}) * 2654435761 + 97)
+         |             % ${graft.ext.TextOps.HashP}) % 1000000 < 250000),
+         |deg AS (SELECT node, COUNT(*) AS deg FROM (
+         |          SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) z
+         |        GROUP BY node),
+         |o AS (SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS s,
+         |             CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS t
+         |      FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+         |cand AS (SELECT o1.t AS u, o2.t AS v
+         |         FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t),
+         |tri AS (SELECT COUNT(*) AS n_triangles FROM cand
+         |        WHERE EXISTS (SELECT 1 FROM e WHERE e.u = cand.u AND e.v = cand.v)),
+         |es AS (SELECT COUNT(*) AS n_edges_sampled FROM e)
+         |SELECT n_edges_total, n_edges_sampled, CAST(250000 AS BIGINT) AS p_ppm,
+         |       n_triangles AS n_triangles_sampled,
+         |       CAST(CAST(n_triangles AS HUGEINT) * 1000000000000000000
+         |            // ${java.math.BigInteger.valueOf(250000L).pow(3)} AS BIGINT) AS est_triangles
+         |FROM tot CROSS JOIN es CROSS JOIN tri""".stripMargin,
     // Gaps-and-islands interval union: running max of prior ends cuts
     // islands; all arithmetic in exact epoch days.
     "q143_ship_coverage" ->
@@ -3221,6 +3250,31 @@ object SparkEntry {
         |      FROM customer LEFT JOIN pc ON c_custkey = o_custkey)
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Threshold-sampled distinct profile: one UNION ALL branch per
+    // column, each recomputing the SAME affine-hash slice estimator —
+    // canonicalizations mirror Analytics.LineitemCanon exactly.
+    "q176_profile_sampled" -> {
+      val P = graft.ext.TextOps.HashP
+      val tDiv = 16L
+      val thresh = P / tDiv
+      val canonSql: Seq[(String, String)] =
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+          .map(c => c -> s"CAST($c AS BIGINT)") ++
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .map(c => c -> s"CAST(ROUND($c*10000,0) AS BIGINT)") ++
+        Seq("l_returnflag", "l_linestatus")
+          .map(c => c -> hv8(s"rpad($c, 8, '#')")) ++
+        Seq("l_shipdate" ->
+          "CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)")
+      canonSql.map { case (name, canon) =>
+        s"""SELECT '$name' AS column_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT(canon) AS n_nulls,
+           |  COUNT(DISTINCT CASE WHEN h < $thresh THEN h END) AS n_sketch_keys,
+           |  COUNT(DISTINCT CASE WHEN h < $thresh THEN h END) * $tDiv AS n_distinct_est
+           |FROM (SELECT canon, ((canon % $P) * 2654435761 + 97) % $P AS h
+           |      FROM (SELECT $canon AS canon FROM lineitem) z0) z1""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
     // Per-column profile: one UNION ALL branch per lineitem column —
     // generated from the same static column list the engine profiles.
     "q161_table_profile" -> {

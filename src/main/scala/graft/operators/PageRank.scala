@@ -46,10 +46,18 @@ object PageRank {
     val ed = e.join(deg, Seq("u")).localCheckpoint()
     var r = deg.select(col("u"), lit(Scale).as("r"))
     for (_ <- 1 to iters) {
-      r = ed.join(r, Seq("u"))
+      // Sum contributions INTO each node, then left-join back onto the
+      // out-degree node set: on a directed graph a source node (out-edges,
+      // no in-edges) receives nothing, but it must keep its row and its
+      // teleport mass — an inner groupBy-only round would silently drop
+      // it (and its outgoing mass) from every later iteration.
+      val contrib = ed.join(r, Seq("u"))
         .select(col("v"), expr("r * 85 div (100 * deg)").as("c"))
         .groupBy(col("v").as("u"))
-        .agg((lit(15L * Scale / 100L) + sum(col("c"))).as("r"))
+        .agg(sum(col("c")).as("cs"))
+      r = deg.select("u").join(contrib, Seq("u"), "left_outer")
+        .select(col("u"),
+          (lit(15L * Scale / 100L) + coalesce(col("cs"), lit(0L))).as("r"))
     }
     deg.join(r, Seq("u")).select(col("u").as("node"), col("deg").as("degree"),
       col("r").as("rank_units"))

@@ -1429,6 +1429,99 @@ object Analytics {
     tableProfile(li, li.columns.toSeq)
   }
 
+  /** [[tableProfile]] at 100 TB, native tier: `approx_count_distinct`
+    * (HLL, `rsd` relative error) replaces the exact distinct — the
+    * multi-distinct Expand keeps ~2·n_cols× the scan rows AND per-column
+    * exact distinct state; the HLL form keeps the single-pass plan with
+    * bounded per-column sketch state instead. Not oracle-comparable
+    * (sketch values are engine-specific) — accuracy is unit-tested
+    * against the exact profile; [[tableProfileSampled]] is the
+    * oracle-checkable approximate tier. */
+  def tableProfileApprox(df: DataFrame, cols: Seq[String],
+                         rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "at least one column to profile")
+    val aggs = count(lit(1)).as("__n") +:
+      cols.flatMap { c =>
+        Seq(count(col(c)).as(s"__nn_$c"),
+          approx_count_distinct(col(c), rsd).as(s"__nd_$c"))
+      }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', __n - `__nn_$c`, `__nd_$c`"
+    }.mkString(", ")
+    wide.selectExpr("__n AS n_rows",
+        s"stack(${cols.size}, $stackArgs) AS (column_name, n_nulls, n_distinct_est)")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct_est"))
+      .orderBy("column_name")
+  }
+
+  /** [[tableProfile]] at 100 TB, portable tier: distinct counts by
+    * THRESHOLD SAMPLING (Flajolet's adaptive-sampling / KMV family).
+    * Each canonical value hashes through the full-range affine hash
+    * H(x) = ((x mod P)·2654435761 + 97) mod P (P = 2³¹−1); only hashes
+    * below P div tDiv are kept, their distinct count C is exact, and
+    * the estimate is C·tDiv — distinct hashes land uniformly, so a
+    * 1/tDiv hash-range slice sees ~D/tDiv of them (rsd ≈ √(tDiv/D)).
+    *
+    * Why this exists next to [[tableProfileApprox]]: H is pure integer
+    * arithmetic, so the WHOLE estimate is engine-reproducible — the
+    * DuckDB oracle recomputes it value-for-value (q176), which no
+    * engine-specific HLL sketch allows. Scale: the distinct-collapse
+    * shuffle carries only the ~D/tDiv surviving 8-byte hashes per
+    * column (raise tDiv as D grows); row/null counts ride the same
+    * single aggregation. Regime limit: columns with D ≲ tDiv² keep
+    * rsd ≥ 1/√tDiv — read small estimates as "below ~tDiv²", or
+    * profile known-low-cardinality columns exactly.
+    *
+    * `canon` maps column name → canonical NON-NEGATIVE long column
+    * (null ⇔ value null), injective on the profiled domain — numerics
+    * via fixed-point, strings via [[graft.ext.TextOps.hash8]], dates
+    * via epoch days. */
+  def tableProfileSampled(df: DataFrame, canon: Seq[(String, Column)],
+                          tDiv: Long = 16L): DataFrame = {
+    require(canon.nonEmpty, "at least one column to profile")
+    require(tDiv >= 2, s"tDiv must be >= 2, got $tDiv")
+    val P = graft.ext.TextOps.HashP
+    val thresh = P / tDiv
+    val stacked = df.select(explode(array(canon.map { case (n, c) =>
+        struct(lit(n).as("column_name"), c.cast("long").as("canon"))
+      }: _*)).as("s"))
+      .select(col("s.column_name").as("column_name"), col("s.canon").as("canon"))
+    val h = ((col("canon") % P) * lit(2654435761L) + lit(97L)) % P
+    stacked
+      .withColumn("hs", when(h < lit(thresh), h))
+      .groupBy("column_name")
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("canon"))).as("n_nulls"),
+        countDistinct(col("hs")).as("n_sketch_keys"))
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_sketch_keys"),
+        (col("n_sketch_keys") * lit(tDiv)).as("n_distinct_est"))
+      .orderBy("column_name")
+  }
+
+  /** Canonicalization of every lineitem column for the sampled profile
+    * (q176) — longs as-is, 4-decimal fixed point for the numerics,
+    * [[graft.ext.TextOps.hash8]] for the flag strings, epoch days for
+    * the ship date. Kept on the object so the oracle SQL builder stays
+    * in lockstep with the Spark side. */
+  val LineitemCanon: Seq[(String, Column)] = {
+    val longs = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+      .map(c => c -> col(c).cast("long"))
+    val decs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c => c -> round(col(c) * 10000, 0).cast("long"))
+    val strs = Seq("l_returnflag", "l_linestatus")
+      .map(c => c -> graft.ext.TextOps.hash8(rpad(col(c), 8, "#")))
+    val dates = Seq("l_shipdate" ->
+      datediff(col("l_shipdate").cast("date"), lit("1970-01-01")).cast("long"))
+    longs ++ decs ++ strs ++ dates
+  }
+
+  /** Sampled lineitem profile (q176): the 100 TB audit path. */
+  def lineitemProfileSampled(spark: SparkSession, dir: String): DataFrame =
+    tableProfileSampled(Tables.lineitem(spark, dir), LineitemCanon)
+
   /** Clamped supplier inventory balance (q163): chronological quantity
     * flow per supplier where returns (`l_returnflag = 'R'`) draw down
     * and the balance floors at zero — the `b := max(0, b + delta)`
@@ -1515,6 +1608,23 @@ object Analytics {
       .filter(col("p") < col("p2"))
     graft.operators.Graph.triangleReport(
       graft.operators.Graph.undirectedEdges(pairs, "p", "p2"))
+  }
+
+  /** Sampled co-purchase triangle census (q175): q142's graph through
+    * [[graft.operators.Graph.triangleReportSampled]] at p = 0.25 — the
+    * scale path for the census (the exact wedge volume grows ~1000× at a
+    * 100× edge scale-up; the hash-gate sample cuts it ~p² ahead of every
+    * shuffle). Deterministic: the gate is a pure hash, so the estimate
+    * is a fixed number both engines can agree on, not a noisy draw. */
+  def copurchaseTrianglesSampled(spark: SparkSession, dir: String,
+                                 pPpm: Long = 250000): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = items.join(items.withColumnRenamed("p", "p2"), Seq("okey"))
+      .filter(col("p") < col("p2"))
+    graft.operators.Graph.triangleReportSampled(
+      graft.operators.Graph.undirectedEdges(pairs, "p", "p2"), pPpm)
   }
 
   /** Supplier shipping coverage (q143): merge each supplier's 7-day

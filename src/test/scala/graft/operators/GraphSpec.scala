@@ -34,6 +34,41 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Long]("n_triangles") === 1)
   }
 
+  test("sampled census at p=1 reproduces the exact count and edge totals") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val r = Graph.triangleReportSampled(
+      Graph.undirectedEdges(k4.toDF("a", "b"), "a", "b"), pPpm = 1000000L)
+      .collect().head
+    assert(r.getAs[Long]("n_edges_total") === 6)
+    assert(r.getAs[Long]("n_edges_sampled") === 6)
+    assert(r.getAs[Long]("n_triangles_sampled") === 4)
+    assert(r.getAs[Long]("est_triangles") === 4)
+  }
+
+  test("sampled census is deterministic and within the stated error envelope") {
+    // triangle-rich fixture: 3 disjoint cliques K12 ∪ K10 ∪ K8 plus a
+    // triangle-free path — exact count 220+120+56 = 396
+    def clique(off: Long, n: Long) =
+      for (i <- 0L until n; j <- (i + 1) until n) yield (off + i, off + j)
+    val edges = clique(0, 12) ++ clique(100, 10) ++ clique(200, 8) ++
+      (300L to 340L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val e = Graph.undirectedEdges(edges.toDF("a", "b"), "a", "b")
+    val exact = Graph.triangleReport(e).collect().head.getAs[Long]("n_triangles")
+    assert(exact === 396L)
+    val r1 = Graph.triangleReportSampled(e, pPpm = 600000L).collect().head
+    val r2 = Graph.triangleReportSampled(e, pPpm = 600000L).collect().head
+    // determinism: the hash gate has no RNG state — identical reruns
+    assert(r1 === r2)
+    // unbiasedness envelope: with T·p³ ≈ 86 surviving triangles the
+    // relative sd is ~1/√86 ≈ 11%; assert a generous 3-sigma band so the
+    // spec pins "estimator in the right regime", not one lucky draw
+    val est = r1.getAs[Long]("est_triangles").toDouble
+    assert(est > exact * 0.55 && est < exact * 1.45,
+      s"estimate $est implausibly far from exact $exact")
+    // the sampled subgraph really is a subgraph, not a re-count
+    assert(r1.getAs[Long]("n_edges_sampled") < r1.getAs[Long]("n_edges_total"))
+  }
+
   test("undirected canonicalization drops loops/dupes and matches brute force") {
     // deterministic pseudo-random graph; count triangles by brute force
     val n = 40
