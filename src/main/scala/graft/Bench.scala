@@ -61,6 +61,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Silence WindowExec's "No Partition Defined" WARN for THIS runner
+    // only: the registered suite's unpartitioned windows are exactly the
+    // deliberate, limit-bounded SmallRank.afterLimit sites, and the real
+    // gate is PlanSpec's suite-wide window audit — but ~40 repeats of the
+    // same warning bury the bench tail (and any FUTURE real warning from
+    // a different logger) under noise. Verify/tests keep the default
+    // level, so an accidental unpartitioned window still surfaces there.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // Warmup: `events` needs its dedicated loader (TIMESTAMP(NANOS) parquet
     // is rejected by the vectorized reader; Tables.events reads nanos-as-long).
     // The warm pass hashes every column of every table (`count()` alone
