@@ -196,6 +196,8 @@ object SparkEntry {
     "q174_order_count_dist"   -> ((s, d) => Correlated.orderCountDistribution(s, d)),
     "q175_triangle_sampled"   -> ((s, d) => Analytics.copurchaseTrianglesSampled(s, d)),
     "q176_profile_sampled"    -> ((s, d) => Analytics.lineitemProfileSampled(s, d)),
+    "q177_mm_retrieval"       -> ((s, d) => ExtQueries.multimodalRetrieval(s, d)),
+    "q178_mm_retrieval_cells" -> ((s, d) => ExtQueries.multimodalRetrievalCelled(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -278,6 +280,45 @@ object SparkEntry {
     * overflow beyond). */
   private val bucketExpr =
     s"(((doc_id % ${graft.ext.TextOps.HashP}) * 1000003 + 12345) % ${graft.ext.TextOps.HashP}) % 100"
+  /** Multimodal retrieval feature CTEs (q177/q178): per VIDEO doc, the
+    * 8-bucket exact integer-ppm histogram of the LZW-expanded pixels.
+    * Mirrors Multimodal.gifPayload's fill arithmetic (pixels = text
+    * bytes mod 128 cycled across npx = frames·w·h pixels, k never
+    * resetting between frames) and gifPixelHistogramPpm's bucketing
+    * ((v mod 128) div 16) + scaling (count·10⁶ div npx). Empty text →
+    * all-zero pixels → bucket 0 holds every count. */
+  private def mmFeatureCtes =
+    """v AS (SELECT doc_id, text,
+      |             CAST(1 + doc_id % 32 AS INT) AS vw,
+      |             CAST(1 + (doc_id*3) % 32 AS INT) AS vh,
+      |             CAST(1 + doc_id % 10 AS INT) AS vf,
+      |             length(text) AS len
+      |      FROM documents WHERE doc_id % 3 = 2),
+      |g AS (SELECT doc_id, text, len, CAST(vf AS BIGINT)*vw*vh AS npx FROM v),
+      |bb AS (SELECT doc_id, gi,
+      |              (ord(substr(text, CAST(gi + 1 AS INT), 1)) % 128) // 16 AS bk
+      |       FROM (SELECT doc_id, text, unnest(range(len)) AS gi FROM g) z),
+      |ball AS (SELECT doc_id, bk, COUNT(*) AS c_all FROM bb GROUP BY doc_id, bk),
+      |bpre AS (SELECT bb.doc_id, bb.bk, COUNT(*) AS c_pre
+      |         FROM bb JOIN g ON bb.doc_id = g.doc_id
+      |         WHERE bb.gi < g.npx % g.len GROUP BY bb.doc_id, bb.bk),
+      |spine AS (SELECT g.doc_id, CAST(u.b AS INT) AS bk, g.npx, g.len
+      |          FROM g CROSS JOIN (SELECT unnest(range(8)) AS b) u),
+      |hist AS (SELECT s.doc_id, s.bk,
+      |                CASE WHEN s.len = 0
+      |                     THEN CASE WHEN s.bk = 0 THEN s.npx ELSE 0 END
+      |                     ELSE (s.npx // s.len) * COALESCE(a.c_all, 0)
+      |                          + COALESCE(p.c_pre, 0) END AS cnt,
+      |                s.npx
+      |         FROM spine s
+      |         LEFT JOIN ball a ON a.doc_id = s.doc_id AND a.bk = s.bk
+      |         LEFT JOIN bpre p ON p.doc_id = s.doc_id AND p.bk = s.bk),
+      |f AS (SELECT doc_id,
+      |             list(CAST(cnt * 1000000 // npx AS BIGINT) ORDER BY bk) AS fv
+      |      FROM hist GROUP BY doc_id)""".stripMargin
+  /** Exact integer dot product of the two 8-long feature lists. */
+  private def mmDotExpr =
+    (1 to 8).map(i => s"q.qf[$i]*c.fv[$i]").mkString(" + ")
   /** Normalized double-precision embeddings with L2 norm. */
   private val embCte =
     "nm AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb, " +
@@ -2618,6 +2659,43 @@ object SparkEntry {
         |       CASE WHEN n_wedges = 0 THEN 0
         |            ELSE (3*n_triangles*1000000)//n_wedges END AS clustering_ppm
         |FROM ds CROSS JOIN es CROSS JOIN tri""".stripMargin,
+    // End-to-end multimodal retrieval (exact tier): rebuild the decoded
+    // pixel histogram from the payload-generation arithmetic (q126's
+    // cyclic-fill model: pixels = text bytes mod 128 cycled over
+    // npx = frames*w*h), exact integer-ppm features, integer dot-product
+    // brute top-k.
+    "q177_mm_retrieval" ->
+      s"""WITH $mmFeatureCtes,
+         |q AS (SELECT doc_id AS query_id, fv AS qf FROM f WHERE doc_id < 30),
+         |sc AS (SELECT q.query_id, c.doc_id AS neighbor_id,
+         |              CAST($mmDotExpr AS BIGINT) AS score
+         |       FROM f c CROSS JOIN q WHERE c.doc_id <> q.query_id),
+         |rk AS (SELECT query_id, neighbor_id, score,
+         |              row_number() OVER (PARTITION BY query_id
+         |                ORDER BY score DESC, neighbor_id) AS rnk
+         |       FROM sc)
+         |SELECT query_id, neighbor_id, score, CAST(rnk AS INT) AS rank
+         |FROM rk WHERE rnk <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+    // Celled tier: same features, candidates restricted to the query's
+    // dominant-bucket cell (first argmax — a deterministic integer).
+    "q178_mm_retrieval_cells" ->
+      s"""WITH $mmFeatureCtes,
+         |fc AS (SELECT doc_id, fv,
+         |              CAST(list_position(fv, list_max(fv)) AS INT) AS cell
+         |       FROM f),
+         |q AS (SELECT doc_id AS query_id, fv AS qf, cell
+         |      FROM fc WHERE doc_id < 30),
+         |sc AS (SELECT q.query_id, c.doc_id AS neighbor_id, c.cell,
+         |              CAST($mmDotExpr AS BIGINT) AS score
+         |       FROM fc c JOIN q ON c.cell = q.cell AND c.doc_id <> q.query_id),
+         |rk AS (SELECT query_id, neighbor_id, cell, score,
+         |              row_number() OVER (PARTITION BY query_id
+         |                ORDER BY score DESC, neighbor_id) AS rnk
+         |       FROM sc)
+         |SELECT query_id, neighbor_id, cell, score, CAST(rnk AS INT) AS rank
+         |FROM rk WHERE rnk <= 3
+         |ORDER BY query_id, rank""".stripMargin,
     // Doulion edge-sampled triangle census: the same oriented-wedge
     // algorithm on the hash-gated edge subset, estimate scaled by 1/p^3
     // in exact integer floor division.

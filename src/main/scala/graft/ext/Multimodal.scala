@@ -816,6 +816,37 @@ object Multimodal {
     }).toDF("doc_id", "features")
   }
 
+  /** [[gifPixelHistogram]] in EXACT integer parts-per-million: bucket
+    * counts over the LZW-expanded palette indices, each scaled
+    * `count·10⁶ div n_pixels` — an L1-normalized feature vector whose
+    * every entry is a long, so downstream dot-product scoring stays in
+    * exact integer arithmetic end-to-end (engine-reproducible: the
+    * oracle rebuilds the same vector from the payload-generation
+    * arithmetic). Same narrow per-partition decode shape; malformed
+    * payloads are dropped. */
+  def gifPixelHistogramPpm(blobs: Dataset[MediaBlob], dim: Int = 8): DataFrame = {
+    require(dim > 0 && 128 % dim == 0, s"dim must divide 128, got $dim")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val width = 128 / dim
+    blobs.filter(_.media_type == "video").mapPartitions(_.flatMap { b =>
+      decodeGifPixels(b.payload).map { frames =>
+        val counts = new Array[Long](dim)
+        var n = 0L
+        frames.foreach { f =>
+          var i = 0
+          while (i < f.length) {
+            counts(((f(i) & 0xff) % 128) / width) += 1
+            i += 1
+          }
+          n += f.length
+        }
+        val den = math.max(n, 1L)
+        (b.doc_id, counts.map(c => c * 1000000L / den))
+      }
+    }).toDF("doc_id", "features_ppm")
+  }
+
   /** REAL classical feature extraction: the normalized byte histogram —
     * the content-type/entropy signature file classifiers have used since
     * long before learned embeddings (no model required, so unlike

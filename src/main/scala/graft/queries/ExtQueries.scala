@@ -589,4 +589,75 @@ object ExtQueries {
           .as("recall"))
       .orderBy("query_id")
   }
+
+  // ---- end-to-end multimodal retrieval -----------------------------------
+
+  /** Decoded features for the multimodal retrieval tier: attach real
+    * container payloads, LZW-expand the video rows' pixels, and build
+    * the exact integer-ppm pixel histogram — ONE declarative plan from
+    * raw documents to a `(doc_id, Array[Long])` feature relation. */
+  private def videoFeatures(spark: SparkSession, dir: String,
+                            dim: Int): DataFrame =
+    Multimodal.gifPixelHistogramPpm(
+      Multimodal.attachPayload(Tables.documents(spark, dir), "doc_id", "text"),
+      dim)
+
+  /** End-to-end multimodal retrieval, exact tier (q177): decode → pixel
+    * histogram feature → brute-force top-k by integer dot product, all
+    * one plan (the q162 composition idea applied to multimodal). The
+    * probe set (video docs with id < 30) broadcasts by |Q|-bounded
+    * contract; scores are exact longs (ppm·ppm ≤ 10¹² per term, dim
+    * terms), so ranking has no float drift and ties break on
+    * neighbor_id. Scale: candidates never shuffle — the only wide
+    * stages are the narrow per-partition decode and the query-keyed
+    * top-k window; [[multimodalRetrievalCelled]] is the
+    * candidate-restricted scale path. */
+  def multimodalRetrieval(spark: SparkSession, dir: String,
+                          k: Int = 3, dim: Int = 8): DataFrame = {
+    val feats = videoFeatures(spark, dir, dim)
+    val queries = feats.filter(col("doc_id") < 30)
+      .select(col("doc_id").as("query_id"), col("features_ppm").as("qf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    feats.select(col("doc_id").as("neighbor_id"), col("features_ppm").as("cf"))
+      .crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score",
+        expr("aggregate(zip_with(qf, cf, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Multimodal retrieval, celled tier (q178): IVF-style candidate
+    * restriction — every vector's cell is its DOMINANT histogram bucket
+    * (first argmax, a deterministic integer), and each query scores only
+    * same-cell candidates via an equi join on the cell id. The bucketed
+    * analogue of q38/q130: no cross product anywhere, the per-cell
+    * candidate lists shuffle once on the cell key, and the oracle
+    * recomputes the identical restriction (cells are exact integers, so
+    * celled results hash-compare — recall vs the exact tier is specced,
+    * not oracled). */
+  def multimodalRetrievalCelled(spark: SparkSession, dir: String,
+                                k: Int = 3, dim: Int = 8): DataFrame = {
+    val cell = expr("CAST(array_position(features_ppm, array_max(features_ppm)) AS INT)")
+    val feats = videoFeatures(spark, dir, dim).withColumn("cell", cell)
+    val queries = feats.filter(col("doc_id") < 30)
+      .select(col("doc_id").as("query_id"), col("features_ppm").as("qf"),
+        col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    feats.select(col("doc_id").as("neighbor_id"), col("features_ppm").as("cf"),
+        col("cell"))
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score",
+        expr("aggregate(zip_with(qf, cf, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("score"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+  }
 }

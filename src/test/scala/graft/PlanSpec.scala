@@ -378,6 +378,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"non-broadcast cartesian:\n$p")
   }
 
+  test("celled multimodal retrieval joins on the cell key, never cross-products") {
+    // q178: the candidate restriction must plan as an equi join on the
+    // cell id (queries broadcast); only the |Q|-bounded q177 brute tier
+    // is allowed a broadcast nested loop
+    val p = plan(graft.queries.ExtQueries.multimodalRetrievalCelled(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), s"cell join not a hash join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in celled tier:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"celled tier fell back to nested loop:\n$p")
+  }
+
   test("pricing summary is one scan + one aggregation: no join, no window") {
     // q170 (TPC-H Q1 shape): the canonical grouped scan — the shipdate
     // cutoff reaches the parquet scan, and nothing but the hash agg's own

@@ -334,4 +334,54 @@ class MultimodalSpec extends SparkSpec {
       .select(col("features")).as[Seq[Float]].collect()
     assert(feats.forall(f => f.length == 8 && f.forall(x => x >= 0f && x <= 1f)))
   }
+
+  test("gifPixelHistogramPpm is the exact integer form of the float histogram") {
+    val fill = "video payload xyz".getBytes("UTF-8")
+    val blob = Multimodal.MediaBlob(2L, "video", Multimodal.gifPayload(2L, fill))
+    val ppm = Multimodal.gifPixelHistogramPpm(Seq(blob).toDS(), dim = 4)
+      .collect().head.getAs[scala.collection.Seq[Long]]("features_ppm")
+    // recompute from the cycled fill (63 pixels for id 2)
+    val counts = new Array[Long](4)
+    (0 until 63).foreach(k => counts((fill(k % fill.length) & 0x7f) / 32) += 1)
+    assert(ppm.toSeq == counts.map(_ * 1000000L / 63L).toSeq)
+    // entries sum to <= 1e6 (floor division loses at most dim-1 ppm)
+    assert(ppm.sum <= 1000000L && ppm.sum > 1000000L - 4)
+  }
+
+  test("celled multimodal retrieval: recall vs the exact tier, cells honest") {
+    // 60 docs -> 20 video rows; queries are video ids < 30
+    val corpus = (0 until 60)
+      .map(i => (i.toLong, s"payload text ${"x" * (i % 7)} $i"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mmret").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val brute = graft.queries.ExtQueries.multimodalRetrieval(spark, dir)
+    val celled = graft.queries.ExtQueries.multimodalRetrievalCelled(spark, dir)
+    val b = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c = celled.collect()
+    // every celled hit is score-consistent with brute's scoring (same
+    // feature space): any (q, n) pair in both must carry the same score
+    val bScores = brute.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    c.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      bScores.get(key).foreach(s => assert(s == r.getAs[Long]("score")))
+    }
+    // recall@k of the candidate-restricted tier on this corpus: the
+    // dominant-bucket cells are coarse, so demand usefulness, not
+    // perfection — at least half the exact top-k pairs survive
+    val hits = c.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .count(b.contains)
+    assert(hits * 2 >= b.size, s"celled recall too low: $hits of ${b.size}")
+    // cells are honest: a returned neighbor shares the query's cell
+    val cells = Multimodal.gifPixelHistogramPpm(
+        Multimodal.attachPayload(corpus, "doc_id", "text"), 8)
+      .withColumn("cell",
+        expr("CAST(array_position(features_ppm, array_max(features_ppm)) AS INT)"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("cell")).toMap
+    c.foreach { r =>
+      assert(cells(r.getAs[Long]("query_id")) === r.getAs[Int]("cell"))
+      assert(cells(r.getAs[Long]("neighbor_id")) === r.getAs[Int]("cell"))
+    }
+  }
 }
