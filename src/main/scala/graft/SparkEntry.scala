@@ -198,6 +198,7 @@ object SparkEntry {
     "q176_profile_sampled"    -> ((s, d) => Analytics.lineitemProfileSampled(s, d)),
     "q177_mm_retrieval"       -> ((s, d) => ExtQueries.multimodalRetrieval(s, d)),
     "q178_mm_retrieval_cells" -> ((s, d) => ExtQueries.multimodalRetrievalCelled(s, d)),
+    "q179_mm_embed_topk"      -> ((s, d) => ExtQueries.multimodalEmbedRetrieval(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -319,6 +320,15 @@ object SparkEntry {
   /** Exact integer dot product of the two 8-long feature lists. */
   private def mmDotExpr =
     (1 to 8).map(i => s"q.qf[$i]*c.fv[$i]").mkString(" + ")
+  /** One output row of the frozen-weight embedding stand-in
+    * (Multimodal.embedWeight: W(k,j) = ((37k+11j+5) mod 17) − 8),
+    * inlined as literal integer coefficients over the 8-long ppm
+    * feature list. */
+  private def mmEmbCol(k: Int): String =
+    (0 until 8).map { j =>
+      val w = ((37 * k + 11 * j + 5) % 17) - 8
+      s"($w)*fv[${j + 1}]"
+    }.mkString(" + ")
   /** Normalized double-precision embeddings with L2 norm. */
   private val embCte =
     "nm AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb, " +
@@ -2694,6 +2704,27 @@ object SparkEntry {
          |                ORDER BY score DESC, neighbor_id) AS rnk
          |       FROM sc)
          |SELECT query_id, neighbor_id, cell, score, CAST(rnk AS INT) AS rank
+         |FROM rk WHERE rnk <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+    // Learned-embedding stand-in tier: project the same decoded ppm
+    // histogram through the frozen integer weight matrix
+    // W(k,j) = ((37k+11j+5) mod 17) - 8, then brute top-k by exact
+    // integer dot product in the 4-dim embedded space.
+    "q179_mm_embed_topk" ->
+      s"""WITH $mmFeatureCtes,
+         |emb AS (SELECT doc_id, ${mmEmbCol(0)} AS e0, ${mmEmbCol(1)} AS e1,
+         |               ${mmEmbCol(2)} AS e2, ${mmEmbCol(3)} AS e3 FROM f),
+         |q AS (SELECT doc_id AS query_id, e0 AS q0, e1 AS q1, e2 AS q2,
+         |             e3 AS q3 FROM emb WHERE doc_id < 30),
+         |sc AS (SELECT q.query_id, c.doc_id AS neighbor_id,
+         |              CAST(q.q0*c.e0 + q.q1*c.e1 + q.q2*c.e2 + q.q3*c.e3
+         |                   AS BIGINT) AS score
+         |       FROM emb c CROSS JOIN q WHERE c.doc_id <> q.query_id),
+         |rk AS (SELECT query_id, neighbor_id, score,
+         |              row_number() OVER (PARTITION BY query_id
+         |                ORDER BY score DESC, neighbor_id) AS rnk
+         |       FROM sc)
+         |SELECT query_id, neighbor_id, score, CAST(rnk AS INT) AS rank
          |FROM rk WHERE rnk <= 3
          |ORDER BY query_id, rank""".stripMargin,
     // Doulion edge-sampled triangle census: the same oriented-wedge

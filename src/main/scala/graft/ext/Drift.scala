@@ -66,10 +66,14 @@ object Drift {
     *               ≈ 10⁶·(obs − E)²/E  with E = row·col/N
     *
     * — one floor division of exact integers, computed in 38-digit
-    * decimals (obs·N alone overflows 64 bits at corpus scale; the
-    * decimal headroom is exact to N ≈ 10⁹ rows — beyond that,
-    * pre-aggregate or subsample the contingency input), so both engines
-    * floor the identical rational. `expected_milli` is ⌊10³·row·col/N⌋
+    * decimals (obs·N alone overflows 64 bits at corpus scale), so both
+    * engines floor the identical rational. Headroom bound: the
+    * WORST-CASE deviation |__d| = |obs·N − row·col| reaches ~N²/4 (a
+    * two-category table with all mass in one cell), so __d²·10⁶ fits
+    * DECIMAL(38,0) only up to N ≈ 10⁸ rows — beyond that,
+    * pre-aggregate or subsample the contingency input. (Tables whose
+    * every cell sits near independence stay exact far longer, but the
+    * guarantee is the worst case.) `expected_milli` is ⌊10³·row·col/N⌋
     * for display.
     *
     * Scale shape: one grouped count of the (a, b) projection (the only

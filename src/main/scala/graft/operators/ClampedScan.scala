@@ -48,9 +48,20 @@ object ClampedScan {
   /** Per-key summary: movement count, net signed flow, final and peak
     * clamped balance, and clamp count. The final balance is the last
     * row's `balance` carried through the aggregation as
-    * `max_by(balance, ord)` — no second window, no join back. */
+    * `max_by(balance, ord)` — no second window, no join back.
+    *
+    * `ord` must be PLAIN ASCENDING columns: the same sequence is used
+    * both as the window orderBy (where `.desc` would be honored) and as
+    * the `max_by` key struct (where sort direction is ignored), so a
+    * descending ordering would silently read the final balance from the
+    * wrong end of the scan. Enforced, not just documented. */
   def balanceReport(df: DataFrame, keyCol: String, ord: Seq[Column],
-                    deltaCol: String): DataFrame =
+                    deltaCol: String): DataFrame = {
+    // the ColumnNode subclasses are private[sql]; the class-name check is
+    // the accessible way to spot a SortOrder-wrapped column
+    require(!ord.exists(_.node.getClass.getSimpleName.startsWith("SortOrder")),
+      "balanceReport: ord must be plain ascending columns (no .asc/.desc) — " +
+        "the max_by final-balance key ignores sort direction")
     withBalance(df, keyCol, ord, deltaCol)
       .groupBy(keyCol)
       .agg(count(lit(1)).as("n_moves"),
@@ -58,4 +69,5 @@ object ClampedScan {
         max_by(col("balance"), struct(ord: _*)).as("final_balance"),
         max(col("balance")).as("peak_balance"),
         sum(col("clamped")).as("n_clamps"))
+  }
 }

@@ -660,4 +660,39 @@ object ExtQueries {
         col("rank"))
       .orderBy("query_id", "rank")
   }
+
+  /** Multimodal retrieval through the LEARNED-EMBEDDING STAND-IN (q179):
+    * decode → pixel-histogram feature → frozen-weight projection
+    * ([[graft.ext.Multimodal.projectEmbedding]]) → brute top-k in the
+    * EMBEDDED space — the full shape of model-based multimodal
+    * retrieval (embed once, score in the low-dimensional space) with a
+    * deterministic matrix standing in for trained weights, so the whole
+    * chain is value-checked by the oracle rather than trusted. Scores
+    * are exact longs (|emb| ≤ 8·10⁶ ⇒ dot ≤ dOut·6.4·10¹³); ties break
+    * on neighbor_id. Scale: identical posture to
+    * [[multimodalRetrieval]] — the probe set broadcasts, candidates
+    * never shuffle, and scoring now touches dOut=4 longs per pair
+    * instead of dim=8 (the embedding is the compression). */
+  def multimodalEmbedRetrieval(spark: SparkSession, dir: String,
+                               k: Int = 3, dIn: Int = 8,
+                               dOut: Int = 4): DataFrame = {
+    val emb = Multimodal.projectEmbedding(
+      videoFeatures(spark, dir, dIn), "features_ppm", dIn, dOut)
+    val eCols = (0 until dOut).map(i => s"e$i")
+    val queries = emb.filter(col("doc_id") < 30)
+      .select(col("doc_id").as("query_id") +:
+        eCols.map(c => col(c).as(s"q_$c")): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    emb.select(col("doc_id").as("neighbor_id") +:
+        eCols.map(c => col(c).as(s"c_$c")): _*)
+      .crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score",
+        eCols.map(c => col(s"q_$c") * col(s"c_$c")).reduce(_ + _))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+      .orderBy("query_id", "rank")
+  }
 }

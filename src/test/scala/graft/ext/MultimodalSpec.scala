@@ -384,4 +384,54 @@ class MultimodalSpec extends SparkSpec {
       assert(cells(r.getAs[Long]("neighbor_id")) === r.getAs[Int]("cell"))
     }
   }
+
+  test("projectEmbedding: frozen matrix applied exactly, full rank") {
+    // the weight matrix rows must not be scalar multiples of each other
+    // (the Scaladoc's full-rank claim) — check every row pair
+    val w = Array.tabulate(4, 8)((k, j) => Multimodal.embedWeight(k, j))
+    for (a <- 0 until 4; b <- (a + 1) until 4) {
+      val prop = (0 until 8).forall { j =>
+        w(a).zip(w(b)).forall { case (x, y) => x.toLong * w(b)(j) == y.toLong * w(a)(j) }
+      }
+      assert(!prop, s"rows $a and $b are proportional")
+    }
+    // unit-vector inputs: projecting e_j (scaled) returns column j of W
+    val units = (0 until 8).map { j =>
+      (j.toLong, Array.tabulate(8)(i => if (i == j) 1000000L else 0L))
+    }.toDF("doc_id", "features_ppm")
+    val out = Multimodal.projectEmbedding(units).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getLong).toSeq).toMap
+    for (j <- 0 until 8; k <- 0 until 4)
+      assert(out(j.toLong)(k) == w(k)(j).toLong * 1000000L,
+        s"W($k,$j) mismatch")
+  }
+
+  test("embedded retrieval scores equal W-projected dot products") {
+    val corpus = (0 until 60)
+      .map(i => (i.toLong, s"payload text ${"y" * (i % 5)} $i"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mmemb").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val feats = Multimodal.gifPixelHistogramPpm(
+        Multimodal.attachPayload(corpus, "doc_id", "text"), 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def embed(f: Array[Long]): Array[Long] =
+      Array.tabulate(4)(k =>
+        (0 until 8).map(j => Multimodal.embedWeight(k, j).toLong * f(j)).sum)
+    val got = graft.queries.ExtQueries.multimodalEmbedRetrieval(spark, dir)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      val want = embed(feats(q)).zip(embed(feats(n))).map { case (a, b) => a * b }.sum
+      assert(r.getAs[Long]("score") == want, s"score mismatch for ($q,$n)")
+    }
+    // ranks are dense 1..k per query, descending score
+    got.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      assert(sorted.map(_.getAs[Long]("score")).toSeq
+        == sorted.map(_.getAs[Long]("score")).sortBy(-_).toSeq)
+    }
+  }
 }

@@ -39,4 +39,17 @@ class ClampedScanSpec extends SparkSpec {
     assert(rep(1L) === ((250L, 0L)))
     assert(rep(2L) === ((0L, 50L)))
   }
+
+  test("balanceReport rejects SortOrder ordering columns") {
+    // a .desc ordering would be honored by the window but IGNORED by the
+    // max_by final-balance key — the operator must fail fast instead of
+    // silently reading the wrong end of the scan
+    val df = Seq((1L, 0L, 5L)).toDF("k", "i", "d")
+    val e = intercept[IllegalArgumentException] {
+      ClampedScan.balanceReport(df, "k", Seq(col("i").desc), "d")
+    }
+    assert(e.getMessage.contains("plain ascending"))
+    // plain columns still pass
+    assert(ClampedScan.balanceReport(df, "k", Seq(col("i")), "d").count() == 1)
+  }
 }
