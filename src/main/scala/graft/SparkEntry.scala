@@ -199,6 +199,7 @@ object SparkEntry {
     "q177_mm_retrieval"       -> ((s, d) => ExtQueries.multimodalRetrieval(s, d)),
     "q178_mm_retrieval_cells" -> ((s, d) => ExtQueries.multimodalRetrievalCelled(s, d)),
     "q179_mm_embed_topk"      -> ((s, d) => ExtQueries.multimodalEmbedRetrieval(s, d)),
+    "q180_source_set_ops"     -> ((s, d) => ExtQueries.sourceSetOps(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -3225,6 +3226,44 @@ object SparkEntry {
          |SELECT source_a, source_b, n_matching,
          |       CAST(n_matching AS DOUBLE)/16.0 AS est_similarity
          |FROM pr ORDER BY source_a, source_b""".stripMargin,
+    // KMV set-operation sketches: k smallest full-range affine hashes of
+    // each source's distinct shingle set; D-hat = (k-1)*P div m_k, union
+    // by sort-and-truncate merge, intersection via the sketch-overlap
+    // fraction of the union estimate. All-integer, value-reproducible.
+    "q180_source_set_ops" ->
+      s"""WITH $nCte,
+         |z AS (SELECT doc_id, t, unnest(range(1, length(t)-6)) AS g FROM n),
+         |sh AS (SELECT DISTINCT d.source,
+         |              (((${hv8("substr(z.t, z.g, 8)")}) * 2654435761 + 97)
+         |               % ${graft.ext.TextOps.HashP}) AS h
+         |       FROM z JOIN documents d ON z.doc_id = d.doc_id),
+         |r AS (SELECT source, h,
+         |             row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |      FROM sh),
+         |sk AS (SELECT source, list(h ORDER BY h) AS sk
+         |       FROM r WHERE rn <= 128 GROUP BY source),
+         |e AS (SELECT source, sk,
+         |             CASE WHEN len(sk) < 128 THEN CAST(len(sk) AS BIGINT)
+         |                  ELSE ${127L * graft.ext.TextOps.HashP} // sk[128]
+         |             END AS est
+         |      FROM sk),
+         |pr AS (SELECT a.source AS source_a, b.source AS source_b,
+         |              a.sk AS sa, b.sk AS sb,
+         |              a.est AS est_distinct_a, b.est AS est_distinct_b
+         |       FROM e a JOIN e b ON a.source < b.source),
+         |uu AS (SELECT *, list_sort(list_distinct(list_concat(sa, sb)))[1:128]
+         |                 AS u FROM pr),
+         |u2 AS (SELECT *, CAST(len(u) AS BIGINT) AS nu,
+         |              CASE WHEN len(u) < 128 THEN CAST(len(u) AS BIGINT)
+         |                   ELSE ${127L * graft.ext.TextOps.HashP} // u[128]
+         |              END AS est_union,
+         |              CAST(len(list_intersect(list_intersect(u, sa), sb))
+         |                   AS BIGINT) AS inter_in_u
+         |       FROM uu)
+         |SELECT source_a, source_b, est_distinct_a, est_distinct_b, est_union,
+         |       (inter_in_u * est_union) // nu AS est_inter,
+         |       (inter_in_u * 1000) // nu AS jaccard_milli
+         |FROM u2 ORDER BY source_a, source_b""".stripMargin,
     // TPC-H Q19 shape: one fact pass under an OR-of-ANDs bracket.
     "q166_bracket_revenue" ->
       s"""WITH li AS (SELECT l_partkey, ${cents("l_quantity")} AS qc,

@@ -354,6 +354,15 @@ object ExtQueries {
     TextDedup.sourceMinhashSimilarity(Tables.documents(spark, dir),
       "source", "text")
 
+  /** Pairwise source SET-OPERATION estimates via KMV sketches (q180):
+    * estimated distinct-shingle counts, union and intersection sizes in
+    * absolute counts, per source pair — the capacity-planning numbers
+    * ("how much NEW content does source B add over A?") that the q165
+    * Jaccard matrix can't answer. Integer-exact estimator, so
+    * oracle-checked value-for-value. */
+  def sourceSetOps(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.kmvSourceSetOps(Tables.documents(spark, dir), "source", "text")
+
   /** Per-source language diversity (q160): inverse Simpson effective
     * language count over the declared `lang` column, exact milli. */
   def sourceDiversity(spark: SparkSession, dir: String): DataFrame =

@@ -234,6 +234,42 @@ class TextDedupSpec extends SparkSpec {
     assert(got(0).getAs[Long]("first_doc") == 1L)
   }
 
+  test("kmv set-ops: exact below k, estimates near truth above k") {
+    // two sources sharing exactly half their documents' content: A holds
+    // docs 0..59, B holds 30..89 — the shingle sets overlap substantially
+    def txt(i: Int) = s"document body number $i with some shared words " +
+      s"and unique tail ${i * 31} ${i * 17} filler filler"
+    val docs = ((0 until 60).map(i => (i.toLong, "A", txt(i))) ++
+        (30 until 90).map(i => (i.toLong + 1000, "B", txt(i))))
+      .toDF("doc_id", "source", "text")
+    val got = TextDedup.kmvSourceSetOps(docs, "source", "text", k = 128)
+      .collect()
+    assert(got.length == 1)
+    val r = got(0)
+    // ground truth from the exact distinct shingle sets
+    def shingles(lo: Int, hi: Int): Set[String] = (lo until hi).flatMap { i =>
+      val t = txt(i).toLowerCase.trim.replaceAll("\\s+", " ")
+      (0 to t.length - 8).map(j => t.substring(j, j + 8))
+    }.toSet
+    val (sa, sb) = (shingles(0, 60), shingles(30, 90))
+    val (u, ix) = (sa ++ sb, sa intersect sb)
+    def close(est: Long, truth: Int): Unit =
+      assert(math.abs(est - truth) <= truth / 4 + 10,
+        s"estimate $est too far from $truth")
+    close(r.getAs[Long]("est_distinct_a"), sa.size)
+    close(r.getAs[Long]("est_distinct_b"), sb.size)
+    close(r.getAs[Long]("est_union"), u.size)
+    close(r.getAs[Long]("est_inter"), ix.size)
+    // small-source regime: fewer distinct shingles than k => EXACT
+    val tiny = Seq((1L, "X", "abcdefghij"), (2L, "Y", "abcdefghij klm"))
+      .toDF("doc_id", "source", "text")
+    val t = TextDedup.kmvSourceSetOps(tiny, "source", "text", k = 128)
+      .collect()(0)
+    assert(t.getAs[Long]("est_distinct_a") == 3L)  // 10 chars -> 3 shingles
+    assert(t.getAs[Long]("est_union") == t.getAs[Long]("est_distinct_b"))
+    assert(t.getAs[Long]("est_inter") == 3L)       // X's shingles all in Y
+  }
+
   test("simhash: exact dup at Hamming 0; unrelated far away") {
     val fps = TextDedup.simhashFingerprints(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
