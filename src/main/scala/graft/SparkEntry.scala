@@ -200,6 +200,8 @@ object SparkEntry {
     "q178_mm_retrieval_cells" -> ((s, d) => ExtQueries.multimodalRetrievalCelled(s, d)),
     "q179_mm_embed_topk"      -> ((s, d) => ExtQueries.multimodalEmbedRetrieval(s, d)),
     "q180_source_set_ops"     -> ((s, d) => ExtQueries.sourceSetOps(s, d)),
+    "q181_bigram_lm_nll"      -> ((s, d) => ExtQueries.bigramLmNll(s, d)),
+    "q182_char_entropy"       -> ((s, d) => ExtQueries.charEntropyReport(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -3264,6 +3266,46 @@ object SparkEntry {
          |       (inter_in_u * est_union) // nu AS est_inter,
          |       (inter_in_u * 1000) // nu AS jaccard_milli
          |FROM u2 ORDER BY source_a, source_b""".stripMargin,
+    // Char-bigram LM scoring: each distinct bigram type's -ln P(c2|c1)
+    // quantized once to integer micro-nats; per-doc aggregates are then
+    // exact integers (order-independent across engines).
+    "q181_bigram_lm_nll" ->
+      s"""WITH $nCte,
+         |b AS (SELECT doc_id, substr(t, CAST(g AS INT), 2) AS bg
+         |      FROM (SELECT doc_id, t, unnest(range(1, length(t))) AS g
+         |            FROM n) z),
+         |dc AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg),
+         |m AS (SELECT bg, SUM(c) AS cnt FROM dc GROUP BY bg),
+         |mar AS (SELECT substr(bg, 1, 1) AS c1, SUM(cnt) AS tot
+         |        FROM m GROUP BY c1),
+         |v AS (SELECT COUNT(DISTINCT substr(bg, 2, 1)) AS vv FROM m),
+         |lp AS (SELECT m.bg,
+         |              CAST(ROUND(-ln((m.cnt + 1.0)/(mar.tot + v.vv))
+         |                         * 1000000, 0) AS BIGINT) AS lp
+         |       FROM m JOIN mar ON substr(m.bg, 1, 1) = mar.c1 CROSS JOIN v),
+         |s AS (SELECT dc.doc_id, SUM(dc.c) AS nb, SUM(dc.c * lp.lp) AS sl
+         |      FROM dc JOIN lp ON dc.bg = lp.bg GROUP BY dc.doc_id)
+         |SELECT d.doc_id, COALESCE(CAST(s.nb AS BIGINT), 0) AS n_bigrams,
+         |       COALESCE(CAST(s.sl // s.nb AS BIGINT), 0) AS nll_micro
+         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // Character entropy: H = ln n - (1/n) sum c*ln c, every ln quantized
+    // once on an integer count, aggregates exact integers after that.
+    "q182_char_entropy" ->
+      s"""WITH $nCte,
+         |ch AS (SELECT doc_id, substr(t, CAST(g AS INT), 1) AS ch
+         |       FROM (SELECT doc_id, t, unnest(range(1, length(t)+1)) AS g
+         |             FROM n) z),
+         |c AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch),
+         |s AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS k,
+         |             SUM(c * CAST(ROUND(ln(c) * 1000000, 0) AS BIGINT)) AS scl
+         |      FROM c GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(CAST(s.n AS BIGINT), 0) AS n_chars,
+         |       COALESCE(CAST(s.k AS BIGINT), 0) AS distinct_chars,
+         |       COALESCE(CAST(ROUND(ln(s.n) * 1000000, 0) AS BIGINT)
+         |                 - CAST(s.scl // s.n AS BIGINT), 0) AS entropy_micro
+         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // TPC-H Q19 shape: one fact pass under an OR-of-ANDs bracket.
     "q166_bracket_revenue" ->
       s"""WITH li AS (SELECT l_partkey, ${cents("l_quantity")} AS qc,

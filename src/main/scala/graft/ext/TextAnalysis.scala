@@ -519,4 +519,88 @@ object TextAnalysis {
           col("total_tokens")).as("coverage"))
       .orderBy("cutoff")
   }
+
+  /** Character-bigram language-model scoring — the perplexity-style
+    * quality filter (the CCNet/KenLM idea with the char-bigram model a
+    * corpus can train ON ITSELF in one pass): per document, the average
+    * negative log-likelihood of its bigrams under the corpus bigram
+    * conditional model with add-one smoothing,
+    *
+    *   P(c₂|c₁) = (count(c₁c₂) + 1) / (count(c₁·) + V)
+    *
+    * (V = distinct second-character vocabulary). Gibberish, wrong-charset
+    * and heavily-repeated documents sit in the tails of this score.
+    *
+    * Parity design: each DISTINCT bigram type's negative log-prob is
+    * quantized ONCE to integer micro-nats (round(−ln p · 10⁶)) — a
+    * deterministic scalar per type — and every per-doc aggregate after
+    * that is exact integer arithmetic (Σ c·lp div Σ c), so the score is
+    * order-independent and engine-reproducible. A float sum over shuffle
+    * partitions would not be.
+    *
+    * Scale: per-doc bigram counts partial-aggregate map-side ((doc,
+    * bigram) keys); the model is charset² rows — broadcast to the
+    * scoring join; V and the marginals are rollups OF THE MODEL, never
+    * a second corpus pass. Docs shorter than 2 chars score 0 over 0
+    * bigrams (kept, flagged by n_bigrams = 0). */
+  def bigramLmScore(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val dc = fanOut(docs)
+      .select(col(idCol).as("doc_id"),
+        explode_outer(charShingles(normText(col(textCol)), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(col("bg")).as("c"))
+      .localCheckpoint() // model AND scoring read it; ≤ docs·charset² rows
+    val m = dc.filter(col("bg").isNotNull)
+      .groupBy("bg").agg(sum("c").as("cnt"))
+    val mar = m.groupBy(substring(col("bg"), 1, 1).as("c1"))
+      .agg(sum("cnt").as("tot"))
+    val v = m.agg(countDistinct(substring(col("bg"), 2, 1)).as("vv"))
+    val lp = m.join(mar, substring(col("bg"), 1, 1) === col("c1"))
+      .crossJoin(broadcast(v))
+      .select(col("bg"),
+        round(-log((col("cnt") + lit(1.0)) / (col("tot") + col("vv"))) * 1e6, 0)
+          .cast("long").as("lp"))
+    dc.join(broadcast(lp), Seq("bg"), "left")
+      .groupBy("doc_id")
+      .agg(coalesce(sum(when(col("bg").isNotNull, col("c"))), lit(0L))
+          .as("n_bigrams"),
+        coalesce(sum(col("c") * col("lp")), lit(0L)).as("sl"))
+      .select(col("doc_id"), col("n_bigrams"),
+        when(col("n_bigrams") === 0, 0L)
+          .otherwise(expr("sl div n_bigrams")).as("nll_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document character-entropy report: Shannon entropy of the
+    * normalized text's character distribution in integer micro-nats —
+    * the classic "is this text or noise/boilerplate" signal (all-same
+    * chars → 0; uniform over k chars → ln k). Uses the same
+    * quantize-each-log-once parity trick as [[bigramLmScore]]:
+    * H = ln n − (1/n)·Σ c·ln c, and each ln sits on an INTEGER count,
+    * so l(c) = round(ln c · 10⁶) is a deterministic scalar and the
+    * whole aggregate after quantization is exact integer arithmetic —
+    * order-independent across engines and shuffle orders.
+    *
+    * Scale: one (doc, char) partial-aggregated count (≤ charset rows
+    * per doc map-side) and one doc-keyed rollup — no joins, no model
+    * table, no second corpus pass. */
+  def charEntropy(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val lmicro = (c: Column) => round(log(c) * 1e6, 0).cast("long")
+    fanOut(docs)
+      .select(col(idCol).as("doc_id"),
+        explode_outer(charShingles(normText(col(textCol)), 1)).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(col("ch")).as("c"))
+      .groupBy("doc_id")
+      .agg(coalesce(sum(when(col("ch").isNotNull, col("c"))), lit(0L))
+          .as("n_chars"),
+        sum(when(col("ch").isNotNull, 1L)).as("k"),
+        sum(col("c") * lmicro(col("c"))).as("scl"))
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("k"), lit(0L)).as("distinct_chars"),
+        when(col("n_chars") === 0, 0L)
+          .otherwise(lmicro(col("n_chars")) - expr("scl div n_chars"))
+          .as("entropy_micro"))
+      .orderBy("doc_id")
+  }
 }

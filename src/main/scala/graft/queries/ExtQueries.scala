@@ -363,6 +363,19 @@ object ExtQueries {
   def sourceSetOps(spark: SparkSession, dir: String): DataFrame =
     TextDedup.kmvSourceSetOps(Tables.documents(spark, dir), "source", "text")
 
+  /** Character-bigram LM perplexity scoring (q181): per-doc average
+    * negative log-likelihood in integer micro-nats under the corpus's
+    * own add-one-smoothed bigram model — the CCNet-style quality signal
+    * whose tails hold gibberish and boilerplate. */
+  def bigramLmNll(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLmScore(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Character-entropy report (q182): per-doc Shannon entropy of the
+    * character distribution in integer micro-nats — low tail = repeated
+    * filler, high tail = random noise; no model table, no joins. */
+  def charEntropyReport(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charEntropy(Tables.documents(spark, dir), "doc_id", "text")
+
   /** Per-source language diversity (q160): inverse Simpson effective
     * language count over the declared `lang` column, exact milli. */
   def sourceDiversity(spark: SparkSession, dir: String): DataFrame =

@@ -218,4 +218,41 @@ class TextAnalysisSpec extends SparkSpec {
       (10, 3, 11L, 1.0)      // cutoff past the vocab clamps to all 3 types
     ))
   }
+
+  test("bigramLmScore: hand-checked model, tails rank gibberish above prose") {
+    import spark.implicits._
+    // two docs, two bigram types: "aa" and "ab"; marginal a:2, V={a,b}=2
+    // P = (1+1)/(2+2) = 1/2 for both types -> lp = round(ln 2 * 1e6)
+    val tiny = Seq((1L, "aa"), (2L, "ab"), (3L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(tiny, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ln2 = math.round(math.log(2.0) * 1e6)
+    assert(got(1L) === ((1L, ln2)))
+    assert(got(2L) === ((1L, ln2)))
+    assert(got(3L) === ((0L, 0L)))   // sub-bigram doc kept, flagged by 0
+    // a repeated-common-bigram doc scores BELOW a rare-bigram doc
+    val corpus = (Seq((100L, "zq jx qv wk")) ++
+        (0 until 20).map(i => (i.toLong, "the then there these them")))
+      .toDF("doc_id", "text")
+    val s = TextAnalysis.bigramLmScore(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s(100L) > s(0L),
+      s"gibberish ${s(100L)} should out-score prose ${s(0L)}")
+  }
+
+  test("charEntropy: closed-form cases in exact micro-nats") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val ln2 = math.round(math.log(2.0) * 1e6)
+    val ln4 = math.round(math.log(4.0) * 1e6)
+    assert(got(1L) === ((4L, 1L, 0L)))          // all-same -> 0
+    assert(got(2L) === ((4L, 2L, ln4 - ln2)))   // two equal classes -> ln 2
+    assert(got(3L) === ((4L, 4L, ln4)))         // uniform over 4 -> ln 4
+    assert(got(4L) === ((0L, 0L, 0L)))          // empty doc kept
+  }
 }
