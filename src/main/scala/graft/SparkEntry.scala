@@ -202,6 +202,7 @@ object SparkEntry {
     "q180_source_set_ops"     -> ((s, d) => ExtQueries.sourceSetOps(s, d)),
     "q181_bigram_lm_nll"      -> ((s, d) => ExtQueries.bigramLmNll(s, d)),
     "q182_char_entropy"       -> ((s, d) => ExtQueries.charEntropyReport(s, d)),
+    "q183_touch_attribution"  -> ((s, d) => EventWindows.touchAttribution(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -3289,6 +3290,43 @@ object SparkEntry {
          |       COALESCE(CAST(s.sl // s.nb AS BIGINT), 0) AS nll_micro
          |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // First/last-touch attribution: journeys cut at purchases by a
+    // running prior-purchase count; touch extremes via rank windows.
+    "q183_touch_attribution" ->
+      """WITH e AS (SELECT event_id, ts, user_id, event_type,
+        |                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+        |                 CAST(ROUND(value*100, 0) AS BIGINT) AS vc
+        |          FROM events),
+        |w AS (SELECT *, COALESCE(SUM(is_p) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+        |      FROM e),
+        |t AS (SELECT user_id, jid, event_type,
+        |             row_number() OVER (PARTITION BY user_id, jid
+        |               ORDER BY ts, event_id) AS rn_a,
+        |             row_number() OVER (PARTITION BY user_id, jid
+        |               ORDER BY ts DESC, event_id DESC) AS rn_d
+        |      FROM w WHERE event_type IN ('click', 'view')),
+        |ft AS (SELECT user_id, jid,
+        |              MIN(CASE WHEN rn_a = 1 THEN event_type END) AS first_touch,
+        |              MIN(CASE WHEN rn_d = 1 THEN event_type END) AS last_touch
+        |       FROM t GROUP BY user_id, jid),
+        |p AS (SELECT user_id, jid, CAST(SUM(vc) AS BIGINT) AS vc
+        |      FROM w WHERE is_p = 1 GROUP BY user_id, jid),
+        |b AS (SELECT p.vc, COALESCE(ft.first_touch, 'direct') AS first_touch,
+        |             COALESCE(ft.last_touch, 'direct') AS last_touch
+        |      FROM p LEFT JOIN ft ON p.user_id = ft.user_id AND p.jid = ft.jid)
+        |SELECT model, touch_type, n_journeys, attributed_value FROM (
+        |  SELECT 'first_touch' AS model, first_touch AS touch_type,
+        |         COUNT(*) AS n_journeys,
+        |         CAST(SUM(vc) AS DOUBLE)/100.0 AS attributed_value
+        |  FROM b GROUP BY first_touch
+        |  UNION ALL
+        |  SELECT 'last_touch' AS model, last_touch AS touch_type,
+        |         COUNT(*) AS n_journeys,
+        |         CAST(SUM(vc) AS DOUBLE)/100.0 AS attributed_value
+        |  FROM b GROUP BY last_touch) z
+        |ORDER BY model, touch_type""".stripMargin,
     // Character entropy: H = ln n - (1/n) sum c*ln c, every ln quantized
     // once on an integer count, aggregates exact integers after that.
     "q182_char_entropy" ->

@@ -307,4 +307,56 @@ object EventWindows {
         col("n_occurrences").desc, col("trigram")))
       .select("rank", "trigram", "n_occurrences")
   }
+
+  /** First- and last-touch purchase attribution (q183): each purchase
+    * closes a per-user JOURNEY (the events since that user's previous
+    * purchase), and the journey's value is credited to its first and to
+    * its last preceding touch (click/view) — the two classic attribution
+    * models reported side by side; journeys with no touch credit
+    * 'direct'.
+    *
+    * Shape: journey ids are a running prior-purchase count over the
+    * user-keyed window sort; first/last touch and the purchase value
+    * come from ONE (user, journey) aggregation whose clustered
+    * distribution is already satisfied by the window's
+    * HashPartitioning(user_id) — Catalyst plans NO second fact
+    * exchange (a partitioning on a subset of the grouping keys
+    * co-locates the groups). The model rollups touch journey-count
+    * rows, not events. Ties on ts break by event_id in both the
+    * journey sort and the touch extremes. */
+  private[graft] def touchJourneys(spark: SparkSession,
+                                   dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val isTouch = col("event_type").isin("click", "view")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        (col("event_type") === "purchase").cast("int").as("is_p"),
+        round(col("value") * 100, 0).cast("long").as("vc"))
+      .withColumn("jid", coalesce(
+        sum("is_p").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val touch = when(isTouch,
+      struct(col("ts"), col("event_id"), col("event_type")))
+    ev.groupBy("user_id", "jid")
+      .agg(max(col("is_p")).as("has_p"),
+        min(touch).as("ft"), max(touch).as("lt"),
+        sum(when(col("is_p") === 1, col("vc"))).as("vc"))
+      .filter(col("has_p") === 1)
+      .select(col("vc"),
+        coalesce(col("ft.event_type"), lit("direct")).as("first_touch"),
+        coalesce(col("lt.event_type"), lit("direct")).as("last_touch"))
+  }
+
+  def touchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val base = touchJourneys(spark, dir)
+      .localCheckpoint() // journey-count rows; both model rollups read it
+    def model(touchCol: String): DataFrame =
+      base.groupBy(col(touchCol).as("touch_type"))
+        .agg(count(lit(1)).as("n_journeys"),
+          (sum(col("vc")).cast("double") / 100.0).as("attributed_value"))
+        .select(lit(touchCol).as("model"), col("touch_type"),
+          col("n_journeys"), col("attributed_value"))
+    model("first_touch").unionAll(model("last_touch"))
+      .orderBy("model", "touch_type")
+  }
 }

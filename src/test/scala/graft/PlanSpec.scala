@@ -369,6 +369,17 @@ class PlanSpec extends SparkSpec {
       s"clamped-scan windows must key on the supplier: $windows")
   }
 
+  test("attribution journeys: the (user, jid) agg reuses the window's user shuffle") {
+    // q183's journey aggregation groups by (user_id, jid) but the
+    // events fact must shuffle ONCE — HashPartitioning(user_id) from
+    // the window already co-locates the (user_id, jid) groups, so a
+    // second hashpartitioning over the fact means the reuse broke
+    val p = plan(graft.queries.EventWindows.touchJourneys(spark, sf001))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 1, s"expected one user_id shuffle, saw $hashEx:\n$p")
+    assert(!p.contains("Join"), s"journey derivation must not join:\n$p")
+  }
+
   test("idle-rich customers: scalar broadcast + anti join, no correlation leftovers") {
     // q134 (TPC-H Q22 shape): the global positive-balance average is a
     // 1-row broadcast nested loop (the only acceptable cross join) and

@@ -25,6 +25,40 @@ class ReportQueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum == expected)
   }
 
+  test("q183 attribution: hand fixture and model-mass invariants") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(1), 1L, "view", 0.0, "{}"),
+      (2L, ts(2), 1L, "click", 0.0, "{}"),
+      (3L, ts(3), 1L, "purchase", 10.0, "{}"),
+      (4L, ts(4), 1L, "click", 0.0, "{}"),
+      (5L, ts(5), 1L, "purchase", 20.0, "{}"),
+      (6L, ts(1), 2L, "purchase", 5.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("attr").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventWindows.touchAttribution(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_journeys"), r.getAs[Double]("attributed_value"))))
+      .toMap
+    assert(got(("first_touch", "view")) === ((1L, 10.0)))
+    assert(got(("first_touch", "click")) === ((1L, 20.0)))
+    assert(got(("first_touch", "direct")) === ((1L, 5.0)))
+    assert(got(("last_touch", "click")) === ((2L, 30.0)))
+    assert(got(("last_touch", "direct")) === ((1L, 5.0)))
+    // invariants on the real table: each model credits every purchase
+    // exactly once — equal journey counts and equal total value
+    val rows = EventWindows.touchAttribution(spark, sf001).collect()
+    val models = rows.groupBy(_.getString(0))
+    val sums = models.map { case (m, rs) =>
+      m -> ((rs.map(_.getAs[Long]("n_journeys")).sum,
+        rs.map(_.getAs[Double]("attributed_value")).sum))
+    }
+    assert(sums("first_touch")._1 == sums("last_touch")._1)
+    assert(math.abs(sums("first_touch")._2 - sums("last_touch")._2) < 1e-6)
+  }
+
   test("q103 latency report is one ordered row") {
     val r = EventWindows.conversionLatency(spark, sf001).collect()
     assert(r.length == 1)
