@@ -203,6 +203,7 @@ object SparkEntry {
     "q181_bigram_lm_nll"      -> ((s, d) => ExtQueries.bigramLmNll(s, d)),
     "q182_char_entropy"       -> ((s, d) => ExtQueries.charEntropyReport(s, d)),
     "q183_touch_attribution"  -> ((s, d) => EventWindows.touchAttribution(s, d)),
+    "q184_dedup_keep_best"    -> ((s, d) => ExtQueries.dedupKeepBest(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -847,6 +848,37 @@ object SparkEntry {
          |FROM reach
          |GROUP BY node
          |ORDER BY doc_id""".stripMargin,
+    // Keep-best dedup: the q47 reachability labels extended with a
+    // longest-text survivor per cluster (ties to smallest doc_id).
+    "q184_dedup_keep_best" ->
+      s"""WITH RECURSIVE $nCte,
+         |$minhashCtes,
+         |pairs AS (SELECT doc_a, doc_b
+         |          FROM iv JOIN sz za ON za.doc_id = iv.doc_a JOIN sz zb ON zb.doc_id = iv.doc_b
+         |          WHERE CAST(n_inter AS DOUBLE)/(za.n+zb.n-n_inter) >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |reach(node, label) AS (
+         |  SELECT src AS node, src AS label FROM edges
+         |  UNION
+         |  SELECT e.dst AS node, r.label AS label FROM reach r JOIN edges e ON e.src = r.node),
+         |mem AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+         |        FROM reach GROUP BY node),
+         |ln AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars FROM n),
+         |j AS (SELECT m.cluster_id, m.doc_id, ln.n_chars
+         |      FROM mem m JOIN ln ON m.doc_id = ln.doc_id),
+         |r AS (SELECT cluster_id, doc_id, n_chars,
+         |             row_number() OVER (PARTITION BY cluster_id
+         |               ORDER BY n_chars DESC, doc_id) AS rk
+         |      FROM j)
+         |SELECT cluster_id,
+         |       MIN(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc,
+         |       COUNT(*) AS n_members,
+         |       MIN(CASE WHEN rk = 1 THEN n_chars END) AS kept_chars,
+         |       CAST(SUM(n_chars) - MIN(CASE WHEN rk = 1 THEN n_chars END)
+         |            AS BIGINT) AS dropped_chars
+         |FROM r GROUP BY cluster_id
+         |ORDER BY cluster_id""".stripMargin,
     // Oracled against the ORIGINAL parquet table, not the CSV files: the
     // operator's contract is a lossless write→parse→typed-scan round
     // trip, and reading the source table keeps the gate independent of

@@ -94,6 +94,34 @@ object ExtQueries {
         k = 8, threshold = 0.8)
       .orderBy("doc_id")
 
+  /** Keep-best dedup selection (q184): the step AFTER clustering that
+    * every production dedup actually ships — pick ONE survivor per
+    * near-dup cluster (here: the longest normalized text, ties to the
+    * smallest doc_id — "keep the most complete copy") and report the
+    * bytes the drop saves. Composition: the q47 cluster labels joined
+    * to a zero-shuffle length projection, one cluster-keyed aggregation
+    * with the survivor carried as `max_by` over a (length, −doc_id)
+    * key — no rank window, no second join. Cluster count ≪ corpus, so
+    * everything after the label join is metadata-scale. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cl = TextDedup.dedupClusters(docs, "doc_id", "text",
+      k = 8, threshold = 0.8)
+    val len = docs.select(col("doc_id"),
+      length(graft.ext.TextOps.normText(col("text"))).cast("long")
+        .as("n_chars"))
+    cl.join(len, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max_by(struct(col("doc_id").as("d"), col("n_chars").as("c")),
+          struct(col("n_chars"), -col("doc_id"))).as("kept"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(col("cluster_id"), col("kept.d").as("kept_doc"),
+        col("n_members"), col("kept.c").as("kept_chars"),
+        (col("total_chars") - col("kept.c")).as("dropped_chars"))
+      .orderBy("cluster_id")
+  }
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     TextDedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
         maxHamming = 3)

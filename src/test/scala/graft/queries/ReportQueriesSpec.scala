@@ -59,6 +59,30 @@ class ReportQueriesSpec extends SparkSpec {
     assert(math.abs(sums("first_touch")._2 - sums("last_touch")._2) < 1e-6)
   }
 
+  test("q184 keep-best agrees with q47 clusters and keeps the longest member") {
+    val clusters = ExtQueries.dedupClusters(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    val docs = graft.model.Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        length(graft.ext.TextOps.normText(col("text"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kb = ExtQueries.dedupKeepBest(spark, sf001).collect()
+    assert(kb.map(_.getLong(0)).toSet == byCluster.keySet)
+    kb.foreach { r =>
+      val members = byCluster(r.getLong(0))
+      val kept = r.getAs[Long]("kept_doc")
+      assert(members.contains(kept))
+      assert(r.getAs[Long]("n_members") == members.size && members.size >= 2)
+      val maxLen = members.map(docs).max
+      assert(r.getAs[Long]("kept_chars") == maxLen)
+      // ties to the SMALLEST doc_id among max-length members
+      assert(kept == members.filter(docs(_) == maxLen).min)
+      assert(r.getAs[Long]("dropped_chars") ==
+        members.map(docs).sum - maxLen)
+    }
+  }
+
   test("q103 latency report is one ordered row") {
     val r = EventWindows.conversionLatency(spark, sf001).collect()
     assert(r.length == 1)
