@@ -204,6 +204,7 @@ object SparkEntry {
     "q182_char_entropy"       -> ((s, d) => ExtQueries.charEntropyReport(s, d)),
     "q183_touch_attribution"  -> ((s, d) => EventWindows.touchAttribution(s, d)),
     "q184_dedup_keep_best"    -> ((s, d) => ExtQueries.dedupKeepBest(s, d)),
+    "q185_quality_funnel"     -> ((s, d) => ExtQueries.qualityFunnelBySource(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -1124,6 +1125,30 @@ object SparkEntry {
          |       reject_reason
          |FROM r
          |ORDER BY doc_id""".stripMargin,
+    "q185_quality_funnel" ->
+      s"""WITH $nCte,
+         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+         |m AS (SELECT doc_id,
+         |        CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT)))*1.0
+         |          / len(toks) AS ml,
+         |        len(list_filter(toks, w -> length(w) >= 7))*1.0 / len(toks) AS lf,
+         |        CAST(len(list_filter(toks,
+         |          w -> w IN ('the','a','of','and','to','in'))) AS BIGINT) AS ns
+         |      FROM tk),
+         |r AS (SELECT doc_id, CASE WHEN n_tokens < 50 THEN 'too_short'
+         |                     WHEN ml < 4.2 OR ml > 4.8 THEN 'word_len'
+         |                     WHEN lf > 0.06 THEN 'long_token_frac'
+         |                     WHEN ns < 2 THEN 'no_stopwords'
+         |                     ELSE 'kept' END AS reject_reason
+         |      FROM m),
+         |g AS (SELECT d.source, r.reject_reason, COUNT(*) AS n_docs
+         |      FROM r JOIN documents d ON r.doc_id = d.doc_id
+         |      GROUP BY d.source, r.reject_reason)
+         |SELECT source, reject_reason, n_docs,
+         |       CAST((n_docs * 1000000) // SUM(n_docs) OVER (PARTITION BY source)
+         |            AS BIGINT) AS share_ppm
+         |FROM g ORDER BY source, reject_reason""".stripMargin,
     "q63_source_quota" ->
       s"""WITH ranked AS (
          |  SELECT source, doc_id, n_chars,

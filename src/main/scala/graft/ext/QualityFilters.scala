@@ -40,7 +40,8 @@ object QualityFilters {
     * division is bit-identical across engines); the reported metrics are
     * rounded for the cross-engine hash only. */
   def c4Filter(docs: DataFrame, idCol: String, textCol: String,
-               th: Thresholds = Thresholds()): DataFrame = {
+               th: Thresholds = Thresholds(),
+               carry: Seq[String] = Nil): DataFrame = {
     val toks = tokens(normText(col(textCol)))
     val nTokens = size(toks).cast("long")
     val tokChars = aggregate(toks, lit(0L), (acc, w) => acc + length(w).cast("long"))
@@ -61,13 +62,12 @@ object QualityFilters {
       .when(rStop, "no_stopwords")
       .otherwise("kept")
 
-    docs.select(
-      col(idCol),
-      nTokens.as("n_tokens"),
-      Parity.r4(meanLen).as("mean_tok_len"),
-      Parity.r4(longFrac).as("long_frac"),
-      nStop.as("n_stopwords"),
-      when(reason === "kept", 1).otherwise(0).as("keep"),
-      reason.as("reject_reason"))
+    docs.select(col(idCol) +: carry.map(col) :+
+      nTokens.as("n_tokens") :+
+      Parity.r4(meanLen).as("mean_tok_len") :+
+      Parity.r4(longFrac).as("long_frac") :+
+      nStop.as("n_stopwords") :+
+      when(reason === "kept", 1).otherwise(0).as("keep") :+
+      reason.as("reject_reason"): _*)
   }
 }

@@ -398,6 +398,22 @@ object ExtQueries {
   def bigramLmNll(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramLmScore(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** Quality-funnel matrix by source (q185): which sources lose what
+    * fraction of documents to which C4-cascade rule — the audit view a
+    * data team reads before re-crawling or re-weighting a source. One
+    * zero-shuffle scoring pass (the q62 cascade with `source` carried
+    * through), one (source, reason) count, and per-source shares from a
+    * metadata-scale window over the aggregated grid. */
+  def qualityFunnelBySource(spark: SparkSession, dir: String): DataFrame = {
+    val f = graft.ext.QualityFilters.c4Filter(Tables.documents(spark, dir),
+      "doc_id", "text", carry = Seq("source"))
+    f.groupBy("source", "reject_reason")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share_ppm",
+        expr("(n_docs * 1000000) div sum(n_docs) over (partition by source)"))
+      .orderBy("source", "reject_reason")
+  }
+
   /** Character-entropy report (q182): per-doc Shannon entropy of the
     * character distribution in integer micro-nats — low tail = repeated
     * filler, high tail = random noise; no model table, no joins. */
