@@ -205,6 +205,11 @@ object SparkEntry {
     "q183_touch_attribution"  -> ((s, d) => EventWindows.touchAttribution(s, d)),
     "q184_dedup_keep_best"    -> ((s, d) => ExtQueries.dedupKeepBest(s, d)),
     "q185_quality_funnel"     -> ((s, d) => ExtQueries.qualityFunnelBySource(s, d)),
+    "q186_bm25_search"        -> ((s, d) => ExtQueries.bm25Search(s, d)),
+    "q187_quantized_topk"     -> ((s, d) => ExtQueries.quantizedRetrieval(s, d)),
+    "q188_graph_hops"         -> ((s, d) => Analytics.copurchaseHops(s, d)),
+    "q189_rrf_fusion"         -> ((s, d) => ExtQueries.rrfFusion(s, d)),
+    "q190_revenue_anomaly"    -> ((s, d) => Analytics.revenueAnomaly(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -339,6 +344,70 @@ object SparkEntry {
   private val embCte =
     "nm AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb, " +
       "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings)"
+
+  private lazy val annBruteSql: String =
+    s"""WITH $embCte,
+       |q AS (SELECT * FROM nm WHERE vec_id < 10),
+       |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |              ROUND(list_dot_product(q.emb, c.emb)/(q.nrm*c.nrm), 4) AS score
+       |       FROM nm c CROSS JOIN q WHERE c.vec_id <> q.vec_id),
+       |rk AS (SELECT query_id, neighbor_id, score,
+       |              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+       |       FROM sc)
+       |SELECT query_id, neighbor_id, score, CAST(rnk AS INT) AS rank
+       |FROM rk WHERE rnk <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  private lazy val annLshSql: String =
+    s"""WITH $embCte,
+       |bk AS (SELECT vec_id, emb, nrm,
+       |    (CASE WHEN list_dot_product(emb, ${planeLit(0)}::DOUBLE[]) > 0 THEN 1 ELSE 0 END)
+       |  + (CASE WHEN list_dot_product(emb, ${planeLit(1)}::DOUBLE[]) > 0 THEN 2 ELSE 0 END)
+       |  + (CASE WHEN list_dot_product(emb, ${planeLit(2)}::DOUBLE[]) > 0 THEN 4 ELSE 0 END)
+       |  + (CASE WHEN list_dot_product(emb, ${planeLit(3)}::DOUBLE[]) > 0 THEN 8 ELSE 0 END) AS bucket
+       |  FROM nm),
+       |q AS (SELECT * FROM bk WHERE vec_id < 10),
+       |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.bucket,
+       |              ROUND(list_dot_product(q.emb, c.emb)/(q.nrm*c.nrm), 4) AS score
+       |       FROM bk c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+       |rk AS (SELECT query_id, neighbor_id, bucket, score,
+       |              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+       |       FROM sc)
+       |SELECT query_id, neighbor_id, bucket, score, CAST(rnk AS INT) AS rank
+       |FROM rk WHERE rnk <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
+  private lazy val annIvfSql: String =
+      s"""WITH $embCte,
+         |ex AS (SELECT label AS cell, g AS pos, CAST(embedding[g] AS DOUBLE) AS v
+         |       FROM (SELECT label, embedding, unnest(range(1, len(embedding)+1)) AS g
+         |             FROM embeddings) z),
+         |cs AS (SELECT cell, pos, CAST(SUM(CAST(ROUND(v*10000,0) AS BIGINT)) AS BIGINT) AS s,
+         |              COUNT(*) AS n
+         |       FROM ex GROUP BY cell, pos),
+         |cent AS (SELECT cell, LIST(CAST(s AS DOUBLE)/10000.0/n ORDER BY pos) AS centroid
+         |         FROM cs GROUP BY cell),
+         |cn AS (SELECT cell, centroid, sqrt(list_dot_product(centroid, centroid)) AS cnrm
+         |       FROM cent),
+         |q AS (SELECT vec_id, emb, nrm FROM nm WHERE vec_id < 10),
+         |pr AS (SELECT q.vec_id AS query_id, cn.cell,
+         |              row_number() OVER (PARTITION BY q.vec_id
+         |                ORDER BY ROUND(list_dot_product(q.emb, cn.centroid)/(q.nrm*cn.cnrm), 4) DESC,
+         |                         cn.cell) AS prk
+         |       FROM q CROSS JOIN cn),
+         |probed AS (SELECT query_id, cell FROM pr WHERE prk <= 2),
+         |sc AS (SELECT p.query_id, c.vec_id AS neighbor_id, c.label AS cell,
+         |              ROUND(list_dot_product(q.emb, c.emb)/(q.nrm*c.nrm), 4) AS score
+         |       FROM probed p
+         |       JOIN nm c ON c.label = p.cell
+         |       JOIN nm q ON q.vec_id = p.query_id
+         |       WHERE c.vec_id <> p.query_id),
+         |rk AS (SELECT query_id, neighbor_id, cell, score,
+         |              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+         |       FROM sc)
+         |SELECT query_id, neighbor_id, cell, score, CAST(rnk AS INT) AS rank
+         |FROM rk WHERE rnk <= 3
+         |ORDER BY query_id, rank""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -690,36 +759,8 @@ object SparkEntry {
          |FROM nm a JOIN nm b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ROUND(list_dot_product(a.emb, b.emb)/(a.nrm*b.nrm), 4) >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
-    "q37_ann_brute_topk" ->
-      s"""WITH $embCte,
-         |q AS (SELECT * FROM nm WHERE vec_id < 10),
-         |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |              ROUND(list_dot_product(q.emb, c.emb)/(q.nrm*c.nrm), 4) AS score
-         |       FROM nm c CROSS JOIN q WHERE c.vec_id <> q.vec_id),
-         |rk AS (SELECT query_id, neighbor_id, score,
-         |              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
-         |       FROM sc)
-         |SELECT query_id, neighbor_id, score, CAST(rnk AS INT) AS rank
-         |FROM rk WHERE rnk <= 5
-         |ORDER BY query_id, rank""".stripMargin,
-    "q38_ann_lsh_topk" ->
-      s"""WITH $embCte,
-         |bk AS (SELECT vec_id, emb, nrm,
-         |    (CASE WHEN list_dot_product(emb, ${planeLit(0)}::DOUBLE[]) > 0 THEN 1 ELSE 0 END)
-         |  + (CASE WHEN list_dot_product(emb, ${planeLit(1)}::DOUBLE[]) > 0 THEN 2 ELSE 0 END)
-         |  + (CASE WHEN list_dot_product(emb, ${planeLit(2)}::DOUBLE[]) > 0 THEN 4 ELSE 0 END)
-         |  + (CASE WHEN list_dot_product(emb, ${planeLit(3)}::DOUBLE[]) > 0 THEN 8 ELSE 0 END) AS bucket
-         |  FROM nm),
-         |q AS (SELECT * FROM bk WHERE vec_id < 10),
-         |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.bucket,
-         |              ROUND(list_dot_product(q.emb, c.emb)/(q.nrm*c.nrm), 4) AS score
-         |       FROM bk c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
-         |rk AS (SELECT query_id, neighbor_id, bucket, score,
-         |              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
-         |       FROM sc)
-         |SELECT query_id, neighbor_id, bucket, score, CAST(rnk AS INT) AS rank
-         |FROM rk WHERE rnk <= 3
-         |ORDER BY query_id, rank""".stripMargin,
+    "q37_ann_brute_topk" -> annBruteSql,
+    "q38_ann_lsh_topk" -> annLshSql,
     // Mirrors the payload builders' integer arithmetic — every modality
     // is a real container decode of a deterministically-built file: BMP
     // byte layout (54-byte headers + 4-byte-padded pixel rows) for image
@@ -889,37 +930,7 @@ object SparkEntry {
       s"""SELECT c_custkey, c_name, c_acctbal, c_mktsegment
          |FROM customer
          |ORDER BY c_custkey""".stripMargin,
-    "q49_ann_ivf_topk" ->
-      s"""WITH $embCte,
-         |ex AS (SELECT label AS cell, g AS pos, CAST(embedding[g] AS DOUBLE) AS v
-         |       FROM (SELECT label, embedding, unnest(range(1, len(embedding)+1)) AS g
-         |             FROM embeddings) z),
-         |cs AS (SELECT cell, pos, CAST(SUM(CAST(ROUND(v*10000,0) AS BIGINT)) AS BIGINT) AS s,
-         |              COUNT(*) AS n
-         |       FROM ex GROUP BY cell, pos),
-         |cent AS (SELECT cell, LIST(CAST(s AS DOUBLE)/10000.0/n ORDER BY pos) AS centroid
-         |         FROM cs GROUP BY cell),
-         |cn AS (SELECT cell, centroid, sqrt(list_dot_product(centroid, centroid)) AS cnrm
-         |       FROM cent),
-         |q AS (SELECT vec_id, emb, nrm FROM nm WHERE vec_id < 10),
-         |pr AS (SELECT q.vec_id AS query_id, cn.cell,
-         |              row_number() OVER (PARTITION BY q.vec_id
-         |                ORDER BY ROUND(list_dot_product(q.emb, cn.centroid)/(q.nrm*cn.cnrm), 4) DESC,
-         |                         cn.cell) AS prk
-         |       FROM q CROSS JOIN cn),
-         |probed AS (SELECT query_id, cell FROM pr WHERE prk <= 2),
-         |sc AS (SELECT p.query_id, c.vec_id AS neighbor_id, c.label AS cell,
-         |              ROUND(list_dot_product(q.emb, c.emb)/(q.nrm*c.nrm), 4) AS score
-         |       FROM probed p
-         |       JOIN nm c ON c.label = p.cell
-         |       JOIN nm q ON q.vec_id = p.query_id
-         |       WHERE c.vec_id <> p.query_id),
-         |rk AS (SELECT query_id, neighbor_id, cell, score,
-         |              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
-         |       FROM sc)
-         |SELECT query_id, neighbor_id, cell, score, CAST(rnk AS INT) AS rank
-         |FROM rk WHERE rnk <= 3
-         |ORDER BY query_id, rank""".stripMargin,
+    "q49_ann_ivf_topk" -> annIvfSql,
     "q50_corpus_report" ->
       s"""WITH $nCte,
          |$tokCte,
@@ -3585,5 +3596,149 @@ object SparkEntry {
         |       CAST(CAST(n_docs AS HUGEINT) * n_docs * 1000 // sq AS BIGINT)
         |         AS inv_simpson_milli
         |FROM g ORDER BY source""".stripMargin,
+    // Okapi BM25, integer-exact: idf quantized once per query term to
+    // micro-nats (the q181 contract), the tf saturation term cleared of
+    // decimals (k1=1.2, b=0.75, avgdl=T/N; multiply num and den by 10T)
+    // and floored to exact ppm in HUGEINT — Σ idf·tf_ppm is then pure
+    // integer arithmetic, reproducible value-for-value.
+    "q186_bm25_search" ->
+      s"""WITH $nCte, $tokCte,
+         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+         |dft AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+         |tot AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+         |q(query_id, w) AS (VALUES
+         |  (1, 'spark'), (1, 'hash'), (1, 'join'),
+         |  (2, 'window'), (2, 'merge'), (2, 'sort'),
+         |  (3, 'stream'), (3, 'batch'), (3, 'data')),
+         |qi AS (SELECT q.query_id, q.w,
+         |         CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) * 1e6, 0)
+         |              AS BIGINT) AS idf_micro
+         |       FROM q JOIN dft USING (w) CROSS JOIN tot),
+         |sc AS (SELECT qi.query_id, tf.doc_id,
+         |         CAST(SUM(qi.idf_micro *
+         |           CAST(CAST(22 AS HUGEINT) * tf.tf * t * 1000000 //
+         |                (CAST(10 AS HUGEINT) * t * tf.tf + 3 * t + 9 * dl.dl * n)
+         |                AS BIGINT)) AS BIGINT) AS score_e12,
+         |         CAST(COUNT(*) AS INT) AS n_hit_terms
+         |       FROM qi JOIN tf USING (w) JOIN dl USING (doc_id)
+         |            CROSS JOIN tot
+         |       GROUP BY qi.query_id, tf.doc_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY score_e12 DESC, doc_id) AS rnk FROM sc)
+         |SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, score_e12,
+         |       n_hit_terms
+         |FROM rk WHERE rnk <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+    // Int8 scalar quantization: L2-normalize (the same sequential
+    // double dot the engine's norm computes), one symmetric corpus-wide
+    // scale, codes floor(127·x̂/scale) — IEEE double ops in a fixed
+    // order, no transcendentals, so both engines code identically; the
+    // ranking key is an exact integer dot product. The exact float
+    // top-5 (the q37 shape) feeds the per-hit recall flag.
+    "q187_quantized_topk" ->
+      s"""WITH $embCte,
+         |ux AS (SELECT vec_id, unnest(emb) AS x,
+         |              unnest(range(0, len(emb))) AS i, nrm FROM nm),
+         |nx AS (SELECT vec_id, i,
+         |         CASE WHEN nrm = 0.0 THEN 0.0 ELSE x / nrm END AS xn
+         |       FROM ux),
+         |sc0 AS (SELECT max(abs(xn)) AS scale FROM nx),
+         |qz AS (SELECT vec_id, i,
+         |         CAST(CASE WHEN scale = 0.0 THEN 0.0
+         |              ELSE floor(127.0 * xn / scale) END AS BIGINT) AS qx
+         |       FROM nx CROSS JOIN sc0),
+         |q AS (SELECT * FROM qz WHERE vec_id < 10),
+         |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |              CAST(SUM(q.qx * c.qx) AS BIGINT) AS qdot
+         |       FROM qz c JOIN q ON c.i = q.i AND c.vec_id <> q.vec_id
+         |       GROUP BY q.vec_id, c.vec_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY qdot DESC, neighbor_id) AS rnk FROM sc),
+         |eq AS (SELECT * FROM nm WHERE vec_id < 10),
+         |esc AS (SELECT eq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |          CASE WHEN eq.nrm * c.nrm = 0.0 THEN 0.0
+         |               ELSE ROUND(list_dot_product(eq.emb, c.emb)
+         |                          /(eq.nrm*c.nrm), 4) END AS score
+         |        FROM nm c CROSS JOIN eq WHERE c.vec_id <> eq.vec_id),
+         |erk AS (SELECT query_id, neighbor_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY score DESC, neighbor_id) AS rnk
+         |        FROM esc)
+         |SELECT rk.query_id, CAST(rk.rnk AS INT) AS rank, rk.neighbor_id,
+         |       rk.qdot,
+         |       CASE WHEN e.neighbor_id IS NULL THEN 0 ELSE 1 END AS in_exact_topk
+         |FROM rk LEFT JOIN (SELECT * FROM erk WHERE rnk <= 5) e
+         |  ON rk.query_id = e.query_id AND rk.neighbor_id = e.neighbor_id
+         |WHERE rk.rnk <= 5
+         |ORDER BY rk.query_id, rank""".stripMargin,
+    // BFS hop distances as a depth-bounded recursive CTE: UNION dedups
+    // (seed, node, dist) walk triples each level, MIN(dist) collapses
+    // longer walks to the true shortest hop count — the declarative
+    // restatement of the engine's frontier/anti-join expansion.
+    "q188_graph_hops" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT l.l_suppkey * 2 AS u, o.o_custkey * 2 + 1 AS v
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |adj AS (SELECT u AS src, v AS dst FROM pairs
+        |        UNION ALL SELECT v, u FROM pairs),
+        |bfs(seed, node, dist) AS (
+        |  SELECT seed, seed, 0 FROM (VALUES (2), (3), (4)) s(seed)
+        |  UNION
+        |  SELECT b.seed, a.dst, b.dist + 1
+        |  FROM bfs b JOIN adj a ON a.src = b.node
+        |  WHERE b.dist < 3),
+        |d AS (SELECT seed, node, MIN(dist) AS dist FROM bfs GROUP BY seed, node)
+        |SELECT CAST(seed AS BIGINT) AS seed,
+        |       CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END
+        |         AS node_type,
+        |       CAST(node // 2 AS BIGINT) AS node_key,
+        |       CAST(dist AS INT) AS dist
+        |FROM d
+        |ORDER BY seed, dist, node_type, node_key""".stripMargin,
+    // RRF over the three dense rankers, each embedded as a subquery of
+    // its own oracled SQL (annBruteSql/annLshSql/annIvfSql — the q37/
+    // q38/q49 definitions verbatim). ⌊10⁶/(60+rank)⌋ summed as exact
+    // integers.
+    "q189_rrf_fusion" ->
+      s"""WITH b AS (SELECT query_id, neighbor_id, rank FROM ($annBruteSql) z1),
+         |l AS (SELECT query_id, neighbor_id, rank FROM ($annLshSql) z2),
+         |i AS (SELECT query_id, neighbor_id, rank FROM ($annIvfSql) z3),
+         |u AS (SELECT query_id, neighbor_id, 1000000 // (60 + rank) AS c FROM b
+         |      UNION ALL
+         |      SELECT query_id, neighbor_id, 1000000 // (60 + rank) FROM l
+         |      UNION ALL
+         |      SELECT query_id, neighbor_id, 1000000 // (60 + rank) FROM i),
+         |f AS (SELECT query_id, neighbor_id,
+         |             CAST(SUM(c) AS BIGINT) AS rrf_micro,
+         |             CAST(COUNT(*) AS INT) AS n_lists
+         |      FROM u GROUP BY query_id, neighbor_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY rrf_micro DESC, neighbor_id) AS rnk FROM f)
+         |SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, rrf_micro,
+         |       n_lists
+         |FROM rk WHERE rnk <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    // Rolling lower-median / MAD over a bounded ROWS frame: list() is
+    // frame-ordered on both engines, medians are sorted-array elements,
+    // everything integer cents.
+    "q190_revenue_anomaly" ->
+      s"""WITH d AS (SELECT o_orderpriority AS priority,
+         |                  CAST(o_orderdate AS DATE) AS day,
+         |                  CAST(SUM(${cents("o_totalprice")}) AS BIGINT) AS px
+         |           FROM orders GROUP BY 1, 2),
+         |a AS (SELECT *, list(px) OVER (PARTITION BY priority ORDER BY day
+         |        ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS arr FROM d),
+         |m AS (SELECT priority, day, px, len(arr) AS n, arr,
+         |             list_sort(arr)[(len(arr)+1)//2] AS med
+         |      FROM a),
+         |m2 AS (SELECT priority, day, px, n, med,
+         |              list_sort(list_transform(arr, v -> abs(v - med)))[(n+1)//2]
+         |                AS mad
+         |       FROM m)
+         |SELECT priority, day, CAST(n AS INT) AS n_window, px, med, mad,
+         |       CASE WHEN abs(px - med) > 5*mad THEN 1 ELSE 0 END AS is_anomaly
+         |FROM m2 WHERE n >= 7
+         |ORDER BY priority, day""".stripMargin,
   )
 }

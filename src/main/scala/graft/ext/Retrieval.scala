@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextOps.{normText, tokens}
+
+/** Full-text retrieval over the documents corpus: an inverted-index BM25
+  * ranker — the lexical search primitive every corpus-curation stack
+  * pairs with its embedding retriever (Similarity.scala is the dense
+  * tier; this is the sparse tier of the standard hybrid).
+  *
+  * BM25 (Robertson–Spärck Jones, Okapi at TREC-3) with the Lucene-style
+  * always-positive idf:
+  *
+  *   score(q, d) = Σ_{t ∈ q}  idf(t) · tf(t,d)·(k₁+1)
+  *                            ─────────────────────────────────
+  *                            tf(t,d) + k₁·(1 − b + b·dl(d)/avgdl)
+  *
+  *   idf(t) = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5))
+  *
+  * with the standard k₁ = 1.2, b = 0.75.
+  *
+  * Parity design (the q181 contract): the only transcendental — idf — is
+  * quantized ONCE per distinct query term to integer micro-nats
+  * (round(idf·10⁶)); the tf saturation term is an exact RATIONAL once
+  * k₁ and b are cleared of decimals, so it floors to exact integer ppm
+  * on both engines. With avgdl = T/N (T corpus tokens, N docs),
+  * multiplying numerator and denominator by 10·T:
+  *
+  *   tf_ppm = ⌊ 22·tf·T·10⁶ / (10·T·tf + 3·T + 9·dl·N) ⌋
+  *
+  * (DECIMAL(38,0) intermediates: 22·tf·T·10⁶ stays under 10³⁸ for any
+  * conceivable corpus). The document score Σ idf_micro·tf_ppm is then a
+  * sum of exact integer products — order-independent across shuffle
+  * partitions and engines — and the (score desc, doc_id) ranking is
+  * fully reproducible. No float ever crosses an aggregation.
+  *
+  * Scale shape: one tokenize pass feeds three partial-aggregated
+  * reductions — postings tf(doc, term), document lengths dl(doc), and
+  * document frequencies df(term); every exchanged row is a key with
+  * counts, never a document. The query set is SMALL BY CONTRACT (a
+  * search request, not a table), so query terms broadcast into the
+  * postings join — the only corpus-sized exchange after tokenization is
+  * the (query, doc)-keyed score aggregation, which AQE coalesces. The
+  * per-query top-k window partitions by query over matched docs only; a
+  * query matching a constant fraction of a 100 TB corpus would take the
+  * [[graft.operators.Skew.saltedTopKPerGroup]] form instead (same
+  * contract as q63/q81).
+  */
+object Retrieval {
+
+  /** BM25 top-`k` documents for each query in `queries`
+    * (query_id → whitespace-separated terms; terms are matched after the
+    * same [[TextOps.normText]] normalization the index applies). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Int, String)], k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val tok = graft.model.Tables.fanOut(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(normText(col(textCol)))).as("w"))
+    // Postings and lengths partial-aggregate map-side; df is a rollup of
+    // the postings (distinct (doc, term) rows), not a second corpus pass.
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // read 3×: df rollup, dl rollup, scoring join
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val totals = dl.agg(count(lit(1)).as("n"), sum("dl").as("t"))
+
+    val q = queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(tokens(normText(col("qtext")))).as("w"))
+    // idf per (query, term): quantized once, BEFORE any aggregation.
+    val qi = q.join(dfT, "w") // terms absent from the corpus score 0: drop
+      .crossJoin(broadcast(totals))
+      .select(col("query_id"), col("w"),
+        round(log(lit(1.0) +
+          (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * 1e6, 0)
+          .cast("long").as("idf_micro"))
+
+    qi.join(tf, "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("tf_ppm",
+        expr("(CAST(22 AS DECIMAL(38,0)) * tf * t * 1000000) div " +
+          "(CAST(10 AS DECIMAL(38,0)) * t * tf + 3 * t + 9 * dl * n)")
+          .cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("idf_micro") * col("tf_ppm")).as("score_e12"),
+        count(lit(1)).cast("int").as("n_hit_terms"))
+      .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("score_e12").desc, col("doc_id"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_e12"), col("n_hit_terms"))
+      .orderBy("query_id", "rank")
+  }
+}

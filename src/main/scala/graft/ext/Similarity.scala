@@ -279,6 +279,90 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Int8 scalar-quantized retrieval (q187): L2-normalize every vector,
+    * then map each coordinate to an 8-bit code under ONE symmetric
+    * corpus-wide scale (the max |coordinate| of the normalized corpus):
+    *
+    *   code(x̂) = ⌊127·x̂/scale⌋ ∈ [−127, 127]
+    *
+    * and rank by the INTEGER dot product of code vectors — the memory
+    * layout production vector indexes actually serve from (4× smaller
+    * than float32, SIMD-friendly). Symmetric zero-centred scaling is
+    * the part that matters: code ≈ (127/scale)·x̂ with NO additive bias,
+    * so Σ codeᵢ·codeᵢ ≈ (127/scale)²·cos — a faithful monotone proxy of
+    * the cosine ranking (a per-dimension min/max affine quantizer adds
+    * bias terms that scramble it). The ranking key is an exact integer,
+    * so unlike the float tiers the winner set needs no display
+    * rounding; each hit also carries an `in_exact_topk` flag against
+    * the float32 [[bruteTopK]] winner set — the recall readout that
+    * tells you what the 4× compression cost.
+    *
+    * Parity: normalization and the quantizer are IEEE double ops in a
+    * fixed order (the norm is the same sequential [[dot]] sum the
+    * oracle's list_dot_product computes; sqrt/÷/floor are exactly
+    * rounded), so both engines produce bit-identical codes. Zero-norm
+    * vectors code to all-zero rather than dividing by zero.
+    *
+    * Scale shape: the scale is a 1-row aggregate broadcast — the corpus
+    * never reshuffles to get its codes; scoring is the same
+    * |Q|-bounded broadcast cross as [[bruteTopK]] but over int8 codes;
+    * the exact-baseline join adds one more |Q|·k-row broadcast. At
+    * 100 TB the quantized scan replaces the float scan (an IVF cell
+    * restriction composes on top — [[ivfTopK]]), it never adds to it. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    embCol: String, k: Int): DataFrame = {
+    val normExpr =
+      s"""transform($embCol, x -> CASE WHEN _nrm = 0.0D THEN 0.0D
+         |  ELSE CAST(x AS DOUBLE) / _nrm END)""".stripMargin
+    val codeExpr =
+      """transform(nx, x -> CAST(CASE WHEN scale = 0.0D THEN 0.0D
+        |  ELSE floor(127.0D * x / scale) END AS BIGINT))""".stripMargin
+    val cN = graft.model.Tables.fanOut(corpus)
+      .withColumn("_nrm", l2norm(col(embCol)))
+      .select(col(idCol).as("neighbor_id"), expr(normExpr).as("nx"))
+    val scale = cN.select(explode(col("nx")).as("x"))
+      .agg(max(abs(col("x"))).as("scale"))
+    val q = queries.withColumn("_nrm", l2norm(col(embCol)))
+      .select(col(idCol).as("query_id"), expr(normExpr).as("nx"))
+      .crossJoin(broadcast(scale))
+      .select(col("query_id"), expr(codeExpr).as("q_code"))
+    val c = cN.crossJoin(broadcast(scale))
+      .select(col("neighbor_id"), expr(codeExpr).as("c_code"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("aggregate(zip_with(q_code, c_code, (a, b) -> a * b), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("qdot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("qdot"), col("neighbor_id"))
+    // Exact float baseline for the recall flag — the bruteTopK shape
+    // with the same zero-norm guard as the codes (cosine 0 by
+    // convention), so a degenerate vector can't ANSI-fault the divide.
+    val qe = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+      l2norm(col(embCol)).as("q_nrm"))
+    val ce = graft.model.Tables.fanOut(corpus)
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
+        l2norm(col(embCol)).as("c_nrm"))
+    val ew = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), col("neighbor_id"))
+    val exact = ce.crossJoin(broadcast(qe))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("q_nrm") * col("c_nrm") === 0.0, lit(0.0))
+          .otherwise(round(dot(col("q_emb"), col("c_emb")) /
+            (col("q_nrm") * col("c_nrm")), 4)).as("score"))
+      .withColumn("rank", row_number().over(ew))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(broadcast(exact), Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("qdot"),
+        coalesce(col("hit"), lit(0)).as("in_exact_topk"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs within a coarse partition key
     * (here: a label/cluster column — the IVF idea: only intra-bucket pairs
     * are candidates, so the self-join is equi on the bucket key instead of

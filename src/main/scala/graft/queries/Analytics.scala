@@ -1255,6 +1255,73 @@ object Analytics {
       .limit(25)
   }
 
+  /** Multi-source BFS hop distances (q188): how far every account sits
+    * from three seed accounts on the supplier↔customer co-purchase
+    * graph — the blast-radius / graph-feature primitive
+    * ([[graft.operators.Bfs.hopDistances]]), with the same even/odd
+    * node encoding as q140. Exact BFS levels, capped at 3 hops; the
+    * oracle replays the expansion as a recursive CTE with MIN(dist)
+    * collapsing longer walks. Seeds: supplier 1, customer 1, supplier 2
+    * (nodes 2, 3, 4 — present at every scale factor, and a seed with no
+    * edges still reports itself at dist 0). */
+  def copurchaseHops(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("orderkey"), col("l_suppkey").as("s"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("orderkey"), col("o_custkey").as("c")),
+        Seq("orderkey"))
+      .select((col("s") * 2).as("sn"), (col("c") * 2 + 1).as("cn"))
+    val edges = graft.operators.Graph.undirectedEdges(pairs, "sn", "cn")
+    graft.operators.Bfs.hopDistances(edges, Seq(2L, 3L, 4L).toDF("seed"),
+        maxHops = 3)
+      .select(col("seed"),
+        when(col("node") % 2 === 0, lit("supplier")).otherwise(lit("customer"))
+          .as("node_type"),
+        expr("node div 2").as("node_key"), col("dist"))
+      .orderBy("seed", "dist", "node_type", "node_key")
+  }
+
+  /** Rolling median/MAD anomaly detection (q190): per-priority daily
+    * revenue scored against the ROBUST location/scale of its own
+    * trailing 15-day window — the outlier detector that a mean/stddev
+    * z-score can't be (one spike inflates the stddev and masks itself;
+    * the median absolute deviation ignores it). A day is anomalous when
+    * |x − med| > 5·MAD. Every statistic is exact integer cents: the
+    * window rides `collect_list` over a bounded ROWS frame (frame order
+    * = the window's sort order, deterministic on both engines), the
+    * median is the lower-median element of the sorted array, and MAD is
+    * the lower median of |xᵢ − med| — array ops, no float, no
+    * percentile approximation, so the oracle matches value-for-value.
+    * Warm-up rows (window < 7 days) are excluded from the report.
+    *
+    * Scale shape: one (priority, day) pre-aggregation (partial-agg'd,
+    * ≤ |priorities|·|days| rows out), then a priority-partitioned
+    * bounded window over that METADATA-SIZED series — the corpus-sized
+    * fact never enters a window. The 15-element array per row is the
+    * whole holistic state; a per-key daily series is bounded by the
+    * calendar, not the data. */
+  def revenueAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("px"))
+    val w = Window.partitionBy("priority").orderBy("day").rowsBetween(-14, 0)
+    daily.withColumn("arr", collect_list("px").over(w))
+      .withColumn("med",
+        expr("element_at(array_sort(arr), cast((size(arr)+1) div 2 as int))"))
+      .withColumn("mad",
+        expr("element_at(array_sort(transform(arr, v -> abs(v - med))), " +
+          "cast((size(arr)+1) div 2 as int))"))
+      .filter(size(col("arr")) >= 7)
+      .select(col("priority"), col("day"),
+        size(col("arr")).as("n_window"), col("px"), col("med"), col("mad"),
+        when(abs(col("px") - col("med")) > col("mad") * 5, 1).otherwise(0)
+          .as("is_anomaly"))
+      .orderBy("priority", "day")
+  }
+
   /** Time-decayed revenue leaderboard (q118): customer value where each
     * order's cents HALVE per calendar year of age relative to the
     * dataset's newest order — the recency-weighted CRM score a plain

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Multimodal, Sampling, Similarity, TextAnalysis, TextClean, TextDedup, TextOps}
+import graft.ext.{Multimodal, Retrieval, Sampling, Similarity, TextAnalysis, TextClean, TextDedup, TextOps}
 import graft.model.Tables
 
 /** Oracle-checked query wrappers for the LLM-data-pipeline extension
@@ -760,5 +760,55 @@ object ExtQueries {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "score", "rank")
       .orderBy("query_id", "rank")
+  }
+
+  /** BM25 lexical search (q186): three fixed keyword queries ranked over
+    * the documents corpus by the integer-exact Okapi BM25 of
+    * [[graft.ext.Retrieval.bm25TopK]]. The query strings hit the
+    * corpus's core vocabulary so every query retrieves a full top-10 at
+    * every scale factor. */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
+      Seq(1 -> "spark hash join", 2 -> "window merge sort",
+        3 -> "stream batch data"), k = 10)
+
+  /** Reciprocal-rank fusion (q189): the standard hybrid-retrieval
+    * ensemble (Cormack–Clarke–Buettcher RRF) over the suite's three
+    * dense rankers — exact brute (q37), sign-LSH (q38) and IVF (q49) —
+    * per query:  rrf(d) = Σ_lists 1/(60 + rank_list(d)).  Scored in
+    * exact integer micro-units (⌊10⁶/(60+rank)⌋ — ranks are small
+    * integers, so the floor loses nothing that changes an ordering) and
+    * summed as plain longs, the fused winner set is reproducible
+    * value-for-value with no float anywhere. A doc missing from a list
+    * simply contributes nothing (the union is the outer join); n_lists
+    * reports how many rankers surfaced each hit.
+    *
+    * Scale shape: the inputs are the ALREADY-BOUNDED top-k relations
+    * (|Q|·k rows each), so the union, the (query, doc) rollup and the
+    * final rank window all cost nothing at any corpus size — fusion
+    * adds zero corpus passes beyond what the three tiers already do. */
+  def rrfFusion(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rrf_micro").desc, col("neighbor_id"))
+    Seq(annBruteTopK(spark, dir), annLshTopK(spark, dir), annIvfTopK(spark, dir))
+      .map(_.select(col("query_id"), col("neighbor_id"),
+        expr("1000000 div (60 + rank)").as("c")))
+      .reduce(_ unionAll _)
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("c").as("rrf_micro"), count(lit(1)).cast("int").as("n_lists"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "rrf_micro", "n_lists")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Int8 scalar-quantized retrieval (q187): the same |Q|=10 query set
+    * as q37, ranked by exact integer dot products of per-dimension
+    * min/max-scaled 8-bit codes, each hit flagged against the float32
+    * exact top-5 — the compression/recall readout. */
+  def quantizedRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+      "embedding", k = 5)
   }
 }

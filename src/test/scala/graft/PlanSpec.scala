@@ -473,4 +473,37 @@ class PlanSpec extends SparkSpec {
     assert(rightAgg.isDefined,
       s"orders not pre-aggregated below the join:\n${join.right}")
   }
+
+  test("bm25: query terms broadcast into the postings join, nothing cartesian") {
+    // q186: the corpus-sized relations (postings, lengths) must never
+    // meet in a cartesian or be the build side of anything; the tiny
+    // query-term relation broadcasts. The only cross joins are the
+    // 1-row totals broadcast.
+    val df = graft.queries.ExtQueries.bm25Search(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in bm25 plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"query terms not broadcast:\n$p")
+  }
+
+  test("bfs hops: per-level expansion is keyed joins over checkpointed frontiers") {
+    // q188's levels materialize via localCheckpoint, so pin the SHAPE of
+    // one expansion step directly: frontier ⋈ adjacency must be an equi
+    // join (hash or sort-merge on the node key), the visited-set
+    // subtraction an anti join — no nested loop anywhere.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val edges = graft.operators.Graph.undirectedEdges(
+      Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b")
+    val adj = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    val frontier = Seq(1L).toDF("seed")
+      .select(col("seed"), col("seed").as("node"))
+    val step = frontier.join(adj, col("node") === col("src"))
+      .select(col("seed"), col("dst").as("node")).distinct()
+      .join(frontier.select("seed", "node"), Seq("seed", "node"), "left_anti")
+    val p = step.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"non-equi join in BFS step:\n$p")
+    assert(p.contains("LeftAnti"), s"visited subtraction not an anti join:\n$p")
+  }
 }

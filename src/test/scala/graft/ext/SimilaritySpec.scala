@@ -131,4 +131,54 @@ class SimilaritySpec extends SparkSpec {
       assert(cos >= -1.0001 && cos <= 1.0001)       // valid cosine
     }
   }
+
+  test("quantizedTopK: hand-checkable codes after normalization") {
+    // 3-4-5 vectors normalize to (±0.6, ±0.8); d4 normalizes to (1, 0)
+    // and pins the global scale at exactly 1, so codes are
+    // floor(127·x̂): 0.6→76, 0.8→101, −0.6→−77, −0.8→−102, 1→127.
+    val corpus = Seq(
+      (0L, Array(3.0f, 4.0f), 0),   // query: codes (76, 101)
+      (1L, Array(4.0f, 3.0f), 0),   // codes (101, 76)
+      (2L, Array(6.0f, 8.0f), 0),   // same direction as q: codes (76, 101)
+      (3L, Array(-3.0f, -4.0f), 0), // codes (−77, −102)
+      (4L, Array(1.0f, 0.0f), 0)    // codes (127, 0)
+    ).toDF("vec_id", "embedding", "label")
+    val q = corpus.filter(col("vec_id") === 0L)
+    val out = Similarity.quantizedTopK(corpus, q, "vec_id", "embedding", k = 4)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1) === (2L, 76L * 76L + 101L * 101L))   // 15977: parallel
+    assert(out(2) === (1L, 76L * 101L + 101L * 76L))   // 15352: swapped
+    assert(out(3) === (4L, 76L * 127L))                //  9652: orthogonal-ish
+    assert(out(4) === (3L, 76L * -77L + 101L * -102L)) // −16154: opposite
+  }
+
+  test("quantizedTopK: recall flag marks exact-top-k members") {
+    val emb = graft.model.Tables.embeddings(spark, sf001)
+    val out = Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 5).collect()
+    assert(out.length === 25) // 5 queries × top-5
+    val flags = out.map(r => r.getInt(4))
+    assert(flags.forall(f => f == 0 || f == 1))
+    // int8 quantization of a normalized 64-dim corpus should agree with
+    // the float ranking on most of the top-5 — demand a >half majority
+    assert(flags.sum > out.length / 2)
+    // ranks are a contiguous 1..5 per query
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === Seq(1, 2, 3, 4, 5))
+    }
+  }
+
+  test("quantizedTopK: zero-norm vectors code to all-zero, never NaN") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.0f, 0.0f), 0), // zero vector: codes (0, 0)
+      (2L, Array(-1.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.quantizedTopK(corpus, corpus.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 2).collect()
+    val byRank = out.map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+    // zero vector scores 0, opposite vector scores −127·127
+    assert(byRank(1) === (1L, 0L))
+    assert(byRank(2) === (2L, -127L * 127L))
+  }
 }
