@@ -210,6 +210,11 @@ object SparkEntry {
     "q188_graph_hops"         -> ((s, d) => Analytics.copurchaseHops(s, d)),
     "q189_rrf_fusion"         -> ((s, d) => ExtQueries.rrfFusion(s, d)),
     "q190_revenue_anomaly"    -> ((s, d) => Analytics.revenueAnomaly(s, d)),
+    "q191_snm_dedup"          -> ((s, d) => ExtQueries.snmPairs(s, d)),
+    "q192_multiprobe_lsh"     -> ((s, d) => ExtQueries.multiProbeLsh(s, d)),
+    "q193_rolling_actives"    -> ((s, d) => EventWindows.rollingActiveUsers(s, d)),
+    "q194_scd2_runs"          -> ((s, d) => Analytics.scd2RunHistory(s, d)),
+    "q195_frequent_triples"   -> ((s, d) => Analytics.frequentTriples(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -3740,5 +3745,125 @@ object SparkEntry {
          |       CASE WHEN abs(px - med) > 5*mad THEN 1 ELSE 0 END AS is_anomaly
          |FROM m2 WHERE n >= 7
          |ORDER BY priority, day""".stripMargin,
+    // Blocked sorted-neighborhood: the q35 SimHash fingerprint chain,
+    // row-numbered inside each 8-bit fp block, candidates = rank gaps
+    // 1..3 (window 4), verified by the q33 word-3-gram Jaccard over the
+    // UNCAPPED shingle space restricted to candidate pairs.
+    "q191_snm_dedup" ->
+      s"""WITH $nCte,
+         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+         |bg AS (SELECT doc_id, toks[g] || ' ' || toks[g+1] AS f
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS g FROM tk) z),
+         |th AS (SELECT doc_id, ${hv8("rpad(f, 8, ' ')")} AS hv FROM bg),
+         |votes AS (SELECT doc_id, $simhashVoteCols FROM th GROUP BY doc_id),
+         |fp AS (SELECT doc_id, CAST($simhashFpExpr AS BIGINT) AS fp FROM votes),
+         |rk AS (SELECT doc_id, fp, row_number() OVER (PARTITION BY fp >> 24
+         |         ORDER BY fp, doc_id) AS rn, fp >> 24 AS block FROM fp),
+         |cand AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+         |                greatest(x.doc_id, y.doc_id) AS doc_b
+         |         FROM rk x JOIN rk y ON x.block = y.block
+         |           AND y.rn > x.rn AND y.rn <= x.rn + 3),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(1, length(sg)+1),
+         |             i -> CAST(ord(substr(sg, i, 1)) AS BIGINT))),
+         |           (h, c) -> (h * 31 + c) % ${graft.ext.TextOps.HashP}) AS sh
+         |       FROM (SELECT doc_id, toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2] AS sg
+         |             FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS g FROM tk) z) y),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |iv AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+         |       FROM cand c
+         |       JOIN sh a ON a.doc_id = c.doc_a
+         |       JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+         |       GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       ROUND(CAST(n_inter AS DOUBLE)/(za.n+zb.n-n_inter), 4) AS jaccard
+         |FROM iv JOIN sz za ON za.doc_id = iv.doc_a
+         |        JOIN sz zb ON zb.doc_id = iv.doc_b
+         |WHERE CAST(n_inter AS DOUBLE)/(za.n+zb.n-n_inter) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Multi-probe sign-LSH: the q38 bucket chain, query side fanned to
+    // its bucket plus the 4 Hamming-1 neighbors; recall flag from the
+    // q37 exact top-k embedded verbatim.
+    "q192_multiprobe_lsh" ->
+      s"""WITH $embCte,
+         |bk AS (SELECT vec_id, emb, nrm,
+         |    (CASE WHEN list_dot_product(emb, ${planeLit(0)}::DOUBLE[]) > 0 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(emb, ${planeLit(1)}::DOUBLE[]) > 0 THEN 2 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(emb, ${planeLit(2)}::DOUBLE[]) > 0 THEN 4 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(emb, ${planeLit(3)}::DOUBLE[]) > 0 THEN 8 ELSE 0 END) AS bucket
+         |  FROM nm),
+         |q AS (SELECT * FROM bk WHERE vec_id < 10),
+         |pq AS (SELECT q.vec_id, q.emb, q.nrm, xor(q.bucket, m.mask) AS bucket
+         |       FROM q CROSS JOIN (VALUES (0),(1),(2),(4),(8)) m(mask)),
+         |sc AS (SELECT pq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |              ROUND(list_dot_product(pq.emb, c.emb)/(pq.nrm*c.nrm), 4) AS score
+         |       FROM bk c JOIN pq ON c.bucket = pq.bucket AND c.vec_id <> pq.vec_id),
+         |rk AS (SELECT query_id, neighbor_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY score DESC, neighbor_id) AS rnk FROM sc),
+         |eb AS (SELECT query_id, neighbor_id FROM ($annBruteSql) z
+         |       WHERE rank <= 3)
+         |SELECT rk.query_id, CAST(rk.rnk AS INT) AS rank, rk.neighbor_id,
+         |       rk.score,
+         |       CASE WHEN eb.neighbor_id IS NULL THEN 0 ELSE 1 END AS in_exact_topk
+         |FROM rk LEFT JOIN eb
+         |  ON rk.query_id = eb.query_id AND rk.neighbor_id = eb.neighbor_id
+         |WHERE rk.rnk <= 3
+         |ORDER BY rk.query_id, rank""".stripMargin,
+    // Sliding distinct via bounded fan-out: each (user, day) pair
+    // supports the 7 window-end days; ghost days past the last activity
+    // clipped by the max-day scalar.
+    "q193_rolling_actives" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |b AS (SELECT max(day) AS dmax FROM ud),
+        |w AS (SELECT user_id, day + o AS day
+        |      FROM ud CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6)) z(o)),
+        |wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau
+        |        FROM w CROSS JOIN b WHERE day <= dmax GROUP BY day),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY day)
+        |SELECT wau.day, COALESCE(dau.dau, 0) AS dau, wau.wau
+        |FROM wau LEFT JOIN dau ON dau.day = wau.day
+        |ORDER BY wau.day""".stripMargin,
+    // SCD2 run collapse: lag change flag -> running-sum run ids -> one
+    // aggregation per run -> lead closes each range.
+    "q194_scd2_runs" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |                  o_orderkey, o_orderpriority AS priority FROM orders),
+        |r AS (SELECT *, CASE WHEN lag(priority) OVER w IS NULL
+        |                       OR priority <> lag(priority) OVER w
+        |                     THEN 1 ELSE 0 END AS chg
+        |      FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)),
+        |v AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY o_custkey
+        |        ORDER BY d, o_orderkey ROWS UNBOUNDED PRECEDING) AS INT) AS version
+        |      FROM r),
+        |g AS (SELECT o_custkey, version, priority, min(d) AS valid_from,
+        |             COUNT(*) AS n_orders
+        |      FROM v GROUP BY 1, 2, 3),
+        |f AS (SELECT *, lead(valid_from) OVER (PARTITION BY o_custkey
+        |        ORDER BY version) AS valid_to FROM g)
+        |SELECT o_custkey, version, priority, valid_from, valid_to,
+        |       CAST(n_orders AS BIGINT) AS n_orders,
+        |       CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM f ORDER BY o_custkey, version""".stripMargin,
+    // A-priori level-3: item-support prune, then the bounded in-basket
+    // triple enumeration; top-k under a total tie-break order.
+    "q195_frequent_triples" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+        |            FROM lineitem),
+        |f1 AS (SELECT item FROM it GROUP BY item HAVING COUNT(*) >= 2),
+        |p AS (SELECT * FROM it WHERE item IN (SELECT item FROM f1)),
+        |t AS (SELECT a.i1, b.i2, c.i3, COUNT(*) AS support
+        |      FROM (SELECT oid, item AS i1 FROM p) a
+        |      JOIN (SELECT oid, item AS i2 FROM p) b USING (oid)
+        |      JOIN (SELECT oid, item AS i3 FROM p) c USING (oid)
+        |      WHERE a.i1 < b.i2 AND b.i2 < c.i3
+        |      GROUP BY 1, 2, 3),
+        |top AS (SELECT * FROM t ORDER BY support DESC, i1, i2, i3 LIMIT 25)
+        |SELECT CAST(row_number() OVER (ORDER BY support DESC, i1, i2, i3) AS INT)
+        |         AS rank,
+        |       i1, i2, i3, CAST(support AS BIGINT) AS support
+        |FROM top
+        |ORDER BY rank""".stripMargin,
   )
 }

@@ -98,6 +98,55 @@ object Similarity {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Multi-probe LSH top-k (q192, the Lv et al. VLDB'07 idea on the
+    * sign-LSH tier): each query probes its OWN bucket plus every bucket
+    * at Hamming distance 1 (flip one plane's sign bit) — the buckets a
+    * near-neighbor most likely fell into when a single projection
+    * landed on the wrong side of its hyperplane. Candidates = 5 of 16
+    * buckets per query instead of 1 (nPlanes=4), recovering most of
+    * what single-probe [[lshTopK]] loses while still never touching the
+    * other 11/16 of the corpus — the standard memory-free alternative
+    * to simply using fewer planes (which would double EVERY bucket).
+    * Each hit carries an `in_exact_topk` flag against the float
+    * [[bruteTopK]] winner set, so the recall the extra probes buy is
+    * measured, not asserted.
+    *
+    * Scale shape: the probe fan-out multiplies only the QUERY side
+    * (|Q|·(nPlanes+1) rows, still broadcast); the corpus side keeps its
+    * single scan-side bucket projection and the join stays equi on the
+    * bucket key. Probe buckets of one query are pairwise distinct, so
+    * no candidate dedup is needed. */
+  def multiProbeLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        embCol: String, k: Int, nPlanes: Int = 4,
+                        dim: Int = 64): DataFrame = {
+    val masks = lit(0L) +: (0 until nPlanes).map(m => lit(1L << m))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+        l2norm(col(embCol)).as("q_nrm"),
+        bucketCol(col(embCol), nPlanes, dim).as("qb"))
+      .withColumn("mask", explode(array(masks: _*)))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        expr("qb ^ mask").as("bucket"))
+    val c = graft.model.Tables.fanOut(corpus)
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
+        l2norm(col(embCol)).as("c_nrm"),
+        bucketCol(col(embCol), nPlanes, dim).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), col("neighbor_id"))
+    val exact = bruteTopK(corpus, queries, idCol, embCol, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4)
+          .as("score"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .join(broadcast(exact), Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"),
+        coalesce(col("hit"), lit(0)).as("in_exact_topk"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Hard-negative mining: for each query, the top-k most-similar
     * corpus rows whose LABEL DIFFERS from the query's — the standard
     * contrastive-training negative sampler (similar enough to be hard,

@@ -1229,6 +1229,48 @@ object Analytics {
       .orderBy(col("score_units").desc, col("l_suppkey"))
   }
 
+  /** Frequent item triples (q195, the A-priori level-3 market-basket
+    * shape): the top-k part TRIPLES co-occurring within an order —
+    * q116's pair analysis one level up, where the naive plan explodes:
+    * per-order triple enumeration is Σ C(k_o, 3) rows, so the A-priori
+    * prune (an item in fewer than `minItemSupport` baskets cannot join
+    * a frequent triple) cuts every basket BEFORE the self-joins — the
+    * level-wise candidate containment that makes basket mining feasible
+    * at scale. Baskets here are order lineitems (bounded by the order's
+    * line count), so the enumeration fan-out is capped by the data
+    * model; a retail-scale basket would push the prune to level 2
+    * (pair-frequency pruning) with identical plan shape.
+    *
+    * Scale shape: the basket relation stages once (the q116 idiom) and
+    * every stage is keyed — support counts partial-aggregate on item
+    * keys, the prune is a semi join on the item key, the enumeration
+    * self-joins on the ORDER key (AQE broadcasts nothing fact-sized),
+    * and the final top-k is TakeOrdered, never a global sort. Supports
+    * are exact integers; ties break on the item ids. */
+  def frequentTriples(spark: SparkSession, dir: String,
+                      minItemSupport: Long = 2, k: Int = 25): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+      .distinct()
+      .localCheckpoint() // support agg + prune + 3 enumeration reads
+    val frequent = items.groupBy("item").agg(count(lit(1)).as("s1"))
+      .filter(col("s1") >= minItemSupport)
+    val pruned = items.join(frequent.select("item"), Seq("item"), "left_semi")
+      .localCheckpoint()
+    pruned.select(col("oid"), col("item").as("i1"))
+      .join(pruned.select(col("oid"), col("item").as("i2")), Seq("oid"))
+      .filter(col("i1") < col("i2"))
+      .join(pruned.select(col("oid"), col("item").as("i3")), Seq("oid"))
+      .filter(col("i2") < col("i3"))
+      .groupBy("i1", "i2", "i3").agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("i1"), col("i2"), col("i3"))
+      .limit(k)
+      .transform(graft.operators.SmallRank.afterLimit(_,
+        col("support").desc, col("i1"), col("i2"), col("i3")))
+      .select(col("rank").cast("int").as("rank"), col("i1"), col("i2"),
+        col("i3"), col("support"))
+  }
+
   /** Co-purchase PageRank (q140): 2-iteration damped PageRank over the
     * undirected customer–supplier co-purchase graph (the q116 edge
     * list), in exact integer rank units via
@@ -1284,10 +1326,12 @@ object Analytics {
 
   /** Rolling median/MAD anomaly detection (q190): per-priority daily
     * revenue scored against the ROBUST location/scale of its own
-    * trailing 15-day window — the outlier detector that a mean/stddev
-    * z-score can't be (one spike inflates the stddev and masks itself;
-    * the median absolute deviation ignores it). A day is anomalous when
-    * |x − med| > 5·MAD. Every statistic is exact integer cents: the
+    * trailing 15-day window. [[robustAnomalies]] (q106) scores against
+    * the GLOBAL corpus median/MAD — right for stationary series; this
+    * is the windowed companion for drifting ones, where a level shift
+    * would make yesterday's global median flag every day after the
+    * shift. A day is anomalous when |x − med| > 5·MAD over its own
+    * trailing window. Every statistic is exact integer cents: the
     * window rides `collect_list` over a bounded ROWS frame (frame order
     * = the window's sort order, deterministic on both engines), the
     * median is the lower-median element of the sorted array, and MAD is
@@ -1320,6 +1364,48 @@ object Analytics {
         when(abs(col("px") - col("med")) > col("mad") * 5, 1).otherwise(0)
           .as("is_anomaly"))
       .orderBy("priority", "day")
+  }
+
+  /** SCD2 run-collapsed history (q194): collapse each customer's order
+    * stream into EFFECTIVE RANGES of their priority class — one row per
+    * run of consecutive EQUAL values, with `valid_from`/`valid_to`
+    * (half-open, next run's start; NULL while current), a per-key
+    * version number, and the current flag. [[scd2History]] (q115) is
+    * the per-revision form (every order opens a new interval); this is
+    * the CHANGE-DETECTED form a real dimension load uses — an unchanged
+    * attribute must NOT mint a new version, or the dimension grows with
+    * the fact instead of with actual change. The run-collapse idiom:
+    * lag() change flag, running sum turning flags into run ids, one
+    * aggregation per run, lead() closing each range. Distinct from
+    * [[graft.operators.Intervals]] (which merges OVERLAPPING spans
+    * irrespective of value): here adjacency in the order stream defines
+    * the run, and the VALUE defines the break.
+    *
+    * Scale shape: everything partitions by the dimension key — two
+    * windows and one aggregation all share the o_custkey exchange
+    * (one shuffle total), and output is bounded by the run count, never
+    * the fact count. Dates and versions are exact integers/dates; no
+    * floats anywhere. */
+  def scd2RunHistory(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("d"), col("o_orderkey"))
+    val runs = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"),
+        col("o_orderkey"), col("o_orderpriority").as("priority"))
+      .withColumn("chg",
+        when(lag(col("priority"), 1).over(w).isNull ||
+          col("priority") =!= lag(col("priority"), 1).over(w), 1L).otherwise(0L))
+      .withColumn("version",
+        sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+      .groupBy(col("o_custkey"), col("version"), col("priority"))
+      .agg(min(col("d")).as("valid_from"), count(lit(1)).as("n_orders"))
+    val vw = Window.partitionBy("o_custkey").orderBy("version")
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(vw))
+      .withColumn("is_current", when(col("valid_to").isNull, 1).otherwise(0))
+      .select("o_custkey", "version", "priority", "valid_from", "valid_to",
+        "n_orders", "is_current")
+      .orderBy("o_custkey", "version")
   }
 
   /** Time-decayed revenue leaderboard (q118): customer value where each

@@ -144,6 +144,44 @@ object EventWindows {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Rolling 7-day active users (q193): per calendar day, the DISTINCT
+    * users active that day (DAU) and in the trailing `windowDays`-day
+    * window (WAU) — the engagement ratio pair every product dashboard
+    * leads with. Sliding DISTINCT is the aggregate windows can't do
+    * (distinct state doesn't merge by subtraction), so it rides the
+    * bounded-fan-out trick instead: dedup to (user, day) pairs, explode
+    * each into the `windowDays` window-END days it supports, and count
+    * distinct users per end day — one exact aggregation, no window
+    * function, no per-day re-scan. Fan-out is × windowDays on rows that
+    * are already collapsed to user-day granularity (calendar-bounded,
+    * orders of magnitude below event granularity), the standard price of
+    * exactness; an HLL sketch per day would be the merge-friendly
+    * approximation when even that is too much.
+    *
+    * Window-end days with in-window activity but no same-day activity
+    * still report (DAU 0); ghost days past the last activity are
+    * clipped by the 1-row max-day broadcast. */
+  def rollingActiveUsers(spark: SparkSession, dir: String,
+                         windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 90,
+      s"windowDays out of [1,90]: $windowDays")
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+      .localCheckpoint() // feeds DAU, WAU fan-out, and the day bound
+    val bound = ud.agg(max(col("day")).as("dmax"))
+    val dau = ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val wau = ud
+      .withColumn("off", explode(array((0 until windowDays).map(lit): _*)))
+      .select(col("user_id"), date_add(col("day"), col("off")).as("day"))
+      .crossJoin(broadcast(bound))
+      .filter(col("day") <= col("dmax"))
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    wau.join(dau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
+      .orderBy("day")
+  }
+
   /** Session path mining (q120): the top-k full event-type sequences
     * users walk within one session — the path report (view>click>
     * purchase beats view>view>view) that sits one level above the q73

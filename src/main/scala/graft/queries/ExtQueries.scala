@@ -811,4 +811,21 @@ object ExtQueries {
     Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
       "embedding", k = 5)
   }
+
+  /** Sorted-neighborhood dedup (q191): SimHash-sorted blocked windows
+    * generate a flat 3N candidate set, exact 3-gram Jaccard verifies;
+    * 0.5 splits the sharply bimodal candidate population (background
+    * ~0.01, true near-dups ~0.95) at every scale factor. */
+  def snmPairs(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.sortedNeighborhoodPairs(Tables.documents(spark, dir),
+      "doc_id", "text")
+
+  /** Multi-probe LSH retrieval (q192): the q38 sign-LSH tier probing
+    * each query's bucket plus its 4 Hamming-1 neighbors, recall-flagged
+    * against the exact top-3. */
+  def multiProbeLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.multiProbeLshTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 3)
+  }
 }

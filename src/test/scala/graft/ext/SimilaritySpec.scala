@@ -168,6 +168,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multiProbeLshTopK recall dominates single-probe lshTopK") {
+    val emb = graft.model.Tables.embeddings(spark, sf001)
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteTopK(emb, q, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = Similarity.lshTopK(emb, q, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.multiProbeLshTopK(emb, q, "vec_id", "embedding", 3)
+      .collect()
+    val multiSet = multi.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // more probes can only widen the candidate pool: recall vs the
+    // exact top-3 must not drop
+    assert((multiSet & exact).size >= (single & exact).size)
+    // the in_exact_topk flag is consistent with the exact set
+    multi.foreach { r =>
+      val flagged = r.getInt(4) == 1
+      assert(flagged == exact.contains((r.getLong(0), r.getLong(2))))
+    }
+  }
+
   test("quantizedTopK: zero-norm vectors code to all-zero, never NaN") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.0f), 0),

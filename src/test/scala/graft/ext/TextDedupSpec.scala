@@ -280,4 +280,27 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.contains((0L, 3L)))
   }
+
+  test("sorted-neighborhood finds the planted structure, rejects the unrelated") {
+    // exact dups share a fingerprint (adjacent in any sort order), the
+    // near-dup differs by one vote — the planted cluster sits inside a
+    // window of 4 whenever its docs land in one block
+    val pairs = TextDedup.sortedNeighborhoodPairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) == 1.0)
+    assert(pairs.keySet.forall { case (a, b) => a < b && b != 3L && a != 3L })
+  }
+
+  test("sorted-neighborhood candidate volume is flat in cluster size") {
+    // m identical docs: banding schemes generate C(m,2) candidates;
+    // SNM must emit only the (window-1)-bounded neighbor pairs per doc.
+    val m = 40
+    val clones = (0L until m.toLong).map(i => (i, base)).toDF("doc_id", "text")
+    val n = TextDedup.sortedNeighborhoodPairs(clones, "doc_id", "text",
+      window = 4).count()
+    // identical fingerprints sort by doc_id: each doc pairs with its
+    // next 3 ids, clipped at the tail: 3m - 6 pairs, never C(m,2)
+    assert(n == 3 * m - 6, s"expected ${3 * m - 6} flat candidates, got $n")
+  }
 }

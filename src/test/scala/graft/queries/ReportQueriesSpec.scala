@@ -363,4 +363,96 @@ class ReportQueriesSpec extends SparkSpec {
       .select(col("o_orderdate").cast("date")).distinct().count()
     assert(rows.length < nDays / 2)
   }
+
+  test("q190 rolling MAD: window stats bound the row and anomalies are rare") {
+    val rows = Analytics.revenueAnomaly(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, px, med, mad) = (r.getAs[Int]("n_window"), r.getAs[Long]("px"),
+        r.getAs[Long]("med"), r.getAs[Long]("mad"))
+      assert(n >= 7 && n <= 15)
+      assert(mad >= 0 && med > 0)
+      // the flag must agree with its own reported statistics
+      val flagged = r.getAs[Int]("is_anomaly") == 1
+      assert(flagged == (math.abs(px - med) > 5 * mad))
+    }
+    // 5 MADs is a rare-event threshold: flags are a small minority
+    val flagged = rows.count(_.getAs[Int]("is_anomaly") == 1)
+    assert(flagged < rows.length / 10)
+  }
+
+  test("q194 scd2 runs: versions partition the stream, ranges chain, one current") {
+    val rows = Analytics.scd2RunHistory(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // runs partition the order stream exactly
+    val nOrders = graft.model.Tables.orders(spark, sf001).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == nOrders)
+    rows.groupBy(_.getAs[Long]("o_custkey")).foreach { case (ck, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("version"))
+      // versions are contiguous from 1
+      assert(sorted.map(_.getAs[Int]("version")).toSeq ==
+        (1 to sorted.length).toSeq, s"cust $ck versions not contiguous")
+      // exactly one open (current) range, and it is the last
+      assert(sorted.count(_.getAs[Int]("is_current") == 1) == 1)
+      assert(sorted.last.getAs[Int]("is_current") == 1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // adjacent runs differ in value (else they'd be one run) and
+          // each range closes at its successor's start
+          assert(a.getAs[String]("priority") != b.getAs[String]("priority"))
+          assert(a.getAs[java.sql.Date]("valid_to") ==
+            b.getAs[java.sql.Date]("valid_from"))
+        case _ => ()
+      }
+    }
+  }
+
+  test("q195 frequent triples: supports bounded by item supports, ranks contiguous") {
+    val rows = Analytics.frequentTriples(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rows.length))
+    // every member item must itself clear the A-priori support prune,
+    // and a triple can never be more frequent than its rarest item
+    val itemSupport = graft.model.Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy("l_partkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val items = Seq(r.getAs[Long]("i1"), r.getAs[Long]("i2"), r.getAs[Long]("i3"))
+      assert(items == items.sorted && items.distinct.size == 3)
+      val s = r.getAs[Long]("support")
+      items.foreach { i =>
+        assert(itemSupport(i) >= 2, s"item $i below the prune in output")
+        assert(s <= itemSupport(i), s"triple support $s exceeds item $i's")
+      }
+    }
+    // supports are reported in non-increasing rank order
+    val supports = rows.map(_.getAs[Long]("support")).toSeq
+    assert(supports.zip(supports.drop(1)).forall { case (a, b) => a >= b })
+  }
+
+  test("q193 rolling actives: WAU dominates DAU and window arithmetic holds") {
+    val rows = EventWindows.rollingActiveUsers(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val dau = rows.map(r => r.getAs[java.sql.Date]("day").toLocalDate ->
+      r.getAs[Long]("dau")).toMap
+    rows.foreach { r =>
+      val d = r.getAs[java.sql.Date]("day").toLocalDate
+      val (dv, wv) = (r.getAs[Long]("dau"), r.getAs[Long]("wau"))
+      // a user active today is active this window; a window user count
+      // can never exceed the sum of its days' counts
+      assert(wv >= dv)
+      val windowSum = (0 until 7).map(i => dau.getOrElse(d.minusDays(i), 0L)).sum
+      assert(wv <= windowSum, s"$d: wau=$wv > Σdau=$windowSum")
+    }
+    // exact cross-check on one day against a direct distinct count
+    val last = rows.last
+    val d = last.getAs[java.sql.Date]("day").toLocalDate
+    val direct = graft.model.Tables.events(spark, sf001)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .filter(col("day") > lit(java.sql.Date.valueOf(d.minusDays(7))) &&
+        col("day") <= lit(java.sql.Date.valueOf(d)))
+      .select("user_id").distinct().count()
+    assert(last.getAs[Long]("wau") == direct)
+  }
 }
