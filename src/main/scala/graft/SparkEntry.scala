@@ -215,6 +215,7 @@ object SparkEntry {
     "q193_rolling_actives"    -> ((s, d) => EventWindows.rollingActiveUsers(s, d)),
     "q194_scd2_runs"          -> ((s, d) => Analytics.scd2RunHistory(s, d)),
     "q195_frequent_triples"   -> ((s, d) => Analytics.frequentTriples(s, d)),
+    "q196_js_divergence"      -> ((s, d) => ExtQueries.jsDivergence(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -3865,5 +3866,40 @@ object SparkEntry {
         |       i1, i2, i3, CAST(support AS BIGINT) AS support
         |FROM top
         |ORDER BY rank""".stripMargin,
+    // Pairwise JSD: probabilities floored to exact ppb, each log ratio
+    // vs the mixture quantized once per (pair, term) to micro-nats
+    // (the q181 contract), one-sided mass in closed form via the ln 2
+    // constant; numerator clamped >= 0 before the floor division
+    // (truncate-vs-floor divergence on negatives).
+    "q196_js_divergence" ->
+      """WITH n2 AS (SELECT source,
+        |             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |           FROM documents),
+        |tk AS (SELECT source, unnest(string_split(t, ' ')) AS w FROM n2),
+        |cnt AS (SELECT source, w, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY source),
+        |p AS (SELECT source, w,
+        |        CAST(CAST(c AS HUGEINT) * 1000000000 // n AS BIGINT) AS ppb,
+        |        CAST(c AS DOUBLE) / n AS pr
+        |      FROM cnt JOIN tot USING (source)),
+        |j AS (SELECT a.source AS src_a, b.source AS src_b,
+        |        a.ppb AS pa, b.ppb AS pb,
+        |        CAST(round(ln(a.pr / ((a.pr + b.pr) / 2)) * 1e6, 0) AS BIGINT) AS la,
+        |        CAST(round(ln(b.pr / ((a.pr + b.pr) / 2)) * 1e6, 0) AS BIGINT) AS lb
+        |      FROM p a JOIN p b ON a.w = b.w AND a.source < b.source),
+        |g AS (SELECT src_a, src_b, CAST(COUNT(*) AS INT) AS n_common_terms,
+        |        CAST(SUM(pa * la + pb * lb) AS BIGINT) AS s_common,
+        |        CAST(SUM(pa) AS BIGINT) AS mass_a,
+        |        CAST(SUM(pb) AS BIGINT) AS mass_b
+        |      FROM j GROUP BY 1, 2),
+        |f AS (SELECT src_a, src_b, n_common_terms,
+        |        greatest(CAST(0 AS BIGINT), s_common + 693147 *
+        |          ((1000000000 - mass_a) + (1000000000 - mass_b)))
+        |          // 2000000000 AS jsd_micro
+        |      FROM g)
+        |SELECT src_a, src_b, n_common_terms,
+        |       CAST(jsd_micro AS BIGINT) AS jsd_micro,
+        |       CAST(jsd_micro AS DOUBLE) / 1e6 AS jsd
+        |FROM f ORDER BY src_a, src_b""".stripMargin,
   )
 }

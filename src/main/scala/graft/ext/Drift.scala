@@ -100,4 +100,80 @@ object Drift {
       .select(col(aCol), col(bCol), col("obs"), col("expected_milli"),
         col("contrib_ppm"))
   }
+
+  /** Jensen–Shannon divergence matrix between grouped categorical
+    * distributions (q196: token distributions per document source) —
+    * the SYMMETRIC, bounded (≤ ln 2) drift measure that completes the
+    * family: [[ksReport]] for continuous features, [[chiSquareCells]]
+    * for independence, JSD for "how far apart are these two vocabulary
+    * mixes" — the statistic data-mixing papers report when comparing
+    * corpus slices. For distributions P, Q with M = (P+Q)/2:
+    *
+    *   JSD = ½ Σ_t [ p·ln(p/m) + q·ln(q/m) ]
+    *
+    * Parity design (the q181 contract): probabilities are quantized to
+    * exact integer parts-per-billion (⌊c·10⁹/N⌋ — floor division of
+    * longs), each log ratio to integer micro-nats ONCE per (pair,
+    * term), and the sum Σ p_ppb·lp is exact integer arithmetic. Terms
+    * present on only one side contribute exactly (ln 2)/2·p — handled
+    * in closed form via the CONSTANT 693147 micro-nats on the mass
+    * missing from the common-term join, so the pair join stays an
+    * inner join on the term key (no per-pair full-outer gymnastics).
+    *
+    * Scale shape: one tokenize pass → (source, term) counts
+    * (partial-agg'd, the only corpus-wide shuffle); the pair stage
+    * joins the per-source term tables ON THE TERM KEY, so it is
+    * quadratic only in the number of sources SHARING a term, never in
+    * the corpus; totals are a per-source rollup broadcast back. Output
+    * is ≤ |sources|²/2 rows: a pair sharing NO vocabulary emits no row
+    * (its JSD is the ln 2 maximum by definition — the inner term join
+    * is what keeps the pair stage term-keyed, and the absence is
+    * deterministic on both engines). */
+  def jsDivergenceMatrix(docs: DataFrame, srcCol: String,
+                         textCol: String): DataFrame = {
+    import graft.ext.TextOps.{normText, tokens}
+    val Ln2Micro = 693147L // round(ln(2)·1e6), the one-sided term's weight
+    val cnt = graft.model.Tables.fanOut(docs)
+      .select(col(srcCol).as("source"),
+        explode(tokens(normText(col(textCol)))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // totals + both sides of the pair join
+    val tot = cnt.groupBy("source").agg(sum("c").as("n"))
+    val p = cnt.join(tot, "source")
+      .select(col("source"), col("w"),
+        // DECIMAL headroom: c·10⁹ can pass 2⁶³ once a source holds
+        // ≥ ~9·10⁹ tokens; the floor division itself stays exact
+        expr("CAST(c AS DECIMAL(38,0)) * 1000000000 div n").cast("long")
+          .as("ppb"),
+        (col("c").cast("double") / col("n")).as("pr"))
+    val a = p.select(col("source").as("src_a"), col("w"),
+      col("ppb").as("pa"), col("pr").as("ra"))
+    val b = p.select(col("source").as("src_b"), col("w"),
+      col("ppb").as("pb"), col("pr").as("rb"))
+    val common = a.join(b, Seq("w")).filter(col("src_a") < col("src_b"))
+      // each side's log ratio vs the mixture, quantized once per term
+      .withColumn("la",
+        round(log(col("ra") / ((col("ra") + col("rb")) / 2)) * 1e6, 0)
+          .cast("long"))
+      .withColumn("lb",
+        round(log(col("rb") / ((col("ra") + col("rb")) / 2)) * 1e6, 0)
+          .cast("long"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).cast("int").as("n_common_terms"),
+        sum(col("pa") * col("la") + col("pb") * col("lb")).as("s_common"),
+        sum("pa").as("mass_a"), sum("pb").as("mass_b"))
+    // jsd_micro = (Σ_common + ln2·(one-sided mass)) / (2·10⁹). JSD ≥ 0
+    // mathematically, but per-term micro-nat rounding can push the
+    // integer numerator a hair below zero for near-identical
+    // distributions — clamp BEFORE dividing, because the engines
+    // disagree on negative integer division (truncate vs floor).
+    common
+      .withColumn("jsd_micro",
+        expr(s"greatest(CAST(0 AS BIGINT), s_common + $Ln2Micro * " +
+          "((1000000000 - mass_a) + (1000000000 - mass_b))) div 2000000000"))
+      .select(col("src_a"), col("src_b"), col("n_common_terms"),
+        col("jsd_micro"),
+        (col("jsd_micro").cast("double") / 1e6).as("jsd"))
+      .orderBy("src_a", "src_b")
+  }
 }

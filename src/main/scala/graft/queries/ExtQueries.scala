@@ -820,6 +820,13 @@ object ExtQueries {
     TextDedup.sortedNeighborhoodPairs(Tables.documents(spark, dir),
       "doc_id", "text")
 
+  /** Jensen–Shannon divergence matrix (q196): pairwise JSD between the
+    * sources' token distributions in exact integer micro-nats — the
+    * symmetric bounded drift statistic data-mixing reports lead with. */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Drift.jsDivergenceMatrix(Tables.documents(spark, dir),
+      "source", "text")
+
   /** Multi-probe LSH retrieval (q192): the q38 sign-LSH tier probing
     * each query's bucket plus its 4 Hamming-1 neighbors, recall-flagged
     * against the exact top-3. */

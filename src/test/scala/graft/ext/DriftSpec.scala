@@ -44,4 +44,37 @@ class DriftSpec extends SparkSpec {
       assert(r.getAs[Long]("at_value") == at, s"ranges=$ranges")
     }
   }
+
+  test("JSD: zero for identical mixes, ln2-bounded, ordered by divergence") {
+    import spark.implicits._
+    // s1 == s2 (identical unigram mix), s3 half-overlapping, s4 disjoint
+    val docs = Seq(
+      (1L, "a1", "aa bb aa bb"), (2L, "a2", "bb aa bb aa"),
+      (3L, "b1", "aa aa cc cc"), (4L, "c1", "dd dd ee ee")
+    ).toDF("doc_id", "source", "text")
+    val rows = Drift.jsDivergenceMatrix(docs, "source", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("jsd_micro"))
+      .toMap
+    // identical distributions: exactly zero
+    assert(rows(("a1", "a2")) == 0L)
+    // the half-overlapping pair diverges, but less than ln 2
+    assert(rows(("a1", "b1")) > 0L && rows(("a1", "b1")) < 693147L)
+    assert(rows(("a1", "b1")) == rows(("a2", "b1"))) // symmetry via equal mixes
+    // disjoint vocabularies share no term key: absent by contract
+    assert(!rows.contains(("a1", "c1")) && !rows.contains(("b1", "c1")))
+  }
+
+  test("JSD hand value: (3/4,1/4) vs (1/4,3/4) within quantization of exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x", "aa aa aa bb"), (2L, "y", "aa bb bb bb")
+    ).toDF("doc_id", "source", "text")
+    val got = Drift.jsDivergenceMatrix(docs, "source", "text")
+      .collect().head.getAs[Long]("jsd_micro")
+    // JSD = ln2 + (3/4)ln(3/4) + (1/4)ln(1/4) ≈ 0.130812 nats
+    val exact = math.log(2) + 0.75 * math.log(0.75) + 0.25 * math.log(0.25)
+    assert(math.abs(got - math.round(exact * 1e6)) <= 2,
+      s"got $got vs exact ${math.round(exact * 1e6)}")
+  }
 }
