@@ -216,6 +216,16 @@ object SparkEntry {
     "q194_scd2_runs"          -> ((s, d) => Analytics.scd2RunHistory(s, d)),
     "q195_frequent_triples"   -> ((s, d) => Analytics.frequentTriples(s, d)),
     "q196_js_divergence"      -> ((s, d) => ExtQueries.jsDivergence(s, d)),
+    "q197_gini_segment"       -> ((s, d) => Analytics.giniBySegment(s, d)),
+    "q198_benford_prices"     -> ((s, d) => Analytics.benfordPrices(s, d)),
+    "q199_robust_means"       -> ((s, d) => Analytics.robustMeans(s, d)),
+    "q200_abc_pareto"         -> ((s, d) => Analytics.abcPareto(s, d)),
+    "q201_point_in_time"      -> ((s, d) => Analytics.pointInTimeJoin(s, d)),
+    "q202_kcore"              -> ((s, d) => Analytics.copurchaseKCore(s, d)),
+    "q203_basket_rules"       -> ((s, d) => Analytics.basketRules(s, d)),
+    "q204_token_budget"       -> ((s, d) => ExtQueries.tokenBudget(s, d)),
+    "q205_curriculum_bins"    -> ((s, d) => ExtQueries.curriculumBins(s, d)),
+    "q206_pmi_collocations"   -> ((s, d) => ExtQueries.pmiCollocations(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -3901,5 +3911,341 @@ object SparkEntry {
         |       CAST(jsd_micro AS BIGINT) AS jsd_micro,
         |       CAST(jsd_micro AS DOUBLE) / 1e6 AS jsd
         |FROM f ORDER BY src_a, src_b""".stripMargin,
+
+    "q197_gini_segment" ->
+      """WITH rev AS (SELECT o_custkey,
+        |               SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS cents
+        |             FROM orders GROUP BY 1),
+        |j AS (SELECT c_mktsegment, o_custkey, cents
+        |      FROM rev JOIN customer ON o_custkey = c_custkey),
+        |r AS (SELECT c_mktsegment, cents,
+        |        row_number() OVER (PARTITION BY c_mktsegment
+        |                           ORDER BY cents, o_custkey) AS rk
+        |      FROM j),
+        |g AS (SELECT c_mktsegment, COUNT(*) AS n,
+        |        SUM(CAST(cents AS HUGEINT)) AS s,
+        |        SUM(CAST(rk AS HUGEINT) * cents) AS t
+        |      FROM r GROUP BY 1)
+        |SELECT c_mktsegment, CAST(n AS INT) AS n_cust,
+        |       CAST(s AS DOUBLE)/100.0 AS revenue,
+        |       CAST((2*t - (n+1)*s) * 1000000 // (n*s) AS BIGINT) AS gini_ppm,
+        |       CAST(CAST((2*t - (n+1)*s) * 1000000 // (n*s) AS BIGINT)
+        |            AS DOUBLE)/1e6 AS gini
+        |FROM g ORDER BY c_mktsegment""".stripMargin,
+
+    "q198_benford_prices" ->
+      """WITH d AS (SELECT CAST(substring(CAST(CAST(round(o_totalprice*100,0)
+        |             AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |           FROM orders
+        |           WHERE CAST(round(o_totalprice*100,0) AS BIGINT) > 0),
+        |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT SUM(CAST(n AS HUGEINT)) AS nt FROM c)
+        |SELECT digit, CAST(n AS BIGINT) AS n_orders,
+        |       CAST(CAST(n AS HUGEINT) * 1000000 // nt AS BIGINT) AS obs_ppm,
+        |       CAST(round(log10(1.0 + 1.0/digit) * 1e6, 0) AS BIGINT)
+        |         AS exp_ppm,
+        |       CAST(CAST(n AS HUGEINT) * 1000000 // nt AS BIGINT)
+        |         - CAST(round(log10(1.0 + 1.0/digit) * 1e6, 0) AS BIGINT)
+        |         AS dev_ppm
+        |FROM c, t ORDER BY digit""".stripMargin,
+
+    "q199_robust_means" ->
+      """WITH b AS (SELECT o_orderpriority, o_orderkey,
+        |             CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+        |           FROM orders),
+        |r AS (SELECT o_orderpriority, cents,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |                           ORDER BY cents, o_orderkey) AS rk,
+        |        COUNT(*) OVER (PARTITION BY o_orderpriority) AS n,
+        |        COUNT(*) OVER (PARTITION BY o_orderpriority) // 20 AS k
+        |      FROM b),
+        |g AS (SELECT o_orderpriority, MAX(n) AS n, MAX(k) AS k,
+        |        SUM(cents) AS s_all,
+        |        SUM(CASE WHEN rk > k AND rk <= n - k THEN cents END) AS s_trim,
+        |        SUM(CASE WHEN rk > k AND rk <= n - k THEN 1 ELSE 0 END)
+        |          AS n_trim,
+        |        MAX(CASE WHEN rk = k + 1 THEN cents END) AS lo,
+        |        MAX(CASE WHEN rk = n - k THEN cents END) AS hi
+        |      FROM r GROUP BY 1)
+        |SELECT o_orderpriority, CAST(n AS INT) AS n_orders,
+        |       CAST(k AS INT) AS k_trim,
+        |       CAST(s_all AS DOUBLE)/100.0/n AS mean,
+        |       CAST(s_trim AS DOUBLE)/100.0/n_trim AS trimmed_mean,
+        |       CAST(s_trim + k*(lo + hi) AS DOUBLE)/100.0/n AS winsor_mean,
+        |       CAST(lo AS DOUBLE)/100.0 AS lo_bound,
+        |       CAST(hi AS DOUBLE)/100.0 AS hi_bound
+        |FROM g ORDER BY o_orderpriority""".stripMargin,
+
+    "q200_abc_pareto" ->
+      """WITH pr AS (SELECT l_partkey,
+        |              SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS rev
+        |            FROM lineitem GROUP BY 1),
+        |w AS (SELECT l_partkey, rev,
+        |        COALESCE(SUM(CAST(rev AS HUGEINT)) OVER (
+        |          ORDER BY rev DESC, l_partkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |          0) AS prior
+        |      FROM pr),
+        |t AS (SELECT SUM(CAST(rev AS HUGEINT)) AS total FROM pr),
+        |c AS (SELECT CASE WHEN prior * 1000000 // total < 800000 THEN 'A'
+        |               WHEN prior * 1000000 // total < 950000 THEN 'B'
+        |               ELSE 'C' END AS abc_class, rev
+        |      FROM w, t)
+        |SELECT abc_class, CAST(COUNT(*) AS INT) AS n_parts,
+        |       CAST(SUM(CAST(rev AS HUGEINT)) AS DOUBLE)/100.0 AS revenue,
+        |       CAST(SUM(CAST(rev AS HUGEINT)) * 1000000 //
+        |            (SELECT total FROM t) AS BIGINT) AS share_ppm
+        |FROM c GROUP BY 1 ORDER BY abc_class""".stripMargin,
+
+    // SCD2 runs (the q194 CTEs) joined point-in-time by lineitem ship
+    // date: each fact matches the version interval covering it.
+    "q201_point_in_time" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |                  o_orderkey, o_orderpriority AS prio FROM orders),
+        |r AS (SELECT *, CASE WHEN lag(prio) OVER w IS NULL
+        |                       OR prio <> lag(prio) OVER w
+        |                     THEN 1 ELSE 0 END AS chg
+        |      FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)),
+        |v AS (SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+        |        ORDER BY d, o_orderkey ROWS UNBOUNDED PRECEDING) AS version
+        |      FROM r),
+        |g AS (SELECT o_custkey AS rc_custkey, version, prio,
+        |             min(d) AS valid_from
+        |      FROM v GROUP BY 1, 2, 3),
+        |runs AS (SELECT rc_custkey, prio, valid_from,
+        |           lead(valid_from) OVER (PARTITION BY rc_custkey
+        |             ORDER BY version) AS valid_to FROM g),
+        |f AS (SELECT l.l_orderkey, CAST(l.l_shipdate AS DATE) AS ship_d,
+        |             oo.o_custkey, oo.o_orderpriority
+        |      FROM lineitem l JOIN orders oo ON l.l_orderkey = oo.o_orderkey)
+        |SELECT o_orderpriority AS order_priority, prio AS active_priority,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM f JOIN runs ON f.o_custkey = runs.rc_custkey
+        |  AND f.ship_d >= runs.valid_from
+        |  AND (runs.valid_to IS NULL OR f.ship_d < runs.valid_to)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Six fixed peel rounds with k = max(2, m div n) — both engines run
+    // exactly the same six rounds; convergence is spec-checked.
+    "q202_kcore" ->
+      """WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS oid,
+        |              l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |       FROM it a JOIN it b ON a.oid = b.oid AND a.p < b.p),
+        |kk AS (SELECT greatest(2, (2 * (SELECT COUNT(*) FROM e0) //
+        |         (SELECT COUNT(*) FROM (SELECT u AS x FROM e0
+        |          UNION SELECT v FROM e0) q)) * 11 // 16) AS k),
+        |d0 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0) q
+        |  GROUP BY 1),
+        |n0 AS MATERIALIZED (SELECT node FROM d0, kk WHERE deg >= k),
+        |e1 AS MATERIALIZED (SELECT u, v FROM e0
+        |  WHERE u IN (SELECT node FROM n0)
+        |    AND v IN (SELECT node FROM n0)),
+        |d1 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT u AS node FROM e1 UNION ALL SELECT v AS node FROM e1) q
+        |  GROUP BY 1),
+        |n1 AS MATERIALIZED (SELECT node FROM d1, kk WHERE deg >= k),
+        |e2 AS MATERIALIZED (SELECT u, v FROM e1
+        |  WHERE u IN (SELECT node FROM n1)
+        |    AND v IN (SELECT node FROM n1)),
+        |d2 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT u AS node FROM e2 UNION ALL SELECT v AS node FROM e2) q
+        |  GROUP BY 1),
+        |n2 AS MATERIALIZED (SELECT node FROM d2, kk WHERE deg >= k),
+        |e3 AS MATERIALIZED (SELECT u, v FROM e2
+        |  WHERE u IN (SELECT node FROM n2)
+        |    AND v IN (SELECT node FROM n2)),
+        |d3 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3) q
+        |  GROUP BY 1),
+        |n3 AS MATERIALIZED (SELECT node FROM d3, kk WHERE deg >= k),
+        |e4 AS MATERIALIZED (SELECT u, v FROM e3
+        |  WHERE u IN (SELECT node FROM n3)
+        |    AND v IN (SELECT node FROM n3)),
+        |d4 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT u AS node FROM e4 UNION ALL SELECT v AS node FROM e4) q
+        |  GROUP BY 1),
+        |n4 AS MATERIALIZED (SELECT node FROM d4, kk WHERE deg >= k),
+        |e5 AS MATERIALIZED (SELECT u, v FROM e4
+        |  WHERE u IN (SELECT node FROM n4)
+        |    AND v IN (SELECT node FROM n4)),
+        |d5 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT u AS node FROM e5 UNION ALL SELECT v AS node FROM e5) q
+        |  GROUP BY 1),
+        |n5 AS MATERIALIZED (SELECT node FROM d5, kk WHERE deg >= k),
+        |e6 AS MATERIALIZED (SELECT u, v FROM e5
+        |  WHERE u IN (SELECT node FROM n5)
+        |    AND v IN (SELECT node FROM n5)),
+        |d6 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT u AS node FROM e6 UNION ALL SELECT v AS node FROM e6) q
+        |  GROUP BY 1),
+        |stats AS (
+        |  SELECT 0 AS round,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM d0) AS n_nodes,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges,
+        |    COALESCE((SELECT CAST(MIN(deg) AS BIGINT) FROM d0), 0) AS min_deg,
+        |    COALESCE((SELECT CAST(MAX(deg) AS BIGINT) FROM d0), 0) AS max_deg
+        |  UNION ALL
+        |  SELECT 1 AS round,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM d1) AS n_nodes,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS n_edges,
+        |    COALESCE((SELECT CAST(MIN(deg) AS BIGINT) FROM d1), 0) AS min_deg,
+        |    COALESCE((SELECT CAST(MAX(deg) AS BIGINT) FROM d1), 0) AS max_deg
+        |  UNION ALL
+        |  SELECT 2 AS round,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM d2) AS n_nodes,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e2) AS n_edges,
+        |    COALESCE((SELECT CAST(MIN(deg) AS BIGINT) FROM d2), 0) AS min_deg,
+        |    COALESCE((SELECT CAST(MAX(deg) AS BIGINT) FROM d2), 0) AS max_deg
+        |  UNION ALL
+        |  SELECT 3 AS round,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM d3) AS n_nodes,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e3) AS n_edges,
+        |    COALESCE((SELECT CAST(MIN(deg) AS BIGINT) FROM d3), 0) AS min_deg,
+        |    COALESCE((SELECT CAST(MAX(deg) AS BIGINT) FROM d3), 0) AS max_deg
+        |  UNION ALL
+        |  SELECT 4 AS round,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM d4) AS n_nodes,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e4) AS n_edges,
+        |    COALESCE((SELECT CAST(MIN(deg) AS BIGINT) FROM d4), 0) AS min_deg,
+        |    COALESCE((SELECT CAST(MAX(deg) AS BIGINT) FROM d4), 0) AS max_deg
+        |  UNION ALL
+        |  SELECT 5 AS round,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM d5) AS n_nodes,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e5) AS n_edges,
+        |    COALESCE((SELECT CAST(MIN(deg) AS BIGINT) FROM d5), 0) AS min_deg,
+        |    COALESCE((SELECT CAST(MAX(deg) AS BIGINT) FROM d5), 0) AS max_deg
+        |  UNION ALL
+        |  SELECT 6 AS round,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM d6) AS n_nodes,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e6) AS n_edges,
+        |    COALESCE((SELECT CAST(MIN(deg) AS BIGINT) FROM d6), 0) AS min_deg,
+        |    COALESCE((SELECT CAST(MAX(deg) AS BIGINT) FROM d6), 0) AS max_deg
+        |)
+        |SELECT round, n_nodes, n_edges, min_deg, max_deg,
+        |       (SELECT CAST(k AS INT) FROM kk) AS k
+        |FROM stats ORDER BY round""".stripMargin,
+
+    "q203_basket_rules" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+        |            FROM lineitem),
+        |nn AS (SELECT COUNT(DISTINCT oid) AS n_orders FROM it),
+        |isup AS (SELECT item, COUNT(*) AS s_i FROM it GROUP BY 1),
+        |pr AS (SELECT a.item AS i1, b.item AS i2, COUNT(*) AS s_ab
+        |       FROM it a JOIN it b ON a.oid = b.oid AND a.item < b.item
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |dirs AS (SELECT i1 AS antecedent, i2 AS consequent, s_ab FROM pr
+        |         UNION ALL
+        |         SELECT i2 AS antecedent, i1 AS consequent, s_ab FROM pr),
+        |j AS (SELECT d.antecedent, d.consequent, d.s_ab,
+        |        sa.s_i AS s_a, sc.s_i AS s_c, nn.n_orders
+        |      FROM dirs d
+        |      JOIN isup sa ON d.antecedent = sa.item
+        |      JOIN isup sc ON d.consequent = sc.item, nn)
+        |SELECT antecedent, consequent,
+        |       CAST(s_ab AS BIGINT) AS pair_supp,
+        |       CAST(s_a AS BIGINT) AS ante_supp,
+        |       CAST(s_c AS BIGINT) AS cons_supp,
+        |       CAST(s_ab * 1000000 // s_a AS BIGINT) AS conf_ppm,
+        |       CAST(CAST(s_ab AS HUGEINT) * n_orders * 1000000 //
+        |            (CAST(s_a AS HUGEINT) * s_c) AS BIGINT) AS lift_ppm
+        |FROM j
+        |ORDER BY lift_ppm DESC, antecedent, consequent
+        |LIMIT 25""".stripMargin,
+
+    // Waterfilling: sorted-desc prefix state, the sequential cap test on
+    // the maximal all-true prefix, then two scalar aggregates set the
+    // water level.
+    "q204_token_budget" ->
+      """WITH n2 AS (SELECT source,
+        |              lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |            FROM documents),
+        |c AS (SELECT source, SUM(len(string_split(t, ' '))) AS tokens
+        |      FROM n2 GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(tokens) AS HUGEINT) AS totc FROM c),
+        |r AS (SELECT source, CAST(tokens AS HUGEINT) AS tokens, totc,
+        |        totc * 50 // 100 AS b,
+        |        (totc * 50 // 100) * 30 // 100 AS cap,
+        |        row_number() OVER (ORDER BY tokens DESC, source) AS rk,
+        |        SUM(CAST(tokens AS HUGEINT)) OVER (
+        |          ORDER BY tokens DESC, source
+        |          ROWS UNBOUNDED PRECEDING) AS pref
+        |      FROM c, tt),
+        |ct AS (SELECT *, CASE WHEN (b - (rk-1)*cap) * tokens
+        |                        > cap * (totc - (pref - tokens))
+        |                 THEN 1 ELSE 0 END AS cap_test FROM r),
+        |cp AS (SELECT *, CASE WHEN min(cap_test) OVER (
+        |          ORDER BY tokens DESC, source ROWS UNBOUNDED PRECEDING) = 1
+        |        THEN 1 ELSE 0 END AS capped FROM ct),
+        |sel AS (SELECT SUM(capped) AS jstar,
+        |          COALESCE(SUM(CASE WHEN capped = 1 THEN tokens END), 0)
+        |            AS cap_pref
+        |        FROM cp),
+        |f AS (SELECT cp.*, sel.jstar, sel.cap_pref,
+        |        cp.b - sel.jstar * cp.cap AS rem,
+        |        cp.totc - sel.cap_pref AS restc
+        |      FROM cp, sel)
+        |SELECT source, CAST(tokens AS BIGINT) AS tokens,
+        |       CAST(CASE WHEN capped = 1 THEN cap
+        |            ELSE tokens * rem // greatest(restc, 1) END AS BIGINT)
+        |         AS alloc_tokens,
+        |       CAST(capped AS INT) AS capped,
+        |       CAST(CASE WHEN capped = 1 THEN cap
+        |              ELSE tokens * rem // greatest(restc, 1) END
+        |            * 1000000 // tokens AS BIGINT) AS epochs_ppm
+        |FROM f ORDER BY tokens DESC, source""".stripMargin,
+
+    "q205_curriculum_bins" ->
+      """WITH n2 AS (SELECT source, doc_id,
+        |              lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |            FROM documents),
+        |tk AS (SELECT source, doc_id, unnest(string_split(t, ' ')) AS w
+        |       FROM n2),
+        |st AS (SELECT source, doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(CASE WHEN w IN ('the','a','of','and','to','in')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        |       FROM tk GROUP BY 1, 2),
+        |sc AS (SELECT source, doc_id, n_tokens,
+        |         n_stop * 1000000 // greatest(n_tokens, 1) AS score_ppm
+        |       FROM st),
+        |b AS (SELECT source, n_tokens, score_ppm,
+        |        ntile(4) OVER (PARTITION BY source
+        |                       ORDER BY score_ppm DESC, doc_id) AS bin
+        |      FROM sc)
+        |SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+        |       CAST(MIN(score_ppm) AS BIGINT) AS min_score_ppm,
+        |       CAST(MAX(score_ppm) AS BIGINT) AS max_score_ppm
+        |FROM b GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+
+    "q206_pmi_collocations" ->
+      """WITH n2 AS (SELECT doc_id,
+        |              lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |            FROM documents),
+        |tkl AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n2),
+        |bg AS (SELECT toks[g] || ' ' || toks[g+1] AS pair
+        |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS g
+        |             FROM tkl) z),
+        |tb AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_bg FROM bg),
+        |pc AS (SELECT pair, COUNT(*) AS c_ab FROM bg GROUP BY 1
+        |       HAVING COUNT(*) >= 5),
+        |uni AS (SELECT w, COUNT(*) AS c_w
+        |        FROM (SELECT unnest(string_split(t, ' ')) AS w FROM n2) q
+        |        GROUP BY 1),
+        |j AS (SELECT string_split(pc.pair, ' ')[1] AS w1,
+        |        string_split(pc.pair, ' ')[2] AS w2, pc.c_ab, tb.t_bg
+        |      FROM pc, tb),
+        |f AS (SELECT j.w1, j.w2, j.c_ab, ua.c_w AS c_a, ub.c_w AS c_b,
+        |        CAST(round(ln(CAST(j.c_ab AS DOUBLE) * j.t_bg
+        |          / ua.c_w / ub.c_w) * 1e6, 0) AS BIGINT) AS pmi_micro
+        |      FROM j JOIN uni ua ON j.w1 = ua.w
+        |             JOIN uni ub ON j.w2 = ub.w)
+        |SELECT w1, w2, CAST(c_ab AS BIGINT) AS pair_n,
+        |       CAST(c_a AS BIGINT) AS w1_n, CAST(c_b AS BIGINT) AS w2_n,
+        |       pmi_micro
+        |FROM f ORDER BY pmi_micro DESC, w1, w2 LIMIT 25""".stripMargin,
   )
 }

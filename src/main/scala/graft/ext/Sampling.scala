@@ -224,6 +224,77 @@ object Sampling {
       .drop("__w", "__pre", "__total")
   }
 
+  /** Epoch-capped proportional token-budget allocation — the
+    * waterfilling step of training-mixture planning: given per-source
+    * token counts, a total budget (`budgetPct`% of the corpus) and a
+    * per-source ceiling (`capPctOfBudget`% of the budget — no source may
+    * dominate the mix), allocate the budget proportionally, clamp any
+    * source over its cap, and redistribute the excess among the rest —
+    * iterated to the fixpoint. Because sources are sorted by size, the
+    * capped set is a PREFIX, so the fixpoint resolves in one pass: a
+    * running all-capped flag marks the prefix where the sequential
+    * cap-test holds, and the water level λ = rem/restC comes from two
+    * scalar aggregates over it. Every quantity is exact integer
+    * (DECIMAL(38,0) cross-products; floor-div allocations), so the plan
+    * both engines compute is value-identical.
+    *
+    * Scale shape: one grouped count is the only corpus-wide work; the
+    * allocation itself runs on the per-source table, explicitly bounded
+    * by `maxSources` via an orderBy+limit head (the SmallRank contract —
+    * windows above it are limit-bounded, never data-bounded). A corpus
+    * with more than `maxSources` sources silently drops the smallest
+    * tails from the head; raise the bound if source cardinality is
+    * genuinely unbounded. */
+  def waterfillBudget(countsIn: DataFrame, srcCol: String, cntCol: String,
+                      budgetPct: Int = 50, capPctOfBudget: Int = 30,
+                      maxSources: Int = 1000): DataFrame = {
+    require(budgetPct >= 1 && budgetPct <= 100 &&
+      capPctOfBudget >= 1 && capPctOfBudget <= 100,
+      s"percentages out of [1,100]: $budgetPct, $capPctOfBudget")
+    import org.apache.spark.sql.expressions.Window
+    val counts = countsIn.select(col(srcCol).as("source"),
+      col(cntCol).cast("long").as("tokens"))
+    val tot = counts.agg(sum("tokens").as("totc"))
+    val lim = counts.orderBy(col("tokens").desc, col("source"))
+      .limit(maxSources)
+    val w = Window.partitionBy(lit(0))
+      .orderBy(col("tokens").desc, col("source"))
+    val ranked = lim.crossJoin(broadcast(tot))
+      .withColumn("b", expr(s"totc * $budgetPct div 100"))
+      .withColumn("cap", expr(s"(totc * $budgetPct div 100)" +
+        s" * $capPctOfBudget div 100"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("pref",
+        sum(col("tokens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      // Sequential cap test for row i GIVEN rows 1..i-1 capped:
+      //   (B - (i-1)·cap) · c_i  >  cap · (totC - pref_{i-1})
+      // i.e. the proportional share at the current water level exceeds
+      // the cap. Valid exactly on the maximal all-true prefix.
+      .withColumn("cap_test",
+        expr("(CAST(b AS DECIMAL(38,0)) - (rk - 1) * cap) * tokens" +
+          " > CAST(cap AS DECIMAL(38,0)) * (totc - (pref - tokens))"))
+      .withColumn("capped",
+        min(when(col("cap_test"), 1).otherwise(0))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)) === 1)
+    val sel = ranked.agg(
+      sum(when(col("capped"), 1L).otherwise(0L)).as("jstar"),
+      sum(when(col("capped"), col("tokens")).otherwise(0L)).as("cap_pref"))
+    ranked.crossJoin(broadcast(sel))
+      .withColumn("rem", col("b") - col("jstar") * col("cap"))
+      .withColumn("restc", col("totc") - col("cap_pref"))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("cap").cast("long")).otherwise(
+          expr("CAST(tokens AS DECIMAL(38,0)) * rem" +
+            " div greatest(restc, 1)").cast("long")))
+      .withColumn("epochs_ppm",
+        expr("CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000 div tokens")
+          .cast("long"))
+      .select(col("source"), col("tokens"), col("alloc_tokens"),
+        when(col("capped"), 1).otherwise(0).as("capped"),
+        col("epochs_ppm"))
+      .orderBy(col("tokens").desc, col("source"))
+  }
+
   /** Deterministic corpus shuffle for training: assign each row a shard
     * (independent hash) and a position within its shard (hash order) —
     * the global-random-order guarantee sequence training needs, without

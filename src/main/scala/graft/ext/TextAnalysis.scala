@@ -457,6 +457,82 @@ object TextAnalysis {
       explode(graft.functions.TextKernelOps.wordNgrams(
         normText(col(textCol)), 2)), "pair", k)
 
+  /** Curriculum quartile bins (q205): per source, documents are ranked
+    * by an integer quality proxy (stopword ratio in floor ppm — natural
+    * prose scores high, boilerplate/noise low) and cut into `nBins`
+    * equi-depth bins with `ntile` (both engines implement the SQL
+    * standard: the first n mod b buckets take one extra row, ties broken
+    * by doc id). The per-(source, bin) token budget is what a curriculum
+    * schedule or quality-mix report feeds on. Scale: one scored scan
+    * projection, one source-partitioned window, one grouped aggregation
+    * — the ordinal cost is the per-source sort, the honest price of an
+    * exact equi-depth cut (approximate quantile cuts drop the window; the
+    * exact form is the oracle-checkable one). */
+  def curriculumBins(docs: DataFrame, srcCol: String, idCol: String,
+                     textCol: String, nBins: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBins >= 2, s"need at least 2 bins, got $nBins")
+    val t = normText(col(textCol))
+    val toks = tokens(t)
+    val nTokens = size(toks).cast("long")
+    val nStop = size(filter(toks, w => w.isInCollection(Stopwords))).cast("long")
+    val w = Window.partitionBy(srcCol)
+      .orderBy(col("score_ppm").desc, col(idCol))
+    docs.select(col(srcCol), col(idCol), nTokens.as("n_tokens"),
+        nStop.as("n_stop"))
+      .withColumn("score_ppm",
+        expr("n_stop * 1000000 div greatest(n_tokens, 1)"))
+      .withColumn("bin", ntile(nBins).over(w))
+      .groupBy(col(srcCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"),
+        min(col("score_ppm")).as("min_score_ppm"),
+        max(col("score_ppm")).as("max_score_ppm"))
+      .select(col(srcCol), col("bin"), col("n_docs").cast("long").as("n_docs"),
+        col("tokens").cast("long").as("tokens"),
+        col("min_score_ppm").cast("long").as("min_score_ppm"),
+        col("max_score_ppm").cast("long").as("max_score_ppm"))
+      .orderBy(srcCol, "bin")
+  }
+
+  /** PMI collocations (q206): the top adjacent word pairs by pointwise
+    * mutual information ln(c_ab·T/(c_a·c_b)) — the collocation statistic
+    * ("new york", "et al") raw bigram counts can't expose because they
+    * rank by popularity, not by association. Bigrams come from the same
+    * codegen'd [[graft.functions.WordNgrams]] kernel as [[bpeMergePairs]];
+    * the PMI log is quantized ONCE per surviving distinct pair to
+    * micro-nats (the q181 contract: one transcendental per key, integer
+    * comparisons after), and the ln argument is assembled in a fixed
+    * double operation order both engines restate. `minPairCount` cuts
+    * hapax pairs whose PMI is pure noise (and bounds the join to the
+    * frequent sliver); scale shape — two grouped counts off one
+    * tokenized scan, two keyed joins of the pair sliver against the
+    * unigram table, TakeOrdered head. */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minPairCount: Long = 5, k: Int = 25): DataFrame = {
+    val t = normText(col(textCol))
+    val bigrams = docs.select(explode(
+        graft.functions.TextKernelOps.wordNgrams(t, 2)).as("pair"))
+    val totalBg = bigrams.agg(count(lit(1)).as("t_bg"))
+    val pairCnt = bigrams.groupBy("pair").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPairCount)
+    val uni = docs.select(explode(tokens(t)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    pairCnt
+      .withColumn("w1", split(col("pair"), " ").getItem(0))
+      .withColumn("w2", split(col("pair"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(totalBg))
+      .withColumn("pmi_micro",
+        round(log(col("c_ab").cast("double") * col("t_bg")
+          / col("c_a") / col("c_b")) * 1e6, 0).cast("long"))
+      .select(col("w1"), col("w2"), col("c_ab").cast("long").as("pair_n"),
+        col("c_a").cast("long").as("w1_n"), col("c_b").cast("long").as("w2_n"),
+        col("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Exact corpus quantiles of token count and normalized char length
     * (p25/p50/p75/p90/p99, linear interpolation — Spark's exact
     * `percentile` and DuckDB's `quantile_cont` share the Hive/type-7

@@ -104,6 +104,73 @@ object Graph {
     * count, and `est_triangles` — the 1/p³-scaled estimate in exact
     * integer floor division (DECIMAL(38,0) intermediate, so pPpm as low
     * as 1 cannot overflow). */
+  /** Fixed-round k-core peeling over a distinct undirected edge list
+    * (`u` < `v`): each round drops every node whose CURRENT degree is
+    * below `k` (with all its edges), exactly `rounds` times — the
+    * Matula–Beck peeling that isolates the cohesive core a raw degree
+    * cut can't (a node with 100 low-degree neighbors survives a degree
+    * filter but not the core). Fixed-round semantics (rather than
+    * run-to-convergence) keep the operator a pure function both engines
+    * can restate — the census-style spec checks convergence separately.
+    *
+    * Scale shape: per round one map-side-combined degree aggregation
+    * and two semi joins keyed on node ids — no broadcast assumption, no
+    * driver data; `localCheckpoint` after each round cuts the 3-stage
+    * lineage growth (the ConnectedComponents posture). Returns the
+    * surviving nodes with their within-core degree. */
+  def kCorePeel(edgesIn: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1; got $k, $rounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var cur = edgesIn.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = degrees(cur).filter(col("deg") >= k).select("node")
+      cur = cur
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .localCheckpoint()
+    }
+    degrees(cur).select(col("node"), col("deg").cast("long").as("core_deg"))
+  }
+
+  /** [[kCorePeel]] reported as its ROUND TRAJECTORY — one row per round
+    * 0..`rounds` with surviving node/edge counts and the degree range —
+    * the decomposition readout that stays meaningful (and provably
+    * non-empty: round 0 always reports the input graph) even when the
+    * chosen k collapses the core to nothing. Each round's statistics are
+    * two small aggregations over that round's edge list; the rows unite
+    * into one result without any driver data movement. */
+  def kCorePeelTrajectory(edgesIn: DataFrame, k: Long,
+                          rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1; got $k, $rounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var cur = edgesIn.localCheckpoint()
+    val stats = (0 to rounds).map { r =>
+      val snap =
+        if (r == 0) cur
+        else {
+          val keep = degrees(cur).filter(col("deg") >= k).select("node")
+          cur = cur
+            .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+            .localCheckpoint()
+          cur
+        }
+      degrees(snap)
+        .agg(count(lit(1)).as("n_nodes"),
+          coalesce(min(col("deg")), lit(0L)).cast("long").as("min_deg"),
+          coalesce(max(col("deg")), lit(0L)).cast("long").as("max_deg"))
+        .crossJoin(broadcast(snap.agg(count(lit(1)).as("n_edges"))))
+        .select(lit(r).as("round"), col("n_nodes").cast("long").as("n_nodes"),
+          col("n_edges").cast("long").as("n_edges"),
+          col("min_deg"), col("max_deg"))
+    }
+    stats.reduce(_ unionAll _).orderBy("round")
+  }
+
   def triangleReportSampled(edgesIn: DataFrame,
                             pPpm: Long = 250000): DataFrame = {
     require(pPpm >= 1 && pPpm <= 1000000, s"pPpm out of (0,10^6]: $pPpm")

@@ -1894,4 +1894,290 @@ object Analytics {
         col("r2_ppm").cast("long").as("r2_ppm"))
       .orderBy("l_suppkey")
   }
+
+  /** Gini concentration of customer lifetime revenue per market segment
+    * (q197) — the inequality statistic a mean/median summary hides (two
+    * segments with equal averages can have wildly different whale
+    * concentration). Gini is an ORDER statistic; the textbook rank form
+    *
+    *   G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx),  xᵢ ascending
+    *
+    * needs every group member ranked, so the honest cost is one sort per
+    * segment. All arithmetic is exact: revenues are integer cents, the
+    * rank-weighted sum rides DECIMAL(38,0) (rank·cents products overflow
+    * 64 bits near 10⁹ customers), and the final ppm is one floor
+    * division of nonnegative integers — identical on both engines.
+    *
+    * Scale shape: one custkey aggregation over orders (the only
+    * fact-sized exchange), a key+segment dimension join Catalyst is free
+    * to broadcast, then a window partitioned by segment. With FEW huge
+    * segments the per-group sort concentrates on n_segments tasks — for
+    * that regime run each group through [[graft.operators.PrefixSum]]
+    * (count prefix = rank, value prefix = Σ rank·x via the pair trick);
+    * the registered form keeps the single-window plan, which is right
+    * whenever group count ≥ cores. */
+  def giniBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val seg = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("cents"), col("o_custkey"))
+    rev.join(seg, col("o_custkey") === col("c_custkey"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("s"),
+        sum(expr("CAST(rk AS DECIMAL(38,0)) * cents")).as("t"))
+      .withColumn("gini_ppm", expr(
+        "(2 * t - (CAST(n AS DECIMAL(38,0)) + 1) * s) * 1000000" +
+          " div (CAST(n AS DECIMAL(38,0)) * s)"))
+      .select(col("c_mktsegment"), col("n").cast("int").as("n_cust"),
+        (col("s").cast("double") / 100.0).as("revenue"),
+        col("gini_ppm").cast("long").as("gini_ppm"),
+        (col("gini_ppm").cast("double") / 1e6).as("gini"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Benford first-digit audit of order totals (q198) — the classic
+    * fabricated-data screen: naturally-occurring multi-magnitude amounts
+    * put ~30.1% of first digits at 1, and a synthetic or tampered feed
+    * shows up as a flat or spiked digit histogram. The first significant
+    * digit is read from the DECIMAL STRING of the integer cents (same
+    * significand as the raw amount, no float log10 near power-of-ten
+    * boundaries); the expected Benford share log₁₀(1+1/d) is quantized
+    * ONCE per digit row (9 rows) to ppm, so observed−expected deviations
+    * are integer subtraction. One scan, one 9-group aggregation, a 1-row
+    * broadcast total — nothing else. */
+  def benfordPrices(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(spark, dir)
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("nt"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("obs_ppm", expr("n * 1000000 div nt"))
+      .withColumn("exp_ppm",
+        round(log(10.0, lit(1.0) + lit(1.0) / col("digit")) * 1e6, 0)
+          .cast("long"))
+      .select(col("digit"), col("n").cast("long").as("n_orders"),
+        col("obs_ppm").cast("long").as("obs_ppm"), col("exp_ppm"),
+        (col("obs_ppm") - col("exp_ppm")).cast("long").as("dev_ppm"))
+      .orderBy("digit")
+  }
+
+  /** Trimmed and winsorized means of order totals per priority (q199) —
+    * the robust location estimates that survive fat tails: trim drops
+    * the extreme 5% at each end, winsorize CLAMPS them to the 5th/95th
+    * exact order statistics (so n stays constant — the estimator
+    * auditors prefer when row counts must reconcile). Cut points are
+    * exact ranks (k = ⌊n/20⌋), not approximate percentiles: rank and
+    * group size ride one priority-partitioned window pass, and the
+    * winsorized sum is recovered WITHOUT a second pass as
+    * trimmed_sum + k·(lo + hi) where lo/hi are the boundary order
+    * statistics picked by conditional aggregation. All sums integer
+    * cents; each mean is one double division at the end. Five groups ×
+    * sorted members is the honest order-statistic cost (same posture
+    * note as [[giniBySegment]]). */
+  def robustMeans(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("cents"), col("o_orderkey"))
+    val cw = Window.partitionBy("o_orderpriority")
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cw))
+      .withColumn("k", expr("n div 20"))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+        sum(col("cents")).as("s_all"),
+        sum(when(col("rk") > col("k") && col("rk") <= col("n") - col("k"),
+          col("cents"))).as("s_trim"),
+        sum(when(col("rk") > col("k") && col("rk") <= col("n") - col("k"),
+          1L).otherwise(0L)).as("n_trim"),
+        max(when(col("rk") === col("k") + 1, col("cents"))).as("lo"),
+        max(when(col("rk") === col("n") - col("k"), col("cents"))).as("hi"))
+      .withColumn("s_wins", col("s_trim") + col("k") * (col("lo") + col("hi")))
+      .select(col("o_orderpriority"), col("n").cast("int").as("n_orders"),
+        col("k").cast("int").as("k_trim"),
+        (col("s_all").cast("double") / 100.0 / col("n")).as("mean"),
+        (col("s_trim").cast("double") / 100.0 / col("n_trim"))
+          .as("trimmed_mean"),
+        (col("s_wins").cast("double") / 100.0 / col("n")).as("winsor_mean"),
+        (col("lo").cast("double") / 100.0).as("lo_bound"),
+        (col("hi").cast("double") / 100.0).as("hi_bound"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Point-in-time (temporal) fact⋈SCD2-dimension join (q201) — the
+    * warehouse-correctness join every type-2 dimension exists for: each
+    * lineitem is matched to the priority version that was ACTIVE at its
+    * ship date (ship_d ∈ [valid_from, valid_to)), not the version at
+    * order time, and the output crosstabs order-time priority against
+    * ship-time priority — the drift a naive current-row join silently
+    * misstates. The dimension is the [[scd2RunHistory]] run table built
+    * in-line (one custkey exchange shared by its two windows).
+    *
+    * Scale shape: the interval predicate rides a custkey EQUI join (the
+    * dimension key), so this is a keyed shuffle join with a residual
+    * range filter — fan-out bounded by versions-per-customer, never a
+    * nested loop (a dimension with pathologically many versions per key
+    * would bucketize validity ranges via [[graft.operators.RangeJoin]];
+    * plan-pinned nested-loop-free). Every interval either matches a
+    * fact date exactly once (runs partition the timeline from the
+    * customer's first order on) or the fact precedes the first version
+    * and drops — identical on both engines. */
+  def pointInTimeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("rc_custkey").orderBy(col("d"), col("okey"))
+    val vw = Window.partitionBy("rc_custkey").orderBy("version")
+    val runs = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("rc_custkey"),
+        col("o_orderdate").cast("date").as("d"),
+        col("o_orderkey").as("okey"), col("o_orderpriority").as("prio"))
+      .withColumn("chg",
+        when(lag(col("prio"), 1).over(w).isNull ||
+          col("prio") =!= lag(col("prio"), 1).over(w), 1L).otherwise(0L))
+      .withColumn("version",
+        sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("rc_custkey"), col("version"), col("prio"))
+      .agg(min(col("d")).as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(vw))
+      .select("rc_custkey", "prio", "valid_from", "valid_to")
+    val facts = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate").cast("date").as("ship_d"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+    facts.join(runs,
+        col("o_custkey") === col("rc_custkey") &&
+          col("ship_d") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ship_d") < col("valid_to")))
+      .groupBy(col("o_orderpriority").as("order_priority"),
+        col("prio").as("active_priority"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .select(col("order_priority"), col("active_priority"),
+        col("n_lines").cast("long").as("n_lines"),
+        col("n_orders").cast("long").as("n_orders"))
+      .orderBy("order_priority", "active_priority")
+  }
+
+  /** Co-purchase k-core peel trajectory (q202) — the cohesive-core
+    * decomposition of the q142 part graph via
+    * [[graft.operators.Graph.kCorePeelTrajectory]]. k is data-adaptive:
+    * k = max(2, ⌊avg_deg · 11/16⌋) — deep enough inside the degree
+    * distribution to actually cascade (a k below min-degree peels
+    * nothing; this graph's core collapses sharply near ~3/4·avg), while
+    * tracking density instead of hard-coding a magic number. m and n
+    * cross the driver as two scalars (metadata scale, the PrefixSum
+    * posture). Six fixed peel rounds — both engines run exactly six
+    * (fixed-round semantics, not run-to-convergence, so the operator is
+    * a pure function either engine restates); the trajectory output
+    * (round 0 = input graph) is non-vacuous BY CONSTRUCTION even if the
+    * core empties, and the spec checks convergence on the graphs where
+    * six rounds suffice. */
+  def copurchaseKCore(spark: SparkSession, dir: String,
+                      rounds: Int = 6): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = items.join(items.withColumnRenamed("p", "p2"), Seq("okey"))
+      .filter(col("p") < col("p2"))
+    val edges = graft.operators.Graph.undirectedEdges(pairs, "p", "p2")
+      .localCheckpoint()
+    val stats = edges.select(col("u").as("node")).unionAll(
+        edges.select(col("v").as("node"))).distinct()
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(edges.agg(count(lit(1)).as("m")))
+      .collect()(0)
+    val n = stats.getAs[Long]("n"); val m = stats.getAs[Long]("m")
+    val k = math.max(2L, (2 * m / math.max(n, 1L)) * 11 / 16)
+    graft.operators.Graph.kCorePeelTrajectory(edges, k, rounds)
+      .withColumn("k", lit(k.toInt))
+  }
+
+  /** Association rules from order baskets (q203) — the market-basket
+    * output one level below q195's triples: for each frequent part pair
+    * BOTH directed rules a⇒b and b⇒a with exact confidence
+    * supp(ab)/supp(a) and lift supp(ab)·N/(supp(a)·supp(b)) in floor
+    * ppm (lift > 1e6 = genuinely associated, not just both popular —
+    * the popularity correction raw pair counts like q116 can't make).
+    * Top-k by lift under a total tie-break.
+    *
+    * Scale shape: the basket relation stages once; pair enumeration
+    * self-joins on the ORDER key (bounded by basket width); supports
+    * partial-aggregate on item/pair keys; N is a 1-row broadcast;
+    * the head is TakeOrdered. All-integer statistics. */
+  def basketRules(spark: SparkSession, dir: String,
+                  minPairSupport: Long = 2, topK: Int = 25): DataFrame = {
+    val it = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+      .distinct().localCheckpoint()
+    val nOrders = it.agg(countDistinct(col("oid")).as("n_orders"))
+    val isup = it.groupBy("item").agg(count(lit(1)).as("s_i"))
+    val pairs = it.join(it.withColumnRenamed("item", "item2"), Seq("oid"))
+      .filter(col("item") < col("item2"))
+      .groupBy("item", "item2").agg(count(lit(1)).as("s_ab"))
+      .filter(col("s_ab") >= minPairSupport)
+    val directed = pairs
+      .select(col("item").as("antecedent"), col("item2").as("consequent"),
+        col("s_ab"))
+      .unionAll(pairs.select(col("item2").as("antecedent"),
+        col("item").as("consequent"), col("s_ab")))
+    directed
+      .join(isup.select(col("item").as("antecedent"), col("s_i").as("s_a")),
+        Seq("antecedent"))
+      .join(isup.select(col("item").as("consequent"), col("s_i").as("s_c")),
+        Seq("consequent"))
+      .crossJoin(broadcast(nOrders))
+      .withColumn("conf_ppm", expr("s_ab * 1000000 div s_a"))
+      .withColumn("lift_ppm", expr(
+        "CAST(s_ab AS DECIMAL(38,0)) * n_orders * 1000000 div " +
+          "(CAST(s_a AS DECIMAL(38,0)) * s_c)"))
+      .select(col("antecedent"), col("consequent"),
+        col("s_ab").cast("long").as("pair_supp"),
+        col("s_a").cast("long").as("ante_supp"),
+        col("s_c").cast("long").as("cons_supp"),
+        col("conf_ppm").cast("long").as("conf_ppm"),
+        col("lift_ppm").cast("long").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("antecedent"), col("consequent"))
+      .limit(topK)
+  }
+
+  /** Pareto/ABC classification of parts by revenue (q200) — the
+    * inventory-policy classic: class A = parts whose PRIOR cumulative
+    * revenue share is under 80% (the vital few), B until 95%, C the
+    * long tail. The prior-share convention (not inclusive) keeps the
+    * top part in A even when it alone crosses 80%. The running total
+    * rides [[graft.operators.PrefixSum]] — the two-pass range-split
+    * scheme — because a part catalog is NOT metadata-scale at 100 TB
+    * and a single unpartitioned window over it would serialize; shares
+    * are floor-ppm in DECIMAL(38,0) against a 1-row broadcast total.
+    * Output is the 3-row class summary (count, revenue, share). */
+  def abcPareto(spark: SparkSession, dir: String): DataFrame = {
+    val pr = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("rev"))
+    val pfx = graft.operators.PrefixSum.exclusive(
+      pr, "rev", descending = true, Seq(col("l_partkey")), "rev", "prior")
+    val total = pr.agg(sum(col("rev")).as("total"))
+    pfx.crossJoin(broadcast(total))
+      .withColumn("prior_ppm",
+        expr("CAST(prior AS DECIMAL(38,0)) * 1000000 div total"))
+      .withColumn("abc_class",
+        when(col("prior_ppm") < 800000, "A")
+          .when(col("prior_ppm") < 950000, "B").otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("rev_cls"),
+        max(col("total")).as("total"))
+      .select(col("abc_class"), col("n_parts").cast("int").as("n_parts"),
+        (col("rev_cls").cast("double") / 100.0).as("revenue"),
+        expr("CAST(CAST(rev_cls AS DECIMAL(38,0)) * 1000000 div total" +
+          " AS BIGINT)").as("share_ppm"))
+      .orderBy("abc_class")
+  }
 }

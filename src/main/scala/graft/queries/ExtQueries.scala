@@ -835,4 +835,32 @@ object ExtQueries {
     Similarity.multiProbeLshTopK(emb, emb.filter(col("vec_id") < 10),
       "vec_id", "embedding", k = 3)
   }
+
+  /** Token-budget waterfilling (q204): allocate 50% of the corpus's
+    * whitespace tokens across sources, no source above 30% of the
+    * budget, excess redistributed proportionally —
+    * [[graft.ext.Sampling.waterfillBudget]] over per-source token
+    * counts. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(graft.ext.TextOps.tokens(
+          graft.ext.TextOps.normText(col("text")))).cast("long").as("tk"))
+      .groupBy("source").agg(sum("tk").as("tk"))
+    Sampling.waterfillBudget(counts, "source", "tk")
+  }
+
+  /** Curriculum quartile bins (q205): per-source equi-depth quality
+    * quartiles (stopword-ratio score) with token budgets —
+    * [[graft.ext.TextAnalysis.curriculumBins]]. */
+  def curriculumBins(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.curriculumBins(Tables.documents(spark, dir),
+      "source", "doc_id", "text")
+
+  /** PMI collocations (q206): top adjacent word pairs by pointwise
+    * mutual information in micro-nats —
+    * [[graft.ext.TextAnalysis.pmiCollocations]]. */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiCollocations(Tables.documents(spark, dir),
+      "doc_id", "text")
 }
