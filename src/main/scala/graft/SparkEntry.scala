@@ -226,6 +226,11 @@ object SparkEntry {
     "q204_token_budget"       -> ((s, d) => ExtQueries.tokenBudget(s, d)),
     "q205_curriculum_bins"    -> ((s, d) => ExtQueries.curriculumBins(s, d)),
     "q206_pmi_collocations"   -> ((s, d) => ExtQueries.pmiCollocations(s, d)),
+    "q207_constraint_audit"   -> ((s, d) => Analytics.constraintAudit(s, d)),
+    "q208_pct_normalize"      -> ((s, d) => ExtQueries.percentileNormalize(s, d)),
+    "q209_incremental_agg"    -> ((s, d) => Analytics.incrementalAgg(s, d)),
+    "q210_k_anonymity"        -> ((s, d) => Analytics.kAnonymity(s, d)),
+    "q211_rfm_segments"       -> ((s, d) => Analytics.rfmSegments(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -4247,5 +4252,144 @@ object SparkEntry {
         |       CAST(c_a AS BIGINT) AS w1_n, CAST(c_b AS BIGINT) AS w2_n,
         |       pmi_micro
         |FROM f ORDER BY pmi_micro DESC, w1, w2 LIMIT 25""".stripMargin,
+
+    // 10 PK + 7 FK legs; anti-join semantics via NOT EXISTS (a parent
+    // with duplicate keys must not multiply the child count).
+    "q207_constraint_audit" ->
+      """WITH legs AS (
+        |  SELECT 'pk_region' AS constraint_name, 'pk' AS kind,
+        |    (SELECT COUNT(*) FROM region) AS n_rows,
+        |    (SELECT COUNT(*) - COUNT(DISTINCT r_regionkey) FROM region)
+        |      AS n_violations
+        |  UNION ALL SELECT 'pk_nation', 'pk',
+        |    (SELECT COUNT(*) FROM nation),
+        |    (SELECT COUNT(*) - COUNT(DISTINCT n_nationkey) FROM nation)
+        |  UNION ALL SELECT 'pk_customer', 'pk',
+        |    (SELECT COUNT(*) FROM customer),
+        |    (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer)
+        |  UNION ALL SELECT 'pk_supplier', 'pk',
+        |    (SELECT COUNT(*) FROM supplier),
+        |    (SELECT COUNT(*) - COUNT(DISTINCT s_suppkey) FROM supplier)
+        |  UNION ALL SELECT 'pk_part', 'pk',
+        |    (SELECT COUNT(*) FROM part),
+        |    (SELECT COUNT(*) - COUNT(DISTINCT p_partkey) FROM part)
+        |  UNION ALL SELECT 'pk_orders', 'pk',
+        |    (SELECT COUNT(*) FROM orders),
+        |    (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+        |  UNION ALL SELECT 'pk_lineitem', 'pk',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+        |     FROM lineitem)
+        |  UNION ALL SELECT 'pk_events', 'pk',
+        |    (SELECT COUNT(*) FROM events),
+        |    (SELECT COUNT(*) - COUNT(DISTINCT event_id) FROM events)
+        |  UNION ALL SELECT 'pk_documents', 'pk',
+        |    (SELECT COUNT(*) FROM documents),
+        |    (SELECT COUNT(*) - COUNT(DISTINCT doc_id) FROM documents)
+        |  UNION ALL SELECT 'pk_embeddings', 'pk',
+        |    (SELECT COUNT(*) FROM embeddings),
+        |    (SELECT COUNT(*) - COUNT(DISTINCT vec_id) FROM embeddings)
+        |  UNION ALL SELECT 'fk_lineitem_orders', 'fk',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL SELECT 'fk_lineitem_part', 'fk',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |  UNION ALL SELECT 'fk_lineitem_supplier', 'fk',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |  UNION ALL SELECT 'fk_orders_customer', 'fk',
+        |    (SELECT COUNT(*) FROM orders),
+        |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL SELECT 'fk_customer_nation', 'fk',
+        |    (SELECT COUNT(*) FROM customer),
+        |    (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        |  UNION ALL SELECT 'fk_supplier_nation', 'fk',
+        |    (SELECT COUNT(*) FROM supplier),
+        |    (SELECT COUNT(*) FROM supplier s WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+        |  UNION ALL SELECT 'fk_nation_region', 'fk',
+        |    (SELECT COUNT(*) FROM nation),
+        |    (SELECT COUNT(*) FROM nation n WHERE NOT EXISTS
+        |      (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)))
+        |SELECT constraint_name, kind, CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(n_violations AS BIGINT) AS n_violations,
+        |       CAST(n_violations * 1000000 // greatest(n_rows, 1) AS BIGINT)
+        |         AS violation_ppm
+        |FROM legs ORDER BY constraint_name""".stripMargin,
+
+    "q208_pct_normalize" ->
+      """WITH n2 AS (SELECT source, doc_id,
+        |              lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |            FROM documents),
+        |tk AS (SELECT source, doc_id, unnest(string_split(t, ' ')) AS w
+        |       FROM n2),
+        |st AS (SELECT source, doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(CASE WHEN w IN ('the','a','of','and','to','in')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        |       FROM tk GROUP BY 1, 2),
+        |sc AS (SELECT source, doc_id,
+        |         n_stop * 1000000 // greatest(n_tokens, 1) AS score_ppm
+        |       FROM st),
+        |r AS (SELECT source, doc_id, score_ppm,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY score_ppm DESC, doc_id) AS rk,
+        |        COUNT(*) OVER (PARTITION BY source) AS n
+        |      FROM sc)
+        |SELECT source, doc_id, CAST(score_ppm AS BIGINT) AS score_ppm,
+        |       CAST((rk - 1) * 1000000 // greatest(n - 1, 1) AS BIGINT)
+        |         AS pct_ppm
+        |FROM r ORDER BY source, doc_id""".stripMargin,
+
+    // Flat recompute — the Spark side merges two partial-aggregate
+    // states, so a green row proves the merge identity.
+    "q209_incremental_agg" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT))
+        |            AS DOUBLE)/100.0 AS revenue,
+        |       MAX(CAST(o_orderdate AS DATE)) AS last_order
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q210_k_anonymity" ->
+      """SELECT c_mktsegment, c_nationkey,
+        |       CAST(COUNT(*) AS BIGINT) AS class_size,
+        |       CASE WHEN COUNT(*) >= 5 THEN 1 ELSE 0 END AS is_k_anonymous
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q211_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS lastd,
+        |               COUNT(*) AS freq,
+        |               SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS cents
+        |             FROM orders GROUP BY 1),
+        |a AS (SELECT MAX(lastd) AS anchor FROM per),
+        |j AS (SELECT per.o_custkey, per.freq, per.cents, c.c_mktsegment,
+        |        datediff('day', per.lastd, a.anchor) AS recency_days
+        |      FROM per JOIN customer c ON per.o_custkey = c.c_custkey, a),
+        |s AS (SELECT *,
+        |        6 - ntile(5) OVER (PARTITION BY c_mktsegment
+        |              ORDER BY recency_days, o_custkey) AS r,
+        |        6 - ntile(5) OVER (PARTITION BY c_mktsegment
+        |              ORDER BY freq DESC, o_custkey) AS f,
+        |        6 - ntile(5) OVER (PARTITION BY c_mktsegment
+        |              ORDER BY cents DESC, o_custkey) AS m
+        |      FROM j)
+        |SELECT o_custkey, c_mktsegment,
+        |       CAST(recency_days AS BIGINT) AS recency_days,
+        |       CAST(freq AS BIGINT) AS n_orders,
+        |       CAST(cents AS DOUBLE)/100.0 AS revenue,
+        |       CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+        |       CASE WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champion'
+        |            WHEN f >= 4 THEN 'loyal'
+        |            WHEN m >= 4 THEN 'big_spender'
+        |            WHEN r <= 2 AND f <= 2 THEN 'hibernating'
+        |            WHEN r <= 2 THEN 'at_risk'
+        |            ELSE 'regular' END AS segment
+        |FROM s ORDER BY o_custkey""".stripMargin,
   )
 }

@@ -144,26 +144,29 @@ object Graph {
   def kCorePeelTrajectory(edgesIn: DataFrame, k: Long,
                           rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1; got $k, $rounds")
+    // One degree aggregation per round serves BOTH the round's stats
+    // row (n_edges = Σdeg/2 — no separate edge count pass) and the next
+    // round's keep filter; the node-scale degree table is materialized
+    // once so neither consumer re-scans the edge list.
     def degrees(e: DataFrame): DataFrame =
       e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
     var cur = edgesIn.localCheckpoint()
+    var deg = degrees(cur)
     val stats = (0 to rounds).map { r =>
-      val snap =
-        if (r == 0) cur
-        else {
-          val keep = degrees(cur).filter(col("deg") >= k).select("node")
-          cur = cur
-            .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-            .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-            .localCheckpoint()
-          cur
-        }
-      degrees(snap)
-        .agg(count(lit(1)).as("n_nodes"),
+      if (r > 0) {
+        val keep = deg.filter(col("deg") >= k).select("node")
+        cur = cur
+          .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+          .localCheckpoint()
+        deg = degrees(cur)
+      }
+      deg.agg(count(lit(1)).as("n_nodes"),
+          coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges"),
           coalesce(min(col("deg")), lit(0L)).cast("long").as("min_deg"),
           coalesce(max(col("deg")), lit(0L)).cast("long").as("max_deg"))
-        .crossJoin(broadcast(snap.agg(count(lit(1)).as("n_edges"))))
         .select(lit(r).as("round"), col("n_nodes").cast("long").as("n_nodes"),
           col("n_edges").cast("long").as("n_edges"),
           col("min_deg"), col("max_deg"))

@@ -2148,6 +2148,160 @@ object Analytics {
       .limit(topK)
   }
 
+  /** Constraint audit across the whole star schema (q207) — the
+    * referential-integrity / uniqueness report a warehouse load gate
+    * runs: one row per declared constraint (10 primary keys, 7 foreign
+    * keys) with exact violation counts and floor-ppm rates. PK
+    * violations = rows − distinct keys (composite keys audited as
+    * structs); FK violations = anti-join count of child keys absent
+    * from the parent. Every leg is either one map-side-combined
+    * aggregation or one keyed anti join — nothing quadratic, dimensions
+    * broadcast-eligible — and the 17 one-row legs union into a single
+    * driver-sized report. The synthetic lineitem actually VIOLATES its
+    * composite PK (duplicate (orderkey, linenumber) pairs), so the
+    * audit is exercised, not vacuously green. */
+  def constraintAudit(spark: SparkSession, dir: String): DataFrame = {
+    def pk(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(struct(keys.map(col): _*)).as("nd"))
+        .select(lit(name).as("constraint_name"), lit("pk").as("kind"),
+          col("n_rows").cast("long").as("n_rows"),
+          (col("n_rows") - col("nd")).cast("long").as("n_violations"))
+    def fk(name: String, child: DataFrame, childKey: String,
+           parent: DataFrame, parentKey: String): DataFrame = {
+      val total = child.agg(count(lit(1)).as("n_rows"))
+      child.select(col(childKey))
+        .join(parent.select(col(parentKey).as(childKey)), Seq(childKey),
+          "left_anti")
+        .agg(count(lit(1)).as("n_bad"))
+        .crossJoin(broadcast(total))
+        .select(lit(name).as("constraint_name"), lit("fk").as("kind"),
+          col("n_rows").cast("long").as("n_rows"),
+          col("n_bad").cast("long").as("n_violations"))
+    }
+    val li = Tables.lineitem(spark, dir); val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir); val prt = Tables.part(spark, dir)
+    val nat = Tables.nation(spark, dir); val reg = Tables.region(spark, dir)
+    val legs = Seq(
+      pk("pk_region", reg, Seq("r_regionkey")),
+      pk("pk_nation", nat, Seq("n_nationkey")),
+      pk("pk_customer", cust, Seq("c_custkey")),
+      pk("pk_supplier", supp, Seq("s_suppkey")),
+      pk("pk_part", prt, Seq("p_partkey")),
+      pk("pk_orders", ord, Seq("o_orderkey")),
+      pk("pk_lineitem", li, Seq("l_orderkey", "l_linenumber")),
+      pk("pk_events", Tables.events(spark, dir), Seq("event_id")),
+      pk("pk_documents", Tables.documents(spark, dir), Seq("doc_id")),
+      pk("pk_embeddings", Tables.embeddings(spark, dir), Seq("vec_id")),
+      fk("fk_lineitem_orders", li, "l_orderkey", ord, "o_orderkey"),
+      fk("fk_lineitem_part", li, "l_partkey", prt, "p_partkey"),
+      fk("fk_lineitem_supplier", li, "l_suppkey", supp, "s_suppkey"),
+      fk("fk_orders_customer", ord, "o_custkey", cust, "c_custkey"),
+      fk("fk_customer_nation", cust, "c_nationkey", nat, "n_nationkey"),
+      fk("fk_supplier_nation", supp, "s_nationkey", nat, "n_nationkey"),
+      fk("fk_nation_region", nat, "n_regionkey", reg, "r_regionkey"))
+    legs.reduce(_ unionAll _)
+      .withColumn("violation_ppm",
+        expr("n_violations * 1000000 div greatest(n_rows, 1)"))
+      .orderBy("constraint_name")
+  }
+
+  /** Incremental aggregate maintenance (q209) — the partial-aggregate
+    * MERGE identity that makes warehouse rollups maintainable without
+    * full recomputes: the per-customer order summary is built from TWO
+    * independently aggregated partitions (base = orders before
+    * 1996-07-01, delta = orders after) whose STATES — (count, cents
+    * sum, max date) — are unioned and re-aggregated, exactly how a
+    * streaming sink or an incremental ETL merges yesterday's state with
+    * today's delta. The DuckDB oracle recomputes the summary FLAT over
+    * all orders, so a green row proves merge(state(A), state(B)) ≡
+    * state(A ∪ B) value-for-value — the algebraic property (commutative
+    * monoid measures: sum/count/max) that also licenses Spark's own
+    * map-side partial aggregation at any cluster size. */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val split = "1996-07-01"
+    def state(pred: Column): DataFrame =
+      Tables.orders(spark, dir).filter(pred)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"),
+          max(col("o_orderdate").cast("date")).as("maxd"))
+    val base = state(col("o_orderdate") < lit(split))
+    val delta = state(col("o_orderdate") >= lit(split))
+    base.unionAll(delta)
+      .groupBy("o_custkey")
+      .agg(sum("n").as("n"), sum("cents").as("cents"), max("maxd").as("maxd"))
+      .select(col("o_custkey"), col("n").cast("long").as("n_orders"),
+        (col("cents").cast("double") / 100.0).as("revenue"),
+        col("maxd").as("last_order"))
+      .orderBy("o_custkey")
+  }
+
+  /** k-anonymity audit of the customer table (q210) — the privacy
+    * screen a data-release gate runs: group by the quasi-identifier
+    * pair (market segment, nation), report each equivalence class's
+    * size and whether it meets k = 5 — a class smaller than k
+    * re-identifies its members by the quasi-identifiers alone. One
+    * grouped count (map-side partial) plus a projection; the class
+    * table is |segments|×|nations| — metadata-scale at any corpus
+    * size. */
+  def kAnonymity(spark: SparkSession, dir: String, k: Long = 5): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("class_size"))
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        col("class_size").cast("long").as("class_size"),
+        when(col("class_size") >= k, 1).otherwise(0).as("is_k_anonymous"))
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  /** RFM customer segmentation (q211) — the classic CRM triple scored
+    * WITHIN market segment: recency (days from last order to the
+    * segment-wide anchor date), frequency (order count), monetary
+    * (lifetime cents), each cut into quintiles by `ntile(5)` over a
+    * segment-partitioned window (standard-SQL ntile both engines
+    * share; ties broken by custkey so the cut is deterministic), then
+    * labeled with the usual marketing taxonomy. Scale shape: one
+    * custkey aggregation over orders, a broadcast-eligible segment
+    * join, one 1-row anchor broadcast, three quintile windows sharing
+    * ONE segment exchange. Quintiles within segment (not global) keep
+    * the window keyed — and compare customers against their peers,
+    * which is the defensible semantics anyway. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast("date")).as("lastd"),
+        count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val seg = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val anchor = per.agg(max(col("lastd")).as("anchor"))
+    val w = Window.partitionBy("c_mktsegment")
+    val byR = w.orderBy(col("recency_days"), col("o_custkey"))
+    val byF = w.orderBy(col("freq").desc, col("o_custkey"))
+    val byM = w.orderBy(col("cents").desc, col("o_custkey"))
+    per.join(seg, col("o_custkey") === col("c_custkey"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days", datediff(col("anchor"), col("lastd"))
+        .cast("long"))
+      .withColumn("r", lit(6) - ntile(5).over(byR))
+      .withColumn("f", lit(6) - ntile(5).over(byF))
+      .withColumn("m", lit(6) - ntile(5).over(byM))
+      .withColumn("segment",
+        when(col("r") >= 4 && col("f") >= 4 && col("m") >= 4, "champion")
+          .when(col("f") >= 4, "loyal")
+          .when(col("m") >= 4, "big_spender")
+          .when(col("r") <= 2 && col("f") <= 2, "hibernating")
+          .when(col("r") <= 2, "at_risk")
+          .otherwise("regular"))
+      .select(col("o_custkey"), col("c_mktsegment"), col("recency_days"),
+        col("freq").cast("long").as("n_orders"),
+        (col("cents").cast("double") / 100.0).as("revenue"),
+        col("r").cast("int").as("r"), col("f").cast("int").as("f"),
+        col("m").cast("int").as("m"), col("segment"))
+      .orderBy("o_custkey")
+  }
+
   /** Pareto/ABC classification of parts by revenue (q200) — the
     * inventory-policy classic: class A = parts whose PRIOR cumulative
     * revenue share is under 80% (the vital few), B until 95%, C the

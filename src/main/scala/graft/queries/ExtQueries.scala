@@ -863,4 +863,38 @@ object ExtQueries {
   def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.pmiCollocations(Tables.documents(spark, dir),
       "doc_id", "text")
+
+  /** Percentile-rank quality normalization (q208) — the feature
+    * transform that makes per-source quality scores COMPARABLE across
+    * sources whose raw score distributions differ (a web crawl and a
+    * books corpus don't share a stopword-ratio scale): each document's
+    * score becomes its exact within-source percentile rank
+    * (rank−1)·10⁶ div (n−1) — 0 for the best-ranked, 10⁶ for the worst
+    * — over the (score desc, doc_id) total order, so ranks are unique
+    * and both engines floor the identical rational. One scored scan
+    * projection + one source-partitioned window; single-document
+    * sources pin to 0 rather than divide by zero. */
+  def percentileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = graft.ext.TextOps.normText(col("text"))
+    val toks = graft.ext.TextOps.tokens(t)
+    val nTokens = size(toks).cast("long")
+    val nStop = size(org.apache.spark.sql.functions.filter(toks,
+      w => w.isInCollection(TextAnalysis.Stopwords))).cast("long")
+    val w = Window.partitionBy("source")
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    val cw = Window.partitionBy("source")
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), nTokens.as("n_tokens"),
+        nStop.as("n_stop"))
+      .withColumn("score_ppm",
+        expr("n_stop * 1000000 div greatest(n_tokens, 1)"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cw))
+      .select(col("source"), col("doc_id"),
+        col("score_ppm").cast("long").as("score_ppm"),
+        expr("CAST((rk - 1) * 1000000 div greatest(n - 1, 1) AS BIGINT)")
+          .as("pct_ppm"))
+      .orderBy("source", "doc_id")
+  }
 }
