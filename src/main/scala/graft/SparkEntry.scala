@@ -231,6 +231,11 @@ object SparkEntry {
     "q209_incremental_agg"    -> ((s, d) => Analytics.incrementalAgg(s, d)),
     "q210_k_anonymity"        -> ((s, d) => Analytics.kAnonymity(s, d)),
     "q211_rfm_segments"       -> ((s, d) => Analytics.rfmSegments(s, d)),
+    "q212_cusum_shift"        -> ((s, d) => Analytics.cusumShift(s, d)),
+    "q213_gap_fill"           -> ((s, d) => Analytics.gapFillDaily(s, d)),
+    "q214_session_patterns"   -> ((s, d) => EventWindows.sessionPatternClasses(s, d)),
+    "q215_spearman_segments"  -> ((s, d) => Analytics.spearmanSegments(s, d)),
+    "q216_event_combos"       -> ((s, d) => EventWindows.eventTypeCombos(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -4391,5 +4396,152 @@ object SparkEntry {
         |            WHEN r <= 2 THEN 'at_risk'
         |            ELSE 'regular' END AS segment
         |FROM s ORDER BY o_custkey""".stripMargin,
+
+    // CUSUM linearized: S⁺_t = P_t − min(0, min_{j≤t} P_j) turns Page's
+    // max(0, ·) recursion into two prefix windows; all integer cents.
+    "q212_cusum_shift" ->
+      s"""WITH d AS (SELECT o_orderpriority AS priority,
+         |                  CAST(o_orderdate AS DATE) AS day,
+         |                  CAST(SUM(${cents("o_totalprice")}) AS BIGINT) AS px
+         |           FROM orders GROUP BY 1, 2),
+         |m AS (SELECT priority, CAST(SUM(px) // COUNT(*) AS BIGINT) AS mu
+         |      FROM d GROUP BY 1),
+         |j AS (SELECT d.priority, d.day, d.px, m.mu,
+         |             m.mu // 50 AS k, m.mu // 2 AS h
+         |      FROM d JOIN m ON d.priority = m.priority),
+         |p AS (SELECT *, CAST(SUM(px - mu - k) OVER w AS BIGINT) AS p_up,
+         |               CAST(SUM(mu - px - k) OVER w AS BIGINT) AS p_dn
+         |      FROM j WINDOW w AS (PARTITION BY priority ORDER BY day
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |s AS (SELECT *, p_up - least(0, MIN(p_up) OVER w) AS s_up,
+         |               p_dn - least(0, MIN(p_dn) OVER w) AS s_dn
+         |      FROM p WINDOW w AS (PARTITION BY priority ORDER BY day
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT priority, day, px, mu, s_up, s_dn,
+         |       CASE WHEN s_up > h THEN 1 ELSE 0 END AS alarm_up,
+         |       CASE WHEN s_dn > h THEN 1 ELSE 0 END AS alarm_dn
+         |FROM s ORDER BY priority, day""".stripMargin,
+
+    // Interpolation via the nonneg weighted-sum form so the floor
+    // division never sees a negative numerator (engines disagree there).
+    "q213_gap_fill" ->
+      s"""WITH d AS (SELECT o_orderpriority AS priority,
+         |                  CAST(o_orderdate AS DATE) AS day,
+         |                  CAST(SUM(${cents("o_totalprice")}) AS BIGINT) AS px
+         |           FROM orders GROUP BY 1, 2),
+         |b AS (SELECT priority, MIN(day) AS d0, MAX(day) AS d1
+         |      FROM d GROUP BY 1),
+         |sp AS (SELECT priority,
+         |         CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+         |           AS day
+         |       FROM b),
+         |j AS (SELECT sp.priority, sp.day, d.px
+         |      FROM sp LEFT JOIN d ON d.priority = sp.priority
+         |                         AND d.day = sp.day),
+         |f AS (SELECT priority, day, px,
+         |        last_value(px IGNORE NULLS) OVER wb AS prev_px,
+         |        last_value(CASE WHEN px IS NOT NULL THEN day END IGNORE NULLS)
+         |          OVER wb AS prev_d,
+         |        first_value(px IGNORE NULLS) OVER wf AS next_px,
+         |        first_value(CASE WHEN px IS NOT NULL THEN day END IGNORE NULLS)
+         |          OVER wf AS next_d
+         |      FROM j
+         |      WINDOW wb AS (PARTITION BY priority ORDER BY day
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |             wf AS (PARTITION BY priority ORDER BY day
+         |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT priority, day,
+         |       CASE WHEN px IS NOT NULL THEN px
+         |            ELSE (prev_px * date_diff('day', day, next_d)
+         |                  + next_px * date_diff('day', prev_d, day))
+         |                 // date_diff('day', prev_d, next_d) END AS px_filled,
+         |       CASE WHEN px IS NOT NULL THEN 1 ELSE 0 END AS is_observed
+         |FROM f ORDER BY priority, day""".stripMargin,
+
+    // The q120 session CTEs, classified by a first-match-wins LIKE
+    // cascade (no event-type name is a substring of another).
+    "q214_session_patterns" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         SUM(new_session) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |paths AS (
+        |  SELECT user_id, session_id, COUNT(*) AS n_events,
+        |         string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id) AS path
+        |  FROM sess GROUP BY user_id, session_id),
+        |c AS (SELECT CASE WHEN path LIKE '%view%purchase%' THEN 'view_to_purchase'
+        |                  WHEN path LIKE '%purchase%' THEN 'blind_purchase'
+        |                  WHEN path LIKE '%error' THEN 'error_exit'
+        |                  WHEN n_events = 1 THEN 'bounce'
+        |                  WHEN n_events >= 5 THEN 'engaged_browse'
+        |                  ELSE 'browse' END AS class,
+        |             n_events
+        |      FROM paths)
+        |SELECT class, COUNT(*) AS n_sessions,
+        |       CAST(SUM(n_events) AS BIGINT) AS n_events_total,
+        |       CAST(SUM(n_events) * 1000000 // COUNT(*) AS BIGINT)
+        |         AS avg_events_ppm
+        |FROM c GROUP BY 1 ORDER BY class""".stripMargin,
+
+    // Spearman with DETERMINISTIC tie-break ranks (value, custkey) on
+    // both axes, so the no-ties identity is exact on both engines; the
+    // floor division's numerator is nonnegative by construction.
+    "q215_spearman_segments" ->
+      """WITH rev AS (SELECT o_custkey,
+        |               SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS cents
+        |             FROM orders GROUP BY 1),
+        |j AS (SELECT c_mktsegment, o_custkey, CAST(cents AS BIGINT) AS cents,
+        |             CAST(round(c_acctbal*100,0) AS BIGINT) AS bal
+        |      FROM rev JOIN customer ON o_custkey = c_custkey),
+        |r AS (SELECT c_mktsegment,
+        |        row_number() OVER (PARTITION BY c_mktsegment
+        |                           ORDER BY bal, o_custkey) AS rx,
+        |        row_number() OVER (PARTITION BY c_mktsegment
+        |                           ORDER BY cents, o_custkey) AS ry
+        |      FROM j),
+        |g AS (SELECT c_mktsegment, COUNT(*) AS n,
+        |             SUM(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS sd2
+        |      FROM r GROUP BY 1)
+        |SELECT c_mktsegment, CAST(n AS INT) AS n_cust,
+        |       CAST(sd2 AS BIGINT) AS sum_d2,
+        |       CAST(1000000 - 6 * sd2 * 1000000
+        |            // (CAST(n AS HUGEINT) * (n*n - 1)) AS BIGINT) AS rho_ppm,
+        |       CAST(CAST(1000000 - 6 * sd2 * 1000000
+        |            // (CAST(n AS HUGEINT) * (n*n - 1)) AS BIGINT) AS DOUBLE)/1e6
+        |         AS rho
+        |FROM g ORDER BY c_mktsegment""".stripMargin,
+
+    // Sum over DISTINCT powers of two IS bitwise OR; decode by integer
+    // div/mod so neither engine's bit functions are load-bearing.
+    "q216_event_combos" ->
+      """WITH b AS (SELECT DISTINCT user_id,
+        |             CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |             CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |                  WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+        |                  ELSE 16 END AS bv
+        |           FROM events),
+        |m AS (SELECT user_id, wk, CAST(SUM(bv) AS BIGINT) AS mask
+        |      FROM b GROUP BY 1, 2),
+        |c AS (SELECT mask, COUNT(*) AS n_user_weeks FROM m GROUP BY 1)
+        |SELECT CAST(mask AS INT) AS mask,
+        |       CAST((mask // 1) % 2 + (mask // 2) % 2 + (mask // 4) % 2
+        |            + (mask // 8) % 2 + (mask // 16) % 2 AS INT) AS n_types,
+        |       concat_ws('+',
+        |         CASE WHEN (mask // 1) % 2 = 1 THEN 'click' END,
+        |         CASE WHEN (mask // 2) % 2 = 1 THEN 'error' END,
+        |         CASE WHEN (mask // 4) % 2 = 1 THEN 'purchase' END,
+        |         CASE WHEN (mask // 8) % 2 = 1 THEN 'signup' END,
+        |         CASE WHEN (mask // 16) % 2 = 1 THEN 'view' END) AS combo,
+        |       n_user_weeks
+        |FROM c ORDER BY mask""".stripMargin,
   )
 }

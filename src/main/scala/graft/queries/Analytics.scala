@@ -2334,4 +2334,145 @@ object Analytics {
           " AS BIGINT)").as("share_ppm"))
       .orderBy("abc_class")
   }
+
+  /** CUSUM level-shift detection (q212) on per-priority daily revenue —
+    * the sequential change-point detector (Page 1954) that flags a
+    * SUSTAINED drift long before any single day trips a spike detector
+    * like [[revenueAnomaly]]'s MAD gate: each day accumulates its
+    * deviation from the series mean less a slack k, and the alarm fires
+    * when the accumulation crosses h. The textbook recursion
+    * S⁺_t = max(0, S⁺_{t−1} + x_t − μ − k) is not a windowed aggregate,
+    * but it LINEARIZES: with P_t = Σ_{i≤t}(x_i − μ − k),
+    * S⁺_t = P_t − min(0, min_{j≤t} P_j) — a running sum and a running
+    * min, both ordinary prefix windows (proof: substitute and induct; the
+    * min picks up exactly the resets) — the same prefix-min identity
+    * [[graft.operators.ClampedScan]] uses for clamped running balances,
+    * inlined here so the UP and DOWN detectors share ONE priority-keyed
+    * exchange instead of two passes. The downward detector S⁻ is the
+    * mirrored prefix over (μ − x − k). k = μ/50 (2% drift allowance),
+    * h = μ/2 — half an average day of cumulative drift. All integer
+    * cents; the only division is a nonneg floor div for μ.
+    *
+    * Scale shape: the fact collapses to a calendar-bounded (priority,
+    * day) series before any window; μ/k/h ride a per-priority 1-row-each
+    * broadcast; the two windows share one priority-keyed exchange. */
+  def cusumShift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("px"))
+    val params = daily.groupBy("priority")
+      .agg(expr("sum(px) div count(*)").as("mu"))
+      .withColumn("k", expr("mu div 50"))
+      .withColumn("h", expr("mu div 2"))
+    val w = Window.partitionBy("priority").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(params), Seq("priority"))
+      .withColumn("p_up", sum(col("px") - col("mu") - col("k")).over(w))
+      .withColumn("p_dn", sum(col("mu") - col("px") - col("k")).over(w))
+      .withColumn("s_up", col("p_up") - least(lit(0L), min("p_up").over(w)))
+      .withColumn("s_dn", col("p_dn") - least(lit(0L), min("p_dn").over(w)))
+      .select(col("priority"), col("day"), col("px"), col("mu"),
+        col("s_up"), col("s_dn"),
+        when(col("s_up") > col("h"), 1).otherwise(0).as("alarm_up"),
+        when(col("s_dn") > col("h"), 1).otherwise(0).as("alarm_dn"))
+      .orderBy("priority", "day")
+  }
+
+  /** Calendar gap-fill with linear interpolation (q213): the dense daily
+    * revenue series per priority that a forecasting or charting consumer
+    * needs — every missing calendar day between a priority's first and
+    * last observed day gets a row, its value linearly interpolated
+    * between the nearest observed neighbors. The fill value is computed
+    * from the WEIGHTED-SUM form
+    *   (prev·(next_d − d) + next·(d − prev_d)) div (next_d − prev_d)
+    * rather than prev + Δ·frac: every term is nonnegative (cents and
+    * day-distances), so the floor division is engine-identical — the
+    * prev + Δ form would floor-divide a possibly negative Δ, where Spark
+    * and DuckDB disagree. Endpoints are observed by construction (the
+    * spine spans min..max of OBSERVED days), so interior gaps always
+    * have both neighbors.
+    *
+    * Scale shape: the fact collapses to the (priority, day) series
+    * first; the spine is sequence()-exploded from one min/max row per
+    * priority (calendar-bounded, never fact-sized); the neighbor scan is
+    * two frames over one priority-keyed exchange — last/first with
+    * ignoreNulls, no self-join. */
+  def gapFillDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("px"))
+    val spine = daily.groupBy("priority")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("priority"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val wb = Window.partitionBy("priority").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("priority").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(daily, Seq("priority", "day"), "left")
+      .withColumn("prev_px", last("px", ignoreNulls = true).over(wb))
+      .withColumn("prev_d",
+        last(when(col("px").isNotNull, col("day")), ignoreNulls = true).over(wb))
+      .withColumn("next_px", first("px", ignoreNulls = true).over(wf))
+      .withColumn("next_d",
+        first(when(col("px").isNotNull, col("day")), ignoreNulls = true).over(wf))
+      .select(col("priority"), col("day"),
+        when(col("px").isNotNull, col("px")).otherwise(expr(
+          "(prev_px * datediff(next_d, day) + next_px * datediff(day, prev_d))" +
+            " div datediff(next_d, prev_d)")).as("px_filled"),
+        when(col("px").isNotNull, 1).otherwise(0).as("is_observed"))
+      .orderBy("priority", "day")
+  }
+
+  /** Spearman rank correlation (q215) between a customer's account
+    * balance and their lifetime order revenue, per market segment — the
+    * MONOTONE-association companion to q07's Pearson: insensitive to
+    * outliers and to any monotone rescaling of either axis (a whale's
+    * absolute revenue can't dominate the statistic the way it dominates
+    * a covariance). Both axes are ranked over a DETERMINISTIC total
+    * order — (value, custkey) — so ranks are tie-free by construction
+    * and the no-ties identity ρ = 1 − 6·Σd²/(n(n²−1)) is exact; with
+    * genuinely tied values the tie-break randomizes which of the tied
+    * rows gets which rank, but the SAME assignment happens on both
+    * engines, so the statistic is reproducible (documented contract:
+    * this is Spearman-with-deterministic-tie-break, not the
+    * average-rank variant). Σd² rides DECIMAL(38,0) (d can reach n, so
+    * Σd² ~ n³/3 overflows 64-bit ppm-scaled at ~10⁶ rows/group); the
+    * single floor division has a nonnegative numerator — ρ goes negative
+    * only through the final exact subtraction.
+    *
+    * Scale shape: one custkey aggregation over the fact, a broadcastable
+    * dimension join, two rank windows sharing one segment-keyed
+    * exchange, then a per-segment aggregation — output is one row per
+    * segment. */
+  def spearmanSegments(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal"))
+    val wx = Window.partitionBy("c_mktsegment")
+      .orderBy(col("bal"), col("o_custkey"))
+    val wy = Window.partitionBy("c_mktsegment")
+      .orderBy(col("cents"), col("o_custkey"))
+    rev.join(cust, col("o_custkey") === col("c_custkey"))
+      .withColumn("rx", row_number().over(wx))
+      .withColumn("ry", row_number().over(wy))
+      .withColumn("d", (col("rx") - col("ry")).cast("long"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(d*d AS DECIMAL(38,0))")).as("sd2"))
+      .withColumn("rho_ppm", expr(
+        "1000000 - CAST(6 * sd2 * 1000000 div" +
+          " (CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1))" +
+          " AS BIGINT)"))
+      .select(col("c_mktsegment"), col("n").cast("int").as("n_cust"),
+        col("sd2").cast("long").as("sum_d2"),
+        col("rho_ppm").cast("long").as("rho_ppm"),
+        (col("rho_ppm").cast("double") / 1e6).as("rho"))
+      .orderBy("c_mktsegment")
+  }
 }

@@ -397,4 +397,85 @@ object EventWindows {
     model("first_touch").unionAll(model("last_touch"))
       .orderBy("model", "touch_type")
   }
+
+  /** Session pattern classification (q214) — MATCH_RECOGNIZE-lite: every
+    * session (the q26/q120 30-min-gap assignment) is classified by a
+    * first-match-wins rule cascade over its ORDERED event-type path, the
+    * row-pattern queries (view…purchase in order, error-terminated,
+    * single-event bounce) that SQL:2016 MATCH_RECOGNIZE expresses and
+    * most engines lack. The path is materialized per session by
+    * [[sessionPathAssignments]] (built inside the per-session
+    * aggregation, bounded by session length), so pattern matching is a
+    * scalar LIKE over a session-sized string — no per-event state
+    * machine, no self-joins. Substring matching is sound because no
+    * event-type name is a substring of another (click, error, purchase,
+    * signup, view); `%view%purchase%` is exactly "a view occurs, then
+    * later a purchase". Classes are mutually exclusive via CASE order.
+    *
+    * Scale shape: one user-keyed exchange (shared by the session window
+    * and aggregation), then a ≤6-class rollup — the classification
+    * itself is a zero-shuffle projection. Mean session length is the
+    * fixed-point floor-ppm idiom. */
+  def sessionPatternClasses(spark: SparkSession, dir: String,
+                            gapMinutes: Int = 30): DataFrame =
+    sessionPathAssignments(spark, dir, gapMinutes)
+      .withColumn("class",
+        when(col("path").like("%view%purchase%"), "view_to_purchase")
+          .when(col("path").like("%purchase%"), "blind_purchase")
+          .when(col("path").like("%error"), "error_exit")
+          .when(col("n_events") === 1, "bounce")
+          .when(col("n_events") >= 5, "engaged_browse")
+          .otherwise("browse"))
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events").cast("long")).as("n_events_total"))
+      .withColumn("avg_events_ppm",
+        expr("n_events_total * 1000000 div n_sessions"))
+      .select("class", "n_sessions", "n_events_total", "avg_events_ppm")
+      .orderBy("class")
+
+  /** Weekly event-type combination bitmaps (q216): which SETS of event
+    * types each user exhibits within one ISO week — the engagement-mix
+    * readout ("how many user-weeks purchase without ever viewing?") that
+    * per-type counts can't answer because they lose the co-occurrence.
+    * The week scope matters for non-vacuity too: over a user's whole
+    * LIFETIME nearly everyone eventually does everything (one mask, one
+    * row); within a week the combinations genuinely differ. Each
+    * (user, week, type) triple is encoded as a power-of-two literal
+    * (click=1, error=2, purchase=4, signup=8, view=16 — alphabetical),
+    * deduplicated, and summed into one integer bitmask per user-week:
+    * the sum over DISTINCT powers IS the bitwise OR, without leaning on
+    * either engine's bit_or aggregate semantics. Cardinality (n_types)
+    * and the human-readable combo label are decoded from the mask with
+    * integer div/mod — portable across engines, no bit_count dependency;
+    * concat_ws drops the NULL slots of absent types on both.
+    *
+    * Scale shape: the dedup collapses the fact to ≤ 5 rows per
+    * user-week before the keyed sum (both lean on partial aggregation);
+    * the combo rollup is keyed by a ≤ 32-value mask space, so the final
+    * exchange carries almost nothing. This is the roaring-bitmap idea at
+    * its degenerate small-universe extreme: the set fits one integer, so
+    * membership algebra is arithmetic. */
+  def eventTypeCombos(spark: SparkSession, dir: String): DataFrame = {
+    val bitVal = when(col("event_type") === "click", 1L)
+      .when(col("event_type") === "error", 2L)
+      .when(col("event_type") === "purchase", 4L)
+      .when(col("event_type") === "signup", 8L)
+      .otherwise(16L) // view
+    def has(m: Int, label: String) =
+      when(expr(s"(mask div $m) % 2") === 1, label)
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"),
+        bitVal.as("bv")).distinct()
+      .groupBy("user_id", "wk").agg(sum("bv").as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("n_user_weeks"))
+      .select(col("mask").cast("int").as("mask"),
+        expr("CAST((mask div 1) % 2 + (mask div 2) % 2 + (mask div 4) % 2" +
+          " + (mask div 8) % 2 + (mask div 16) % 2 AS INT)").as("n_types"),
+        concat_ws("+", has(1, "click"), has(2, "error"), has(4, "purchase"),
+          has(8, "signup"), has(16, "view")).as("combo"),
+        col("n_user_weeks"))
+      .orderBy("mask")
+  }
 }
