@@ -236,6 +236,9 @@ object SparkEntry {
     "q214_session_patterns"   -> ((s, d) => EventWindows.sessionPatternClasses(s, d)),
     "q215_spearman_segments"  -> ((s, d) => Analytics.spearmanSegments(s, d)),
     "q216_event_combos"       -> ((s, d) => EventWindows.eventTypeCombos(s, d)),
+    "q217_sequential_rules"   -> ((s, d) => Analytics.sequentialRules(s, d)),
+    "q218_kaplan_meier"       -> ((s, d) => Analytics.kaplanMeier(s, d)),
+    "q219_eval_split"         -> ((s, d) => ExtQueries.leakFreeEvalSplit(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -4543,5 +4546,72 @@ object SparkEntry {
         |         CASE WHEN (mask // 16) % 2 = 1 THEN 'view' END) AS combo,
         |       n_user_weeks
         |FROM c ORDER BY mask""".stripMargin,
+
+    // AprioriAll level 2: first-purchase collapse, support prune BEFORE
+    // the per-customer ordered pair join, confidence in floor ppm.
+    "q217_sequential_rules" ->
+      """WITH f AS (SELECT o_custkey, l_partkey,
+        |             MIN(CAST(o_orderdate AS DATE)) AS first_d
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |           GROUP BY 1, 2),
+        |fr AS (SELECT l_partkey, COUNT(*) AS n_cust_part
+        |       FROM f GROUP BY 1 HAVING COUNT(*) >= 5),
+        |p AS (SELECT f.o_custkey, f.l_partkey, f.first_d, fr.n_cust_part
+        |      FROM f JOIN fr ON f.l_partkey = fr.l_partkey),
+        |pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |              COUNT(*) AS n_cust, MAX(a.n_cust_part) AS n_ante
+        |       FROM p a JOIN p b ON a.o_custkey = b.o_custkey
+        |                        AND a.first_d < b.first_d
+        |       GROUP BY 1, 2)
+        |SELECT part_a, part_b, CAST(n_cust AS BIGINT) AS n_cust,
+        |       CAST(n_ante AS BIGINT) AS n_ante,
+        |       CAST(n_cust * 1000000 // n_ante AS BIGINT) AS conf_ppm
+        |FROM pr ORDER BY n_cust DESC, part_a, part_b
+        |LIMIT 25""".stripMargin,
+
+    // Product-limit survival in integer micro-nats: each ln factor
+    // quantized once (the q181 contract); running risk/log-survival
+    // restated as plain prefix windows (the Spark side rides PrefixSum).
+    "q218_kaplan_meier" ->
+      """WITH per AS (SELECT o_custkey,
+        |               MIN(year(o_orderdate)*12 + month(o_orderdate)) AS m0,
+        |               MAX(year(o_orderdate)*12 + month(o_orderdate)) AS m1
+        |             FROM orders GROUP BY 1),
+        |a AS (SELECT MAX(m1) AS mmax FROM per),
+        |h AS (SELECT m1 - m0 AS t, COUNT(*) AS n_at_t,
+        |             CAST(SUM(CASE WHEN m1 >= a.mmax - 3 THEN 0 ELSE 1 END)
+        |               AS BIGINT) AS d
+        |      FROM per, a GROUP BY 1, a.mmax),
+        |r AS (SELECT *, CAST(SUM(n_at_t) OVER (ORDER BY t DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |        AS n_risk
+        |      FROM h),
+        |s AS (SELECT *, CAST(ROUND(ln(greatest(n_risk - d, 1)) * 1000000, 0)
+        |          AS BIGINT)
+        |        - CAST(ROUND(ln(n_risk) * 1000000, 0) AS BIGINT) AS term
+        |      FROM r)
+        |SELECT CAST(t AS INT) AS t_months, n_risk,
+        |       CAST(n_at_t AS BIGINT) AS n_at_t, d AS n_churn,
+        |       CAST(d * 1000000 // n_risk AS BIGINT) AS hazard_ppm,
+        |       CAST(SUM(term) OVER (ORDER BY t
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS log_surv_micro
+        |FROM s ORDER BY t_months""".stripMargin,
+
+    // 80/20 affine hash split; eval docs colliding with ANY train band
+    // bucket (the q34 LSH signatures) are evicted via NOT EXISTS.
+    "q219_eval_split" ->
+      s"""WITH $nCte,
+         |$minhashCtes,
+         |tr AS (SELECT DISTINCT band, band_hash FROM bh
+         |       WHERE $bucketExpr < 80),
+         |lk AS (SELECT DISTINCT doc_id FROM bh
+         |       JOIN tr ON bh.band = tr.band AND bh.band_hash = tr.band_hash
+         |       WHERE $bucketExpr >= 80)
+         |SELECT doc_id, lang, source, n_chars
+         |FROM documents
+         |WHERE $bucketExpr >= 80
+         |  AND NOT EXISTS (SELECT 1 FROM lk WHERE lk.doc_id = documents.doc_id)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

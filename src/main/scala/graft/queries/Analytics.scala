@@ -2426,6 +2426,105 @@ object Analytics {
       .orderBy("priority", "day")
   }
 
+  /** Sequential purchase rules (q217): directed part pairs where the
+    * SAME customer first bought A on a strictly earlier day than B —
+    * the cross-basket temporal pattern ("adopters of A go on to buy B")
+    * that [[basketRules]] (q203, within one order) and
+    * [[frequentTriples]] (q195) cannot see because they never look
+    * across a customer's order history. This is the level-2 step of
+    * AprioriAll (Agrawal–Srikant sequential patterns): collapse each
+    * (customer, part) to its FIRST purchase date, prune to parts
+    * adopted by ≥ minCust customers (the level-wise support prune —
+    * every frequent sequence's items are frequent), then enumerate
+    * ordered pairs per customer. Confidence divides by the antecedent's
+    * adopter count in floor ppm.
+    *
+    * Scale shape: the first-purchase collapse is one (cust, part)
+    * aggregation; the support prune cuts the per-customer item list
+    * BEFORE the self-join, so pair volume is bounded by (frequent items
+    * per customer)², never (lines per customer)²; the pair aggregation
+    * is keyed on the part pair; the head is TakeOrdered over a total
+    * order. */
+  def sequentialRules(spark: SparkSession, dir: String,
+                      minCust: Long = 5, topK: Int = 25): DataFrame = {
+    val firsts = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_partkey"))
+      .agg(min(col("o_orderdate").cast("date")).as("first_d"))
+    val freq = firsts.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_cust_part"))
+      .filter(col("n_cust_part") >= minCust)
+    val pruned = firsts.join(freq, Seq("l_partkey"))
+      .select(col("o_custkey"), col("l_partkey"), col("first_d"),
+        col("n_cust_part"))
+      .localCheckpoint() // both sides of the pair join read it
+    val a = pruned.select(col("o_custkey"), col("l_partkey").as("part_a"),
+      col("first_d").as("d_a"), col("n_cust_part").as("n_a"))
+    val b = pruned.select(col("o_custkey"), col("l_partkey").as("part_b"),
+      col("first_d").as("d_b"))
+    a.join(b, Seq("o_custkey"))
+      .filter(col("d_a") < col("d_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_cust"), max(col("n_a")).as("n_ante"))
+      .withColumn("conf_ppm", expr("n_cust * 1000000 div n_ante"))
+      .orderBy(col("n_cust").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+  }
+
+  /** Kaplan–Meier churn table (q218): the survival-analysis readout of
+    * customer lifetime — at each lifetime duration t (months between a
+    * customer's first and last order), how many customers were still "at
+    * risk", how many churned exactly there, the discrete hazard, and the
+    * cumulative product-limit survival. Customers whose last order falls
+    * within censorMonths of the dataset's newest month are CENSORED
+    * (still active — their lifetime is a lower bound, they leave the
+    * risk set without counting as churn), which is the whole point of
+    * K-M: a naive churn-rate-by-duration silently counts active
+    * customers as churned. Survival is reported in exact integer
+    * micro-nats of LOG-survival — each per-t factor ln((n−d)/n) is
+    * quantized ONCE (the q181 contract: one transcendental per distinct
+    * integer pair, every aggregate after it exact integer addition), so
+    * the cumulative column is order-independent across engines; the
+    * n−d = 0 full-extinction row clamps the factor at ln(1/n)
+    * (survival floor: one notional survivor), documented rather than
+    * −∞. No exp() is taken — exp's last-ulp behavior differs across
+    * engines, and log-survival is what downstream tests (log-rank)
+    * consume anyway.
+    *
+    * Scale shape: the fact collapses to one row per customer, then to a
+    * ≤ (calendar months) duration histogram; both running columns (risk suffix,
+    * log-survival prefix) ride the two-pass distributed
+    * [[graft.operators.PrefixSum]] rather than an unpartitioned
+    * window. */
+  def kaplanMeier(spark: SparkSession, dir: String,
+                  censorMonths: Int = 3): DataFrame = {
+    def mon(c: Column) = year(c) * 12 + month(c)
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(min(mon(col("o_orderdate"))).as("m0"),
+        max(mon(col("o_orderdate"))).as("m1"))
+    val anchor = per.agg(max("m1").as("mmax"))
+    val hist = per.crossJoin(broadcast(anchor))
+      .select((col("m1") - col("m0")).as("t"),
+        when(col("m1") >= col("mmax") - censorMonths, 0L).otherwise(1L)
+          .as("event"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_at_t"), sum(col("event")).as("d"))
+    val risk = graft.operators.PrefixSum.exclusive(
+        hist, "t", descending = true, Seq.empty, "n_at_t", "after")
+      .withColumn("n_risk", col("after") + col("n_at_t"))
+      .withColumn("term", expr(
+        "CAST(ROUND(ln(greatest(n_risk - d, 1)) * 1000000, 0) AS BIGINT)" +
+          " - CAST(ROUND(ln(n_risk) * 1000000, 0) AS BIGINT)"))
+    graft.operators.PrefixSum.exclusive(
+        risk, "t", descending = false, Seq.empty, "term", "prior_log")
+      .select(col("t").cast("int").as("t_months"),
+        col("n_risk"), col("n_at_t"), col("d").as("n_churn"),
+        expr("d * 1000000 div n_risk").as("hazard_ppm"),
+        (col("prior_log") + col("term")).as("log_surv_micro"))
+      .orderBy("t_months")
+  }
+
   /** Spearman rank correlation (q215) between a customer's account
     * balance and their lifetime order revenue, per market segment — the
     * MONOTONE-association companion to q07's Pearson: insensitive to

@@ -897,4 +897,39 @@ object ExtQueries {
           .as("pct_ppm"))
       .orderBy("source", "doc_id")
   }
+
+  /** Leakage-free eval split (q219): the composition every benchmark
+    * pipeline needs and the pieces alone don't give — an 80/20
+    * train/eval hash split (q44/q63's append-stable affine buckets)
+    * where any eval document sharing a MinHash LSH band bucket with ANY
+    * train document is EXCLUDED from eval. A hash split alone guarantees
+    * disjoint doc_ids, not disjoint CONTENT: near-duplicates straddle
+    * the split boundary and leak training text into the benchmark
+    * (the q58 decontamination problem, applied at split time instead of
+    * after the fact). Band buckets are the q34 scan-side kernel
+    * signatures — no pair enumeration at all here; a candidate
+    * COLLISION is grounds for exclusion (recall over precision: evicting
+    * a false-positive eval doc costs a row, keeping a false-negative
+    * poisons the benchmark).
+    *
+    * Scale shape: one kernel projection to (doc, band, band_hash), two
+    * split-filtered semi/anti joins keyed on the band bucket — the only
+    * shuffles carry 16-byte band rows, never documents. Docs too short
+    * to shingle emit no bands and can never collide; they stay in eval
+    * by construction (stated, not accidental). */
+  def leakFreeEvalSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bucket = Sampling.bucket100(col("doc_id"))
+    val bands = TextDedup.minhashBands(docs, "doc_id", "text")
+      .withColumn("bucket", Sampling.bucket100(col("doc_id")))
+    val trainBuckets = bands.filter(col("bucket") < 80)
+      .select("band", "band_hash").distinct()
+    val leaky = bands.filter(col("bucket") >= 80)
+      .join(trainBuckets, Seq("band", "band_hash"), "left_semi")
+      .select("doc_id").distinct()
+    docs.filter(bucket >= 80)
+      .join(leaky, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
 }
