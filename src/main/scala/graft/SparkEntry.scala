@@ -3102,19 +3102,22 @@ object SparkEntry {
          |FROM f JOIN supplier ON l_suppkey = s_suppkey
          |JOIN nation ON s_nationkey = n_nationkey
          |ORDER BY n_concentrated_parts DESC, s_suppkey""".stripMargin,
-    // TPC-H Q11 shape: parts whose corpus revenue share clears a ppm
-    // floor; the global scalar is the same aggregate re-read.
+    // TPC-H Q11 shape: parts whose corpus revenue share clears a
+    // POPULATION-RELATIVE floor (1.4x the mean share 10^6/n ppm — a
+    // fixed ppm floor goes vacuous as soon as the part count grows).
     "q155_important_parts" ->
       s"""WITH pp AS (SELECT l_partkey,
          |              CAST(SUM(${cents("l_extendedprice")}) AS BIGINT) AS c
          |            FROM lineitem GROUP BY l_partkey),
-         |t AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM pp),
+         |t AS (SELECT CAST(SUM(c) AS BIGINT) AS tot,
+         |             COUNT(*) AS n_parts FROM pp),
          |m AS (SELECT l_partkey, c,
-         |             CAST(CAST(c AS HUGEINT) * 1000000 // tot AS BIGINT) AS share_ppm
+         |             CAST(CAST(c AS HUGEINT) * 1000000 // tot AS BIGINT) AS share_ppm,
+         |             14000000 // (10 * n_parts) AS thr
          |      FROM pp CROSS JOIN t)
          |SELECT l_partkey AS p_partkey, CAST(c AS DOUBLE)/100.0 AS revenue,
          |       share_ppm
-         |FROM m WHERE share_ppm >= 700
+         |FROM m WHERE share_ppm >= thr
          |ORDER BY share_ppm DESC, p_partkey""".stripMargin,
     // One-pass equi-width histogram quantile sketch: 256 cells, rank
     // ⌊p·(n−1)⌋, deterministic within-cell interpolation — every number

@@ -400,16 +400,24 @@ object Correlated {
     * non-trivial rejected set — a hash match then proves the share math,
     * not just "both engines returned nothing". */
   def importantParts(spark: SparkSession, dir: String,
-                     minPpm: Long = 700): DataFrame = {
+                     multTenths: Long = 14): DataFrame = {
+    // Threshold is POPULATION-RELATIVE (multTenths/10 × the mean share
+    // 10⁶/n_parts ppm) so the query stays non-vacuous at every scale
+    // factor: a fixed ppm floor goes empty as soon as the part
+    // population grows 10× (the round-7 q155 vacuity, which a fixed 700
+    // merely moved from sf0.01 to sf0.1). 1.4× the mean reproduces the
+    // old 700 ppm exactly at sf0.01 (n≈2000) and splits every larger
+    // population the same way.
     val perPart = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
       .agg(sum(qcents("l_extendedprice")).as("c"))
       .localCheckpoint() // read twice: global scalar + per-part probe
-    val total = perPart.agg(sum("c").as("tot"))
+    val total = perPart.agg(sum("c").as("tot"), count(lit(1)).as("n_parts"))
     perPart.crossJoin(broadcast(total))
       .withColumn("share_ppm",
         expr("CAST(c AS DECIMAL(38,0)) * 1000000 div tot").cast("long"))
-      .filter(col("share_ppm") >= minPpm)
+      .filter(col("share_ppm") >=
+        expr(s"${multTenths * 1000000L} div (10 * n_parts)"))
       .select(col("l_partkey").as("p_partkey"),
         (col("c").cast("double") / 100.0).as("revenue"), col("share_ppm"))
       .orderBy(col("share_ppm").desc, col("p_partkey"))
