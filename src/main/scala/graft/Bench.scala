@@ -71,6 +71,15 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // Likewise the iterative graph operators' per-round localCheckpoint
+    // emits one "RDD N was locally checkpointed, its lineage has been
+    // truncated" WARN per unpersist — dozens per suite run, burying the
+    // bench tail (the round-8 record's stdout tail was 90% this line).
+    // The truncation is deliberate (lineage cuts are the point of the
+    // checkpoint); bench runner only, Verify/tests keep the default.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     // Warmup: `events` needs its dedicated loader (TIMESTAMP(NANOS) parquet
     // is rejected by the vectorized reader; Tables.events reads nanos-as-long).
     // The warm pass hashes every column of every table (`count()` alone
@@ -138,7 +147,10 @@ object Bench {
     // Absent / corrupt file or lines -> no baseline, no flags; a
     // corrupt line never poisons the rest.
     val historyFile = "bench_history.jsonl"
-    val prior: Map[String, Double] = {
+    // Each prior run at this sf as its own per-query map (per-LINE maps
+    // are needed twice: flattened for the per-query baseline, and kept
+    // whole for the load gate's shared-query totals).
+    val historyRuns: List[Map[String, Double]] = {
       import org.json4s._
       val lines = try {
         val src = scala.io.Source.fromFile(historyFile)
@@ -147,34 +159,73 @@ object Bench {
       lines.flatMap { line =>
         try {
           val j = org.json4s.jackson.JsonMethods.parse(line)
-          (j \ "sf") match {
-            case JString(s) if s == sfDir =>
-              (j \ "queries") match {
-                case JObject(fields) =>
-                  fields.collect { case (k, JDouble(v)) => k -> v }
-                case _ => Nil
-              }
-            case _ => Nil
+          (j \ "sf", j \ "queries") match {
+            case (JString(s), JObject(fields)) if s == sfDir =>
+              Some(fields.collect { case (k, JDouble(v)) => k -> v }.toMap)
+            case _ => None
           }
-        } catch { case _: Throwable => Nil }
-      }.groupBy(_._1).map { case (k, vs) =>
+        } catch { case _: Throwable => None }
+      }
+    }
+    val prior: Map[String, Double] =
+      historyRuns.flatten.groupBy(_._1).map { case (k, vs) =>
         val sorted = vs.map(_._2).sorted
         k -> (if (sorted.size >= 2) sorted(1) else sorted.head)
       }
-    }
-    val regressions = results.collect {
+    val rawRegressions = results.collect {
       case (name, Some(t))
           if prior.get(name).exists(p => p > 0 && t > 2 * p && t - p > 0.2) =>
         name -> t / prior(name)
     }
+    // LOAD GATE: a loaded bench machine inflates every query uniformly,
+    // which the per-query 2x gate misreads as a wall of regressions (the
+    // round-8 driver record carried 15 spurious >2x entries while the
+    // identical suite ran at its round-7 times three hours later on an
+    // idle box). Detector: against each recent history run, compare this
+    // run's total over the SHARED query set (suite composition changes
+    // across rounds, so whole-suite totals are not comparable) with that
+    // run's total over the same set; take the MEDIAN ratio over the last
+    // 10 comparable runs (>=50 shared queries each). A median ratio
+    // > 1.5 means the whole suite — not any one query — slowed, which no
+    // single-query code change does: the run is load-suspect. Then:
+    // per-query flags move to `suspect_regressions` (preserved, not
+    // asserted), `load_suspect`:true + the ratio are stamped on both
+    // JSON lines, and the run is NOT appended to bench_history (an
+    // inflated run must never become a future baseline — the converse of
+    // the "idle runs tighten the baseline" rule above).
+    val currentByName: Map[String, Double] =
+      results.collect { case (k, Some(v)) => k -> v }.toMap
+    val loadRatio: Option[Double] = {
+      val ratios = historyRuns.takeRight(10).flatMap { run =>
+        val shared = run.keySet.intersect(currentByName.keySet)
+        if (shared.size < 50) None
+        else {
+          val histTot = shared.toSeq.map(run).sum
+          val curTot = shared.toSeq.map(currentByName).sum
+          if (histTot > 0) Some(curTot / histTot) else None
+        }
+      }.sorted
+      if (ratios.isEmpty) None else Some(ratios(ratios.size / 2))
+    }
+    val loadSuspect = loadRatio.exists(_ > 1.5)
+    val regressions = if (loadSuspect) Nil else rawRegressions
+    val suspectRegressions = if (loadSuspect) rawRegressions else Nil
     // Locale.ROOT: a comma-decimal default locale would print "2,13"
     // and corrupt both JSON lines.
-    val regJson = regressions
+    def ratioMapJson(m: Seq[(String, Double)]): String = m
       .map { case (k, v) =>
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f",
           Double.box(v))
       }
       .mkString("{", ",", "}")
+    val regJson = ratioMapJson(regressions)
+    val loadJson =
+      if (loadSuspect)
+        s""","load_suspect":true,"load_ratio_vs_history":${
+          String.format(java.util.Locale.ROOT, "%.2f",
+            Double.box(loadRatio.get))},"suspect_regressions":${
+          ratioMapJson(suspectRegressions)}"""
+      else ""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }
@@ -186,16 +237,19 @@ object Bench {
     // Full detail (per-query map + pass totals) only in the file; the
     // stdout line must stay well under the driver's ~4 KB tail capture.
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-2","n_queries":$nQueries,"pass_totals":$passTotals,"queries":$qs,"errors":$errJson,"regressions":$regJson,"sf":"${jsonEscape(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-2","n_queries":$nQueries,"pass_totals":$passTotals,"queries":$qs,"errors":$errJson,"regressions":$regJson$loadJson,"sf":"${jsonEscape(sfDir)}"}"""
     val compactLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-2","n_queries":$nQueries,"pass_totals":$passTotals,"errors":$errJson,"regressions":$regJson,"sf":"${jsonEscape(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-2","n_queries":$nQueries,"pass_totals":$passTotals,"errors":$errJson,"regressions":$regJson$loadJson,"sf":"${jsonEscape(sfDir)}"}"""
     try {
       val w = new java.io.PrintWriter("bench_out.json")
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }
     // Append this run's minima to the cross-round history (queries with
     // both passes failed are omitted — a null can't become a baseline).
-    try {
+    // A load-suspect run is NOT appended: an inflated sample would both
+    // loosen future per-query baselines and skew the load gate's own
+    // median toward accepting the next loaded run.
+    if (!loadSuspect) try {
       val histLine =
         s"""{"ts":${System.currentTimeMillis()},"cpus":"${jsonEscape(cpus)}","sf":"${jsonEscape(sfDir)}","queries":${
           results.collect { case (k, Some(v)) => "\"" + k + "\":" + v }

@@ -3113,7 +3113,7 @@ object SparkEntry {
          |             COUNT(*) AS n_parts FROM pp),
          |m AS (SELECT l_partkey, c,
          |             CAST(CAST(c AS HUGEINT) * 1000000 // tot AS BIGINT) AS share_ppm,
-         |             14000000 // (10 * n_parts) AS thr
+         |             greatest(1, 14000000 // (10 * n_parts)) AS thr
          |      FROM pp CROSS JOIN t)
          |SELECT l_partkey AS p_partkey, CAST(c AS DOUBLE)/100.0 AS revenue,
          |       share_ppm
@@ -4516,7 +4516,7 @@ object SparkEntry {
         |      FROM j),
         |g AS (SELECT c_mktsegment, COUNT(*) AS n,
         |             SUM(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS sd2
-        |      FROM r GROUP BY 1)
+        |      FROM r GROUP BY 1 HAVING COUNT(*) > 1)
         |SELECT c_mktsegment, CAST(n AS INT) AS n_cust,
         |       CAST(sd2 AS BIGINT) AS sum_d2,
         |       CAST(1000000 - 6 * sd2 * 1000000
@@ -4533,7 +4533,9 @@ object SparkEntry {
         |             CAST(date_trunc('week', ts) AS DATE) AS wk,
         |             CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
         |                  WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
-        |                  ELSE 16 END AS bv
+        |                  WHEN 'view' THEN 16
+        |                  ELSE CAST(error('unknown event_type') AS BIGINT)
+        |             END AS bv
         |           FROM events),
         |m AS (SELECT user_id, wk, CAST(SUM(bv) AS BIGINT) AS mask
         |      FROM b GROUP BY 1, 2),

@@ -2564,6 +2564,12 @@ object Analytics {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST(d*d AS DECIMAL(38,0))")).as("sd2"))
+      // n(n²−1) = 0 for a single-customer segment: Spark's `div` yields
+      // NULL while DuckDB's `//` raises division-by-zero — a crash-vs-
+      // NULL parity divergence on degenerate input. ρ is undefined for
+      // n=1 anyway; exclude such groups on BOTH engines (oracle carries
+      // the matching HAVING COUNT(*) > 1).
+      .filter(col("n") > 1)
       .withColumn("rho_ppm", expr(
         "1000000 - CAST(6 * sd2 * 1000000 div" +
           " (CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1))" +

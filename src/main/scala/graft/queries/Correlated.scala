@@ -416,8 +416,14 @@ object Correlated {
     perPart.crossJoin(broadcast(total))
       .withColumn("share_ppm",
         expr("CAST(c AS DECIMAL(38,0)) * 1000000 div tot").cast("long"))
+      // greatest(1, …): the relative threshold floors to 0 ppm once
+      // n_parts exceeds multTenths·10⁵ (TPC-H SF ≳ 7), and `>= 0`
+      // admits every part — the vacuity class this threshold was built
+      // to kill, reappearing at the LARGE end. Clamping to 1 ppm keeps
+      // the filter discriminating at every population size (mirrored in
+      // the q155 oracle SQL).
       .filter(col("share_ppm") >=
-        expr(s"${multTenths * 1000000L} div (10 * n_parts)"))
+        expr(s"greatest(1, ${multTenths * 1000000L} div (10 * n_parts))"))
       .select(col("l_partkey").as("p_partkey"),
         (col("c").cast("double") / 100.0).as("revenue"), col("share_ppm"))
       .orderBy(col("share_ppm").desc, col("p_partkey"))

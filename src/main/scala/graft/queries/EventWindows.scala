@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.model.{Parity, Tables}
@@ -456,12 +456,25 @@ object EventWindows {
     * exchange carries almost nothing. This is the roaring-bitmap idea at
     * its degenerate small-universe extreme: the set fits one integer, so
     * membership algebra is arithmetic. */
-  def eventTypeCombos(spark: SparkSession, dir: String): DataFrame = {
-    val bitVal = when(col("event_type") === "click", 1L)
+  /** Power-of-two encoding of `event_type`. Every known type gets an
+    * EXPLICIT branch; an unknown sixth type raises instead of silently
+    * aliasing into `view`'s bit and corrupting every mask it touches
+    * (the suite's fail-fast posture, cf. Packing's surrogate guard —
+    * the q216 oracle carries the matching `error()` arm). raise_error
+    * sits in the otherwise arm, so it costs nothing until a genuinely
+    * unknown value appears. */
+  private[queries] def eventTypeBit: Column =
+    when(col("event_type") === "click", 1L)
       .when(col("event_type") === "error", 2L)
       .when(col("event_type") === "purchase", 4L)
       .when(col("event_type") === "signup", 8L)
-      .otherwise(16L) // view
+      .when(col("event_type") === "view", 16L)
+      .otherwise(raise_error(concat(
+        lit("eventTypeCombos: unknown event_type "),
+        col("event_type"))).cast("long"))
+
+  def eventTypeCombos(spark: SparkSession, dir: String): DataFrame = {
+    val bitVal = eventTypeBit
     def has(m: Int, label: String) =
       when(expr(s"(mask div $m) % 2") === 1, label)
     Tables.events(spark, dir)

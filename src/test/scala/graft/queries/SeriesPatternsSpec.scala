@@ -145,4 +145,20 @@ class SeriesPatternsSpec extends SparkSpec {
     assert(out.filter(r => (r.getAs[Int]("mask") & 4) != 0)
       .map(_.getAs[Long]("n_user_weeks")).sum == purchaseWeeks)
   }
+
+  test("unknown event type fails loudly instead of aliasing into view") {
+    import spark.implicits._
+    val known = Seq("click", "error", "purchase", "signup", "view")
+      .toDF("event_type").select(EventWindows.eventTypeBit.as("bv"))
+      .collect().map(_.getLong(0))
+    assert(known.toSeq == Seq(1L, 2L, 4L, 8L, 16L))
+    val ex = intercept[Exception] {
+      Seq("scroll").toDF("event_type")
+        .select(EventWindows.eventTypeBit.as("bv")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("unknown event_type")))
+  }
 }
