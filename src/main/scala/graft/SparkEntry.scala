@@ -239,6 +239,10 @@ object SparkEntry {
     "q217_sequential_rules"   -> ((s, d) => Analytics.sequentialRules(s, d)),
     "q218_kaplan_meier"       -> ((s, d) => Analytics.kaplanMeier(s, d)),
     "q219_eval_split"         -> ((s, d) => ExtQueries.leakFreeEvalSplit(s, d)),
+    "q220_hybrid_rrf"         -> ((s, d) => ExtQueries.hybridRrf(s, d)),
+    "q221_semantic_dedup"     -> ((s, d) => ExtQueries.semanticDedup(s, d)),
+    "q222_quality_classifier" -> ((s, d) => ExtQueries.qualityClassify(s, d)),
+    "q223_coreness"           -> ((s, d) => Analytics.copurchaseCoreness(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -297,6 +301,41 @@ object SparkEntry {
        |       JOIN h sa ON sa.doc_id = c.doc_a
        |       JOIN h sb ON sb.doc_id = c.doc_b AND sb.hv = sa.hv
        |       GROUP BY 1, 2)""".stripMargin
+  /** q223's h-index coreness oracle, the 24 fixed rounds UNROLLED —
+    * machine-generated CTE chain (round t: neighbor values ranked
+    * descending per node, h = max(least(rank, value))), every stage
+    * MATERIALIZED because `ed` is referenced by all 24 rounds and each
+    * c_t by the next (inlining would nest the plan exponentially). */
+  private lazy val corenessSql: String = {
+    val rounds = 24
+    val roundCtes = (0 until rounds).map { t =>
+      s"""r$t AS MATERIALIZED (SELECT e.u AS node, c.c AS nc,
+         |  row_number() OVER (PARTITION BY e.u ORDER BY c.c DESC) AS rk
+         |  FROM ed e JOIN c$t c ON c.node = e.v),
+         |c${t + 1} AS MATERIALIZED (SELECT node,
+         |  CAST(MAX(LEAST(rk, nc)) AS BIGINT) AS c
+         |  FROM r$t GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS oid,
+       |         l_partkey AS item FROM lineitem),
+       |pr AS MATERIALIZED (SELECT a.item AS u, b.item AS v
+       |  FROM it a JOIN it b ON a.oid = b.oid AND a.item < b.item
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |ed AS MATERIALIZED (SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr),
+       |c0 AS MATERIALIZED (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM ed GROUP BY 1),
+       |$roundCtes,
+       |chg AS (SELECT CAST(SUM(CASE WHEN a.c <> b.c THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n_changed
+       |        FROM c$rounds a JOIN c${rounds - 1} b ON a.node = b.node)
+       |SELECT CAST(a.node AS BIGINT) AS part, d.c AS degree,
+       |       a.c AS coreness,
+       |       CAST(CASE WHEN n_changed = 0 THEN 1 ELSE 0 END AS INT)
+       |         AS converged
+       |FROM c$rounds a JOIN c0 d ON a.node = d.node CROSS JOIN chg
+       |ORDER BY part""".stripMargin
+  }
+
   /** Similarity.planes(4, 64) as DuckDB DOUBLE[] literals. */
   private def planeLit(m: Int): String =
     graft.ext.Similarity.planes(4, 64)(m).map(x => s"$x.0").mkString("[", ",", "]")
@@ -4618,5 +4657,125 @@ object SparkEntry {
          |WHERE $bucketExpr >= 80
          |  AND NOT EXISTS (SELECT 1 FROM lk WHERE lk.doc_id = documents.doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Hybrid lexical+dense RRF: the q186 BM25 chain run query-by-example
+    // (query docs' own DISTINCT terms, self-hit excluded, top-10) fused
+    // with the q37 dense brute top-5 by the q189 integer micro-unit RRF.
+    "q220_hybrid_rrf" ->
+      s"""WITH $nCte, $tokCte,
+         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+         |dft AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+         |tot AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+         |q AS (SELECT DISTINCT doc_id AS query_id, w FROM tok WHERE doc_id < 10),
+         |qi AS (SELECT q.query_id, q.w,
+         |         CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) * 1e6, 0)
+         |              AS BIGINT) AS idf_micro
+         |       FROM q JOIN dft USING (w) CROSS JOIN tot),
+         |sc AS (SELECT qi.query_id, tf.doc_id,
+         |         CAST(SUM(qi.idf_micro *
+         |           CAST(CAST(22 AS HUGEINT) * tf.tf * t * 1000000 //
+         |                (CAST(10 AS HUGEINT) * t * tf.tf + 3 * t + 9 * dl.dl * n)
+         |                AS BIGINT)) AS BIGINT) AS score_e12
+         |       FROM qi JOIN tf USING (w) JOIN dl USING (doc_id)
+         |            CROSS JOIN tot
+         |       WHERE tf.doc_id <> qi.query_id
+         |       GROUP BY qi.query_id, tf.doc_id),
+         |lex AS (SELECT query_id, doc_id AS neighbor_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY score_e12 DESC, doc_id) AS rank
+         |        FROM sc QUALIFY rank <= 10),
+         |den AS (SELECT query_id, neighbor_id, rank FROM ($annBruteSql) zd),
+         |u AS (SELECT query_id, neighbor_id, 1000000 // (60 + rank) AS c FROM lex
+         |      UNION ALL
+         |      SELECT query_id, neighbor_id, 1000000 // (60 + rank) FROM den),
+         |f AS (SELECT query_id, neighbor_id,
+         |             CAST(SUM(c) AS BIGINT) AS rrf_micro,
+         |             CAST(COUNT(*) AS INT) AS n_lists
+         |      FROM u GROUP BY query_id, neighbor_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY rrf_micro DESC, neighbor_id) AS rnk FROM f)
+         |SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, rrf_micro,
+         |       n_lists
+         |FROM rk WHERE rnk <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // SemDeDup: sign-LSH buckets (the q38 plane literals), within-bucket
+    // 4-dp cosine pairs at 0.40, q47-style reachability components,
+    // most-central survivor (max Σ pair cosines e4, ties to smallest id).
+    "q221_semantic_dedup" ->
+      s"""WITH RECURSIVE $embCte,
+         |bk AS (SELECT vec_id, emb, nrm,
+         |    (CASE WHEN list_dot_product(emb, ${planeLit(0)}::DOUBLE[]) > 0 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(emb, ${planeLit(1)}::DOUBLE[]) > 0 THEN 2 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(emb, ${planeLit(2)}::DOUBLE[]) > 0 THEN 4 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(emb, ${planeLit(3)}::DOUBLE[]) > 0 THEN 8 ELSE 0 END) AS bucket
+         |  FROM nm),
+         |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ROUND(list_dot_product(a.emb, b.emb)/(a.nrm*b.nrm), 4) AS cos
+         |       FROM bk a JOIN bk b
+         |         ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |pairs AS (SELECT * FROM pr WHERE cos >= 0.40),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(node, label) AS (
+         |  SELECT src AS node, src AS label FROM edges
+         |  UNION
+         |  SELECT e.dst AS node, r.label AS label
+         |  FROM reach r JOIN edges e ON e.src = r.node),
+         |mem AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+         |cent AS (SELECT node, CAST(SUM(c) AS BIGINT) AS cent_e4 FROM (
+         |    SELECT id_a AS node, CAST(round(cos*10000, 0) AS BIGINT) AS c
+         |    FROM pairs
+         |    UNION ALL
+         |    SELECT id_b, CAST(round(cos*10000, 0) AS BIGINT) FROM pairs) z
+         |  GROUP BY node),
+         |j AS (SELECT m.cluster_id, m.node, c.cent_e4
+         |      FROM mem m JOIN cent c ON m.node = c.node),
+         |r AS (SELECT cluster_id, node, cent_e4,
+         |             row_number() OVER (PARTITION BY cluster_id
+         |               ORDER BY cent_e4 DESC, node) AS rk
+         |      FROM j)
+         |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |       MIN(CASE WHEN rk = 1 THEN node END) AS kept_vec,
+         |       MIN(CASE WHEN rk = 1 THEN cent_e4 END) AS kept_cent_e4,
+         |       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+         |FROM r GROUP BY cluster_id
+         |ORDER BY cluster_id""".stripMargin,
+
+    // Frozen-weight classifier: the q131 signed-hash bucket counts scored
+    // by the literal integer matrix W(c,b) = ((37c+11b+5) mod 17) - 8;
+    // argmax ties to the smallest class id, margin = winner - runner-up.
+    "q222_quality_classifier" ->
+      s"""WITH $nCte,
+         |$tokCte,
+         |hv AS (SELECT doc_id, ${fullHash("w")} AS h FROM tok WHERE w <> ''),
+         |bw AS (SELECT doc_id, CAST(h % 32 AS INT) AS bucket,
+         |              1 - 2*(((69069*h + 362437) % ${graft.ext.TextOps.HashP}) % 2) AS sgn
+         |       FROM hv),
+         |rawb AS (SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS raw
+         |         FROM bw GROUP BY doc_id, bucket HAVING SUM(sgn) <> 0),
+         |sc AS (SELECT doc_id,
+         |         CAST(SUM(raw * (((11*bucket + 5)  % 17) - 8)) AS BIGINT) AS logit_0,
+         |         CAST(SUM(raw * (((37 + 11*bucket + 5) % 17) - 8)) AS BIGINT) AS logit_1,
+         |         CAST(SUM(raw * (((74 + 11*bucket + 5) % 17) - 8)) AS BIGINT) AS logit_2
+         |       FROM rawb GROUP BY doc_id),
+         |p AS (SELECT *,
+         |        CASE WHEN logit_0 >= logit_1 AND logit_0 >= logit_2 THEN 0
+         |             WHEN logit_1 >= logit_2 THEN 1 ELSE 2 END AS predicted
+         |      FROM sc)
+         |SELECT doc_id, logit_0, logit_1, logit_2,
+         |       CAST(predicted AS INT) AS predicted,
+         |       CAST(CASE predicted
+         |            WHEN 0 THEN logit_0 - greatest(logit_1, logit_2)
+         |            WHEN 1 THEN logit_1 - greatest(logit_0, logit_2)
+         |            ELSE logit_2 - greatest(logit_0, logit_1) END
+         |         AS BIGINT) AS margin
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // Per-node coreness: the h-index iteration unrolled to the same 24
+    // fixed rounds the Spark side runs (fixpoint certified by the
+    // c24 = c23 comparison) over the support-2 co-purchase graph.
+    "q223_coreness" -> corenessSql,
   )
 }

@@ -58,7 +58,22 @@ object Retrieval {
                queries: Seq[(Int, String)], k: Int = 10): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bm25TopKDf(docs, idCol, textCol, queries.toDF("query_id", "qtext"), k)
+  }
 
+  /** [[bm25TopK]] with the query set as a DataFrame (`query_id`,
+    * `qtext`) — the query-by-example form, where queries come from a
+    * relation (e.g. the corpus itself) instead of literals. Query terms
+    * are DEDUPLICATED (BM25 treats the query as a term SET; a
+    * document-as-query would otherwise score its repeated terms
+    * multiply). With `excludeQueryDoc` the candidate equal to the query
+    * id is dropped BEFORE ranking — the more-like-this contract, where
+    * the trivial self-hit would pin rank 1 of every list. The query set
+    * stays small by contract (it is a search request); the corpus-side
+    * shapes are identical to the literal form. */
+  def bm25TopKDf(docs: DataFrame, idCol: String, textCol: String,
+                 queries: DataFrame, k: Int = 10,
+                 excludeQueryDoc: Boolean = false): DataFrame = {
     val tok = graft.model.Tables.fanOut(docs)
       .select(col(idCol).as("doc_id"),
         explode(tokens(normText(col(textCol)))).as("w"))
@@ -70,8 +85,9 @@ object Retrieval {
     val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val totals = dl.agg(count(lit(1)).as("n"), sum("dl").as("t"))
 
-    val q = queries.toDF("query_id", "qtext")
+    val q = queries
       .select(col("query_id"), explode(tokens(normText(col("qtext")))).as("w"))
+      .distinct()
     // idf per (query, term): quantized once, BEFORE any aggregation.
     val qi = q.join(dfT, "w") // terms absent from the corpus score 0: drop
       .crossJoin(broadcast(totals))
@@ -80,9 +96,11 @@ object Retrieval {
           (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * 1e6, 0)
           .cast("long").as("idf_micro"))
 
-    qi.join(tf, "w")
+    val scored = qi.join(tf, "w")
       .join(dl, "doc_id")
       .crossJoin(broadcast(totals))
+    (if (excludeQueryDoc) scored.filter(col("doc_id") =!= col("query_id"))
+     else scored)
       .withColumn("tf_ppm",
         expr("(CAST(22 AS DECIMAL(38,0)) * tf * t * 1000000) div " +
           "(CAST(10 AS DECIMAL(38,0)) * t * tf + 3 * t + 9 * dl * n)")

@@ -189,6 +189,60 @@ object TextAnalysis {
         Parity.r4(col("raw") / col("nr")).as("weight"))
   }
 
+  /** FROZEN-WEIGHT TEXT QUALITY CLASSIFIER (q222) — the model-scored
+    * quality filter (fastText-style linear classifier over hashed
+    * features) that curation stacks run after the heuristic cascades,
+    * in the q179 stand-in contract: real inference is broadcast-weights
+    * × batched features → logits → argmax, and this operator has
+    * exactly that execution shape with the trained matrix replaced by
+    * the deterministic integer matrix W(c,b) = ((37c + 11b + 5) mod 17)
+    * − 8 (the [[graft.ext.Multimodal.embedWeight]] closed form), so the
+    * whole path is oracle-checked value-for-value — which a real model
+    * never is. Swapping in trained weights = replacing the literal
+    * matrix with a broadcast array; plan shape, schema, and scale
+    * posture unchanged.
+    *
+    * Per document: logit_c = Σ_b W(c,b) · raw(b) over the
+    * [[hashingVectorize]] signed-hash bucket counts (exact integers —
+    * |raw| ≤ tokens, |W| ≤ 8, so longs never overflow), predicted
+    * class = argmax with ties to the SMALLEST class id, margin =
+    * winner − best runner-up (0 on a tie, exact).
+    *
+    * Scale shape: one (doc, bucket) partial aggregation (inherited
+    * from the vectorizer), then one doc-keyed rollup computing all
+    * `nClasses` logits in a single pass — the weight matrix is literal
+    * arithmetic inside the aggregate, nothing joins, nothing
+    * broadcasts, no UDF. */
+  def qualityClassifier(docs: DataFrame, idCol: String, textCol: String,
+                        dim: Int = 32, nClasses: Int = 3): DataFrame = {
+    require(nClasses >= 2, s"need >=2 classes, got $nClasses")
+    val raw = hashingVectorize(docs, idCol, textCol, dim)
+    def w(c: Int) = (lit(37L * c) + lit(11L) * col("bucket") + lit(5L)) % 17 - 8
+    val logits = (0 until nClasses).map(c =>
+      sum(col("raw") * w(c)).as(s"logit_$c"))
+    val scored = raw.groupBy("doc_id").agg(logits.head, logits.tail: _*)
+    val cls = (0 until nClasses).map(c => col(s"logit_$c"))
+    // argmax, ties to the smallest class id: class c wins iff it is
+    // >= every later class and > none earlier beat it — expressed as a
+    // first-match when-chain, identical CASE semantics on both engines.
+    val pred = (0 until nClasses - 1).foldRight(
+        lit(nClasses - 1): org.apache.spark.sql.Column) { (c, rest) =>
+      when((c + 1 until nClasses).map(d => cls(c) >= cls(d)).reduce(_ && _),
+        lit(c)).otherwise(rest)
+    }
+    val margin = (0 until nClasses).map { c =>
+      val others = (0 until nClasses).filter(_ != c).map(cls)
+      when(col("predicted") === c,
+        cls(c) - others.reduce((a, b) => greatest(a, b)))
+    }.reduce((a, b) => coalesce(a, b))
+    scored.withColumn("predicted", pred)
+      .withColumn("margin", margin)
+      .select(col("doc_id") +:
+        (0 until nClasses).map(c => cls(c).cast("long").as(s"logit_$c")) :+
+        col("predicted").cast("int").as("predicted") :+
+        col("margin").cast("long").as("margin"): _*)
+  }
+
   /** Tokenizer fertility by predicted language (q112): BPE-ish tokens
     * per whitespace token — the "how many pieces does the tokenizer cut
     * a word into" diagnostic every multilingual-corpus report carries

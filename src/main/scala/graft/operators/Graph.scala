@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed triangle counting over an undirected edge list — the
@@ -172,6 +173,69 @@ object Graph {
           col("min_deg"), col("max_deg"))
     }
     stats.reduce(_ unionAll _).orderBy("round")
+  }
+
+  /** Per-node CORENESS by the h-index iteration (Lü, Zhou, Zhang,
+    * Stanley, "The H-index of a network node", 2016): start every node
+    * at its degree and repeatedly replace each node's value with the
+    * h-index of its neighbors' values —
+    *
+    *   c₀(v) = deg(v);   c_{t+1}(v) = H({c_t(u) : u ∈ N(v)})
+    *
+    * where H(S) = max h such that ≥ h elements of S are ≥ h. The
+    * sequence is monotone non-increasing per node and its fixpoint is
+    * exactly the coreness (the paper's theorem) — this is the full
+    * Matula–Beck decomposition, every node's core number in one run,
+    * where [[kCorePeel]] answers only a single fixed k.
+    *
+    * FIXED-ROUND semantics (the q202 contract): both engines run
+    * exactly `rounds` iterations, so the operator is a pure function an
+    * oracle restates round for round; `converged` reports whether the
+    * last round changed ANY node — and because round t+1 depends only
+    * on round t's values, "no node changed" certifies a true fixpoint,
+    * i.e. converged=1 means the output IS the coreness, not an upper
+    * bound. (The tested co-purchase graphs reach fixpoint in ≤ 21
+    * rounds; the default 24 leaves margin, and a graph that needed more
+    * would flag converged=0 identically on both engines.)
+    *
+    * Scale shape: the symmetric edge list stages once; each round is
+    * one node-keyed equi join (values onto edge endpoints), one
+    * node-partitioned window (rank neighbor values descending — the
+    * h-index is max(min(rank, value)), invariant to tie order since it
+    * depends only on the value multiset), and one node-keyed max
+    * aggregation. Nothing broadcasts by assumption, per-round state is
+    * |V| rows, lineage is cut every 3 rounds — the PageRank posture. */
+  def corenessHIndex(edgesIn: DataFrame, rounds: Int = 24): DataFrame = {
+    require(rounds >= 1, s"need rounds>=1; got $rounds")
+    val e = edgesIn.select(col("u"), col("v")).localCheckpoint()
+    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint()
+    var c = deg
+    var prev = deg
+    for (t <- 1 to rounds) {
+      prev = c
+      val nbr = sym
+        .join(c.select(col("node").as("v"), col("c").as("nc")), Seq("v"))
+        .select(col("u").as("node"), col("nc"))
+      val wr = Window.partitionBy("node").orderBy(col("nc").desc)
+      c = nbr.withColumn("rk", row_number().over(wr).cast("long"))
+        .groupBy("node").agg(max(least(col("rk"), col("nc"))).as("c"))
+      if (t % 3 == 0 || t == rounds) c = c.localCheckpoint()
+    }
+    // One scalar certifies the fixpoint for the whole output (broadcast
+    // 1-row cross): n_changed = 0 ⟺ round `rounds` was a no-op.
+    val changed = c.join(prev.select(col("node"), col("c").as("c_prev")),
+        Seq("node"))
+      .agg(sum(when(col("c") =!= col("c_prev"), 1L).otherwise(0L))
+        .as("n_changed"))
+    c.join(deg.select(col("node"), col("c").as("degree")), Seq("node"))
+      .crossJoin(broadcast(changed))
+      .select(col("node"), col("degree"),
+        col("c").cast("long").as("coreness"),
+        when(col("n_changed") === 0, 1).otherwise(0).as("converged"))
   }
 
   def triangleReportSampled(edgesIn: DataFrame,

@@ -812,6 +812,102 @@ object ExtQueries {
       "embedding", k = 5)
   }
 
+  /** HYBRID lexical+dense retrieval fusion (q220) — the shape every
+    * RAG/curation pipeline actually runs: BM25 over the text index and
+    * cosine over the embedding index answer the SAME query set, and
+    * reciprocal-rank fusion merges the two rankings. Query-by-example:
+    * the ten query documents (doc_id < 10 — the q37 query contract;
+    * documents and embeddings are id-aligned) supply their TEXT to the
+    * lexical tier ([[graft.ext.Retrieval.bm25TopKDf]], query terms
+    * deduplicated, self-hit excluded, top-10) and their VECTOR to the
+    * dense tier (the q37 exact brute top-5), and each hit scores
+    * Σ_lists ⌊10⁶/(60+rank)⌋ — the q189 integer micro-unit RRF, no
+    * float anywhere; n_lists says which hits both tiers agree on.
+    *
+    * Scale shape: the two tiers' own contracts (inverted-index partial
+    * aggs; broadcast query side) bound the work; fusion itself touches
+    * only the two ALREADY-BOUNDED |Q|·k relations — zero extra corpus
+    * passes, the q189 guarantee extended across modalities. */
+  def hybridRrf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val qdocs = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    val lex = Retrieval.bm25TopKDf(docs, "doc_id", "text", qdocs, k = 10,
+        excludeQueryDoc = true)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rank"))
+    val dense = annBruteTopK(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("neighbor_id"))
+    Seq(lex, dense)
+      .map(_.select(col("query_id"), col("neighbor_id"),
+        expr("1000000 div (60 + rank)").as("c")))
+      .reduce(_ unionAll _)
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("c").as("rrf_micro"), count(lit(1)).cast("int").as("n_lists"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "rrf_micro", "n_lists")
+      .orderBy("query_id", "rank")
+  }
+
+  /** SEMANTIC dedup end-to-end (q221) — the SemDeDup shape (Abbas et
+    * al. 2023): near-duplicates by embedding-space similarity rather
+    * than lexical shingles, composed from the suite's own tiers:
+    * sign-LSH buckets over the embedding column → within-bucket
+    * cosine-verified pairs ([[graft.ext.Similarity.nearDupPairs]],
+    * threshold 0.40 on the 4-dp rounded cosine — splits the bucketed
+    * pair population's heavy tail at every scale factor) → connected
+    * components → keep-best. The survivor per cluster is the most
+    * CENTRAL member — the one with the largest sum of verified-pair
+    * cosines to other members (exact e4 integers; ties to the smallest
+    * vec_id) — the "keep the representative" rule, where the lexical
+    * q184 kept the longest text.
+    *
+    * Scale shape: pair volume is bucket-bounded (Σ per-bucket n², never
+    * corpus²) with the bucket computed scan-side; label propagation is
+    * per-round keyed joins over the pair edges only; the centrality and
+    * survivor aggregations touch |pairs| and |cluster members| rows —
+    * everything after verification is metadata-scale. */
+  def semanticDedup(spark: SparkSession, dir: String,
+                    threshold: Double = 0.40): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket",
+        Similarity.bucketCol(col("embedding"), nPlanes = 4, dim = 64))
+    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        "bucket", threshold)
+      .localCheckpoint() // read 2×: component edges + centrality rollup
+    val cc = graft.operators.ConnectedComponents.labelPropagation(
+      pairs, "id_a", "id_b")
+    val cent = pairs
+      .select(col("id_a").as("node"),
+        round(col("cos") * 10000, 0).cast("long").as("c"))
+      .unionAll(pairs.select(col("id_b").as("node"),
+        round(col("cos") * 10000, 0).cast("long").as("c")))
+      .groupBy("node").agg(sum("c").as("cent_e4"))
+    cc.join(cent, Seq("node"))
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        max_by(struct(col("node").as("d"), col("cent_e4").as("s")),
+          struct(col("cent_e4"), -col("node"))).as("kept"),
+        sum("cent_e4").as("total_cent_e4"))
+      .select(col("cluster_id"), col("n_members"),
+        col("kept.d").as("kept_vec"), col("kept.s").as("kept_cent_e4"),
+        (col("n_members") - 1).cast("long").as("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
+  /** Frozen-weight quality classifier over the corpus (q222): the q131
+    * hashed features scored by
+    * [[graft.ext.TextAnalysis.qualityClassifier]] — per-doc integer
+    * logits, argmax class, margin. Closes the model-scored-filter
+    * archetype under the q179 stand-in contract. */
+  def qualityClassify(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityClassifier(Tables.documents(spark, dir),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Sorted-neighborhood dedup (q191): SimHash-sorted blocked windows
     * generate a flat 3N candidate set, exact 3-gram Jaccard verifies;
     * 0.5 splits the sharply bimodal candidate population (background

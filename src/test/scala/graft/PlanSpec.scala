@@ -506,4 +506,43 @@ class PlanSpec extends SparkSpec {
       s"non-equi join in BFS step:\n$p")
     assert(p.contains("LeftAnti"), s"visited subtraction not an anti join:\n$p")
   }
+
+  test("semantic dedup: bucket-keyed pair join, never a cross product") {
+    // the verification pair volume must be Σ per-bucket n² (equi join on
+    // the LSH bucket), not corpus² — a cross shape here is the SemDeDup
+    // scale killer
+    val p = plan(graft.queries.ExtQueries.semanticDedup(spark, sf001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi pair join in semantic dedup:\n$p")
+  }
+
+  test("hybrid RRF fuses bounded lists: no cross product, fusion rollup keyed") {
+    val df = graft.queries.ExtQueries.hybridRrf(spark, sf001)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in hybrid fusion:\n$p")
+    // the dense tier's query side is a broadcast by contract; the only
+    // BroadcastNestedLoopJoin allowed is that bounded query-side cross
+    // (the q37 shape) — the fusion itself must join nothing at all, so
+    // the plan's final stages are a keyed aggregation + keyed window
+    assert(p.contains("TakeOrderedAndProject") || p.contains("Window"),
+      s"fusion head missing:\n$p")
+  }
+
+  test("coreness: staged symmetric edges, keyed rounds, nothing quadratic") {
+    val p = plan(graft.queries.Analytics.copurchaseCoreness(spark, sf001))
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in coreness rounds:\n$p")
+    assert(p.contains("ExistingRDD"), s"edge staging missing:\n$p")
+  }
+
+  test("quality classifier is one aggregation pass over the hashed features") {
+    val df = graft.queries.ExtQueries.qualityClassify(spark, sf001)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"classifier must not join:\n$p")
+    // logits fold into the same grouped aggregation (no per-class scans)
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs <= 6, s"more aggregation stages than one rollup chain:\n$p")
+  }
 }

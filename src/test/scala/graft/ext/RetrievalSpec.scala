@@ -61,4 +61,48 @@ class RetrievalSpec extends SparkSpec {
     assert(hits.length === 2)
     assert(hits.map(_.getInt(1)).forall(_ === 1))
   }
+
+  test("bm25TopKDf dedups query terms and can exclude the query doc") {
+    // doc 1 as its own query: repeated 'cat' in the query text must
+    // count once (term-SET semantics), and the self-hit must be absent.
+    val q = Seq((1L, "cat cat dog")).toDF("query_id", "qtext")
+    val hits = Retrieval.bm25TopKDf(corpus, "doc_id", "text", q, k = 10,
+      excludeQueryDoc = true).collect()
+    assert(!hits.exists(_.getAs[Long]("doc_id") == 1L))
+    val lit = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq(1 -> "cat dog"), k = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_e12")).toMap
+    // scores of the surviving docs equal the deduped literal query's
+    hits.foreach { r =>
+      assert(r.getAs[Long]("score_e12") === lit(r.getAs[Long]("doc_id")))
+    }
+  }
+
+  test("q220 hybrid fusion replays integer RRF over its two tier lists") {
+    val lexDocs = graft.model.Tables.documents(spark, sf001)
+    val qdocs = lexDocs.filter(org.apache.spark.sql.functions.col("doc_id") < 10)
+      .select(org.apache.spark.sql.functions.col("doc_id").as("query_id"),
+        org.apache.spark.sql.functions.col("text").as("qtext"))
+    val lex = Retrieval.bm25TopKDf(lexDocs, "doc_id", "text", qdocs,
+        k = 10, excludeQueryDoc = true).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Int]("rank")).toMap
+    val den = graft.queries.ExtQueries.annBruteTopK(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Int]("rank")).toMap
+    val fused = graft.queries.ExtQueries.hybridRrf(spark, sf001).collect()
+    assert(fused.map(_.getAs[Long]("query_id")).distinct.length === 10)
+    fused.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      val contribs = Seq(lex.get(key), den.get(key)).flatten
+        .map(rank => 1000000L / (60L + rank))
+      assert(contribs.nonEmpty, s"fused hit $key in neither tier list")
+      assert(r.getAs[Long]("rrf_micro") === contribs.sum, s"$key")
+      assert(r.getAs[Int]("n_lists") === contribs.length, s"$key")
+      assert(key._1 != key._2, "self-hit must never surface")
+    }
+    // the fusion is genuinely hybrid at this scale: some winner is
+    // backed by both tiers somewhere in the result
+    assert(fused.exists(_.getAs[Int]("n_lists") === 2))
+  }
 }

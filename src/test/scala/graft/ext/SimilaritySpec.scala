@@ -188,6 +188,70 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q221 semantic dedup replays buckets, cosine pairs, components and survivors") {
+    val emb = graft.model.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[collection.Seq[Float]]("embedding").toArray)
+    // sign-LSH buckets with the Similarity.planes integer hyperplanes,
+    // in the same float→double promotion the kernel uses
+    val planes = Similarity.planes(4, 64)
+    def bucket(v: Array[Float]): Long =
+      planes.zipWithIndex.map { case (w, m) =>
+        var s = 0.0
+        var i = 0
+        while (i < 64) { s += v(i).toDouble * w(i); i += 1 }
+        if (s > 0) 1L << m else 0L
+      }.sum
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < 64) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val byBucket = emb.groupBy { case (_, v) => bucket(v) }
+    val pairs = byBucket.values.flatMap { members =>
+      val ms = members.sortBy(_._1)
+      for {
+        i <- ms.indices; j <- (i + 1) until ms.length
+        cos = BigDecimal(dot(ms(i)._2, ms(j)._2) /
+          (math.sqrt(dot(ms(i)._2, ms(i)._2)) *
+            math.sqrt(dot(ms(j)._2, ms(j)._2))))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        if cos >= BigDecimal("0.40")
+      } yield (ms(i)._1, ms(j)._1, cos)
+    }.toSeq
+    assert(pairs.nonEmpty, "threshold must be non-vacuous at sf0.001")
+    // union-find components
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val clusters = nodes.groupBy(find)
+    val cent = nodes.map { n =>
+      n -> pairs.collect {
+        case (a, b, c) if a == n || b == n =>
+          (c * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+    }.toMap
+    val out = graft.queries.ExtQueries.semanticDedup(spark, sf001).collect()
+    assert(out.length === clusters.size)
+    out.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val members = clusters(cid)
+      assert(r.getAs[Long]("n_members") === members.size.toLong)
+      val kept = members.maxBy(n => (cent(n), -n))
+      assert(r.getAs[Long]("kept_vec") === kept, s"cluster $cid")
+      assert(r.getAs[Long]("kept_cent_e4") === cent(kept))
+      assert(r.getAs[Long]("n_dropped") === members.size.toLong - 1)
+    }
+  }
+
   test("quantizedTopK: zero-norm vectors code to all-zero, never NaN") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.0f), 0),

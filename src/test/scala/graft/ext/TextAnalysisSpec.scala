@@ -51,6 +51,34 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("q222 qualityClassifier: logits replay the W matrix, argmax and margin are consistent") {
+    val docs = graft.model.Tables.documents(spark, sf001)
+    val raw = TextAnalysis.hashingVectorize(docs, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("bucket"),
+        r.getAs[Long]("raw")))
+    def w(c: Int, b: Int): Long = ((37L * c + 11L * b + 5L) % 17L) - 8L
+    val want = raw.groupBy(_._1).map { case (d, rs) =>
+      d -> (0 until 3).map(c => rs.map(t => t._3 * w(c, t._2)).sum)
+    }
+    val out = TextAnalysis.qualityClassifier(docs, "doc_id", "text").collect()
+    assert(out.length === want.size)
+    out.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val logits = (0 until 3).map(c => r.getAs[Long](s"logit_$c"))
+      assert(logits === want(d), s"doc $d")
+      val pred = r.getAs[Int]("predicted")
+      // argmax with ties to the smallest class id
+      assert(logits(pred) === logits.max)
+      assert(!logits.take(pred).exists(_ === logits.max), s"tie-break $d")
+      val runnerUp = logits.indices.filter(_ != pred).map(logits).max
+      assert(r.getAs[Long]("margin") === logits(pred) - runnerUp)
+      assert(r.getAs[Long]("margin") >= 0)
+    }
+    // the frozen matrix genuinely separates: all three classes appear
+    assert(out.map(_.getAs[Int]("predicted")).distinct.sorted ===
+      Seq(0, 1, 2))
+  }
+
   test("qualityScore computes ratios and gates on stopword presence") {
     val good = (1 to 6).map(_ => "the cat sat on a mat").mkString(" ") // 36 tokens
     val bad = "x y z !!! ???"

@@ -45,6 +45,96 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Long]("est_triangles") === 4)
   }
 
+  /** Textbook peeling (Matula–Beck): remove min-degree nodes level by
+    * level; a node's coreness is the level it dies at. */
+  private def bruteCoreness(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = collection.mutable.Map.empty[Long, collection.mutable.Set[Long]]
+    edges.foreach { case (u, v) =>
+      if (u != v) {
+        adj.getOrElseUpdate(u, collection.mutable.Set.empty) += v
+        adj.getOrElseUpdate(v, collection.mutable.Set.empty) += u
+      }
+    }
+    val deg = collection.mutable.Map(
+      adj.map { case (k, s) => k -> s.size.toLong }.toSeq: _*)
+    val core = collection.mutable.Map.empty[Long, Long]
+    val alive = collection.mutable.Set(adj.keys.toSeq: _*)
+    var k = 0L
+    while (alive.nonEmpty) {
+      k += 1
+      var done = false
+      while (!done) {
+        val rm = alive.filter(v => deg(v) < k).toSeq
+        if (rm.isEmpty) done = true
+        else rm.foreach { v =>
+          core(v) = k - 1; alive -= v
+          adj(v).foreach(u => if (alive(u)) deg(u) -= 1)
+        }
+      }
+    }
+    core.toMap
+  }
+
+  test("corenessHIndex equals brute-force peeling on K4+tail+star") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val edges = k4 ++ Seq((3L, 10L), (10L, 11L), (11L, 12L)) ++
+      (20L to 25L).map(i => (19L, i))
+    val out = Graph.corenessHIndex(
+      Graph.undirectedEdges(edges.toDF("a", "b"), "a", "b")).collect()
+    val want = bruteCoreness(edges)
+    assert(out.length === want.size)
+    out.foreach { r =>
+      assert(r.getAs[Long]("coreness") === want(r.getAs[Long]("node")),
+        s"node ${r.getAs[Long]("node")}")
+      assert(r.getAs[Int]("converged") === 1)
+    }
+    // K4 members sit in the 3-core; the chain and star are 1-core
+    assert(out.find(_.getAs[Long]("node") == 0L).get
+      .getAs[Long]("coreness") === 3)
+    assert(out.find(_.getAs[Long]("node") == 3L).get
+      .getAs[Long]("degree") === 4) // 3 clique edges + the tail
+    assert(out.find(_.getAs[Long]("node") == 19L).get
+      .getAs[Long]("coreness") === 1)
+  }
+
+  test("corenessHIndex converges on a 20-node path (slow-propagation shape)") {
+    // h-index convergence walks inward one node per round on a path —
+    // the worst case for fixed rounds; 20 nodes needs ~10, default 24
+    // must certify the fixpoint.
+    val path = (0L until 19L).map(i => (i, i + 1))
+    val out = Graph.corenessHIndex(
+      Graph.undirectedEdges(path.toDF("a", "b"), "a", "b")).collect()
+    assert(out.forall(_.getAs[Long]("coreness") == 1L))
+    assert(out.forall(_.getAs[Int]("converged") == 1))
+  }
+
+  test("q223 copurchase coreness replays brute-force peeling at sf0.001") {
+    val out = graft.queries.Analytics.copurchaseCoreness(spark, sf001)
+      .collect()
+    val it = graft.model.Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = it.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).toSeq.collect {
+      // (.toSeq first: collect on the Map would rebuild a Map from the
+      // yielded (u,v) pairs and silently dedup edges by u)
+      case (e, occ) if occ.size >= 2 => e
+    }
+    val want = bruteCoreness(edges)
+    assert(out.length === want.size)
+    out.foreach { r =>
+      assert(r.getAs[Long]("coreness") === want(r.getAs[Long]("part")),
+        s"part ${r.getAs[Long]("part")}")
+      assert(r.getAs[Int]("converged") === 1)
+    }
+    // dense sf0.001 graph: deep cores exist (the fixture regime q202's
+    // single k can't see) — the decomposition must be non-trivial
+    assert(out.map(_.getAs[Long]("coreness")).distinct.length > 3)
+  }
+
   test("sampled census is deterministic and within the stated error envelope") {
     // triangle-rich fixture: 3 disjoint cliques K12 ∪ K10 ∪ K8 plus a
     // triangle-free path — exact count 220+120+56 = 396
