@@ -243,6 +243,9 @@ object SparkEntry {
     "q221_semantic_dedup"     -> ((s, d) => ExtQueries.semanticDedup(s, d)),
     "q222_quality_classifier" -> ((s, d) => ExtQueries.qualityClassify(s, d)),
     "q223_coreness"           -> ((s, d) => Analytics.copurchaseCoreness(s, d)),
+    "q224_rerank"             -> ((s, d) => ExtQueries.rerankFused(s, d)),
+    "q225_brand_ppr"          -> ((s, d) => Analytics.brandAffinityPpr(s, d)),
+    "q226_silhouette"         -> ((s, d) => ExtQueries.embeddingSilhouette(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -336,6 +339,12 @@ object SparkEntry {
        |ORDER BY part""".stripMargin
   }
 
+  /** Multimodal.embedWeight row k over 64 columns as a DuckDB DOUBLE[]
+    * literal — the q224 reranker's frozen projection matrix. */
+  private def wLit(k: Int): String =
+    (0 until 64).map(j => s"${graft.ext.Multimodal.embedWeight(k, j)}.0")
+      .mkString("[", ",", "]")
+
   /** Similarity.planes(4, 64) as DuckDB DOUBLE[] literals. */
   private def planeLit(m: Int): String =
     graft.ext.Similarity.planes(4, 64)(m).map(x => s"$x.0").mkString("[", ",", "]")
@@ -412,6 +421,45 @@ object SparkEntry {
   private val embCte =
     "nm AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb, " +
       "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings)"
+
+  private lazy val hybridRrfSql: String =
+    s"""WITH $nCte, $tokCte,
+         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+         |dft AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+         |tot AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+         |q AS (SELECT DISTINCT doc_id AS query_id, w FROM tok WHERE doc_id < 10),
+         |qi AS (SELECT q.query_id, q.w,
+         |         CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) * 1e6, 0)
+         |              AS BIGINT) AS idf_micro
+         |       FROM q JOIN dft USING (w) CROSS JOIN tot),
+         |sc AS (SELECT qi.query_id, tf.doc_id,
+         |         CAST(SUM(qi.idf_micro *
+         |           CAST(CAST(22 AS HUGEINT) * tf.tf * t * 1000000 //
+         |                (CAST(10 AS HUGEINT) * t * tf.tf + 3 * t + 9 * dl.dl * n)
+         |                AS BIGINT)) AS BIGINT) AS score_e12
+         |       FROM qi JOIN tf USING (w) JOIN dl USING (doc_id)
+         |            CROSS JOIN tot
+         |       WHERE tf.doc_id <> qi.query_id
+         |       GROUP BY qi.query_id, tf.doc_id),
+         |lex AS (SELECT query_id, doc_id AS neighbor_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY score_e12 DESC, doc_id) AS rank
+         |        FROM sc QUALIFY rank <= 10),
+         |den AS (SELECT query_id, neighbor_id, rank FROM ($annBruteSql) zd),
+         |u AS (SELECT query_id, neighbor_id, 1000000 // (60 + rank) AS c FROM lex
+         |      UNION ALL
+         |      SELECT query_id, neighbor_id, 1000000 // (60 + rank) FROM den),
+         |f AS (SELECT query_id, neighbor_id,
+         |             CAST(SUM(c) AS BIGINT) AS rrf_micro,
+         |             CAST(COUNT(*) AS INT) AS n_lists
+         |      FROM u GROUP BY query_id, neighbor_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY rrf_micro DESC, neighbor_id) AS rnk FROM f)
+         |SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, rrf_micro,
+         |       n_lists
+         |FROM rk WHERE rnk <= 5
+         |ORDER BY query_id, rank""".stripMargin
 
   private lazy val annBruteSql: String =
     s"""WITH $embCte,
@@ -4661,44 +4709,7 @@ object SparkEntry {
     // Hybrid lexical+dense RRF: the q186 BM25 chain run query-by-example
     // (query docs' own DISTINCT terms, self-hit excluded, top-10) fused
     // with the q37 dense brute top-5 by the q189 integer micro-unit RRF.
-    "q220_hybrid_rrf" ->
-      s"""WITH $nCte, $tokCte,
-         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
-         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
-         |dft AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
-         |tot AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl),
-         |q AS (SELECT DISTINCT doc_id AS query_id, w FROM tok WHERE doc_id < 10),
-         |qi AS (SELECT q.query_id, q.w,
-         |         CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) * 1e6, 0)
-         |              AS BIGINT) AS idf_micro
-         |       FROM q JOIN dft USING (w) CROSS JOIN tot),
-         |sc AS (SELECT qi.query_id, tf.doc_id,
-         |         CAST(SUM(qi.idf_micro *
-         |           CAST(CAST(22 AS HUGEINT) * tf.tf * t * 1000000 //
-         |                (CAST(10 AS HUGEINT) * t * tf.tf + 3 * t + 9 * dl.dl * n)
-         |                AS BIGINT)) AS BIGINT) AS score_e12
-         |       FROM qi JOIN tf USING (w) JOIN dl USING (doc_id)
-         |            CROSS JOIN tot
-         |       WHERE tf.doc_id <> qi.query_id
-         |       GROUP BY qi.query_id, tf.doc_id),
-         |lex AS (SELECT query_id, doc_id AS neighbor_id,
-         |          row_number() OVER (PARTITION BY query_id
-         |            ORDER BY score_e12 DESC, doc_id) AS rank
-         |        FROM sc QUALIFY rank <= 10),
-         |den AS (SELECT query_id, neighbor_id, rank FROM ($annBruteSql) zd),
-         |u AS (SELECT query_id, neighbor_id, 1000000 // (60 + rank) AS c FROM lex
-         |      UNION ALL
-         |      SELECT query_id, neighbor_id, 1000000 // (60 + rank) FROM den),
-         |f AS (SELECT query_id, neighbor_id,
-         |             CAST(SUM(c) AS BIGINT) AS rrf_micro,
-         |             CAST(COUNT(*) AS INT) AS n_lists
-         |      FROM u GROUP BY query_id, neighbor_id),
-         |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |         ORDER BY rrf_micro DESC, neighbor_id) AS rnk FROM f)
-         |SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, rrf_micro,
-         |       n_lists
-         |FROM rk WHERE rnk <= 5
-         |ORDER BY query_id, rank""".stripMargin,
+    "q220_hybrid_rrf" -> hybridRrfSql,
 
     // SemDeDup: sign-LSH buckets (the q38 plane literals), within-bucket
     // 4-dp cosine pairs at 0.40, q47-style reachability components,
@@ -4777,5 +4788,125 @@ object SparkEntry {
     // fixed rounds the Spark side runs (fixpoint certified by the
     // c24 = c23 comparison) over the support-2 co-purchase graph.
     "q223_coreness" -> corenessSql,
+
+    // Frozen-weight reranker: the q220 fused candidates rescored by the
+    // low-rank bilinear form (P·q)·(P·d), P = the 4x64 embedWeight
+    // integer matrix as literal DOUBLE[] rows; 4-dp rounded ranking key.
+    "q224_rerank" ->
+      s"""WITH f AS (SELECT query_id, rank AS rrf_rank, neighbor_id
+         |           FROM ($hybridRrfSql) zf),
+         |$embCte,
+         |pj AS (SELECT vec_id,
+         |         list_dot_product(emb, ${wLit(0)}::DOUBLE[]) AS p0,
+         |         list_dot_product(emb, ${wLit(1)}::DOUBLE[]) AS p1,
+         |         list_dot_product(emb, ${wLit(2)}::DOUBLE[]) AS p2,
+         |         list_dot_product(emb, ${wLit(3)}::DOUBLE[]) AS p3
+         |       FROM nm),
+         |s AS (SELECT f.query_id, f.rrf_rank, f.neighbor_id,
+         |        ROUND(q.p0*d.p0 + q.p1*d.p1 + q.p2*d.p2 + q.p3*d.p3, 4)
+         |          AS rerank_score
+         |      FROM f JOIN pj q ON q.vec_id = f.query_id
+         |             LEFT JOIN pj d ON d.vec_id = f.neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rerank_score DESC NULLS LAST, neighbor_id) AS rr
+         |      FROM s)
+         |SELECT query_id, CAST(rr AS INT) AS rerank_rank, neighbor_id,
+         |       rerank_score, CAST(rrf_rank AS INT) AS rrf_rank
+         |FROM r ORDER BY query_id, rerank_rank""".stripMargin,
+
+    // Personalized PageRank: 3 unrolled damped rounds, teleport mass
+    // only on the seed brand's parts, per-edge floor division exactly
+    // as the operator; top 25 non-seed parts.
+    "q225_brand_ppr" ->
+      """WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey,
+        |         l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM it a JOIN it b ON a.okey = b.okey AND a.p < b.p),
+        |ud AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM ud GROUP BY u),
+        |sd AS (SELECT p_partkey AS u FROM part WHERE p_brand = 'Brand#13'),
+        |base AS MATERIALIZED (SELECT deg.u,
+        |         CASE WHEN sd.u IS NULL THEN 0 ELSE 1 END AS is_seed
+        |       FROM deg LEFT JOIN sd ON deg.u = sd.u),
+        |r0 AS MATERIALIZED (SELECT u, CAST(is_seed AS BIGINT) * 1000000000000 AS r
+        |  FROM base),
+        |r1 AS MATERIALIZED (SELECT b.u,
+        |    CAST(b.is_seed AS BIGINT) * 150000000000 + COALESCE(c.cs, 0) AS r
+        |  FROM base b LEFT JOIN (
+        |    SELECT ud.v AS u, CAST(SUM((r0.r*85) // (100*deg.deg)) AS BIGINT) AS cs
+        |    FROM ud JOIN r0 ON ud.u = r0.u JOIN deg ON ud.u = deg.u
+        |    GROUP BY ud.v) c ON b.u = c.u),
+        |r2 AS MATERIALIZED (SELECT b.u,
+        |    CAST(b.is_seed AS BIGINT) * 150000000000 + COALESCE(c.cs, 0) AS r
+        |  FROM base b LEFT JOIN (
+        |    SELECT ud.v AS u, CAST(SUM((r1.r*85) // (100*deg.deg)) AS BIGINT) AS cs
+        |    FROM ud JOIN r1 ON ud.u = r1.u JOIN deg ON ud.u = deg.u
+        |    GROUP BY ud.v) c ON b.u = c.u),
+        |r3 AS MATERIALIZED (SELECT b.u,
+        |    CAST(b.is_seed AS BIGINT) * 150000000000 + COALESCE(c.cs, 0) AS r
+        |  FROM base b LEFT JOIN (
+        |    SELECT ud.v AS u, CAST(SUM((r2.r*85) // (100*deg.deg)) AS BIGINT) AS cs
+        |    FROM ud JOIN r2 ON ud.u = r2.u JOIN deg ON ud.u = deg.u
+        |    GROUP BY ud.v) c ON b.u = c.u)
+        |SELECT CAST(b.u AS BIGINT) AS part, CAST(deg.deg AS BIGINT) AS degree,
+        |       CAST(r3.r AS BIGINT) AS rank_units
+        |FROM base b JOIN deg ON b.u = deg.u JOIN r3 ON b.u = r3.u
+        |WHERE b.is_seed = 0
+        |ORDER BY rank_units DESC, part
+        |LIMIT 25""".stripMargin,
+
+    // Silhouette: unit vectors quantized once to integer e6 components,
+    // label sum vectors, linear mean-similarity identity, sign-split
+    // floor divisions throughout (round toward zero on both engines).
+    "q226_silhouette" ->
+      s"""WITH $embCte,
+         |ux AS (SELECT vec_id, label, unnest(emb) AS x,
+         |              unnest(range(0, len(emb))) AS i, nrm
+         |       FROM nm WHERE nrm > 0),
+         |u6 AS (SELECT vec_id, label, i,
+         |         CAST(round(x / nrm * 1000000, 0) AS BIGINT) AS xe6 FROM ux),
+         |sums AS (SELECT label AS l2, i, CAST(SUM(xe6) AS BIGINT) AS s
+         |         FROM u6 GROUP BY 1, 2),
+         |nl AS (SELECT label AS l2, COUNT(*) AS n_l
+         |       FROM nm WHERE nrm > 0 GROUP BY 1),
+         |sdot AS (SELECT vec_id, CAST(SUM(xe6*xe6) AS BIGINT) AS sd
+         |         FROM u6 GROUP BY 1),
+         |dots AS (SELECT u6.vec_id, u6.label, sums.l2,
+         |           CAST(SUM(u6.xe6 * sums.s) AS BIGINT) AS dot
+         |         FROM u6 JOIN sums ON u6.i = sums.i GROUP BY 1, 2, 3),
+         |m AS (SELECT d.vec_id, d.label, d.l2,
+         |        CASE WHEN d.label = d.l2 THEN d.dot - sdot.sd
+         |             ELSE d.dot END AS num,
+         |        CASE WHEN d.label = d.l2 THEN greatest(nl.n_l - 1, 1)
+         |             ELSE nl.n_l END AS den
+         |      FROM dots d JOIN sdot ON d.vec_id = sdot.vec_id
+         |                  JOIN nl ON d.l2 = nl.l2),
+         |me AS (SELECT vec_id, label, l2,
+         |         CASE WHEN num >= 0 THEN num // den
+         |              ELSE -((-num) // den) END AS mean_e12 FROM m),
+         |ab AS (SELECT vec_id, label,
+         |         MAX(CASE WHEN label = l2 THEN mean_e12 END) AS a_e12,
+         |         MAX(CASE WHEN label <> l2 THEN mean_e12 END) AS b_e12
+         |       FROM me GROUP BY 1, 2),
+         |sil AS (SELECT vec_id, label, a_e12, b_e12,
+         |          greatest(1000000000000 - a_e12, 1000000000000 - b_e12, 1)
+         |            AS d
+         |        FROM ab),
+         |sp AS (SELECT vec_id, label,
+         |         CASE WHEN a_e12 >= b_e12
+         |              THEN CAST((a_e12 - b_e12) * 1000000 // d AS BIGINT)
+         |              ELSE -CAST((b_e12 - a_e12) * 1000000 // d AS BIGINT)
+         |         END AS s_ppm
+         |       FROM sil),
+         |g AS (SELECT label, COUNT(*) AS n_vecs,
+         |             CAST(SUM(s_ppm) AS BIGINT) AS ssum,
+         |             CAST(SUM(CASE WHEN s_ppm > 0 THEN 1 ELSE 0 END)
+         |               AS BIGINT) AS n_well_placed
+         |      FROM sp GROUP BY label)
+         |SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+         |       CASE WHEN ssum >= 0 THEN ssum // n_vecs
+         |            ELSE -((-ssum) // n_vecs) END AS mean_sil_ppm,
+         |       n_well_placed
+         |FROM g ORDER BY label""".stripMargin,
   )
 }

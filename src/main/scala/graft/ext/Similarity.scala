@@ -416,6 +416,83 @@ object Similarity {
     * (here: a label/cluster column — the IVF idea: only intra-bucket pairs
     * are candidates, so the self-join is equi on the bucket key instead of
     * a full cross product). */
+  /** Per-label SILHOUETTE quality of an embedding clustering — the
+    * standard "are these clusters real" diagnostic, made one-pass and
+    * integer-exact. The classic definition needs all-pairs distances;
+    * with cosine distance over UNIT vectors the mean similarity of v to
+    * cluster L is linear — mean_L(v) = v̂·(Σ_{u∈L} û)/|L| — so one
+    * label-keyed sum vector per cluster replaces the pairwise join
+    * entirely: a(v) uses its own label's sum (self term subtracted
+    * exactly), b(v) is the max mean over other labels (nearest other
+    * cluster in similarity), and s(v) = (a−b)/max(1−a, 1−b) maps the
+    * similarity form back to the distance-form silhouette.
+    *
+    * Parity contract: unit vectors are quantized ONCE to integer e6
+    * components (round(x̂·10⁶)); every sum, dot and self-dot after that
+    * is exact integer arithmetic, and each division is a SIGN-SPLIT
+    * floor division (|num| div den, sign reapplied) so negative
+    * means/silhouettes round toward zero identically on both engines.
+    * Output values are e12 (means) and ppm (silhouette) fixed-point.
+    *
+    * Scale shape: one posexplode projection (64 narrow rows per
+    * vector), one (label, i)-keyed sum producing a |labels|·dim
+    * relation that BROADCASTS, one i-keyed join computing every
+    * (vector, label) dot in a single pass, and label-keyed rollups —
+    * no pairwise anything, corpus touched once. */
+  def silhouetteByLabel(corpus: DataFrame, idCol: String, embCol: String,
+                        labelCol: String): DataFrame = {
+    val unit = corpus
+      .select(col(idCol).as("vid"), col(labelCol).as("lbl"),
+        col(embCol).as("e"), l2norm(col(embCol)).as("nrm"))
+      .filter(col("nrm") > 0)
+      .select(col("vid"), col("lbl"), posexplode(col("e")).as(Seq("i", "x")),
+        col("nrm"))
+      .select(col("vid"), col("lbl"), col("i"),
+        round(col("x") / col("nrm") * 1e6, 0).cast("long").as("xe6"))
+      .localCheckpoint() // read 3×: label sums, self-dots, dot join
+    val sums = unit.groupBy(col("lbl").as("l2"), col("i"))
+      .agg(sum("xe6").as("s"))
+    val nL = unit.select("vid", "lbl").distinct()
+      .groupBy(col("lbl").as("l2")).agg(count(lit(1)).as("n_l"))
+    val selfDot = unit.groupBy("vid")
+      .agg(sum(col("xe6") * col("xe6")).as("sd"))
+    val dots = unit.join(broadcast(sums), Seq("i"))
+      .groupBy(col("vid"), col("lbl"), col("l2"))
+      .agg(sum(col("xe6") * col("s")).as("dot"))
+    val m = dots
+      .join(broadcast(nL), Seq("l2"))
+      .join(selfDot, Seq("vid"))
+      .withColumn("num",
+        when(col("lbl") === col("l2"), col("dot") - col("sd"))
+          .otherwise(col("dot")))
+      .withColumn("den",
+        when(col("lbl") === col("l2"), greatest(col("n_l") - 1, lit(1L)))
+          .otherwise(col("n_l")))
+      .withColumn("mean_e12",
+        when(col("num") >= 0, expr("num div den"))
+          .otherwise(-expr("(-num) div den")))
+    val ab = m.groupBy("vid", "lbl")
+      .agg(max(when(col("lbl") === col("l2"), col("mean_e12"))).as("a_e12"),
+        max(when(col("lbl") =!= col("l2"), col("mean_e12"))).as("b_e12"))
+      .withColumn("d",
+        greatest(lit(1000000000000L) - col("a_e12"),
+          lit(1000000000000L) - col("b_e12"), lit(1L)))
+      .withColumn("s_ppm",
+        when(col("a_e12") >= col("b_e12"),
+          expr("(a_e12 - b_e12) * 1000000 div d"))
+          .otherwise(-expr("(b_e12 - a_e12) * 1000000 div d")))
+    ab.groupBy(col("lbl").as("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum("s_ppm").as("ssum"),
+        sum(when(col("s_ppm") > 0, 1L).otherwise(0L)).as("n_well_placed"))
+      .withColumn("mean_sil_ppm",
+        when(col("ssum") >= 0, expr("ssum div n_vecs"))
+          .otherwise(-expr("(-ssum) div n_vecs")))
+      .select(col("label"), col("n_vecs").cast("long").as("n_vecs"),
+        col("mean_sil_ppm").cast("long").as("mean_sil_ppm"),
+        col("n_well_placed").cast("long").as("n_well_placed"))
+      .orderBy("label")
+  }
+
   def nearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
                    bucketColName: String, threshold: Double): DataFrame = {
     val fanned = graft.model.Tables.fanOut(corpus)

@@ -62,4 +62,44 @@ object PageRank {
     deg.join(r, Seq("u")).select(col("u").as("node"), col("deg").as("degree"),
       col("r").as("rank_units"))
   }
+
+  /** PERSONALIZED PageRank: the teleport mass lands only on the `seeds`
+    * set, so rank measures proximity to the seeds rather than global
+    * centrality — the "related items to THESE items" primitive behind
+    * query-biased recommendations and seed-expanded corpus sampling.
+    * Same exact-integer contract as [[ranks]] (per-edge floor division,
+    * teleport ⌊15·Scale/100⌋ — but only for seed rows; non-seeds start
+    * at 0 and accrue only flowed mass). Fixed `iters` rounds; each is
+    * one u-keyed join + one v-keyed aggregation over the staged
+    * degree-annotated edges, plus the node-keyed teleport join against
+    * the staged seed-flag relation — no new shuffle shapes vs [[ranks]].
+    * Returns (node, degree, is_seed, rank_units) for every node with an
+    * outgoing edge. */
+  def personalizedRanks(edges: DataFrame, seeds: DataFrame,
+                        iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v")).localCheckpoint()
+    val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, Seq("u")).localCheckpoint()
+    val base = deg.select("u")
+      .join(seeds.select(col("node").cast("long").as("u")).distinct()
+        .withColumn("s", lit(1L)), Seq("u"), "left_outer")
+      .select(col("u"), coalesce(col("s"), lit(0L)).as("is_seed"))
+      .localCheckpoint() // read every round for the teleport term
+    var r = base.select(col("u"), (col("is_seed") * Scale).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(r, Seq("u"))
+        .select(col("v"), expr("r * 85 div (100 * deg)").as("c"))
+        .groupBy(col("v").as("u"))
+        .agg(sum(col("c")).as("cs"))
+      r = base.join(contrib, Seq("u"), "left_outer")
+        .select(col("u"),
+          (col("is_seed") * lit(15L * Scale / 100L) +
+            coalesce(col("cs"), lit(0L))).as("r"))
+    }
+    deg.join(base, Seq("u")).join(r, Seq("u"))
+      .select(col("u").as("node"), col("deg").as("degree"),
+        col("is_seed").cast("int").as("is_seed"), col("r").as("rank_units"))
+  }
 }

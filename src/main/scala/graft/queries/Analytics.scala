@@ -2100,6 +2100,40 @@ object Analytics {
       .withColumn("k", lit(k.toInt))
   }
 
+  /** Personalized PageRank part recommendations (q225) — "customers
+    * who buy THIS brand also buy…": damped PageRank over the q142
+    * within-order co-purchase part graph with the teleport mass
+    * restricted to one brand's parts
+    * ([[graft.operators.PageRank.personalizedRanks]], 3 rounds), so
+    * rank measures proximity to the brand, not global popularity. The
+    * output is the top 25 NON-seed parts — the recommendation surface
+    * (seeds would trivially head the list). Exact integer rank units
+    * throughout (per-edge floor division); oracle unrolls the same 3
+    * rounds.
+    *
+    * Scale shape: the q142 edge canonicalization + the [[graft.operators.PageRank]]
+    * iteration shapes (edge list staged once, one keyed join + one
+    * keyed agg per round); the seed flag is a broadcastable part-keyed
+    * projection of the part dimension; TakeOrdered head. */
+  def brandAffinityPpr(spark: SparkSession, dir: String,
+                       brand: String = "Brand#13"): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = items.join(items.withColumnRenamed("p", "p2"), Seq("okey"))
+      .filter(col("p") < col("p2"))
+    val und = graft.operators.Graph.undirectedEdges(pairs, "p", "p2")
+    val edges = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+    val seeds = Tables.part(spark, dir)
+      .filter(col("p_brand") === brand)
+      .select(col("p_partkey").as("node"))
+    graft.operators.PageRank.personalizedRanks(edges, seeds, iters = 3)
+      .filter(col("is_seed") === 0)
+      .select(col("node").as("part"), col("degree"), col("rank_units"))
+      .orderBy(col("rank_units").desc, col("part"))
+      .limit(25)
+  }
+
   /** Per-node coreness of the REPEAT co-purchase graph (q223) — the
     * full Matula–Beck core decomposition via
     * [[graft.operators.Graph.corenessHIndex]], answering what q202's

@@ -898,6 +898,56 @@ object ExtQueries {
       .orderBy("cluster_id")
   }
 
+  /** Frozen-weight RERANKER over the hybrid candidates (q224) — the
+    * second stage of the retrieve→rerank pipeline every production
+    * search/RAG stack runs: the cheap first stage (q220's hybrid RRF)
+    * nominates a small candidate set, and a LEARNED scorer re-orders
+    * it. The scorer here is a low-rank bilinear form in the q179
+    * stand-in contract: score(q, d) = (P·q)·(P·d) with P the 4×64
+    * deterministic integer matrix W(k,j) (the `embedWeight` closed
+    * form) — exactly the execution shape of a late-interaction /
+    * two-tower reranker (project both sides through frozen weights,
+    * dot the projections), with the trained matrix swapped for a
+    * literal one so the whole chain stays oracle-checked. Ranking key
+    * is the 4-dp rounded score (reproducible, the cosine-tier
+    * contract), ties to the smallest neighbor id; `rrf_rank` rides
+    * along so rank movement is visible.
+    *
+    * Scale shape: candidates are the ALREADY-BOUNDED |Q|·k fused rows;
+    * the two projection joins are id-keyed against the embeddings
+    * relation (candidate side broadcast by AQE at any corpus size), and
+    * the 4-component projections are scan-side dot products against
+    * literal weight arrays — reranking adds zero corpus shuffles. */
+  def rerankFused(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val fused = hybridRrf(spark, dir, k)
+      .select(col("query_id"), col("rank").as("rrf_rank"), col("neighbor_id"))
+    def wRow(kk: Int) = array((0 until 64).map(j =>
+      lit(Multimodal.embedWeight(kk, j).toFloat)): _*)
+    def projected(idAlias: String, prefix: String) =
+      Tables.embeddings(spark, dir).select(
+        col("vec_id").as(idAlias) +:
+          (0 until 4).map(kk =>
+            Similarity.dot(col("embedding"), wRow(kk)).as(s"$prefix$kk")): _*)
+    // LEFT join on the candidate side: a lexical hit with no embedding
+    // row (the corpora need not be 1:1) cannot be scored, but silently
+    // dropping a nominated candidate would shrink the result — it keeps
+    // its slot at the tail of the list instead (NULL score, ranked
+    // after every scored candidate, ties by id). Query docs always have
+    // vectors by the q37 contract, so that side stays inner.
+    fused
+      .join(projected("neighbor_id", "d"), Seq("neighbor_id"), "left_outer")
+      .join(projected("query_id", "q"), Seq("query_id"))
+      .withColumn("rerank_score", round(
+        (0 until 4).map(kk => col(s"q$kk") * col(s"d$kk")).reduce(_ + _), 4))
+      .withColumn("rerank_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("rerank_score").desc_nulls_last,
+            col("neighbor_id"))).cast("int"))
+      .select(col("query_id"), col("rerank_rank"), col("neighbor_id"),
+        col("rerank_score"), col("rrf_rank").cast("int").as("rrf_rank"))
+      .orderBy("query_id", "rerank_rank")
+  }
+
   /** Frozen-weight quality classifier over the corpus (q222): the q131
     * hashed features scored by
     * [[graft.ext.TextAnalysis.qualityClassifier]] — per-doc integer
@@ -907,6 +957,15 @@ object ExtQueries {
     TextAnalysis.qualityClassifier(Tables.documents(spark, dir),
         "doc_id", "text")
       .orderBy("doc_id")
+
+  /** Embedding-cluster silhouette report (q226): per-label silhouette
+    * of the embeddings table's own label clustering via
+    * [[graft.ext.Similarity.silhouetteByLabel]] — the clustering-quality
+    * gate an embedding-space curation step (IVF cells, SemDeDup
+    * buckets, class-balanced sampling) should publish. */
+  def embeddingSilhouette(spark: SparkSession, dir: String): DataFrame =
+    Similarity.silhouetteByLabel(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", "label")
 
   /** Sorted-neighborhood dedup (q191): SimHash-sorted blocked windows
     * generate a flat 3N candidate set, exact 3-gram Jaccard verifies;

@@ -537,6 +537,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"), s"edge staging missing:\n$p")
   }
 
+  test("rerank joins candidates by id: no cartesian beyond the dense tier's broadcast") {
+    val p = plan(graft.queries.ExtQueries.rerankFused(spark, sf001))
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in rerank pipeline:\n$p")
+  }
+
+  test("personalized pagerank: staged edges, keyed rounds, nothing quadratic") {
+    val p = plan(graft.queries.Analytics.brandAffinityPpr(spark, sf001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in PPR rounds:\n$p")
+    assert(p.contains("ExistingRDD"), s"edge staging missing:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+  }
+
+  test("silhouette: label sums broadcast into the dot join, no pairwise join") {
+    val p = plan(graft.queries.ExtQueries.embeddingSilhouette(spark, sf001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in silhouette:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"label-sum side must broadcast:\n$p")
+  }
+
   test("quality classifier is one aggregation pass over the hashed features") {
     val df = graft.queries.ExtQueries.qualityClassify(spark, sf001)
     val p = plan(df)

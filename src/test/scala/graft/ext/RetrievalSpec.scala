@@ -105,4 +105,46 @@ class RetrievalSpec extends SparkSpec {
     // backed by both tiers somewhere in the result
     assert(fused.exists(_.getAs[Int]("n_lists") === 2))
   }
+
+  test("q224 rerank replays the frozen bilinear form over the fused candidates") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.model.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[collection.Seq[Float]]("embedding").toArray).toMap
+    def proj(v: Array[Float]): Array[Double] =
+      Array.tabulate(4) { k =>
+        var s = 0.0; var j = 0
+        while (j < 64) {
+          s += v(j).toDouble * graft.ext.Multimodal.embedWeight(k, j); j += 1
+        }
+        s
+      }
+    val fused = graft.queries.ExtQueries.hybridRrf(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Int]("rank")).toMap
+    val out = graft.queries.ExtQueries.rerankFused(spark, sf001).collect()
+    assert(out.length === fused.size, "every fused candidate keeps a slot")
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val pq = proj(emb(q))
+      val want = rows.map { r =>
+        val d = r.getAs[Long]("neighbor_id")
+        val pd = proj(emb(d))
+        val score = BigDecimal(pq(0)*pd(0) + pq(1)*pd(1) + pq(2)*pd(2) +
+          pq(3)*pd(3)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        d -> score
+      }.toMap
+      rows.foreach { r =>
+        val d = r.getAs[Long]("neighbor_id")
+        assert(math.abs(r.getAs[Double]("rerank_score") - want(d)) < 1e-9,
+          s"score q=$q d=$d")
+        assert(r.getAs[Int]("rrf_rank") === fused((q, d)))
+      }
+      // ranks are the (score desc, id) order of the replay
+      val expected = want.toSeq.sortBy { case (d, s) => (-s, d) }.map(_._1)
+      val got = rows.sortBy(_.getAs[Int]("rerank_rank"))
+        .map(_.getAs[Long]("neighbor_id")).toSeq
+      assert(got === expected, s"order for query $q")
+    }
+  }
 }

@@ -252,6 +252,80 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("silhouetteByLabel: separated clusters score near +1, shuffled labels near 0") {
+    // two tight, well-separated clusters in 64-d: silhouette ≈ 1
+    def vec(base: Int, jitter: Int): Array[Float] = {
+      val v = Array.fill(64)(0.01f * jitter)
+      v(base) = 1.0f
+      v
+    }
+    val good = (0 until 6).map(i => (i.toLong, vec(0, i % 3), 0)) ++
+      (6 until 12).map(i => (i.toLong, vec(40, i % 3), 1))
+    val df = good.toDF("vec_id", "embedding", "label")
+    val out = Similarity.silhouetteByLabel(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("mean_sil_ppm"),
+          r.getAs[Long]("n_well_placed"))).toMap
+    assert(out(0)._1 === 6 && out(1)._1 === 6)
+    assert(out(0)._2 > 900000 && out(1)._2 > 900000,
+      s"separated clusters must score near +1e6: $out")
+    assert(out(0)._3 === 6 && out(1)._3 === 6)
+    // same points with labels shuffled across the split: near zero/negative
+    val bad = good.map { case (id, v, l) => (id, v, (id % 2).toInt) }
+    val outBad = Similarity.silhouetteByLabel(
+        bad.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label")
+      .collect().map(_.getAs[Long]("mean_sil_ppm"))
+    assert(outBad.forall(_ < 100000), s"mixed labels must not score high: ${outBad.toSeq}")
+  }
+
+  test("q226 silhouette replays the integer pipeline at sf0.001") {
+    val rows = graft.model.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[collection.Seq[Float]]("embedding").toArray))
+    def e6(v: Array[Float]): Array[Long] = {
+      var s = 0.0; var i = 0
+      while (i < 64) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      val n = math.sqrt(s)
+      Array.tabulate(64)(j => BigDecimal(v(j).toDouble / n * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val units = rows.map { case (id, l, v) => (id, l, e6(v)) }
+    val labels = units.map(_._2).distinct.sorted
+    val sums = labels.map(l => l -> {
+      val ms = units.filter(_._2 == l).map(_._3)
+      Array.tabulate(64)(i => ms.map(_(i)).sum)
+    }).toMap
+    val nl = labels.map(l => l -> units.count(_._2 == l).toLong).toMap
+    def sdiv(num: Long, den: Long): Long =
+      if (num >= 0) num / den else -((-num) / den)
+    val silByVec = units.map { case (id, l, u) =>
+      val sd = u.map(x => x * x).sum
+      val means = labels.map { l2 =>
+        val dot = (0 until 64).map(i => u(i) * sums(l2)(i)).sum
+        l2 -> (if (l2 == l) sdiv(dot - sd, math.max(nl(l2) - 1, 1L))
+               else sdiv(dot, nl(l2)))
+      }.toMap
+      val a = means(l)
+      val b = labels.filter(_ != l).map(means).max
+      val d = math.max(math.max(1000000000000L - a, 1000000000000L - b), 1L)
+      (l, sdiv((a - b) * 1000000L, d))
+    }
+    val want = silByVec.groupBy(_._1).map { case (l, ss) =>
+      l -> (ss.length.toLong, sdiv(ss.map(_._2).sum, ss.length),
+        ss.count(_._2 > 0).toLong)
+    }
+    val out = graft.queries.ExtQueries.embeddingSilhouette(spark, sf001)
+      .collect()
+    assert(out.length === want.size)
+    out.foreach { r =>
+      val l = r.getAs[Int]("label")
+      assert((r.getAs[Long]("n_vecs"), r.getAs[Long]("mean_sil_ppm"),
+        r.getAs[Long]("n_well_placed")) === want(l), s"label $l")
+    }
+  }
+
   test("quantizedTopK: zero-norm vectors code to all-zero, never NaN") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.0f), 0),

@@ -64,6 +64,52 @@ class PageRankSpec extends SparkSpec {
     assert(Set(r(1L), r(2L), r(3L)) == Set(tele + 85L * tele / 100L / 3L))
   }
 
+  test("personalized ranks replay the exact integer recursion on a chain") {
+    import spark.implicits._
+    // path 0-1-2-3-4, seed {0}: mass decays with hop distance from the
+    // seed; replay the recursion in exact Longs
+    val path = (0L until 4L).map(i => (i, i + 1))
+    val edges = undirected(path: _*)
+    val out = PageRank.personalizedRanks(edges,
+        Seq(0L).toDF("node"), iters = 3)
+      .collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Int]("is_seed"), r.getAs[Long]("rank_units"))).toMap
+    // Scala replay: deg, r0 = seed*Scale, 3 rounds of the same floors
+    val adj = Map(0L -> Seq(1L), 1L -> Seq(0L, 2L), 2L -> Seq(1L, 3L),
+      3L -> Seq(2L, 4L), 4L -> Seq(3L))
+    val deg = adj.map { case (k, v) => k -> v.size.toLong }
+    var r = adj.keys.map(n => n -> (if (n == 0L) PageRank.Scale else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val in = adj.keys.map(v =>
+        v -> adj.filter(_._2.contains(v)).keys
+          .map(u => r(u) * 85L / (100L * deg(u))).sum).toMap
+      r = adj.keys.map(n =>
+        n -> ((if (n == 0L) 15L * PageRank.Scale / 100L else 0L) + in(n))).toMap
+    }
+    adj.keys.foreach { n =>
+      assert(out(n)._2 === r(n), s"node $n")
+      assert(out(n)._1 === (if (n == 0L) 1 else 0))
+    }
+    // finite-round reachability is exact: round t pushes mass t hops,
+    // so after 3 rounds nodes within 3 hops of the seed are strictly
+    // positive and the 4-hop tail is exactly 0 (no monotone-decay claim
+    // — chain parity makes interior values oscillate between rounds)
+    assert(Seq(0L, 1L, 2L, 3L).forall(n => out(n)._2 > 0))
+    assert(out(4L)._2 === 0L)
+    assert(out(1L)._2 > out(3L)._2)
+  }
+
+  test("personalized ranks: nodes in a component without seeds get zero") {
+    import spark.implicits._
+    val edges = undirected((0L, 1L), (5L, 6L))
+    val out = PageRank.personalizedRanks(edges, Seq(0L).toDF("node"),
+        iters = 2).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank_units")).toMap
+    assert(out(5L) === 0L && out(6L) === 0L)
+    assert(out(0L) > 0 && out(1L) > 0)
+  }
+
   test("floors only ever lose mass: total stays within the initial budget") {
     val rnd = new scala.util.Random(11)
     val edges = undirected(Seq.fill(60)(
