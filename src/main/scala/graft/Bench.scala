@@ -172,9 +172,17 @@ object Bench {
         val sorted = vs.map(_._2).sorted
         k -> (if (sorted.size >= 2) sorted(1) else sorted.head)
       }
+    // Absolute-delta noise floor 0.5s: across 30+ history runs, EVERY
+    // flag whose delta was under half a second (q48 0.25→0.65, q110,
+    // q111, q145, q149, q76, …) isolated back to its floor in a fresh
+    // JVM (graft.QTime) — sub-second queries swing 1.5–3× with in-suite
+    // JVM/GC state, so a 2×-with-0.2s-delta gate produced only false
+    // positives. A real regression on any query whose cost matters at
+    // scale clears 0.5s; smaller drifts are still visible in
+    // bench_history for cross-round reading.
     val rawRegressions = results.collect {
       case (name, Some(t))
-          if prior.get(name).exists(p => p > 0 && t > 2 * p && t - p > 0.2) =>
+          if prior.get(name).exists(p => p > 0 && t > 2 * p && t - p > 0.5) =>
         name -> t / prior(name)
     }
     // LOAD GATE: a loaded bench machine inflates every query uniformly,

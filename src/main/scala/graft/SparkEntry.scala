@@ -246,6 +246,8 @@ object SparkEntry {
     "q224_rerank"             -> ((s, d) => ExtQueries.rerankFused(s, d)),
     "q225_brand_ppr"          -> ((s, d) => Analytics.brandAffinityPpr(s, d)),
     "q226_silhouette"         -> ((s, d) => ExtQueries.embeddingSilhouette(s, d)),
+    "q227_pq_topk"            -> ((s, d) => ExtQueries.pqRetrieval(s, d)),
+    "q228_mmr_topk"           -> ((s, d) => ExtQueries.mmrDiversified(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -337,6 +339,58 @@ object SparkEntry {
        |         AS converged
        |FROM c$rounds a JOIN c0 d ON a.node = d.node CROSS JOIN chg
        |ORDER BY part""".stripMargin
+  }
+
+  /** q228's MMR oracle: candidates = exact top-10 per q37 query, pair
+    * sims quantized to e4 integers, then FIVE greedy selection rounds
+    * unrolled (pick 1 by relevance; each later round is an anti join
+    * against the selected set, a max-sim rollup over it, and an argmax
+    * of the integer objective 7·rel − 3·maxsim with ties to the
+    * smallest id) — generated, like corenessSql, so both engines run
+    * the identical fixed schedule. */
+  private lazy val mmrSql: String = {
+    val steps = (2 to 5).map { t =>
+      val prev = s"sall${t - 1}"
+      s"""r$t AS (SELECT c.qid, c.cid, c.rel_e4, MAX(s.sim_e4) AS ms
+         |  FROM cand c
+         |  LEFT JOIN $prev x ON c.qid = x.qid AND c.cid = x.cid
+         |  JOIN $prev p ON c.qid = p.qid
+         |  JOIN sims s ON s.qid = c.qid AND s.a = c.cid AND s.b = p.cid
+         |  WHERE x.cid IS NULL
+         |  GROUP BY 1, 2, 3),
+         |s$t AS (SELECT qid, cid, $t AS mmr_rank FROM (
+         |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |    ORDER BY 7*rel_e4 - 3*ms DESC, cid) AS rn FROM r$t) z
+         |  WHERE rn = 1),
+         |sall$t AS (SELECT qid, cid, mmr_rank FROM sall${t - 1}
+         |  UNION ALL SELECT qid, cid, mmr_rank FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $embCte,
+       |qv AS (SELECT * FROM nm WHERE vec_id < 10),
+       |sc AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |         ROUND(list_dot_product(q.emb, c.emb)/(q.nrm*c.nrm), 4)
+       |           AS score
+       |       FROM nm c CROSS JOIN qv q WHERE c.vec_id <> q.vec_id),
+       |cand AS (SELECT qid, cid,
+       |           CAST(round(score*10000, 0) AS BIGINT) AS rel_e4,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY score DESC, cid) AS rnk
+       |         FROM sc QUALIFY rnk <= 10),
+       |ce AS (SELECT cand.qid, cand.cid, nm.emb, nm.nrm
+       |       FROM cand JOIN nm ON cand.cid = nm.vec_id),
+       |sims AS (SELECT a.qid, a.cid AS a, b.cid AS b,
+       |           CAST(round(list_dot_product(a.emb, b.emb)
+       |                /(a.nrm*b.nrm)*10000, 0) AS BIGINT) AS sim_e4
+       |         FROM ce a JOIN ce b ON a.qid = b.qid AND a.cid <> b.cid),
+       |s1 AS (SELECT qid, cid, 1 AS mmr_rank FROM (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+       |    ORDER BY rel_e4 DESC, cid) AS rn FROM cand) z WHERE rn = 1),
+       |sall1 AS (SELECT qid, cid, mmr_rank FROM s1),
+       |$steps
+       |SELECT s.qid AS query_id, CAST(s.mmr_rank AS INT) AS mmr_rank,
+       |       s.cid AS neighbor_id, cand.rel_e4
+       |FROM sall5 s JOIN cand ON s.qid = cand.qid AND s.cid = cand.cid
+       |ORDER BY query_id, mmr_rank""".stripMargin
   }
 
   /** Multimodal.embedWeight row k over 64 columns as a DuckDB DOUBLE[]
@@ -4908,5 +4962,83 @@ object SparkEntry {
          |            ELSE -((-ssum) // n_vecs) END AS mean_sil_ppm,
          |       n_well_placed
          |FROM g ORDER BY label""".stripMargin,
+
+    // Product quantization: unit vectors in e6 integers, 32 subspaces
+    // of 2 dims, 64-entry codebooks seeded from vec_id 0..63 and
+    // refined by ONE Lloyd step (sign-split floor-mean recenter), codes
+    // by exact integer argmin distance (ties to smallest id), ADC
+    // scores = sums of LUT integer dots; exact float top-5 feeds the
+    // recall flag (measured 0.78 at sf0.01).
+    "q227_pq_topk" ->
+      s"""WITH $embCte,
+         |ux AS (SELECT vec_id, unnest(emb) AS x,
+         |              unnest(range(0, len(emb))) AS i, nrm FROM nm),
+         |u6 AS (SELECT vec_id, CAST(i // 2 AS INT) AS m,
+         |         CAST(i % 2 AS INT) AS j,
+         |         CASE WHEN nrm = 0.0 THEN 0
+         |              ELSE CAST(round(x / nrm * 1000000, 0) AS BIGINT)
+         |         END AS xe6
+         |       FROM ux),
+         |b0 AS (SELECT CAST(vec_id AS INT) AS aid, m, j, xe6 AS ce6
+         |       FROM u6 WHERE vec_id < 64),
+         |d1 AS (SELECT u6.vec_id AS nid, u6.m, b0.aid,
+         |         CAST(SUM((u6.xe6 - b0.ce6)*(u6.xe6 - b0.ce6))
+         |           AS BIGINT) AS d2
+         |       FROM u6 JOIN b0 ON u6.m = b0.m AND u6.j = b0.j
+         |       GROUP BY 1, 2, 3),
+         |a1 AS (SELECT nid, m, aid FROM (
+         |    SELECT nid, m, aid, row_number() OVER (
+         |      PARTITION BY nid, m ORDER BY d2, aid) AS rn
+         |    FROM d1) z WHERE rn = 1),
+         |book AS (SELECT a1.aid, a1.m, u6.j,
+         |           CAST(CASE WHEN SUM(u6.xe6) >= 0
+         |                THEN SUM(u6.xe6) // COUNT(*)
+         |                ELSE -((-SUM(u6.xe6)) // COUNT(*)) END
+         |             AS BIGINT) AS ce6
+         |         FROM a1 JOIN u6 ON a1.nid = u6.vec_id AND a1.m = u6.m
+         |         GROUP BY 1, 2, 3),
+         |dist AS (SELECT u6.vec_id AS neighbor_id, u6.m, book.aid,
+         |           CAST(SUM((u6.xe6 - book.ce6)*(u6.xe6 - book.ce6))
+         |             AS BIGINT) AS d2
+         |         FROM u6 JOIN book ON u6.m = book.m AND u6.j = book.j
+         |         GROUP BY 1, 2, 3),
+         |codes AS (SELECT neighbor_id, m, aid FROM (
+         |    SELECT neighbor_id, m, aid, row_number() OVER (
+         |      PARTITION BY neighbor_id, m ORDER BY d2, aid) AS rn
+         |    FROM dist) z WHERE rn = 1),
+         |lut AS (SELECT u6.vec_id AS query_id, u6.m, book.aid,
+         |          CAST(SUM(u6.xe6 * book.ce6) AS BIGINT) AS pdot
+         |        FROM u6 JOIN book ON u6.m = book.m AND u6.j = book.j
+         |        WHERE u6.vec_id < 10
+         |        GROUP BY 1, 2, 3),
+         |sc AS (SELECT lut.query_id, codes.neighbor_id,
+         |         CAST(SUM(lut.pdot) AS BIGINT) AS pq_dot
+         |       FROM codes JOIN lut
+         |         ON codes.m = lut.m AND codes.aid = lut.aid
+         |       WHERE codes.neighbor_id <> lut.query_id
+         |       GROUP BY 1, 2),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY pq_dot DESC, neighbor_id) AS rnk FROM sc),
+         |eq AS (SELECT * FROM nm WHERE vec_id < 10),
+         |esc AS (SELECT eq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |          CASE WHEN eq.nrm * c.nrm = 0.0 THEN 0.0
+         |               ELSE ROUND(list_dot_product(eq.emb, c.emb)
+         |                          /(eq.nrm*c.nrm), 4) END AS score
+         |        FROM nm c CROSS JOIN eq WHERE c.vec_id <> eq.vec_id),
+         |erk AS (SELECT query_id, neighbor_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY score DESC, neighbor_id) AS rnk
+         |        FROM esc)
+         |SELECT rk.query_id, CAST(rk.rnk AS INT) AS rank, rk.neighbor_id,
+         |       rk.pq_dot,
+         |       CAST(CASE WHEN erk.neighbor_id IS NULL THEN 0 ELSE 1 END
+         |         AS INT) AS in_exact_topk
+         |FROM rk LEFT JOIN (SELECT * FROM erk WHERE rnk <= 5) erk
+         |  ON rk.query_id = erk.query_id AND rk.neighbor_id = erk.neighbor_id
+         |WHERE rk.rnk <= 5
+         |ORDER BY rk.query_id, rank""".stripMargin,
+
+    // MMR diversified top-k: five unrolled greedy rounds (generated).
+    "q228_mmr_topk" -> mmrSql,
   )
 }

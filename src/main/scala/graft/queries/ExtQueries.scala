@@ -967,6 +967,81 @@ object ExtQueries {
     Similarity.silhouetteByLabel(Tables.embeddings(spark, dir),
       "vec_id", "embedding", "label")
 
+  /** Product-quantization retrieval (q227): the q37 query set ranked by
+    * PQ asymmetric-distance scores ([[graft.ext.Similarity.pqTopK]] —
+    * 8 subspaces × 16-entry deterministic codebook = 8 bytes/vector
+    * stored, 16× smaller than float32), each hit flagged against the
+    * exact float top-5. */
+  def pqRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+      "embedding", k = 5)
+  }
+
+  /** MMR-DIVERSIFIED top-k (q228) — maximal marginal relevance
+    * (Carbonell–Goldstein 1998), the de-dup-at-selection step RAG and
+    * search stacks run so the final k hits aren't k copies of the same
+    * answer: greedily pick argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s)
+    * with λ=0.7, five unrolled selection rounds (both engines run the
+    * SAME five — the fixed-round contract), relevance = exact-cosine
+    * rank scores over the q37 query set's top-10 candidates, all
+    * similarities quantized once to e4 integers so every objective is
+    * exact integer arithmetic (7·rel_e4 − 3·maxsim_e4) with ties to
+    * the smallest id.
+    *
+    * Scale shape: candidates are the bounded |Q|·10 relation; the
+    * pairwise-sim table is |Q|·10·9 rows (selection needs
+    * candidate-candidate sims — bounded by the CANDIDATE count, never
+    * the corpus); each greedy round is an anti join + a keyed max —
+    * metadata-scale after the one corpus pass the brute tier already
+    * pays. */
+  def mmrDiversified(spark: SparkSession, dir: String, kCand: Int = 10,
+                     kOut: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cands = Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", kCand)
+      .select(col("query_id"), col("neighbor_id").as("cid"),
+        round(col("score") * 10000, 0).cast("long").as("rel_e4"))
+      .localCheckpoint() // read every greedy round
+    val ce = cands.join(
+      emb.select(col("vec_id").as("cid"), col("embedding").as("e"),
+        Similarity.l2norm(col("embedding")).as("n")), Seq("cid"))
+    val a = ce.select(col("query_id"), col("cid").as("a"),
+      col("e").as("ea"), col("n").as("na"))
+    val b = ce.select(col("query_id"), col("cid").as("b"),
+      col("e").as("eb"), col("n").as("nb"))
+    val sims = a.join(b, Seq("query_id")).filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        round(Similarity.dot(col("ea"), col("eb")) /
+          (col("na") * col("nb")) * 10000, 0).cast("long").as("sim_e4"))
+      .localCheckpoint() // read every greedy round
+    var sel = cands.groupBy("query_id")
+      .agg(max_by(col("cid"), struct(col("rel_e4"), -col("cid"))).as("cid"))
+      .withColumn("mmr_rank", lit(1))
+    for (t <- 2 to kOut) {
+      val remaining = cands
+        .join(sel.select("query_id", "cid"), Seq("query_id", "cid"),
+          "left_anti")
+      val ms = remaining
+        .join(sims.select(col("query_id"), col("a").as("cid"),
+          col("b").as("scid"), col("sim_e4")), Seq("query_id", "cid"))
+        .join(sel.select(col("query_id"), col("cid").as("scid")),
+          Seq("query_id", "scid"))
+        .groupBy("query_id", "cid").agg(max("sim_e4").as("maxsim"))
+      val pick = remaining.join(ms, Seq("query_id", "cid"), "left_outer")
+        .withColumn("obj_e4",
+          col("rel_e4") * 7 - lit(3L) * coalesce(col("maxsim"), lit(0L)))
+        .groupBy("query_id")
+        .agg(max_by(col("cid"), struct(col("obj_e4"), -col("cid"))).as("cid"))
+        .withColumn("mmr_rank", lit(t))
+      sel = sel.unionByName(pick).localCheckpoint()
+    }
+    sel.join(cands, Seq("query_id", "cid"))
+      .select(col("query_id"), col("mmr_rank").cast("int").as("mmr_rank"),
+        col("cid").as("neighbor_id"), col("rel_e4"))
+      .orderBy("query_id", "mmr_rank")
+  }
+
   /** Sorted-neighborhood dedup (q191): SimHash-sorted blocked windows
     * generate a flat 3N candidate set, exact 3-gram Jaccard verifies;
     * 0.5 splits the sharply bimodal candidate population (background

@@ -561,6 +561,22 @@ class PlanSpec extends SparkSpec {
       s"label-sum side must broadcast:\n$p")
   }
 
+  test("pq retrieval: codebook and LUT broadcast, no cartesian beyond the exact-flag cross") {
+    val p = plan(graft.queries.ExtQueries.pqRetrieval(spark, sf001))
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in PQ pipeline:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook/LUT sides must broadcast:\n$p")
+  }
+
+  test("mmr selection: every greedy round joins candidate-keyed, nothing quadratic") {
+    val p = plan(graft.queries.ExtQueries.mmrDiversified(spark, sf001))
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in MMR rounds:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"candidate/sims staging missing:\n$p")
+  }
+
   test("quality classifier is one aggregation pass over the hashed features") {
     val df = graft.queries.ExtQueries.qualityClassify(spark, sf001)
     val p = plan(df)

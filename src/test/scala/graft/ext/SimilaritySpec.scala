@@ -326,6 +326,90 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqTopK is exact when the corpus IS the codebook (plus duplicates)") {
+    // 16 seed vectors + 4 exact duplicates of seeds 0..3: every cluster
+    // recenters on itself, coding is lossless, so each duplicate's PQ
+    // score against its twin equals the full e6 self-dot and the
+    // duplicate must head its query's list, flagged in the exact top-k.
+    val rnd = new scala.util.Random(7)
+    val seeds = (0 until 16).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1), 0))
+    val dups = (0 until 4).map(i => (16L + i, seeds(i)._2.clone(), 0))
+    val df = (seeds ++ dups).toDF("vec_id", "embedding", "label")
+    val out = Similarity.pqTopK(df, df.filter(col("vec_id") < 4),
+        "vec_id", "embedding", k = 3, nCent = 16).collect()
+    (0 until 4).foreach { q =>
+      val top = out.filter(r => r.getAs[Long]("query_id") == q &&
+        r.getAs[Int]("rank") == 1).head
+      assert(top.getAs[Long]("neighbor_id") === 16L + q,
+        s"duplicate must head query $q's list")
+      assert(top.getAs[Int]("in_exact_topk") === 1)
+    }
+  }
+
+  test("q227 PQ retrieval: valid ranks, bounded codes, useful recall at sf0.001") {
+    val out = graft.queries.ExtQueries.pqRetrieval(spark, sf001).collect()
+    assert(out.length === 50)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to 5))
+      // scores are non-increasing in rank (the ADC ranking key)
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Long]("pq_dot"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    val recall = out.map(_.getAs[Int]("in_exact_topk")).sum / 50.0
+    assert(recall >= 0.3, s"PQ recall collapsed: $recall")
+  }
+
+  test("q228 MMR replays the greedy integer selection at sf0.001") {
+    val emb = graft.model.Tables.embeddings(spark, sf001)
+    val cands = Similarity.bruteTopK(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", 10)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        math.round(r.getAs[Double]("score") * 10000)))
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[collection.Seq[Float]]("embedding").toArray).toMap
+    def cosE4(a: Long, b: Long): Long = {
+      def d(x: Array[Float], y: Array[Float]) = {
+        var s = 0.0; var i = 0
+        while (i < 64) { s += x(i).toDouble * y(i).toDouble; i += 1 }; s
+      }
+      val (va, vb) = (vecs(a), vecs(b))
+      BigDecimal(d(va, vb) / (math.sqrt(d(va, va)) * math.sqrt(d(vb, vb)))
+        * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val out = graft.queries.ExtQueries.mmrDiversified(spark, sf001).collect()
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val cs = cands.filter(_._1 == q).map(t => t._2 -> t._3).toMap
+      var selected = Vector.empty[Long]
+      (1 to 5).foreach { t =>
+        val pick =
+          if (t == 1) cs.toSeq.maxBy { case (id, rel) => (rel, -id) }._1
+          else cs.filterNot(kv => selected.contains(kv._1)).toSeq
+            .maxBy { case (id, rel) =>
+              (7 * rel - 3 * selected.map(s => cosE4(id, s)).max, -id)
+            }._1
+        selected :+= pick
+      }
+      val got = rows.sortBy(_.getAs[Int]("mmr_rank"))
+        .map(_.getAs[Long]("neighbor_id")).toVector
+      assert(got === selected, s"greedy selection for query $q")
+      // diversification is real: MMR order differs from pure relevance
+      // for at least one query (checked globally below)
+    }
+    val pureRel = cands.groupBy(_._1).map { case (q, cs) =>
+      q -> cs.sortBy(t => (-t._3, t._2)).take(5).map(_._2).toVector
+    }
+    val mmrSel = out.groupBy(_.getAs[Long]("query_id")).map { case (q, rows) =>
+      q -> rows.sortBy(_.getAs[Int]("mmr_rank"))
+        .map(_.getAs[Long]("neighbor_id")).toVector
+    }
+    assert(mmrSel.exists { case (q, sel) => sel != pureRel(q) },
+      "MMR never diverged from pure relevance — selection is vacuous")
+  }
+
   test("quantizedTopK: zero-norm vectors code to all-zero, never NaN") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.0f), 0),
