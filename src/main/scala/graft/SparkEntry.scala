@@ -248,6 +248,8 @@ object SparkEntry {
     "q226_silhouette"         -> ((s, d) => ExtQueries.embeddingSilhouette(s, d)),
     "q227_pq_topk"            -> ((s, d) => ExtQueries.pqRetrieval(s, d)),
     "q228_mmr_topk"           -> ((s, d) => ExtQueries.mmrDiversified(s, d)),
+    "q229_local_clustering"   -> ((s, d) => Analytics.copurchaseLcc(s, d)),
+    "q230_source_emb_sim"     -> ((s, d) => ExtQueries.sourceEmbeddingSimilarity(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -5040,5 +5042,72 @@ object SparkEntry {
 
     // MMR diversified top-k: five unrolled greedy rounds (generated).
     "q228_mmr_topk" -> mmrSql,
+
+    // Per-node local clustering over the support-2 co-purchase graph:
+    // the q142 oriented census with each surviving triangle exploded to
+    // its three members before a node-keyed count; exact floor ppm.
+    "q229_local_clustering" ->
+      """WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS oid,
+        |         l_partkey AS item FROM lineitem),
+        |e AS MATERIALIZED (SELECT a.item AS u, b.item AS v
+        |  FROM it a JOIN it b ON a.oid = b.oid AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) z
+        |  GROUP BY node),
+        |o AS (SELECT
+        |        CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v
+        |        END AS s,
+        |        CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u
+        |        END AS t
+        |      FROM e JOIN deg du ON e.u = du.node
+        |             JOIN deg dv ON e.v = dv.node),
+        |tri AS (SELECT o1.s AS s, o1.t AS u, o2.t AS v
+        |        FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t
+        |        WHERE EXISTS (SELECT 1 FROM e
+        |                      WHERE e.u = o1.t AND e.v = o2.t)),
+        |pn AS (SELECT node, COUNT(*) AS t FROM (
+        |    SELECT s AS node FROM tri UNION ALL SELECT u FROM tri
+        |    UNION ALL SELECT v FROM tri) z GROUP BY node)
+        |SELECT CAST(deg.node AS BIGINT) AS part,
+        |       CAST(deg.deg AS BIGINT) AS degree,
+        |       CAST(COALESCE(pn.t, 0) AS BIGINT) AS n_triangles,
+        |       CAST(CASE WHEN deg.deg < 2 THEN 0
+        |            ELSE 2 * COALESCE(pn.t, 0) * 1000000
+        |                 // (deg.deg * (deg.deg - 1)) END AS BIGINT)
+        |         AS lcc_ppm
+        |FROM deg LEFT JOIN pn ON deg.node = pn.node
+        |ORDER BY part""".stripMargin,
+
+    // Embedding-space source similarity: per-source unit-vector sums in
+    // exact e6 integers, pairwise centroid cosine from exact integer
+    // dots/norms, one double division rounded to 4 dp.
+    "q230_source_emb_sim" ->
+      s"""WITH $embCte,
+         |sj AS (SELECT d.source AS g, nm.vec_id, nm.emb, nm.nrm
+         |       FROM nm JOIN documents d ON nm.vec_id = d.doc_id
+         |       WHERE nm.nrm > 0),
+         |ux AS (SELECT g, vec_id, unnest(emb) AS x,
+         |              unnest(range(0, len(emb))) AS i, nrm FROM sj),
+         |u6 AS (SELECT g, i,
+         |         CAST(round(x / nrm * 1000000, 0) AS BIGINT) AS xe6
+         |       FROM ux),
+         |sums AS (SELECT g, i, CAST(SUM(xe6) AS BIGINT) AS s
+         |         FROM u6 GROUP BY 1, 2),
+         |nc AS (SELECT g, COUNT(*) AS n FROM sj GROUP BY 1),
+         |norms AS (SELECT g, SUM(CAST(s AS HUGEINT) * s) AS d2
+         |          FROM sums GROUP BY 1),
+         |p AS (SELECT a.g AS ga, b.g AS gb,
+         |        SUM(CAST(a.s AS HUGEINT) * b.s) AS dot
+         |      FROM sums a JOIN sums b ON a.i = b.i AND a.g < b.g
+         |      GROUP BY 1, 2)
+         |SELECT p.ga AS source_a, p.gb AS source_b,
+         |       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+         |       ROUND(CAST(p.dot AS DOUBLE) /
+         |         (sqrt(CAST(da.d2 AS DOUBLE)) * sqrt(CAST(db.d2 AS DOUBLE))),
+         |         4) AS cos_centroid
+         |FROM p JOIN norms da ON p.ga = da.g JOIN norms db ON p.gb = db.g
+         |       JOIN nc na ON p.ga = na.g JOIN nc nb ON p.gb = nb.g
+         |ORDER BY source_a, source_b""".stripMargin,
   )
 }

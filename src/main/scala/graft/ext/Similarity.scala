@@ -599,6 +599,58 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Pairwise CENTROID cosine between groups of embeddings — "how close
+    * are these sources in embedding SPACE", the semantic companion to a
+    * lexical source-similarity matrix (MinHash shingle overlap sees
+    * shared strings; centroid cosine sees shared meaning-direction even
+    * with zero verbatim overlap). The group centroid is the sum of unit
+    * vectors (the silhouette linearity), quantized ONCE to e6 integer
+    * components, so the pairwise dots and squared norms are EXACT
+    * integers (DECIMAL(38,0) — a source of 10⁹ docs still fits) and the
+    * final cosine is one double division of identical integers on both
+    * engines, rounded to 4 dp.
+    *
+    * Scale shape: one posexplode projection, one (group, i)-keyed sum
+    * — the only corpus-wide shuffle; everything pairwise happens on the
+    * |groups|·dim sum table (metadata-scale at any corpus size). */
+  def centroidSimilarity(corpus: DataFrame, groupCol: String,
+                         embCol: String): DataFrame = {
+    val unit = corpus
+      .withColumn("_nrm", l2norm(col(embCol)))
+      .filter(col("_nrm") > 0)
+      .select(col(groupCol).as("g"),
+        posexplode(col(embCol)).as(Seq("i", "x")), col("_nrm"))
+      .select(col("g"), col("i"),
+        round(col("x") / col("_nrm") * 1e6, 0).cast("long").as("xe6"))
+    val sums = unit.groupBy("g", "i")
+      .agg(sum("xe6").as("s"))
+      .localCheckpoint() // read 3x: both pair-dot sides + norms
+    val n = corpus.withColumn("_nrm", l2norm(col(embCol)))
+      .filter(col("_nrm") > 0)
+      .groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n"))
+    val norms = sums.groupBy("g")
+      .agg(sum(expr("CAST(s AS DECIMAL(38,0)) * s")).as("d2"))
+    val a = sums.select(col("g").as("ga"), col("i"), col("s").as("sa"))
+    val b = sums.select(col("g").as("gb"), col("i"), col("s").as("sb"))
+    a.join(b, Seq("i")).filter(col("ga") < col("gb"))
+      .groupBy("ga", "gb")
+      .agg(sum(expr("CAST(sa AS DECIMAL(38,0)) * sb")).as("dot"))
+      .join(broadcast(norms.select(col("g").as("ga"), col("d2").as("da"))),
+        Seq("ga"))
+      .join(broadcast(norms.select(col("g").as("gb"), col("d2").as("db"))),
+        Seq("gb"))
+      .join(broadcast(n.select(col("g").as("ga"), col("n").as("n_a"))),
+        Seq("ga"))
+      .join(broadcast(n.select(col("g").as("gb"), col("n").as("n_b"))),
+        Seq("gb"))
+      .select(col("ga").as("source_a"), col("gb").as("source_b"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("da").cast("double")) * sqrt(col("db").cast("double"))),
+          4).as("cos_centroid"))
+      .orderBy("source_a", "source_b")
+  }
+
   def nearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
                    bucketColName: String, threshold: Double): DataFrame = {
     val fanned = graft.model.Tables.fanOut(corpus)

@@ -78,6 +78,49 @@ object Graph {
           .as("clustering_ppm"))
   }
 
+  /** PER-NODE triangle counts and local clustering coefficients — the
+    * node-level readout of [[triangleReport]]'s global census, and the
+    * graph FEATURE consumers actually join on (a node's local
+    * clustering separates community members from bridges, which the
+    * global coefficient averages away). Same degree-oriented pipeline
+    * (each triangle generated exactly once at its minimum-rank node,
+    * wedge work O(m^1.5)); the only addition is that each surviving
+    * triangle (s, u, v) is exploded to its THREE member nodes before a
+    * node-keyed count — 3 narrow rows per triangle, nothing quadratic.
+    * lcc_ppm = ⌊2·t·10⁶ / (deg·(deg−1))⌋ exactly, 0 for deg < 2.
+    * Output: one row per node (node, degree, n_triangles, lcc_ppm). */
+  def localClustering(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.localCheckpoint()
+    val deg = edges.select(col("u").as("node")).unionAll(
+        edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val ranked = edges
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    val oriented = ranked.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        struct(col("u").as("s"), col("v").as("t")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t")))
+        .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    val e2 = oriented.select(col("s"), col("t").as("t2"))
+    val tris = oriented.join(e2, "s")
+      .filter(col("t") < col("t2"))
+      .select(col("s"), col("t").as("u"), col("t2").as("v"))
+      .join(edges, Seq("u", "v"), "left_semi")
+    val perNode = tris.select(col("s").as("node"))
+      .unionAll(tris.select(col("u").as("node")))
+      .unionAll(tris.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("t"))
+    deg.join(perNode, Seq("node"), "left_outer")
+      .select(col("node"), col("deg").cast("long").as("degree"),
+        coalesce(col("t"), lit(0L)).cast("long").as("n_triangles"),
+        when(col("deg") < 2, lit(0L))
+          .otherwise(expr(
+            "2 * coalesce(t, 0) * 1000000 div (deg * (deg - 1))"))
+          .cast("long").as("lcc_ppm"))
+  }
+
   /** Edge-sampled approximate triangle census (Doulion, Tsourakakis et
     * al. KDD'09): keep each canonical edge iff a deterministic per-edge
     * hash gate lands below `pPpm` parts-per-million, run the SAME

@@ -2169,6 +2169,31 @@ object Analytics {
       .orderBy("part")
   }
 
+  /** Per-node local clustering coefficients of the repeat co-purchase
+    * graph (q229) — the node-level graph feature that pairs with q223's
+    * coreness in a feature table: lcc separates community members
+    * (closed neighborhoods) from bridges (open ones), which q142's
+    * single global coefficient averages away. Same support-≥2 edge
+    * prune as q223 (signal edges, sublinear in the fact), then
+    * [[graft.operators.Graph.localClustering]] — the degree-oriented
+    * census emitting each triangle's three members to a node-keyed
+    * count; exact floor-ppm coefficients. */
+  def copurchaseLcc(spark: SparkSession, dir: String,
+                    minPairSupport: Long = 2): DataFrame = {
+    val it = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+      .distinct().localCheckpoint()
+    val edges = it.join(it.withColumnRenamed("item", "item2"), Seq("oid"))
+      .filter(col("item") < col("item2"))
+      .groupBy("item", "item2").agg(count(lit(1)).as("s"))
+      .filter(col("s") >= minPairSupport)
+      .select(col("item").as("u"), col("item2").as("v"))
+    graft.operators.Graph.localClustering(edges)
+      .select(col("node").cast("long").as("part"), col("degree"),
+        col("n_triangles"), col("lcc_ppm"))
+      .orderBy("part")
+  }
+
   /** Association rules from order baskets (q203) — the market-basket
     * output one level below q195's triples: for each frequent part pair
     * BOTH directed rules a⇒b and b⇒a with exact confidence

@@ -1042,6 +1042,20 @@ object ExtQueries {
       .orderBy("query_id", "mmr_rank")
   }
 
+  /** Embedding-space source similarity matrix (q230): pairwise centroid
+    * cosine between the sources' embedding clouds
+    * ([[graft.ext.Similarity.centroidSimilarity]], embeddings joined to
+    * their id-aligned documents for the source key) — the SEMANTIC
+    * companion to q165's lexical MinHash matrix: shingle overlap sees
+    * shared strings, centroid cosine sees shared meaning-direction with
+    * zero verbatim overlap. */
+  def sourceEmbeddingSimilarity(spark: SparkSession, dir: String): DataFrame =
+    Similarity.centroidSimilarity(
+      Tables.embeddings(spark, dir)
+        .join(Tables.documents(spark, dir)
+          .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id")),
+      "source", "embedding")
+
   /** Sorted-neighborhood dedup (q191): SimHash-sorted blocked windows
     * generate a flat 3N candidate set, exact 3-gram Jaccard verifies;
     * 0.5 splits the sharply bimodal candidate population (background

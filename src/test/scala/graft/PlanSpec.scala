@@ -577,6 +577,25 @@ class PlanSpec extends SparkSpec {
       s"candidate/sims staging missing:\n$p")
   }
 
+  test("local clustering: oriented wedge joins, no cartesian, no window") {
+    val df = graft.queries.Analytics.copurchaseLcc(spark, sf001)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in lcc wedge pipeline:\n$p")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, "unexpected window in the lcc pipeline")
+  }
+
+  test("centroid similarity: one corpus shuffle, pairwise only on the sum table") {
+    val p = plan(graft.queries.ExtQueries.sourceEmbeddingSimilarity(spark, sf001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi pairwise join in centroid similarity:\n$p")
+    assert(p.contains("ExistingRDD"), s"sum-table staging missing:\n$p")
+  }
+
   test("quality classifier is one aggregation pass over the hashed features") {
     val df = graft.queries.ExtQueries.qualityClassify(spark, sf001)
     val p = plan(df)

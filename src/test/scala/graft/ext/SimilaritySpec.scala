@@ -410,6 +410,26 @@ class SimilaritySpec extends SparkSpec {
       "MMR never diverged from pure relevance — selection is vacuous")
   }
 
+  test("centroidSimilarity: aligned groups score 1, orthogonal groups 0") {
+    def vec(hot: Int): Array[Float] = {
+      val v = Array.fill(64)(0.0f); v(hot) = 1.0f; v
+    }
+    val rows =
+      (0 until 5).map(i => (i.toLong, vec(3), "a")) ++   // all on axis 3
+      (5 until 9).map(i => (i.toLong, vec(3), "b")) ++   // same axis
+      (9 until 12).map(i => (i.toLong, vec(40), "c"))    // orthogonal
+    val out = Similarity.centroidSimilarity(
+        rows.toDF("vec_id", "embedding", "source"), "source", "embedding")
+      .collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("cos_centroid"))).toMap
+    assert(out(("a", "b")) === ((5L, 4L, 1.0)))
+    assert(out(("a", "c"))._3 === 0.0)
+    assert(out(("b", "c"))._3 === 0.0)
+    assert(out.size === 3)
+  }
+
   test("quantizedTopK: zero-norm vectors code to all-zero, never NaN") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.0f), 0),

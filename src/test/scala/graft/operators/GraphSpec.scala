@@ -135,6 +135,44 @@ class GraphSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("coreness")).distinct.length > 3)
   }
 
+  test("localClustering: closed, open and bridge neighborhoods on fixtures") {
+    // K4 ∪ (star 0-spokes with one closing edge, offset ids): K4 nodes
+    // have every neighbor pair closed (lcc = 1e6); the star hub sees 1
+    // of its C(6,2)=15 pairs closed; the two closing spokes have their
+    // single pair closed; other spokes are open
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val star = (11L to 16L).map(i => (10L, i)) :+ (11L, 12L)
+    val out = Graph.localClustering(
+      Graph.undirectedEdges((k4 ++ star).toDF("a", "b"), "a", "b"))
+      .collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"),
+          r.getAs[Long]("lcc_ppm"))).toMap
+    (0L to 3L).foreach(n => assert(out(n) === ((3L, 3L, 1000000L)), s"K4 $n"))
+    assert(out(10L) === ((6L, 1L, 66666L))) // ⌊2·1·1e6/30⌋
+    assert(out(11L) === ((2L, 1L, 1000000L)))
+    assert(out(12L) === ((2L, 1L, 1000000L)))
+    (13L to 16L).foreach(n => assert(out(n) === ((1L, 0L, 0L)), s"spoke $n"))
+  }
+
+  test("per-node triangle counts sum to 3x the global census at sf0.001") {
+    val perNode = graft.queries.Analytics.copurchaseLcc(spark, sf001)
+      .collect().map(_.getAs[Long]("n_triangles")).sum
+    // global census over the SAME support-2 graph
+    val it = graft.model.Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+      .distinct()
+    val edges = it.join(it.withColumnRenamed("item", "item2"), Seq("oid"))
+      .filter(col("item") < col("item2"))
+      .groupBy("item", "item2").agg(count(lit(1)).as("s"))
+      .filter(col("s") >= 2)
+      .select(col("item").as("u"), col("item2").as("v"))
+    val global = Graph.triangleReport(edges).collect().head
+      .getAs[Long]("n_triangles")
+    assert(global > 0, "fixture graph must contain triangles")
+    assert(perNode === 3 * global)
+  }
+
   test("sampled census is deterministic and within the stated error envelope") {
     // triangle-rich fixture: 3 disjoint cliques K12 ∪ K10 ∪ K8 plus a
     // triangle-free path — exact count 220+120+56 = 396
