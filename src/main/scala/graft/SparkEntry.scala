@@ -250,6 +250,7 @@ object SparkEntry {
     "q228_mmr_topk"           -> ((s, d) => ExtQueries.mmrDiversified(s, d)),
     "q229_local_clustering"   -> ((s, d) => Analytics.copurchaseLcc(s, d)),
     "q230_source_emb_sim"     -> ((s, d) => ExtQueries.sourceEmbeddingSimilarity(s, d)),
+    "q231_source_data_card"   -> ((s, d) => ExtQueries.sourceDataCard(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -5109,5 +5110,67 @@ object SparkEntry {
          |FROM p JOIN norms da ON p.ga = da.g JOIN norms db ON p.gb = db.g
          |       JOIN nc na ON p.ga = na.g JOIN nc nb ON p.gb = nb.g
          |ORDER BY source_a, source_b""".stripMargin,
+
+    // Per-source data card: the q28/q29/q30/q32 per-doc components
+    // rolled up per source; majority language ties to the smallest
+    // lang code; all rates exact floor ppm.
+    "q231_source_data_card" ->
+      s"""WITH $nCte,
+         |$tokCte,
+         |st AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |              SUM(CASE WHEN w IN ('the','a','of','and','to','in')
+         |                  THEN 1 ELSE 0 END) AS n_stop
+         |       FROM tok GROUP BY doc_id),
+         |q AS (SELECT doc_id,
+         |        CASE WHEN n_tokens BETWEEN 10 AND 1000
+         |                  AND CAST(n_stop AS DOUBLE)/n_tokens >= 0.05
+         |             THEN 1 ELSE 0 END AS is_quality
+         |      FROM st),
+         |lsc AS (SELECT doc_id,
+         |        CAST(SUM(CASE WHEN w IN ('the','a','of','and') THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+         |        CAST(SUM(CASE WHEN w IN ('der','und','die','ist') THEN 1 ELSE 0 END) AS BIGINT) AS s_de,
+         |        CAST(SUM(CASE WHEN w IN ('le','et','les','une') THEN 1 ELSE 0 END) AS BIGINT) AS s_fr,
+         |        CAST(SUM(CASE WHEN w IN ('el','y','los','las') THEN 1 ELSE 0 END) AS BIGINT) AS s_es
+         |        FROM tok GROUP BY doc_id),
+         |lg AS (SELECT doc_id,
+         |         CASE WHEN s_en+s_de+s_fr+s_es = 0 THEN 'und'
+         |              WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+         |              WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+         |              WHEN s_fr >= s_es THEN 'fr'
+         |              ELSE 'es' END AS predicted_lang
+         |       FROM lsc),
+         |tk AS (SELECT doc_id, CAST(len(string_split(t, ' ')) AS BIGINT) AS ws
+         |       FROM n),
+         |pd AS (SELECT d.source, d.doc_id, tk.ws, q.is_quality,
+         |              lg.predicted_lang
+         |       FROM documents d JOIN tk ON d.doc_id = tk.doc_id
+         |            JOIN q ON d.doc_id = q.doc_id
+         |            JOIN lg ON d.doc_id = lg.doc_id),
+         |base AS (SELECT source, COUNT(*) AS n_docs,
+         |                CAST(SUM(ws) AS BIGINT) AS total_tokens,
+         |                CAST(SUM(is_quality) AS BIGINT) AS nq
+         |         FROM pd GROUP BY 1),
+         |lcnt AS (SELECT source, predicted_lang, COUNT(*) AS c
+         |         FROM pd GROUP BY 1, 2),
+         |ltop AS (SELECT source, predicted_lang AS top_lang, c AS top_n
+         |         FROM (SELECT *, row_number() OVER (PARTITION BY source
+         |                 ORDER BY c DESC, predicted_lang) AS rn FROM lcnt) z
+         |         WHERE rn = 1),
+         |dh AS (SELECT d.source, md5(n.t) AS h
+         |       FROM documents d JOIN n ON d.doc_id = n.doc_id),
+         |dg AS (SELECT source, h, COUNT(*) AS cnt FROM dh GROUP BY 1, 2),
+         |dup AS (SELECT source,
+         |          CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+         |            AS n_dup
+         |        FROM dg GROUP BY 1)
+         |SELECT b.source, CAST(b.n_docs AS BIGINT) AS n_docs, b.total_tokens,
+         |       b.total_tokens * 1000000 // b.n_docs AS tokens_per_doc_micro,
+         |       b.nq * 1000000 // b.n_docs AS quality_ppm,
+         |       dup.n_dup * 1000000 // b.n_docs AS dup_ppm,
+         |       ltop.top_lang,
+         |       ltop.top_n * 1000000 // b.n_docs AS top_lang_ppm
+         |FROM base b JOIN ltop ON b.source = ltop.source
+         |     JOIN dup ON b.source = dup.source
+         |ORDER BY b.source""".stripMargin,
   )
 }

@@ -1056,6 +1056,57 @@ object ExtQueries {
           .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id")),
       "source", "embedding")
 
+  /** Per-source DATA CARD (q231) — the datasheet row a corpus release
+    * publishes per source (Gebru et al.'s "Datasheets for Datasets",
+    * operationalized): document count, token volume, tokens/doc,
+    * heuristic-quality rate, exact-duplicate rate (md5 of normalized
+    * text, WITHIN source), and the majority predicted language with
+    * its share — one governance-ready row per source, composed from
+    * the suite's own per-doc components (q28 tokens, q29 quality, q30
+    * langid, q32's dedup idea) rather than re-derived.
+    *
+    * Scale shape: each component is a zero-shuffle scored projection;
+    * the compositions join on the doc key, the rollups on the source
+    * key, and every post-aggregation relation is |sources|-sized. All
+    * rates are exact floor-ppm integers. */
+  def sourceDataCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val perDoc = docs.select(col("doc_id"), col("source"))
+      .join(TextAnalysis.tokenStats(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_ws_tokens")), Seq("doc_id"))
+      .join(TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("is_quality")), Seq("doc_id"))
+      .join(TextAnalysis.languageId(docs, "doc_id", "text")
+        .select(col("doc_id"), col("predicted_lang")), Seq("doc_id"))
+      .localCheckpoint() // read 2x: base rollup + language mix
+    val base = perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_ws_tokens").cast("long")).as("total_tokens"),
+      sum(col("is_quality").cast("long")).as("nq"))
+    val lang = perDoc.groupBy("source", "predicted_lang")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("c").desc, col("predicted_lang"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("predicted_lang").as("top_lang"),
+        col("c").as("top_n"))
+    val dup = docs
+      .select(col("source"), md5(TextOps.normText(col("text"))).as("h"))
+      .groupBy("source", "h").agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_dup"))
+    base.join(lang, Seq("source")).join(dup, Seq("source"))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        col("total_tokens"),
+        expr("total_tokens * 1000000 div n_docs").as("tokens_per_doc_micro"),
+        expr("nq * 1000000 div n_docs").as("quality_ppm"),
+        expr("n_dup * 1000000 div n_docs").as("dup_ppm"),
+        col("top_lang"),
+        expr("top_n * 1000000 div n_docs").as("top_lang_ppm"))
+      .orderBy("source")
+  }
+
   /** Sorted-neighborhood dedup (q191): SimHash-sorted blocked windows
     * generate a flat 3N candidate set, exact 3-gram Jaccard verifies;
     * 0.5 splits the sharply bimodal candidate population (background

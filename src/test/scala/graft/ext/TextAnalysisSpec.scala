@@ -79,6 +79,49 @@ class TextAnalysisSpec extends SparkSpec {
       Seq(0, 1, 2))
   }
 
+  test("q231 data card rolls up the per-doc components it is composed from") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.Tables.documents(spark, sf001)
+    val card = graft.queries.ExtQueries.sourceDataCard(spark, sf001)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(card.values.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    // quality_ppm replays the q29 flags per source
+    val qual = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("is_quality"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .collect().groupBy(_.getAs[String]("source"))
+    qual.foreach { case (s, rows) =>
+      val want = rows.map(_.getAs[Int]("is_quality").toLong).sum *
+        1000000L / rows.length
+      assert(card(s).getAs[Long]("quality_ppm") === want, s"source $s")
+    }
+    // majority language replays the q30 prediction per source
+    val lang = TextAnalysis.languageId(docs, "doc_id", "text")
+      .select(col("doc_id"), col("predicted_lang"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .collect().groupBy(_.getAs[String]("source"))
+    lang.foreach { case (s, rows) =>
+      val counts = rows.groupBy(_.getAs[String]("predicted_lang"))
+        .map { case (l, rs) => l -> rs.length }
+      val topByRule = counts.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      assert(card(s).getAs[String]("top_lang") === topByRule._1, s"source $s")
+      assert(card(s).getAs[Long]("top_lang_ppm") ===
+        topByRule._2.toLong * 1000000L / rows.length)
+    }
+    // dup rate: every source's dup_ppm is consistent with a direct
+    // within-source normalized-text group count
+    val dup = docs.select(col("source"),
+        md5(TextOps.normText(col("text"))).as("h"))
+      .groupBy("source", "h").count()
+      .collect().groupBy(_.getAs[String]("source"))
+    dup.foreach { case (s, rows) =>
+      val nd = rows.filter(_.getAs[Long]("count") > 1)
+        .map(_.getAs[Long]("count")).sum
+      val n = rows.map(_.getAs[Long]("count")).sum
+      assert(card(s).getAs[Long]("dup_ppm") === nd * 1000000L / n, s"source $s")
+    }
+  }
+
   test("qualityScore computes ratios and gates on stopword presence") {
     val good = (1 to 6).map(_ => "the cat sat on a mat").mkString(" ") // 36 tokens
     val bad = "x y z !!! ???"
