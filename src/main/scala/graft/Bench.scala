@@ -30,8 +30,12 @@ import org.apache.spark.sql.SparkSession
   * minimum either, which one lucky outlier run can set so low that
   * every later idle run reads as a 2× regression (q144's fate for a
   * round). Any query slower than 2× that baseline (and by more than
-  * 0.2s absolute, so sub-second noise can't trip it) lands in the
-  * `regressions` map (name → ratio) on BOTH json lines. The history
+  * 0.5s absolute, so sub-second noise can't trip it) is RE-RUN up to
+  * twice in the same JVM after the suite and re-judged on the min over
+  * all passes (the in-process analogue of graft.QTime isolation); only
+  * flags that survive re-measurement land in the `regressions` map
+  * (name → ratio) on BOTH json lines — refuted flags are preserved in
+  * `suspect_regressions`, never asserted. The history
   * file is seeded with the round-6 driver run; repeated idle runs
   * tighten the baseline toward the true steady-state floor, which is
   * the right direction — a loaded driver machine can inflate a run,
@@ -180,11 +184,48 @@ object Bench {
     // positives. A real regression on any query whose cost matters at
     // scale clears 0.5s; smaller drifts are still visible in
     // bench_history for cross-round reading.
-    val rawRegressions = results.collect {
-      case (name, Some(t))
-          if prior.get(name).exists(p => p > 0 && t > 2 * p && t - p > 0.5) =>
-        name -> t / prior(name)
+    def flagged(name: String, t: Double): Boolean =
+      prior.get(name).exists(p => p > 0 && t > 2 * p && t - p > 0.5)
+    // AUTO-ADJUDICATION of per-query flags (the rounds-8/9 blind spot:
+    // the official record twice shipped flags — q181 2.81x, q222 4.22x —
+    // that isolation runs later disproved; a transient load spike can
+    // straddle BOTH timed passes of one query while the run-total load
+    // gate below still passes). Any query whose min-of-2 clears the flag
+    // gate is re-run up to two more times in this same JVM, after the
+    // full suite (the in-process analogue of the graft.QTime isolation
+    // check), and its reported time becomes the min over ALL passes. A
+    // flag the re-runs refute is recorded in `suspect_regressions`
+    // (with its refuted ratio) instead of `regressions` — only flags
+    // that SURVIVE re-measurement are asserted.
+    val retryFlagged: Seq[String] = results.collect {
+      case (name, Some(t)) if flagged(name, t) => name
     }
+    val retryMin: Map[String, Double] = retryFlagged.flatMap { name =>
+      SparkEntry.queries.get(name).flatMap { fn =>
+        val times = (1 to 2).flatMap { _ =>
+          try {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => None }
+          finally spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
+        if (times.isEmpty) None else Some(name -> times.min)
+      }
+    }.toMap
+    val adjusted: Seq[(String, Option[Double])] = results.map {
+      case (name, Some(t)) if retryMin.contains(name) =>
+        name -> Some(math.min(t, retryMin(name)))
+      case other => other
+    }
+    val rawRegressions = adjusted.collect {
+      case (name, Some(t)) if flagged(name, t) => name -> t / prior(name)
+    }
+    // Flags the retry refuted: preserved as suspect, never asserted.
+    val retryRefuted = retryFlagged.filterNot(rawRegressions.map(_._1).contains)
+      .flatMap(n => adjusted.collectFirst {
+        case (`n`, Some(t)) if prior.contains(n) => n -> t / prior(n) })
     // LOAD GATE: a loaded bench machine inflates every query uniformly,
     // which the per-query 2x gate misreads as a wall of regressions (the
     // round-8 driver record carried 15 spurious >2x entries while the
@@ -192,8 +233,10 @@ object Bench {
     // idle box). Detector: against each recent history run, compare this
     // run's total over the SHARED query set (suite composition changes
     // across rounds, so whole-suite totals are not comparable) with that
-    // run's total over the same set; take the MEDIAN ratio over the last
-    // 10 comparable runs (>=50 shared queries each). A median ratio
+    // run's total over the same set; take the MEDIAN ratio over the
+    // comparable runs (>=50 shared queries each) among the last 10
+    // history lines — fewer than 10 ratios when some of those lines
+    // share too few queries. A median ratio
     // > 1.5 means the whole suite — not any one query — slowed, which no
     // single-query code change does: the run is load-suspect. Then:
     // per-query flags move to `suspect_regressions` (preserved, not
@@ -202,7 +245,7 @@ object Bench {
     // inflated run must never become a future baseline — the converse of
     // the "idle runs tighten the baseline" rule above).
     val currentByName: Map[String, Double] =
-      results.collect { case (k, Some(v)) => k -> v }.toMap
+      adjusted.collect { case (k, Some(v)) => k -> v }.toMap
     val loadRatio: Option[Double] = {
       val ratios = historyRuns.takeRight(10).flatMap { run =>
         val shared = run.keySet.intersect(currentByName.keySet)
@@ -217,7 +260,8 @@ object Bench {
     }
     val loadSuspect = loadRatio.exists(_ > 1.5)
     val regressions = if (loadSuspect) Nil else rawRegressions
-    val suspectRegressions = if (loadSuspect) rawRegressions else Nil
+    val suspectRegressions =
+      (if (loadSuspect) rawRegressions else Nil) ++ retryRefuted
     // Locale.ROOT: a comma-decimal default locale would print "2,13"
     // and corrupt both JSON lines.
     def ratioMapJson(m: Seq[(String, Double)]): String = m
@@ -227,21 +271,53 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val regJson = ratioMapJson(regressions)
-    val loadJson =
-      if (loadSuspect)
-        s""","load_suspect":true,"load_ratio_vs_history":${
-          String.format(java.util.Locale.ROOT, "%.2f",
-            Double.box(loadRatio.get))},"suspect_regressions":${
-          ratioMapJson(suspectRegressions)}"""
-      else ""
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
+    // Quarantined-run streak: consecutive trailing load-suspect runs at
+    // this sf (counting this one). One suspect run is machine load; a
+    // STREAK of >1.5x ratios across runs is how a real change to shared
+    // infrastructure (Tables.fanOut, session config, checkpoint posture)
+    // that slows the whole suite would present — the quarantine file
+    // preserves those runs (excluded from baselines) and the streak
+    // count is stamped into the official record so it gets escalated as
+    // a possible global regression instead of being permanently misfiled
+    // as load.
+    val quarantineFile = "bench_quarantine.jsonl"
+    val loadStreak: Int =
+      if (!loadSuspect) 0
+      else {
+        val priorStreak = try {
+          val src = scala.io.Source.fromFile(quarantineFile)
+          val lines = try src.getLines().toList finally src.close()
+          lines.reverse.takeWhile(_.contains("\"sf\":\"" + sfDir + "\"")).size
+        } catch { case _: Throwable => 0 }
+        priorStreak + 1
+      }
+    val loadJson = {
+      val retriedPart =
+        if (retryMin.nonEmpty)
+          retryMin.keys.toSeq.sorted
+            .map("\"" + _ + "\"").mkString(""","retried":[""", ",", "]")
+        else ""
+      val suspectPart =
+        if (suspectRegressions.nonEmpty)
+          s""","suspect_regressions":${ratioMapJson(suspectRegressions)}"""
+        else ""
+      val loadPart =
+        if (loadSuspect)
+          s""","load_suspect":true,"load_ratio_vs_history":${
+            String.format(java.util.Locale.ROOT, "%.2f",
+              Double.box(loadRatio.get))},"load_suspect_streak":$loadStreak""" +
+            (if (loadStreak >= 2) s""","global_slowdown_suspect":true""" else "")
+        else ""
+      retriedPart + suspectPart + loadPart
+    }
+    val qs = adjusted.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }
       .mkString("{", ",", "}")
-    val total = results.flatMap(_._2).sum
+    val total = adjusted.flatMap(_._2).sum
     val passTotals = Seq(pass1, pass2)
       .map(p => p.flatMap(_._2).sum).mkString("[", ",", "]")
-    val nQueries = results.size
+    val nQueries = adjusted.size
     // Full detail (per-query map + pass totals) only in the file; the
     // stdout line must stay well under the driver's ~4 KB tail capture.
     val fullLine =
@@ -254,16 +330,25 @@ object Bench {
     } catch { case _: Throwable => () }
     // Append this run's minima to the cross-round history (queries with
     // both passes failed are omitted — a null can't become a baseline).
-    // A load-suspect run is NOT appended: an inflated sample would both
-    // loosen future per-query baselines and skew the load gate's own
-    // median toward accepting the next loaded run.
+    // A load-suspect run is NOT appended to the baseline history (an
+    // inflated sample would both loosen future per-query baselines and
+    // skew the load gate's own median toward accepting the next loaded
+    // run) — it goes to the QUARANTINE file instead, with its ratio, so
+    // repeated suspect runs remain visible and escalatable.
+    val histLine =
+      s"""{"ts":${System.currentTimeMillis()},"cpus":"${jsonEscape(cpus)}","sf":"${jsonEscape(sfDir)}","queries":${
+        adjusted.collect { case (k, Some(v)) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")}}"""
     if (!loadSuspect) try {
-      val histLine =
-        s"""{"ts":${System.currentTimeMillis()},"cpus":"${jsonEscape(cpus)}","sf":"${jsonEscape(sfDir)}","queries":${
-          results.collect { case (k, Some(v)) => "\"" + k + "\":" + v }
-            .mkString("{", ",", "}")}}"""
       val w = new java.io.FileWriter(historyFile, true)
       try w.write(histLine + "\n") finally w.close()
+    } catch { case _: Throwable => () }
+    else try {
+      val qLine = histLine.dropRight(1) +
+        s""","load_ratio_vs_history":${String.format(java.util.Locale.ROOT,
+          "%.2f", Double.box(loadRatio.get))}}"""
+      val w = new java.io.FileWriter(quarantineFile, true)
+      try w.write(qLine + "\n") finally w.close()
     } catch { case _: Throwable => () }
     spark.stop()
     println(compactLine)

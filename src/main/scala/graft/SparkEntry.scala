@@ -251,6 +251,11 @@ object SparkEntry {
     "q229_local_clustering"   -> ((s, d) => Analytics.copurchaseLcc(s, d)),
     "q230_source_emb_sim"     -> ((s, d) => ExtQueries.sourceEmbeddingSimilarity(s, d)),
     "q231_source_data_card"   -> ((s, d) => ExtQueries.sourceDataCard(s, d)),
+    "q232_bpe_encode"         -> ((s, d) => ExtQueries.bpeEncode(s, d)),
+    "q233_ivf_pq_topk"        -> ((s, d) => ExtQueries.ivfAdcRetrieval(s, d)),
+    "q234_semantic_dedup_incr" -> ((s, d) => ExtQueries.semanticDedupIncremental(s, d)),
+    "q235_classifier_eval"    -> ((s, d) => ExtQueries.classifierEvalReport(s, d)),
+    "q236_kmeans_rounds"      -> ((s, d) => ExtQueries.kmeansConverged(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -581,6 +586,103 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, cell, score, CAST(rnk AS INT) AS rank
          |FROM rk WHERE rnk <= 3
          |ORDER BY query_id, rank""".stripMargin
+
+  /** q232 BPE encode: 6 unrolled merge rounds (generated). Each round
+    * picks the current frequency-weighted argmax adjacent symbol pair
+    * (ties by pair text) and merges leftmost-first non-overlapping via
+    * the run trick — a running match count splits runs, the run-min
+    * anchors even offsets. Mirrors graft.ext.Bpe.bpeSegment exactly. */
+  private lazy val bpeSql: String = {
+    val rounds = 6
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = if (r == 1) "s0" else s"s${r - 1}"
+      s"""p$r AS (SELECT w, pos, sym,
+         |         lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+         |       FROM $prev),
+         |b$r AS (SELECT a, b FROM (
+         |    SELECT p.sym AS a, p.nxt AS b, CAST(SUM(v.freq) AS BIGINT) AS cnt
+         |    FROM p$r p JOIN bvocab v USING (w)
+         |    WHERE p.nxt IS NOT NULL GROUP BY 1, 2) z
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |m$r AS (SELECT p.w, p.pos, p.sym, p.nxt,
+         |          COALESCE(p.sym = b.a AND p.nxt = b.b, false) AS is_match
+         |        FROM p$r p CROSS JOIN b$r b),
+         |m2$r AS (SELECT *, SUM(CASE WHEN is_match THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY w ORDER BY pos) AS mk FROM m$r),
+         |m3$r AS (SELECT *, pos - mk AS grp FROM m2$r),
+         |m4$r AS (SELECT *, MIN(CASE WHEN is_match THEN pos END)
+         |           OVER (PARTITION BY w, grp) AS rs FROM m3$r),
+         |m5$r AS (SELECT *, (is_match AND (pos - rs) % 2 = 0) AS applied
+         |         FROM m4$r),
+         |m6$r AS (SELECT *, COALESCE(lag(applied)
+         |           OVER (PARTITION BY w ORDER BY pos), false) AS absorbed
+         |         FROM m5$r),
+         |s$r AS (SELECT w,
+         |          row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
+         |          CASE WHEN applied THEN sym || nxt ELSE sym END AS sym
+         |        FROM m6$r WHERE NOT absorbed)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $nCte,
+       |bvocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(t, ' ')) AS w FROM n) z
+       |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+       |s0 AS (SELECT w, CAST(g AS BIGINT) AS pos,
+       |         substr(w, CAST(g + 1 AS INT), 1) AS sym
+       |       FROM (SELECT w, unnest(range(0, length(w))) AS g FROM bvocab) z),
+       |$roundCtes,
+       |seg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_pieces,
+       |          string_agg(sym, ' ' ORDER BY pos) AS segmentation
+       |        FROM s$rounds GROUP BY w)
+       |SELECT v.w AS word, v.freq, CAST(length(v.w) AS BIGINT) AS n_chars,
+       |       seg.n_pieces, CAST(v.freq * seg.n_pieces AS BIGINT) AS corpus_pieces,
+       |       seg.segmentation
+       |FROM bvocab v JOIN seg USING (w)
+       |ORDER BY freq DESC, word LIMIT 40""".stripMargin
+  }
+
+  /** q236 multi-round k-means: 4 unrolled Lloyd rounds (generated) in
+    * the q227 integer contract — e6 unit components, sign-split
+    * floor-mean recentering, exact-integer argmin reassignment; the
+    * `converged` flag compares the last two rounds' assignments.
+    * Mirrors graft.ext.Similarity.kmeansRounds exactly. */
+  private lazy val kmeansRoundsSql: String = {
+    val rounds = 4
+    val roundCtes = (1 to rounds).map { r =>
+      s"""c$r AS (SELECT a.cell, u.i,
+         |          CAST(CASE WHEN SUM(u.xe6) >= 0
+         |               THEN SUM(u.xe6) // COUNT(*)
+         |               ELSE -((-SUM(u.xe6)) // COUNT(*)) END AS BIGINT) AS ce6
+         |        FROM a${r - 1} a JOIN ku6 u ON a.vec_id = u.vec_id
+         |        GROUP BY 1, 2),
+         |d$r AS (SELECT u.vec_id, c.cell,
+         |          CAST(SUM((u.xe6 - c.ce6)*(u.xe6 - c.ce6)) AS BIGINT) AS d2
+         |        FROM ku6 u JOIN c$r c ON u.i = c.i GROUP BY 1, 2),
+         |a$r AS (SELECT vec_id, cell, d2 FROM (
+         |    SELECT vec_id, cell, d2, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d$r) z
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $embCte,
+       |kux AS (SELECT vec_id, label, unnest(emb) AS x,
+       |          unnest(range(0, len(emb))) AS i, nrm FROM nm),
+       |ku6 AS (SELECT vec_id, label, CAST(i AS INT) AS i,
+       |          CAST(round(x / nrm * 1000000, 0) AS BIGINT) AS xe6
+       |        FROM kux WHERE nrm > 0),
+       |a0 AS (SELECT DISTINCT vec_id, label AS cell FROM ku6),
+       |$roundCtes,
+       |mv AS (SELECT CAST(SUM(CASE WHEN p.cell <> a.cell THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_moved
+       |       FROM a${rounds - 1} p JOIN a$rounds a USING (vec_id))
+       |SELECT a.cell AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |       CAST(SUM(CASE WHEN p.cell <> a.cell THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_arrived,
+       |       CAST(SUM(a.d2) AS BIGINT) AS total_d2,
+       |       CAST(CASE WHEN mv.n_moved = 0 THEN 1 ELSE 0 END AS INT)
+       |         AS converged
+       |FROM a$rounds a JOIN a${rounds - 1} p USING (vec_id) CROSS JOIN mv
+       |GROUP BY a.cell, mv.n_moved
+       |ORDER BY cluster""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -5172,5 +5274,222 @@ object SparkEntry {
          |FROM base b JOIN ltop ON b.source = ltop.source
          |     JOIN dup ON b.source = dup.source
          |ORDER BY b.source""".stripMargin,
+
+    // Classifier eval harness: the q222 frozen-classifier chain joined
+    // against the 3-class integer rule label (fail-gate / passable /
+    // stop-ratio >= 0.12 prose); full confusion-matrix rows on a 3-row
+    // spine, P/R/F1 as exact floor ppm with the zero_division=0
+    // convention.
+    "q235_classifier_eval" ->
+      s"""WITH $nCte,
+         |$tokCte,
+         |hv AS (SELECT doc_id, ${fullHash("w")} AS h FROM tok WHERE w <> ''),
+         |bw AS (SELECT doc_id, CAST(h % 32 AS INT) AS bucket,
+         |              1 - 2*(((69069*h + 362437) % ${graft.ext.TextOps.HashP}) % 2) AS sgn
+         |       FROM hv),
+         |rawb AS (SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS raw
+         |         FROM bw GROUP BY doc_id, bucket HAVING SUM(sgn) <> 0),
+         |scq AS (SELECT doc_id,
+         |         CAST(SUM(raw * (((11*bucket + 5)  % 17) - 8)) AS BIGINT) AS logit_0,
+         |         CAST(SUM(raw * (((37 + 11*bucket + 5) % 17) - 8)) AS BIGINT) AS logit_1,
+         |         CAST(SUM(raw * (((74 + 11*bucket + 5) % 17) - 8)) AS BIGINT) AS logit_2
+         |       FROM rawb GROUP BY doc_id),
+         |p AS (SELECT doc_id,
+         |        CASE WHEN logit_0 >= logit_1 AND logit_0 >= logit_2 THEN 0
+         |             WHEN logit_1 >= logit_2 THEN 1 ELSE 2 END AS predicted
+         |      FROM scq),
+         |st AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |              COUNT(*) FILTER (w IN ('the','a','of','and','to','in'))
+         |                AS n_stop
+         |       FROM tok GROUP BY doc_id),
+         |lab AS (SELECT doc_id,
+         |          CASE WHEN NOT (n_tokens BETWEEN 10 AND 1000
+         |                         AND n_stop*20 >= n_tokens) THEN 0
+         |               WHEN n_stop*1000000//n_tokens >= ${graft.ext.TextAnalysis.RuleLabelStopPpm}
+         |                 THEN 2 ELSE 1 END AS class
+         |        FROM st),
+         |cells AS (SELECT lab.class, p.predicted, COUNT(*) AS cn
+         |          FROM lab JOIN p USING (doc_id) GROUP BY 1, 2),
+         |spine AS (SELECT CAST(unnest(range(0, 3)) AS INT) AS class),
+         |mrow AS (SELECT class,
+         |           CAST(COALESCE(SUM(cn) FILTER (predicted = 0), 0) AS BIGINT) AS pred_0,
+         |           CAST(COALESCE(SUM(cn) FILTER (predicted = 1), 0) AS BIGINT) AS pred_1,
+         |           CAST(COALESCE(SUM(cn) FILTER (predicted = 2), 0) AS BIGINT) AS pred_2
+         |         FROM cells GROUP BY class),
+         |pt AS (SELECT predicted AS class, CAST(SUM(cn) AS BIGINT) AS n_pred
+         |       FROM cells GROUP BY predicted),
+         |r2 AS (SELECT s.class,
+         |         COALESCE(pred_0, 0) AS pred_0, COALESCE(pred_1, 0) AS pred_1,
+         |         COALESCE(pred_2, 0) AS pred_2,
+         |         COALESCE(pred_0, 0) + COALESCE(pred_1, 0)
+         |           + COALESCE(pred_2, 0) AS n_true,
+         |         COALESCE(n_pred, 0) AS n_pred
+         |       FROM spine s LEFT JOIN mrow USING (class)
+         |            LEFT JOIN pt USING (class)),
+         |r3 AS (SELECT *, CASE class WHEN 0 THEN pred_0 WHEN 1 THEN pred_1
+         |                 ELSE pred_2 END AS tp FROM r2),
+         |r4 AS (SELECT *,
+         |         CASE WHEN n_pred = 0 THEN 0
+         |              ELSE tp*1000000//n_pred END AS precision_ppm,
+         |         CASE WHEN n_true = 0 THEN 0
+         |              ELSE tp*1000000//n_true END AS recall_ppm
+         |       FROM r3)
+         |SELECT class, pred_0, pred_1, pred_2, n_true, n_pred,
+         |       CAST(tp AS BIGINT) AS tp,
+         |       CAST(precision_ppm AS BIGINT) AS precision_ppm,
+         |       CAST(recall_ppm AS BIGINT) AS recall_ppm,
+         |       CAST(CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+         |            ELSE 2*precision_ppm*recall_ppm
+         |                 //(precision_ppm + recall_ppm) END AS BIGINT) AS f1_ppm
+         |FROM r4 ORDER BY class""".stripMargin,
+
+    // BPE encode: 6 unrolled merge rounds over the word vocabulary
+    // (generated — see bpeSql).
+    "q232_bpe_encode" -> bpeSql,
+
+    // IVFADC: the q49 IVF centroid probe restricting the q227 PQ ADC
+    // scoring to each query's 2 nearest cells; full-corpus exact top-5
+    // recall flag.
+    "q233_ivf_pq_topk" ->
+      s"""WITH $embCte,
+         |ex AS (SELECT label AS cell, g AS pos, CAST(embedding[g] AS DOUBLE) AS v
+         |       FROM (SELECT label, embedding, unnest(range(1, len(embedding)+1)) AS g
+         |             FROM embeddings) z),
+         |cs AS (SELECT cell, pos, CAST(SUM(CAST(ROUND(v*10000,0) AS BIGINT)) AS BIGINT) AS s,
+         |              COUNT(*) AS n
+         |       FROM ex GROUP BY cell, pos),
+         |cent AS (SELECT cell, LIST(CAST(s AS DOUBLE)/10000.0/n ORDER BY pos) AS centroid
+         |         FROM cs GROUP BY cell),
+         |cn AS (SELECT cell, centroid, sqrt(list_dot_product(centroid, centroid)) AS cnrm
+         |       FROM cent),
+         |qq AS (SELECT vec_id, emb, nrm FROM nm WHERE vec_id < 10),
+         |pr AS (SELECT q.vec_id AS query_id, cn.cell,
+         |              row_number() OVER (PARTITION BY q.vec_id
+         |                ORDER BY ROUND(list_dot_product(q.emb, cn.centroid)/(q.nrm*cn.cnrm), 4) DESC,
+         |                         cn.cell) AS prk
+         |       FROM qq q CROSS JOIN cn),
+         |probed AS (SELECT query_id, cell FROM pr WHERE prk <= 2),
+         |ux AS (SELECT vec_id, unnest(emb) AS x,
+         |              unnest(range(0, len(emb))) AS i, nrm FROM nm),
+         |u6 AS (SELECT vec_id, CAST(i // 2 AS INT) AS m,
+         |         CAST(i % 2 AS INT) AS j,
+         |         CASE WHEN nrm = 0.0 THEN 0
+         |              ELSE CAST(round(x / nrm * 1000000, 0) AS BIGINT)
+         |         END AS xe6
+         |       FROM ux),
+         |b0 AS (SELECT CAST(vec_id AS INT) AS aid, m, j, xe6 AS ce6
+         |       FROM u6 WHERE vec_id < 64),
+         |d1 AS (SELECT u6.vec_id AS nid, u6.m, b0.aid,
+         |         CAST(SUM((u6.xe6 - b0.ce6)*(u6.xe6 - b0.ce6))
+         |           AS BIGINT) AS d2
+         |       FROM u6 JOIN b0 ON u6.m = b0.m AND u6.j = b0.j
+         |       GROUP BY 1, 2, 3),
+         |a1 AS (SELECT nid, m, aid FROM (
+         |    SELECT nid, m, aid, row_number() OVER (
+         |      PARTITION BY nid, m ORDER BY d2, aid) AS rn
+         |    FROM d1) z WHERE rn = 1),
+         |book AS (SELECT a1.aid, a1.m, u6.j,
+         |           CAST(CASE WHEN SUM(u6.xe6) >= 0
+         |                THEN SUM(u6.xe6) // COUNT(*)
+         |                ELSE -((-SUM(u6.xe6)) // COUNT(*)) END
+         |             AS BIGINT) AS ce6
+         |         FROM a1 JOIN u6 ON a1.nid = u6.vec_id AND a1.m = u6.m
+         |         GROUP BY 1, 2, 3),
+         |dist AS (SELECT u6.vec_id AS neighbor_id, u6.m, book.aid,
+         |           CAST(SUM((u6.xe6 - book.ce6)*(u6.xe6 - book.ce6))
+         |             AS BIGINT) AS d2
+         |         FROM u6 JOIN book ON u6.m = book.m AND u6.j = book.j
+         |         GROUP BY 1, 2, 3),
+         |codes AS (SELECT neighbor_id, m, aid FROM (
+         |    SELECT neighbor_id, m, aid, row_number() OVER (
+         |      PARTITION BY neighbor_id, m ORDER BY d2, aid) AS rn
+         |    FROM dist) z WHERE rn = 1),
+         |lut AS (SELECT u6.vec_id AS query_id, u6.m, book.aid,
+         |          CAST(SUM(u6.xe6 * book.ce6) AS BIGINT) AS pdot
+         |        FROM u6 JOIN book ON u6.m = book.m AND u6.j = book.j
+         |        WHERE u6.vec_id < 10
+         |        GROUP BY 1, 2, 3),
+         |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id, c.label AS cell
+         |         FROM probed p JOIN nm c ON c.label = p.cell
+         |         WHERE c.vec_id <> p.query_id),
+         |sc AS (SELECT cand.query_id, cand.neighbor_id, cand.cell,
+         |         CAST(SUM(lut.pdot) AS BIGINT) AS pq_dot
+         |       FROM cand JOIN codes ON codes.neighbor_id = cand.neighbor_id
+         |            JOIN lut ON lut.query_id = cand.query_id
+         |                    AND lut.m = codes.m AND lut.aid = codes.aid
+         |       GROUP BY 1, 2, 3),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY pq_dot DESC, neighbor_id) AS rnk FROM sc),
+         |eq AS (SELECT * FROM nm WHERE vec_id < 10),
+         |esc AS (SELECT eq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |          CASE WHEN eq.nrm * c.nrm = 0.0 THEN 0.0
+         |               ELSE ROUND(list_dot_product(eq.emb, c.emb)
+         |                          /(eq.nrm*c.nrm), 4) END AS score
+         |        FROM nm c CROSS JOIN eq WHERE c.vec_id <> eq.vec_id),
+         |erk AS (SELECT query_id, neighbor_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY score DESC, neighbor_id) AS rnk
+         |        FROM esc)
+         |SELECT rk.query_id, CAST(rk.rnk AS INT) AS rank, rk.neighbor_id,
+         |       rk.cell, rk.pq_dot,
+         |       CAST(CASE WHEN erk.neighbor_id IS NULL THEN 0 ELSE 1 END
+         |         AS INT) AS in_exact_topk
+         |FROM rk LEFT JOIN (SELECT * FROM erk WHERE rnk <= 5) erk
+         |  ON rk.query_id = erk.query_id AND rk.neighbor_id = erk.neighbor_id
+         |WHERE rk.rnk <= 5
+         |ORDER BY rk.query_id, rank""".stripMargin,
+
+    // Incremental semantic dedup: even-id persisted state, odd-id
+    // batch; q221's buckets + 4-dp verified cosine, batch-side probes
+    // only, keep-first within the batch.
+    "q234_semantic_dedup_incr" ->
+      s"""WITH $embCte,
+         |bk AS (SELECT vec_id, emb, nrm,
+         |    (CASE WHEN list_dot_product(emb, ${planeLit(0)}::DOUBLE[]) > 0 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(emb, ${planeLit(1)}::DOUBLE[]) > 0 THEN 2 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(emb, ${planeLit(2)}::DOUBLE[]) > 0 THEN 4 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(emb, ${planeLit(3)}::DOUBLE[]) > 0 THEN 8 ELSE 0 END) AS bucket
+         |  FROM nm),
+         |sts AS (SELECT * FROM bk WHERE vec_id % 2 = 0),
+         |bat AS (SELECT * FROM bk WHERE vec_id % 2 = 1),
+         |sb AS (SELECT * FROM (
+         |    SELECT b.vec_id AS vid, s.vec_id AS other,
+         |           ROUND(list_dot_product(b.emb, s.emb)/(b.nrm*s.nrm), 4) AS cos,
+         |           1 AS from_state
+         |    FROM bat b JOIN sts s ON b.bucket = s.bucket) z
+         |  WHERE cos >= 0.40),
+         |bb AS (SELECT * FROM (
+         |    SELECT b.vec_id AS vid, o.vec_id AS other,
+         |           ROUND(list_dot_product(b.emb, o.emb)/(b.nrm*o.nrm), 4) AS cos,
+         |           0 AS from_state
+         |    FROM bat b JOIN bat o ON b.bucket = o.bucket
+         |                         AND o.vec_id < b.vec_id) z
+         |  WHERE cos >= 0.40),
+         |m AS (SELECT vid, other, CAST(round(cos*10000, 0) AS BIGINT) AS cos_e4,
+         |             from_state
+         |      FROM sb
+         |      UNION ALL
+         |      SELECT vid, other, CAST(round(cos*10000, 0) AS BIGINT), from_state
+         |      FROM bb),
+         |ag AS (SELECT vid, CAST(SUM(from_state) AS BIGINT) AS n_dup_state,
+         |              CAST(SUM(1 - from_state) AS BIGINT) AS n_dup_batch
+         |       FROM m GROUP BY vid),
+         |best AS (SELECT vid, other AS best_match, cos_e4 AS best_cos_e4 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vid
+         |      ORDER BY cos_e4 DESC, other) AS rn FROM m) z
+         |  WHERE rn = 1)
+         |SELECT b.vec_id,
+         |       COALESCE(ag.n_dup_state, 0) AS n_dup_state,
+         |       COALESCE(ag.n_dup_batch, 0) AS n_dup_batch,
+         |       best.best_match, best.best_cos_e4,
+         |       CAST(CASE WHEN best.vid IS NULL THEN 0 ELSE 1 END AS INT)
+         |         AS dropped
+         |FROM bat b LEFT JOIN ag ON ag.vid = b.vec_id
+         |     LEFT JOIN best ON best.vid = b.vec_id
+         |ORDER BY vec_id""".stripMargin,
+
+    // Multi-round k-means: 4 unrolled Lloyd rounds with convergence
+    // certificate (generated — see kmeansRoundsSql).
+    "q236_kmeans_rounds" -> kmeansRoundsSql,
   )
 }

@@ -384,25 +384,9 @@ object Similarity {
           "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("qdot"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("qdot"), col("neighbor_id"))
-    // Exact float baseline for the recall flag — the bruteTopK shape
-    // with the same zero-norm guard as the codes (cosine 0 by
-    // convention), so a degenerate vector can't ANSI-fault the divide.
-    val qe = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
-      l2norm(col(embCol)).as("q_nrm"))
-    val ce = graft.model.Tables.fanOut(corpus)
-      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
-        l2norm(col(embCol)).as("c_nrm"))
-    val ew = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("score"), col("neighbor_id"))
-    val exact = ce.crossJoin(broadcast(qe))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        when(col("q_nrm") * col("c_nrm") === 0.0, lit(0.0))
-          .otherwise(round(dot(col("q_emb"), col("c_emb")) /
-            (col("q_nrm") * col("c_nrm")), 4)).as("score"))
-      .withColumn("rank", row_number().over(ew))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    // Exact float baseline for the recall flag — exactTopKFlags shares
+    // the zero-norm guard, so a degenerate vector can't ANSI-fault.
+    val exact = exactTopKFlags(corpus, queries, idCol, embCol, k)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .join(broadcast(exact), Seq("query_id", "neighbor_id"), "left")
@@ -442,9 +426,41 @@ object Similarity {
     * codes to the LUT on (subspace, code) keys and rolls up per
     * (query, vector) — no float dot per pair anywhere, no cross
     * product beyond the bounded LUT side. */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-             embCol: String, k: Int, dim: Int = 64, nSub: Int = 32,
-             nCent: Int = 64): DataFrame = {
+  /** Exact float top-k winner set as (query_id, neighbor_id, hit=1)
+    * rows — the recall readout the quantized tiers (q187 int8, q227
+    * PQ, q233 IVFADC) flag their hits against. The bruteTopK shape
+    * with the zero-norm guard (cosine 0 by convention) so a
+    * degenerate vector can't ANSI-fault the divide. */
+  private def exactTopKFlags(corpus: DataFrame, queries: DataFrame,
+                             idCol: String, embCol: String,
+                             k: Int): DataFrame = {
+    val qe = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+      l2norm(col(embCol)).as("q_nrm"))
+    val ce = graft.model.Tables.fanOut(corpus)
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
+        l2norm(col(embCol)).as("c_nrm"))
+    val ew = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), col("neighbor_id"))
+    ce.crossJoin(broadcast(qe))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("q_nrm") * col("c_nrm") === 0.0, lit(0.0))
+          .otherwise(round(dot(col("q_emb"), col("c_emb")) /
+            (col("q_nrm") * col("c_nrm")), 4)).as("score"))
+      .withColumn("rank", row_number().over(ew))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+  }
+
+  /** The PQ machinery shared by [[pqTopK]] and [[ivfPqTopK]]: the
+    * deterministic Lloyd-refined codebook, the corpus codes
+    * (neighbor_id, m, aid), and the per-query ADC lookup table
+    * (query_id, m, aid, pdot) — exactly the q227 construction, shared
+    * verbatim so the IVF composition scores with the identical
+    * codebook. */
+  private def pqCodesAndLut(corpus: DataFrame, queries: DataFrame,
+                            idCol: String, embCol: String, dim: Int,
+                            nSub: Int, nCent: Int): (DataFrame, DataFrame) = {
     require(dim % nSub == 0, s"nSub $nSub must divide dim $dim")
     val sw = dim / nSub
     def unitE6(df: DataFrame, outId: String): DataFrame = df
@@ -486,6 +502,14 @@ object Similarity {
       .join(broadcast(book), Seq("m", "j"))
       .groupBy(col("query_id"), col("m"), col("aid"))
       .agg(sum(col("xe6") * col("ce6")).as("pdot"))
+    (codes, lut)
+  }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             embCol: String, k: Int, dim: Int = 64, nSub: Int = 32,
+             nCent: Int = 64): DataFrame = {
+    val (codes, lut) =
+      pqCodesAndLut(corpus, queries, idCol, embCol, dim, nSub, nCent)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("pq_dot"), col("neighbor_id"))
     val scored = codes.join(broadcast(lut), Seq("m", "aid"))
@@ -493,22 +517,7 @@ object Similarity {
       .groupBy("query_id", "neighbor_id")
       .agg(sum("pdot").as("pq_dot"))
     // exact float top-k flag — the q187 recall readout
-    val qe = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
-      l2norm(col(embCol)).as("q_nrm"))
-    val ce = graft.model.Tables.fanOut(corpus)
-      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
-        l2norm(col(embCol)).as("c_nrm"))
-    val ew = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("score"), col("neighbor_id"))
-    val exact = ce.crossJoin(broadcast(qe))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        when(col("q_nrm") * col("c_nrm") === 0.0, lit(0.0))
-          .otherwise(round(dot(col("q_emb"), col("c_emb")) /
-            (col("q_nrm") * col("c_nrm")), 4)).as("score"))
-      .withColumn("rank", row_number().over(ew))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    val exact = exactTopKFlags(corpus, queries, idCol, embCol, k)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .join(broadcast(exact), Seq("query_id", "neighbor_id"), "left")
@@ -518,10 +527,68 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs within a coarse partition key
-    * (here: a label/cluster column — the IVF idea: only intra-bucket pairs
-    * are candidates, so the self-join is equi on the bucket key instead of
-    * a full cross product). */
+  /** IVFADC — the Jégou–Douze–Schmid COMPOSITION of the two scale
+    * tiers this suite proves separately: the q49-style IVF coarse
+    * quantizer restricts each query's candidates to its `nprobe`
+    * nearest cells (by rounded centroid cosine, the [[ivfTopK]]
+    * probe), and within those cells candidates are scored by the q227
+    * PQ asymmetric-distance lookup — the actual billion-vector serving
+    * shape (cell lists bound the scan, 32 one-byte codes per vector
+    * bound the memory, the LUT bounds the per-candidate cost to nSub
+    * adds). The codebook, codes and LUT are [[pqCodesAndLut]] verbatim
+    * — IVF changes WHICH vectors are scored, never HOW, so the
+    * composition's scores are value-identical to q227's on the shared
+    * candidates, and everything stays exact-integer oracle-checkable.
+    * Each hit carries the full-corpus exact-float top-k flag (recall
+    * against the unrestricted scan — measuring what BOTH restrictions
+    * cost together).
+    *
+    * Scale shape: probing is queries × broadcast(k cells); the
+    * candidate list is an equi join on the cell id (bounded by the
+    * probed cells' sizes, never the corpus); scoring joins candidate
+    * codes to the BROADCAST LUT on (query, subspace, centroid) integer
+    * keys — no cross product, no float dot per pair, nothing
+    * corpus-wide after the one coding pass PQ already pays. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                embCol: String, cellCol: String, k: Int, nprobe: Int = 2,
+                dim: Int = 64, nSub: Int = 32, nCent: Int = 64): DataFrame = {
+    val cents = cellCentroids(corpus, cellCol, embCol)
+      .withColumn("cnrm", sqrt(dotD(col("centroid"), col("centroid"))))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+      l2norm(col(embCol)).as("q_nrm"))
+    val probeScore = round(
+      dotD(col("q_emb").cast("array<double>"), col("centroid")) /
+        (col("q_nrm") * col("cnrm")), 4)
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cscore"), col("cell"))
+    val probed = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cell"), probeScore.as("cscore"))
+      .withColumn("prk", row_number().over(pw))
+      .filter(col("prk") <= nprobe)
+      .select("query_id", "cell")
+    val (codes, lut) =
+      pqCodesAndLut(corpus, queries, idCol, embCol, dim, nSub, nCent)
+    val cand = graft.model.Tables.fanOut(corpus)
+      .select(col(cellCol).as("cell"), col(idCol).as("neighbor_id"))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val scored = codes.join(cand, Seq("neighbor_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "aid"))
+      .groupBy("query_id", "neighbor_id", "cell")
+      .agg(sum("pdot").as("pq_dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("pq_dot"), col("neighbor_id"))
+    val exact = exactTopKFlags(corpus, queries, idCol, embCol, k)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(broadcast(exact), Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("cell"),
+        col("pq_dot").cast("long").as("pq_dot"),
+        coalesce(col("hit"), lit(0)).as("in_exact_topk"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-label SILHOUETTE quality of an embedding clustering — the
     * standard "are these clusters real" diagnostic, made one-pass and
     * integer-exact. The classic definition needs all-pairs distances;
@@ -535,7 +602,11 @@ object Similarity {
     *
     * Parity contract: unit vectors are quantized ONCE to integer e6
     * components (round(x̂·10⁶)); every sum, dot and self-dot after that
-    * is exact integer arithmetic, and each division is a SIGN-SPLIT
+    * is exact integer arithmetic — the label sum vectors and the
+    * vector-to-label-sum dots accumulate in DECIMAL(38,0) (|dot| is
+    * bounded by 64·10⁶·n_l·10⁶, which would wrap a LONG at n_l ≳ 1.4e5
+    * vectors per label; DECIMAL(38,0) holds to n_l ≈ 10²⁵, matching the
+    * DuckDB oracle's HUGEINT accumulation) — and each division is a SIGN-SPLIT
     * floor division (|num| div den, sign reapplied) so negative
     * means/silhouettes round toward zero identically on both engines.
     * Output values are e12 (means) and ppm (silhouette) fixed-point.
@@ -557,14 +628,14 @@ object Similarity {
         round(col("x") / col("nrm") * 1e6, 0).cast("long").as("xe6"))
       .localCheckpoint() // read 3×: label sums, self-dots, dot join
     val sums = unit.groupBy(col("lbl").as("l2"), col("i"))
-      .agg(sum("xe6").as("s"))
+      .agg(sum(expr("CAST(xe6 AS DECIMAL(38,0))")).as("s"))
     val nL = unit.select("vid", "lbl").distinct()
       .groupBy(col("lbl").as("l2")).agg(count(lit(1)).as("n_l"))
     val selfDot = unit.groupBy("vid")
       .agg(sum(col("xe6") * col("xe6")).as("sd"))
     val dots = unit.join(broadcast(sums), Seq("i"))
       .groupBy(col("vid"), col("lbl"), col("l2"))
-      .agg(sum(col("xe6") * col("s")).as("dot"))
+      .agg(sum(expr("CAST(xe6 AS DECIMAL(38,0)) * s")).as("dot"))
     val m = dots
       .join(broadcast(nL), Seq("l2"))
       .join(selfDot, Seq("vid"))
@@ -651,6 +722,90 @@ object Similarity {
       .orderBy("source_a", "source_b")
   }
 
+  /** MULTI-ROUND k-means with a convergence certificate (q236) — the
+    * q76 single Lloyd step extended to `rounds` FIXED rounds (the
+    * q223/q225 fixed-round oracle contract: both engines run the same
+    * R rounds; the oracle unrolls them as CTEs), using the q227
+    * integer recentering: unit vectors quantize ONCE to e6 integer
+    * components, each round recomputes per-(cluster, dim) centroids as
+    * the SIGN-SPLIT floor-mean of the members and reassigns every
+    * vector to the argmin exact-integer squared distance (ties to the
+    * smallest cluster id). `converged` certifies a true fixpoint the
+    * q223 way: 1 iff NO vector changed cluster between rounds R−1 and
+    * R — a caller sees "k-means finished" vs "R rounds weren't enough"
+    * in the result itself, never silently.
+    *
+    * Output: one row per surviving cluster — member count, arrivals in
+    * the last round, total squared distance (e6² units, the inertia
+    * readout vs the round-R centroids), and the global `converged`
+    * flag. Clusters reassignment empties simply stop appearing (the
+    * standard empty-cluster drop).
+    *
+    * Scale shape: the exploded unit relation is staged ONCE
+    * (localCheckpoint) and each round is (a) one (cluster, dim)-keyed
+    * partial-agg'd shuffle producing a k·dim centroid table that
+    * BROADCASTS, (b) one dim-keyed join computing every (vector,
+    * cluster) distance in a single pass, (c) one vector-keyed argmin —
+    * per-round assignment lineage is cut so R rounds never grow the
+    * plan. Squared-distance sums are bounded by 64·(2·10⁶)² ≈ 2.6e14
+    * — exact in LONG at any corpus size (per-vector, not corpus,
+    * bounded). */
+  def kmeansRounds(corpus: DataFrame, idCol: String, embCol: String,
+                   seedCol: String, rounds: Int = 4): DataFrame = {
+    require(rounds >= 2, s"need >= 2 rounds for a convergence readout, got $rounds")
+    val unit = corpus
+      .select(col(idCol).as("vid"), col(seedCol).as("c0"),
+        col(embCol).as("e"), l2norm(col(embCol)).as("nrm"))
+      .filter(col("nrm") > 0)
+      .select(col("vid"), col("c0"), posexplode(col("e")).as(Seq("i", "x")),
+        col("nrm"))
+      .select(col("vid"), col("c0"), col("i"),
+        round(col("x") / col("nrm") * 1e6, 0).cast("long").as("xe6"))
+      .localCheckpoint() // read by every round's centroid + distance legs
+    var asg = unit.select(col("vid"), col("c0").as("cell")).distinct()
+      .localCheckpoint()
+    var prevAsg = asg
+    for (_ <- 1 to rounds) {
+      val cents = unit.join(asg, Seq("vid"))
+        .groupBy(col("cell"), col("i"))
+        .agg(sum("xe6").as("sx"), count(lit(1)).as("n"))
+        .select(col("cell"), col("i"),
+          when(col("sx") >= 0, expr("sx div n"))
+            .otherwise(-expr("(-sx) div n")).as("ce6"))
+      val d = unit.join(broadcast(cents), Seq("i"))
+        .groupBy(col("vid"), col("cell"))
+        .agg(sum((col("xe6") - col("ce6")) * (col("xe6") - col("ce6")))
+          .as("d2"))
+      prevAsg = asg
+      asg = d.groupBy("vid")
+        .agg(min_by(struct(col("cell"), col("d2")),
+          struct(col("d2"), col("cell"))).as("w"))
+        .select(col("vid"), col("w.cell").as("cell"), col("w.d2").as("d2"))
+        .localCheckpoint() // per-round lineage cut; read by next round + report
+    }
+    val moved = prevAsg.select(col("vid"), col("cell").as("prev_cell"))
+      .join(asg.select("vid", "cell"), Seq("vid"))
+      .agg(sum(when(col("prev_cell") =!= col("cell"), 1L).otherwise(0L))
+        .as("n_moved"))
+    prevAsg.select(col("vid"), col("cell").as("prev_cell"))
+      .join(asg.select("vid", "cell", "d2"), Seq("vid"))
+      .groupBy(col("cell").as("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("prev_cell") =!= col("cell"), 1L).otherwise(0L))
+          .as("n_arrived"),
+        sum("d2").as("total_d2"))
+      .crossJoin(broadcast(moved))
+      .select(col("cluster"), col("n_members").cast("long").as("n_members"),
+        col("n_arrived").cast("long").as("n_arrived"),
+        col("total_d2").cast("long").as("total_d2"),
+        when(col("n_moved") === 0, 1).otherwise(0).cast("int").as("converged"))
+      .orderBy("cluster")
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a coarse partition key
+    * (here: a label/cluster column — the IVF idea: only intra-bucket pairs
+    * are candidates, so the self-join is equi on the bucket key instead of
+    * a full cross product). */
   def nearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
                    bucketColName: String, threshold: Double): DataFrame = {
     val fanned = graft.model.Tables.fanOut(corpus)

@@ -733,4 +733,96 @@ object TextAnalysis {
           .as("entropy_micro"))
       .orderBy("doc_id")
   }
+
+  /** Stop-ratio ppm threshold splitting rule-label class 1 from class 2
+    * in [[ruleQualityLabel]] — 0.12 splits the quality population's
+    * stopword-ratio tail at every test scale factor. */
+  val RuleLabelStopPpm = 120000L
+
+  /** THREE-class rule-based quality label — the [[qualityScore]] gate
+    * refined into the label space of the frozen [[qualityClassifier]]:
+    * class 0 = fails the q29 gate (bad), class 2 = passes with a
+    * stopword ratio ≥ 0.12 (natural prose), class 1 = the rest
+    * (passable). A deterministic rule label is what a frozen classifier
+    * is evaluated AGAINST when no human labels exist — the standard
+    * weak-supervision eval loop. Exact integer thresholds (floor-ppm
+    * ratio), zero shuffles beyond the doc-keyed token rollup. */
+  def ruleQualityLabel(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val t = normText(col(textCol))
+    val toks = tokens(t)
+    val nTokens = size(toks).cast("long")
+    val nStop = size(filter(toks, w => w.isInCollection(Stopwords))).cast("long")
+    docs.select(col(idCol).as("doc_id"), nTokens.as("n_tokens"),
+        nStop.as("n_stop"))
+      .select(col("doc_id"),
+        when(!(col("n_tokens").between(10, 1000) &&
+          col("n_stop") * 20 >= col("n_tokens")), 0)
+          .when(expr("n_stop * 1000000 div n_tokens") >= RuleLabelStopPpm, 2)
+          .otherwise(1).cast("int").as("label"))
+  }
+
+  /** CLASSIFIER EVALUATION harness (q235) — the confusion matrix and
+    * per-class precision/recall/F1 of the frozen [[qualityClassifier]]
+    * measured against the [[ruleQualityLabel]] rule gate, closing the
+    * eval loop the way q105 closed ANN recall: q222 produces classes,
+    * this measures them. One row per TRUE class c carrying the full
+    * matrix row (docs of class c predicted as 0/1/2), the class totals,
+    * and P/R/F1 as exact floor ppm — precision = tp·10⁶ div n_pred,
+    * recall = tp·10⁶ div n_true, F1 = 2·p·r div (p+r), each 0 when its
+    * denominator is 0 (the sklearn zero_division=0 convention). All
+    * numerators nonnegative, so floor division needs no sign split.
+    *
+    * Scale shape: predictions and labels are both doc-keyed single-pass
+    * rollups over the same scan; the join is doc-keyed; the matrix agg
+    * collapses to |classes|² cells, and the per-class report rides a
+    * 3-row spine (every class surfaces even with zero support). */
+  def classifierEval(docs: DataFrame, idCol: String, textCol: String,
+                     nClasses: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pred = qualityClassifier(docs, idCol, textCol, nClasses = nClasses)
+      .select(col("doc_id"), col("predicted"))
+    val lab = ruleQualityLabel(docs, idCol, textCol)
+    val cells = lab.join(pred, Seq("doc_id"))
+      .groupBy("label", "predicted").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // |classes|² rows; read for matrix rows AND column totals
+    val predTot = cells.groupBy(col("predicted").as("class"))
+      .agg(sum("n").as("n_pred"))
+    val spine = (0 until nClasses).toDF("class")
+    val matrixRow = (0 until nClasses).map(p =>
+      coalesce(sum(when(col("predicted") === p, col("n"))), lit(0L))
+        .as(s"pred_$p"))
+    val rows = cells.groupBy(col("label").as("class"))
+      .agg(matrixRow.head, matrixRow.tail: _*)
+      .withColumn("n_true",
+        (0 until nClasses).map(p => col(s"pred_$p")).reduce(_ + _))
+    spine.join(broadcast(rows), Seq("class"), "left")
+      .join(broadcast(predTot), Seq("class"), "left")
+      .select(col("class") +:
+        (0 until nClasses).map(p =>
+          coalesce(col(s"pred_$p"), lit(0L)).as(s"pred_$p")) :+
+        coalesce(col("n_true"), lit(0L)).as("n_true") :+
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"): _*)
+      .withColumn("tp",
+        (0 until nClasses).map(p =>
+          when(col("class") === p, col(s"pred_$p"))).reduce(coalesce(_, _)))
+      .withColumn("precision_ppm",
+        when(col("n_pred") === 0, 0L)
+          .otherwise(expr("tp * 1000000 div n_pred")))
+      .withColumn("recall_ppm",
+        when(col("n_true") === 0, 0L)
+          .otherwise(expr("tp * 1000000 div n_true")))
+      .withColumn("f1_ppm",
+        when(col("precision_ppm") + col("recall_ppm") === 0, 0L)
+          .otherwise(expr(
+            "2 * precision_ppm * recall_ppm div (precision_ppm + recall_ppm)")))
+      .select(col("class") +:
+        (0 until nClasses).map(p => col(s"pred_$p")) :+
+        col("n_true") :+ col("n_pred") :+ col("tp").cast("long").as("tp") :+
+        col("precision_ppm").cast("long").as("precision_ppm") :+
+        col("recall_ppm").cast("long").as("recall_ppm") :+
+        col("f1_ppm").cast("long").as("f1_ppm"): _*)
+      .orderBy("class")
+  }
 }

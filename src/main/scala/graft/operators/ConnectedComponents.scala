@@ -54,6 +54,14 @@ object ConnectedComponents {
       labels = updated.select(col("node"), col("new_label").as("label"))
       i += 1
     }
+    // Fail LOUDLY if the iteration cap cut convergence short: a silent
+    // exit would leave non-min labels (a deep duplicate-of-a-duplicate
+    // chain exceeding maxIter rounds), silently diverging from any
+    // full-reachability oracle. Callers with genuinely deep components
+    // should use [[alternatingStar]] (O(log² diameter) rounds) instead.
+    if (changed > 0) throw new IllegalStateException(
+      s"labelPropagation did not converge in $maxIter rounds " +
+        s"($changed labels still changing); use alternatingStar for deep components")
     labels
   }
 

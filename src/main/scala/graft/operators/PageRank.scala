@@ -88,7 +88,7 @@ object PageRank {
       .select(col("u"), coalesce(col("s"), lit(0L)).as("is_seed"))
       .localCheckpoint() // read every round for the teleport term
     var r = base.select(col("u"), (col("is_seed") * Scale).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ed.join(r, Seq("u"))
         .select(col("v"), expr("r * 85 div (100 * deg)").as("c"))
         .groupBy(col("v").as("u"))
@@ -97,6 +97,12 @@ object PageRank {
         .select(col("u"),
           (col("is_seed") * lit(15L * Scale / 100L) +
             coalesce(col("cs"), lit(0L))).as("r"))
+      // Cut the evolving rank relation's lineage every 3 rounds (the
+      // corenessHIndex cadence): each round re-chains a join+agg onto
+      // r's plan, so a high-iters caller would otherwise hit
+      // plan-growth/analysis blowup even though each round's work is
+      // constant. base/ed are already checkpointed once above.
+      if (i % 3 == 0 && i < iters) r = r.localCheckpoint()
     }
     deg.join(base, Seq("u")).join(r, Seq("u"))
       .select(col("u").as("node"), col("deg").as("degree"),

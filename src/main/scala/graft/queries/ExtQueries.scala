@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Multimodal, Retrieval, Sampling, Similarity, TextAnalysis, TextClean, TextDedup, TextOps}
+import graft.ext.{Bpe, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis, TextClean, TextDedup, TextOps}
 import graft.model.Tables
 
 /** Oracle-checked query wrappers for the LLM-data-pipeline extension
@@ -969,9 +969,9 @@ object ExtQueries {
 
   /** Product-quantization retrieval (q227): the q37 query set ranked by
     * PQ asymmetric-distance scores ([[graft.ext.Similarity.pqTopK]] —
-    * 8 subspaces × 16-entry deterministic codebook = 8 bytes/vector
-    * stored, 16× smaller than float32), each hit flagged against the
-    * exact float top-5. */
+    * 32 subspaces × 64-entry deterministic codebook = 32 one-byte codes
+    * per vector stored, 8× smaller than float32), each hit flagged
+    * against the exact float top-5. */
   def pqRetrieval(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
@@ -1227,4 +1227,100 @@ object ExtQueries {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy("doc_id")
   }
+
+  /** Classifier evaluation harness (q235): confusion matrix and
+    * per-class precision/recall/F1 (exact floor ppm) of the q222
+    * frozen-weight classifier against the 3-class
+    * [[graft.ext.TextAnalysis.ruleQualityLabel]] rule gate — the eval
+    * loop that turns "the classifier produces classes" into "and here
+    * is how well they track the rule labels". */
+  def classifierEvalReport(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.classifierEval(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** BPE encode (q232): six fixed merge rounds over the corpus word
+    * vocabulary via [[graft.ext.Bpe.bpeSegment]] — the top-40 words by
+    * frequency with their learned segmentations and corpus-weighted
+    * piece counts. Closes the tokenizer archetype q112 only proxies. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    Bpe.bpeSegment(Tables.documents(spark, dir), "doc_id", "text",
+      rounds = 6, topWords = 40)
+
+  /** IVFADC retrieval (q233): the q227 PQ asymmetric-distance scoring
+    * run INSIDE the q49-style IVF cell restriction
+    * ([[graft.ext.Similarity.ivfPqTopK]]) — the billion-vector serving
+    * composition, each hit recall-flagged against the unrestricted
+    * exact top-5. */
+  def ivfAdcRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+      "embedding", "label", k = 5, nprobe = 2)
+  }
+
+  /** INCREMENTAL semantic dedup (q234) — the q124/q125 differential
+    * pattern applied to q221's SemDeDup: the even-id half of the
+    * embeddings table is the PERSISTED bucketed state, the odd half
+    * arrives as the daily batch, and only batch buckets are probed —
+    * against the state (any state match dedups the new doc) and
+    * batch-internally (the earlier-arriving, smaller-id doc wins, the
+    * q124 keep-first rule). Per NEW doc: state/batch duplicate counts,
+    * the best match (highest verified cosine, ties to the smallest id)
+    * and the drop decision — the operating readout of a daily delta at
+    * 100 TB, where full-corpus reclustering (q221) is the weekly job
+    * and this is the per-batch one.
+    *
+    * Scale shape: buckets are computed scan-side on the BATCH only
+    * (the state's are persisted); pair volume is Σ per-bucket
+    * |batch|·|state| + |batch|² — bucket-bounded, never corpus²; the
+    * rollup is batch-doc-keyed. */
+  def semanticDedupIncremental(spark: SparkSession, dir: String,
+                               threshold: Double = 0.40): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket",
+        Similarity.bucketCol(col("embedding"), nPlanes = 4, dim = 64))
+      .withColumn("nrm", Similarity.l2norm(col("embedding")))
+      .localCheckpoint() // read 3x: state leg, batch leg x2
+    val state = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("bucket"), col("vec_id").as("other"),
+        col("embedding").as("o_emb"), col("nrm").as("o_nrm"))
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("bucket"), col("vec_id").as("vid"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    def verified(pairs: DataFrame, fromState: Int) = pairs
+      .withColumn("cos", round(
+        Similarity.dot(col("b_emb"), col("o_emb")) /
+          (col("b_nrm") * col("o_nrm")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("vid"), col("other"),
+        round(col("cos") * 10000, 0).cast("long").as("cos_e4"),
+        lit(fromState).as("from_state"))
+    val sb = verified(batch.join(state, Seq("bucket")), 1)
+    val batchEarlier = batch.select(col("bucket"), col("vid").as("other"),
+      col("b_emb").as("o_emb"), col("b_nrm").as("o_nrm"))
+    val bb = verified(
+      batch.join(batchEarlier, Seq("bucket"))
+        .filter(col("other") < col("vid")), 0)
+    val matches = sb.unionAll(bb).localCheckpoint() // counts + best
+    val agg = matches.groupBy("vid")
+      .agg(sum(col("from_state")).as("n_dup_state"),
+        sum(lit(1L) - col("from_state")).as("n_dup_batch"),
+        max_by(struct(col("other").as("m"), col("cos_e4").as("c")),
+          struct(col("cos_e4"), -col("other"))).as("best"))
+    batch.select(col("vid"))
+      .join(agg, Seq("vid"), "left")
+      .select(col("vid").as("vec_id"),
+        coalesce(col("n_dup_state"), lit(0L)).as("n_dup_state"),
+        coalesce(col("n_dup_batch"), lit(0L)).as("n_dup_batch"),
+        col("best.m").as("best_match"), col("best.c").as("best_cos_e4"),
+        when(col("best").isNotNull, 1).otherwise(0).cast("int").as("dropped"))
+      .orderBy("vec_id")
+  }
+
+  /** Multi-round k-means with convergence certificate (q236):
+    * [[graft.ext.Similarity.kmeansRounds]] — four fixed Lloyd rounds
+    * over the embeddings corpus seeded by the label cells, per-cluster
+    * membership/arrival/inertia report with the q223-style `converged`
+    * fixpoint flag. Finishes the clustering primitive q76 started. */
+  def kmeansConverged(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansRounds(Tables.embeddings(spark, dir), "vec_id",
+      "embedding", "label", rounds = 4)
 }

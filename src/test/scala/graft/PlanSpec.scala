@@ -517,6 +517,38 @@ class PlanSpec extends SparkSpec {
       s"non-equi pair join in semantic dedup:\n$p")
   }
 
+  test("IVFADC: cell-equi candidates, broadcast codebook joins, no cartesian") {
+    // the composition's scale contract: the IVF restriction is an equi
+    // join on the cell id and the ADC scoring joins integer keys against
+    // a broadcast LUT — a CartesianProduct anywhere is the scale killer;
+    // the only nested-loop shapes allowed are the two contract-bounded
+    // broadcast crosses (queries x cell-centroids probe, exact-flag
+    // query side — the q37 shape)
+    val p = plan(graft.queries.ExtQueries.ivfAdcRetrieval(spark, sf001))
+    assert(!p.contains("CartesianProduct"), s"cartesian in IVFADC:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"more nested-loop joins than the two bounded crosses:\n$p")
+  }
+
+  test("BPE merge rounds: every window keyed by the word, no cartesian") {
+    val p = plan(graft.queries.ExtQueries.bpeEncode(spark, sf001))
+    assert(!p.contains("CartesianProduct"), s"cartesian in BPE:\n$p")
+    // the per-round argmax pair is a 1-row broadcast (TakeOrdered +
+    // BroadcastNestedLoopJoin is the accepted scalar-broadcast shape);
+    // six rounds -> at most six such crosses, nothing else nested-loop
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 6, s"unexpected nested-loop joins in BPE:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"argmax pair should be a TakeOrdered, not a full sort:\n$p")
+  }
+
+  test("incremental semantic dedup: bucket-keyed probes, never a cross product") {
+    val p = plan(graft.queries.ExtQueries.semanticDedupIncremental(spark, sf001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi pair join in incremental semantic dedup:\n$p")
+  }
+
   test("hybrid RRF fuses bounded lists: no cross product, fusion rollup keyed") {
     val df = graft.queries.ExtQueries.hybridRrf(spark, sf001)
     val p = plan(df)

@@ -430,6 +430,114 @@ class SimilaritySpec extends SparkSpec {
     assert(out.size === 3)
   }
 
+  test("q233 IVFADC: ranks valid, candidates cell-bounded, scores = q227 PQ on shared pairs") {
+    val ivf = graft.queries.ExtQueries.ivfAdcRetrieval(spark, sf001).collect()
+    assert(ivf.length === 50)
+    ivf.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to 5))
+      val byRank = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("pq_dot"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+      // the IVF restriction: every hit comes from at most nprobe=2 cells
+      assert(rows.map(_.getAs[Any]("cell")).distinct.length <= 2,
+        s"query $q hit more cells than nprobe")
+    }
+    // "IVF changes WHICH vectors are scored, never HOW": any (query,
+    // neighbor) pair that also survives into the unrestricted q227
+    // top-5 must carry the IDENTICAL ADC score
+    val pq = graft.queries.ExtQueries.pqRetrieval(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Long]("pq_dot")).toMap
+    val shared = ivf.flatMap { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      pq.get(k).map(exp => (k, exp, r.getAs[Long]("pq_dot")))
+    }
+    assert(shared.nonEmpty, "no overlap between IVFADC and PQ top-5 — fixture broken")
+    shared.foreach { case (k, exp, got) => assert(got === exp, s"score drift at $k") }
+    // recall floor vs the exact top-k (0.28 measured at sf0.001)
+    val recall = ivf.map(_.getAs[Int]("in_exact_topk")).sum / 50.0
+    assert(recall >= 0.2, s"IVFADC recall collapsed: $recall")
+  }
+
+  test("kmeansRounds: two separated blobs converge to the blob partition") {
+    // Blob A points dominantly on axis 0, blob B on axis 1 (orthogonal);
+    // seed labels deliberately WRONG for a minority of each blob. Lloyd
+    // round 1 recenters the majority direction, reassignment recovers
+    // the true partition, and rounds 2..4 are a fixpoint: converged = 1
+    // with zero last-round arrivals.
+    val rnd = new scala.util.Random(13)
+    def vec(axis: Int) = Array.tabulate(64)(i =>
+      (if (i == axis) 10f else 0f) + rnd.nextFloat() * 0.1f)
+    val rows = (0 until 10).map(i =>
+        (i.toLong, vec(0), if (i < 7) "a" else "b")) ++
+      (10 until 20).map(i => (i.toLong, vec(1), if (i < 17) "b" else "a"))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.kmeansRounds(df, "vec_id", "embedding", "label",
+      rounds = 4).collect()
+    assert(out.map(_.getAs[String]("cluster")).sorted.toSeq === Seq("a", "b"))
+    out.foreach { r =>
+      assert(r.getAs[Int]("converged") === 1, s"blobs must converge: $r")
+      assert(r.getAs[Long]("n_arrived") === 0L)
+      assert(r.getAs[Long]("n_members") === 10L,
+        "each blob must re-form whole regardless of the mislabeled seeds")
+    }
+  }
+
+  test("q236 kmeans at sf0.001: converged flag agrees with arrivals; corpus conserved") {
+    val out = graft.queries.ExtQueries.kmeansConverged(spark, sf001).collect()
+    assert(out.map(_.getAs[Long]("n_members")).sum === 500L)
+    val conv = out.map(_.getAs[Int]("converged")).distinct
+    assert(conv.length === 1, "converged is a global flag — one value everywhere")
+    val arrivals = out.map(_.getAs[Long]("n_arrived")).sum
+    // the certificate's semantics: converged == 1 exactly when the last
+    // round moved nobody (near-uniform synthetic data is still moving
+    // after 4 rounds — the honest readout, not a vacuous always-1 flag)
+    assert((conv.head == 1) === (arrivals == 0L))
+    assert(conv.head === 0 && arrivals > 0,
+      "sf0.001 embeddings should NOT have converged in 4 rounds")
+  }
+
+  test("q234 incremental semantic dedup ≡ full-corpus rerun on the batch slice") {
+    // Differential pin (the q124/q125 contract): the incremental
+    // state-probe result must equal the full-corpus bucketed pair run
+    // restricted to pairs touching the batch, with the keep-first rule
+    // (state matches always count; batch matches only from earlier ids).
+    val out = graft.queries.ExtQueries.semanticDedupIncremental(spark, sf001)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("n_dup_state"), r.getAs[Long]("n_dup_batch"),
+          Option(r.getAs[Any]("best_match")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("best_cos_e4")).map(_.asInstanceOf[Long]),
+          r.getAs[Int]("dropped"))).toMap
+    val emb = graft.model.Tables.embeddings(spark, sf001)
+      .withColumn("bucket",
+        Similarity.bucketCol(col("embedding"), nPlanes = 4, dim = 64))
+    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        "bucket", threshold = 0.40).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        math.round(r.getAs[Double]("cos") * 10000)))
+    // replay: from the full pair list, derive each odd doc's matches
+    val matches = scala.collection.mutable.Map.empty[Long, List[(Long, Long, Boolean)]]
+      .withDefaultValue(Nil)
+    pairs.foreach { case (a, b, cosE4) =>
+      if (b % 2 == 1) // a < b: a is earlier — state match if even, else batch
+        matches(b) = (a, cosE4, a % 2 == 0) :: matches(b)
+      if (a % 2 == 1 && b % 2 == 0) // state match seen from the odd side
+        matches(a) = (b, cosE4, true) :: matches(a)
+    }
+    val odd = (0L until 500L).filter(_ % 2 == 1)
+    assert(out.keySet === odd.toSet)
+    odd.foreach { v =>
+      val m = matches(v)
+      val (st, ba) = m.partition(_._3)
+      val best = m.sortBy { case (o, c, _) => (-c, o) }.headOption
+      val (gotSt, gotBa, gotBest, gotCos, gotDrop) = out(v)
+      assert(gotSt === st.size.toLong && gotBa === ba.size.toLong, s"counts at $v")
+      assert(gotBest === best.map(_._1) && gotCos === best.map(_._2), s"best at $v")
+      assert(gotDrop === (if (m.nonEmpty) 1 else 0), s"drop at $v")
+    }
+    assert(out.values.count(_._5 == 1) > 0, "fixture must contain real dups")
+  }
+
   test("quantizedTopK: zero-norm vectors code to all-zero, never NaN") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.0f), 0),

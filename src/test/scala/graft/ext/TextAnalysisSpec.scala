@@ -326,4 +326,56 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) === ((4L, 4L, ln4)))         // uniform over 4 -> ln 4
     assert(got(4L) === ((0L, 0L, 0L)))          // empty doc kept
   }
+
+  test("q235 classifier eval replays the confusion matrix flat at sf0.001") {
+    val docs = graft.model.Tables.documents(spark, sf001)
+    val pred = TextAnalysis.qualityClassifier(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("predicted")).toMap
+    val lab = TextAnalysis.ruleQualityLabel(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("label")).toMap
+    // inner-join semantics: only docs the classifier scored (empty
+    // texts hash to no buckets and carry no prediction)
+    val joined = lab.toSeq.collect {
+      case (id, l) if pred.contains(id) => (l, pred(id))
+    }
+    assert(joined.nonEmpty)
+    val out = TextAnalysis.classifierEval(docs, "doc_id", "text").collect()
+    assert(out.map(_.getAs[Int]("class")).toSeq === Seq(0, 1, 2))
+    out.foreach { r =>
+      val c = r.getAs[Int]("class")
+      val matRow = (0 to 2).map(p =>
+        joined.count { case (l, pr) => l == c && pr == p }.toLong)
+      (0 to 2).foreach(p =>
+        assert(r.getAs[Long](s"pred_$p") === matRow(p), s"cell ($c,$p)"))
+      val nTrue = matRow.sum
+      val nPred = joined.count(_._2 == c).toLong
+      val tp = matRow(c)
+      assert(r.getAs[Long]("n_true") === nTrue)
+      assert(r.getAs[Long]("n_pred") === nPred)
+      assert(r.getAs[Long]("tp") === tp)
+      val prec = if (nPred == 0) 0L else tp * 1000000L / nPred
+      val rec = if (nTrue == 0) 0L else tp * 1000000L / nTrue
+      val f1 = if (prec + rec == 0) 0L else 2 * prec * rec / (prec + rec)
+      assert(r.getAs[Long]("precision_ppm") === prec, s"precision class $c")
+      assert(r.getAs[Long]("recall_ppm") === rec, s"recall class $c")
+      assert(r.getAs[Long]("f1_ppm") === f1, s"f1 class $c")
+    }
+    // the matrix must be non-degenerate: every rule class has support
+    assert(out.forall(_.getAs[Long]("n_true") > 0))
+  }
+
+  test("classifierEval zero-division convention: absent class scores 0/0/0") {
+    // a fixture where rule class 2 (stop-ratio-heavy prose) never
+    // occurs: recall/precision/F1 for class 2 must be 0, not a fault
+    val docs = Seq.tabulate(12)(i =>
+      (i.toLong, if (i % 2 == 0) "word list " * 8 else "tiny")).toDF("doc_id", "text")
+    val out = TextAnalysis.classifierEval(docs, "doc_id", "text").collect()
+    assert(out.length === 3)
+    val c2 = out.find(_.getAs[Int]("class") == 2).get
+    assert(c2.getAs[Long]("n_true") === 0L)
+    assert(c2.getAs[Long]("recall_ppm") === 0L)
+    assert(c2.getAs[Long]("f1_ppm") === 0L)
+  }
 }

@@ -110,6 +110,21 @@ class PageRankSpec extends SparkSpec {
     assert(out(0L) > 0 && out(1L) > 0)
   }
 
+  test("personalized ranks at 20 iters complete without plan blowup") {
+    // The evolving rank relation is checkpointed every 3 rounds — without
+    // that cut, 20 rounds of join+agg re-chained onto r's plan make
+    // analysis time blow up superlinearly. Bound: a 4-cycle with seed {0}
+    // finishes 20 rounds in well under the suite's per-test patience, and
+    // the 4-cycle's symmetric fixpoint values stay exact.
+    val edges = undirected((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val out = PageRank.personalizedRanks(edges, Seq(0L).toDF("node"),
+        iters = 20).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank_units")).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    assert(out(0L) > out(1L) && out(1L) == out(3L) && out(1L) > 0,
+      s"seed must dominate, symmetric neighbors tie: $out")
+  }
+
   test("floors only ever lose mass: total stays within the initial budget") {
     val rnd = new scala.util.Random(11)
     val edges = undirected(Seq.fill(60)(
