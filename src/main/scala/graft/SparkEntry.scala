@@ -256,6 +256,15 @@ object SparkEntry {
     "q234_semantic_dedup_incr" -> ((s, d) => ExtQueries.semanticDedupIncremental(s, d)),
     "q235_classifier_eval"    -> ((s, d) => ExtQueries.classifierEvalReport(s, d)),
     "q236_kmeans_rounds"      -> ((s, d) => ExtQueries.kmeansConverged(s, d)),
+    "q237_bpe_merge_table"    -> ((s, d) => ExtQueries.bpeMergeList(s, d)),
+    "q238_bpe_apply_rate"     -> ((s, d) => ExtQueries.bpeApplyReport(s, d)),
+    "q239_label_spreading"    -> ((s, d) => ExtQueries.labelSpreading(s, d)),
+    "q240_token_budget"       -> ((s, d) => ExtQueries.tokenBudgetSelection(s, d)),
+    "q241_calibration_bins"   -> ((s, d) => ExtQueries.calibrationReport(s, d)),
+    "q242_psi_drift"          -> ((s, d) => ExtQueries.psiDriftReport(s, d)),
+    "q243_dsir_weights"       -> ((s, d) => ExtQueries.dsirSelection(s, d)),
+    "q244_lsh_candidate_eval" -> ((s, d) => ExtQueries.lshCandidateReport(s, d)),
+    "q245_power_iteration"    -> ((s, d) => ExtQueries.principalComponent(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -592,18 +601,33 @@ object SparkEntry {
     * (ties by pair text) and merges leftmost-first non-overlapping via
     * the run trick — a running match count splits runs, the run-min
     * anchors even offsets. Mirrors graft.ext.Bpe.bpeSegment exactly. */
-  private lazy val bpeSql: String = {
-    val rounds = 6
+  private lazy val bpeSql: String =
+    s"""WITH ${bpeChainCtes(6)},
+       |seg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_pieces,
+       |          string_agg(sym, ' ' ORDER BY pos) AS segmentation
+       |        FROM s6 GROUP BY w)
+       |SELECT v.w AS word, v.freq, CAST(length(v.w) AS BIGINT) AS n_chars,
+       |       seg.n_pieces, CAST(v.freq * seg.n_pieces AS BIGINT) AS corpus_pieces,
+       |       seg.segmentation
+       |FROM bvocab v JOIN seg USING (w)
+       |ORDER BY freq DESC, word LIMIT 40""".stripMargin
+
+  /** The shared BPE training CTE chain (vocab, char state, `rounds`
+    * unrolled merge rounds) used by q232/q237/q238 — bf$$r carries each
+    * round's argmax pair with its weighted count, s$$r the post-merge
+    * symbol state. */
+  private def bpeChainCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       val prev = if (r == 1) "s0" else s"s${r - 1}"
       s"""p$r AS (SELECT w, pos, sym,
          |         lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
          |       FROM $prev),
-         |b$r AS (SELECT a, b FROM (
+         |bf$r AS (SELECT a, b, cnt FROM (
          |    SELECT p.sym AS a, p.nxt AS b, CAST(SUM(v.freq) AS BIGINT) AS cnt
          |    FROM p$r p JOIN bvocab v USING (w)
          |    WHERE p.nxt IS NOT NULL GROUP BY 1, 2) z
          |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |b$r AS (SELECT a, b FROM bf$r),
          |m$r AS (SELECT p.w, p.pos, p.sym, p.nxt,
          |          COALESCE(p.sym = b.a AND p.nxt = b.b, false) AS is_match
          |        FROM p$r p CROSS JOIN b$r b),
@@ -622,22 +646,14 @@ object SparkEntry {
          |          CASE WHEN applied THEN sym || nxt ELSE sym END AS sym
          |        FROM m6$r WHERE NOT absorbed)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $nCte,
+    s"""$nCte,
        |bvocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(string_split(t, ' ')) AS w FROM n) z
        |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
        |s0 AS (SELECT w, CAST(g AS BIGINT) AS pos,
        |         substr(w, CAST(g + 1 AS INT), 1) AS sym
        |       FROM (SELECT w, unnest(range(0, length(w))) AS g FROM bvocab) z),
-       |$roundCtes,
-       |seg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_pieces,
-       |          string_agg(sym, ' ' ORDER BY pos) AS segmentation
-       |        FROM s$rounds GROUP BY w)
-       |SELECT v.w AS word, v.freq, CAST(length(v.w) AS BIGINT) AS n_chars,
-       |       seg.n_pieces, CAST(v.freq * seg.n_pieces AS BIGINT) AS corpus_pieces,
-       |       seg.segmentation
-       |FROM bvocab v JOIN seg USING (w)
-       |ORDER BY freq DESC, word LIMIT 40""".stripMargin
+       |$roundCtes""".stripMargin
   }
 
   /** q236 multi-round k-means: 4 unrolled Lloyd rounds (generated) in
@@ -682,6 +698,48 @@ object SparkEntry {
        |FROM a$rounds a JOIN a${rounds - 1} p USING (vec_id) CROSS JOIN mv
        |GROUP BY a.cell, mv.n_moved
        |ORDER BY cluster""".stripMargin
+  }
+
+  /** q239 label spreading: 3 unrolled frontier rounds (generated) over
+    * the bucketed 0.30-cosine graph; assigned nodes are fixed, each
+    * round is one edge⋈labels join + weighted argmax. Mirrors
+    * ExtQueries.labelSpreading exactly. */
+  private lazy val labelSpreadingSql: String = {
+    val rounds = 3
+    val roundCtes = (1 to rounds).map { r =>
+      s"""n$r AS (SELECT e.u, l.label, CAST(SUM(e.w) AS BIGINT) AS s
+         |       FROM ed e JOIN l${r - 1} l ON e.v = l.vec_id
+         |       WHERE e.u NOT IN (SELECT vec_id FROM l${r - 1})
+         |       GROUP BY 1, 2),
+         |w$r AS (SELECT u, label FROM (
+         |    SELECT u, label, row_number() OVER (PARTITION BY u
+         |      ORDER BY s DESC, label) AS rn FROM n$r) z WHERE rn = 1),
+         |l$r AS (SELECT * FROM l${r - 1}
+         |        UNION ALL SELECT u, label, $r FROM w$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $embCte,
+       |bk AS (SELECT vec_id, emb, nrm,
+       |    (CASE WHEN list_dot_product(emb, ${planeLit(0)}::DOUBLE[]) > 0 THEN 1 ELSE 0 END)
+       |  + (CASE WHEN list_dot_product(emb, ${planeLit(1)}::DOUBLE[]) > 0 THEN 2 ELSE 0 END)
+       |  + (CASE WHEN list_dot_product(emb, ${planeLit(2)}::DOUBLE[]) > 0 THEN 4 ELSE 0 END)
+       |  + (CASE WHEN list_dot_product(emb, ${planeLit(3)}::DOUBLE[]) > 0 THEN 8 ELSE 0 END) AS bucket
+       |  FROM nm),
+       |pr0 AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |          ROUND(list_dot_product(a.emb, b.emb)/(a.nrm*b.nrm), 4) AS cos
+       |        FROM bk a JOIN bk b
+       |          ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |pw AS (SELECT ia, ib, CAST(round(cos*10000, 0) AS BIGINT) AS w
+       |       FROM pr0 WHERE cos >= 0.30),
+       |ed AS (SELECT ia AS u, ib AS v, w FROM pw
+       |       UNION ALL SELECT ib, ia, w FROM pw),
+       |l0 AS (SELECT vec_id, label, 0 AS ar FROM embeddings
+       |       WHERE vec_id % 5 = 0),
+       |$roundCtes
+       |SELECT e.vec_id,
+       |       CAST(CASE WHEN l.ar = 0 THEN 1 ELSE 0 END AS INT) AS is_seed,
+       |       l.label, CAST(l.ar AS INT) AS assigned_round
+       |FROM embeddings e LEFT JOIN l$rounds l USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5491,5 +5549,293 @@ object SparkEntry {
     // Multi-round k-means: 4 unrolled Lloyd rounds with convergence
     // certificate (generated — see kmeansRoundsSql).
     "q236_kmeans_rounds" -> kmeansRoundsSql,
+
+    // BPE ordered merge table: each round's argmax pair + weighted count
+    // from the shared training chain.
+    "q237_bpe_merge_table" ->
+      (s"""WITH ${bpeChainCtes(6)}
+         |""".stripMargin +
+        (1 to 6).map(r =>
+          s"""SELECT CAST($r AS INT) AS merge_rank, a AS left_sym,
+             |       b AS right_sym, cnt AS pair_count FROM bf$r""".stripMargin)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY merge_rank")),
+
+    // Corpus-wide BPE application: word->pieces map joined onto the
+    // token stream, per-source fertility/compression rollup.
+    "q238_bpe_apply_rate" ->
+      s"""WITH ${bpeChainCtes(6)},
+         |seg2 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_pieces
+         |         FROM s6 GROUP BY w),
+         |tw AS (SELECT source, w FROM (
+         |    SELECT d.source,
+         |           unnest(string_split(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g'))), ' ')) AS w
+         |    FROM documents d) z
+         |  WHERE w <> '')
+         |SELECT tw.source,
+         |       CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(CASE WHEN seg2.n_pieces IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_alpha_words,
+         |       CAST(SUM(COALESCE(seg2.n_pieces, 1)) AS BIGINT) AS total_pieces,
+         |       CAST(SUM(length(tw.w)) AS BIGINT) AS total_chars,
+         |       CAST(SUM(COALESCE(seg2.n_pieces, 1)) * 1000000
+         |            // COUNT(*) AS BIGINT) AS pieces_per_word_micro,
+         |       CAST(SUM(length(tw.w)) * 1000000
+         |            // SUM(COALESCE(seg2.n_pieces, 1)) AS BIGINT)
+         |         AS chars_per_piece_micro
+         |FROM tw LEFT JOIN seg2 USING (w)
+         |GROUP BY tw.source
+         |ORDER BY tw.source""".stripMargin,
+
+    // Label spreading: 3 unrolled frontier rounds over the bucketed
+    // cosine graph (generated — see labelSpreadingSql).
+    "q239_label_spreading" -> labelSpreadingSql,
+
+    // Token-budget greedy selection: exclusive running token total over
+    // the (score desc, doc_id) order, kept while within half the
+    // corpus's tokens; per-(source, kept) rollup.
+    "q240_token_budget" ->
+      s"""WITH $nCte,
+         |$tokCte,
+         |st AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |              COUNT(*) FILTER (w IN ('the','a','of','and','to','in'))
+         |                AS n_stop
+         |       FROM tok GROUP BY doc_id),
+         |sc AS (SELECT d.doc_id, d.source,
+         |         CAST(st.n_tokens AS BIGINT) AS n_tokens,
+         |         st.n_stop * 1000000 // greatest(st.n_tokens, 1) AS score_ppm
+         |       FROM st JOIN documents d USING (doc_id)),
+         |pf AS (SELECT *, COALESCE(SUM(n_tokens) OVER (
+         |           ORDER BY score_ppm DESC, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |         AS prefix_tokens
+         |       FROM sc),
+         |bu AS (SELECT SUM(n_tokens) // 2 AS budget FROM sc),
+         |kp AS (SELECT pf.*, bu.budget,
+         |         CAST(CASE WHEN pf.prefix_tokens + pf.n_tokens <= bu.budget
+         |              THEN 1 ELSE 0 END AS INT) AS kept
+         |       FROM pf CROSS JOIN bu)
+         |SELECT source, kept, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+         |       CAST(MIN(score_ppm) AS BIGINT) AS min_score_ppm,
+         |       CAST(MAX(score_ppm) AS BIGINT) AS max_score_ppm,
+         |       CAST(MAX(budget) AS BIGINT) AS budget_tokens
+         |FROM kp GROUP BY source, kept
+         |ORDER BY source, kept""".stripMargin,
+
+    // Classifier calibration: the q235 logit/rule-label chain, margin =
+    // predicted logit minus runner-up, fixed-width margin bins,
+    // per-bin agreement with the rule label in floor ppm.
+    "q241_calibration_bins" ->
+      s"""WITH $nCte,
+         |$tokCte,
+         |hv AS (SELECT doc_id, ${fullHash("w")} AS h FROM tok WHERE w <> ''),
+         |bw AS (SELECT doc_id, CAST(h % 32 AS INT) AS bucket,
+         |              1 - 2*(((69069*h + 362437) % ${graft.ext.TextOps.HashP}) % 2) AS sgn
+         |       FROM hv),
+         |rawb AS (SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS raw
+         |         FROM bw GROUP BY doc_id, bucket HAVING SUM(sgn) <> 0),
+         |scq AS (SELECT doc_id,
+         |         CAST(SUM(raw * (((11*bucket + 5)  % 17) - 8)) AS BIGINT) AS logit_0,
+         |         CAST(SUM(raw * (((37 + 11*bucket + 5) % 17) - 8)) AS BIGINT) AS logit_1,
+         |         CAST(SUM(raw * (((74 + 11*bucket + 5) % 17) - 8)) AS BIGINT) AS logit_2
+         |       FROM rawb GROUP BY doc_id),
+         |p AS (SELECT doc_id, predicted,
+         |        CASE predicted
+         |          WHEN 0 THEN logit_0 - greatest(logit_1, logit_2)
+         |          WHEN 1 THEN logit_1 - greatest(logit_0, logit_2)
+         |          ELSE logit_2 - greatest(logit_0, logit_1) END AS margin
+         |      FROM (SELECT *,
+         |              CASE WHEN logit_0 >= logit_1 AND logit_0 >= logit_2 THEN 0
+         |                   WHEN logit_1 >= logit_2 THEN 1 ELSE 2 END AS predicted
+         |            FROM scq) z),
+         |st AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |              COUNT(*) FILTER (w IN ('the','a','of','and','to','in'))
+         |                AS n_stop
+         |       FROM tok GROUP BY doc_id),
+         |lab AS (SELECT doc_id,
+         |          CASE WHEN NOT (n_tokens BETWEEN 10 AND 1000
+         |                         AND n_stop*20 >= n_tokens) THEN 0
+         |               WHEN n_stop*1000000//n_tokens >= ${graft.ext.TextAnalysis.RuleLabelStopPpm}
+         |                 THEN 2 ELSE 1 END AS label
+         |        FROM st),
+         |jb AS (SELECT p.margin // 40 AS bin, p.margin,
+         |         CASE WHEN p.predicted = lab.label THEN 1 ELSE 0 END AS agree
+         |       FROM p JOIN lab USING (doc_id))
+         |SELECT CAST(bin AS BIGINT) AS bin,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(agree) AS BIGINT) AS n_agree,
+         |       CAST(SUM(agree) * 1000000 // COUNT(*) AS BIGINT) AS agree_ppm,
+         |       CAST(MIN(margin) AS BIGINT) AS min_margin,
+         |       CAST(MAX(margin) AS BIGINT) AS max_margin,
+         |       CAST(SUM(margin) // COUNT(*) AS BIGINT) AS mean_margin
+         |FROM jb GROUP BY bin
+         |ORDER BY bin""".stripMargin,
+
+    // PSI drift: token-count bins (width 16), even-id reference half vs
+    // odd-id current half per source, add-one smoothing over the joint
+    // bin spine, ln terms via the q196 round-e6 cross-engine idiom,
+    // sum clamped >= 0 before the e6 floor division.
+    "q242_psi_drift" ->
+      s"""WITH $nCte,
+         |tk AS (SELECT d.doc_id, d.source,
+         |         CAST(len(string_split(n.t, ' ')) AS BIGINT) AS n_tokens
+         |       FROM documents d JOIN n USING (doc_id)),
+         |c0 AS (SELECT source, doc_id % 2 AS half, n_tokens // 16 AS bin FROM tk),
+         |cnt AS (SELECT source, half, bin, COUNT(*) AS c
+         |        FROM c0 GROUP BY 1, 2, 3),
+         |r AS (SELECT source, bin, c AS cr FROM cnt WHERE half = 0),
+         |cu AS (SELECT source, bin, c AS cc FROM cnt WHERE half = 1),
+         |sp AS (SELECT COALESCE(r.source, cu.source) AS source,
+         |         COALESCE(r.bin, cu.bin) AS bin,
+         |         COALESCE(cr, 0) AS cr, COALESCE(cc, 0) AS cc
+         |       FROM r FULL OUTER JOIN cu
+         |         ON r.source = cu.source AND r.bin = cu.bin),
+         |s2 AS (SELECT *, cr + 1 AS cr1, cc + 1 AS cc1 FROM sp),
+         |tt AS (SELECT source, CAST(SUM(cr) AS BIGINT) AS n_ref,
+         |         CAST(SUM(cc) AS BIGINT) AS n_cur,
+         |         CAST(SUM(cr1) AS BIGINT) AS nr,
+         |         CAST(SUM(cc1) AS BIGINT) AS nc,
+         |         COUNT(*) AS n_bins
+         |       FROM s2 GROUP BY source),
+         |tm AS (SELECT s2.source,
+         |         cr1 * 1000000 // nr - cc1 * 1000000 // nc AS dppm,
+         |         CAST(round(ln((CAST(cr1 AS DOUBLE)/nr)
+         |           / (CAST(cc1 AS DOUBLE)/nc)) * 1e6, 0) AS BIGINT) AS l_e6
+         |       FROM s2 JOIN tt USING (source))
+         |SELECT tt.source, tt.n_ref AS n_ref_docs, tt.n_cur AS n_cur_docs,
+         |       CAST(tt.n_bins AS INT) AS n_bins,
+         |       CAST(greatest(0, SUM(dppm * l_e6)) // 1000000 AS BIGINT)
+         |         AS psi_micro
+         |FROM tm JOIN tt ON tm.source = tt.source
+         |GROUP BY tt.source, tt.n_ref, tt.n_cur, tt.n_bins
+         |ORDER BY tt.source""".stripMargin,
+
+    // DSIR importance weights: hashed unigram buckets (dim 64), target
+    // = lang 'en' slice, add-one-smoothed per-bucket log importance in
+    // round-e6 micro-nats, per-doc token-summed weight, top-40.
+    "q243_dsir_weights" ->
+      s"""WITH $nCte,
+         |$tokCte,
+         |hv AS (SELECT doc_id, ${fullHash("w")} AS h FROM tok WHERE w <> ''),
+         |bw AS (SELECT doc_id, CAST(h % 64 AS INT) AS bucket FROM hv),
+         |pd AS (SELECT doc_id, bucket, COUNT(*) AS c FROM bw GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt
+         |       FROM documents),
+         |bb AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS ca,
+         |         CAST(SUM(CASE WHEN tgt = 1 THEN c ELSE 0 END) AS BIGINT) AS ct
+         |       FROM pd JOIN dl USING (doc_id) GROUP BY bucket),
+         |spn AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS bucket),
+         |sp2 AS (SELECT spn.bucket, COALESCE(ca, 0) + 1 AS ca1,
+         |          COALESCE(ct, 0) + 1 AS ct1
+         |        FROM spn LEFT JOIN bb USING (bucket)),
+         |tts AS (SELECT CAST(SUM(ca1) AS BIGINT) AS na,
+         |          CAST(SUM(ct1) AS BIGINT) AS nt FROM sp2),
+         |wt AS (SELECT bucket,
+         |         CAST(round(ln((CAST(ct1 AS DOUBLE)/nt)
+         |           / (CAST(ca1 AS DOUBLE)/na)) * 1e6, 0) AS BIGINT) AS lw
+         |       FROM sp2 CROSS JOIN tts),
+         |dw AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(c * lw) AS BIGINT) AS w
+         |       FROM pd JOIN wt USING (bucket) GROUP BY doc_id)
+         |SELECT d.doc_id, d.source, d.lang, dw.n_tokens,
+         |       dw.w AS weight_e6
+         |FROM dw JOIN documents d USING (doc_id)
+         |ORDER BY weight_e6 DESC, d.doc_id
+         |LIMIT 40""".stripMargin,
+
+    // LSH candidate-tier eval: band-collision candidates (the q34 cand
+    // CTE) vs df-capped exact char-8-gram Jaccard ground truth at
+    // thresholds 0.5/0.8; P/R/F1 floor ppm, zero_division = 0.
+    "q244_lsh_candidate_eval" ->
+      s"""WITH $nCte,
+         |$minhashCtes,
+         |hot AS (SELECT hv FROM h GROUP BY hv
+         |        HAVING COUNT(*) > ${graft.ext.TextDedup.DefaultMaxDf}),
+         |hc AS (SELECT * FROM h WHERE hv NOT IN (SELECT hv FROM hot)),
+         |szc AS (SELECT doc_id, COUNT(*) AS n FROM hc GROUP BY doc_id),
+         |ivc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |          COUNT(*) AS n_inter
+         |        FROM hc a JOIN hc b ON a.hv = b.hv AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2),
+         |jp AS (SELECT doc_a, doc_b, n_inter, za.n + zb.n - n_inter AS u
+         |       FROM ivc JOIN szc za ON za.doc_id = ivc.doc_a
+         |            JOIN szc zb ON zb.doc_id = ivc.doc_b),
+         |nc AS (SELECT COUNT(*) AS n_cand FROM cand),
+         |ex5 AS (SELECT doc_a, doc_b FROM jp
+         |        WHERE CAST(n_inter AS DOUBLE)/u >= 0.5),
+         |ex8 AS (SELECT doc_a, doc_b FROM jp
+         |        WHERE CAST(n_inter AS DOUBLE)/u >= 0.8),
+         |f5 AS (SELECT CAST(500000 AS BIGINT) AS threshold_ppm,
+         |         (SELECT COUNT(*) FROM ex5) AS n_exact,
+         |         (SELECT n_cand FROM nc) AS n_cand,
+         |         (SELECT COUNT(*) FROM ex5 JOIN cand USING (doc_a, doc_b))
+         |           AS n_hit),
+         |f8 AS (SELECT CAST(800000 AS BIGINT) AS threshold_ppm,
+         |         (SELECT COUNT(*) FROM ex8) AS n_exact,
+         |         (SELECT n_cand FROM nc) AS n_cand,
+         |         (SELECT COUNT(*) FROM ex8 JOIN cand USING (doc_a, doc_b))
+         |           AS n_hit),
+         |fin AS (SELECT * FROM f5 UNION ALL SELECT * FROM f8),
+         |mt AS (SELECT *,
+         |         CASE WHEN n_cand = 0 THEN 0
+         |              ELSE n_hit * 1000000 // n_cand END AS precision_ppm,
+         |         CASE WHEN n_exact = 0 THEN 0
+         |              ELSE n_hit * 1000000 // n_exact END AS recall_ppm
+         |       FROM fin)
+         |SELECT threshold_ppm, CAST(n_exact AS BIGINT) AS n_exact,
+         |       CAST(n_cand AS BIGINT) AS n_cand,
+         |       CAST(n_hit AS BIGINT) AS n_hit,
+         |       CAST(precision_ppm AS BIGINT) AS precision_ppm,
+         |       CAST(recall_ppm AS BIGINT) AS recall_ppm,
+         |       CAST(CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+         |            ELSE 2*precision_ppm*recall_ppm
+         |                 //(precision_ppm + recall_ppm) END AS BIGINT) AS f1_ppm
+         |FROM mt ORDER BY threshold_ppm""".stripMargin,
+
+    // Power iteration: e4-quantized embedding matrix, three unrolled
+    // v <- normalize(A^T A v) rounds (all-ones e4 start), max-component
+    // renormalization with sign-split floor division, cos^2 alignment
+    // certificate between the last two rounds in exact ppm.
+    "q245_power_iteration" ->
+      """WITH qv AS (SELECT vec_id, CAST(g - 1 AS INT) AS i,
+        |         CAST(ROUND(CAST(embedding[g] AS DOUBLE)*10000, 0) AS BIGINT) AS q
+        |       FROM (SELECT vec_id, embedding,
+        |               unnest(range(1, len(embedding)+1)) AS g
+        |             FROM embeddings) z),
+        |v0 AS (SELECT DISTINCT i, CAST(10000 AS BIGINT) AS v FROM qv),
+        |s1 AS (SELECT vec_id, CAST(SUM(q * v) AS BIGINT) AS s
+        |       FROM qv JOIN v0 USING (i) GROUP BY vec_id),
+        |w1 AS (SELECT i, SUM(CAST(q AS HUGEINT) * s) AS w
+        |       FROM qv JOIN s1 USING (vec_id) GROUP BY i),
+        |m1 AS (SELECT MAX(abs(w)) AS m FROM w1),
+        |v1 AS (SELECT i, CAST(CASE WHEN w >= 0 THEN (abs(w)*10000)//m
+        |              ELSE -((abs(w)*10000)//m) END AS BIGINT) AS v
+        |       FROM w1 CROSS JOIN m1),
+        |s2 AS (SELECT vec_id, CAST(SUM(q * v) AS BIGINT) AS s
+        |       FROM qv JOIN v1 USING (i) GROUP BY vec_id),
+        |w2 AS (SELECT i, SUM(CAST(q AS HUGEINT) * s) AS w
+        |       FROM qv JOIN s2 USING (vec_id) GROUP BY i),
+        |m2 AS (SELECT MAX(abs(w)) AS m FROM w2),
+        |v2 AS (SELECT i, CAST(CASE WHEN w >= 0 THEN (abs(w)*10000)//m
+        |              ELSE -((abs(w)*10000)//m) END AS BIGINT) AS v
+        |       FROM w2 CROSS JOIN m2),
+        |s3 AS (SELECT vec_id, CAST(SUM(q * v) AS BIGINT) AS s
+        |       FROM qv JOIN v2 USING (i) GROUP BY vec_id),
+        |w3 AS (SELECT i, SUM(CAST(q AS HUGEINT) * s) AS w
+        |       FROM qv JOIN s3 USING (vec_id) GROUP BY i),
+        |m3 AS (SELECT MAX(abs(w)) AS m FROM w3),
+        |v3 AS (SELECT i, CAST(CASE WHEN w >= 0 THEN (abs(w)*10000)//m
+        |              ELSE -((abs(w)*10000)//m) END AS BIGINT) AS v
+        |       FROM w3 CROSS JOIN m3),
+        |ct AS (SELECT SUM(CAST(a.v AS HUGEINT) * b.v) AS dt,
+        |              SUM(CAST(b.v AS HUGEINT) * b.v) AS nv,
+        |              SUM(CAST(a.v AS HUGEINT) * a.v) AS np
+        |       FROM v2 a JOIN v3 b USING (i))
+        |SELECT CAST(v3.i AS INT) AS dim,
+        |       CAST(v2.v AS BIGINT) AS v_prev_e4,
+        |       CAST(v3.v AS BIGINT) AS v_e4,
+        |       CAST((dt*dt*1000000)//(nv*np) AS BIGINT) AS align_ppm
+        |FROM v3 JOIN v2 USING (i) CROSS JOIN ct
+        |ORDER BY dim""".stripMargin,
   )
 }

@@ -40,13 +40,12 @@ import org.apache.spark.sql.functions._
 object Bpe {
   import TextOps._
 
-  /** Top-`topWords` vocabulary words (by corpus frequency, ties by
-    * word) with their segmentation after `rounds` BPE merge rounds:
-    * (word, freq, n_chars, n_pieces, corpus_pieces, segmentation) —
-    * `corpus_pieces` = freq·n_pieces, the corpus-weighted token cost
-    * of this word under the learned merges. */
-  def bpeSegment(docs: DataFrame, idCol: String, textCol: String,
-                 rounds: Int = 6, topWords: Int = 40): DataFrame = {
+  /** The shared training loop: corpus word vocabulary (word, freq),
+    * the symbol state after `rounds` merge rounds, and the per-round
+    * merge picks (merge_rank, left_sym, right_sym, pair_count) — the
+    * FROZEN MERGE LIST a serving tokenizer consumes. */
+  private def trainState(docs: DataFrame, textCol: String, rounds: Int)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
     require(rounds >= 1, s"need >= 1 merge round, got $rounds")
     val vocab = docs
       .select(explode(tokens(normText(col(textCol)))).as("w"))
@@ -58,17 +57,21 @@ object Bpe {
       .select(col("w"), posexplode(
         expr("transform(sequence(0, length(w)-1), i -> substring(w, i+1, 1))"))
         .as(Seq("pos", "sym")))
-    for (_ <- 1 to rounds) {
+    val merges = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
       val withNext = st
         .withColumn("nxt", lead("sym", 1).over(pw))
         .localCheckpoint() // read 2x: pair stats + merge application
-      val best = withNext.filter(col("nxt").isNotNull)
+      val bestFull = withNext.filter(col("nxt").isNotNull)
         .join(vocab, Seq("w"))
         .groupBy(col("sym").as("a"), col("nxt").as("b"))
         .agg(sum("freq").as("cnt"))
         .orderBy(desc("cnt"), col("a"), col("b"))
         .limit(1)
-        .select(col("a"), col("b"))
+      merges += bestFull.select(lit(r).as("merge_rank"),
+        col("a").as("left_sym"), col("b").as("right_sym"),
+        col("cnt").cast("long").as("pair_count"))
+      val best = bestFull.select(col("a"), col("b"))
       st = withNext.crossJoin(broadcast(best))
         // coalesce: the last position's nxt is NULL, which would make
         // is_match NULL (not false) when sym = a — pin it false on both
@@ -94,6 +97,17 @@ object Bpe {
           row_number().over(Window.partitionBy("w").orderBy("opos")) - 1)
         .select("w", "pos", "sym")
     }
+    (vocab, st, merges.result())
+  }
+
+  /** Top-`topWords` vocabulary words (by corpus frequency, ties by
+    * word) with their segmentation after `rounds` BPE merge rounds:
+    * (word, freq, n_chars, n_pieces, corpus_pieces, segmentation) —
+    * `corpus_pieces` = freq·n_pieces, the corpus-weighted token cost
+    * of this word under the learned merges. */
+  def bpeSegment(docs: DataFrame, idCol: String, textCol: String,
+                 rounds: Int = 6, topWords: Int = 40): DataFrame = {
+    val (vocab, st, _) = trainState(docs, textCol, rounds)
     val seg = st.groupBy("w").agg(
       count(lit(1)).as("n_pieces"),
       concat_ws(" ", transform(
@@ -107,5 +121,52 @@ object Bpe {
         col("segmentation"))
       .orderBy(desc("freq"), col("word"))
       .limit(topWords)
+  }
+
+  /** The ORDERED MERGE TABLE itself (q237) — one row per training
+    * round: (merge_rank, left_sym, right_sym, pair_count), the frozen
+    * artifact a serving tokenizer ships (apply rank 1, then 2, …).
+    * pair_count is the corpus-frequency-weighted occurrence count the
+    * pick won with — strictly the argmax of its round's statistics
+    * over the PREVIOUS rounds' merged state, which is why the list is
+    * ordered and why replaying it (q232/q238) reproduces training
+    * exactly. Each round's pick is a 1-row TakeOrdered — the whole
+    * table is `rounds` rows of metadata at any corpus size. */
+  def bpeMergeTable(docs: DataFrame, idCol: String, textCol: String,
+                    rounds: Int = 6): DataFrame = {
+    val (_, _, merges) = trainState(docs, textCol, rounds)
+    merges.reduce(_ unionAll _).orderBy("merge_rank")
+  }
+
+  /** CORPUS-WIDE application of the learned merges (q238): the
+    * (word → piece count) map from `rounds` merge rounds broadcast
+    * onto the full token stream, rolled up per source — tokens/pieces
+    * volumes and the compression diagnostics every tokenizer report
+    * leads with (pieces per word = fertility under THIS vocab; chars
+    * per piece = how much text a piece carries). Non-vocabulary tokens
+    * (digits, mixed) pass through as one piece each. This is the 100 TB
+    * serving path made concrete: segmentation cost lives on the VOCAB,
+    * the corpus pays one broadcast equi join. */
+  def bpeApplyRate(docs: DataFrame, srcCol: String, textCol: String,
+                   rounds: Int = 6): DataFrame = {
+    val (_, st, _) = trainState(docs, textCol, rounds)
+    val seg = st.groupBy("w").agg(count(lit(1)).as("n_pieces"))
+    docs.select(col(srcCol).as("source"),
+        explode(tokens(normText(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(seg), Seq("w"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("n_pieces").isNotNull, 1L).otherwise(0L))
+          .as("n_alpha_words"),
+        sum(coalesce(col("n_pieces"), lit(1L))).as("total_pieces"),
+        sum(length(col("w")).cast("long")).as("total_chars"))
+      .select(col("source"), col("n_words").cast("long").as("n_words"),
+        col("n_alpha_words").cast("long").as("n_alpha_words"),
+        col("total_pieces").cast("long").as("total_pieces"),
+        col("total_chars").cast("long").as("total_chars"),
+        expr("total_pieces * 1000000 div n_words").as("pieces_per_word_micro"),
+        expr("total_chars * 1000000 div total_pieces").as("chars_per_piece_micro"))
+      .orderBy("source")
   }
 }

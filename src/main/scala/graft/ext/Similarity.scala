@@ -822,4 +822,67 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("bucket"), col("cos"))
   }
+
+  /** TOP PRINCIPAL COMPONENT by fixed-round power iteration (q245) —
+    * the classical v ← normalize(AᵀAv) recursion over the embedding
+    * matrix, the first step of every spectral readout (PCA whitening,
+    * spectral embedding-quality checks). `rounds` fixed rounds (the
+    * q223/q236 fixed-round oracle contract), all arithmetic exact
+    * integers: embeddings quantized to e4 units at the scan, the
+    * per-vector projection s = Σᵢ qᵢ·vᵢ in longs (|s| ≤ dim·10⁸), the
+    * per-dimension back-projection w = Σ_docs q·s accumulated in
+    * DECIMAL(38,0) (corpus-sized sum — the silhouette/HUGEINT idiom),
+    * then renormalized to e4 scale by max-|component| with the
+    * sign-split floor division both engines agree on. One row per
+    * dimension with the last two rounds' components plus the
+    * convergence certificate the q223 pattern requires: alignment
+    * cos²(v_prev, v_final) in exact ppm (dot and norms in
+    * DECIMAL(38,0); squares exceed the long range by design).
+    *
+    * Scale shape per round: one broadcast of the dim-row direction
+    * vector onto the quantized scan relation, one doc-keyed sum, one
+    * dim-keyed sum — two keyed shuffles of narrow integer rows, no
+    * all-pairs anything; the direction relation (dim rows) is
+    * checkpointed per round to cut lineage. */
+  def powerIteration(corpus: DataFrame, idCol: String, embCol: String,
+                     rounds: Int = 3): DataFrame = {
+    require(rounds >= 2, s"need >= 2 rounds for a convergence readout, got $rounds")
+    val q = corpus
+      .select(col(idCol).as("vid"), posexplode(col(embCol)).as(Seq("i", "x")))
+      .select(col("vid"), col("i"),
+        round(col("x") * 1e4, 0).cast("long").as("q"))
+      .localCheckpoint() // read twice per round (projection + back-projection)
+    var v = q.select(col("i")).distinct()
+      .select(col("i"), lit(10000L).as("v"))
+      .localCheckpoint()
+    var vPrev = v
+    for (_ <- 1 to rounds) {
+      val s = q.join(broadcast(v), Seq("i"))
+        .groupBy("vid").agg(sum(col("q") * col("v")).as("s"))
+      val w = q.join(s, Seq("vid"))
+        .groupBy("i")
+        .agg(sum(col("q").cast("decimal(38,0)") * col("s")).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      vPrev = v
+      v = w.crossJoin(broadcast(m))
+        .select(col("i"),
+          when(col("w") >= 0, expr("(abs(w) * 10000) div m"))
+            .otherwise(-expr("(abs(w) * 10000) div m")).cast("long").as("v"))
+        .localCheckpoint() // dim rows; per-round lineage cut
+    }
+    val cert = v.select(col("i"), col("v"))
+      .join(vPrev.select(col("i"), col("v").as("vp")), Seq("i"))
+      .agg(sum(expr("CAST(v AS DECIMAL(38,0)) * vp")).as("dt"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("nv"),
+        sum(expr("CAST(vp AS DECIMAL(38,0)) * vp")).as("np"))
+      .select(expr("CAST((dt * dt * 1000000) div (nv * np) AS BIGINT)")
+        .as("align_ppm"))
+    v.join(vPrev.select(col("i"), col("v").as("vp")), Seq("i"))
+      .crossJoin(broadcast(cert))
+      .select(col("i").cast("int").as("dim"),
+        col("vp").cast("long").as("v_prev_e4"),
+        col("v").cast("long").as("v_e4"),
+        col("align_ppm"))
+      .orderBy("dim")
+  }
 }

@@ -825,4 +825,164 @@ object TextAnalysis {
         col("f1_ppm").cast("long").as("f1_ppm"): _*)
       .orderBy("class")
   }
+
+  /** CLASSIFIER CALIBRATION bins (q241) — the reliability-diagram
+    * readout of the frozen [[qualityClassifier]]: docs bucketed by the
+    * classifier's integer decision MARGIN (fixed width `binWidth`, no
+    * data-dependent quantile window), per bin the doc count, how often
+    * the prediction agrees with the [[ruleQualityLabel]] rule gate, and
+    * the agreement rate in exact floor ppm. A well-calibrated
+    * margin-confidence classifier shows agreement RISING with margin —
+    * the curve a pipeline reads before picking the margin cutoff above
+    * which q222 predictions are trusted unreviewed. Margin is always
+    * ≥ 0 (argmax logit minus runner-up), so bins and ratios need no
+    * sign split.
+    *
+    * Scale shape: two scan-side doc-keyed rollups (classifier logits,
+    * rule label) joined on the doc key, then a bin-keyed aggregation —
+    * bins bounded by max-margin/binWidth regardless of corpus size. */
+  def calibrationBins(docs: DataFrame, idCol: String, textCol: String,
+                      binWidth: Long = 40L): DataFrame = {
+    require(binWidth >= 1, s"need binWidth >= 1, got $binWidth")
+    val pred = qualityClassifier(docs, idCol, textCol)
+      .select(col("doc_id"), col("predicted"), col("margin"))
+    val lab = ruleQualityLabel(docs, idCol, textCol)
+    pred.join(lab, Seq("doc_id"))
+      .withColumn("bin", expr(s"margin div $binWidth"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("predicted") === col("label"), 1L).otherwise(0L))
+          .as("n_agree"),
+        min("margin").as("min_margin"),
+        max("margin").as("max_margin"),
+        sum("margin").as("sm"))
+      .select(col("bin").cast("long").as("bin"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_agree").cast("long").as("n_agree"),
+        expr("n_agree * 1000000 div n_docs").as("agree_ppm"),
+        col("min_margin").cast("long").as("min_margin"),
+        col("max_margin").cast("long").as("max_margin"),
+        expr("sm div n_docs").as("mean_margin"))
+      .orderBy("bin")
+  }
+
+  /** POPULATION STABILITY INDEX drift per source (q242) — the
+    * industry-standard third drift readout beside the KS statistic
+    * (q139) and JS divergence (q196): PSI = Σ_b (p_b − q_b)·ln(p_b/q_b)
+    * over fixed-width token-count bins, between each source's persisted
+    * reference half (even doc_id — the q124 state convention) and its
+    * current half (odd doc_id). Add-one smoothing over the per-source
+    * joint bin spine keeps every ratio finite; probabilities quantized
+    * to exact floor ppm, log terms to round-e6 micro-nats via the q196
+    * cross-engine idiom (both engines take IEEE ln of the same rational
+    * double). PSI is ≥ 0 mathematically; quantization can leave the sum
+    * a hair negative, so it is clamped at 0 before the floor division
+    * (the q196 `greatest` guard). Rule of thumb the report encodes:
+    * psi < 0.10 stable, 0.10–0.25 moderate shift, > 0.25 action.
+    *
+    * Scale shape: one scan-side projection to (source, half, bin), one
+    * (source, half, bin)-keyed count, then all work on the
+    * |sources|·|bins| relation — never doc-sized after the first
+    * rollup. */
+  def psiDrift(docs: DataFrame, idCol: String, srcCol: String,
+               textCol: String, binTokens: Long = 16L): DataFrame = {
+    require(binTokens >= 1, s"need binTokens >= 1, got $binTokens")
+    val t = normText(col(textCol))
+    val base = docs.select(col(idCol).as("doc_id"),
+        col(srcCol).as("source"),
+        size(tokens(t)).cast("long").as("n_tokens"))
+      .select(col("source"), (col("doc_id") % 2).cast("int").as("half"),
+        expr(s"n_tokens div $binTokens").as("bin"))
+    val cnt = base.groupBy("source", "half", "bin")
+      .agg(count(lit(1)).as("c"))
+    val ref = cnt.filter(col("half") === 0)
+      .select(col("source"), col("bin"), col("c").as("cr"))
+    val cur = cnt.filter(col("half") === 1)
+      .select(col("source"), col("bin"), col("c").as("cc"))
+    val spine = ref.join(cur, Seq("source", "bin"), "full_outer")
+      .na.fill(0L, Seq("cr", "cc"))
+      .withColumn("cr1", col("cr") + 1)
+      .withColumn("cc1", col("cc") + 1)
+    val tot = spine.groupBy("source").agg(
+      sum("cr").as("n_ref_docs"), sum("cc").as("n_cur_docs"),
+      sum("cr1").as("nr"), sum("cc1").as("nc"),
+      count(lit(1)).as("n_bins"))
+    spine.join(tot, Seq("source"))
+      .withColumn("p_ppm", expr("cr1 * 1000000 div nr"))
+      .withColumn("q_ppm", expr("cc1 * 1000000 div nc"))
+      .withColumn("l_e6",
+        round(log(col("cr1").cast("double") / col("nr") /
+          (col("cc1").cast("double") / col("nc"))) * 1e6, 0).cast("long"))
+      .groupBy("source")
+      .agg(max("n_ref_docs").as("n_ref_docs"),
+        max("n_cur_docs").as("n_cur_docs"),
+        max("n_bins").as("n_bins"),
+        sum((col("p_ppm") - col("q_ppm")) * col("l_e6")).as("s"))
+      .select(col("source"),
+        col("n_ref_docs").cast("long").as("n_ref_docs"),
+        col("n_cur_docs").cast("long").as("n_cur_docs"),
+        col("n_bins").cast("int").as("n_bins"),
+        expr("greatest(CAST(0 AS BIGINT), s) div 1000000").as("psi_micro"))
+      .orderBy("source")
+  }
+
+  /** DSIR-style importance weights (q243) — Data Selection via
+    * Importance Resampling (Xie et al. 2023, arXiv:2302.03169) made
+    * deterministic: hashed unigram bucket features (the paper's hashed
+    * n-gram feature space), target distribution = the `lang = 'en'`
+    * slice, raw distribution = the whole corpus, per-bucket log
+    * importance ln(p_target(b)/p_corpus(b)) in round-e6 micro-nats
+    * (the q196 idiom; add-one smoothing over the fixed `dim`-bucket
+    * spine keeps ratios finite), and per-doc importance = Σ over the
+    * doc's tokens of the bucket log-weight — the exact log of the
+    * paper's product-of-ratios importance weight. Output: the `topK`
+    * most target-like documents (weight desc, ties doc_id) with their
+    * source/lang for the mixture readout — the slice importance
+    * RESAMPLING would promote.
+    *
+    * Scale shape: the weight table is `dim` rows built from one
+    * bucket-keyed rollup and broadcast back onto the per-doc bucket
+    * counts; everything after the scan is doc-keyed; the report is a
+    * TakeOrdered top-k, never a global sort. */
+  def dsirWeights(docs: DataFrame, idCol: String, srcCol: String,
+                  langCol: String, textCol: String, dim: Int = 64,
+                  topK: Int = 40): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tokh = fanOut(docs).select(col(idCol).as("doc_id"),
+        when(col(langCol) === "en", 1).otherwise(0).as("tgt"),
+        explode(tokens(normText(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), col("tgt"),
+        (graft.functions.TextKernelOps.wordNgramHashFull(col("w"), 1)
+          .getItem(0) % dim).cast("int").as("bucket"))
+    val perDoc = tokh.groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("c"), max("tgt").as("tgt"))
+      .localCheckpoint() // read 2x: bucket distributions + doc weights
+    val byBucket = perDoc.groupBy("bucket").agg(
+      sum("c").as("ca"),
+      sum(when(col("tgt") === 1, col("c")).otherwise(0L)).as("ct"))
+    val spine = (0 until dim).toDF("bucket")
+      .join(byBucket, Seq("bucket"), "left")
+      .na.fill(0L, Seq("ca", "ct"))
+      .withColumn("ca1", col("ca") + 1)
+      .withColumn("ct1", col("ct") + 1)
+    val tots = spine.agg(sum("ca1").as("na"), sum("ct1").as("nt"))
+    val weights = spine.crossJoin(broadcast(tots))
+      .select(col("bucket"),
+        round(log(col("ct1").cast("double") / col("nt") /
+          (col("ca1").cast("double") / col("na"))) * 1e6, 0).cast("long")
+          .as("lw_e6"))
+    val docW = perDoc.join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), sum(col("c") * col("lw_e6")).as("w"))
+    docW.join(docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        col(langCol).as("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("w").cast("long").as("weight_e6"))
+      .orderBy(desc("weight_e6"), col("doc_id"))
+      .limit(topK)
+  }
 }

@@ -1315,6 +1315,119 @@ object ExtQueries {
       .orderBy("vec_id")
   }
 
+  /** BPE ordered merge table (q237): the frozen merge list q232's
+    * training produces — per round the argmax adjacent symbol pair with
+    * its weighted count ([[graft.ext.Bpe.bpeMergeTable]]). */
+  def bpeMergeList(spark: SparkSession, dir: String): DataFrame =
+    Bpe.bpeMergeTable(Tables.documents(spark, dir), "doc_id", "text",
+      rounds = 6)
+
+  /** Corpus-wide BPE application rate per source (q238):
+    * [[graft.ext.Bpe.bpeApplyRate]] — the word→pieces map broadcast
+    * onto the token stream, fertility + chars-per-piece per source. */
+  def bpeApplyReport(spark: SparkSession, dir: String): DataFrame =
+    Bpe.bpeApplyRate(Tables.documents(spark, dir), "source", "text",
+      rounds = 6)
+
+  /** SEMI-SUPERVISED label spreading over the embedding near-dup graph
+    * (q239, the Zhu–Ghahramani archetype made fixed-round): 20% of the
+    * corpus (vec_id % 5 = 0) arrives LABELED (the persisted
+    * human/rule-labeled slice); three frontier rounds spread labels
+    * through the q221-style bucketed cosine graph (threshold 0.30 —
+    * denser than the 0.40 dedup gate; spreading wants neighborhoods,
+    * dedup wants near-identity): each round, every still-unlabeled node
+    * with ≥1 labeled neighbor takes the cosine-weight-argmax label
+    * (Σ e4-integer edge weights per label, ties to the smallest label),
+    * and once assigned a node is FIXED (the BFS-layer contract — each
+    * round is exactly replayable, no oscillation). Output: every node
+    * with its seed flag, final label (NULL = unreached) and the round
+    * it was assigned — the "propagate the expensive labels to the
+    * cheap neighbors" step of weak supervision at corpus scale.
+    *
+    * Scale shape: pair volume is bucket-bounded (scan-side LSH); each
+    * round is one edge⋈labels keyed join + an anti join on the labeled
+    * set + a node-keyed argmax — frontier-sized, lineage cut per
+    * round. */
+  def labelSpreading(spark: SparkSession, dir: String,
+                     threshold: Double = 0.30, rounds: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket",
+        Similarity.bucketCol(col("embedding"), nPlanes = 4, dim = 64))
+    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        "bucket", threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("cos") * 10000, 0).cast("long").as("w"))
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"), col("w"))
+      .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v"), col("w")))
+      .localCheckpoint() // read every round
+    val all = emb.select(col("vec_id"), col("label"))
+    var labeled = all.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("label"), lit(0).as("assigned_round"))
+      .localCheckpoint()
+    for (r <- 1 to rounds) {
+      val newly = edges
+        .join(labeled.select(col("vec_id").as("v"), col("label")), Seq("v"))
+        .join(labeled.select(col("vec_id").as("u")), Seq("u"), "left_anti")
+        .groupBy(col("u"), col("label")).agg(sum("w").as("s"))
+        .groupBy("u")
+        .agg(min_by(col("label"), struct(-col("s"), col("label"))).as("label"))
+        .select(col("u").as("vec_id"), col("label"),
+          lit(r).as("assigned_round"))
+      labeled = labeled.unionAll(newly).localCheckpoint()
+    }
+    all.select("vec_id")
+      .join(labeled, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("assigned_round") === 0, 1).otherwise(0).cast("int")
+          .as("is_seed"),
+        col("label"), col("assigned_round"))
+      .orderBy("vec_id")
+  }
+
+  /** TOKEN-BUDGET greedy selection (q240) — "fill half the training
+    * budget with the best documents": every doc scored by the q205
+    * stopword-ratio quality proxy (exact floor ppm), globally ordered
+    * by (score desc, doc_id), and kept while the running token total
+    * stays within a POPULATION-RELATIVE budget (half the corpus's
+    * tokens — non-vacuous at every scale factor, the q155 lesson). The
+    * running total is the q59 two-pass [[graft.operators.PrefixSum]],
+    * NOT an unpartitioned window — the plan survives any corpus size.
+    * Output: per (source, kept) — docs, tokens, and the budget the
+    * selection ran under, the mixture readout a data-budget report
+    * leads with. */
+  def tokenBudgetSelection(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val t = TextOps.normText(col("text"))
+    val toks = TextOps.tokens(t)
+    val scored = docs.select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        size(org.apache.spark.sql.functions.filter(toks,
+          w => w.isInCollection(TextAnalysis.Stopwords))).cast("long")
+          .as("n_stop"))
+      .withColumn("score_ppm",
+        expr("n_stop * 1000000 div greatest(n_tokens, 1)"))
+    val withPrefix = graft.operators.PrefixSum.exclusive(scored,
+      "score_ppm", descending = true, ties = Seq(col("doc_id")),
+      valueCol = "n_tokens", outCol = "prefix_tokens")
+    val budget = scored.agg(expr("sum(n_tokens) div 2").as("budget"))
+    withPrefix.crossJoin(broadcast(budget))
+      .withColumn("kept",
+        when(col("prefix_tokens") + col("n_tokens") <= col("budget"), 1)
+          .otherwise(0).cast("int"))
+      .groupBy("source", "kept")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"),
+        min("score_ppm").as("min_score_ppm"),
+        max("score_ppm").as("max_score_ppm"),
+        max("budget").as("budget_tokens"))
+      .select(col("source"), col("kept"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("tokens").cast("long").as("tokens"),
+        col("min_score_ppm").cast("long").as("min_score_ppm"),
+        col("max_score_ppm").cast("long").as("max_score_ppm"),
+        col("budget_tokens").cast("long").as("budget_tokens"))
+      .orderBy("source", "kept")
+  }
+
   /** Multi-round k-means with convergence certificate (q236):
     * [[graft.ext.Similarity.kmeansRounds]] — four fixed Lloyd rounds
     * over the embeddings corpus seeded by the label cells, per-cluster
@@ -1323,4 +1436,46 @@ object ExtQueries {
   def kmeansConverged(spark: SparkSession, dir: String): DataFrame =
     Similarity.kmeansRounds(Tables.embeddings(spark, dir), "vec_id",
       "embedding", "label", rounds = 4)
+
+  /** Classifier calibration bins (q241):
+    * [[graft.ext.TextAnalysis.calibrationBins]] — the q222 frozen
+    * classifier's margin-binned agreement curve against the q235 rule
+    * labels, the reliability diagram behind a margin cutoff. */
+  def calibrationReport(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.calibrationBins(Tables.documents(spark, dir), "doc_id",
+      "text", binWidth = 40L)
+
+  /** PSI drift per source (q242):
+    * [[graft.ext.TextAnalysis.psiDrift]] — population stability index
+    * of the token-count distribution, even-id reference half vs odd-id
+    * current half, completing the drift triad with q139 (KS) and q196
+    * (JSD). */
+  def psiDriftReport(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.psiDrift(Tables.documents(spark, dir), "doc_id",
+      "source", "text", binTokens = 16L)
+
+  /** DSIR importance selection (q243):
+    * [[graft.ext.TextAnalysis.dsirWeights]] — hashed-unigram importance
+    * weights toward the `lang = 'en'` target slice, top-40 most
+    * target-like docs (Xie et al. 2023). */
+  def dsirSelection(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirWeights(Tables.documents(spark, dir), "doc_id",
+      "source", "lang", "text", dim = 64, topK = 40)
+
+  /** LSH candidate eval (q244):
+    * [[graft.ext.TextDedup.lshCandidateEval]] — precision/recall of the
+    * MinHash band-collision candidate tier vs the exact df-capped
+    * char-8-gram Jaccard ground truth at thresholds 0.5 / 0.8 (the
+    * banding S-curve, measured). */
+  def lshCandidateReport(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.lshCandidateEval(Tables.documents(spark, dir), "doc_id",
+      "text", k = 8, thresholds = Seq(0.5, 0.8))
+
+  /** Top principal component by power iteration (q245):
+    * [[graft.ext.Similarity.powerIteration]] — three fixed integer
+    * rounds of v ← normalize(AᵀAv) over the embeddings corpus with the
+    * cos²-alignment convergence certificate. */
+  def principalComponent(spark: SparkSession, dir: String): DataFrame =
+    Similarity.powerIteration(Tables.embeddings(spark, dir), "vec_id",
+      "embedding", rounds = 3)
 }

@@ -44,6 +44,43 @@ class BpeSpec extends SparkSpec {
     assert(out("pq")._3 === "p q")
   }
 
+  test("merge table replays the fixture's greedy picks with their counts") {
+    val docs = Seq((1L, "aaaa aaaa aaaa the the cat")).toDF("doc_id", "text")
+    val out = Bpe.bpeMergeTable(docs, "doc_id", "text", rounds = 3).collect()
+      .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("pair_count")))
+    assert(out.toSeq === Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L),
+      (3, "h", "e", 2L)))
+  }
+
+  test("apply rate: hand-computed per-source fertility on a two-source fixture") {
+    // srcA: "aa aa 42" — after 1 round (a,a merges, weight 2): aa=1
+    // piece; token 42 is non-vocab -> 1 piece. srcB: "aab" -> aa|b = 2.
+    val docs = Seq((1L, "srcA", "aa aa 42"), (2L, "srcB", "aab"))
+      .toDF("doc_id", "source", "text")
+    val out = Bpe.bpeApplyRate(docs, "source", "text", rounds = 1).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_alpha_words"),
+          r.getAs[Long]("total_pieces"), r.getAs[Long]("total_chars"))).toMap
+    assert(out("srcA") === ((3L, 2L, 3L, 6L)))
+    assert(out("srcB") === ((1L, 1L, 2L, 3L)))
+  }
+
+  test("q238 at sf0.001: volumes consistent, every word at least one piece") {
+    val out = graft.queries.ExtQueries.bpeApplyReport(spark, sf001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (w, a, p, c) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_alpha_words"),
+        r.getAs[Long]("total_pieces"), r.getAs[Long]("total_chars"))
+      assert(a <= w && p >= w && c >= p,
+        s"volume ordering broken: $r")
+      assert(r.getAs[Long]("pieces_per_word_micro") === p * 1000000L / w)
+      assert(r.getAs[Long]("chars_per_piece_micro") === c * 1000000L / p)
+      // merges must compress below the char count (pieces < chars)
+      assert(p < c, s"no compression at all: $r")
+    }
+  }
+
   test("q232 at sf0.001: segmentations partition their words exactly") {
     val out = graft.queries.ExtQueries.bpeEncode(spark, sf001).collect()
     assert(out.nonEmpty && out.length <= 40)

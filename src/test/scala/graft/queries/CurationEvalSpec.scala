@@ -1,0 +1,230 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.ext.{Similarity, TextAnalysis, TextDedup}
+import org.apache.spark.sql.functions._
+
+/** Value-level replays for the round-10 eval/selection operators:
+  * calibration bins (q241), PSI drift (q242), DSIR importance weights
+  * (q243), LSH candidate eval (q244) and power iteration (q245). The
+  * replays consume already-specced components (classifier, rule label,
+  * bands, shingle hashes, embeddings) and re-run the NEW composition in
+  * plain Scala/BigInt. */
+class CurationEvalSpec extends SparkSpec {
+
+  test("q241 calibration bins replay the margin-binned agreement at sf0.001") {
+    val docs = graft.model.Tables.documents(spark, sf001)
+    val out = ExtQueries.calibrationReport(spark, sf001).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_agree"),
+          r.getAs[Long]("agree_ppm"), r.getAs[Long]("min_margin"),
+          r.getAs[Long]("max_margin"), r.getAs[Long]("mean_margin")))
+      .toMap
+    val pred = TextAnalysis.qualityClassifier(docs, "doc_id", "text")
+      .select("doc_id", "predicted", "margin").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("predicted"), r.getAs[Long]("margin"))).toMap
+    val lab = TextAnalysis.ruleQualityLabel(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("label")).toMap
+    val joined = pred.toSeq.collect { case (id, (p, m)) if lab.contains(id) =>
+      (m / 40, m, if (p == lab(id)) 1L else 0L) }
+    assert(joined.nonEmpty)
+    val exp = joined.groupBy(_._1).map { case (bin, xs) =>
+      val n = xs.length.toLong
+      val agree = xs.map(_._3).sum
+      val margins = xs.map(_._2)
+      bin -> (n, agree, agree * 1000000L / n, margins.min, margins.max,
+        margins.sum / n)
+    }
+    assert(out === exp)
+    // margins are argmax-minus-runner-up: never negative
+    assert(pred.values.forall(_._2 >= 0))
+    // the curve is exercised: at least two bins
+    assert(out.size >= 2, s"degenerate binning: ${out.keySet}")
+  }
+
+  test("q242 PSI replays the smoothed bin arithmetic at sf0.001") {
+    val out = ExtQueries.psiDriftReport(spark, sf001).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_ref_docs"), r.getAs[Long]("n_cur_docs"),
+          r.getAs[Int]("n_bins"), r.getAs[Long]("psi_micro"))).toMap
+    val base = graft.model.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("source"),
+        graft.ext.TextOps.normText(col("text")).as("t"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("t").split(" ", -1).length.toLong))
+    base.map(_._2).distinct.foreach { src =>
+      val rows = base.filter(_._2 == src)
+      val refC = rows.filter(_._1 % 2 == 0).groupBy(_._3 / 16)
+        .map { case (b, xs) => b -> xs.length.toLong }
+      val curC = rows.filter(_._1 % 2 == 1).groupBy(_._3 / 16)
+        .map { case (b, xs) => b -> xs.length.toLong }
+      val bins = (refC.keySet ++ curC.keySet).toSeq.sorted
+      val cr1 = bins.map(b => refC.getOrElse(b, 0L) + 1)
+      val cc1 = bins.map(b => curC.getOrElse(b, 0L) + 1)
+      val (nr, nc) = (cr1.sum, cc1.sum)
+      val s = bins.indices.map { i =>
+        val p = cr1(i) * 1000000L / nr
+        val q = cc1(i) * 1000000L / nc
+        val l = math.round(math.log((cr1(i).toDouble / nr) /
+          (cc1(i).toDouble / nc)) * 1e6)
+        (p - q) * l
+      }.sum
+      val psi = math.max(0L, s) / 1000000L
+      val (gr, gc, gb, gp) = out(src)
+      assert(gr === rows.count(_._1 % 2 == 0), s"n_ref at $src")
+      assert(gc === rows.count(_._1 % 2 == 1), s"n_cur at $src")
+      assert(gb === bins.length, s"n_bins at $src")
+      assert(gp === psi, s"psi at $src")
+    }
+  }
+
+  test("q242 PSI is exactly zero when the two halves are identical") {
+    import spark.implicits._
+    // doc pairs (2k, 2k+1) with IDENTICAL text -> identical bin counts
+    val docs = (0L until 40L)
+      .map(i => (i, "s", ("tok " * (5 + (i / 2) % 7).toInt).trim))
+      .toDF("doc_id", "source", "text")
+    val r = TextAnalysis.psiDrift(docs, "doc_id", "source", "text")
+      .collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("psi_micro") === 0L)
+  }
+
+  test("q243 DSIR weights replay and rank the target slice up at sf0.001") {
+    val docs = graft.model.Tables.documents(spark, sf001)
+    val out = ExtQueries.dsirSelection(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("weight_e6")))
+    assert(out.length === 40)
+    // replay from the raw token->bucket stream (hash via the specced kernel)
+    val tokh = docs.select(col("doc_id"),
+        when(col("lang") === "en", 1).otherwise(0).as("tgt"),
+        explode(graft.ext.TextOps.tokens(
+          graft.ext.TextOps.normText(col("text")))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), col("tgt"),
+        (graft.functions.TextKernelOps.wordNgramHashFull(col("w"), 1)
+          .getItem(0) % 64).cast("int").as("bucket"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("tgt"),
+        r.getAs[Int]("bucket")))
+    val ca = Array.fill(64)(1L)
+    val ct = Array.fill(64)(1L)
+    tokh.foreach { case (_, tgt, b) =>
+      ca(b) += 1; if (tgt == 1) ct(b) += 1
+    }
+    val (na, nt) = (ca.sum, ct.sum)
+    val lw = (0 until 64).map(b => math.round(math.log(
+      (ct(b).toDouble / nt) / (ca(b).toDouble / na)) * 1e6))
+    val byDoc = tokh.groupBy(_._1).map { case (id, xs) =>
+      id -> (xs.length.toLong, xs.map(x => lw(x._3)).sum)
+    }
+    val expTop = byDoc.toSeq.map { case (id, (n, w)) => (id, n, w) }
+      .sortBy { case (id, _, w) => (-w, id) }.take(40)
+    assert(out.map(_._1).toSeq === expTop.map(_._1).toSeq, "top-40 ids")
+    out.zip(expTop).foreach { case ((id, _, n, w), (eid, en, ew)) =>
+      assert(id === eid && n === en && w === ew, s"weight row at $id")
+    }
+    // selection pressure is real: 'en' over-represented in the top-40
+    // vs the corpus rate
+    val corpusEn = docs.filter(col("lang") === "en").count().toDouble /
+      docs.count()
+    val topEn = out.count(_._2 == "en").toDouble / out.length
+    assert(topEn > corpusEn, s"target lift absent: $topEn <= $corpusEn")
+  }
+
+  test("q244 LSH candidate eval replays P/R vs the exact capped tier at sf0.001") {
+    val docs = graft.model.Tables.documents(spark, sf001)
+    val out = ExtQueries.lshCandidateReport(spark, sf001).collect()
+      .map(r => r.getAs[Long]("threshold_ppm") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_cand"),
+          r.getAs[Long]("n_hit"), r.getAs[Long]("precision_ppm"),
+          r.getAs[Long]("recall_ppm"))).toMap
+    assert(out.keySet === Set(500000L, 800000L))
+    // candidates from the specced band kernel
+    val bands = TextDedup.minhashBands(docs, "doc_id", "text", k = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"),
+        r.getAs[Long]("band_hash")))
+    val cand = bands.groupBy(b => (b._2, b._3)).values
+      .flatMap { g =>
+        val ids = g.map(_._1).distinct.sorted.toSeq
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }.toSet
+    // exact tier from the specced shingle-hash kernel, df-capped
+    val sh = TextDedup.docShingleHashes(docs, "doc_id", "text", k = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("hv")))
+    val hot = sh.groupBy(_._2).collect {
+      case (hv, xs) if xs.length > TextDedup.DefaultMaxDf => hv
+    }.toSet
+    val sets = sh.filterNot(x => hot(x._2)).groupBy(_._1)
+      .map { case (id, xs) => id -> xs.map(_._2).toSet }
+    val ids = sets.keys.toSeq.sorted
+    val jacc = (for {
+      ai <- ids.indices; bi <- (ai + 1) until ids.length
+      a = ids(ai); b = ids(bi)
+      inter = (sets(a) & sets(b)).size if inter > 0
+    } yield ((a, b),
+      inter.toDouble / (sets(a).size + sets(b).size - inter))).toMap
+    Seq(0.5 -> 500000L, 0.8 -> 800000L).foreach { case (th, ppm) =>
+      // NB: jacc is a Map — collect straight on it would rebuild a Map
+      // from the yielded (doc_a, doc_b) pairs and dedup by doc_a
+      val exact = jacc.toSeq.collect { case (p, j) if j >= th => p }.toSet
+      val hit = (exact & cand).size.toLong
+      val (gne, gnc, gnh, gp, gr) = out(ppm)
+      assert(gne === exact.size.toLong, s"n_exact at $th")
+      assert(gnc === cand.size.toLong, s"n_cand at $th")
+      assert(gnh === hit, s"n_hit at $th")
+      assert(gp === (if (cand.isEmpty) 0L
+        else hit * 1000000L / cand.size), s"precision at $th")
+      assert(gr === (if (exact.isEmpty) 0L
+        else hit * 1000000L / exact.size), s"recall at $th")
+    }
+    // the eval is non-vacuous: ground truth exists at both thresholds
+    assert(out(500000L)._1 > 0, "no exact pairs at 0.5")
+  }
+
+  test("q245 power iteration replays the 3 integer rounds at sf0.001") {
+    val out = ExtQueries.principalComponent(spark, sf001).collect()
+      .map(r => (r.getAs[Int]("dim"), r.getAs[Long]("v_prev_e4"),
+        r.getAs[Long]("v_e4"), r.getAs[Long]("align_ppm")))
+      .sortBy(_._1)
+    assert(out.length === 64)
+    val q = graft.model.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("i"),
+        math.round(r.getAs[Float]("x").toDouble * 1e4)))
+    val byVec = q.groupBy(_._1).map { case (id, xs) =>
+      id -> xs.map(x => (x._2, x._3)).sortBy(_._1).map(_._2).toArray
+    }
+    var v = Array.fill(64)(BigInt(10000))
+    var vPrev = v
+    for (_ <- 1 to 3) {
+      val w = Array.fill(64)(BigInt(0))
+      byVec.values.foreach { row =>
+        val s = row.indices.map(i => BigInt(row(i)) * v(i)).sum
+        row.indices.foreach(i => w(i) += BigInt(row(i)) * s)
+      }
+      val m = w.map(_.abs).max
+      vPrev = v
+      v = w.map(x => if (x >= 0) (x.abs * 10000) / m
+        else -((x.abs * 10000) / m))
+    }
+    val dt = (0 until 64).map(i => v(i) * vPrev(i)).sum
+    val nv = v.map(x => x * x).sum
+    val np = vPrev.map(x => x * x).sum
+    val align = ((dt * dt * 1000000) / (nv * np)).toLong
+    out.foreach { case (d, pe, ve, ap) =>
+      assert(BigInt(pe) === vPrev(d), s"v_prev at dim $d")
+      assert(BigInt(ve) === v(d), s"v at dim $d")
+      assert(ap === align, s"align_ppm at dim $d")
+    }
+    // the direction is normalized: some component sits at the e4 cap
+    assert(v.map(_.abs).max === BigInt(10000))
+  }
+}

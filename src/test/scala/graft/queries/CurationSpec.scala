@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.ext.Similarity
+import org.apache.spark.sql.functions._
+
+/** Value-level replays for the round-10 curation operators: label
+  * spreading over the near-dup graph (q239) and token-budget greedy
+  * selection (q240). */
+class CurationSpec extends SparkSpec {
+
+  test("q239 label spreading replays the 3 frontier rounds at sf0.001") {
+    val out = ExtQueries.labelSpreading(spark, sf001).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("is_seed"),
+          Option(r.getAs[Any]("label")).map(_.asInstanceOf[Int]),
+          Option(r.getAs[Any]("assigned_round")).map(_.asInstanceOf[Int])))
+      .toMap
+    assert(out.size === 500)
+    // replay: same bucketed 0.30 graph, 3 rounds in plain Scala
+    val emb = graft.model.Tables.embeddings(spark, sf001)
+      .withColumn("bucket",
+        Similarity.bucketCol(col("embedding"), nPlanes = 4, dim = 64))
+    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        "bucket", threshold = 0.30).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        math.round(r.getAs[Double]("cos") * 10000)))
+    val edges = pairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val trueLabel = emb.select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    var labeled = trueLabel.keys.filter(_ % 5 == 0)
+      .map(v => v -> (trueLabel(v), 0)).toMap
+    for (r <- 1 to 3) {
+      val cand = edges.filter { case (u, v, _) =>
+        !labeled.contains(u) && labeled.contains(v) }
+      val newly = cand.groupBy(_._1).map { case (u, es) =>
+        val byLabel = es.groupBy(e => labeled(e._2)._1)
+          .map { case (l, xs) => l -> xs.map(_._3).sum }
+        val best = byLabel.toSeq.minBy { case (l, s) => (-s, l) }._1
+        u -> (best, r)
+      }
+      labeled = labeled ++ newly
+    }
+    (0L until 500L).foreach { v =>
+      val exp = labeled.get(v)
+      val (isSeed, lab, ar) = out(v)
+      assert(isSeed === (if (v % 5 == 0) 1 else 0), s"seed flag at $v")
+      assert(lab === exp.map(_._1), s"label at $v")
+      assert(ar === exp.map(_._2), s"round at $v")
+    }
+    // the spread is exercised: some non-seed node is assigned in every round
+    (1 to 3).foreach(r =>
+      assert(labeled.values.exists(_._2 == r), s"round $r assigned nobody"))
+    // seeds keep their own label, always
+    labeled.collect { case (v, (l, 0)) => assert(l === trueLabel(v)) }
+  }
+
+  test("q240 token budget replays the greedy prefix selection at sf0.001") {
+    val out = ExtQueries.tokenBudgetSelection(spark, sf001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("kept")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("tokens"),
+          r.getAs[Long]("budget_tokens"))).toMap
+    // replay: score every doc, exact greedy prefix in Scala
+    val docs = graft.model.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("source"),
+        graft.ext.TextOps.normText(col("text")).as("t"))
+      .collect()
+      .map { r =>
+        val toks = r.getAs[String]("t").split(" ", -1)
+        val nTok = toks.length.toLong
+        val nStop = toks.count(graft.ext.TextAnalysis.Stopwords.contains).toLong
+        (r.getAs[Long]("doc_id"), r.getAs[String]("source"), nTok,
+          nStop * 1000000L / math.max(nTok, 1L))
+      }
+    val budget = docs.map(_._3).sum / 2
+    var run = 0L
+    val kept = docs.sortBy { case (id, _, _, s) => (-s, id) }.map {
+      case (id, src, n, s) =>
+        val k = if (run + n <= budget) 1 else 0
+        run += n
+        (id, src, n, k)
+    }
+    // NOTE the replay keeps accumulating run over dropped docs too —
+    // mirror the operator: prefix is positional, not kept-conditional
+    val exp = kept.groupBy(d => (d._2, d._4)).map { case (k, ds) =>
+      k -> (ds.length.toLong, ds.map(_._3).sum)
+    }
+    assert(out.keySet === exp.keySet)
+    exp.foreach { case (k, (nd, tk)) =>
+      val (gnd, gtk, gb) = out(k)
+      assert(gnd === nd && gtk === tk, s"rollup at $k")
+      assert(gb === budget)
+    }
+    // both sides of the cut are populated
+    assert(out.keys.exists(_._2 == 1) && out.keys.exists(_._2 == 0))
+  }
+}
