@@ -265,6 +265,8 @@ object SparkEntry {
     "q243_dsir_weights"       -> ((s, d) => ExtQueries.dsirSelection(s, d)),
     "q244_lsh_candidate_eval" -> ((s, d) => ExtQueries.lshCandidateReport(s, d)),
     "q245_power_iteration"    -> ((s, d) => ExtQueries.principalComponent(s, d)),
+    "q246_retrieval_eval"     -> ((s, d) => ExtQueries.retrievalEval(s, d)),
+    "q247_cluster_eval"       -> ((s, d) => ExtQueries.clusterEvalReport(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -656,13 +658,180 @@ object SparkEntry {
        |$roundCtes""".stripMargin
   }
 
+  /** q227 product-quantization oracle: deterministic seed-slice
+    * codebook + one Lloyd refinement, integer coding/LUT/ADC joins —
+    * extracted to a val so q246's retrieval-eval oracle can nest it
+    * verbatim. Mirrors graft.ext.Similarity.pqTopK. */
+  private lazy val pqTopKSql: String =
+    s"""WITH $embCte,
+       |ux AS (SELECT vec_id, unnest(emb) AS x,
+       |              unnest(range(0, len(emb))) AS i, nrm FROM nm),
+       |u6 AS (SELECT vec_id, CAST(i // 2 AS INT) AS m,
+       |         CAST(i % 2 AS INT) AS j,
+       |         CASE WHEN nrm = 0.0 THEN 0
+       |              ELSE CAST(round(x / nrm * 1000000, 0) AS BIGINT)
+       |         END AS xe6
+       |       FROM ux),
+       |b0 AS (SELECT CAST(vec_id AS INT) AS aid, m, j, xe6 AS ce6
+       |       FROM u6 WHERE vec_id < 64),
+       |d1 AS (SELECT u6.vec_id AS nid, u6.m, b0.aid,
+       |         CAST(SUM((u6.xe6 - b0.ce6)*(u6.xe6 - b0.ce6))
+       |           AS BIGINT) AS d2
+       |       FROM u6 JOIN b0 ON u6.m = b0.m AND u6.j = b0.j
+       |       GROUP BY 1, 2, 3),
+       |a1 AS (SELECT nid, m, aid FROM (
+       |    SELECT nid, m, aid, row_number() OVER (
+       |      PARTITION BY nid, m ORDER BY d2, aid) AS rn
+       |    FROM d1) z WHERE rn = 1),
+       |book AS (SELECT a1.aid, a1.m, u6.j,
+       |           CAST(CASE WHEN SUM(u6.xe6) >= 0
+       |                THEN SUM(u6.xe6) // COUNT(*)
+       |                ELSE -((-SUM(u6.xe6)) // COUNT(*)) END
+       |             AS BIGINT) AS ce6
+       |         FROM a1 JOIN u6 ON a1.nid = u6.vec_id AND a1.m = u6.m
+       |         GROUP BY 1, 2, 3),
+       |dist AS (SELECT u6.vec_id AS neighbor_id, u6.m, book.aid,
+       |           CAST(SUM((u6.xe6 - book.ce6)*(u6.xe6 - book.ce6))
+       |             AS BIGINT) AS d2
+       |         FROM u6 JOIN book ON u6.m = book.m AND u6.j = book.j
+       |         GROUP BY 1, 2, 3),
+       |codes AS (SELECT neighbor_id, m, aid FROM (
+       |    SELECT neighbor_id, m, aid, row_number() OVER (
+       |      PARTITION BY neighbor_id, m ORDER BY d2, aid) AS rn
+       |    FROM dist) z WHERE rn = 1),
+       |lut AS (SELECT u6.vec_id AS query_id, u6.m, book.aid,
+       |          CAST(SUM(u6.xe6 * book.ce6) AS BIGINT) AS pdot
+       |        FROM u6 JOIN book ON u6.m = book.m AND u6.j = book.j
+       |        WHERE u6.vec_id < 10
+       |        GROUP BY 1, 2, 3),
+       |sc AS (SELECT lut.query_id, codes.neighbor_id,
+       |         CAST(SUM(lut.pdot) AS BIGINT) AS pq_dot
+       |       FROM codes JOIN lut
+       |         ON codes.m = lut.m AND codes.aid = lut.aid
+       |       WHERE codes.neighbor_id <> lut.query_id
+       |       GROUP BY 1, 2),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY pq_dot DESC, neighbor_id) AS rnk FROM sc),
+       |eq AS (SELECT * FROM nm WHERE vec_id < 10),
+       |esc AS (SELECT eq.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |          CASE WHEN eq.nrm * c.nrm = 0.0 THEN 0.0
+       |               ELSE ROUND(list_dot_product(eq.emb, c.emb)
+       |                          /(eq.nrm*c.nrm), 4) END AS score
+       |        FROM nm c CROSS JOIN eq WHERE c.vec_id <> eq.vec_id),
+       |erk AS (SELECT query_id, neighbor_id,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY score DESC, neighbor_id) AS rnk
+       |        FROM esc)
+       |SELECT rk.query_id, CAST(rk.rnk AS INT) AS rank, rk.neighbor_id,
+       |       rk.pq_dot,
+       |       CAST(CASE WHEN erk.neighbor_id IS NULL THEN 0 ELSE 1 END
+       |         AS INT) AS in_exact_topk
+       |FROM rk LEFT JOIN (SELECT * FROM erk WHERE rnk <= 5) erk
+       |  ON rk.query_id = erk.query_id AND rk.neighbor_id = erk.neighbor_id
+       |WHERE rk.rnk <= 5
+       |ORDER BY rk.query_id, rank""".stripMargin
+
+  /** q233 IVFADC oracle: the IVF centroid probe restricting the q227
+    * ADC scoring to 2 cells; extracted to a val for q246's nesting.
+    * Mirrors graft.ext.Similarity.ivfPqTopK. */
+  private lazy val ivfAdcSql: String =
+    s"""WITH $embCte,
+       |ex AS (SELECT label AS cell, g AS pos, CAST(embedding[g] AS DOUBLE) AS v
+       |       FROM (SELECT label, embedding, unnest(range(1, len(embedding)+1)) AS g
+       |             FROM embeddings) z),
+       |cs AS (SELECT cell, pos, CAST(SUM(CAST(ROUND(v*10000,0) AS BIGINT)) AS BIGINT) AS s,
+       |              COUNT(*) AS n
+       |       FROM ex GROUP BY cell, pos),
+       |cent AS (SELECT cell, LIST(CAST(s AS DOUBLE)/10000.0/n ORDER BY pos) AS centroid
+       |         FROM cs GROUP BY cell),
+       |cn AS (SELECT cell, centroid, sqrt(list_dot_product(centroid, centroid)) AS cnrm
+       |       FROM cent),
+       |qq AS (SELECT vec_id, emb, nrm FROM nm WHERE vec_id < 10),
+       |pr AS (SELECT q.vec_id AS query_id, cn.cell,
+       |              row_number() OVER (PARTITION BY q.vec_id
+       |                ORDER BY ROUND(list_dot_product(q.emb, cn.centroid)/(q.nrm*cn.cnrm), 4) DESC,
+       |                         cn.cell) AS prk
+       |       FROM qq q CROSS JOIN cn),
+       |probed AS (SELECT query_id, cell FROM pr WHERE prk <= 2),
+       |ux AS (SELECT vec_id, unnest(emb) AS x,
+       |              unnest(range(0, len(emb))) AS i, nrm FROM nm),
+       |u6 AS (SELECT vec_id, CAST(i // 2 AS INT) AS m,
+       |         CAST(i % 2 AS INT) AS j,
+       |         CASE WHEN nrm = 0.0 THEN 0
+       |              ELSE CAST(round(x / nrm * 1000000, 0) AS BIGINT)
+       |         END AS xe6
+       |       FROM ux),
+       |b0 AS (SELECT CAST(vec_id AS INT) AS aid, m, j, xe6 AS ce6
+       |       FROM u6 WHERE vec_id < 64),
+       |d1 AS (SELECT u6.vec_id AS nid, u6.m, b0.aid,
+       |         CAST(SUM((u6.xe6 - b0.ce6)*(u6.xe6 - b0.ce6))
+       |           AS BIGINT) AS d2
+       |       FROM u6 JOIN b0 ON u6.m = b0.m AND u6.j = b0.j
+       |       GROUP BY 1, 2, 3),
+       |a1 AS (SELECT nid, m, aid FROM (
+       |    SELECT nid, m, aid, row_number() OVER (
+       |      PARTITION BY nid, m ORDER BY d2, aid) AS rn
+       |    FROM d1) z WHERE rn = 1),
+       |book AS (SELECT a1.aid, a1.m, u6.j,
+       |           CAST(CASE WHEN SUM(u6.xe6) >= 0
+       |                THEN SUM(u6.xe6) // COUNT(*)
+       |                ELSE -((-SUM(u6.xe6)) // COUNT(*)) END
+       |             AS BIGINT) AS ce6
+       |         FROM a1 JOIN u6 ON a1.nid = u6.vec_id AND a1.m = u6.m
+       |         GROUP BY 1, 2, 3),
+       |dist AS (SELECT u6.vec_id AS neighbor_id, u6.m, book.aid,
+       |           CAST(SUM((u6.xe6 - book.ce6)*(u6.xe6 - book.ce6))
+       |             AS BIGINT) AS d2
+       |         FROM u6 JOIN book ON u6.m = book.m AND u6.j = book.j
+       |         GROUP BY 1, 2, 3),
+       |codes AS (SELECT neighbor_id, m, aid FROM (
+       |    SELECT neighbor_id, m, aid, row_number() OVER (
+       |      PARTITION BY neighbor_id, m ORDER BY d2, aid) AS rn
+       |    FROM dist) z WHERE rn = 1),
+       |lut AS (SELECT u6.vec_id AS query_id, u6.m, book.aid,
+       |          CAST(SUM(u6.xe6 * book.ce6) AS BIGINT) AS pdot
+       |        FROM u6 JOIN book ON u6.m = book.m AND u6.j = book.j
+       |        WHERE u6.vec_id < 10
+       |        GROUP BY 1, 2, 3),
+       |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id, c.label AS cell
+       |         FROM probed p JOIN nm c ON c.label = p.cell
+       |         WHERE c.vec_id <> p.query_id),
+       |sc AS (SELECT cand.query_id, cand.neighbor_id, cand.cell,
+       |         CAST(SUM(lut.pdot) AS BIGINT) AS pq_dot
+       |       FROM cand JOIN codes ON codes.neighbor_id = cand.neighbor_id
+       |            JOIN lut ON lut.query_id = cand.query_id
+       |                    AND lut.m = codes.m AND lut.aid = codes.aid
+       |       GROUP BY 1, 2, 3),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY pq_dot DESC, neighbor_id) AS rnk FROM sc),
+       |eq AS (SELECT * FROM nm WHERE vec_id < 10),
+       |esc AS (SELECT eq.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |          CASE WHEN eq.nrm * c.nrm = 0.0 THEN 0.0
+       |               ELSE ROUND(list_dot_product(eq.emb, c.emb)
+       |                          /(eq.nrm*c.nrm), 4) END AS score
+       |        FROM nm c CROSS JOIN eq WHERE c.vec_id <> eq.vec_id),
+       |erk AS (SELECT query_id, neighbor_id,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY score DESC, neighbor_id) AS rnk
+       |        FROM esc)
+       |SELECT rk.query_id, CAST(rk.rnk AS INT) AS rank, rk.neighbor_id,
+       |       rk.cell, rk.pq_dot,
+       |       CAST(CASE WHEN erk.neighbor_id IS NULL THEN 0 ELSE 1 END
+       |         AS INT) AS in_exact_topk
+       |FROM rk LEFT JOIN (SELECT * FROM erk WHERE rnk <= 5) erk
+       |  ON rk.query_id = erk.query_id AND rk.neighbor_id = erk.neighbor_id
+       |WHERE rk.rnk <= 5
+       |ORDER BY rk.query_id, rank""".stripMargin
+
   /** q236 multi-round k-means: 4 unrolled Lloyd rounds (generated) in
     * the q227 integer contract — e6 unit components, sign-split
     * floor-mean recentering, exact-integer argmin reassignment; the
     * `converged` flag compares the last two rounds' assignments.
     * Mirrors graft.ext.Similarity.kmeansRounds exactly. */
-  private lazy val kmeansRoundsSql: String = {
-    val rounds = 4
+  /** The k-means CTE prefix through the round-`rounds` assignment
+    * `a<rounds>` — shared by the q236 report and q247's cluster-eval
+    * oracle (both consume the same unrolled Lloyd recursion). */
+  private def kmeansAssignCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""c$r AS (SELECT a.cell, u.i,
          |          CAST(CASE WHEN SUM(u.xe6) >= 0
@@ -678,14 +847,19 @@ object SparkEntry {
          |      PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d$r) z
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $embCte,
+    s"""$embCte,
        |kux AS (SELECT vec_id, label, unnest(emb) AS x,
        |          unnest(range(0, len(emb))) AS i, nrm FROM nm),
        |ku6 AS (SELECT vec_id, label, CAST(i AS INT) AS i,
        |          CAST(round(x / nrm * 1000000, 0) AS BIGINT) AS xe6
        |        FROM kux WHERE nrm > 0),
        |a0 AS (SELECT DISTINCT vec_id, label AS cell FROM ku6),
-       |$roundCtes,
+       |$roundCtes""".stripMargin
+  }
+
+  private lazy val kmeansRoundsSql: String = {
+    val rounds = 4
+    s"""WITH ${kmeansAssignCtes(rounds)},
        |mv AS (SELECT CAST(SUM(CASE WHEN p.cell <> a.cell THEN 1 ELSE 0 END)
        |         AS BIGINT) AS n_moved
        |       FROM a${rounds - 1} p JOIN a$rounds a USING (vec_id))
@@ -5132,74 +5306,7 @@ object SparkEntry {
     // by exact integer argmin distance (ties to smallest id), ADC
     // scores = sums of LUT integer dots; exact float top-5 feeds the
     // recall flag (measured 0.78 at sf0.01).
-    "q227_pq_topk" ->
-      s"""WITH $embCte,
-         |ux AS (SELECT vec_id, unnest(emb) AS x,
-         |              unnest(range(0, len(emb))) AS i, nrm FROM nm),
-         |u6 AS (SELECT vec_id, CAST(i // 2 AS INT) AS m,
-         |         CAST(i % 2 AS INT) AS j,
-         |         CASE WHEN nrm = 0.0 THEN 0
-         |              ELSE CAST(round(x / nrm * 1000000, 0) AS BIGINT)
-         |         END AS xe6
-         |       FROM ux),
-         |b0 AS (SELECT CAST(vec_id AS INT) AS aid, m, j, xe6 AS ce6
-         |       FROM u6 WHERE vec_id < 64),
-         |d1 AS (SELECT u6.vec_id AS nid, u6.m, b0.aid,
-         |         CAST(SUM((u6.xe6 - b0.ce6)*(u6.xe6 - b0.ce6))
-         |           AS BIGINT) AS d2
-         |       FROM u6 JOIN b0 ON u6.m = b0.m AND u6.j = b0.j
-         |       GROUP BY 1, 2, 3),
-         |a1 AS (SELECT nid, m, aid FROM (
-         |    SELECT nid, m, aid, row_number() OVER (
-         |      PARTITION BY nid, m ORDER BY d2, aid) AS rn
-         |    FROM d1) z WHERE rn = 1),
-         |book AS (SELECT a1.aid, a1.m, u6.j,
-         |           CAST(CASE WHEN SUM(u6.xe6) >= 0
-         |                THEN SUM(u6.xe6) // COUNT(*)
-         |                ELSE -((-SUM(u6.xe6)) // COUNT(*)) END
-         |             AS BIGINT) AS ce6
-         |         FROM a1 JOIN u6 ON a1.nid = u6.vec_id AND a1.m = u6.m
-         |         GROUP BY 1, 2, 3),
-         |dist AS (SELECT u6.vec_id AS neighbor_id, u6.m, book.aid,
-         |           CAST(SUM((u6.xe6 - book.ce6)*(u6.xe6 - book.ce6))
-         |             AS BIGINT) AS d2
-         |         FROM u6 JOIN book ON u6.m = book.m AND u6.j = book.j
-         |         GROUP BY 1, 2, 3),
-         |codes AS (SELECT neighbor_id, m, aid FROM (
-         |    SELECT neighbor_id, m, aid, row_number() OVER (
-         |      PARTITION BY neighbor_id, m ORDER BY d2, aid) AS rn
-         |    FROM dist) z WHERE rn = 1),
-         |lut AS (SELECT u6.vec_id AS query_id, u6.m, book.aid,
-         |          CAST(SUM(u6.xe6 * book.ce6) AS BIGINT) AS pdot
-         |        FROM u6 JOIN book ON u6.m = book.m AND u6.j = book.j
-         |        WHERE u6.vec_id < 10
-         |        GROUP BY 1, 2, 3),
-         |sc AS (SELECT lut.query_id, codes.neighbor_id,
-         |         CAST(SUM(lut.pdot) AS BIGINT) AS pq_dot
-         |       FROM codes JOIN lut
-         |         ON codes.m = lut.m AND codes.aid = lut.aid
-         |       WHERE codes.neighbor_id <> lut.query_id
-         |       GROUP BY 1, 2),
-         |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |         ORDER BY pq_dot DESC, neighbor_id) AS rnk FROM sc),
-         |eq AS (SELECT * FROM nm WHERE vec_id < 10),
-         |esc AS (SELECT eq.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |          CASE WHEN eq.nrm * c.nrm = 0.0 THEN 0.0
-         |               ELSE ROUND(list_dot_product(eq.emb, c.emb)
-         |                          /(eq.nrm*c.nrm), 4) END AS score
-         |        FROM nm c CROSS JOIN eq WHERE c.vec_id <> eq.vec_id),
-         |erk AS (SELECT query_id, neighbor_id,
-         |          row_number() OVER (PARTITION BY query_id
-         |            ORDER BY score DESC, neighbor_id) AS rnk
-         |        FROM esc)
-         |SELECT rk.query_id, CAST(rk.rnk AS INT) AS rank, rk.neighbor_id,
-         |       rk.pq_dot,
-         |       CAST(CASE WHEN erk.neighbor_id IS NULL THEN 0 ELSE 1 END
-         |         AS INT) AS in_exact_topk
-         |FROM rk LEFT JOIN (SELECT * FROM erk WHERE rnk <= 5) erk
-         |  ON rk.query_id = erk.query_id AND rk.neighbor_id = erk.neighbor_id
-         |WHERE rk.rnk <= 5
-         |ORDER BY rk.query_id, rank""".stripMargin,
+    "q227_pq_topk" -> pqTopKSql,
 
     // MMR diversified top-k: five unrolled greedy rounds (generated).
     "q228_mmr_topk" -> mmrSql,
@@ -5408,94 +5515,7 @@ object SparkEntry {
     // IVFADC: the q49 IVF centroid probe restricting the q227 PQ ADC
     // scoring to each query's 2 nearest cells; full-corpus exact top-5
     // recall flag.
-    "q233_ivf_pq_topk" ->
-      s"""WITH $embCte,
-         |ex AS (SELECT label AS cell, g AS pos, CAST(embedding[g] AS DOUBLE) AS v
-         |       FROM (SELECT label, embedding, unnest(range(1, len(embedding)+1)) AS g
-         |             FROM embeddings) z),
-         |cs AS (SELECT cell, pos, CAST(SUM(CAST(ROUND(v*10000,0) AS BIGINT)) AS BIGINT) AS s,
-         |              COUNT(*) AS n
-         |       FROM ex GROUP BY cell, pos),
-         |cent AS (SELECT cell, LIST(CAST(s AS DOUBLE)/10000.0/n ORDER BY pos) AS centroid
-         |         FROM cs GROUP BY cell),
-         |cn AS (SELECT cell, centroid, sqrt(list_dot_product(centroid, centroid)) AS cnrm
-         |       FROM cent),
-         |qq AS (SELECT vec_id, emb, nrm FROM nm WHERE vec_id < 10),
-         |pr AS (SELECT q.vec_id AS query_id, cn.cell,
-         |              row_number() OVER (PARTITION BY q.vec_id
-         |                ORDER BY ROUND(list_dot_product(q.emb, cn.centroid)/(q.nrm*cn.cnrm), 4) DESC,
-         |                         cn.cell) AS prk
-         |       FROM qq q CROSS JOIN cn),
-         |probed AS (SELECT query_id, cell FROM pr WHERE prk <= 2),
-         |ux AS (SELECT vec_id, unnest(emb) AS x,
-         |              unnest(range(0, len(emb))) AS i, nrm FROM nm),
-         |u6 AS (SELECT vec_id, CAST(i // 2 AS INT) AS m,
-         |         CAST(i % 2 AS INT) AS j,
-         |         CASE WHEN nrm = 0.0 THEN 0
-         |              ELSE CAST(round(x / nrm * 1000000, 0) AS BIGINT)
-         |         END AS xe6
-         |       FROM ux),
-         |b0 AS (SELECT CAST(vec_id AS INT) AS aid, m, j, xe6 AS ce6
-         |       FROM u6 WHERE vec_id < 64),
-         |d1 AS (SELECT u6.vec_id AS nid, u6.m, b0.aid,
-         |         CAST(SUM((u6.xe6 - b0.ce6)*(u6.xe6 - b0.ce6))
-         |           AS BIGINT) AS d2
-         |       FROM u6 JOIN b0 ON u6.m = b0.m AND u6.j = b0.j
-         |       GROUP BY 1, 2, 3),
-         |a1 AS (SELECT nid, m, aid FROM (
-         |    SELECT nid, m, aid, row_number() OVER (
-         |      PARTITION BY nid, m ORDER BY d2, aid) AS rn
-         |    FROM d1) z WHERE rn = 1),
-         |book AS (SELECT a1.aid, a1.m, u6.j,
-         |           CAST(CASE WHEN SUM(u6.xe6) >= 0
-         |                THEN SUM(u6.xe6) // COUNT(*)
-         |                ELSE -((-SUM(u6.xe6)) // COUNT(*)) END
-         |             AS BIGINT) AS ce6
-         |         FROM a1 JOIN u6 ON a1.nid = u6.vec_id AND a1.m = u6.m
-         |         GROUP BY 1, 2, 3),
-         |dist AS (SELECT u6.vec_id AS neighbor_id, u6.m, book.aid,
-         |           CAST(SUM((u6.xe6 - book.ce6)*(u6.xe6 - book.ce6))
-         |             AS BIGINT) AS d2
-         |         FROM u6 JOIN book ON u6.m = book.m AND u6.j = book.j
-         |         GROUP BY 1, 2, 3),
-         |codes AS (SELECT neighbor_id, m, aid FROM (
-         |    SELECT neighbor_id, m, aid, row_number() OVER (
-         |      PARTITION BY neighbor_id, m ORDER BY d2, aid) AS rn
-         |    FROM dist) z WHERE rn = 1),
-         |lut AS (SELECT u6.vec_id AS query_id, u6.m, book.aid,
-         |          CAST(SUM(u6.xe6 * book.ce6) AS BIGINT) AS pdot
-         |        FROM u6 JOIN book ON u6.m = book.m AND u6.j = book.j
-         |        WHERE u6.vec_id < 10
-         |        GROUP BY 1, 2, 3),
-         |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id, c.label AS cell
-         |         FROM probed p JOIN nm c ON c.label = p.cell
-         |         WHERE c.vec_id <> p.query_id),
-         |sc AS (SELECT cand.query_id, cand.neighbor_id, cand.cell,
-         |         CAST(SUM(lut.pdot) AS BIGINT) AS pq_dot
-         |       FROM cand JOIN codes ON codes.neighbor_id = cand.neighbor_id
-         |            JOIN lut ON lut.query_id = cand.query_id
-         |                    AND lut.m = codes.m AND lut.aid = codes.aid
-         |       GROUP BY 1, 2, 3),
-         |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |         ORDER BY pq_dot DESC, neighbor_id) AS rnk FROM sc),
-         |eq AS (SELECT * FROM nm WHERE vec_id < 10),
-         |esc AS (SELECT eq.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |          CASE WHEN eq.nrm * c.nrm = 0.0 THEN 0.0
-         |               ELSE ROUND(list_dot_product(eq.emb, c.emb)
-         |                          /(eq.nrm*c.nrm), 4) END AS score
-         |        FROM nm c CROSS JOIN eq WHERE c.vec_id <> eq.vec_id),
-         |erk AS (SELECT query_id, neighbor_id,
-         |          row_number() OVER (PARTITION BY query_id
-         |            ORDER BY score DESC, neighbor_id) AS rnk
-         |        FROM esc)
-         |SELECT rk.query_id, CAST(rk.rnk AS INT) AS rank, rk.neighbor_id,
-         |       rk.cell, rk.pq_dot,
-         |       CAST(CASE WHEN erk.neighbor_id IS NULL THEN 0 ELSE 1 END
-         |         AS INT) AS in_exact_topk
-         |FROM rk LEFT JOIN (SELECT * FROM erk WHERE rnk <= 5) erk
-         |  ON rk.query_id = erk.query_id AND rk.neighbor_id = erk.neighbor_id
-         |WHERE rk.rnk <= 5
-         |ORDER BY rk.query_id, rank""".stripMargin,
+    "q233_ivf_pq_topk" -> ivfAdcSql,
 
     // Incremental semantic dedup: even-id persisted state, odd-id
     // batch; q221's buckets + 4-dp verified cosine, batch-side probes
@@ -5837,5 +5857,85 @@ object SparkEntry {
         |       CAST((dt*dt*1000000)//(nv*np) AS BIGINT) AS align_ppm
         |FROM v3 JOIN v2 USING (i) CROSS JOIN ct
         |ORDER BY dim""".stripMargin,
+
+    // Unified retrieval eval: every ANN tier's top-3 vs the brute-force
+    // true NN; MRR@3 + hit@3 in exact floor integers. Nests the four
+    // tiers' own oracled SQL verbatim.
+    "q246_retrieval_eval" ->
+      s"""WITH b AS (SELECT query_id, neighbor_id, rank FROM ($annBruteSql) z1),
+         |t AS (SELECT query_id, neighbor_id AS true_nn FROM b WHERE rank = 1),
+         |u AS (SELECT 'brute' AS system, query_id, neighbor_id, rank
+         |        FROM b WHERE rank <= 3
+         |      UNION ALL
+         |      SELECT 'lsh', query_id, neighbor_id, rank
+         |        FROM ($annLshSql) z2 WHERE rank <= 3
+         |      UNION ALL
+         |      SELECT 'ivf', query_id, neighbor_id, rank
+         |        FROM ($annIvfSql) z3 WHERE rank <= 3
+         |      UNION ALL
+         |      SELECT 'pq', query_id, neighbor_id, rank
+         |        FROM ($pqTopKSql) z4 WHERE rank <= 3
+         |      UNION ALL
+         |      SELECT 'ivfadc', query_id, neighbor_id, rank
+         |        FROM ($ivfAdcSql) z5 WHERE rank <= 3),
+         |nq AS (SELECT COUNT(*) AS n_queries FROM t),
+         |f AS (SELECT u.system, u.rank FROM u
+         |      JOIN t ON u.query_id = t.query_id AND u.neighbor_id = t.true_nn),
+         |g AS (SELECT system, COUNT(*) AS n_found,
+         |        CAST(SUM(1000000 // rank) AS BIGINT) AS sum_rr
+         |      FROM f GROUP BY system),
+         |sp AS (SELECT unnest(['brute','lsh','ivf','pq','ivfadc']) AS system)
+         |SELECT sp.system, CAST(nq.n_queries AS BIGINT) AS n_queries,
+         |       CAST(COALESCE(g.n_found, 0) AS BIGINT) AS n_found,
+         |       CAST(COALESCE(g.n_found, 0) * 1000000 // nq.n_queries
+         |         AS BIGINT) AS hit_at3_ppm,
+         |       CAST(COALESCE(g.sum_rr, 0) // nq.n_queries AS BIGINT) AS mrr_e6
+         |FROM sp LEFT JOIN g USING (system) CROSS JOIN nq
+         |ORDER BY system""".stripMargin,
+
+    // Cluster eval: the q236 unrolled assignment vs the label column —
+    // per-cluster purity + global NMI (2·MI/(Hc+Hl), round-e6 ln terms,
+    // the shared N·1e6 denominator cancels; clamped >= 0).
+    "q247_cluster_eval" ->
+      s"""WITH ${kmeansAssignCtes(4)},
+         |lb AS (SELECT DISTINCT vec_id, label FROM ku6),
+         |ctg AS (SELECT a.cell, lb.label, COUNT(*) AS n
+         |        FROM a4 a JOIN lb USING (vec_id) GROUP BY 1, 2),
+         |rt AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS ncl FROM ctg GROUP BY cell),
+         |cl AS (SELECT label, CAST(SUM(n) AS BIGINT) AS nlb FROM ctg GROUP BY label),
+         |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM ctg),
+         |mi AS (SELECT CAST(SUM(n * CAST(round(ln(
+         |           (CAST(n AS DOUBLE) * nn) / (CAST(ncl AS DOUBLE) * nlb))
+         |           * 1e6, 0) AS BIGINT)) AS HUGEINT) AS mi_num
+         |       FROM ctg JOIN rt USING (cell) JOIN cl USING (label)
+         |            CROSS JOIN tt),
+         |hcn AS (SELECT -CAST(SUM(ncl * CAST(round(ln(
+         |            CAST(ncl AS DOUBLE) / nn) * 1e6, 0) AS BIGINT))
+         |          AS HUGEINT) AS hc_num
+         |        FROM rt CROSS JOIN tt),
+         |hln AS (SELECT -CAST(SUM(nlb * CAST(round(ln(
+         |            CAST(nlb AS DOUBLE) / nn) * 1e6, 0) AS BIGINT))
+         |          AS HUGEINT) AS hl_num
+         |        FROM cl CROSS JOIN tt),
+         |nm2 AS (SELECT CAST(CASE WHEN hc_num + hl_num = 0 THEN 0
+         |          ELSE greatest(0, 2 * mi_num * 1000000
+         |               // (hc_num + hl_num)) END AS BIGINT) AS nmi_ppm
+         |        FROM mi CROSS JOIN hcn CROSS JOIN hln),
+         |pu AS (SELECT cell, label, n,
+         |         row_number() OVER (PARTITION BY cell
+         |           ORDER BY n DESC, label) AS rk,
+         |         SUM(n) OVER (PARTITION BY cell) AS n_members
+         |       FROM ctg),
+         |pr AS (SELECT cell, label AS majority_label, n AS n_majority,
+         |         n_members
+         |       FROM pu WHERE rk = 1)
+         |SELECT CAST(cell AS INT) AS cluster,
+         |       CAST(n_members AS BIGINT) AS n_members,
+         |       CAST(majority_label AS INT) AS majority_label,
+         |       CAST(n_majority AS BIGINT) AS n_majority,
+         |       CAST(n_majority * 1000000 // n_members AS BIGINT) AS purity_ppm,
+         |       nm2.nmi_ppm
+         |FROM pr CROSS JOIN nm2
+         |ORDER BY cluster""".stripMargin,
   )
 }

@@ -722,36 +722,15 @@ object Similarity {
       .orderBy("source_a", "source_b")
   }
 
-  /** MULTI-ROUND k-means with a convergence certificate (q236) — the
-    * q76 single Lloyd step extended to `rounds` FIXED rounds (the
-    * q223/q225 fixed-round oracle contract: both engines run the same
-    * R rounds; the oracle unrolls them as CTEs), using the q227
-    * integer recentering: unit vectors quantize ONCE to e6 integer
-    * components, each round recomputes per-(cluster, dim) centroids as
-    * the SIGN-SPLIT floor-mean of the members and reassigns every
-    * vector to the argmin exact-integer squared distance (ties to the
-    * smallest cluster id). `converged` certifies a true fixpoint the
-    * q223 way: 1 iff NO vector changed cluster between rounds R−1 and
-    * R — a caller sees "k-means finished" vs "R rounds weren't enough"
-    * in the result itself, never silently.
-    *
-    * Output: one row per surviving cluster — member count, arrivals in
-    * the last round, total squared distance (e6² units, the inertia
-    * readout vs the round-R centroids), and the global `converged`
-    * flag. Clusters reassignment empties simply stop appearing (the
-    * standard empty-cluster drop).
-    *
-    * Scale shape: the exploded unit relation is staged ONCE
-    * (localCheckpoint) and each round is (a) one (cluster, dim)-keyed
-    * partial-agg'd shuffle producing a k·dim centroid table that
-    * BROADCASTS, (b) one dim-keyed join computing every (vector,
-    * cluster) distance in a single pass, (c) one vector-keyed argmin —
-    * per-round assignment lineage is cut so R rounds never grow the
-    * plan. Squared-distance sums are bounded by 64·(2·10⁶)² ≈ 2.6e14
-    * — exact in LONG at any corpus size (per-vector, not corpus,
-    * bounded). */
-  def kmeansRounds(corpus: DataFrame, idCol: String, embCol: String,
-                   seedCol: String, rounds: Int = 4): DataFrame = {
+  /** The shared Lloyd recursion behind [[kmeansRounds]] (q236) and
+    * [[kmeansClusterEval]] (q247): e6 unit components staged once,
+    * per round a (cell, i)-keyed sign-split floor-mean recenter, a
+    * broadcast distance join, and an exact-integer argmin reassignment
+    * (ties smallest cell), lineage cut per round. Returns (unit
+    * relation, previous assignment, final assignment). */
+  private def lloydLoop(corpus: DataFrame, idCol: String, embCol: String,
+                        seedCol: String, rounds: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(rounds >= 2, s"need >= 2 rounds for a convergence readout, got $rounds")
     val unit = corpus
       .select(col(idCol).as("vid"), col(seedCol).as("c0"),
@@ -783,6 +762,40 @@ object Similarity {
         .select(col("vid"), col("w.cell").as("cell"), col("w.d2").as("d2"))
         .localCheckpoint() // per-round lineage cut; read by next round + report
     }
+    (unit, prevAsg, asg)
+  }
+
+  /** MULTI-ROUND k-means with a convergence certificate (q236) — the
+    * q76 single Lloyd step extended to `rounds` FIXED rounds (the
+    * q223/q225 fixed-round oracle contract: both engines run the same
+    * R rounds; the oracle unrolls them as CTEs), using the q227
+    * integer recentering: unit vectors quantize ONCE to e6 integer
+    * components, each round recomputes per-(cluster, dim) centroids as
+    * the SIGN-SPLIT floor-mean of the members and reassigns every
+    * vector to the argmin exact-integer squared distance (ties to the
+    * smallest cluster id). `converged` certifies a true fixpoint the
+    * q223 way: 1 iff NO vector changed cluster between rounds R−1 and
+    * R — a caller sees "k-means finished" vs "R rounds weren't enough"
+    * in the result itself, never silently.
+    *
+    * Output: one row per surviving cluster — member count, arrivals in
+    * the last round, total squared distance (e6² units, the inertia
+    * readout vs the round-R centroids), and the global `converged`
+    * flag. Clusters reassignment empties simply stop appearing (the
+    * standard empty-cluster drop).
+    *
+    * Scale shape: the exploded unit relation is staged ONCE
+    * (localCheckpoint) and each round is (a) one (cluster, dim)-keyed
+    * partial-agg'd shuffle producing a k·dim centroid table that
+    * BROADCASTS, (b) one dim-keyed join computing every (vector,
+    * cluster) distance in a single pass, (c) one vector-keyed argmin —
+    * per-round assignment lineage is cut so R rounds never grow the
+    * plan. Squared-distance sums are bounded by 64·(2·10⁶)² ≈ 2.6e14
+    * — exact in LONG at any corpus size (per-vector, not corpus,
+    * bounded). */
+  def kmeansRounds(corpus: DataFrame, idCol: String, embCol: String,
+                   seedCol: String, rounds: Int = 4): DataFrame = {
+    val (_, prevAsg, asg) = lloydLoop(corpus, idCol, embCol, seedCol, rounds)
     val moved = prevAsg.select(col("vid"), col("cell").as("prev_cell"))
       .join(asg.select("vid", "cell"), Seq("vid"))
       .agg(sum(when(col("prev_cell") =!= col("cell"), 1L).otherwise(0L))
@@ -799,6 +812,74 @@ object Similarity {
         col("n_arrived").cast("long").as("n_arrived"),
         col("total_d2").cast("long").as("total_d2"),
         when(col("n_moved") === 0, 1).otherwise(0).cast("int").as("converged"))
+      .orderBy("cluster")
+  }
+
+  /** CLUSTERING QUALITY vs external labels (q247) — purity and NMI of
+    * the q236 final Lloyd assignment measured against the embeddings'
+    * label column (the same labels that SEED the iteration, so the
+    * readout is "how much label structure did Lloyd preserve/destroy"
+    * — stated, not hidden). Per cluster: member count, majority label
+    * (ties smallest), purity in exact floor ppm; plus the global NMI
+    * with arithmetic-mean normalization NMI = 2·MI/(H_c + H_l) — the
+    * sqrt-free variant both engines reproduce exactly: MI and the
+    * entropies are accumulated as Σ count·round-e6-micro-nat terms
+    * (the q196 ln idiom — both engines take IEEE ln of the same
+    * rational double), the shared N·10⁶ denominator cancels, and the
+    * final ratio is one DECIMAL(38,0)/HUGEINT floor division clamped
+    * ≥ 0 against quantization (negative numerators floor differently
+    * across engines, but both land < 0 and clamp to 0).
+    *
+    * Scale shape: one vid-keyed join of the assignment to the label
+    * projection, one (cluster, label)-keyed count — after that every
+    * relation is |clusters|·|labels|-sized (marginals, MI terms,
+    * purity rollups). */
+  def kmeansClusterEval(corpus: DataFrame, idCol: String, embCol: String,
+                        seedCol: String, rounds: Int = 4): DataFrame = {
+    val (unit, _, asg) = lloydLoop(corpus, idCol, embCol, seedCol, rounds)
+    val lab = unit.select(col("vid"), col("c0").as("label")).distinct()
+    val ct = asg.select("vid", "cell").join(lab, Seq("vid"))
+      .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // |clusters|·|labels| rows; read by 4 rollups
+    val rowTot = ct.groupBy("cell").agg(sum("n").as("ncl"))
+      .localCheckpoint() // read by MI terms + entropy + purity spine
+    val colTot = ct.groupBy("label").agg(sum("n").as("nlb"))
+    val nTot = ct.agg(sum("n").as("nn"))
+    val mi = ct.join(rowTot, Seq("cell")).join(colTot, Seq("label"))
+      .crossJoin(broadcast(nTot))
+      .select((col("n") *
+        round(log((col("n").cast("double") * col("nn")) /
+          (col("ncl").cast("double") * col("nlb"))) * 1e6, 0).cast("long"))
+        .as("term"))
+      .agg(sum("term").as("mi_num"))
+    val hc = rowTot.crossJoin(broadcast(nTot))
+      .select((col("ncl") *
+        round(log(col("ncl").cast("double") / col("nn")) * 1e6, 0)
+          .cast("long")).as("t"))
+      .agg((-sum("t")).as("hc_num"))
+    val hl = colTot.crossJoin(broadcast(nTot))
+      .select((col("nlb") *
+        round(log(col("nlb").cast("double") / col("nn")) * 1e6, 0)
+          .cast("long")).as("t"))
+      .agg((-sum("t")).as("hl_num"))
+    val nmi = mi.crossJoin(broadcast(hc)).crossJoin(broadcast(hl))
+      .select(expr(
+        """CASE WHEN hc_num + hl_num = 0 THEN CAST(0 AS BIGINT)
+          |ELSE greatest(CAST(0 AS BIGINT),
+          |  CAST(CAST(2 AS DECIMAL(38,0)) * mi_num * 1000000
+          |       div (hc_num + hl_num) AS BIGINT)) END""".stripMargin)
+        .as("nmi_ppm"))
+    ct.groupBy("cell")
+      .agg(sum("n").as("n_members"), max("n").as("n_majority"),
+        min_by(col("label"), struct(-col("n"), col("label")))
+          .as("majority_label"))
+      .crossJoin(broadcast(nmi))
+      .select(col("cell").cast("int").as("cluster"),
+        col("n_members").cast("long").as("n_members"),
+        col("majority_label").cast("int").as("majority_label"),
+        col("n_majority").cast("long").as("n_majority"),
+        expr("n_majority * 1000000 div n_members").as("purity_ppm"),
+        col("nmi_ppm"))
       .orderBy("cluster")
   }
 

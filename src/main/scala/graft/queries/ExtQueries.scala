@@ -1471,6 +1471,63 @@ object ExtQueries {
     TextDedup.lshCandidateEval(Tables.documents(spark, dir), "doc_id",
       "text", k = 8, thresholds = Seq(0.5, 0.8))
 
+  /** UNIFIED RETRIEVAL EVALUATION (q246) — MRR@3 and hit@3 of every
+    * ANN tier in the suite (sign-LSH q38, IVF q49, PQ q227, IVFADC
+    * q233, plus the exact tier itself as the sanity row) against the
+    * brute-force true nearest neighbor: per system, was the true NN
+    * retrieved in the top 3, and at what reciprocal rank. Extends the
+    * q105 recall readout (LSH-only, set overlap) to the rank-aware
+    * metrics a retrieval deployment actually compares systems on, in
+    * exact integers: rr = 10⁶ div rank (0 when absent), means by floor
+    * division over the query count. The exact tier scoring 10⁶
+    * certifies the harness itself.
+    *
+    * Scale shape: every input is an already-bounded |Q|·k top-k
+    * relation — the eval joins and aggregates nothing corpus-sized;
+    * the 5-row system spine is driver metadata. */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val brute = annBruteTopK(spark, dir)
+    val truth = brute.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("true_nn"))
+      .localCheckpoint() // read by the join + the query count
+    val systems: Seq[(String, DataFrame)] = Seq(
+      "brute"  -> brute,
+      "lsh"    -> annLshTopK(spark, dir),
+      "ivf"    -> annIvfTopK(spark, dir),
+      "pq"     -> pqRetrieval(spark, dir),
+      "ivfadc" -> ivfAdcRetrieval(spark, dir))
+    val ranked = systems.map { case (nm, df) =>
+      df.select(col("query_id"), col("neighbor_id"), col("rank"))
+        .filter(col("rank") <= 3).withColumn("system", lit(nm))
+    }.reduce(_ unionAll _)
+    val nQ = truth.agg(count(lit(1)).as("n_queries"))
+    val found = ranked
+      .join(truth.withColumnRenamed("true_nn", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("system")
+      .agg(count(lit(1)).as("n_found"),
+        sum(expr("1000000 div rank")).as("sum_rr"))
+    systems.map(_._1).toDF("system")
+      .join(found, Seq("system"), "left")
+      .na.fill(0L, Seq("n_found", "sum_rr"))
+      .crossJoin(broadcast(nQ))
+      .select(col("system"),
+        col("n_queries").cast("long").as("n_queries"),
+        col("n_found").cast("long").as("n_found"),
+        expr("n_found * 1000000 div n_queries").as("hit_at3_ppm"),
+        expr("sum_rr div n_queries").as("mrr_e6"))
+      .orderBy("system")
+  }
+
+  /** Clustering quality vs labels (q247):
+    * [[graft.ext.Similarity.kmeansClusterEval]] — per-cluster purity
+    * and global NMI of the q236 final assignment against the label
+    * column. */
+  def clusterEvalReport(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansClusterEval(Tables.embeddings(spark, dir), "vec_id",
+      "embedding", "label", rounds = 4)
+
   /** Top principal component by power iteration (q245):
     * [[graft.ext.Similarity.powerIteration]] — three fixed integer
     * rounds of v ← normalize(AᵀAv) over the embeddings corpus with the

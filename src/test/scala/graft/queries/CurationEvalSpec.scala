@@ -188,6 +188,109 @@ class CurationEvalSpec extends SparkSpec {
     assert(out(500000L)._1 > 0, "no exact pairs at 0.5")
   }
 
+  test("q246 retrieval eval replays MRR/hit from the tiers' own outputs") {
+    val out = ExtQueries.retrievalEval(spark, sf001).collect()
+      .map(r => r.getAs[String]("system") ->
+        (r.getAs[Long]("n_queries"), r.getAs[Long]("n_found"),
+          r.getAs[Long]("hit_at3_ppm"), r.getAs[Long]("mrr_e6"))).toMap
+    assert(out.keySet === Set("brute", "lsh", "ivf", "pq", "ivfadc"))
+    // the exact tier certifies the harness: true NN is its own rank 1
+    assert(out("brute") === (10L, 10L, 1000000L, 1000000L))
+    // replay each system from its own (already-specced) output
+    val truth = ExtQueries.annBruteTopK(spark, sf001)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    val systems = Seq(
+      "lsh" -> ExtQueries.annLshTopK(spark, sf001),
+      "ivf" -> ExtQueries.annIvfTopK(spark, sf001),
+      "pq" -> ExtQueries.pqRetrieval(spark, sf001),
+      "ivfadc" -> ExtQueries.ivfAdcRetrieval(spark, sf001))
+    systems.foreach { case (nm, df) =>
+      val ranks = df.filter(col("rank") <= 3).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Int]("rank")))
+      val hits = ranks.filter { case (q, n, _) => truth.get(q).contains(n) }
+      val nFound = hits.length.toLong
+      val sumRr = hits.map(h => 1000000L / h._3).sum
+      val (gq, gf, gh, gm) = out(nm)
+      assert(gq === truth.size.toLong, s"n_queries at $nm")
+      assert(gf === nFound, s"n_found at $nm")
+      assert(gh === nFound * 1000000L / truth.size, s"hit ppm at $nm")
+      assert(gm === sumRr / truth.size, s"mrr at $nm")
+    }
+    // at least one approximate tier finds at least one true NN
+    assert(out.filterKeys(_ != "brute").values.exists(_._2 > 0))
+  }
+
+  test("q247 cluster eval replays purity and NMI from the q236 assignment") {
+    val out = ExtQueries.clusterEvalReport(spark, sf001).collect()
+      .map(r => r.getAs[Int]("cluster") ->
+        (r.getAs[Long]("n_members"), r.getAs[Int]("majority_label"),
+          r.getAs[Long]("n_majority"), r.getAs[Long]("purity_ppm"),
+          r.getAs[Long]("nmi_ppm"))).toMap
+    // rebuild the contingency table from kmeansRounds' own loop output:
+    // re-run the eval's building block (assignment via the shared loop)
+    // is internal, so replay from first principles instead — quantize,
+    // run 4 Lloyd rounds in BigInt exactly as KmeansSpec does
+    val rows = graft.model.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Int]("i"), r.getAs[Float]("x").toDouble))
+    val byVec = rows.groupBy(_._1).map { case (id, xs) =>
+      val arr = xs.sortBy(_._3).map(_._4).toArray
+      val nrm = math.sqrt(arr.map(x => x * x).sum)
+      (id, xs.head._2, if (nrm > 0) arr.map(x =>
+        math.round(x / nrm * 1e6)) else Array[Long]())
+    }.filter(_._3.nonEmpty).toSeq
+    var asg = byVec.map { case (id, lab, _) => id -> lab.toLong }.toMap
+    for (_ <- 1 to 4) {
+      val cents = byVec.groupBy(v => asg(v._1)).map { case (cell, vs) =>
+        val n = vs.length
+        cell -> (0 until 64).map { i =>
+          val sx = vs.map(_._3(i)).sum
+          if (sx >= 0) sx / n else -((-sx) / n)
+        }.toArray
+      }
+      asg = byVec.map { case (id, _, xe) =>
+        id -> cents.toSeq.map { case (cell, ce) =>
+          val d2 = (0 until 64).map(i =>
+            (xe(i) - ce(i)) * (xe(i) - ce(i))).sum
+          (d2, cell)
+        }.min._2
+      }.toMap
+    }
+    val ctg = byVec.map { case (id, lab, _) => (asg(id), lab) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val rt = ctg.groupBy(_._1._1).map { case (c, xs) => c -> xs.values.sum }
+    val clT = ctg.groupBy(_._1._2).map { case (l, xs) => l -> xs.values.sum }
+    val nn = ctg.values.sum
+    val miNum = ctg.map { case ((c, l), n) =>
+      n * math.round(math.log((n.toDouble * nn) /
+        (rt(c).toDouble * clT(l))) * 1e6)
+    }.sum
+    val hcNum = -rt.values.map(n =>
+      n * math.round(math.log(n.toDouble / nn) * 1e6)).sum
+    val hlNum = -clT.values.map(n =>
+      n * math.round(math.log(n.toDouble / nn) * 1e6)).sum
+    val nmi = if (hcNum + hlNum == 0) 0L
+      else math.max(0L, (BigInt(2) * miNum * 1000000 /
+        (hcNum + hlNum)).toLong)
+    val expClusters = rt.keySet.map(_.toInt)
+    assert(out.keySet === expClusters)
+    out.foreach { case (c, (nM, mL, nMaj, pur, gNmi)) =>
+      val cells = ctg.collect { case ((cc, l), n) if cc == c => (l, n) }
+      assert(nM === rt(c.toLong), s"members at $c")
+      val best = cells.toSeq.minBy { case (l, n) => (-n, l) }
+      assert(mL === best._1, s"majority label at $c")
+      assert(nMaj === best._2, s"majority count at $c")
+      assert(pur === best._2 * 1000000L / rt(c.toLong), s"purity at $c")
+      assert(gNmi === nmi, s"nmi at $c")
+    }
+  }
+
   test("q245 power iteration replays the 3 integer rounds at sf0.001") {
     val out = ExtQueries.principalComponent(spark, sf001).collect()
       .map(r => (r.getAs[Int]("dim"), r.getAs[Long]("v_prev_e4"),
