@@ -267,6 +267,9 @@ object SparkEntry {
     "q245_power_iteration"    -> ((s, d) => ExtQueries.principalComponent(s, d)),
     "q246_retrieval_eval"     -> ((s, d) => ExtQueries.retrievalEval(s, d)),
     "q247_cluster_eval"       -> ((s, d) => ExtQueries.clusterEvalReport(s, d)),
+    "q248_dedup_sweep"        -> ((s, d) => ExtQueries.dedupSweepReport(s, d)),
+    "q249_quality_sweep"      -> ((s, d) => ExtQueries.qualityThresholdSweep(s, d)),
+    "q250_l_diversity"        -> ((s, d) => Analytics.lDiversity(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -657,6 +660,23 @@ object SparkEntry {
        |       FROM (SELECT w, unnest(range(0, length(w))) AS g FROM bvocab) z),
        |$roundCtes""".stripMargin
   }
+
+  /** Exact char-8-gram Jaccard pair CTEs over the df-capped space
+    * (needs `h` from [[char8HashCte]] in scope) — shared by the q244
+    * candidate eval and the q248 threshold sweep. Mirrors
+    * TextDedup.jaccardJoined. */
+  private def exactJaccardCtes: String =
+    s"""hot AS (SELECT hv FROM h GROUP BY hv
+       |        HAVING COUNT(*) > ${graft.ext.TextDedup.DefaultMaxDf}),
+       |hc AS (SELECT * FROM h WHERE hv NOT IN (SELECT hv FROM hot)),
+       |szc AS (SELECT doc_id, COUNT(*) AS n FROM hc GROUP BY doc_id),
+       |ivc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |          COUNT(*) AS n_inter
+       |        FROM hc a JOIN hc b ON a.hv = b.hv AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2),
+       |jp AS (SELECT doc_a, doc_b, n_inter, za.n + zb.n - n_inter AS u
+       |       FROM ivc JOIN szc za ON za.doc_id = ivc.doc_a
+       |            JOIN szc zb ON zb.doc_id = ivc.doc_b)""".stripMargin
 
   /** q227 product-quantization oracle: deterministic seed-slice
     * codebook + one Lloyd refinement, integer coding/LUT/ADC joins —
@@ -5769,17 +5789,7 @@ object SparkEntry {
     "q244_lsh_candidate_eval" ->
       s"""WITH $nCte,
          |$minhashCtes,
-         |hot AS (SELECT hv FROM h GROUP BY hv
-         |        HAVING COUNT(*) > ${graft.ext.TextDedup.DefaultMaxDf}),
-         |hc AS (SELECT * FROM h WHERE hv NOT IN (SELECT hv FROM hot)),
-         |szc AS (SELECT doc_id, COUNT(*) AS n FROM hc GROUP BY doc_id),
-         |ivc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |          COUNT(*) AS n_inter
-         |        FROM hc a JOIN hc b ON a.hv = b.hv AND a.doc_id < b.doc_id
-         |        GROUP BY 1, 2),
-         |jp AS (SELECT doc_a, doc_b, n_inter, za.n + zb.n - n_inter AS u
-         |       FROM ivc JOIN szc za ON za.doc_id = ivc.doc_a
-         |            JOIN szc zb ON zb.doc_id = ivc.doc_b),
+         |$exactJaccardCtes,
          |nc AS (SELECT COUNT(*) AS n_cand FROM cand),
          |ex5 AS (SELECT doc_a, doc_b FROM jp
          |        WHERE CAST(n_inter AS DOUBLE)/u >= 0.5),
@@ -5937,5 +5947,98 @@ object SparkEntry {
          |       nm2.nmi_ppm
          |FROM pr CROSS JOIN nm2
          |ORDER BY cluster""".stripMargin,
+
+    // Dedup threshold sweep: the exact char-8-gram pair tier filtered
+    // at 4 thresholds; drop = doc_b of any >= t pair (keep-first rule);
+    // token volumes from one doc-keyed projection.
+    "q248_dedup_sweep" ->
+      s"""WITH $nCte,
+         |$char8HashCte,
+         |$exactJaccardCtes,
+         |tk AS (SELECT doc_id,
+         |         CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
+         |       FROM n),
+         |tot AS (SELECT COUNT(*) AS total_docs,
+         |          CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM tk),
+         |th AS (SELECT unnest([300000, 500000, 700000, 900000]) AS threshold_ppm),
+         |pp AS (SELECT th.threshold_ppm, jp.doc_a, jp.doc_b
+         |       FROM th JOIN jp
+         |         ON CAST(jp.n_inter AS DOUBLE)/jp.u >= th.threshold_ppm/1e6),
+         |np AS (SELECT threshold_ppm, COUNT(*) AS n_pairs
+         |       FROM pp GROUP BY threshold_ppm),
+         |dr AS (SELECT DISTINCT threshold_ppm, doc_b AS doc_id FROM pp),
+         |ds AS (SELECT threshold_ppm, COUNT(*) AS n_dropped,
+         |         CAST(SUM(n_tokens) AS BIGINT) AS dropped_tokens
+         |       FROM dr JOIN tk USING (doc_id) GROUP BY threshold_ppm)
+         |SELECT CAST(th.threshold_ppm AS BIGINT) AS threshold_ppm,
+         |       CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |       CAST(COALESCE(ds.n_dropped, 0) AS BIGINT) AS n_dropped,
+         |       CAST(COALESCE(ds.dropped_tokens, 0) AS BIGINT) AS dropped_tokens,
+         |       CAST(tot.total_docs - COALESCE(ds.n_dropped, 0) AS BIGINT)
+         |         AS kept_docs,
+         |       CAST(tot.total_tokens - COALESCE(ds.dropped_tokens, 0) AS BIGINT)
+         |         AS kept_tokens
+         |FROM th LEFT JOIN np USING (threshold_ppm)
+         |     LEFT JOIN ds USING (threshold_ppm) CROSS JOIN tot
+         |ORDER BY threshold_ppm""".stripMargin,
+
+    // Quality threshold sweep: stopword-ppm score bins (width 50k),
+    // cumulative keep-above volumes, token share in floor ppm.
+    "q249_quality_sweep" ->
+      s"""WITH $nCte,
+         |$tokCte,
+         |st AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |              COUNT(*) FILTER (w IN ('the','a','of','and','to','in'))
+         |                AS n_stop
+         |       FROM tok GROUP BY doc_id),
+         |sc AS (SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+         |         (n_stop * 1000000 // greatest(n_tokens, 1)) // 50000 AS bin
+         |       FROM st),
+         |bn AS (SELECT bin, COUNT(*) AS n_docs,
+         |         CAST(SUM(n_tokens) AS BIGINT) AS tokens
+         |       FROM sc GROUP BY bin),
+         |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tt FROM bn),
+         |cm AS (SELECT a.bin, CAST(SUM(b.n_docs) AS BIGINT) AS cum_docs,
+         |         CAST(SUM(b.tokens) AS BIGINT) AS cum_tokens
+         |       FROM bn a JOIN bn b ON b.bin >= a.bin GROUP BY a.bin)
+         |SELECT CAST(bn.bin AS BIGINT) AS bin,
+         |       CAST(bn.bin * 50000 AS BIGINT) AS threshold_ppm,
+         |       CAST(bn.n_docs AS BIGINT) AS n_docs, bn.tokens,
+         |       cm.cum_docs, cm.cum_tokens,
+         |       CAST(cm.cum_tokens * 1000000 // tot.tt AS BIGINT)
+         |         AS cum_token_share_ppm
+         |FROM bn JOIN cm USING (bin) CROSS JOIN tot
+         |ORDER BY bin""".stripMargin,
+
+    // l-diversity: QI class = (mktsegment, nationkey), sensitive band =
+    // acctbal tier; distinct-l + entropy-l (floor micro-nats) + the
+    // 2-diverse flag.
+    "q250_l_diversity" ->
+      """WITH cells AS (SELECT c_mktsegment, c_nationkey,
+        |         CASE WHEN c_acctbal < 0 THEN 'neg'
+        |              WHEN c_acctbal <= 5000 THEN 'mid'
+        |              ELSE 'high' END AS band,
+        |         COUNT(*) AS ns
+        |       FROM customer GROUP BY 1, 2, 3),
+        |tt AS (SELECT c_mktsegment, c_nationkey,
+        |         CAST(SUM(ns) AS BIGINT) AS class_size
+        |       FROM cells GROUP BY 1, 2),
+        |tm AS (SELECT cells.c_mktsegment, cells.c_nationkey, ns, class_size,
+        |         ns * CAST(round(ln(CAST(ns AS DOUBLE) / class_size) * 1e6, 0)
+        |              AS BIGINT) AS term
+        |       FROM cells JOIN tt USING (c_mktsegment, c_nationkey)),
+        |ag AS (SELECT c_mktsegment, c_nationkey,
+        |         MAX(class_size) AS class_size,
+        |         CAST(COUNT(*) AS INT) AS distinct_l,
+        |         CAST((-SUM(term)) // MAX(class_size) AS BIGINT)
+        |           AS entropy_micro
+        |       FROM tm GROUP BY 1, 2)
+        |SELECT c_mktsegment, c_nationkey,
+        |       CAST(class_size AS BIGINT) AS class_size, distinct_l,
+        |       entropy_micro,
+        |       CAST(CASE WHEN distinct_l >= 2 AND entropy_micro >= 693147
+        |            THEN 1 ELSE 0 END AS INT) AS is_2_diverse
+        |FROM ag
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
   )
 }

@@ -2381,6 +2381,50 @@ object Analytics {
         when(col("class_size") >= k, 1).otherwise(0).as("is_k_anonymous"))
       .orderBy("c_mktsegment", "c_nationkey")
 
+  /** L-DIVERSITY audit (q250, Machanavajjhala et al.) — the governance
+    * companion to q210's k-anonymity: within each quasi-identifier
+    * class (mktsegment, nationkey), how DIVERSE is the sensitive
+    * attribute (account-balance band: negative / ≤ 5000 / high)?
+    * k-anonymity alone leaks when a class is large but homogeneous in
+    * the sensitive value; per class this reports distinct-l (number of
+    * sensitive bands present) and entropy-l (Shannon entropy of the
+    * band distribution in exact floor micro-nats — Σ n_s·round-e6 ln
+    * terms, all ≤ 0, negated then floor-divided by the class size, so
+    * no sign split is ever needed), plus the standard 2-diverse flag
+    * (distinct ≥ 2 AND entropy ≥ ln 2 = 693147 micro-nats).
+    *
+    * Scale shape: one (QI, band)-keyed count off the scan, then
+    * everything runs on the |QI classes|·|bands| relation. */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") <= 5000, "mid")
+          .otherwise("high").as("band"))
+      .groupBy("c_mktsegment", "c_nationkey", "band")
+      .agg(count(lit(1)).as("ns"))
+      .localCheckpoint() // |QI|·3 rows; read by totals + entropy legs
+    val totals = cells.groupBy("c_mktsegment", "c_nationkey")
+      .agg(sum("ns").as("class_size"))
+    cells.join(totals, Seq("c_mktsegment", "c_nationkey"))
+      .select(col("c_mktsegment"), col("c_nationkey"), col("ns"),
+        col("class_size"),
+        (col("ns") *
+          round(log(col("ns").cast("double") / col("class_size")) * 1e6, 0)
+            .cast("long")).as("term"))
+      .groupBy("c_mktsegment", "c_nationkey")
+      .agg(max("class_size").as("class_size"),
+        count(lit(1)).as("distinct_l"),
+        expr("(-sum(term)) div max(class_size)").as("entropy_micro"))
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        col("class_size").cast("long").as("class_size"),
+        col("distinct_l").cast("int").as("distinct_l"),
+        col("entropy_micro").cast("long").as("entropy_micro"),
+        when(col("distinct_l") >= 2 && col("entropy_micro") >= 693147L, 1)
+          .otherwise(0).cast("int").as("is_2_diverse"))
+      .orderBy("c_mktsegment", "c_nationkey")
+  }
+
   /** RFM customer segmentation (q211) — the classic CRM triple scored
     * WITHIN market segment: recency (days from last order to the
     * segment-wide anchor date), frequency (order count), monetary

@@ -1528,6 +1528,60 @@ object ExtQueries {
     Similarity.kmeansClusterEval(Tables.embeddings(spark, dir), "vec_id",
       "embedding", "label", rounds = 4)
 
+  /** QUALITY THRESHOLD SWEEP (q249) — the filter-tuning curve: docs
+    * binned by the q240 stopword-ratio score (fixed width 50k ppm, so
+    * ≤ 21 bins at ANY corpus size), per bin the doc/token volumes plus
+    * the CUMULATIVE volumes retained if the quality gate were set at
+    * that bin's lower edge (keep score ≥ bin·50k) — "which threshold
+    * hits my token budget", the dual of q240's budget-first selection.
+    * The cumulative sums come from a nonequi self-join of the BIN
+    * relation against itself — bounded 21×21 by construction (the bin
+    * count is fixed by the ppm width, independent of the corpus), so
+    * the broadcast nested-loop is metadata work, never a window over
+    * data.
+    *
+    * Scale shape: one scan-side score projection, one bin-keyed count;
+    * everything after runs on ≤ 21 rows. */
+  def qualityThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val t = TextOps.normText(col("text"))
+    val toks = TextOps.tokens(t)
+    val scored = docs.select(
+        size(toks).cast("long").as("n_tokens"),
+        size(org.apache.spark.sql.functions.filter(toks,
+          w => w.isInCollection(TextAnalysis.Stopwords))).cast("long")
+          .as("n_stop"))
+      .withColumn("score_ppm",
+        expr("n_stop * 1000000 div greatest(n_tokens, 1)"))
+      .withColumn("bin", expr("score_ppm div 50000"))
+    val bins = scored.groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+      .localCheckpoint() // <= 21 rows; read by cum join (both sides) + total
+    val tot = bins.agg(sum("tokens").as("tt"))
+    val cum = bins.select(col("bin"))
+      .join(bins.select(col("bin").as("b2"), col("n_docs").as("nd2"),
+        col("tokens").as("tk2")), col("b2") >= col("bin"))
+      .groupBy("bin")
+      .agg(sum("nd2").as("cum_docs"), sum("tk2").as("cum_tokens"))
+    bins.join(cum, Seq("bin")).crossJoin(broadcast(tot))
+      .select(col("bin").cast("long").as("bin"),
+        (col("bin") * 50000).cast("long").as("threshold_ppm"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("tokens").cast("long").as("tokens"),
+        col("cum_docs").cast("long").as("cum_docs"),
+        col("cum_tokens").cast("long").as("cum_tokens"),
+        expr("cum_tokens * 1000000 div tt").as("cum_token_share_ppm"))
+      .orderBy("bin")
+  }
+
+  /** Dedup threshold sweep (q248):
+    * [[graft.ext.TextDedup.dedupThresholdSweep]] — pairs, docs dropped
+    * (keep-first rule) and token volumes at Jaccard 0.3/0.5/0.7/0.9,
+    * all from one staged inverted-index pass. */
+  def dedupSweepReport(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.dedupThresholdSweep(Tables.documents(spark, dir), "doc_id",
+      "text", k = 8)
+
   /** Top principal component by power iteration (q245):
     * [[graft.ext.Similarity.powerIteration]] — three fixed integer
     * rounds of v ← normalize(AᵀAv) over the embeddings corpus with the

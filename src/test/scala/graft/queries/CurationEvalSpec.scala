@@ -291,6 +291,115 @@ class CurationEvalSpec extends SparkSpec {
     }
   }
 
+  test("q248 dedup sweep replays drops and is monotone in the threshold") {
+    val out = ExtQueries.dedupSweepReport(spark, sf001).collect()
+      .map(r => r.getAs[Long]("threshold_ppm") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_dropped"),
+          r.getAs[Long]("dropped_tokens"), r.getAs[Long]("kept_docs"),
+          r.getAs[Long]("kept_tokens"))).toMap
+    assert(out.keySet === Set(300000L, 500000L, 700000L, 900000L))
+    // replay from the same capped exact tier as the q244 spec
+    val docs = graft.model.Tables.documents(spark, sf001)
+    val sh = TextDedup.docShingleHashes(docs, "doc_id", "text", k = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("hv")))
+    val hot = sh.groupBy(_._2).collect {
+      case (hv, xs) if xs.length > TextDedup.DefaultMaxDf => hv
+    }.toSet
+    val sets = sh.filterNot(x => hot(x._2)).groupBy(_._1)
+      .map { case (id, xs) => id -> xs.map(_._2).toSet }
+    val toks = docs.select(col("doc_id"),
+        graft.ext.TextOps.normText(col("text")).as("t")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("t").split(" ", -1).length.toLong).toMap
+    val totalDocs = toks.size.toLong
+    val totalTokens = toks.values.sum
+    val ids = sets.keys.toSeq.sorted
+    val pairs = for {
+      ai <- ids.indices; bi <- (ai + 1) until ids.length
+      a = ids(ai); b = ids(bi)
+      inter = (sets(a) & sets(b)).size if inter > 0
+    } yield (a, b, inter.toDouble / (sets(a).size + sets(b).size - inter))
+    Seq(0.3, 0.5, 0.7, 0.9).foreach { th =>
+      val sel = pairs.filter(_._3 >= th)
+      val dropped = sel.map(_._2).distinct
+      val dTok = dropped.map(toks).sum
+      val (gp, gd, gdt, gkd, gkt) = out(math.round(th * 1e6))
+      assert(gp === sel.length.toLong, s"pairs at $th")
+      assert(gd === dropped.length.toLong, s"dropped at $th")
+      assert(gdt === dTok, s"dropped tokens at $th")
+      assert(gkd === totalDocs - dropped.length, s"kept docs at $th")
+      assert(gkt === totalTokens - dTok, s"kept tokens at $th")
+    }
+    // the curve is monotone: a higher threshold never drops more
+    val byTh = out.toSeq.sortBy(_._1).map(_._2._2)
+    assert(byTh === byTh.sorted.reverse, s"non-monotone drops: $byTh")
+    assert(out(300000L)._2 > 0, "sweep is vacuous: nothing dropped at 0.3")
+  }
+
+  test("q249 quality sweep replays bins and the cumulative curve") {
+    val out = ExtQueries.qualityThresholdSweep(spark, sf001).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("tokens"),
+          r.getAs[Long]("cum_docs"), r.getAs[Long]("cum_tokens"),
+          r.getAs[Long]("cum_token_share_ppm"))).toMap
+    val scored = graft.model.Tables.documents(spark, sf001)
+      .select(graft.ext.TextOps.normText(col("text")).as("t")).collect()
+      .map { r =>
+        val toks = r.getAs[String]("t").split(" ", -1)
+        val n = toks.length.toLong
+        val stop = toks.count(graft.ext.TextAnalysis.Stopwords.contains).toLong
+        (n, stop * 1000000L / math.max(n, 1L) / 50000L)
+      }
+    val bins = scored.groupBy(_._2).map { case (b, xs) =>
+      b -> (xs.length.toLong, xs.map(_._1).sum) }
+    val tt = bins.values.map(_._2).sum
+    assert(out.keySet === bins.keySet)
+    bins.foreach { case (b, (nd, tk)) =>
+      val cum = bins.toSeq.filter(_._1 >= b)
+      val (cd, ctk) = (cum.map(_._2._1).sum, cum.map(_._2._2).sum)
+      assert(out(b) === ((nd, tk, cd, ctk, ctk * 1000000L / tt)), s"bin $b")
+    }
+    // lowest bin's cumulative covers the whole corpus
+    val minBin = bins.keySet.min
+    assert(out(minBin)._5 === 1000000L)
+  }
+
+  test("q250 l-diversity replays distinct/entropy and catches homogeneity") {
+    val out = Analytics.lDiversity(spark, sf001).collect()
+      .map(r => (r.getAs[String]("c_mktsegment"), r.getAs[Long]("c_nationkey")) ->
+        (r.getAs[Long]("class_size"), r.getAs[Int]("distinct_l"),
+          r.getAs[Long]("entropy_micro"), r.getAs[Int]("is_2_diverse"))).toMap
+    val rows = graft.model.Tables.customer(spark, sf001)
+      .select(col("c_mktsegment"), col("c_nationkey"), col("c_acctbal"))
+      .collect()
+      .map { r =>
+        val b = r.getAs[Double]("c_acctbal") match {
+          case x if x < 0 => "neg"
+          case x if x <= 5000 => "mid"
+          case _ => "high"
+        }
+        ((r.getAs[String]("c_mktsegment"), r.getAs[Long]("c_nationkey")), b)
+      }
+    val classes = rows.groupBy(_._1)
+    assert(out.keySet === classes.keySet)
+    classes.foreach { case (k, xs) =>
+      val byBand = xs.groupBy(_._2).map { case (_, ys) => ys.length.toLong }
+      val n = xs.length.toLong
+      val ent = -byBand.map(ns =>
+        ns * math.round(math.log(ns.toDouble / n) * 1e6)).sum / n
+      val (gn, gl, ge, gd) = out(k)
+      assert(gn === n, s"size at $k")
+      assert(gl === byBand.size, s"distinct at $k")
+      assert(ge === ent, s"entropy at $k")
+      assert(gd === (if (byBand.size >= 2 && ent >= 693147L) 1 else 0))
+    }
+    // the audit is non-vacuous in BOTH directions on real data: some
+    // class is 2-diverse and the entropy spread is real
+    assert(out.values.exists(_._4 == 1), "no diverse class found")
+    assert(out.values.map(_._3).toSet.size > 1, "entropy is constant")
+  }
+
   test("q245 power iteration replays the 3 integer rounds at sf0.001") {
     val out = ExtQueries.principalComponent(spark, sf001).collect()
       .map(r => (r.getAs[Int]("dim"), r.getAs[Long]("v_prev_e4"),
