@@ -270,6 +270,8 @@ object SparkEntry {
     "q248_dedup_sweep"        -> ((s, d) => ExtQueries.dedupSweepReport(s, d)),
     "q249_quality_sweep"      -> ((s, d) => ExtQueries.qualityThresholdSweep(s, d)),
     "q250_l_diversity"        -> ((s, d) => Analytics.lDiversity(s, d)),
+    "q251_bpe_sweep"          -> ((s, d) => ExtQueries.bpeSweepReport(s, d)),
+    "q252_emb_cross_source"   -> ((s, d) => ExtQueries.embCrossSourceMatrix(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -6040,5 +6042,61 @@ object SparkEntry {
         |            THEN 1 ELSE 0 END AS INT) AS is_2_diverse
         |FROM ag
         |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    // BPE vocab-size sweep: the one training's per-round states s0..s6
+    // aggregated into the fertility/compression curve.
+    "q251_bpe_sweep" ->
+      (s"""WITH ${bpeChainCtes(6)}
+         |""".stripMargin +
+        (0 to 6).map(r =>
+          s"""SELECT CAST($r AS INT) AS round,
+             |       CAST(COUNT(*) AS BIGINT) AS n_vocab_words,
+             |       CAST(SUM(freq) AS BIGINT) AS corpus_words,
+             |       CAST(SUM(freq * length(w)) AS BIGINT) AS corpus_chars,
+             |       CAST(SUM(freq * p) AS BIGINT) AS corpus_pieces,
+             |       CAST(SUM(freq * p) * 1000000 // SUM(freq) AS BIGINT)
+             |         AS fertility_micro,
+             |       CAST(SUM(freq * length(w)) * 1000000 // SUM(freq * p)
+             |         AS BIGINT) AS chars_per_piece_micro
+             |FROM (SELECT w, COUNT(*) AS p FROM s$r GROUP BY w) seg
+             |     JOIN bvocab USING (w)""".stripMargin)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY round")),
+
+    // Embedding cross-source near-dup matrix: the q221 bucketed pair
+    // tier attributed to sources (vec_id = doc_id), per unordered pair
+    // the count, max cosine (e4) and lexicographically-first example.
+    "q252_emb_cross_source" ->
+      s"""WITH $embCte,
+         |bk AS (SELECT vec_id, emb, nrm,
+         |    (CASE WHEN list_dot_product(emb, ${planeLit(0)}::DOUBLE[]) > 0 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(emb, ${planeLit(1)}::DOUBLE[]) > 0 THEN 2 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(emb, ${planeLit(2)}::DOUBLE[]) > 0 THEN 4 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(emb, ${planeLit(3)}::DOUBLE[]) > 0 THEN 8 ELSE 0 END) AS bucket
+         |  FROM nm),
+         |pr2 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |          ROUND(list_dot_product(a.emb, b.emb)/(a.nrm*b.nrm), 4) AS cos
+         |        FROM bk a JOIN bk b
+         |          ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |pairs AS (SELECT id_a, id_b,
+         |            CAST(round(cos * 10000, 0) AS BIGINT) AS cos_e4
+         |          FROM pr2 WHERE cos >= 0.40),
+         |at AS (SELECT least(sa.source, sb.source) AS source_lo,
+         |         greatest(sa.source, sb.source) AS source_hi,
+         |         p.id_a, p.id_b, p.cos_e4
+         |       FROM pairs p
+         |       JOIN documents sa ON sa.doc_id = p.id_a
+         |       JOIN documents sb ON sb.doc_id = p.id_b),
+         |rk AS (SELECT *, row_number() OVER (
+         |         PARTITION BY source_lo, source_hi
+         |         ORDER BY id_a, id_b) AS rn FROM at),
+         |ag AS (SELECT source_lo, source_hi, COUNT(*) AS n_pairs,
+         |         CAST(MAX(cos_e4) AS BIGINT) AS max_cos_e4
+         |       FROM at GROUP BY 1, 2)
+         |SELECT ag.source_lo, ag.source_hi,
+         |       CAST(ag.n_pairs AS BIGINT) AS n_pairs, ag.max_cos_e4,
+         |       rk.id_a AS example_a, rk.id_b AS example_b
+         |FROM ag JOIN rk ON rk.source_lo = ag.source_lo
+         |     AND rk.source_hi = ag.source_hi AND rk.rn = 1
+         |ORDER BY ag.source_lo, ag.source_hi""".stripMargin,
   )
 }

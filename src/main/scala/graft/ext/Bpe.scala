@@ -45,7 +45,7 @@ object Bpe {
     * merge picks (merge_rank, left_sym, right_sym, pair_count) — the
     * FROZEN MERGE LIST a serving tokenizer consumes. */
   private def trainState(docs: DataFrame, textCol: String, rounds: Int)
-      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+      : (DataFrame, DataFrame, Seq[DataFrame], Seq[DataFrame]) = {
     require(rounds >= 1, s"need >= 1 merge round, got $rounds")
     val vocab = docs
       .select(explode(tokens(normText(col(textCol)))).as("w"))
@@ -58,6 +58,8 @@ object Bpe {
         expr("transform(sequence(0, length(w)-1), i -> substring(w, i+1, 1))"))
         .as(Seq("pos", "sym")))
     val merges = Seq.newBuilder[DataFrame]
+    val states = Seq.newBuilder[DataFrame]
+    states += st // round 0: the character baseline
     for (r <- 1 to rounds) {
       val withNext = st
         .withColumn("nxt", lead("sym", 1).over(pw))
@@ -96,8 +98,9 @@ object Bpe {
         .withColumn("pos",
           row_number().over(Window.partitionBy("w").orderBy("opos")) - 1)
         .select("w", "pos", "sym")
+      states += st
     }
-    (vocab, st, merges.result())
+    (vocab, st, merges.result(), states.result())
   }
 
   /** Top-`topWords` vocabulary words (by corpus frequency, ties by
@@ -107,7 +110,7 @@ object Bpe {
     * of this word under the learned merges. */
   def bpeSegment(docs: DataFrame, idCol: String, textCol: String,
                  rounds: Int = 6, topWords: Int = 40): DataFrame = {
-    val (vocab, st, _) = trainState(docs, textCol, rounds)
+    val (vocab, st, _, _) = trainState(docs, textCol, rounds)
     val seg = st.groupBy("w").agg(
       count(lit(1)).as("n_pieces"),
       concat_ws(" ", transform(
@@ -134,7 +137,7 @@ object Bpe {
     * table is `rounds` rows of metadata at any corpus size. */
   def bpeMergeTable(docs: DataFrame, idCol: String, textCol: String,
                     rounds: Int = 6): DataFrame = {
-    val (_, _, merges) = trainState(docs, textCol, rounds)
+    val (_, _, merges, _) = trainState(docs, textCol, rounds)
     merges.reduce(_ unionAll _).orderBy("merge_rank")
   }
 
@@ -149,7 +152,7 @@ object Bpe {
     * the corpus pays one broadcast equi join. */
   def bpeApplyRate(docs: DataFrame, srcCol: String, textCol: String,
                    rounds: Int = 6): DataFrame = {
-    val (_, st, _) = trainState(docs, textCol, rounds)
+    val (_, st, _, _) = trainState(docs, textCol, rounds)
     val seg = st.groupBy("w").agg(count(lit(1)).as("n_pieces"))
     docs.select(col(srcCol).as("source"),
         explode(tokens(normText(col(textCol)))).as("w"))
@@ -168,5 +171,42 @@ object Bpe {
         expr("total_pieces * 1000000 div n_words").as("pieces_per_word_micro"),
         expr("total_chars * 1000000 div total_pieces").as("chars_per_piece_micro"))
       .orderBy("source")
+  }
+
+  /** VOCAB-SIZE SWEEP (q251) — the tokenizer-selection curve: ONE
+    * training run, read out after EVERY merge round (BPE training is
+    * greedy-incremental, so the state after round r IS the r-round
+    * tokenizer — no retraining per point). Per round 0..`rounds`
+    * (0 = the character baseline): vocabulary words, corpus word/char
+    * volumes, corpus-weighted piece volume, fertility (pieces per
+    * corpus word) and compression (chars per piece) in exact floor
+    * micro — fertility is monotone non-increasing in rounds, the curve
+    * a team reads to pick its merge budget. Costs `rounds` extra
+    * vocab-keyed aggregations over states the training already
+    * materializes; nothing corpus-sized beyond the one vocab count. */
+  def bpeRoundSweep(docs: DataFrame, idCol: String, textCol: String,
+                    rounds: Int = 6): DataFrame = {
+    val (vocab, _, _, states) = trainState(docs, textCol, rounds)
+    states.zipWithIndex.map { case (st, r) =>
+      st.groupBy("w").agg(count(lit(1)).as("p"))
+        .join(vocab, Seq("w"))
+        .agg(count(lit(1)).as("n_vocab_words"),
+          sum("freq").as("corpus_words"),
+          sum(col("freq") * length(col("w"))).as("corpus_chars"),
+          sum(col("freq") * col("p")).as("corpus_pieces"))
+        .select(lit(r).as("round"),
+          col("n_vocab_words").cast("long").as("n_vocab_words"),
+          col("corpus_words").cast("long").as("corpus_words"),
+          col("corpus_chars").cast("long").as("corpus_chars"),
+          col("corpus_pieces").cast("long").as("corpus_pieces"),
+          expr("corpus_pieces * 1000000 div corpus_words")
+            .as("fertility_micro"),
+          expr("corpus_chars * 1000000 div corpus_pieces")
+            .as("chars_per_piece_micro"))
+    }.reduce(_ unionAll _)
+      .select(col("round").cast("int").as("round"), col("n_vocab_words"),
+        col("corpus_words"), col("corpus_chars"), col("corpus_pieces"),
+        col("fertility_micro"), col("chars_per_piece_micro"))
+      .orderBy("round")
   }
 }

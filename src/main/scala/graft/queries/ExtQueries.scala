@@ -1574,6 +1574,57 @@ object ExtQueries {
       .orderBy("bin")
   }
 
+  /** BPE vocab-size sweep (q251): [[graft.ext.Bpe.bpeRoundSweep]] —
+    * one training, read out after every merge round; fertility and
+    * compression vs merge budget. */
+  def bpeSweepReport(spark: SparkSession, dir: String): DataFrame =
+    Bpe.bpeRoundSweep(Tables.documents(spark, dir), "doc_id", "text",
+      rounds = 6)
+
+  /** EMBEDDING-LEVEL cross-source near-duplicate matrix (q252) — the
+    * semantic counterpart of q94's n-gram leakage report: verified
+    * cosine ≥ 0.40 pairs from the q221 bucketed tier, attributed to
+    * their source labels via the suite's vec_id = doc_id convention,
+    * rolled up per unordered source pair (diagonal rows = intra-source
+    * near-dup density, off-diagonal = semantic contamination between
+    * crawls that n-gram overlap misses — paraphrases, translations,
+    * templated rewrites). Per cell: pair count, the strongest cosine
+    * (e4 integer), and the lexicographically-first example pair for
+    * triage.
+    *
+    * Scale shape: pair volume is the q221 bucket-bounded sliver; the
+    * source lookup joins the 2-column id→source projection against
+    * that sliver (AQE broadcasts the pair side); the rollup is keyed
+    * by ≤ |sources|² cells. */
+  def embCrossSourceMatrix(spark: SparkSession, dir: String,
+                           threshold: Double = 0.40): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket",
+        Similarity.bucketCol(col("embedding"), nPlanes = 4, dim = 64))
+    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        "bucket", threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("cos") * 10000, 0).cast("long").as("cos_e4"))
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"),
+        col("source").as("src_a")), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"),
+        col("source").as("src_b")), Seq("id_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"),
+        col("id_a"), col("id_b"), col("cos_e4"))
+      .groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("n_pairs"), max("cos_e4").as("max_cos_e4"),
+        min(struct(col("id_a"), col("id_b"))).as("ex"))
+      .select(col("source_lo"), col("source_hi"),
+        col("n_pairs").cast("long").as("n_pairs"),
+        col("max_cos_e4").cast("long").as("max_cos_e4"),
+        col("ex.id_a").as("example_a"), col("ex.id_b").as("example_b"))
+      .orderBy("source_lo", "source_hi")
+  }
+
   /** Dedup threshold sweep (q248):
     * [[graft.ext.TextDedup.dedupThresholdSweep]] — pairs, docs dropped
     * (keep-first rule) and token volumes at Jaccard 0.3/0.5/0.7/0.9,

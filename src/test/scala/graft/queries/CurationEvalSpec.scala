@@ -400,6 +400,72 @@ class CurationEvalSpec extends SparkSpec {
     assert(out.values.map(_._3).toSet.size > 1, "entropy is constant")
   }
 
+  test("q251 BPE sweep is consistent with training and monotone") {
+    val out = ExtQueries.bpeSweepReport(spark, sf001).collect()
+      .map(r => r.getAs[Int]("round") ->
+        (r.getAs[Long]("n_vocab_words"), r.getAs[Long]("corpus_words"),
+          r.getAs[Long]("corpus_chars"), r.getAs[Long]("corpus_pieces"),
+          r.getAs[Long]("fertility_micro"),
+          r.getAs[Long]("chars_per_piece_micro"))).toMap
+    assert(out.keySet === (0 to 6).toSet)
+    // round 0 is the character baseline: pieces == chars, fertility =
+    // chars per word
+    val (nv0, cw0, cc0, cp0, f0, cpp0) = out(0)
+    assert(cp0 === cc0, "round-0 pieces must equal chars")
+    assert(f0 === cc0 * 1000000L / cw0)
+    assert(cpp0 === 1000000L, "round-0 chars per piece must be exactly 1")
+    // invariants across rounds: vocab and corpus volumes constant,
+    // piece volume strictly monotone non-increasing, one merge per
+    // round can only reduce
+    (1 to 6).foreach { r =>
+      val (nv, cw, cc, cp, f, _) = out(r)
+      assert((nv, cw, cc) === ((nv0, cw0, cc0)), s"volumes moved at $r")
+      assert(cp <= out(r - 1)._4, s"pieces grew at round $r")
+      assert(f === cp * 1000000L / cw, s"fertility arithmetic at $r")
+    }
+    // the merges actually bite: round 6 is strictly cheaper than chars
+    assert(out(6)._4 < cp0, "six merges removed nothing")
+    // cross-check round 6 against q232's per-word readout on shared words
+    val seg = ExtQueries.bpeEncode(spark, sf001).collect()
+      .map(r => r.getAs[String]("word") ->
+        (r.getAs[Long]("freq"), r.getAs[Long]("n_pieces"))).toMap
+    seg.foreach { case (w, (fq, p)) =>
+      assert(p >= 1 && p <= w.length, s"piece count out of range for $w")
+      assert(fq >= 1)
+    }
+  }
+
+  test("q252 embedding cross-source matrix replays from the pair tier") {
+    val out = ExtQueries.embCrossSourceMatrix(spark, sf001).collect()
+      .map(r => (r.getAs[String]("source_lo"), r.getAs[String]("source_hi")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("max_cos_e4"),
+          r.getAs[Long]("example_a"), r.getAs[Long]("example_b"))).toMap
+    val emb = graft.model.Tables.embeddings(spark, sf001)
+      .withColumn("bucket",
+        Similarity.bucketCol(col("embedding"), nPlanes = 4, dim = 64))
+    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        "bucket", threshold = 0.40).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        math.round(r.getAs[Double]("cos") * 10000)))
+    val src = graft.model.Tables.documents(spark, sf001)
+      .select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val cells = pairs.map { case (a, b, c) =>
+      val (sa, sb) = (src(a), src(b))
+      ((if (sa <= sb) sa else sb, if (sa <= sb) sb else sa), (a, b, c))
+    }.groupBy(_._1)
+    assert(out.keySet === cells.keySet)
+    cells.foreach { case (k, xs) =>
+      val ps = xs.map(_._2)
+      val ex = ps.map(p => (p._1, p._2)).min
+      assert(out(k) === ((ps.length.toLong, ps.map(_._3).max, ex._1, ex._2)),
+        s"cell $k")
+    }
+    // semantic leakage report is non-vacuous and includes a cross-source cell
+    assert(out.nonEmpty)
+    assert(out.keys.exists(k => k._1 != k._2), "no cross-source pair found")
+  }
+
   test("q245 power iteration replays the 3 integer rounds at sf0.001") {
     val out = ExtQueries.principalComponent(spark, sf001).collect()
       .map(r => (r.getAs[Int]("dim"), r.getAs[Long]("v_prev_e4"),
