@@ -272,6 +272,9 @@ object SparkEntry {
     "q250_l_diversity"        -> ((s, d) => Analytics.lDiversity(s, d)),
     "q251_bpe_sweep"          -> ((s, d) => ExtQueries.bpeSweepReport(s, d)),
     "q252_emb_cross_source"   -> ((s, d) => ExtQueries.embCrossSourceMatrix(s, d)),
+    "q253_assortativity"      -> ((s, d) => Analytics.copurchaseAssortativity(s, d)),
+    "q254_prf_search"         -> ((s, d) => ExtQueries.bm25PrfSearch(s, d)),
+    "q255_neyman_alloc"       -> ((s, d) => ExtQueries.neymanAllocation(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -6098,5 +6101,144 @@ object SparkEntry {
          |FROM ag JOIN rk ON rk.source_lo = ag.source_lo
          |     AND rk.source_hi = ag.source_hi AND rk.rn = 1
          |ORDER BY ag.source_lo, ag.source_hi""".stripMargin,
+
+    // Degree assortativity over the support->=2 co-purchase graph:
+    // exact integer sufficient statistics, one double sqrt on the
+    // 1-row relation, round-e6.
+    "q253_assortativity" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+        |            FROM lineitem),
+        |prx AS (SELECT a.item AS u, b.item AS v
+        |        FROM it a JOIN it b ON a.oid = b.oid AND a.item < b.item
+        |        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |dg AS (SELECT n, COUNT(*) AS d FROM (
+        |    SELECT u AS n FROM prx UNION ALL SELECT v FROM prx) z
+        |  GROUP BY n),
+        |nn AS (SELECT COUNT(*) AS n_nodes, MAX(d) AS max_degree FROM dg),
+        |dd AS (SELECT u, v FROM prx UNION ALL SELECT v, u FROM prx),
+        |sums AS (SELECT COUNT(*) AS m2,
+        |    SUM(CAST(dx.d AS HUGEINT)) AS sx,
+        |    SUM(CAST(dy.d AS HUGEINT)) AS sy,
+        |    SUM(CAST(dx.d AS HUGEINT) * dy.d) AS sxy,
+        |    SUM(CAST(dx.d AS HUGEINT) * dx.d) AS sxx,
+        |    SUM(CAST(dy.d AS HUGEINT) * dy.d) AS syy
+        |  FROM dd JOIN dg dx ON dd.u = dx.n JOIN dg dy ON dd.v = dy.n),
+        |fin AS (SELECT *, m2 * sxy - sx * sy AS num,
+        |          m2 * sxx - sx * sx AS d1, m2 * syy - sy * sy AS d2
+        |        FROM sums CROSS JOIN nn)
+        |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+        |       CAST(m2 // 2 AS BIGINT) AS n_edges,
+        |       CAST(max_degree AS BIGINT) AS max_degree,
+        |       CAST(CASE WHEN d1 > 0 AND d2 > 0
+        |            THEN round(CAST(num AS DOUBLE)
+        |              / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))
+        |              * 1e6, 0)
+        |            ELSE 0 END AS BIGINT) AS assortativity_e6,
+        |       CAST(CASE WHEN d1 > 0 AND d2 > 0 THEN 1 ELSE 0 END AS INT)
+        |         AS defined
+        |FROM fin""".stripMargin,
+
+    // PRF search: stage-1 BM25 (query-by-example, self excluded) ->
+    // top-5 feedback docs -> 3 expansion terms (tf*idf over feedback,
+    // anti original terms) -> rescore with the expanded set.
+    "q254_prf_search" ->
+      s"""WITH $nCte, $tokCte,
+         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+         |dft AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+         |tot AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+         |qx AS (SELECT DISTINCT doc_id AS query_id, w FROM tok WHERE doc_id < 10),
+         |qi AS (SELECT qx.query_id, qx.w,
+         |         CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) * 1e6, 0)
+         |              AS BIGINT) AS idf_micro
+         |       FROM qx JOIN dft USING (w) CROSS JOIN tot),
+         |sc AS (SELECT qi.query_id, tf.doc_id,
+         |         CAST(SUM(qi.idf_micro *
+         |           CAST(CAST(22 AS HUGEINT) * tf.tf * t * 1000000 //
+         |                (CAST(10 AS HUGEINT) * t * tf.tf + 3 * t + 9 * dl.dl * n)
+         |                AS BIGINT)) AS BIGINT) AS score_e12
+         |       FROM qi JOIN tf USING (w) JOIN dl USING (doc_id)
+         |            CROSS JOIN tot
+         |       WHERE tf.doc_id <> qi.query_id
+         |       GROUP BY qi.query_id, tf.doc_id),
+         |fb AS (SELECT query_id, doc_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_e12 DESC, doc_id) AS rnk FROM sc) z
+         |  WHERE rnk <= 5),
+         |ia AS (SELECT w,
+         |         CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) * 1e6, 0)
+         |              AS BIGINT) AS idf_micro
+         |       FROM dft CROSS JOIN tot),
+         |ex0 AS (SELECT fb.query_id, tf.w,
+         |          CAST(SUM(tf.tf * ia.idf_micro) AS BIGINT) AS escore
+         |        FROM fb JOIN tf USING (doc_id) JOIN ia USING (w)
+         |        GROUP BY 1, 2),
+         |ex1 AS (SELECT e.query_id, e.w, e.escore
+         |        FROM ex0 e LEFT JOIN qx
+         |          ON qx.query_id = e.query_id AND qx.w = e.w
+         |        WHERE qx.w IS NULL),
+         |ex2 AS (SELECT query_id, w FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY escore DESC, w) AS erk FROM ex1) z
+         |  WHERE erk <= 3),
+         |qe AS (SELECT query_id, w FROM qx
+         |       UNION SELECT query_id, w FROM ex2),
+         |qi2 AS (SELECT qe.query_id, qe.w,
+         |          CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) * 1e6, 0)
+         |               AS BIGINT) AS idf_micro
+         |        FROM qe JOIN dft USING (w) CROSS JOIN tot),
+         |sc2 AS (SELECT qi2.query_id, tf.doc_id,
+         |          CAST(SUM(qi2.idf_micro *
+         |            CAST(CAST(22 AS HUGEINT) * tf.tf * t * 1000000 //
+         |                 (CAST(10 AS HUGEINT) * t * tf.tf + 3 * t + 9 * dl.dl * n)
+         |                 AS BIGINT)) AS BIGINT) AS score_e12,
+         |          CAST(COUNT(*) AS INT) AS n_hit_terms,
+         |          CAST(SUM(CASE WHEN ex2.w IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS INT) AS n_exp_terms
+         |        FROM qi2 JOIN tf USING (w) JOIN dl USING (doc_id)
+         |             CROSS JOIN tot
+         |             LEFT JOIN ex2 ON ex2.query_id = qi2.query_id
+         |               AND ex2.w = qi2.w
+         |        WHERE tf.doc_id <> qi2.query_id
+         |        GROUP BY qi2.query_id, tf.doc_id)
+         |SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, score_e12,
+         |       n_hit_terms, n_exp_terms
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score_e12 DESC, doc_id) AS rnk FROM sc2) z
+         |WHERE rnk <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Neyman allocation: per-source (N, Sx, Sxx) exact, sigma via one
+    // sqrt of identical integers, floor-division allocations clamped
+    // to the stratum size; proportional allocation for contrast.
+    "q255_neyman_alloc" ->
+      s"""WITH $nCte,
+         |tk AS (SELECT d.source,
+         |         CAST(len(string_split(n.t, ' ')) AS BIGINT) AS x
+         |       FROM documents d JOIN n USING (doc_id)),
+         |st AS (SELECT source, COUNT(*) AS nh,
+         |         CAST(SUM(x) AS BIGINT) AS sx,
+         |         CAST(SUM(x*x) AS BIGINT) AS sxx
+         |       FROM tk GROUP BY source),
+         |s2 AS (SELECT *, nh * sxx - sx * sx AS s2num FROM st),
+         |s3 AS (SELECT *, CAST(round(sqrt(CAST(s2num AS DOUBLE)) / nh * 1e6, 0)
+         |         AS BIGINT) AS sigma_e6 FROM s2),
+         |s4 AS (SELECT *, nh * sigma_e6 AS wh FROM s3),
+         |tt AS (SELECT CAST(SUM(nh) AS BIGINT) AS ntot,
+         |         CAST(SUM(wh) AS HUGEINT) AS wtot FROM s4),
+         |f AS (SELECT s4.*, tt.ntot, tt.wtot,
+         |        ntot * 100000 // 1000000 AS budget
+         |      FROM s4 CROSS JOIN tt)
+         |SELECT source, CAST(nh AS BIGINT) AS n_docs, sigma_e6,
+         |       CAST(CAST(wh AS HUGEINT) * 1000000 // wtot AS BIGINT)
+         |         AS weight_ppm,
+         |       CAST(least(CAST(nh AS HUGEINT),
+         |            CAST(budget AS HUGEINT) * wh // wtot) AS BIGINT)
+         |         AS neyman_n,
+         |       CAST(least(CAST(nh AS HUGEINT),
+         |            CAST(budget AS HUGEINT) * nh // ntot) AS BIGINT)
+         |         AS proportional_n,
+         |       CAST(budget AS BIGINT) AS budget_n
+         |FROM f ORDER BY source""".stripMargin,
   )
 }

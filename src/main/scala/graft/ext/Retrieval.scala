@@ -74,6 +74,19 @@ object Retrieval {
   def bm25TopKDf(docs: DataFrame, idCol: String, textCol: String,
                  queries: DataFrame, k: Int = 10,
                  excludeQueryDoc: Boolean = false): DataFrame = {
+    val (tf, dl, dfT, totals) = index(docs, idCol, textCol)
+    val q = queries
+      .select(col("query_id"), explode(tokens(normText(col("qtext")))).as("w"))
+      .distinct()
+    rankTopK(idfTerms(q, dfT, totals), tf, dl, totals, k, excludeQueryDoc)
+      .orderBy("query_id", "rank")
+  }
+
+  /** The inverted index: postings tf(doc, term), document lengths,
+    * document frequencies, corpus totals — one tokenize pass, three
+    * partial-aggregated reductions. */
+  private def index(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val tok = graft.model.Tables.fanOut(docs)
       .select(col(idCol).as("doc_id"),
         explode(tokens(normText(col(textCol)))).as("w"))
@@ -84,18 +97,25 @@ object Retrieval {
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val totals = dl.agg(count(lit(1)).as("n"), sum("dl").as("t"))
+    (tf, dl, dfT, totals)
+  }
 
-    val q = queries
-      .select(col("query_id"), explode(tokens(normText(col("qtext")))).as("w"))
-      .distinct()
-    // idf per (query, term): quantized once, BEFORE any aggregation.
-    val qi = q.join(dfT, "w") // terms absent from the corpus score 0: drop
+  /** idf per (query, term): quantized once, BEFORE any aggregation.
+    * Terms absent from the corpus score 0 and are dropped. */
+  private def idfTerms(q: DataFrame, dfT: DataFrame,
+                       totals: DataFrame): DataFrame =
+    q.join(dfT, "w")
       .crossJoin(broadcast(totals))
       .select(col("query_id"), col("w"),
         round(log(lit(1.0) +
           (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * 1e6, 0)
           .cast("long").as("idf_micro"))
 
+  /** Score a (query_id, w, idf_micro) term relation against the index
+    * and keep the per-query top-k. */
+  private def rankTopK(qi: DataFrame, tf: DataFrame, dl: DataFrame,
+                       totals: DataFrame, k: Int,
+                       excludeQueryDoc: Boolean): DataFrame = {
     val scored = qi.join(tf, "w")
       .join(dl, "doc_id")
       .crossJoin(broadcast(totals))
@@ -114,6 +134,75 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("score_e12"), col("n_hit_terms"))
+  }
+
+  /** PSEUDO-RELEVANCE-FEEDBACK retrieval (q254) — the classic
+    * retrieve → expand → rescore loop (Rocchio/RM-style PRF, the
+    * standard recall lever of a lexical stack): stage 1 ranks with
+    * BM25 and takes the top `kFb` feedback documents per query; the
+    * expansion picks the `nExp` highest-weight NEW terms from those
+    * documents (weight = Σ over feedback docs of tf·idf_micro — exact
+    * integer products; original query terms excluded by an anti join;
+    * ties to the lexicographically-smaller term); stage 2 rescores the
+    * corpus with the EXPANDED term set and returns the final top-k,
+    * flagging per hit how many of its matched terms were expansions.
+    * Both stages share ONE index build (the corpus pays one tokenize
+    * pass); every PRF-specific relation — feedback lists, candidate
+    * expansion terms, the expanded query set — is |Q|-bounded.
+    *
+    * Query-by-example contract like q220: queries come from a relation
+    * and the self-hit is excluded in BOTH stages. */
+  def bm25PrfTopK(docs: DataFrame, idCol: String, textCol: String,
+                  queries: DataFrame, k: Int = 5, kFb: Int = 5,
+                  nExp: Int = 3): DataFrame = {
+    val (tf, dl, dfT, totals) = index(docs, idCol, textCol)
+    val qTerms = queries
+      .select(col("query_id"), explode(tokens(normText(col("qtext")))).as("w"))
+      .distinct()
+      .localCheckpoint() // read by stage-1 idf, the anti join, the union
+    val fb = rankTopK(idfTerms(qTerms, dfT, totals), tf, dl, totals,
+      kFb, excludeQueryDoc = true)
+      .select(col("query_id"), col("doc_id"))
+    val idfAll = dfT.crossJoin(broadcast(totals))
+      .select(col("w"),
+        round(log(lit(1.0) +
+          (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * 1e6, 0)
+          .cast("long").as("idf_micro"))
+    val expTerms = fb.join(tf, Seq("doc_id"))
+      .join(idfAll, Seq("w"))
+      .groupBy("query_id", "w")
+      .agg(sum(col("tf") * col("idf_micro")).as("escore"))
+      .join(qTerms, Seq("query_id", "w"), "left_anti")
+      .withColumn("erk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("escore").desc, col("w"))))
+      .filter(col("erk") <= nExp)
+      .select(col("query_id"), col("w"))
+    val expanded = qTerms.select("query_id", "w")
+      .unionAll(expTerms)
+      .distinct()
+    val qi2 = idfTerms(expanded, dfT, totals)
+    val exFlag = expTerms.withColumn("is_exp", lit(1))
+    // rescore, then count how many matched terms were expansions
+    val scored2 = qi2.join(tf, "w").join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(exFlag, Seq("query_id", "w"), "left")
+      .withColumn("tf_ppm",
+        expr("(CAST(22 AS DECIMAL(38,0)) * tf * t * 1000000) div " +
+          "(CAST(10 AS DECIMAL(38,0)) * t * tf + 3 * t + 9 * dl * n)")
+          .cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("idf_micro") * col("tf_ppm")).as("score_e12"),
+        count(lit(1)).cast("int").as("n_hit_terms"),
+        sum(coalesce(col("is_exp"), lit(0))).cast("int")
+          .as("n_exp_terms"))
+    scored2.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score_e12").desc, col("doc_id"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_e12"), col("n_hit_terms"), col("n_exp_terms"))
       .orderBy("query_id", "rank")
   }
 }

@@ -298,4 +298,59 @@ object Graph {
         expr(s"CAST((CAST(n_triangles AS DECIMAL(38,0)) * " +
           s"1000000000000000000) DIV $p3 AS BIGINT)").as("est_triangles"))
   }
+
+  /** DEGREE ASSORTATIVITY (q253, Newman 2002) over a distinct
+    * undirected edge list (`u` < `v`): the Pearson correlation of
+    * endpoint degrees across the DIRECTED edge set (each undirected
+    * edge counted both ways — the standard convention, which also makes
+    * Σx = Σy by symmetry), answering "do hubs attach to hubs (r > 0) or
+    * to leaves (r < 0)?" — the one-number mixing readout beside the
+    * census (q142) and coreness (q223). All five sufficient statistics
+    * accumulate as exact DECIMAL(38,0) integers (degree products are
+    * corpus-sized sums — the silhouette idiom); the single transcendental
+    * step (the sqrt in Pearson's denominator) runs once on the driver's
+    * one-row relation over doubles cast from identical integers, so
+    * r quantizes to the same e6 value on both engines. Degenerate
+    * graphs (no degree variance) report r = 0 with `defined` = 0
+    * rather than NaN.
+    *
+    * Scale shape: one node-keyed degree count, two id-keyed joins to
+    * attach endpoint degrees, one global aggregation of five integer
+    * sums — nothing pairwise beyond the edge list itself. */
+  def degreeAssortativity(edgesIn: DataFrame): DataFrame = {
+    val e = edgesIn.select(col("u").cast("long").as("u"),
+        col("v").cast("long").as("v"))
+      .localCheckpoint() // read by degree count + both direction legs
+    val deg = e.select(col("u").as("n"))
+      .unionAll(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .localCheckpoint() // read by node count + both endpoint joins
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      max("d").as("max_degree"))
+    val dir = e.select(col("u"), col("v"))
+      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val s = dir
+      .join(deg.select(col("n").as("u"), col("d").as("dx")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dy")), Seq("v"))
+      .agg(count(lit(1)).as("m2"),
+        sum(col("dx").cast("decimal(38,0)")).as("sx"),
+        sum(col("dy").cast("decimal(38,0)")).as("sy"),
+        sum(col("dx").cast("decimal(38,0)") * col("dy")).as("sxy"),
+        sum(col("dx").cast("decimal(38,0)") * col("dx")).as("sxx"),
+        sum(col("dy").cast("decimal(38,0)") * col("dy")).as("syy"))
+    s.crossJoin(broadcast(nodes))
+      .withColumn("num", expr("m2 * sxy - sx * sy"))
+      .withColumn("d1", expr("m2 * sxx - sx * sx"))
+      .withColumn("d2", expr("m2 * syy - sy * sy"))
+      .select(col("n_nodes").cast("long").as("n_nodes"),
+        expr("m2 div 2").cast("long").as("n_edges"),
+        col("max_degree").cast("long").as("max_degree"),
+        when(col("d1") > 0 && col("d2") > 0,
+          round(col("num").cast("double") /
+            sqrt(col("d1").cast("double") * col("d2").cast("double")) * 1e6,
+            0).cast("long"))
+          .otherwise(0L).as("assortativity_e6"),
+        when(col("d1") > 0 && col("d2") > 0, 1).otherwise(0).cast("int")
+          .as("defined"))
+  }
 }

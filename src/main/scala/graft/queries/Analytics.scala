@@ -2169,6 +2169,24 @@ object Analytics {
       .orderBy("part")
   }
 
+  /** Degree assortativity of the repeat co-purchase graph (q253):
+    * [[graft.operators.Graph.degreeAssortativity]] over the same
+    * support-≥2 edge list as q223 — one signed number for "do
+    * frequently co-bought hub parts cluster with other hubs"; the
+    * mixing readout beside the census (q142) and coreness (q223). */
+  def copurchaseAssortativity(spark: SparkSession, dir: String,
+                              minPairSupport: Long = 2): DataFrame = {
+    val it = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+      .distinct().localCheckpoint()
+    val edges = it.join(it.withColumnRenamed("item", "item2"), Seq("oid"))
+      .filter(col("item") < col("item2"))
+      .groupBy("item", "item2").agg(count(lit(1)).as("s"))
+      .filter(col("s") >= minPairSupport)
+      .select(col("item").as("u"), col("item2").as("v"))
+    graft.operators.Graph.degreeAssortativity(edges)
+  }
+
   /** Per-node local clustering coefficients of the repeat co-purchase
     * graph (q229) — the node-level graph feature that pairs with q223's
     * coreness in a feature table: lcc separates community members

@@ -1574,6 +1574,64 @@ object ExtQueries {
       .orderBy("bin")
   }
 
+  /** PRF retrieval (q254): [[graft.ext.Retrieval.bm25PrfTopK]] —
+    * query-by-example (doc_id < 10) BM25 with pseudo-relevance
+    * feedback: top-5 feedback docs, 3 expansion terms, rescored
+    * top-5. */
+  def bm25PrfSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Retrieval.bm25PrfTopK(docs, "doc_id", "text",
+      docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("text").as("qtext")),
+      k = 5, kFb = 5, nExp = 3)
+  }
+
+  /** NEYMAN ALLOCATION (q255) — variance-optimal stratified sampling
+    * design (Neyman 1934): given a total sample budget (10% of the
+    * corpus), allocate per-source sample sizes n_h ∝ N_h·σ_h (σ = the
+    * population SD of the token-count metric within the stratum) —
+    * the design that minimizes the estimator variance for a fixed
+    * budget, vs the proportional allocation (n_h ∝ N_h) also reported
+    * for contrast. Exact-integer contract: per stratum the sufficient
+    * statistics (N, Σx, Σx²) are exact longs; σ quantizes once to
+    * round-e6 via the identical-doubles idiom (sqrt of the SAME
+    * integer variance numerator on both engines); every allocation is
+    * a floor division of integer products, clamped to the stratum
+    * size.
+    *
+    * Scale shape: one scan-side projection + one source-keyed
+    * aggregation; everything after runs on |sources| rows. */
+  def neymanAllocation(spark: SparkSession, dir: String,
+                       budgetPpm: Long = 100000L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val t = TextOps.normText(col("text"))
+    val st = docs.select(col("source"),
+        size(TextOps.tokens(t)).cast("long").as("x"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("nh"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      // population variance numerator: N·Σx² − (Σx)² (exact, ≥ 0);
+      // σ_e6 = round(sqrt(num)/N · 1e6) — sqrt of identical integers.
+      .withColumn("s2num", col("nh") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("sigma_e6",
+        round(sqrt(col("s2num").cast("double")) / col("nh") * 1e6, 0)
+          .cast("long"))
+      .withColumn("wh", col("nh") * col("sigma_e6"))
+      .localCheckpoint() // |sources| rows; read by totals + output
+    val tot = st.agg(sum("nh").as("ntot"), sum("wh").as("wtot"))
+    st.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"ntot * $budgetPpm div 1000000"))
+      .select(col("source"), col("nh").cast("long").as("n_docs"),
+        col("sigma_e6"),
+        expr("CAST(wh AS DECIMAL(38,0)) * 1000000 div wtot").as("weight_ppm"),
+        expr("least(nh, CAST(budget AS DECIMAL(38,0)) * wh div wtot)")
+          .cast("long").as("neyman_n"),
+        expr("least(nh, CAST(budget AS DECIMAL(38,0)) * nh div ntot)")
+          .cast("long").as("proportional_n"),
+        col("budget").cast("long").as("budget_n"))
+      .orderBy("source")
+  }
+
   /** BPE vocab-size sweep (q251): [[graft.ext.Bpe.bpeRoundSweep]] —
     * one training, read out after every merge round; fertility and
     * compression vs merge budget. */

@@ -466,6 +466,155 @@ class CurationEvalSpec extends SparkSpec {
     assert(out.keys.exists(k => k._1 != k._2), "no cross-source pair found")
   }
 
+  // ---- q254 PRF: full integer replay of retrieve -> expand -> rescore
+  private def replayPrf(docs: Seq[(Long, String)], qids: Seq[Long],
+                        k: Int, kFb: Int, nExp: Int)
+      : Map[(Long, Int), (Long, Long, Int, Int)] = {
+    def norm(s: String) = s.toLowerCase.trim.replaceAll("\\s+", " ")
+    val toks = docs.map { case (id, t) => id -> norm(t).split(" ", -1).toSeq }
+    val tf = toks.flatMap { case (id, ws) => ws.map(w => (id, w)) }
+      .groupBy(identity).map { case (kk, xs) => kk -> xs.length.toLong }
+    val dl = tf.toSeq.groupBy(_._1._1)
+      .map { case (id, xs) => id -> xs.map(_._2).sum }
+    val dfm = tf.keys.toSeq.groupBy(_._2).map { case (w, xs) => w -> xs.length.toLong }
+    val n = dl.size.toLong
+    val t = dl.values.sum
+    def idf(w: String): Long =
+      math.round(math.log(1.0 + (n - dfm(w) + 0.5) / (dfm(w) + 0.5)) * 1e6)
+    def tfppm(f: Long, d: Long): Long =
+      ((BigInt(22) * f * t * 1000000) /
+        (BigInt(10) * t * f + 3 * t + 9 * d * n)).toLong
+    def score(qid: Long, terms: Set[String], expSet: Set[String])
+        : Seq[(Long, Long, Int, Int)] =
+      dl.keys.filter(_ != qid).toSeq.flatMap { d =>
+        val hits = terms.toSeq.filter(w => tf.contains((d, w)))
+        if (hits.isEmpty) None
+        else Some((d, hits.map(w => idf(w) * tfppm(tf((d, w)), dl(d))).sum,
+          hits.length, hits.count(expSet)))
+      }
+    qids.flatMap { qid =>
+      val qTerms = toks.find(_._1 == qid).get._2.distinct
+        .filter(dfm.contains).toSet
+      val fb = score(qid, qTerms, Set.empty)
+        .sortBy { case (d, s, _, _) => (-s, d) }.take(kFb).map(_._1)
+      val cand = fb.flatMap(d => tf.keys.filter(_._1 == d).map(_._2))
+        .distinct.filterNot(qTerms)
+      val exp = cand.map(w => w -> fb.map(d =>
+          tf.getOrElse((d, w), 0L) * idf(w)).sum)
+        .sortBy { case (w, s) => (-s, w) }.take(nExp).map(_._1).toSet
+      score(qid, qTerms ++ exp, exp)
+        .sortBy { case (d, s, _, _) => (-s, d) }.take(k).zipWithIndex
+        .map { case ((d, s, nh, ne), i) =>
+          (qid, i + 1) -> (d, s, nh, ne) }
+    }.toMap
+  }
+
+  test("q254 PRF expands and rescores — fixture with hand-checkable expansion") {
+    import spark.implicits._
+    val fixture = Seq(
+      1L -> "apple banana", 2L -> "apple banana cherry",
+      3L -> "cherry durian", 4L -> "durian elderberry",
+      5L -> "banana cherry durian")
+    val docs = fixture.toDF("doc_id", "text")
+    val out = graft.ext.Retrieval.bm25PrfTopK(docs, "doc_id", "text",
+        docs.filter(col("doc_id") === 1)
+          .select(col("doc_id").as("query_id"), col("text").as("qtext")),
+        k = 4, kFb = 2, nExp = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("score_e12"),
+          r.getAs[Int]("n_hit_terms"), r.getAs[Int]("n_exp_terms"))).toMap
+    val exp = replayPrf(fixture, Seq(1L), k = 4, kFb = 2, nExp = 2)
+    assert(out === exp)
+    // the expansion is doing real work: docs with NO original query
+    // term (d4: durian elderberry) are now reachable
+    assert(out.values.exists { case (d, _, _, ne) => d == 4L && ne > 0 })
+  }
+
+  test("q254 PRF replays the full integer pipeline at sf0.001") {
+    val docs = graft.model.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toSeq
+    val out = ExtQueries.bm25PrfSearch(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("score_e12"),
+          r.getAs[Int]("n_hit_terms"), r.getAs[Int]("n_exp_terms"))).toMap
+    val exp = replayPrf(docs, (0L until 10L).toSeq, k = 5, kFb = 5, nExp = 3)
+    assert(out === exp)
+    // expansions participate somewhere in the final lists
+    assert(out.values.exists(_._4 > 0), "no expansion term ever matched")
+  }
+
+  test("q253 assortativity replays the integer Pearson at sf0.001") {
+    val out = Analytics.copurchaseAssortativity(spark, sf001).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val it = graft.model.Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+      .distinct().collect()
+      .map(x => (x.getAs[Long]("oid"), x.getAs[Long]("item")))
+    val edges = it.groupBy(_._1).values.flatMap { g =>
+      val items = g.map(_._2).distinct.sorted.toSeq
+      for (a <- items; b <- items if a < b) yield (a, b)
+    }.groupBy(identity).toSeq // .toSeq BEFORE collect: the Map would dedup pairs by u
+      .collect { case (e, xs) if xs.size >= 2 => e }
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (nd, xs) => nd -> xs.length.toLong }
+    val dd = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val m2 = BigInt(dd.length)
+    val xs = dd.map(e => BigInt(deg(e._1)))
+    val ys = dd.map(e => BigInt(deg(e._2)))
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val syy = ys.map(a => a * a).sum
+    val num = m2 * sxy - sx * sy
+    val d1 = m2 * sxx - sx * sx
+    val d2 = m2 * syy - sy * sy
+    assert(r.getAs[Long]("n_nodes") === deg.size.toLong)
+    assert(r.getAs[Long]("n_edges") === edges.length.toLong)
+    assert(r.getAs[Long]("max_degree") === deg.values.max)
+    val expR = if (d1 > 0 && d2 > 0)
+      math.round(num.toDouble / math.sqrt(d1.toDouble * d2.toDouble) * 1e6)
+    else 0L
+    assert(r.getAs[Long]("assortativity_e6") === expR)
+    assert(r.getAs[Int]("defined") === (if (d1 > 0 && d2 > 0) 1 else 0))
+  }
+
+  test("q255 Neyman allocation replays and is budget-feasible") {
+    val out = ExtQueries.neymanAllocation(spark, sf001).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sigma_e6"),
+          r.getAs[Long]("weight_ppm"), r.getAs[Long]("neyman_n"),
+          r.getAs[Long]("proportional_n"), r.getAs[Long]("budget_n"))).toMap
+    val rows = graft.model.Tables.documents(spark, sf001)
+      .select(col("source"),
+        graft.ext.TextOps.normText(col("text")).as("t")).collect()
+      .map(r => r.getAs[String]("source") ->
+        r.getAs[String]("t").split(" ", -1).length.toLong)
+    val bySrc = rows.groupBy(_._1).map { case (s, xs) =>
+      val v = xs.map(_._2)
+      val nh = v.length.toLong
+      val (sx, sxx) = (v.sum, v.map(x => x * x).sum)
+      val s2num = BigInt(nh) * sxx - BigInt(sx) * sx
+      val sigma = math.round(math.sqrt(s2num.toDouble) / nh * 1e6)
+      s -> (nh, sigma, BigInt(nh) * sigma)
+    }
+    val ntot = bySrc.values.map(_._1).sum
+    val wtot = bySrc.values.map(_._3).sum
+    val budget = ntot * 100000L / 1000000L
+    assert(out.keySet === bySrc.keySet)
+    bySrc.foreach { case (s, (nh, sigma, wh)) =>
+      val ney = (BigInt(budget) * wh / wtot).toLong min nh
+      val prop = (budget * nh / ntot) min nh
+      assert(out(s) === ((nh, sigma, (wh * 1000000 / wtot).toLong,
+        ney, prop, budget)), s"alloc at $s")
+    }
+    // floor allocations never exceed the budget in total
+    assert(out.values.map(_._4).sum <= budget)
+    assert(out.values.map(_._5).sum <= budget)
+  }
+
   test("q245 power iteration replays the 3 integer rounds at sf0.001") {
     val out = ExtQueries.principalComponent(spark, sf001).collect()
       .map(r => (r.getAs[Int]("dim"), r.getAs[Long]("v_prev_e4"),
