@@ -275,6 +275,9 @@ object SparkEntry {
     "q253_assortativity"      -> ((s, d) => Analytics.copurchaseAssortativity(s, d)),
     "q254_prf_search"         -> ((s, d) => ExtQueries.bm25PrfSearch(s, d)),
     "q255_neyman_alloc"       -> ((s, d) => ExtQueries.neymanAllocation(s, d)),
+    "q256_conformal"          -> ((s, d) => ExtQueries.conformalReport(s, d)),
+    "q257_link_prediction"    -> ((s, d) => Analytics.copurchaseLinkPrediction(s, d)),
+    "q258_rec_holdout"        -> ((s, d) => Analytics.recommenderHoldout(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -6240,5 +6243,147 @@ object SparkEntry {
          |         AS proportional_n,
          |       CAST(budget AS BIGINT) AS budget_n
          |FROM f ORDER BY source""".stripMargin,
+
+    // Split-conformal selective prediction: even-half margin threshold
+    // (k-th order statistic over the distinct-margin spine), odd-half
+    // accept/abstain accuracy per predicted class.
+    "q256_conformal" ->
+      s"""WITH $nCte,
+         |$tokCte,
+         |hv AS (SELECT doc_id, ${fullHash("w")} AS h FROM tok WHERE w <> ''),
+         |bw AS (SELECT doc_id, CAST(h % 32 AS INT) AS bucket,
+         |              1 - 2*(((69069*h + 362437) % ${graft.ext.TextOps.HashP}) % 2) AS sgn
+         |       FROM hv),
+         |rawb AS (SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS raw
+         |         FROM bw GROUP BY doc_id, bucket HAVING SUM(sgn) <> 0),
+         |scq AS (SELECT doc_id,
+         |         CAST(SUM(raw * (((11*bucket + 5)  % 17) - 8)) AS BIGINT) AS logit_0,
+         |         CAST(SUM(raw * (((37 + 11*bucket + 5) % 17) - 8)) AS BIGINT) AS logit_1,
+         |         CAST(SUM(raw * (((74 + 11*bucket + 5) % 17) - 8)) AS BIGINT) AS logit_2
+         |       FROM rawb GROUP BY doc_id),
+         |p AS (SELECT doc_id, predicted,
+         |        CASE predicted
+         |          WHEN 0 THEN logit_0 - greatest(logit_1, logit_2)
+         |          WHEN 1 THEN logit_1 - greatest(logit_0, logit_2)
+         |          ELSE logit_2 - greatest(logit_0, logit_1) END AS margin
+         |      FROM (SELECT *,
+         |              CASE WHEN logit_0 >= logit_1 AND logit_0 >= logit_2 THEN 0
+         |                   WHEN logit_1 >= logit_2 THEN 1 ELSE 2 END AS predicted
+         |            FROM scq) z),
+         |st AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |              COUNT(*) FILTER (w IN ('the','a','of','and','to','in'))
+         |                AS n_stop
+         |       FROM tok GROUP BY doc_id),
+         |lab AS (SELECT doc_id,
+         |          CASE WHEN NOT (n_tokens BETWEEN 10 AND 1000
+         |                         AND n_stop*20 >= n_tokens) THEN 0
+         |               WHEN n_stop*1000000//n_tokens >= ${graft.ext.TextAnalysis.RuleLabelStopPpm}
+         |                 THEN 2 ELSE 1 END AS label
+         |        FROM st),
+         |jj AS (SELECT p.doc_id, p.predicted, p.margin, lab.label,
+         |         CAST(p.doc_id % 2 AS INT) AS half
+         |       FROM p JOIN lab USING (doc_id)),
+         |cal AS (SELECT * FROM jj WHERE half = 0),
+         |nc AS (SELECT COUNT(*) AS n_cal,
+         |         (COUNT(*) + 1) * 100000 // 1000000 AS k FROM cal),
+         |mc AS (SELECT margin, COUNT(*) AS c FROM cal GROUP BY margin),
+         |pf AS (SELECT margin, c,
+         |         COALESCE(SUM(c) OVER (ORDER BY margin
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS before
+         |       FROM mc),
+         |tu AS (SELECT COALESCE(MIN(margin), 0) AS tau
+         |       FROM pf CROSS JOIN nc WHERE before + c >= k),
+         |te AS (SELECT jj.*,
+         |         CASE WHEN margin >= tau THEN 1 ELSE 0 END AS acc,
+         |         CASE WHEN predicted = label THEN 1 ELSE 0 END AS ok
+         |       FROM jj CROSS JOIN tu WHERE half = 1),
+         |ag AS (SELECT predicted, COUNT(*) AS n_test,
+         |         CAST(SUM(acc) AS BIGINT) AS n_accepted,
+         |         CAST(SUM(acc*ok) AS BIGINT) AS n_acc_ok,
+         |         CAST(SUM((1-acc)*ok) AS BIGINT) AS n_rej_ok
+         |       FROM te GROUP BY predicted)
+         |SELECT predicted, CAST(n_test AS BIGINT) AS n_test, n_accepted,
+         |       CAST(n_accepted * 1000000 // n_test AS BIGINT) AS accept_ppm,
+         |       CAST(CASE WHEN n_accepted = 0 THEN 0
+         |            ELSE n_acc_ok * 1000000 // n_accepted END AS BIGINT)
+         |         AS acc_accepted_ppm,
+         |       CAST(CASE WHEN n_test = n_accepted THEN 0
+         |            ELSE n_rej_ok * 1000000 // (n_test - n_accepted) END
+         |         AS BIGINT) AS acc_rejected_ppm,
+         |       CAST(tau AS BIGINT) AS tau,
+         |       CAST(n_cal AS BIGINT) AS n_cal, CAST(k AS BIGINT) AS k
+         |FROM ag CROSS JOIN tu CROSS JOIN nc
+         |ORDER BY predicted""".stripMargin,
+
+    // Adamic-Adar link prediction: hub-capped common-neighbor pairs,
+    // round-e6 1/ln(deg) weights, anti join on existing edges, top-25.
+    "q257_link_prediction" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+        |            FROM lineitem),
+        |prx AS (SELECT a.item AS u, b.item AS v
+        |        FROM it a JOIN it b ON a.oid = b.oid AND a.item < b.item
+        |        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |dirx AS (SELECT u, v FROM prx UNION ALL SELECT v, u FROM prx),
+        |dg AS (SELECT u AS z, COUNT(*) AS d FROM dirx GROUP BY u),
+        |ctr AS (SELECT z, CAST(round(1e6 / ln(CAST(d AS DOUBLE)), 0)
+        |          AS BIGINT) AS w_e6
+        |        FROM dg WHERE d BETWEEN 2 AND 64),
+        |adjx AS (SELECT d2.u AS z, d2.v AS nb, ctr.w_e6
+        |         FROM dirx d2 JOIN ctr ON ctr.z = d2.u),
+        |prs AS (SELECT x.z, x.nb AS a, y.nb AS b, x.w_e6
+        |        FROM adjx x JOIN adjx y ON x.z = y.z AND x.nb < y.nb),
+        |nonadj AS (SELECT prs.* FROM prs
+        |           LEFT JOIN prx e ON e.u = prs.a AND e.v = prs.b
+        |           WHERE e.u IS NULL),
+        |sc AS (SELECT a, b, CAST(SUM(w_e6) AS BIGINT) AS aa_e6,
+        |         CAST(COUNT(*) AS BIGINT) AS n_common
+        |       FROM nonadj GROUP BY a, b)
+        |SELECT a, b, aa_e6, n_common
+        |FROM sc ORDER BY aa_e6 DESC, a, b LIMIT 25""".stripMargin,
+
+    // Temporal-holdout recommender eval: pre-pivot top-3 co-purchase
+    // recs, post-pivot baskets, hit-rate@k with cold-start reported.
+    "q258_rec_holdout" ->
+      """WITH ito AS (SELECT o_orderkey AS oid,
+        |         CASE WHEN o_orderdate >= DATE '1997-01-01' THEN 1 ELSE 0 END
+        |           AS is_test
+        |       FROM orders),
+        |li AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+        |       FROM lineitem),
+        |itx AS (SELECT li.oid, li.item, ito.is_test FROM li JOIN ito USING (oid)),
+        |tr AS (SELECT oid, item FROM itx WHERE is_test = 0),
+        |te AS (SELECT oid, item FROM itx WHERE is_test = 1),
+        |pc AS (SELECT a.item, b.item AS other, COUNT(*) AS cnt
+        |       FROM tr a JOIN tr b ON a.oid = b.oid AND a.item <> b.item
+        |       GROUP BY 1, 2),
+        |rc AS (SELECT item, other, rnk FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY item
+        |      ORDER BY cnt DESC, other) AS rnk FROM pc) z
+        |  WHERE rnk <= 3),
+        |sn AS (SELECT DISTINCT item FROM rc),
+        |eb AS (SELECT te.oid, te.item FROM te JOIN sn USING (item)),
+        |ne AS (SELECT COUNT(*) AS n_evals FROM eb),
+        |ncold AS (SELECT COUNT(*) AS n_cold FROM te
+        |          LEFT JOIN sn ON sn.item = te.item WHERE sn.item IS NULL),
+        |mt AS (SELECT eb.oid, eb.item, MIN(rc.rnk) AS min_rank
+        |       FROM eb JOIN rc USING (item)
+        |       JOIN te t2 ON t2.oid = eb.oid AND t2.item = rc.other
+        |       GROUP BY 1, 2),
+        |ha AS (SELECT
+        |    COALESCE(SUM(CASE WHEN min_rank <= 1 THEN 1 ELSE 0 END), 0) AS h1,
+        |    COALESCE(SUM(CASE WHEN min_rank <= 2 THEN 1 ELSE 0 END), 0) AS h2,
+        |    COALESCE(SUM(CASE WHEN min_rank <= 3 THEN 1 ELSE 0 END), 0) AS h3
+        |  FROM mt),
+        |ks AS (SELECT CAST(unnest([1, 2, 3]) AS INT) AS k)
+        |SELECT ks.k, CAST(ne.n_evals AS BIGINT) AS n_evals,
+        |       CAST(ncold.n_cold AS BIGINT) AS n_cold,
+        |       CAST(CASE ks.k WHEN 1 THEN h1 WHEN 2 THEN h2 ELSE h3 END
+        |         AS BIGINT) AS n_hits,
+        |       CAST(CASE WHEN ne.n_evals = 0 THEN 0
+        |            ELSE (CASE ks.k WHEN 1 THEN h1 WHEN 2 THEN h2 ELSE h3 END)
+        |                 * 1000000 // ne.n_evals END AS BIGINT) AS hitrate_ppm
+        |FROM ks CROSS JOIN ha CROSS JOIN ne CROSS JOIN ncold
+        |ORDER BY ks.k""".stripMargin,
   )
 }

@@ -926,6 +926,69 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** SPLIT-CONFORMAL SELECTIVE PREDICTION (q256, Vovk et al.; the
+    * Angelopoulos–Bates tutorial's split recipe) for the frozen
+    * [[qualityClassifier]]: the even-doc_id half CALIBRATES an accept
+    * threshold τ on the decision margin — τ = the k-th smallest
+    * calibration margin with k = ⌊α·(n_cal+1)⌋ (α = 10%), so at most
+    * ~α of exchangeable future margins fall below τ — and the odd half
+    * is SCORED against it: predictions with margin ≥ τ are ACCEPTED
+    * (trusted unreviewed), the rest abstain to human review. Per
+    * predicted class on the test half: volumes, accept rate, and
+    * accuracy vs the rule labels among accepted vs rejected — the
+    * selective-prediction readout that turns q241's calibration curve
+    * into an operating policy. k = 0 (tiny calibration sets) accepts
+    * everything (τ = 0; margins are never negative). The k-th order
+    * statistic is computed on the DISTINCT-margin spine via the
+    * two-pass [[graft.operators.PrefixSum]] — never an unpartitioned
+    * window over data.
+    *
+    * Scale shape: two scan-side doc-keyed rollups, one doc-keyed join,
+    * a margin-spine prefix pass, then |classes|-row arithmetic. */
+  def conformalSelective(docs: DataFrame, idCol: String, textCol: String,
+                         alphaPpm: Long = 100000L): DataFrame = {
+    val pred = qualityClassifier(docs, idCol, textCol)
+      .select(col("doc_id"), col("predicted"), col("margin"))
+    val lab = ruleQualityLabel(docs, idCol, textCol)
+    val j = pred.join(lab, Seq("doc_id"))
+      .withColumn("half", (col("doc_id") % 2).cast("int"))
+      .localCheckpoint() // read by the calibration and test legs
+    val cal = j.filter(col("half") === 0)
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+      .withColumn("k", expr(s"(n_cal + 1) * $alphaPpm div 1000000"))
+    val mc = cal.groupBy("margin").agg(count(lit(1)).as("c"))
+    val pref = graft.operators.PrefixSum.exclusive(mc, "margin",
+      descending = false, ties = Seq.empty, valueCol = "c",
+      outCol = "before")
+    val tau = pref.crossJoin(broadcast(nCal))
+      .filter(col("before") + col("c") >= col("k"))
+      .agg(coalesce(min("margin"), lit(0L)).as("tau"))
+    j.filter(col("half") === 1)
+      .crossJoin(broadcast(tau)).crossJoin(broadcast(nCal))
+      .withColumn("acc", (col("margin") >= col("tau")).cast("int"))
+      .withColumn("ok", (col("predicted") === col("label")).cast("int"))
+      .groupBy("predicted")
+      .agg(count(lit(1)).as("n_test"),
+        sum("acc").as("n_accepted"),
+        sum(col("acc") * col("ok")).as("n_acc_ok"),
+        sum((lit(1) - col("acc")) * col("ok")).as("n_rej_ok"),
+        max("tau").as("tau"), max("n_cal").as("n_cal"), max("k").as("k"))
+      .select(col("predicted"),
+        col("n_test").cast("long").as("n_test"),
+        col("n_accepted").cast("long").as("n_accepted"),
+        expr("n_accepted * 1000000 div n_test").as("accept_ppm"),
+        when(col("n_accepted") === 0, 0L)
+          .otherwise(expr("n_acc_ok * 1000000 div n_accepted"))
+          .as("acc_accepted_ppm"),
+        when(col("n_test") === col("n_accepted"), 0L)
+          .otherwise(expr("n_rej_ok * 1000000 div (n_test - n_accepted)"))
+          .as("acc_rejected_ppm"),
+        col("tau").cast("long").as("tau"),
+        col("n_cal").cast("long").as("n_cal"),
+        col("k").cast("long").as("k"))
+      .orderBy("predicted")
+  }
+
   /** DSIR-style importance weights (q243) — Data Selection via
     * Importance Resampling (Xie et al. 2023, arXiv:2302.03169) made
     * deterministic: hashed unigram bucket features (the paper's hashed

@@ -2169,6 +2169,92 @@ object Analytics {
       .orderBy("part")
   }
 
+  /** Adamic–Adar link prediction on the repeat co-purchase graph
+    * (q257): [[graft.operators.Graph.adamicAdar]] over the same
+    * support-≥2 edges as q223/q253 — the top-25 predicted NEW links
+    * ("parts that share well-connected co-purchase neighbors but were
+    * never co-bought"), the classic link-prediction baseline. */
+  def copurchaseLinkPrediction(spark: SparkSession, dir: String,
+                               minPairSupport: Long = 2): DataFrame = {
+    val it = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+      .distinct().localCheckpoint()
+    val edges = it.join(it.withColumnRenamed("item", "item2"), Seq("oid"))
+      .filter(col("item") < col("item2"))
+      .groupBy("item", "item2").agg(count(lit(1)).as("s"))
+      .filter(col("s") >= minPairSupport)
+      .select(col("item").as("u"), col("item2").as("v"))
+    graft.operators.Graph.adamicAdar(edges, k = 25)
+  }
+
+  /** TEMPORAL-HOLDOUT RECOMMENDER EVALUATION (q258) — the eval loop
+    * that closes the co-purchase recommender family (q116 ranks, q203
+    * rules) the way q105/q235/q246 closed theirs: orders BEFORE the
+    * pivot date train a top-3 co-purchase recommender (pair counts,
+    * ties to the smaller item id), orders ON/AFTER the pivot are the
+    * honest future test — for every (test basket, seed item) with the
+    * seed seen in training, did a top-k recommendation appear among
+    * the basket's OTHER items? Hit-rate@k for k = 1..3, with the
+    * cold-start volume (test seeds unseen in training) reported
+    * separately rather than silently folded in.
+    *
+    * Scale shape: the train pair table is the q203-bounded basket
+    * self-join; the rec table is a top-3 per-item window over it; the
+    * eval is two keyed joins of test (order, item) rows against the
+    * rec table and the basket membership — every relation keyed,
+    * nothing quadratic in baskets. */
+  def recommenderHoldout(spark: SparkSession, dir: String,
+                         pivot: String = "1997-01-01"): DataFrame = {
+    import spark.implicits._
+    val it = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("oid"),
+        (col("o_orderdate") >= lit(pivot)).cast("int").as("is_test"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+        .distinct(), Seq("oid"))
+      .localCheckpoint() // read by train pairs + test baskets
+    val train = it.filter(col("is_test") === 0).select("oid", "item")
+    val test = it.filter(col("is_test") === 1).select("oid", "item")
+      .localCheckpoint() // read by eval base + membership probe
+    val pairCnt = train
+      .join(train.withColumnRenamed("item", "other"), Seq("oid"))
+      .filter(col("item") =!= col("other"))
+      .groupBy("item", "other").agg(count(lit(1)).as("cnt"))
+    val recs = pairCnt
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("item")
+          .orderBy(col("cnt").desc, col("other"))).cast("int"))
+      .filter(col("rank") <= 3)
+      .localCheckpoint() // read by eval + seen-item set
+    val seen = recs.select("item").distinct()
+    val evalBase = test.join(seen, Seq("item"), "left_semi")
+    val nEval = evalBase.agg(count(lit(1)).as("n_evals"))
+    val nCold = test.join(seen, Seq("item"), "left_anti")
+      .agg(count(lit(1)).as("n_cold"))
+    val matched = evalBase.join(recs, Seq("item"))
+      .join(test.select(col("oid"), col("item").as("other")),
+        Seq("oid", "other"), "left_semi")
+      .groupBy("oid", "item").agg(min("rank").as("min_rank"))
+    val hitAgg = matched.agg(
+      sum(when(col("min_rank") <= 1, 1L).otherwise(0L)).as("h1"),
+      sum(when(col("min_rank") <= 2, 1L).otherwise(0L)).as("h2"),
+      sum(when(col("min_rank") <= 3, 1L).otherwise(0L)).as("h3"))
+    Seq(1, 2, 3).toDF("k")
+      .crossJoin(broadcast(hitAgg)).crossJoin(broadcast(nEval))
+      .crossJoin(broadcast(nCold))
+      .select(col("k").cast("int").as("k"),
+        col("n_evals").cast("long").as("n_evals"),
+        col("n_cold").cast("long").as("n_cold"),
+        coalesce(when(col("k") === 1, col("h1"))
+          .when(col("k") === 2, col("h2")).otherwise(col("h3")), lit(0L))
+          .cast("long").as("n_hits"),
+        when(col("n_evals") === 0, 0L)
+          .otherwise(expr("""coalesce(CASE WHEN k = 1 THEN h1
+            WHEN k = 2 THEN h2 ELSE h3 END, 0) * 1000000 div n_evals"""))
+          .as("hitrate_ppm"))
+      .orderBy("k")
+  }
+
   /** Degree assortativity of the repeat co-purchase graph (q253):
     * [[graft.operators.Graph.degreeAssortativity]] over the same
     * support-≥2 edge list as q223 — one signed number for "do

@@ -1574,6 +1574,14 @@ object ExtQueries {
       .orderBy("bin")
   }
 
+  /** Conformal selective prediction (q256):
+    * [[graft.ext.TextAnalysis.conformalSelective]] — even-half
+    * calibrated margin threshold (α = 10%), odd-half accept/abstain
+    * readout per predicted class. */
+  def conformalReport(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.conformalSelective(Tables.documents(spark, dir),
+      "doc_id", "text")
+
   /** PRF retrieval (q254): [[graft.ext.Retrieval.bm25PrfTopK]] —
     * query-by-example (doc_id < 10) BM25 with pseudo-relevance
     * feedback: top-5 feedback docs, 3 expansion terms, rescored

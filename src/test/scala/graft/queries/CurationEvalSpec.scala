@@ -615,6 +615,143 @@ class CurationEvalSpec extends SparkSpec {
     assert(out.values.map(_._5).sum <= budget)
   }
 
+  test("q256 conformal threshold replays and orders accepted above rejected") {
+    val out = ExtQueries.conformalReport(spark, sf001).collect()
+      .map(r => r.getAs[Int]("predicted") ->
+        (r.getAs[Long]("n_test"), r.getAs[Long]("n_accepted"),
+          r.getAs[Long]("accept_ppm"), r.getAs[Long]("acc_accepted_ppm"),
+          r.getAs[Long]("acc_rejected_ppm"), r.getAs[Long]("tau"),
+          r.getAs[Long]("n_cal"), r.getAs[Long]("k"))).toMap
+    val docs = graft.model.Tables.documents(spark, sf001)
+    val pred = TextAnalysis.qualityClassifier(docs, "doc_id", "text")
+      .select("doc_id", "predicted", "margin").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("predicted"), r.getAs[Long]("margin"))).toMap
+    val lab = TextAnalysis.ruleQualityLabel(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("label")).toMap
+    val jj = pred.toSeq.collect { case (id, (p, m)) if lab.contains(id) =>
+      (id, p, m, lab(id)) }
+    val cal = jj.filter(_._1 % 2 == 0)
+    val k = (cal.length + 1) * 100000L / 1000000L
+    val tau = if (k < 1) 0L
+      else cal.map(_._3).sorted.apply((k - 1).toInt)
+    val test = jj.filter(_._1 % 2 == 1)
+    assert(out.keySet === test.map(_._2).toSet)
+    test.groupBy(_._2).foreach { case (cls, xs) =>
+      val acc = xs.filter(_._3 >= tau)
+      val rej = xs.filterNot(_._3 >= tau)
+      val (gn, gna, gap, gaa, gar, gt, gnc, gk) = out(cls)
+      assert(gn === xs.length.toLong && gna === acc.length.toLong)
+      assert(gt === tau && gnc === cal.length.toLong && gk === k)
+      assert(gap === acc.length * 1000000L / xs.length)
+      assert(gaa === (if (acc.isEmpty) 0L
+        else acc.count(x => x._2 == x._4) * 1000000L / acc.length))
+      assert(gar === (if (rej.isEmpty) 0L
+        else rej.count(x => x._2 == x._4) * 1000000L / rej.length))
+    }
+    // the coverage guarantee's premise: at most k calibration margins
+    // fall strictly below tau
+    assert(cal.count(_._3 < tau) <= k)
+    // selection is useful overall: pooled accepted accuracy >= pooled
+    // rejected accuracy (margins are a real confidence signal here)
+    val accAll = test.filter(_._3 >= tau)
+    val rejAll = test.filterNot(_._3 >= tau)
+    if (accAll.nonEmpty && rejAll.nonEmpty) {
+      val a = accAll.count(x => x._2 == x._4).toDouble / accAll.length
+      val b = rejAll.count(x => x._2 == x._4).toDouble / rejAll.length
+      assert(a >= b, s"accepted acc $a below rejected $b")
+    }
+  }
+
+  test("q257 Adamic-Adar replays the capped wedge scoring at sf0.001") {
+    val out = Analytics.copurchaseLinkPrediction(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("aa_e6"), r.getAs[Long]("n_common")))
+    assert(out.length === 25)
+    val it = graft.model.Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+      .distinct().collect()
+      .map(x => (x.getAs[Long]("oid"), x.getAs[Long]("item")))
+    val edges = it.groupBy(_._1).values.flatMap { g =>
+      val items = g.map(_._2).distinct.sorted.toSeq
+      for (a <- items; b <- items if a < b) yield (a, b)
+    }.groupBy(identity).toSeq
+      .collect { case (e, xs) if xs.size >= 2 => e }
+    val edgeSet = edges.toSet
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (z, xs) => z -> xs.map(_._2).toSeq.sorted }
+    val scores = collection.mutable.Map[(Long, Long), (Long, Long)]()
+    adj.foreach { case (z, nbs) =>
+      val d = nbs.length
+      if (d >= 2 && d <= 64) {
+        val w = math.round(1e6 / math.log(d.toDouble))
+        for (ai <- nbs.indices; bi <- (ai + 1) until nbs.length) {
+          val p = (nbs(ai), nbs(bi))
+          if (!edgeSet(p)) {
+            val (s, c) = scores.getOrElse(p, (0L, 0L))
+            scores(p) = (s + w, c + 1)
+          }
+        }
+      }
+    }
+    val expTop = scores.toSeq
+      .map { case ((a, b), (s, c)) => (a, b, s, c) }
+      .sortBy { case (a, b, s, _) => (-s, a, b) }.take(25)
+    assert(out.toSeq === expTop)
+    // predictions are genuinely non-adjacent
+    out.foreach { case (a, b, _, _) => assert(!edgeSet((a, b))) }
+  }
+
+  test("q258 recommender holdout replays hit-rates at sf0.001") {
+    val out = Analytics.recommenderHoldout(spark, sf001).collect()
+      .map(r => r.getAs[Int]("k") ->
+        (r.getAs[Long]("n_evals"), r.getAs[Long]("n_cold"),
+          r.getAs[Long]("n_hits"), r.getAs[Long]("hitrate_ppm"))).toMap
+    assert(out.keySet === Set(1, 2, 3))
+    val orders = graft.model.Tables.orders(spark, sf001)
+      .select(col("o_orderkey").as("oid"),
+        (col("o_orderdate") >= lit("1997-01-01")).cast("int").as("t"))
+      .collect().map(r => r.getAs[Long]("oid") -> r.getAs[Int]("t")).toMap
+    val li = graft.model.Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("oid"), r.getAs[Long]("item")))
+      .filter(x => orders.contains(x._1))
+    val train = li.filter(x => orders(x._1) == 0)
+    val test = li.filter(x => orders(x._1) == 1)
+    val pairCnt = train.groupBy(_._1).values.flatMap { g =>
+      val items = g.map(_._2).distinct.toSeq
+      for (a <- items; b <- items if a != b) yield (a, b)
+    }.groupBy(identity).toSeq // dodge the Map.collect pair-dedup trap
+      .map { case (p, xs) => (p._1, p._2, xs.size.toLong) }
+    val recs = pairCnt.groupBy(_._1).map { case (i, xs) =>
+      i -> xs.sortBy { case (_, o, c) => (-c, o) }.take(3)
+        .zipWithIndex.map { case ((_, o, _), r) => o -> (r + 1) }
+    }
+    val baskets = test.groupBy(_._1)
+      .map { case (o, xs) => o -> xs.map(_._2).toSet }
+    val evalPairs = test.filter(x => recs.contains(x._2))
+    val nCold = test.count(x => !recs.contains(x._2)).toLong
+    val minRanks = evalPairs.flatMap { case (o, i) =>
+      val others = baskets(o) - i
+      val hits = recs(i).collect { case (rec, rk) if others(rec) => rk }
+      if (hits.isEmpty) None else Some(hits.min)
+    }
+    (1 to 3).foreach { k =>
+      val (gne, gnc, gh, gr) = out(k)
+      val h = minRanks.count(_ <= k).toLong
+      assert(gne === evalPairs.length.toLong, s"n_evals at $k")
+      assert(gnc === nCold, s"n_cold at $k")
+      assert(gh === h, s"hits at $k")
+      assert(gr === (if (evalPairs.isEmpty) 0L
+        else h * 1000000L / evalPairs.length), s"rate at $k")
+    }
+    // the eval is exercised: some hit exists and hit@3 >= hit@1
+    assert(out(3)._3 >= out(1)._3)
+    assert(out(3)._3 > 0, "no hits at k=3 — eval vacuous")
+  }
+
   test("q245 power iteration replays the 3 integer rounds at sf0.001") {
     val out = ExtQueries.principalComponent(spark, sf001).collect()
       .map(r => (r.getAs[Int]("dim"), r.getAs[Long]("v_prev_e4"),
