@@ -278,6 +278,8 @@ object SparkEntry {
     "q256_conformal"          -> ((s, d) => ExtQueries.conformalReport(s, d)),
     "q257_link_prediction"    -> ((s, d) => Analytics.copurchaseLinkPrediction(s, d)),
     "q258_rec_holdout"        -> ((s, d) => Analytics.recommenderHoldout(s, d)),
+    "q259_chunk_retrieval"    -> ((s, d) => ExtQueries.chunkRetrieval(s, d)),
+    "q260_repeat_scrub"       -> ((s, d) => ExtQueries.repeatScrub(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -6385,5 +6387,91 @@ object SparkEntry {
         |                 * 1000000 // ne.n_evals END AS BIGINT) AS hitrate_ppm
         |FROM ks CROSS JOIN ha CROSS JOIN ne CROSS JOIN ncold
         |ORDER BY ks.k""".stripMargin,
+
+    // Chunk retrieval with doc max-pooling: q75 chunks as BM25 units,
+    // best-chunk pooling, per-query doc ranking.
+    "q259_chunk_retrieval" ->
+      s"""WITH $nCte,
+         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+         |m AS (SELECT doc_id, toks,
+         |        GREATEST((CAST(len(toks) AS BIGINT) - 16 + 47) // 48, 1) AS n_chunks
+         |      FROM tk),
+         |g AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx FROM m),
+         |ck AS (SELECT doc_id*1000000 + chunk_idx AS cid,
+         |         list_slice(toks, chunk_idx*48 + 1, chunk_idx*48 + 64) AS ctoks
+         |       FROM g),
+         |ctok AS (SELECT cid, unnest(ctoks) AS w FROM ck),
+         |tf AS (SELECT cid, w, COUNT(*) AS tf FROM ctok GROUP BY 1, 2),
+         |dl AS (SELECT cid, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY cid),
+         |dft AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+         |tot AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+         |qv(query_id, w) AS (VALUES
+         |  (1, 'spark'), (1, 'hash'), (1, 'join'),
+         |  (2, 'window'), (2, 'merge'), (2, 'sort'),
+         |  (3, 'stream'), (3, 'batch'), (3, 'data')),
+         |qi AS (SELECT qv.query_id, qv.w,
+         |         CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) * 1e6, 0)
+         |              AS BIGINT) AS idf_micro
+         |       FROM qv JOIN dft USING (w) CROSS JOIN tot),
+         |sc AS (SELECT qi.query_id, tf.cid,
+         |         CAST(SUM(qi.idf_micro *
+         |           CAST(CAST(22 AS HUGEINT) * tf.tf * t * 1000000 //
+         |                (CAST(10 AS HUGEINT) * t * tf.tf + 3 * t + 9 * dl.dl * n)
+         |                AS BIGINT)) AS BIGINT) AS score_e12
+         |       FROM qi JOIN tf USING (w) JOIN dl USING (cid)
+         |            CROSS JOIN tot
+         |       GROUP BY qi.query_id, tf.cid),
+         |pl AS (SELECT query_id, cid // 1000000 AS doc_id,
+         |         cid % 1000000 AS chunk_idx, score_e12 FROM sc),
+         |ag AS (SELECT query_id, doc_id,
+         |         CAST(MAX(score_e12) AS BIGINT) AS best_score_e12,
+         |         CAST(COUNT(*) AS BIGINT) AS n_chunks_hit
+         |       FROM pl GROUP BY 1, 2),
+         |bc AS (SELECT query_id, doc_id,
+         |         CAST(chunk_idx AS BIGINT) AS best_chunk
+         |       FROM (SELECT *, row_number() OVER (
+         |           PARTITION BY query_id, doc_id
+         |           ORDER BY score_e12 DESC, chunk_idx) AS rn FROM pl) z
+         |       WHERE rn = 1),
+         |rk AS (SELECT ag.query_id, ag.doc_id, bc.best_chunk,
+         |         ag.best_score_e12, ag.n_chunks_hit,
+         |         row_number() OVER (PARTITION BY ag.query_id
+         |           ORDER BY ag.best_score_e12 DESC, ag.doc_id) AS rnk
+         |       FROM ag JOIN bc USING (query_id, doc_id))
+         |SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, best_chunk,
+         |       best_score_e12, n_chunks_hit
+         |FROM rk WHERE rnk <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Gopher-style repeated-4-gram scrub accounting: per doc the union
+    // of positions covered by second+ occurrences, per-source volumes.
+    "q260_repeat_scrub" ->
+      s"""WITH $nCte,
+         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+         |oc AS (SELECT doc_id, CAST(g - 1 AS BIGINT) AS pos,
+         |         ${fullHash("(toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2] || ' ' || toks[g+3])")} AS h
+         |       FROM (SELECT doc_id, toks,
+         |               unnest(range(1, len(toks) - 2)) AS g FROM tk) z),
+         |rp AS (SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos, row_number() OVER (
+         |      PARTITION BY doc_id, h ORDER BY pos) AS rn FROM oc) z
+         |  WHERE rn >= 2),
+         |cv AS (SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS p FROM (
+         |    SELECT doc_id, unnest(range(pos, pos + 4)) AS p FROM rp) z),
+         |rm AS (SELECT doc_id, COUNT(*) AS n_removed FROM cv GROUP BY doc_id),
+         |sz AS (SELECT d.doc_id, d.source,
+         |         CAST(len(string_split(n.t, ' ')) AS BIGINT) AS n_tokens
+         |       FROM documents d JOIN n USING (doc_id))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN COALESCE(n_removed, 0) > 0 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_affected,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+         |       CAST(SUM(n_tokens - COALESCE(n_removed, 0)) AS BIGINT)
+         |         AS tokens_after,
+         |       CAST(SUM(COALESCE(n_removed, 0)) * 1000000 // SUM(n_tokens)
+         |         AS BIGINT) AS removed_ppm
+         |FROM sz LEFT JOIN rm USING (doc_id)
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
   )
 }

@@ -136,6 +136,28 @@ object Retrieval {
         col("score_e12"), col("n_hit_terms"))
   }
 
+  /** UN-TRUNCATED BM25 scores per (query, doc) — the pooling input for
+    * compositions that rank an AGGREGATE of scored units (q259 pools
+    * chunk scores to documents) rather than the units themselves. Same
+    * integer contract as [[bm25TopKDf]], no top-k window. */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                 queries: DataFrame): DataFrame = {
+    val (tf, dl, dfT, totals) = index(docs, idCol, textCol)
+    val q = queries
+      .select(col("query_id"), explode(tokens(normText(col("qtext")))).as("w"))
+      .distinct()
+    idfTerms(q, dfT, totals).join(tf, "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("tf_ppm",
+        expr("(CAST(22 AS DECIMAL(38,0)) * tf * t * 1000000) div " +
+          "(CAST(10 AS DECIMAL(38,0)) * t * tf + 3 * t + 9 * dl * n)")
+          .cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("idf_micro") * col("tf_ppm")).as("score_e12"),
+        count(lit(1)).cast("int").as("n_hit_terms"))
+  }
+
   /** PSEUDO-RELEVANCE-FEEDBACK retrieval (q254) — the classic
     * retrieve → expand → rescore loop (Rocchio/RM-style PRF, the
     * standard recall lever of a lexical stack): stage 1 ranks with

@@ -1574,6 +1574,100 @@ object ExtQueries {
       .orderBy("bin")
   }
 
+  /** CHUNK RETRIEVAL with document max-pooling (q259) — the RAG-stack
+    * passage search: documents split into the q75 sliding chunks
+    * (64 tokens, stride 48), BM25 scored AT CHUNK GRANULARITY against
+    * the q186 queries, then max-pooled to documents — rank by the best
+    * chunk's score (ties smaller doc), reporting WHICH chunk won and
+    * how many of the doc's chunks matched at all. Long documents stop
+    * burying their relevant passage in their length normalization
+    * (chunk dl ≤ 64 regardless of doc size) — the reason RAG stacks
+    * index passages, made measurable. Chunk ids pack as
+    * doc_id·10⁶ + chunk_idx (stated bound: < 10⁶ chunks per doc).
+    *
+    * Scale shape: the chunk relation is the corpus × (1/stride)
+    * fan-out the chunking tier already pays; the BM25 shapes are
+    * q186's on that relation; pooling is one (query, doc)-keyed agg of
+    * the scored sliver; the final rank is a per-query keyed window. */
+  def chunkRetrieval(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val chunks = graft.ext.Chunking.chunk(Tables.documents(spark, dir),
+        "doc_id", "text", chunkTokens = 64, overlap = 16)
+      .select((col("doc_id") * 1000000L + col("chunk_idx")).as("doc_id"),
+        col("chunk_text").as("text"))
+    val queries = Seq(1 -> "spark hash join", 2 -> "window merge sort",
+      3 -> "stream batch data").toDF("query_id", "qtext")
+    val pooled = Retrieval.bm25Scores(chunks, "doc_id", "text", queries)
+      .select(col("query_id"), expr("doc_id div 1000000").as("doc"),
+        expr("doc_id % 1000000").as("chunk_idx"), col("score_e12"))
+      .groupBy("query_id", "doc")
+      .agg(max("score_e12").as("best_score_e12"),
+        min_by(col("chunk_idx"),
+          org.apache.spark.sql.functions.struct(-col("score_e12"),
+            col("chunk_idx"))).as("best_chunk"),
+        count(lit(1)).as("n_chunks_hit"))
+    pooled.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("best_score_e12").desc, col("doc"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc").as("doc_id"),
+        col("best_chunk").cast("long").as("best_chunk"),
+        col("best_score_e12").cast("long").as("best_score_e12"),
+        col("n_chunks_hit").cast("long").as("n_chunks_hit"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** GOPHER-STYLE REPEATED-SPAN SCRUB accounting (q260, the Rae et al.
+    * within-document repetition filter made exact): per document,
+    * every 4-gram occurrence AFTER the first occurrence of that same
+    * 4-gram (by position, within the document) is a repeated span; the
+    * scrub drops the union of their token positions. Reported per
+    * source: docs affected, token volumes before/after, and the
+    * reduction in exact floor ppm — the dedup-inside-the-document
+    * counterpart of the across-document tiers (q32..), which they
+    * cannot see by construction.
+    *
+    * Scale shape: the position stream is a scan-side kernel projection
+    * (per-position 4-gram hashes); first-occurrence marking is one
+    * doc+hash-keyed window (per-key state bounded by within-doc
+    * repeats); covered positions explode 4 rows per repeated
+    * occurrence and collapse by (doc, pos); all rollups doc- then
+    * source-keyed. */
+  def repeatScrub(spark: SparkSession, dir: String, n: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = TextOps.tokens(TextOps.normText(col("text")))
+    val base = docs.select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        graft.functions.TextKernelOps.wordNgramHashFull(
+          TextOps.normText(col("text")), n).as("hs"))
+      .localCheckpoint() // read by the span leg + the per-doc rollup
+    val occ = base.select(col("doc_id"),
+      posexplode(col("hs")).as(Seq("pos", "h")))
+    val rep = occ.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id", "h").orderBy("pos")))
+      .filter(col("rn") >= 2)
+    val covered = rep.select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
+    base.select(col("doc_id"), col("source"), col("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_removed"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_removed") > 0, 1L).otherwise(0L)).as("n_affected"),
+        sum("n_tokens").as("tokens_before"),
+        sum(col("n_tokens") - col("n_removed")).as("tokens_after"))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        col("n_affected").cast("long").as("n_affected"),
+        col("tokens_before").cast("long").as("tokens_before"),
+        col("tokens_after").cast("long").as("tokens_after"),
+        expr("(tokens_before - tokens_after) * 1000000 div tokens_before")
+          .as("removed_ppm"))
+      .orderBy("source")
+  }
+
   /** Conformal selective prediction (q256):
     * [[graft.ext.TextAnalysis.conformalSelective]] — even-half
     * calibrated margin threshold (α = 10%), odd-half accept/abstain

@@ -752,6 +752,79 @@ class CurationEvalSpec extends SparkSpec {
     assert(out(3)._3 > 0, "no hits at k=3 — eval vacuous")
   }
 
+  test("q259 chunk retrieval pools the best chunk and matches chunk BM25") {
+    val out = ExtQueries.chunkRetrieval(spark, sf001).collect()
+      .map(r => (r.getAs[Int]("query_id").toLong, r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("best_chunk"),
+          r.getAs[Long]("best_score_e12"), r.getAs[Long]("n_chunks_hit")))
+      .toMap
+    assert(out.keys.map(_._1).toSet === Set(1L, 2L, 3L))
+    // replay: chunk corpus scored by the already-specced bm25Scores,
+    // pooled per doc in Scala
+    import spark.implicits._
+    val chunks = graft.ext.Chunking.chunk(
+        graft.model.Tables.documents(spark, sf001), "doc_id", "text",
+        chunkTokens = 64, overlap = 16)
+      .select((col("doc_id") * 1000000L + col("chunk_idx")).as("doc_id"),
+        col("chunk_text").as("text"))
+    val queries = Seq(1 -> "spark hash join", 2 -> "window merge sort",
+      3 -> "stream batch data").toDF("query_id", "qtext")
+    val scores = graft.ext.Retrieval
+      .bm25Scores(chunks, "doc_id", "text", queries).collect()
+      .map(r => (r.getAs[Int]("query_id").toLong, r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score_e12")))
+    val exp = scores.groupBy(s => (s._1, s._2 / 1000000L))
+      .map { case ((q, d), xs) =>
+        val best = xs.map(x => (x._3, x._2 % 1000000L))
+          .minBy { case (s, c) => (-s, c) }
+        (q, d, best._1, best._2, xs.length.toLong)
+      }.groupBy(_._1).flatMap { case (q, docs) =>
+        docs.toSeq.sortBy { case (_, d, s, _, _) => (-s, d) }.take(5)
+          .zipWithIndex.map { case ((_, d, s, bc, nh), i) =>
+            (q, i + 1) -> (d, bc, s, nh) }
+      }
+    assert(out === exp)
+    // pooling is doing real work: some winning doc has its best chunk
+    // beyond chunk 0 (the passage was NOT at the start)
+    assert(out.values.exists(_._2 > 0), "all winners matched at chunk 0")
+  }
+
+  test("q260 repeat scrub replays the covered-position union at sf0.001") {
+    val out = ExtQueries.repeatScrub(spark, sf001).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_affected"),
+          r.getAs[Long]("tokens_before"), r.getAs[Long]("tokens_after"),
+          r.getAs[Long]("removed_ppm"))).toMap
+    val docs = graft.model.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("source"),
+        graft.ext.TextOps.normText(col("text")).as("t")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("t").split(" ", -1).toSeq))
+    val perDoc = docs.map { case (id, src, toks) =>
+      val grams = toks.sliding(4).filter(_.length == 4)
+        .map(_.mkString(" ")).toSeq
+      val seen = collection.mutable.Set[String]()
+      val covered = collection.mutable.Set[Int]()
+      grams.zipWithIndex.foreach { case (gm, p) =>
+        if (seen(gm)) (p until p + 4).foreach(covered += _)
+        else seen += gm
+      }
+      (src, toks.length.toLong, covered.size.toLong)
+    }
+    perDoc.groupBy(_._1).foreach { case (src, xs) =>
+      val before = xs.map(_._2).sum
+      val removed = xs.map(_._3).sum
+      val (gn, ga, gb, gaf, gp) = out(src)
+      assert(gn === xs.length.toLong, s"docs at $src")
+      assert(ga === xs.count(_._3 > 0).toLong, s"affected at $src")
+      assert(gb === before, s"before at $src")
+      assert(gaf === before - removed, s"after at $src")
+      assert(gp === removed * 1000000L / before, s"ppm at $src")
+    }
+    // repetition exists in the synthetic corpus: the scrub bites
+    assert(out.values.exists(_._2 > 0), "no repeated 4-gram anywhere")
+  }
+
   test("q245 power iteration replays the 3 integer rounds at sf0.001") {
     val out = ExtQueries.principalComponent(spark, sf001).collect()
       .map(r => (r.getAs[Int]("dim"), r.getAs[Long]("v_prev_e4"),
