@@ -280,6 +280,8 @@ object SparkEntry {
     "q258_rec_holdout"        -> ((s, d) => Analytics.recommenderHoldout(s, d)),
     "q259_chunk_retrieval"    -> ((s, d) => ExtQueries.chunkRetrieval(s, d)),
     "q260_repeat_scrub"       -> ((s, d) => ExtQueries.repeatScrub(s, d)),
+    "q261_capped_budget"      -> ((s, d) => ExtQueries.cappedBudgetSelection(s, d)),
+    "q262_ivf_probe_sweep"    -> ((s, d) => ExtQueries.ivfProbeSweep(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -687,6 +689,64 @@ object SparkEntry {
        |jp AS (SELECT doc_a, doc_b, n_inter, za.n + zb.n - n_inter AS u
        |       FROM ivc JOIN szc za ON za.doc_id = ivc.doc_a
        |            JOIN szc zb ON zb.doc_id = ivc.doc_b)""".stripMargin
+
+  /** q262 IVF probe sweep oracle (generated): the q49 centroid-probe
+    * chain at k = 5 for nprobe ∈ {1, 2, 4}, each setting's hits counted
+    * against the brute top-5. */
+  private lazy val ivfSweepSql: String = {
+    val probes = Seq(1, 2, 4)
+    val per = probes.map { p =>
+      s"""pb$p AS (SELECT query_id, cell FROM pr WHERE prk <= $p),
+         |sc$p AS (SELECT p2.query_id, c.vec_id AS neighbor_id,
+         |          ROUND(list_dot_product(q.emb, c.emb)/(q.nrm*c.nrm), 4) AS score
+         |        FROM pb$p p2
+         |        JOIN nm c ON c.label = p2.cell
+         |        JOIN nm q ON q.vec_id = p2.query_id
+         |        WHERE c.vec_id <> p2.query_id),
+         |rk$p AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+         |    FROM sc$p) z WHERE rnk <= 5),
+         |h$p AS (SELECT COUNT(*) AS n_hits
+         |        FROM rk$p JOIN bx USING (query_id, neighbor_id))""".stripMargin
+    }.mkString(",\n")
+    val rows = probes.map(p =>
+      s"""SELECT CAST($p AS INT) AS nprobe,
+         |  (SELECT n_queries FROM nq) AS n_queries,
+         |  (SELECT n_hits FROM h$p) AS n_hits""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH $embCte,
+       |ex AS (SELECT label AS cell, g AS pos, CAST(embedding[g] AS DOUBLE) AS v
+       |       FROM (SELECT label, embedding, unnest(range(1, len(embedding)+1)) AS g
+       |             FROM embeddings) z),
+       |cs AS (SELECT cell, pos, CAST(SUM(CAST(ROUND(v*10000,0) AS BIGINT)) AS BIGINT) AS s,
+       |              COUNT(*) AS n
+       |       FROM ex GROUP BY cell, pos),
+       |cent AS (SELECT cell, LIST(CAST(s AS DOUBLE)/10000.0/n ORDER BY pos) AS centroid
+       |         FROM cs GROUP BY cell),
+       |cn AS (SELECT cell, centroid, sqrt(list_dot_product(centroid, centroid)) AS cnrm
+       |       FROM cent),
+       |q AS (SELECT vec_id, emb, nrm FROM nm WHERE vec_id < 10),
+       |nq AS (SELECT COUNT(*) AS n_queries FROM q),
+       |pr AS (SELECT q.vec_id AS query_id, cn.cell,
+       |              row_number() OVER (PARTITION BY q.vec_id
+       |                ORDER BY ROUND(list_dot_product(q.emb, cn.centroid)/(q.nrm*cn.cnrm), 4) DESC,
+       |                         cn.cell) AS prk
+       |       FROM q CROSS JOIN cn),
+       |bx AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           ROUND(list_dot_product(q.emb, c.emb)/(q.nrm*c.nrm), 4) AS score,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ROUND(list_dot_product(q.emb, c.emb)/(q.nrm*c.nrm), 4) DESC,
+       |                      c.vec_id) AS rnk
+       |    FROM nm c CROSS JOIN q WHERE c.vec_id <> q.vec_id) z
+       |  WHERE rnk <= 5),
+       |$per
+       |SELECT nprobe, CAST(n_queries AS BIGINT) AS n_queries,
+       |       CAST(n_hits AS BIGINT) AS n_hits,
+       |       CAST(n_hits * 1000000 // (n_queries * 5) AS BIGINT) AS recall_ppm
+       |FROM ($rows) u ORDER BY nprobe""".stripMargin
+  }
 
   /** q227 product-quantization oracle: deterministic seed-slice
     * codebook + one Lloyd refinement, integer coding/LUT/ADC joins —
@@ -6473,5 +6533,46 @@ object SparkEntry {
          |FROM sz LEFT JOIN rm USING (doc_id)
          |GROUP BY source
          |ORDER BY source""".stripMargin,
+
+    // Capped budget selection: q240's global positional prefix PLUS a
+    // per-source positional prefix, kept iff both fit.
+    "q261_capped_budget" ->
+      s"""WITH $nCte,
+         |$tokCte,
+         |st AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |              COUNT(*) FILTER (w IN ('the','a','of','and','to','in'))
+         |                AS n_stop
+         |       FROM tok GROUP BY doc_id),
+         |sc AS (SELECT d.doc_id, d.source,
+         |         CAST(st.n_tokens AS BIGINT) AS n_tokens,
+         |         st.n_stop * 1000000 // greatest(st.n_tokens, 1) AS score_ppm
+         |       FROM st JOIN documents d USING (doc_id)),
+         |gp AS (SELECT *, COALESCE(SUM(n_tokens) OVER (
+         |           ORDER BY score_ppm DESC, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |         AS g_prefix
+         |       FROM sc),
+         |sp AS (SELECT *, COALESCE(SUM(n_tokens) OVER (
+         |           PARTITION BY source ORDER BY score_ppm DESC, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |         AS s_prefix
+         |       FROM gp),
+         |bu AS (SELECT SUM(n_tokens) * 500000 // 1000000 AS budget FROM sc),
+         |cp AS (SELECT source, SUM(n_tokens) * 700000 // 1000000 AS src_cap
+         |       FROM sc GROUP BY source),
+         |kp AS (SELECT sp.*, bu.budget, cp.src_cap,
+         |         CAST(CASE WHEN sp.g_prefix + sp.n_tokens <= bu.budget
+         |                    AND sp.s_prefix + sp.n_tokens <= cp.src_cap
+         |              THEN 1 ELSE 0 END AS INT) AS kept
+         |       FROM sp CROSS JOIN bu JOIN cp USING (source))
+         |SELECT source, kept, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+         |       CAST(MAX(budget) AS BIGINT) AS budget_tokens,
+         |       CAST(MAX(src_cap) AS BIGINT) AS src_cap_tokens
+         |FROM kp GROUP BY source, kept
+         |ORDER BY source, kept""".stripMargin,
+
+    // IVF probe sweep (generated — see ivfSweepSql).
+    "q262_ivf_probe_sweep" -> ivfSweepSql,
   )
 }

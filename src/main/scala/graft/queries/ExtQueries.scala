@@ -1574,6 +1574,102 @@ object ExtQueries {
       .orderBy("bin")
   }
 
+  /** CAPPED TOKEN-BUDGET selection (q261) — q240's greedy budget with
+    * a FAIRNESS constraint: fill half the corpus's tokens with the
+    * best-scoring documents, but no source may contribute more than
+    * 70% of ITS OWN tokens (the anti-capture rule a mixture curator
+    * actually runs — pure greedy lets one verbose source eat the
+    * budget). A doc is kept iff BOTH its global positional prefix fits
+    * the budget AND its within-source positional prefix fits the
+    * source cap — the q240 positional-prefix convention on both
+    * constraints (prefixes accumulate over dropped docs too; stated,
+    * exactly replayable). Global prefix = the two-pass
+    * [[graft.operators.PrefixSum]]; source prefix = a SOURCE-KEYED
+    * window (bounded per-key state) — no unpartitioned window
+    * anywhere. Per (source, kept): volumes plus both binding limits,
+    * so the readout shows WHICH constraint bit.
+    *
+    * Scale shape: one scan-side score projection, the q59 two-pass
+    * prefix, one source-keyed window sharing the same sort order, a
+    * 1-row budget broadcast and a |sources|-row cap join. */
+  def cappedBudgetSelection(spark: SparkSession, dir: String,
+                            budgetPpm: Long = 500000L,
+                            srcCapPpm: Long = 700000L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val t = TextOps.normText(col("text"))
+    val toks = TextOps.tokens(t)
+    val scored = docs.select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        size(org.apache.spark.sql.functions.filter(toks,
+          w => w.isInCollection(TextAnalysis.Stopwords))).cast("long")
+          .as("n_stop"))
+      .withColumn("score_ppm",
+        expr("n_stop * 1000000 div greatest(n_tokens, 1)"))
+    val withGlobal = graft.operators.PrefixSum.exclusive(scored,
+      "score_ppm", descending = true, ties = Seq(col("doc_id")),
+      valueCol = "n_tokens", outCol = "g_prefix")
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withSrc = withGlobal.withColumn("s_prefix",
+      coalesce(sum("n_tokens").over(sw), lit(0L)))
+    val budget = scored.agg(
+      expr(s"sum(n_tokens) * $budgetPpm div 1000000").as("budget"))
+    val caps = scored.groupBy("source")
+      .agg(expr(s"sum(n_tokens) * $srcCapPpm div 1000000").as("src_cap"))
+    withSrc.crossJoin(broadcast(budget))
+      .join(broadcast(caps), Seq("source"))
+      .withColumn("kept",
+        when(col("g_prefix") + col("n_tokens") <= col("budget") &&
+          col("s_prefix") + col("n_tokens") <= col("src_cap"), 1)
+          .otherwise(0).cast("int"))
+      .groupBy("source", "kept")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"),
+        max("budget").as("budget_tokens"), max("src_cap").as("src_cap_tokens"))
+      .select(col("source"), col("kept"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("tokens").cast("long").as("tokens"),
+        col("budget_tokens").cast("long").as("budget_tokens"),
+        col("src_cap_tokens").cast("long").as("src_cap_tokens"))
+      .orderBy("source", "kept")
+  }
+
+  /** IVF PROBE SWEEP (q262) — the recall-vs-cost dial of the IVF tier
+    * measured (the q105 eval idea swept across the operating range):
+    * [[graft.ext.Similarity.ivfTopK]] at nprobe ∈ {1, 2, 4} against
+    * the exact float top-5, one row per setting with the recall in
+    * exact floor ppm — the curve a deployment reads to pick its probe
+    * count. Every per-setting relation is the |Q|·k bounded list; the
+    * corpus-side work per setting is the celled candidate join the
+    * IVF tier already bounds.
+    *
+    * Output rows: (nprobe, n_queries, n_hits, recall_ppm). */
+  def ivfProbeSweep(spark: SparkSession, dir: String,
+                    probes: Seq[Int] = Seq(1, 2, 4), k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteTopK(emb, queries, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint() // read per probe setting
+    val nQ = exact.select("query_id").distinct()
+      .agg(count(lit(1)).as("n_queries"))
+    probes.sorted.map { p =>
+      val hits = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+          "label", k = k, nprobe = p)
+        .select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      hits.crossJoin(broadcast(nQ))
+        .select(lit(p).as("nprobe"), col("n_queries"), col("n_hits"))
+    }.reduce(_ unionAll _)
+      .select(col("nprobe").cast("int").as("nprobe"),
+        col("n_queries").cast("long").as("n_queries"),
+        col("n_hits").cast("long").as("n_hits"),
+        expr(s"n_hits * 1000000 div (n_queries * $k)").as("recall_ppm"))
+      .orderBy("nprobe")
+  }
+
   /** CHUNK RETRIEVAL with document max-pooling (q259) — the RAG-stack
     * passage search: documents split into the q75 sliding chunks
     * (64 tokens, stride 48), BM25 scored AT CHUNK GRANULARITY against

@@ -825,6 +825,76 @@ class CurationEvalSpec extends SparkSpec {
     assert(out.values.exists(_._2 > 0), "no repeated 4-gram anywhere")
   }
 
+  test("q261 capped budget replays both prefixes and the cap binds") {
+    val out = ExtQueries.cappedBudgetSelection(spark, sf001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("kept")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("tokens"),
+          r.getAs[Long]("budget_tokens"), r.getAs[Long]("src_cap_tokens")))
+      .toMap
+    val docs = graft.model.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("source"),
+        graft.ext.TextOps.normText(col("text")).as("t")).collect()
+      .map { r =>
+        val toks = r.getAs[String]("t").split(" ", -1)
+        val nTok = toks.length.toLong
+        val nStop = toks.count(graft.ext.TextAnalysis.Stopwords.contains).toLong
+        (r.getAs[Long]("doc_id"), r.getAs[String]("source"), nTok,
+          nStop * 1000000L / math.max(nTok, 1L))
+      }
+    val budget = docs.map(_._3).sum * 500000L / 1000000L
+    val caps = docs.groupBy(_._2)
+      .map { case (s, xs) => s -> xs.map(_._3).sum * 700000L / 1000000L }
+    val ordered = docs.sortBy { case (id, _, _, s) => (-s, id) }
+    var gRun = 0L
+    val sRun = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val flagged = ordered.map { case (id, src, n, _) =>
+      val kept = gRun + n <= budget && sRun(src) + n <= caps(src)
+      gRun += n; sRun(src) += n
+      (src, n, if (kept) 1 else 0)
+    }
+    val exp = flagged.groupBy(d => (d._1, d._3)).map { case (k, ds) =>
+      k -> (ds.length.toLong, ds.map(_._2).sum)
+    }
+    assert(out.keySet === exp.keySet)
+    exp.foreach { case (k, (nd, tk)) =>
+      val (gnd, gtk, gb, gc) = out(k)
+      assert(gnd === nd && gtk === tk, s"rollup at $k")
+      assert(gb === budget && gc === caps(k._1), s"limits at $k")
+    }
+    // the source cap actually binds somewhere: some source keeps fewer
+    // tokens than the pure-budget q240 rule would allow it
+    assert(out.keys.exists(_._2 == 0), "nothing was dropped")
+    out.foreach { case ((s, kept), (_, tk, _, cap)) =>
+      if (kept == 1) assert(tk <= cap, s"cap violated at $s")
+    }
+  }
+
+  test("q262 IVF probe sweep replays recall and is monotone in nprobe") {
+    val out = ExtQueries.ivfProbeSweep(spark, sf001).collect()
+      .map(r => r.getAs[Int]("nprobe") ->
+        (r.getAs[Long]("n_queries"), r.getAs[Long]("n_hits"),
+          r.getAs[Long]("recall_ppm"))).toMap
+    assert(out.keySet === Set(1, 2, 4))
+    val emb = graft.model.Tables.embeddings(spark, sf001)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    Seq(1, 2, 4).foreach { p =>
+      val got = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+          "label", k = 5, nprobe = p).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      val hits = got.count(exact).toLong
+      val (gq, gh, gr) = out(p)
+      assert(gq === 10L, s"n_queries at $p")
+      assert(gh === hits, s"hits at $p")
+      assert(gr === hits * 1000000L / 50L, s"recall at $p")
+    }
+    // more probes never hurt recall, and the dial moves
+    assert(out(1)._3 <= out(2)._3 && out(2)._3 <= out(4)._3)
+    assert(out(4)._3 > out(1)._3, "probe sweep is flat — dial is broken")
+  }
+
   test("q245 power iteration replays the 3 integer rounds at sf0.001") {
     val out = ExtQueries.principalComponent(spark, sf001).collect()
       .map(r => (r.getAs[Int]("dim"), r.getAs[Long]("v_prev_e4"),
