@@ -282,6 +282,9 @@ object SparkEntry {
     "q260_repeat_scrub"       -> ((s, d) => ExtQueries.repeatScrub(s, d)),
     "q261_capped_budget"      -> ((s, d) => ExtQueries.cappedBudgetSelection(s, d)),
     "q262_ivf_probe_sweep"    -> ((s, d) => ExtQueries.ivfProbeSweep(s, d)),
+    "q263_lpa_communities"    -> ((s, d) => Analytics.copurchaseCommunities(s, d)),
+    "q264_hits"               -> ((s, d) => Analytics.purchaseHits(s, d)),
+    "q265_t_closeness"        -> ((s, d) => Analytics.tCloseness(s, d)),
   )
 
   // Shared SQL fragments for the exact money-sum idiom (Parity.scala).
@@ -689,6 +692,105 @@ object SparkEntry {
        |jp AS (SELECT doc_a, doc_b, n_inter, za.n + zb.n - n_inter AS u
        |       FROM ivc JOIN szc za ON za.doc_id = ivc.doc_a
        |            JOIN szc zb ON zb.doc_id = ivc.doc_b)""".stripMargin
+
+  /** q263 LPA-communities oracle (generated): 4 synchronous label-
+    * propagation rounds unrolled as CTEs (each round votes over the
+    * previous round's labels, argmax by count desc then smallest
+    * label), then Newman modularity of the final partition in exact
+    * HUGEINT up to the one-row e6 rounding. */
+  private lazy val lpaSql: String = {
+    val rounds = 4
+    val roundCtes = (1 to rounds).map { t =>
+      s"""v$t AS (SELECT dd.u AS node, l.lab, COUNT(*) AS c
+         |       FROM dd JOIN l${t - 1} l ON dd.v = l.node GROUP BY 1, 2),
+         |l$t AS (SELECT node, lab FROM (SELECT node, lab,
+         |         row_number() OVER (PARTITION BY node
+         |           ORDER BY c DESC, lab) AS rk FROM v$t) z
+         |       WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH it AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+       |            FROM lineitem),
+       |prx AS (SELECT a.item AS u, b.item AS v
+       |        FROM it a JOIN it b ON a.oid = b.oid AND a.item < b.item
+       |        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |dd AS (SELECT u, v FROM prx UNION ALL SELECT v, u FROM prx),
+       |l0 AS (SELECT DISTINCT u AS node, u AS lab FROM dd),
+       |$roundCtes,
+       |dg AS (SELECT u AS node, COUNT(*) AS deg FROM dd GROUP BY 1),
+       |mem AS (SELECT l$rounds.lab, COUNT(*) AS n_nodes,
+       |          SUM(CAST(dg.deg AS HUGEINT)) AS dsum
+       |        FROM l$rounds JOIN dg USING (node) GROUP BY 1),
+       |intra AS (SELECT lu.lab, COUNT(*) AS ec
+       |          FROM prx JOIN l$rounds lu ON prx.u = lu.node
+       |               JOIN l$rounds lv ON prx.v = lv.node
+       |          WHERE lu.lab = lv.lab GROUP BY 1),
+       |mm AS (SELECT COUNT(*) AS m FROM prx),
+       |comm AS (SELECT mem.lab, mem.n_nodes, mem.dsum,
+       |           COALESCE(intra.ec, 0) AS ec
+       |         FROM mem LEFT JOIN intra USING (lab)),
+       |qn AS (SELECT SUM(CAST(4 AS HUGEINT) * mm.m * ec - dsum * dsum)
+       |           AS qnum,
+       |         COUNT(*) AS n_communities
+       |       FROM comm CROSS JOIN mm),
+       |chg AS (SELECT SUM(CASE WHEN l$rounds.lab <> l${rounds - 1}.lab
+       |             THEN 1 ELSE 0 END) AS n_changed_last
+       |        FROM l$rounds JOIN l${rounds - 1} USING (node))
+       |SELECT CAST(comm.lab AS BIGINT) AS community,
+       |       CAST(n_nodes AS BIGINT) AS n_nodes,
+       |       CAST(ec AS BIGINT) AS intra_edges,
+       |       CAST(dsum AS BIGINT) AS deg_sum,
+       |       CAST(n_communities AS BIGINT) AS n_communities,
+       |       CAST(CASE WHEN mm.m = 0 THEN 0 ELSE
+       |           round(CAST(qnum AS DOUBLE)
+       |             / (4.0 * mm.m * mm.m) * 1e6, 0) END AS BIGINT)
+       |         AS modularity_e6,
+       |       CAST(COALESCE(n_changed_last, 0) AS BIGINT)
+       |         AS n_changed_last
+       |FROM comm CROSS JOIN mm CROSS JOIN qn CROSS JOIN chg
+       |ORDER BY n_nodes DESC, community
+       |LIMIT 20""".stripMargin
+  }
+
+  /** q264 HITS oracle (generated): 3 hub/authority rounds unrolled as
+    * CTEs — each round sums the opposite side's previous scores over
+    * the bipartite purchase edges and rescales by ⌊·10⁶ / max⌋ in
+    * HUGEINT, matching the operator's ∞-norm integer contract. */
+  private lazy val hitsSql: String = {
+    val rounds = 3
+    val roundCtes = (1 to rounds).map { t =>
+      s"""h${t}r AS (SELECT c, SUM(a) AS h FROM ed JOIN a${t - 1} USING (p)
+         |        GROUP BY c),
+         |h${t}m AS (SELECT MAX(h) AS mx FROM h${t}r),
+         |h$t AS (SELECT c, h * 1000000 // mx AS h
+         |       FROM h${t}r CROSS JOIN h${t}m),
+         |a${t}r AS (SELECT p, SUM(h) AS a FROM ed JOIN h$t USING (c)
+         |        GROUP BY p),
+         |a${t}m AS (SELECT MAX(a) AS mx FROM a${t}r),
+         |a$t AS (SELECT p, a * 1000000 // mx AS a
+         |       FROM a${t}r CROSS JOIN a${t}m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |a0 AS (SELECT DISTINCT p, CAST(1000000 AS HUGEINT) AS a FROM ed),
+       |$roundCtes,
+       |hd AS (SELECT c, COUNT(*) AS deg FROM ed GROUP BY c),
+       |ad AS (SELECT p, COUNT(*) AS deg FROM ed GROUP BY p),
+       |un AS (SELECT 'hub' AS side, c AS node, hd.deg AS deg,
+       |         h$rounds.h AS score
+       |       FROM h$rounds JOIN hd USING (c)
+       |       UNION ALL
+       |       SELECT 'auth', p, ad.deg, a$rounds.a
+       |       FROM a$rounds JOIN ad USING (p)),
+       |rk AS (SELECT side, node, deg, score,
+       |         row_number() OVER (PARTITION BY side
+       |           ORDER BY score DESC, node) AS rk
+       |       FROM un)
+       |SELECT side, CAST(node AS BIGINT) AS node,
+       |       CAST(deg AS BIGINT) AS degree,
+       |       CAST(score AS BIGINT) AS score_e6
+       |FROM rk WHERE rk <= 10
+       |ORDER BY side, score_e6 DESC, node""".stripMargin
+  }
 
   /** q262 IVF probe sweep oracle (generated): the q49 centroid-probe
     * chain at k = 5 for nprobe ∈ {1, 2, 4}, each setting's hits counted
@@ -6574,5 +6676,51 @@ object SparkEntry {
 
     // IVF probe sweep (generated — see ivfSweepSql).
     "q262_ivf_probe_sweep" -> ivfSweepSql,
+
+    // LPA communities + modularity (generated — see lpaSql).
+    "q263_lpa_communities" -> lpaSql,
+
+    // HITS hubs/authorities (generated — see hitsSql).
+    "q264_hits" -> hitsSql,
+
+    // t-closeness: ordered-EMD between each QI class's sensitive-band
+    // distribution and the global one, exact cross-multiplied integers.
+    "q265_t_closeness" ->
+      """WITH cells AS (SELECT c_mktsegment, c_nationkey,
+        |    CASE WHEN c_acctbal < 0 THEN 1
+        |         WHEN c_acctbal <= 5000 THEN 2 ELSE 3 END AS band,
+        |    COUNT(*) AS ns
+        |  FROM customer GROUP BY 1, 2, 3),
+        |tot AS (SELECT c_mktsegment, c_nationkey, SUM(ns) AS class_size
+        |        FROM cells GROUP BY 1, 2),
+        |gl AS (SELECT band, SUM(ns) AS gs FROM cells GROUP BY band),
+        |nt AS (SELECT SUM(ns) AS n_total FROM cells),
+        |spine AS (SELECT t.c_mktsegment, t.c_nationkey, t.class_size,
+        |            b.band
+        |          FROM tot t CROSS JOIN
+        |            (SELECT UNNEST([1, 2, 3]) AS band) b),
+        |filled AS (SELECT s.c_mktsegment, s.c_nationkey, s.band,
+        |             s.class_size,
+        |             CAST(COALESCE(c.ns, 0) AS HUGEINT) * nt.n_total
+        |               - CAST(gl.gs AS HUGEINT) * s.class_size AS dnum,
+        |             CAST(s.class_size AS HUGEINT) * nt.n_total AS den
+        |           FROM spine s
+        |           LEFT JOIN cells c
+        |             USING (c_mktsegment, c_nationkey, band)
+        |           JOIN gl USING (band) CROSS JOIN nt),
+        |cm AS (SELECT *, SUM(dnum) OVER (
+        |           PARTITION BY c_mktsegment, c_nationkey ORDER BY band
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS cum
+        |       FROM filled)
+        |SELECT c_mktsegment, c_nationkey,
+        |       CAST(MAX(class_size) AS BIGINT) AS class_size,
+        |       CAST(SUM(ABS(cum)) * 1000000 // (2 * MAX(den)) AS BIGINT)
+        |         AS emd_ppm,
+        |       CAST(CASE WHEN SUM(ABS(cum)) * 1000000 // (2 * MAX(den))
+        |              <= 200000 THEN 1 ELSE 0 END AS INT) AS is_t_close
+        |FROM cm WHERE band < 3
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -405,4 +405,172 @@ object Graph {
         when(col("d1") > 0 && col("d2") > 0, 1).otherwise(0).cast("int")
           .as("defined"))
   }
+
+  /** LABEL-PROPAGATION COMMUNITY DETECTION with an exact MODULARITY
+    * certificate (q263, Raghavan et al. 2007 / Newman 2004) over a
+    * distinct undirected edge list (`u` < `v`) — the community tier the
+    * graph family was missing beside PageRank (q140), coreness (q223),
+    * the census (q142/q229), and assortativity (q253): "which parts
+    * form co-purchase communities, and how modular is the partition?"
+    *
+    * FIXED-ROUND synchronous LPA (the q223/q239 contract): every node
+    * starts labeled with its own id; each of exactly `rounds` rounds
+    * every node simultaneously adopts the most frequent label among its
+    * NEIGHBORS (ties broken by smallest label) — a pure function of the
+    * previous round's labels, replayable round for round by an oracle,
+    * immune to the asynchronous variant's update-order dependence.
+    * `n_changed_last` (nodes whose label moved in the final round) is
+    * the honesty scalar: 0 certifies a fixpoint of the synchronous map,
+    * nonzero says the partition is still in flight (possible on
+    * bipartite-ish oscillators — reported, not hidden).
+    *
+    * The partition is then scored with Newman's modularity
+    *   Q = Σ_c (e_c/m − (D_c/2m)²)
+    *     = Σ_c (4·m·e_c − D_c²) / (4m²)
+    * computed as EXACT integers (DECIMAL(38,0) — D_c² is a node-scale
+    * sum squared) up to the final one-row double rounding to e6 (the
+    * assortativity idiom; numerator ≤ 4m², exact in a double through
+    * m ≈ 3·10⁷ edges, far past any per-partition slice the report
+    * would run on whole).
+    *
+    * Scale shape: per round one node-keyed equi join (labels onto the
+    * symmetric edge list), one (node, label)-keyed count, and one
+    * node-partitioned argmax window (bounded by degree — never
+    * unpartitioned); lineage cut every round (each round chains
+    * join+agg+window, the heaviest per-round plan in the family).
+    * Modularity needs one label join on the edge list and two
+    * label-keyed aggregations. Output: the `topK` communities by
+    * (size desc, label) with per-community intra-edge and degree-sum
+    * stats plus the global scalars broadcast onto every row. */
+  def lpaCommunities(edgesIn: DataFrame, rounds: Int = 4,
+                     topK: Int = 20): DataFrame = {
+    require(rounds >= 1 && topK >= 1,
+      s"need rounds>=1, topK>=1; got $rounds, $topK")
+    val e = edgesIn.select(col("u").cast("long").as("u"),
+        col("v").cast("long").as("v"))
+      .localCheckpoint() // read every round + edge count + intra probe
+    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val nodes = sym.select(col("u").as("node")).distinct()
+    var lab = nodes.select(col("node"), col("node").as("lab"))
+    var prev = lab
+    for (t <- 1 to rounds) {
+      prev = lab
+      val votes = sym
+        .join(lab.select(col("node").as("v"), col("lab")), Seq("v"))
+        .groupBy(col("u").as("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      val wr = Window.partitionBy("node")
+        .orderBy(col("c").desc, col("lab"))
+      lab = votes.withColumn("rk", row_number().over(wr))
+        .filter(col("rk") === 1).select(col("node"), col("lab"))
+        .localCheckpoint()
+    }
+    val changed = lab
+      .join(prev.select(col("node"), col("lab").as("lab_prev")), Seq("node"))
+      .agg(sum(when(col("lab") =!= col("lab_prev"), 1L).otherwise(0L))
+        .as("n_changed_last"))
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val members = lab.join(deg, Seq("node"))
+      .groupBy("lab")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("deg").cast("decimal(38,0)")).as("dsum"))
+    val intra = e
+      .join(lab.select(col("node").as("u"), col("lab").as("lu")), Seq("u"))
+      .join(lab.select(col("node").as("v"), col("lab").as("lv")), Seq("v"))
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("lab")).agg(count(lit(1)).as("ec"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val comm = members.join(intra, Seq("lab"), "left_outer")
+      .select(col("lab"), col("n_nodes"), col("dsum"),
+        coalesce(col("ec"), lit(0L)).as("ec"))
+      .localCheckpoint() // |communities| rows; read by Q sum + top-k
+    val q = comm.crossJoin(broadcast(m))
+      .agg(sum(expr("CAST(4 AS DECIMAL(38,0)) * m * ec - dsum * dsum"))
+        .as("qnum"), count(lit(1)).as("n_communities"))
+    comm.crossJoin(broadcast(m)).crossJoin(broadcast(q))
+      .crossJoin(broadcast(changed))
+      .select(col("lab").as("community"),
+        col("n_nodes").cast("long").as("n_nodes"),
+        col("ec").cast("long").as("intra_edges"),
+        col("dsum").cast("long").as("deg_sum"),
+        col("n_communities").cast("long").as("n_communities"),
+        when(col("m") === 0, 0L).otherwise(
+          round(col("qnum").cast("double") /
+            (lit(4.0) * col("m").cast("double") * col("m").cast("double"))
+              * 1e6, 0).cast("long")).as("modularity_e6"),
+        coalesce(col("n_changed_last"), lit(0L)).cast("long")
+          .as("n_changed_last"))
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(topK)
+  }
+
+  /** HITS hubs and authorities (q264, Kleinberg 1999) over a BIPARTITE
+    * edge list (`c` hub side, `p` authority side — here customers and
+    * the parts they buy): authorities are parts bought by strong hubs,
+    * hubs are customers who buy strong authorities — the mutually-
+    * recursive prestige pair that degree alone misses (a part bought
+    * 50 times by random one-off buyers outranks on degree, but a part
+    * bought by the heaviest cross-category buyers outranks on
+    * authority). Complements PageRank (q140: endogenous random-walk
+    * prestige) with the query-dependent hub/authority split.
+    *
+    * FIXED-ROUND integer contract (the q223/q239 posture): authority
+    * scores start at 10⁶; each of exactly `rounds` rounds computes
+    *   h(c) = Σ_{p∈N(c)} a(p),  rescaled to h'(c) = ⌊h·10⁶ / max h⌋,
+    *   a(p) = Σ_{c∈N(p)} h'(c), rescaled to a'(p) = ⌊a·10⁶ / max a⌋
+    * — ∞-norm normalization instead of the textbook L2 (whose sqrt no
+    * integer contract survives; the fixpoint direction is the same
+    * principal singular pair, scale differs only by a constant). All
+    * sums accumulate in DECIMAL(38,0); scores are exact integers both
+    * engines reproduce value-for-value.
+    *
+    * Scale shape: the edge list stages once; each round is two
+    * edge-keyed equi joins + keyed sums and two broadcast 1-row max
+    * scalars — no broadcast of data-sized relations, no window at all.
+    * Output: the top-`topK` rows PER SIDE by (score desc, node) with
+    * the node's degree — 2·topK rows total. */
+  def hits(edgesIn: DataFrame, rounds: Int = 3, topK: Int = 10): DataFrame = {
+    require(rounds >= 1 && topK >= 1,
+      s"need rounds>=1, topK>=1; got $rounds, $topK")
+    val e = edgesIn.select(col("c").cast("long").as("c"),
+        col("p").cast("long").as("p"))
+      .localCheckpoint() // read 2× per round + both degree counts
+    val Scale = "CAST(1000000 AS DECIMAL(38,0))"
+    var a = e.select(col("p")).distinct()
+      .select(col("p"), expr(Scale).as("a"))
+    var h = e.select(col("c")).distinct()
+      .select(col("c"), expr(Scale).as("h")) // overwritten round 1
+    for (t <- 1 to rounds) {
+      val hr = e.join(a, Seq("p"))
+        .groupBy("c").agg(sum(col("a")).as("h"))
+      val hmax = hr.agg(max(col("h")).as("mx"))
+      h = hr.crossJoin(broadcast(hmax))
+        .select(col("c"), expr(s"(h * 1000000) div mx").as("h"))
+      val ar = e.join(h, Seq("c"))
+        .groupBy("p").agg(sum(col("h")).as("a"))
+      val amax = ar.agg(max(col("a")).as("mx"))
+      a = ar.crossJoin(broadcast(amax))
+        .select(col("p"), expr(s"(a * 1000000) div mx").as("a"))
+      if (t % 2 == 0 || t == rounds) { // two joins+aggs chained per round
+        h = h.localCheckpoint(); a = a.localCheckpoint()
+      }
+    }
+    val hubDeg = e.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+    val authDeg = e.groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    val hubs = h.join(hubDeg, Seq("c"))
+      .select(lit("hub").as("side"), col("c").as("node"),
+        col("deg").cast("long").as("degree"),
+        col("h").cast("long").as("score_e6"))
+    val auths = a.join(authDeg, Seq("p"))
+      .select(lit("auth").as("side"), col("p").as("node"),
+        col("deg").cast("long").as("degree"),
+        col("a").cast("long").as("score_e6"))
+    val wr = Window.partitionBy("side")
+      .orderBy(col("score_e6").desc, col("node"))
+    hubs.unionAll(auths)
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= topK).drop("rk")
+      .orderBy(col("side"), col("score_e6").desc, col("node"))
+  }
 }

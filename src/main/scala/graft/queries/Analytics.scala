@@ -2273,6 +2273,25 @@ object Analytics {
     graft.operators.Graph.degreeAssortativity(edges)
   }
 
+  /** Label-propagation communities of the repeat co-purchase graph
+    * (q263): [[graft.operators.Graph.lpaCommunities]] over the same
+    * support-≥2 edge list as q223/q253 — 4 synchronous rounds, top-20
+    * communities with Newman modularity as the partition certificate;
+    * the community readout the graph feature tier (coreness, lcc,
+    * assortativity) was missing. */
+  def copurchaseCommunities(spark: SparkSession, dir: String,
+                            minPairSupport: Long = 2): DataFrame = {
+    val it = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+      .distinct().localCheckpoint()
+    val edges = it.join(it.withColumnRenamed("item", "item2"), Seq("oid"))
+      .filter(col("item") < col("item2"))
+      .groupBy("item", "item2").agg(count(lit(1)).as("s"))
+      .filter(col("s") >= minPairSupport)
+      .select(col("item").as("u"), col("item2").as("v"))
+    graft.operators.Graph.lpaCommunities(edges)
+  }
+
   /** Per-node local clustering coefficients of the repeat co-purchase
     * graph (q229) — the node-level graph feature that pairs with q223's
     * coreness in a feature table: lcc separates community members
@@ -2526,6 +2545,84 @@ object Analytics {
         col("entropy_micro").cast("long").as("entropy_micro"),
         when(col("distinct_l") >= 2 && col("entropy_micro") >= 693147L, 1)
           .otherwise(0).cast("int").as("is_2_diverse"))
+      .orderBy("c_mktsegment", "c_nationkey")
+  }
+
+  /** HITS hubs and authorities over the customer→part purchase
+    * bipartite graph (q264): [[graft.operators.Graph.hits]] on distinct
+    * (customer, part) purchase edges — "which parts do the heaviest
+    * cross-category buyers concentrate on" (authorities) and "which
+    * customers buy the authoritative parts" (hubs); the prestige pair
+    * beside q140's PageRank. The edge build is one orderkey-keyed join
+    * of two fact projections + a distinct — sublinear output in the
+    * fact (bounded by |customers|·basket diversity). */
+  def purchaseHits(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("okey"), col("o_custkey").as("c")),
+        Seq("okey"))
+      .select(col("c"), col("p")).distinct()
+    graft.operators.Graph.hits(edges)
+  }
+
+  /** T-CLOSENESS audit (q265, Li, Li & Venkatasubramanian ICDE'07) —
+    * the third leg of the privacy trio after k-anonymity (q210) and
+    * l-diversity (q250): a QI class can be large (k-anonymous) and
+    * diverse (l-diverse) yet still leak, when its sensitive-value
+    * DISTRIBUTION sits far from the global one (e.g. a class that is
+    * 90% negative-balance when the population is 10%). Per class
+    * (mktsegment, nationkey) this reports the Earth Mover's Distance
+    * between the class's account-balance band distribution (the q250
+    * bands, ORDERED neg < mid < high) and the global distribution —
+    * for an ordered attribute EMD is the mean absolute cumulative
+    * difference, Σ_{i<m} |Σ_{j≤i}(p_j − q_j)| / (m−1) — in exact floor
+    * ppm via cross-multiplied integers (|cum(c_j·N − G_j·n_g)| over the
+    * common denominator n_g·N, DECIMAL(38,0)), plus the standard
+    * t = 0.2 closeness flag.
+    *
+    * Scale shape: one (QI, band)-keyed count off the scan; the zero-
+    * filled class×band spine, the 3-row ordered cumulative window, and
+    * the final rollup all run on |classes|·3 rows — metadata-scale at
+    * any corpus size, the q250 posture. */
+  def tCloseness(spark: SparkSession, dir: String,
+                 tPpm: Long = 200000): DataFrame = {
+    val banded = Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        when(col("c_acctbal") < 0, 1)
+          .when(col("c_acctbal") <= 5000, 2)
+          .otherwise(3).as("band"))
+    val cells = banded.groupBy("c_mktsegment", "c_nationkey", "band")
+      .agg(count(lit(1)).as("ns"))
+      .localCheckpoint() // |QI|·3 rows; spine + totals + global legs
+    val totals = cells.groupBy("c_mktsegment", "c_nationkey")
+      .agg(sum("ns").as("class_size"))
+    val global = cells.groupBy("band").agg(sum("ns").as("gs"))
+      .crossJoin(broadcast(cells.agg(sum("ns").as("n_total"))))
+    // Zero-fill: every class must carry all three band rows, else the
+    // cumulative walk skips the missing band's (0 − q_j) step.
+    val spine = totals.crossJoin(
+      broadcast(spark.range(1, 4).select(col("id").cast("int").as("band"))))
+    val filled = spine
+      .join(cells, Seq("c_mktsegment", "c_nationkey", "band"), "left_outer")
+      .join(global, Seq("band"))
+      .select(col("c_mktsegment"), col("c_nationkey"), col("band"),
+        col("class_size"),
+        (coalesce(col("ns"), lit(0L)).cast("decimal(38,0)") * col("n_total")
+          - col("gs").cast("decimal(38,0)") * col("class_size")).as("dnum"),
+        (col("class_size").cast("decimal(38,0)") * col("n_total")).as("den"))
+    val wcum = Window.partitionBy("c_mktsegment", "c_nationkey")
+      .orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    filled.withColumn("cum", sum("dnum").over(wcum)) // 3-row keyed frame
+      .filter(col("band") < 3) // EMD sums the m−1 interior cumulatives
+      .groupBy("c_mktsegment", "c_nationkey")
+      .agg(max("class_size").as("class_size"),
+        sum(abs(col("cum"))).as("cabs"), max("den").as("den"))
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        col("class_size").cast("long").as("class_size"),
+        expr("CAST(cabs * 1000000 div (2 * den) AS BIGINT)").as("emd_ppm"))
+      .withColumn("is_t_close",
+        when(col("emd_ppm") <= tPpm, 1).otherwise(0).cast("int"))
       .orderBy("c_mktsegment", "c_nationkey")
   }
 

@@ -214,4 +214,118 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Long]("n_edges") === edges.size)
     assert(r.getAs[Long]("n_triangles") === brute)
   }
+
+  /** Synchronous LPA replay: exactly the operator's contract — every
+    * node simultaneously takes its neighbors' most frequent previous-
+    * round label, ties to the smallest label. */
+  private def bruteLpa(edges: Seq[(Long, Long)], rounds: Int)
+      : (Map[Long, Long], Long) = {
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    var prev = lab
+    for (_ <- 1 to rounds) {
+      prev = lab
+      lab = adj.map { case (n, nbrs) =>
+        val votes = nbrs.groupBy(prev).view.mapValues(_.size).toMap
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    (lab, lab.count { case (n, l) => prev(n) != l }.toLong)
+  }
+
+  test("LPA separates two triangles joined by a bridge, modularity exact") {
+    // triangles {1,2,3} and {4,5,6} with bridge 3-4: LPA should find
+    // exactly the two triangles as communities, and Newman modularity
+    // of that partition is (4·7·3−7²)·2 / (4·7²) = 70/196 → 357143 e6
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val rows = Graph.lpaCommunities(
+      Graph.undirectedEdges(edges.toDF("a", "b"), "a", "b")).collect()
+    assert(rows.length === 2)
+    val bySize = rows.map(r => (r.getAs[Long]("community"),
+      r.getAs[Long]("n_nodes"), r.getAs[Long]("intra_edges"),
+      r.getAs[Long]("deg_sum"))).toSeq
+    assert(bySize.toSet === Set((1L, 3L, 3L, 7L), (3L, 3L, 3L, 7L)))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_communities") === 2)
+      assert(r.getAs[Long]("modularity_e6") === 357143L)
+      assert(r.getAs[Long]("n_changed_last") === 0L) // fixpoint reached
+    }
+  }
+
+  test("LPA labels match the synchronous brute replay on a random graph") {
+    val n = 30
+    val edges = (for (i <- 0 until n; j <- (i + 1) until n
+                      if (i * 37 + j * 23) % 7 == 0)
+      yield (i.toLong, j.toLong))
+    val (brute, bruteChanged) = bruteLpa(edges, rounds = 4)
+    val rows = Graph.lpaCommunities(
+        Graph.undirectedEdges(edges.toDF("a", "b"), "a", "b"),
+        rounds = 4, topK = 1000).collect()
+    val bruteComms = brute.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = rows.map(r =>
+      r.getAs[Long]("community") -> r.getAs[Long]("n_nodes")).toMap
+    assert(got === bruteComms)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_changed_last") === bruteChanged))
+  }
+
+  /** Integer HITS replay: exactly the operator's ∞-norm contract. */
+  private def bruteHits(edges: Seq[(Long, Long)], rounds: Int)
+      : (Map[Long, BigInt], Map[Long, BigInt]) = {
+    val byC = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val byP = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var a: Map[Long, BigInt] = byP.keys.map(_ -> BigInt(1000000)).toMap
+    var h: Map[Long, BigInt] = Map.empty
+    for (_ <- 1 to rounds) {
+      val hr = byC.map { case (c, ps) => c -> ps.map(a).sum }
+      val hmax = hr.values.max
+      h = hr.map { case (c, x) => c -> x * 1000000 / hmax }
+      val ar = byP.map { case (p, cs) => p -> cs.map(h).sum }
+      val amax = ar.values.max
+      a = ar.map { case (p, x) => p -> x * 1000000 / amax }
+    }
+    (h, a)
+  }
+
+  test("HITS matches the integer replay on a nested bipartite fixture") {
+    // c1 buys {p1,p2,p3}, c2 buys {p1,p2}, c3 buys {p1}: authority must
+    // order p1 > p2 > p3 and hubs c1 > c2 > c3, scores exactly replayed
+    val edges = Seq((1L, 101L), (1L, 102L), (1L, 103L),
+      (2L, 101L), (2L, 102L), (3L, 101L))
+    val (eh, ea) = bruteHits(edges, rounds = 3)
+    val rows = Graph.hits(edges.toDF("c", "p")).collect()
+    val hubs = rows.filter(_.getAs[String]("side") == "hub")
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("score_e6")).toMap
+    val auths = rows.filter(_.getAs[String]("side") == "auth")
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("score_e6")).toMap
+    assert(hubs === eh.map { case (k, v) => k -> v.toLong })
+    assert(auths === ea.map { case (k, v) => k -> v.toLong })
+    assert(auths(101L) > auths(102L) && auths(102L) > auths(103L))
+    assert(hubs(1L) > hubs(2L) && hubs(2L) > hubs(3L))
+    // degrees carried through
+    val degs = rows.map(r => (r.getAs[String]("side"),
+      r.getAs[Long]("node")) -> r.getAs[Long]("degree")).toMap
+    assert(degs(("hub", 1L)) === 3L && degs(("auth", 101L)) === 3L)
+  }
+
+  test("HITS topK trims each side independently") {
+    val edges = Seq((1L, 101L), (1L, 102L), (2L, 101L), (3L, 102L))
+    val rows = Graph.hits(edges.toDF("c", "p"), topK = 1).collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getAs[String]("side")).toSet === Set("hub", "auth"))
+  }
+
+  test("single-community graph reports modularity 0") {
+    // a triangle alone: one community holding everything, Q = 0 exactly
+    // (4·3·3 − 6²) / (4·9) = 0
+    val rows = Graph.lpaCommunities(
+      Graph.undirectedEdges(
+        Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b"), "a", "b"))
+      .collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("modularity_e6") === 0L)
+    assert(rows.head.getAs[Long]("intra_edges") === 3L)
+  }
 }
