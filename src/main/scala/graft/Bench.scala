@@ -186,6 +186,27 @@ object Bench {
     // bench_history for cross-round reading.
     def flagged(name: String, t: Double): Boolean =
       prior.get(name).exists(p => p > 0 && t > 2 * p && t - p > 0.5)
+    // FLOOR RULE (round-10 blind spot): the history gate compares
+    // against prior SUITE readings, which carry the same 1.3–1.7× suite
+    // pressure — so a heavy query can ship at 2.3× its fresh-JVM floor
+    // while staying under 2× of history (q227 at 10.04s in BENCH_r10,
+    // never retried; isolation measured 3.32s). BASELINE.md's
+    // isolation-floors table is the credibility rule's source of truth;
+    // parse it here (| qNNN_name | X.XXs | rows) so a suite reading
+    // exceeding 2× a query's floor is ALSO auto-retried, and one that
+    // survives retry is stamped into `floor_violations` — the official
+    // artifact never carries an unadjudicated floor violation again.
+    val floors: Map[String, Double] = {
+      val pat = """\|\s*(q\w+)\s*\|\s*([0-9.]+)s\s*\|""".r
+      try {
+        val src = scala.io.Source.fromFile("BASELINE.md")
+        try pat.findAllMatchIn(src.mkString)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        finally src.close()
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    }
+    def floorFlagged(name: String, t: Double): Boolean =
+      floors.get(name).exists(f => f > 0 && t > 2 * f && t - f > 0.5)
     // AUTO-ADJUDICATION of per-query flags (the rounds-8/9 blind spot:
     // the official record twice shipped flags — q181 2.81x, q222 4.22x —
     // that isolation runs later disproved; a transient load spike can
@@ -198,7 +219,7 @@ object Bench {
     // (with its refuted ratio) instead of `regressions` — only flags
     // that SURVIVE re-measurement are asserted.
     val retryFlagged: Seq[String] = results.collect {
-      case (name, Some(t)) if flagged(name, t) => name
+      case (name, Some(t)) if flagged(name, t) || floorFlagged(name, t) => name
     }
     val retryMin: Map[String, Double] = retryFlagged.flatMap { name =>
       SparkEntry.queries.get(name).flatMap { fn =>
@@ -226,6 +247,12 @@ object Bench {
     val retryRefuted = retryFlagged.filterNot(rawRegressions.map(_._1).contains)
       .flatMap(n => adjusted.collectFirst {
         case (`n`, Some(t)) if prior.contains(n) => n -> t / prior(n) })
+    // Floor violations that SURVIVED the retry: the final min-over-all-
+    // passes still exceeds 2× the BASELINE.md isolation floor. Stamped
+    // (name → ratio vs floor) so the record is self-adjudicating.
+    val floorViolations = adjusted.collect {
+      case (name, Some(t)) if floorFlagged(name, t) => name -> t / floors(name)
+    }
     // LOAD GATE: a loaded bench machine inflates every query uniformly,
     // which the per-query 2x gate misreads as a wall of regressions (the
     // round-8 driver record carried 15 spurious >2x entries while the
@@ -301,6 +328,10 @@ object Bench {
         if (suspectRegressions.nonEmpty)
           s""","suspect_regressions":${ratioMapJson(suspectRegressions)}"""
         else ""
+      val floorPart =
+        if (floorViolations.nonEmpty)
+          s""","floor_violations":${ratioMapJson(floorViolations)}"""
+        else ""
       val loadPart =
         if (loadSuspect)
           s""","load_suspect":true,"load_ratio_vs_history":${
@@ -308,7 +339,7 @@ object Bench {
               Double.box(loadRatio.get))},"load_suspect_streak":$loadStreak""" +
             (if (loadStreak >= 2) s""","global_slowdown_suspect":true""" else "")
         else ""
-      retriedPart + suspectPart + loadPart
+      retriedPart + suspectPart + floorPart + loadPart
     }
     val qs = adjusted.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")

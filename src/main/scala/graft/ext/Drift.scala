@@ -176,4 +176,72 @@ object Drift {
         (col("jsd_micro").cast("double") / 1e6).as("jsd"))
       .orderBy("src_a", "src_b")
   }
+
+  /** EMBEDDING-SPACE drift between the q242 snapshot halves (even
+    * vec_id = reference, odd = current): per dimension, the centroid
+    * shift (|mean_ref − mean_cur| in e6 integer units — the per-dim
+    * decomposition of q230's centroid machinery) and the PSI of the
+    * per-dim VALUE distribution (fixed-width bins of round(v·binsPerUnit),
+    * +1-smoothed, exactly the q242 PSI contract) — drift in the
+    * representation space that token-level statistics (q139/q196/q242)
+    * cannot see, e.g. an embedding-model version bump or a modality
+    * mix shift. Identical halves ⇒ every shift and PSI is exactly 0.
+    *
+    * Scale shape: ONE corpus scan (posexplode of the vector) feeding a
+    * single (dim, half, bin)-keyed count+sum — map-side partial, keyed
+    * by ≤ dims·bins·2 cells; centroids, the full-outer bin spine, and
+    * the PSI walk all run on that metadata-scale relation. Negative
+    * e6 sums floor-divide via sign-split so both engines agree. */
+  def embeddingDrift(embs: DataFrame, idCol: String, embCol: String,
+                     binsPerUnit: Int = 8): DataFrame = {
+    require(binsPerUnit >= 1, s"need binsPerUnit >= 1, got $binsPerUnit")
+    val base = embs.select((col(idCol) % 2).cast("int").as("half"),
+        posexplode(col(embCol)).as(Seq("dim", "v")))
+      .select(col("half"), col("dim"),
+        round(col("v").cast("double") * 1e6, 0).cast("long").as("v_e6"),
+        round(col("v").cast("double") * binsPerUnit, 0).cast("long").as("bin"))
+    val cells = base.groupBy("dim", "half", "bin")
+      .agg(count(lit(1)).as("c"), sum("v_e6").as("sv"))
+      .localCheckpoint() // dims·bins·2 rows; read by centroid + PSI legs
+    val cent = cells.groupBy("dim", "half")
+      .agg(sum("c").as("n"), sum("sv").as("s"))
+      .withColumn("c_e6",
+        expr("CASE WHEN s < 0 THEN -((-s) div n) ELSE s div n END"))
+    val cw = cent.groupBy("dim").agg(
+      max(when(col("half") === 0, col("n"))).as("n_ref"),
+      max(when(col("half") === 1, col("n"))).as("n_cur"),
+      max(when(col("half") === 0, col("c_e6"))).as("c_ref_e6"),
+      max(when(col("half") === 1, col("c_e6"))).as("c_cur_e6"))
+    val ref = cells.filter(col("half") === 0)
+      .select(col("dim"), col("bin"), col("c").as("cr"))
+    val cur = cells.filter(col("half") === 1)
+      .select(col("dim"), col("bin"), col("c").as("cc"))
+    val spine = ref.join(cur, Seq("dim", "bin"), "full_outer")
+      .na.fill(0L, Seq("cr", "cc"))
+      .withColumn("cr1", col("cr") + 1)
+      .withColumn("cc1", col("cc") + 1)
+    val tot = spine.groupBy("dim").agg(sum("cr1").as("nr"),
+      sum("cc1").as("nc"), count(lit(1)).as("n_bins"))
+    val psi = spine.join(tot, Seq("dim"))
+      .withColumn("p_ppm", expr("cr1 * 1000000 div nr"))
+      .withColumn("q_ppm", expr("cc1 * 1000000 div nc"))
+      .withColumn("l_e6",
+        round(log(col("cr1").cast("double") / col("nr") /
+          (col("cc1").cast("double") / col("nc"))) * 1e6, 0).cast("long"))
+      .groupBy("dim")
+      .agg(max("n_bins").as("n_bins"),
+        sum((col("p_ppm") - col("q_ppm")) * col("l_e6")).as("s"))
+      .select(col("dim"), col("n_bins"),
+        expr("greatest(CAST(0 AS BIGINT), s) div 1000000").as("psi_micro"))
+    cw.join(psi, Seq("dim"))
+      .select(col("dim").cast("int").as("dim"),
+        col("n_ref").cast("long").as("n_ref"),
+        col("n_cur").cast("long").as("n_cur"),
+        col("c_ref_e6").cast("long").as("c_ref_e6"),
+        col("c_cur_e6").cast("long").as("c_cur_e6"),
+        abs(col("c_ref_e6") - col("c_cur_e6")).cast("long").as("shift_e6"),
+        col("n_bins").cast("int").as("n_bins"),
+        col("psi_micro").cast("long").as("psi_micro"))
+      .orderBy("dim")
+  }
 }

@@ -227,4 +227,66 @@ object Retrieval {
         col("score_e12"), col("n_hit_terms"), col("n_exp_terms"))
       .orderBy("query_id", "rank")
   }
+
+  /** DIRICHLET-SMOOTHED QUERY LIKELIHOOD ranking (Zhai & Lafferty,
+    * SIGIR 2001) — the language-modeling ranker beside BM25 (q186),
+    * PRF (q254) and RRF (q220); the two families disagree exactly where
+    * a deployment wants a second opinion (BM25 saturates tf, QL trades
+    * tf against collection probability):
+    *
+    *   score(q,d) = Σ_{t∈q∩d} ln(1 + tf(t,d)·T / (μ·ctf(t)))
+    *              + |q|·ln(μ / (dl(d) + μ))
+    *
+    * the matched-term decomposition of Π p(t|θ_d) under Dirichlet
+    * smoothing (p(t|C) = ctf/T). Query terms are a SET (the q186
+    * convention); OOV terms drop (their collection probability is 0 —
+    * standard) and |q| counts the surviving terms. Only docs matching
+    * ≥ 1 query term are ranked (stated: the no-match tail orders purely
+    * by length and never reaches a top-k). μ defaults to 50, sized to
+    * this corpus's ~54-token documents (the classic 2000 assumes
+    * ~500-token news articles).
+    *
+    * Parity: both ln terms quantize ONCE to micro-nats over identical
+    * exact-integer inputs (the q186 idf idiom — the doubles fed to ln
+    * are built from the same longs on both engines), so the summed
+    * score is an exact integer and (score desc, doc_id) reproduces.
+    *
+    * Scale shape: identical to [[bm25TopK]] — ctf is one extra rollup
+    * of the staged postings; queries broadcast; the only corpus-sized
+    * exchange is the (query, doc) score aggregation. */
+  def dirichletQlTopK(docs: DataFrame, idCol: String, textCol: String,
+                      queries: Seq[(Int, String)], k: Int = 10,
+                      mu: Long = 50L): DataFrame = {
+    require(mu >= 1 && k >= 1, s"need mu>=1, k>=1; got $mu, $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (tf, dl, _, totals) = index(docs, idCol, textCol)
+    val ctf = tf.groupBy("w").agg(sum("tf").as("ctf"))
+    val q = queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(tokens(normText(col("qtext")))).as("w"))
+      .distinct()
+    val qTerms = q.join(ctf, Seq("w")).crossJoin(broadcast(totals))
+      .select(col("query_id"), col("w"), col("ctf"), col("t"))
+      .localCheckpoint() // |q| rows; read by nq + the postings join
+    val nq = qTerms.groupBy("query_id").agg(count(lit(1)).as("nq"))
+    val matched = qTerms.join(tf, Seq("w"))
+      .select(col("query_id"), col("doc_id"),
+        round(log(lit(1.0) + col("tf").cast("double") * col("t") /
+          (lit(mu.toDouble) * col("ctf"))) * 1e6, 0).cast("long")
+          .as("lt_micro"))
+      .groupBy("query_id", "doc_id").agg(sum("lt_micro").as("s_match"))
+    val scored = matched.join(dl, Seq("doc_id"))
+      .join(broadcast(nq), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        (col("s_match") + col("nq") *
+          round(log(lit(mu.toDouble) / (col("dl") + lit(mu.toDouble))) * 1e6,
+            0).cast("long")).as("score_micro"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score_micro").desc, col("doc_id"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micro").cast("long").as("score_micro"))
+      .orderBy("query_id", "rank")
+  }
 }

@@ -35,12 +35,24 @@ object Similarity {
   def planes(nPlanes: Int, dim: Int): Seq[Seq[Int]] =
     (0 until nPlanes).map(m => (0 until dim).map(i => ((i * (2 * m + 3)) % 11) - 5))
 
+  /** Plane rows `from until from+n` of the same generator — an
+    * INDEPENDENT sign-LSH table (different hyperplanes, identical
+    * integer reproducibility); `planes(n, d) == planesFrom(0, n, d)`. */
+  def planesFrom(from: Int, n: Int, dim: Int): Seq[Seq[Int]] =
+    (from until from + n).map(m =>
+      (0 until dim).map(i => ((i * (2 * m + 3)) % 11) - 5))
+
   /** LSH bucket id: bit m set iff the projection onto plane m is > 0.
     * (Float literals: the weights are small integers, exact in float32, so
     * float⇄double promotion matches the oracle's double arithmetic.) */
   def bucketCol(emb: Column, nPlanes: Int, dim: Int): Column =
-    planes(nPlanes, dim).zipWithIndex.map { case (w, m) =>
-      when(dot(emb, array(w.map(x => lit(x.toFloat)): _*)) > 0, 1L << m).otherwise(0L)
+    bucketColFrom(emb, 0, nPlanes, dim)
+
+  /** [[bucketCol]] over the plane family starting at row `from`. */
+  def bucketColFrom(emb: Column, from: Int, nPlanes: Int, dim: Int): Column =
+    planesFrom(from, nPlanes, dim).zipWithIndex.map { case (w, j) =>
+      when(dot(emb, array(w.map(x => lit(x.toFloat)): _*)) > 0, 1L << j)
+        .otherwise(0L)
     }.reduce(_ + _)
 
   /** Brute-force cosine top-k: every query row against every corpus row,
@@ -965,5 +977,119 @@ object Similarity {
         col("v").cast("long").as("v_e4"),
         col("align_ppm"))
       .orderBy("dim")
+  }
+
+  /** k-NN GRAPH by sign-LSH seeding plus ONE NN-descent round (Dong,
+    * Moses & Li, WWW 2011 — "a neighbor of a neighbor is likely a
+    * neighbor"), with a measured recall certificate against the exact
+    * graph on a bounded probe set. Two stages, both reported:
+    *   seed    — candidates = same-bucket pairs from TWO independent
+    *             sign-LSH tables (plane rows 0–3 and 4–7 of the q38
+    *             generator), best-k per node by exact cosine. Two
+    *             tables matter structurally: a single-table seed graph
+    *             is DISCONNECTED by bucket, so a two-hop expansion
+    *             could never cross a bucket boundary and descent would
+    *             provably add nothing (measured: exactly zero new
+    *             hits); the second table's edges are the bridges;
+    *   descent — candidates = seed edges ∪ one two-hop expansion of
+    *             the UNDIRECTED seed graph (forward ∪ reverse edges on
+    *             both hops — Dong et al.'s general-neighbor set; the
+    *             reverse edges are what bridge LSH-bucket blind
+    *             spots), rescored exactly, best-k kept. Descent
+    *             candidates ⊇ seed edges, so descent recall ≥ seed
+    *             recall — pinned.
+    * Scores are round-4dp cosines ranked (score desc, id) — the
+    * engine-exact q37 contract. Recall = fraction of the exact top-k
+    * edges of the probe nodes (id < `nProbe`) present in each stage's
+    * graph.
+    *
+    * Scale shape: seed candidates are bucket-equi pairs (never
+    * corpus²); descent candidates are ≤ k + (k + |R|)² per node with
+    * |R| the reverse degree — degree-bounded, never corpus²; every
+    * top-k is the salted two-phase form (a hot
+    * LSH bucket or hub node never concentrates a window task); the
+    * recall leg is one broadcast cross of the |probe|-bounded query
+    * side against the corpus — the q37 shape, linear in the corpus.
+    * The corpus projection stages once and feeds all five consumers. */
+  def knnGraphDescent(corpus: DataFrame, idCol: String, embCol: String,
+                      k: Int = 5, nPlanes: Int = 4, dim: Int = 64,
+                      nProbe: Long = 64): DataFrame = {
+    require(k >= 1 && nProbe >= 1, s"need k>=1, nProbe>=1; got $k, $nProbe")
+    val c = graft.model.Tables.fanOut(corpus)
+      .select(col(idCol).as("id"), col(embCol).as("emb"),
+        l2norm(col(embCol)).as("nrm"),
+        bucketColFrom(col(embCol), 0, nPlanes, dim).as("b1"),
+        bucketColFrom(col(embCol), nPlanes, nPlanes, dim).as("b2"))
+      .localCheckpoint() // read by seed pairs ×4, rescore ×2, probe ×2
+    def topK(scored: DataFrame): DataFrame =
+      graft.operators.Skew.saltedTopKPerGroup(scored, Seq("id"),
+        Seq(col("score").desc, col("nid")), k, salts = 8)
+    def seedLeg(key: String): DataFrame = c
+      .select(col("id"), col("emb"), col("nrm"), col(key).as("bk"))
+      .join(c.select(col("id").as("nid"), col("emb").as("n_emb"),
+        col("nrm").as("n_nrm"), col(key).as("bk")), Seq("bk"))
+      .filter(col("id") =!= col("nid"))
+      .select(col("id"), col("nid"),
+        round(dot(col("emb"), col("n_emb")) / (col("nrm") * col("n_nrm")), 4)
+          .as("score"))
+    // A pair colliding in both tables is scored twice (deterministic
+    // round-4dp score, so distinct collapses it) — cheaper than a
+    // pre-score pair dedup that would force extra embedding joins.
+    val seedScored = seedLeg("b1").unionAll(seedLeg("b2")).distinct()
+    val seed = topK(seedScored).select("id", "nid")
+      .localCheckpoint() // read by the N-of-N join (both sides) + readout
+    // Dong et al.'s general-neighbor set: B[v] ∪ R[v] (forward AND
+    // reverse seed edges) on BOTH hops — reverse edges are what lets a
+    // node escape its own LSH bucket's blind spot, since a foreign-
+    // bucket node that picked v as ITS neighbor becomes v's bridge.
+    val undirected = seed
+      .unionAll(seed.select(col("nid").as("id"), col("id").as("nid")))
+      .distinct()
+      .localCheckpoint() // both sides of the two-hop join
+    val cand2 = undirected
+      .join(undirected.select(col("id").as("nid"), col("nid").as("nid2")),
+        Seq("nid"))
+      .filter(col("nid2") =!= col("id"))
+      .select(col("id"), col("nid2").as("nid"))
+    val candAll = seed.unionAll(cand2).distinct()
+    val rescored = candAll
+      .join(c.select(col("id"), col("emb"), col("nrm")), Seq("id"))
+      .join(c.select(col("id").as("nid"), col("emb").as("n_emb"),
+        col("nrm").as("n_nrm")), Seq("nid"))
+      .select(col("id"), col("nid"),
+        round(dot(col("emb"), col("n_emb")) / (col("nrm") * col("n_nrm")), 4)
+          .as("score"))
+    val descent = topK(rescored).select("id", "nid").localCheckpoint()
+    val probe = c.filter(col("id") < nProbe)
+      .select(col("id").as("pid"), col("emb").as("p_emb"),
+        col("nrm").as("p_nrm"))
+    val exactScored = c.crossJoin(broadcast(probe))
+      .filter(col("id") =!= col("pid"))
+      .select(col("pid").as("qid"), col("id").as("nid"),
+        round(dot(col("p_emb"), col("emb")) / (col("p_nrm") * col("nrm")), 4)
+          .as("score"))
+    val exactK = graft.operators.Skew.saltedTopKPerGroup(
+        exactScored.withColumnRenamed("qid", "id"), Seq("id"),
+        Seq(col("score").desc, col("nid")), k, salts = 8)
+      .select("id", "nid")
+      .localCheckpoint() // read by both stage readouts
+    def stageRow(g: DataFrame, stage: String): DataFrame = {
+      val nodes = g.select("id").distinct().agg(count(lit(1)).as("n_nodes"))
+      val edges = g.agg(count(lit(1)).as("n_edges"))
+      val nEx = exactK.agg(count(lit(1)).as("n_exact"))
+      val nHit = exactK.join(g, Seq("id", "nid"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      edges.crossJoin(broadcast(nodes)).crossJoin(broadcast(nEx))
+        .crossJoin(broadcast(nHit)) // 1-row scalar broadcasts only
+        .select(lit(stage).as("stage"),
+          col("n_nodes").cast("long").as("n_nodes"),
+          col("n_edges").cast("long").as("n_edges"),
+          col("n_exact").cast("long").as("n_exact"),
+          col("n_hit").cast("long").as("n_hit"),
+          expr("CASE WHEN n_exact = 0 THEN 0 " +
+            "ELSE n_hit * 1000000 div n_exact END").as("recall_ppm"))
+    }
+    stageRow(seed, "seed").unionAll(stageRow(descent, "descent"))
+      .orderBy("stage")
   }
 }

@@ -1048,4 +1048,71 @@ object TextAnalysis {
       .orderBy(desc("weight_e6"), col("doc_id"))
       .limit(topK)
   }
+
+  /** ZIPF RANK-FREQUENCY FIT per source (Zipf's law — the corpus "law"
+    * check a data card quotes; a crawl whose exponent drifts far from
+    * −1 is usually boilerplate-flooded or truncated): OLS of
+    * ln(frequency) on ln(rank) over the top-`maxRank` vocabulary of
+    * each source, slope (the Zipf exponent, ≈ −1 for natural text),
+    * intercept and R² — the q148 exact-moment OLS idiom on e6-quantized
+    * logs: x = round(ln(rank)·10⁶), y = round(ln(freq)·10⁶) quantize
+    * once per row, the five moments accumulate exactly (DECIMAL(38,0)),
+    * slope_e6 = ⌊cd·10⁶ / ca⌋ is a floor division of exact integers,
+    * and R² takes ONE double division of the same exact integers
+    * (cd²/(ca·sst) — the identical-doubles idiom; cd² would pass 38
+    * digits as a decimal).
+    *
+    * Scale shape: one (source, term)-keyed count off the scan
+    * (map-side partial); ranking is the salted two-phase top-`maxRank`
+    * (a source's vocabulary never rides one window task); everything
+    * after runs on ≤ |sources|·maxRank rows. Fitting the HEAD is also
+    * the honest statistical choice — the rank-frequency tail is known
+    * to bend away from the power law. */
+  def zipfFit(docs: DataFrame, idCol: String, srcCol: String,
+              textCol: String, maxRank: Int = 100): DataFrame = {
+    require(maxRank >= 3, s"need maxRank >= 3, got $maxRank")
+    val vocab = fanOut(docs)
+      .select(col(srcCol).as("source"),
+        explode(tokens(normText(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("source", "w").agg(count(lit(1)).as("freq"))
+    val ranked = graft.operators.Skew.saltedTopKPerGroup(vocab,
+      Seq("source"), Seq(col("freq").desc, col("w")), maxRank, salts = 8)
+    val xy = ranked.select(col("source"),
+      round(log(col("rank").cast("double")) * 1e6, 0).cast("long").as("x"),
+      round(log(col("freq").cast("double")) * 1e6, 0).cast("long").as("y"))
+    xy.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .withColumn("ca", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("cd", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("sst", expr(
+        "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .filter(col("ca") > 0 && col("sst") > 0) // degenerate fits dropped
+      // slope/intercept numerators go NEGATIVE (a Zipf slope is ≈ −1),
+      // so every division is sign-split truncation — identical on both
+      // engines per the negative-floor-division parity trap.
+      .withColumn("slope_e6", expr(
+        "CASE WHEN cd < 0 THEN -CAST(((-cd) * 1000000) div ca AS BIGINT) " +
+          "ELSE CAST((cd * 1000000) div ca AS BIGINT) END"))
+      .withColumn("inum", expr(
+        "CAST(sy AS DECIMAL(38,0)) * 1000000 - CAST(slope_e6 AS " +
+          "DECIMAL(38,0)) * sx"))
+      .select(col("source"), col("n").cast("int").as("n_ranks"),
+        col("slope_e6"),
+        // intercept = (Σy − slope·Σx)/n, in the shared e6 units
+        expr("CASE WHEN inum < 0 THEN -CAST((-inum) div " +
+          "(CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT) " +
+          "ELSE CAST(inum div (CAST(n AS DECIMAL(38,0)) * 1000000) " +
+          "AS BIGINT) END").as("intercept_e6"),
+        expr("CAST(ROUND(CAST(cd AS DOUBLE) * CAST(cd AS DOUBLE) " +
+          "/ (CAST(ca AS DOUBLE) * CAST(sst AS DOUBLE)) * 1000000, 0) " +
+          "AS BIGINT)").as("r2_ppm"))
+      .orderBy("source")
+  }
 }

@@ -521,9 +521,13 @@ object Graph {
     *   a(p) = Σ_{c∈N(p)} h'(c), rescaled to a'(p) = ⌊a·10⁶ / max a⌋
     * — ∞-norm normalization instead of the textbook L2 (whose sqrt no
     * integer contract survives; the fixpoint direction is the same
-    * principal singular pair, scale differs only by a constant). All
-    * sums accumulate in DECIMAL(38,0); scores are exact integers both
-    * engines reproduce value-for-value.
+    * principal singular pair, scale differs only by a constant).
+    * Integer contract: the round-1 sums accumulate DECIMAL(38,0)
+    * seeds; later rounds sum LONG scores ≤ 10⁶ (exact to degree
+    * ~9.2·10¹²), and the rescale product — the term that CAN overflow
+    * at real-world skew — is forced through DECIMAL(38,0) (DuckDB's
+    * HUGEINT twin). Scores are exact integers both engines reproduce
+    * value-for-value.
     *
     * Scale shape: the edge list stages once; each round is two
     * edge-keyed equi joins + keyed sums and two broadcast 1-row max
@@ -542,16 +546,29 @@ object Graph {
     var h = e.select(col("c")).distinct()
       .select(col("c"), expr(Scale).as("h")) // overwritten round 1
     for (t <- 1 to rounds) {
+      // Accumulation contract: round 1 sums DECIMAL(38,0) seeds; from
+      // round 2 on `div` (IntegralDivide) has returned LONG, so the
+      // sums run in LONG — exact while Σ_{neighbors} score ≤ 2⁶³
+      // (scores ≤ 10⁶ ⇒ degree ≤ ~9.2·10¹², beyond any corpus). The
+      // REALISTIC overflow was the rescale product h·10⁶ (LONG
+      // overflows at degree > ~9.2·10⁶, reachable at extreme skew), so
+      // that product is forced through DECIMAL(38,0) — exact like
+      // DuckDB's HUGEINT — while the hot per-edge sums stay LONG
+      // (an all-decimal variant measured +26% on the q264 floor).
       val hr = e.join(a, Seq("p"))
         .groupBy("c").agg(sum(col("a")).as("h"))
       val hmax = hr.agg(max(col("h")).as("mx"))
       h = hr.crossJoin(broadcast(hmax))
-        .select(col("c"), expr(s"(h * 1000000) div mx").as("h"))
+        .select(col("c"),
+          expr(s"CAST((CAST(h AS DECIMAL(38,0)) * 1000000) div mx AS BIGINT)")
+            .as("h"))
       val ar = e.join(h, Seq("c"))
         .groupBy("p").agg(sum(col("h")).as("a"))
       val amax = ar.agg(max(col("a")).as("mx"))
       a = ar.crossJoin(broadcast(amax))
-        .select(col("p"), expr(s"(a * 1000000) div mx").as("a"))
+        .select(col("p"),
+          expr(s"CAST((CAST(a AS DECIMAL(38,0)) * 1000000) div mx AS BIGINT)")
+            .as("a"))
       if (t % 2 == 0 || t == rounds) { // two joins+aggs chained per round
         h = h.localCheckpoint(); a = a.localCheckpoint()
       }

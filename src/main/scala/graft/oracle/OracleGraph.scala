@@ -1,0 +1,360 @@
+package graft.oracle
+
+import graft.oracle.OracleDialect._
+
+/** DuckDB oracle SQL — graph tier
+  * (12 queries). Values are verbatim from SparkEntry.scala
+  * (round-11 mechanical split); SparkEntry.oracleSql concatenates the
+  * domain maps, and OracleSplitSpec pins key-set equality with the
+  * query registry. */
+object OracleGraph {
+  private[graft] val sql: Map[String, String] = Map(
+    // 2-iteration integer PageRank over the undirected customer–supplier
+    // graph; per-edge floor division exactly as the Spark operator.
+    "q140_copurchase_pagerank" ->
+      s"""WITH ed AS (SELECT DISTINCT l_suppkey*2 AS sn, o_custkey*2+1 AS cn
+         |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |ud AS (SELECT sn AS u, cn AS v FROM ed UNION ALL SELECT cn, sn FROM ed),
+         |deg AS (SELECT u, COUNT(*) AS deg FROM ud GROUP BY u),
+         |r1 AS (SELECT ud.v AS u,
+         |              150000000000 + SUM((CAST(1000000000000 AS BIGINT)*85) // (100*deg.deg)) AS r
+         |       FROM ud JOIN deg ON ud.u = deg.u GROUP BY ud.v),
+         |r2 AS (SELECT ud.v AS u, 150000000000 + SUM((r1.r*85) // (100*deg.deg)) AS r
+         |       FROM ud JOIN r1 ON ud.u = r1.u JOIN deg ON ud.u = deg.u
+         |       GROUP BY ud.v)
+         |SELECT CASE WHEN d.u % 2 = 0 THEN 'supplier' ELSE 'customer' END AS node_type,
+         |       d.u // 2 AS node_key, CAST(d.deg AS BIGINT) AS degree,
+         |       CAST(r2.r AS BIGINT) AS rank_units
+         |FROM deg d JOIN r2 ON d.u = r2.u
+         |ORDER BY rank_units DESC, node_type, node_key
+         |LIMIT 25""".stripMargin,
+    // Degree-oriented triangle census: orientation by (deg, id) row
+    // comparison, wedges at the minimum node, EXISTS closing probe —
+    // the oracle states the same oriented algorithm (each triangle
+    // generated exactly once), with DuckDB row-value comparisons.
+    "q142_triangle_census" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM items a JOIN items b ON a.okey = b.okey AND a.p < b.p),
+        |deg AS (SELECT node, COUNT(*) AS deg FROM (
+        |          SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) z
+        |        GROUP BY node),
+        |o AS (SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS s,
+        |             CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS t
+        |      FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+        |cand AS (SELECT o1.t AS u, o2.t AS v
+        |         FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t),
+        |tri AS (SELECT COUNT(*) AS n_triangles FROM cand
+        |        WHERE EXISTS (SELECT 1 FROM e WHERE e.u = cand.u AND e.v = cand.v)),
+        |ds AS (SELECT COUNT(*) AS n_nodes,
+        |              CAST(SUM((deg*(deg-1))//2) AS BIGINT) AS n_wedges FROM deg),
+        |es AS (SELECT COUNT(*) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |       CASE WHEN n_wedges = 0 THEN 0
+        |            ELSE (3*n_triangles*1000000)//n_wedges END AS clustering_ppm
+        |FROM ds CROSS JOIN es CROSS JOIN tri""".stripMargin,
+    // Doulion edge-sampled triangle census: the same oriented-wedge
+    // algorithm on the hash-gated edge subset, estimate scaled by 1/p^3
+    // in exact integer floor division.
+    "q175_triangle_sampled" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS p FROM lineitem),
+         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+         |       FROM items a JOIN items b ON a.okey = b.okey AND a.p < b.p),
+         |tot AS (SELECT COUNT(*) AS n_edges_total FROM e0),
+         |e AS (SELECT u, v FROM e0
+         |      WHERE ((((u*1000003 + v) % ${graft.ext.TextOps.HashP}) * 2654435761 + 97)
+         |             % ${graft.ext.TextOps.HashP}) % 1000000 < 250000),
+         |deg AS (SELECT node, COUNT(*) AS deg FROM (
+         |          SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) z
+         |        GROUP BY node),
+         |o AS (SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS s,
+         |             CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS t
+         |      FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+         |cand AS (SELECT o1.t AS u, o2.t AS v
+         |         FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t),
+         |tri AS (SELECT COUNT(*) AS n_triangles FROM cand
+         |        WHERE EXISTS (SELECT 1 FROM e WHERE e.u = cand.u AND e.v = cand.v)),
+         |es AS (SELECT COUNT(*) AS n_edges_sampled FROM e)
+         |SELECT n_edges_total, n_edges_sampled, CAST(250000 AS BIGINT) AS p_ppm,
+         |       n_triangles AS n_triangles_sampled,
+         |       CAST(CAST(n_triangles AS HUGEINT) * 1000000000000000000
+         |            // ${java.math.BigInteger.valueOf(250000L).pow(3)} AS BIGINT) AS est_triangles
+         |FROM tot CROSS JOIN es CROSS JOIN tri""".stripMargin,
+    // BFS hop distances as a depth-bounded recursive CTE: UNION dedups
+    // (seed, node, dist) walk triples each level, MIN(dist) collapses
+    // longer walks to the true shortest hop count — the declarative
+    // restatement of the engine's frontier/anti-join expansion.
+    "q188_graph_hops" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT l.l_suppkey * 2 AS u, o.o_custkey * 2 + 1 AS v
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |adj AS (SELECT u AS src, v AS dst FROM pairs
+        |        UNION ALL SELECT v, u FROM pairs),
+        |bfs(seed, node, dist) AS (
+        |  SELECT seed, seed, 0 FROM (VALUES (2), (3), (4)) s(seed)
+        |  UNION
+        |  SELECT b.seed, a.dst, b.dist + 1
+        |  FROM bfs b JOIN adj a ON a.src = b.node
+        |  WHERE b.dist < 3),
+        |d AS (SELECT seed, node, MIN(dist) AS dist FROM bfs GROUP BY seed, node)
+        |SELECT CAST(seed AS BIGINT) AS seed,
+        |       CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END
+        |         AS node_type,
+        |       CAST(node // 2 AS BIGINT) AS node_key,
+        |       CAST(dist AS INT) AS dist
+        |FROM d
+        |ORDER BY seed, dist, node_type, node_key""".stripMargin,
+
+    // Six fixed peel rounds with k = max(2, m div n) — both engines run
+    // exactly the same six rounds; convergence is spec-checked.
+    "q202_kcore" ->
+      """WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS oid,
+        |              l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |       FROM it a JOIN it b ON a.oid = b.oid AND a.p < b.p),
+        |kk AS (SELECT greatest(2, (2 * (SELECT COUNT(*) FROM e0) //
+        |         (SELECT COUNT(*) FROM (SELECT u AS x FROM e0
+        |          UNION SELECT v FROM e0) q)) * 11 // 16) AS k),
+        |d0 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0) q
+        |  GROUP BY 1),
+        |n0 AS MATERIALIZED (SELECT node FROM d0, kk WHERE deg >= k),
+        |e1 AS MATERIALIZED (SELECT u, v FROM e0
+        |  WHERE u IN (SELECT node FROM n0)
+        |    AND v IN (SELECT node FROM n0)),
+        |d1 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT u AS node FROM e1 UNION ALL SELECT v AS node FROM e1) q
+        |  GROUP BY 1),
+        |n1 AS MATERIALIZED (SELECT node FROM d1, kk WHERE deg >= k),
+        |e2 AS MATERIALIZED (SELECT u, v FROM e1
+        |  WHERE u IN (SELECT node FROM n1)
+        |    AND v IN (SELECT node FROM n1)),
+        |d2 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT u AS node FROM e2 UNION ALL SELECT v AS node FROM e2) q
+        |  GROUP BY 1),
+        |n2 AS MATERIALIZED (SELECT node FROM d2, kk WHERE deg >= k),
+        |e3 AS MATERIALIZED (SELECT u, v FROM e2
+        |  WHERE u IN (SELECT node FROM n2)
+        |    AND v IN (SELECT node FROM n2)),
+        |d3 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3) q
+        |  GROUP BY 1),
+        |n3 AS MATERIALIZED (SELECT node FROM d3, kk WHERE deg >= k),
+        |e4 AS MATERIALIZED (SELECT u, v FROM e3
+        |  WHERE u IN (SELECT node FROM n3)
+        |    AND v IN (SELECT node FROM n3)),
+        |d4 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT u AS node FROM e4 UNION ALL SELECT v AS node FROM e4) q
+        |  GROUP BY 1),
+        |n4 AS MATERIALIZED (SELECT node FROM d4, kk WHERE deg >= k),
+        |e5 AS MATERIALIZED (SELECT u, v FROM e4
+        |  WHERE u IN (SELECT node FROM n4)
+        |    AND v IN (SELECT node FROM n4)),
+        |d5 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT u AS node FROM e5 UNION ALL SELECT v AS node FROM e5) q
+        |  GROUP BY 1),
+        |n5 AS MATERIALIZED (SELECT node FROM d5, kk WHERE deg >= k),
+        |e6 AS MATERIALIZED (SELECT u, v FROM e5
+        |  WHERE u IN (SELECT node FROM n5)
+        |    AND v IN (SELECT node FROM n5)),
+        |d6 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT u AS node FROM e6 UNION ALL SELECT v AS node FROM e6) q
+        |  GROUP BY 1),
+        |stats AS (
+        |  SELECT 0 AS round,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM d0) AS n_nodes,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges,
+        |    COALESCE((SELECT CAST(MIN(deg) AS BIGINT) FROM d0), 0) AS min_deg,
+        |    COALESCE((SELECT CAST(MAX(deg) AS BIGINT) FROM d0), 0) AS max_deg
+        |  UNION ALL
+        |  SELECT 1 AS round,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM d1) AS n_nodes,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS n_edges,
+        |    COALESCE((SELECT CAST(MIN(deg) AS BIGINT) FROM d1), 0) AS min_deg,
+        |    COALESCE((SELECT CAST(MAX(deg) AS BIGINT) FROM d1), 0) AS max_deg
+        |  UNION ALL
+        |  SELECT 2 AS round,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM d2) AS n_nodes,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e2) AS n_edges,
+        |    COALESCE((SELECT CAST(MIN(deg) AS BIGINT) FROM d2), 0) AS min_deg,
+        |    COALESCE((SELECT CAST(MAX(deg) AS BIGINT) FROM d2), 0) AS max_deg
+        |  UNION ALL
+        |  SELECT 3 AS round,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM d3) AS n_nodes,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e3) AS n_edges,
+        |    COALESCE((SELECT CAST(MIN(deg) AS BIGINT) FROM d3), 0) AS min_deg,
+        |    COALESCE((SELECT CAST(MAX(deg) AS BIGINT) FROM d3), 0) AS max_deg
+        |  UNION ALL
+        |  SELECT 4 AS round,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM d4) AS n_nodes,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e4) AS n_edges,
+        |    COALESCE((SELECT CAST(MIN(deg) AS BIGINT) FROM d4), 0) AS min_deg,
+        |    COALESCE((SELECT CAST(MAX(deg) AS BIGINT) FROM d4), 0) AS max_deg
+        |  UNION ALL
+        |  SELECT 5 AS round,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM d5) AS n_nodes,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e5) AS n_edges,
+        |    COALESCE((SELECT CAST(MIN(deg) AS BIGINT) FROM d5), 0) AS min_deg,
+        |    COALESCE((SELECT CAST(MAX(deg) AS BIGINT) FROM d5), 0) AS max_deg
+        |  UNION ALL
+        |  SELECT 6 AS round,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM d6) AS n_nodes,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e6) AS n_edges,
+        |    COALESCE((SELECT CAST(MIN(deg) AS BIGINT) FROM d6), 0) AS min_deg,
+        |    COALESCE((SELECT CAST(MAX(deg) AS BIGINT) FROM d6), 0) AS max_deg
+        |)
+        |SELECT round, n_nodes, n_edges, min_deg, max_deg,
+        |       (SELECT CAST(k AS INT) FROM kk) AS k
+        |FROM stats ORDER BY round""".stripMargin,
+
+    // Per-node coreness: the h-index iteration unrolled to the same 24
+    // fixed rounds the Spark side runs (fixpoint certified by the
+    // c24 = c23 comparison) over the support-2 co-purchase graph.
+    "q223_coreness" -> corenessSql,
+
+    // Personalized PageRank: 3 unrolled damped rounds, teleport mass
+    // only on the seed brand's parts, per-edge floor division exactly
+    // as the operator; top 25 non-seed parts.
+    "q225_brand_ppr" ->
+      """WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey,
+        |         l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM it a JOIN it b ON a.okey = b.okey AND a.p < b.p),
+        |ud AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM ud GROUP BY u),
+        |sd AS (SELECT p_partkey AS u FROM part WHERE p_brand = 'Brand#13'),
+        |base AS MATERIALIZED (SELECT deg.u,
+        |         CASE WHEN sd.u IS NULL THEN 0 ELSE 1 END AS is_seed
+        |       FROM deg LEFT JOIN sd ON deg.u = sd.u),
+        |r0 AS MATERIALIZED (SELECT u, CAST(is_seed AS BIGINT) * 1000000000000 AS r
+        |  FROM base),
+        |r1 AS MATERIALIZED (SELECT b.u,
+        |    CAST(b.is_seed AS BIGINT) * 150000000000 + COALESCE(c.cs, 0) AS r
+        |  FROM base b LEFT JOIN (
+        |    SELECT ud.v AS u, CAST(SUM((r0.r*85) // (100*deg.deg)) AS BIGINT) AS cs
+        |    FROM ud JOIN r0 ON ud.u = r0.u JOIN deg ON ud.u = deg.u
+        |    GROUP BY ud.v) c ON b.u = c.u),
+        |r2 AS MATERIALIZED (SELECT b.u,
+        |    CAST(b.is_seed AS BIGINT) * 150000000000 + COALESCE(c.cs, 0) AS r
+        |  FROM base b LEFT JOIN (
+        |    SELECT ud.v AS u, CAST(SUM((r1.r*85) // (100*deg.deg)) AS BIGINT) AS cs
+        |    FROM ud JOIN r1 ON ud.u = r1.u JOIN deg ON ud.u = deg.u
+        |    GROUP BY ud.v) c ON b.u = c.u),
+        |r3 AS MATERIALIZED (SELECT b.u,
+        |    CAST(b.is_seed AS BIGINT) * 150000000000 + COALESCE(c.cs, 0) AS r
+        |  FROM base b LEFT JOIN (
+        |    SELECT ud.v AS u, CAST(SUM((r2.r*85) // (100*deg.deg)) AS BIGINT) AS cs
+        |    FROM ud JOIN r2 ON ud.u = r2.u JOIN deg ON ud.u = deg.u
+        |    GROUP BY ud.v) c ON b.u = c.u)
+        |SELECT CAST(b.u AS BIGINT) AS part, CAST(deg.deg AS BIGINT) AS degree,
+        |       CAST(r3.r AS BIGINT) AS rank_units
+        |FROM base b JOIN deg ON b.u = deg.u JOIN r3 ON b.u = r3.u
+        |WHERE b.is_seed = 0
+        |ORDER BY rank_units DESC, part
+        |LIMIT 25""".stripMargin,
+
+    // Per-node local clustering over the support-2 co-purchase graph:
+    // the q142 oriented census with each surviving triangle exploded to
+    // its three members before a node-keyed count; exact floor ppm.
+    "q229_local_clustering" ->
+      """WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS oid,
+        |         l_partkey AS item FROM lineitem),
+        |e AS MATERIALIZED (SELECT a.item AS u, b.item AS v
+        |  FROM it a JOIN it b ON a.oid = b.oid AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) z
+        |  GROUP BY node),
+        |o AS (SELECT
+        |        CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v
+        |        END AS s,
+        |        CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u
+        |        END AS t
+        |      FROM e JOIN deg du ON e.u = du.node
+        |             JOIN deg dv ON e.v = dv.node),
+        |tri AS (SELECT o1.s AS s, o1.t AS u, o2.t AS v
+        |        FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t
+        |        WHERE EXISTS (SELECT 1 FROM e
+        |                      WHERE e.u = o1.t AND e.v = o2.t)),
+        |pn AS (SELECT node, COUNT(*) AS t FROM (
+        |    SELECT s AS node FROM tri UNION ALL SELECT u FROM tri
+        |    UNION ALL SELECT v FROM tri) z GROUP BY node)
+        |SELECT CAST(deg.node AS BIGINT) AS part,
+        |       CAST(deg.deg AS BIGINT) AS degree,
+        |       CAST(COALESCE(pn.t, 0) AS BIGINT) AS n_triangles,
+        |       CAST(CASE WHEN deg.deg < 2 THEN 0
+        |            ELSE 2 * COALESCE(pn.t, 0) * 1000000
+        |                 // (deg.deg * (deg.deg - 1)) END AS BIGINT)
+        |         AS lcc_ppm
+        |FROM deg LEFT JOIN pn ON deg.node = pn.node
+        |ORDER BY part""".stripMargin,
+
+    // Degree assortativity over the support->=2 co-purchase graph:
+    // exact integer sufficient statistics, one double sqrt on the
+    // 1-row relation, round-e6.
+    "q253_assortativity" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+        |            FROM lineitem),
+        |prx AS (SELECT a.item AS u, b.item AS v
+        |        FROM it a JOIN it b ON a.oid = b.oid AND a.item < b.item
+        |        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |dg AS (SELECT n, COUNT(*) AS d FROM (
+        |    SELECT u AS n FROM prx UNION ALL SELECT v FROM prx) z
+        |  GROUP BY n),
+        |nn AS (SELECT COUNT(*) AS n_nodes, MAX(d) AS max_degree FROM dg),
+        |dd AS (SELECT u, v FROM prx UNION ALL SELECT v, u FROM prx),
+        |sums AS (SELECT COUNT(*) AS m2,
+        |    SUM(CAST(dx.d AS HUGEINT)) AS sx,
+        |    SUM(CAST(dy.d AS HUGEINT)) AS sy,
+        |    SUM(CAST(dx.d AS HUGEINT) * dy.d) AS sxy,
+        |    SUM(CAST(dx.d AS HUGEINT) * dx.d) AS sxx,
+        |    SUM(CAST(dy.d AS HUGEINT) * dy.d) AS syy
+        |  FROM dd JOIN dg dx ON dd.u = dx.n JOIN dg dy ON dd.v = dy.n),
+        |fin AS (SELECT *, m2 * sxy - sx * sy AS num,
+        |          m2 * sxx - sx * sx AS d1, m2 * syy - sy * sy AS d2
+        |        FROM sums CROSS JOIN nn)
+        |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+        |       CAST(m2 // 2 AS BIGINT) AS n_edges,
+        |       CAST(max_degree AS BIGINT) AS max_degree,
+        |       CAST(CASE WHEN d1 > 0 AND d2 > 0
+        |            THEN round(CAST(num AS DOUBLE)
+        |              / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))
+        |              * 1e6, 0)
+        |            ELSE 0 END AS BIGINT) AS assortativity_e6,
+        |       CAST(CASE WHEN d1 > 0 AND d2 > 0 THEN 1 ELSE 0 END AS INT)
+        |         AS defined
+        |FROM fin""".stripMargin,
+
+    // Adamic-Adar link prediction: hub-capped common-neighbor pairs,
+    // round-e6 1/ln(deg) weights, anti join on existing edges, top-25.
+    "q257_link_prediction" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+        |            FROM lineitem),
+        |prx AS (SELECT a.item AS u, b.item AS v
+        |        FROM it a JOIN it b ON a.oid = b.oid AND a.item < b.item
+        |        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |dirx AS (SELECT u, v FROM prx UNION ALL SELECT v, u FROM prx),
+        |dg AS (SELECT u AS z, COUNT(*) AS d FROM dirx GROUP BY u),
+        |ctr AS (SELECT z, CAST(round(1e6 / ln(CAST(d AS DOUBLE)), 0)
+        |          AS BIGINT) AS w_e6
+        |        FROM dg WHERE d BETWEEN 2 AND 64),
+        |adjx AS (SELECT d2.u AS z, d2.v AS nb, ctr.w_e6
+        |         FROM dirx d2 JOIN ctr ON ctr.z = d2.u),
+        |prs AS (SELECT x.z, x.nb AS a, y.nb AS b, x.w_e6
+        |        FROM adjx x JOIN adjx y ON x.z = y.z AND x.nb < y.nb),
+        |nonadj AS (SELECT prs.* FROM prs
+        |           LEFT JOIN prx e ON e.u = prs.a AND e.v = prs.b
+        |           WHERE e.u IS NULL),
+        |sc AS (SELECT a, b, CAST(SUM(w_e6) AS BIGINT) AS aa_e6,
+        |         CAST(COUNT(*) AS BIGINT) AS n_common
+        |       FROM nonadj GROUP BY a, b)
+        |SELECT a, b, aa_e6, n_common
+        |FROM sc ORDER BY aa_e6 DESC, a, b LIMIT 25""".stripMargin,
+
+    // LPA communities + modularity (generated — see lpaSql).
+    "q263_lpa_communities" -> lpaSql,
+
+    // HITS hubs/authorities (generated — see hitsSql).
+    "q264_hits" -> hitsSql,
+  )
+}

@@ -2220,11 +2220,12 @@ object Analytics {
       .join(train.withColumnRenamed("item", "other"), Seq("oid"))
       .filter(col("item") =!= col("other"))
       .groupBy("item", "other").agg(count(lit(1)).as("cnt"))
-    val recs = pairCnt
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("item")
-          .orderBy(col("cnt").desc, col("other"))).cast("int"))
-      .filter(col("rank") <= 3)
+    // Salted two-phase top-3: a viral item at 100× scale would
+    // concentrate its full co-item list on one window task; the salted
+    // form is output-identical (the (cnt desc, other) order is total)
+    // with per-task state bounded at k·salts. The q63/q81 posture.
+    val recs = graft.operators.Skew.saltedTopKPerGroup(pairCnt,
+        Seq("item"), Seq(col("cnt").desc, col("other")), k = 3, salts = 8)
       .localCheckpoint() // read by eval + seen-item set
     val seen = recs.select("item").distinct()
     val evalBase = test.join(seen, Seq("item"), "left_semi")
@@ -2252,6 +2253,19 @@ object Analytics {
           .otherwise(expr("""coalesce(CASE WHEN k = 1 THEN h1
             WHEN k = 2 THEN h2 ELSE h3 END, 0) * 1000000 div n_evals"""))
           .as("hitrate_ppm"))
+      // Leave-one-eval-out jackknife SE of the hit rate. For a mean of
+      // 0/1 indicators the jackknife variance reduces in closed form to
+      // (n·S − S²) / (n²(n−1)) — exact integer numerator/denominator
+      // (DECIMAL(38,0), DuckDB's HUGEINT twin), ONE shared sqrt over
+      // the same two integers on both engines, quantized to ppm. Zero
+      // by construction when every eval agrees (S = 0 or S = n).
+      .withColumn("hit_se_ppm", expr(
+        """CASE WHEN n_evals > 1 THEN CAST(ROUND(SQRT(
+          |  CAST(CAST(n_evals AS DECIMAL(38,0)) * n_hits
+          |       - CAST(n_hits AS DECIMAL(38,0)) * n_hits AS DOUBLE) /
+          |  CAST(CAST(n_evals AS DECIMAL(38,0)) * n_evals
+          |       * (n_evals - 1) AS DOUBLE)) * 1000000, 0) AS BIGINT)
+          |ELSE CAST(0 AS BIGINT) END""".stripMargin))
       .orderBy("k")
   }
 
@@ -2597,7 +2611,14 @@ object Analytics {
       .localCheckpoint() // |QI|·3 rows; spine + totals + global legs
     val totals = cells.groupBy("c_mktsegment", "c_nationkey")
       .agg(sum("ns").as("class_size"))
-    val global = cells.groupBy("band").agg(sum("ns").as("gs"))
+    // Global leg built ON the zero-filled band spine (not only the bands
+    // that occur): a globally-empty interior band must still contribute
+    // its |cum| term to every class's EMD walk, so gs coalesces to 0 and
+    // all three band rows always survive the joins below.
+    val global = spark.range(1, 4).select(col("id").cast("int").as("band"))
+      .join(cells.groupBy("band").agg(sum("ns").as("gs")),
+        Seq("band"), "left_outer")
+      .select(col("band"), coalesce(col("gs"), lit(0L)).as("gs"))
       .crossJoin(broadcast(cells.agg(sum("ns").as("n_total"))))
     // Zero-fill: every class must carry all three band rows, else the
     // cumulative walk skips the missing band's (0 − q_j) step.
@@ -2605,7 +2626,7 @@ object Analytics {
       broadcast(spark.range(1, 4).select(col("id").cast("int").as("band"))))
     val filled = spine
       .join(cells, Seq("c_mktsegment", "c_nationkey", "band"), "left_outer")
-      .join(global, Seq("band"))
+      .join(broadcast(global), Seq("band"))
       .select(col("c_mktsegment"), col("c_nationkey"), col("band"),
         col("class_size"),
         (coalesce(col("ns"), lit(0L)).cast("decimal(38,0)") * col("n_total")

@@ -1507,16 +1507,38 @@ object ExtQueries {
         Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("system")
       .agg(count(lit(1)).as("n_found"),
-        sum(expr("1000000 div rank")).as("sum_rr"))
+        sum(expr("1000000 div rank")).as("sum_rr"),
+        // Σ rr² for the jackknife; missing queries contribute rr = 0 to
+        // both Σrr and Σrr², so the per-query spine never materializes.
+        sum(expr("(1000000 div rank) * (1000000 div rank)")).as("sum_rr2"))
+    // Jackknife error bars: the leave-one-query-out jackknife SE of a
+    // mean reduces in closed form to sqrt((n·Σx² − (Σx)²) / (n²(n−1)))
+    // — exact integer numerator/denominator (DECIMAL(38,0) ↔ DuckDB
+    // HUGEINT), one shared sqrt over the same integers on both engines,
+    // rounded once. hit x ∈ {0,1} (so Σx² = Σx); rr already in e6
+    // units. Zero by construction when every query agrees (the brute
+    // sanity row: all hits at rank 1).
     systems.map(_._1).toDF("system")
       .join(found, Seq("system"), "left")
-      .na.fill(0L, Seq("n_found", "sum_rr"))
+      .na.fill(0L, Seq("n_found", "sum_rr", "sum_rr2"))
       .crossJoin(broadcast(nQ))
       .select(col("system"),
         col("n_queries").cast("long").as("n_queries"),
         col("n_found").cast("long").as("n_found"),
         expr("n_found * 1000000 div n_queries").as("hit_at3_ppm"),
-        expr("sum_rr div n_queries").as("mrr_e6"))
+        expr("sum_rr div n_queries").as("mrr_e6"),
+        expr("""CASE WHEN n_queries > 1 THEN CAST(ROUND(SQRT(
+          |  CAST(CAST(n_queries AS DECIMAL(38,0)) * n_found
+          |       - CAST(n_found AS DECIMAL(38,0)) * n_found AS DOUBLE) /
+          |  CAST(CAST(n_queries AS DECIMAL(38,0)) * n_queries
+          |       * (n_queries - 1) AS DOUBLE)) * 1000000, 0) AS BIGINT)
+          |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("hit_se_ppm"),
+        expr("""CASE WHEN n_queries > 1 THEN CAST(ROUND(SQRT(
+          |  CAST(CAST(n_queries AS DECIMAL(38,0)) * sum_rr2
+          |       - CAST(sum_rr AS DECIMAL(38,0)) * sum_rr AS DOUBLE) /
+          |  CAST(CAST(n_queries AS DECIMAL(38,0)) * n_queries
+          |       * (n_queries - 1) AS DOUBLE)), 0) AS BIGINT)
+          |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("mrr_se_e6"))
       .orderBy("system")
   }
 
@@ -1896,4 +1918,53 @@ object ExtQueries {
   def principalComponent(spark: SparkSession, dir: String): DataFrame =
     Similarity.powerIteration(Tables.embeddings(spark, dir), "vec_id",
       "embedding", rounds = 3)
+
+  /** Dirichlet query-likelihood search (q270):
+    * [[graft.ext.Retrieval.dirichletQlTopK]] — the language-modeling
+    * ranker over the q186 query set, μ = 50 sized to this corpus's
+    * ~54-token documents. */
+  def dirichletQlSearch(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.dirichletQlTopK(Tables.documents(spark, dir), "doc_id",
+      "text", Seq(1 -> "spark hash join", 2 -> "window merge sort",
+        3 -> "stream batch data"), k = 10)
+
+  /** Zipf rank-frequency fit (q271):
+    * [[graft.ext.TextAnalysis.zipfFit]] — per-source OLS of ln(freq)
+    * on ln(rank) over the top-100 vocabulary; slope ≈ −10⁶ (e6 units)
+    * for natural text. The synthetic word-soup corpus measures
+    * ≈ −0.3·10⁶ with low R² — honest: its vocabulary is deliberately
+    * near-uniform, which is exactly what this probe is built to flag. */
+  def zipfFitReport(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfFit(Tables.documents(spark, dir), "doc_id",
+      "source", "text")
+
+  /** k-NN graph + NN-descent (q267):
+    * [[graft.ext.Similarity.knnGraphDescent]] — sign-LSH-seeded 5-NN
+    * graph over the embeddings, one neighbors-of-neighbors round,
+    * measured recall vs the exact graph on the vec_id < 64 probes. */
+  def knnGraphReport(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraphDescent(Tables.embeddings(spark, dir), "vec_id",
+      "embedding", k = 5)
+
+  /** Embedding-space drift (q269): [[graft.ext.Drift.embeddingDrift]]
+    * — per-dim centroid shift + value-distribution PSI between the
+    * even/odd vec_id halves (the q242 snapshot convention). */
+  def embeddingDriftReport(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Drift.embeddingDrift(Tables.embeddings(spark, dir),
+      "vec_id", "embedding")
+
+  /** CCNet-style line dedup (q266): [[graft.ext.TextDedup.lineDedup]] —
+    * 4-token normalized lines, scrub lines seen in ≥ 2 distinct docs,
+    * per-source docs-affected + token volumes (the q260 readout). */
+  def lineDedupReport(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.lineDedup(Tables.documents(spark, dir), "doc_id", "text",
+      "source", width = 4, minDf = 2)
+
+  /** Cross-doc span scrub (q268):
+    * [[graft.ext.TextDedup.crossDocSpanScrub]] — Lee et al. covered-
+    * position accounting over the LSH-verified pair tier at Jaccard
+    * ≥ 0.5, word-4-gram spans, per-source removable token volume. */
+  def spanScrubReport(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.crossDocSpanScrub(Tables.documents(spark, dir), "doc_id",
+      "text", "source", n = 4, k = 8, threshold = 0.5)
 }

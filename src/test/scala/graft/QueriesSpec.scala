@@ -29,6 +29,10 @@ class QueriesSpec extends SparkSpec {
     val missingOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
       rowsOnlyQueries
     assert(missingOracle.isEmpty, s"queries without oracle: $missingOracle")
+    // Reverse direction guards the round-11 per-domain oracle split: an
+    // oracle entry whose query was renamed/removed would silently rot.
+    val orphanOracle = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphanOracle.isEmpty, s"oracle entries without query: $orphanOracle")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf001)
       val n = df.count()

@@ -77,4 +77,43 @@ class DriftSpec extends SparkSpec {
     assert(math.abs(got - math.round(exact * 1e6)) <= 2,
       s"got $got vs exact ${math.round(exact * 1e6)}")
   }
+
+  test("embeddingDrift: identical halves report zero shift and zero PSI") {
+    // every even/odd id pair carries the SAME vector — the reference
+    // and current halves are identical distributions dim by dim
+    val dim = 8
+    def vec(s: Int): Array[Float] =
+      (0 until dim).map(j => ((s * 7 + j * 3) % 11 - 5) / 10.0f).toArray
+    val rows = (0 until 10).flatMap { s =>
+      Seq((2L * s, vec(s)), (2L * s + 1, vec(s)))
+    }
+    val out = Drift.embeddingDrift(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding").collect()
+    assert(out.length == dim)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_ref") == 10L && r.getAs[Long]("n_cur") == 10L)
+      assert(r.getAs[Long]("shift_e6") == 0L, s"dim ${r.getInt(0)} shift")
+      assert(r.getAs[Long]("psi_micro") == 0L, s"dim ${r.getInt(0)} psi")
+    }
+  }
+
+  test("embeddingDrift: a planted dim-0 shift is localized and measured") {
+    val dim = 4
+    def vec(d0: Float): Array[Float] = Array(d0, 0.1f, -0.2f, 0.3f)
+    val rows = (0 until 20).flatMap { s =>
+      Seq((2L * s, vec(0.0f)),       // reference half: dim0 = 0.0
+        (2L * s + 1, vec(0.5f)))     // current half:   dim0 = 0.5
+    }
+    val byDim = Drift.embeddingDrift(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .collect().map(r => r.getInt(0) ->
+        (r.getAs[Long]("shift_e6"), r.getAs[Long]("psi_micro"))).toMap
+    // dim 0 shifted by exactly 0.5 → 500000 e6 units; its bins are
+    // disjoint so the smoothed PSI is large; dims 1..3 are untouched
+    assert(byDim(0)._1 == 500000L)
+    assert(byDim(0)._2 > 0L)
+    (1 until dim).foreach { d =>
+      assert(byDim(d) == ((0L, 0L)), s"dim $d should be drift-free")
+    }
+  }
 }

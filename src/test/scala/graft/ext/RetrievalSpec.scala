@@ -147,4 +147,54 @@ class RetrievalSpec extends SparkSpec {
       assert(got === expected, s"order for query $q")
     }
   }
+
+  test("dirichletQlTopK replays the Zhai–Lafferty decomposition exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple apple banana cherry"),        // tf(apple)=2, dl=4
+      (1L, "apple banana banana banana melon"), // dl=5
+      (2L, "cherry melon melon grape"),         // dl=4
+      (3L, "grape grape grape grape grape")     // dl=5
+    ).toDF("doc_id", "text")
+    val mu = 3L
+    val out = Retrieval.dirichletQlTopK(docs, "doc_id", "text",
+        Seq(1 -> "apple banana", 2 -> "grape zzz_oov"), k = 10, mu = mu)
+      .collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Int]("rank"), r.getAs[Long]("score_micro"))).toMap
+    // independent replay
+    val corpus = Map(
+      0L -> Seq("apple", "apple", "banana", "cherry"),
+      1L -> Seq("apple", "banana", "banana", "banana", "melon"),
+      2L -> Seq("cherry", "melon", "melon", "grape"),
+      3L -> Seq("grape", "grape", "grape", "grape", "grape"))
+    val bigT = corpus.values.map(_.size).sum.toLong
+    val ctf = corpus.values.flatten.groupBy(identity)
+      .map { case (w, xs) => w -> xs.size.toLong }
+    def ln6(x: Double): Long = math.round(math.log(x) * 1e6)
+    def score(q: Seq[String], d: Long): Option[Long] = {
+      val present = q.filter(ctf.contains) // OOV dropped
+      val tfs = corpus(d).groupBy(identity).map { case (w, xs) =>
+        w -> xs.size.toLong }
+      val matched = present.filter(tfs.contains)
+      if (matched.isEmpty) None
+      else Some(matched.map(w => ln6(1.0 + tfs(w).toDouble * bigT /
+          (mu.toDouble * ctf(w)))).sum +
+        present.size * ln6(mu.toDouble / (corpus(d).size + mu.toDouble)))
+    }
+    val queries = Map(1 -> Seq("apple", "banana"), 2 -> Seq("grape"))
+    queries.foreach { case (qid, terms) =>
+      val exp = corpus.keys.toSeq
+        .flatMap(d => score(terms, d).map(d -> _))
+        .sortBy { case (d, s) => (-s, d) }
+      exp.zipWithIndex.foreach { case ((d, s), i) =>
+        assert(out((qid, d)) === ((i + 1, s)), s"q$qid doc $d")
+      }
+      // only matched docs are ranked
+      assert(out.keys.count(_._1 == qid) === exp.size)
+    }
+    // q2's OOV term must not leak into |q|: doc 3 is pure grape — its
+    // match term dominates, and the doc-length term uses |q| = 1
+    assert(out((2, 3L))._1 === 1)
+  }
 }

@@ -551,4 +551,69 @@ class SimilaritySpec extends SparkSpec {
     assert(byRank(1) === (1L, 0L))
     assert(byRank(2) === (2L, -127L * 127L))
   }
+
+  test("q267 knn descent replays both stages value-for-value at sf0.001") {
+    val k = 5
+    val nProbe = 64L
+    val emb = graft.model.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[collection.Seq[Float]]("embedding").toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < 64) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val nrm = emb.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    def score(a: Long, b: Long): Double =
+      BigDecimal(dot(emb(a), emb(b)) / (nrm(a) * nrm(b)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def bucketOf(v: Array[Float], from: Int): Long =
+      Similarity.planesFrom(from, 4, 64).zipWithIndex.map { case (w, j) =>
+        var s = 0.0; var i = 0
+        while (i < 64) { s += v(i).toDouble * w(i); i += 1 }
+        if (s > 0) 1L << j else 0L
+      }.sum
+    val b1 = emb.map { case (id, v) => id -> bucketOf(v, 0) }
+    val b2 = emb.map { case (id, v) => id -> bucketOf(v, 4) }
+    val ids = emb.keys.toSeq.sorted
+    def topK(cands: Map[Long, Set[Long]]): Map[Long, Seq[Long]] =
+      cands.map { case (v, cs) =>
+        v -> (cs - v).toSeq.sortBy(c => (-score(v, c), c)).take(k)
+      }
+    val seedCand = ids.map { v =>
+      v -> ids.filter(c => c != v && (b1(c) == b1(v) || b2(c) == b2(v))).toSet
+    }.toMap
+    val seed = topK(seedCand)
+    val und = collection.mutable.Map(ids.map(v => v -> collection.mutable
+      .Set(seed(v): _*)): _*)
+    seed.foreach { case (v, ns) => ns.foreach(c => und(c) += v) }
+    val descCand = ids.map { v =>
+      v -> (seed(v).toSet ++ und(v).flatMap(und(_)))
+    }.toMap
+    val desc = topK(descCand)
+    val exact = ids.filter(_ < nProbe).map { v =>
+      v -> topK(Map(v -> (ids.toSet - v)))(v)
+    }.toMap
+    def stage(g: Map[Long, Seq[Long]]): (Long, Long, Long, Long, Long) = {
+      val nEdges = g.values.map(_.size.toLong).sum
+      val nExact = exact.values.map(_.size.toLong).sum
+      val nHit = exact.map { case (v, ns) =>
+        ns.count(g(v).contains).toLong }.sum
+      (g.count(_._2.nonEmpty).toLong, nEdges, nExact, nHit,
+        if (nExact == 0) 0L else nHit * 1000000L / nExact)
+    }
+    val out = Similarity.knnGraphDescent(
+        graft.model.Tables.embeddings(spark, sf001), "vec_id", "embedding",
+        k = k, nProbe = nProbe)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(out("seed") === stage(seed))
+    assert(out("descent") === stage(desc))
+    // the descent candidate set contains the seed edges, so recall is
+    // monotone — and on this corpus strictly better, which is the point
+    assert(out("descent")._5 >= out("seed")._5)
+    assert(out("seed")._5 > 0, "seed recall vacuously zero")
+  }
 }

@@ -378,4 +378,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(c2.getAs[Long]("recall_ppm") === 0L)
     assert(c2.getAs[Long]("f1_ppm") === 0L)
   }
+
+  test("zipfFit recovers the exponent of an exact power-law corpus") {
+    import spark.implicits._
+    // frequencies f(r) = round(2000 / r) for ranks 1..20 — a planted
+    // Zipf corpus with exponent −1; token stream = each word repeated
+    // its frequency, all in ONE doc per source so ranks are clean
+    val words = (1 to 20).map(r => s"w%02d".format(r) -> (2000.0 / r).round)
+    val text = words.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+      .mkString(" ")
+    val docs = Seq((0L, "zipfy", text)).toDF("doc_id", "source", "text")
+    val row = TextAnalysis.zipfFit(docs, "doc_id", "source", "text")
+      .collect().head
+    assert(row.getAs[Int]("n_ranks") === 20)
+    // independent exact-moment replay (the operator's own quantization)
+    val xy = words.zipWithIndex.map { case ((_, f), i) =>
+      (math.round(math.log(i + 1.0) * 1e6), math.round(math.log(f.toDouble) * 1e6))
+    }
+    val n = BigInt(xy.size)
+    val sx = xy.map(p => BigInt(p._1)).sum
+    val sy = xy.map(p => BigInt(p._2)).sum
+    val sxx = xy.map(p => BigInt(p._1) * p._1).sum
+    val sxy = xy.map(p => BigInt(p._1) * p._2).sum
+    val syy = xy.map(p => BigInt(p._2) * p._2).sum
+    val ca = n * sxx - sx * sx
+    val cd = n * sxy - sx * sy
+    val sst = n * syy - sy * sy
+    def truncDiv(a: BigInt, b: BigInt): BigInt =
+      if (a < 0) -((-a) / b) else a / b
+    val slope = truncDiv(cd * 1000000, ca)
+    val inum = sy * 1000000 - slope * sx
+    assert(row.getAs[Long]("slope_e6") === slope.toLong)
+    assert(row.getAs[Long]("intercept_e6") ===
+      truncDiv(inum, n * 1000000).toLong)
+    assert(row.getAs[Long]("r2_ppm") === math.round(
+      (cd.toDouble * cd.toDouble) / (ca.toDouble * sst.toDouble) * 1e6))
+    // the planted exponent: slope within rounding of −1, fit near-perfect
+    assert(math.abs(row.getAs[Long]("slope_e6") + 1000000L) < 5000L)
+    assert(row.getAs[Long]("r2_ppm") > 999000L)
+  }
 }

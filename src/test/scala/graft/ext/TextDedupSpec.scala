@@ -303,4 +303,96 @@ class TextDedupSpec extends SparkSpec {
     // next 3 ids, clipped at the tail: 3m - 6 pairs, never C(m,2)
     assert(n == 3 * m - 6, s"expected ${3 * m - 6} flat candidates, got $n")
   }
+
+  private def normToks(s: String): Array[String] =
+    s.toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+
+  test("lineDedup replays the CCNet line scrub positionally") {
+    // Lines are stride-4 token windows. Planted structure: "a b c d"
+    // shared by docs 0/1 and twice within doc 3 (df counts DISTINCT
+    // docs; removal counts occurrences); "e f g h" shared by 0/2;
+    // everything else unique. Doc 4 (source t) is untouched.
+    val docs = Seq(
+      (0L, "a b c d e f g h x", "s"),
+      (1L, "a b c d q r s t", "s"),
+      (2L, "z z z z e f g h", "s"),
+      (3L, "a b c d a b c d", "s"),
+      (4L, "p q r s t u v w", "t")
+    ).toDF("doc_id", "text", "source")
+    // Independent Scala replay of the definition.
+    val rows = docs.collect().map(r =>
+      (r.getLong(0), r.getString(2), normToks(r.getString(1))))
+    val lineOcc = rows.flatMap { case (id, src, ts) =>
+      (0 to ts.length - 4 by 4).map(i =>
+        (id, src, ts.slice(i, i + 4).mkString(" ")))
+    }
+    val boiler = lineOcc.map { case (id, _, l) => (l, id) }.distinct
+      .groupBy(_._1).filter(_._2.length >= 2).keySet
+    val expected = rows.map { case (id, src, ts) =>
+      val mine = lineOcc.filter(_._1 == id)
+      val removed = mine.count(o => boiler(o._3))
+      (id, src, ts.length.toLong, mine.length.toLong, removed.toLong)
+    }
+    val expBySrc = expected.groupBy(_._2).map { case (src, ds) =>
+      src -> (ds.length.toLong, ds.count(_._5 > 0).toLong,
+        ds.map(_._4).sum, ds.map(_._5).sum, ds.map(_._3).sum,
+        ds.map(d => d._3 - d._5 * 4).sum)
+    }
+    val out = TextDedup.lineDedup(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(out.keySet == expBySrc.keySet)
+    expBySrc.foreach { case (src, e) => assert(out(src) == e, s"src=$src") }
+    // Sanity on the planted values: boiler lines are exactly the two.
+    assert(boiler == Set("a b c d", "e f g h"))
+    assert(out("s") == (4L, 4L, 8L, 6L, 33L, 9L))
+    assert(out("t") == (1L, 0L, 2L, 0L, 8L, 8L))
+  }
+
+  test("crossDocSpanScrub replays the Lee-style covered-position union") {
+    // Pair tier from the operator's own LSH machinery (the replay takes
+    // the emitted pairs as given and recomputes the positional cover
+    // exactly): exact dup 0/1 → full cover; 2 = one word changed → all
+    // positions except those ONLY coverable by a 4-gram containing the
+    // changed token; 3 unrelated → untouched.
+    val docs = Seq(
+      (0L, base, "s"), (1L, base, "s"), (2L, nearDup, "s"),
+      (3L, unrelated, "s")
+    ).toDF("doc_id", "text", "source")
+    val pairs = TextDedup
+      .minhashLshPairs(docs, "doc_id", "text", k = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)), "exact pair must be in the tier")
+    val toks = docs.collect()
+      .map(r => r.getLong(0) -> normToks(r.getString(1))).toMap
+    def grams(ts: Array[String]): IndexedSeq[String] =
+      (0 to ts.length - 4).map(i => ts.slice(i, i + 4).mkString(" "))
+    val directed = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val removed: Map[Long, Long] = directed.groupBy(_._1).map {
+      case (victim, ps) =>
+        val g = grams(toks(victim))
+        val cover = ps.map(_._2).flatMap { partner =>
+          val pg = grams(toks(partner)).toSet
+          g.indices.filter(i => pg(g(i))).flatMap(i => i to i + 3)
+        }.toSet
+        victim -> cover.size.toLong
+    }
+    val expTokens = toks.values.map(_.length.toLong).sum
+    val expRemoved = removed.values.sum
+    val out = TextDedup
+      .crossDocSpanScrub(docs, "doc_id", "text", "source", n = 4, k = 8,
+        threshold = 0.5)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 4L) // n_docs
+    assert(r.getLong(2) == directed.map(_._1).distinct.length.toLong)
+    assert(r.getLong(3) == removed.count(_._2 > 0).toLong)
+    assert(r.getLong(4) == expTokens)
+    assert(r.getLong(5) == expTokens - expRemoved)
+    assert(r.getLong(6) == (expRemoved * 1000000L) / expTokens)
+    // The exact-dup docs are fully covered: the scrub sees the whole doc.
+    assert(removed(0L) == toks(0L).length.toLong)
+  }
 }

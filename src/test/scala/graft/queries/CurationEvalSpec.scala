@@ -192,10 +192,12 @@ class CurationEvalSpec extends SparkSpec {
     val out = ExtQueries.retrievalEval(spark, sf001).collect()
       .map(r => r.getAs[String]("system") ->
         (r.getAs[Long]("n_queries"), r.getAs[Long]("n_found"),
-          r.getAs[Long]("hit_at3_ppm"), r.getAs[Long]("mrr_e6"))).toMap
+          r.getAs[Long]("hit_at3_ppm"), r.getAs[Long]("mrr_e6"),
+          r.getAs[Long]("hit_se_ppm"), r.getAs[Long]("mrr_se_e6"))).toMap
     assert(out.keySet === Set("brute", "lsh", "ivf", "pq", "ivfadc"))
-    // the exact tier certifies the harness: true NN is its own rank 1
-    assert(out("brute") === (10L, 10L, 1000000L, 1000000L))
+    // the exact tier certifies the harness: true NN is its own rank 1,
+    // and when ALL queries agree the jackknife SE is zero by construction
+    assert(out("brute") === (10L, 10L, 1000000L, 1000000L, 0L, 0L))
     // replay each system from its own (already-specced) output
     val truth = ExtQueries.annBruteTopK(spark, sf001)
       .filter(col("rank") === 1).collect()
@@ -213,11 +215,22 @@ class CurationEvalSpec extends SparkSpec {
       val hits = ranks.filter { case (q, n, _) => truth.get(q).contains(n) }
       val nFound = hits.length.toLong
       val sumRr = hits.map(h => 1000000L / h._3).sum
-      val (gq, gf, gh, gm) = out(nm)
+      val sumRr2 = hits.map { h => val rr = 1000000L / h._3; rr * rr }.sum
+      val (gq, gf, gh, gm, ghse, gmse) = out(nm)
       assert(gq === truth.size.toLong, s"n_queries at $nm")
       assert(gf === nFound, s"n_found at $nm")
       assert(gh === nFound * 1000000L / truth.size, s"hit ppm at $nm")
       assert(gm === sumRr / truth.size, s"mrr at $nm")
+      // jackknife SE replay: closed form sqrt((nΣx² − (Σx)²)/(n²(n−1)));
+      // for the 0/1 hit indicator Σx² = Σx, and the ppm scale rides
+      // inside the rounding exactly as the operator computes it
+      val n = truth.size.toLong
+      assert(ghse === math.round(math.sqrt(
+        (n * nFound - nFound * nFound).toDouble /
+          (n.toDouble * n * (n - 1))) * 1e6), s"hit se at $nm")
+      assert(gmse === math.round(math.sqrt(
+        (n * sumRr2 - sumRr * sumRr).toDouble /
+          (n.toDouble * n * (n - 1)))), s"mrr se at $nm")
     }
     // at least one approximate tier finds at least one true NN
     assert(out.filterKeys(_ != "brute").values.exists(_._2 > 0))
@@ -707,7 +720,8 @@ class CurationEvalSpec extends SparkSpec {
     val out = Analytics.recommenderHoldout(spark, sf001).collect()
       .map(r => r.getAs[Int]("k") ->
         (r.getAs[Long]("n_evals"), r.getAs[Long]("n_cold"),
-          r.getAs[Long]("n_hits"), r.getAs[Long]("hitrate_ppm"))).toMap
+          r.getAs[Long]("n_hits"), r.getAs[Long]("hitrate_ppm"),
+          r.getAs[Long]("hit_se_ppm"))).toMap
     assert(out.keySet === Set(1, 2, 3))
     val orders = graft.model.Tables.orders(spark, sf001)
       .select(col("o_orderkey").as("oid"),
@@ -739,13 +753,18 @@ class CurationEvalSpec extends SparkSpec {
       if (hits.isEmpty) None else Some(hits.min)
     }
     (1 to 3).foreach { k =>
-      val (gne, gnc, gh, gr) = out(k)
+      val (gne, gnc, gh, gr, gse) = out(k)
       val h = minRanks.count(_ <= k).toLong
       assert(gne === evalPairs.length.toLong, s"n_evals at $k")
       assert(gnc === nCold, s"n_cold at $k")
       assert(gh === h, s"hits at $k")
       assert(gr === (if (evalPairs.isEmpty) 0L
         else h * 1000000L / evalPairs.length), s"rate at $k")
+      // jackknife SE of the 0/1 hit mean: sqrt((n·S − S²)/(n²(n−1)))·1e6
+      val n = evalPairs.length.toLong
+      val expSe = if (n <= 1) 0L else math.round(math.sqrt(
+        (n * h - h * h).toDouble / (n.toDouble * n * (n - 1))) * 1e6)
+      assert(gse === expSe, s"hit se at $k")
     }
     // the eval is exercised: some hit exists and hit@3 >= hit@1
     assert(out(3)._3 >= out(1)._3)
