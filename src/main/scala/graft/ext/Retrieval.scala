@@ -289,4 +289,59 @@ object Retrieval {
         col("score_micro").cast("long").as("score_micro"))
       .orderBy("query_id", "rank")
   }
+
+  /** The exact-integer RBO@k weight for depth d at p = 9/10 over the
+    * common denominator 2520·10^k: 9^{d−1}·10^{k−d}·(2520/d). 2520 =
+    * lcm(1..10) clears every 1/d for k ≤ 10. */
+  private[graft] def rboWeight(d: Int, k: Int): Long =
+    (BigInt(9).pow(d - 1) * BigInt(10).pow(k - d) * (2520 / d)).toLong
+
+  /** RANK-BIASED OVERLAP between two top-k rankings (Webber, Moffat &
+    * Zobel, TOIS 2010) at p = 9/10 — the ranker-agreement metric the
+    * retrieval family needs once it carries more than one ranker (BM25
+    * q186, QL q270, the dense tiers): unlike Kendall/Spearman it
+    * weights the head, and it is defined for non-conjoint lists.
+    *
+    *   RBO@k = (1−p) Σ_{d=1..k} p^{d−1} · |A_{1..d} ∩ B_{1..d}| / d
+    *
+    * Exact rational contract: a doc common to both lists ENTERS the
+    * overlap at depth max(rank_A, rank_B), so X_d = #{pairs: max ≤ d};
+    * with p = 9/10 every term is rational over the common denominator
+    * 2520·10^k (2520 = lcm(1..10)), so the sum is one integer weighted
+    * count and rbo needs one DECIMAL(38,0) floor division — no floats.
+    * Two readouts: `rbo_min_ppm` (the truncated prefix sum — the mass
+    * p^k beyond depth k stays unassigned, so identical lists score
+    * 1 − p^k ≈ 0.651) and `rbo_norm_ppm` (normalized by 1 − p^k:
+    * identical lists score exactly 10⁶ up to the floor).
+    *
+    * Scale shape: inputs are |Q|·k relations by contract; the match
+    * join is (query, doc)-keyed; the depth spine is a k-row broadcast
+    * nonequi join (≤ k² rows per query). Nothing corpus-sized. */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 10, s"k must be in 1..10 (2520 clears 1/d), got $k")
+    val spark = a.sparkSession
+    import spark.implicits._
+    val m = a.select(col("query_id"), col("doc_id"), col("rank").as("ra"))
+      .join(b.select(col("query_id"), col("doc_id"), col("rank").as("rb")),
+        Seq("query_id", "doc_id"))
+      .select(col("query_id"), greatest(col("ra"), col("rb")).as("m"))
+      .localCheckpoint() // |Q|·k at most; read by the spine join + count
+    val spine = (1 to k).map(d => d -> rboWeight(d, k)).toDF("d", "wt")
+    val num = m.join(broadcast(spine), col("m") <= col("d"))
+      .groupBy("query_id").agg(sum(col("wt")).as("num"))
+    val denMin = (BigInt(2520) * BigInt(10).pow(k)).toLong
+    val denNorm = (BigInt(2520) * (BigInt(10).pow(k) - BigInt(9).pow(k))).toLong
+    val nc = m.groupBy("query_id").agg(count(lit(1)).as("n_common"))
+    a.select("query_id").distinct()
+      .join(nc, Seq("query_id"), "left")
+      .join(num, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_common", "num"))
+      .select(col("query_id"),
+        col("n_common").cast("long").as("n_common"),
+        expr(s"CAST(CAST(num AS DECIMAL(38,0)) * 1000000 div $denMin " +
+          "AS BIGINT)").as("rbo_min_ppm"),
+        expr(s"CAST(CAST(num AS DECIMAL(38,0)) * 1000000 div $denNorm " +
+          "AS BIGINT)").as("rbo_norm_ppm"))
+      .orderBy("query_id")
+  }
 }

@@ -1015,6 +1015,47 @@ object Similarity {
                       k: Int = 5, nPlanes: Int = 4, dim: Int = 64,
                       nProbe: Long = 64): DataFrame = {
     require(k >= 1 && nProbe >= 1, s"need k>=1, nProbe>=1; got $k, $nProbe")
+    val (c, seed, descent) = knnStages(corpus, idCol, embCol, k, nPlanes, dim)
+    val probe = c.filter(col("id") < nProbe)
+      .select(col("id").as("pid"), col("emb").as("p_emb"),
+        col("nrm").as("p_nrm"))
+    val exactScored = c.crossJoin(broadcast(probe))
+      .filter(col("id") =!= col("pid"))
+      .select(col("pid").as("qid"), col("id").as("nid"),
+        round(dot(col("p_emb"), col("emb")) / (col("p_nrm") * col("nrm")), 4)
+          .as("score"))
+    val exactK = graft.operators.Skew.saltedTopKPerGroup(
+        exactScored.withColumnRenamed("qid", "id"), Seq("id"),
+        Seq(col("score").desc, col("nid")), k, salts = 8)
+      .select("id", "nid")
+      .localCheckpoint() // read by both stage readouts
+    def stageRow(g: DataFrame, stage: String): DataFrame = {
+      val nodes = g.select("id").distinct().agg(count(lit(1)).as("n_nodes"))
+      val edges = g.agg(count(lit(1)).as("n_edges"))
+      val nEx = exactK.agg(count(lit(1)).as("n_exact"))
+      val nHit = exactK.join(g, Seq("id", "nid"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      edges.crossJoin(broadcast(nodes)).crossJoin(broadcast(nEx))
+        .crossJoin(broadcast(nHit)) // 1-row scalar broadcasts only
+        .select(lit(stage).as("stage"),
+          col("n_nodes").cast("long").as("n_nodes"),
+          col("n_edges").cast("long").as("n_edges"),
+          col("n_exact").cast("long").as("n_exact"),
+          col("n_hit").cast("long").as("n_hit"),
+          expr("CASE WHEN n_exact = 0 THEN 0 " +
+            "ELSE n_hit * 1000000 div n_exact END").as("recall_ppm"))
+    }
+    stageRow(seed, "seed").unionAll(stageRow(descent, "descent"))
+      .orderBy("stage")
+  }
+
+  /** The q267 pipeline's three staged relations — the corpus projection
+    * (id, emb, nrm, b1, b2), the two-table-seeded k-NN edges, and the
+    * post-descent k-NN edges — shared by the q267 recall report and the
+    * q276 label-noise probe (which consumes the descent graph). */
+  private[ext] def knnStages(corpus: DataFrame, idCol: String,
+                             embCol: String, k: Int, nPlanes: Int,
+                             dim: Int): (DataFrame, DataFrame, DataFrame) = {
     val c = graft.model.Tables.fanOut(corpus)
       .select(col(idCol).as("id"), col(embCol).as("emb"),
         l2norm(col(embCol)).as("nrm"),
@@ -1060,36 +1101,55 @@ object Similarity {
         round(dot(col("emb"), col("n_emb")) / (col("nrm") * col("n_nrm")), 4)
           .as("score"))
     val descent = topK(rescored).select("id", "nid").localCheckpoint()
-    val probe = c.filter(col("id") < nProbe)
-      .select(col("id").as("pid"), col("emb").as("p_emb"),
-        col("nrm").as("p_nrm"))
-    val exactScored = c.crossJoin(broadcast(probe))
-      .filter(col("id") =!= col("pid"))
-      .select(col("pid").as("qid"), col("id").as("nid"),
-        round(dot(col("p_emb"), col("emb")) / (col("p_nrm") * col("nrm")), 4)
-          .as("score"))
-    val exactK = graft.operators.Skew.saltedTopKPerGroup(
-        exactScored.withColumnRenamed("qid", "id"), Seq("id"),
-        Seq(col("score").desc, col("nid")), k, salts = 8)
-      .select("id", "nid")
-      .localCheckpoint() // read by both stage readouts
-    def stageRow(g: DataFrame, stage: String): DataFrame = {
-      val nodes = g.select("id").distinct().agg(count(lit(1)).as("n_nodes"))
-      val edges = g.agg(count(lit(1)).as("n_edges"))
-      val nEx = exactK.agg(count(lit(1)).as("n_exact"))
-      val nHit = exactK.join(g, Seq("id", "nid"), "left_semi")
-        .agg(count(lit(1)).as("n_hit"))
-      edges.crossJoin(broadcast(nodes)).crossJoin(broadcast(nEx))
-        .crossJoin(broadcast(nHit)) // 1-row scalar broadcasts only
-        .select(lit(stage).as("stage"),
-          col("n_nodes").cast("long").as("n_nodes"),
-          col("n_edges").cast("long").as("n_edges"),
-          col("n_exact").cast("long").as("n_exact"),
-          col("n_hit").cast("long").as("n_hit"),
-          expr("CASE WHEN n_exact = 0 THEN 0 " +
-            "ELSE n_hit * 1000000 div n_exact END").as("recall_ppm"))
-    }
-    stageRow(seed, "seed").unionAll(stageRow(descent, "descent"))
-      .orderBy("stage")
+    (c, seed, descent)
+  }
+
+  /** LABEL-NOISE detection by k-NN disagreement (q276 — the edited-
+    * nearest-neighbor rule of Wilson 1972, the cheap ancestor of
+    * confident learning): a labeled vector whose neighbors' majority
+    * label disagrees with its own is a mislabel suspect — the triage
+    * list a labeling pipeline re-reviews first. Neighbors come from the
+    * q267 two-table-LSH + one-descent k-NN graph (the candidate-
+    * restricted 100 TB path; its measured recall is exactly q267's
+    * published readout — stated tradeoff, never corpus²). Majority =
+    * argmax neighbor-label count, ties to the smallest label (the LPA
+    * convention); vectors the graph left neighborless are counted
+    * separately, never silently folded in. Per label: vector count,
+    * neighborless count, suspects, suspect ppm (over voted vectors).
+    *
+    * Scale shape: the graph is |V|·k edges; one edge-keyed label join,
+    * one (id, label) count, one degree-bounded argmax window (≤ k rows
+    * per id), label-keyed rollup. */
+  def labelNoiseByKnn(corpus: DataFrame, idCol: String, embCol: String,
+                      labelCol: String, k: Int = 5, nPlanes: Int = 4,
+                      dim: Int = 64): DataFrame = {
+    val (_, _, descent) = knnStages(corpus, idCol, embCol, k, nPlanes, dim)
+    val labels = corpus.select(col(idCol).as("id"),
+      col(labelCol).cast("long").as("label")).localCheckpoint()
+    val votes = descent
+      .join(labels.select(col("id").as("nid"), col("label").as("nlab")),
+        Seq("nid"))
+      .groupBy("id", "nlab").agg(count(lit(1)).as("c"))
+    val wr = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("c").desc, col("nlab")) // ≤ k rows per id
+    val majority = votes.withColumn("rk", row_number().over(wr))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("nlab").as("maj_label"))
+    labels.join(majority, Seq("id"), "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("maj_label").isNull, 1L).otherwise(0L))
+          .as("n_no_neighbors"),
+        sum(when(col("maj_label").isNotNull &&
+          col("maj_label") =!= col("label"), 1L).otherwise(0L))
+          .as("n_suspect"))
+      .select(col("label"),
+        col("n_vectors").cast("long").as("n_vectors"),
+        col("n_no_neighbors").cast("long").as("n_no_neighbors"),
+        col("n_suspect").cast("long").as("n_suspect"),
+        expr("CASE WHEN n_vectors - n_no_neighbors = 0 THEN 0 " +
+          "ELSE n_suspect * 1000000 div (n_vectors - n_no_neighbors) END")
+          .as("suspect_ppm"))
+      .orderBy("label")
   }
 }

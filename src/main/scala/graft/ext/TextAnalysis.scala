@@ -1049,6 +1049,70 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** DISTINCT-n DIVERSITY per source (Li et al. 2016's distinct-1/2 —
+    * the lexical-diversity readout generation pipelines publish, and a
+    * crawl-health probe for corpora: boilerplate floods crater
+    * distinct-2/3 long before doc-level dedup sees anything): for
+    * n ∈ {1, 2, 3}, the number of distinct word n-grams over the total
+    * n-gram count, per source, in exact floor ppm. n-grams ride as
+    * full-span rolling hashes (the q260 kernel) — no n-gram string is
+    * ever shuffled.
+    *
+    * Scale shape: one scan-side kernel projection per n feeds a
+    * (source, hash)-keyed count (map-side partial) and a source-keyed
+    * total; everything after is |sources|·3 rows. */
+  def distinctNgramDiversity(docs: DataFrame, idCol: String,
+                             srcCol: String, textCol: String): DataFrame = {
+    val t = normText(col(textCol))
+    val perN = Seq(1, 2, 3).map { n =>
+      val h = fanOut(docs)
+        .select(col(srcCol).as("source"),
+          explode(graft.functions.TextKernelOps.wordNgramHashFull(t, n))
+            .as("h"))
+      h.groupBy("source", "h").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_distinct"), sum("c").as("n_total"))
+        .select(col("source"), lit(n).cast("int").as("n"),
+          col("n_total").cast("long").as("n_total"),
+          col("n_distinct").cast("long").as("n_distinct"),
+          expr("n_distinct * 1000000 div n_total").as("distinct_ppm"))
+    }
+    perN.reduce(_ unionAll _).orderBy("source", "n")
+  }
+
+  /** GOOD–TURING COVERAGE + CHAO1 RICHNESS per source (Good 1953; Chao
+    * 1984) — "how much of this source's vocabulary have we actually
+    * seen?", the question behind deciding whether more crawling of a
+    * source buys new content or re-downloads: the Good–Turing unseen
+    * probability mass P₀ = N₁/N (N₁ = hapax count), sample coverage
+    * C = 1 − P₀, and the bias-corrected Chao1 estimate of the TRUE
+    * vocabulary size V + N₁(N₁−1)/(2(N₂+1)) (defined even when no
+    * doubletons exist). All ratios exact floor ppm; Chao1's correction
+    * is one integer floor division.
+    *
+    * Scale shape: one (source, term)-keyed count off the scan (map-side
+    * partial), then one source-keyed rollup of conditional counts —
+    * |sources| rows after the single vocabulary shuffle, no windows. */
+  def goodTuringCoverage(docs: DataFrame, idCol: String, srcCol: String,
+                         textCol: String): DataFrame =
+    fanOut(docs)
+      .select(col(srcCol).as("source"),
+        explode(tokens(normText(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("source", "w").agg(count(lit(1)).as("freq"))
+      .groupBy("source")
+      .agg(sum("freq").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("freq") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("freq") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("source"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("vocab").cast("long").as("vocab"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        expr("n1 * 1000000 div n_tokens").as("unseen_ppm"),
+        expr("(n_tokens - n1) * 1000000 div n_tokens").as("coverage_ppm"),
+        expr("vocab + n1 * (n1 - 1) div (2 * (n2 + 1))").as("chao1_vocab"))
+      .orderBy("source")
+
   /** ZIPF RANK-FREQUENCY FIT per source (Zipf's law — the corpus "law"
     * check a data card quotes; a crawl whose exponent drifts far from
     * −1 is usually boilerplate-flooded or truncated): OLS of

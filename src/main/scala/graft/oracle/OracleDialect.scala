@@ -518,6 +518,66 @@ object OracleDialect {
        |ORDER BY side, score_e6 DESC, node""".stripMargin
   }
 
+  /** q274 sampled-betweenness oracle (generated): Brandes' two passes
+    * UNROLLED — 6 forward BFS/path-count layers (anti-joined against
+    * the accumulated visited set) then 6 backward dependency layers,
+    * every layer MATERIALIZED (each is read by the next layer AND the
+    * final rollup; inlining would nest the plan exponentially). All σ
+    * sums HUGEINT; each δ term is the all-positive floor division
+    * ⌊σv·(10⁶+δw)/σw⌋, mirroring the Spark DECIMAL(38,0) contract. */
+  private[graft] lazy val betweennessSql: String = {
+    val depth = 6
+    val fwd = (1 to depth).map { t =>
+      s"""ex$t AS (SELECT f.src, dd.v AS node, SUM(f.sigma) AS sigma
+         |        FROM l${t - 1} f JOIN dd ON dd.u = f.node GROUP BY 1, 2),
+         |l$t AS MATERIALIZED (SELECT e.src, e.node, e.sigma
+         |      FROM ex$t e LEFT JOIN vis${t - 1} s
+         |        ON s.src = e.src AND s.node = e.node
+         |      WHERE s.node IS NULL),
+         |vis$t AS MATERIALIZED (SELECT * FROM vis${t - 1}
+         |       UNION ALL SELECT src, node FROM l$t)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((depth - 1) to 0 by -1).map { t =>
+      s"""c$t AS (SELECT cur.src, cur.node,
+         |        SUM((cur.sigma * (1000000 + dn.delta)) // dn.sigma) AS dsum
+         |      FROM l$t cur JOIN dd ON dd.u = cur.node
+         |      JOIN d${t + 1} dn ON dn.src = cur.src AND dn.node = dd.v
+         |      GROUP BY 1, 2),
+         |d$t AS MATERIALIZED (SELECT cur.src, cur.node, cur.sigma,
+         |      CAST(COALESCE(c$t.dsum, 0) AS HUGEINT) AS delta
+         |      FROM l$t cur LEFT JOIN c$t
+         |        ON c$t.src = cur.src AND c$t.node = cur.node)""".stripMargin
+    }.mkString(",\n")
+    val allLayers = (0 to depth)
+      .map(t => s"SELECT src, node, delta FROM d$t")
+      .mkString("\n       UNION ALL ")
+    s"""WITH it AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+       |            FROM lineitem),
+       |prx AS (SELECT a.item AS u, b.item AS v
+       |        FROM it a JOIN it b ON a.oid = b.oid AND a.item < b.item
+       |        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |dd AS (SELECT u, v FROM prx UNION ALL SELECT v, u FROM prx),
+       |srcs AS (SELECT DISTINCT u AS src FROM dd ORDER BY src LIMIT 4),
+       |l0 AS MATERIALIZED (SELECT src, src AS node,
+       |      CAST(1 AS HUGEINT) AS sigma FROM srcs),
+       |vis0 AS (SELECT src, node FROM l0),
+       |$fwd,
+       |d$depth AS MATERIALIZED (SELECT src, node, sigma,
+       |      CAST(0 AS HUGEINT) AS delta FROM l$depth),
+       |$bwd,
+       |alls AS ($allLayers),
+       |bc AS (SELECT node, SUM(delta) AS ds, COUNT(*) AS nr
+       |       FROM alls WHERE node <> src GROUP BY node),
+       |nn AS (SELECT COUNT(DISTINCT u) AS n_nodes FROM dd),
+       |ns AS (SELECT COUNT(*) AS n_src FROM srcs)
+       |SELECT CAST(node AS BIGINT) AS node,
+       |       CAST(nr AS BIGINT) AS n_sources_reaching,
+       |       CAST(ds AS BIGINT) AS delta_sum_e6,
+       |       CAST(ds * n_nodes // (2 * n_src) AS BIGINT) AS bc_est_e6
+       |FROM bc CROSS JOIN nn CROSS JOIN ns
+       |ORDER BY delta_sum_e6 DESC, node LIMIT 20""".stripMargin
+  }
+
   /** q262 IVF probe sweep oracle (generated): the q49 centroid-probe
     * chain at k = 5 for nprobe ∈ {1, 2, 4}, each setting's hits counted
     * against the brute top-5. */

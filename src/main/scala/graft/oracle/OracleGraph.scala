@@ -356,5 +356,8 @@ object OracleGraph {
 
     // HITS hubs/authorities (generated — see hitsSql).
     "q264_hits" -> hitsSql,
+
+    // Sampled betweenness (generated — see betweennessSql).
+    "q274_betweenness" -> betweennessSql,
   )
 }

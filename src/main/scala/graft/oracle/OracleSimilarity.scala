@@ -8,6 +8,54 @@ import graft.oracle.OracleDialect._
   * domain maps, and OracleSplitSpec pins key-set equality with the
   * query registry. */
 object OracleSimilarity {
+  /** RBO@10 depth weights over the 2520·10¹⁰ common denominator — the
+    * same Scala constants the operator uses (Retrieval.rboWeight). */
+  private val rboWtValues: String = (1 to 10)
+    .map(d => s"($d, ${graft.ext.Retrieval.rboWeight(d, 10)})")
+    .mkString(", ")
+  private val rboDenMin: String =
+    (BigInt(2520) * BigInt(10).pow(10)).toString
+  private val rboDenNorm: String =
+    (BigInt(2520) * (BigInt(10).pow(10) - BigInt(9).pow(10))).toString
+
+  /** The q267 two-table-seed + one-descent k-NN graph as a CTE chain
+    * ending at `ds` (the descent edges) — shared verbatim by the q267
+    * recall report and the q276 label-noise probe. */
+  private val knnDescentCtes: String =
+    s"""bk AS (SELECT vec_id, emb, nrm,
+       |    (CASE WHEN list_dot_product(emb, ${planeLit(0)}::DOUBLE[]) > 0 THEN 1 ELSE 0 END)
+       |  + (CASE WHEN list_dot_product(emb, ${planeLit(1)}::DOUBLE[]) > 0 THEN 2 ELSE 0 END)
+       |  + (CASE WHEN list_dot_product(emb, ${planeLit(2)}::DOUBLE[]) > 0 THEN 4 ELSE 0 END)
+       |  + (CASE WHEN list_dot_product(emb, ${planeLit(3)}::DOUBLE[]) > 0 THEN 8 ELSE 0 END) AS b1,
+       |    (CASE WHEN list_dot_product(emb, ${planeRowLit(4)}::DOUBLE[]) > 0 THEN 1 ELSE 0 END)
+       |  + (CASE WHEN list_dot_product(emb, ${planeRowLit(5)}::DOUBLE[]) > 0 THEN 2 ELSE 0 END)
+       |  + (CASE WHEN list_dot_product(emb, ${planeRowLit(6)}::DOUBLE[]) > 0 THEN 4 ELSE 0 END)
+       |  + (CASE WHEN list_dot_product(emb, ${planeRowLit(7)}::DOUBLE[]) > 0 THEN 8 ELSE 0 END) AS b2
+       |  FROM nm),
+       |sp AS (SELECT x.vec_id AS id, y.vec_id AS nid,
+       |         ROUND(list_dot_product(x.emb, y.emb)/(x.nrm*y.nrm), 4) AS score
+       |       FROM bk x JOIN bk y
+       |         ON x.b1 = y.b1 AND x.vec_id <> y.vec_id
+       |       UNION
+       |       SELECT x.vec_id, y.vec_id,
+       |         ROUND(list_dot_product(x.emb, y.emb)/(x.nrm*y.nrm), 4)
+       |       FROM bk x JOIN bk y
+       |         ON x.b2 = y.b2 AND x.vec_id <> y.vec_id),
+       |sd AS (SELECT id, nid FROM (SELECT *, row_number() OVER (
+       |           PARTITION BY id ORDER BY score DESC, nid) AS rk FROM sp) z
+       |       WHERE rk <= 5),
+       |ud AS (SELECT id, nid FROM sd UNION SELECT nid, id FROM sd),
+       |c2 AS (SELECT a.id, b.nid FROM ud a JOIN ud b ON b.id = a.nid
+       |       WHERE b.nid <> a.id),
+       |ca AS (SELECT id, nid FROM sd UNION SELECT id, nid FROM c2),
+       |rs AS (SELECT ca.id, ca.nid,
+       |         ROUND(list_dot_product(x.emb, y.emb)/(x.nrm*y.nrm), 4) AS score
+       |       FROM ca JOIN nm x ON x.vec_id = ca.id
+       |       JOIN nm y ON y.vec_id = ca.nid),
+       |ds AS (SELECT id, nid FROM (SELECT *, row_number() OVER (
+       |           PARTITION BY id ORDER BY score DESC, nid) AS rk FROM rs) z
+       |       WHERE rk <= 5)""".stripMargin
+
   private[graft] val sql: Map[String, String] = Map(
     "q36_embed_near_dup" ->
       s"""WITH $embCte
@@ -807,39 +855,7 @@ object OracleSimilarity {
     // the vec_id < 64 probe nodes.
     "q267_knn_descent" ->
       s"""WITH $embCte,
-         |bk AS (SELECT vec_id, emb, nrm,
-         |    (CASE WHEN list_dot_product(emb, ${planeLit(0)}::DOUBLE[]) > 0 THEN 1 ELSE 0 END)
-         |  + (CASE WHEN list_dot_product(emb, ${planeLit(1)}::DOUBLE[]) > 0 THEN 2 ELSE 0 END)
-         |  + (CASE WHEN list_dot_product(emb, ${planeLit(2)}::DOUBLE[]) > 0 THEN 4 ELSE 0 END)
-         |  + (CASE WHEN list_dot_product(emb, ${planeLit(3)}::DOUBLE[]) > 0 THEN 8 ELSE 0 END) AS b1,
-         |    (CASE WHEN list_dot_product(emb, ${planeRowLit(4)}::DOUBLE[]) > 0 THEN 1 ELSE 0 END)
-         |  + (CASE WHEN list_dot_product(emb, ${planeRowLit(5)}::DOUBLE[]) > 0 THEN 2 ELSE 0 END)
-         |  + (CASE WHEN list_dot_product(emb, ${planeRowLit(6)}::DOUBLE[]) > 0 THEN 4 ELSE 0 END)
-         |  + (CASE WHEN list_dot_product(emb, ${planeRowLit(7)}::DOUBLE[]) > 0 THEN 8 ELSE 0 END) AS b2
-         |  FROM nm),
-         |sp AS (SELECT x.vec_id AS id, y.vec_id AS nid,
-         |         ROUND(list_dot_product(x.emb, y.emb)/(x.nrm*y.nrm), 4) AS score
-         |       FROM bk x JOIN bk y
-         |         ON x.b1 = y.b1 AND x.vec_id <> y.vec_id
-         |       UNION
-         |       SELECT x.vec_id, y.vec_id,
-         |         ROUND(list_dot_product(x.emb, y.emb)/(x.nrm*y.nrm), 4)
-         |       FROM bk x JOIN bk y
-         |         ON x.b2 = y.b2 AND x.vec_id <> y.vec_id),
-         |sd AS (SELECT id, nid FROM (SELECT *, row_number() OVER (
-         |           PARTITION BY id ORDER BY score DESC, nid) AS rk FROM sp) z
-         |       WHERE rk <= 5),
-         |ud AS (SELECT id, nid FROM sd UNION SELECT nid, id FROM sd),
-         |c2 AS (SELECT a.id, b.nid FROM ud a JOIN ud b ON b.id = a.nid
-         |       WHERE b.nid <> a.id),
-         |ca AS (SELECT id, nid FROM sd UNION SELECT id, nid FROM c2),
-         |rs AS (SELECT ca.id, ca.nid,
-         |         ROUND(list_dot_product(x.emb, y.emb)/(x.nrm*y.nrm), 4) AS score
-         |       FROM ca JOIN nm x ON x.vec_id = ca.id
-         |       JOIN nm y ON y.vec_id = ca.nid),
-         |ds AS (SELECT id, nid FROM (SELECT *, row_number() OVER (
-         |           PARTITION BY id ORDER BY score DESC, nid) AS rk FROM rs) z
-         |       WHERE rk <= 5),
+         |$knnDescentCtes,
          |pb AS (SELECT vec_id AS pid, emb, nrm FROM nm WHERE vec_id < 64),
          |ex AS (SELECT pb.pid AS id, c.vec_id AS nid,
          |         ROUND(list_dot_product(pb.emb, c.emb)/(pb.nrm*c.nrm), 4)
@@ -902,6 +918,101 @@ object OracleSimilarity {
          |       CAST(score_micro AS BIGINT) AS score_micro
          |FROM rk WHERE rnk <= 10
          |ORDER BY query_id, rank""".stripMargin,
+
+    // Label-noise by k-NN disagreement over the q267 descent graph:
+    // neighbor-label majority (ties smallest), suspects per label.
+    "q276_label_noise" ->
+      s"""WITH $embCte,
+         |$knnDescentCtes,
+         |lb AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label
+         |       FROM embeddings),
+         |vt AS (SELECT ds.id, lb.label AS nlab, COUNT(*) AS c
+         |       FROM ds JOIN lb ON lb.id = ds.nid GROUP BY 1, 2),
+         |mj AS (SELECT id, nlab AS maj_label FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY id
+         |           ORDER BY c DESC, nlab) AS rk FROM vt) z
+         |       WHERE rk = 1)
+         |SELECT lb.label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |       CAST(SUM(CASE WHEN mj.maj_label IS NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_no_neighbors,
+         |       CAST(SUM(CASE WHEN mj.maj_label IS NOT NULL
+         |                 AND mj.maj_label <> lb.label THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_suspect,
+         |       CAST(CASE WHEN COUNT(*) - SUM(CASE WHEN mj.maj_label IS NULL
+         |                 THEN 1 ELSE 0 END) = 0 THEN 0
+         |            ELSE SUM(CASE WHEN mj.maj_label IS NOT NULL
+         |                 AND mj.maj_label <> lb.label THEN 1 ELSE 0 END)
+         |                 * 1000000 // (COUNT(*) - SUM(CASE WHEN
+         |                 mj.maj_label IS NULL THEN 1 ELSE 0 END)) END
+         |         AS BIGINT) AS suspect_ppm
+         |FROM lb LEFT JOIN mj ON mj.id = lb.id
+         |GROUP BY lb.label
+         |ORDER BY lb.label""".stripMargin,
+
+    // Ranker agreement: RBO@10 (p = 9/10, exact rational over the
+    // 2520·10^10 denominator) between the q186 BM25 and q270 QL lists.
+    "q273_rbo_agreement" ->
+      s"""WITH $nCte, $tokCte,
+         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf
+         |       GROUP BY doc_id),
+         |dft AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+         |tot AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+         |ctf AS (SELECT w, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY w),
+         |q(query_id, w) AS (VALUES
+         |  (1, 'spark'), (1, 'hash'), (1, 'join'),
+         |  (2, 'window'), (2, 'merge'), (2, 'sort'),
+         |  (3, 'stream'), (3, 'batch'), (3, 'data')),
+         |qi AS (SELECT q.query_id, q.w,
+         |         CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) * 1e6, 0)
+         |              AS BIGINT) AS idf_micro
+         |       FROM q JOIN dft USING (w) CROSS JOIN tot),
+         |scA AS (SELECT qi.query_id, tf.doc_id,
+         |         CAST(SUM(qi.idf_micro *
+         |           CAST(CAST(22 AS HUGEINT) * tf.tf * t * 1000000 //
+         |                (CAST(10 AS HUGEINT) * t * tf.tf + 3 * t + 9 * dl.dl * n)
+         |                AS BIGINT)) AS BIGINT) AS score_e12
+         |       FROM qi JOIN tf USING (w) JOIN dl USING (doc_id)
+         |            CROSS JOIN tot
+         |       GROUP BY qi.query_id, tf.doc_id),
+         |rkA AS (SELECT query_id, doc_id, rnk FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY score_e12 DESC, doc_id) AS rnk FROM scA) z
+         |        WHERE rnk <= 10),
+         |qt AS (SELECT q.query_id, q.w, ctf.ctf, tot.t
+         |       FROM q JOIN ctf USING (w) CROSS JOIN tot),
+         |nq AS (SELECT query_id, COUNT(*) AS nq FROM qt GROUP BY query_id),
+         |mtB AS (SELECT qt.query_id, tf.doc_id,
+         |         CAST(SUM(CAST(round(ln(1.0 + CAST(tf.tf AS DOUBLE) * qt.t
+         |           / (50.0 * qt.ctf)) * 1e6, 0) AS BIGINT)) AS BIGINT)
+         |           AS s_match
+         |       FROM qt JOIN tf USING (w)
+         |       GROUP BY 1, 2),
+         |scB AS (SELECT mtB.query_id, mtB.doc_id,
+         |         mtB.s_match + nq.nq * CAST(round(
+         |           ln(50.0 / (dl.dl + 50.0)) * 1e6, 0) AS BIGINT)
+         |           AS score_micro
+         |       FROM mtB JOIN dl USING (doc_id) JOIN nq USING (query_id)),
+         |rkB AS (SELECT query_id, doc_id, rnk FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY score_micro DESC, doc_id) AS rnk FROM scB) z
+         |        WHERE rnk <= 10),
+         |mm AS (SELECT a.query_id, GREATEST(a.rnk, b.rnk) AS m
+         |       FROM rkA a JOIN rkB b USING (query_id, doc_id)),
+         |wt(d, w8) AS (VALUES $rboWtValues),
+         |nm2 AS (SELECT mm.query_id,
+         |          CAST(SUM(CAST(w8 AS HUGEINT)) AS HUGEINT) AS num
+         |        FROM mm JOIN wt ON mm.m <= wt.d GROUP BY 1),
+         |nc AS (SELECT query_id, COUNT(*) AS n_common FROM mm GROUP BY 1),
+         |qs AS (SELECT DISTINCT query_id FROM rkA)
+         |SELECT qs.query_id,
+         |       CAST(COALESCE(nc.n_common, 0) AS BIGINT) AS n_common,
+         |       CAST(COALESCE(num, 0) * 1000000 // $rboDenMin AS BIGINT)
+         |         AS rbo_min_ppm,
+         |       CAST(COALESCE(num, 0) * 1000000 // $rboDenNorm AS BIGINT)
+         |         AS rbo_norm_ppm
+         |FROM qs LEFT JOIN nm2 USING (query_id) LEFT JOIN nc USING (query_id)
+         |ORDER BY query_id""".stripMargin,
 
     // Embedding-space drift: per-dim centroid shift (e6 ints,
     // sign-split floor division) + value-bin PSI between the even/odd

@@ -935,6 +935,59 @@ object OracleText {
          |FROM ag CROSS JOIN tu CROSS JOIN nc
          |ORDER BY predicted""".stripMargin,
 
+    // Good-Turing coverage + bias-corrected Chao1 richness per source.
+    "q272_good_turing" ->
+      s"""WITH $nCte, $tokCte,
+         |vb AS (SELECT d.source, tok.w, COUNT(*) AS freq
+         |       FROM tok JOIN documents d USING (doc_id)
+         |       WHERE tok.w <> '' GROUP BY 1, 2),
+         |ag AS (SELECT source, SUM(freq) AS n_tokens, COUNT(*) AS vocab,
+         |         SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS n1,
+         |         SUM(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS n2
+         |       FROM vb GROUP BY source)
+         |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(vocab AS BIGINT) AS vocab,
+         |       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |       CAST(n1 * 1000000 // n_tokens AS BIGINT) AS unseen_ppm,
+         |       CAST((n_tokens - n1) * 1000000 // n_tokens AS BIGINT)
+         |         AS coverage_ppm,
+         |       CAST(vocab + n1 * (n1 - 1) // (2 * (n2 + 1)) AS BIGINT)
+         |         AS chao1_vocab
+         |FROM ag
+         |ORDER BY source""".stripMargin,
+
+    // Distinct-n diversity per source: distinct/total word n-gram
+    // ratios for n = 1..3, hashed by the shared rolling kernel.
+    "q275_distinct_ngrams" ->
+      s"""WITH $nCte,
+         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+         |sm AS (SELECT d.doc_id, d.source, tk.toks
+         |       FROM documents d JOIN tk USING (doc_id)),
+         |g1 AS (SELECT source, ${fullHash("(toks[g])")} AS h
+         |       FROM (SELECT source, toks,
+         |               unnest(range(1, len(toks) + 1)) AS g FROM sm) z),
+         |g2 AS (SELECT source, ${fullHash("(toks[g] || ' ' || toks[g+1])")} AS h
+         |       FROM (SELECT source, toks,
+         |               unnest(range(1, len(toks))) AS g FROM sm) z),
+         |g3 AS (SELECT source, ${fullHash("(toks[g] || ' ' || toks[g+1] || ' ' || toks[g+2])")} AS h
+         |       FROM (SELECT source, toks,
+         |               unnest(range(1, len(toks) - 1)) AS g FROM sm) z),
+         |u AS (SELECT source, 1 AS n, COUNT(*) AS n_total,
+         |             COUNT(DISTINCT h) AS n_distinct FROM g1 GROUP BY source
+         |      UNION ALL
+         |      SELECT source, 2, COUNT(*), COUNT(DISTINCT h)
+         |      FROM g2 GROUP BY source
+         |      UNION ALL
+         |      SELECT source, 3, COUNT(*), COUNT(DISTINCT h)
+         |      FROM g3 GROUP BY source)
+         |SELECT source, CAST(n AS INT) AS n,
+         |       CAST(n_total AS BIGINT) AS n_total,
+         |       CAST(n_distinct AS BIGINT) AS n_distinct,
+         |       CAST(n_distinct * 1000000 // n_total AS BIGINT)
+         |         AS distinct_ppm
+         |FROM u
+         |ORDER BY source, n""".stripMargin,
+
     // Zipf rank-frequency fit: per-source OLS of ln(freq) on ln(rank)
     // over the top-100 vocabulary; negative numerators sign-split.
     "q271_zipf_fit" ->

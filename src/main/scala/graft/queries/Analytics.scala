@@ -2306,6 +2306,25 @@ object Analytics {
     graft.operators.Graph.lpaCommunities(edges)
   }
 
+  /** Sampled betweenness centrality of the repeat co-purchase graph
+    * (q274): [[graft.operators.Graph.sampledBetweenness]] over the same
+    * support-≥2 edge list as q223/q253/q263 — Brandes dependency
+    * accumulation from the 4 lowest-id sources, depth ≤ 6, top-20
+    * brokers; the shortest-path centrality beside PageRank (influence),
+    * coreness (cohesion) and LPA (community). */
+  def copurchaseBetweenness(spark: SparkSession, dir: String,
+                            minPairSupport: Long = 2): DataFrame = {
+    val it = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+      .distinct().localCheckpoint()
+    val edges = it.join(it.withColumnRenamed("item", "item2"), Seq("oid"))
+      .filter(col("item") < col("item2"))
+      .groupBy("item", "item2").agg(count(lit(1)).as("s"))
+      .filter(col("s") >= minPairSupport)
+      .select(col("item").as("u"), col("item2").as("v"))
+    graft.operators.Graph.sampledBetweenness(edges)
+  }
+
   /** Per-node local clustering coefficients of the repeat co-purchase
     * graph (q229) — the node-level graph feature that pairs with q223's
     * coreness in a feature table: lcc separates community members

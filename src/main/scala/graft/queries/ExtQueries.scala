@@ -1938,6 +1938,45 @@ object ExtQueries {
     TextAnalysis.zipfFit(Tables.documents(spark, dir), "doc_id",
       "source", "text")
 
+  /** Good–Turing coverage + Chao1 richness (q272):
+    * [[graft.ext.TextAnalysis.goodTuringCoverage]] — per-source unseen
+    * probability mass, sample coverage, and the bias-corrected Chao1
+    * estimate of the true vocabulary size. */
+  def goodTuringReport(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.goodTuringCoverage(Tables.documents(spark, dir),
+      "doc_id", "source", "text")
+
+  /** Ranker agreement by RBO (q273):
+    * [[graft.ext.Retrieval.rankBiasedOverlap]] — rank-biased overlap
+    * (p = 0.9) between the BM25 (q186) and Dirichlet-QL (q270) top-10
+    * lists on the shared query set. */
+  def rankerAgreement(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.rankBiasedOverlap(
+      bm25Search(spark, dir).select("query_id", "doc_id", "rank"),
+      dirichletQlSearch(spark, dir).select("query_id", "doc_id", "rank"),
+      k = 10)
+
+  /** Distinct-n diversity (q275):
+    * [[graft.ext.TextAnalysis.distinctNgramDiversity]] — per-source
+    * distinct-1/2/3 word n-gram ratios (Li et al. 2016), the lexical-
+    * diversity and boilerplate-flood probe. */
+  def diversityReport(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.distinctNgramDiversity(Tables.documents(spark, dir),
+      "doc_id", "source", "text")
+
+  /** Label-noise by k-NN disagreement (q276):
+    * [[graft.ext.Similarity.labelNoiseByKnn]] — per-label mislabel
+    * suspects from the q267 descent graph's neighbor-majority vote.
+    * The synthetic corpus reads ~90% suspects — honest: its labels are
+    * near-independent of embedding geometry (the q236 near-uniform
+    * convention), which is exactly the "this label set is not learnable
+    * from these features" signal the probe exists to raise; the
+    * planted-mislabel fixture in SimilaritySpec shows the discriminating
+    * case. */
+  def labelNoiseReport(spark: SparkSession, dir: String): DataFrame =
+    Similarity.labelNoiseByKnn(Tables.embeddings(spark, dir), "vec_id",
+      "embedding", "label", k = 5)
+
   /** k-NN graph + NN-descent (q267):
     * [[graft.ext.Similarity.knnGraphDescent]] — sign-LSH-seeded 5-NN
     * graph over the embeddings, one neighbors-of-neighbors round,

@@ -636,4 +636,38 @@ class PlanSpec extends SparkSpec {
     val aggs = p.linesIterator.count(_.contains("HashAggregate"))
     assert(aggs <= 6, s"more aggregation stages than one rollup chain:\n$p")
   }
+
+  test("line dedup: hash-keyed joins only, no window, nothing quadratic") {
+    val df = graft.queries.ExtQueries.lineDedupReport(spark, sf001)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic strategy in the line-dedup pipeline:\n$p")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, "unexpected window in line dedup")
+  }
+
+  test("cross-doc span scrub: pair tier stays keyed, no cartesian") {
+    val df = graft.queries.ExtQueries.spanScrubReport(spark, sf001)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic strategy in the span-scrub pipeline:\n$p")
+    assert(p.contains("ExistingRDD"), s"pair-tier staging missing:\n$p")
+  }
+
+  test("knn descent: no cartesian; only 1-row scalar broadcast crosses") {
+    val df = graft.queries.ExtQueries.knnGraphReport(spark, sf001)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the knn pipeline:\n$p")
+    // the heavy legs (seed pairs, rescore, probe cross) ran at eager-
+    // checkpoint time; the readout plan reads staged RDDs and crosses
+    // only the 1-row count scalars (4 per stage, contract-bounded)
+    assert(p.contains("ExistingRDD"), s"graph staging missing:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 8, s"more than the 8 scalar crosses:\n$p")
+  }
 }

@@ -197,4 +197,31 @@ class RetrievalSpec extends SparkSpec {
     // match term dominates, and the doc-length term uses |q| = 1
     assert(out((2, 3L))._1 === 1)
   }
+
+  test("rankBiasedOverlap: identical, disjoint and top-1-only fixtures") {
+    import spark.implicits._
+    def list(q: Int, docs: Seq[Long]): Seq[(Int, Long, Int)] =
+      docs.zipWithIndex.map { case (d, i) => (q, d, i + 1) }
+    // q1: identical lists; q2: disjoint; q3: agree only on the rank-1 doc
+    val a = (list(1, 1L to 10L) ++ list(2, 1L to 10L) ++
+      list(3, Seq(100L) ++ (1L to 9L))).toDF("query_id", "doc_id", "rank")
+    val b = (list(1, 1L to 10L) ++ list(2, 11L to 20L) ++
+      list(3, Seq(100L) ++ (11L to 19L))).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rankBiasedOverlap(a, b, k = 10).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // identical lists: the normalized RBO is exactly 10⁶ (the geometric
+    // sum telescopes: Σ 9^{d−1}·10^{k−d} = 10^k − 9^k)
+    assert(out(1) === (10L, 651321L, 1000000L))
+    assert(out(2) === (0L, 0L, 0L))
+    // top-1 only: X_d = 1 for every d — replay the exact rational
+    val num = (1 to 10).map(d => BigInt(Retrieval.rboWeight(d, 10))).sum
+    val denMin = BigInt(2520) * BigInt(10).pow(10)
+    val denNorm = BigInt(2520) * (BigInt(10).pow(10) - BigInt(9).pow(10))
+    assert(out(3) === (1L, (num * 1000000 / denMin).toLong,
+      (num * 1000000 / denNorm).toLong))
+    // rbo_min is the truncated sum: identical lists cap at 1 − 0.9^10
+    assert(out(1)._2 === (BigInt(1000000) *
+      (BigInt(10).pow(10) - BigInt(9).pow(10)) / BigInt(10).pow(10)).toLong)
+  }
 }

@@ -552,6 +552,37 @@ class SimilaritySpec extends SparkSpec {
     assert(byRank(2) === (2L, -127L * 127L))
   }
 
+  test("labelNoiseByKnn flags a planted mislabel and clears clean labels") {
+    // two tight clusters in 64-dim; vector 5 carries cluster B's label
+    // while sitting in cluster A — the one suspect the probe must raise
+    def vec(base: Float, j: Int): Array[Float] =
+      Array.tabulate(64)(i => base + (if (i == j % 7) 0.01f else 0.0f))
+    val rows = (0 until 6).map(j => (j.toLong, vec(0.5f, j),
+        if (j == 5) 1 else 0)) ++
+      (6 until 12).map(j => (j.toLong, vec(-0.5f, j), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelNoiseByKnn(df, "vec_id", "embedding",
+        "label", k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    // label 1 has exactly one suspect (vector 5, surrounded by label 0);
+    // label 0 has none (every cluster-A neighbor majority is 0)
+    assert(out(0L) === ((5L, 0L)))
+    assert(out(1L) === ((7L, 1L)))
+  }
+
+  test("distinctNgramDiversity replays hand ratios") {
+    val docs = Seq(
+      (0L, "s", "a b a b"),   // 1-grams: 4 total 2 distinct; 2-grams:
+      (1L, "s", "a b c d")    // "a b","b a","a b" + "a b","b c","c d"
+    ).toDF("doc_id", "source", "text")
+    val out = graft.ext.TextAnalysis.distinctNgramDiversity(docs,
+        "doc_id", "source", "text").collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1) === ((8L, 4L)))   // a b c d over 8 tokens
+    assert(out(2) === ((6L, 4L)))   // {a b, b a, b c, c d} over 6
+    assert(out(3) === ((4L, 4L)))   // {a b a, b a b, a b c, b c d}
+  }
+
   test("q267 knn descent replays both stages value-for-value at sf0.001") {
     val k = 5
     val nProbe = 64L

@@ -379,6 +379,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(c2.getAs[Long]("f1_ppm") === 0L)
   }
 
+  test("goodTuringCoverage replays hapax mass and Chao1 by hand") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "s1", "a a a b b c"),       // N=6 V=3 N1=1 N2=1
+      (1L, "s2", "p q r s t t")        // N=6 V=5 N1=4 N2=1
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.goodTuringCoverage(docs, "doc_id", "source",
+        "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+    // s1: unseen 1/6, coverage 5/6, chao1 = 3 + 1·0/(2·2) = 3
+    assert(out("s1") === (6L, 3L, 1L, 1L, 166666L, 833333L, 3L))
+    // s2: unseen 4/6, chao1 = 5 + 4·3 div (2·(1+1)) = 5 + 3 = 8
+    assert(out("s2") === (6L, 5L, 4L, 1L, 666666L, 333333L, 8L))
+  }
+
   test("zipfFit recovers the exponent of an exact power-law corpus") {
     import spark.implicits._
     // frequencies f(r) = round(2000 / r) for ranks 1..20 — a planted

@@ -328,4 +328,96 @@ class GraphSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("modularity_e6") === 0L)
     assert(rows.head.getAs[Long]("intra_edges") === 3L)
   }
+
+  /** Scala replica of the operator's integer Brandes contract: batched
+    * BFS with exact σ, backward δ with the per-term ⌊σv·(10⁶+δw)/σw⌋
+    * quantization, sources = the nSources lowest ids. */
+  private def bruteBetweenness(edges: Seq[(Long, Long)], nSources: Int,
+                               maxDepth: Int): Map[Long, (Long, BigInt)] = {
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val acc = collection.mutable.Map.empty[Long, (Long, BigInt)]
+    nodes.take(nSources).foreach { s =>
+      var layers = Vector(Map(s -> BigInt(1))) // dist -> node -> sigma
+      var visited = Set(s)
+      for (_ <- 1 to maxDepth) {
+        val next = collection.mutable.Map.empty[Long, BigInt]
+        layers.last.foreach { case (u, sg) =>
+          adj(u).filterNot(visited).foreach { v =>
+            next(v) = next.getOrElse(v, BigInt(0)) + sg
+          }
+        }
+        layers = layers :+ next.toMap
+        visited ++= next.keySet
+      }
+      var deltas = Map.empty[Long, BigInt] // next layer's deltas
+      var layerDeltas = Vector.empty[Map[Long, BigInt]]
+      for (t <- (layers.size - 1) to 0 by -1) {
+        val cur = layers(t).map { case (v, sv) =>
+          v -> adj(v).toSeq
+            .filter(w => layers.lift(t + 1).exists(_.contains(w)))
+            .map { w =>
+              (sv * (1000000 + deltas(w))) / layers(t + 1)(w)
+            }.sum
+        }
+        layerDeltas = cur +: layerDeltas
+        deltas = cur
+      }
+      layerDeltas.flatten.foreach { case (v, d) =>
+        if (v != s) {
+          val (n0, d0) = acc.getOrElse(v, (0L, BigInt(0)))
+          acc(v) = (n0 + 1, d0 + d)
+        }
+      }
+    }
+    acc.toMap
+  }
+
+  test("sampledBetweenness: star and path fixtures match hand math") {
+    // star: center 0, leaves 1..5 — sources {0,1,2,3}; each leaf source
+    // routes 4 paths through the center: delta(0) = 3 x 4e6
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L))
+      .toDF("u", "v")
+    val s = Graph.sampledBetweenness(star, nSources = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(s(0L) === ((3L, 12000000L, 9000000L))) // est = 12e6·6/(2·4)
+    s.filterKeys(_ != 0L).values.foreach { case (_, d, _) =>
+      assert(d === 0L)
+    }
+    // path 1-2-3-4-5, sources {1,2,3,4}: hand-accumulated dependencies
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val p = Graph.sampledBetweenness(path, nSources = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(p(2L) === 5000000L && p(3L) === 6000000L && p(4L) === 3000000L)
+    assert(p(1L) === 0L && p(5L) === 0L)
+  }
+
+  test("q274 betweenness replays integer Brandes at sf0.001") {
+    val spark2 = spark
+    import spark2.implicits._
+    val out = graft.queries.Analytics
+      .copurchaseBetweenness(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // rebuild the operator's own edge list and replay
+    val it = graft.model.Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = it.groupBy(_._1).values.flatMap { g =>
+      val items = g.map(_._2).distinct.toSeq
+      for (a <- items; b <- items if a < b) yield (a, b)
+    }.groupBy(identity).toSeq
+      .collect { case (p, xs) if xs.size >= 2 => p }
+    val exp = bruteBetweenness(edges, nSources = 4, maxDepth = 6)
+    val top = exp.toSeq
+      .sortBy { case (n, (_, d)) => (-d, n) }.take(20)
+    assert(out.size === math.min(20, top.size))
+    top.take(out.size).foreach { case (n, (nr, d)) =>
+      assert(out(n) === ((nr, d.toLong)), s"node $n")
+    }
+    // non-vacuous: some broker accumulates dependency
+    assert(top.headOption.exists(_._2._2 > 0), "all dependencies zero")
+  }
 }
