@@ -172,4 +172,47 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("sum_tokens"),
         min(keyCol).as("first_id"), max(keyCol).as("last_id"))
+
+  /** PACKING-EFFICIENCY FRONTIER (q277) — the choose-your-context-length
+    * curve: for each candidate token budget, how many training bins the
+    * corpus packs into, the average fill, and the overhang volume (this
+    * packing never splits docs, so a bin whose last doc crosses the
+    * boundary overfills — the standard concat-and-chunk tradeoff that
+    * shrinks as the budget grows relative to doc length). The decision
+    * readout behind picking max_seq_len.
+    *
+    * ONE exclusive prefix pass serves EVERY budget: bin id is pure
+    * arithmetic over the shared prefix (floor(prefix / b)), so the
+    * sweep costs one tokenize + one two-pass prefix sum + |budgets|
+    * bin-keyed rollups over the staged (key, n_tokens, prefix)
+    * projection — never |budgets| corpus scans. Total tokens are
+    * budget-invariant by construction (the cross-row sanity pin). */
+  def packingSweep(docs: DataFrame, keyCol: String, textCol: String,
+                   budgets: Seq[Int] = Seq(256, 512, 1024, 2048))
+      : DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ > 0), "budgets must be > 0")
+    val n = size(TextOps.tokens(TextOps.normText(col(textCol)))).cast("long")
+    val base = docs.select(col(keyCol), n.as("n_tokens"))
+    val pref = graft.operators.PrefixSum.exclusive(base, keyCol,
+        descending = false, ties = Seq.empty, valueCol = "n_tokens",
+        outCol = "prefix", ranges = 0)
+      .localCheckpoint() // read once per budget
+    budgets.map { b =>
+      pref.select(floor(col("prefix") / b).as("bin"), col("n_tokens"))
+        .groupBy("bin").agg(sum("n_tokens").as("fill"))
+        .agg(count(lit(1)).as("n_bins"), sum("fill").as("total_tokens"),
+          sum(when(col("fill") > b, col("fill") - b).otherwise(0L))
+            .as("overhang_tokens"),
+          sum(when(col("fill") > b, 1L).otherwise(0L)).as("n_overhang"))
+        .select(lit(b).cast("int").as("budget"),
+          col("n_bins").cast("long").as("n_bins"),
+          col("total_tokens").cast("long").as("total_tokens"),
+          expr(s"total_tokens * 1000000 div (n_bins * $b)")
+            .as("avg_fill_ppm"),
+          col("n_overhang").cast("long").as("n_overhang_bins"),
+          col("overhang_tokens").cast("long").as("overhang_tokens"),
+          expr("overhang_tokens * 1000000 div total_tokens")
+            .as("overhang_ppm"))
+    }.reduce(_ unionAll _).orderBy("budget")
+  }
 }

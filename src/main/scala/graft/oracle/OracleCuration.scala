@@ -8,7 +8,51 @@ import graft.oracle.OracleDialect._
   * domain maps, and OracleSplitSpec pins key-set equality with the
   * query registry. */
 object OracleCuration {
+  /** q277 packing sweep (generated): ONE shared exclusive-prefix CTE,
+    * per-budget bin rollups unioned — mirrors Packing.packingSweep's
+    * single-pass shape (floor(prefix / b.0), the q59 idiom). */
+  private lazy val packingSweepSql: String = {
+    val budgets = Seq(256, 512, 1024, 2048)
+    val per = budgets.map { b =>
+      s"""g$b AS (SELECT CAST(floor(prefix / $b.0) AS BIGINT) AS bin,
+         |         SUM(n_tokens) AS fill
+         |       FROM p GROUP BY 1),
+         |a$b AS (SELECT COUNT(*) AS n_bins,
+         |         CAST(SUM(fill) AS BIGINT) AS total_tokens,
+         |         CAST(SUM(CASE WHEN fill > $b THEN fill - $b ELSE 0 END)
+         |           AS BIGINT) AS overhang_tokens,
+         |         CAST(SUM(CASE WHEN fill > $b THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_overhang
+         |       FROM g$b)""".stripMargin
+    }.mkString(",\n")
+    val rows = budgets.map { b =>
+      s"""SELECT CAST($b AS INT) AS budget,
+         |  CAST(n_bins AS BIGINT) AS n_bins, total_tokens,
+         |  CAST(total_tokens * 1000000 // (n_bins * $b) AS BIGINT)
+         |    AS avg_fill_ppm,
+         |  n_overhang AS n_overhang_bins, overhang_tokens,
+         |  CAST(overhang_tokens * 1000000 // total_tokens AS BIGINT)
+         |    AS overhang_ppm
+         |FROM a$b""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $nCte,
+       |c AS (SELECT doc_id,
+       |        CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
+       |      FROM n),
+       |p AS (SELECT doc_id, n_tokens,
+       |        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS prefix
+       |      FROM c),
+       |$per
+       |$rows
+       |ORDER BY budget""".stripMargin
+  }
+
   private[graft] val sql: Map[String, String] = Map(
+    // Packing-efficiency frontier (generated — see packingSweepSql).
+    "q277_packing_sweep" -> packingSweepSql,
+
     "q52_hash_split" ->
       s"""WITH b AS (SELECT doc_id, length(text) AS len, $bucketExpr AS bucket
          |           FROM documents)

@@ -429,6 +429,47 @@ object OracleDedup {
          |GROUP BY source
          |ORDER BY source""".stripMargin,
 
+    // Dedup tier agreement: exact/minhash/simhash drop-set Venn under
+    // the shared keep-first rule (8-row combination rollup).
+    "q278_dedup_tier_matrix" ->
+      s"""WITH $nCte,
+         |hx AS (SELECT doc_id, md5(t) AS hh FROM n),
+         |kp AS (SELECT hh, MIN(doc_id) AS keeper FROM hx GROUP BY hh),
+         |exd AS (SELECT DISTINCT hx.doc_id, 1 AS f_exact
+         |        FROM hx JOIN kp USING (hh) WHERE doc_id > keeper),
+         |$minhashCtes,
+         |mhd AS (SELECT DISTINCT iv.doc_b AS doc_id, 1 AS f_minhash
+         |        FROM iv JOIN sz za ON za.doc_id = iv.doc_a
+         |        JOIN sz zb ON zb.doc_id = iv.doc_b
+         |        WHERE CAST(n_inter AS DOUBLE)/(za.n+zb.n-n_inter) >= 0.8),
+         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+         |s_bg AS (SELECT doc_id, toks[g] || ' ' || toks[g+1] AS f
+         |         FROM (SELECT doc_id, toks,
+         |                 unnest(range(1, len(toks))) AS g FROM tk) z),
+         |s_th AS (SELECT doc_id, ${hv8("rpad(f, 8, ' ')")} AS hv FROM s_bg),
+         |s_vt AS (SELECT doc_id, $simhashVoteCols FROM s_th GROUP BY doc_id),
+         |s_fp AS (SELECT doc_id, CAST($simhashFpExpr AS BIGINT) AS fp
+         |         FROM s_vt),
+         |s_bd AS (SELECT doc_id, fp, shift, (fp >> shift) & 255 AS bv
+         |         FROM s_fp CROSS JOIN (VALUES (0),(8),(16),(24)) AS s(shift)),
+         |s_cd AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |                x.fp AS fp_a, y.fp AS fp_b
+         |         FROM s_bd x JOIN s_bd y
+         |           ON x.shift = y.shift AND x.bv = y.bv
+         |              AND x.doc_id < y.doc_id),
+         |shd AS (SELECT DISTINCT doc_b AS doc_id, 1 AS f_simhash
+         |        FROM s_cd WHERE bit_count(xor(fp_a, fp_b)) <= 3),
+         |ids AS (SELECT doc_id FROM documents)
+         |SELECT CAST(COALESCE(f_exact, 0) AS INT) AS f_exact,
+         |       CAST(COALESCE(f_minhash, 0) AS INT) AS f_minhash,
+         |       CAST(COALESCE(f_simhash, 0) AS INT) AS f_simhash,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(MIN(doc_id) AS BIGINT) AS example_doc
+         |FROM ids LEFT JOIN exd USING (doc_id)
+         |     LEFT JOIN mhd USING (doc_id) LEFT JOIN shd USING (doc_id)
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
+
     // CCNet line dedup: non-overlapping 4-token lines, scrub lines with
     // df >= 2 distinct docs; per-source volume accounting.
     "q266_line_dedup" ->

@@ -1956,6 +1956,21 @@ object ExtQueries {
       dirichletQlSearch(spark, dir).select("query_id", "doc_id", "rank"),
       k = 10)
 
+  /** Packing-efficiency frontier (q277):
+    * [[graft.ext.Packing.packingSweep]] — bins, fill and overhang at
+    * budgets 256/512/1024/2048 from ONE shared prefix pass; the
+    * choose-max_seq_len curve. */
+  def packingSweepReport(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Packing.packingSweep(Tables.documents(spark, dir),
+      "doc_id", "text")
+
+  /** Dedup tier agreement (q278):
+    * [[graft.ext.TextDedup.dedupTierMatrix]] — the exact/minhash/
+    * simhash drop-set Venn under the shared keep-first rule. */
+  def dedupTierReport(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.dedupTierMatrix(Tables.documents(spark, dir), "doc_id",
+      "text")
+
   /** Distinct-n diversity (q275):
     * [[graft.ext.TextAnalysis.distinctNgramDiversity]] — per-source
     * distinct-1/2/3 word n-gram ratios (Li et al. 2016), the lexical-

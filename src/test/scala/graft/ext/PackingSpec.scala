@@ -153,4 +153,32 @@ class PackingSpec extends SparkSpec {
       Packing.packByBudget(Seq((1L, "a")).toDF("doc_id", "text"), "doc_id", "text", 0)
     }
   }
+
+  test("packingSweep replays the frontier and total tokens are invariant") {
+    // token counts by id order: 3, 4, 2, 5, 3 (prefix 0,3,7,9,14; total 17)
+    val docs = Seq(
+      (0L, "a b c"), (1L, "a b c d"), (2L, "a b"),
+      (3L, "a b c d e"), (4L, "a b c")
+    ).toDF("doc_id", "text")
+    val counts = Seq(3L, 4L, 2L, 5L, 3L)
+    val prefix = counts.scanLeft(0L)(_ + _).init
+    val out = Packing.packingSweep(docs, "doc_id", "text",
+        budgets = Seq(4, 8, 32)).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    Seq(4, 8, 32).foreach { b =>
+      val fills = prefix.zip(counts).groupBy(_._1 / b)
+        .map { case (bin, xs) => bin -> xs.map(_._2).sum }
+      val nBins = fills.size.toLong
+      val over = fills.values.map(f => math.max(0L, f - b)).sum
+      val nOver = fills.values.count(_ > b).toLong
+      val total = counts.sum
+      assert(out(b) === ((nBins, total, total * 1000000L / (nBins * b),
+        nOver, over, over * 1000000L / total)), s"budget $b")
+    }
+    // the cross-budget sanity pin: totals are budget-invariant
+    assert(out.values.map(_._2).toSet.size === 1)
+    // budget 32 swallows everything into one bin with zero overhang
+    assert(out(32)._1 === 1L && out(32)._5 === 0L)
+  }
 }

@@ -304,6 +304,27 @@ class TextDedupSpec extends SparkSpec {
     assert(n == 3 * m - 6, s"expected ${3 * m - 6} flat candidates, got $n")
   }
 
+  test("dedupTierMatrix: exact dup hits all tiers, near-dup the fuzzy two") {
+    val docs = Seq(
+      (0L, base), (1L, "  " + base.toUpperCase + "  "), // exact dup of 0
+      (2L, nearDup),                                    // near-dup of 0/1
+      (3L, unrelated)                                   // clean
+    ).toDF("doc_id", "text")
+    val out = TextDedup.dedupTierMatrix(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    // doc 1 (the exact copy, higher id) is dropped by every tier: the
+    // identical text shares all shingles (J = 1) and the fingerprint
+    assert(out((1, 1, 1)) === ((1L, 1L)))
+    // doc 2 (one word changed): never an exact drop; the fuzzy tiers
+    // both catch it (J ≈ 0.9 > 0.8; one-feature fingerprint flip ≤ 3)
+    assert(out((0, 1, 1)) === ((1L, 2L)))
+    // docs 0 and 3 are kept by every tier
+    assert(out((0, 0, 0))._1 === 2L)
+    assert(out.values.map(_._1).sum === 4L)
+  }
+
   private def normToks(s: String): Array[String] =
     s.toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
 
