@@ -446,26 +446,7 @@ object Graph {
                      topK: Int = 20): DataFrame = {
     require(rounds >= 1 && topK >= 1,
       s"need rounds>=1, topK>=1; got $rounds, $topK")
-    val e = edgesIn.select(col("u").cast("long").as("u"),
-        col("v").cast("long").as("v"))
-      .localCheckpoint() // read every round + edge count + intra probe
-    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
-    val nodes = sym.select(col("u").as("node")).distinct()
-    var lab = nodes.select(col("node"), col("node").as("lab"))
-    var prev = lab
-    for (t <- 1 to rounds) {
-      prev = lab
-      val votes = sym
-        .join(lab.select(col("node").as("v"), col("lab")), Seq("v"))
-        .groupBy(col("u").as("node"), col("lab"))
-        .agg(count(lit(1)).as("c"))
-      val wr = Window.partitionBy("node")
-        .orderBy(col("c").desc, col("lab"))
-      lab = votes.withColumn("rk", row_number().over(wr))
-        .filter(col("rk") === 1).select(col("node"), col("lab"))
-        .localCheckpoint()
-    }
+    val (e, sym, lab, prev) = lpaLoop(edgesIn, rounds)
     val changed = lab
       .join(prev.select(col("node"), col("lab").as("lab_prev")), Seq("node"))
       .agg(sum(when(col("lab") =!= col("lab_prev"), 1L).otherwise(0L))
@@ -501,6 +482,83 @@ object Graph {
               * 1e6, 0).cast("long")).as("modularity_e6"),
         coalesce(col("n_changed_last"), lit(0L)).cast("long")
           .as("n_changed_last"))
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(topK)
+  }
+
+  /** The q263 synchronous-LPA label loop, staged — (e, sym, labels,
+    * prev-round labels); shared by the modularity report
+    * ([[lpaCommunities]]) and the conductance report
+    * ([[lpaConductance]]) so both consume IDENTICAL assignments. */
+  private[operators] def lpaLoop(edgesIn: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val e = edgesIn.select(col("u").cast("long").as("u"),
+        col("v").cast("long").as("v"))
+      .localCheckpoint() // read every round + edge count + intra probe
+    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val nodes = sym.select(col("u").as("node")).distinct()
+    var lab = nodes.select(col("node"), col("node").as("lab"))
+    var prev = lab
+    for (t <- 1 to rounds) {
+      prev = lab
+      val votes = sym
+        .join(lab.select(col("node").as("v"), col("lab")), Seq("v"))
+        .groupBy(col("u").as("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      val wr = Window.partitionBy("node")
+        .orderBy(col("c").desc, col("lab"))
+      lab = votes.withColumn("rk", row_number().over(wr))
+        .filter(col("rk") === 1).select(col("node"), col("lab"))
+        .localCheckpoint()
+    }
+    (e, sym, lab, prev)
+  }
+
+  /** COMMUNITY CONDUCTANCE (q279) — the per-community quality score
+    * beside q263's global modularity (a partition can score a decent Q
+    * while individual communities leak badly): for each q263 LPA
+    * community C, φ(C) = cut(C) / min(vol(C), vol(V∖C)) — the fraction
+    * of C's edge volume that escapes it; low φ = a well-separated
+    * community, φ near 1 = a label accident. Exact integers throughout:
+    * cut and volumes are edge counts (an inter-community edge
+    * contributes to BOTH endpoint communities' cuts, the standard
+    * convention), the ratio one floor division; a community spanning
+    * the whole graph reports 0 (its complement volume is 0 —
+    * conductance is undefined there, stated).
+    *
+    * Scale shape: reuses the q263 label loop verbatim (IDENTICAL
+    * assignments, spec-pinned); conductance adds one degree rollup,
+    * one edge-keyed label join filtered to crossing edges, and a
+    * |communities|-row readout. */
+  def lpaConductance(edgesIn: DataFrame, rounds: Int = 4,
+                     topK: Int = 20): DataFrame = {
+    require(rounds >= 1 && topK >= 1,
+      s"need rounds>=1, topK>=1; got $rounds, $topK")
+    val (e, sym, lab, _) = lpaLoop(edgesIn, rounds)
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val members = lab.join(deg, Seq("node"))
+      .groupBy("lab")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("deg").cast("decimal(38,0)")).as("vol"))
+    val cut = e
+      .join(lab.select(col("node").as("u"), col("lab").as("lu")), Seq("u"))
+      .join(lab.select(col("node").as("v"), col("lab").as("lv")), Seq("v"))
+      .filter(col("lu") =!= col("lv"))
+      .select(explode(array(col("lu"), col("lv"))).as("lab"))
+      .groupBy("lab").agg(count(lit(1)).as("cut"))
+    val volTotal = sym.agg(count(lit(1)).as("vol_total")) // = 2m
+    members.join(cut, Seq("lab"), "left").na.fill(0L, Seq("cut"))
+      .crossJoin(broadcast(volTotal))
+      .select(col("lab").as("community"),
+        col("n_nodes").cast("long").as("n_nodes"),
+        col("vol").cast("long").as("volume"),
+        col("cut").cast("long").as("cut_edges"),
+        expr("""CASE WHEN least(vol, CAST(vol_total AS DECIMAL(38,0)) - vol)
+          |       = 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST(CAST(cut AS DECIMAL(38,0)) * 1000000
+          |  div least(vol, CAST(vol_total AS DECIMAL(38,0)) - vol)
+          |  AS BIGINT) END""".stripMargin).as("conductance_ppm"))
       .orderBy(col("n_nodes").desc, col("community"))
       .limit(topK)
   }

@@ -424,8 +424,10 @@ object OracleDialect {
     * previous round's labels, argmax by count desc then smallest
     * label), then Newman modularity of the final partition in exact
     * HUGEINT up to the one-row e6 rounding. */
-  private[graft] lazy val lpaSql: String = {
-    val rounds = 4
+  /** The q263 LPA label-loop CTE chain (edge build + `rounds` unrolled
+    * synchronous rounds ending at l`rounds`) — shared by the modularity
+    * (q263) and conductance (q279) oracles. */
+  private[graft] def lpaCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { t =>
       s"""v$t AS (SELECT dd.u AS node, l.lab, COUNT(*) AS c
          |       FROM dd JOIN l${t - 1} l ON dd.v = l.node GROUP BY 1, 2),
@@ -434,14 +436,19 @@ object OracleDialect {
          |           ORDER BY c DESC, lab) AS rk FROM v$t) z
          |       WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH it AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+    s"""it AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
        |            FROM lineitem),
        |prx AS (SELECT a.item AS u, b.item AS v
        |        FROM it a JOIN it b ON a.oid = b.oid AND a.item < b.item
        |        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
        |dd AS (SELECT u, v FROM prx UNION ALL SELECT v, u FROM prx),
        |l0 AS (SELECT DISTINCT u AS node, u AS lab FROM dd),
-       |$roundCtes,
+       |$roundCtes""".stripMargin
+  }
+
+  private[graft] lazy val lpaSql: String = {
+    val rounds = 4
+    s"""WITH ${lpaCtes(rounds)},
        |dg AS (SELECT u AS node, COUNT(*) AS deg FROM dd GROUP BY 1),
        |mem AS (SELECT l$rounds.lab, COUNT(*) AS n_nodes,
        |          SUM(CAST(dg.deg AS HUGEINT)) AS dsum
@@ -517,6 +524,35 @@ object OracleDialect {
        |FROM rk WHERE rk <= 10
        |ORDER BY side, score_e6 DESC, node""".stripMargin
   }
+
+  /** q279 conductance oracle: the shared q263 label loop, then per
+    * community the cut (crossing edges counted at BOTH endpoints), the
+    * degree volume, and φ = cut / min(vol, 2m − vol) in floor ppm. */
+  private[graft] lazy val conductanceSql: String =
+    s"""WITH ${lpaCtes(4)},
+       |dg AS (SELECT u AS node, COUNT(*) AS deg FROM dd GROUP BY 1),
+       |mem AS (SELECT l4.lab, COUNT(*) AS n_nodes,
+       |          SUM(CAST(dg.deg AS HUGEINT)) AS vol
+       |        FROM l4 JOIN dg USING (node) GROUP BY 1),
+       |xe AS (SELECT lu.lab AS la, lv.lab AS lb
+       |       FROM prx JOIN l4 lu ON prx.u = lu.node
+       |       JOIN l4 lv ON prx.v = lv.node
+       |       WHERE lu.lab <> lv.lab),
+       |ct AS (SELECT lab, COUNT(*) AS cut FROM (
+       |         SELECT la AS lab FROM xe
+       |         UNION ALL SELECT lb FROM xe) z GROUP BY lab),
+       |vt AS (SELECT COUNT(*) AS vol_total FROM dd)
+       |SELECT mem.lab AS community, CAST(n_nodes AS BIGINT) AS n_nodes,
+       |       CAST(vol AS BIGINT) AS volume,
+       |       CAST(COALESCE(cut, 0) AS BIGINT) AS cut_edges,
+       |       CAST(CASE WHEN LEAST(vol, CAST(vol_total AS HUGEINT) - vol)
+       |              = 0 THEN 0
+       |            ELSE CAST(COALESCE(cut, 0) AS HUGEINT) * 1000000
+       |              // LEAST(vol, CAST(vol_total AS HUGEINT) - vol) END
+       |         AS BIGINT) AS conductance_ppm
+       |FROM mem LEFT JOIN ct ON ct.lab = mem.lab CROSS JOIN vt
+       |ORDER BY n_nodes DESC, community
+       |LIMIT 20""".stripMargin
 
   /** q274 sampled-betweenness oracle (generated): Brandes' two passes
     * UNROLLED — 6 forward BFS/path-count layers (anti-joined against

@@ -359,5 +359,8 @@ object OracleGraph {
 
     // Sampled betweenness (generated — see betweennessSql).
     "q274_betweenness" -> betweennessSql,
+
+    // LPA community conductance (generated — see conductanceSql).
+    "q279_conductance" -> conductanceSql,
   )
 }

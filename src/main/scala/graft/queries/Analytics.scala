@@ -2306,6 +2306,24 @@ object Analytics {
     graft.operators.Graph.lpaCommunities(edges)
   }
 
+  /** LPA community conductance (q279):
+    * [[graft.operators.Graph.lpaConductance]] over the same support-≥2
+    * edge list — per-community cut ratio beside q263's global
+    * modularity; the two reports consume IDENTICAL label assignments
+    * (shared loop, spec-pinned). */
+  def copurchaseConductance(spark: SparkSession, dir: String,
+                            minPairSupport: Long = 2): DataFrame = {
+    val it = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+      .distinct().localCheckpoint()
+    val edges = it.join(it.withColumnRenamed("item", "item2"), Seq("oid"))
+      .filter(col("item") < col("item2"))
+      .groupBy("item", "item2").agg(count(lit(1)).as("s"))
+      .filter(col("s") >= minPairSupport)
+      .select(col("item").as("u"), col("item2").as("v"))
+    graft.operators.Graph.lpaConductance(edges)
+  }
+
   /** Sampled betweenness centrality of the repeat co-purchase graph
     * (q274): [[graft.operators.Graph.sampledBetweenness]] over the same
     * support-≥2 edge list as q223/q253/q263 — Brandes dependency

@@ -220,6 +220,28 @@ class PlanSpec extends SparkSpec {
       s"unbounded unpartitioned windows in: ${offenders.mkString(", ")}")
   }
 
+  test("suite-wide: no CartesianProduct in any registered query's plan") {
+    // The second silent scale-killer after the unpartitioned window: a
+    // non-equi join falling back to CartesianProduct multiplies two
+    // data-sized relations. Audit every registered query's EXECUTED
+    // plan: zero cartesians anywhere (measured round 11: 0/278), and
+    // broadcast nested-loop joins — the legitimate form for 1-row
+    // scalar crosses and contract-bounded spines — stay under the
+    // observed ceiling of 8 per query, so a new data-sized BNLJ can't
+    // slip in as "just one more cross".
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val p = q(spark, sf001).queryExecution.executedPlan.toString
+        val cart = "CartesianProduct".r.findAllIn(p).size
+        val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+        if (cart > 0) Some(s"$name: $cart cartesian")
+        else if (bnlj > 8) Some(s"$name: $bnlj nested-loop crosses")
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"quadratic join strategies in: ${offenders.mkString(", ")}")
+  }
+
   test("pagerank iterations are keyed joins — nothing quadratic, top-k bounded") {
     val p = plan(Analytics.copurchasePageRank(spark, sf001))
     assert(!p.contains("CartesianProduct") &&

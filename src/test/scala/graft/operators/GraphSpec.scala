@@ -254,6 +254,40 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("lpaConductance: bridge conductance exact on the two-triangle fixture") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val rows = Graph.lpaConductance(
+      Graph.undirectedEdges(edges.toDF("a", "b"), "a", "b")).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") === 3L)
+      assert(r.getAs[Long]("volume") === 7L)     // 2+2+3 per triangle
+      assert(r.getAs[Long]("cut_edges") === 1L)  // the bridge
+      // phi = 1 / min(7, 14-7) = 142857 ppm
+      assert(r.getAs[Long]("conductance_ppm") === 142857L)
+    }
+    // a community spanning the whole graph: complement volume 0 → 0
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val one = Graph.lpaConductance(
+      Graph.undirectedEdges(tri, "a", "b")).collect()
+    assert(one.length === 1)
+    assert(one.head.getAs[Long]("cut_edges") === 0L)
+    assert(one.head.getAs[Long]("conductance_ppm") === 0L)
+  }
+
+  test("q279 consumes q263's exact assignment (shared loop)") {
+    val a = graft.queries.Analytics.copurchaseCommunities(spark, sf001)
+      .collect().map(r => r.getAs[Long]("community") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("deg_sum"))).toMap
+    val b = graft.queries.Analytics.copurchaseConductance(spark, sf001)
+      .collect().map(r => r.getAs[Long]("community") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("volume"))).toMap
+    // same top-20 rule on identical labels → identical keys and volumes
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) => assert(b(k) === v, s"community $k") }
+  }
+
   test("LPA labels match the synchronous brute replay on a random graph") {
     val n = 30
     val edges = (for (i <- 0 until n; j <- (i + 1) until n
