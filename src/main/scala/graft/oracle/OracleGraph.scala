@@ -5,7 +5,7 @@ import graft.oracle.OracleDialect._
 /** DuckDB oracle SQL — graph tier
   * (12 queries). Values are verbatim from SparkEntry.scala
   * (round-11 mechanical split); SparkEntry.oracleSql concatenates the
-  * domain maps, and OracleSplitSpec pins key-set equality with the
+  * domain maps, and QueriesSpec pins key-set equality (both directions) with the
   * query registry. */
 object OracleGraph {
   private[graft] val sql: Map[String, String] = Map(
