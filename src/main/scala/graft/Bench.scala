@@ -199,12 +199,26 @@ object Bench {
     val floors: Map[String, Double] = {
       val pat = """\|\s*(q\w+)\s*\|\s*([0-9.]+)s\s*\|""".r
       try {
-        val src = scala.io.Source.fromFile("BASELINE.md")
+        // Explicit UTF-8: BASELINE.md carries non-ASCII prose (em dashes),
+        // and under a POSIX-locale JVM the default-charset decoder throws
+        // MalformedInputException — which the catch below would silently
+        // turn into a disabled gate (exactly how the round-12 local bench
+        // ran with floor_gate_active:false).
+        val src = scala.io.Source.fromFile("BASELINE.md")(scala.io.Codec.UTF8)
         try pat.findAllMatchIn(src.mkString)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         finally src.close()
       } catch { case _: Throwable => Map.empty[String, Double] }
     }
+    // A silently-empty floors map would disable the credibility gate with
+    // no trace (BASELINE.md renamed, cwd drift, table format change) — so
+    // the gate's liveness is stamped into the artifact and warned on
+    // stderr, never inferred.
+    val floorGateActive = floors.nonEmpty
+    if (!floorGateActive)
+      System.err.println(
+        "WARN graft.Bench: no QTime floors parsed from BASELINE.md — " +
+          "the floor credibility gate is INACTIVE for this run")
     def floorFlagged(name: String, t: Double): Boolean =
       floors.get(name).exists(f => f > 0 && t > 2 * f && t - f > 0.5)
     // AUTO-ADJUDICATION of per-query flags (the rounds-8/9 blind spot:
@@ -253,6 +267,16 @@ object Bench {
     val floorViolations = adjusted.collect {
       case (name, Some(t)) if floorFlagged(name, t) => name -> t / floors(name)
     }
+    // Floor-only flags the retry refuted (post-retry min back under 2×
+    // floor). Without this, a brand-new floor-listed query with no bench
+    // history that flags and is refuted would appear in `retried` but in
+    // neither `suspect_regressions` (needs history) nor
+    // `floor_violations` — an unadjudicated retry. Recorded as
+    // name → post-retry ratio vs floor.
+    val floorRefuted = retryFlagged
+      .filterNot(floorViolations.map(_._1).contains)
+      .flatMap(n => adjusted.collectFirst {
+        case (`n`, Some(t)) if floors.contains(n) => n -> t / floors(n) })
     // LOAD GATE: a loaded bench machine inflates every query uniformly,
     // which the per-query 2x gate misreads as a wall of regressions (the
     // round-8 driver record carried 15 spurious >2x entries while the
@@ -329,9 +353,13 @@ object Bench {
           s""","suspect_regressions":${ratioMapJson(suspectRegressions)}"""
         else ""
       val floorPart =
-        if (floorViolations.nonEmpty)
-          s""","floor_violations":${ratioMapJson(floorViolations)}"""
-        else ""
+        s""","floor_gate_active":$floorGateActive""" +
+          (if (floorViolations.nonEmpty)
+            s""","floor_violations":${ratioMapJson(floorViolations)}"""
+          else "") +
+          (if (floorRefuted.nonEmpty)
+            s""","floor_refuted":${ratioMapJson(floorRefuted)}"""
+          else "")
       val loadPart =
         if (loadSuspect)
           s""","load_suspect":true,"load_ratio_vs_history":${

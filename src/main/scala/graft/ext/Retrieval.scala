@@ -296,6 +296,68 @@ object Retrieval {
   private[graft] def rboWeight(d: Int, k: Int): Long =
     (BigInt(9).pow(d - 1) * BigInt(10).pow(k - d) * (2520 / d)).toLong
 
+  /** The nDCG discount at depth d, quantized ONCE per depth to e6
+    * fixed-point (the q181 idiom): round(10⁶ / log₂(d+1)). Shared with
+    * the DuckDB oracle as inlined literals, so both engines rank with
+    * identical integers. */
+  private[graft] def ndcgDiscountE6(d: Int): Long =
+    math.round(1e6 / (math.log(d + 1.0) / math.log(2.0)))
+
+  /** nDCG@k with GRADED relevance (q281) — the metric retrieval papers
+    * lead with, added beside hit@k/MRR (q246) and RBO (q273): unlike
+    * MRR (which sees only the single top relevant item) nDCG credits a
+    * system for placing EVERY graded-relevant document high, so two
+    * systems can order differently under the two metrics — the metric's
+    * reason to exist, pinned by the spec fixture.
+    *
+    *   DCG@k  = Σ_{i=1..k} gain(doc@rank i) · d_i,   d_i = e6/log₂(i+1)
+    *   nDCG@k = DCG@k / IDCG@k  (IDCG = DCG of the gain-sorted ideal)
+    *
+    * Exact-integer contract: gains are small integers by input contract,
+    * discounts are the [[ndcgDiscountE6]] constants quantized once per
+    * depth, so DCG and per-query IDCG are exact integer sums; per-query
+    * nDCG is one floor division to ppm and the per-system mean is a
+    * second floor division — both mirrored in the oracle. The ideal
+    * ranking sorts (gain desc, doc_id) so ties are deterministic; a
+    * query with fewer than k relevant docs gets its true shorter IDCG,
+    * not a padded one. Queries a system misses entirely score 0 — the
+    * per-system spine is |systems| × |rel queries|, never silent drops.
+    *
+    * Scale shape: `runs` and `rel` are |Q|·k relations by contract; the
+    * gain join is (query, doc)-keyed, the discount join a k-row
+    * broadcast, the spine a broadcast nested-loop of a |systems|-row
+    * side onto |Q| rows — nothing corpus-sized. */
+  def ndcgAtK(runs: DataFrame, rel: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 10, s"k must be in 1..10, got $k")
+    val spark = runs.sparkSession
+    import spark.implicits._
+    val disc = (1 to k).map(d => d -> ndcgDiscountE6(d)).toDF("rnk", "d")
+    val iw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("gain"), col("doc_id"))
+    val idcg = rel.withColumn("rnk", row_number().over(iw))
+      .filter(col("rnk") <= k)
+      .join(broadcast(disc), Seq("rnk"))
+      .groupBy("query_id").agg(sum(col("gain") * col("d")).as("idcg"))
+    val dcg = runs.filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "doc_id"))
+      .join(broadcast(disc), col("rank") === col("rnk"))
+      .groupBy("system", "query_id").agg(sum(col("gain") * col("d")).as("dcg"))
+    val systems = runs.select("system").distinct()
+    idcg.crossJoin(broadcast(systems)) // bounded spine: |systems| × |Q|
+      .join(dcg, Seq("system", "query_id"), "left")
+      .na.fill(0L, Seq("dcg"))
+      .withColumn("ndcg_ppm",
+        expr("CASE WHEN idcg = 0 THEN 0 ELSE dcg * 1000000 div idcg END"))
+      .groupBy("system")
+      .agg(count(lit(1)).as("n_queries"), sum("dcg").as("sum_dcg_e6"),
+        sum("ndcg_ppm").as("sum_ndcg"))
+      .select(col("system"),
+        col("n_queries").cast("long").as("n_queries"),
+        col("sum_dcg_e6").cast("long").as("sum_dcg_e6"),
+        expr("sum_ndcg div n_queries").cast("long").as("mean_ndcg_ppm"))
+      .orderBy("system")
+  }
+
   /** RANK-BIASED OVERLAP between two top-k rankings (Webber, Moffat &
     * Zobel, TOIS 2010) at p = 9/10 — the ranker-agreement metric the
     * retrieval family needs once it carries more than one ranker (BM25
@@ -332,7 +394,11 @@ object Retrieval {
     val denMin = (BigInt(2520) * BigInt(10).pow(k)).toLong
     val denNorm = (BigInt(2520) * (BigInt(10).pow(k) - BigInt(9).pow(k))).toLong
     val nc = m.groupBy("query_id").agg(count(lit(1)).as("n_common"))
-    a.select("query_id").distinct()
+    // Query spine = union of BOTH inputs' query ids: a query ranked by
+    // only one system still gets its (zero-overlap) row instead of being
+    // silently dropped when it happens to be B-only. For q273 both
+    // rankers cover the same query set, so the union is a no-op there.
+    a.select("query_id").unionByName(b.select("query_id")).distinct()
       .join(nc, Seq("query_id"), "left")
       .join(num, Seq("query_id"), "left")
       .na.fill(0L, Seq("n_common", "num"))

@@ -701,6 +701,83 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** WORD-bigram language-model scoring with INTERPOLATED BACKOFF
+    * (q283) — the q181 char-bigram perplexity moved to word granularity,
+    * which is what KenLM-filter pipelines (CCNet's quality leg) actually
+    * compute: per document the mean negative log-likelihood of its word
+    * bigrams under the Jelinek–Mercer-interpolated corpus model
+    *
+    *   P(w₂|w₁) = 0.7·c(w₁w₂)/c(w₁·) + 0.3·(c(w₂)+1)/(T+V)
+    *
+    * with the bigram table PRUNED at `countFloor` (corpus bigram count
+    * ≥ floor): a pruned/unseen bigram scores on the pure backoff term
+    * 0.3·(c(w₂)+1)/(T+V) — exactly how a pruned KenLM model behaves —
+    * and `n_backoff` reports how many of the doc's bigram tokens fell
+    * through, so the pruning is measured, never silent. The add-one on
+    * the unigram term keeps every score finite off-corpus.
+    *
+    * Parity: the q181 contract verbatim — ONE transcendental per
+    * DISTINCT retained bigram type (and one per unigram type for the
+    * backoff column), quantized to integer micro-nats over identical
+    * rational doubles on both engines (same literal order: 0.7·cb/c1 +
+    * 0.3·(c2+1)/(T+V)); every per-doc aggregate after quantization is
+    * exact integer arithmetic, order-independent across shuffles.
+    *
+    * Scale: per-doc bigram counts partial-aggregate map-side; the
+    * retained-bigram model is the observed-vocab² sliver CUT by the
+    * count floor and the unigram table is vocab-sized — both broadcast
+    * to the scoring join; marginals and totals are rollups OF THE MODEL
+    * tables, never a second corpus pass. Docs with < 2 tokens score 0
+    * over 0 bigrams (kept, flagged by n_bigrams = 0). */
+  def wordBigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                        countFloor: Int = 2): DataFrame = {
+    val dcb = fanOut(docs)
+      .select(col(idCol).as("doc_id"),
+        explode_outer(wordShingles(tokens(normText(col(textCol))), 2))
+          .as("bg"))
+      .groupBy("doc_id", "bg").agg(count(col("bg")).as("c"))
+      .localCheckpoint() // model AND scoring read it
+    val cball = dcb.filter(col("bg").isNotNull)
+      .groupBy("bg").agg(sum("c").as("cb"))
+      .localCheckpoint() // read by the w1 marginal + the retained model
+    // the left-context marginal is over ALL observed bigrams (pruning
+    // cuts the model rows, never the denominator)
+    val c1 = cball.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("cb").as("c1"))
+    val uni = fanOut(docs)
+      .select(explode(tokens(normText(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+      .localCheckpoint() // read by totals + model join + backoff column
+    val tot = uni.agg(sum("cu").as("tt"), count(lit(1)).as("vv"))
+    val lpBig = cball.filter(col("cb") >= countFloor)
+      .join(c1, substring_index(col("bg"), " ", 1) === col("w1"))
+      .join(uni.select(col("w").as("w2t"), col("cu").as("c2")),
+        substring_index(col("bg"), " ", -1) === col("w2t"))
+      .crossJoin(broadcast(tot))
+      .select(col("bg"),
+        round(-log(lit(0.7) * col("cb") / col("c1") +
+          lit(0.3) * (col("c2") + lit(1.0)) / (col("tt") + col("vv"))) * 1e6,
+          0).cast("long").as("lp"))
+    val lpUni = uni.crossJoin(broadcast(tot))
+      .select(col("w").as("w2"),
+        round(-log(lit(0.3) * (col("cu") + lit(1.0)) /
+          (col("tt") + col("vv"))) * 1e6, 0).cast("long").as("lpu"))
+    dcb.join(broadcast(lpBig), Seq("bg"), "left")
+      .join(broadcast(lpUni),
+        substring_index(col("bg"), " ", -1) === col("w2"), "left")
+      .groupBy("doc_id")
+      .agg(coalesce(sum(when(col("bg").isNotNull, col("c"))), lit(0L))
+          .as("n_bigrams"),
+        coalesce(sum(when(col("bg").isNotNull && col("lp").isNull,
+          col("c"))), lit(0L)).as("n_backoff"),
+        coalesce(sum(col("c") * coalesce(col("lp"), col("lpu"))), lit(0L))
+          .as("sl"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_backoff"),
+        when(col("n_bigrams") === 0, 0L)
+          .otherwise(expr("sl div n_bigrams")).as("nll_micro"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document character-entropy report: Shannon entropy of the
     * normalized text's character distribution in integer micro-nats —
     * the classic "is this text or noise/boilerplate" signal (all-same

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * ⌊85·r(u) / (100·deg(u))⌋ units plus the teleport constant
   * ⌊15·Scale/100⌋ — per-edge floor division, so partial-aggregation
   * order can never change a sum (the q116 co-purchase idiom,
-  * `graft.queries.Analytics.copurchaseRank`). Floors strictly lose
+  * `graft.queries.GraphAnalytics.copurchaseRank`). Floors strictly lose
   * mass, so ranks are bounded by the initial total and never overflow
   * while `nodes·Scale·85 < 2⁶³` (≈ 10⁵ nodes at full concentration,
   * far more under any realistic spread; beyond that, run with a

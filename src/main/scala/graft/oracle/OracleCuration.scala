@@ -356,7 +356,7 @@ object OracleCuration {
         |ORDER BY l_returnflag""".stripMargin,
     // Threshold-sampled distinct profile: one UNION ALL branch per
     // column, each recomputing the SAME affine-hash slice estimator —
-    // canonicalizations mirror Analytics.LineitemCanon exactly.
+    // canonicalizations mirror ProfileAnalytics.LineitemCanon exactly.
     "q176_profile_sampled" -> {
       val P = graft.ext.TextOps.HashP
       val tDiv = 16L

@@ -891,7 +891,7 @@ object OracleDialect {
   /** q239 label spreading: 3 unrolled frontier rounds (generated) over
     * the bucketed 0.30-cosine graph; assigned nodes are fixed, each
     * round is one edge⋈labels join + weighted argmax. Mirrors
-    * ExtQueries.labelSpreading exactly. */
+    * SimilarityQueries.labelSpreading exactly. */
   private[graft] lazy val labelSpreadingSql: String = {
     val rounds = 3
     val roundCtes = (1 to rounds).map { r =>

@@ -18,10 +18,40 @@ object OracleSimilarity {
   private val rboDenNorm: String =
     (BigInt(2520) * (BigInt(10).pow(10) - BigInt(9).pow(10))).toString
 
-  /** The q267 two-table-seed + one-descent k-NN graph as a CTE chain
-    * ending at `ds` (the descent edges) — shared verbatim by the q267
-    * recall report and the q276 label-noise probe. */
-  private val knnDescentCtes: String =
+  /** nDCG@3 depth discounts — the same Scala constants the operator
+    * uses (Retrieval.ndcgDiscountE6). */
+  private val ndcgDiscValues: String = (1 to 3)
+    .map(d => s"($d, ${graft.ext.Retrieval.ndcgDiscountE6(d)})")
+    .mkString(", ")
+
+  /** The q245 power recursion unrolled over quantized relation `src`
+    * (vec_id, i, q): CTEs v{tag}0 (all-e4 init) … v{tag}R. Mirrors
+    * Similarity.powerLoop. Every round output is MATERIALIZED: DuckDB
+    * 1.0 inlines multiply-referenced CTEs, so an unmaterialized chain
+    * re-evaluates its whole upstream per reference — exponential in the
+    * round count (measured: q282 unmaterialized ran 15+ min at sf0.01;
+    * materialized, seconds). */
+  private def powerRoundsCtes(src: String, tag: String, rounds: Int): String = {
+    val init = s"""v${tag}0 AS MATERIALIZED (
+                  |       SELECT DISTINCT i, CAST(10000 AS BIGINT) AS v
+                  |       FROM $src)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""s$tag$r AS (SELECT vec_id, CAST(SUM(q * v) AS BIGINT) AS s
+         |       FROM $src JOIN v$tag${r - 1} USING (i) GROUP BY vec_id),
+         |w$tag$r AS (SELECT i, SUM(CAST(q AS HUGEINT) * s) AS w
+         |       FROM $src JOIN s$tag$r USING (vec_id) GROUP BY i),
+         |m$tag$r AS (SELECT MAX(abs(w)) AS m FROM w$tag$r),
+         |v$tag$r AS MATERIALIZED (
+         |       SELECT i, CAST(CASE WHEN w >= 0 THEN (abs(w)*10000)//m
+         |              ELSE -((abs(w)*10000)//m) END AS BIGINT) AS v
+         |       FROM w$tag$r CROSS JOIN m$tag$r)""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  /** The q267/q280 two-table sign-LSH seed graph as a CTE chain ending
+    * at `sd` (the seeded best-5 edges). */
+  private val knnSeedCtes: String =
     s"""bk AS (SELECT vec_id, emb, nrm,
        |    (CASE WHEN list_dot_product(emb, ${planeLit(0)}::DOUBLE[]) > 0 THEN 1 ELSE 0 END)
        |  + (CASE WHEN list_dot_product(emb, ${planeLit(1)}::DOUBLE[]) > 0 THEN 2 ELSE 0 END)
@@ -43,18 +73,79 @@ object OracleSimilarity {
        |         ON x.b2 = y.b2 AND x.vec_id <> y.vec_id),
        |sd AS (SELECT id, nid FROM (SELECT *, row_number() OVER (
        |           PARTITION BY id ORDER BY score DESC, nid) AS rk FROM sp) z
-       |       WHERE rk <= 5),
-       |ud AS (SELECT id, nid FROM sd UNION SELECT nid, id FROM sd),
-       |c2 AS (SELECT a.id, b.nid FROM ud a JOIN ud b ON b.id = a.nid
-       |       WHERE b.nid <> a.id),
-       |ca AS (SELECT id, nid FROM sd UNION SELECT id, nid FROM c2),
-       |rs AS (SELECT ca.id, ca.nid,
-       |         ROUND(list_dot_product(x.emb, y.emb)/(x.nrm*y.nrm), 4) AS score
-       |       FROM ca JOIN nm x ON x.vec_id = ca.id
-       |       JOIN nm y ON y.vec_id = ca.nid),
-       |ds AS (SELECT id, nid FROM (SELECT *, row_number() OVER (
-       |           PARTITION BY id ORDER BY score DESC, nid) AS rk FROM rs) z
        |       WHERE rk <= 5)""".stripMargin
+
+  /** One NN-descent round as CTEs: graph `prev` (id, nid) → graph `cur`
+    * — undirected expansion, two-hop candidates, exact rescore vs `nm`,
+    * best-5. Mirrors Similarity.descentRound; CTE names are prefixed so
+    * unrolled rounds compose (q280). */
+  private def knnRoundCtes(prev: String, cur: String, p: String): String =
+    s"""ud$p AS (SELECT id, nid FROM $prev UNION SELECT nid, id FROM $prev),
+       |c2$p AS (SELECT a.id, b.nid FROM ud$p a JOIN ud$p b ON b.id = a.nid
+       |       WHERE b.nid <> a.id),
+       |ca$p AS (SELECT id, nid FROM $prev UNION SELECT id, nid FROM c2$p),
+       |rs$p AS (SELECT ca$p.id, ca$p.nid,
+       |         ROUND(list_dot_product(x.emb, y.emb)/(x.nrm*y.nrm), 4) AS score
+       |       FROM ca$p JOIN nm x ON x.vec_id = ca$p.id
+       |       JOIN nm y ON y.vec_id = ca$p.nid),
+       |$cur AS (SELECT id, nid FROM (SELECT *, row_number() OVER (
+       |           PARTITION BY id ORDER BY score DESC, nid) AS rk FROM rs$p) z
+       |       WHERE rk <= 5)""".stripMargin
+
+  /** The q267 two-table-seed + one-descent k-NN graph as a CTE chain
+    * ending at `ds` (the descent edges) — shared verbatim by the q267
+    * recall report and the q276 label-noise probe. */
+  private val knnDescentCtes: String =
+    knnSeedCtes + ",\n" + knnRoundCtes("sd", "ds", "")
+
+  /** q280: the per-round report legs — one SELECT per round over the
+    * unrolled graphs g0(=sd), g1..gR. */
+  private def knnTrajectorySql(rounds: Int): String = {
+    val roundBlocks = (1 to rounds).map { r =>
+      knnRoundCtes(if (r == 1) "sd" else s"g${r - 1}", s"g$r", s"_$r")
+    }.mkString(",\n")
+    val stageRows = (0 to rounds).map { r =>
+      val g = if (r == 0) "sd" else s"g$r"
+      val fresh =
+        if (r == 0) s"(SELECT COUNT(*) FROM sd)"
+        else {
+          val prev = if (r == 1) "sd" else s"g${r - 1}"
+          s"""(SELECT COUNT(*) FROM (SELECT id, nid FROM $g
+             |      EXCEPT SELECT id, nid FROM $prev) x$r)""".stripMargin
+        }
+      s"""SELECT $r AS round,
+         |  (SELECT COUNT(DISTINCT id) FROM $g) AS n_nodes,
+         |  (SELECT COUNT(*) FROM $g) AS n_edges,
+         |  $fresh AS n_new_edges,
+         |  (SELECT COUNT(*) FROM ek) AS n_exact,
+         |  (SELECT COUNT(*) FROM ek JOIN $g USING (id, nid)) AS n_hit""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $embCte,
+       |$knnSeedCtes,
+       |$roundBlocks,
+       |pb AS (SELECT vec_id AS pid, emb, nrm FROM nm WHERE vec_id < 64),
+       |ex AS (SELECT pb.pid AS id, c.vec_id AS nid,
+       |         ROUND(list_dot_product(pb.emb, c.emb)/(pb.nrm*c.nrm), 4)
+       |           AS score
+       |       FROM nm c CROSS JOIN pb WHERE c.vec_id <> pb.pid),
+       |ek AS (SELECT id, nid FROM (SELECT *, row_number() OVER (
+       |           PARTITION BY id ORDER BY score DESC, nid) AS rk FROM ex) z
+       |       WHERE rk <= 5),
+       |st AS ($stageRows)
+       |SELECT CAST(round AS INT) AS round,
+       |       CAST(n_nodes AS BIGINT) AS n_nodes,
+       |       CAST(n_edges AS BIGINT) AS n_edges,
+       |       CAST(n_new_edges AS BIGINT) AS n_new_edges,
+       |       CAST(n_exact AS BIGINT) AS n_exact,
+       |       CAST(n_hit AS BIGINT) AS n_hit,
+       |       CAST(CASE WHEN n_exact = 0 THEN 0
+       |            ELSE n_hit * 1000000 // n_exact END AS BIGINT)
+       |         AS recall_ppm,
+       |       CAST(CASE WHEN round > 0 AND n_new_edges = 0 THEN 1 ELSE 0 END
+       |         AS INT) AS converged
+       |FROM st
+       |ORDER BY round""".stripMargin
+  }
 
   private[graft] val sql: Map[String, String] = Map(
     "q36_embed_near_dup" ->
@@ -884,6 +975,98 @@ object OracleSimilarity {
          |         AS recall_ppm
          |FROM st
          |ORDER BY stage""".stripMargin,
+
+    // NN-descent trajectory: the q267 seed graph unrolled through 3
+    // descent rounds (knnRoundCtes), per-round recall + EXCEPT-based
+    // new-edge count; converged = round added no new edge.
+    "q280_knn_rounds" -> knnTrajectorySql(3),
+
+    // nDCG@3 with graded relevance (gain = 4 − brute rank) across the
+    // brute/lsh/ivf tiers; discounts are the Scala ndcgDiscountE6
+    // constants inlined, per-query nDCG and the per-system mean are
+    // exact floor divisions.
+    "q281_ndcg" ->
+      s"""WITH rel AS (SELECT query_id, neighbor_id AS doc_id,
+         |         CAST(4 - rank AS BIGINT) AS gain
+         |       FROM ($annBruteSql) zb WHERE rank <= 3),
+         |u AS (SELECT 'brute' AS system, query_id, neighbor_id AS doc_id,
+         |        rank FROM ($annBruteSql) z1 WHERE rank <= 3
+         |      UNION ALL
+         |      SELECT 'lsh', query_id, neighbor_id, rank
+         |        FROM ($annLshSql) z2 WHERE rank <= 3
+         |      UNION ALL
+         |      SELECT 'ivf', query_id, neighbor_id, rank
+         |        FROM ($annIvfSql) z3 WHERE rank <= 3),
+         |disc(rnk, d) AS (VALUES $ndcgDiscValues),
+         |irk AS (SELECT query_id, gain, row_number() OVER (
+         |          PARTITION BY query_id ORDER BY gain DESC, doc_id) AS rnk
+         |        FROM rel),
+         |idcg AS (SELECT query_id, CAST(SUM(gain * d) AS BIGINT) AS idcg
+         |         FROM irk JOIN disc USING (rnk) WHERE rnk <= 3
+         |         GROUP BY query_id),
+         |dcg AS (SELECT u.system, u.query_id,
+         |          CAST(SUM(rel.gain * disc.d) AS BIGINT) AS dcg
+         |        FROM u JOIN rel ON rel.query_id = u.query_id
+         |          AND rel.doc_id = u.doc_id
+         |        JOIN disc ON disc.rnk = u.rank
+         |        GROUP BY 1, 2),
+         |sy(system) AS (VALUES ('brute'), ('lsh'), ('ivf')),
+         |sp AS (SELECT sy.system, idcg.query_id, idcg.idcg
+         |       FROM sy CROSS JOIN idcg),
+         |pq2 AS (SELECT sp.system, sp.query_id,
+         |          COALESCE(dcg.dcg, 0) AS dcg, sp.idcg,
+         |          CASE WHEN sp.idcg = 0 THEN 0
+         |               ELSE COALESCE(dcg.dcg, 0) * 1000000 // sp.idcg END
+         |            AS ndcg_ppm
+         |        FROM sp LEFT JOIN dcg
+         |          ON dcg.system = sp.system AND dcg.query_id = sp.query_id)
+         |SELECT system, CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |       CAST(SUM(dcg) AS BIGINT) AS sum_dcg_e6,
+         |       CAST(SUM(ndcg_ppm) // COUNT(*) AS BIGINT) AS mean_ndcg_ppm
+         |FROM pq2
+         |GROUP BY system
+         |ORDER BY system""".stripMargin,
+
+    // Second principal component by deflation: the q245 loop to va3,
+    // exact Gram–Schmidt residual (sign-split floor), the same loop
+    // again to vb3; alignment + orthogonality certificates in ppm.
+    "q282_second_pc" ->
+      s"""WITH qv AS MATERIALIZED (
+         |       SELECT vec_id, CAST(g - 1 AS INT) AS i,
+         |         CAST(ROUND(CAST(embedding[g] AS DOUBLE)*10000, 0) AS BIGINT) AS q
+         |       FROM (SELECT vec_id, embedding,
+         |               unnest(range(1, len(embedding)+1)) AS g
+         |             FROM embeddings) z),
+         |${powerRoundsCtes("qv", "a", 3)},
+         |nva AS (SELECT SUM(CAST(v AS HUGEINT) * v) AS nv FROM va3),
+         |pj AS (SELECT vec_id, CAST(SUM(q * v) AS BIGINT) AS s
+         |       FROM qv JOIN va3 USING (i) GROUP BY vec_id),
+         |q2 AS MATERIALIZED (
+         |       SELECT qv.vec_id, qv.i,
+         |         qv.q - CAST(CASE WHEN pj.s * va3.v >= 0
+         |              THEN (CAST(pj.s AS HUGEINT) * va3.v) // nv
+         |              ELSE -((-(CAST(pj.s AS HUGEINT) * va3.v)) // nv)
+         |              END AS BIGINT) AS q
+         |       FROM qv JOIN pj USING (vec_id) JOIN va3 USING (i)
+         |            CROSS JOIN nva),
+         |${powerRoundsCtes("q2", "b", 3)},
+         |ct2 AS (SELECT SUM(CAST(a.v AS HUGEINT) * b.v) AS dt,
+         |               SUM(CAST(b.v AS HUGEINT) * b.v) AS nv,
+         |               SUM(CAST(a.v AS HUGEINT) * a.v) AS np
+         |        FROM vb2 a JOIN vb3 b USING (i)),
+         |ort AS (SELECT SUM(CAST(a.v AS HUGEINT) * b.v) AS dt,
+         |               SUM(CAST(a.v AS HUGEINT) * a.v) AS n1,
+         |               SUM(CAST(b.v AS HUGEINT) * b.v) AS n2
+         |        FROM va3 a JOIN vb3 b USING (i))
+         |SELECT CAST(va3.i AS INT) AS dim,
+         |       CAST(va3.v AS BIGINT) AS v1_e4,
+         |       CAST(vb3.v AS BIGINT) AS v2_e4,
+         |       CAST((ct2.dt*ct2.dt*1000000)//(ct2.nv*ct2.np) AS BIGINT)
+         |         AS align2_ppm,
+         |       CAST((ort.dt*ort.dt*1000000)//(ort.n1*ort.n2) AS BIGINT)
+         |         AS ortho_ppm
+         |FROM va3 JOIN vb3 USING (i) CROSS JOIN ct2 CROSS JOIN ort
+         |ORDER BY dim""".stripMargin,
 
     // Dirichlet query-likelihood: matched-term decomposition, both ln
     // terms quantized once to micro-nats over identical integers.

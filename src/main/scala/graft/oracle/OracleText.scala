@@ -8,7 +8,130 @@ import graft.oracle.OracleDialect._
   * domain maps, and QueriesSpec pins key-set equality (both directions) with the
   * query registry. */
 object OracleText {
+  /** q284 generators — the unigram-LM Viterbi DP unrolled (mirrors
+    * UnigramLm.viterbi): per position one MATERIALIZED cell CTE whose
+    * winner is row_number over (cost, np, piece). MATERIALIZED matters:
+    * DuckDB 1.0 inlines multiply-referenced CTEs, and an unmaterialized
+    * 12-step chain re-evaluates its upstream per reference. */
+  private def dpCtes(tag: String, vp: String, maxWordLen: Int,
+                     maxPieceLen: Int): String = {
+    val base =
+      s"""dp${tag}0 AS MATERIALIZED (
+         |  SELECT w, len, CAST(0 AS BIGINT) AS cost, 0 AS np,
+         |         '' AS piece, 0 AS prev FROM wl)""".stripMargin
+    val steps = (1 to maxWordLen).map { p =>
+      val cands = (1 to math.min(maxPieceLen, p)).map { l =>
+        s"""SELECT d.w, d.len, d.cost + v.lp AS cost, d.np + 1 AS np,
+           |       v.piece, ${p - l} AS prev
+           |FROM dp$tag${p - l} d JOIN $vp v
+           |  ON v.piece = substr(d.w, ${p - l + 1}, $l)
+           |WHERE d.len >= $p""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""dp$tag$p AS MATERIALIZED (
+         |  SELECT w, len, cost, np, piece, prev FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY w
+         |      ORDER BY cost, np, piece) AS rk
+         |    FROM ($cands) c) z WHERE rk = 1)""".stripMargin
+    }
+    val all = (1 to maxWordLen)
+      .map(p => s"SELECT $p AS pos, * FROM dp$tag$p")
+      .mkString("\nUNION ALL\n")
+    (base +: steps).mkString(",\n") +
+      s",\ndpall$tag AS MATERIALIZED (\n$all)"
+  }
+
+  /** Backward path walk over the staged DP table: bt1 = each word's
+    * final cell, bt{s} follows `prev`; `uses$tag` = every (w, piece)
+    * emission. */
+  private def btCtes(tag: String, maxWordLen: Int): String = {
+    val first =
+      s"""bt${tag}1 AS MATERIALIZED (
+         |  SELECT w, piece, prev FROM dpall$tag WHERE pos = len)""".stripMargin
+    val steps = (2 to maxWordLen).map { s =>
+      s"""bt$tag$s AS MATERIALIZED (
+         |  SELECT d.w, d.piece, d.prev
+         |  FROM bt$tag${s - 1} b JOIN dpall$tag d
+         |    ON d.w = b.w AND d.pos = b.prev
+         |  WHERE b.prev > 0)""".stripMargin
+    }
+    val all = (1 to maxWordLen)
+      .map(s => s"SELECT w, piece FROM bt$tag$s").mkString("\nUNION ALL\n")
+    (first +: steps).mkString(",\n") + s",\nuses$tag AS (\n$all)"
+  }
+
+  /** The full q284 SQL: seed → E-step → prune → E-step → per-source
+    * application, every constant shared with UnigramLm's defaults. */
+  private def unigramSql(seedMulti: Int, keepMulti: Int, maxWordLen: Int,
+                         maxPieceLen: Int): String = {
+    val occLegs = (1 to maxPieceLen).map { l =>
+      s"""SELECT substr(w, CAST(g AS INT), $l) AS piece, freq
+         |FROM (SELECT w, freq, unnest(range(1, length(w) - ${l - 2})) AS g
+         |      FROM vw) z$l""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $nCte, $tokCte,
+       |vw AS MATERIALIZED (
+       |  SELECT w, COUNT(*) AS freq FROM tok
+       |  WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) <= $maxWordLen
+       |  GROUP BY w),
+       |wl AS MATERIALIZED (SELECT w, CAST(length(w) AS INT) AS len FROM vw),
+       |occ AS MATERIALIZED (
+       |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS c0
+       |  FROM ($occLegs) zz GROUP BY piece),
+       |mu AS (SELECT piece, c0 FROM occ WHERE length(piece) >= 2
+       |       ORDER BY c0 DESC, piece LIMIT $seedMulti),
+       |v0 AS MATERIALIZED (
+       |  SELECT piece, c0 FROM occ WHERE length(piece) = 1
+       |  UNION ALL SELECT piece, c0 FROM mu),
+       |t0 AS (SELECT CAST(SUM(c0) AS BIGINT) AS tt, COUNT(*) AS vv FROM v0),
+       |vp0 AS MATERIALIZED (
+       |  SELECT piece, CAST(ROUND(ln((tt + vv) / (c0 + 1.0)) * 1000000, 0)
+       |    AS BIGINT) AS lp
+       |  FROM v0 CROSS JOIN t0),
+       |${dpCtes("a", "vp0", maxWordLen, maxPieceLen)},
+       |${btCtes("a", maxWordLen)},
+       |u1 AS MATERIALIZED (
+       |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS u1
+       |  FROM usesa JOIN vw USING (w) GROUP BY piece),
+       |km AS (SELECT v0.piece, COALESCE(u1.u1, 0) AS u1
+       |       FROM v0 LEFT JOIN u1 USING (piece)
+       |       WHERE length(v0.piece) >= 2 AND COALESCE(u1.u1, 0) >= 1
+       |       ORDER BY u1 DESC, piece LIMIT $keepMulti),
+       |v1 AS MATERIALIZED (
+       |  SELECT v0.piece, COALESCE(u1.u1, 0) AS u1
+       |  FROM v0 LEFT JOIN u1 USING (piece) WHERE length(v0.piece) = 1
+       |  UNION ALL SELECT piece, u1 FROM km),
+       |t1 AS (SELECT CAST(SUM(u1) AS BIGINT) AS tt, COUNT(*) AS vv FROM v1),
+       |vp1 AS MATERIALIZED (
+       |  SELECT piece, CAST(ROUND(ln((tt + vv) / (u1 + 1.0)) * 1000000, 0)
+       |    AS BIGINT) AS lp
+       |  FROM v1 CROSS JOIN t1),
+       |${dpCtes("b", "vp1", maxWordLen, maxPieceLen)},
+       |npf AS MATERIALIZED (SELECT w, np FROM dpallb WHERE pos = len),
+       |va AS (SELECT COUNT(*) AS vocab_initial FROM v0),
+       |vb AS (SELECT COUNT(*) AS vocab_final FROM v1),
+       |ap AS (SELECT d.source, t.w FROM tok t
+       |       JOIN documents d USING (doc_id) WHERE t.w <> ''),
+       |agg AS (SELECT source, COUNT(*) AS n_words,
+       |          SUM(CASE WHEN npf.np IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS n_seg_words,
+       |          SUM(COALESCE(npf.np, 1)) AS total_pieces,
+       |          SUM(length(ap.w)) AS total_chars
+       |        FROM ap LEFT JOIN npf ON npf.w = ap.w
+       |        GROUP BY source)
+       |SELECT source, CAST(n_words AS BIGINT) AS n_words,
+       |       CAST(n_seg_words AS BIGINT) AS n_seg_words,
+       |       CAST(total_pieces AS BIGINT) AS total_pieces,
+       |       CAST(total_chars AS BIGINT) AS total_chars,
+       |       CAST(total_pieces * 1000000 // n_words AS BIGINT)
+       |         AS pieces_per_word_micro,
+       |       CAST(vocab_initial AS BIGINT) AS vocab_initial,
+       |       CAST(vocab_final AS BIGINT) AS vocab_final
+       |FROM agg CROSS JOIN va CROSS JOIN vb
+       |ORDER BY source""".stripMargin
+  }
+
   private[graft] val sql: Map[String, String] = Map(
+    "q284_unigram_lm" -> unigramSql(48, 32, 12, 4),
     "q28_token_stats" ->
       s"""WITH $nCte
          |SELECT doc_id,
@@ -127,7 +250,7 @@ object OracleText {
          |            THEN 1 ELSE 0 END AS is_repetitive
          |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
          |ORDER BY ts.doc_id""".stripMargin,
-    // Augmentation (same expression as ExtQueries.piiScrub) injects
+    // Augmentation (same expression as TextQueries.piiScrub) injects
     // doc_id-derived PII so the redaction regexes bite on every row;
     // counts are against the augmented original, replacements cascade
     // URL -> EMAIL -> PHONE.
@@ -450,6 +573,50 @@ object OracleText {
          |s AS (SELECT dc.doc_id, SUM(dc.c) AS nb, SUM(dc.c * lp.lp) AS sl
          |      FROM dc JOIN lp ON dc.bg = lp.bg GROUP BY dc.doc_id)
          |SELECT d.doc_id, COALESCE(CAST(s.nb AS BIGINT), 0) AS n_bigrams,
+         |       COALESCE(CAST(s.sl // s.nb AS BIGINT), 0) AS nll_micro
+         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // Word-bigram LM with interpolated backoff: one micro-nat
+    // quantization per retained bigram type (count >= 2) and one per
+    // unigram (the backoff column); identical rational-double operand
+    // order on both engines; per-doc aggregates exact integers.
+    "q283_word_lm" ->
+      s"""WITH $nCte, $tokCte,
+         |uni AS (SELECT w, COUNT(*) AS cu FROM tok GROUP BY w),
+         |tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS tt,
+         |               CAST(COUNT(*) AS BIGINT) AS vv FROM uni),
+         |bgx AS (SELECT doc_id, parts[g] || ' ' || parts[g+1] AS bg
+         |        FROM (SELECT doc_id, string_split(t, ' ') AS parts,
+         |                unnest(range(1, len(string_split(t, ' ')))) AS g
+         |              FROM n) z),
+         |dcb AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgx
+         |        GROUP BY doc_id, bg),
+         |cball AS (SELECT bg, CAST(SUM(c) AS BIGINT) AS cb FROM dcb
+         |          GROUP BY bg),
+         |c1 AS (SELECT split_part(bg, ' ', 1) AS w1,
+         |              CAST(SUM(cb) AS BIGINT) AS c1 FROM cball GROUP BY 1),
+         |lpb AS (SELECT cball.bg,
+         |          CAST(ROUND(-ln(0.7 * cball.cb / c1.c1
+         |            + 0.3 * (uni.cu + 1.0) / (tot.tt + tot.vv)) * 1000000,
+         |            0) AS BIGINT) AS lp
+         |        FROM cball
+         |        JOIN c1 ON split_part(cball.bg, ' ', 1) = c1.w1
+         |        JOIN uni ON split_part(cball.bg, ' ', 2) = uni.w
+         |        CROSS JOIN tot
+         |        WHERE cball.cb >= 2),
+         |lpu AS (SELECT w AS w2,
+         |          CAST(ROUND(-ln(0.3 * (cu + 1.0) / (tot.tt + tot.vv))
+         |            * 1000000, 0) AS BIGINT) AS lpu
+         |        FROM uni CROSS JOIN tot),
+         |s AS (SELECT dcb.doc_id, SUM(dcb.c) AS nb,
+         |        SUM(CASE WHEN lpb.lp IS NULL THEN dcb.c ELSE 0 END) AS nbo,
+         |        SUM(dcb.c * COALESCE(lpb.lp, lpu.lpu)) AS sl
+         |      FROM dcb
+         |      LEFT JOIN lpb ON lpb.bg = dcb.bg
+         |      JOIN lpu ON lpu.w2 = split_part(dcb.bg, ' ', 2)
+         |      GROUP BY dcb.doc_id)
+         |SELECT d.doc_id, COALESCE(CAST(s.nb AS BIGINT), 0) AS n_bigrams,
+         |       COALESCE(CAST(s.nbo AS BIGINT), 0) AS n_backoff,
          |       COALESCE(CAST(s.sl // s.nb AS BIGINT), 0) AS nll_micro
          |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
          |ORDER BY d.doc_id""".stripMargin,

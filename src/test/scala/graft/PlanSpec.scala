@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.Analytics
+import graft.queries.{GraphAnalytics, MarketAnalytics, ProfileAnalytics, WarehouseAnalytics}
 
 /** Physical-plan shape guards: the properties that make these queries
   * scale (predicate pushdown, column pruning, broadcast joins, top-k
@@ -13,26 +13,26 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
 
   test("point lookup pushes the key equality into the parquet scan") {
-    val p = plan(Analytics.pointLookupLatest(spark, sf001))
+    val p = plan(MarketAnalytics.pointLookupLatest(spark, sf001))
     assert(p.contains("EqualTo(o_custkey,42)"), s"missing pushed filter:\n$p")
   }
 
   test("top performers: broadcast dim join + top-k without global sort") {
-    val p = plan(Analytics.topPerformers(spark, sf001))
+    val p = plan(MarketAnalytics.topPerformers(spark, sf001))
     assert(p.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
     assert(!p.contains("SortMergeJoin"))
   }
 
   test("market summary prunes the lineitem scan to the needed columns") {
-    val p = plan(Analytics.marketSummary(spark, sf001))
+    val p = plan(MarketAnalytics.marketSummary(spark, sf001))
     assert(p.contains("l_extendedprice") && !p.contains("l_comment"),
       s"scan not pruned:\n$p")
     assert(p.contains("BroadcastHashJoin"))
   }
 
   test("backtest universe plans the semi-join side without full materialization") {
-    val p = plan(Analytics.backtestUniverse(spark, sf001))
+    val p = plan(MarketAnalytics.backtestUniverse(spark, sf001))
     assert(p.contains("LeftSemi"), s"semi join missing:\n$p")
   }
 
@@ -102,7 +102,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("rollup expands grouping sets below a single aggregation exchange") {
-    val p = plan(Analytics.revenueRollup(spark, sf001))
+    val p = plan(WarehouseAnalytics.revenueRollup(spark, sf001))
     assert(p.contains("Expand"), s"grouping-set expand missing:\n$p")
     // one exchange for the rollup agg (dims broadcast, fact never
     // re-shuffled); AQE may add a final coalesce but no second hash
@@ -126,7 +126,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("transit overlap range-joins without a nested-loop fallback") {
-    val p = plan(Analytics.transitOverlap(spark, sf001))
+    val p = plan(WarehouseAnalytics.transitOverlap(spark, sf001))
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"),
       s"range join fell back to a quadratic strategy:\n$p")
@@ -134,7 +134,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("local-supplier volume broadcasts every dimension") {
-    val p = plan(Analytics.localSupplierVolume(spark, sf001))
+    val p = plan(WarehouseAnalytics.localSupplierVolume(spark, sf001))
     assert(!p.contains("SortMergeJoin"),
       s"a dim join degraded to sort-merge:\n$p")
     // 5 joins in the chain; at least the four pure-dimension ones must
@@ -144,7 +144,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("copurchase rank stages the edge list and plans nothing quadratic") {
-    val df = Analytics.copurchaseRank(spark, sf001)
+    val df = GraphAnalytics.copurchaseRank(spark, sf001)
     val p = plan(df)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
@@ -161,7 +161,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("decayed revenue shuffles the fact once and broadcasts the anchor") {
-    val p = plan(Analytics.decayedRevenue(spark, sf001))
+    val p = plan(WarehouseAnalytics.decayedRevenue(spark, sf001))
     // one customer-keyed aggregation exchange; the 1-row date anchor
     // joins via broadcast, and the final ORDER BY is range, not hash
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
@@ -188,10 +188,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("prefix-sum queries run no unpartitioned window") {
-    Seq(Analytics.paretoAbc(spark, sf001),
-        graft.queries.ExtQueries.sequencePacking(spark, sf001),
-        graft.queries.ExtQueries.groupedPacking(spark, sf001),
-        graft.queries.ExtQueries.tokenDrift(spark, sf001)).foreach { df =>
+    Seq(WarehouseAnalytics.paretoAbc(spark, sf001),
+        graft.queries.CurationQueries.sequencePacking(spark, sf001),
+        graft.queries.CurationQueries.groupedPacking(spark, sf001),
+        graft.queries.CurationQueries.tokenDrift(spark, sf001)).foreach { df =>
       val windows = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
       }
@@ -243,7 +243,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("pagerank iterations are keyed joins — nothing quadratic, top-k bounded") {
-    val p = plan(Analytics.copurchasePageRank(spark, sf001))
+    val p = plan(GraphAnalytics.copurchasePageRank(spark, sf001))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"quadratic join in the pagerank plan:\n$p")
@@ -255,9 +255,9 @@ class PlanSpec extends SparkSpec {
     // GIF LZW stats (q126) and WAV PCM stats/autocorr (q127/q128) decode
     // per partition; the ONLY exchange allowed is the deterministic
     // output ORDER BY (range), never a hash shuffle or a join
-    Seq(graft.queries.ExtQueries.gifPixelStats(spark, sf001),
-        graft.queries.ExtQueries.wavAudioStats(spark, sf001),
-        graft.queries.ExtQueries.wavAudioAutocorr(spark, sf001)).foreach { df =>
+    Seq(graft.queries.MultimodalQueries.gifPixelStats(spark, sf001),
+        graft.queries.MultimodalQueries.wavAudioStats(spark, sf001),
+        graft.queries.MultimodalQueries.wavAudioAutocorr(spark, sf001)).foreach { df =>
       val p = plan(df)
       assert(!p.contains("Exchange hashpartitioning"),
         s"hash shuffle in a per-partition decode:\n$p")
@@ -286,7 +286,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("triangle census: staged edges, nothing quadratic, no window") {
-    val df = Analytics.copurchaseTriangles(spark, sf001)
+    val df = GraphAnalytics.copurchaseTriangles(spark, sf001)
     val p = plan(df)
     // the final merge of the three 1-row stat frames is a broadcast
     // nested loop over single-row aggregates — the one acceptable cross
@@ -310,7 +310,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("skyline is window-only: no join, keyed window over distinct points") {
-    val df = Analytics.brandSkyline(spark, sf001)
+    val df = WarehouseAnalytics.brandSkyline(spark, sf001)
     val p = plan(df)
     assert(!p.contains("Join"), s"staircase skyline must not self-join:\n$p")
     val windows = df.queryExecution.optimizedPlan.collect {
@@ -321,7 +321,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("interval coverage plans keyed windows and a single fact aggregation") {
-    val df = Analytics.shipIntervalCoverage(spark, sf001)
+    val df = WarehouseAnalytics.shipIntervalCoverage(spark, sf001)
     val windows = df.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
@@ -331,7 +331,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("supplier OLS is one aggregation: no join, no window") {
-    val df = Analytics.supplierOls(spark, sf001)
+    val df = WarehouseAnalytics.supplierOls(spark, sf001)
     val p = plan(df)
     assert(!p.contains("Join"), s"closed-form fit must not join:\n$p")
     val windows = df.queryExecution.optimizedPlan.collect {
@@ -343,7 +343,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("systematic sample: prefix rides range-keyed windows, scalar broadcasts") {
-    val df = graft.queries.ExtQueries.systematicSample(spark, sf001)
+    val df = graft.queries.CurationQueries.systematicSample(spark, sf001)
     val windows = df.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
@@ -368,7 +368,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("curation pipeline: final survivors staged once, rate gate broadcast") {
-    val p = plan(graft.queries.ExtQueries.curationPipeline(spark, sf001))
+    val p = plan(graft.queries.CurationQueries.curationPipeline(spark, sf001))
     // the checkpointed survivor set feeds the funnel count, token mass
     // and packing without re-running quality/dedup/mix
     assert(p.contains("ExistingRDD"), s"survivor staging missing:\n$p")
@@ -376,7 +376,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("clamped balance: one fact exchange, windows fused over one sort") {
-    val df = Analytics.supplierBalance(spark, sf001)
+    val df = WarehouseAnalytics.supplierBalance(spark, sf001)
     val p = plan(df)
     // the linearized scan must shuffle the movement log ONCE (plus the
     // output ORDER BY's range exchange) — prefix sum, running floor and
@@ -415,7 +415,7 @@ class PlanSpec extends SparkSpec {
     // q178: the candidate restriction must plan as an equi join on the
     // cell id (queries broadcast); only the |Q|-bounded q177 brute tier
     // is allowed a broadcast nested loop
-    val p = plan(graft.queries.ExtQueries.multimodalRetrievalCelled(spark, sf001))
+    val p = plan(graft.queries.MultimodalQueries.multimodalRetrievalCelled(spark, sf001))
     assert(p.contains("BroadcastHashJoin"), s"cell join not a hash join:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in celled tier:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"),
@@ -501,7 +501,7 @@ class PlanSpec extends SparkSpec {
     // meet in a cartesian or be the build side of anything; the tiny
     // query-term relation broadcasts. The only cross joins are the
     // 1-row totals broadcast.
-    val df = graft.queries.ExtQueries.bm25Search(spark, sf001)
+    val df = graft.queries.RetrievalQueries.bm25Search(spark, sf001)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"cartesian in bm25 plan:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"query terms not broadcast:\n$p")
@@ -533,7 +533,7 @@ class PlanSpec extends SparkSpec {
     // the verification pair volume must be Σ per-bucket n² (equi join on
     // the LSH bucket), not corpus² — a cross shape here is the SemDeDup
     // scale killer
-    val p = plan(graft.queries.ExtQueries.semanticDedup(spark, sf001))
+    val p = plan(graft.queries.DedupQueries.semanticDedup(spark, sf001))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"non-equi pair join in semantic dedup:\n$p")
@@ -546,14 +546,14 @@ class PlanSpec extends SparkSpec {
     // the only nested-loop shapes allowed are the two contract-bounded
     // broadcast crosses (queries x cell-centroids probe, exact-flag
     // query side — the q37 shape)
-    val p = plan(graft.queries.ExtQueries.ivfAdcRetrieval(spark, sf001))
+    val p = plan(graft.queries.SimilarityQueries.ivfAdcRetrieval(spark, sf001))
     assert(!p.contains("CartesianProduct"), s"cartesian in IVFADC:\n$p")
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
     assert(bnlj <= 2, s"more nested-loop joins than the two bounded crosses:\n$p")
   }
 
   test("BPE merge rounds: every window keyed by the word, no cartesian") {
-    val p = plan(graft.queries.ExtQueries.bpeEncode(spark, sf001))
+    val p = plan(graft.queries.TextQueries.bpeEncode(spark, sf001))
     assert(!p.contains("CartesianProduct"), s"cartesian in BPE:\n$p")
     // the per-round argmax pair is a 1-row broadcast (TakeOrdered +
     // BroadcastNestedLoopJoin is the accepted scalar-broadcast shape);
@@ -565,14 +565,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("incremental semantic dedup: bucket-keyed probes, never a cross product") {
-    val p = plan(graft.queries.ExtQueries.semanticDedupIncremental(spark, sf001))
+    val p = plan(graft.queries.DedupQueries.semanticDedupIncremental(spark, sf001))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"non-equi pair join in incremental semantic dedup:\n$p")
   }
 
   test("hybrid RRF fuses bounded lists: no cross product, fusion rollup keyed") {
-    val df = graft.queries.ExtQueries.hybridRrf(spark, sf001)
+    val df = graft.queries.RetrievalQueries.hybridRrf(spark, sf001)
     val p = plan(df)
     assert(!p.contains("CartesianProduct"),
       s"cartesian in hybrid fusion:\n$p")
@@ -585,20 +585,20 @@ class PlanSpec extends SparkSpec {
   }
 
   test("coreness: staged symmetric edges, keyed rounds, nothing quadratic") {
-    val p = plan(graft.queries.Analytics.copurchaseCoreness(spark, sf001))
+    val p = plan(graft.queries.GraphAnalytics.copurchaseCoreness(spark, sf001))
     assert(!p.contains("CartesianProduct"),
       s"cartesian in coreness rounds:\n$p")
     assert(p.contains("ExistingRDD"), s"edge staging missing:\n$p")
   }
 
   test("rerank joins candidates by id: no cartesian beyond the dense tier's broadcast") {
-    val p = plan(graft.queries.ExtQueries.rerankFused(spark, sf001))
+    val p = plan(graft.queries.RetrievalQueries.rerankFused(spark, sf001))
     assert(!p.contains("CartesianProduct"),
       s"cartesian in rerank pipeline:\n$p")
   }
 
   test("personalized pagerank: staged edges, keyed rounds, nothing quadratic") {
-    val p = plan(graft.queries.Analytics.brandAffinityPpr(spark, sf001))
+    val p = plan(graft.queries.GraphAnalytics.brandAffinityPpr(spark, sf001))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"non-equi join in PPR rounds:\n$p")
@@ -607,7 +607,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("silhouette: label sums broadcast into the dot join, no pairwise join") {
-    val p = plan(graft.queries.ExtQueries.embeddingSilhouette(spark, sf001))
+    val p = plan(graft.queries.SimilarityQueries.embeddingSilhouette(spark, sf001))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"non-equi join in silhouette:\n$p")
@@ -616,7 +616,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("pq retrieval: codebook and LUT broadcast, no cartesian beyond the exact-flag cross") {
-    val p = plan(graft.queries.ExtQueries.pqRetrieval(spark, sf001))
+    val p = plan(graft.queries.SimilarityQueries.pqRetrieval(spark, sf001))
     assert(!p.contains("CartesianProduct"),
       s"cartesian in PQ pipeline:\n$p")
     assert(p.contains("BroadcastHashJoin"),
@@ -624,7 +624,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("mmr selection: every greedy round joins candidate-keyed, nothing quadratic") {
-    val p = plan(graft.queries.ExtQueries.mmrDiversified(spark, sf001))
+    val p = plan(graft.queries.RetrievalQueries.mmrDiversified(spark, sf001))
     assert(!p.contains("CartesianProduct"),
       s"cartesian in MMR rounds:\n$p")
     assert(p.contains("ExistingRDD"),
@@ -632,7 +632,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("local clustering: oriented wedge joins, no cartesian, no window") {
-    val df = graft.queries.Analytics.copurchaseLcc(spark, sf001)
+    val df = graft.queries.GraphAnalytics.copurchaseLcc(spark, sf001)
     val p = plan(df)
     assert(!p.contains("CartesianProduct"),
       s"cartesian in lcc wedge pipeline:\n$p")
@@ -643,7 +643,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("centroid similarity: one corpus shuffle, pairwise only on the sum table") {
-    val p = plan(graft.queries.ExtQueries.sourceEmbeddingSimilarity(spark, sf001))
+    val p = plan(graft.queries.SimilarityQueries.sourceEmbeddingSimilarity(spark, sf001))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"non-equi pairwise join in centroid similarity:\n$p")
@@ -651,7 +651,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("quality classifier is one aggregation pass over the hashed features") {
-    val df = graft.queries.ExtQueries.qualityClassify(spark, sf001)
+    val df = graft.queries.TextQueries.qualityClassify(spark, sf001)
     val p = plan(df)
     assert(!p.contains("Join"), s"classifier must not join:\n$p")
     // logits fold into the same grouped aggregation (no per-class scans)
@@ -660,7 +660,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("line dedup: hash-keyed joins only, no window, nothing quadratic") {
-    val df = graft.queries.ExtQueries.lineDedupReport(spark, sf001)
+    val df = graft.queries.DedupQueries.lineDedupReport(spark, sf001)
     val p = plan(df)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
@@ -672,7 +672,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("cross-doc span scrub: pair tier stays keyed, no cartesian") {
-    val df = graft.queries.ExtQueries.spanScrubReport(spark, sf001)
+    val df = graft.queries.DedupQueries.spanScrubReport(spark, sf001)
     val p = plan(df)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
@@ -681,7 +681,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("knn descent: no cartesian; only 1-row scalar broadcast crosses") {
-    val df = graft.queries.ExtQueries.knnGraphReport(spark, sf001)
+    val df = graft.queries.SimilarityQueries.knnGraphReport(spark, sf001)
     val p = plan(df)
     assert(!p.contains("CartesianProduct"),
       s"cartesian in the knn pipeline:\n$p")

@@ -41,13 +41,13 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("moving average and Bollinger bands are internally consistent") {
-    val ma = graft.queries.Analytics.movingAverage(spark, sf001).collect()
+    val ma = graft.queries.MarketAnalytics.movingAverage(spark, sf001).collect()
     // A frame of one row averages to the row itself.
     ma.filter(_.getAs[Int]("n_in_frame") == 1).foreach { r =>
       assert(r.getAs[Double]("ma_price") == r.getAs[Double]("o_totalprice"))
     }
     assert(ma.forall(_.getAs[Int]("n_in_frame") <= 5))
-    val bb = graft.queries.Analytics.bollingerBands(spark, sf001).collect()
+    val bb = graft.queries.MarketAnalytics.bollingerBands(spark, sf001).collect()
     assert(bb.nonEmpty)
     bb.foreach { r =>
       val (p, m, sd) = (r.getAs[Double]("o_totalprice"),
@@ -63,7 +63,7 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("cube summary nests: gid=3 grand total equals the sum of gid=0 cells") {
-    val cube = graft.queries.Analytics.cubeSummary(spark, sf001).collect()
+    val cube = graft.queries.WarehouseAnalytics.cubeSummary(spark, sf001).collect()
     val gids = cube.map(_.getAs[Int]("gid")).toSet
     assert(gids == Set(0, 1, 2, 3))
     val grand = cube.filter(_.getAs[Int]("gid") == 3)
@@ -76,7 +76,7 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("tfidf ranks are dense per source and ubiquitous terms weigh zero") {
-    val t = graft.queries.ExtQueries.tfidfTopTerms(spark, sf001).collect()
+    val t = graft.queries.TextQueries.tfidfTopTerms(spark, sf001).collect()
     t.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
       assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rows.length))
     }
@@ -88,7 +88,7 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("beta of the market against itself would be 1: per-supplier betas center near it") {
-    val b = graft.queries.Analytics.betaVsMarket(spark, sf001, minDays = 5)
+    val b = graft.queries.MarketAnalytics.betaVsMarket(spark, sf001, minDays = 5)
       .collect()
     assert(b.nonEmpty)
     // Betas are finite and the n_days filter held.
@@ -99,7 +99,7 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("latestPerKey agrees with a groupBy-max cross-check") {
-    val byWindow = graft.queries.Analytics.latestPerKey(spark, sf001)
+    val byWindow = graft.queries.MarketAnalytics.latestPerKey(spark, sf001)
       .select("o_custkey", "latest_date")
     val byAgg = graft.model.Tables.orders(spark, sf001)
       .groupBy("o_custkey")
@@ -112,9 +112,9 @@ class QueriesSpec extends SparkSpec {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "2")
-      val a = graft.queries.Analytics.marketSummary(spark, sf001).collect().toSeq
+      val a = graft.queries.MarketAnalytics.marketSummary(spark, sf001).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "17")
-      val b = graft.queries.Analytics.marketSummary(spark, sf001).collect().toSeq
+      val b = graft.queries.MarketAnalytics.marketSummary(spark, sf001).collect().toSeq
       assert(a == b)
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
@@ -124,10 +124,10 @@ class QueriesSpec extends SparkSpec {
     // checkpoints; none of it may depend on partition count or order.
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     def run(): Seq[(Long, Long, Double)] =
-      graft.queries.ExtQueries.dedupNgramJaccard(spark, sf001)
+      graft.queries.DedupQueries.dedupNgramJaccard(spark, sf001)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     def runLsh(): Seq[(Long, Long, Double)] =
-      graft.queries.ExtQueries.dedupMinhashLsh(spark, sf001)
+      graft.queries.DedupQueries.dedupMinhashLsh(spark, sf001)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "2")

@@ -67,7 +67,7 @@ class BpeSpec extends SparkSpec {
   }
 
   test("q238 at sf0.001: volumes consistent, every word at least one piece") {
-    val out = graft.queries.ExtQueries.bpeApplyReport(spark, sf001).collect()
+    val out = graft.queries.TextQueries.bpeApplyReport(spark, sf001).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
       val (w, a, p, c) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_alpha_words"),
@@ -82,7 +82,7 @@ class BpeSpec extends SparkSpec {
   }
 
   test("q232 at sf0.001: segmentations partition their words exactly") {
-    val out = graft.queries.ExtQueries.bpeEncode(spark, sf001).collect()
+    val out = graft.queries.TextQueries.bpeEncode(spark, sf001).collect()
     assert(out.nonEmpty && out.length <= 40)
     out.foreach { r =>
       val word = r.getAs[String]("word")

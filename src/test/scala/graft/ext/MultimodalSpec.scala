@@ -355,8 +355,8 @@ class MultimodalSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("mmret").toString
     corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val brute = graft.queries.ExtQueries.multimodalRetrieval(spark, dir)
-    val celled = graft.queries.ExtQueries.multimodalRetrievalCelled(spark, dir)
+    val brute = graft.queries.MultimodalQueries.multimodalRetrieval(spark, dir)
+    val celled = graft.queries.MultimodalQueries.multimodalRetrievalCelled(spark, dir)
     val b = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val c = celled.collect()
     // every celled hit is score-consistent with brute's scoring (same
@@ -418,7 +418,7 @@ class MultimodalSpec extends SparkSpec {
     def embed(f: Array[Long]): Array[Long] =
       Array.tabulate(4)(k =>
         (0 until 8).map(j => Multimodal.embedWeight(k, j).toLong * f(j)).sum)
-    val got = graft.queries.ExtQueries.multimodalEmbedRetrieval(spark, dir)
+    val got = graft.queries.MultimodalQueries.multimodalEmbedRetrieval(spark, dir)
       .collect()
     assert(got.nonEmpty)
     got.foreach { r =>

@@ -87,10 +87,10 @@ class RetrievalSpec extends SparkSpec {
         k = 10, excludeQueryDoc = true).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
         r.getAs[Int]("rank")).toMap
-    val den = graft.queries.ExtQueries.annBruteTopK(spark, sf001).collect()
+    val den = graft.queries.SimilarityQueries.annBruteTopK(spark, sf001).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
         r.getAs[Int]("rank")).toMap
-    val fused = graft.queries.ExtQueries.hybridRrf(spark, sf001).collect()
+    val fused = graft.queries.RetrievalQueries.hybridRrf(spark, sf001).collect()
     assert(fused.map(_.getAs[Long]("query_id")).distinct.length === 10)
     fused.foreach { r =>
       val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
@@ -120,10 +120,10 @@ class RetrievalSpec extends SparkSpec {
         }
         s
       }
-    val fused = graft.queries.ExtQueries.hybridRrf(spark, sf001).collect()
+    val fused = graft.queries.RetrievalQueries.hybridRrf(spark, sf001).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
         r.getAs[Int]("rank")).toMap
-    val out = graft.queries.ExtQueries.rerankFused(spark, sf001).collect()
+    val out = graft.queries.RetrievalQueries.rerankFused(spark, sf001).collect()
     assert(out.length === fused.size, "every fused candidate keeps a slot")
     out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
       val pq = proj(emb(q))
@@ -223,5 +223,35 @@ class RetrievalSpec extends SparkSpec {
     // rbo_min is the truncated sum: identical lists cap at 1 − 0.9^10
     assert(out(1)._2 === (BigInt(1000000) *
       (BigInt(10).pow(10) - BigInt(9).pow(10)) / BigInt(10).pow(10)).toLong)
+  }
+
+  test("ndcgAtK: exact replay + a fixture where nDCG disagrees with MRR") {
+    import spark.implicits._
+    // one query; graded truth: doc 10 (gain 3), 11 (gain 2), 12 (gain 1)
+    val rel = Seq((1, 10L, 3L), (1, 11L, 2L), (1, 12L, 1L))
+      .toDF("query_id", "doc_id", "gain")
+    // A finds ONLY the top item, at rank 1  → MRR(A) = 1   (best possible)
+    // B finds the 2nd/3rd items high, the top item last → MRR(B) = 1/3
+    val runs = Seq(
+      ("A", 1, 10L, 1), ("A", 1, 90L, 2), ("A", 1, 91L, 3),
+      ("B", 1, 11L, 1), ("B", 1, 12L, 2), ("B", 1, 10L, 3))
+      .toDF("system", "query_id", "doc_id", "rank")
+    val out = Retrieval.ndcgAtK(runs, rel, k = 3).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val d = (1 to 3).map(Retrieval.ndcgDiscountE6)
+    val idcg = 3 * d(0) + 2 * d(1) + 1 * d(2)
+    val dcgA = 3 * d(0)
+    val dcgB = 2 * d(0) + 1 * d(1) + 3 * d(2)
+    assert(out("A") === (1L, dcgA, dcgA * 1000000L / idcg))
+    assert(out("B") === (1L, dcgB, dcgB * 1000000L / idcg))
+    // the disagreement that justifies the metric: MRR prefers A
+    // (1 > 1/3), nDCG prefers B (it placed the whole graded set high)
+    assert(out("B")._3 > out("A")._3)
+    // a perfect run scores exactly 10^6
+    val perfect = Seq(("P", 1, 10L, 1), ("P", 1, 11L, 2), ("P", 1, 12L, 3))
+      .toDF("system", "query_id", "doc_id", "rank")
+    val p = Retrieval.ndcgAtK(perfect, rel, k = 3).collect().head
+    assert(p.getLong(3) === 1000000L)
   }
 }

@@ -239,7 +239,7 @@ class SimilaritySpec extends SparkSpec {
           (c * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
       }.sum
     }.toMap
-    val out = graft.queries.ExtQueries.semanticDedup(spark, sf001).collect()
+    val out = graft.queries.DedupQueries.semanticDedup(spark, sf001).collect()
     assert(out.length === clusters.size)
     out.foreach { r =>
       val cid = r.getAs[Long]("cluster_id")
@@ -316,7 +316,7 @@ class SimilaritySpec extends SparkSpec {
       l -> (ss.length.toLong, sdiv(ss.map(_._2).sum, ss.length),
         ss.count(_._2 > 0).toLong)
     }
-    val out = graft.queries.ExtQueries.embeddingSilhouette(spark, sf001)
+    val out = graft.queries.SimilarityQueries.embeddingSilhouette(spark, sf001)
       .collect()
     assert(out.length === want.size)
     out.foreach { r =>
@@ -348,7 +348,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("q227 PQ retrieval: valid ranks, bounded codes, useful recall at sf0.001") {
-    val out = graft.queries.ExtQueries.pqRetrieval(spark, sf001).collect()
+    val out = graft.queries.SimilarityQueries.pqRetrieval(spark, sf001).collect()
     assert(out.length === 50)
     out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
       assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to 5))
@@ -380,7 +380,7 @@ class SimilaritySpec extends SparkSpec {
       BigDecimal(d(va, vb) / (math.sqrt(d(va, va)) * math.sqrt(d(vb, vb)))
         * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     }
-    val out = graft.queries.ExtQueries.mmrDiversified(spark, sf001).collect()
+    val out = graft.queries.RetrievalQueries.mmrDiversified(spark, sf001).collect()
     out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
       val cs = cands.filter(_._1 == q).map(t => t._2 -> t._3).toMap
       var selected = Vector.empty[Long]
@@ -431,7 +431,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("q233 IVFADC: ranks valid, candidates cell-bounded, scores = q227 PQ on shared pairs") {
-    val ivf = graft.queries.ExtQueries.ivfAdcRetrieval(spark, sf001).collect()
+    val ivf = graft.queries.SimilarityQueries.ivfAdcRetrieval(spark, sf001).collect()
     assert(ivf.length === 50)
     ivf.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
       assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to 5))
@@ -444,7 +444,7 @@ class SimilaritySpec extends SparkSpec {
     // "IVF changes WHICH vectors are scored, never HOW": any (query,
     // neighbor) pair that also survives into the unrestricted q227
     // top-5 must carry the IDENTICAL ADC score
-    val pq = graft.queries.ExtQueries.pqRetrieval(spark, sf001).collect()
+    val pq = graft.queries.SimilarityQueries.pqRetrieval(spark, sf001).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
         r.getAs[Long]("pq_dot")).toMap
     val shared = ivf.flatMap { r =>
@@ -483,7 +483,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("q236 kmeans at sf0.001: converged flag agrees with arrivals; corpus conserved") {
-    val out = graft.queries.ExtQueries.kmeansConverged(spark, sf001).collect()
+    val out = graft.queries.SimilarityQueries.kmeansConverged(spark, sf001).collect()
     assert(out.map(_.getAs[Long]("n_members")).sum === 500L)
     val conv = out.map(_.getAs[Int]("converged")).distinct
     assert(conv.length === 1, "converged is a global flag — one value everywhere")
@@ -501,7 +501,7 @@ class SimilaritySpec extends SparkSpec {
     // state-probe result must equal the full-corpus bucketed pair run
     // restricted to pairs touching the batch, with the keep-first rule
     // (state matches always count; batch matches only from earlier ids).
-    val out = graft.queries.ExtQueries.semanticDedupIncremental(spark, sf001)
+    val out = graft.queries.DedupQueries.semanticDedupIncremental(spark, sf001)
       .collect()
       .map(r => r.getAs[Long]("vec_id") ->
         (r.getAs[Long]("n_dup_state"), r.getAs[Long]("n_dup_batch"),
@@ -646,5 +646,110 @@ class SimilaritySpec extends SparkSpec {
     // monotone — and on this corpus strictly better, which is the point
     assert(out("descent")._5 >= out("seed")._5)
     assert(out("seed")._5 > 0, "seed recall vacuously zero")
+  }
+
+  test("q280 knn descent trajectory replays every round value-for-value " +
+      "at sf0.001") {
+    val k = 5
+    val nProbe = 64L
+    val rounds = 3
+    val emb = graft.model.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[collection.Seq[Float]]("embedding").toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < 64) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val nrm = emb.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    def score(a: Long, b: Long): Double =
+      BigDecimal(dot(emb(a), emb(b)) / (nrm(a) * nrm(b)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def bucketOf(v: Array[Float], from: Int): Long =
+      Similarity.planesFrom(from, 4, 64).zipWithIndex.map { case (w, j) =>
+        var s = 0.0; var i = 0
+        while (i < 64) { s += v(i).toDouble * w(i); i += 1 }
+        if (s > 0) 1L << j else 0L
+      }.sum
+    val b1 = emb.map { case (id, v) => id -> bucketOf(v, 0) }
+    val b2 = emb.map { case (id, v) => id -> bucketOf(v, 4) }
+    val ids = emb.keys.toSeq.sorted
+    def topK(cands: Map[Long, Set[Long]]): Map[Long, Seq[Long]] =
+      cands.map { case (v, cs) =>
+        v -> (cs - v).toSeq.sortBy(c => (-score(v, c), c)).take(k)
+      }
+    val seedCand = ids.map { v =>
+      v -> ids.filter(c => c != v && (b1(c) == b1(v) || b2(c) == b2(v))).toSet
+    }.toMap
+    val seed = topK(seedCand)
+    def oneRound(g: Map[Long, Seq[Long]]): Map[Long, Seq[Long]] = {
+      val und = collection.mutable.Map(ids.map(v => v -> collection.mutable
+        .Set(g.getOrElse(v, Nil): _*)): _*)
+      g.foreach { case (v, ns) => ns.foreach(c => und(c) += v) }
+      topK(ids.map { v =>
+        v -> (g.getOrElse(v, Nil).toSet ++ und(v).flatMap(und(_)))
+      }.toMap)
+    }
+    val exact = ids.filter(_ < nProbe).map { v =>
+      v -> topK(Map(v -> (ids.toSet - v)))(v)
+    }.toMap
+    def row(g: Map[Long, Seq[Long]], prev: Option[Map[Long, Seq[Long]]],
+            r: Int): (Long, Long, Long, Long, Long, Long, Int) = {
+      val nEdges = g.values.map(_.size.toLong).sum
+      val nNew = prev match {
+        case Some(p) => g.map { case (v, ns) =>
+          ns.count(n => !p.getOrElse(v, Nil).contains(n)).toLong }.sum
+        case None => nEdges
+      }
+      val nExact = exact.values.map(_.size.toLong).sum
+      val nHit = exact.map { case (v, ns) =>
+        ns.count(g.getOrElse(v, Nil).contains).toLong }.sum
+      (g.count(_._2.nonEmpty).toLong, nEdges, nNew, nExact, nHit,
+        if (nExact == 0) 0L else nHit * 1000000L / nExact,
+        if (r > 0 && nNew == 0) 1 else 0)
+    }
+    val replay = collection.mutable.Map(0 -> row(seed, None, 0))
+    var g = seed
+    for (r <- 1 to rounds) {
+      val ng = oneRound(g)
+      replay(r) = row(ng, Some(g), r)
+      g = ng
+    }
+    val out = Similarity.knnDescentConverged(
+        graft.model.Tables.embeddings(spark, sf001), "vec_id", "embedding",
+        k = k, nProbe = nProbe, rounds = rounds)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getInt(7))).toMap
+    assert(out.keySet === (0 to rounds).toSet)
+    (0 to rounds).foreach(r => assert(out(r) === replay(r), s"round $r"))
+    // monotone recall: each round's candidates contain the current edges
+    (1 to rounds).foreach(r => assert(out(r)._6 >= out(r - 1)._6,
+      s"recall not monotone at round $r"))
+    // round 1 must reproduce q267's descent stage (same machinery)
+    val q267 = Similarity.knnGraphDescent(
+        graft.model.Tables.embeddings(spark, sf001), "vec_id", "embedding",
+        k = k, nProbe = nProbe)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert((out(1)._1, out(1)._2, out(1)._4, out(1)._5) === q267("descent"))
+    // the fixpoint certificate is 1 exactly when the round added nothing
+    (1 to rounds).foreach(r =>
+      assert((out(r)._7 == 1) === (out(r)._3 == 0L), s"cert at round $r"))
+  }
+
+  test("q281 ndcg report: brute is the perfect anchor, tiers bounded by it") {
+    val out = graft.queries.SimilarityQueries.ndcgReport(spark, sf001)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out.keySet === Set("brute", "lsh", "ivf"))
+    // gains derive from the brute ranking, so brute scores exactly 10⁶
+    assert(out("brute")._2 === 1000000L)
+    // approximate tiers can only lose graded mass, never gain it
+    assert(out("lsh")._2 <= 1000000L && out("ivf")._2 <= 1000000L)
+    assert(out("lsh")._2 > 0L && out("ivf")._2 > 0L, "vacuously zero tier")
+    val nq = out("brute")._1
+    assert(out.values.forall(_._1 == nq), "per-system query spines differ")
   }
 }

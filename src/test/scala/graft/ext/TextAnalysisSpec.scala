@@ -82,7 +82,7 @@ class TextAnalysisSpec extends SparkSpec {
   test("q231 data card rolls up the per-doc components it is composed from") {
     import org.apache.spark.sql.functions._
     val docs = graft.model.Tables.documents(spark, sf001)
-    val card = graft.queries.ExtQueries.sourceDataCard(spark, sf001)
+    val card = graft.queries.CurationQueries.sourceDataCard(spark, sf001)
       .collect().map(r => r.getAs[String]("source") -> r).toMap
     assert(card.values.map(_.getAs[Long]("n_docs")).sum === docs.count())
     // quality_ppm replays the q29 flags per source
@@ -433,5 +433,44 @@ class TextAnalysisSpec extends SparkSpec {
     // the planted exponent: slope within rounding of −1, fit near-perfect
     assert(math.abs(row.getAs[Long]("slope_e6") + 1000000L) < 5000L)
     assert(row.getAs[Long]("r2_ppm") > 999000L)
+  }
+
+  test("q283 wordBigramLmScore: hand model, pruning to backoff, reorder " +
+      "vs char-bigram") {
+    val docs = Seq(
+      (0L, "the cat sat"),  // "the cat", "cat sat" — both retained (cb=2)
+      (1L, "the cat sat"),
+      (2L, "the dog sat"),  // "the dog", "dog sat" — cb=1 → pruned → backoff
+      (3L, "cat")           // no bigrams
+    ).toDF("doc_id", "text")
+    // unigrams: the 3, cat 3, sat 3, dog 1 → T=10, V=4
+    // c1 marginals over ALL bigrams: the→3, cat→2, dog→1
+    def micro(p: Double): Long = math.round(-math.log(p) * 1e6)
+    val lpTheCat = micro(0.7 * 2.0 / 3.0 + 0.3 * (3 + 1.0) / (10 + 4))
+    val lpCatSat = micro(0.7 * 2.0 / 2.0 + 0.3 * (3 + 1.0) / (10 + 4))
+    val lpuDog   = micro(0.3 * (1 + 1.0) / (10 + 4))
+    val lpuSat   = micro(0.3 * (3 + 1.0) / (10 + 4))
+    val out = TextAnalysis.wordBigramLmScore(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(0L) === (2L, 0L, (lpTheCat + lpCatSat) / 2))
+    assert(out(1L) === out(0L))
+    assert(out(2L) === (2L, 2L, (lpuDog + lpuSat) / 2))
+    assert(out(3L) === (0L, 0L, 0L))
+    // backoff-only scores are costlier than retained interpolated ones —
+    // the pruning is visible in the score, not just the counter
+    assert(out(2L)._3 > out(0L)._3)
+    // the reason to build it: word granularity REORDERS documents vs the
+    // q181 char-bigram score on real data
+    val word = graft.queries.TextQueries.wordBigramLmNll(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val char = graft.queries.TextQueries.bigramLmNll(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ids = word.keys.toSeq.sorted
+    val flipped = ids.combinations(2).exists { case Seq(a, b) =>
+      (word(a) - word(b)).sign * (char(a) - char(b)).sign < 0
+    }
+    assert(flipped, "word-LM ordering identical to char-LM — no signal")
   }
 }

@@ -23,7 +23,7 @@ class CatalogSpec extends SparkSpec {
     Catalog.registerAll(spark, sf001)
     Catalog.registerViews(spark, sf001)
     val view = spark.sql("SELECT * FROM daily_market_summary")
-    val df = graft.queries.Analytics.dailySummary(spark, sf001)
+    val df = graft.queries.MarketAnalytics.dailySummary(spark, sf001)
     assert(view.count() == df.count())
     assert(view.orderBy("order_date").exceptAll(df).count() == 0)
   }

@@ -109,7 +109,7 @@ class GraphSpec extends SparkSpec {
   }
 
   test("q223 copurchase coreness replays brute-force peeling at sf0.001") {
-    val out = graft.queries.Analytics.copurchaseCoreness(spark, sf001)
+    val out = graft.queries.GraphAnalytics.copurchaseCoreness(spark, sf001)
       .collect()
     val it = graft.model.Tables.lineitem(spark, sf001)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -156,7 +156,7 @@ class GraphSpec extends SparkSpec {
   }
 
   test("per-node triangle counts sum to 3x the global census at sf0.001") {
-    val perNode = graft.queries.Analytics.copurchaseLcc(spark, sf001)
+    val perNode = graft.queries.GraphAnalytics.copurchaseLcc(spark, sf001)
       .collect().map(_.getAs[Long]("n_triangles")).sum
     // global census over the SAME support-2 graph
     val it = graft.model.Tables.lineitem(spark, sf001)
@@ -277,10 +277,10 @@ class GraphSpec extends SparkSpec {
   }
 
   test("q279 consumes q263's exact assignment (shared loop)") {
-    val a = graft.queries.Analytics.copurchaseCommunities(spark, sf001)
+    val a = graft.queries.GraphAnalytics.copurchaseCommunities(spark, sf001)
       .collect().map(r => r.getAs[Long]("community") ->
         (r.getAs[Long]("n_nodes"), r.getAs[Long]("deg_sum"))).toMap
-    val b = graft.queries.Analytics.copurchaseConductance(spark, sf001)
+    val b = graft.queries.GraphAnalytics.copurchaseConductance(spark, sf001)
       .collect().map(r => r.getAs[Long]("community") ->
         (r.getAs[Long]("n_nodes"), r.getAs[Long]("volume"))).toMap
     // same top-20 rule on identical labels → identical keys and volumes
@@ -431,7 +431,7 @@ class GraphSpec extends SparkSpec {
   test("q274 betweenness replays integer Brandes at sf0.001") {
     val spark2 = spark
     import spark2.implicits._
-    val out = graft.queries.Analytics
+    val out = graft.queries.GraphAnalytics
       .copurchaseBetweenness(spark, sf001).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     // rebuild the operator's own edge list and replay

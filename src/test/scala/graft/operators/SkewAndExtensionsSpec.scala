@@ -50,8 +50,8 @@ class SkewAndExtensionsSpec extends SparkSpec {
       assert(salted == plain, s"ranked winners diverged at salts=$salts")
     }
     // and the registered q81 pair agrees end-to-end on real tables
-    val a = graft.queries.Analytics.topSuppliersPerNation(spark, sf001).collect().toSeq
-    val b = graft.queries.Analytics.topSuppliersPerNationSalted(spark, sf001)
+    val a = graft.queries.WarehouseAnalytics.topSuppliersPerNation(spark, sf001).collect().toSeq
+    val b = graft.queries.WarehouseAnalytics.topSuppliersPerNationSalted(spark, sf001)
       .collect().toSeq
     assert(a == b)
   }

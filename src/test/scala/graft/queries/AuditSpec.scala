@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 class AuditSpec extends SparkSpec {
 
   test("constraint audit covers all 17 constraints and is exercised") {
-    val rows = Analytics.constraintAudit(spark, sf001).collect()
+    val rows = ProfileAnalytics.constraintAudit(spark, sf001).collect()
     assert(rows.length == 17)
     assert(rows.count(_.getAs[String]("kind") == "pk") == 10)
     assert(rows.count(_.getAs[String]("kind") == "fk") == 7)
@@ -33,7 +33,7 @@ class AuditSpec extends SparkSpec {
   }
 
   test("incremental state merge equals the flat aggregate") {
-    val merged = Analytics.incrementalAgg(spark, sf001).collect()
+    val merged = WarehouseAnalytics.incrementalAgg(spark, sf001).collect()
       .map(r => r.getAs[Long]("o_custkey") ->
         (r.getAs[Long]("n_orders"), r.getAs[Double]("revenue"),
           r.getAs[java.sql.Date]("last_order").toString)).toMap
@@ -51,7 +51,7 @@ class AuditSpec extends SparkSpec {
   }
 
   test("k-anonymity classes partition the customer table") {
-    val rows = Analytics.kAnonymity(spark, sf001).collect()
+    val rows = ProfileAnalytics.kAnonymity(spark, sf001).collect()
     assert(rows.map(_.getAs[Long]("class_size")).sum ==
       Tables.customer(spark, sf001).count())
     rows.foreach { r =>
@@ -61,7 +61,7 @@ class AuditSpec extends SparkSpec {
   }
 
   test("rfm quintiles are balanced within segment and labels consistent") {
-    val rows = Analytics.rfmSegments(spark, sf001).collect()
+    val rows = WarehouseAnalytics.rfmSegments(spark, sf001).collect()
     rows.groupBy(_.getAs[String]("c_mktsegment")).foreach { case (seg, rs) =>
       Seq("r", "f", "m").foreach { dim =>
         val counts = rs.groupBy(_.getAs[Int](dim)).view.mapValues(_.length)
@@ -84,7 +84,7 @@ class AuditSpec extends SparkSpec {
   }
 
   test("percentile normalization is a within-source uniform rank") {
-    val rows = ExtQueries.percentileNormalize(spark, sf001).collect()
+    val rows = CurationQueries.percentileNormalize(spark, sf001).collect()
     rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
       val sorted = rs.sortBy(r =>
         (-r.getAs[Long]("score_ppm"), r.getAs[Long]("doc_id")))

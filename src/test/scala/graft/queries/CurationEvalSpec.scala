@@ -14,7 +14,7 @@ class CurationEvalSpec extends SparkSpec {
 
   test("q241 calibration bins replay the margin-binned agreement at sf0.001") {
     val docs = graft.model.Tables.documents(spark, sf001)
-    val out = ExtQueries.calibrationReport(spark, sf001).collect()
+    val out = CurationQueries.calibrationReport(spark, sf001).collect()
       .map(r => r.getAs[Long]("bin") ->
         (r.getAs[Long]("n_docs"), r.getAs[Long]("n_agree"),
           r.getAs[Long]("agree_ppm"), r.getAs[Long]("min_margin"),
@@ -45,7 +45,7 @@ class CurationEvalSpec extends SparkSpec {
   }
 
   test("q242 PSI replays the smoothed bin arithmetic at sf0.001") {
-    val out = ExtQueries.psiDriftReport(spark, sf001).collect()
+    val out = CurationQueries.psiDriftReport(spark, sf001).collect()
       .map(r => r.getAs[String]("source") ->
         (r.getAs[Long]("n_ref_docs"), r.getAs[Long]("n_cur_docs"),
           r.getAs[Int]("n_bins"), r.getAs[Long]("psi_micro"))).toMap
@@ -95,7 +95,7 @@ class CurationEvalSpec extends SparkSpec {
 
   test("q243 DSIR weights replay and rank the target slice up at sf0.001") {
     val docs = graft.model.Tables.documents(spark, sf001)
-    val out = ExtQueries.dsirSelection(spark, sf001).collect()
+    val out = CurationQueries.dsirSelection(spark, sf001).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
         r.getAs[Long]("n_tokens"), r.getAs[Long]("weight_e6")))
     assert(out.length === 40)
@@ -138,7 +138,7 @@ class CurationEvalSpec extends SparkSpec {
 
   test("q244 LSH candidate eval replays P/R vs the exact capped tier at sf0.001") {
     val docs = graft.model.Tables.documents(spark, sf001)
-    val out = ExtQueries.lshCandidateReport(spark, sf001).collect()
+    val out = DedupQueries.lshCandidateReport(spark, sf001).collect()
       .map(r => r.getAs[Long]("threshold_ppm") ->
         (r.getAs[Long]("n_exact"), r.getAs[Long]("n_cand"),
           r.getAs[Long]("n_hit"), r.getAs[Long]("precision_ppm"),
@@ -189,7 +189,7 @@ class CurationEvalSpec extends SparkSpec {
   }
 
   test("q246 retrieval eval replays MRR/hit from the tiers' own outputs") {
-    val out = ExtQueries.retrievalEval(spark, sf001).collect()
+    val out = SimilarityQueries.retrievalEval(spark, sf001).collect()
       .map(r => r.getAs[String]("system") ->
         (r.getAs[Long]("n_queries"), r.getAs[Long]("n_found"),
           r.getAs[Long]("hit_at3_ppm"), r.getAs[Long]("mrr_e6"),
@@ -199,15 +199,15 @@ class CurationEvalSpec extends SparkSpec {
     // and when ALL queries agree the jackknife SE is zero by construction
     assert(out("brute") === (10L, 10L, 1000000L, 1000000L, 0L, 0L))
     // replay each system from its own (already-specced) output
-    val truth = ExtQueries.annBruteTopK(spark, sf001)
+    val truth = SimilarityQueries.annBruteTopK(spark, sf001)
       .filter(col("rank") === 1).collect()
       .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
       .toMap
     val systems = Seq(
-      "lsh" -> ExtQueries.annLshTopK(spark, sf001),
-      "ivf" -> ExtQueries.annIvfTopK(spark, sf001),
-      "pq" -> ExtQueries.pqRetrieval(spark, sf001),
-      "ivfadc" -> ExtQueries.ivfAdcRetrieval(spark, sf001))
+      "lsh" -> SimilarityQueries.annLshTopK(spark, sf001),
+      "ivf" -> SimilarityQueries.annIvfTopK(spark, sf001),
+      "pq" -> SimilarityQueries.pqRetrieval(spark, sf001),
+      "ivfadc" -> SimilarityQueries.ivfAdcRetrieval(spark, sf001))
     systems.foreach { case (nm, df) =>
       val ranks = df.filter(col("rank") <= 3).collect()
         .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
@@ -237,7 +237,7 @@ class CurationEvalSpec extends SparkSpec {
   }
 
   test("q247 cluster eval replays purity and NMI from the q236 assignment") {
-    val out = ExtQueries.clusterEvalReport(spark, sf001).collect()
+    val out = SimilarityQueries.clusterEvalReport(spark, sf001).collect()
       .map(r => r.getAs[Int]("cluster") ->
         (r.getAs[Long]("n_members"), r.getAs[Int]("majority_label"),
           r.getAs[Long]("n_majority"), r.getAs[Long]("purity_ppm"),
@@ -305,7 +305,7 @@ class CurationEvalSpec extends SparkSpec {
   }
 
   test("q248 dedup sweep replays drops and is monotone in the threshold") {
-    val out = ExtQueries.dedupSweepReport(spark, sf001).collect()
+    val out = DedupQueries.dedupSweepReport(spark, sf001).collect()
       .map(r => r.getAs[Long]("threshold_ppm") ->
         (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_dropped"),
           r.getAs[Long]("dropped_tokens"), r.getAs[Long]("kept_docs"),
@@ -351,7 +351,7 @@ class CurationEvalSpec extends SparkSpec {
   }
 
   test("q249 quality sweep replays bins and the cumulative curve") {
-    val out = ExtQueries.qualityThresholdSweep(spark, sf001).collect()
+    val out = CurationQueries.qualityThresholdSweep(spark, sf001).collect()
       .map(r => r.getAs[Long]("bin") ->
         (r.getAs[Long]("n_docs"), r.getAs[Long]("tokens"),
           r.getAs[Long]("cum_docs"), r.getAs[Long]("cum_tokens"),
@@ -379,7 +379,7 @@ class CurationEvalSpec extends SparkSpec {
   }
 
   test("q250 l-diversity replays distinct/entropy and catches homogeneity") {
-    val out = Analytics.lDiversity(spark, sf001).collect()
+    val out = ProfileAnalytics.lDiversity(spark, sf001).collect()
       .map(r => (r.getAs[String]("c_mktsegment"), r.getAs[Long]("c_nationkey")) ->
         (r.getAs[Long]("class_size"), r.getAs[Int]("distinct_l"),
           r.getAs[Long]("entropy_micro"), r.getAs[Int]("is_2_diverse"))).toMap
@@ -414,7 +414,7 @@ class CurationEvalSpec extends SparkSpec {
   }
 
   test("q251 BPE sweep is consistent with training and monotone") {
-    val out = ExtQueries.bpeSweepReport(spark, sf001).collect()
+    val out = TextQueries.bpeSweepReport(spark, sf001).collect()
       .map(r => r.getAs[Int]("round") ->
         (r.getAs[Long]("n_vocab_words"), r.getAs[Long]("corpus_words"),
           r.getAs[Long]("corpus_chars"), r.getAs[Long]("corpus_pieces"),
@@ -439,7 +439,7 @@ class CurationEvalSpec extends SparkSpec {
     // the merges actually bite: round 6 is strictly cheaper than chars
     assert(out(6)._4 < cp0, "six merges removed nothing")
     // cross-check round 6 against q232's per-word readout on shared words
-    val seg = ExtQueries.bpeEncode(spark, sf001).collect()
+    val seg = TextQueries.bpeEncode(spark, sf001).collect()
       .map(r => r.getAs[String]("word") ->
         (r.getAs[Long]("freq"), r.getAs[Long]("n_pieces"))).toMap
     seg.foreach { case (w, (fq, p)) =>
@@ -449,7 +449,7 @@ class CurationEvalSpec extends SparkSpec {
   }
 
   test("q252 embedding cross-source matrix replays from the pair tier") {
-    val out = ExtQueries.embCrossSourceMatrix(spark, sf001).collect()
+    val out = SimilarityQueries.embCrossSourceMatrix(spark, sf001).collect()
       .map(r => (r.getAs[String]("source_lo"), r.getAs[String]("source_hi")) ->
         (r.getAs[Long]("n_pairs"), r.getAs[Long]("max_cos_e4"),
           r.getAs[Long]("example_a"), r.getAs[Long]("example_b"))).toMap
@@ -548,7 +548,7 @@ class CurationEvalSpec extends SparkSpec {
     val docs = graft.model.Tables.documents(spark, sf001)
       .select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toSeq
-    val out = ExtQueries.bm25PrfSearch(spark, sf001).collect()
+    val out = RetrievalQueries.bm25PrfSearch(spark, sf001).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
         (r.getAs[Long]("doc_id"), r.getAs[Long]("score_e12"),
           r.getAs[Int]("n_hit_terms"), r.getAs[Int]("n_exp_terms"))).toMap
@@ -559,7 +559,7 @@ class CurationEvalSpec extends SparkSpec {
   }
 
   test("q253 assortativity replays the integer Pearson at sf0.001") {
-    val out = Analytics.copurchaseAssortativity(spark, sf001).collect()
+    val out = GraphAnalytics.copurchaseAssortativity(spark, sf001).collect()
     assert(out.length === 1)
     val r = out.head
     val it = graft.model.Tables.lineitem(spark, sf001)
@@ -595,7 +595,7 @@ class CurationEvalSpec extends SparkSpec {
   }
 
   test("q255 Neyman allocation replays and is budget-feasible") {
-    val out = ExtQueries.neymanAllocation(spark, sf001).collect()
+    val out = CurationQueries.neymanAllocation(spark, sf001).collect()
       .map(r => r.getAs[String]("source") ->
         (r.getAs[Long]("n_docs"), r.getAs[Long]("sigma_e6"),
           r.getAs[Long]("weight_ppm"), r.getAs[Long]("neyman_n"),
@@ -629,7 +629,7 @@ class CurationEvalSpec extends SparkSpec {
   }
 
   test("q256 conformal threshold replays and orders accepted above rejected") {
-    val out = ExtQueries.conformalReport(spark, sf001).collect()
+    val out = CurationQueries.conformalReport(spark, sf001).collect()
       .map(r => r.getAs[Int]("predicted") ->
         (r.getAs[Long]("n_test"), r.getAs[Long]("n_accepted"),
           r.getAs[Long]("accept_ppm"), r.getAs[Long]("acc_accepted_ppm"),
@@ -678,7 +678,7 @@ class CurationEvalSpec extends SparkSpec {
   }
 
   test("q257 Adamic-Adar replays the capped wedge scoring at sf0.001") {
-    val out = Analytics.copurchaseLinkPrediction(spark, sf001).collect()
+    val out = GraphAnalytics.copurchaseLinkPrediction(spark, sf001).collect()
       .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
         r.getAs[Long]("aa_e6"), r.getAs[Long]("n_common")))
     assert(out.length === 25)
@@ -717,7 +717,7 @@ class CurationEvalSpec extends SparkSpec {
   }
 
   test("q258 recommender holdout replays hit-rates at sf0.001") {
-    val out = Analytics.recommenderHoldout(spark, sf001).collect()
+    val out = GraphAnalytics.recommenderHoldout(spark, sf001).collect()
       .map(r => r.getAs[Int]("k") ->
         (r.getAs[Long]("n_evals"), r.getAs[Long]("n_cold"),
           r.getAs[Long]("n_hits"), r.getAs[Long]("hitrate_ppm"),
@@ -772,7 +772,7 @@ class CurationEvalSpec extends SparkSpec {
   }
 
   test("q259 chunk retrieval pools the best chunk and matches chunk BM25") {
-    val out = ExtQueries.chunkRetrieval(spark, sf001).collect()
+    val out = RetrievalQueries.chunkRetrieval(spark, sf001).collect()
       .map(r => (r.getAs[Int]("query_id").toLong, r.getAs[Int]("rank")) ->
         (r.getAs[Long]("doc_id"), r.getAs[Long]("best_chunk"),
           r.getAs[Long]("best_score_e12"), r.getAs[Long]("n_chunks_hit")))
@@ -809,7 +809,7 @@ class CurationEvalSpec extends SparkSpec {
   }
 
   test("q260 repeat scrub replays the covered-position union at sf0.001") {
-    val out = ExtQueries.repeatScrub(spark, sf001).collect()
+    val out = DedupQueries.repeatScrub(spark, sf001).collect()
       .map(r => r.getAs[String]("source") ->
         (r.getAs[Long]("n_docs"), r.getAs[Long]("n_affected"),
           r.getAs[Long]("tokens_before"), r.getAs[Long]("tokens_after"),
@@ -845,7 +845,7 @@ class CurationEvalSpec extends SparkSpec {
   }
 
   test("q261 capped budget replays both prefixes and the cap binds") {
-    val out = ExtQueries.cappedBudgetSelection(spark, sf001).collect()
+    val out = CurationQueries.cappedBudgetSelection(spark, sf001).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Int]("kept")) ->
         (r.getAs[Long]("n_docs"), r.getAs[Long]("tokens"),
           r.getAs[Long]("budget_tokens"), r.getAs[Long]("src_cap_tokens")))
@@ -889,7 +889,7 @@ class CurationEvalSpec extends SparkSpec {
   }
 
   test("q262 IVF probe sweep replays recall and is monotone in nprobe") {
-    val out = ExtQueries.ivfProbeSweep(spark, sf001).collect()
+    val out = SimilarityQueries.ivfProbeSweep(spark, sf001).collect()
       .map(r => r.getAs[Int]("nprobe") ->
         (r.getAs[Long]("n_queries"), r.getAs[Long]("n_hits"),
           r.getAs[Long]("recall_ppm"))).toMap
@@ -915,7 +915,7 @@ class CurationEvalSpec extends SparkSpec {
   }
 
   test("q245 power iteration replays the 3 integer rounds at sf0.001") {
-    val out = ExtQueries.principalComponent(spark, sf001).collect()
+    val out = SimilarityQueries.principalComponent(spark, sf001).collect()
       .map(r => (r.getAs[Int]("dim"), r.getAs[Long]("v_prev_e4"),
         r.getAs[Long]("v_e4"), r.getAs[Long]("align_ppm")))
       .sortBy(_._1)
@@ -954,8 +954,66 @@ class CurationEvalSpec extends SparkSpec {
     assert(v.map(_.abs).max === BigInt(10000))
   }
 
+  test("q282 second PC replays deflation + second loop; near-orthogonal") {
+    val out = SimilarityQueries.secondComponentReport(spark, sf001).collect()
+      .map(r => (r.getAs[Int]("dim"), r.getAs[Long]("v1_e4"),
+        r.getAs[Long]("v2_e4"), r.getAs[Long]("align2_ppm"),
+        r.getAs[Long]("ortho_ppm")))
+      .sortBy(_._1)
+    assert(out.length === 64)
+    val q = graft.model.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("i"),
+        math.round(r.getAs[Float]("x").toDouble * 1e4)))
+    val byVec = q.groupBy(_._1).map { case (id, xs) =>
+      id -> xs.map(x => (x._2, BigInt(x._3))).sortBy(_._1).map(_._2).toArray
+    }
+    def loop(rows: Iterable[Array[BigInt]]): (Array[BigInt], Array[BigInt]) = {
+      var v = Array.fill(64)(BigInt(10000))
+      var vPrev = v
+      for (_ <- 1 to 3) {
+        val w = Array.fill(64)(BigInt(0))
+        rows.foreach { row =>
+          val s = row.indices.map(i => row(i) * v(i)).sum
+          row.indices.foreach(i => w(i) += row(i) * s)
+        }
+        val m = w.map(_.abs).max
+        vPrev = v
+        v = w.map(x => if (x >= 0) (x.abs * 10000) / m
+          else -((x.abs * 10000) / m))
+      }
+      (v, vPrev)
+    }
+    val (v1, _) = loop(byVec.values)
+    val nv1 = v1.map(x => x * x).sum
+    def sdiv(a: BigInt, b: BigInt): BigInt =
+      if (a >= 0) a / b else -((-a) / b)
+    val deflated = byVec.values.map { row =>
+      val s = row.indices.map(i => row(i) * v1(i)).sum
+      row.indices.map(i => row(i) - sdiv(s * v1(i), nv1)).toArray
+    }
+    val (v2, v2p) = loop(deflated)
+    val dt2 = (0 until 64).map(i => v2(i) * v2p(i)).sum
+    val align2 = ((dt2 * dt2 * 1000000) /
+      (v2.map(x => x * x).sum * v2p.map(x => x * x).sum)).toLong
+    val dto = (0 until 64).map(i => v1(i) * v2(i)).sum
+    val ortho = ((dto * dto * 1000000) /
+      (nv1 * v2.map(x => x * x).sum)).toLong
+    out.foreach { case (d, g1, g2, ga, go) =>
+      assert(BigInt(g1) === v1(d), s"v1 at dim $d")
+      assert(BigInt(g2) === v2(d), s"v2 at dim $d")
+      assert(ga === align2, s"align2_ppm at dim $d")
+      assert(go === ortho, s"ortho_ppm at dim $d")
+    }
+    // the deflation's point: the two directions are near-orthogonal
+    // (cos² under 1% — quantization residue only) and genuinely distinct
+    assert(ortho < 10000L, s"ortho_ppm $ortho not near zero")
+    assert(out.exists { case (_, g1, g2, _, _) => g1 != g2 })
+  }
+
   test("q265 t-closeness replays the ordered EMD and catches skew") {
-    val out = Analytics.tCloseness(spark, sf001).collect()
+    val out = ProfileAnalytics.tCloseness(spark, sf001).collect()
       .map(r => (r.getAs[String]("c_mktsegment"),
         r.getAs[Long]("c_nationkey")) ->
         (r.getAs[Long]("class_size"), r.getAs[Long]("emd_ppm"),

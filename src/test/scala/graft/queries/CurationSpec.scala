@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 class CurationSpec extends SparkSpec {
 
   test("q239 label spreading replays the 3 frontier rounds at sf0.001") {
-    val out = ExtQueries.labelSpreading(spark, sf001).collect()
+    val out = SimilarityQueries.labelSpreading(spark, sf001).collect()
       .map(r => r.getAs[Long]("vec_id") ->
         (r.getAs[Int]("is_seed"),
           Option(r.getAs[Any]("label")).map(_.asInstanceOf[Int]),
@@ -56,7 +56,7 @@ class CurationSpec extends SparkSpec {
   }
 
   test("q240 token budget replays the greedy prefix selection at sf0.001") {
-    val out = ExtQueries.tokenBudgetSelection(spark, sf001).collect()
+    val out = CurationQueries.tokenBudgetSelection(spark, sf001).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Int]("kept")) ->
         (r.getAs[Long]("n_docs"), r.getAs[Long]("tokens"),
           r.getAs[Long]("budget_tokens"))).toMap

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 class LifecycleSpec extends SparkSpec {
 
   test("sequential rules match a direct first-purchase replay") {
-    val out = Analytics.sequentialRules(spark, sf001).collect()
+    val out = WarehouseAnalytics.sequentialRules(spark, sf001).collect()
     assert(out.nonEmpty && out.length <= 25)
     val firsts = Tables.lineitem(spark, sf001)
       .join(Tables.orders(spark, sf001), col("l_orderkey") === col("o_orderkey"))
@@ -41,7 +41,7 @@ class LifecycleSpec extends SparkSpec {
   }
 
   test("kaplan-meier satisfies its defining identities") {
-    val out = Analytics.kaplanMeier(spark, sf001).collect()
+    val out = WarehouseAnalytics.kaplanMeier(spark, sf001).collect()
     assert(out.length > 1)
     val rows = out.sortBy(_.getAs[Int]("t_months"))
     val total = rows.map(_.getAs[Long]("n_at_t")).sum
@@ -68,7 +68,7 @@ class LifecycleSpec extends SparkSpec {
   }
 
   test("eval split keeps only eval-bucket docs with no train band collision") {
-    val kept = ExtQueries.leakFreeEvalSplit(spark, sf001).collect()
+    val kept = CurationQueries.leakFreeEvalSplit(spark, sf001).collect()
       .map(_.getAs[Long]("doc_id")).toSet
     assert(kept.nonEmpty)
     val docs = Tables.documents(spark, sf001)

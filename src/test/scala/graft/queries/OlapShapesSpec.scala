@@ -9,17 +9,17 @@ import org.apache.spark.sql.functions._
 class OlapShapesSpec extends SparkSpec {
 
   test("pivot counts re-aggregate to the conditional-counts query") {
-    val pivot = Analytics.statusPivot(spark, sf001)
+    val pivot = WarehouseAnalytics.statusPivot(spark, sf001)
       .select(col("o_orderpriority"),
         (col("f_n") + col("o_n") + col("p_n")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val cond = Analytics.condCounts(spark, sf001)
+    val cond = MarketAnalytics.condCounts(spark, sf001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(pivot == cond)
   }
 
   test("rollup levels are internally consistent") {
-    val rows = Analytics.revenueRollup(spark, sf001).collect()
+    val rows = WarehouseAnalytics.revenueRollup(spark, sf001).collect()
     val grand = rows.filter(_.getInt(2) == 2)
     assert(grand.length == 1)
     val l0Items = rows.filter(_.getInt(2) == 0).map(_.getLong(3)).sum
@@ -34,19 +34,19 @@ class OlapShapesSpec extends SparkSpec {
     // retained set is the documented deterministic top-by-activity).
     val daily = (for (k <- 0 until 8; d <- 0 until 10)
       yield (s"k$k", d, (k + 1) * 10.0 + d % 3)).toDF("key", "d", "v")
-    val capped = Analytics.correlationPanel(daily, "key", "d", "v", maxKeys = 5)
+    val capped = MarketAnalytics.correlationPanel(daily, "key", "d", "v", maxKeys = 5)
       .collect()
     val keysSeen = capped.flatMap(r => Seq(r.getString(0), r.getString(1))).toSet
     assert(keysSeen == Set("k3", "k4", "k5", "k6", "k7"))
     assert(capped.length == 10) // C(5,2) pairs, each over all 10 dates
     assert(capped.forall(_.getLong(3) == 10))
     // at-or-under the cap the matrix is the full unfiltered one
-    val full = Analytics.correlationPanel(daily, "key", "d", "v", maxKeys = 8)
+    val full = MarketAnalytics.correlationPanel(daily, "key", "d", "v", maxKeys = 8)
     assert(full.count() == 28) // C(8,2)
   }
 
   test("ntile quartile sizes within a segment differ by at most one") {
-    Analytics.revenueQuartiles(spark, sf001).collect()
+    WarehouseAnalytics.revenueQuartiles(spark, sf001).collect()
       .groupBy(_.getString(0)).foreach { case (_, qs) =>
         val sizes = qs.map(_.getLong(2))
         assert(sizes.max - sizes.min <= 1)
@@ -55,7 +55,7 @@ class OlapShapesSpec extends SparkSpec {
   }
 
   test("gap fill emits a dense spine with carried values") {
-    val rows = Analytics.monthlyGapFill(spark, sf001, maxKey = 5).collect()
+    val rows = WarehouseAnalytics.monthlyGapFill(spark, sf001, maxKey = 5).collect()
     assert(rows.nonEmpty)
     rows.groupBy(_.getLong(0)).foreach { case (_, ms) =>
       // dense: every month present exactly once per key
@@ -71,13 +71,13 @@ class OlapShapesSpec extends SparkSpec {
   }
 
   test("max drawdown is in [-1, 0] and volatility is non-negative") {
-    val dd = Analytics.maxDrawdown(spark, sf001).collect()
+    val dd = MarketAnalytics.maxDrawdown(spark, sf001).collect()
     assert(dd.nonEmpty)
     dd.foreach { r =>
       val d = r.getDouble(3)
       assert(d <= 0.0 && d >= -1.0, s"drawdown out of range: $d")
     }
-    val vol = Analytics.returnVolatility(spark, sf001).collect()
+    val vol = MarketAnalytics.returnVolatility(spark, sf001).collect()
     assert(vol.nonEmpty)
     vol.foreach { r =>
       assert(r.getLong(1) >= 2)
@@ -102,7 +102,7 @@ class OlapShapesSpec extends SparkSpec {
   }
 
   test("RSI stays in [0, 100] and only full frames are emitted") {
-    val rows = Analytics.rsi(spark, sf001, n = 5).collect()
+    val rows = MarketAnalytics.rsi(spark, sf001, n = 5).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val v = r.getDouble(4)
@@ -119,7 +119,7 @@ class OlapShapesSpec extends SparkSpec {
 
   test("weekly OHLC bars bracket open/close and reconcile with raw orders") {
     import org.apache.spark.sql.functions._
-    val bars = Analytics.weeklyOhlc(spark, sf001).collect()
+    val bars = MarketAnalytics.weeklyOhlc(spark, sf001).collect()
     assert(bars.nonEmpty)
     bars.foreach { r =>
       val (open, high, low, close) =
@@ -132,7 +132,7 @@ class OlapShapesSpec extends SparkSpec {
   }
 
   test("market breadth counts partition the change rows and breadth is in [-1, 1]") {
-    val rows = Analytics.marketBreadth(spark, sf001).collect()
+    val rows = MarketAnalytics.marketBreadth(spark, sf001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (up, down, flat, b) =
@@ -144,7 +144,7 @@ class OlapShapesSpec extends SparkSpec {
   }
 
   test("longest up-streak is bounded by the customer's change count") {
-    val streaks = Analytics.longestUpStreak(spark, sf001).collect()
+    val streaks = MarketAnalytics.longestUpStreak(spark, sf001).collect()
     assert(streaks.nonEmpty)
     streaks.foreach { r =>
       val (longest, n) = (r.getInt(1), r.getInt(2))
@@ -154,7 +154,7 @@ class OlapShapesSpec extends SparkSpec {
   }
 
   test("HHI sits in [1/n, 1] and top share never exceeds it... proportionally") {
-    val rows = Analytics.hhiConcentration(spark, sf001).collect()
+    val rows = WarehouseAnalytics.hhiConcentration(spark, sf001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (n, top, hhi) = (r.getInt(1), r.getDouble(3), r.getDouble(4))
@@ -166,7 +166,7 @@ class OlapShapesSpec extends SparkSpec {
   }
 
   test("monthly ranks are a permutation and shifts cancel per month pair") {
-    val rows = Analytics.rankShift(spark, sf001).collect()
+    val rows = WarehouseAnalytics.rankShift(spark, sf001).collect()
     assert(rows.nonEmpty)
     // Within one month, emitted ranks are distinct (the order is unique).
     rows.groupBy(_.getDate(1)).foreach { case (_, rs) =>
@@ -177,7 +177,7 @@ class OlapShapesSpec extends SparkSpec {
   }
 
   test("percentile report: pct_rank and cume are in [0,1] and monotone together") {
-    val rows = Analytics.percentileReport(spark, sf001).collect()
+    val rows = WarehouseAnalytics.percentileReport(spark, sf001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (p, c) = (r.getDouble(3), r.getDouble(4))
@@ -202,7 +202,7 @@ class OlapShapesSpec extends SparkSpec {
       .agg(min("px").as("lo"), max("px").as("hi"))
       .collect().map(r => (r.getLong(0), r.getDate(1).toString) ->
         (r.getLong(2), r.getLong(3))).toMap
-    val rows = Analytics.twap(spark, sf001).collect()
+    val rows = MarketAnalytics.twap(spark, sf001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (lo, hi) = li((r.getLong(0), r.getDate(1).toString))

@@ -18,7 +18,7 @@ class ProfileSpec extends SparkSpec {
       if (i % 4 == 0) None else Some((i % 100).toLong))
   }.toDF("hi", "mid", "lo", "gap")
 
-  private def exactMap = Analytics.tableProfile(frame,
+  private def exactMap = ProfileAnalytics.tableProfile(frame,
       Seq("hi", "mid", "lo", "gap")).collect()
     .map(r => r.getAs[String]("column_name") ->
       (r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"),
@@ -26,7 +26,7 @@ class ProfileSpec extends SparkSpec {
 
   test("HLL profile: counts exact, distinct within 3x the requested rsd") {
     val ex = exactMap
-    val ap = Analytics.tableProfileApprox(frame,
+    val ap = ProfileAnalytics.tableProfileApprox(frame,
         Seq("hi", "mid", "lo", "gap"), rsd = 0.05).collect()
       .map(r => r.getAs[String]("column_name") ->
         (r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"),
@@ -43,7 +43,7 @@ class ProfileSpec extends SparkSpec {
   test("sampled profile: counts exact, high-cardinality estimates in-regime") {
     val ex = exactMap
     val canon = Seq("hi", "mid", "lo", "gap").map(c => c -> col(c).cast("long"))
-    val sp = Analytics.tableProfileSampled(frame, canon, tDiv = 16L).collect()
+    val sp = ProfileAnalytics.tableProfileSampled(frame, canon, tDiv = 16L).collect()
       .map(r => r.getAs[String]("column_name") ->
         (r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"),
           r.getAs[Long]("n_sketch_keys"), r.getAs[Long]("n_distinct_est"))).toMap
@@ -65,8 +65,8 @@ class ProfileSpec extends SparkSpec {
 
   test("sampled profile estimate is invariant to repartitioning") {
     val canon = Seq("hi" -> col("hi").cast("long"))
-    val a = Analytics.tableProfileSampled(frame, canon).collect().head
-    val b = Analytics.tableProfileSampled(frame.repartition(13), canon)
+    val a = ProfileAnalytics.tableProfileSampled(frame, canon).collect().head
+    val b = ProfileAnalytics.tableProfileSampled(frame.repartition(13), canon)
       .collect().head
     assert(a === b, "hash-gate sketch must not depend on physical layout")
   }

@@ -60,14 +60,14 @@ class ReportQueriesSpec extends SparkSpec {
   }
 
   test("q184 keep-best agrees with q47 clusters and keeps the longest member") {
-    val clusters = ExtQueries.dedupClusters(spark, sf001).collect()
+    val clusters = DedupQueries.dedupClusters(spark, sf001).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
     val docs = graft.model.Tables.documents(spark, sf001)
       .select(col("doc_id"),
         length(graft.ext.TextOps.normText(col("text"))).cast("long"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val kb = ExtQueries.dedupKeepBest(spark, sf001).collect()
+    val kb = DedupQueries.dedupKeepBest(spark, sf001).collect()
     assert(kb.map(_.getLong(0)).toSet == byCluster.keySet)
     kb.foreach { r =>
       val members = byCluster(r.getLong(0))
@@ -93,7 +93,7 @@ class ReportQueriesSpec extends SparkSpec {
   }
 
   test("q104 ABC classes are contiguous down the revenue order") {
-    val rows = Analytics.paretoAbc(spark, sf001).collect()
+    val rows = WarehouseAnalytics.paretoAbc(spark, sf001).collect()
     val classes = rows.map(_.getAs[String]("abc_class"))
     // Cumulative share never decreases and the class sequence is a
     // partition A* B* C* — a supplier can never out-rank its class.
@@ -107,7 +107,7 @@ class ReportQueriesSpec extends SparkSpec {
   }
 
   test("q105 recall@3 stays above the LSH quality floor") {
-    val rows = ExtQueries.annRecall(spark, sf001).collect()
+    val rows = SimilarityQueries.annRecall(spark, sf001).collect()
     assert(rows.length == 10) // one row per query vector
     rows.foreach { r =>
       assert(r.getAs[Int]("k_eff") == 3)
@@ -124,7 +124,7 @@ class ReportQueriesSpec extends SparkSpec {
   }
 
   test("q107 %K stays inside the channel it measures") {
-    val rows = Analytics.stochasticOscillator(spark, sf001).collect()
+    val rows = MarketAnalytics.stochasticOscillator(spark, sf001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (p, lo, hi, k) = (r.getAs[Double]("o_totalprice"),
@@ -138,7 +138,7 @@ class ReportQueriesSpec extends SparkSpec {
   }
 
   test("q108 OBV steps by exactly the row's quantity or holds") {
-    val rows = Analytics.onBalanceVolume(spark, sf001).collect()
+    val rows = MarketAnalytics.onBalanceVolume(spark, sf001).collect()
       .groupBy(_.getAs[Long]("l_suppkey"))
     rows.values.foreach { grp =>
       // collected rows keep the query's (date, orderkey, linenumber) order
@@ -154,14 +154,14 @@ class ReportQueriesSpec extends SparkSpec {
   }
 
   test("q109 weekday report partitions the order count") {
-    val rows = Analytics.weekdaySeasonality(spark, sf001).collect()
+    val rows = MarketAnalytics.weekdaySeasonality(spark, sf001).collect()
     assert(rows.map(_.getAs[Int]("iso_dow")).toSeq.sorted == (1 to 7))
     val total = graft.model.Tables.orders(spark, sf001).count()
     assert(rows.map(_.getAs[Long]("n_orders")).sum == total)
   }
 
   test("q110 novelty counts the df=1 shingles exactly") {
-    val rows = ExtQueries.shingleNovelty(spark, sf001).collect()
+    val rows = DedupQueries.shingleNovelty(spark, sf001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (n, novel, s) = (r.getAs[Long]("n_shingles"),
@@ -177,7 +177,7 @@ class ReportQueriesSpec extends SparkSpec {
   }
 
   test("q111 shares partition each source; q112 fertility >= 1") {
-    val mix = ExtQueries.langSourceMix(spark, sf001).collect()
+    val mix = TextQueries.langSourceMix(spark, sf001).collect()
     mix.groupBy(_.getAs[String]("source")).foreach { case (src, grp) =>
       val mass = grp.map(_.getAs[Double]("share")).sum
       assert(mass <= 1.0 + 1e-9 && mass >= 1.0 - grp.length * 1e-6,
@@ -186,14 +186,14 @@ class ReportQueriesSpec extends SparkSpec {
     assert(mix.map(_.getAs[Long]("n_docs")).sum ==
       graft.model.Tables.documents(spark, sf001).count())
     // the BPE-ish pattern emits at least one piece per whitespace token
-    ExtQueries.tokenFertility(spark, sf001).collect().foreach { r =>
+    TextQueries.tokenFertility(spark, sf001).collect().foreach { r =>
       assert(r.getAs[Double]("fertility") >= 1.0)
       assert(r.getAs[Long]("bpe_tokens") >= r.getAs[Long]("ws_tokens"))
     }
   }
 
   test("q113 autocorr is a single bounded scalar") {
-    val r = Analytics.revenueAutocorr(spark, sf001).collect()
+    val r = WarehouseAnalytics.revenueAutocorr(spark, sf001).collect()
     assert(r.length == 1)
     val ac = r.head.getAs[Double]("autocorr")
     assert(ac >= -1.0 && ac <= 1.0)
@@ -201,7 +201,7 @@ class ReportQueriesSpec extends SparkSpec {
   }
 
   test("q114 transit windows are bounded and counts positive") {
-    val rows = Analytics.transitOverlap(spark, sf001).collect()
+    val rows = WarehouseAnalytics.transitOverlap(spark, sf001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val days = (r.getDate(4).toLocalDate.toEpochDay
@@ -212,7 +212,7 @@ class ReportQueriesSpec extends SparkSpec {
   }
 
   test("q115 SCD2 intervals chain and exactly one current row per key") {
-    val rows = Analytics.scd2History(spark, sf001).collect()
+    val rows = MarketAnalytics.scd2History(spark, sf001).collect()
     assert(rows.length == graft.model.Tables.orders(spark, sf001).count())
     rows.groupBy(_.getAs[Long]("o_custkey")).values.foreach { grp =>
       assert(grp.count(_.getAs[Int]("is_current") == 1) == 1)
@@ -229,7 +229,7 @@ class ReportQueriesSpec extends SparkSpec {
   }
 
   test("q116 propagation conserves mass up to floor losses") {
-    val rows = Analytics.copurchaseRank(spark, sf001).collect()
+    val rows = GraphAnalytics.copurchaseRank(spark, sf001).collect()
     assert(rows.nonEmpty)
     val units = rows.map(_.getAs[Long]("score_units"))
     // every supplier injects 1e6 micro-units; two floor-division hops
@@ -240,7 +240,7 @@ class ReportQueriesSpec extends SparkSpec {
   }
 
   test("q117 CMS never underestimates and ranks the exact head") {
-    val rows = ExtQueries.cmsHeavyHitters(spark, sf001).collect()
+    val rows = TextQueries.cmsHeavyHitters(spark, sf001).collect()
     assert(rows.length == 10)
     assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 10))
     rows.foreach { r =>
@@ -254,7 +254,7 @@ class ReportQueriesSpec extends SparkSpec {
   }
 
   test("q118 decay never exceeds lifetime and newest orders keep full value") {
-    val rows = Analytics.decayedRevenue(spark, sf001).collect()
+    val rows = WarehouseAnalytics.decayedRevenue(spark, sf001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (life, dec) = (r.getAs[Double]("lifetime_rev"),
@@ -267,7 +267,7 @@ class ReportQueriesSpec extends SparkSpec {
   }
 
   test("q119 fuzzy pairs: similarity bounds and zero-distance identity") {
-    val rows = ExtQueries.fuzzyPairs(spark, sf001).collect()
+    val rows = DedupQueries.fuzzyPairs(spark, sf001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (d, s) = (r.getAs[Int]("dist"), r.getAs[Double]("similarity"))
@@ -290,7 +290,7 @@ class ReportQueriesSpec extends SparkSpec {
   }
 
   test("q121 same-nation revenue is a subset of total revenue") {
-    val rows = Analytics.localSupplierVolume(spark, sf001).collect()
+    val rows = WarehouseAnalytics.localSupplierVolume(spark, sf001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getAs[Long]("n_items") > 0)
@@ -303,13 +303,13 @@ class ReportQueriesSpec extends SparkSpec {
   }
 
   test("q122 sole-blame counts stay within each supplier's late orders") {
-    val rows = Analytics.soleBlameSuppliers(spark, sf001).collect()
+    val rows = WarehouseAnalytics.soleBlameSuppliers(spark, sf001).collect()
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getAs[Long]("n_sole_blame_orders") >= 1))
   }
 
   test("q123 each grouping set re-aggregates to the grand total") {
-    val rows = Analytics.segmentPrioritySets(spark, sf001).collect()
+    val rows = WarehouseAnalytics.segmentPrioritySets(spark, sf001).collect()
     val grand = rows.filter(_.getAs[Int]("gid") == 3)
     assert(grand.length == 1)
     val total = grand.head.getAs[Long]("n_orders")
@@ -323,7 +323,7 @@ class ReportQueriesSpec extends SparkSpec {
   }
 
   test("q162 curation funnel is monotone and its bins cover the token mass") {
-    val rows = graft.queries.ExtQueries.curationPipeline(spark, sf001).collect()
+    val rows = graft.queries.CurationQueries.curationPipeline(spark, sf001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (in, q, d, f) = (r.getAs[Long]("n_input"), r.getAs[Long]("n_quality"),
@@ -339,10 +339,10 @@ class ReportQueriesSpec extends SparkSpec {
   }
 
   test("q158 weighted median sits inside each supplier's price range; q159 shares bounded") {
-    val med = Analytics.weightedMedianPrice(spark, sf001).collect()
+    val med = WarehouseAnalytics.weightedMedianPrice(spark, sf001).collect()
     assert(med.nonEmpty)
     med.foreach(r => assert(r.getAs[Double]("weighted_median_price") > 0))
-    val modal = Analytics.modalPriority(spark, sf001).collect()
+    val modal = WarehouseAnalytics.modalPriority(spark, sf001).collect()
     assert(modal.nonEmpty)
     modal.foreach { r =>
       val bp = r.getAs[Int]("share_bp")
@@ -354,7 +354,7 @@ class ReportQueriesSpec extends SparkSpec {
   }
 
   test("q106 flags only rows beyond 3 robust sigmas") {
-    val rows = Analytics.robustAnomalies(spark, sf001).collect()
+    val rows = WarehouseAnalytics.robustAnomalies(spark, sf001).collect()
     assert(rows.nonEmpty)
     rows.foreach(r => assert(math.abs(r.getAs[Double]("robust_score")) > 3.0))
     // The detector must not flag the bulk of the distribution: flagged
@@ -365,7 +365,7 @@ class ReportQueriesSpec extends SparkSpec {
   }
 
   test("q190 rolling MAD: window stats bound the row and anomalies are rare") {
-    val rows = Analytics.revenueAnomaly(spark, sf001).collect()
+    val rows = WarehouseAnalytics.revenueAnomaly(spark, sf001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (n, px, med, mad) = (r.getAs[Int]("n_window"), r.getAs[Long]("px"),
@@ -382,7 +382,7 @@ class ReportQueriesSpec extends SparkSpec {
   }
 
   test("q194 scd2 runs: versions partition the stream, ranges chain, one current") {
-    val rows = Analytics.scd2RunHistory(spark, sf001).collect()
+    val rows = MarketAnalytics.scd2RunHistory(spark, sf001).collect()
     assert(rows.nonEmpty)
     // runs partition the order stream exactly
     val nOrders = graft.model.Tables.orders(spark, sf001).count()
@@ -408,7 +408,7 @@ class ReportQueriesSpec extends SparkSpec {
   }
 
   test("q195 frequent triples: supports bounded by item supports, ranks contiguous") {
-    val rows = Analytics.frequentTriples(spark, sf001).collect()
+    val rows = WarehouseAnalytics.frequentTriples(spark, sf001).collect()
     assert(rows.nonEmpty)
     assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rows.length))
     // every member item must itself clear the A-priori support prune,

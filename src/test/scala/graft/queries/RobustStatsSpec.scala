@@ -15,7 +15,7 @@ class RobustStatsSpec extends SparkSpec {
     // G = (2·Σ i·x_i − (n+1)·Σx)/(n·Σx) (ranked form, the query) and
     // G = ΣΣ|x_i − x_j| / (2·n·Σx) (pairwise form) are the same number;
     // with ppm floors they agree exactly since the numerators are 2:1.
-    val out = Analytics.giniBySegment(spark, sf001).collect()
+    val out = WarehouseAnalytics.giniBySegment(spark, sf001).collect()
       .map(r => r.getAs[String]("c_mktsegment") -> r.getAs[Long]("gini_ppm"))
       .toMap
     val perCust = Tables.orders(spark, sf001)
@@ -36,7 +36,7 @@ class RobustStatsSpec extends SparkSpec {
   }
 
   test("benford shares cover the digit domain and sum to one") {
-    val rows = Analytics.benfordPrices(spark, sf001).collect()
+    val rows = WarehouseAnalytics.benfordPrices(spark, sf001).collect()
     val digits = rows.map(_.getAs[Int]("digit")).toSet
     assert(digits.subsetOf((1 to 9).toSet) && digits.contains(1))
     val obsSum = rows.map(_.getAs[Long]("obs_ppm")).sum
@@ -53,7 +53,7 @@ class RobustStatsSpec extends SparkSpec {
   }
 
   test("trimmed and winsorized means match a direct recomputation") {
-    val out = Analytics.robustMeans(spark, sf001).collect()
+    val out = WarehouseAnalytics.robustMeans(spark, sf001).collect()
     val byPrio = Tables.orders(spark, sf001)
       .select(col("o_orderpriority"), col("o_orderkey"),
         round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
@@ -81,7 +81,7 @@ class RobustStatsSpec extends SparkSpec {
   }
 
   test("abc classes partition part revenue under the prior-share rule") {
-    val out = Analytics.abcPareto(spark, sf001).collect()
+    val out = WarehouseAnalytics.abcPareto(spark, sf001).collect()
       .map(r => r.getAs[String]("abc_class") ->
         (r.getAs[Int]("n_parts"), r.getAs[Long]("share_ppm"))).toMap
     assert(out.keySet.subsetOf(Set("A", "B", "C")) && out.contains("A"))

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 class SeriesPatternsSpec extends SparkSpec {
 
   test("linearized CUSUM equals Page's sequential recursion") {
-    val rows = Analytics.cusumShift(spark, sf001)
+    val rows = WarehouseAnalytics.cusumShift(spark, sf001)
       .collect()
       .groupBy(_.getAs[String]("priority"))
     assert(rows.nonEmpty)
@@ -36,7 +36,7 @@ class SeriesPatternsSpec extends SparkSpec {
   }
 
   test("gap-fill spine is contiguous and fills stay between neighbors") {
-    val out = Analytics.gapFillDaily(spark, sf001).collect()
+    val out = MarketAnalytics.gapFillDaily(spark, sf001).collect()
     assert(out.exists(_.getAs[Int]("is_observed") == 0),
       "sf0.001 daily series should actually have gaps")
     out.groupBy(_.getAs[String]("priority")).foreach { case (prio, rs) =>
@@ -93,7 +93,7 @@ class SeriesPatternsSpec extends SparkSpec {
   }
 
   test("spearman matches a BigInt replay and detects the planted monotone") {
-    val out = Analytics.spearmanSegments(spark, sf001).collect()
+    val out = WarehouseAnalytics.spearmanSegments(spark, sf001).collect()
     assert(out.nonEmpty)
     val data = Tables.orders(spark, sf001)
       .groupBy("o_custkey")

@@ -17,7 +17,7 @@ class WarehouseMiningSpec extends SparkSpec {
     // runs, the priority of the customer's LAST order (by date, then
     // orderkey) with order date <= ship_d. Recompute the crosstab that
     // way and compare cell-for-cell.
-    val out = Analytics.pointInTimeJoin(spark, sf001).collect()
+    val out = MarketAnalytics.pointInTimeJoin(spark, sf001).collect()
       .map(r => (r.getAs[String]("order_priority"),
         r.getAs[String]("active_priority")) ->
         (r.getAs[Long]("n_lines"), r.getAs[Long]("n_orders"))).toMap
@@ -74,7 +74,7 @@ class WarehouseMiningSpec extends SparkSpec {
   }
 
   test("q202 trajectory converges on sf0.001 and is monotone") {
-    val traj = Analytics.copurchaseKCore(spark, sf001).collect()
+    val traj = GraphAnalytics.copurchaseKCore(spark, sf001).collect()
       .sortBy(_.getAs[Int]("round"))
     val k = traj.head.getAs[Int]("k")
     val nodes = traj.map(_.getAs[Long]("n_nodes"))
@@ -86,7 +86,7 @@ class WarehouseMiningSpec extends SparkSpec {
   }
 
   test("association rules: lift symmetric, confidence consistent") {
-    val rows = Analytics.basketRules(spark, sf001).collect()
+    val rows = WarehouseAnalytics.basketRules(spark, sf001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getAs[Long]("conf_ppm") ==
@@ -104,7 +104,7 @@ class WarehouseMiningSpec extends SparkSpec {
   }
 
   test("waterfilling spends within budget under the cap") {
-    val rows = ExtQueries.tokenBudget(spark, sf001).collect()
+    val rows = CurationQueries.tokenBudget(spark, sf001).collect()
     assert(rows.nonEmpty)
     val total = rows.map(_.getAs[Long]("tokens")).sum
     val b = total * 50 / 100
@@ -139,7 +139,7 @@ class WarehouseMiningSpec extends SparkSpec {
   }
 
   test("curriculum bins are balanced and ordered by score") {
-    val rows = ExtQueries.curriculumBins(spark, sf001).collect()
+    val rows = CurationQueries.curriculumBins(spark, sf001).collect()
     rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
       val byBin = rs.sortBy(_.getAs[Int]("bin"))
       assert(byBin.map(_.getAs[Int]("bin")).toSeq == (1 to byBin.length))
@@ -154,7 +154,7 @@ class WarehouseMiningSpec extends SparkSpec {
   }
 
   test("pmi values recompute from their own counts") {
-    val rows = ExtQueries.pmiCollocations(spark, sf001).collect()
+    val rows = TextQueries.pmiCollocations(spark, sf001).collect()
     assert(rows.nonEmpty && rows.forall(_.getAs[Long]("pair_n") >= 5))
     // T = total bigram occurrences in the corpus (n_tokens - 1 per doc).
     val t = Tables.documents(spark, sf001)

@@ -38,9 +38,9 @@ class BucketedJoinSpec extends SparkSpec {
   }
 
   test("approx distinct counts land within the configured error of exact") {
-    val approx = graft.queries.Analytics.distinctCountsApprox(spark, sf001)
+    val approx = graft.queries.MarketAnalytics.distinctCountsApprox(spark, sf001)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val exact = graft.queries.Analytics.distinctCounts(spark, sf001)
+    val exact = graft.queries.MarketAnalytics.distinctCounts(spark, sf001)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     exact.foreach { case (flag, (sup, part)) =>
       val (aSup, aPart) = approx(flag)
