@@ -63,6 +63,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // 286 queries × 2 passes leave shuffle files, broadcast blocks and
+      // checkpoint RDDs whose cleanup rides ContextCleaner WEAK
+      // REFERENCES — reclaimed only after a GC notices them. With an 8g
+      // heap and mostly-short queries, full GCs are rare enough that the
+      // round-12 suite OOM'd mid-pass-2 on accumulated state. Spark's
+      // own remedy is the periodic-GC tick (default 30min — longer than
+      // the whole run); 45s bounds the backlog at a few queries' worth.
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Silence WindowExec's "No Partition Defined" WARN for THIS runner

@@ -136,6 +136,49 @@ object Retrieval {
         col("score_e12"), col("n_hit_terms"))
   }
 
+  /** INCREMENTAL inverted-index maintenance (q286) — the q209
+    * merge-states-not-rebuild argument applied to the retrieval tier:
+    * the corpus splits into two doc-disjoint halves (even/odd doc_id —
+    * "yesterday's index" and "today's delta"), each half aggregates its
+    * OWN index state (postings, doc lengths, per-half document
+    * frequencies, per-half totals), and the states MERGE by pure monoid
+    * ops — postings/lengths by disjoint union, df and the (N, T) totals
+    * by addition — with no re-tokenization of the old half. BM25 then
+    * ranks the q186 query set on the MERGED state. The DuckDB oracle
+    * computes the identical ranking on a FLAT single-pass index, so a
+    * green row IS the proof that merge(state(A), state(B)) ≡
+    * state(A ∪ B) for every statistic BM25 consumes — the property that
+    * makes daily delta index maintenance sound at 100 TB (the spec
+    * additionally pins merged ≡ flat inside Spark itself).
+    *
+    * Scale shape: each half pays the q186 index build on its own rows
+    * only; the merge is one union + one term-keyed sum of the two
+    * df/total relations — metadata-scale; ranking is the unchanged
+    * [[bm25TopK]] machinery. */
+  def bm25TopKIncremental(docs: DataFrame, idCol: String, textCol: String,
+                          queries: Seq[(Int, String)],
+                          k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (tfA, dlA, dfA, totA) =
+      index(docs.filter(col(idCol) % 2 === 0), idCol, textCol)
+    val (tfB, dlB, dfB, totB) =
+      index(docs.filter(col(idCol) % 2 =!= 0), idCol, textCol)
+    // Doc-disjoint halves: postings and lengths merge by plain union
+    // (their (doc, term)/(doc) keys cannot collide); df merges by
+    // term-keyed addition; totals by scalar addition.
+    val tf = tfA.unionAll(tfB)
+    val dl = dlA.unionAll(dlB)
+    val dfT = dfA.unionAll(dfB).groupBy("w").agg(sum("df").as("df"))
+    val totals = totA.unionAll(totB).agg(sum("n").as("n"), sum("t").as("t"))
+    val q = queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(tokens(normText(col("qtext")))).as("w"))
+      .distinct()
+    rankTopK(idfTerms(q, dfT, totals), tf, dl, totals, k,
+        excludeQueryDoc = false)
+      .orderBy("query_id", "rank")
+  }
+
   /** UN-TRUNCATED BM25 scores per (query, doc) — the pooling input for
     * compositions that rank an AGGREGATE of scored units (q259 pools
     * chunk scores to documents) rather than the units themselves. Same
@@ -288,6 +331,71 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("score_micro").cast("long").as("score_micro"))
       .orderBy("query_id", "rank")
+  }
+
+  /** QUERY-PERFORMANCE PREDICTION by the CLARITY score (q287,
+    * Cronen-Townsend–Zhou–Croft SIGIR'02) — "will this query retrieve a
+    * coherent result set, or is it ambiguous?", answered BEFORE anyone
+    * reads the results: the KL divergence between the language model of
+    * the query's top-`fbK` feedback documents and the corpus model,
+    *
+    *   clarity = Σ_w P(w|F) · ln( P(w|F) / P(w|C) )
+    *
+    * with P(w|F) = tf_F(w)/|F| over the concatenated feedback docs and
+    * P(w|C) = ctf(w)/T. A focused query's feedback set concentrates on
+    * query-specific vocabulary (high KL); an ambiguous one retrieves
+    * corpus-typical text (KL near 0). The standard routing signal for
+    * "send to PRF (q254) / rerank (q224) / flag for human query reform".
+    *
+    * Exact-integer contract: feedback counts and corpus totals are
+    * exact integers; each term's log ratio quantizes ONCE per
+    * (query, term) to micro-nats over identical rational doubles (the
+    * q181 idiom — ln((tfF·T)/(lenF·ctf)) with the same operand order on
+    * both engines), and clarity_micro = ⌊Σ tfF·lp / lenF⌋ with a
+    * sign-split floor (per-term contributions go negative even though
+    * the KL total is ≥ 0 up to quantization).
+    *
+    * Scale shape: one q186 index build (shared CTE structure), stage-1
+    * ranking on the |Q|-bounded broadcast query set, and every
+    * post-feedback relation bounded by |Q|·fbK·doc-vocab — nothing
+    * corpus-sized after the index. */
+  def clarityScore(docs: DataFrame, idCol: String, textCol: String,
+                   queries: Seq[(Int, String)], fbK: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (tf, dl, dfT, totals) = index(docs, idCol, textCol)
+    val ctf = tf.groupBy("w").agg(sum("tf").as("ctf"))
+    val q = queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(tokens(normText(col("qtext")))).as("w"))
+      .distinct()
+    val fb = rankTopK(idfTerms(q, dfT, totals), tf, dl, totals, fbK,
+        excludeQueryDoc = false)
+      .select("query_id", "doc_id")
+    val tfF = fb.join(tf, Seq("doc_id"))
+      .groupBy("query_id", "w").agg(sum("tf").as("tff"))
+      .localCheckpoint() // read by the length rollup + the KL terms
+    val lenF = tfF.groupBy("query_id").agg(sum("tff").as("lenf"))
+    val nFb = fb.groupBy("query_id").agg(count(lit(1)).as("n_fb_docs"))
+    tfF.join(lenF, Seq("query_id"))
+      .join(ctf, Seq("w"))
+      .crossJoin(broadcast(totals))
+      .select(col("query_id"), col("lenf"),
+        (col("tff") *
+          round(log((col("tff").cast("double") * col("t")) /
+            (col("lenf").cast("double") * col("ctf"))) * 1e6, 0).cast("long"))
+          .as("term"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_terms"), max(col("lenf")).as("fb_len"),
+        sum("term").as("num"))
+      .join(broadcast(nFb), Seq("query_id"))
+      .select(col("query_id"),
+        col("n_fb_docs").cast("long").as("n_fb_docs"),
+        col("n_terms").cast("long").as("n_terms"),
+        col("fb_len").cast("long").as("fb_len"),
+        when(col("num") >= 0, expr("num div fb_len"))
+          .otherwise(-expr("(-num) div fb_len")).cast("long")
+          .as("clarity_micro"))
+      .orderBy("query_id")
   }
 
   /** The exact-integer RBO@k weight for depth d at p = 9/10 over the

@@ -189,6 +189,76 @@ object Sampling {
       .select(col(stratumCol), col("n_total"), col("weight"), col("rate_ppm"))
   }
 
+  /** TEMPERATURE SWEEP of the mixture sampler (q288) — the dial behind
+    * the q138 α=½ point, measured across the operating range the
+    * multilingual-mixing literature actually tunes (τ = n^t rebalancing,
+    * Conneau–Lample XLM §3.1): per temperature t ∈ {¼, ½, ¾, 1} the
+    * per-source weight n^t, the q138 exact keep-rate formula, the
+    * expected kept volume, and the mixture's EFFECTIVE source count
+    * (inverse Simpson (Σk)²/Σk², the q160 idiom) — the one number that
+    * shows the dial working: t = 1 reproduces raw proportions (lowest
+    * effective count), t → 0 flattens toward uniform (highest). t = 1 is
+    * the exact anchor: every source's rate equals targetPct·10⁴ ppm
+    * (weight ∝ n cancels), pinned by the spec.
+    *
+    * Parity: n^¼ = sqrt(sqrt(n)), n^½ = sqrt(n), n^¾ = sqrt(n)·
+    * sqrt(sqrt(n)) — compositions of the IEEE exactly-rounded sqrt and
+    * one multiplication, identical on both engines (no pow(), whose
+    * rounding is library-specific); weights floor to e6 integers
+    * (⌊10⁶·n^t⌋, the q138 idiom; t = 1 takes the exact long n·10⁶),
+    * every rate/expectation after that is exact integer floor division.
+    *
+    * Scale shape: one grouped count of the corpus, then everything is
+    * |taus|·|sources| rows — two metadata rollups and broadcast
+    * scalar joins. */
+  def temperatureSweep(df: DataFrame, stratumCol: String,
+                       targetPct: Int): DataFrame = {
+    require(targetPct > 0 && targetPct <= 100,
+      s"targetPct must be in (0, 100], got $targetPct")
+    val counts = df.groupBy(col(stratumCol).as("source"))
+      .agg(count(lit(1)).as("n_total"))
+      .localCheckpoint() // read by all four temperature legs
+    val n = col("n_total")
+    val legs: Seq[(Int, org.apache.spark.sql.Column)] = Seq(
+      25 -> floor(lit(1000000d) * sqrt(sqrt(n))).cast("long"),
+      50 -> floor(lit(1000000d) * sqrt(n)).cast("long"),
+      75 -> floor(lit(1000000d) * (sqrt(n) * sqrt(sqrt(n)))).cast("long"),
+      100 -> (n * lit(1000000L)).cast("long"))
+    val weighted = legs.map { case (tau, w) =>
+      counts.select(lit(tau).as("tau_pct"), col("source"), col("n_total"),
+        w.as("weight_e6"))
+    }.reduce(_ unionAll _)
+      .localCheckpoint() // read by the per-tau totals + the rate rows
+    val tot = weighted.groupBy("tau_pct")
+      .agg(sum("n_total").as("corpus_n"), sum("weight_e6").as("sum_w"))
+    val rated = weighted.join(broadcast(tot), Seq("tau_pct"))
+      .withColumn("t_target", expr(s"corpus_n * $targetPct div 100"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          expr("CAST(1000000 AS DECIMAL(38,0)) * t_target * weight_e6" +
+            " div (CAST(sum_w AS DECIMAL(38,0)) * n_total)").cast("long")))
+      .withColumn("n_kept_exp", expr("n_total * rate_ppm div 1000000"))
+      .localCheckpoint() // read by the effective-count rollup + output
+    val eff = rated.groupBy("tau_pct")
+      .agg(sum("n_kept_exp").as("sk"),
+        // DECIMAL squares: a 10⁹-doc source's square would sit at the
+        // LONG edge — the silhouette/HUGEINT idiom
+        sum(expr("CAST(n_kept_exp AS DECIMAL(38,0)) * n_kept_exp"))
+          .as("sk2"))
+      .select(col("tau_pct"),
+        expr("CASE WHEN sk2 = 0 THEN 0 ELSE " +
+          "CAST(sk AS DECIMAL(38,0)) * sk * 1000 div sk2 END")
+          .cast("long").as("eff_sources_milli"))
+    rated.join(broadcast(eff), Seq("tau_pct"))
+      .select(col("tau_pct").cast("int").as("tau_pct"), col("source"),
+        col("n_total").cast("long").as("n_total"),
+        col("weight_e6").cast("long").as("weight_e6"),
+        col("rate_ppm").cast("long").as("rate_ppm"),
+        col("n_kept_exp").cast("long").as("n_kept_exp"),
+        col("eff_sources_milli"))
+      .orderBy("tau_pct", "source")
+  }
+
   /** Weighted systematic sampling (probability-proportional-to-size):
     * lay the rows out on a line where each row occupies a segment equal
     * to its weight, then take k equally spaced pointers across the

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * E-step), re-estimate scores from the usage counts (M-step), drop the
   * pieces the segmentation never uses, repeat. This implementation runs
   * the fixed-round form of that loop (the q223/q236 fixed-round oracle
-  * contract — both engines unroll the identical rounds):
+  * contract — both engines replay the identical rounds):
   *
   *   1. seed   — candidate pieces = all substrings of vocabulary words
   *               up to `maxPieceLen` chars: every single char (never
@@ -31,74 +31,73 @@ import org.apache.spark.sql.functions._
   *
   * Everything is exact-integer oracle-checkable: piece costs quantize
   * ONCE per piece to micro-nats over identical rational doubles (the
-  * q181 idiom), the Viterbi DP minimizes integer (cost, n_pieces,
+  * q181 idiom), and the Viterbi DP minimizes integer (cost, n_pieces,
   * piece) lexicographically — a total order, so both engines pick the
-  * identical cell winner — and the readout is floor-division fixed
-  * point.
+  * identical cell winner (the DuckDB oracle unrolls the same DP as
+  * per-position CTEs).
   *
-  * Scale shape — the q232 argument verbatim: ALL training work is
-  * VOCABULARY-sized (distinct alpha words ≤ `maxWordLen` chars,
-  * weighted by corpus frequency), never corpus-sized. The DP is
-  * `maxWordLen` unrolled steps, each one join of the word relation
-  * against the BROADCAST piece table with a per-word argmin
-  * (localCheckpoint per step — fixed plans, no exponential lineage);
-  * the backtrack is ≤ `maxWordLen` joins against the staged DP table.
-  * The corpus pays exactly ONE broadcast (word → piece count) join —
-  * the q238 serving shape.
+  * Scale shape — the q232 argument, taken to its right altitude: ALL
+  * training work is VOCABULARY-sized (distinct alpha words ≤
+  * `maxWordLen` chars, weighted by corpus frequency), and the per-word
+  * DP is ROW-LOCAL — the whole E-step is ONE projection over the vocab
+  * relation, the DP table built per word by an `aggregate` fold over
+  * its positions with the piece-cost table attached as a one-row
+  * broadcast map. (The first cut ran the DP as `maxWordLen`
+  * driver-looped joins — 36 shuffles and a fresh codegen unit per
+  * step; the step plans' fused broadcast-join chains OOM'd an 8g heap
+  * at 32 concurrent tasks ON 31 VOCAB WORDS, and the surviving fix
+  * still cost 45s of pure per-job overhead. A row-local recursion
+  * belongs in a row-local fold.) The corpus pays exactly ONE broadcast
+  * (word → piece count) join — the q238 serving shape.
   */
 object UnigramLm {
   import TextOps._
 
-  /** Viterbi DP over (w, len) words with BROADCAST piece costs
-    * (piece, lp): returns the full cell table (pos, w, len, cost, np,
-    * piece, prev) where row (p, w) is the best segmentation of w's
-    * first p chars — winner by lexicographic (cost, np, piece), ties
-    * impossible beyond that (piece fixes prev). */
-  private def viterbi(wl: DataFrame, vp: DataFrame, maxWordLen: Int,
-                      maxPieceLen: Int): DataFrame = {
-    var dpByPos = Map(0 -> wl.select(col("w"), col("len"),
-      lit(0L).as("cost"), lit(0).as("np"), lit("").as("piece"),
-      lit(0).as("prev")))
-    for (p <- 1 to maxWordLen) {
-      val cands = (1 to math.min(maxPieceLen, p)).map { l =>
-        dpByPos(p - l).filter(col("len") >= p)
-          .withColumn("pc", substring(col("w"), p - l + 1, l))
-          .join(broadcast(vp), col("pc") === vp("piece"))
-          .select(col("w"), col("len"), (col("cost") + col("lp")).as("cost"),
-            (col("np") + 1).as("np"), vp("piece").as("piece"),
-            lit(p - l).as("prev"))
-      }
-      val best = cands.reduce(_ unionAll _)
-        .groupBy("w")
-        .agg(min_by(struct(col("len"), col("cost"), col("np"), col("piece"),
-          col("prev")), struct(col("cost"), col("np"), col("piece")))
-          .as("c"))
-        .select(col("w"), col("c.len").as("len"), col("c.cost").as("cost"),
-          col("c.np").as("np"), col("c.piece").as("piece"),
-          col("c.prev").as("prev"))
-        .localCheckpoint() // per-step lineage cut (cells feed ≤4 later steps)
-      dpByPos = dpByPos + (p -> best)
-    }
-    (1 to maxWordLen).map { p =>
-      dpByPos(p).select(lit(p).as("pos"), col("w"), col("len"), col("cost"),
-        col("np"), col("piece"), col("prev"))
-    }.reduce(_ unionAll _).localCheckpoint() // read by backtrack ×11 + finals
-  }
+  /** The per-word Viterbi cell table as an ARRAY column: `cells[p+1]` =
+    * the best segmentation of w's first p chars as a struct (cost, np,
+    * piece, prev) — one `aggregate` fold over the word's positions;
+    * candidates at p try every piece length 1..`maxPieceLen` via the
+    * broadcast piece-cost map (absent piece → null cost → filtered),
+    * winner = `array_min` over (cost, np, piece, prev) structs — the
+    * lexicographic (cost, np, piece) order of the oracle's
+    * row_number, with prev determined by piece. */
+  private def cellsExpr(maxPieceLen: Int): String =
+    s"""aggregate(
+       |  sequence(1, len),
+       |  array(named_struct('cost', CAST(0 AS BIGINT), 'np', 0,
+       |                     'piece', '', 'prev', 0)),
+       |  (acc, p) -> acc || array(array_min(filter(
+       |    transform(sequence(1, least($maxPieceLen, p)), l ->
+       |      named_struct(
+       |        'cost', element_at(acc, p - l + 1).cost +
+       |                element_at(mp, substring(w, p - l + 1, l)),
+       |        'np',   element_at(acc, p - l + 1).np + 1,
+       |        'piece', substring(w, p - l + 1, l),
+       |        'prev', p - l)),
+       |    c -> c.cost IS NOT NULL))))""".stripMargin
 
-  /** Walk the Viterbi paths backward from each word's final cell,
-    * emitting one (w, piece) row per used piece occurrence. */
-  private def viterbiUses(dpAll: DataFrame, maxWordLen: Int): DataFrame = {
-    var cur = dpAll.filter(col("pos") === col("len"))
-      .select(col("w"), col("piece"), col("prev"))
-    var uses = cur.select("w", "piece")
-    for (_ <- 2 to maxWordLen) {
-      cur = cur.filter(col("prev") > 0)
-        .select(col("w"), col("prev").as("pos"))
-        .join(dpAll.select("pos", "w", "piece", "prev"), Seq("w", "pos"))
-        .select(col("w"), col("piece"), col("prev"))
-      uses = uses.unionAll(cur.select("w", "piece"))
-    }
-    uses
+  /** Backward walk over the cell table: the word's used pieces as an
+    * array (at most `len` steps; `pos` chases `prev` to 0). */
+  private val usedPiecesExpr: String =
+    """aggregate(
+      |  sequence(1, len),
+      |  named_struct('pos', len, 'out', CAST(array() AS array<string>)),
+      |  (st, x) -> IF(st.pos <= 0, st,
+      |    named_struct('pos', element_at(cells, st.pos + 1).prev,
+      |                 'out', st.out ||
+      |                        array(element_at(cells, st.pos + 1).piece))),
+      |  st -> st.out)""".stripMargin
+
+  /** E-step: every vocab word's cell table under the piece costs `vp`
+    * (piece, lp) — vp collapses to a one-row map and broadcasts; the DP
+    * itself is row-local. Returns (w, len, cells). */
+  private def viterbiCells(wl: DataFrame, vp: DataFrame,
+                           maxPieceLen: Int): DataFrame = {
+    val mp = vp.agg(map_from_entries(
+      collect_list(struct(col("piece"), col("lp")))).as("mp"))
+    wl.crossJoin(broadcast(mp))
+      .withColumn("cells", expr(cellsExpr(maxPieceLen)))
+      .select(col("w"), col("len"), col("cells"))
   }
 
   /** −ln((c+1)/(T+V)) in micro-nats — ONE transcendental per piece,
@@ -137,8 +136,8 @@ object UnigramLm {
     val t0 = v0.agg(sum("c0").as("tt"), count(lit(1)).as("vv"))
     val vp0 = v0.crossJoin(broadcast(t0))
       .select(col("piece"), lpCol("c0").as("lp"))
-    val dpA = viterbi(wl, vp0, maxWordLen, maxPieceLen)
-    val u1 = viterbiUses(dpA, maxWordLen)
+    val u1 = viterbiCells(wl, vp0, maxPieceLen)
+      .select(col("w"), explode(expr(usedPiecesExpr)).as("piece"))
       .join(vw, Seq("w"))
       .groupBy("piece").agg(sum("freq").as("u1"))
       .localCheckpoint() // read by both prune slices
@@ -154,9 +153,8 @@ object UnigramLm {
     val t1 = v1.agg(sum("u1").as("tt"), count(lit(1)).as("vv"))
     val vp1 = v1.crossJoin(broadcast(t1))
       .select(col("piece"), lpCol("u1").as("lp"))
-    val dpB = viterbi(wl, vp1, maxWordLen, maxPieceLen)
-    val npFinal = dpB.filter(col("pos") === col("len"))
-      .select(col("w"), col("np"))
+    val npFinal = viterbiCells(wl, vp1, maxPieceLen)
+      .select(col("w"), expr("element_at(cells, len + 1).np").as("np"))
     (vw, v0, u1, v1, npFinal)
   }
 

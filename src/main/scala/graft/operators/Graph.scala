@@ -739,4 +739,66 @@ object Graph {
           .as("bc_est_e6"))
       .orderBy(col("delta_sum_e6").desc, col("node")).limit(topK)
   }
+
+  /** DOUBLE-SWEEP diameter lower bound (q285; Magnien–Latapy–Habib 2009,
+    * the iFUB building block): BFS from the deterministic anchor (the
+    * minimum node id) to its farthest reachable node v (ties smallest
+    * id), then BFS from v — ecc(v) is the classic tight lower bound on
+    * the graph diameter (exact on trees; within 1–2 on most real
+    * graphs), and v is the standard starting point a full iFUB sweep
+    * would iterate from. One row per sweep: source, farthest node,
+    * eccentricity, nodes reached, an `exact` flag (1 iff the BFS
+    * exhausted its frontier BEFORE the hop cap, so the eccentricity is
+    * the true one and not a cap artifact — conservative: a frontier
+    * dying exactly at the cap reports 0), and the shared
+    * `diameter_lb` = max of the two eccentricities.
+    *
+    * Scale shape: two [[Bfs.hopDistances]] runs (per level one
+    * adjacency equi join + one anti join, per-level localCheckpoint);
+    * the farthest-node pick is a 1-row TakeOrdered fed back as the
+    * second seed RELATION — no driver collect; the report assembles
+    * from 1-row relations with seven bounded scalar crosses. */
+  def doubleSweepDiameter(edgesIn: DataFrame, maxHops: Int = 6): DataFrame = {
+    val edges = edgesIn.localCheckpoint() // both BFS runs + the node min
+    val u0 = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .agg(min("node").as("seed"))
+      .localCheckpoint() // seed of sweep 1 + source column of its row
+    val d1 = Bfs.hopDistances(edges, u0, maxHops)
+      .select("node", "dist")
+      .localCheckpoint() // argmax + reach count
+    val e1 = d1.orderBy(desc("dist"), col("node")).limit(1)
+      .select(col("node").as("far1"), col("dist").as("ecc1"))
+      .localCheckpoint() // sweep-2 seed + both report rows + the bound
+    val n1 = d1.agg(count(lit(1)).as("n_reached1"))
+    val d2 = Bfs.hopDistances(edges, e1.select(col("far1").as("seed")),
+        maxHops)
+      .select("node", "dist")
+      .localCheckpoint()
+    val e2 = d2.orderBy(desc("dist"), col("node")).limit(1)
+      .select(col("node").as("far2"), col("dist").as("ecc2"))
+      .localCheckpoint()
+    val n2 = d2.agg(count(lit(1)).as("n_reached2"))
+    val lb = e1.crossJoin(broadcast(e2))
+      .select(greatest(col("ecc1"), col("ecc2")).as("diameter_lb"))
+    val row1 = u0.crossJoin(broadcast(e1)).crossJoin(broadcast(n1))
+      .crossJoin(broadcast(lb))
+      .select(lit(1).cast("int").as("sweep"),
+        col("seed").cast("long").as("source_node"),
+        col("far1").cast("long").as("far_node"),
+        col("ecc1").cast("int").as("ecc"),
+        col("n_reached1").cast("long").as("n_reached"),
+        when(col("ecc1") < maxHops, 1).otherwise(0).cast("int").as("exact"),
+        col("diameter_lb").cast("int").as("diameter_lb"))
+    val row2 = e1.crossJoin(broadcast(e2)).crossJoin(broadcast(n2))
+      .crossJoin(broadcast(lb))
+      .select(lit(2).cast("int").as("sweep"),
+        col("far1").cast("long").as("source_node"),
+        col("far2").cast("long").as("far_node"),
+        col("ecc2").cast("int").as("ecc"),
+        col("n_reached2").cast("long").as("n_reached"),
+        when(col("ecc2") < maxHops, 1).otherwise(0).cast("int").as("exact"),
+        col("diameter_lb").cast("int").as("diameter_lb"))
+    row1.unionAll(row2).orderBy("sweep")
+  }
 }

@@ -180,6 +180,47 @@ object OracleCuration {
          |       COALESCE(k.n_kept, 0) AS n_kept
          |FROM r LEFT JOIN k ON r.source = k.source
          |ORDER BY r.source""".stripMargin,
+    // Temperature sweep: n^t weights via sqrt compositions (IEEE
+    // exactly-rounded, engine-identical; no pow()), q138's exact rate
+    // formula per temperature, inverse-Simpson effective source count.
+    "q288_temperature_sweep" ->
+      s"""WITH c AS (SELECT source, COUNT(*) AS n_total FROM documents
+         |           GROUP BY source),
+         |w AS (SELECT 25 AS tau_pct, source, n_total,
+         |        CAST(floor(1000000*sqrt(sqrt(n_total))) AS BIGINT) AS weight_e6
+         |      FROM c
+         |      UNION ALL
+         |      SELECT 50, source, n_total,
+         |        CAST(floor(1000000*sqrt(n_total)) AS BIGINT) FROM c
+         |      UNION ALL
+         |      SELECT 75, source, n_total,
+         |        CAST(floor(1000000*(sqrt(n_total)*sqrt(sqrt(n_total))))
+         |          AS BIGINT) FROM c
+         |      UNION ALL
+         |      SELECT 100, source, n_total,
+         |        CAST(n_total * 1000000 AS BIGINT) FROM c),
+         |t AS (SELECT tau_pct, SUM(n_total) AS corpus_n,
+         |             CAST(SUM(weight_e6) AS BIGINT) AS sum_w
+         |      FROM w GROUP BY tau_pct),
+         |r AS (SELECT w.tau_pct, w.source, w.n_total, w.weight_e6,
+         |        LEAST(1000000, CAST((CAST(1000000 AS HUGEINT)
+         |          * (corpus_n*40//100) * weight_e6)
+         |          // (CAST(sum_w AS HUGEINT) * n_total) AS BIGINT)) AS rate_ppm
+         |      FROM w JOIN t USING (tau_pct)),
+         |k AS (SELECT *, CAST(n_total * rate_ppm // 1000000 AS BIGINT)
+         |        AS n_kept_exp FROM r),
+         |e AS (SELECT tau_pct,
+         |        CAST(CASE WHEN SUM(CAST(n_kept_exp AS HUGEINT) * n_kept_exp) = 0
+         |             THEN 0
+         |             ELSE CAST(SUM(n_kept_exp) AS HUGEINT) * SUM(n_kept_exp)
+         |                  * 1000 // SUM(CAST(n_kept_exp AS HUGEINT)
+         |                  * n_kept_exp) END AS BIGINT) AS eff_sources_milli
+         |      FROM k GROUP BY tau_pct)
+         |SELECT CAST(k.tau_pct AS INT) AS tau_pct, k.source,
+         |       CAST(k.n_total AS BIGINT) AS n_total, k.weight_e6,
+         |       k.rate_ppm, k.n_kept_exp, e.eff_sources_milli
+         |FROM k JOIN e USING (tau_pct)
+         |ORDER BY tau_pct, source""".stripMargin,
     // Per-language 2048-token packing: independent bin sequences per
     // lang (the partitioned window IS the oracle semantics; the engine
     // recovers it from one global prefix sum).

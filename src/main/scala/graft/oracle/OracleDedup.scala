@@ -89,6 +89,47 @@ object OracleDedup {
          |FROM reach
          |GROUP BY node
          |ORDER BY doc_id""".stripMargin,
+    // Cluster-size histogram: the q47 reachability labels rolled into a
+    // per-size report with keep-first (min doc_id) drop volumes; the
+    // size-1 row is the singleton spine.
+    "q289_cluster_sizes" ->
+      s"""WITH RECURSIVE $nCte,
+         |$minhashCtes,
+         |pairs AS (SELECT doc_a, doc_b
+         |          FROM iv JOIN sz za ON za.doc_id = iv.doc_a JOIN sz zb ON zb.doc_id = iv.doc_b
+         |          WHERE CAST(n_inter AS DOUBLE)/(za.n+zb.n-n_inter) >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |reach(node, label) AS (
+         |  SELECT src AS node, src AS label FROM edges
+         |  UNION
+         |  SELECT e.dst AS node, r.label AS label FROM reach r JOIN edges e ON e.src = r.node),
+         |mem AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+         |        FROM reach GROUP BY node),
+         |tk AS (SELECT doc_id, CAST(len(string_split(t, ' ')) AS BIGINT)
+         |         AS n_tokens FROM n),
+         |per AS (SELECT m.cluster_id, COUNT(*) AS csz,
+         |          CAST(SUM(tk.n_tokens) AS BIGINT) AS tt,
+         |          arg_min(tk.n_tokens, m.doc_id) AS kt
+         |        FROM mem m JOIN tk ON tk.doc_id = m.doc_id
+         |        GROUP BY m.cluster_id),
+         |hist AS (SELECT csz AS cluster_size, COUNT(*) AS n_clusters,
+         |           CAST(SUM(csz) AS BIGINT) AS n_docs,
+         |           CAST(SUM(csz - 1) AS BIGINT) AS n_dropped_docs,
+         |           CAST(SUM(tt - kt) AS BIGINT) AS n_dropped_tokens
+         |         FROM per GROUP BY csz),
+         |na AS (SELECT COUNT(*) AS n_corpus FROM documents),
+         |nc AS (SELECT COUNT(*) AS n_clustered FROM mem)
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         |       CAST(n_clusters AS BIGINT) AS n_clusters, n_docs,
+         |       n_dropped_docs, n_dropped_tokens
+         |FROM hist
+         |UNION ALL
+         |SELECT 1, CAST(n_corpus - n_clustered AS BIGINT),
+         |       CAST(n_corpus - n_clustered AS BIGINT),
+         |       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |FROM na CROSS JOIN nc
+         |ORDER BY cluster_size""".stripMargin,
     // Keep-best dedup: the q47 reachability labels extended with a
     // longest-text survivor per cluster (ties to smallest doc_id).
     "q184_dedup_keep_best" ->

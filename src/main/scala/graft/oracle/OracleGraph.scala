@@ -84,6 +84,53 @@ object OracleGraph {
     // (seed, node, dist) walk triples each level, MIN(dist) collapses
     // longer walks to the true shortest hop count — the declarative
     // restatement of the engine's frontier/anti-join expansion.
+    // Double-sweep diameter bound on the q188 bipartite graph: BFS
+    // (recursive CTE, MIN(dist) collapses longer walks) from the min
+    // node id, argmax (dist desc, node) picks the second sweep's
+    // source, diameter_lb = max eccentricity.
+    "q285_diameter" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT l.l_suppkey * 2 AS u, o.o_custkey * 2 + 1 AS v
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |adj AS (SELECT u AS src, v AS dst FROM pairs
+        |        UNION ALL SELECT v, u FROM pairs),
+        |u0 AS (SELECT MIN(src) AS s FROM adj),
+        |bfs1(node, dist) AS (
+        |  SELECT s, 0 FROM u0
+        |  UNION
+        |  SELECT a.dst, b.dist + 1
+        |  FROM bfs1 b JOIN adj a ON a.src = b.node
+        |  WHERE b.dist < 6),
+        |d1 AS (SELECT node, MIN(dist) AS dist FROM bfs1 GROUP BY node),
+        |e1 AS (SELECT node AS far1, dist AS ecc1 FROM d1
+        |       ORDER BY dist DESC, node LIMIT 1),
+        |n1 AS (SELECT COUNT(*) AS nr1 FROM d1),
+        |bfs2(node, dist) AS (
+        |  SELECT far1, 0 FROM e1
+        |  UNION
+        |  SELECT a.dst, b.dist + 1
+        |  FROM bfs2 b JOIN adj a ON a.src = b.node
+        |  WHERE b.dist < 6),
+        |d2 AS (SELECT node, MIN(dist) AS dist FROM bfs2 GROUP BY node),
+        |e2 AS (SELECT node AS far2, dist AS ecc2 FROM d2
+        |       ORDER BY dist DESC, node LIMIT 1),
+        |n2 AS (SELECT COUNT(*) AS nr2 FROM d2),
+        |lb AS (SELECT greatest(ecc1, ecc2) AS diameter_lb
+        |       FROM e1 CROSS JOIN e2)
+        |SELECT CAST(1 AS INT) AS sweep, CAST(u0.s AS BIGINT) AS source_node,
+        |       CAST(e1.far1 AS BIGINT) AS far_node,
+        |       CAST(e1.ecc1 AS INT) AS ecc, CAST(n1.nr1 AS BIGINT) AS n_reached,
+        |       CAST(CASE WHEN e1.ecc1 < 6 THEN 1 ELSE 0 END AS INT) AS exact,
+        |       CAST(lb.diameter_lb AS INT) AS diameter_lb
+        |FROM u0 CROSS JOIN e1 CROSS JOIN n1 CROSS JOIN lb
+        |UNION ALL
+        |SELECT CAST(2 AS INT), CAST(e1.far1 AS BIGINT),
+        |       CAST(e2.far2 AS BIGINT),
+        |       CAST(e2.ecc2 AS INT), CAST(n2.nr2 AS BIGINT),
+        |       CAST(CASE WHEN e2.ecc2 < 6 THEN 1 ELSE 0 END AS INT),
+        |       CAST(lb.diameter_lb AS INT)
+        |FROM e1 CROSS JOIN e2 CROSS JOIN n2 CROSS JOIN lb
+        |ORDER BY sweep""".stripMargin,
     "q188_graph_hops" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT DISTINCT l.l_suppkey * 2 AS u, o.o_custkey * 2 + 1 AS v

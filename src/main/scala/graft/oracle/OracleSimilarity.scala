@@ -71,16 +71,22 @@ object OracleSimilarity {
        |         ROUND(list_dot_product(x.emb, y.emb)/(x.nrm*y.nrm), 4)
        |       FROM bk x JOIN bk y
        |         ON x.b2 = y.b2 AND x.vec_id <> y.vec_id),
-       |sd AS (SELECT id, nid FROM (SELECT *, row_number() OVER (
+       |sd AS MATERIALIZED (
+       |       SELECT id, nid FROM (SELECT *, row_number() OVER (
        |           PARTITION BY id ORDER BY score DESC, nid) AS rk FROM sp) z
        |       WHERE rk <= 5)""".stripMargin
 
   /** One NN-descent round as CTEs: graph `prev` (id, nid) → graph `cur`
     * — undirected expansion, two-hop candidates, exact rescore vs `nm`,
     * best-5. Mirrors Similarity.descentRound; CTE names are prefixed so
-    * unrolled rounds compose (q280). */
+    * unrolled rounds compose (q280). Round outputs (and the undirected
+    * expansion, read twice by the two-hop join) are MATERIALIZED — the
+    * DuckDB 1.0 inlining trap (see powerRoundsCtes): the unmaterialized
+    * 3-round q280 chain effectively hung the sf0.1 gate on 2000
+    * nodes. */
   private def knnRoundCtes(prev: String, cur: String, p: String): String =
-    s"""ud$p AS (SELECT id, nid FROM $prev UNION SELECT nid, id FROM $prev),
+    s"""ud$p AS MATERIALIZED (
+       |       SELECT id, nid FROM $prev UNION SELECT nid, id FROM $prev),
        |c2$p AS (SELECT a.id, b.nid FROM ud$p a JOIN ud$p b ON b.id = a.nid
        |       WHERE b.nid <> a.id),
        |ca$p AS (SELECT id, nid FROM $prev UNION SELECT id, nid FROM c2$p),
@@ -88,7 +94,8 @@ object OracleSimilarity {
        |         ROUND(list_dot_product(x.emb, y.emb)/(x.nrm*y.nrm), 4) AS score
        |       FROM ca$p JOIN nm x ON x.vec_id = ca$p.id
        |       JOIN nm y ON y.vec_id = ca$p.nid),
-       |$cur AS (SELECT id, nid FROM (SELECT *, row_number() OVER (
+       |$cur AS MATERIALIZED (
+       |       SELECT id, nid FROM (SELECT *, row_number() OVER (
        |           PARTITION BY id ORDER BY score DESC, nid) AS rk FROM rs$p) z
        |       WHERE rk <= 5)""".stripMargin
 
@@ -128,7 +135,8 @@ object OracleSimilarity {
        |         ROUND(list_dot_product(pb.emb, c.emb)/(pb.nrm*c.nrm), 4)
        |           AS score
        |       FROM nm c CROSS JOIN pb WHERE c.vec_id <> pb.pid),
-       |ek AS (SELECT id, nid FROM (SELECT *, row_number() OVER (
+       |ek AS MATERIALIZED (
+       |       SELECT id, nid FROM (SELECT *, row_number() OVER (
        |           PARTITION BY id ORDER BY score DESC, nid) AS rk FROM ex) z
        |       WHERE rk <= 5),
        |st AS ($stageRows)
@@ -146,6 +154,40 @@ object OracleSimilarity {
        |FROM st
        |ORDER BY round""".stripMargin
   }
+
+  /** The flat-index BM25 ranking over the shared q186 query set —
+    * served under BOTH q186 (the flat operator) and q286 (whose Spark
+    * side ranks on merged per-half index states; flat-vs-merged hash
+    * equality is the monoid proof). */
+  private val bm25FlatSql: String =
+    s"""WITH $nCte, $tokCte,
+       |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |dft AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+       |tot AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+       |q(query_id, w) AS (VALUES
+       |  (1, 'spark'), (1, 'hash'), (1, 'join'),
+       |  (2, 'window'), (2, 'merge'), (2, 'sort'),
+       |  (3, 'stream'), (3, 'batch'), (3, 'data')),
+       |qi AS (SELECT q.query_id, q.w,
+       |         CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) * 1e6, 0)
+       |              AS BIGINT) AS idf_micro
+       |       FROM q JOIN dft USING (w) CROSS JOIN tot),
+       |sc AS (SELECT qi.query_id, tf.doc_id,
+       |         CAST(SUM(qi.idf_micro *
+       |           CAST(CAST(22 AS HUGEINT) * tf.tf * t * 1000000 //
+       |                (CAST(10 AS HUGEINT) * t * tf.tf + 3 * t + 9 * dl.dl * n)
+       |                AS BIGINT)) AS BIGINT) AS score_e12,
+       |         CAST(COUNT(*) AS INT) AS n_hit_terms
+       |       FROM qi JOIN tf USING (w) JOIN dl USING (doc_id)
+       |            CROSS JOIN tot
+       |       GROUP BY qi.query_id, tf.doc_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY score_e12 DESC, doc_id) AS rnk FROM sc)
+       |SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, score_e12,
+       |       n_hit_terms
+       |FROM rk WHERE rnk <= 10
+       |ORDER BY query_id, rank""".stripMargin
 
   private[graft] val sql: Map[String, String] = Map(
     "q36_embed_near_dup" ->
@@ -276,35 +318,12 @@ object OracleSimilarity {
     // decimals (k1=1.2, b=0.75, avgdl=T/N; multiply num and den by 10T)
     // and floored to exact ppm in HUGEINT — Σ idf·tf_ppm is then pure
     // integer arithmetic, reproducible value-for-value.
-    "q186_bm25_search" ->
-      s"""WITH $nCte, $tokCte,
-         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
-         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
-         |dft AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
-         |tot AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl),
-         |q(query_id, w) AS (VALUES
-         |  (1, 'spark'), (1, 'hash'), (1, 'join'),
-         |  (2, 'window'), (2, 'merge'), (2, 'sort'),
-         |  (3, 'stream'), (3, 'batch'), (3, 'data')),
-         |qi AS (SELECT q.query_id, q.w,
-         |         CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) * 1e6, 0)
-         |              AS BIGINT) AS idf_micro
-         |       FROM q JOIN dft USING (w) CROSS JOIN tot),
-         |sc AS (SELECT qi.query_id, tf.doc_id,
-         |         CAST(SUM(qi.idf_micro *
-         |           CAST(CAST(22 AS HUGEINT) * tf.tf * t * 1000000 //
-         |                (CAST(10 AS HUGEINT) * t * tf.tf + 3 * t + 9 * dl.dl * n)
-         |                AS BIGINT)) AS BIGINT) AS score_e12,
-         |         CAST(COUNT(*) AS INT) AS n_hit_terms
-         |       FROM qi JOIN tf USING (w) JOIN dl USING (doc_id)
-         |            CROSS JOIN tot
-         |       GROUP BY qi.query_id, tf.doc_id),
-         |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |         ORDER BY score_e12 DESC, doc_id) AS rnk FROM sc)
-         |SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, score_e12,
-         |       n_hit_terms
-         |FROM rk WHERE rnk <= 10
-         |ORDER BY query_id, rank""".stripMargin,
+    "q186_bm25_search" -> bm25FlatSql,
+    // Incremental index maintenance (q286): the Spark side ranks on
+    // MERGED per-half index states; the oracle is the FLAT q186
+    // computation VERBATIM — the hash match is the monoid proof that
+    // merge(state(A), state(B)) ≡ state(A ∪ B).
+    "q286_bm25_incremental" -> bm25FlatSql,
     // Int8 scalar quantization: L2-normalize (the same sequential
     // double dot the engine's norm computes), one symmetric corpus-wide
     // scale, codes floor(127·x̂/scale) — IEEE double ops in a fixed
@@ -1067,6 +1086,60 @@ object OracleSimilarity {
          |         AS ortho_ppm
          |FROM va3 JOIN vb3 USING (i) CROSS JOIN ct2 CROSS JOIN ort
          |ORDER BY dim""".stripMargin,
+
+    // Query clarity (QPP): KL of the top-5 feedback LM vs the corpus
+    // LM — stage 1 is the q186 scoring verbatim, each term's log ratio
+    // quantized once per (query, term) over identical rational doubles,
+    // the final division sign-split.
+    "q287_clarity" ->
+      s"""WITH $nCte, $tokCte,
+         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+         |dft AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+         |tot AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+         |ctf AS (SELECT w, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY w),
+         |q(query_id, w) AS (VALUES
+         |  (1, 'spark'), (1, 'hash'), (1, 'join'),
+         |  (2, 'window'), (2, 'merge'), (2, 'sort'),
+         |  (3, 'stream'), (3, 'batch'), (3, 'data')),
+         |qi AS (SELECT q.query_id, q.w,
+         |         CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) * 1e6, 0)
+         |              AS BIGINT) AS idf_micro
+         |       FROM q JOIN dft USING (w) CROSS JOIN tot),
+         |sc AS (SELECT qi.query_id, tf.doc_id,
+         |         CAST(SUM(qi.idf_micro *
+         |           CAST(CAST(22 AS HUGEINT) * tf.tf * t * 1000000 //
+         |                (CAST(10 AS HUGEINT) * t * tf.tf + 3 * t + 9 * dl.dl * n)
+         |                AS BIGINT)) AS BIGINT) AS score_e12
+         |       FROM qi JOIN tf USING (w) JOIN dl USING (doc_id)
+         |            CROSS JOIN tot
+         |       GROUP BY qi.query_id, tf.doc_id),
+         |fb AS (SELECT query_id, doc_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_e12 DESC, doc_id) AS rnk FROM sc) z
+         |  WHERE rnk <= 5),
+         |tff AS (SELECT fb.query_id, tf.w, CAST(SUM(tf.tf) AS BIGINT) AS tff
+         |        FROM fb JOIN tf USING (doc_id) GROUP BY 1, 2),
+         |lf AS (SELECT query_id, CAST(SUM(tff) AS BIGINT) AS lenf
+         |       FROM tff GROUP BY query_id),
+         |nf AS (SELECT query_id, COUNT(*) AS n_fb_docs FROM fb
+         |       GROUP BY query_id),
+         |kl AS (SELECT tff.query_id, lf.lenf,
+         |         tff.tff * CAST(round(ln((CAST(tff.tff AS DOUBLE) * tot.t) /
+         |           (CAST(lf.lenf AS DOUBLE) * ctf.ctf)) * 1e6, 0) AS BIGINT)
+         |           AS term
+         |       FROM tff JOIN lf USING (query_id) JOIN ctf USING (w)
+         |            CROSS JOIN tot),
+         |ag AS (SELECT query_id, COUNT(*) AS n_terms, MAX(lenf) AS fb_len,
+         |         CAST(SUM(term) AS BIGINT) AS num
+         |       FROM kl GROUP BY query_id)
+         |SELECT ag.query_id, CAST(nf.n_fb_docs AS BIGINT) AS n_fb_docs,
+         |       CAST(ag.n_terms AS BIGINT) AS n_terms,
+         |       CAST(ag.fb_len AS BIGINT) AS fb_len,
+         |       CAST(CASE WHEN num >= 0 THEN num // fb_len
+         |            ELSE -((-num) // fb_len) END AS BIGINT) AS clarity_micro
+         |FROM ag JOIN nf USING (query_id)
+         |ORDER BY ag.query_id""".stripMargin,
 
     // Dirichlet query-likelihood: matched-term decomposition, both ln
     // terms quantized once to micro-nats over identical integers.

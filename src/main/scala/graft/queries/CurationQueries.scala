@@ -60,6 +60,14 @@ object CurationQueries {
         "doc_id", targetPct = 40)
       .orderBy("source")
 
+  /** Temperature sweep of the mixture sampler (q288):
+    * [[graft.ext.Sampling.temperatureSweep]] — the q138 α=½ point
+    * measured across τ ∈ {¼, ½, ¾, 1} with per-τ effective source
+    * counts; same 40% target as q138. */
+  def temperatureSweepReport(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureSweep(Tables.documents(spark, dir), "source",
+      targetPct = 40)
+
   /** Token-length KS drift (q139): exact two-sample Kolmogorov–Smirnov
     * distance between the token-count distributions of the even- and
     * odd-id corpus halves — the snapshot-drift monitor, integer-exact

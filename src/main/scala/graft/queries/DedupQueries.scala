@@ -70,6 +70,14 @@ object DedupQueries {
         k = 8, threshold = 0.8)
       .orderBy("doc_id")
 
+  /** Dedup cluster-size histogram (q289):
+    * [[graft.ext.TextDedup.clusterSizeHistogram]] — the q47 clusters
+    * folded into a per-size fold-factor report with keep-first drop
+    * volumes; size 1 = the singleton spine row. */
+  def dedupClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.clusterSizeHistogram(Tables.documents(spark, dir), "doc_id",
+      "text", k = 8, threshold = 0.8)
+
   /** Keep-best dedup selection (q184): the step AFTER clustering that
     * every production dedup actually ships — pick ONE survivor per
     * near-dup cluster (here: the longest normalized text, ties to the

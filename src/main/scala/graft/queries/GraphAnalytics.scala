@@ -111,6 +111,22 @@ object GraphAnalytics {
       .orderBy("seed", "dist", "node_type", "node_key")
   }
 
+  /** Double-sweep diameter lower bound on the customer–supplier
+    * co-purchase graph (q285):
+    * [[graft.operators.Graph.doubleSweepDiameter]] over the q188
+    * bipartite edge list — BFS from the minimum node id, BFS again from
+    * its farthest node, diameter_lb = max eccentricity. */
+  def copurchaseDiameter(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("orderkey"), col("l_suppkey").as("s"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("orderkey"), col("o_custkey").as("c")),
+        Seq("orderkey"))
+      .select((col("s") * 2).as("sn"), (col("c") * 2 + 1).as("cn"))
+    graft.operators.Graph.doubleSweepDiameter(
+      graft.operators.Graph.undirectedEdges(pairs, "sn", "cn"), maxHops = 6)
+  }
+
   /** Co-purchase triangle census (q142): parts are connected when some
     * order contains both; the report counts triangles — triples of
     * parts pairwise co-purchased — and the global clustering

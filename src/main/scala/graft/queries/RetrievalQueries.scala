@@ -20,6 +20,26 @@ object RetrievalQueries {
       Seq(1 -> "spark hash join", 2 -> "window merge sort",
         3 -> "stream batch data"), k = 10)
 
+  /** Incremental BM25 index maintenance (q286):
+    * [[graft.ext.Retrieval.bm25TopKIncremental]] — the q186 ranking
+    * computed from two per-half index STATES merged by monoid ops; the
+    * oracle ranks on a flat index, so the green row proves
+    * merge(state(A), state(B)) ≡ state(A ∪ B). Same queries/k as
+    * q186. */
+  def bm25SearchIncremental(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25TopKIncremental(Tables.documents(spark, dir), "doc_id",
+      "text", Seq(1 -> "spark hash join", 2 -> "window merge sort",
+        3 -> "stream batch data"), k = 10)
+
+  /** Query clarity / QPP (q287): [[graft.ext.Retrieval.clarityScore]]
+    * — KL of each q186 query's top-5 feedback language model against
+    * the corpus model in exact micro-nats; the routing signal for
+    * PRF/rerank/reform decisions. */
+  def clarityReport(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.clarityScore(Tables.documents(spark, dir), "doc_id", "text",
+      Seq(1 -> "spark hash join", 2 -> "window merge sort",
+        3 -> "stream batch data"), fbK = 5)
+
   /** Reciprocal-rank fusion (q189): the standard hybrid-retrieval
     * ensemble (Cormack–Clarke–Buettcher RRF) over the suite's three
     * dense rankers — exact brute (q37), sign-LSH (q38) and IVF (q49) —

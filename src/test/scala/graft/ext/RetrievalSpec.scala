@@ -225,6 +225,52 @@ class RetrievalSpec extends SparkSpec {
       (BigInt(10).pow(10) - BigInt(9).pow(10)) / BigInt(10).pow(10)).toLong)
   }
 
+  test("q286 incremental index: merged per-half states rank identically " +
+      "to the flat index") {
+    // fixture: merged-path ranking ≡ flat-path ranking, value for value
+    val qs = Seq(1 -> "cat", 2 -> "dog bird")
+    val flat = Retrieval.bm25TopK(corpus, "doc_id", "text", qs, k = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    val merged = Retrieval.bm25TopKIncremental(corpus, "doc_id", "text",
+        qs, k = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(merged === flat)
+    assert(flat.nonEmpty)
+    // and at sf0.001 against the registered q186 — the monoid proof on
+    // real data (both halves non-empty there)
+    val f1 = graft.queries.RetrievalQueries.bm25Search(spark, sf001)
+      .collect().map(_.toSeq).toSet
+    val m1 = graft.queries.RetrievalQueries
+      .bm25SearchIncremental(spark, sf001).collect().map(_.toSeq).toSet
+    assert(m1 === f1)
+    assert(f1.size === 30, s"expected 3 full top-10 lists, got ${f1.size}")
+  }
+
+  test("q287 clarityScore replays the feedback-LM KL by hand") {
+    // query "cat", fbK=2 → feedback docs d2 (rank 1) and d1; feedback
+    // LM: cat 4, dog 2 over lenF 6; corpus: T=11, ctf(cat)=4, ctf(dog)=6
+    val out = Retrieval.clarityScore(corpus, "doc_id", "text",
+        Seq(1 -> "cat"), fbK = 2).collect()
+    assert(out.length === 1)
+    val r = out.head
+    def lp(tff: Long, ctf: Long): Long =
+      math.round(math.log((tff.toDouble * 11) / (6.0 * ctf)) * 1e6)
+    val num = 4 * lp(4, 4) + 2 * lp(2, 6)
+    val expected = if (num >= 0) num / 6 else -((-num) / 6)
+    assert((r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((1, 2L, 2L, 6L, expected)))
+    // the KL is genuinely positive here: the feedback set concentrates
+    // on 'cat' far above its corpus rate
+    assert(expected > 0L)
+    // registered wrapper: three rows, all fb lists full at sf0.001
+    val reg = graft.queries.RetrievalQueries.clarityReport(spark, sf001)
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(reg.keySet === Set(1, 2, 3))
+    assert(reg.values.forall(_ == 5L), s"short feedback lists: $reg")
+  }
+
   test("ndcgAtK: exact replay + a fixture where nDCG disagrees with MRR") {
     import spark.implicits._
     // one query; graded truth: doc 10 (gain 3), 11 (gain 2), 12 (gain 1)

@@ -147,6 +147,32 @@ class SamplingSpec extends SparkSpec {
     assert(rep.map { case (s, t) => s -> t._4 } == again)
   }
 
+  test("q288 temperature sweep replays all four dials by hand; tau=1 " +
+      "anchors at raw proportions") {
+    // A×16, B×1, target 40% → t_target = 6
+    val rows = (0L until 16L).map(i => ("A", i)) ++ Seq(("B", 16L))
+    val df = rows.toDF("source", "doc_id")
+    val out = Sampling.temperatureSweep(df, "source", targetPct = 40)
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    // τ=25: weights 2e6/1e6 → A 250000 ppm, B capped 1e6; kept 4/1
+    assert(out((25, "A")) === ((16L, 2000000L, 250000L, 4L, 1470L)))
+    assert(out((25, "B")) === ((1L, 1000000L, 1000000L, 1L, 1470L)))
+    // τ=50: weights 4e6/1e6 → 300000 / capped; kept 4/1
+    assert(out((50, "A")) === ((16L, 4000000L, 300000L, 4L, 1470L)))
+    assert(out((50, "B")) === ((1L, 1000000L, 1000000L, 1L, 1470L)))
+    // τ=75: weights 8e6/1e6 → 333333 / 666666; kept 5/0
+    assert(out((75, "A")) === ((16L, 8000000L, 333333L, 5L, 1000L)))
+    assert(out((75, "B")) === ((1L, 1000000L, 666666L, 0L, 1000L)))
+    // τ=100 (raw proportions): BOTH sources at the same rate — the
+    // weight ∝ n cancels exactly in the integer rational
+    assert(out((100, "A"))._3 === out((100, "B"))._3)
+    assert(out((100, "A")) === ((16L, 16000000L, 352941L, 5L, 1000L)))
+    // the dial's point: effective source count flattens as τ drops
+    assert(out((25, "A"))._5 > out((100, "A"))._5)
+  }
+
   test("systematic sample: total multiplicity is exactly k, PPS bounds hold") {
     import org.apache.spark.sql.functions.col
     val docs = (1L to 500L).map(i => (i, 1L + (i * 7919) % 400))

@@ -454,4 +454,35 @@ class GraphSpec extends SparkSpec {
     // non-vacuous: some broker accumulates dependency
     assert(top.headOption.exists(_._2._2 > 0), "all dependencies zero")
   }
+
+  test("q285 double-sweep diameter: exact on a path, bound on a star, " +
+      "sane at sf0.001") {
+    // path 1-2-3-4-5: anchor = 1, ecc1 = 4 (far node 5); sweep 2 from 5
+    // reaches back to 1 at dist 4 — diameter_lb = 4 = the true diameter
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val p = graft.operators.Graph.doubleSweepDiameter(path, maxHops = 6)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4), r.getInt(5),
+          r.getInt(6))).toMap
+    assert(p(1) === ((1L, 5L, 4, 5L, 1, 4)))
+    assert(p(2) === ((5L, 1L, 4, 5L, 1, 4)))
+    // star centered at 10: anchor = 1 (a leaf), ecc1 = 2 (far = smallest
+    // other leaf 2); sweep 2 from 2 — diameter_lb = 2 = true diameter
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L)).toDF("u", "v")
+    val s = graft.operators.Graph.doubleSweepDiameter(star, maxHops = 6)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(6))).toMap
+    assert(s(1) === ((1L, 2L, 2, 2)))
+    assert(s(2) === ((2L, 1L, 2, 2)))
+    // the registered bipartite graph: two rows, lb >= each sweep's ecc,
+    // second sweep never reaches fewer nodes than its component allows
+    val out = graft.queries.GraphAnalytics.copurchaseDiameter(spark, sf001)
+      .collect().map(r => r.getInt(0) ->
+        (r.getInt(3), r.getLong(4), r.getInt(6))).toMap
+    assert(out.keySet === Set(1, 2))
+    assert(out(1)._3 === math.max(out(1)._1, out(2)._1))
+    assert(out(2)._1 >= out(1)._1,
+      "second sweep eccentricity below the first — double sweep broken")
+    assert(out(1)._2 > 1L, "sweep 1 reached nothing")
+  }
 }

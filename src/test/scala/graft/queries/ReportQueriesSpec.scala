@@ -83,6 +83,34 @@ class ReportQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q289 cluster-size histogram replays from q47 clusters and covers " +
+      "the corpus exactly once") {
+    val clusters = DedupQueries.dedupClusters(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    val toks = graft.model.Tables.documents(spark, sf001)
+      .select(col("doc_id"), size(graft.ext.TextOps.tokens(
+        graft.ext.TextOps.normText(col("text")))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = DedupQueries.dedupClusterSizes(spark, sf001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // replay every multi-member size row from the cluster membership
+    val expect = byCluster.values.toSeq.groupBy(_.size).map { case (s, cs) =>
+      s.toLong -> (cs.size.toLong, (s * cs.size).toLong,
+        ((s - 1) * cs.size).toLong,
+        cs.map(m => m.map(toks).sum - toks(m.min)).sum)
+    }
+    expect.foreach { case (s, e) => assert(out(s) === e, s"size $s") }
+    // singleton row: the corpus spine minus the clustered docs, drops 0
+    val nCorpus = toks.size.toLong
+    val nClustered = clusters.length.toLong
+    assert(out(1L) === ((nCorpus - nClustered, nCorpus - nClustered, 0L, 0L)))
+    // partition: every doc counted exactly once across all size rows
+    assert(out.values.map(_._2).sum === nCorpus)
+    assert(out.keySet === expect.keySet + 1L)
+  }
+
   test("q103 latency report is one ordered row") {
     val r = EventWindows.conversionLatency(spark, sf001).collect()
     assert(r.length == 1)
