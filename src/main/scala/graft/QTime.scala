@@ -39,8 +39,14 @@ object QTime {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val t = (System.nanoTime() - t0) / 1e9
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        // Same cleanup regime as Bench's suite pass: StageCache-pinned
+        // shared stages survive (so floors for the q267/q276/q280 trio
+        // reflect the same resident-cache steady state the suite runs
+        // under — pass 1 cold, later passes warm, min = steady state).
+        val pinned = graft.ext.StageCache.pinnedRddIds
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!pinned.contains(id)) rdd.unpersist(blocking = false)
+        }
         t
       }
       println(f"TIMED $name%-28s min=${times.min}%.2f passes=${

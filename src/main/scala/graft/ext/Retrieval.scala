@@ -428,8 +428,13 @@ object Retrieval {
     * second floor division — both mirrored in the oracle. The ideal
     * ranking sorts (gain desc, doc_id) so ties are deterministic; a
     * query with fewer than k relevant docs gets its true shorter IDCG,
-    * not a padded one. Queries a system misses entirely score 0 — the
-    * per-system spine is |systems| × |rel queries|, never silent drops.
+    * not a padded one. The spine is |systems| × |rel queries|: a query
+    * a system misses entirely scores 0 rather than vanishing, but a
+    * query present in `runs` with NO `rel` judgments is excluded by
+    * construction (standard trec_eval semantics — nDCG is undefined at
+    * idcg = 0, and q281's rel derives from the brute run so the case
+    * never arises there; callers needing unjudged queries visible must
+    * outer-extend `rel` themselves).
     *
     * Scale shape: `runs` and `rel` are |Q|·k relations by contract; the
     * gain join is (query, doc)-keyed, the discount join a k-row

@@ -242,15 +242,22 @@ object Similarity {
     * reproducible in the oracle — the determinism trick that makes a
     * float centroid hash-comparable across engines. */
   def cellCentroids(corpus: DataFrame, cellCol: String, embCol: String): DataFrame =
-    graft.model.Tables.fanOut(corpus)
-      .select(col(cellCol).as("cell"), posexplode(col(embCol)).as(Seq("pos", "v")))
-      .groupBy("cell", "pos")
-      .agg(sum(round(col("v").cast("double") * 10000, 0).cast("long")).as("s"),
-        count(lit(1)).as("n"))
-      .groupBy("cell")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
-        x => x.getField("s").cast("double") / lit(10000.0) /
-          x.getField("n").cast("double")).as("centroid"))
+    // |cells| rows; probed by q49/q233/q262/q292 (+ q246's nested runs)
+    // over the identical corpus — memoized so the per-query cost is a
+    // lookup, not a corpus aggregation.
+    StageCache.getOrStage(
+        StageCache.keyFor(corpus, "cellcents", cellCol, embCol)) {
+      graft.model.Tables.fanOut(corpus)
+        .select(col(cellCol).as("cell"), posexplode(col(embCol)).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(sum(round(col("v").cast("double") * 10000, 0).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+          x => x.getField("s").cast("double") / lit(10000.0) /
+            x.getField("n").cast("double")).as("centroid"))
+        .localCheckpoint()
+    }
 
   /** IVF top-k — the other classic ANN scale path next to sign-LSH
     * ([[lshTopK]]): a coarse quantizer assigns every corpus vector to a
@@ -456,7 +463,21 @@ object Similarity {
     * degenerate vector can't ANSI-fault the divide. */
   private def exactTopKFlags(corpus: DataFrame, queries: DataFrame,
                              idCol: String, embCol: String,
-                             k: Int): DataFrame = {
+                             k: Int): DataFrame =
+    // Four quantized tiers (q187/q227/q233/q292) plus q246's nested
+    // re-runs flag against the IDENTICAL exact winner set — memoize the
+    // |Q|·k flag relation rather than re-paying the corpus×|Q| scoring
+    // cross per query. Keyed on BOTH plans + k; output is tiny.
+    StageCache.getOrStage(
+        StageCache.keyFor(corpus, "exactflags", idCol, embCol, k,
+          StageCache.keyFor(queries))) {
+      exactTopKFlagsBuild(corpus, queries, idCol, embCol, k)
+        .localCheckpoint()
+    }
+
+  private def exactTopKFlagsBuild(corpus: DataFrame, queries: DataFrame,
+                                  idCol: String, embCol: String,
+                                  k: Int): DataFrame = {
     val qe = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
       l2norm(col(embCol)).as("q_nrm"))
     val ce = graft.model.Tables.fanOut(corpus)
@@ -481,47 +502,94 @@ object Similarity {
     * (query_id, m, aid, pdot) — exactly the q227 construction, shared
     * verbatim so the IVF composition scores with the identical
     * codebook. */
-  private def pqCodesAndLut(corpus: DataFrame, queries: DataFrame,
-                            idCol: String, embCol: String, dim: Int,
-                            nSub: Int, nCent: Int): (DataFrame, DataFrame) = {
-    require(dim % nSub == 0, s"nSub $nSub must divide dim $dim")
-    val sw = dim / nSub
-    def unitE6(df: DataFrame, outId: String): DataFrame = df
-      .withColumn("_nrm", l2norm(col(embCol)))
-      .select(col(idCol).as(outId),
-        posexplode(col(embCol)).as(Seq("i", "x")), col("_nrm"))
-      .select(col(outId), (col("i") / sw).cast("int").as("m"),
-        (col("i") % sw).cast("int").as("j"),
-        when(col("_nrm") === 0.0, 0L)
-          .otherwise(round(col("x") / col("_nrm") * 1e6, 0).cast("long"))
-          .as("xe6"))
-    val cx = unitE6(graft.model.Tables.fanOut(corpus), "neighbor_id")
-      .localCheckpoint() // read 4x: seed slice, refine join, coding, LUT side
-    val seed = cx.filter(col("neighbor_id") < nCent)
+  /** Unit-e6 subvector projection (the q187/q227 integer contract):
+    * (outId, m, j, xe6) — subspace m = i div sw, within-subspace j,
+    * xe6 = round(x̂·10⁶) with the zero-norm → 0 guard. Shared by the PQ
+    * family (q227/q233) and the residual variant (q292). */
+  private def unitE6Proj(df: DataFrame, idCol: String, embCol: String,
+                         outId: String, sw: Int): DataFrame = df
+    .withColumn("_nrm", l2norm(col(embCol)))
+    .select(col(idCol).as(outId),
+      posexplode(col(embCol)).as(Seq("i", "x")), col("_nrm"))
+    .select(col(outId), (col("i") / sw).cast("int").as("m"),
+      (col("i") % sw).cast("int").as("j"),
+      when(col("_nrm") === 0.0, 0L)
+        .otherwise(round(col("x") / col("_nrm") * 1e6, 0).cast("long"))
+        .as("xe6"))
+
+  /** The deterministic PQ training + coding shared by q227/q233/q292:
+    * seed the per-subspace codebook from the first `nCent` vectors'
+    * subvectors of the integer projection `vx` (neighbor_id, m, j,
+    * xe6), run ONE Lloyd step (assign all subvectors by exact integer
+    * L2, recenter at the sign-split floor-mean), then code every
+    * vector as its argmin centroid. Returns (book(aid, m, j, ce6),
+    * codes(neighbor_id, m, aid)). q292 feeds RESIDUAL subvectors
+    * through the identical machinery — the training algebra is
+    * projection-agnostic. A non-empty `cacheKey` memoizes both outputs
+    * in [[StageCache]] (they depend only on the corpus-side projection,
+    * which the callers key by plan hash + params). */
+  private def lloydBookAndCodes(vx: DataFrame, nCent: Int,
+                                cacheKey: String = ""): (DataFrame, DataFrame) = {
+    if (cacheKey.nonEmpty) {
+      val book = StageCache.getOrStage(s"$cacheKey:book")(
+        lloydBookAndCodesBuild(vx, nCent)._1)
+      val codes = StageCache.getOrStage(s"$cacheKey:codes")(
+        codesFor(vx, book).localCheckpoint())
+      (book, codes)
+    } else lloydBookAndCodesBuild(vx, nCent)
+  }
+
+  private def codesFor(vx: DataFrame, book: DataFrame): DataFrame = {
+    val dist = vx.join(broadcast(book), Seq("m", "j"))
+      .groupBy(col("neighbor_id"), col("m"), col("aid"))
+      .agg(sum((col("xe6") - col("ce6")) * (col("xe6") - col("ce6")))
+        .as("d2"))
+    dist.groupBy("neighbor_id", "m")
+      .agg(min_by(col("aid"), struct(col("d2"), col("aid"))).as("aid"))
+  }
+
+  private def lloydBookAndCodesBuild(vx: DataFrame,
+                                     nCent: Int): (DataFrame, DataFrame) = {
+    val seed = vx.filter(col("neighbor_id") < nCent)
       .select(col("neighbor_id").cast("int").as("aid"), col("m"), col("j"),
         col("xe6").as("ce6"))
     // One Lloyd step: assign every corpus subvector to its nearest seed,
     // recenter each (subspace, centroid) at the sign-split floor-mean.
-    val d1 = cx.join(broadcast(seed), Seq("m", "j"))
+    val d1 = vx.join(broadcast(seed), Seq("m", "j"))
       .groupBy(col("neighbor_id"), col("m"), col("aid"))
       .agg(sum((col("xe6") - col("ce6")) * (col("xe6") - col("ce6")))
         .as("d2"))
     val a1 = d1.groupBy("neighbor_id", "m")
       .agg(min_by(col("aid"), struct(col("d2"), col("aid"))).as("aid"))
-    val book = a1.join(cx, Seq("neighbor_id", "m"))
+    val book = a1.join(vx, Seq("neighbor_id", "m"))
       .groupBy(col("aid"), col("m"), col("j"))
       .agg(sum("xe6").as("sx"), count(lit(1)).as("n"))
       .select(col("aid"), col("m"), col("j"),
         when(col("sx") >= 0, expr("sx div n"))
           .otherwise(-expr("(-sx) div n")).as("ce6"))
-      .localCheckpoint() // read 2x: coding join + LUT
-    val dist = cx.join(broadcast(book), Seq("m", "j"))
-      .groupBy(col("neighbor_id"), col("m"), col("aid"))
-      .agg(sum((col("xe6") - col("ce6")) * (col("xe6") - col("ce6")))
-        .as("d2"))
-    val codes = dist.groupBy("neighbor_id", "m")
-      .agg(min_by(col("aid"), struct(col("d2"), col("aid"))).as("aid"))
-    val lut = unitE6(queries, "query_id")
+      .localCheckpoint() // read 2x: coding join + the caller's LUT
+    (book, codesFor(vx, book))
+  }
+
+  private def pqCodesAndLut(corpus: DataFrame, queries: DataFrame,
+                            idCol: String, embCol: String, dim: Int,
+                            nSub: Int, nCent: Int): (DataFrame, DataFrame) = {
+    require(dim % nSub == 0, s"nSub $nSub must divide dim $dim")
+    val sw = dim / nSub
+    // Corpus-side stages (projection, codebook, codes) are StageCache-
+    // memoized: q227, q233 and q246's nested re-runs all train the
+    // IDENTICAL codebook over the identical corpus — before round 13
+    // each paid the projection + Lloyd pass + coding from the scan.
+    // The query-side LUT stays live (it depends on `queries`).
+    val base = StageCache.keyFor(corpus, "pq", idCol, embCol, dim, nSub,
+      nCent)
+    val cx = StageCache.getOrStage(s"$base:cx") {
+      unitE6Proj(graft.model.Tables.fanOut(corpus), idCol, embCol,
+          "neighbor_id", sw)
+        .localCheckpoint() // read 4x: seed, refine, coding, LUT side
+    }
+    val (book, codes) = lloydBookAndCodes(cx, nCent, s"$base:raw")
+    val lut = unitE6Proj(queries, idCol, embCol, "query_id", sw)
       .join(broadcast(book), Seq("m", "j"))
       .groupBy(col("query_id"), col("m"), col("aid"))
       .agg(sum(col("xe6") * col("ce6")).as("pdot"))
@@ -572,9 +640,11 @@ object Similarity {
     * codes to the BROADCAST LUT on (query, subspace, centroid) integer
     * keys — no cross product, no float dot per pair, nothing
     * corpus-wide after the one coding pass PQ already pays. */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                embCol: String, cellCol: String, k: Int, nprobe: Int = 2,
-                dim: Int = 64, nSub: Int = 32, nCent: Int = 64): DataFrame = {
+  /** The q49/q233/q292 coarse probe: each query's `nprobe` nearest
+    * cells by rounded centroid cosine — (query_id, cell) rows. */
+  private def probedCells(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, embCol: String, cellCol: String,
+                          nprobe: Int): DataFrame = {
     val cents = cellCentroids(corpus, cellCol, embCol)
       .withColumn("cnrm", sqrt(dotD(col("centroid"), col("centroid"))))
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
@@ -584,11 +654,18 @@ object Similarity {
         (col("q_nrm") * col("cnrm")), 4)
     val pw = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("cscore"), col("cell"))
-    val probed = q.crossJoin(broadcast(cents))
+    q.crossJoin(broadcast(cents))
       .select(col("query_id"), col("cell"), probeScore.as("cscore"))
       .withColumn("prk", row_number().over(pw))
       .filter(col("prk") <= nprobe)
       .select("query_id", "cell")
+  }
+
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                embCol: String, cellCol: String, k: Int, nprobe: Int = 2,
+                dim: Int = 64, nSub: Int = 32, nCent: Int = 64): DataFrame = {
+    val probed =
+      probedCells(corpus, queries, idCol, embCol, cellCol, nprobe)
     val (codes, lut) =
       pqCodesAndLut(corpus, queries, idCol, embCol, dim, nSub, nCent)
     val cand = graft.model.Tables.fanOut(corpus)
@@ -608,6 +685,111 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("neighbor_id"), col("cell"),
         col("pq_dot").cast("long").as("pq_dot"),
+        coalesce(col("hit"), lit(0)).as("in_exact_topk"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVFADC with RESIDUAL encoding (q292) — the published Jégou–Douze–
+    * Schmid IVFADC proper: q233 composes IVF with PQ codes of the RAW
+    * vectors, but the paper quantizes each vector's residual
+    * r = x − c(cell) against its coarse centroid, so the shared
+    * codebook's 64 entries model the WITHIN-cell variation instead of
+    * re-spending them on the between-cell structure the coarse
+    * quantizer already captured — better recall at the same probe and
+    * code budget. Scoring is the two-term ADC expansion
+    * q·x ≈ q·c(cell) + q_r·pq(r), with q_r = q − c(cell) the query's
+    * residual AGAINST EACH PROBED CELL (a per-(query, cell) LUT — the
+    * new join shape this operator exercises) and q·c(cell) the exact
+    * integer offset term.
+    *
+    * Integer parity contract (the q227 conventions end-to-end): unit
+    * vectors quantize once to e6 components; cell centroids are
+    * sign-split floor-means of member xe6 (exact integers, NOT the q49
+    * float probe centroids); residuals subtract exactly; the residual
+    * codebook is the identical [[lloydBookAndCodes]] machinery (seed
+    * slice + one Lloyd step + argmin codes, ties to smallest id); LUT
+    * entries, offsets and scores are exact integer dots. The coarse
+    * PROBE stays q233's rounded-cosine probe verbatim, so q292 and
+    * q233 rank the SAME candidate sets — any recall difference is
+    * attributable to residual vs raw coding alone. Hits are flagged
+    * against the unrestricted exact float top-k.
+    *
+    * Scale shape: everything q233 pins (cell-equi candidates, broadcast
+    * codebook/LUT joins on integer keys, no cross beyond the two
+    * bounded probe/exact-flag crosses) plus: cent6 is a |cells|·dim
+    * bounded relation (broadcast), the per-(query, cell) LUT is
+    * |Q|·nprobe·nSub·nCent rows (broadcast), and the offset term is a
+    * |Q|·nprobe relation. The residual subtraction rides the one
+    * coding pass PQ already pays — nothing new is corpus-wide. */
+  def ivfAdcResidualTopK(corpus: DataFrame, queries: DataFrame,
+                         idCol: String, embCol: String, cellCol: String,
+                         k: Int, nprobe: Int = 2, dim: Int = 64,
+                         nSub: Int = 32, nCent: Int = 64): DataFrame = {
+    require(dim % nSub == 0, s"nSub $nSub must divide dim $dim")
+    val sw = dim / nSub
+    val fanned = graft.model.Tables.fanOut(corpus)
+    val cellOf = fanned
+      .select(col(idCol).as("neighbor_id"), col(cellCol).as("cell"))
+    // Corpus-side residual stages are StageCache-memoized like the raw
+    // PQ family's (same discipline: query-side LUT/offsets stay live).
+    val base = StageCache.keyFor(corpus, "ivfres", idCol, embCol, cellCol,
+      dim, nSub, nCent)
+    val cx = StageCache.getOrStage(s"$base:cx") {
+      unitE6Proj(fanned, idCol, embCol, "neighbor_id", sw)
+        .join(cellOf, Seq("neighbor_id"))
+        .localCheckpoint() // read 2x: centroid rollup + residual build
+    }
+    // Integer cell centroids: sign-split floor-mean of member xe6.
+    val cent6 = StageCache.getOrStage(s"$base:cent6") {
+      cx.groupBy("cell", "m", "j")
+        .agg(sum("xe6").as("sx"), count(lit(1)).as("n"))
+        .select(col("cell"), col("m"), col("j"),
+          when(col("sx") >= 0, expr("sx div n"))
+            .otherwise(-expr("(-sx) div n")).as("ke6"))
+        .localCheckpoint() // read 3x: residuals, query residuals, offsets
+    }
+    // Residual projection — feeds the IDENTICAL PQ training machinery.
+    val rx = StageCache.getOrStage(s"$base:rx") {
+      cx.join(broadcast(cent6), Seq("cell", "m", "j"))
+        .select(col("neighbor_id"), col("m"), col("j"),
+          (col("xe6") - col("ke6")).as("xe6"))
+        .localCheckpoint() // read 3x inside lloydBookAndCodes
+    }
+    val (book, codes) = lloydBookAndCodes(rx, nCent, s"$base:res")
+    val probed = probedCells(corpus, queries, idCol, embCol, cellCol, nprobe)
+    // Query residual against EACH probed cell + the exact offset term.
+    val qx = unitE6Proj(queries, idCol, embCol, "query_id", sw)
+      .join(broadcast(probed), Seq("query_id"))
+      .join(broadcast(cent6), Seq("cell", "m", "j"))
+      .localCheckpoint() // read 2x: LUT + offset
+    val lut = qx
+      .select(col("query_id"), col("cell"), col("m"), col("j"),
+        (col("xe6") - col("ke6")).as("qre6"))
+      .join(broadcast(book), Seq("m", "j"))
+      .groupBy(col("query_id"), col("cell"), col("m"), col("aid"))
+      .agg(sum(col("qre6") * col("ce6")).as("pdot"))
+    val offset = qx.groupBy("query_id", "cell")
+      .agg(sum(col("xe6") * col("ke6")).as("cdot"))
+    val cand = fanned
+      .select(col(cellCol).as("cell"), col(idCol).as("neighbor_id"))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val scored = codes.join(cand, Seq("neighbor_id"))
+      .join(broadcast(lut), Seq("query_id", "cell", "m", "aid"))
+      .groupBy("query_id", "neighbor_id", "cell")
+      .agg(sum("pdot").as("rdot"))
+      .join(broadcast(offset), Seq("query_id", "cell"))
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+        (col("rdot") + col("cdot")).as("adc_dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("adc_dot"), col("neighbor_id"))
+    val exact = exactTopKFlags(corpus, queries, idCol, embCol, k)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(broadcast(exact), Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("cell"),
+        col("adc_dot").cast("long").as("adc_dot"),
         coalesce(col("hit"), lit(0)).as("in_exact_topk"))
       .orderBy("query_id", "rank")
   }
@@ -1105,8 +1287,9 @@ object Similarity {
                       k: Int = 5, nPlanes: Int = 4, dim: Int = 64,
                       nProbe: Long = 64): DataFrame = {
     require(k >= 1 && nProbe >= 1, s"need k>=1, nProbe>=1; got $k, $nProbe")
+    val base = knnBaseKey(corpus, idCol, embCol, nPlanes, dim)
     val (c, seed, descent) = knnStages(corpus, idCol, embCol, k, nPlanes, dim)
-    val exactK = exactProbeTopK(c, k, nProbe)
+    val exactK = exactProbeTopK(c, k, nProbe, s"$base:exact:$k:$nProbe")
     def stageRow(g: DataFrame, stage: String): DataFrame = {
       val nodes = g.select("id").distinct().agg(count(lit(1)).as("n_nodes"))
       val edges = g.agg(count(lit(1)).as("n_edges"))
@@ -1131,21 +1314,23 @@ object Similarity {
     * staged corpus projection `c` — the recall baseline shared by the
     * q267 two-stage report and the q280 trajectory. One |probe|-bounded
     * broadcast cross (the q37 shape), salted top-k. */
-  private def exactProbeTopK(c: DataFrame, k: Int, nProbe: Long): DataFrame = {
-    val probe = c.filter(col("id") < nProbe)
-      .select(col("id").as("pid"), col("emb").as("p_emb"),
-        col("nrm").as("p_nrm"))
-    val exactScored = c.crossJoin(broadcast(probe))
-      .filter(col("id") =!= col("pid"))
-      .select(col("pid").as("qid"), col("id").as("nid"),
-        round(dot(col("p_emb"), col("emb")) / (col("p_nrm") * col("nrm")), 4)
-          .as("score"))
-    graft.operators.Skew.saltedTopKPerGroup(
-        exactScored.withColumnRenamed("qid", "id"), Seq("id"),
-        Seq(col("score").desc, col("nid")), k, salts = 8)
-      .select("id", "nid")
-      .localCheckpoint() // read by every round's readout
-  }
+  private def exactProbeTopK(c: DataFrame, k: Int, nProbe: Long,
+                             cacheKey: String): DataFrame =
+    StageCache.getOrStage(cacheKey) {
+      val probe = c.filter(col("id") < nProbe)
+        .select(col("id").as("pid"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm"))
+      val exactScored = c.crossJoin(broadcast(probe))
+        .filter(col("id") =!= col("pid"))
+        .select(col("pid").as("qid"), col("id").as("nid"),
+          round(dot(col("p_emb"), col("emb")) / (col("p_nrm") * col("nrm")), 4)
+            .as("score"))
+      graft.operators.Skew.saltedTopKPerGroup(
+          exactScored.withColumnRenamed("qid", "id"), Seq("id"),
+          Seq(col("score").desc, col("nid")), k, salts = 8)
+        .select("id", "nid")
+        .localCheckpoint() // read by every round's readout
+    }
 
   /** NN-DESCENT RUN TO A CONVERGENCE CERTIFICATE (q280) — the q267
     * one-round demo extended to `rounds` FIXED descent rounds (Dong,
@@ -1190,12 +1375,13 @@ object Similarity {
                           nProbe: Long = 64, rounds: Int = 3): DataFrame = {
     require(k >= 1 && nProbe >= 1 && rounds >= 1,
       s"need k>=1, nProbe>=1, rounds>=1; got $k, $nProbe, $rounds")
+    val base = knnBaseKey(corpus, idCol, embCol, nPlanes, dim)
     val (c, seed) = knnSeed(corpus, idCol, embCol, k, nPlanes, dim)
-    val exactK = exactProbeTopK(c, k, nProbe)
+    val exactK = exactProbeTopK(c, k, nProbe, s"$base:exact:$k:$nProbe")
     var g = seed
     var edgesAll = seed.select(lit(0).as("round"), col("id"), col("nid"))
     for (r <- 1 to rounds) {
-      val ng = descentRound(c, g, k)
+      val ng = descentRound(c, g, k, s"$base:descent:$k:$r")
       edgesAll = edgesAll
         .unionAll(ng.select(lit(r).as("round"), col("id"), col("nid")))
       g = ng
@@ -1231,17 +1417,30 @@ object Similarity {
       .orderBy("round")
   }
 
+  /** The q267/q276/q280 pipelines' shared cache-key prefix — session +
+    * corpus plan hash + every staging parameter, so distinct corpora or
+    * parameterizations never collide in [[StageCache]]. */
+  private def knnBaseKey(corpus: DataFrame, idCol: String, embCol: String,
+                         nPlanes: Int, dim: Int): String =
+    StageCache.keyFor(corpus, "knn", idCol, embCol, nPlanes, dim)
+
   /** The q267 pipeline's staged seed relations — the corpus projection
-    * (id, emb, nrm, b1, b2) and the two-table-seeded k-NN edges. */
+    * (id, emb, nrm, b1, b2) and the two-table-seeded k-NN edges. Both are
+    * memoized in [[StageCache]]: q267, q276 and q280 all start from this
+    * exact pair, and before round 13 each registered query re-staged it
+    * from the parquet scan (3× the staging cost per suite pass). */
   private[ext] def knnSeed(corpus: DataFrame, idCol: String,
                            embCol: String, k: Int, nPlanes: Int,
                            dim: Int): (DataFrame, DataFrame) = {
-    val c = graft.model.Tables.fanOut(corpus)
-      .select(col(idCol).as("id"), col(embCol).as("emb"),
-        l2norm(col(embCol)).as("nrm"),
-        bucketColFrom(col(embCol), 0, nPlanes, dim).as("b1"),
-        bucketColFrom(col(embCol), nPlanes, nPlanes, dim).as("b2"))
-      .localCheckpoint() // read by seed pairs ×4, rescore ×2, probe ×2
+    val base = knnBaseKey(corpus, idCol, embCol, nPlanes, dim)
+    val c = StageCache.getOrStage(s"$base:c") {
+      graft.model.Tables.fanOut(corpus)
+        .select(col(idCol).as("id"), col(embCol).as("emb"),
+          l2norm(col(embCol)).as("nrm"),
+          bucketColFrom(col(embCol), 0, nPlanes, dim).as("b1"),
+          bucketColFrom(col(embCol), nPlanes, nPlanes, dim).as("b2"))
+        .localCheckpoint() // read by seed pairs ×4, rescore ×2, probe ×2
+    }
     def seedLeg(key: String): DataFrame = c
       .select(col("id"), col("emb"), col("nrm"), col(key).as("bk"))
       .join(c.select(col("id").as("nid"), col("emb").as("n_emb"),
@@ -1250,14 +1449,16 @@ object Similarity {
       .select(col("id"), col("nid"),
         round(dot(col("emb"), col("n_emb")) / (col("nrm") * col("n_nrm")), 4)
           .as("score"))
-    // A pair colliding in both tables is scored twice (deterministic
-    // round-4dp score, so distinct collapses it) — cheaper than a
-    // pre-score pair dedup that would force extra embedding joins.
-    val seedScored = seedLeg("b1").unionAll(seedLeg("b2")).distinct()
-    val seed = graft.operators.Skew.saltedTopKPerGroup(seedScored, Seq("id"),
-        Seq(col("score").desc, col("nid")), k, salts = 8)
-      .select("id", "nid")
-      .localCheckpoint() // read by the N-of-N join (both sides) + readout
+    val seed = StageCache.getOrStage(s"$base:seed:$k") {
+      // A pair colliding in both tables is scored twice (deterministic
+      // round-4dp score, so distinct collapses it) — cheaper than a
+      // pre-score pair dedup that would force extra embedding joins.
+      val seedScored = seedLeg("b1").unionAll(seedLeg("b2")).distinct()
+      graft.operators.Skew.saltedTopKPerGroup(seedScored, Seq("id"),
+          Seq(col("score").desc, col("nid")), k, salts = 8)
+        .select("id", "nid")
+        .localCheckpoint() // read by the N-of-N join (both sides) + readout
+    }
     (c, seed)
   }
 
@@ -1270,7 +1471,17 @@ object Similarity {
     * corpus projection `c`, best-k kept (salted two-phase top-k).
     * Candidates ⊇ g, so per-node hit sets vs the exact graph are
     * monotone non-decreasing across rounds — the q280 trajectory pin. */
-  private[ext] def descentRound(c: DataFrame, g: DataFrame,
+  private[ext] def descentRound(c: DataFrame, g: DataFrame, k: Int,
+                                cacheKey: String = ""): DataFrame = {
+    // Empty key (the spec-level direct callers) = never memoized; the
+    // registered-query paths pass round-numbered keys so q267/q276 share
+    // round 1 with q280's trajectory.
+    if (cacheKey.nonEmpty)
+      StageCache.getOrStage(cacheKey)(descentRoundBuild(c, g, k))
+    else descentRoundBuild(c, g, k)
+  }
+
+  private def descentRoundBuild(c: DataFrame, g: DataFrame,
                                 k: Int): DataFrame = {
     val undirected = g
       .unionAll(g.select(col("nid").as("id"), col("id").as("nid")))
@@ -1302,8 +1513,9 @@ object Similarity {
   private[ext] def knnStages(corpus: DataFrame, idCol: String,
                              embCol: String, k: Int, nPlanes: Int,
                              dim: Int): (DataFrame, DataFrame, DataFrame) = {
+    val base = knnBaseKey(corpus, idCol, embCol, nPlanes, dim)
     val (c, seed) = knnSeed(corpus, idCol, embCol, k, nPlanes, dim)
-    (c, seed, descentRound(c, seed, k))
+    (c, seed, descentRound(c, seed, k, s"$base:descent:$k:1"))
   }
 
   /** LABEL-NOISE detection by k-NN disagreement (q276 — the edited-

@@ -740,6 +740,53 @@ object Graph {
       .orderBy(col("delta_sum_e6").desc, col("node")).limit(topK)
   }
 
+  /** The double-sweep staging SHARED by q285 and q291: staged edges,
+    * symmetric adjacency, min-node seed, and the two sweep distance
+    * tables with their farthest-node picks. [[graft.ext.StageCache]]-
+    * memoized on (edge-plan semantic hash, maxHops) — q291's iFUB
+    * certificate BEGINS with exactly q285's double sweep over exactly
+    * the same graph, and before round 13 each registered query re-ran
+    * both sweeps from the scan (the knnStages-trio sharing pattern the
+    * round-12 verdict sanctioned, applied to the diameter pair). A
+    * cache miss (evicted, unpersisted, or first touch) rebuilds
+    * everything from `edgesIn`; Bench's retry loop invalidates first,
+    * so floor measurements price the full standalone pipeline. */
+  private def sweepStages(edgesIn: DataFrame, maxHops: Int):
+      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame,
+        DataFrame) = {
+    import graft.ext.StageCache
+    def key(part: String): String =
+      StageCache.keyFor(edgesIn, "sweep", maxHops, part)
+    val edges = StageCache.getOrStage(key("edges"))(edgesIn.localCheckpoint())
+    val adj = StageCache.getOrStage(key("adj"))(Bfs.symmetricAdj(edges))
+    val u0 = StageCache.getOrStage(key("u0")) {
+      edges.select(col("u").as("node"))
+        .unionAll(edges.select(col("v").as("node")))
+        .agg(min("node").as("seed"))
+        .localCheckpoint() // seed of sweep 1 + source column of its row
+    }
+    val d1 = StageCache.getOrStage(key("d1")) {
+      Bfs.hopDistancesAdj(adj, u0, maxHops).select("node", "dist")
+        .localCheckpoint()
+    }
+    val e1 = StageCache.getOrStage(key("e1")) {
+      d1.orderBy(desc("dist"), col("node")).limit(1)
+        .select(col("node").as("far1"), col("dist").as("ecc1"))
+        .localCheckpoint() // sweep-2 seed + report rows + the bound
+    }
+    val d2 = StageCache.getOrStage(key("d2")) {
+      Bfs.hopDistancesAdj(adj, e1.select(col("far1").as("seed")), maxHops)
+        .select("node", "dist")
+        .localCheckpoint()
+    }
+    val e2 = StageCache.getOrStage(key("e2")) {
+      d2.orderBy(desc("dist"), col("node")).limit(1)
+        .select(col("node").as("far2"), col("dist").as("ecc2"))
+        .localCheckpoint()
+    }
+    (edges, adj, u0, d1, e1, d2, e2)
+  }
+
   /** DOUBLE-SWEEP diameter lower bound (q285; Magnien–Latapy–Habib 2009,
     * the iFUB building block): BFS from the deterministic anchor (the
     * minimum node id) to its farthest reachable node v (ties smallest
@@ -759,25 +806,8 @@ object Graph {
     * second seed RELATION — no driver collect; the report assembles
     * from 1-row relations with seven bounded scalar crosses. */
   def doubleSweepDiameter(edgesIn: DataFrame, maxHops: Int = 6): DataFrame = {
-    val edges = edgesIn.localCheckpoint() // both BFS runs + the node min
-    val u0 = edges.select(col("u").as("node"))
-      .unionAll(edges.select(col("v").as("node")))
-      .agg(min("node").as("seed"))
-      .localCheckpoint() // seed of sweep 1 + source column of its row
-    val d1 = Bfs.hopDistances(edges, u0, maxHops)
-      .select("node", "dist")
-      .localCheckpoint() // argmax + reach count
-    val e1 = d1.orderBy(desc("dist"), col("node")).limit(1)
-      .select(col("node").as("far1"), col("dist").as("ecc1"))
-      .localCheckpoint() // sweep-2 seed + both report rows + the bound
+    val (_, _, u0, d1, e1, d2, e2) = sweepStages(edgesIn, maxHops)
     val n1 = d1.agg(count(lit(1)).as("n_reached1"))
-    val d2 = Bfs.hopDistances(edges, e1.select(col("far1").as("seed")),
-        maxHops)
-      .select("node", "dist")
-      .localCheckpoint()
-    val e2 = d2.orderBy(desc("dist"), col("node")).limit(1)
-      .select(col("node").as("far2"), col("dist").as("ecc2"))
-      .localCheckpoint()
     val n2 = d2.agg(count(lit(1)).as("n_reached2"))
     val lb = e1.crossJoin(broadcast(e2))
       .select(greatest(col("ecc1"), col("ecc2")).as("diameter_lb"))
@@ -800,5 +830,152 @@ object Graph {
         when(col("ecc2") < maxHops, 1).otherwise(0).cast("int").as("exact"),
         col("diameter_lb").cast("int").as("diameter_lb"))
     row1.unionAll(row2).orderBy("sweep")
+  }
+
+  /** iFUB-STYLE DIAMETER CERTIFICATE (q291 — Crescenzi et al.'s
+    * iterative Fringe Upper Bound, made deterministic and cap-bounded):
+    * [[doubleSweepDiameter]]'s lb is only a LOWER bound; this refines a
+    * matching UPPER bound so `certified = 1` means lb == ub == the true
+    * diameter (of the component containing the minimum node — the q285
+    * contract). Construction:
+    *
+    *  1. Double sweep: BFS from the min node (far1/ecc1), BFS from far1
+    *     (far2/ecc2) — lb₀ = max(ecc1, ecc2).
+    *  2. Root = the MIDPOINT of a shortest far1→far2 path: BFS from
+    *     far2, then the smallest node with d_far1(x) + d_far2(x) = ecc2
+    *     and |d_far1(x) − d_far2(x)| ≤ 1. BFS from the root gives its
+    *     level structure; ub₀ = 2·ecc(root) (any path doubles through
+    *     the root).
+    *  3. TWO fixed fringe refinements (fixed-round semantics, the q202
+    *     convention — both engines run exactly these, never
+    *     to-convergence): for level i = ecc(root), then i−1, probe the
+    *     `cap` smallest-id fringe nodes with one MULTI-SOURCE BFS;
+    *     lb ← max(lb, probed eccentricities). iFUB's theorem — once
+    *     every level > i−1 is FULLY processed, diameter ≤
+    *     max(lb, 2(i−1)) — tightens ub only when no fringe so far
+    *     overflowed the cap (`fringe_capped` reports the overflow
+    *     honestly; a capped probe still soundly RAISES lb, it just
+    *     cannot lower ub).
+    *
+    * Soundness under truncation: a probe BFS cut off at `maxHops`
+    * understates an eccentricity, which only weakens lb (never falsely
+    * certifies); the SWEEP/root BFSes must complete for the level
+    * structure to be real, so `exact` = 1 iff all four stayed under
+    * maxHops, and `certified` requires it.
+    *
+    * Scale shape: four single-source BFS + ONE bit-parallel batched
+    * sweep for BOTH fringe probe sets ([[Bfs.groupEccentricity]] — all
+    * ≤2·cap seeds ride one frontier as 64-bit masks, so probe cost per
+    * level is |E| rows with an 8-byte payload, NOT |probes|·|E|) — all
+    * five sweeps over ONE staged symmetric adjacency, per-level equi
+    * joins, per-level localCheckpoint; every scalar crosses the plan as
+    * a broadcast 1-row relation, nothing collects. Probe work is
+    * cap-bounded BY CONSTRUCTION — on a 100 TB graph the cap is the
+    * dial between certificate tightness and probe-sweep volume. */
+  def ifubDiameter(edgesIn: DataFrame, maxHops: Int = 6,
+                   cap: Int = 32): DataFrame = {
+    // cap ≤ 32: the two fringe batches share one 64-bit bit-parallel
+    // sweep ([[Bfs.groupEccentricity]]), 2·cap seed bits max.
+    require(cap >= 1 && cap <= 32, s"need 1<=cap<=32; got $cap")
+    // Sweeps 1+2 (and the staged edges/adjacency) are EXACTLY q285's
+    // double sweep over exactly this graph — shared via [[sweepStages]]'
+    // StageCache memo. The two certificate-side distance tables (d3 from
+    // far2, dm from the midpoint root) are memoized in the same
+    // key-space; the probe sweep and the certificate assembly always
+    // run live.
+    val (_, adj, _, _, e1, d2, e2) = sweepStages(edgesIn, maxHops)
+    def ikey(part: String): String =
+      graft.ext.StageCache.keyFor(edgesIn, "ifub", maxHops, part)
+    val d3 = graft.ext.StageCache.getOrStage(ikey("d3")) {
+      Bfs.hopDistancesAdj(adj, e2.select(col("far2").as("seed")), maxHops)
+        .select(col("node"), col("dist").as("dist3"))
+        .localCheckpoint()
+    }
+    val ecc3 = d3.agg(max("dist3").as("ecc3"))
+    // Midpoint of a shortest far1→far2 path: on-path (distances sum to
+    // ecc2) and balanced (sides differ by ≤ 1); smallest node id wins.
+    val mid = d2.join(d3, Seq("node"))
+      .join(broadcast(e2),
+        col("dist") + col("dist3") === col("ecc2") &&
+          abs(col("dist") - col("dist3")) <= 1)
+      .orderBy("node").limit(1)
+      .select(col("node").as("root"))
+      .localCheckpoint()
+    val dm = graft.ext.StageCache.getOrStage(ikey("dm")) {
+      Bfs.hopDistancesAdj(adj, mid.select(col("root").as("seed")), maxHops)
+        .select("node", "dist").localCheckpoint()
+    }
+    val eccm = dm.agg(max("dist").as("ecc_root")).localCheckpoint()
+    // Fringe at level ecc_root − off: size and the ≤cap smallest-id
+    // probe batch. The two levels are disjoint (different dist), so
+    // BOTH batches ride ONE multi-source BFS, split per level after.
+    def fringeLeg(off: Int): (DataFrame, DataFrame) = {
+      val fringe = dm.join(broadcast(eccm),
+          col("dist") === col("ecc_root") - off)
+        .select("node").localCheckpoint()
+      val nF = fringe.agg(count(lit(1)).as(s"n_fringe$off"))
+      val probes = fringe.orderBy("node").limit(cap)
+        .select(col("node").as("seed"), lit(off).as("off"))
+      (nF, probes)
+    }
+    val (nF0, probes0) = fringeLeg(0)
+    val (nF1, probes1) = fringeLeg(1)
+    val probeEcc = Bfs.groupEccentricity(adj, probes0.unionAll(probes1),
+        maxHops)
+      .localCheckpoint() // ≤2 rows; read by both per-level maxima
+    val pmax0 = probeEcc.filter(col("off") === 0)
+      .agg(coalesce(max("pecc"), lit(0)).as("pmax0"))
+    val pmax1 = probeEcc.filter(col("off") === 1)
+      .agg(coalesce(max("pecc"), lit(0)).as("pmax1"))
+    val s = e1.crossJoin(broadcast(e2)).crossJoin(broadcast(ecc3))
+      .crossJoin(broadcast(eccm)).crossJoin(broadcast(mid))
+      .crossJoin(broadcast(nF0)).crossJoin(broadcast(pmax0))
+      .crossJoin(broadcast(nF1)).crossJoin(broadcast(pmax1))
+      .select(col("root"), col("ecc_root"),
+        greatest(col("ecc1"), col("ecc2")).as("lb0"),
+        (col("ecc_root") * 2).as("ub0"),
+        (when(col("ecc1") < maxHops, 1).otherwise(0) *
+          when(col("ecc2") < maxHops, 1).otherwise(0) *
+          when(col("ecc3") < maxHops, 1).otherwise(0) *
+          when(col("ecc_root") < maxHops, 1).otherwise(0)).as("exact"),
+        col("n_fringe0"), col("pmax0"), col("n_fringe1"), col("pmax1"))
+      .select(col("*"),
+        greatest(col("lb0"), col("pmax0")).as("lb1"),
+        (col("n_fringe0") <= cap).cast("int").as("full1"))
+      .select(col("*"),
+        when(col("full1") === 1,
+          least(col("ub0"),
+            greatest(col("lb1"), (col("ecc_root") - 1) * 2)))
+          .otherwise(col("ub0")).as("ub1"))
+      .select(col("*"),
+        greatest(col("lb1"), col("pmax1")).as("lb2"),
+        (col("full1") === 1 && col("n_fringe1") <= cap &&
+          col("ecc_root") - 1 >= 0).cast("int").as("full2"))
+      .select(col("*"),
+        when(col("full2") === 1,
+          least(col("ub1"),
+            greatest(col("lb2"), (col("ecc_root") - 2) * 2)))
+          .otherwise(col("ub1")).as("ub2"))
+      .localCheckpoint() // one scalar row; read by all three report legs
+    def row(step: Int, level: org.apache.spark.sql.Column,
+            nFr: org.apache.spark.sql.Column, pm: org.apache.spark.sql.Column,
+            lb: org.apache.spark.sql.Column, ub: org.apache.spark.sql.Column,
+            capped: org.apache.spark.sql.Column): DataFrame = s
+      .select(lit(step).cast("int").as("step"),
+        col("root").cast("long").as("root"),
+        level.cast("int").as("level"),
+        nFr.cast("long").as("n_fringe"),
+        least(nFr, lit(cap)).cast("long").as("n_probed"),
+        pm.cast("int").as("probe_ecc_max"),
+        lb.cast("int").as("lb"), ub.cast("int").as("ub"),
+        capped.cast("int").as("fringe_capped"),
+        col("exact").cast("int").as("exact"),
+        ((ub === lb).cast("int") * col("exact")).cast("int").as("certified"))
+    row(0, col("ecc_root"), lit(0L), lit(0), col("lb0"), col("ub0"), lit(0))
+      .unionAll(row(1, col("ecc_root"), col("n_fringe0"), col("pmax0"),
+        col("lb1"), col("ub1"), lit(1) - col("full1")))
+      .unionAll(row(2, col("ecc_root") - 1, col("n_fringe1"), col("pmax1"),
+        col("lb2"), col("ub2"), lit(1) - col("full2")))
+      .orderBy("step")
   }
 }

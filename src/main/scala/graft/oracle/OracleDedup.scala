@@ -583,5 +583,38 @@ object OracleDedup {
          |FROM tb LEFT JOIN ip USING (doc_id) LEFT JOIN rm USING (doc_id)
          |GROUP BY source
          |ORDER BY source""".stripMargin,
+
+    // Exact-substring dedup at the 50-token contract (Lee et al. 2022):
+    // a position is covered when its literal 50-token span occurs >= 2
+    // times corpus-wide; per-source covered-position union volumes. The
+    // oracle groups directly on the literal span text — the engine's
+    // rolling-hash tier is a prefilter whose collisions are verified
+    // away, so literal-span grouping is the semantic ground truth.
+    "q290_exact_substring" ->
+      s"""WITH $nCte,
+         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+         |oc AS (SELECT doc_id, CAST(g - 1 AS BIGINT) AS pos,
+         |         array_to_string(list_slice(toks, g, g + 49), ' ') AS span
+         |       FROM (SELECT doc_id, toks,
+         |               unnest(range(1, len(toks) - 48)) AS g FROM tk) z),
+         |dp AS (SELECT span FROM oc GROUP BY span HAVING COUNT(*) > 1),
+         |cv AS (SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS p FROM (
+         |         SELECT doc_id, unnest(range(pos, pos + 50)) AS p
+         |         FROM oc JOIN dp USING (span)) z),
+         |rm AS (SELECT doc_id, COUNT(*) AS n_removed FROM cv GROUP BY doc_id),
+         |sz AS (SELECT d.doc_id, d.source,
+         |         CAST(len(string_split(n.t, ' ')) AS BIGINT) AS n_tokens
+         |       FROM documents d JOIN n USING (doc_id))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN COALESCE(n_removed, 0) > 0 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_affected,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+         |       CAST(SUM(n_tokens - COALESCE(n_removed, 0)) AS BIGINT)
+         |         AS tokens_after,
+         |       CAST(SUM(COALESCE(n_removed, 0)) * 1000000 // SUM(n_tokens)
+         |         AS BIGINT) AS removed_ppm
+         |FROM sz LEFT JOIN rm USING (doc_id)
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
   )
 }

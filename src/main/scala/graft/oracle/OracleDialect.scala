@@ -837,6 +837,119 @@ object OracleDialect {
        |WHERE rk.rnk <= 5
        |ORDER BY rk.query_id, rank""".stripMargin
 
+  /** q292 IVFADC with residual encoding: q233's probe and candidate
+    * restriction verbatim, but PQ codes quantize x − c(cell) against
+    * integer (sign-split floor-mean) cell centroids, the LUT is
+    * per-(query, probed cell) over query residuals, and scores add the
+    * exact q·c(cell) offset term. Mirrors
+    * graft.ext.Similarity.ivfAdcResidualTopK. */
+  private[graft] lazy val ivfAdcResidualSql: String =
+    s"""WITH $embCte,
+       |ex AS (SELECT label AS cell, g AS pos, CAST(embedding[g] AS DOUBLE) AS v
+       |       FROM (SELECT label, embedding, unnest(range(1, len(embedding)+1)) AS g
+       |             FROM embeddings) z),
+       |cs AS (SELECT cell, pos, CAST(SUM(CAST(ROUND(v*10000,0) AS BIGINT)) AS BIGINT) AS s,
+       |              COUNT(*) AS n
+       |       FROM ex GROUP BY cell, pos),
+       |cent AS (SELECT cell, LIST(CAST(s AS DOUBLE)/10000.0/n ORDER BY pos) AS centroid
+       |         FROM cs GROUP BY cell),
+       |cn AS (SELECT cell, centroid, sqrt(list_dot_product(centroid, centroid)) AS cnrm
+       |       FROM cent),
+       |qq AS (SELECT vec_id, emb, nrm FROM nm WHERE vec_id < 10),
+       |pr AS (SELECT q.vec_id AS query_id, cn.cell,
+       |              row_number() OVER (PARTITION BY q.vec_id
+       |                ORDER BY ROUND(list_dot_product(q.emb, cn.centroid)/(q.nrm*cn.cnrm), 4) DESC,
+       |                         cn.cell) AS prk
+       |       FROM qq q CROSS JOIN cn),
+       |probed AS (SELECT query_id, cell FROM pr WHERE prk <= 2),
+       |ux AS (SELECT vec_id, label, unnest(emb) AS x,
+       |              unnest(range(0, len(emb))) AS i, nrm FROM nm),
+       |u6 AS (SELECT vec_id, label AS cell, CAST(i // 2 AS INT) AS m,
+       |         CAST(i % 2 AS INT) AS j,
+       |         CASE WHEN nrm = 0.0 THEN 0
+       |              ELSE CAST(round(x / nrm * 1000000, 0) AS BIGINT)
+       |         END AS xe6
+       |       FROM ux),
+       |k6 AS (SELECT cell, m, j,
+       |         CAST(CASE WHEN SUM(xe6) >= 0
+       |              THEN SUM(xe6) // COUNT(*)
+       |              ELSE -((-SUM(xe6)) // COUNT(*)) END AS BIGINT) AS ke6
+       |       FROM u6 GROUP BY cell, m, j),
+       |r6 AS (SELECT u6.vec_id, u6.m, u6.j, u6.xe6 - k6.ke6 AS re6
+       |       FROM u6 JOIN k6 ON u6.cell = k6.cell AND u6.m = k6.m
+       |                      AND u6.j = k6.j),
+       |b0 AS (SELECT CAST(vec_id AS INT) AS aid, m, j, re6 AS ce6
+       |       FROM r6 WHERE vec_id < 64),
+       |d1 AS (SELECT r6.vec_id AS nid, r6.m, b0.aid,
+       |         CAST(SUM((r6.re6 - b0.ce6)*(r6.re6 - b0.ce6))
+       |           AS BIGINT) AS d2
+       |       FROM r6 JOIN b0 ON r6.m = b0.m AND r6.j = b0.j
+       |       GROUP BY 1, 2, 3),
+       |a1 AS (SELECT nid, m, aid FROM (
+       |    SELECT nid, m, aid, row_number() OVER (
+       |      PARTITION BY nid, m ORDER BY d2, aid) AS rn
+       |    FROM d1) z WHERE rn = 1),
+       |book AS (SELECT a1.aid, a1.m, r6.j,
+       |           CAST(CASE WHEN SUM(r6.re6) >= 0
+       |                THEN SUM(r6.re6) // COUNT(*)
+       |                ELSE -((-SUM(r6.re6)) // COUNT(*)) END
+       |             AS BIGINT) AS ce6
+       |         FROM a1 JOIN r6 ON a1.nid = r6.vec_id AND a1.m = r6.m
+       |         GROUP BY 1, 2, 3),
+       |dist AS (SELECT r6.vec_id AS neighbor_id, r6.m, book.aid,
+       |           CAST(SUM((r6.re6 - book.ce6)*(r6.re6 - book.ce6))
+       |             AS BIGINT) AS d2
+       |         FROM r6 JOIN book ON r6.m = book.m AND r6.j = book.j
+       |         GROUP BY 1, 2, 3),
+       |codes AS (SELECT neighbor_id, m, aid FROM (
+       |    SELECT neighbor_id, m, aid, row_number() OVER (
+       |      PARTITION BY neighbor_id, m ORDER BY d2, aid) AS rn
+       |    FROM dist) z WHERE rn = 1),
+       |qc AS (SELECT u6.vec_id AS query_id, p.cell, u6.m, u6.j,
+       |              u6.xe6, k6.ke6
+       |       FROM u6 JOIN probed p ON p.query_id = u6.vec_id
+       |       JOIN k6 ON k6.cell = p.cell AND k6.m = u6.m AND k6.j = u6.j),
+       |lut AS (SELECT qc.query_id, qc.cell, qc.m, book.aid,
+       |          CAST(SUM((qc.xe6 - qc.ke6) * book.ce6) AS BIGINT) AS pdot
+       |        FROM qc JOIN book ON book.m = qc.m AND book.j = qc.j
+       |        GROUP BY 1, 2, 3, 4),
+       |off AS (SELECT query_id, cell, CAST(SUM(xe6 * ke6) AS BIGINT) AS cdot
+       |        FROM qc GROUP BY 1, 2),
+       |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id, c.label AS cell
+       |         FROM probed p JOIN nm c ON c.label = p.cell
+       |         WHERE c.vec_id <> p.query_id),
+       |sc AS (SELECT cand.query_id, cand.neighbor_id, cand.cell,
+       |         CAST(SUM(lut.pdot) AS BIGINT) AS rdot
+       |       FROM cand JOIN codes ON codes.neighbor_id = cand.neighbor_id
+       |            JOIN lut ON lut.query_id = cand.query_id
+       |                    AND lut.cell = cand.cell
+       |                    AND lut.m = codes.m AND lut.aid = codes.aid
+       |       GROUP BY 1, 2, 3),
+       |sc2 AS (SELECT sc.query_id, sc.neighbor_id, sc.cell,
+       |          sc.rdot + off.cdot AS adc_dot
+       |        FROM sc JOIN off ON off.query_id = sc.query_id
+       |                        AND off.cell = sc.cell),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY adc_dot DESC, neighbor_id) AS rnk FROM sc2),
+       |eq AS (SELECT * FROM nm WHERE vec_id < 10),
+       |esc AS (SELECT eq.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |          CASE WHEN eq.nrm * c.nrm = 0.0 THEN 0.0
+       |               ELSE ROUND(list_dot_product(eq.emb, c.emb)
+       |                          /(eq.nrm*c.nrm), 4) END AS score
+       |        FROM nm c CROSS JOIN eq WHERE c.vec_id <> eq.vec_id),
+       |erk AS (SELECT query_id, neighbor_id,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY score DESC, neighbor_id) AS rnk
+       |        FROM esc)
+       |SELECT rk.query_id, CAST(rk.rnk AS INT) AS rank, rk.neighbor_id,
+       |       rk.cell, CAST(rk.adc_dot AS BIGINT) AS adc_dot,
+       |       CAST(CASE WHEN erk.neighbor_id IS NULL THEN 0 ELSE 1 END
+       |         AS INT) AS in_exact_topk
+       |FROM rk LEFT JOIN (SELECT * FROM erk WHERE rnk <= 5) erk
+       |  ON rk.query_id = erk.query_id AND rk.neighbor_id = erk.neighbor_id
+       |WHERE rk.rnk <= 5
+       |ORDER BY rk.query_id, rank""".stripMargin
+
   /** q236 multi-round k-means: 4 unrolled Lloyd rounds (generated) in
     * the q227 integer contract — e6 unit components, sign-split
     * floor-mean recentering, exact-integer argmin reassignment; the

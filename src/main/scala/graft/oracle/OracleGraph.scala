@@ -131,6 +131,127 @@ object OracleGraph {
         |       CAST(lb.diameter_lb AS INT)
         |FROM e1 CROSS JOIN e2 CROSS JOIN n2 CROSS JOIN lb
         |ORDER BY sweep""".stripMargin,
+
+    // iFUB diameter certificate: double-sweep lb, midpoint-rooted ub,
+    // two cap-32 fringe probes (multi-source BFS), ub tightened only
+    // when every processed fringe fit under the cap (fringe_capped
+    // reports overflow); certified = ub == lb AND all sweeps complete.
+    "q291_diameter_cert" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT l.l_suppkey * 2 AS u, o.o_custkey * 2 + 1 AS v
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |adj AS (SELECT u AS src, v AS dst FROM pairs
+        |        UNION ALL SELECT v, u FROM pairs),
+        |u0 AS (SELECT MIN(src) AS s FROM adj),
+        |bfs1(node, dist) AS (
+        |  SELECT s, 0 FROM u0
+        |  UNION
+        |  SELECT a.dst, b.dist + 1 FROM bfs1 b JOIN adj a ON a.src = b.node
+        |  WHERE b.dist < 6),
+        |d1 AS (SELECT node, MIN(dist) AS dist FROM bfs1 GROUP BY node),
+        |e1 AS (SELECT node AS far1, dist AS ecc1 FROM d1
+        |       ORDER BY dist DESC, node LIMIT 1),
+        |bfs2(node, dist) AS (
+        |  SELECT far1, 0 FROM e1
+        |  UNION
+        |  SELECT a.dst, b.dist + 1 FROM bfs2 b JOIN adj a ON a.src = b.node
+        |  WHERE b.dist < 6),
+        |d2 AS (SELECT node, MIN(dist) AS dist FROM bfs2 GROUP BY node),
+        |e2 AS (SELECT node AS far2, dist AS ecc2 FROM d2
+        |       ORDER BY dist DESC, node LIMIT 1),
+        |bfs3(node, dist) AS (
+        |  SELECT far2, 0 FROM e2
+        |  UNION
+        |  SELECT a.dst, b.dist + 1 FROM bfs3 b JOIN adj a ON a.src = b.node
+        |  WHERE b.dist < 6),
+        |d3 AS (SELECT node, MIN(dist) AS dist3 FROM bfs3 GROUP BY node),
+        |ec3 AS (SELECT MAX(dist3) AS ecc3 FROM d3),
+        |md AS (SELECT d2.node AS root
+        |       FROM d2 JOIN d3 ON d2.node = d3.node CROSS JOIN e2
+        |       WHERE d2.dist + d3.dist3 = e2.ecc2
+        |         AND abs(d2.dist - d3.dist3) <= 1
+        |       ORDER BY d2.node LIMIT 1),
+        |bfsm(node, dist) AS (
+        |  SELECT root, 0 FROM md
+        |  UNION
+        |  SELECT a.dst, b.dist + 1 FROM bfsm b JOIN adj a ON a.src = b.node
+        |  WHERE b.dist < 6),
+        |dmm AS (SELECT node, MIN(dist) AS dist FROM bfsm GROUP BY node),
+        |em AS (SELECT MAX(dist) AS ecc_root FROM dmm),
+        |f0 AS (SELECT node FROM dmm CROSS JOIN em WHERE dist = ecc_root),
+        |nf0 AS (SELECT COUNT(*) AS n_fringe0 FROM f0),
+        |p0 AS (SELECT node FROM f0 ORDER BY node LIMIT 32),
+        |bp0(seed, node, dist) AS (
+        |  SELECT node, node, 0 FROM p0
+        |  UNION
+        |  SELECT b.seed, a.dst, b.dist + 1
+        |  FROM bp0 b JOIN adj a ON a.src = b.node WHERE b.dist < 6),
+        |pd0 AS (SELECT seed, node, MIN(dist) AS dist FROM bp0
+        |        GROUP BY seed, node),
+        |pm0 AS (SELECT COALESCE(MAX(ecc), 0) AS pmax0 FROM (
+        |          SELECT seed, MAX(dist) AS ecc FROM pd0 GROUP BY seed) z),
+        |f1 AS (SELECT node FROM dmm CROSS JOIN em
+        |       WHERE dist = ecc_root - 1),
+        |nf1 AS (SELECT COUNT(*) AS n_fringe1 FROM f1),
+        |p1 AS (SELECT node FROM f1 ORDER BY node LIMIT 32),
+        |bp1(seed, node, dist) AS (
+        |  SELECT node, node, 0 FROM p1
+        |  UNION
+        |  SELECT b.seed, a.dst, b.dist + 1
+        |  FROM bp1 b JOIN adj a ON a.src = b.node WHERE b.dist < 6),
+        |pd1 AS (SELECT seed, node, MIN(dist) AS dist FROM bp1
+        |        GROUP BY seed, node),
+        |pm1 AS (SELECT COALESCE(MAX(ecc), 0) AS pmax1 FROM (
+        |          SELECT seed, MAX(dist) AS ecc FROM pd1 GROUP BY seed) z),
+        |s0 AS (SELECT root, ecc_root,
+        |         greatest(ecc1, ecc2) AS lb0, ecc_root * 2 AS ub0,
+        |         CASE WHEN ecc1 < 6 AND ecc2 < 6 AND ecc3 < 6
+        |              AND ecc_root < 6 THEN 1 ELSE 0 END AS exact,
+        |         n_fringe0, pmax0, n_fringe1, pmax1
+        |       FROM e1 CROSS JOIN e2 CROSS JOIN ec3 CROSS JOIN em
+        |       CROSS JOIN md CROSS JOIN nf0 CROSS JOIN pm0
+        |       CROSS JOIN nf1 CROSS JOIN pm1),
+        |s1 AS (SELECT *, greatest(lb0, pmax0) AS lb1,
+        |         CASE WHEN n_fringe0 <= 32 THEN 1 ELSE 0 END AS full1
+        |       FROM s0),
+        |s2 AS (SELECT *, CASE WHEN full1 = 1
+        |         THEN least(ub0, greatest(lb1, (ecc_root - 1) * 2))
+        |         ELSE ub0 END AS ub1 FROM s1),
+        |s3 AS (SELECT *, greatest(lb1, pmax1) AS lb2,
+        |         CASE WHEN full1 = 1 AND n_fringe1 <= 32
+        |              AND ecc_root - 1 >= 0 THEN 1 ELSE 0 END AS full2
+        |       FROM s2),
+        |s4 AS (SELECT *, CASE WHEN full2 = 1
+        |         THEN least(ub1, greatest(lb2, (ecc_root - 2) * 2))
+        |         ELSE ub1 END AS ub2 FROM s3)
+        |SELECT CAST(0 AS INT) AS step, CAST(root AS BIGINT) AS root,
+        |       CAST(ecc_root AS INT) AS level,
+        |       CAST(0 AS BIGINT) AS n_fringe, CAST(0 AS BIGINT) AS n_probed,
+        |       CAST(0 AS INT) AS probe_ecc_max,
+        |       CAST(lb0 AS INT) AS lb, CAST(ub0 AS INT) AS ub,
+        |       CAST(0 AS INT) AS fringe_capped, CAST(exact AS INT) AS exact,
+        |       CAST(CASE WHEN ub0 = lb0 THEN exact ELSE 0 END AS INT)
+        |         AS certified
+        |FROM s4
+        |UNION ALL
+        |SELECT CAST(1 AS INT), CAST(root AS BIGINT),
+        |       CAST(ecc_root AS INT),
+        |       CAST(n_fringe0 AS BIGINT),
+        |       CAST(least(n_fringe0, 32) AS BIGINT),
+        |       CAST(pmax0 AS INT), CAST(lb1 AS INT), CAST(ub1 AS INT),
+        |       CAST(1 - full1 AS INT), CAST(exact AS INT),
+        |       CAST(CASE WHEN ub1 = lb1 THEN exact ELSE 0 END AS INT)
+        |FROM s4
+        |UNION ALL
+        |SELECT CAST(2 AS INT), CAST(root AS BIGINT),
+        |       CAST(ecc_root - 1 AS INT),
+        |       CAST(n_fringe1 AS BIGINT),
+        |       CAST(least(n_fringe1, 32) AS BIGINT),
+        |       CAST(pmax1 AS INT), CAST(lb2 AS INT), CAST(ub2 AS INT),
+        |       CAST(1 - full2 AS INT), CAST(exact AS INT),
+        |       CAST(CASE WHEN ub2 = lb2 THEN exact ELSE 0 END AS INT)
+        |FROM s4
+        |ORDER BY step""".stripMargin,
     "q188_graph_hops" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT DISTINCT l.l_suppkey * 2 AS u, o.o_custkey * 2 + 1 AS v

@@ -592,6 +592,7 @@ object OracleSimilarity {
     // scoring to each query's 2 nearest cells; full-corpus exact top-5
     // recall flag.
     "q233_ivf_pq_topk" -> ivfAdcSql,
+    "q292_ivfadc_residual" -> ivfAdcResidualSql,
 
     // Incremental semantic dedup: even-id persisted state, odd-id
     // batch; q221's buckets + 4-dp verified cosine, batch-side probes

@@ -368,4 +368,13 @@ object DedupQueries {
   def spanScrubReport(spark: SparkSession, dir: String): DataFrame =
     TextDedup.crossDocSpanScrub(Tables.documents(spark, dir), "doc_id",
       "text", "source", n = 4, k = 8, threshold = 0.5)
+
+  /** Exact-substring dedup at the 50-token contract (q290):
+    * [[graft.ext.TextDedup.exactSubstringScrub]] — Lee et al. 2022's
+    * ExactSubstr tier over the WHOLE corpus (hash-prefiltered,
+    * literal-span-verified), covered-position union accounting per
+    * source. */
+  def exactSubstringReport(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.exactSubstringScrub(Tables.documents(spark, dir), "doc_id",
+      "text", "source", minLen = 50)
 }

@@ -14,6 +14,51 @@ import graft.model.{Parity, Tables}
 object GraphAnalytics {
   import Parity._
 
+  /** The canonical within-order part co-purchase UNDIRECTED edge list
+    * (q142's construction) — shared by q142/q175/q202/q225.
+    * [[graft.ext.StageCache]]-memoized on the lazy item-projection
+    * plan's semantic hash: before round 13 each of the four queries
+    * re-paid the lineitem distinct + within-order self-join +
+    * canonicalization from the scan in every suite pass. A cache miss
+    * rebuilds everything; Bench's retry invalidation keeps floors
+    * standalone-priced. */
+  private def partPairEdges(spark: SparkSession, dir: String): DataFrame = {
+    val itemsLazy = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))
+      .distinct()
+    val key = graft.ext.StageCache.keyFor(itemsLazy, "copurchase-part")
+    graft.ext.StageCache.getOrStage(key) {
+      val items = itemsLazy.localCheckpoint()
+      val pairs = items.join(items.withColumnRenamed("p", "p2"), Seq("okey"))
+        .filter(col("p") < col("p2"))
+      graft.operators.Graph.undirectedEdges(pairs, "p", "p2")
+        .localCheckpoint()
+    }
+  }
+
+  /** The support-≥`minPairSupport` repeat co-purchase edge list (the
+    * q203 prune) — shared VERBATIM by q223/q229/q257/q263/q272/q274/
+    * q279. Same [[graft.ext.StageCache]] memo discipline as
+    * [[partPairEdges]]; the support threshold rides the cache key so a
+    * non-default prune never collides with the default one. */
+  private def supportEdges(spark: SparkSession, dir: String,
+                           minPairSupport: Long): DataFrame = {
+    val itLazy = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+      .distinct()
+    val key = graft.ext.StageCache.keyFor(itLazy, "copurchase-support",
+      minPairSupport)
+    graft.ext.StageCache.getOrStage(key) {
+      val it = itLazy.localCheckpoint()
+      it.join(it.withColumnRenamed("item", "item2"), Seq("oid"))
+        .filter(col("item") < col("item2"))
+        .groupBy("item", "item2").agg(count(lit(1)).as("s"))
+        .filter(col("s") >= minPairSupport)
+        .select(col("item").as("u"), col("item2").as("v"))
+        .localCheckpoint()
+    }
+  }
+
   /** Co-purchase propagation rank (q116): two integer-exact hops of
     * mass over the customer⋈supplier bipartite graph — each supplier
     * starts with 10⁶ micro-units, splits them equally over its
@@ -127,6 +172,28 @@ object GraphAnalytics {
       graft.operators.Graph.undirectedEdges(pairs, "sn", "cn"), maxHops = 6)
   }
 
+  /** iFUB diameter certificate on the co-purchase graph (q291):
+    * [[graft.operators.Graph.ifubDiameter]] — the q285 double-sweep lb
+    * plus a midpoint-rooted, cap-bounded two-level fringe refinement of
+    * the upper bound; `certified` = 1 iff ub == lb with all sweeps
+    * complete. On this dense bipartite graph the outer fringes overflow
+    * the 32-probe cap (thousands of peripheral customers), so the
+    * honest readout is a RAISED lb + the uncertified ub — the
+    * certificate discharges fully on sparser graphs (the spec's
+    * path/star/barbell fixtures). */
+  def copurchaseDiameterCertified(spark: SparkSession,
+                                  dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("orderkey"), col("l_suppkey").as("s"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("orderkey"), col("o_custkey").as("c")),
+        Seq("orderkey"))
+      .select((col("s") * 2).as("sn"), (col("c") * 2 + 1).as("cn"))
+    graft.operators.Graph.ifubDiameter(
+      graft.operators.Graph.undirectedEdges(pairs, "sn", "cn"),
+      maxHops = 6, cap = 32)
+  }
+
   /** Co-purchase triangle census (q142): parts are connected when some
     * order contains both; the report counts triangles — triples of
     * parts pairwise co-purchased — and the global clustering
@@ -135,13 +202,7 @@ object GraphAnalytics {
     * degree). Pair generation is a within-order self-join: bounded by
     * basket size (TPC-H baskets are ≤ 7 lines), keyed on orderkey. */
   def copurchaseTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))
-      .distinct()
-    val pairs = items.join(items.withColumnRenamed("p", "p2"), Seq("okey"))
-      .filter(col("p") < col("p2"))
-    graft.operators.Graph.triangleReport(
-      graft.operators.Graph.undirectedEdges(pairs, "p", "p2"))
+    graft.operators.Graph.triangleReport(partPairEdges(spark, dir))
   }
 
   /** Sampled co-purchase triangle census (q175): q142's graph through
@@ -152,13 +213,8 @@ object GraphAnalytics {
     * is a fixed number both engines can agree on, not a noisy draw. */
   def copurchaseTrianglesSampled(spark: SparkSession, dir: String,
                                  pPpm: Long = 250000): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))
-      .distinct()
-    val pairs = items.join(items.withColumnRenamed("p", "p2"), Seq("okey"))
-      .filter(col("p") < col("p2"))
     graft.operators.Graph.triangleReportSampled(
-      graft.operators.Graph.undirectedEdges(pairs, "p", "p2"), pPpm)
+      partPairEdges(spark, dir), pPpm)
   }
 
   /** Co-purchase k-core peel trajectory (q202) — the cohesive-core
@@ -177,13 +233,7 @@ object GraphAnalytics {
     * six rounds suffice. */
   def copurchaseKCore(spark: SparkSession, dir: String,
                       rounds: Int = 6): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))
-      .distinct()
-    val pairs = items.join(items.withColumnRenamed("p", "p2"), Seq("okey"))
-      .filter(col("p") < col("p2"))
-    val edges = graft.operators.Graph.undirectedEdges(pairs, "p", "p2")
-      .localCheckpoint()
+    val edges = partPairEdges(spark, dir)
     val stats = edges.select(col("u").as("node")).unionAll(
         edges.select(col("v").as("node"))).distinct()
       .agg(count(lit(1)).as("n"))
@@ -212,12 +262,7 @@ object GraphAnalytics {
     * projection of the part dimension; TakeOrdered head. */
   def brandAffinityPpr(spark: SparkSession, dir: String,
                        brand: String = "Brand#13"): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))
-      .distinct()
-    val pairs = items.join(items.withColumnRenamed("p", "p2"), Seq("okey"))
-      .filter(col("p") < col("p2"))
-    val und = graft.operators.Graph.undirectedEdges(pairs, "p", "p2")
+    val und = partPairEdges(spark, dir)
     val edges = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
     val seeds = Tables.part(spark, dir)
       .filter(col("p_brand") === brand)
@@ -249,14 +294,7 @@ object GraphAnalytics {
   def copurchaseCoreness(spark: SparkSession, dir: String,
                          minPairSupport: Long = 2,
                          rounds: Int = 24): DataFrame = {
-    val it = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
-      .distinct().localCheckpoint()
-    val edges = it.join(it.withColumnRenamed("item", "item2"), Seq("oid"))
-      .filter(col("item") < col("item2"))
-      .groupBy("item", "item2").agg(count(lit(1)).as("s"))
-      .filter(col("s") >= minPairSupport)
-      .select(col("item").as("u"), col("item2").as("v"))
+    val edges = supportEdges(spark, dir, minPairSupport)
     graft.operators.Graph.corenessHIndex(edges, rounds)
       .select(col("node").cast("long").as("part"),
         col("degree").cast("long").as("degree"),
@@ -271,14 +309,7 @@ object GraphAnalytics {
     * never co-bought"), the classic link-prediction baseline. */
   def copurchaseLinkPrediction(spark: SparkSession, dir: String,
                                minPairSupport: Long = 2): DataFrame = {
-    val it = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
-      .distinct().localCheckpoint()
-    val edges = it.join(it.withColumnRenamed("item", "item2"), Seq("oid"))
-      .filter(col("item") < col("item2"))
-      .groupBy("item", "item2").agg(count(lit(1)).as("s"))
-      .filter(col("s") >= minPairSupport)
-      .select(col("item").as("u"), col("item2").as("v"))
+    val edges = supportEdges(spark, dir, minPairSupport)
     graft.operators.Graph.adamicAdar(edges, k = 25)
   }
 
@@ -371,14 +402,7 @@ object GraphAnalytics {
     * mixing readout beside the census (q142) and coreness (q223). */
   def copurchaseAssortativity(spark: SparkSession, dir: String,
                               minPairSupport: Long = 2): DataFrame = {
-    val it = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
-      .distinct().localCheckpoint()
-    val edges = it.join(it.withColumnRenamed("item", "item2"), Seq("oid"))
-      .filter(col("item") < col("item2"))
-      .groupBy("item", "item2").agg(count(lit(1)).as("s"))
-      .filter(col("s") >= minPairSupport)
-      .select(col("item").as("u"), col("item2").as("v"))
+    val edges = supportEdges(spark, dir, minPairSupport)
     graft.operators.Graph.degreeAssortativity(edges)
   }
 
@@ -390,14 +414,7 @@ object GraphAnalytics {
     * assortativity) was missing. */
   def copurchaseCommunities(spark: SparkSession, dir: String,
                             minPairSupport: Long = 2): DataFrame = {
-    val it = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
-      .distinct().localCheckpoint()
-    val edges = it.join(it.withColumnRenamed("item", "item2"), Seq("oid"))
-      .filter(col("item") < col("item2"))
-      .groupBy("item", "item2").agg(count(lit(1)).as("s"))
-      .filter(col("s") >= minPairSupport)
-      .select(col("item").as("u"), col("item2").as("v"))
+    val edges = supportEdges(spark, dir, minPairSupport)
     graft.operators.Graph.lpaCommunities(edges)
   }
 
@@ -408,14 +425,7 @@ object GraphAnalytics {
     * (shared loop, spec-pinned). */
   def copurchaseConductance(spark: SparkSession, dir: String,
                             minPairSupport: Long = 2): DataFrame = {
-    val it = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
-      .distinct().localCheckpoint()
-    val edges = it.join(it.withColumnRenamed("item", "item2"), Seq("oid"))
-      .filter(col("item") < col("item2"))
-      .groupBy("item", "item2").agg(count(lit(1)).as("s"))
-      .filter(col("s") >= minPairSupport)
-      .select(col("item").as("u"), col("item2").as("v"))
+    val edges = supportEdges(spark, dir, minPairSupport)
     graft.operators.Graph.lpaConductance(edges)
   }
 
@@ -427,14 +437,7 @@ object GraphAnalytics {
     * coreness (cohesion) and LPA (community). */
   def copurchaseBetweenness(spark: SparkSession, dir: String,
                             minPairSupport: Long = 2): DataFrame = {
-    val it = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
-      .distinct().localCheckpoint()
-    val edges = it.join(it.withColumnRenamed("item", "item2"), Seq("oid"))
-      .filter(col("item") < col("item2"))
-      .groupBy("item", "item2").agg(count(lit(1)).as("s"))
-      .filter(col("s") >= minPairSupport)
-      .select(col("item").as("u"), col("item2").as("v"))
+    val edges = supportEdges(spark, dir, minPairSupport)
     graft.operators.Graph.sampledBetweenness(edges)
   }
 
@@ -449,14 +452,7 @@ object GraphAnalytics {
     * count; exact floor-ppm coefficients. */
   def copurchaseLcc(spark: SparkSession, dir: String,
                     minPairSupport: Long = 2): DataFrame = {
-    val it = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
-      .distinct().localCheckpoint()
-    val edges = it.join(it.withColumnRenamed("item", "item2"), Seq("oid"))
-      .filter(col("item") < col("item2"))
-      .groupBy("item", "item2").agg(count(lit(1)).as("s"))
-      .filter(col("s") >= minPairSupport)
-      .select(col("item").as("u"), col("item2").as("v"))
+    val edges = supportEdges(spark, dir, minPairSupport)
     graft.operators.Graph.localClustering(edges)
       .select(col("node").cast("long").as("part"), col("degree"),
         col("n_triangles"), col("lcc_ppm"))

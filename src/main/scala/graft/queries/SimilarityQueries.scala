@@ -152,6 +152,17 @@ object SimilarityQueries {
       "embedding", "label", k = 5, nprobe = 2)
   }
 
+  /** IVFADC with residual encoding (q292): the published Jégou et al.
+    * form — PQ codes quantize x − c(cell) against the coarse centroid
+    * ([[graft.ext.Similarity.ivfAdcResidualTopK]]); same probe and
+    * candidate sets as q233, so the recall delta isolates residual vs
+    * raw coding. */
+  def ivfAdcResidualRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfAdcResidualTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", "label", k = 5, nprobe = 2)
+  }
+
   /** SEMI-SUPERVISED label spreading over the embedding near-dup graph
     * (q239, the Zhu–Ghahramani archetype made fixed-round): 20% of the
     * corpus (vec_id % 5 = 0) arrives LABELED (the persisted

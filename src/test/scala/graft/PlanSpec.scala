@@ -552,6 +552,19 @@ class PlanSpec extends SparkSpec {
     assert(bnlj <= 2, s"more nested-loop joins than the two bounded crosses:\n$p")
   }
 
+  test("residual IVFADC (q292): celled candidates, broadcast LUT/offset, " +
+      "no cartesian") {
+    // Same contract as q233 plus the two NEW bounded broadcast sides
+    // (the per-(query, cell) residual LUT and the offset term) — still
+    // equi joins on integer keys, still at most the two contract-bounded
+    // nested-loop crosses (probe + exact-flag query side).
+    val p = plan(
+      graft.queries.SimilarityQueries.ivfAdcResidualRetrieval(spark, sf001))
+    assert(!p.contains("CartesianProduct"), s"cartesian in q292:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"more nested-loop joins than the two bounded crosses:\n$p")
+  }
+
   test("BPE merge rounds: every window keyed by the word, no cartesian") {
     val p = plan(graft.queries.TextQueries.bpeEncode(spark, sf001))
     assert(!p.contains("CartesianProduct"), s"cartesian in BPE:\n$p")

@@ -458,6 +458,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"IVFADC recall collapsed: $recall")
   }
 
+  test("q292 residual IVFADC: ranks valid, cell-bounded, recall >= q233, " +
+      "exact offset term") {
+    val res = graft.queries.SimilarityQueries
+      .ivfAdcResidualRetrieval(spark, sf001).collect()
+    assert(res.length === 50)
+    res.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to 5))
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Long]("adc_dot"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+      assert(rows.map(_.getAs[Any]("cell")).distinct.length <= 2,
+        s"query $q hit more cells than nprobe")
+    }
+    // The verdict bar: residual coding must not LOSE recall vs raw-PQ
+    // IVFADC at the same probe budget (on this near-uniform synthetic
+    // set it ties — 16/50 at sf0.01, 13/50 at sf0.1 — while swapping
+    // ~11/50 winners; on clustered real embeddings residuals win).
+    val ivf = graft.queries.SimilarityQueries.ivfAdcRetrieval(spark, sf001)
+      .collect()
+    val r292 = res.map(_.getAs[Int]("in_exact_topk")).sum
+    val r233 = ivf.map(_.getAs[Int]("in_exact_topk")).sum
+    assert(r292 >= r233, s"residual IVFADC recall $r292 below q233's $r233")
+    // Decomposition sanity on a degenerate one-cell corpus: with a
+    // single cell holding ONE distinct vector, every residual is the
+    // zero vector, every residual codeword is 0, and the ADC score
+    // collapses to the exact offset q·c — which for unit vectors coded
+    // e6 with c = x is ~1e12 for every candidate.
+    val one = (0L until 70L).map(i => (i, Array.tabulate(64)(d =>
+      if (d == 0) 1f else 0f), 7)).toDF("vec_id", "embedding", "label")
+    val deg = graft.ext.Similarity.ivfAdcResidualTopK(one,
+      one.filter(col("vec_id") < 2), "vec_id", "embedding", "label",
+      k = 3, nprobe = 1).collect()
+    assert(deg.nonEmpty)
+    deg.foreach(r => assert(r.getAs[Long]("adc_dot") === 1000000L * 1000000L,
+      s"degenerate offset-only score drifted: $r"))
+  }
+
   test("kmeansRounds: two separated blobs converge to the blob partition") {
     // Blob A points dominantly on axis 0, blob B on axis 1 (orthogonal);
     // seed labels deliberately WRONG for a minority of each blob. Lloyd

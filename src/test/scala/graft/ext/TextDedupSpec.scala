@@ -416,4 +416,45 @@ class TextDedupSpec extends SparkSpec {
     // The exact-dup docs are fully covered: the scrub sees the whole doc.
     assert(removed(0L) == toks(0L).length.toLong)
   }
+
+  test("exactSubstringScrub: covered-position union at the minLen contract") {
+    // Planted structure at minLen = 5 (the operator's 50 shrunk so short
+    // fixtures exercise every branch; the contract is length-generic):
+    //  - docs 0/1 share the 6-token run "a b c d e f" → two duplicated
+    //    5-grams; union covers positions 0..5 in doc 0 and 2..7 in doc 1
+    //    (6 tokens each, OVERLAPPING gram spans must not double-count).
+    //  - doc 2 is unique → zero removed.
+    //  - doc 3 repeats its own leading 5-gram at position 5 → WITHIN-doc
+    //    duplication counts (Lee et al. dedup both): all 10 positions.
+    val docs = Seq(
+      (0L, "a b c d e f g h i j", "sa"),
+      (1L, "x y a b c d e f q r", "sa"),
+      (2L, "u v w t y z k l", "sb"),
+      (3L, "m n o p q m n o p q", "sb")
+    ).toDF("doc_id", "text", "source")
+    val out = TextDedup
+      .exactSubstringScrub(docs, "doc_id", "text", "source", minLen = 5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // sa: 2 docs, both affected, 20 tokens, 6+6 covered → 8 survive.
+    assert(out("sa") === ((2L, 2L, 20L, 8L, 600000L)))
+    // sb: 2 docs, only doc 3 affected (all 10 positions), 18 before.
+    assert(out("sb") === ((2L, 1L, 18L, 8L, (10L * 1000000L) / 18L)))
+  }
+
+  test("exactSubstringScrub: docs shorter than minLen are never covered") {
+    // Every doc is under the 50-token contract length → the position
+    // stream is empty and nothing can be marked, even exact duplicates.
+    val docs = Seq(
+      (0L, base, "s"), (1L, base, "s"), (2L, unrelated, "s")
+    ).toDF("doc_id", "text", "source")
+    val r = TextDedup
+      .exactSubstringScrub(docs, "doc_id", "text", "source", minLen = 50)
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(2) == 0L)                    // n_affected
+    assert(r.head.getLong(3) == r.head.getLong(4))     // before == after
+    assert(r.head.getLong(5) == 0L)                    // removed_ppm
+  }
 }

@@ -485,4 +485,73 @@ class GraphSpec extends SparkSpec {
       "second sweep eccentricity below the first — double sweep broken")
     assert(out(1)._2 > 1L, "sweep 1 reached nothing")
   }
+
+  test("q291 iFUB certificate: certifies path/star exactly, ub >= lb " +
+      "always, honest capping at sf0.001") {
+    // Output columns: step root level n_fringe n_probed probe_ecc_max
+    //                 lb ub fringe_capped exact certified
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getInt(5),
+          r.getInt(6), r.getInt(7), r.getInt(8), r.getInt(9),
+          r.getInt(10))).toMap
+    def invariants(m: Map[Int, (Long, Int, Long, Long, Int, Int, Int, Int,
+        Int, Int)]): Unit = {
+      assert(m.keySet === Set(0, 1, 2))
+      m.values.foreach { v =>
+        assert(v._7 >= v._6, s"ub ${v._7} < lb ${v._6}")
+        assert(v._4 <= v._3, "probed more nodes than the fringe holds")
+      }
+      // lb monotone non-decreasing, ub monotone non-increasing by step
+      assert(m(1)._6 >= m(0)._6 && m(2)._6 >= m(1)._6, "lb not monotone")
+      assert(m(1)._7 <= m(0)._7 && m(2)._7 <= m(1)._7, "ub not monotone")
+      // certified only with exact sweeps and a closed gap
+      m.values.foreach(v =>
+        assert(v._10 == (if (v._7 == v._6 && v._9 == 1) 1 else 0)))
+    }
+    // path 1-2-3-4-5: far1 = 5, far2 = 1, midpoint root = 3, ecc_root = 2
+    // → ub0 = 4 = lb0: certified at step 0, and the fringe probes (the
+    // path ends {1,5}) keep it certified with fringes far under the cap.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val p = rows(graft.operators.Graph.ifubDiameter(path, maxHops = 6))
+    invariants(p)
+    assert(p(0)._1 == 3L, "midpoint of the 1..5 path must be 3")
+    assert(p(0)._6 == 4 && p(0)._7 == 4 && p(0)._10 == 1)
+    assert(p(2)._6 == 4 && p(2)._7 == 4 && p(2)._10 == 1)
+    assert(p.values.forall(_._8 == 0), "no fringe overflows cap=32 here")
+    // star centered at 10: root = the hub, ecc_root = 1, ub0 = 2 = lb0.
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L)).toDF("u", "v")
+    val s = rows(graft.operators.Graph.ifubDiameter(star, maxHops = 6))
+    invariants(s)
+    assert(s(0)._1 == 10L && s(0)._6 == 2 && s(0)._7 == 2 && s(0)._10 == 1)
+    // a 6-cycle: true diameter 3; root is any node, ecc_root = 3,
+    // ub0 = 6 > lb0 = 3 — certification must come from the REFINEMENT:
+    // full fringe probes pull ub down to max(lb, 2(ecc_root-2)) ... = 3?
+    // iFUB on C6: fringe at level 3 (the antipode), probe ecc 3 →
+    // ub1 = min(6, max(3, 4)) = 4; level-2 fringe (two nodes) probe 3 →
+    // ub2 = min(4, max(3, 2)) = 3 = lb: certified exactly at step 2.
+    val c6 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L))
+      .toDF("u", "v")
+    val c = rows(graft.operators.Graph.ifubDiameter(c6, maxHops = 6))
+    invariants(c)
+    assert(c(0)._6 == 3 && c(0)._7 == 6 && c(0)._10 == 0)
+    assert(c(2)._6 == 3 && c(2)._7 == 3 && c(2)._10 == 1,
+      "C6 must certify via the two fringe refinements, not the sweep")
+    // a cap smaller than the fringe: ub must NOT tighten, flag must raise
+    val starBig = (1L to 40L).map(i => (0L, i)).toDF("u", "v")
+    val sb = rows(graft.operators.Graph.ifubDiameter(starBig, maxHops = 6,
+      cap = 8))
+    invariants(sb)
+    assert(sb(1)._3 == 40L && sb(1)._4 == 8L && sb(1)._8 == 1,
+      "40-leaf fringe over cap=8 must report fringe_capped=1")
+    assert(sb(1)._7 == sb(0)._7, "capped probe must not tighten ub")
+    // the registered co-purchase graph at sf0.001: invariants + the q285
+    // double-sweep lb is never above this certificate's lb
+    val out = rows(
+      graft.queries.GraphAnalytics.copurchaseDiameterCertified(spark, sf001))
+    invariants(out)
+    val q285lb = graft.queries.GraphAnalytics.copurchaseDiameter(spark, sf001)
+      .agg(org.apache.spark.sql.functions.max("diameter_lb")).head.getInt(0)
+    assert(out(2)._6 >= q285lb, "certificate lb regressed below q285's lb")
+  }
 }
