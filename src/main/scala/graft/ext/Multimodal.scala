@@ -827,6 +827,65 @@ object Multimodal {
     }).toDF("doc_id", "n_frames", "n_pixels", "sum_px", "max_px")
   }
 
+  /** Perceptual AVERAGE-HASH (aHash) of the first decoded frame — the
+    * classic content-addressable image fingerprint (block-mean
+    * thresholding, the simplest of the pHash family): LZW-expand the
+    * GIF ([[decodeGifPixels]]), block-average frame 0 into a
+    * `grid`×`grid` mosaic, and set bit (by·grid+bx) when that block's
+    * mean EXCEEDS the frame mean. Two images whose fingerprints differ
+    * in ≤1 bit are near-duplicates under brightness-preserving edits —
+    * the image-dedup tier next to the text tiers (MinHash/SimHash).
+    *
+    * Exactness: the threshold is the integer cross-multiply
+    * `block_sum·n_px > frame_sum·block_n` — no division, no floats —
+    * so the hash is bit-reproducible and the oracle recomputes it from
+    * the payload-generation arithmetic, value-checking the REAL
+    * container walk + LZW decode underneath. Blocks can be empty when
+    * the frame is narrower than the grid (w or h < grid); empty blocks
+    * contribute no bit and `n_blocks` reports the live count.
+    *
+    * Scale: per-partition flatMap (decode is row-local, no shuffle);
+    * the 16-bit fingerprint is 8 bytes per image — the downstream
+    * banded self-join (see the q295 wrapper) is the SimHash
+    * prefix-table shape, never all-pairs. */
+  def gifAHash(blobs: Dataset[MediaBlob], grid: Int = 4): DataFrame = {
+    require(grid >= 2 && grid * grid <= 63, s"grid out of [2,7]: $grid")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.filter(_.media_type == "video").mapPartitions(_.flatMap { b =>
+      for {
+        (w, h, _) <- decodeGif(b.payload)
+        frames <- decodeGifPixels(b.payload)
+        f0 <- frames.headOption
+      } yield {
+        val n = w * h
+        val gSum = new Array[Long](grid * grid)
+        val gCnt = new Array[Long](grid * grid)
+        var idx = 0
+        while (idx < n) {
+          val bi = (grid * (idx / w) / h) * grid + (grid * (idx % w) / w)
+          gSum(bi) += (f0(idx) & 0xff)
+          gCnt(bi) += 1
+          idx += 1
+        }
+        var tot = 0L
+        var k = 0
+        while (k < grid * grid) { tot += gSum(k); k += 1 }
+        var hash = 0L
+        var nb = 0
+        k = 0
+        while (k < grid * grid) {
+          if (gCnt(k) > 0) {
+            nb += 1
+            if (gSum(k) * n > tot * gCnt(k)) hash |= (1L << k)
+          }
+          k += 1
+        }
+        (b.doc_id, hash, nb)
+      }
+    }).toDF("doc_id", "ahash", "n_blocks")
+  }
+
   /** Decoded-PIXEL histogram for video rows: the [[byteHistogram]]
     * treatment applied to the LZW-expanded palette indices (0..127)
     * instead of the raw container bytes — a real content feature for

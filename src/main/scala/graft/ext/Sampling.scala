@@ -379,4 +379,36 @@ object Sampling {
     df.withColumn("shard", shardOf(col(keyCol), nShards))
       .withColumn("pos", row_number().over(w).cast("long"))
   }
+
+  /** WEIGHTED reservoir sampling, Efraimidis–Spirakis A-Res (IPL 2006):
+    * draw a k-sample WITHOUT replacement where each row's inclusion
+    * probability is proportional to its weight — the importance-
+    * weighted cousin of [[deterministicSample]] (sample by quality or
+    * length instead of uniformly). Each row gets priority u^(1/w) for
+    * a uniform u; the k largest priorities ARE an exact weighted
+    * sample (the paper's one-pass reservoir reduces to a distributed
+    * top-k, which is precisely what Spark's TakeOrderedAndProject
+    * computes: per-partition heaps of k, merged on the driver —
+    * O(k·partitions) driver state, no shuffle, no sort of the corpus).
+    *
+    * Determinism contract: u is the affine-mod hash of the key mapped
+    * into (0, 1] — no RNG, append-stable like every sampler here — and
+    * the rank key is ln(u)/w (monotone in u^(1/w)), computed as ONE
+    * ln() per row quantized to integer micro-nats (the q181 posture)
+    * and divided by the exact integer weight: both engines rank
+    * identical doubles, ties broken by key. `u = 1` (priority 0, the
+    * best possible) is reachable and fine — ln is never fed 0. */
+  def weightedReservoir(df: DataFrame, keyCol: String, weight: Column,
+                        k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = ((col(keyCol).cast("long") % lit(TextOps.HashP)) * lit(48271L)
+      + lit(11L)) % lit(TextOps.HashP)
+    val lnuE6 = round(log((h + 1).cast("double") /
+      lit((TextOps.HashP + 1).toDouble)) * 1e6, 0).cast("long")
+    df.withColumn("weight", weight)
+      .withColumn("lnu_e6", lnuE6)
+      .withColumn("priority", col("lnu_e6").cast("double") / col("weight"))
+      .orderBy(col("priority").desc, col(keyCol))
+      .limit(k)
+  }
 }

@@ -778,6 +778,90 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Word-bigram LM scoring with INTERPOLATED KNESER–NEY smoothing
+    * (q293) — the smoothing KenLM actually ships (Kneser–Ney 1995,
+    * absolute discount D with a continuation-probability backoff),
+    * completing the LM-quality ladder next to add-one (q181) and
+    * Jelinek–Mercer (q283):
+    *
+    *   P(w₂|w₁) = (c(w₁w₂) − D)/c(w₁·) + D·N₁₊(w₁·)/c(w₁·) · P_cont(w₂)
+    *   P_cont(w₂) = N₁₊(·w₂) / |bigram types|
+    *
+    * The continuation term scores a word by how many DISTINCT contexts
+    * it follows, not how often it occurs — the insight that makes KN
+    * beat frequency backoff on "San Francisco"-type collocations (the
+    * raw unigram model overrates "Francisco", which occurs often but
+    * after only one context). The bigram table is PRUNED at
+    * `countFloor` (mirroring q283): a pruned bigram scores on the pure
+    * continuation backoff λ(w₁)·P_cont(w₂) — exactly how a pruned KN
+    * model backs off — and `n_backoff` counts the doc's bigram tokens
+    * that fell through, so pruning is measured, never silent. With
+    * countFloor ≥ 1 + D the discounted numerator is strictly positive,
+    * so the max(·,0) clamp of the general form is unreachable and
+    * omitted on both engines.
+    *
+    * Parity: the q181/q283 contract verbatim — ONE transcendental per
+    * DISTINCT observed bigram type, quantized to integer micro-nats
+    * over identical rational doubles (same literal order on both
+    * engines: (cb−0.75)/c1 + 0.75·n1p/c1·(n1pr/bt)); every per-doc
+    * aggregate after quantization is exact integer arithmetic,
+    * order-independent across shuffles. Self-scoring means every doc
+    * bigram is an observed type, so the model join is total.
+    *
+    * Scale: per-doc bigram counts partial-aggregate map-side; the
+    * model is one rollup chain OF the observed-bigram-type table (left
+    * marginal + distinct-continuation counts are the SAME groupBy; the
+    * continuation table is vocab-sized; the type total is one scalar) —
+    * never a second corpus pass — and broadcasts to the scoring join. */
+  def kneserNeyBigramScore(docs: DataFrame, idCol: String, textCol: String,
+                           countFloor: Int = 2,
+                           discount: Double = 0.75): DataFrame = {
+    require(countFloor >= 1 + discount,
+      s"countFloor $countFloor must exceed 1 + discount $discount")
+    val dcb = fanOut(docs)
+      .select(col(idCol).as("doc_id"),
+        explode_outer(wordShingles(tokens(normText(col(textCol))), 2))
+          .as("bg"))
+      .groupBy("doc_id", "bg").agg(count(col("bg")).as("c"))
+      .localCheckpoint() // model AND scoring read it
+    val cball = dcb.filter(col("bg").isNotNull)
+      .groupBy("bg").agg(sum("c").as("cb"))
+      .localCheckpoint() // read by both marginals, the type total, the model
+    // ONE left-marginal groupBy carries both c(w1·) and N1+(w1·) — the
+    // continuation-weight inputs ride the rollup the plain marginal
+    // already needed.
+    val c1 = cball.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("cb").as("c1"), count(lit(1)).as("n1p"))
+    val pc = cball.groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("n1pr"))
+    val bt = cball.agg(count(lit(1)).as("bt"))
+    val lp = cball
+      .join(c1, substring_index(col("bg"), " ", 1) === col("w1"))
+      .join(pc, substring_index(col("bg"), " ", -1) === col("w2"))
+      .crossJoin(broadcast(bt))
+      .select(col("bg"),
+        (col("cb") >= countFloor).cast("int").as("retained"),
+        round(-log(
+          when(col("cb") >= countFloor,
+            (col("cb") - lit(discount)) / col("c1") +
+              lit(discount) * col("n1p") / col("c1") *
+                (col("n1pr").cast("double") / col("bt")))
+            .otherwise(lit(discount) * col("n1p") / col("c1") *
+              (col("n1pr").cast("double") / col("bt")))) * 1e6, 0)
+          .cast("long").as("lp"))
+    dcb.join(broadcast(lp), Seq("bg"), "left")
+      .groupBy("doc_id")
+      .agg(coalesce(sum(when(col("bg").isNotNull, col("c"))), lit(0L))
+          .as("n_bigrams"),
+        coalesce(sum(when(col("retained") === 0, col("c"))
+          .otherwise(lit(0L))), lit(0L)).as("n_backoff"),
+        coalesce(sum(col("c") * col("lp")), lit(0L)).as("sl"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_backoff"),
+        when(col("n_bigrams") === 0, 0L)
+          .otherwise(expr("sl div n_bigrams")).as("nll_micro"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document character-entropy report: Shannon entropy of the
     * normalized text's character distribution in integer micro-nats —
     * the classic "is this text or noise/boilerplate" signal (all-same

@@ -692,5 +692,81 @@ object OracleCuration {
          |       CAST(MAX(src_cap) AS BIGINT) AS src_cap_tokens
          |FROM kp GROUP BY source, kept
          |ORDER BY source, kept""".stripMargin,
+    // Efraimidis-Spirakis weighted reservoir: hash-uniform u in (0,1],
+    // ONE ln() per row quantized to integer micro-nats, priority =
+    // lnu_e6 / weight as identical doubles on both engines, top-100 by
+    // (priority DESC, doc_id).
+    "q296_weighted_reservoir" ->
+      """WITH w AS (SELECT doc_id, source,
+        |             GREATEST(CAST(n_chars AS BIGINT), 1) AS weight,
+        |             (doc_id % 2147483647) * 48271 + 11 AS hraw
+        |           FROM documents),
+        |p AS (SELECT doc_id, source, weight,
+        |        CAST(ROUND(ln(CAST(hraw % 2147483647 + 1 AS DOUBLE)
+        |          / 2147483648.0) * 1000000, 0) AS BIGINT) AS lnu_e6
+        |      FROM w),
+        |r AS (SELECT doc_id, source, weight, lnu_e6,
+        |        CAST(lnu_e6 AS DOUBLE) / weight AS priority,
+        |        row_number() OVER (
+        |          ORDER BY CAST(lnu_e6 AS DOUBLE) / weight DESC, doc_id)
+        |          AS rnk
+        |      FROM p)
+        |SELECT CAST(rnk AS INT) AS rank, doc_id, source, weight,
+        |       CAST(ROUND(CAST(lnu_e6 AS DOUBLE) / weight * 1000, 0)
+        |         AS BIGINT) AS prio_milli
+        |FROM r WHERE rnk <= 100
+        |ORDER BY rank""".stripMargin,
+    // Leave-one-source-out OLS valuation: exact integer sufficient
+    // statistics, ablation by subtraction, HUGEINT cross-products, one
+    // double division per coefficient quantized micro/ppm; the __all__
+    // row is the un-ablated fit (delta 0).
+    "q297_source_ablation" ->
+      """WITH n2 AS (SELECT source,
+        |              lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |            FROM documents),
+        |xy AS (SELECT source,
+        |         CAST(len(string_split(t, ' ')) AS BIGINT) AS x,
+        |         CAST(len(list_distinct(string_split(t, ' '))) AS BIGINT) AS y
+        |       FROM n2),
+        |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |          CAST(SUM(x*x) AS BIGINT) AS sxx,
+        |          CAST(SUM(x*y) AS BIGINT) AS sxy,
+        |          CAST(SUM(y*y) AS BIGINT) AS syy
+        |        FROM xy GROUP BY source),
+        |g AS (SELECT CAST(SUM(n) AS BIGINT) AS gn,
+        |        CAST(SUM(sx) AS BIGINT) AS gsx, CAST(SUM(sy) AS BIGINT) AS gsy,
+        |        CAST(SUM(sxx) AS BIGINT) AS gsxx,
+        |        CAST(SUM(sxy) AS BIGINT) AS gsxy,
+        |        CAST(SUM(syy) AS BIGINT) AS gsyy FROM per),
+        |rws AS (SELECT source, gn - n AS n, gsx - sx AS sx, gsy - sy AS sy,
+        |          gsxx - sxx AS sxx, gsxy - sxy AS sxy, gsyy - syy AS syy
+        |        FROM per CROSS JOIN g
+        |        UNION ALL
+        |        SELECT '__all__', gn, gsx, gsy, gsxx, gsxy, gsyy FROM g),
+        |m AS (SELECT source, n,
+        |        CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS num,
+        |        CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS den,
+        |        CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy AS sst,
+        |        CAST(sy AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sxy AS numa
+        |      FROM rws),
+        |met AS (SELECT source, n,
+        |    CASE WHEN den = 0 THEN 0
+        |      ELSE CAST(ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+        |        * 1000000, 0) AS BIGINT) END AS beta_micro,
+        |    CASE WHEN den = 0 THEN 0
+        |      ELSE CAST(ROUND(CAST(numa AS DOUBLE) / CAST(den AS DOUBLE)
+        |        * 1000000, 0) AS BIGINT) END AS alpha_micro,
+        |    CASE WHEN den = 0 OR sst = 0 THEN 0
+        |      ELSE CAST(ROUND(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+        |        / (CAST(den AS DOUBLE) * CAST(sst AS DOUBLE)) * 1000000, 0)
+        |        AS BIGINT) END AS r2_ppm
+        |  FROM m),
+        |gb AS (SELECT beta_micro AS gbeta FROM met WHERE source = '__all__')
+        |SELECT source, CAST(n AS BIGINT) AS n_docs_wo, beta_micro,
+        |       alpha_micro, beta_micro - gb.gbeta AS delta_beta_micro,
+        |       r2_ppm
+        |FROM met CROSS JOIN gb
+        |ORDER BY source""".stripMargin,
   )
 }

@@ -8,7 +8,83 @@ import graft.oracle.OracleDialect._
   * domain maps, and QueriesSpec pins key-set equality (both directions) with the
   * query registry. */
 object OracleGraph {
+  /** One ALS ridge half-step (q294, generated): solve `out`'s factors
+    * for key `solveKey` from the fixed side `fixedRel` keyed by
+    * `fixedKey`. Exact-integer sufficient statistics (milli-unit
+    * products), closed-form 2×2 solve in doubles with the IDENTICAL
+    * operand order as graft.ext.Factorization.halfStep, re-quantized
+    * to milli-units and clamped to ±100000. */
+  private def alsHalfStep(out: String, solveKey: String, fixedRel: String,
+                          fixedKey: String): String = {
+    def solve(num: String): String =
+      s"""GREATEST(-100000, LEAST(100000, CAST(ROUND(($num)
+         | / ((CAST(a11 AS DOUBLE)/1000000.0 + 0.1)
+         |      * (CAST(a22 AS DOUBLE)/1000000.0 + 0.1)
+         |    - (CAST(a12 AS DOUBLE)/1000000.0)
+         |      * (CAST(a12 AS DOUBLE)/1000000.0))
+         | * 1000, 0) AS BIGINT)))""".stripMargin
+    s"""st_$out AS (SELECT rt.$solveKey AS k,
+       |    CAST(SUM(f.f1*f.f1) AS BIGINT) AS a11,
+       |    CAST(SUM(f.f1*f.f2) AS BIGINT) AS a12,
+       |    CAST(SUM(f.f2*f.f2) AS BIGINT) AS a22,
+       |    CAST(SUM(f.f1*rt.r) AS BIGINT) AS b1,
+       |    CAST(SUM(f.f2*rt.r) AS BIGINT) AS b2
+       |  FROM rt JOIN $fixedRel f ON rt.$fixedKey = f.$fixedKey
+       |  GROUP BY 1),
+       |$out AS (SELECT k AS $solveKey,
+       |  ${solve(
+            """(CAST(a22 AS DOUBLE)/1000000.0 + 0.1)
+              |      * (CAST(b1 AS DOUBLE)/1000.0)
+              |    - (CAST(a12 AS DOUBLE)/1000000.0)
+              |      * (CAST(b2 AS DOUBLE)/1000.0)""".stripMargin)} AS f1,
+       |  ${solve(
+            """(CAST(a11 AS DOUBLE)/1000000.0 + 0.1)
+              |      * (CAST(b2 AS DOUBLE)/1000.0)
+              |    - (CAST(a12 AS DOUBLE)/1000000.0)
+              |      * (CAST(b1 AS DOUBLE)/1000.0)""".stripMargin)} AS f2
+       |  FROM st_$out)""".stripMargin
+  }
+
+  /** q294 per-round training-fit eval (generated): exact micro-unit
+    * residuals, squared in HUGEINT, one shared sqrt. */
+  private def alsEval(rnd: Int, x: String, y: String): String =
+    s"""ev$rnd AS (SELECT c.c_mktsegment AS segment,
+       |    x.f1*y.f1 + x.f2*y.f2 - rt.r*1000000 AS d
+       |  FROM rt JOIN $x x ON rt.u = x.u JOIN $y y ON rt.i = y.i
+       |       JOIN customer c ON rt.u = c.c_custkey),
+       |r$rnd AS (SELECT CAST($rnd AS INT) AS als_round, segment,
+       |    CAST(COUNT(*) AS BIGINT) AS n_ratings,
+       |    CAST(ROUND(SQRT(CAST(SUM(CAST(d AS HUGEINT)*d) AS DOUBLE)
+       |      / COUNT(*)), 0) AS BIGINT) AS rmse_micro
+       |  FROM ev$rnd GROUP BY segment)""".stripMargin
+
+  /** Rank-2 ALS, 2 unrolled alternating rounds — mirrors
+    * graft.ext.Factorization.alsRank2Report exactly: deterministic
+    * affine-mod item init in [1000, 2000) milli-units, per-entity
+    * integer normal equations, closed-form ridge solve re-quantized
+    * and clamped each half-step, per-(round, segment) RMSE. */
+  private lazy val alsSql: String =
+    s"""WITH rt AS (SELECT o_custkey AS u, l_partkey AS i,
+       |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
+       |       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |       GROUP BY 1, 2),
+       |y0 AS (SELECT i,
+       |         1000 + i % 2147483647 * 1000003 % 2147483647 % 1000 AS f1,
+       |         1000 + i % 2147483647 * 2654435761 % 2147483647 % 1000 AS f2
+       |       FROM (SELECT DISTINCT i FROM rt) z),
+       |${alsHalfStep("x1t", "u", "y0", "i")},
+       |${alsHalfStep("y1t", "i", "x1t", "u")},
+       |${alsEval(1, "x1t", "y1t")},
+       |${alsHalfStep("x2t", "u", "y1t", "i")},
+       |${alsHalfStep("y2t", "i", "x2t", "u")},
+       |${alsEval(2, "x2t", "y2t")}
+       |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+       |ORDER BY als_round, segment""".stripMargin
+
   private[graft] val sql: Map[String, String] = Map(
+    // Rank-2 ALS training report: 2 unrolled alternating rounds in the
+    // exact milli-unit factor contract (generated — see alsSql).
+    "q294_als_rank2" -> alsSql,
     // 2-iteration integer PageRank over the undirected customer–supplier
     // graph; per-edge floor division exactly as the Spark operator.
     "q140_copurchase_pagerank" ->

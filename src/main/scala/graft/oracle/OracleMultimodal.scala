@@ -232,5 +232,53 @@ object OracleMultimodal {
          |SELECT query_id, neighbor_id, score, CAST(rnk AS INT) AS rank
          |FROM rk WHERE rnk <= 3
          |ORDER BY query_id, rank""".stripMargin,
+    // Perceptual aHash near-dup: the oracle replays the frame-0 pixel
+    // arithmetic (text bytes & 0x7f, row-major vw x vh), block-averages
+    // into the 4x4 mosaic with the exact integer cross-multiply
+    // threshold, and mirrors the two 8-bit-band candidate join + exact
+    // hamming verify — so the engine's real LZW decode + fingerprint +
+    // banded near-dup join are value-checked end to end.
+    "q295_ahash_near_dup" ->
+      """WITH v AS (SELECT doc_id, text,
+        |             CAST(1 + doc_id % 32 AS INT) AS vw,
+        |             CAST(1 + (doc_id*3) % 32 AS INT) AS vh,
+        |             length(text) AS len
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |px AS (SELECT doc_id, vw, vh,
+        |         CAST(gi % vw AS INT) AS x, CAST(gi // vw AS INT) AS y,
+        |         CASE WHEN len = 0 THEN 0
+        |           ELSE ord(substr(text, CAST((gi % len) + 1 AS INT), 1)) % 128
+        |           END AS bv
+        |       FROM (SELECT doc_id, text, vw, vh, len,
+        |               unnest(range(CAST(vw AS BIGINT)*vh)) AS gi FROM v) z),
+        |bl AS (SELECT doc_id, (4*y//vh)*4 + (4*x//vw) AS bi,
+        |         CAST(SUM(bv) AS BIGINT) AS bs,
+        |         CAST(COUNT(*) AS BIGINT) AS bc
+        |       FROM px GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, SUM(bs) AS tot, SUM(bc) AS n FROM bl
+        |       GROUP BY 1),
+        |hs AS (SELECT bl.doc_id,
+        |         CAST(SUM(CASE WHEN bl.bs * tt.n > tt.tot * bl.bc
+        |           THEN CAST(1 AS BIGINT) << CAST(bl.bi AS INT)
+        |           ELSE 0 END) AS BIGINT) AS ahash,
+        |         CAST(COUNT(*) AS INT) AS n_blocks
+        |       FROM bl JOIN tt USING (doc_id) GROUP BY bl.doc_id),
+        |bd AS (SELECT doc_id, ahash, 0 AS band, ahash % 256 AS bv FROM hs
+        |       UNION ALL
+        |       SELECT doc_id, ahash, 1, ahash // 256 FROM hs),
+        |cp AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+        |         a.ahash AS ha, b.ahash AS hb
+        |       FROM bd a JOIN bd b
+        |         ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |np AS (SELECT da, db FROM cp WHERE bit_count(xor(ha, hb)) <= 1),
+        |sy AS (SELECT da AS doc_id, db AS partner FROM np
+        |       UNION ALL SELECT db, da FROM np),
+        |ns AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_near,
+        |         CAST(MIN(partner) AS BIGINT) AS nearest FROM sy GROUP BY 1)
+        |SELECT h.doc_id, h.ahash, h.n_blocks,
+        |       COALESCE(ns.n_near, 0) AS n_near,
+        |       COALESCE(ns.nearest, -1) AS nearest_id
+        |FROM hs h LEFT JOIN ns ON h.doc_id = ns.doc_id
+        |ORDER BY h.doc_id""".stripMargin,
   )
 }

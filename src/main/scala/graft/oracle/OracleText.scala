@@ -620,6 +620,51 @@ object OracleText {
          |       COALESCE(CAST(s.sl // s.nb AS BIGINT), 0) AS nll_micro
          |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // Kneser-Ney word-bigram LM: absolute discount 0.75 + continuation
+    // backoff; one micro-nat quantization per observed bigram type with
+    // identical rational-double operand order on both engines
+    // ((cb-0.75)/c1 + 0.75*n1p/c1*(n1pr/bt)); per-doc aggregates exact
+    // integers. Self-scoring makes the model join total; pruned types
+    // (cb < 2) score on the pure continuation term and are counted as
+    // n_backoff.
+    "q293_kneser_ney" ->
+      s"""WITH $nCte,
+         |bgx AS (SELECT doc_id, parts[g] || ' ' || parts[g+1] AS bg
+         |        FROM (SELECT doc_id, string_split(t, ' ') AS parts,
+         |                unnest(range(1, len(string_split(t, ' ')))) AS g
+         |              FROM n) z),
+         |dcb AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgx
+         |        GROUP BY doc_id, bg),
+         |cball AS (SELECT bg, CAST(SUM(c) AS BIGINT) AS cb FROM dcb
+         |          GROUP BY bg),
+         |c1 AS (SELECT split_part(bg, ' ', 1) AS w1,
+         |              CAST(SUM(cb) AS BIGINT) AS c1,
+         |              CAST(COUNT(*) AS BIGINT) AS n1p FROM cball GROUP BY 1),
+         |pc AS (SELECT split_part(bg, ' ', 2) AS w2,
+         |              CAST(COUNT(*) AS BIGINT) AS n1pr FROM cball GROUP BY 1),
+         |bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM cball),
+         |lp AS (SELECT cball.bg,
+         |          CASE WHEN cball.cb >= 2 THEN 1 ELSE 0 END AS retained,
+         |          CAST(ROUND(-ln(CASE WHEN cball.cb >= 2
+         |            THEN (cball.cb - 0.75) / c1.c1
+         |              + 0.75 * c1.n1p / c1.c1
+         |                * (CAST(pc.n1pr AS DOUBLE) / bt.bt)
+         |            ELSE 0.75 * c1.n1p / c1.c1
+         |                * (CAST(pc.n1pr AS DOUBLE) / bt.bt)
+         |            END) * 1000000, 0) AS BIGINT) AS lp
+         |       FROM cball
+         |       JOIN c1 ON split_part(cball.bg, ' ', 1) = c1.w1
+         |       JOIN pc ON split_part(cball.bg, ' ', 2) = pc.w2
+         |       CROSS JOIN bt),
+         |s AS (SELECT dcb.doc_id, SUM(dcb.c) AS nb,
+         |        SUM(CASE WHEN lp.retained = 0 THEN dcb.c ELSE 0 END) AS nbo,
+         |        SUM(dcb.c * lp.lp) AS sl
+         |      FROM dcb JOIN lp ON lp.bg = dcb.bg GROUP BY dcb.doc_id)
+         |SELECT d.doc_id, COALESCE(CAST(s.nb AS BIGINT), 0) AS n_bigrams,
+         |       COALESCE(CAST(s.nbo AS BIGINT), 0) AS n_backoff,
+         |       COALESCE(CAST(s.sl // s.nb AS BIGINT), 0) AS nll_micro
+         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // Character entropy: H = ln n - (1/n) sum c*ln c, every ln quantized
     // once on an integer count, aggregates exact integers after that.
     "q182_char_entropy" ->

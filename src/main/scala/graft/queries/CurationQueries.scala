@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.{Bpe, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis, TextClean, TextDedup, TextOps}
 import graft.model.Tables
@@ -582,4 +582,100 @@ object CurationQueries {
   def packingSweepReport(spark: SparkSession, dir: String): DataFrame =
     graft.ext.Packing.packingSweep(Tables.documents(spark, dir),
       "doc_id", "text")
+
+  /** Weighted reservoir sample (q296):
+    * [[graft.ext.Sampling.weightedReservoir]] — a 100-doc
+    * Efraimidis–Spirakis sample of the corpus with inclusion
+    * probability ∝ document length (the length-weighted draw a
+    * token-budgeted pipeline uses so one long doc counts as many short
+    * ones), deterministic via the hash-uniform contract. Plans as
+    * TakeOrderedAndProject (per-partition k-heaps, no corpus sort);
+    * [[graft.operators.SmallRank.afterLimit]] supplies the contractual
+    * 1..k rank on the already-limited rows. */
+  def weightedReservoirSample(spark: SparkSession, dir: String,
+                              k: Int = 100): DataFrame = {
+    val sample = Sampling.weightedReservoir(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+        col("n_chars")),
+      "doc_id", greatest(col("n_chars").cast("long"), lit(1L)), k)
+    graft.operators.SmallRank.afterLimit(sample,
+        col("priority").desc, col("doc_id"))
+      .select(col("rank"), col("doc_id"), col("source"), col("weight"),
+        round(col("lnu_e6").cast("double") / col("weight") * 1000, 0)
+          .cast("long").as("prio_milli"))
+      .orderBy("rank")
+  }
+
+  /** Leave-one-source-out OLS data valuation (q297): how much does each
+    * SOURCE move the corpus-level lexical-diversity fit (distinct
+    * tokens ~ α + β·tokens, the type–token regression)? For every
+    * source, the model is REFIT on the corpus WITHOUT it — in closed
+    * form from sufficient statistics (global sums minus that source's
+    * sums), so the whole valuation is ONE corpus pass + one
+    * source-keyed rollup, never |sources| re-scans. This is the
+    * cheapest member of the data-valuation family (the
+    * leave-one-out/Shapley idea applied at source granularity), and the
+    * per-source `delta_beta` is the influence readout a curation
+    * pipeline ranks sources by.
+    *
+    * Parity: all sufficient statistics are exact integer sums; the
+    * normal-equation numerators/denominators are exact DECIMAL(38,0)
+    * cross-products; each reported coefficient is ONE double division
+    * over identical exact integers, quantized (micro / ppm). The
+    * `__all__` row carries the un-ablated fit (delta 0 by
+    * construction), so the report is self-calibrating. */
+  def sourceAblationOls(spark: SparkSession, dir: String): DataFrame = {
+    val t = TextOps.normText(col("text"))
+    val toks = TextOps.tokens(t)
+    val xy = Tables.documents(spark, dir).select(col("source"),
+      size(toks).cast("long").as("x"),
+      size(array_distinct(toks)).cast("long").as("y"))
+    val per = xy.groupBy("source").agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+      .localCheckpoint() // read by the global rollup AND the ablation
+    val g = per.agg(sum("n").as("gn"), sum("sx").as("gsx"),
+      sum("sy").as("gsy"), sum("sxx").as("gsxx"), sum("sxy").as("gsxy"),
+      sum("syy").as("gsyy"))
+    val ablated = per.crossJoin(broadcast(g)).select(col("source"),
+      (col("gn") - col("n")).as("n"), (col("gsx") - col("sx")).as("sx"),
+      (col("gsy") - col("sy")).as("sy"), (col("gsxx") - col("sxx")).as("sxx"),
+      (col("gsxy") - col("sxy")).as("sxy"),
+      (col("gsyy") - col("syy")).as("syy"))
+    val rws = ablated.unionAll(g.select(lit("__all__").as("source"),
+      col("gn").as("n"), col("gsx").as("sx"), col("gsy").as("sy"),
+      col("gsxx").as("sxx"), col("gsxy").as("sxy"), col("gsyy").as("syy")))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val met = rws.select(col("source"), col("n"),
+        (dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy")))
+          .as("num"),
+        (dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx")))
+          .as("den"),
+        (dec(col("n")) * dec(col("syy")) - dec(col("sy")) * dec(col("sy")))
+          .as("sst"),
+        (dec(col("sy")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sxy")))
+          .as("numa"))
+      .select(col("source"), col("n"),
+        when(col("den") === 0, 0L).otherwise(
+          round(col("num").cast("double") / col("den").cast("double") * 1e6,
+            0).cast("long")).as("beta_micro"),
+        when(col("den") === 0, 0L).otherwise(
+          round(col("numa").cast("double") / col("den").cast("double") * 1e6,
+            0).cast("long")).as("alpha_micro"),
+        when(col("den") === 0 || col("sst") === 0, 0L).otherwise(
+          round(col("num").cast("double") * col("num").cast("double") /
+            (col("den").cast("double") * col("sst").cast("double")) * 1e6,
+            0).cast("long")).as("r2_ppm"))
+      .localCheckpoint() // read by the report AND the __all__ scalar
+    val gBeta = met.filter(col("source") === "__all__")
+      .select(col("beta_micro").as("gbeta"))
+    met.crossJoin(broadcast(gBeta))
+      .select(col("source"), col("n").cast("long").as("n_docs_wo"),
+        col("beta_micro"), col("alpha_micro"),
+        (col("beta_micro") - col("gbeta")).as("delta_beta_micro"),
+        col("r2_ppm"))
+      .orderBy("source")
+  }
 }

@@ -395,6 +395,27 @@ object GraphAnalytics {
       .orderBy("k")
   }
 
+  /** Rank-2 ALS recommender training report (q294):
+    * [[graft.ext.Factorization.alsRank2Report]] over the implicit
+    * customer×part quantity matrix (orders⋈lineitem), two full
+    * alternating rounds with the closed-form 2×2 ridge solve, training
+    * RMSE per market segment after EVERY round — the matrix-
+    * factorization tier the co-occurrence recommenders (q116/q257/
+    * q258) were missing, with the per-round fit trajectory as the
+    * oracle-checked convergence certificate. */
+  def alsTrainingReport(spark: SparkSession, dir: String): DataFrame = {
+    val ratings = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("oid"), col("o_custkey").as("u"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("oid"), col("l_partkey").as("i"),
+          col("l_quantity").cast("long").as("q")), Seq("oid"))
+      .groupBy("u", "i").agg(sum("q").as("r"))
+    val segments = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("u"), col("c_mktsegment").as("seg"))
+    graft.ext.Factorization.alsRank2Report(ratings, "u", "i",
+      segments, "seg")
+  }
+
   /** Degree assortativity of the repeat co-purchase graph (q253):
     * [[graft.operators.Graph.degreeAssortativity]] over the same
     * support-≥2 edge list as q223 — one signed number for "do

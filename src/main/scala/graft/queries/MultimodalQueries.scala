@@ -166,4 +166,46 @@ object MultimodalQueries {
       .select("query_id", "neighbor_id", "score", "rank")
       .orderBy("query_id", "rank")
   }
+
+  /** Perceptual-hash image near-duplicate report (q295):
+    * [[graft.ext.Multimodal.gifAHash]] over every decoded video frame,
+    * then the SimHash-style BANDED self-join — the 16-bit fingerprint
+    * splits into two 8-bit bands; hamming distance ≤ 1 guarantees an
+    * identical band (pigeonhole), so candidates come from two
+    * hash-partitioned equi-joins (~N²/256 pairs per band), never
+    * all-pairs, and the exact `bit_count(xor)` verify runs on the
+    * candidate sliver only. Per image: its fingerprint, live-block
+    * count, near-duplicate degree, and smallest near-duplicate partner
+    * (−1 when none) — one row per video doc, so the report is
+    * non-vacuous at every sf even when no near-dups exist. At a 64-bit
+    * fingerprint the same plan widens to four 16-bit bands. */
+  def ahashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = Multimodal.gifAHash(
+        Multimodal.attachPayload(Tables.documents(spark, dir), "doc_id",
+          "text"))
+      .localCheckpoint() // read by both band tables + the report spine
+    val bands = hashes
+      .select(col("doc_id"), col("ahash"), lit(0).as("band"),
+        (col("ahash") % 256).as("bv"))
+      .unionAll(hashes.select(col("doc_id"), col("ahash"), lit(1).as("band"),
+        expr("ahash div 256").as("bv")))
+    val cand = bands
+      .join(bands.select(col("doc_id").as("doc_b"), col("ahash").as("hb"),
+        col("band"), col("bv")), Seq("band", "bv"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select("doc_id", "doc_b", "ahash", "hb").distinct()
+    val near = cand
+      .filter(bit_count(col("ahash").bitwiseXOR(col("hb"))) <= 1)
+      .select(col("doc_id"), col("doc_b"))
+    val sym = near.unionAll(near.select(col("doc_b"), col("doc_id")))
+      .toDF("d", "partner")
+    val stats = sym.groupBy("d")
+      .agg(count(lit(1)).as("n_near"), min("partner").as("nearest"))
+    hashes.join(stats, hashes("doc_id") === stats("d"), "left")
+      .select(col("doc_id"), col("ahash"), col("n_blocks").cast("int")
+          .as("n_blocks"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        coalesce(col("nearest"), lit(-1L)).as("nearest_id"))
+      .orderBy("doc_id")
+  }
 }

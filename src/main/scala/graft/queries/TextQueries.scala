@@ -120,6 +120,16 @@ object TextQueries {
     TextAnalysis.wordBigramLmScore(Tables.documents(spark, dir), "doc_id",
       "text")
 
+  /** Kneser–Ney word-bigram LM scoring (q293):
+    * [[graft.ext.TextAnalysis.kneserNeyBigramScore]] — the smoothing
+    * KenLM-filter pipelines actually ship: absolute discount D=0.75
+    * with a continuation-probability backoff (a word scores by how many
+    * distinct contexts it follows), bigram table pruned at corpus
+    * count ≥ 2, backoff traffic reported per doc. */
+  def kneserNeyNll(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.kneserNeyBigramScore(Tables.documents(spark, dir), "doc_id",
+      "text")
+
   /** Unigram-LM (SentencePiece-style) tokenizer fertility (q284):
     * [[graft.ext.UnigramLm.fertilityBySource]] — seed substrings,
     * Viterbi E-step, usage prune, re-estimated E-step; per-source

@@ -434,4 +434,77 @@ class MultimodalSpec extends SparkSpec {
         == sorted.map(_.getAs[Long]("score")).sortBy(-_).toSeq)
     }
   }
+
+  test("gifAHash: uniform frame hashes to 0; identical content collides") {
+    import spark.implicits._
+    // doc ids 2 and 98 are both video (id%3==2) with IDENTICAL frame
+    // dims (98%32 == 2%32, (98·3)%32 == (2·3)%32), so equal text must
+    // produce equal fingerprints through the REAL decode path.
+    val text = "perceptual hash fixture with some byte variety 0123"
+    val blobs = Seq(
+      Multimodal.MediaBlob(2L, "video",
+        Multimodal.gifPayload(2L, Array.fill(40)('x'.toByte))),
+      Multimodal.MediaBlob(98L, "video",
+        Multimodal.gifPayload(98L, text.getBytes("UTF-8"))),
+      Multimodal.MediaBlob(194L, "video",
+        Multimodal.gifPayload(194L, text.getBytes("UTF-8"))))
+    // 194: 194%32=2, (194*3)%32=582%32=6 — same dims again.
+    val got = Multimodal.gifAHash(spark.createDataset(blobs))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("ahash"), r.getAs[Int]("n_blocks"))).toMap
+    assert(got(2L)._1 == 0L, "uniform pixels must set no bit (strict >)")
+    assert(got(98L)._1 == got(194L)._1, "same content, same dims -> same hash")
+    assert(got.values.forall(v => v._2 > 0 && v._2 <= 16))
+  }
+
+  test("gifAHash matches an independent block-mean recompute from the text") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog 42!"
+    val bytes = text.getBytes("UTF-8")
+    val id = 11L // 11%3 == 2: video; vw=12, vh=2 (h < grid: empty block rows)
+    val got = Multimodal.gifAHash(spark.createDataset(Seq(
+        Multimodal.MediaBlob(id, "video", Multimodal.gifPayload(id, bytes)))))
+      .collect().head
+    // Independent replay of the payload-generation arithmetic (the q126
+    // contract): frame-0 pixel gi = bytes(gi % len) & 0x7f, row-major.
+    val w = (1 + id % 32).toInt; val h = (1 + id * 3 % 32).toInt
+    val sums = new Array[Long](16); val cnts = new Array[Long](16)
+    for (gi <- 0 until w * h) {
+      val bi = (4 * (gi / w) / h) * 4 + (4 * (gi % w) / w)
+      sums(bi) += bytes(gi % bytes.length) & 0x7f
+      cnts(bi) += 1
+    }
+    val tot = sums.sum
+    var expect = 0L; var nb = 0
+    for (k <- 0 until 16 if cnts(k) > 0) {
+      nb += 1
+      if (sums(k) * (w * h) > tot * cnts(k)) expect |= 1L << k
+    }
+    assert(got.getAs[Long]("ahash") == expect)
+    assert(got.getAs[Int]("n_blocks") == nb)
+  }
+
+  test("q295 near-dup degrees equal the brute-force hamming<=1 census") {
+    // The banded join is an optimization, not an approximation at
+    // radius 1 (pigeonhole over two 8-bit bands): per-doc near-dup
+    // degree and nearest partner must equal the all-pairs census.
+    val rows = graft.queries.MultimodalQueries.ahashNearDup(spark, sf001)
+      .collect()
+    val hashes = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("ahash"))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val brute = hashes.map { case (d, h) =>
+      val near = hashes.filter { case (o, oh) => o != d && ham(h, oh) <= 1 }
+      d -> (near.length.toLong,
+        if (near.isEmpty) -1L else near.map(_._1).min)
+    }.toMap
+    rows.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      assert((r.getAs[Long]("n_near"), r.getAs[Long]("nearest_id"))
+        == brute(d), s"doc $d disagrees with brute force")
+    }
+    // non-vacuous: the sf0.001 corpus does contain at least one near-dup
+    assert(rows.exists(_.getAs[Long]("n_near") > 0),
+      "fixture has no near-dup pair — census vacuous")
+  }
 }

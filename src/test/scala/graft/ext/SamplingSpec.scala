@@ -201,4 +201,34 @@ class SamplingSpec extends SparkSpec {
       .toMap
     assert(h(10000L) >= k / 2 - 1, s"heavy row under-drawn: $h")
   }
+
+  test("weightedReservoir: exact size, determinism, priority ordering") {
+    val df = (0L until 1000L).map(i => (i, 1L + i % 7)).toDF("id", "w")
+    val s1 = Sampling.weightedReservoir(df, "id", col("w"), 50).collect()
+    assert(s1.length == 50)
+    // priorities are <= 0 (u in (0,1]) and sorted descending
+    val prios = s1.map(_.getAs[Double]("priority"))
+    assert(prios.forall(_ <= 0.0))
+    assert(prios.zip(prios.tail).forall { case (a, b) => a >= b })
+    // deterministic: a rerun draws the identical sample
+    val s2 = Sampling.weightedReservoir(df, "id", col("w"), 50)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(s2 == s1.map(_.getAs[Long]("id")).toSet)
+    // k >= n degenerates to the whole input
+    val all = Sampling.weightedReservoir(df.limit(10), "id", col("w"), 50)
+      .collect()
+    assert(all.length == 10)
+  }
+
+  test("weightedReservoir: inclusion probability tracks weight") {
+    // Two interleaved strata of equal size: weight 20 vs weight 1. The
+    // heavy stratum must dominate a k=200 sample from 2000 rows
+    // (E[heavy share] >> 1/2; deterministic hash, so this is a fixed
+    // fact of the fixture, not a flaky draw).
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) 20L else 1L))
+      .toDF("id", "w")
+    val heavy = Sampling.weightedReservoir(df, "id", col("w"), 200)
+      .collect().count(_.getAs[Long]("w") == 20L)
+    assert(heavy > 150, s"heavy stratum drew only $heavy of 200")
+  }
 }

@@ -473,4 +473,40 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(flipped, "word-LM ordering identical to char-LM — no signal")
   }
+
+  test("kneserNeyBigramScore: hand-checked micro-nats on a 1-doc corpus") {
+    import spark.implicits._
+    // "a b a b": bigrams "a b"(cb=2, retained), "b a"(cb=1, backoff).
+    // c1: a→(c1=2, n1p=1), b→(1, 1); pcont: b→1, a→1; bt=2.
+    //   p(a b) = (2−0.75)/2 + 0.75·1/2·(1/2) = 0.8125 → lp 207639
+    //   p(b a) = 0.75·1/1·(1/2)              = 0.375  → lp 980829
+    // doc: 3 bigram tokens, sl = 2·207639 + 980829 = 1396107 → nll 465369.
+    val out = TextAnalysis.kneserNeyBigramScore(
+        Seq((1L, "a b a b")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_bigrams") == 3)
+    assert(r.getAs[Long]("n_backoff") == 1)
+    assert(r.getAs[Long]("nll_micro") == 465369L)
+  }
+
+  test("kneserNeyBigramScore: backoff accounting and ordering semantics") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"), // every bigram type now has cb = 2
+      (3L, "zq xw unique rare pair"), // all-singleton bigrams: pure backoff
+      (4L, "one")                     // < 2 tokens: zero row
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.kneserNeyBigramScore(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Long]("n_backoff") == 0)
+    assert(m(3L).getAs[Long]("n_backoff") == m(3L).getAs[Long]("n_bigrams"))
+    assert(m(4L).getAs[Long]("n_bigrams") == 0 &&
+      m(4L).getAs[Long]("nll_micro") == 0)
+    // the KN point: repeated collocations score far more probable than
+    // one-off word pairs
+    assert(m(1L).getAs[Long]("nll_micro") < m(3L).getAs[Long]("nll_micro"))
+  }
 }

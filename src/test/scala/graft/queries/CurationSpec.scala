@@ -94,4 +94,37 @@ class CurationSpec extends SparkSpec {
     // both sides of the cut are populated
     assert(out.keys.exists(_._2 == 1) && out.keys.exists(_._2 == 0))
   }
+
+  test("q297 source ablation: __all__ is the un-ablated fit and one " +
+    "source's refit matches an independent exact recompute") {
+    val rows = CurationQueries.sourceAblationOls(spark, sf001).collect()
+    val bySrc = rows.map(r => r.getAs[String]("source") -> r).toMap
+    val all = bySrc("__all__")
+    assert(all.getAs[Long]("delta_beta_micro") == 0L)
+    rows.foreach { r =>
+      val r2 = r.getAs[Long]("r2_ppm")
+      assert(r2 >= 0 && r2 <= 1000000, s"r2 out of range: $r2")
+    }
+    // independent exact recompute of one ablated fit from doc-level
+    // (x, y) sufficient statistics in BigInt arithmetic
+    val docs = graft.model.Tables.documents(spark, sf001)
+    val t = graft.ext.TextOps.normText(col("text"))
+    val toks = graft.ext.TextOps.tokens(t)
+    val xy = docs.select(col("source"),
+        size(toks).cast("long").as("x"),
+        size(array_distinct(toks)).cast("long").as("y"))
+      .collect().map(r => (r.getString(0), BigInt(r.getLong(1)),
+        BigInt(r.getLong(2))))
+    val victim = bySrc.keys.filter(_ != "__all__").min
+    val keep = xy.filter(_._1 != victim)
+    val n = BigInt(keep.length)
+    val sx = keep.map(_._2).sum; val sy = keep.map(_._3).sum
+    val sxx = keep.map(c => c._2 * c._2).sum
+    val sxy = keep.map(c => c._2 * c._3).sum
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    val beta = math.round(num.toDouble / den.toDouble * 1e6)
+    assert(bySrc(victim).getAs[Long]("beta_micro") == beta)
+    assert(bySrc(victim).getAs[Long]("n_docs_wo") == keep.length.toLong)
+  }
 }
