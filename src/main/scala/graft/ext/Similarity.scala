@@ -1088,6 +1088,96 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** MARGIN-based cross-source alignment mining (q298) — the
+    * Artetxe–Schwenk (ACL 2019) mutual-kNN + ratio-margin criterion
+    * that built CCMatrix/LASER bitext at web scale, applied across
+    * corpus SOURCES: a pair (x ∈ A, y ∈ B) is ALIGNED when each is the
+    * other's nearest cross-source neighbor (mutual NN1) AND the margin
+    *   2·cos(x,y) / (avgₖNN(x→B) + avgₖNN(y→A))
+    * clears a threshold — absolute cosine can't separate aligned pairs
+    * from hubs (a generic vector is everyone's neighbor); dividing by
+    * each side's local kNN level is the published fix.
+    *
+    * Candidates are bucket-restricted (the [[nearDupPairs]] IVF
+    * posture: only same-`bucketCol` cross-source pairs are scored — an
+    * equi join, never a cross product; recall vs exhaustive mining is
+    * a stated property of the bucketing, as in q36/q221). Per-side kNN
+    * statistics ride keyed windows over (vector, counterpart-source)
+    * candidate lists — bounded by the bucket's source population. The
+    * output is |source-pair| metadata rows, never pair-volume-sized.
+    *
+    * Parity: cosines quantize ONCE to e4 integers; kNN averages and
+    * margins are sign-split floor divisions over exact integers (cosines
+    * go negative, and truncate-vs-floor diverges there), so both engines
+    * report identical micro-integers end to end. */
+  def marginAlignment(corpus: DataFrame, idCol: String, embCol: String,
+                      bucketCol: String, srcCol: String, kAvg: Int = 3,
+                      marginThresholdPpm: Long = 1020000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fanned = graft.model.Tables.fanOut(corpus)
+    def side(tag: String) = fanned.select(col(bucketCol).as("bucket"),
+      col(srcCol).as(s"src_$tag"), col(idCol).as(s"id_$tag"),
+      col(embCol).as(s"emb_$tag"), l2norm(col(embCol)).as(s"nrm_$tag"))
+    val pairs = side("a").join(side("b"), Seq("bucket"))
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("id_a"), col("src_b"), col("id_b"),
+        round(dot(col("emb_a"), col("emb_b")) /
+          (col("nrm_a") * col("nrm_b")) * 10000, 0).cast("long").as("cos_e4"))
+      .localCheckpoint() // read by both directed views + the pair census
+    val directed = pairs.select(col("id_a").as("qid"), col("src_a").as("qsrc"),
+        col("src_b").as("oth"), col("id_b").as("nid"), col("cos_e4"))
+      .unionAll(pairs.select(col("id_b").as("qid"), col("src_b").as("qsrc"),
+        col("src_a").as("oth"), col("id_a").as("nid"), col("cos_e4")))
+    val w = Window.partitionBy("qid", "oth")
+      .orderBy(col("cos_e4").desc, col("nid"))
+    val ranked = directed.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= kAvg)
+      .localCheckpoint() // read by the kNN average AND the NN1 probe
+    val avgk = ranked.groupBy("qid", "oth")
+      .agg(sum("cos_e4").as("sc"), count(lit(1)).as("nc"))
+      .select(col("qid"), col("oth"), expr(
+        """CASE WHEN sc < 0 THEN -((-sc) div nc) ELSE sc div nc END""")
+        .as("avg_e4"))
+    val nn1 = ranked.filter(col("rk") === 1)
+      .select(col("qid"), col("qsrc"), col("oth"), col("nid"), col("cos_e4"))
+    val mutual = nn1.as("x").join(nn1.as("y"),
+        col("x.nid") === col("y.qid") && col("x.qsrc") === col("y.oth") &&
+          col("y.nid") === col("x.qid"))
+      .filter(col("x.qsrc") < col("x.oth"))
+      .select(col("x.qsrc").as("src_a"), col("x.oth").as("src_b"),
+        col("x.qid").as("id_a"), col("x.nid").as("id_b"),
+        col("x.cos_e4").as("cos_e4"))
+      .join(avgk.select(col("qid").as("id_a"), col("oth").as("src_b"),
+        col("avg_e4").as("avg_a")), Seq("id_a", "src_b"))
+      .join(avgk.select(col("qid").as("id_b"), col("oth").as("src_a"),
+        col("avg_e4").as("avg_b")), Seq("id_b", "src_a"))
+      .select(col("src_a"), col("src_b"), col("id_a"), col("id_b"),
+        expr(s"""CASE WHEN avg_a + avg_b <= 0 THEN CAST(0 AS BIGINT)
+                 |WHEN cos_e4 < 0 THEN -((-cos_e4) * 2000000 div (avg_a + avg_b))
+                 |ELSE cos_e4 * 2000000 div (avg_a + avg_b) END""".stripMargin)
+          .as("margin_ppm"))
+      .localCheckpoint() // read by the rollup AND the best-pair probe
+    val census = pairs.groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_candidates"))
+    census.join(mutual.groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_mutual"),
+          sum(when(col("margin_ppm") >= marginThresholdPpm, 1L)
+            .otherwise(0L)).as("n_aligned"),
+          max("margin_ppm").as("best_margin_ppm"),
+          min_by(col("id_a"), struct(-col("margin_ppm"), col("id_a"),
+            col("id_b"))).as("best_id_a"),
+          min_by(col("id_b"), struct(-col("margin_ppm"), col("id_a"),
+            col("id_b"))).as("best_id_b")),
+        Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_candidates"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"),
+        coalesce(col("n_aligned"), lit(0L)).as("n_aligned"),
+        coalesce(col("best_margin_ppm"), lit(0L)).as("best_margin_ppm"),
+        coalesce(col("best_id_a"), lit(-1L)).as("best_id_a"),
+        coalesce(col("best_id_b"), lit(-1L)).as("best_id_b"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Embedding-cosine near-duplicate pairs within a coarse partition key
     * (here: a label/cluster column — the IVF idea: only intra-bucket pairs
     * are candidates, so the self-join is equi on the bucket key instead of

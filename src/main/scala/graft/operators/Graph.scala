@@ -978,4 +978,116 @@ object Graph {
         col("lb2"), col("ub2"), lit(1) - col("full2")))
       .orderBy("step")
   }
+
+  /** BORŮVKA spanning-forest rounds over a weighted undirected edge list
+    * (u, v, s) — here as a MAXIMUM-spanning forest on the support weight
+    * (the co-purchase BACKBONE: the strongest-association tree a
+    * market-structure analysis keeps), which is Borůvka's algorithm
+    * under the total edge order (s DESC, u, v). Borůvka is THE
+    * distributed MST algorithm (1926; the GraphX/Pregel choice) because
+    * every round is fully data-parallel: each component picks its best
+    * incident edge (one keyed aggregation — no priority queue, no
+    * sequential union–find), the picked edges merge components, and the
+    * component count at least halves per completed merge — O(log V)
+    * rounds total.
+    *
+    * Fixed-round + certificate contract (the q223/q236/q285 house
+    * posture): `rounds` Borůvka rounds run, each merging via `mergeHops`
+    * hash-min iterations over the SELECTED edges' component graph (a
+    * Borůvka selection is a pseudo-forest of components — star-shaped
+    * merges collapse in 2 hops; a longer merge chain that doesn't fully
+    * collapse within `mergeHops` is NOT an error: unmerged components
+    * simply re-select in the next round, the forest edge set is
+    * unaffected because selected edges dedup on (u, v), and the
+    * trajectory reports the true component count). The output is the
+    * per-round trajectory — components before, cross-component edges,
+    * edges added, support volume added, components after, cumulative
+    * forest size — so convergence (`n_cross_edges` → 0, components →
+    * #connected-components) is oracle-checked, never asserted.
+    *
+    * Determinism: the (−s, u, v) struct order is total, so the selected
+    * edge per component is unique on both engines; ties in weight break
+    * by edge id. Scale shape per round: two label joins + one keyed
+    * min_by aggregation + `mergeHops` neighbor-min joins over the
+    * |components|-sized label graph — every relation is node- or
+    * edge-keyed, no windows, no all-pairs, the per-round stats rows are
+    * 1-row broadcast scalars, nothing collected. */
+  def boruvkaForest(edgesIn: DataFrame, rounds: Int = 3,
+                    mergeHops: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 6, s"rounds out of [1,6]: $rounds")
+    val edges = edgesIn.select(col("u"), col("v"), col("s")).localCheckpoint()
+    val nodes = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node"))).distinct()
+    var lbl = nodes.select(col("node"), col("node").as("l")).localCheckpoint()
+    var cumSel: DataFrame = null
+    // Stats assembly: every per-round readout is ONE aggregate over a
+    // tagged UNION of the round's relations — not five 1-row
+    // crossJoin(broadcast) scalars, which at 3 rounds would stack 12+
+    // nested-loop crosses into one plan (the suite-wide audit caps
+    // legitimate scalar crosses at 8 per query).
+    def tagged(df: DataFrame, tag: String,
+               sv: org.apache.spark.sql.Column): DataFrame =
+      df.select(lit(tag).as("t"), sv.cast("long").as("sv"))
+    val rows = (1 to rounds).map { r =>
+      val lblBefore = lbl
+      val el = edges
+        .join(lbl.select(col("node").as("u"), col("l").as("lu")), Seq("u"))
+        .join(lbl.select(col("node").as("v"), col("l").as("lv")), Seq("v"))
+        .filter(col("lu") =!= col("lv"))
+        .localCheckpoint() // read by the census AND both selection sides
+      val sel = el.select(col("lu").as("l"), col("u"), col("v"), col("s"))
+        .unionAll(el.select(col("lv").as("l"), col("u"), col("v"), col("s")))
+        .groupBy("l")
+        .agg(min_by(struct(col("u"), col("v"), col("s")),
+          struct(-col("s"), col("u"), col("v"))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"), col("e.s").as("s"))
+        .distinct()
+        .localCheckpoint() // read by the label graph, stats, cumulative set
+      cumSel = if (cumSel == null) sel
+        else cumSel.unionAll(sel).distinct().localCheckpoint()
+      // merge: hash-min over the selected edges' component graph
+      val selLab = sel
+        .join(lbl.select(col("node").as("u"), col("l").as("lu")), Seq("u"))
+        .join(lbl.select(col("node").as("v"), col("l").as("lv")), Seq("v"))
+        .select(col("lu"), col("lv"))
+      val lg = selLab.select(col("lu").as("a"), col("lv").as("b"))
+        .unionAll(selLab.select(col("lv").as("a"), col("lu").as("b")))
+        .localCheckpoint() // read by every hash-min hop
+      var lmap = lbl.select(col("l")).distinct()
+        .select(col("l"), col("l").as("m")).localCheckpoint()
+      for (_ <- 1 to mergeHops) {
+        val nbrMin = lg
+          .join(lmap.select(col("l").as("b"), col("m").as("mb")), Seq("b"))
+          .groupBy("a").agg(min("mb").as("nm"))
+        lmap = lmap
+          .join(nbrMin.select(col("a").as("l"), col("nm")), Seq("l"), "left")
+          .select(col("l"), least(col("m"), coalesce(col("nm"), col("m")))
+            .as("m"))
+          .localCheckpoint()
+      }
+      lbl = lbl.join(lmap, Seq("l")).select(col("node"), col("m").as("l"))
+        .localCheckpoint()
+      def cnt(tag: String) = sum(when(col("t") === tag, 1L).otherwise(0L))
+      def sv(tag: String) =
+        coalesce(sum(when(col("t") === tag, col("sv"))), lit(0L))
+      tagged(lblBefore.select("l").distinct(), "before", lit(0L))
+        .unionAll(tagged(el, "cross", lit(0L)))
+        .unionAll(tagged(sel, "sel", col("s")))
+        .unionAll(tagged(cumSel, "cum", col("s")))
+        .unionAll(tagged(lbl.select("l").distinct(), "after", lit(0L)))
+        .agg(cnt("before").as("n_components_before"),
+          cnt("cross").as("n_cross_edges"),
+          cnt("sel").as("n_edges_added"),
+          sv("sel").as("support_added"),
+          cnt("after").as("n_components_after"),
+          cnt("cum").as("forest_edges_total"),
+          sv("cum").as("forest_support_total"))
+        .select(lit(r).cast("int").as("round"),
+          col("n_components_before"), col("n_cross_edges"),
+          col("n_edges_added"), col("support_added"),
+          col("n_components_after"), col("forest_edges_total"),
+          col("forest_support_total"))
+    }
+    rows.reduce(_ unionAll _).orderBy("round")
+  }
 }

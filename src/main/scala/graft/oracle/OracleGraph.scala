@@ -81,10 +81,83 @@ object OracleGraph {
        |SELECT * FROM r1 UNION ALL SELECT * FROM r2
        |ORDER BY als_round, segment""".stripMargin
 
+  /** One Borůvka round (q299, generated): cross-component edge census,
+    * per-component best-edge selection under the (s DESC, u, v) total
+    * order, `mergeHops` hash-min merge iterations over the selected
+    * edges' component graph, relabel, stats row. MATERIALIZED on every
+    * multiply-referenced relation — unmaterialized CTEs inline per
+    * reference and a 3-round chain would re-evaluate its whole prefix
+    * exponentially. */
+  private def boruvkaRound(r: Int, mergeHops: Int): String = {
+    val hops = (1 to mergeHops).map { h =>
+      s"""m$r$h AS MATERIALIZED (SELECT t.l,
+         |    LEAST(t.m, COALESCE(MIN(x.m), t.m)) AS m
+         |  FROM m$r${h - 1} t LEFT JOIN lg$r g ON g.a = t.l
+         |       LEFT JOIN m$r${h - 1} x ON x.l = g.b
+         |  GROUP BY t.l, t.m)""".stripMargin
+    }.mkString(",\n")
+    val cuParts = (1 to r).map(i => s"SELECT u, v, s FROM se$i")
+      .mkString(" UNION ALL ")
+    s"""el$r AS MATERIALIZED (SELECT e.u, e.v, e.s, a.l AS lu, b.l AS lv
+       |  FROM ew e JOIN l$r a ON e.u = a.node JOIN l$r b ON e.v = b.node
+       |  WHERE a.l <> b.l),
+       |se$r AS MATERIALIZED (SELECT DISTINCT u, v, s FROM (
+       |    SELECT u, v, s, row_number() OVER (PARTITION BY l
+       |      ORDER BY s DESC, u, v) AS rn FROM (
+       |        SELECT lu AS l, u, v, s FROM el$r
+       |        UNION ALL SELECT lv, u, v, s FROM el$r) z) w
+       |  WHERE rn = 1),
+       |sl$r AS (SELECT a.l AS lu, b.l AS lv FROM se$r e
+       |  JOIN l$r a ON e.u = a.node JOIN l$r b ON e.v = b.node),
+       |lg$r AS MATERIALIZED (SELECT lu AS a, lv AS b FROM sl$r
+       |  UNION ALL SELECT lv, lu FROM sl$r),
+       |m${r}0 AS MATERIALIZED (SELECT l, l AS m FROM (
+       |  SELECT DISTINCT l FROM l$r) z),
+       |$hops,
+       |l${r + 1} AS MATERIALIZED (SELECT t.node, mm.m AS l
+       |  FROM l$r t JOIN m$r$mergeHops mm ON t.l = mm.l),
+       |cu$r AS MATERIALIZED (SELECT DISTINCT u, v, s FROM ($cuParts) z),
+       |st$r AS (SELECT CAST($r AS INT) AS round,
+       |  (SELECT CAST(COUNT(DISTINCT l) AS BIGINT) FROM l$r)
+       |    AS n_components_before,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM el$r) AS n_cross_edges,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM se$r) AS n_edges_added,
+       |  (SELECT CAST(COALESCE(SUM(s), 0) AS BIGINT) FROM se$r)
+       |    AS support_added,
+       |  (SELECT CAST(COUNT(DISTINCT l) AS BIGINT) FROM l${r + 1})
+       |    AS n_components_after,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cu$r) AS forest_edges_total,
+       |  (SELECT CAST(COALESCE(SUM(s), 0) AS BIGINT) FROM cu$r)
+       |    AS forest_support_total)""".stripMargin
+  }
+
+  /** Borůvka maximum-spanning-forest trajectory, 3 unrolled rounds over
+    * the support-≥2 co-purchase edges — mirrors
+    * graft.operators.Graph.boruvkaForest exactly. */
+  private lazy val boruvkaSql: String = {
+    val rounds = (1 to 3).map(boruvkaRound(_, 3)).mkString(",\n")
+    s"""WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey,
+       |    l_partkey AS p FROM lineitem),
+       |ew AS MATERIALIZED (SELECT a.p AS u, b.p AS v,
+       |    CAST(COUNT(*) AS BIGINT) AS s
+       |  FROM it a JOIN it b ON a.okey = b.okey AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |l1 AS MATERIALIZED (SELECT node, node AS l FROM (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT u AS node FROM ew UNION ALL SELECT v FROM ew) z) n),
+       |$rounds
+       |SELECT * FROM st1 UNION ALL SELECT * FROM st2
+       |UNION ALL SELECT * FROM st3
+       |ORDER BY round""".stripMargin
+  }
+
   private[graft] val sql: Map[String, String] = Map(
     // Rank-2 ALS training report: 2 unrolled alternating rounds in the
     // exact milli-unit factor contract (generated — see alsSql).
     "q294_als_rank2" -> alsSql,
+    // Borůvka max-spanning-forest: 3 unrolled rounds, hash-min merges
+    // (generated — see boruvkaSql).
+    "q299_boruvka_forest" -> boruvkaSql,
     // 2-iteration integer PageRank over the undirected customer–supplier
     // graph; per-edge floor division exactly as the Spark operator.
     "q140_copurchase_pagerank" ->

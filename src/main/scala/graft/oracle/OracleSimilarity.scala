@@ -190,6 +190,68 @@ object OracleSimilarity {
        |ORDER BY query_id, rank""".stripMargin
 
   private[graft] val sql: Map[String, String] = Map(
+    // Margin-based mutual-kNN alignment mining: e4-quantized cosines,
+    // sign-split floor divisions for the kNN averages and margins
+    // (cosines go negative), best pair via the (margin DESC, id_a,
+    // id_b) window — identical winner to Spark's min_by struct.
+    "q298_margin_alignment" ->
+      s"""WITH $embCte,
+         |sv AS (SELECT nm.vec_id, nm.label AS bucket, nm.emb, nm.nrm,
+         |         d.source
+         |       FROM nm JOIN documents d ON nm.vec_id = d.doc_id),
+         |pr AS (SELECT a.source AS src_a, a.vec_id AS id_a,
+         |         b.source AS src_b, b.vec_id AS id_b,
+         |         CAST(ROUND(list_dot_product(a.emb, b.emb)
+         |           / (a.nrm * b.nrm) * 10000, 0) AS BIGINT) AS cos_e4
+         |       FROM sv a JOIN sv b
+         |         ON a.bucket = b.bucket AND a.source < b.source),
+         |dr AS (SELECT id_a AS qid, src_a AS qsrc, src_b AS oth,
+         |         id_b AS nid, cos_e4 FROM pr
+         |       UNION ALL
+         |       SELECT id_b, src_b, src_a, id_a, cos_e4 FROM pr),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY qid, oth
+         |         ORDER BY cos_e4 DESC, nid) AS rk FROM dr),
+         |r3 AS (SELECT * FROM rk WHERE rk <= 3),
+         |av AS (SELECT qid, oth,
+         |         CAST(CASE WHEN SUM(cos_e4) < 0
+         |           THEN -((-SUM(cos_e4)) // COUNT(*))
+         |           ELSE SUM(cos_e4) // COUNT(*) END AS BIGINT) AS avg_e4
+         |       FROM r3 GROUP BY 1, 2),
+         |n1 AS (SELECT qid, qsrc, oth, nid, cos_e4 FROM r3 WHERE rk = 1),
+         |mu AS (SELECT x.qsrc AS src_a, x.oth AS src_b, x.qid AS id_a,
+         |         x.nid AS id_b, x.cos_e4
+         |       FROM n1 x JOIN n1 y
+         |         ON x.nid = y.qid AND x.qsrc = y.oth AND y.nid = x.qid
+         |       WHERE x.qsrc < x.oth),
+         |mg AS (SELECT mu.src_a, mu.src_b, mu.id_a, mu.id_b,
+         |         CAST(CASE WHEN aa.avg_e4 + ab.avg_e4 <= 0 THEN 0
+         |           WHEN mu.cos_e4 < 0 THEN
+         |             -(((-mu.cos_e4) * 2000000) // (aa.avg_e4 + ab.avg_e4))
+         |           ELSE (mu.cos_e4 * 2000000) // (aa.avg_e4 + ab.avg_e4)
+         |           END AS BIGINT) AS margin_ppm
+         |       FROM mu JOIN av aa ON aa.qid = mu.id_a AND aa.oth = mu.src_b
+         |            JOIN av ab ON ab.qid = mu.id_b AND ab.oth = mu.src_a),
+         |mr AS (SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+         |         ORDER BY margin_ppm DESC, id_a, id_b) AS brk FROM mg),
+         |ag AS (SELECT src_a, src_b,
+         |         CAST(COUNT(*) AS BIGINT) AS n_mutual,
+         |         CAST(SUM(CASE WHEN margin_ppm >= 1020000 THEN 1 ELSE 0
+         |           END) AS BIGINT) AS n_aligned
+         |       FROM mg GROUP BY 1, 2),
+         |bp AS (SELECT src_a, src_b, margin_ppm AS best_margin_ppm,
+         |         id_a AS best_id_a, id_b AS best_id_b
+         |       FROM mr WHERE brk = 1),
+         |cs AS (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT)
+         |         AS n_candidates FROM pr GROUP BY 1, 2)
+         |SELECT cs.src_a, cs.src_b, cs.n_candidates,
+         |       COALESCE(ag.n_mutual, 0) AS n_mutual,
+         |       COALESCE(ag.n_aligned, 0) AS n_aligned,
+         |       COALESCE(bp.best_margin_ppm, 0) AS best_margin_ppm,
+         |       COALESCE(bp.best_id_a, -1) AS best_id_a,
+         |       COALESCE(bp.best_id_b, -1) AS best_id_b
+         |FROM cs LEFT JOIN ag ON cs.src_a = ag.src_a AND cs.src_b = ag.src_b
+         |        LEFT JOIN bp ON cs.src_a = bp.src_a AND cs.src_b = bp.src_b
+         |ORDER BY cs.src_a, cs.src_b""".stripMargin,
     "q36_embed_near_dup" ->
       s"""WITH $embCte
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS bucket,

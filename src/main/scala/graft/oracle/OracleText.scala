@@ -620,6 +620,44 @@ object OracleText {
          |       COALESCE(CAST(s.sl // s.nb AS BIGINT), 0) AS nll_micro
          |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // CCNet head/middle/tail split: the q181 LM chain verbatim, then a
+    // per-source exact-rank tertile cut (3*(pos-1) // n) and a
+    // (source, bucket) rollup.
+    "q300_perplexity_buckets" ->
+      s"""WITH $nCte,
+         |b AS (SELECT doc_id, substr(t, CAST(g AS INT), 2) AS bg
+         |      FROM (SELECT doc_id, t, unnest(range(1, length(t))) AS g
+         |            FROM n) z),
+         |dc AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg),
+         |m AS (SELECT bg, SUM(c) AS cnt FROM dc GROUP BY bg),
+         |mar AS (SELECT substr(bg, 1, 1) AS c1, SUM(cnt) AS tot
+         |        FROM m GROUP BY c1),
+         |v AS (SELECT COUNT(DISTINCT substr(bg, 2, 1)) AS vv FROM m),
+         |lp AS (SELECT m.bg,
+         |              CAST(ROUND(-ln((m.cnt + 1.0)/(mar.tot + v.vv))
+         |                         * 1000000, 0) AS BIGINT) AS lp
+         |       FROM m JOIN mar ON substr(m.bg, 1, 1) = mar.c1 CROSS JOIN v),
+         |s AS (SELECT dc.doc_id, SUM(dc.c) AS nb, SUM(dc.c * lp.lp) AS sl
+         |      FROM dc JOIN lp ON dc.bg = lp.bg GROUP BY dc.doc_id),
+         |nl AS (SELECT d.doc_id, d.source, d.n_chars,
+         |         COALESCE(CAST(s.sl // s.nb AS BIGINT), 0) AS nll_micro
+         |       FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id),
+         |ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nsrc
+         |       FROM documents GROUP BY source),
+         |rkd AS (SELECT nl.*, ns.nsrc, row_number() OVER (
+         |          PARTITION BY nl.source
+         |          ORDER BY nl.nll_micro, nl.doc_id) AS pos
+         |        FROM nl JOIN ns ON nl.source = ns.source),
+         |bk AS (SELECT source,
+         |         CASE (3 * (pos - 1)) // nsrc WHEN 0 THEN 'head'
+         |           WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
+         |         nll_micro, n_chars FROM rkd)
+         |SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(MIN(nll_micro) AS BIGINT) AS min_nll_micro,
+         |       CAST(MAX(nll_micro) AS BIGINT) AS max_nll_micro,
+         |       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+         |FROM bk GROUP BY source, bucket
+         |ORDER BY source, bucket""".stripMargin,
     // Kneser-Ney word-bigram LM: absolute discount 0.75 + continuation
     // backoff; one micro-nat quantization per observed bigram type with
     // identical rational-double operand order on both engines

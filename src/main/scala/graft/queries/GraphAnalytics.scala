@@ -41,12 +41,16 @@ object GraphAnalytics {
     * q279. Same [[graft.ext.StageCache]] memo discipline as
     * [[partPairEdges]]; the support threshold rides the cache key so a
     * non-default prune never collides with the default one. */
-  private def supportEdges(spark: SparkSession, dir: String,
-                           minPairSupport: Long): DataFrame = {
+  /** The staged relation keeps the support count `s` so the weighted
+    * consumers (q299 Borůvka) share ONE build with the unweighted
+    * family (q142/q223/q253/q263/q279…) — the projection below is
+    * free on top of the checkpointed rows. */
+  private def supportWeightedEdges(spark: SparkSession, dir: String,
+                                   minPairSupport: Long): DataFrame = {
     val itLazy = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
       .distinct()
-    val key = graft.ext.StageCache.keyFor(itLazy, "copurchase-support",
+    val key = graft.ext.StageCache.keyFor(itLazy, "copurchase-support-w",
       minPairSupport)
     graft.ext.StageCache.getOrStage(key) {
       val it = itLazy.localCheckpoint()
@@ -54,10 +58,14 @@ object GraphAnalytics {
         .filter(col("item") < col("item2"))
         .groupBy("item", "item2").agg(count(lit(1)).as("s"))
         .filter(col("s") >= minPairSupport)
-        .select(col("item").as("u"), col("item2").as("v"))
+        .select(col("item").as("u"), col("item2").as("v"), col("s"))
         .localCheckpoint()
     }
   }
+
+  private def supportEdges(spark: SparkSession, dir: String,
+                           minPairSupport: Long): DataFrame =
+    supportWeightedEdges(spark, dir, minPairSupport).select("u", "v")
 
   /** Co-purchase propagation rank (q116): two integer-exact hops of
     * mass over the customer⋈supplier bipartite graph — each supplier
@@ -415,6 +423,18 @@ object GraphAnalytics {
     graft.ext.Factorization.alsRank2Report(ratings, "u", "i",
       segments, "seg")
   }
+
+  /** Borůvka maximum-spanning-forest trajectory (q299):
+    * [[graft.operators.Graph.boruvkaForest]] over the support-weighted
+    * co-purchase edges (shared staged relation with q142/q223/…) — the
+    * co-purchase BACKBONE: per round, components before/after,
+    * cross-component edge census, edges and support volume added, and
+    * the cumulative forest — the distributed-MST primitive the graph
+    * tier lacked, with its convergence trajectory oracle-checked. */
+  def copurchaseSpanningForest(spark: SparkSession, dir: String,
+                               minPairSupport: Long = 2): DataFrame =
+    graft.operators.Graph.boruvkaForest(
+      supportWeightedEdges(spark, dir, minPairSupport))
 
   /** Degree assortativity of the repeat co-purchase graph (q253):
     * [[graft.operators.Graph.degreeAssortativity]] over the same

@@ -98,6 +98,19 @@ object SimilarityQueries {
       "embedding", k = 5)
   }
 
+  /** Margin-based cross-source alignment mining (q298):
+    * [[graft.ext.Similarity.marginAlignment]] — the Artetxe–Schwenk
+    * mutual-kNN + ratio-margin criterion (the CCMatrix/LASER bitext
+    * recipe) applied across corpus sources over the label-bucketed
+    * candidate graph: per source pair, candidate volume, mutual-NN1
+    * count, margin-qualified alignments, and the best-margin pair. */
+  def marginAlignmentReport(spark: SparkSession, dir: String): DataFrame =
+    Similarity.marginAlignment(
+      Tables.embeddings(spark, dir)
+        .join(Tables.documents(spark, dir)
+          .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id")),
+      "vec_id", "embedding", "label", "source")
+
   /** Embedding-cluster silhouette report (q226): per-label silhouette
     * of the embeddings table's own label clustering via
     * [[graft.ext.Similarity.silhouetteByLabel]] — the clustering-quality

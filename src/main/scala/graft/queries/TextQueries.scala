@@ -120,6 +120,45 @@ object TextQueries {
     TextAnalysis.wordBigramLmScore(Tables.documents(spark, dir), "doc_id",
       "text")
 
+  /** CCNet head/middle/tail perplexity split (q300): the final leg of
+    * the CCNet pipeline (Wenzek et al. 2020 §4.3 — line dedup q266 +
+    * LM scoring q181 + THIS bucketing): within each source, rank
+    * documents by their q181 char-bigram LM score and cut into
+    * perplexity tertiles — `head` (most fluent third) is what CCNet
+    * ships to pretraining, `tail` is the gibberish reservoir. The cut
+    * is per SOURCE (CCNet cuts per language/snapshot) so a noisy
+    * source's head is still its own best third, not drowned by a clean
+    * source's distribution.
+    *
+    * Exactness: bucket = ⌊3·(pos−1)/n⌋ over the total
+    * (nll_micro, doc_id) order — integer arithmetic on an exact rank,
+    * no percentile estimation. Scale: the LM pass is q181's (model
+    * broadcast, integer aggregates); the ranking is ONE source-keyed
+    * window (running count, not a sort buffer beyond the shuffle sort)
+    * and the report is |source|·3 rows. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nll = TextAnalysis.bigramLmScore(Tables.documents(spark, dir),
+      "doc_id", "text")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val j = nll.join(docs, Seq("doc_id"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("nll_micro"), col("doc_id"))
+    val n = docs.groupBy("source").agg(count(lit(1)).as("nsrc"))
+    j.withColumn("pos", row_number().over(w))
+      .join(n, Seq("source"))
+      .withColumn("bucket",
+        expr("""CASE (3 * (pos - 1)) div nsrc WHEN 0 THEN 'head'
+                |WHEN 1 THEN 'middle' ELSE 'tail' END""".stripMargin))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("nll_micro").as("min_nll_micro"),
+        max("nll_micro").as("max_nll_micro"),
+        sum("n_chars").as("n_chars"))
+      .orderBy("source", "bucket")
+  }
+
   /** Kneser–Ney word-bigram LM scoring (q293):
     * [[graft.ext.TextAnalysis.kneserNeyBigramScore]] — the smoothing
     * KenLM-filter pipelines actually ship: absolute discount D=0.75

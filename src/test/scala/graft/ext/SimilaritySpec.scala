@@ -789,4 +789,34 @@ class SimilaritySpec extends SparkSpec {
     val nq = out("brute")._1
     assert(out.values.forall(_._1 == nq), "per-system query spines differ")
   }
+
+  test("marginAlignment: mutual NN1 + margin on a known geometry") {
+    import spark.implicits._
+    // bucket 0, three sources. a/b hold two near-orthogonal directions
+    // each, paired across sources: (1,2) and (3,4) are mutual NN1 with
+    // margin >> 1 (each pair's cosine dwarfs its side's kNN average).
+    // Source c is anti-aligned: its pairs can never clear the margin.
+    val corpus = Seq(
+      (1L, 0, Array(1.0f, 0.0f), "a"),
+      (3L, 0, Array(0.0f, 1.0f), "a"),
+      (2L, 0, Array(0.9f, 0.1f), "b"),
+      (4L, 0, Array(0.05f, 1.0f), "b"),
+      (5L, 0, Array(-1.0f, -0.5f), "c"))
+      .toDF("vec_id", "label", "embedding", "source")
+    val out = Similarity.marginAlignment(corpus, "vec_id", "embedding",
+        "label", "source")
+      .collect().map(r => (r.getAs[String]("src_a"),
+        r.getAs[String]("src_b")) -> r).toMap
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Long]("n_candidates") == 4L)
+    assert(ab.getAs[Long]("n_mutual") == 2L)
+    assert(ab.getAs[Long]("n_aligned") == 2L)
+    assert(ab.getAs[Long]("best_margin_ppm") > 1500000L)
+    val best = (ab.getAs[Long]("best_id_a"), ab.getAs[Long]("best_id_b"))
+    assert(best == (1L, 2L) || best == (3L, 4L))
+    // anti-aligned source: mutual pairs may exist (NN1 of a singleton is
+    // trivially mutual) but nothing clears the margin
+    assert(out(("a", "c")).getAs[Long]("n_aligned") == 0L)
+    assert(out(("b", "c")).getAs[Long]("n_aligned") == 0L)
+  }
 }

@@ -474,6 +474,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(flipped, "word-LM ordering identical to char-LM — no signal")
   }
 
+  test("perplexityBuckets: exact per-source tertile partition, ordered cuts") {
+    val rows = graft.queries.TextQueries.perplexityBuckets(spark, sf001)
+      .collect()
+    val perSrc = rows.groupBy(_.getAs[String]("source"))
+    val want = graft.model.Tables.documents(spark, sf001)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSrc.foreach { case (src, bs) =>
+      val byB = bs.map(r => r.getAs[String]("bucket") -> r).toMap
+      // the tertiles PARTITION the source exactly
+      assert(bs.map(_.getAs[Long]("n_docs")).sum == want(src))
+      // exact floor-arithmetic bucket sizes
+      val n = want(src)
+      val expect = (1L to n).groupBy(k => (3 * (k - 1)) / n)
+        .view.mapValues(_.size.toLong).toMap
+      assert(byB("head").getAs[Long]("n_docs") == expect(0L))
+      assert(byB.get("middle").map(_.getAs[Long]("n_docs")).getOrElse(0L)
+        == expect.getOrElse(1L, 0L))
+      // nll cuts are ordered: head <= middle <= tail at the boundaries
+      for (Seq(lo, hi) <- Seq("head", "middle", "tail").sliding(2)
+           if byB.contains(lo) && byB.contains(hi)) {
+        assert(byB(lo).getAs[Long]("max_nll_micro") <=
+          byB(hi).getAs[Long]("min_nll_micro"),
+          s"$src: $lo/$hi cut out of order")
+      }
+    }
+  }
+
   test("kneserNeyBigramScore: hand-checked micro-nats on a 1-doc corpus") {
     import spark.implicits._
     // "a b a b": bigrams "a b"(cb=2, retained), "b a"(cb=1, backoff).

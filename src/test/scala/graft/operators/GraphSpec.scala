@@ -554,4 +554,39 @@ class GraphSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.max("diameter_lb")).head.getInt(0)
     assert(out(2)._6 >= q285lb, "certificate lb regressed below q285's lb")
   }
+
+  test("boruvkaForest: hand fixture keeps the maximum spanning tree") {
+    // Square with a diagonal: the max spanning tree keeps s=9,5,3 and
+    // drops s=1 and s=2 (cycle-closing weakest edges).
+    val edges = Seq(
+      (1L, 2L, 5L), (2L, 3L, 3L), (3L, 4L, 9L), (1L, 3L, 1L),
+      (1L, 4L, 2L)).toDF("u", "v", "s")
+    val t = graft.operators.Graph.boruvkaForest(edges, rounds = 3)
+      .collect().sortBy(_.getAs[Int]("round"))
+    val last = t.last
+    assert(last.getAs[Long]("n_components_after") == 1L)
+    assert(last.getAs[Long]("forest_edges_total") == 3L)   // V - 1
+    assert(last.getAs[Long]("forest_support_total") == 17L) // 9 + 5 + 3
+    // trajectory invariants: components never increase; forest only grows
+    t.foreach { r =>
+      assert(r.getAs[Long]("n_components_after") <=
+        r.getAs[Long]("n_components_before"))
+    }
+    assert(t.map(_.getAs[Long]("forest_edges_total")).toSeq ==
+      t.map(_.getAs[Long]("forest_edges_total")).sorted.toSeq)
+  }
+
+  test("boruvkaForest: disjoint components converge to a spanning FOREST") {
+    val edges = Seq(
+      (1L, 2L, 4L), (2L, 3L, 6L),         // component A: 3 nodes
+      (10L, 11L, 7L), (11L, 12L, 2L), (10L, 12L, 9L)) // component B: 3 nodes
+      .toDF("u", "v", "s")
+    val last = graft.operators.Graph.boruvkaForest(edges, rounds = 3)
+      .collect().maxBy(_.getAs[Int]("round"))
+    assert(last.getAs[Long]("n_components_after") == 2L)
+    assert(last.getAs[Long]("forest_edges_total") == 4L) // (3-1) + (3-1)
+    // B keeps 9 + 7 (drops 2); A keeps everything (tree already)
+    assert(last.getAs[Long]("forest_support_total") == 4L + 6L + 7L + 9L)
+    assert(last.getAs[Long]("n_cross_edges") >= 0L)
+  }
 }
