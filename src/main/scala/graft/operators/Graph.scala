@@ -1067,7 +1067,11 @@ object Graph {
       }
       lbl = lbl.join(lmap, Seq("l")).select(col("node"), col("m").as("l"))
         .localCheckpoint()
-      def cnt(tag: String) = sum(when(col("t") === tag, 1L).otherwise(0L))
+      // coalesce: an edgeless input aggregates an EMPTY union (one
+      // all-NULL row) — a NULL long renders as pandas float64 in the
+      // driver compare while the oracle's COUNT(*) stays 0.
+      def cnt(tag: String) =
+        coalesce(sum(when(col("t") === tag, 1L).otherwise(0L)), lit(0L))
       def sv(tag: String) =
         coalesce(sum(when(col("t") === tag, col("sv"))), lit(0L))
       tagged(lblBefore.select("l").distinct(), "before", lit(0L))
@@ -1087,6 +1091,85 @@ object Graph {
           col("n_edges_added"), col("support_added"),
           col("n_components_after"), col("forest_edges_total"),
           col("forest_support_total"))
+    }
+    rows.reduce(_ unionAll _).orderBy("round")
+  }
+
+  /** k-TRUSS peeling trajectory (Cohen 2008) — the triangle-based
+    * cohesion core one level above k-core: the k-truss is the maximal
+    * subgraph where EVERY edge sits in ≥ k−2 triangles, so it prunes
+    * barely-attached edges that degree-based coreness keeps (a hub
+    * spoke has high-degree endpoints but no triangles). Standard
+    * peeling: compute per-edge triangle support, drop edges below
+    * k−2, recompute on the survivors — support only falls as edges
+    * leave, so the fixpoint is the truss.
+    *
+    * Fixed-round + trajectory contract (the q223/q299 posture):
+    * `rounds` peels, each reporting edges before, triangle census
+    * (Σ support / 3 — every triangle supports exactly 3 edges), edges
+    * dropped, edges after, and `converged` (nothing dropped this
+    * round). An unconverged trajectory is honest output, not an error.
+    *
+    * Scale shape: per-edge support rides the q142 degree-oriented
+    * discipline — each edge pivots on its LOWER-(degree, id) endpoint,
+    * so wedge generation is Σ min-deg = O(m^1.5) and a hub's spokes
+    * never explode quadratically; the closing probe and the support
+    * rollup are edge-keyed shuffles; per-round stats are one aggregate
+    * over a tagged union (zero scalar crosses). */
+  def ktrussTrajectory(edgesIn: DataFrame, k: Int = 4,
+                       rounds: Int = 3): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    val minSup = k - 2
+    var cur = edgesIn.select(col("u"), col("v")).localCheckpoint()
+    def tagged(df: DataFrame, tag: String): DataFrame =
+      df.select(lit(tag).as("t"), lit(0L).as("sv"))
+    val rows = (1 to rounds).map { r =>
+      val adj = cur.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(cur.select(col("v").as("a"), col("u").as("b")))
+        .localCheckpoint() // read by degrees, wedges, closing probe
+      val deg = adj.groupBy("a").agg(count(lit(1)).as("deg"))
+      // pivot each edge on its lower-(degree, id) endpoint
+      val piv = cur
+        .join(deg.select(col("a").as("u"), col("deg").as("du")), Seq("u"))
+        .join(deg.select(col("a").as("v"), col("deg").as("dv")), Seq("v"))
+        .select(col("u"), col("v"),
+          when(struct(col("du"), col("u")) <= struct(col("dv"), col("v")),
+            col("u")).otherwise(col("v")).as("p"),
+          when(struct(col("du"), col("u")) <= struct(col("dv"), col("v")),
+            col("v")).otherwise(col("u")).as("o"))
+      val sup = piv
+        .join(adj.select(col("a").as("p"), col("b").as("w")), Seq("p"))
+        .filter(col("w") =!= col("o"))
+        .join(adj.select(col("a").as("o"), col("b").as("w")), Seq("o", "w"),
+          "left_semi")
+        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+      val scored = cur.join(sup, Seq("u", "v"), "left")
+        .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("sup"))
+        .localCheckpoint() // read by the stats union AND the survivor cut
+      val next = scored.filter(col("sup") >= minSup).select("u", "v")
+        .localCheckpoint()
+      val stats = tagged(cur, "before")
+        .unionAll(scored.select(lit("supsum").as("t"), col("sup").as("sv")))
+        .unionAll(tagged(next, "after"))
+        // coalesce EVERY stat: a fully-peeled round aggregates an EMPTY
+        // union (one all-NULL row), and a NULL long renders as pandas
+        // float64 in the driver compare while the oracle's COUNT(*)
+        // stays 0.
+        .agg(coalesce(sum(when(col("t") === "before", 1L).otherwise(0L)),
+            lit(0L)).as("n_edges_before"),
+          coalesce(sum(when(col("t") === "supsum", col("sv"))), lit(0L))
+            .as("supsum"),
+          coalesce(sum(when(col("t") === "after", 1L).otherwise(0L)),
+            lit(0L)).as("n_edges_after"))
+        .select(lit(r).cast("int").as("round"), col("n_edges_before"),
+          // every triangle supports exactly 3 edges — exact division
+          expr("supsum div 3").as("n_triangles"),
+          (col("n_edges_before") - col("n_edges_after")).as("n_dropped"),
+          col("n_edges_after"),
+          (col("n_edges_before") === col("n_edges_after")).cast("int")
+            .as("converged"))
+      cur = next
+      stats
     }
     rows.reduce(_ unionAll _).orderBy("round")
   }

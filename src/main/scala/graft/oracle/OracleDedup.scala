@@ -616,5 +616,39 @@ object OracleDedup {
          |FROM sz LEFT JOIN rm USING (doc_id)
          |GROUP BY source
          |ORDER BY source""".stripMargin,
+    // Train/test near-dup leakage: the q34 verified pair tier crossed
+    // with the q52 affine-mod split; full 6-cell spine, cross-split
+    // cells flagged, shares in exact ppm.
+    "q302_split_leakage" ->
+      s"""WITH $nCte,
+         |$minhashCtes,
+         |pv AS (SELECT iv.doc_a, iv.doc_b
+         |       FROM iv JOIN sz za ON za.doc_id = iv.doc_a
+         |               JOIN sz zb ON zb.doc_id = iv.doc_b
+         |       WHERE CAST(n_inter AS DOUBLE)/(za.n+zb.n-n_inter) >= 0.8),
+         |sp AS (SELECT doc_id, CASE WHEN $bucketExpr < 90 THEN 'train'
+         |         WHEN $bucketExpr < 95 THEN 'val' ELSE 'test' END AS split
+         |       FROM documents),
+         |tg AS (SELECT LEAST(a.split, b.split) AS split_lo,
+         |         GREATEST(a.split, b.split) AS split_hi
+         |       FROM pv JOIN sp a ON pv.doc_a = a.doc_id
+         |               JOIN sp b ON pv.doc_b = b.doc_id),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tg),
+         |nm AS (SELECT unnest(['test', 'train', 'val']) AS s),
+         |spn AS (SELECT a.s AS split_lo, b.s AS split_hi
+         |        FROM nm a JOIN nm b ON a.s <= b.s),
+         |ct AS (SELECT split_lo, split_hi, CAST(COUNT(*) AS BIGINT)
+         |         AS n_pairs FROM tg GROUP BY 1, 2)
+         |SELECT spn.split_lo, spn.split_hi,
+         |       COALESCE(ct.n_pairs, 0) AS n_pairs,
+         |       CAST(CASE WHEN spn.split_lo <> spn.split_hi THEN 1 ELSE 0
+         |         END AS INT) AS is_leak,
+         |       CAST(CASE WHEN tot.n_total = 0 THEN 0
+         |         ELSE COALESCE(ct.n_pairs, 0) * 1000000 // tot.n_total
+         |         END AS BIGINT) AS share_ppm
+         |FROM spn LEFT JOIN ct
+         |  ON spn.split_lo = ct.split_lo AND spn.split_hi = ct.split_hi
+         |CROSS JOIN tot
+         |ORDER BY spn.split_lo, spn.split_hi""".stripMargin,
   )
 }

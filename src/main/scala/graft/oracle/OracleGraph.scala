@@ -131,6 +131,54 @@ object OracleGraph {
        |    AS forest_support_total)""".stripMargin
   }
 
+  /** One k-truss peel (q301, generated): degree-oriented per-edge
+    * triangle support (pivot on the lower-(degree, id) endpoint — the
+    * q142 discipline), drop edges below k−2, stats row. MATERIALIZED on
+    * the relations the next round re-reads. */
+  private def ktrussRound(r: Int, minSup: Int): String =
+    s"""ad$r AS MATERIALIZED (SELECT u AS a, v AS b FROM e$r
+       |  UNION ALL SELECT v, u FROM e$r),
+       |dg$r AS (SELECT a, COUNT(*) AS deg FROM ad$r GROUP BY a),
+       |pv$r AS (SELECT e.u, e.v,
+       |    CASE WHEN (du.deg, e.u) <= (dv.deg, e.v) THEN e.u ELSE e.v
+       |      END AS p,
+       |    CASE WHEN (du.deg, e.u) <= (dv.deg, e.v) THEN e.v ELSE e.u
+       |      END AS o
+       |  FROM e$r e JOIN dg$r du ON e.u = du.a JOIN dg$r dv ON e.v = dv.a),
+       |wg$r AS (SELECT p.u, p.v, p.o, x.b AS wn
+       |  FROM pv$r p JOIN ad$r x ON x.a = p.p WHERE x.b <> p.o),
+       |sp$r AS MATERIALIZED (SELECT g.u, g.v, CAST(COUNT(*) AS BIGINT) AS sup
+       |  FROM wg$r g JOIN ad$r y ON y.a = g.o AND y.b = g.wn GROUP BY 1, 2),
+       |sc$r AS MATERIALIZED (SELECT e.u, e.v, COALESCE(sp.sup, 0) AS sup
+       |  FROM e$r e LEFT JOIN sp$r sp ON e.u = sp.u AND e.v = sp.v),
+       |e${r + 1} AS MATERIALIZED (SELECT u, v FROM sc$r WHERE sup >= $minSup),
+       |ts$r AS (SELECT CAST($r AS INT) AS round,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e$r) AS n_edges_before,
+       |  (SELECT CAST(COALESCE(SUM(sup), 0) // 3 AS BIGINT) FROM sc$r)
+       |    AS n_triangles,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e$r)
+       |    - (SELECT CAST(COUNT(*) AS BIGINT) FROM e${r + 1}) AS n_dropped,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e${r + 1}) AS n_edges_after,
+       |  CAST(CASE WHEN (SELECT COUNT(*) FROM e$r) =
+       |    (SELECT COUNT(*) FROM e${r + 1}) THEN 1 ELSE 0 END AS INT)
+       |    AS converged)""".stripMargin
+
+  /** k-truss (k=4) peeling trajectory, 3 unrolled rounds over the
+    * support-≥2 co-purchase edges — mirrors
+    * graft.operators.Graph.ktrussTrajectory exactly. */
+  private lazy val ktrussSql: String = {
+    val rounds = (1 to 3).map(ktrussRound(_, 2)).mkString(",\n")
+    s"""WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey,
+       |    l_partkey AS p FROM lineitem),
+       |e1 AS MATERIALIZED (SELECT a.p AS u, b.p AS v
+       |  FROM it a JOIN it b ON a.okey = b.okey AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |$rounds
+       |SELECT * FROM ts1 UNION ALL SELECT * FROM ts2
+       |UNION ALL SELECT * FROM ts3
+       |ORDER BY round""".stripMargin
+  }
+
   /** Borůvka maximum-spanning-forest trajectory, 3 unrolled rounds over
     * the support-≥2 co-purchase edges — mirrors
     * graft.operators.Graph.boruvkaForest exactly. */
@@ -158,6 +206,9 @@ object OracleGraph {
     // Borůvka max-spanning-forest: 3 unrolled rounds, hash-min merges
     // (generated — see boruvkaSql).
     "q299_boruvka_forest" -> boruvkaSql,
+    // k-truss peeling: 3 unrolled degree-oriented support rounds
+    // (generated — see ktrussSql).
+    "q301_ktruss" -> ktrussSql,
     // 2-iteration integer PageRank over the undirected customer–supplier
     // graph; per-edge floor division exactly as the Spark operator.
     "q140_copurchase_pagerank" ->

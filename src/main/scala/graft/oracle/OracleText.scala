@@ -658,6 +658,78 @@ object OracleText {
          |       CAST(SUM(n_chars) AS BIGINT) AS n_chars
          |FROM bk GROUP BY source, bucket
          |ORDER BY source, bucket""".stripMargin,
+    // Two-filter Cohen's kappa: q181 LM chain + q300 tertile head as
+    // rater 2, q62 C4 keep as rater 1; exact 2x2 cells, HUGEINT
+    // marginal products, sign-split ppm kappa (negative kappa = real
+    // disagreement).
+    "q303_filter_kappa" ->
+      s"""WITH $nCte,
+         |b AS (SELECT doc_id, substr(t, CAST(g AS INT), 2) AS bg
+         |      FROM (SELECT doc_id, t, unnest(range(1, length(t))) AS g
+         |            FROM n) z),
+         |dc AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg),
+         |m AS (SELECT bg, SUM(c) AS cnt FROM dc GROUP BY bg),
+         |mar AS (SELECT substr(bg, 1, 1) AS c1, SUM(cnt) AS tot
+         |        FROM m GROUP BY c1),
+         |v AS (SELECT COUNT(DISTINCT substr(bg, 2, 1)) AS vv FROM m),
+         |lp AS (SELECT m.bg,
+         |              CAST(ROUND(-ln((m.cnt + 1.0)/(mar.tot + v.vv))
+         |                         * 1000000, 0) AS BIGINT) AS lp
+         |       FROM m JOIN mar ON substr(m.bg, 1, 1) = mar.c1 CROSS JOIN v),
+         |s AS (SELECT dc.doc_id, SUM(dc.c) AS nb, SUM(dc.c * lp.lp) AS sl
+         |      FROM dc JOIN lp ON dc.bg = lp.bg GROUP BY dc.doc_id),
+         |nl AS (SELECT d.doc_id, d.source,
+         |         COALESCE(CAST(s.sl // s.nb AS BIGINT), 0) AS nll_micro
+         |       FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id),
+         |nsc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nsrc
+         |        FROM documents GROUP BY source),
+         |rk2 AS (SELECT nl.doc_id, nl.source,
+         |          CASE WHEN (3 * (row_number() OVER (
+         |            PARTITION BY nl.source
+         |            ORDER BY nl.nll_micro, nl.doc_id) - 1)) // nsc.nsrc = 0
+         |            THEN 1 ELSE 0 END AS r2
+         |        FROM nl JOIN nsc ON nl.source = nsc.source),
+         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+         |mm AS (SELECT doc_id,
+         |        CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        list_sum(list_transform(toks,
+         |          w -> CAST(length(w) AS BIGINT)))*1.0 / len(toks) AS ml,
+         |        len(list_filter(toks, w -> length(w) >= 7))*1.0
+         |          / len(toks) AS lf,
+         |        CAST(len(list_filter(toks,
+         |          w -> w IN ('the','a','of','and','to','in'))) AS BIGINT)
+         |          AS nstop
+         |      FROM tk),
+         |c4 AS (SELECT doc_id, CASE WHEN n_tokens < 50 THEN 0
+         |         WHEN ml < 4.2 OR ml > 4.8 THEN 0 WHEN lf > 0.06 THEN 0
+         |         WHEN nstop < 2 THEN 0 ELSE 1 END AS r1 FROM mm),
+         |rt AS (SELECT rk2.source, c4.r1, rk2.r2
+         |       FROM rk2 JOIN c4 ON rk2.doc_id = c4.doc_id),
+         |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         |          CAST(SUM(r1*r2) AS BIGINT) AS n11,
+         |          CAST(SUM(r1*(1-r2)) AS BIGINT) AS n10,
+         |          CAST(SUM((1-r1)*r2) AS BIGINT) AS n01,
+         |          CAST(SUM((1-r1)*(1-r2)) AS BIGINT) AS n00
+         |        FROM rt GROUP BY source),
+         |u AS (SELECT * FROM per
+         |      UNION ALL
+         |      SELECT '__all__', CAST(SUM(n) AS BIGINT),
+         |        CAST(SUM(n11) AS BIGINT), CAST(SUM(n10) AS BIGINT),
+         |        CAST(SUM(n01) AS BIGINT), CAST(SUM(n00) AS BIGINT)
+         |      FROM per),
+         |k AS (SELECT source, n, n11, n10, n01, n00, n11 + n00 AS a,
+         |        CAST(n11+n10 AS HUGEINT)*(n11+n01)
+         |          + CAST(n00+n01 AS HUGEINT)*(n00+n10) AS e_num
+         |      FROM u),
+         |k2 AS (SELECT *, CAST(n AS HUGEINT)*a - e_num AS num,
+         |         CAST(n AS HUGEINT)*n - e_num AS den FROM k)
+         |SELECT source, n AS n_docs, n11 AS n_both_keep, n10 AS n_c4_only,
+         |       n01 AS n_lm_only, n00 AS n_both_drop,
+         |       CAST(a * 1000000 // n AS BIGINT) AS agree_ppm,
+         |       CAST(CASE WHEN den = 0 THEN 0
+         |         WHEN num < 0 THEN -((-num) * 1000000 // den)
+         |         ELSE num * 1000000 // den END AS BIGINT) AS kappa_ppm
+         |FROM k2 ORDER BY source""".stripMargin,
     // Kneser-Ney word-bigram LM: absolute discount 0.75 + continuation
     // backoff; one micro-nat quantization per observed bigram type with
     // identical rational-double operand order on both engines

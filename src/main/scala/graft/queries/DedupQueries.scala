@@ -377,4 +377,50 @@ object DedupQueries {
   def exactSubstringReport(spark: SparkSession, dir: String): DataFrame =
     TextDedup.exactSubstringScrub(Tables.documents(spark, dir), "doc_id",
       "text", "source", minLen = 50)
+
+  /** Train/test near-dup leakage audit (q302): the q34 MinHash+LSH
+    * verified pair tier crossed with the q52 deterministic split — per
+    * unordered split pair, how many near-duplicate pairs STRADDLE the
+    * boundary (a train↔test near-dup is evaluation contamination that
+    * survives exact decontamination, the audit Lee et al. 2022 §6.2
+    * runs on every benchmark). The full 6-cell split-pair spine is
+    * always present (a 0 in train↔test is the PASSING readout — absence
+    * would be silence), `is_leak` marks the cross-split cells, and
+    * `share_ppm` normalizes by the total verified-pair volume. One
+    * pair-tier pass + two broadcast-able split joins + a 6-row rollup —
+    * the audit adds nothing pair-volume-sized to the q34 plan. */
+  def splitLeakageAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 8, threshold = 0.8)
+    val splits = Sampling.hashSplit(docs.select("doc_id"), "doc_id",
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .select(col("doc_id"), col("split"))
+    val crossed = pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+        Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+      .localCheckpoint() // read by the cell counts AND the pair total
+    val total = crossed.agg(count(lit(1)).as("n_total"))
+    val names = Seq("test", "train", "val").toDF("s")
+    val spine = names.select(col("s").as("split_lo"))
+      .crossJoin(broadcast(names.select(col("s").as("split_hi"))))
+      .filter(col("split_lo") <= col("split_hi"))
+    spine
+      .join(crossed.groupBy("split_lo", "split_hi")
+        .agg(count(lit(1)).as("n_pairs")), Seq("split_lo", "split_hi"),
+        "left")
+      .crossJoin(broadcast(total))
+      .select(col("split_lo"), col("split_hi"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        (col("split_lo") =!= col("split_hi")).cast("int").as("is_leak"),
+        expr("""CASE WHEN n_total = 0 THEN CAST(0 AS BIGINT)
+                |ELSE coalesce(n_pairs, 0) * 1000000 div n_total
+                |END""".stripMargin).as("share_ppm"))
+      .orderBy("split_lo", "split_hi")
+  }
 }

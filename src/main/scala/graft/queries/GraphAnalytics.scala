@@ -436,6 +436,17 @@ object GraphAnalytics {
     graft.operators.Graph.boruvkaForest(
       supportWeightedEdges(spark, dir, minPairSupport))
 
+  /** k-truss peeling trajectory (q301):
+    * [[graft.operators.Graph.ktrussTrajectory]] at k=4 over the
+    * support-≥2 co-purchase edges (same staged relation as
+    * q142/q223/q299) — the triangle-cohesion core one level above
+    * coreness: per round, edges before, triangle census, edges dropped
+    * below support 2, survivors, and the convergence flag. */
+  def copurchaseKTruss(spark: SparkSession, dir: String,
+                       minPairSupport: Long = 2): DataFrame =
+    graft.operators.Graph.ktrussTrajectory(
+      supportEdges(spark, dir, minPairSupport))
+
   /** Degree assortativity of the repeat co-purchase graph (q253):
     * [[graft.operators.Graph.degreeAssortativity]] over the same
     * support-≥2 edge list as q223 — one signed number for "do

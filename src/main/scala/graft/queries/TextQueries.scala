@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.{Bpe, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis, TextClean, TextDedup, TextOps, UnigramLm}
 import graft.model.Tables
@@ -157,6 +157,70 @@ object TextQueries {
         max("nll_micro").as("max_nll_micro"),
         sum("n_chars").as("n_chars"))
       .orderBy("source", "bucket")
+  }
+
+  /** Two-filter agreement with Cohen's kappa (q303): do the two
+    * philosophies of quality filtering — the C4 heuristic cascade
+    * (q62's keep) and the CCNet perplexity head (q300's most-fluent
+    * tertile) — agree BEYOND CHANCE? Raw agreement flatters any pair
+    * of mostly-keep filters; kappa subtracts the chance term
+    * (κ = (pₒ − pₑ)/(1 − pₑ)), the standard inter-rater statistic, so
+    * a source where κ ≈ 0 is where the two stacks genuinely disagree —
+    * the first place a curation team audits. Per-source rows plus the
+    * `__all__` pool (the q297 self-calibrating idiom).
+    *
+    * Exactness: the 2×2 cell counts are exact integer sums; pₒ and pₑ
+    * stay as exact DECIMAL(38,0) rationals (A·N vs Σ marginal
+    * products) and κ is ONE sign-split ppm floor division — κ can be
+    * negative (systematic disagreement) and truncate-vs-floor diverges
+    * there. Scale: one C4 scoring pass (scan-fused), one q181 LM pass,
+    * one source-keyed ranking window, one |sources|-row rollup. */
+  def filterAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val c4 = graft.ext.QualityFilters.c4Filter(docs, "doc_id", "text")
+      .select(col("doc_id"), col("keep").cast("long").as("r1"))
+    val nll = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("nll_micro"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("nll_micro"), col("doc_id"))
+    val n = docs.groupBy("source").agg(count(lit(1)).as("nsrc"))
+    val rated = docs.select(col("doc_id"), col("source"))
+      .join(nll, Seq("doc_id")).join(c4, Seq("doc_id"))
+      .withColumn("pos", row_number().over(w))
+      .join(n, Seq("source"))
+      .withColumn("r2",
+        (expr("(3 * (pos - 1)) div nsrc") === 0).cast("long"))
+    val per = rated.groupBy("source").agg(count(lit(1)).as("n"),
+      sum(col("r1") * col("r2")).as("n11"),
+      sum(col("r1") * (lit(1L) - col("r2"))).as("n10"),
+      sum((lit(1L) - col("r1")) * col("r2")).as("n01"),
+      sum((lit(1L) - col("r1")) * (lit(1L) - col("r2"))).as("n00"))
+      .localCheckpoint() // read by the report AND the __all__ pool
+    val pooled = per.groupBy().agg(sum("n").as("n"), sum("n11").as("n11"),
+      sum("n10").as("n10"), sum("n01").as("n01"), sum("n00").as("n00"))
+      .select(lit("__all__").as("source"), col("n"), col("n11"),
+        col("n10"), col("n01"), col("n00"))
+    def d(c: Column) = c.cast("decimal(19,0)")
+    per.unionAll(pooled)
+      .withColumn("a", col("n11") + col("n00"))
+      .withColumn("e_num",
+        d(col("n11") + col("n10")) * d(col("n11") + col("n01")) +
+          d(col("n00") + col("n01")) * d(col("n00") + col("n10")))
+      .withColumn("num", d(col("n")) * d(col("a")) - col("e_num"))
+      .withColumn("den", d(col("n")) * d(col("n")) - col("e_num"))
+      .select(col("source"), col("n").cast("long").as("n_docs"),
+        col("n11").cast("long").as("n_both_keep"),
+        col("n10").cast("long").as("n_c4_only"),
+        col("n01").cast("long").as("n_lm_only"),
+        col("n00").cast("long").as("n_both_drop"),
+        expr("a * 1000000 div n").cast("long").as("agree_ppm"),
+        expr("""CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
+                |WHEN num < 0 THEN
+                |  CAST(-((-num) * 1000000 div den) AS BIGINT)
+                |ELSE CAST(num * 1000000 div den AS BIGINT) END"""
+          .stripMargin).as("kappa_ppm"))
+      .orderBy("source")
   }
 
   /** Kneser–Ney word-bigram LM scoring (q293):

@@ -502,6 +502,37 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("filterAgreement: pooled cells sum the sources; kappa matches BigInt") {
+    val rows = graft.queries.TextQueries.filterAgreement(spark, sf001)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val all = rows("__all__")
+    val srcs = rows.view.filterKeys(_ != "__all__").values.toSeq
+    for (c <- Seq("n_docs", "n_both_keep", "n_c4_only", "n_lm_only",
+        "n_both_drop")) {
+      assert(all.getAs[Long](c) == srcs.map(_.getAs[Long](c)).sum,
+        s"pooled $c is not the source sum")
+    }
+    rows.values.foreach { r =>
+      val k = r.getAs[Long]("kappa_ppm")
+      assert(k >= -1000000L && k <= 1000000L, s"kappa out of range: $k")
+      // independent BigInt recompute from the row's own cells
+      val (n, n11, n10, n01, n00) = (BigInt(r.getAs[Long]("n_docs")),
+        BigInt(r.getAs[Long]("n_both_keep")),
+        BigInt(r.getAs[Long]("n_c4_only")),
+        BigInt(r.getAs[Long]("n_lm_only")),
+        BigInt(r.getAs[Long]("n_both_drop")))
+      val a = n11 + n00
+      val e = (n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)
+      val (num, den) = (n * a - e, n * n - e)
+      val want =
+        if (den == 0) BigInt(0)
+        else if (num < 0) -((-num) * 1000000 / den)
+        else num * 1000000 / den
+      assert(BigInt(k) == want, s"${r.getAs[String]("source")} kappa")
+      assert(r.getAs[Long]("agree_ppm") == (a * 1000000 / n).toLong)
+    }
+  }
+
   test("kneserNeyBigramScore: hand-checked micro-nats on a 1-doc corpus") {
     import spark.implicits._
     // "a b a b": bigrams "a b"(cb=2, retained), "b a"(cb=1, backoff).

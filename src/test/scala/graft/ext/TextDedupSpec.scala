@@ -457,4 +457,32 @@ class TextDedupSpec extends SparkSpec {
     assert(r.head.getLong(3) == r.head.getLong(4))     // before == after
     assert(r.head.getLong(5) == 0L)                    // removed_ppm
   }
+
+  test("q302 split-leakage cells equal a brute recombination of q34 + q52") {
+    val rows = graft.queries.DedupQueries.splitLeakageAudit(spark, sf001)
+      .collect()
+    assert(rows.length == 6, "the 6-cell split-pair spine must be complete")
+    // brute: recombine the registered pair tier with the registered split
+    val pairs = graft.queries.DedupQueries.dedupMinhashLsh(spark, sf001)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val split = graft.ext.Sampling.hashSplit(
+        graft.model.Tables.documents(spark, sf001).select("doc_id"),
+        "doc_id", Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+      .toMap
+    val brute = pairs.map { case (a, b) =>
+      val (sa, sb) = (split(a), split(b))
+      (Seq(sa, sb).min, Seq(sa, sb).max)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[String]("split_lo"), r.getAs[String]("split_hi"))
+      assert(r.getAs[Long]("n_pairs") == brute.getOrElse(key, 0L),
+        s"cell $key disagrees with brute recombination")
+      assert(r.getAs[Int]("is_leak") == (if (key._1 != key._2) 1 else 0))
+    }
+    val total = brute.values.sum
+    val crossShare = rows.filter(_.getAs[Int]("is_leak") == 1)
+      .map(_.getAs[Long]("n_pairs")).sum
+    assert(total > 0 && crossShare >= 0)
+  }
 }

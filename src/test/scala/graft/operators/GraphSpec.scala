@@ -576,6 +576,28 @@ class GraphSpec extends SparkSpec {
       t.map(_.getAs[Long]("forest_edges_total")).sorted.toSeq)
   }
 
+  test("ktrussTrajectory: clique survives, pendant and bridge edges peel") {
+    // K4 (every edge in 2 triangles) + a pendant spoke (0 triangles) + a
+    // triangle hanging off one clique node by a bridge: the 4-truss is
+    // exactly the K4 — round 1 drops the pendant, the bridge, and the
+    // hanging triangle's edges (support 1 < 2), round 2 confirms.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val pendant = Seq((4L, 9L))
+    val hang = Seq((4L, 5L), (5L, 6L), (5L, 7L), (6L, 7L))
+    val edges = (k4 ++ pendant ++ hang).toDF("u", "v")
+    val t = graft.operators.Graph.ktrussTrajectory(edges, k = 4, rounds = 3)
+      .collect().sortBy(_.getAs[Int]("round"))
+    assert(t.head.getAs[Long]("n_edges_before") == 11L)
+    // K4 holds 4 triangles; the hanging triangle is 1 more
+    assert(t.head.getAs[Long]("n_triangles") == 5L)
+    val last = t.last
+    assert(last.getAs[Long]("n_edges_after") == 6L, "4-truss must be the K4")
+    assert(last.getAs[Int]("converged") == 1)
+    // support never resurrects: edge counts are non-increasing
+    val counts = t.map(_.getAs[Long]("n_edges_after")).toSeq
+    assert(counts == counts.sorted.reverse)
+  }
+
   test("boruvkaForest: disjoint components converge to a spanning FOREST") {
     val edges = Seq(
       (1L, 2L, 4L), (2L, 3L, 6L),         // component A: 3 nodes
