@@ -992,18 +992,21 @@ object Graph {
     * rounds total.
     *
     * Fixed-round + certificate contract (the q223/q236/q285 house
-    * posture): `rounds` Borůvka rounds run, each merging via `mergeHops`
-    * hash-min iterations over the SELECTED edges' component graph (a
-    * Borůvka selection is a pseudo-forest of components — star-shaped
-    * merges collapse in 2 hops; a longer merge chain that doesn't fully
-    * collapse within `mergeHops` is NOT an error: unmerged components
-    * simply re-select in the next round, the forest edge set is
-    * unaffected because selected edges dedup on (u, v), and the
-    * trajectory reports the true component count). The output is the
-    * per-round trajectory — components before, cross-component edges,
-    * edges added, support volume added, components after, cumulative
-    * forest size — so convergence (`n_cross_edges` → 0, components →
-    * #connected-components) is oracle-checked, never asserted.
+    * posture): `rounds` Borůvka rounds run; within each round the
+    * selected edges' component graph is collapsed EXACTLY — min-label
+    * propagation to fixpoint with the [[ConnectedComponents]]
+    * Observation idiom (the convergence check rides the round's own
+    * materialization job; a silent partial merge is NOT acceptable
+    * here, because a split label could re-select an edge INSIDE its
+    * true component next round and the "forest" would quietly gain a
+    * cycle — the classic bounded-pointer-jumping bug). Selection
+    * graphs are pseudo-forests of components, so the fixpoint arrives
+    * in O(chain length) cheap label-graph-sized hops. The output is
+    * the per-round trajectory — components before, cross-component
+    * edges, edges added, support volume added, components after,
+    * cumulative forest size — so convergence (`n_cross_edges` → 0,
+    * components → #connected-components, forest = V − #CC) is
+    * oracle-checked, never asserted.
     *
     * Determinism: the (−s, u, v) struct order is total, so the selected
     * edge per component is unique on both engines; ties in weight break
@@ -1013,7 +1016,7 @@ object Graph {
     * edge-keyed, no windows, no all-pairs, the per-round stats rows are
     * 1-row broadcast scalars, nothing collected. */
   def boruvkaForest(edgesIn: DataFrame, rounds: Int = 3,
-                    mergeHops: Int = 3): DataFrame = {
+                    mergeCap: Int = 30): DataFrame = {
     require(rounds >= 1 && rounds <= 6, s"rounds out of [1,6]: $rounds")
     val edges = edgesIn.select(col("u"), col("v"), col("s")).localCheckpoint()
     val nodes = edges.select(col("u").as("node"))
@@ -1055,16 +1058,25 @@ object Graph {
         .localCheckpoint() // read by every hash-min hop
       var lmap = lbl.select(col("l")).distinct()
         .select(col("l"), col("l").as("m")).localCheckpoint()
-      for (_ <- 1 to mergeHops) {
+      var changed = 1L
+      var hop = 0
+      while (changed > 0 && hop < mergeCap) {
         val nbrMin = lg
           .join(lmap.select(col("l").as("b"), col("m").as("mb")), Seq("b"))
           .groupBy("a").agg(min("mb").as("nm"))
-        lmap = lmap
+        val obs = org.apache.spark.sql.Observation(s"boruvka_r${r}_h$hop")
+        val updated = lmap
           .join(nbrMin.select(col("a").as("l"), col("nm")), Seq("l"), "left")
-          .select(col("l"), least(col("m"), coalesce(col("nm"), col("m")))
-            .as("m"))
+          .select(col("l"), col("m"),
+            least(col("m"), coalesce(col("nm"), col("m"))).as("nm2"))
+          .observe(obs, count(when(col("nm2") < col("m"), 1)).as("changed"))
           .localCheckpoint()
+        changed = obs.get("changed").asInstanceOf[Long]
+        lmap = updated.select(col("l"), col("nm2").as("m"))
+        hop += 1
       }
+      require(changed == 0,
+        s"boruvka merge did not converge within $mergeCap hops (round $r)")
       lbl = lbl.join(lmap, Seq("l")).select(col("node"), col("m").as("l"))
         .localCheckpoint()
       // coalesce: an edgeless input aggregates an EMPTY union (one

@@ -83,19 +83,14 @@ object OracleGraph {
 
   /** One Borůvka round (q299, generated): cross-component edge census,
     * per-component best-edge selection under the (s DESC, u, v) total
-    * order, `mergeHops` hash-min merge iterations over the selected
-    * edges' component graph, relabel, stats row. MATERIALIZED on every
-    * multiply-referenced relation — unmaterialized CTEs inline per
-    * reference and a 3-round chain would re-evaluate its whole prefix
-    * exponentially. */
-  private def boruvkaRound(r: Int, mergeHops: Int): String = {
-    val hops = (1 to mergeHops).map { h =>
-      s"""m$r$h AS MATERIALIZED (SELECT t.l,
-         |    LEAST(t.m, COALESCE(MIN(x.m), t.m)) AS m
-         |  FROM m$r${h - 1} t LEFT JOIN lg$r g ON g.a = t.l
-         |       LEFT JOIN m$r${h - 1} x ON x.l = g.b
-         |  GROUP BY t.l, t.m)""".stripMargin
-    }.mkString(",\n")
+    * order, EXACT merge via a recursive min-label closure over the
+    * selected edges' component graph (mirrors the Spark side's
+    * propagate-to-fixpoint loop — a bounded-hop merge could let a split
+    * label re-select an intra-component edge and grow a cycle), relabel,
+    * stats row. MATERIALIZED on every multiply-referenced relation —
+    * unmaterialized CTEs inline per reference and a 3-round chain would
+    * re-evaluate its whole prefix exponentially. */
+  private def boruvkaRound(r: Int): String = {
     val cuParts = (1 to r).map(i => s"SELECT u, v, s FROM se$i")
       .mkString(" UNION ALL ")
     s"""el$r AS MATERIALIZED (SELECT e.u, e.v, e.s, a.l AS lu, b.l AS lv
@@ -111,11 +106,12 @@ object OracleGraph {
        |  JOIN l$r a ON e.u = a.node JOIN l$r b ON e.v = b.node),
        |lg$r AS MATERIALIZED (SELECT lu AS a, lv AS b FROM sl$r
        |  UNION ALL SELECT lv, lu FROM sl$r),
-       |m${r}0 AS MATERIALIZED (SELECT l, l AS m FROM (
-       |  SELECT DISTINCT l FROM l$r) z),
-       |$hops,
+       |rr$r(l, m) AS (SELECT l, l FROM (SELECT DISTINCT l FROM l$r) z
+       |  UNION
+       |  SELECT g.a, rr$r.m FROM lg$r g JOIN rr$r ON rr$r.l = g.b),
+       |mm$r AS MATERIALIZED (SELECT l, MIN(m) AS m FROM rr$r GROUP BY l),
        |l${r + 1} AS MATERIALIZED (SELECT t.node, mm.m AS l
-       |  FROM l$r t JOIN m$r$mergeHops mm ON t.l = mm.l),
+       |  FROM l$r t JOIN mm$r mm ON t.l = mm.l),
        |cu$r AS MATERIALIZED (SELECT DISTINCT u, v, s FROM ($cuParts) z),
        |st$r AS (SELECT CAST($r AS INT) AS round,
        |  (SELECT CAST(COUNT(DISTINCT l) AS BIGINT) FROM l$r)
@@ -183,8 +179,8 @@ object OracleGraph {
     * the support-≥2 co-purchase edges — mirrors
     * graft.operators.Graph.boruvkaForest exactly. */
   private lazy val boruvkaSql: String = {
-    val rounds = (1 to 3).map(boruvkaRound(_, 3)).mkString(",\n")
-    s"""WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey,
+    val rounds = (1 to 3).map(boruvkaRound).mkString(",\n")
+    s"""WITH RECURSIVE it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey,
        |    l_partkey AS p FROM lineitem),
        |ew AS MATERIALIZED (SELECT a.p AS u, b.p AS v,
        |    CAST(COUNT(*) AS BIGINT) AS s

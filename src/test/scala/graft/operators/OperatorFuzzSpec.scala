@@ -117,4 +117,86 @@ class OperatorFuzzSpec extends SparkSpec {
       assert(data.take(bytes.length).toSeq == bytes.toSeq)
     }
   }
+
+  test("boruvkaForest equals Kruskal's maximum spanning forest on generated graphs") {
+    // Kruskal with union-find is the sequential reference; the max
+    // spanning forest WEIGHT and EDGE COUNT are unique regardless of
+    // tie-breaking, so a converged Borůvka run must match both. Chain-
+    // and clique-heavy shapes stress the exact-merge loop (a bounded
+    // merge would grow cycles exactly here).
+    def kruskalMax(edges: Seq[(Long, Long, Long)]): (Long, Long) = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      var (w, n) = (0L, 0L)
+      edges.sortBy { case (u, v, s) => (-s, u, v) }.foreach {
+        case (u, v, s) =>
+          val (ru, rv) = (find(u), find(v))
+          if (ru != rv) { parent(ru) = rv; w += s; n += 1 }
+      }
+      (w, n)
+    }
+    val gen = for {
+      n <- Gen.choose(4, 24)
+      m <- Gen.choose(n - 1, 3 * n)
+      us <- Gen.listOfN(m, Gen.choose(0L, n - 1L))
+      vs <- Gen.listOfN(m, Gen.choose(0L, n - 1L))
+      ws <- Gen.listOfN(m, Gen.choose(1L, 9L))
+    } yield us.lazyZip(vs).lazyZip(ws).toList.collect {
+      case (u, v, w) if u != v => (math.min(u, v), math.max(u, v), w)
+    }.groupBy(e => (e._1, e._2)).map(_._2.head).toSeq // dedup parallel edges
+    // a pure chain with increasing weights: the worst case for merges
+    val chain = (0L until 20L).map(i => (i, i + 1, i + 1))
+    val cases = chain +: Gen.listOfN(5, gen).sample.get.filter(_.nonEmpty)
+    cases.zipWithIndex.foreach { case (edges, ci) =>
+      val (wantW, wantN) = kruskalMax(edges)
+      val last = Graph.boruvkaForest(edges.toDF("u", "v", "s"), rounds = 6)
+        .collect().maxBy(_.getAs[Int]("round"))
+      assert(last.getAs[Long]("n_cross_edges") >= 0)
+      // 6 rounds cover >= 2^6 nodes; every case here converges
+      withClue(s"case $ci: ") {
+        assert(last.getAs[Long]("forest_support_total") == wantW)
+        assert(last.getAs[Long]("forest_edges_total") == wantN)
+      }
+    }
+  }
+
+  test("ktrussTrajectory fixpoint equals the brute peel on generated graphs") {
+    def brutePeel(edges: Set[(Long, Long)], minSup: Int): Set[(Long, Long)] = {
+      var cur = edges
+      var changed = true
+      while (changed) {
+        val adj = cur.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val next = cur.filter { case (u, v) =>
+          (adj(u) & adj(v)).size >= minSup
+        }
+        changed = next != cur
+        cur = next
+      }
+      cur
+    }
+    val gen = for {
+      n <- Gen.choose(4, 16)
+      m <- Gen.choose(n, 3 * n)
+      us <- Gen.listOfN(m, Gen.choose(0L, n - 1L))
+      vs <- Gen.listOfN(m, Gen.choose(0L, n - 1L))
+    } yield us.zip(vs).collect {
+      case (u, v) if u != v => (math.min(u, v), math.max(u, v))
+    }.toSet
+    val cases = Gen.listOfN(6, gen).sample.get.filter(_.nonEmpty)
+    cases.zipWithIndex.foreach { case (edges, ci) =>
+      val want = brutePeel(edges, 2).size
+      val t = Graph.ktrussTrajectory(edges.toSeq.toDF("u", "v"), k = 4,
+        rounds = 8).collect().sortBy(_.getAs[Int]("round"))
+      // 8 rounds suffice for these sizes: the last round must be a
+      // fixpoint AND match the brute peel's surviving edge count
+      withClue(s"case $ci: ") {
+        assert(t.last.getAs[Int]("converged") == 1, "did not reach fixpoint")
+        assert(t.last.getAs[Long]("n_edges_after") == want.toLong)
+      }
+    }
+  }
 }
