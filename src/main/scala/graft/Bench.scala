@@ -53,6 +53,36 @@ object Bench {
       case c => c.toString
     }
 
+  /** QTime-floor rows parsed from BASELINE.md text, SF-SCOPED: the main
+    * tables are measured at sf0.1; the sf1 table lives between explicit
+    * SF1-FLOORS markers so the two populations can never mix (the row
+    * format `| qNNN | X.XXs |` is identical — a format-global parse
+    * would mass-flag one sf against the other's floors). At sf0.1 the
+    * sf1 block is excised before parsing; at an sf1 dir ONLY the block
+    * is parsed (absent block → empty map → gate inactive); at any other
+    * sf the gate is declared inactive. */
+  private[graft] def parseFloors(text: String,
+                                 sfDir: String): Map[String, Double] = {
+    val pat = """\|\s*(q\w+)\s*\|\s*([0-9.]+)s\s*\|""".r
+    val isSf01 = sfDir.endsWith("sf0.1")
+    val isSf1 = sfDir.endsWith("sf1")
+    if (!isSf01 && !isSf1) Map.empty
+    else {
+      val begin = "<!-- SF1-FLOORS-BEGIN -->"
+      val end = "<!-- SF1-FLOORS-END -->"
+      val b = text.indexOf(begin)
+      val e = text.indexOf(end)
+      val scope =
+        if (isSf1) {
+          if (b >= 0 && e > b) text.substring(b + begin.length, e) else ""
+        } else if (b >= 0 && e > b)
+          text.substring(0, b) + text.substring(e + end.length)
+        else text
+      pat.findAllMatchIn(scope)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -135,9 +165,14 @@ object Bench {
     // A query that throws gets a null timing (not its partial elapsed time),
     // so a fast-failing query can't deflate the total relative to a run
     // where it succeeds.
+    // Queries whose plan construction hit StageCache (as builder OR
+    // rider) — collected during the suite so the standalone loop below
+    // knows which suite minima are warm numbers.
+    val cacheInvolved = scala.collection.mutable.TreeSet.empty[String]
     def onePass(): Seq[(String, Option[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
         case ((name, fn), idx) =>
+        graft.ext.StageCache.resetTouched()
         val t0 = System.nanoTime()
         val res = try {
           fn(spark, sfDir).count()
@@ -148,6 +183,7 @@ object Bench {
               Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
             name -> None
         }
+        if (graft.ext.StageCache.wasTouched) cacheInvolved += name
         postQueryCleanup(idx)
         res
       }
@@ -227,25 +263,17 @@ object Bench {
     // exceeding 2× a query's floor is ALSO auto-retried, and one that
     // survives retry is stamped into `floor_violations` — the official
     // artifact never carries an unadjudicated floor violation again.
-    val floors: Map[String, Double] = {
-      val pat = """\|\s*(q\w+)\s*\|\s*([0-9.]+)s\s*\|""".r
-      // The BASELINE.md floor table is measured AT sf0.1 — applying it
-      // to any other sf (the r13 sf1 scaling run) would mass-flag every
-      // floor-listed query and burn the suite re-running them; at a
-      // non-canonical sf the floor gate is declared inactive instead.
-      if (!sfDir.endsWith("sf0.1")) Map.empty[String, Double]
-      else try {
+    val floors: Map[String, Double] =
+      try {
         // Explicit UTF-8: BASELINE.md carries non-ASCII prose (em dashes),
         // and under a POSIX-locale JVM the default-charset decoder throws
         // MalformedInputException — which the catch below would silently
         // turn into a disabled gate (exactly how the round-12 local bench
         // ran with floor_gate_active:false).
         val src = scala.io.Source.fromFile("BASELINE.md")(scala.io.Codec.UTF8)
-        try pat.findAllMatchIn(src.mkString)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        finally src.close()
+        val text = try src.mkString finally src.close()
+        Bench.parseFloors(text, sfDir)
       } catch { case _: Throwable => Map.empty[String, Double] }
-    }
     // A silently-empty floors map would disable the credibility gate with
     // no trace (BASELINE.md renamed, cwd drift, table format change) — so
     // the gate's liveness is stamped into the artifact and warned on
@@ -326,6 +354,33 @@ object Bench {
       .filterNot(retryRefuted.map(_._1).contains)
       .flatMap(n => adjusted.collectFirst {
         case (`n`, Some(t)) if floors.contains(n) => n -> t / floors(n) })
+    // STANDALONE readings for cache-sharing queries (round-13 verdict
+    // ask): a StageCache-riding query's suite min-of-2 is a WARM number
+    // (q280 reads 0.31s against its 4.02s standalone floor) and
+    // cross-round diff tools read bench_out.json — so every
+    // cache-involved query is re-timed ONCE, cold, after
+    // invalidateAll(), and the map is emitted beside `queries` in the
+    // file artifact. The headline total, the flags and bench_history
+    // all keep the suite (warm) semantics unchanged; floors in
+    // BASELINE.md correspond to THESE standalone readings. Runs only at
+    // the canonical sf0.1 (at sf1 the loop would re-pay ~20 heavy
+    // staging pipelines for no gate benefit).
+    val standalone: Map[String, Double] =
+      if (!sfDir.endsWith("sf0.1") ||
+          sys.env.get("SPARK_GRAFT_STANDALONE").contains("0")) Map.empty
+      else cacheInvolved.toSeq.flatMap { name =>
+        SparkEntry.queries.get(name).flatMap { fn =>
+          graft.ext.StageCache.invalidateAll()
+          val t = try {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => None }
+          finally spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          t.map(name -> _)
+        }
+      }.toMap
     // LOAD GATE: a loaded bench machine inflates every query uniformly,
     // which the per-query 2x gate misreads as a wall of regressions (the
     // round-8 driver record carried 15 spurious >2x entries while the
@@ -420,6 +475,11 @@ object Bench {
     }
     val qs = adjusted.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
+    val standaloneJson =
+      if (standalone.isEmpty) ""
+      else standalone.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","standalone":{""", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }
       .mkString("{", ",", "}")
     val total = adjusted.flatMap(_._2).sum
@@ -430,7 +490,7 @@ object Bench {
     // Full detail (per-query map + pass totals) only in the file; the
     // stdout line must stay well under the driver's ~4 KB tail capture.
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"$method","n_queries":$nQueries,"pass_totals":$passTotals,"queries":$qs,"errors":$errJson,"regressions":$regJson$loadJson,"sf":"${jsonEscape(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"$method","n_queries":$nQueries,"pass_totals":$passTotals,"queries":$qs$standaloneJson,"errors":$errJson,"regressions":$regJson$loadJson,"sf":"${jsonEscape(sfDir)}"}"""
     val compactLine =
       s"""{"metric":"total","value":$total,"unit":"sec","method":"$method","n_queries":$nQueries,"pass_totals":$passTotals,"errors":$errJson,"regressions":$regJson$loadJson,"sf":"${jsonEscape(sfDir)}"}"""
     try {

@@ -95,6 +95,11 @@ object Factorization {
                      segments: DataFrame, segCol: String,
                      rounds: Int = 2, lambda: Double = 0.1): DataFrame = {
     require(rounds >= 1 && rounds <= 4, s"rounds out of [1,4]: $rounds")
+    // The no-divide-by-zero contract (det >= lambda*(a11+a22) + lambda^2
+    // > 0, Cauchy-Schwarz) holds ONLY for strictly positive lambda; with
+    // lambda <= 0 a rank-deficient entity would solve to NaN and the
+    // clamp would silently convert it to a clamped factor.
+    require(lambda > 0, s"lambda must be strictly positive, got $lambda")
     val r = ratings.select(col(userCol).as("u"), col(itemCol).as("i"),
       col("r")).localCheckpoint() // read by every half-step + every eval
     val (y1, y2) = initY(col("i"))
@@ -128,6 +133,151 @@ object Factorization {
           // engines (the q258 jackknife idiom), quantized to micro.
           round(sqrt(col("sse").cast("double") / col("n_ratings")), 0)
             .cast("long").as("rmse_micro"))
+    }
+    evals.reduce(_ unionAll _).orderBy("als_round", "segment")
+  }
+
+  /** One IMPLICIT-feedback ridge half-step (Hu–Koren–Volinsky, ICDM
+    * 2008): solve `solveKey`'s factors against confidence-weighted
+    * binary preferences. Observed (solveKey, fixedKey, r) pairs carry
+    * preference p = 1 with confidence c = 1 + α·r; every UNOBSERVED
+    * pair carries p = 0 with confidence 1 — the term that makes the
+    * implicit form different, folded in closed form through the global
+    * Gram G = Σ_all y·yᵀ (a broadcastable 2×2, the paper's YᵀY
+    * precomputation) so no unobserved pair is ever materialized:
+    *
+    *   x = (G + Σ_obs α·r·y·yᵀ + λI)⁻¹ · Σ_obs (1 + α·r)·y
+    *
+    * Same exact-integer contract as [[halfStep]]: sufficient statistics
+    * are exact integer sums (largest term α·r·y² ≤ α·r·10¹⁰ — bounded
+    * by the same per-entity degree a production HKV gather bounds), the
+    * closed-form solve runs in doubles over identical exact integers
+    * with identical operand order, re-quantized and clamped ±100.0. */
+  private def implicitHalfStep(ratings: DataFrame, fixed: DataFrame,
+                               solveKey: String, fixedKey: String,
+                               alpha: Long, lambda: Double): DataFrame = {
+    val gram = fixed.agg(
+      sum(col("f1") * col("f1")).as("g11"),
+      sum(col("f1") * col("f2")).as("g12"),
+      sum(col("f2") * col("f2")).as("g22"))
+    val stats = ratings
+      .join(fixed.withColumnRenamed("f1", "y1").withColumnRenamed("f2", "y2"),
+        Seq(fixedKey))
+      .groupBy(solveKey)
+      .agg(sum(col("y1") * col("y1") * col("r") * lit(alpha)).as("a11"),
+        sum(col("y1") * col("y2") * col("r") * lit(alpha)).as("a12"),
+        sum(col("y2") * col("y2") * col("r") * lit(alpha)).as("a22"),
+        sum((lit(1L) + lit(alpha) * col("r")) * col("y1")).as("b1"),
+        sum((lit(1L) + lit(alpha) * col("r")) * col("y2")).as("b2"))
+      .crossJoin(broadcast(gram)) // the one bounded scalar cross
+    val m11 = (stats("g11") + stats("a11")).cast("double") / lit(1e6) +
+      lit(lambda)
+    val m22 = (stats("g22") + stats("a22")).cast("double") / lit(1e6) +
+      lit(lambda)
+    val m12 = (stats("g12") + stats("a12")).cast("double") / lit(1e6)
+    val b1d = stats("b1").cast("double") / lit(1e3)
+    val b2d = stats("b2").cast("double") / lit(1e3)
+    val det = m11 * m22 - m12 * m12
+    def clampMilli(x: Column): Column =
+      greatest(lit(-100000L),
+        least(lit(100000L), round(x * 1000, 0).cast("long")))
+    stats.select(col(solveKey),
+      clampMilli((m22 * b1d - m12 * b2d) / det).as("f1"),
+      clampMilli((m11 * b2d - m12 * b1d) / det).as("f2"))
+  }
+
+  /** IMPLICIT-FEEDBACK rank-2 ALS training report (q305) — the
+    * recommender production actually runs on purchase-like signals
+    * (Hu–Koren–Volinsky 2008): `ratings(user, item, r)` holds POSITIVE
+    * interaction counts (purchase quantities), never graded ratings, so
+    * the model fits binary preference p=1 with confidence c = 1 + α·r
+    * and every unobserved (user, item) pair counts as p=0 at confidence
+    * 1. Each half-step folds the unobserved mass through the global
+    * factor Gram (see [[implicitHalfStep]]) — the algebraic trick that
+    * makes the algorithm O(observed) instead of O(users·items), i.e.
+    * runnable at 100 TB at all.
+    *
+    * Per (round, segment) the report carries the two fit terms a
+    * production implicit ALS monitors, both exact:
+    *  - `wrmse_micro`: confidence-weighted RMSE over OBSERVED pairs
+    *    (√(Σ c·(10⁶ − x·y)² / Σ c), micro-units) — does the model pull
+    *    observed preferences toward 1?
+    *  - `bg_micro`: the mean squared score over ALL (user, item) pairs
+    *    of the segment (Σ_u xᵀGx / (n_users·n_items), micro) computed
+    *    via the same Gram trick — does the unobserved mass stay pushed
+    *    toward 0? (A model that inflates every score lowers wrmse while
+    *    bg explodes; the pair is the honest readout.)
+    *
+    * Parity: factors exact milli; residuals exact micro, squared via
+    * DECIMAL casts before multiply (a clamped residual's square exceeds
+    * long); xᵀGx = Σ_i (x·y_i)² is an exact non-negative integer in
+    * 10⁻¹² units (DECIMAL(38,0) — x²·G reaches ~10²⁴); one shared sqrt
+    * per row over identical exact inputs, floor divisions elsewhere. */
+  def alsImplicitReport(ratings: DataFrame, userCol: String, itemCol: String,
+                        segments: DataFrame, segCol: String,
+                        rounds: Int = 2, alpha: Long = 40L,
+                        lambda: Double = 0.1): DataFrame = {
+    require(rounds >= 1 && rounds <= 4, s"rounds out of [1,4]: $rounds")
+    require(alpha >= 1, s"alpha must be >= 1, got $alpha")
+    require(lambda > 0, s"lambda must be strictly positive, got $lambda")
+    val r = ratings.select(col(userCol).as("u"), col(itemCol).as("i"),
+      col("r")).localCheckpoint() // read by every half-step + every eval
+    val (y1, y2) = initY(col("i"))
+    var y = r.select(col("i")).distinct()
+      .select(col("i"), y1.as("f1"), y2.as("f2"))
+      .localCheckpoint()
+    val evals = (1 to rounds).map { rnd =>
+      val x = implicitHalfStep(r, y, "u", "i", alpha, lambda)
+        .localCheckpoint()
+      y = implicitHalfStep(r, x, "i", "u", alpha, lambda).localCheckpoint()
+      // one factor-table pass serves the Gram AND the item count (y has
+      // exactly one row per item) — no separate n_items scalar cross
+      val gramY = y.agg(
+        sum(col("f1") * col("f1")).as("g11"),
+        sum(col("f1") * col("f2")).as("g12"),
+        sum(col("f2") * col("f2")).as("g22"),
+        count(lit(1)).as("n_items"))
+      val seg = segments.select(col(userCol).as("u"),
+        col(segCol).as("segment"))
+      // observed-pair leg: d = 10^6 - x·y exact micro, weighted by c
+      val obs = r
+        .join(x.select(col("u"), col("f1").as("x1"), col("f2").as("x2")),
+          Seq("u"))
+        .join(y.select(col("i"), col("f1").as("y1"), col("f2").as("y2")),
+          Seq("i"))
+        .join(seg, Seq("u"))
+        .select(col("segment"), (lit(1L) + lit(alpha) * col("r")).as("c"),
+          (lit(1000000L) -
+            (col("x1") * col("y1") + col("x2") * col("y2"))).as("d"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_ratings"),
+          sum("c").as("c_sum"),
+          sum(col("c") *
+            (col("d").cast("decimal(19,0)") * col("d").cast("decimal(19,0)")))
+            .as("wsse"))
+      // background leg: per-user xᵀGx (exact, >= 0 — it is Σ_i (x·y_i)²),
+      // segment mean per (user, item) pair in micro
+      val bg = x.select(col("u"), col("f1").as("x1"), col("f2").as("x2"))
+        .crossJoin(broadcast(gramY))
+        .join(seg, Seq("u"))
+        .select(col("segment"), col("n_items"),
+          (col("x1").cast("decimal(19,0)") * col("x1").cast("decimal(19,0)") *
+              col("g11") +
+            lit(2).cast("decimal(19,0)") * col("x1").cast("decimal(19,0)") *
+              col("x2").cast("decimal(19,0)") * col("g12") +
+            col("x2").cast("decimal(19,0)") * col("x2").cast("decimal(19,0)") *
+              col("g22")).as("xgx"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_users"), sum("xgx").as("xgx_sum"),
+          max("n_items").as("n_items"))
+      obs.join(bg, Seq("segment"))
+        .select(lit(rnd).cast("int").as("als_round"), col("segment"),
+          col("n_ratings").cast("long").as("n_ratings"),
+          col("c_sum").cast("long").as("c_sum"),
+          round(sqrt(col("wsse").cast("double") / col("c_sum")), 0)
+            .cast("long").as("wrmse_micro"),
+          expr("CAST(xgx_sum div (n_users * n_items * 1000000) AS BIGINT)")
+            .as("bg_micro"))
     }
     evals.reduce(_ unionAll _).orderBy("als_round", "segment")
   }

@@ -886,6 +886,68 @@ object Multimodal {
     }).toDF("doc_id", "ahash", "n_blocks")
   }
 
+  /** AUDIO ENERGY FINGERPRINT of the channel-0 PCM stream — the
+    * audio-dedup tier beside the image aHash ([[gifAHash]]) and the
+    * text tiers: the block-energy thresholding scheme of the
+    * Haitsma–Kalker fingerprint family reduced to its deterministic
+    * integer core. Decode the WAV ([[decodeWavSamples]]), split channel
+    * 0 into `windows` contiguous temporal windows (the same integer
+    * split as the aHash mosaic: window ⌊windows·j/n⌋ for sample j of
+    * n), and set bit w when that window's ENERGY (Σ amplitude²) exceeds
+    * the per-window mean — the exact integer cross-multiply
+    * `win_ss·n > tot_ss·win_n`, no division, no floats, so the
+    * fingerprint is bit-reproducible and near-identical audio (small
+    * edits that preserve the energy envelope) lands within a bit or
+    * two. Windows can be empty when n < windows; empty windows
+    * contribute no bit and `n_windows` reports the live count.
+    *
+    * Scale: per-partition flatMap (decode is row-local, no shuffle);
+    * the 16-bit fingerprint is 8 bytes per clip — the downstream banded
+    * self-join (the q306 wrapper) is exactly the q295 image-dedup
+    * plan: two 8-bit bands, pigeonholed candidates ~N²/256 per band,
+    * `bit_count(xor)` verification on the sliver only, never
+    * all-pairs. */
+  def wavEnergyFingerprint(blobs: Dataset[MediaBlob],
+                           windows: Int = 16): DataFrame = {
+    require(windows >= 2 && windows <= 63, s"windows out of [2,63]: $windows")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.filter(_.media_type == "audio").mapPartitions(_.flatMap { b =>
+      decodeWavSamples(b.payload).flatMap { case (_, ch, data) =>
+        val n = (data.length + ch - 1) / ch // channel-0 sample count
+        if (n == 0) None
+        else {
+          val wSS = new Array[Long](windows)
+          val wN = new Array[Long](windows)
+          var j = 0
+          var i = 0
+          while (i < data.length) {
+            val a = (data(i) & 0xff) - 128
+            val wi = (windows.toLong * j / n).toInt
+            wSS(wi) += a.toLong * a
+            wN(wi) += 1
+            j += 1
+            i += ch
+          }
+          var tot = 0L
+          var k = 0
+          while (k < windows) { tot += wSS(k); k += 1 }
+          var hash = 0L
+          var nw = 0
+          k = 0
+          while (k < windows) {
+            if (wN(k) > 0) {
+              nw += 1
+              if (wSS(k) * n > tot * wN(k)) hash |= (1L << k)
+            }
+            k += 1
+          }
+          Some((b.doc_id, hash, nw, n.toLong))
+        }
+      }
+    }).toDF("doc_id", "fp", "n_windows", "n_samples")
+  }
+
   /** Decoded-PIXEL histogram for video rows: the [[byteHistogram]]
     * treatment applied to the LZW-expanded palette indices (0..127)
     * instead of the raw container bytes — a real content feature for

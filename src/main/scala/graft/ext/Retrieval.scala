@@ -84,21 +84,47 @@ object Retrieval {
 
   /** The inverted index: postings tf(doc, term), document lengths,
     * document frequencies, corpus totals — one tokenize pass, three
-    * partial-aggregated reductions. */
+    * partial-aggregated reductions.
+    *
+    * All four relations are [[StageCache]]-memoized (keyed by the corpus
+    * plan + columns): SEVEN registered queries build this identical
+    * index (q186/q220/q254/q259/q270/q287 on the full corpus, q286 on
+    * its two halves), and before the memo each re-ran the tokenize +
+    * postings shuffle from the parquet scan — the round-13 verdict's
+    * retrieval-family drift (q186 1.43→2.21s over two rounds) was
+    * exactly this recomputation cost. The cached relations are
+    * index-scale (postings = |doc,term| counts, never documents), the
+    * same metadata-tier the knn/diameter families already pin; Bench's
+    * retry loop still prices the full standalone build via
+    * `invalidateAll()`. */
   private def index(docs: DataFrame, idCol: String, textCol: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val tok = graft.model.Tables.fanOut(docs)
-      .select(col(idCol).as("doc_id"),
-        explode(tokens(normText(col(textCol)))).as("w"))
+    val base = StageCache.keyFor(docs, "bm25idx", idCol, textCol)
     // Postings and lengths partial-aggregate map-side; df is a rollup of
     // the postings (distinct (doc, term) rows), not a second corpus pass.
-    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // read 3×: df rollup, dl rollup, scoring join
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
-    val totals = dl.agg(count(lit(1)).as("n"), sum("dl").as("t"))
+    val tf = StageCache.getOrStage(s"$base:tf") {
+      graft.model.Tables.fanOut(docs)
+        .select(col(idCol).as("doc_id"),
+          explode(tokens(normText(col(textCol)))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // read 3×: df rollup, dl rollup, scoring join
+    }
+    val dl = StageCache.getOrStage(s"$base:dl")(
+      tf.groupBy("doc_id").agg(sum("tf").as("dl")).localCheckpoint())
+    val dfT = StageCache.getOrStage(s"$base:df")(
+      tf.groupBy("w").agg(count(lit(1)).as("df")).localCheckpoint())
+    val totals = StageCache.getOrStage(s"$base:tot")(
+      dl.agg(count(lit(1)).as("n"), sum("dl").as("t")).localCheckpoint())
     (tf, dl, dfT, totals)
   }
+
+  /** Collection term frequencies ctf(w) — the q270/q287 rollup of the
+    * staged postings, memoized under the same index key family. */
+  private def ctfOf(docs: DataFrame, idCol: String, textCol: String,
+                    tf: DataFrame): DataFrame =
+    StageCache.getOrStage(
+        StageCache.keyFor(docs, "bm25idx", idCol, textCol) + ":ctf")(
+      tf.groupBy("w").agg(sum("tf").as("ctf")).localCheckpoint())
 
   /** idf per (query, term): quantized once, BEFORE any aggregation.
     * Terms absent from the corpus score 0 and are dropped. */
@@ -304,7 +330,7 @@ object Retrieval {
     val spark = docs.sparkSession
     import spark.implicits._
     val (tf, dl, _, totals) = index(docs, idCol, textCol)
-    val ctf = tf.groupBy("w").agg(sum("tf").as("ctf"))
+    val ctf = ctfOf(docs, idCol, textCol, tf)
     val q = queries.toDF("query_id", "qtext")
       .select(col("query_id"), explode(tokens(normText(col("qtext")))).as("w"))
       .distinct()
@@ -364,7 +390,7 @@ object Retrieval {
     val spark = docs.sparkSession
     import spark.implicits._
     val (tf, dl, dfT, totals) = index(docs, idCol, textCol)
-    val ctf = tf.groupBy("w").agg(sum("tf").as("ctf"))
+    val ctf = ctfOf(docs, idCol, textCol, tf)
     val q = queries.toDF("query_id", "qtext")
       .select(col("query_id"), explode(tokens(normText(col("qtext")))).as("w"))
       .distinct()

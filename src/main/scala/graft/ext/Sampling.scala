@@ -397,7 +397,14 @@ object Sampling {
     * ln() per row quantized to integer micro-nats (the q181 posture)
     * and divided by the exact integer weight: both engines rank
     * identical doubles, ties broken by key. `u = 1` (priority 0, the
-    * best possible) is reachable and fine — ln is never fed 0. */
+    * best possible) is reachable and fine — ln is never fed 0.
+    *
+    * Weights are clamped to ≥ 1 INSIDE the operator: a zero weight
+    * would make the priority lnu/w = -∞/NaN, and Spark's descending
+    * double sort places NaN FIRST, so a zero-weight row could silently
+    * win a sample slot (and diverge from the oracle). The clamp keeps
+    * the integer-weight contract total and makes the guard independent
+    * of any caller-side greatest(). */
   def weightedReservoir(df: DataFrame, keyCol: String, weight: Column,
                         k: Int): DataFrame = {
     require(k > 0, "k must be positive")
@@ -405,7 +412,7 @@ object Sampling {
       + lit(11L)) % lit(TextOps.HashP)
     val lnuE6 = round(log((h + 1).cast("double") /
       lit((TextOps.HashP + 1).toDouble)) * 1e6, 0).cast("long")
-    df.withColumn("weight", weight)
+    df.withColumn("weight", greatest(weight.cast("long"), lit(1L)))
       .withColumn("lnu_e6", lnuE6)
       .withColumn("priority", col("lnu_e6").cast("double") / col("weight"))
       .orderBy(col("priority").desc, col(keyCol))

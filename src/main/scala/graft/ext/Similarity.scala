@@ -932,40 +932,54 @@ object Similarity {
     * per round a (cell, i)-keyed sign-split floor-mean recenter, a
     * broadcast distance join, and an exact-integer argmin reassignment
     * (ties smallest cell), lineage cut per round. Returns (unit
-    * relation, previous assignment, final assignment). */
+    * relation, previous assignment, final assignment).
+    *
+    * The unit relation and every per-round assignment are [[StageCache]]-
+    * memoized with round-numbered keys (the descentRound idiom): q236
+    * and q247 run this IDENTICAL 4-round recursion over the identical
+    * corpus — before round 14 each paid the full loop from the scan
+    * (q247 was the one r13 drift-watch query with no shared stage). */
   private def lloydLoop(corpus: DataFrame, idCol: String, embCol: String,
                         seedCol: String, rounds: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     require(rounds >= 2, s"need >= 2 rounds for a convergence readout, got $rounds")
-    val unit = corpus
-      .select(col(idCol).as("vid"), col(seedCol).as("c0"),
-        col(embCol).as("e"), l2norm(col(embCol)).as("nrm"))
-      .filter(col("nrm") > 0)
-      .select(col("vid"), col("c0"), posexplode(col("e")).as(Seq("i", "x")),
-        col("nrm"))
-      .select(col("vid"), col("c0"), col("i"),
-        round(col("x") / col("nrm") * 1e6, 0).cast("long").as("xe6"))
-      .localCheckpoint() // read by every round's centroid + distance legs
-    var asg = unit.select(col("vid"), col("c0").as("cell")).distinct()
-      .localCheckpoint()
+    val base =
+      StageCache.keyFor(corpus, "lloyd", idCol, embCol, seedCol, rounds)
+    val unit = StageCache.getOrStage(s"$base:unit") {
+      corpus
+        .select(col(idCol).as("vid"), col(seedCol).as("c0"),
+          col(embCol).as("e"), l2norm(col(embCol)).as("nrm"))
+        .filter(col("nrm") > 0)
+        .select(col("vid"), col("c0"), posexplode(col("e")).as(Seq("i", "x")),
+          col("nrm"))
+        .select(col("vid"), col("c0"), col("i"),
+          round(col("x") / col("nrm") * 1e6, 0).cast("long").as("xe6"))
+        .localCheckpoint() // read by every round's centroid + distance legs
+    }
+    var asg = StageCache.getOrStage(s"$base:asg:0")(
+      unit.select(col("vid"), col("c0").as("cell")).distinct()
+        .localCheckpoint())
     var prevAsg = asg
-    for (_ <- 1 to rounds) {
-      val cents = unit.join(asg, Seq("vid"))
-        .groupBy(col("cell"), col("i"))
-        .agg(sum("xe6").as("sx"), count(lit(1)).as("n"))
-        .select(col("cell"), col("i"),
-          when(col("sx") >= 0, expr("sx div n"))
-            .otherwise(-expr("(-sx) div n")).as("ce6"))
-      val d = unit.join(broadcast(cents), Seq("i"))
-        .groupBy(col("vid"), col("cell"))
-        .agg(sum((col("xe6") - col("ce6")) * (col("xe6") - col("ce6")))
-          .as("d2"))
+    for (r <- 1 to rounds) {
       prevAsg = asg
-      asg = d.groupBy("vid")
-        .agg(min_by(struct(col("cell"), col("d2")),
-          struct(col("d2"), col("cell"))).as("w"))
-        .select(col("vid"), col("w.cell").as("cell"), col("w.d2").as("d2"))
-        .localCheckpoint() // per-round lineage cut; read by next round + report
+      val prev = asg
+      asg = StageCache.getOrStage(s"$base:asg:$r") {
+        val cents = unit.join(prev, Seq("vid"))
+          .groupBy(col("cell"), col("i"))
+          .agg(sum("xe6").as("sx"), count(lit(1)).as("n"))
+          .select(col("cell"), col("i"),
+            when(col("sx") >= 0, expr("sx div n"))
+              .otherwise(-expr("(-sx) div n")).as("ce6"))
+        unit.join(broadcast(cents), Seq("i"))
+          .groupBy(col("vid"), col("cell"))
+          .agg(sum((col("xe6") - col("ce6")) * (col("xe6") - col("ce6")))
+            .as("d2"))
+          .groupBy("vid")
+          .agg(min_by(struct(col("cell"), col("d2")),
+            struct(col("d2"), col("cell"))).as("w"))
+          .select(col("vid"), col("w.cell").as("cell"), col("w.d2").as("d2"))
+          .localCheckpoint() // per-round lineage cut; read by next round + report
+      }
     }
     (unit, prevAsg, asg)
   }
@@ -1655,5 +1669,119 @@ object Similarity {
           "ELSE n_suspect * 1000000 div (n_vectors - n_no_neighbors) END")
           .as("suspect_ppm"))
       .orderBy("label")
+  }
+
+  /** GRAPH-ANN BEAM SEARCH (q304) — the SERVING path over the NN-descent
+    * kNN graph (the HNSW-family walk of Malkov & Yashunin applied to the
+    * flat graph tier): q267/q280 BUILD the graph but nothing ever
+    * searched it for an external query — the round-13 verdict's "builder
+    * without its reader". Synchronous beam search, the distributed form
+    * of greedy graph walk: start every query at a fixed deterministic
+    * entry set (the `nEntry` smallest corpus ids — the HNSW fixed entry
+    * point, multiplied for robustness), then `hops` rounds of "expand
+    * the current best `beam` visited nodes through their graph
+    * neighborhoods, score the new candidates exactly, merge". The final
+    * answer is the best `k` of everything visited (self-hit excluded —
+    * queries are corpus rows, the more-like-this contract).
+    *
+    * The serving graph is the round-`graphRounds` descent graph made
+    * UNDIRECTED (a reverse edge is what lets a walk enter a node's
+    * neighborhood from a node that chose IT — the Dong et al. general-
+    * neighbor insight applied at query time), then degree-capped back to
+    * `2k` best-scored edges per node so a popularity hub can't make a
+    * hop fan out unboundedly — the cap is what keeps per-hop cost
+    * ≤ |Q|·beam·2k rows at ANY corpus size.
+    *
+    * Report: one row per (query, rank ≤ k) hit with its cosine (4dp, the
+    * family contract), whether the exact brute-force tier agrees
+    * (`is_hit` vs [[exactTopKFlags]] — the recall readout, directly
+    * comparable to the IVF tier's q262 curve), and the query's visited-
+    * set size (the candidate-volume cost of the walk; entry self rows
+    * included, stated).
+    *
+    * Scale shape: every pipeline stage after the (StageCache-shared)
+    * graph build is |Q|-bounded — entry cross is |Q|·nEntry, each hop
+    * expands ≤ beam nodes per query through ≤ 2k edges, visited stays
+    * ≤ nEntry + hops·beam·2k rows per query, and each hop ends in a
+    * localCheckpoint so `hops` rounds never grow the plan. The corpus
+    * appears only through the staged projection (scoring joins are
+    * id-keyed equi joins against it), never in a cross. */
+  def graphAnnBeamSearch(corpus: DataFrame, idCol: String, embCol: String,
+                         queries: DataFrame, k: Int = 5, beam: Int = 4,
+                         hops: Int = 3, nEntry: Int = 4,
+                         graphRounds: Int = 3, nPlanes: Int = 4,
+                         dim: Int = 64): DataFrame = {
+    require(k >= 1 && beam >= 1 && hops >= 1 && nEntry >= 1 &&
+      graphRounds >= 1 && graphRounds <= 4,
+      s"need k,beam,hops,nEntry>=1, graphRounds in [1,4]; " +
+        s"got $k,$beam,$hops,$nEntry,$graphRounds")
+    val base = knnBaseKey(corpus, idCol, embCol, nPlanes, dim)
+    val (c, seed) = knnSeed(corpus, idCol, embCol, k, nPlanes, dim)
+    // Ride the SAME round-keyed cache entries as the q280 trajectory:
+    // in a shared session the serving graph is free after q280 ran.
+    var g = seed
+    for (r <- 1 to graphRounds) g = descentRound(c, g, k, s"$base:descent:$k:$r")
+    val serve = StageCache.getOrStage(s"$base:serve:$k:$graphRounds") {
+      val und = g.unionAll(g.select(col("nid").as("id"), col("id").as("nid")))
+        .distinct()
+      val scored = und
+        .join(c.select(col("id"), col("emb"), col("nrm")), Seq("id"))
+        .join(c.select(col("id").as("nid"), col("emb").as("n_emb"),
+          col("nrm").as("n_nrm")), Seq("nid"))
+        .select(col("id"), col("nid"),
+          round(dot(col("emb"), col("n_emb")) / (col("nrm") * col("n_nrm")), 4)
+            .as("escore"))
+      graft.operators.Skew.saltedTopKPerGroup(scored, Seq("id"),
+          Seq(col("escore").desc, col("nid")), 2 * k, salts = 8)
+        .select("id", "nid")
+        .localCheckpoint() // read by every hop's expansion join
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+      l2norm(col(embCol)).as("q_nrm")).localCheckpoint() // read per hop
+    def score(cand: DataFrame): DataFrame = cand
+      .join(c.select(col("id").as("nid"), col("emb").as("n_emb"),
+        col("nrm").as("n_nrm")), Seq("nid"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("nid"),
+        round(dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 4)
+          .as("score"))
+    // Entry: every query starts at the same nEntry smallest corpus ids.
+    // A query that IS an entry node scores itself 1.0 and expands its
+    // own neighborhood — wanted for more-like-this; the self row is
+    // excluded from the final ranking only.
+    val entry = c.orderBy("id").limit(nEntry).select(col("id").as("nid"))
+    var visited = score(
+        q.select("query_id").crossJoin(broadcast(entry)))
+      .localCheckpoint()
+    for (_ <- 1 to hops) {
+      val bw = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("score").desc, col("nid"))
+      val beamSet = visited.withColumn("brk", row_number().over(bw))
+        .filter(col("brk") <= beam)
+        .select(col("query_id"), col("nid").as("id"))
+      val expanded = beamSet.join(serve, Seq("id"))
+        .select(col("query_id"), col("nid")).distinct()
+        // only genuinely NEW candidates are rescored; already-visited
+        // rows rejoin via the union below
+        .join(visited.select("query_id", "nid"), Seq("query_id", "nid"),
+          "left_anti")
+      visited = visited.unionAll(score(expanded)).localCheckpoint()
+    }
+    val nv = visited.groupBy("query_id").agg(count(lit(1)).as("n_visited"))
+    val exact = exactTopKFlags(corpus, queries, idCol, embCol, k)
+      .select(col("query_id"), col("neighbor_id").as("nid"),
+        col("hit").as("is_hit"))
+    val fw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("nid"))
+    visited.filter(col("nid") =!= col("query_id"))
+      .withColumn("rank", row_number().over(fw))
+      .filter(col("rank") <= k)
+      .join(exact, Seq("query_id", "nid"), "left")
+      .join(broadcast(nv), Seq("query_id"))
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("nid").as("neighbor_id"), col("score"),
+        coalesce(col("is_hit"), lit(0)).cast("int").as("is_hit"),
+        col("n_visited").cast("long").as("n_visited"))
+      .orderBy("query_id", "rank")
   }
 }

@@ -34,9 +34,11 @@ import org.apache.spark.storage.StorageLevel
 object StageCache {
   private final case class Entry(df: DataFrame, rdd: RDD[_])
 
-  // 64 entries with headroom over the full staged-key population
-  // (~30 keys at round 13: knn trio ~7, diameter sweeps 9, graph edge
-  // families 2, PQ family ~12). A 16-entry cap measured catastrophic in
+  // 96 entries with headroom over the full staged-key population
+  // (~47 keys at round 14: knn trio ~7, diameter sweeps 9, graph edge
+  // families 2, PQ family ~12, BM25 index 5 + 8 for the q286 halves,
+  // LSH candidate tier 3, exact-Jaccard pair tier 1). A 16-entry cap
+  // measured catastrophic in
   // the 292-query suite: the LRU thrashed — every pinned stage evicted
   // and rebuilt every pass (q285 read 14× its floor) — and eviction
   // UNPERSISTED blocks that in-flight plans still referenced (a
@@ -45,7 +47,7 @@ object StageCache {
   // the memo (drops the pin): the blocks are reclaimed at the next safe
   // point by Bench's per-query sweep (an evicted id is no longer
   // pinned) or by the ContextCleaner once the DataFrame is GC'd.
-  private val MaxEntries = 64
+  private val MaxEntries = 96
   private val cache =
     new java.util.LinkedHashMap[String, Entry](MaxEntries, 0.75f, true) {
       override def removeEldestEntry(
@@ -71,11 +73,18 @@ object StageCache {
     try e.rdd.getStorageLevel != StorageLevel.NONE
     catch { case _: Throwable => false }
 
+  // Did any getOrStage call (hit OR build) happen since the last reset?
+  // `Bench` brackets each query with reset/read to learn which
+  // registered queries are cache-involved, so it can emit their honest
+  // pass-1 standalone timings beside the warm suite minima.
+  @volatile private var touchedFlag = false
+
   /** Serve `key`'s staged relation if its blocks are still live, else
     * run `build` (which must end in `.localCheckpoint()`) and cache the
     * result. A build whose plan is not a LogicalRDD is returned uncached. */
   def getOrStage(key: String)(build: => DataFrame): DataFrame =
     synchronized {
+      touchedFlag = true
       Option(cache.get(key)).filter(alive) match {
         case Some(e) => e.df
         case None =>
@@ -85,6 +94,12 @@ object StageCache {
           df
       }
     }
+
+  /** Reset the involvement marker (called by `Bench` before a query). */
+  def resetTouched(): Unit = touchedFlag = false
+
+  /** Whether any getOrStage ran since [[resetTouched]]. */
+  def wasTouched: Boolean = touchedFlag
 
   /** Live pinned RDD ids — `Bench`'s per-query cleanup skips these. */
   def pinnedRddIds: Set[Int] = synchronized {

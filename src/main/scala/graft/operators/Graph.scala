@@ -1131,6 +1131,10 @@ object Graph {
   def ktrussTrajectory(edgesIn: DataFrame, k: Int = 4,
                        rounds: Int = 3): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
+    // >= 1 only (no upper cap like boruvkaForest's merge loop needs):
+    // each peel is one fixed-cost round and the fuzz proof runs the
+    // trajectory to its brute fixpoint.
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
     val minSup = k - 2
     var cur = edgesIn.select(col("u"), col("v")).localCheckpoint()
     def tagged(df: DataFrame, tag: String): DataFrame =

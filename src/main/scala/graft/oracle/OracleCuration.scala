@@ -720,6 +720,98 @@ object OracleCuration {
     // statistics, ablation by subtraction, HUGEINT cross-products, one
     // double division per coefficient quantized micro/ppm; the __all__
     // row is the un-ablated fit (delta 0).
+    // Sorted-batching padding waste: global rank by (length, id) for the
+    // curriculum, by the affine-mod hash for the shuffled baseline
+    // (mirrors the PrefixSum two-pass rank exactly — any contiguous
+    // split yields the same rank), batch = rk // size, per-(strategy,
+    // size) slot/total/waste rollup in exact floor ppm.
+    "q308_sorted_batching" ->
+      s"""WITH $nCte,
+         |tk AS (SELECT doc_id,
+         |         CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
+         |       FROM n),
+         |sr AS (SELECT 'sorted' AS strategy, n_tokens,
+         |         row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS rk
+         |       FROM tk),
+         |hr AS (SELECT 'hash_shuffled' AS strategy, n_tokens,
+         |         row_number() OVER (
+         |           ORDER BY (doc_id % 2147483647 * 48271 + 11) % 2147483647,
+         |             doc_id) - 1 AS rk
+         |       FROM tk),
+         |u AS (SELECT * FROM sr UNION ALL SELECT * FROM hr),
+         |bs AS (SELECT unnest([16, 64, 256]) AS batch_size),
+         |ba AS (SELECT strategy, batch_size, rk // batch_size AS batch,
+         |         COUNT(*) AS nb, MAX(n_tokens) AS mx,
+         |         SUM(n_tokens) AS tt
+         |       FROM u CROSS JOIN bs GROUP BY 1, 2, 3)
+         |SELECT strategy, CAST(batch_size AS INT) AS batch_size,
+         |       CAST(COUNT(*) AS BIGINT) AS n_batches,
+         |       CAST(SUM(nb) AS BIGINT) AS n_docs,
+         |       CAST(SUM(mx*nb) AS BIGINT) AS slot_tokens,
+         |       CAST(SUM(tt) AS BIGINT) AS total_tokens,
+         |       CAST(CASE WHEN SUM(mx*nb) = 0 THEN 0
+         |         ELSE (SUM(mx*nb) - SUM(tt)) * 1000000 // SUM(mx*nb) END
+         |         AS BIGINT) AS waste_ppm
+         |FROM ba GROUP BY 1, 2
+         |ORDER BY strategy, batch_size""".stripMargin,
+
+    // Multiplicative-weights domain reweighting: the q181 LM chain
+    // verbatim (per-doc floored NLL), source rollup, linearized EG
+    // factor 1e6 + excess clamped >= 1, renormalized floor ppm; the
+    // normalizer product runs in HUGEINT (raw*1e6 can exceed int64).
+    "q309_domain_reweight" ->
+      s"""WITH $nCte,
+         |b AS (SELECT doc_id, substr(t, CAST(g AS INT), 2) AS bg
+         |      FROM (SELECT doc_id, t, unnest(range(1, length(t))) AS g
+         |            FROM n) z),
+         |dc AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg),
+         |m AS (SELECT bg, SUM(c) AS cnt FROM dc GROUP BY bg),
+         |mar AS (SELECT substr(bg, 1, 1) AS c1, SUM(cnt) AS tot
+         |        FROM m GROUP BY c1),
+         |v AS (SELECT COUNT(DISTINCT substr(bg, 2, 1)) AS vv FROM m),
+         |lp AS (SELECT m.bg,
+         |              CAST(ROUND(-ln((m.cnt + 1.0)/(mar.tot + v.vv))
+         |                         * 1000000, 0) AS BIGINT) AS lp
+         |       FROM m JOIN mar ON substr(m.bg, 1, 1) = mar.c1 CROSS JOIN v),
+         |s AS (SELECT dc.doc_id, SUM(dc.c) AS nb, SUM(dc.c * lp.lp) AS sl
+         |      FROM dc JOIN lp ON dc.bg = lp.bg GROUP BY dc.doc_id),
+         |pd AS (SELECT d.doc_id, d.source,
+         |         COALESCE(CAST(s.nb AS BIGINT), 0) AS nb,
+         |         CASE WHEN COALESCE(s.nb, 0) = 0 THEN 0
+         |           ELSE CAST(s.sl // s.nb AS BIGINT) END AS nll
+         |       FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id),
+         |per AS (SELECT source, COUNT(*) AS n_docs,
+         |          CAST(SUM(nb) AS BIGINT) AS nb,
+         |          CAST(SUM(nb * nll) AS BIGINT) AS snl
+         |        FROM pd GROUP BY source),
+         |tot AS (SELECT CAST(SUM(nb) AS BIGINT) AS tb,
+         |          CAST(SUM(snl) AS BIGINT) AS ts FROM per),
+         |rep AS (SELECT source, n_docs, nb,
+         |          CASE WHEN tb = 0 THEN 0
+         |            ELSE nb * 1000000 // tb END AS share_ppm,
+         |          CASE WHEN nb = 0 THEN 0 ELSE snl // nb END AS nll_micro,
+         |          CASE WHEN tb = 0 THEN 0 ELSE ts // tb END AS nll_bar
+         |        FROM per CROSS JOIN tot),
+         |r2 AS (SELECT source, n_docs, nb, share_ppm, nll_micro,
+         |          nll_micro - nll_bar AS excess_micro,
+         |          GREATEST(1, 1000000 + nll_micro - nll_bar)
+         |            AS factor_micro,
+         |          share_ppm * GREATEST(1, 1000000 + nll_micro - nll_bar)
+         |            AS raw
+         |        FROM rep),
+         |rt AS (SELECT SUM(raw) AS rt FROM r2)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(nb AS BIGINT) AS n_bigrams,
+         |       CAST(share_ppm AS BIGINT) AS share_ppm,
+         |       CAST(nll_micro AS BIGINT) AS nll_micro,
+         |       CAST(excess_micro AS BIGINT) AS excess_micro,
+         |       CAST(factor_micro AS BIGINT) AS factor_micro,
+         |       CAST(CASE WHEN rt.rt = 0 THEN 0
+         |         ELSE CAST(raw AS HUGEINT) * 1000000 // rt.rt END
+         |         AS BIGINT) AS new_share_ppm
+         |FROM r2 CROSS JOIN rt
+         |ORDER BY source""".stripMargin,
+
     "q297_source_ablation" ->
       """WITH n2 AS (SELECT source,
         |              lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t

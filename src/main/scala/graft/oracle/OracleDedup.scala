@@ -616,6 +616,50 @@ object OracleDedup {
          |FROM sz LEFT JOIN rm USING (doc_id)
          |GROUP BY source
          |ORDER BY source""".stripMargin,
+    // Keep-first exact-substring dedup (Lee et al. 2022's shipped
+    // variant): per duplicated literal 50-token span, the first
+    // occurrence by (doc_id, pos) survives; non-first occurrences'
+    // covered-position union is scrubbed. The oracle ranks span groups
+    // directly on the literal text (the engine's hash tier is a
+    // verified prefilter, so span grouping is the ground truth).
+    "q307_exact_substr_keep1" ->
+      s"""WITH $nCte,
+         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+         |oc AS (SELECT doc_id, CAST(g - 1 AS BIGINT) AS pos,
+         |         array_to_string(list_slice(toks, g, g + 49), ' ') AS span
+         |       FROM (SELECT doc_id, toks,
+         |               unnest(range(1, len(toks) - 48)) AS g FROM tk) z),
+         |dp AS (SELECT span FROM oc GROUP BY span HAVING COUNT(*) > 1),
+         |rk AS MATERIALIZED (SELECT doc_id, pos,
+         |         row_number() OVER (PARTITION BY span
+         |           ORDER BY doc_id, pos) AS rn
+         |       FROM oc JOIN dp USING (span)),
+         |cv AS (SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS p FROM (
+         |         SELECT doc_id, unnest(range(pos, pos + 50)) AS p
+         |         FROM rk WHERE rn >= 2) z),
+         |rm AS (SELECT doc_id, COUNT(*) AS n_removed FROM cv GROUP BY doc_id),
+         |kp AS (SELECT doc_id, COUNT(*) AS n_kept FROM rk WHERE rn = 1
+         |       GROUP BY doc_id),
+         |dd AS (SELECT doc_id, COUNT(*) AS n_dup FROM rk WHERE rn >= 2
+         |       GROUP BY doc_id),
+         |sz AS (SELECT d.doc_id, d.source,
+         |         CAST(len(string_split(n.t, ' ')) AS BIGINT) AS n_tokens
+         |       FROM documents d JOIN n USING (doc_id))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN COALESCE(n_removed, 0) > 0 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_affected,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+         |       CAST(SUM(n_tokens - COALESCE(n_removed, 0)) AS BIGINT)
+         |         AS tokens_after,
+         |       CAST(SUM(COALESCE(n_removed, 0)) * 1000000 // SUM(n_tokens)
+         |         AS BIGINT) AS removed_ppm,
+         |       CAST(SUM(COALESCE(n_kept, 0)) AS BIGINT) AS n_kept_occ,
+         |       CAST(SUM(COALESCE(n_dup, 0)) AS BIGINT) AS n_dup_occ
+         |FROM sz LEFT JOIN rm USING (doc_id)
+         |     LEFT JOIN kp USING (doc_id)
+         |     LEFT JOIN dd USING (doc_id)
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
     // Train/test near-dup leakage: the q34 verified pair tier crossed
     // with the q52 affine-mod split; full 6-cell spine, cross-split
     // cells flagged, shares in exact ppm.

@@ -81,6 +81,104 @@ object OracleGraph {
        |SELECT * FROM r1 UNION ALL SELECT * FROM r2
        |ORDER BY als_round, segment""".stripMargin
 
+  /** One q305 implicit-feedback half-step (generated): HKV confidence
+    * weights α=40, the unobserved mass folded through the global factor
+    * Gram (CROSS JOIN of a 1-row 2×2), solve mirrored operand-for-
+    * operand against Factorization.implicitHalfStep. MATERIALIZED —
+    * each factor table is read by the next half-step AND both eval
+    * legs. */
+  private def alsImplicitHalfStep(out: String, solveKey: String,
+                                  fixedRel: String,
+                                  fixedKey: String): String = {
+    def solve(num: String): String =
+      s"""GREATEST(-100000, LEAST(100000, CAST(ROUND(($num)
+         | / ((CAST(g11 + a11 AS DOUBLE)/1000000.0 + 0.1)
+         |      * (CAST(g22 + a22 AS DOUBLE)/1000000.0 + 0.1)
+         |    - (CAST(g12 + a12 AS DOUBLE)/1000000.0)
+         |      * (CAST(g12 + a12 AS DOUBLE)/1000000.0))
+         | * 1000, 0) AS BIGINT)))""".stripMargin
+    s"""st_$out AS (SELECT rt.$solveKey AS k,
+       |    CAST(SUM(f.f1*f.f1*rt.r*40) AS BIGINT) AS a11,
+       |    CAST(SUM(f.f1*f.f2*rt.r*40) AS BIGINT) AS a12,
+       |    CAST(SUM(f.f2*f.f2*rt.r*40) AS BIGINT) AS a22,
+       |    CAST(SUM((1 + 40*rt.r)*f.f1) AS BIGINT) AS b1,
+       |    CAST(SUM((1 + 40*rt.r)*f.f2) AS BIGINT) AS b2
+       |  FROM rt JOIN $fixedRel f ON rt.$fixedKey = f.$fixedKey
+       |  GROUP BY 1),
+       |gr_$out AS (SELECT CAST(SUM(f1*f1) AS BIGINT) AS g11,
+       |    CAST(SUM(f1*f2) AS BIGINT) AS g12,
+       |    CAST(SUM(f2*f2) AS BIGINT) AS g22
+       |  FROM $fixedRel),
+       |$out AS MATERIALIZED (SELECT k AS $solveKey,
+       |  ${solve(
+            """(CAST(g22 + a22 AS DOUBLE)/1000000.0 + 0.1)
+              |      * (CAST(b1 AS DOUBLE)/1000.0)
+              |    - (CAST(g12 + a12 AS DOUBLE)/1000000.0)
+              |      * (CAST(b2 AS DOUBLE)/1000.0)""".stripMargin)} AS f1,
+       |  ${solve(
+            """(CAST(g11 + a11 AS DOUBLE)/1000000.0 + 0.1)
+              |      * (CAST(b2 AS DOUBLE)/1000.0)
+              |    - (CAST(g12 + a12 AS DOUBLE)/1000000.0)
+              |      * (CAST(b1 AS DOUBLE)/1000.0)""".stripMargin)} AS f2
+       |  FROM st_$out CROSS JOIN gr_$out)""".stripMargin
+  }
+
+  /** q305 per-round eval (generated): confidence-weighted RMSE over the
+    * observed pairs + the Gram-trick background term (mean squared
+    * score over ALL segment (user, item) pairs), both exact. */
+  private def alsImplicitEval(rnd: Int, x: String, y: String): String =
+    s"""ev$rnd AS (SELECT c.c_mktsegment AS segment, (1 + 40*rt.r) AS cw,
+       |    1000000 - (x.f1*y.f1 + x.f2*y.f2) AS d
+       |  FROM rt JOIN $x x ON rt.u = x.u JOIN $y y ON rt.i = y.i
+       |       JOIN customer c ON rt.u = c.c_custkey),
+       |ob$rnd AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_ratings,
+       |    CAST(SUM(cw) AS BIGINT) AS c_sum,
+       |    SUM(CAST(cw AS HUGEINT) * CAST(d AS HUGEINT) * d) AS wsse
+       |  FROM ev$rnd GROUP BY segment),
+       |gy$rnd AS (SELECT CAST(SUM(f1*f1) AS BIGINT) AS g11,
+       |    CAST(SUM(f1*f2) AS BIGINT) AS g12,
+       |    CAST(SUM(f2*f2) AS BIGINT) AS g22,
+       |    CAST(COUNT(*) AS BIGINT) AS n_items FROM $y),
+       |bx$rnd AS (SELECT c.c_mktsegment AS segment, n_items,
+       |    CAST(x.f1 AS HUGEINT)*x.f1*g11
+       |      + 2*CAST(x.f1 AS HUGEINT)*x.f2*g12
+       |      + CAST(x.f2 AS HUGEINT)*x.f2*g22 AS xgx
+       |  FROM $x x CROSS JOIN gy$rnd
+       |       JOIN customer c ON x.u = c.c_custkey),
+       |bg$rnd AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_users,
+       |    SUM(xgx) AS xgx_sum, MAX(n_items) AS n_items
+       |  FROM bx$rnd GROUP BY segment),
+       |r$rnd AS (SELECT CAST($rnd AS INT) AS als_round, o.segment,
+       |    o.n_ratings, o.c_sum,
+       |    CAST(ROUND(SQRT(CAST(o.wsse AS DOUBLE) / o.c_sum), 0) AS BIGINT)
+       |      AS wrmse_micro,
+       |    CAST(b.xgx_sum // (b.n_users * b.n_items * 1000000) AS BIGINT)
+       |      AS bg_micro
+       |  FROM ob$rnd o JOIN bg$rnd b ON o.segment = b.segment)""".stripMargin
+
+  /** Implicit-feedback rank-2 ALS (q305), 2 unrolled alternating rounds
+    * — mirrors graft.ext.Factorization.alsImplicitReport exactly: same
+    * deterministic init and ratings fact as q294, HKV confidence
+    * weighting, Gram-folded unobserved mass, per-(round, segment)
+    * weighted RMSE + background term. */
+  private lazy val alsImplicitSql: String =
+    s"""WITH rt AS MATERIALIZED (SELECT o_custkey AS u, l_partkey AS i,
+       |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
+       |       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |       GROUP BY 1, 2),
+       |y0 AS MATERIALIZED (SELECT i,
+       |         1000 + i % 2147483647 * 1000003 % 2147483647 % 1000 AS f1,
+       |         1000 + i % 2147483647 * 2654435761 % 2147483647 % 1000 AS f2
+       |       FROM (SELECT DISTINCT i FROM rt) z),
+       |${alsImplicitHalfStep("xi1", "u", "y0", "i")},
+       |${alsImplicitHalfStep("yi1", "i", "xi1", "u")},
+       |${alsImplicitEval(1, "xi1", "yi1")},
+       |${alsImplicitHalfStep("xi2", "u", "yi1", "i")},
+       |${alsImplicitHalfStep("yi2", "i", "xi2", "u")},
+       |${alsImplicitEval(2, "xi2", "yi2")}
+       |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+       |ORDER BY als_round, segment""".stripMargin
+
   /** One Borůvka round (q299, generated): cross-component edge census,
     * per-component best-edge selection under the (s DESC, u, v) total
     * order, EXACT merge via a recursive min-label closure over the
@@ -199,6 +297,11 @@ object OracleGraph {
     // Rank-2 ALS training report: 2 unrolled alternating rounds in the
     // exact milli-unit factor contract (generated — see alsSql).
     "q294_als_rank2" -> alsSql,
+
+    // Implicit-feedback rank-2 ALS (HKV): confidence-weighted solves
+    // with the Gram-folded unobserved mass (generated — see
+    // alsImplicitSql).
+    "q305_als_implicit" -> alsImplicitSql,
     // Borůvka max-spanning-forest: 3 unrolled rounds, hash-min merges
     // (generated — see boruvkaSql).
     "q299_boruvka_forest" -> boruvkaSql,

@@ -234,6 +234,13 @@ object OracleMultimodal {
          |ORDER BY query_id, rank""".stripMargin,
     // Perceptual aHash near-dup: the oracle replays the frame-0 pixel
     // arithmetic (text bytes & 0x7f, row-major vw x vh), block-averages
+    // ASCII ASSUMPTION: this replay uses CHARACTER code points
+    // (ord(substr(text,...)) % 128) and length(text) in CHARACTERS,
+    // while the engine's gifPayload/gifAHash use UTF-8 BYTES (& 0x7f)
+    // and byte length. Parity holds because the documents fixture is
+    // pure ASCII (code point == byte there); a non-ASCII fixture would
+    // need the oracle pixel stream derived from encode(text, 'UTF-8')
+    // octets instead, or the hashes silently diverge.
     // into the 4x4 mosaic with the exact integer cross-multiply
     // threshold, and mirrors the two 8-bit-band candidate join + exact
     // hamming verify — so the engine's real LZW decode + fingerprint +
@@ -276,6 +283,59 @@ object OracleMultimodal {
         |ns AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_near,
         |         CAST(MIN(partner) AS BIGINT) AS nearest FROM sy GROUP BY 1)
         |SELECT h.doc_id, h.ahash, h.n_blocks,
+        |       COALESCE(ns.n_near, 0) AS n_near,
+        |       COALESCE(ns.nearest, -1) AS nearest_id
+        |FROM hs h LEFT JOIN ns ON h.doc_id = ns.doc_id
+        |ORDER BY h.doc_id""".stripMargin,
+    // Audio energy-fingerprint near-dup: the oracle replays the WAV
+    // payload arithmetic (q127's model — samples are text bytes
+    // zero-padded to channel alignment, channel 0 = indices ≡ 0 mod
+    // ch), windows the stream 16 ways by the exact integer split
+    // 16·j//n, thresholds window energy by the integer cross-multiply,
+    // and mirrors the two 8-bit-band candidate join + hamming verify —
+    // value-checking the engine's RIFF parse + fingerprint + banded
+    // join end to end. Same ASCII assumption as q295 (code point ==
+    // UTF-8 byte on this fixture).
+    "q306_audio_near_dup" ->
+      """WITH a AS (SELECT doc_id, text,
+        |             CAST(1 + doc_id % 2 AS INT) AS ch,
+        |             length(text) AS len
+        |           FROM documents WHERE doc_id % 3 = 1),
+        |d AS (SELECT doc_id, ch, len, text,
+        |        len + CASE WHEN len % ch = 0 THEN 0 ELSE 1 END AS dlen
+        |      FROM a),
+        |s AS (SELECT doc_id, gi // ch AS j, n,
+        |        (CASE WHEN gi < len
+        |              THEN ord(substr(text, CAST(gi + 1 AS INT), 1))
+        |              ELSE 0 END) - 128 AS amp
+        |      FROM (SELECT doc_id, ch, len, text, dlen // ch AS n,
+        |              unnest(range(dlen)) AS gi FROM d WHERE dlen > 0) z
+        |      WHERE gi % ch = 0),
+        |wl AS (SELECT doc_id, n, CAST(16*j // n AS INT) AS wi,
+        |         CAST(SUM(amp*amp) AS BIGINT) AS wss,
+        |         CAST(COUNT(*) AS BIGINT) AS wn
+        |       FROM s GROUP BY 1, 2, 3),
+        |tt AS (SELECT doc_id, SUM(wss) AS tot FROM wl GROUP BY 1),
+        |hs AS (SELECT wl.doc_id,
+        |         CAST(SUM(CASE WHEN wl.wss * wl.n > tt.tot * wl.wn
+        |           THEN CAST(1 AS BIGINT) << wl.wi
+        |           ELSE 0 END) AS BIGINT) AS fp,
+        |         CAST(COUNT(*) AS INT) AS n_windows,
+        |         CAST(MAX(wl.n) AS BIGINT) AS n_samples
+        |       FROM wl JOIN tt USING (doc_id) GROUP BY wl.doc_id),
+        |bd AS (SELECT doc_id, fp, 0 AS band, fp % 256 AS bv FROM hs
+        |       UNION ALL
+        |       SELECT doc_id, fp, 1, fp // 256 FROM hs),
+        |cp AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+        |         a.fp AS fa, b.fp AS fb
+        |       FROM bd a JOIN bd b
+        |         ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |np AS (SELECT da, db FROM cp WHERE bit_count(xor(fa, fb)) <= 1),
+        |sy AS (SELECT da AS doc_id, db AS partner FROM np
+        |       UNION ALL SELECT db, da FROM np),
+        |ns AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_near,
+        |         CAST(MIN(partner) AS BIGINT) AS nearest FROM sy GROUP BY 1)
+        |SELECT h.doc_id, h.fp, h.n_windows, h.n_samples,
         |       COALESCE(ns.n_near, 0) AS n_near,
         |       COALESCE(ns.nearest, -1) AS nearest_id
         |FROM hs h LEFT JOIN ns ON h.doc_id = ns.doc_id

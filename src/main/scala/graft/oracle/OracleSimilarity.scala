@@ -155,6 +155,88 @@ object OracleSimilarity {
        |ORDER BY round""".stripMargin
   }
 
+  /** q304: the graph-ANN SERVING walk over the q280 3-round descent
+    * graph, unrolled — undirected degree-capped serve edges, the fixed
+    * `nEntry`-smallest-id entry set, `hops` synchronous beam hops
+    * (beam = top-`beam` of the visited set, expand through serve edges,
+    * score only genuinely new candidates, union), final top-`k` with
+    * exact-brute-tier hit flags and the visited-set size. Every
+    * multiply-referenced CTE is MATERIALIZED (the DuckDB inlining trap
+    * — see powerRoundsCtes). */
+  private def graphAnnSql(graphRounds: Int, hops: Int, k: Int, beam: Int,
+                          nEntry: Int): String = {
+    val roundBlocks = (1 to graphRounds).map { r =>
+      knnRoundCtes(if (r == 1) "sd" else s"g${r - 1}", s"g$r", s"_$r")
+    }.mkString(",\n")
+    val gN = s"g$graphRounds"
+    val hopBlocks = (1 to hops).map { h =>
+      val prev = s"v${h - 1}"
+      s"""b$h AS (SELECT query_id, nid AS id FROM (SELECT *, row_number() OVER (
+         |           PARTITION BY query_id ORDER BY score DESC, nid) AS rk
+         |         FROM $prev) z WHERE rk <= $beam),
+         |e$h AS (SELECT DISTINCT b$h.query_id, sv.nid
+         |       FROM b$h JOIN sv ON sv.id = b$h.id),
+         |n$h AS (SELECT e$h.query_id, e$h.nid FROM e$h
+         |       LEFT JOIN $prev p
+         |         ON p.query_id = e$h.query_id AND p.nid = e$h.nid
+         |       WHERE p.nid IS NULL),
+         |v$h AS MATERIALIZED (
+         |       SELECT query_id, nid, score FROM $prev
+         |       UNION ALL
+         |       SELECT n$h.query_id, n$h.nid,
+         |         ROUND(list_dot_product(qs.q_emb, y.emb)/(qs.q_nrm*y.nrm), 4)
+         |       FROM n$h JOIN qs USING (query_id)
+         |       JOIN nm y ON y.vec_id = n$h.nid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $embCte,
+       |$knnSeedCtes,
+       |$roundBlocks,
+       |ud AS (SELECT id, nid FROM $gN UNION SELECT nid, id FROM $gN),
+       |sv0 AS (SELECT ud.id, ud.nid,
+       |         ROUND(list_dot_product(x.emb, y.emb)/(x.nrm*y.nrm), 4)
+       |           AS escore
+       |       FROM ud JOIN nm x ON x.vec_id = ud.id
+       |       JOIN nm y ON y.vec_id = ud.nid),
+       |sv AS MATERIALIZED (
+       |       SELECT id, nid FROM (SELECT *, row_number() OVER (
+       |           PARTITION BY id ORDER BY escore DESC, nid) AS rk FROM sv0) z
+       |       WHERE rk <= ${2 * k}),
+       |qs AS MATERIALIZED (
+       |       SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm
+       |       FROM nm WHERE vec_id < 10),
+       |en AS (SELECT vec_id AS nid FROM nm ORDER BY vec_id LIMIT $nEntry),
+       |v0 AS MATERIALIZED (
+       |       SELECT qs.query_id, en.nid,
+       |         ROUND(list_dot_product(qs.q_emb, y.emb)/(qs.q_nrm*y.nrm), 4)
+       |           AS score
+       |       FROM qs CROSS JOIN en JOIN nm y ON y.vec_id = en.nid),
+       |$hopBlocks,
+       |exq AS (SELECT qs.query_id, c.vec_id AS nid,
+       |         ROUND(list_dot_product(qs.q_emb, c.emb)/(qs.q_nrm*c.nrm), 4)
+       |           AS score
+       |       FROM nm c CROSS JOIN qs WHERE c.vec_id <> qs.query_id),
+       |ek AS MATERIALIZED (
+       |       SELECT query_id, nid FROM (SELECT *, row_number() OVER (
+       |           PARTITION BY query_id ORDER BY score DESC, nid) AS rk
+       |         FROM exq) z
+       |       WHERE rk <= $k),
+       |nv AS (SELECT query_id, COUNT(*) AS n_visited FROM v$hops
+       |       GROUP BY query_id),
+       |fin AS (SELECT query_id, nid, score, row_number() OVER (
+       |           PARTITION BY query_id ORDER BY score DESC, nid) AS rnk
+       |       FROM v$hops WHERE nid <> query_id)
+       |SELECT f.query_id, CAST(f.rnk AS INT) AS rank,
+       |       f.nid AS neighbor_id, f.score AS score,
+       |       CAST(CASE WHEN ek.nid IS NOT NULL THEN 1 ELSE 0 END AS INT)
+       |         AS is_hit,
+       |       CAST(nv.n_visited AS BIGINT) AS n_visited
+       |FROM fin f
+       |LEFT JOIN ek ON ek.query_id = f.query_id AND ek.nid = f.nid
+       |JOIN nv ON nv.query_id = f.query_id
+       |WHERE f.rnk <= $k
+       |ORDER BY f.query_id, f.rnk""".stripMargin
+  }
+
   /** The flat-index BM25 ranking over the shared q186 query set —
     * served under BOTH q186 (the flat operator) and q286 (whose Spark
     * side ranks on merged per-half index states; flat-vs-merged hash
@@ -1062,6 +1144,12 @@ object OracleSimilarity {
     // descent rounds (knnRoundCtes), per-round recall + EXCEPT-based
     // new-edge count; converged = round added no new edge.
     "q280_knn_rounds" -> knnTrajectorySql(3),
+
+    // Graph-ANN beam-search serving over the q280 3-round descent graph
+    // (generated — see graphAnnSql): 4 fixed entries, 3 beam-4 hops,
+    // top-5 answers with exact-tier hit flags + visited-set size.
+    "q304_graph_ann_serve" -> graphAnnSql(
+      graphRounds = 3, hops = 3, k = 5, beam = 4, nEntry = 4),
 
     // nDCG@3 with graded relevance (gain = 4 − brute rank) across the
     // brute/lsh/ivf tiers; discounts are the Scala ndcgDiscountE6

@@ -606,6 +606,129 @@ object CurationQueries {
       .orderBy("rank")
   }
 
+  /** SORTED-BATCHING padding-waste report (q308) — the length-curriculum
+    * readout a training pipeline computes before fixing its batching
+    * strategy: when fixed-size batches pad every sequence to the batch
+    * max, batching docs in LENGTH order packs near-equal lengths
+    * together and reclaims most padding FLOPs, while random batching
+    * pays max-of-a-random-sample per batch (the standard "sorted
+    * batching"/bucketing trick of seq2seq training). For each batch
+    * size and both strategies, the report carries the exact slot volume
+    * (Σ over batches of batch_max·batch_rows), total real tokens, and
+    * the waste in exact floor ppm — the measured FLOP overhead the
+    * strategy decision trades against shuffle quality.
+    *
+    * Scale shape: the global length rank comes from the house
+    * distributed [[graft.operators.PrefixSum]] (range-bucketed two-pass
+    * — never an unpartitioned window); the "random" baseline ranks by
+    * the affine-mod hash of doc_id (the house RNG-free sampler
+    * contract, so both engines replay it); batch membership is pure
+    * arithmetic on the rank; ONE tagged union × a broadcast 3-row
+    * batch-size spine feeds a single (strategy, batch_size,
+    * batch)-keyed rollup. */
+  def sortedBatchingReport(spark: SparkSession, dir: String,
+                           batchSizes: Seq[Int] = Seq(16, 64, 256))
+      : DataFrame = {
+    require(batchSizes.nonEmpty && batchSizes.forall(_ >= 1),
+      s"batch sizes must be >= 1: $batchSizes")
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextOps.tokens(TextOps.normText(col("text"))))
+          .cast("long").as("n_tokens"))
+      .withColumn("one", lit(1L))
+    val hk = ((col("doc_id") % lit(TextOps.HashP)) * lit(48271L)
+      + lit(11L)) % lit(TextOps.HashP)
+    val sorted = graft.operators.PrefixSum.exclusive(
+        toks.withColumn("k", col("n_tokens")), "k", descending = false,
+        ties = Seq(col("doc_id")), "one", "rk")
+      .select(lit("sorted").as("strategy"), col("n_tokens"), col("rk"))
+    val shuffled = graft.operators.PrefixSum.exclusive(
+        toks.withColumn("k", hk), "k", descending = false,
+        ties = Seq(col("doc_id")), "one", "rk")
+      .select(lit("hash_shuffled").as("strategy"), col("n_tokens"),
+        col("rk"))
+    val bs = batchSizes.sorted.toDF("batch_size")
+    sorted.unionAll(shuffled)
+      .crossJoin(broadcast(bs)) // bounded spine: |batchSizes| rows
+      .withColumn("batch", expr("rk div batch_size"))
+      .groupBy("strategy", "batch_size", "batch")
+      .agg(count(lit(1)).as("nb"), max("n_tokens").as("mx"),
+        sum("n_tokens").as("tt"))
+      .groupBy("strategy", "batch_size")
+      .agg(count(lit(1)).as("n_batches"), sum("nb").as("n_docs"),
+        sum(col("mx") * col("nb")).as("slot_tokens"),
+        sum("tt").as("total_tokens"))
+      .select(col("strategy"), col("batch_size").cast("int").as("batch_size"),
+        col("n_batches").cast("long").as("n_batches"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("slot_tokens").cast("long").as("slot_tokens"),
+        col("total_tokens").cast("long").as("total_tokens"),
+        expr("CASE WHEN slot_tokens = 0 THEN 0 ELSE " +
+          "(slot_tokens - total_tokens) * 1000000 div slot_tokens END")
+          .as("waste_ppm"))
+      .orderBy("strategy", "batch_size")
+  }
+
+  /** MULTIPLICATIVE-WEIGHTS domain reweighting (q309) — one linearized
+    * exponentiated-gradient step of the DoReMi idea (Xie et al. 2023)
+    * on MEASURED losses: per source, the token-share baseline weight is
+    * multiplied by (1 + η·excess) where excess = the source's mean
+    * char-bigram LM NLL (the q181 model) minus the corpus
+    * bigram-weighted mean — sources the reference model finds HARD are
+    * upweighted, easy/boilerplate sources shed mass (the DoReMi
+    * excess-loss signal; the linear factor is the standard
+    * multiplicative-weights first-order form of exp(η·excess), chosen
+    * because exp has no established cross-engine reproducibility
+    * contract in this suite while products of quantized integers do).
+    * Output per source: doc/bigram volumes, baseline share, mean NLL,
+    * signed excess, the clamped update factor, and the renormalized new
+    * share — all exact floor ppm/micro integers.
+    *
+    * Scale shape: one q181 scoring pass (model broadcast, map-side
+    * partial aggs), one source-keyed rollup, two 1-row scalar crosses
+    * (corpus mean, normalizer). */
+  def domainReweighting(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sc = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+    val per = docs.select(col("doc_id"), col("source"))
+      .join(sc, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("nb"),
+        sum(col("n_bigrams") * col("nll_micro")).as("snl"))
+      .localCheckpoint() // read by the scalar rollup + the report
+    val tot = per.agg(sum("nb").as("tb"), sum("snl").as("ts"))
+    val rep = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("nb"),
+        expr("CASE WHEN tb = 0 THEN 0 ELSE nb * 1000000 div tb END")
+          .as("share_ppm"),
+        expr("CASE WHEN nb = 0 THEN 0 ELSE snl div nb END").as("nll_micro"),
+        expr("CASE WHEN tb = 0 THEN 0 ELSE ts div tb END")
+          .as("nll_bar_micro"))
+      .withColumn("excess_micro", col("nll_micro") - col("nll_bar_micro"))
+      // eta = 1; the clamp keeps a pathologically-easy source at a
+      // positive weight instead of zero/negative mass
+      .withColumn("factor_micro",
+        greatest(lit(1L), lit(1000000L) + col("excess_micro")))
+      .withColumn("raw", col("share_ppm") * col("factor_micro"))
+      .localCheckpoint() // read by the normalizer + the final projection
+    val rawTot = rep.agg(sum("raw").as("rt"))
+    rep.crossJoin(broadcast(rawTot))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        col("nb").cast("long").as("n_bigrams"),
+        col("share_ppm").cast("long").as("share_ppm"),
+        col("nll_micro").cast("long").as("nll_micro"),
+        col("excess_micro").cast("long").as("excess_micro"),
+        col("factor_micro").cast("long").as("factor_micro"),
+        // DECIMAL before the multiply: raw*1e6 can clear int64 when a
+        // hard source's factor is large (oracle mirrors via HUGEINT)
+        expr("CASE WHEN rt = 0 THEN 0 ELSE " +
+          "CAST(raw AS DECIMAL(38,0)) * 1000000 div rt END")
+          .cast("long").as("new_share_ppm"))
+      .orderBy("source")
+  }
+
   /** Leave-one-source-out OLS data valuation (q297): how much does each
     * SOURCE move the corpus-level lexical-diversity fit (distinct
     * tokens ~ α + β·tokens, the type–token regression)? For every

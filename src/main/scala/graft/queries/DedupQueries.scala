@@ -378,6 +378,17 @@ object DedupQueries {
     TextDedup.exactSubstringScrub(Tables.documents(spark, dir), "doc_id",
       "text", "source", minLen = 50)
 
+  /** Keep-first exact-substring dedup (q307):
+    * [[graft.ext.TextDedup.exactSubstringKeepFirst]] — the variant Lee
+    * et al. ship: one occurrence per duplicated ≥50-token span survives
+    * (first by the deterministic (doc_id, pos) order), the rest are
+    * scrubbed; per-source volumes + keeper/scrubbed occurrence
+    * accounting, conservation vs the q290 remove-all tier spec-pinned. */
+  def exactSubstringKeepFirstReport(spark: SparkSession,
+                                    dir: String): DataFrame =
+    TextDedup.exactSubstringKeepFirst(Tables.documents(spark, dir),
+      "doc_id", "text", "source", minLen = 50)
+
   /** Train/test near-dup leakage audit (q302): the q34 MinHash+LSH
     * verified pair tier crossed with the q52 deterministic split — per
     * unordered split pair, how many near-duplicate pairs STRADDLE the

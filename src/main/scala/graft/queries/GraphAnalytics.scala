@@ -424,6 +424,26 @@ object GraphAnalytics {
       segments, "seg")
   }
 
+  /** Implicit-feedback rank-2 ALS training report (q305):
+    * [[graft.ext.Factorization.alsImplicitReport]] — the
+    * Hu–Koren–Volinsky confidence-weighted form over the SAME
+    * customer×part quantity fact as q294 (purchase counts ARE implicit
+    * feedback — the production recommender signal): c = 1 + 40·q
+    * confidences, unobserved pairs folded through the global factor
+    * Gram, per-(round, segment) weighted RMSE + background term. */
+  def alsImplicitTrainingReport(spark: SparkSession, dir: String): DataFrame = {
+    val ratings = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("oid"), col("o_custkey").as("u"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("oid"), col("l_partkey").as("i"),
+          col("l_quantity").cast("long").as("q")), Seq("oid"))
+      .groupBy("u", "i").agg(sum("q").as("r"))
+    val segments = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("u"), col("c_mktsegment").as("seg"))
+    graft.ext.Factorization.alsImplicitReport(ratings, "u", "i",
+      segments, "seg")
+  }
+
   /** Borůvka maximum-spanning-forest trajectory (q299):
     * [[graft.operators.Graph.boruvkaForest]] over the support-weighted
     * co-purchase edges (shared staged relation with q142/q223/…) — the

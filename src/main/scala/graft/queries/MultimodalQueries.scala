@@ -208,4 +208,47 @@ object MultimodalQueries {
         coalesce(col("nearest"), lit(-1L)).as("nearest_id"))
       .orderBy("doc_id")
   }
+
+  /** Audio fingerprint near-dup census (q306):
+    * [[graft.ext.Multimodal.wavEnergyFingerprint]] over every REAL
+    * RIFF-parsed WAV payload (the audio third of the corpus), near-dups
+    * at hamming ≤ 1 via the SAME banded self-join as the q295 image
+    * tier — two 8-bit bands over the 16-bit energy fingerprint
+    * (pigeonhole guarantees an identical band at hamming ≤ 1,
+    * candidates ~N²/256 per band), exact `bit_count(xor)` verification
+    * on the candidate sliver only. One report row per clip
+    * (fingerprint, live windows, channel-0 sample count, near-dup
+    * degree, smallest partner), so the census is non-vacuous at every
+    * sf. Closes the multimodal dedup gap: text (q34…), image (q295),
+    * and now audio all carry the same bucketed-never-all-pairs plan. */
+  def audioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Multimodal.wavEnergyFingerprint(
+        Multimodal.attachPayload(Tables.documents(spark, dir), "doc_id",
+          "text"))
+      .localCheckpoint() // read by both band tables + the report spine
+    val bands = fps
+      .select(col("doc_id"), col("fp"), lit(0).as("band"),
+        (col("fp") % 256).as("bv"))
+      .unionAll(fps.select(col("doc_id"), col("fp"), lit(1).as("band"),
+        expr("fp div 256").as("bv")))
+    val cand = bands
+      .join(bands.select(col("doc_id").as("doc_b"), col("fp").as("fb"),
+        col("band"), col("bv")), Seq("band", "bv"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select("doc_id", "doc_b", "fp", "fb").distinct()
+    val near = cand
+      .filter(bit_count(col("fp").bitwiseXOR(col("fb"))) <= 1)
+      .select(col("doc_id"), col("doc_b"))
+    val sym = near.unionAll(near.select(col("doc_b"), col("doc_id")))
+      .toDF("d", "partner")
+    val stats = sym.groupBy("d")
+      .agg(count(lit(1)).as("n_near"), min("partner").as("nearest"))
+    fps.join(stats, fps("doc_id") === stats("d"), "left")
+      .select(col("doc_id"), col("fp"),
+        col("n_windows").cast("int").as("n_windows"),
+        col("n_samples"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        coalesce(col("nearest"), lit(-1L)).as("nearest_id"))
+      .orderBy("doc_id")
+  }
 }

@@ -471,6 +471,20 @@ object SimilarityQueries {
     Similarity.knnDescentConverged(Tables.embeddings(spark, dir), "vec_id",
       "embedding", k = 5, rounds = 3)
 
+  /** Graph-ANN serving (q304):
+    * [[graft.ext.Similarity.graphAnnBeamSearch]] — beam search over the
+    * q280 3-round NN-descent graph for the q262 query set (vec_id < 10):
+    * 4 fixed smallest-id entries, 3 beam-4 hops over the undirected
+    * degree-capped serve edges, top-5 answers with exact-tier hit flags
+    * (the recall readout comparable to the q262 IVF curve) and the
+    * per-query visited-set size (the candidate-volume cost). */
+  def graphAnnServeReport(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.graphAnnBeamSearch(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 10), k = 5, beam = 4, hops = 3,
+      nEntry = 4, graphRounds = 3)
+  }
+
   /** Embedding-space drift (q269): [[graft.ext.Drift.embeddingDrift]]
     * — per-dim centroid shift + value-distribution PSI between the
     * even/odd vec_id halves (the q242 snapshot convention). */

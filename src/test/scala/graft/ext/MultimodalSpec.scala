@@ -507,4 +507,91 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("n_near") > 0),
       "fixture has no near-dup pair — census vacuous")
   }
+
+  test("wavEnergyFingerprint: planted duplicate collides; uniform energy" +
+      " sets no bit; windows counted honestly") {
+    import spark.implicits._
+    // ids 2 and 4 are both MONO (ch = 1 + id%2 = 1), so identical PCM
+    // content must fingerprint identically through the REAL RIFF parse
+    // — the planted-duplicate fixture. (media_type is set directly, so
+    // the attachPayload id%3 convention does not apply here.)
+    val text = "an audio fingerprint fixture with LOUD!!! and quiet parts"
+    val blobs = Seq(
+      Multimodal.MediaBlob(2L, "audio",
+        Multimodal.wavPayload(2L, text.getBytes("UTF-8"))),
+      Multimodal.MediaBlob(4L, "audio",
+        Multimodal.wavPayload(4L, text.getBytes("UTF-8"))),
+      // constant amplitude: every window's energy equals the mean, the
+      // strict > sets no bit
+      Multimodal.MediaBlob(6L, "audio",
+        Multimodal.wavPayload(6L, Array.fill(64)('x'.toByte))),
+      // shorter than 16 samples: fewer live windows, reported honestly
+      Multimodal.MediaBlob(8L, "audio",
+        Multimodal.wavPayload(8L, "abcde".getBytes("UTF-8"))))
+    val got = Multimodal.wavEnergyFingerprint(spark.createDataset(blobs))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("fp"), r.getAs[Int]("n_windows"),
+          r.getAs[Long]("n_samples"))).toMap
+    assert(got(2L)._1 == got(4L)._1, "identical mono PCM, different hash")
+    assert(got(2L)._3 == text.getBytes("UTF-8").length)
+    assert(got(6L)._1 == 0L, "uniform energy must set no bit (strict >)")
+    assert(got(8L)._2 == 5 && got(8L)._3 == 5,
+      s"short clip windows misreported: ${got(8L)}")
+    assert(got.values.forall(v => v._2 > 0 && v._2 <= 16))
+  }
+
+  test("wavEnergyFingerprint matches an independent window recompute " +
+      "from the text (stereo deinterleave)") {
+    import spark.implicits._
+    val text = "deinterleave me 0101 deinterleave me 9876543210 end."
+    val bytes = text.getBytes("UTF-8")
+    val idSt = 7L // 7%3 == 1: audio; ch = 1 + 7%2 = 2 -> stereo
+    val blobs = Seq(
+      Multimodal.MediaBlob(idSt, "audio", Multimodal.wavPayload(idSt, bytes)))
+    val got = Multimodal.wavEnergyFingerprint(spark.createDataset(blobs))
+      .collect().head
+    // independent replay: channel 0 = even data indices; odd text length
+    // pads one zero byte (amp -128)
+    val ch = (1 + idSt % 2).toInt
+    val dlen = bytes.length + (if (bytes.length % ch == 0) 0 else 1)
+    val c0 = (0 until dlen by ch).map(i =>
+      (if (i < bytes.length) (bytes(i) & 0xff) else 0) - 128)
+    val n = c0.length
+    val wss = new Array[Long](16); val wn = new Array[Long](16)
+    c0.zipWithIndex.foreach { case (a, j) =>
+      val wi = (16L * j / n).toInt
+      wss(wi) += a.toLong * a; wn(wi) += 1
+    }
+    val tot = wss.sum
+    var expect = 0L; var live = 0
+    for (k <- 0 until 16 if wn(k) > 0) {
+      live += 1
+      if (wss(k) * n > tot * wn(k)) expect |= 1L << k
+    }
+    assert(got.getAs[Long]("fp") == expect)
+    assert(got.getAs[Int]("n_windows") == live)
+    assert(got.getAs[Long]("n_samples") == n)
+  }
+
+  test("q306 near-dup degrees equal the brute-force hamming<=1 census") {
+    // Banding over two 8-bit bands is exact at radius 1 (pigeonhole) —
+    // same argument as q295, now for the audio tier.
+    val rows = graft.queries.MultimodalQueries.audioNearDup(spark, sf001)
+      .collect()
+    val fps = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("fp"))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val brute = fps.map { case (d, h) =>
+      val near = fps.filter { case (o, oh) => o != d && ham(h, oh) <= 1 }
+      d -> (near.length.toLong,
+        if (near.isEmpty) -1L else near.map(_._1).min)
+    }.toMap
+    rows.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      assert((r.getAs[Long]("n_near"), r.getAs[Long]("nearest_id"))
+        == brute(d), s"doc $d disagrees with brute force")
+    }
+    assert(rows.exists(_.getAs[Long]("n_near") > 0),
+      "fixture has no audio near-dup pair — census vacuous")
+  }
 }

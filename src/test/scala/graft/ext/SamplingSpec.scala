@@ -231,4 +231,23 @@ class SamplingSpec extends SparkSpec {
       .collect().count(_.getAs[Long]("w") == 20L)
     assert(heavy > 150, s"heavy stratum drew only $heavy of 200")
   }
+
+  test("weightedReservoir: zero/negative weights clamp to 1, never NaN-win") {
+    // A zero weight used to yield priority lnu/0 = -Inf or NaN, and
+    // Spark sorts NaN FIRST under desc — a zero-weight row could
+    // silently win a slot. The operator now clamps weights to >= 1.
+    val df = (0L until 100L)
+      .map(i => (i, if (i < 10) 0L else if (i < 20) -5L else 1L))
+      .toDF("id", "w")
+    val s = Sampling.weightedReservoir(df, "id", col("w"), 30).collect()
+    assert(s.length == 30)
+    val prios = s.map(_.getAs[Double]("priority"))
+    assert(prios.forall(p => !p.isNaN && !p.isInfinite))
+    assert(s.forall(_.getAs[Long]("weight") == 1L)) // all clamped equal
+    // identical to the run where every weight is literally 1
+    val ones = Sampling.weightedReservoir(
+      df.withColumn("w", lit(1L)), "id", col("w"), 30)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(ones == s.map(_.getAs[Long]("id")).toSet)
+  }
 }

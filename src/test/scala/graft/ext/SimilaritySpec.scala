@@ -776,6 +776,50 @@ class SimilaritySpec extends SparkSpec {
       assert((out(r)._7 == 1) === (out(r)._3 == 0L), s"cert at round $r"))
   }
 
+  test("q304 graph-ANN beam search: contract, bounded walk, recall >= IVF") {
+    val emb = graft.model.Tables.embeddings(spark, sf001)
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = 5; val beam = 4; val hops = 3; val nEntry = 4
+    val out = Similarity.graphAnnBeamSearch(emb, "vec_id", "embedding",
+      queries, k = k, beam = beam, hops = hops, nEntry = nEntry,
+      graphRounds = 3).collect()
+    // contract: exactly k ranked rows per query, ranks 1..k, no self hit
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to k))
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != q))
+      // scores non-increasing in rank
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Double]("score"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+      // the walk is bounded: entries + hops * beam * capped degree
+      val nv = rows.head.getAs[Long]("n_visited")
+      assert(nv <= nEntry + hops.toLong * beam * 2 * k,
+        s"query $q visited $nv — walk not degree-bounded")
+    }
+    // determinism: a rerun reproduces the identical report
+    val again = Similarity.graphAnnBeamSearch(emb, "vec_id", "embedding",
+      queries, k = k, beam = beam, hops = hops, nEntry = nEntry,
+      graphRounds = 3).collect()
+    assert(out.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+    // the serving readout: graph-walk recall >= the IVF tier's at its
+    // default setting (nprobe=2) on the same query set — the verdict's
+    // "reader at least as good as the cell probe" bar
+    val beamHits = out.map(_.getAs[Int]("is_hit").toLong).sum
+    val exact = Similarity.bruteTopK(emb, queries, "vec_id", "embedding", k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivfHits = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        "label", k = k, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .count()
+    assert(beamHits >= ivfHits,
+      s"beam recall $beamHits < IVF recall $ivfHits")
+    assert(beamHits > 0, "vacuous: beam search hit nothing")
+  }
+
   test("q281 ndcg report: brute is the perfect anchor, tiers bounded by it") {
     val out = graft.queries.SimilarityQueries.ndcgReport(spark, sf001)
       .collect()

@@ -458,6 +458,66 @@ class TextDedupSpec extends SparkSpec {
     assert(r.head.getLong(5) == 0L)                    // removed_ppm
   }
 
+  test("exactSubstringKeepFirst: exactly one keeper per span group, " +
+      "union accounting conserved vs remove-all") {
+    // Same planted structure as the remove-all spec (minLen = 5):
+    //  - docs 0/1 share "a b c d e f": keep-first retains doc 0's two
+    //    gram occurrences (positions 0,1 — smallest (doc_id, pos)),
+    //    scrubs doc 1's (positions 2,3 → covered 2..7).
+    //  - doc 3 self-repeats its leading 5-gram: the position-5
+    //    occurrence is scrubbed (covers 5..9), position 0 kept.
+    val docs = Seq(
+      (0L, "a b c d e f g h i j", "sa"),
+      (1L, "x y a b c d e f q r", "sa"),
+      (2L, "u v w t y z k l", "sb"),
+      (3L, "m n o p q m n o p q", "sb")
+    ).toDF("doc_id", "text", "source")
+    val out = TextDedup
+      .exactSubstringKeepFirst(docs, "doc_id", "text", "source", minLen = 5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // sa: only doc 1 affected; 6 positions covered; doc 0 keeps both
+    // duplicated grams (2 keepers), doc 1 contributes 2 scrubbed occs.
+    assert(out("sa") === ((2L, 1L, 20L, 14L, 300000L, 2L, 2L)))
+    // sb: doc 3's second occurrence scrubbed (5 positions), 1 keeper.
+    assert(out("sb") === ((2L, 1L, 18L, 13L, (5L * 1000000L) / 18L, 1L, 1L)))
+    // remove-all comparison: keep-first always retains at least as much
+    val all = TextDedup
+      .exactSubstringScrub(docs, "doc_id", "text", "source", minLen = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    out.foreach { case (s, v) =>
+      assert(v._4 >= all(s), s"source $s: keep-first retained less " +
+        s"than remove-all (${v._4} < ${all(s)})")
+    }
+  }
+
+  test("exactSubstringKeepFirst at sf0.001: conservation vs q290 and " +
+      "one keeper per group") {
+    val docs = graft.model.Tables.documents(spark, sf001)
+    val keep = TextDedup.exactSubstringKeepFirst(docs, "doc_id", "text",
+        "source", minLen = 50).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val all = TextDedup.exactSubstringScrub(docs, "doc_id", "text",
+        "source", minLen = 50).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(keep.keySet == all.keySet)
+    keep.foreach { case (s, kr) =>
+      val ar = all(s)
+      assert(kr.getAs[Long]("tokens_before") ==
+        ar.getAs[Long]("tokens_before"))
+      assert(kr.getAs[Long]("tokens_after") >= ar.getAs[Long]("tokens_after"),
+        s"source $s: keep-first removed more than remove-all")
+      assert(kr.getAs[Long]("n_affected") <= ar.getAs[Long]("n_affected"))
+    }
+    // occurrence accounting: every duplicated span group has >= 1
+    // scrubbed occurrence for its 1 keeper, corpus-wide
+    val kept = keep.values.map(_.getAs[Long]("n_kept_occ")).sum
+    val dup = keep.values.map(_.getAs[Long]("n_dup_occ")).sum
+    assert(kept > 0 && dup >= kept,
+      s"occurrence accounting broken: kept=$kept dup=$dup")
+  }
+
   test("q302 split-leakage cells equal a brute recombination of q34 + q52") {
     val rows = graft.queries.DedupQueries.splitLeakageAudit(spark, sf001)
       .collect()

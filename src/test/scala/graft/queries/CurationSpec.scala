@@ -127,4 +127,68 @@ class CurationSpec extends SparkSpec {
     assert(bySrc(victim).getAs[Long]("beta_micro") == beta)
     assert(bySrc(victim).getAs[Long]("n_docs_wo") == keep.length.toLong)
   }
+
+  test("q308 sorted batching: sorted never wastes more than the shuffle, " +
+      "volumes conserved, replayed by hand") {
+    val rows = graft.queries.CurationQueries
+      .sortedBatchingReport(spark, sf001).collect()
+    assert(rows.length == 6) // 2 strategies x 3 batch sizes
+    val byKey = rows.map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    val nDocs = byKey.values.head.getAs[Long]("n_docs")
+    byKey.values.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == nDocs) // every config sees all docs
+      assert(r.getAs[Long]("slot_tokens") >= r.getAs[Long]("total_tokens"))
+      assert(r.getAs[Long]("n_batches") ==
+        (nDocs + r.getInt(1) - 1) / r.getInt(1))
+    }
+    // the point of the operator: length-sorted batching wastes no more
+    // padding than hash-shuffled batching at every batch size
+    Seq(16, 64, 256).foreach { b =>
+      val s = byKey(("sorted", b)).getAs[Long]("waste_ppm")
+      val h = byKey(("hash_shuffled", b)).getAs[Long]("waste_ppm")
+      assert(s <= h, s"sorted waste $s > shuffled $h at batch size $b")
+    }
+    // independent replay at one batch size from collected lengths
+    val lens = graft.model.Tables.documents(spark, sf001)
+      .select(col("doc_id"), size(graft.ext.TextOps.tokens(
+        graft.ext.TextOps.normText(col("text")))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val sorted = lens.sortBy { case (id, n) => (n, id) }.map(_._2)
+    val exp = sorted.grouped(64).map(g => g.max * g.length - g.sum).sum
+    val slot = sorted.grouped(64).map(g => g.max * g.length).sum
+    val got = byKey(("sorted", 64))
+    assert(got.getAs[Long]("slot_tokens") == slot)
+    assert(got.getAs[Long]("slot_tokens") - got.getAs[Long]("total_tokens")
+      == exp)
+  }
+
+  test("q309 domain reweighting: hard sources gain mass, shares " +
+      "renormalize, factor replayed by hand") {
+    val rows = graft.queries.CurationQueries
+      .domainReweighting(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val excess = r.getAs[Long]("excess_micro")
+      val factor = r.getAs[Long]("factor_micro")
+      assert(factor == math.max(1L, 1000000L + excess)) // the MW rule
+      // monotone up to quantization: the normalizer is the share-
+      // weighted mean factor, which sits at 1e6 ± flooring slack
+      // (nll_bar IS the share-weighted mean), so a positive-excess
+      // source gains mass up to a few-ppm floor distortion
+      val oldS = r.getAs[Long]("share_ppm")
+      val newS = r.getAs[Long]("new_share_ppm")
+      if (excess > 0) assert(newS >= oldS - 50,
+        s"hard source lost mass: $r")
+    }
+    // shares renormalize: both columns sum to ~1e6 (floor remainder
+    // strictly less than the number of sources)
+    val oldTot = rows.map(_.getAs[Long]("share_ppm")).sum
+    val newTot = rows.map(_.getAs[Long]("new_share_ppm")).sum
+    assert(oldTot > 1000000L - rows.length && oldTot <= 1000000L)
+    assert(newTot > 1000000L - rows.length && newTot <= 1000000L)
+    // the signal is real on this corpus: at least one source on each
+    // side of the corpus mean
+    assert(rows.exists(_.getAs[Long]("excess_micro") > 0))
+    assert(rows.exists(_.getAs[Long]("excess_micro") < 0))
+  }
 }
