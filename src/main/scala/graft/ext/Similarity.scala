@@ -1784,4 +1784,43 @@ object Similarity {
         col("n_visited").cast("long").as("n_visited"))
       .orderBy("query_id", "rank")
   }
+
+  /** BEAM-WIDTH SWEEP of the graph-ANN serving path (q310) — the
+    * recall-vs-cost dial of [[graphAnnBeamSearch]], measured (the q262
+    * ivfProbeSweep idea applied to the graph tier): one row per beam
+    * width with the query count, the TOTAL visited-set volume (the
+    * walk's candidate cost — what a serving deployment pays per query),
+    * the exact-tier hits over all returned top-k lists, and the recall
+    * in exact floor ppm. Widening the beam can only grow each query's
+    * visited set, so recall is monotone non-decreasing in the beam —
+    * the curve a deployment reads to pick its operating point.
+    *
+    * Scale shape: every sweep leg re-enters [[graphAnnBeamSearch]],
+    * whose graph/serve/exact stages are all StageCache-shared — the
+    * corpus-side work is paid once for the whole sweep; each leg adds
+    * only its |Q|-bounded walk and a global rollup. */
+  def graphAnnBeamSweep(corpus: DataFrame, idCol: String, embCol: String,
+                        queries: DataFrame, k: Int = 5,
+                        beams: Seq[Int] = Seq(1, 2, 8), hops: Int = 3,
+                        nEntry: Int = 4, graphRounds: Int = 3): DataFrame = {
+    require(beams.nonEmpty && beams.forall(_ >= 1), s"bad beams: $beams")
+    beams.sorted.map { b =>
+      graphAnnBeamSearch(corpus, idCol, embCol, queries, k, b, hops,
+          nEntry, graphRounds)
+        .groupBy("query_id")
+        .agg(max("n_visited").as("nv"), sum("is_hit").as("h"),
+          count(lit(1)).as("nr"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum("nv").as("n_visited_total"),
+          sum("h").as("n_hits"), sum("nr").as("n_results"))
+        .select(lit(b).cast("int").as("beam"),
+          col("n_queries").cast("long").as("n_queries"),
+          col("n_visited_total").cast("long").as("n_visited_total"),
+          col("n_hits").cast("long").as("n_hits"),
+          col("n_results").cast("long").as("n_results"),
+          expr(s"CASE WHEN n_queries = 0 THEN 0 " +
+            s"ELSE n_hits * 1000000 div (n_queries * $k) END")
+            .as("recall_ppm"))
+    }.reduce(_ unionAll _).orderBy("beam")
+  }
 }

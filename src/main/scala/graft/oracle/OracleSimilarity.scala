@@ -163,32 +163,17 @@ object OracleSimilarity {
     * exact-brute-tier hit flags and the visited-set size. Every
     * multiply-referenced CTE is MATERIALIZED (the DuckDB inlining trap
     * — see powerRoundsCtes). */
-  private def graphAnnSql(graphRounds: Int, hops: Int, k: Int, beam: Int,
-                          nEntry: Int): String = {
+  /** The walk's shared substrate: the unrolled descent graph, the
+    * degree-capped undirected serve edges `sv`, the query set `qs`, the
+    * entry set `en`, and the exact top-k `ek` — beam-INDEPENDENT, so
+    * the q310 sweep unrolls several walks over one copy. */
+  private def graphAnnBaseCtes(graphRounds: Int, k: Int,
+                               nEntry: Int): String = {
     val roundBlocks = (1 to graphRounds).map { r =>
       knnRoundCtes(if (r == 1) "sd" else s"g${r - 1}", s"g$r", s"_$r")
     }.mkString(",\n")
     val gN = s"g$graphRounds"
-    val hopBlocks = (1 to hops).map { h =>
-      val prev = s"v${h - 1}"
-      s"""b$h AS (SELECT query_id, nid AS id FROM (SELECT *, row_number() OVER (
-         |           PARTITION BY query_id ORDER BY score DESC, nid) AS rk
-         |         FROM $prev) z WHERE rk <= $beam),
-         |e$h AS (SELECT DISTINCT b$h.query_id, sv.nid
-         |       FROM b$h JOIN sv ON sv.id = b$h.id),
-         |n$h AS (SELECT e$h.query_id, e$h.nid FROM e$h
-         |       LEFT JOIN $prev p
-         |         ON p.query_id = e$h.query_id AND p.nid = e$h.nid
-         |       WHERE p.nid IS NULL),
-         |v$h AS MATERIALIZED (
-         |       SELECT query_id, nid, score FROM $prev
-         |       UNION ALL
-         |       SELECT n$h.query_id, n$h.nid,
-         |         ROUND(list_dot_product(qs.q_emb, y.emb)/(qs.q_nrm*y.nrm), 4)
-         |       FROM n$h JOIN qs USING (query_id)
-         |       JOIN nm y ON y.vec_id = n$h.nid)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH $embCte,
+    s"""$embCte,
        |$knnSeedCtes,
        |$roundBlocks,
        |ud AS (SELECT id, nid FROM $gN UNION SELECT nid, id FROM $gN),
@@ -205,12 +190,6 @@ object OracleSimilarity {
        |       SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm
        |       FROM nm WHERE vec_id < 10),
        |en AS (SELECT vec_id AS nid FROM nm ORDER BY vec_id LIMIT $nEntry),
-       |v0 AS MATERIALIZED (
-       |       SELECT qs.query_id, en.nid,
-       |         ROUND(list_dot_product(qs.q_emb, y.emb)/(qs.q_nrm*y.nrm), 4)
-       |           AS score
-       |       FROM qs CROSS JOIN en JOIN nm y ON y.vec_id = en.nid),
-       |$hopBlocks,
        |exq AS (SELECT qs.query_id, c.vec_id AS nid,
        |         ROUND(list_dot_product(qs.q_emb, c.emb)/(qs.q_nrm*c.nrm), 4)
        |           AS score
@@ -219,7 +198,44 @@ object OracleSimilarity {
        |       SELECT query_id, nid FROM (SELECT *, row_number() OVER (
        |           PARTITION BY query_id ORDER BY score DESC, nid) AS rk
        |         FROM exq) z
-       |       WHERE rk <= $k),
+       |       WHERE rk <= $k)""".stripMargin
+  }
+
+  /** One unrolled beam walk over the base CTEs, all names prefixed by
+    * `p` so several beam widths compose in one statement (p = "" yields
+    * the q304 names). */
+  private def graphAnnWalkCtes(p: String, hops: Int, beam: Int): String = {
+    val hopBlocks = (1 to hops).map { h =>
+      val prev = s"v$p${h - 1}"
+      s"""b$p$h AS (SELECT query_id, nid AS id FROM (SELECT *, row_number() OVER (
+         |           PARTITION BY query_id ORDER BY score DESC, nid) AS rk
+         |         FROM $prev) z WHERE rk <= $beam),
+         |e$p$h AS (SELECT DISTINCT b$p$h.query_id, sv.nid
+         |       FROM b$p$h JOIN sv ON sv.id = b$p$h.id),
+         |n$p$h AS (SELECT e$p$h.query_id, e$p$h.nid FROM e$p$h
+         |       LEFT JOIN $prev p
+         |         ON p.query_id = e$p$h.query_id AND p.nid = e$p$h.nid
+         |       WHERE p.nid IS NULL),
+         |v$p$h AS MATERIALIZED (
+         |       SELECT query_id, nid, score FROM $prev
+         |       UNION ALL
+         |       SELECT n$p$h.query_id, n$p$h.nid,
+         |         ROUND(list_dot_product(qs.q_emb, y.emb)/(qs.q_nrm*y.nrm), 4)
+         |       FROM n$p$h JOIN qs USING (query_id)
+         |       JOIN nm y ON y.vec_id = n$p$h.nid)""".stripMargin
+    }.mkString(",\n")
+    s"""v${p}0 AS MATERIALIZED (
+       |       SELECT qs.query_id, en.nid,
+       |         ROUND(list_dot_product(qs.q_emb, y.emb)/(qs.q_nrm*y.nrm), 4)
+       |           AS score
+       |       FROM qs CROSS JOIN en JOIN nm y ON y.vec_id = en.nid),
+       |$hopBlocks""".stripMargin
+  }
+
+  private def graphAnnSql(graphRounds: Int, hops: Int, k: Int, beam: Int,
+                          nEntry: Int): String =
+    s"""WITH ${graphAnnBaseCtes(graphRounds, k, nEntry)},
+       |${graphAnnWalkCtes("", hops, beam)},
        |nv AS (SELECT query_id, COUNT(*) AS n_visited FROM v$hops
        |       GROUP BY query_id),
        |fin AS (SELECT query_id, nid, score, row_number() OVER (
@@ -235,6 +251,47 @@ object OracleSimilarity {
        |JOIN nv ON nv.query_id = f.query_id
        |WHERE f.rnk <= $k
        |ORDER BY f.query_id, f.rnk""".stripMargin
+
+  /** q310: several beam widths walked over ONE shared substrate, each
+    * rolled up to (beam, query count, total visited volume, exact-tier
+    * hits, results, recall ppm). */
+  private def graphAnnSweepSql(graphRounds: Int, hops: Int, k: Int,
+                               beams: Seq[Int], nEntry: Int): String = {
+    val tagged = beams.sorted.zipWithIndex.map { case (b, i) =>
+      (('a' + i).toChar.toString, b)
+    }
+    val walks = tagged.map { case (p, b) =>
+      graphAnnWalkCtes(p, hops, b)
+    }.mkString(",\n")
+    val legs = tagged.map { case (p, b) =>
+      s"""nv$p AS (SELECT query_id, COUNT(*) AS nv FROM v$p$hops
+         |       GROUP BY query_id),
+         |fin$p AS (SELECT query_id, nid, score, row_number() OVER (
+         |           PARTITION BY query_id ORDER BY score DESC, nid) AS rnk
+         |       FROM v$p$hops WHERE nid <> query_id),
+         |hh$p AS (SELECT f.query_id, COUNT(*) AS nr,
+         |           SUM(CASE WHEN ek.nid IS NOT NULL THEN 1 ELSE 0 END) AS h
+         |       FROM fin$p f
+         |       LEFT JOIN ek ON ek.query_id = f.query_id AND ek.nid = f.nid
+         |       WHERE f.rnk <= $k GROUP BY 1),
+         |ag$p AS (SELECT CAST($b AS INT) AS beam,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM nv$p) AS n_queries,
+         |         (SELECT CAST(SUM(nv) AS BIGINT) FROM nv$p)
+         |           AS n_visited_total,
+         |         (SELECT CAST(SUM(h) AS BIGINT) FROM hh$p) AS n_hits,
+         |         (SELECT CAST(SUM(nr) AS BIGINT) FROM hh$p) AS n_results)""".stripMargin
+    }.mkString(",\n")
+    val union = tagged.map { case (p, _) => s"SELECT * FROM ag$p" }
+      .mkString("\nUNION ALL ")
+    s"""WITH ${graphAnnBaseCtes(graphRounds, k, nEntry)},
+       |$walks,
+       |$legs
+       |SELECT beam, n_queries, n_visited_total, n_hits, n_results,
+       |       CAST(CASE WHEN n_queries = 0 THEN 0
+       |         ELSE n_hits * 1000000 // (n_queries * $k) END AS BIGINT)
+       |         AS recall_ppm
+       |FROM ($union)
+       |ORDER BY beam""".stripMargin
   }
 
   /** The flat-index BM25 ranking over the shared q186 query set —
@@ -1150,6 +1207,12 @@ object OracleSimilarity {
     // top-5 answers with exact-tier hit flags + visited-set size.
     "q304_graph_ann_serve" -> graphAnnSql(
       graphRounds = 3, hops = 3, k = 5, beam = 4, nEntry = 4),
+
+    // Beam-width sweep of the serving walk (generated — see
+    // graphAnnSweepSql): beams 1/2/8 over one shared substrate, per
+    // width the visited volume + exact-tier recall ppm.
+    "q310_beam_sweep" -> graphAnnSweepSql(
+      graphRounds = 3, hops = 3, k = 5, beams = Seq(1, 2, 8), nEntry = 4),
 
     // nDCG@3 with graded relevance (gain = 4 − brute rank) across the
     // brute/lsh/ivf tiers; discounts are the Scala ndcgDiscountE6

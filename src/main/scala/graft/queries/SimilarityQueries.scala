@@ -485,6 +485,19 @@ object SimilarityQueries {
       nEntry = 4, graphRounds = 3)
   }
 
+  /** Graph-ANN beam-width sweep (q310):
+    * [[graft.ext.Similarity.graphAnnBeamSweep]] — the q304 walk at
+    * beam ∈ {1, 2, 8} over the same query set: per width, visited-set
+    * volume (the serving cost) and exact-tier recall in floor ppm —
+    * the recall-vs-cost curve of the graph serving path (the q262
+    * probe-sweep readout for the graph tier). */
+  def graphAnnBeamSweepReport(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.graphAnnBeamSweep(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 10), k = 5, beams = Seq(1, 2, 8),
+      hops = 3, nEntry = 4, graphRounds = 3)
+  }
+
   /** Embedding-space drift (q269): [[graft.ext.Drift.embeddingDrift]]
     * — per-dim centroid shift + value-distribution PSI between the
     * even/odd vec_id halves (the q242 snapshot convention). */

@@ -820,6 +820,34 @@ class SimilaritySpec extends SparkSpec {
     assert(beamHits > 0, "vacuous: beam search hit nothing")
   }
 
+  test("q310 beam sweep: recall and visited volume monotone in the beam," +
+      " beam-4 row consistent with q304") {
+    val emb = graft.model.Tables.embeddings(spark, sf001)
+    val queries = emb.filter(col("vec_id") < 10)
+    val rows = Similarity.graphAnnBeamSweep(emb, "vec_id", "embedding",
+        queries, k = 5, beams = Seq(1, 2, 8)).collect()
+      .sortBy(_.getAs[Int]("beam"))
+    assert(rows.map(_.getAs[Int]("beam")).toSeq == Seq(1, 2, 8))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_queries") == 10)
+      assert(r.getAs[Long]("n_results") == 50) // 10 queries x top-5
+    }
+    // widening the beam only grows each query's visited set, so both
+    // the cost and the recall curves are monotone non-decreasing
+    val vis = rows.map(_.getAs[Long]("n_visited_total"))
+    val rec = rows.map(_.getAs[Long]("recall_ppm"))
+    assert(vis.zip(vis.tail).forall { case (a, b) => a <= b }, vis.toSeq)
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b }, rec.toSeq)
+    assert(rec.last > 0, "vacuous: widest beam hit nothing")
+    // cross-check against the q304 single-walk report: beam 4 sits
+    // between the sweep's beam-2 and beam-8 recalls (visited sets nest)
+    val q304 = Similarity.graphAnnBeamSearch(emb, "vec_id", "embedding",
+      queries, k = 5, beam = 4).collect()
+    val rec4 = q304.map(_.getAs[Int]("is_hit").toLong).sum * 1000000L / 50
+    assert(rec(1) <= rec4 && rec4 <= rec(2),
+      s"beam-4 recall $rec4 outside sweep bracket ${rec.toSeq}")
+  }
+
   test("q281 ndcg report: brute is the perfect anchor, tiers bounded by it") {
     val out = graft.queries.SimilarityQueries.ndcgReport(spark, sf001)
       .collect()
