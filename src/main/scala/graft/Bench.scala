@@ -64,8 +64,11 @@ object Bench {
   private[graft] def parseFloors(text: String,
                                  sfDir: String): Map[String, Double] = {
     val pat = """\|\s*(q\w+)\s*\|\s*([0-9.]+)s\s*\|""".r
-    val isSf01 = sfDir.endsWith("sf0.1")
-    val isSf1 = sfDir.endsWith("sf1")
+    // exact-basename compare: a trailing slash or a dir merely ENDING
+    // in "sf1" (e.g. /data/xsf1) must not enable or mis-scope the gate
+    val base = new java.io.File(sfDir).getName
+    val isSf01 = base == "sf0.1"
+    val isSf1 = base == "sf1"
     if (!isSf01 && !isSf1) Map.empty
     else {
       val begin = "<!-- SF1-FLOORS-BEGIN -->"

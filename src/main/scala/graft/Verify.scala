@@ -23,6 +23,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // The q295/q306 multimodal oracles replay the engine's UTF-8 byte
+    // stream via per-CHARACTER ord()/length(); parity holds only while
+    // the documents fixture is pure ASCII (code point == byte). Fail
+    // loudly here — at verify time, once per dump, before any compare —
+    // if the fixture ever gains a non-ASCII document.
+    locally {
+      import org.apache.spark.sql.functions.{col, length, octet_length}
+      val nonAscii = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(octet_length(col("text")) =!= length(col("text")))
+        .limit(1).count()
+      require(nonAscii == 0,
+        "documents fixture contains non-ASCII text: the q295/q306 " +
+          "character-indexed oracle replays would silently diverge " +
+          "from the engine's UTF-8 byte streams (OracleMultimodal)")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

@@ -948,6 +948,107 @@ object Multimodal {
     }).toDF("doc_id", "fp", "n_windows", "n_samples")
   }
 
+  /** VIDEO TEMPORAL FINGERPRINT — the fourth-modality dedup signature
+    * ([[gifAHash]] is spatial-only, frame 0): LZW-expand EVERY frame,
+    * compute the per-frame aHash sequence, and fold frames into one
+    * 32-bit spatio-temporal signature:
+    *
+    *   - bits 0..grid²−1: frame 0's aHash (the q295 arithmetic
+    *     verbatim — same block mosaic, same integer cross-multiply);
+    *   - bits grid²..grid²+windows−1: the BRIGHTNESS envelope — split
+    *     the frame axis into `windows` temporal windows (window
+    *     ⌊windows·f/nF⌋, the q306 audio split applied to frames) and
+    *     set the bit when the window's total pixel sum exceeds the
+    *     per-window mean (`win_sum·nF > tot_sum·win_frames`, exact
+    *     integer cross-multiply);
+    *   - bits grid²+windows..grid²+2·windows−1: the aHash POPCOUNT
+    *     envelope — the same temporal thresholding on the per-frame
+    *     aHash bit counts, so the signature reacts to WHEN the spatial
+    *     structure changes, not just how bright frames are.
+    *
+    * Near-identical videos (re-encodes, small edits preserving the
+    * brightness/structure envelope) land within a bit or two; the
+    * downstream banded self-join (the q312 wrapper) splits the 32 bits
+    * into four 8-bit bands — hamming ≤ 1 guarantees ≥ 3 identical
+    * bands (pigeonhole), candidates ~N²/256 per band, never all-pairs.
+    *
+    * Exactness: every threshold is an integer cross-multiply — no
+    * division, no floats — so the signature is bit-reproducible and
+    * the oracle recomputes it from the payload-generation arithmetic,
+    * value-checking the REAL container walk + full LZW decode of every
+    * frame underneath. Scale: per-partition flatMap, no shuffle; 8
+    * bytes per video. */
+  def gifTemporalFingerprint(blobs: Dataset[MediaBlob], grid: Int = 4,
+                             windows: Int = 8): DataFrame = {
+    require(grid >= 2 && windows >= 2 && grid * grid + 2 * windows <= 63,
+      s"signature must fit a long: grid=$grid windows=$windows")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val g2 = grid * grid
+    blobs.filter(_.media_type == "video").mapPartitions(_.flatMap { b =>
+      for {
+        wh <- decodeGif(b.payload)
+        frames <- decodeGifPixels(b.payload)
+        if frames.nonEmpty
+      } yield {
+        val (w, h, _) = wh
+        val d = w * h
+        val nF = frames.length
+        val fHash = new Array[Long](nF)
+        val fSum = new Array[Long](nF)
+        var f = 0
+        while (f < nF) {
+          val fr = frames(f)
+          val gSum = new Array[Long](g2)
+          val gCnt = new Array[Long](g2)
+          var idx = 0
+          while (idx < d) {
+            val bi = (grid * (idx / w) / h) * grid + (grid * (idx % w) / w)
+            gSum(bi) += (fr(idx) & 0xff)
+            gCnt(bi) += 1
+            idx += 1
+          }
+          var tot = 0L
+          var k = 0
+          while (k < g2) { tot += gSum(k); k += 1 }
+          var hash = 0L
+          k = 0
+          while (k < g2) {
+            if (gCnt(k) > 0 && gSum(k) * d > tot * gCnt(k))
+              hash |= (1L << k)
+            k += 1
+          }
+          fHash(f) = hash
+          fSum(f) = tot
+          f += 1
+        }
+        val wS = new Array[Long](windows)
+        val wP = new Array[Long](windows)
+        val wC = new Array[Long](windows)
+        var totS = 0L
+        var totP = 0L
+        f = 0
+        while (f < nF) {
+          val wi = (windows.toLong * f / nF).toInt
+          val p = java.lang.Long.bitCount(fHash(f)).toLong
+          wS(wi) += fSum(f); wP(wi) += p; wC(wi) += 1
+          totS += fSum(f); totP += p
+          f += 1
+        }
+        var vfp = fHash(0)
+        var k = 0
+        while (k < windows) {
+          if (wC(k) > 0) {
+            if (wS(k) * nF > totS * wC(k)) vfp |= (1L << (g2 + k))
+            if (wP(k) * nF > totP * wC(k)) vfp |= (1L << (g2 + windows + k))
+          }
+          k += 1
+        }
+        (b.doc_id, vfp, nF)
+      }
+    }).toDF("doc_id", "vfp", "n_frames")
+  }
+
   /** Decoded-PIXEL histogram for video rows: the [[byteHistogram]]
     * treatment applied to the LZW-expanded palette indices (0..127)
     * instead of the raw container bytes — a real content feature for

@@ -380,6 +380,66 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** MULTIPLICATIVE-WEIGHTS TRAJECTORY (the multi-round core of
+    * q311): iterate the q309 linearized-DoReMi exponentiated-gradient
+    * step through `rounds` fixed rounds. Input: one row per domain
+    * with its starting weight `share_ppm` (floor ppm) and its STATIC
+    * update factor `factor_micro` (q309's `greatest(1, 10⁶+excess)` on
+    * measured losses — the published DoReMi re-measures under a
+    * re-trained proxy each round; with a fixed reference model the
+    * factor is constant and the trajectory is the renormalized power
+    * iteration of that factor, stated). Per round t:
+    * raw = share·factor (both int64-safe by the q309 bounds), then
+    * share' = raw·10⁶ div Σraw on DECIMAL(38,0) — the q309 floor
+    * renormalization replayed exactly, so both engines walk identical
+    * integer trajectories.
+    *
+    * Output, one row per (round, source): the previous and new share,
+    * the signed per-source movement, the static factor, and the
+    * round's two certificates — `l1_move_ppm` = Σ|Δshare| (the
+    * convergence reading: MW contracts toward the max-factor vertex,
+    * so the L1 movement is the distance-to-fixpoint signal) and
+    * `sum_share_ppm` (the renormalization pin: 10⁶ minus at most
+    * |domains| flooring loss).
+    *
+    * Scale shape: the state is |domains| rows (metadata-scale); each
+    * round is two scalar aggregations + a 1-row broadcast cross,
+    * checkpointed per round (the q223/q236 fixed-round unrolled
+    * contract) so `rounds` never grows the plan. */
+  def mwTrajectory(base: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8,
+      s"rounds must be in [1, 8], got $rounds")
+    var cur = base.select(col("source"), col("share_ppm").cast("long"),
+      col("factor_micro").cast("long")).localCheckpoint()
+    val legs = (1 to rounds).map { t =>
+      val raw = cur.withColumn("raw", col("share_ppm") * col("factor_micro"))
+      val rt = raw.agg(sum("raw").as("rt"))
+      val nxt = raw.crossJoin(broadcast(rt))
+        .select(col("source"), col("factor_micro"),
+          col("share_ppm").as("prev_share_ppm"),
+          expr("CASE WHEN rt = 0 THEN 0 ELSE " +
+            "CAST(raw AS DECIMAL(38,0)) * 1000000 div rt END")
+            .cast("long").as("share_ppm"))
+        .withColumn("delta_ppm", col("share_ppm") - col("prev_share_ppm"))
+      val roll = nxt.agg(sum(abs(col("delta_ppm"))).as("l1_move_ppm"),
+        sum(col("share_ppm")).as("sum_share_ppm"))
+      val leg = nxt.crossJoin(broadcast(roll))
+        .withColumn("round", lit(t))
+        .localCheckpoint() // next round's state AND one report slice
+      cur = leg.select("source", "share_ppm", "factor_micro")
+      leg
+    }
+    legs.reduce(_ unionAll _)
+      .select(col("round").cast("int").as("round"), col("source"),
+        col("prev_share_ppm").cast("long").as("prev_share_ppm"),
+        col("share_ppm").cast("long").as("share_ppm"),
+        col("delta_ppm").cast("long").as("delta_ppm"),
+        col("factor_micro").cast("long").as("factor_micro"),
+        col("l1_move_ppm").cast("long").as("l1_move_ppm"),
+        col("sum_share_ppm").cast("long").as("sum_share_ppm"))
+      .orderBy("round", "source")
+  }
+
   /** WEIGHTED reservoir sampling, Efraimidis–Spirakis A-Res (IPL 2006):
     * draw a k-sample WITHOUT replacement where each row's inclusion
     * probability is proportional to its weight — the importance-
@@ -408,6 +468,14 @@ object Sampling {
   def weightedReservoir(df: DataFrame, keyCol: String, weight: Column,
                         k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    // the integer-weight contract is load-bearing for oracle parity:
+    // a fractional weight silently floored by the long cast would
+    // change priorities with no error — fail loudly at call time
+    val wType = df.select(weight.as("w")).schema.head.dataType
+    require(Seq("byte", "short", "integer", "long")
+        .contains(wType.typeName),
+      s"weightedReservoir requires an integral weight column " +
+        s"(the documented exact-integer-weight contract); got $wType")
     val h = ((col(keyCol).cast("long") % lit(TextOps.HashP)) * lit(48271L)
       + lit(11L)) % lit(TextOps.HashP)
     val lnuE6 = round(log((h + 1).cast("double") /

@@ -1676,13 +1676,30 @@ object Similarity {
     * flat graph tier): q267/q280 BUILD the graph but nothing ever
     * searched it for an external query — the round-13 verdict's "builder
     * without its reader". Synchronous beam search, the distributed form
-    * of greedy graph walk: start every query at a fixed deterministic
-    * entry set (the `nEntry` smallest corpus ids — the HNSW fixed entry
-    * point, multiplied for robustness), then `hops` rounds of "expand
-    * the current best `beam` visited nodes through their graph
-    * neighborhoods, score the new candidates exactly, merge". The final
-    * answer is the best `k` of everything visited (self-hit excluded —
-    * queries are corpus rows, the more-like-this contract).
+    * of greedy graph walk: start every query at a deterministic entry
+    * set, then `hops` rounds of "expand the current best `beam` visited
+    * nodes through their graph neighborhoods, score the new candidates
+    * exactly, merge". The final answer is the best `k` of everything
+    * visited (self-hit excluded — queries are corpus rows, the
+    * more-like-this contract).
+    *
+    * ENTRY (the HNSW upper-layer idea, r14 verdict ask #6): with
+    * `entryCellCol` set, entries come from an IVF-CENTROID COARSE LAYER
+    * — each query probes its `nprobe` nearest cell centroids (the q49
+    * deterministic [[cellCentroids]], StageCache-shared with the IVF
+    * tier) and enters at each probed cell's `nEntry/nprobe` BEST-SCORED
+    * members for that query (the q49 probe as entry selection: an equi
+    * join on the cell key bounded by cell occupancy, never a corpus
+    * cross). The walk starts at IVF-quality candidates in the query's
+    * region instead of a fixed corner — which is what cuts hops at
+    * corpus scale — and then crosses cell boundaries the IVF tier
+    * cannot. The entry probe's scoring volume (the probed cells'
+    * occupancy) is the standard IVF serving cost and is NOT counted in
+    * `n_visited`, which reports the walk's own candidate volume
+    * (stated). With `entryCellCol = None` the legacy fixed entry (the
+    * `nEntry` smallest corpus ids — HNSW's fixed entry point,
+    * multiplied) is used; the spec pins hierarchical recall ≥ legacy
+    * recall at the same walk budget.
     *
     * The serving graph is the round-`graphRounds` descent graph made
     * UNDIRECTED (a reverse edge is what lets a walk enter a node's
@@ -1710,11 +1727,16 @@ object Similarity {
                          queries: DataFrame, k: Int = 5, beam: Int = 4,
                          hops: Int = 3, nEntry: Int = 4,
                          graphRounds: Int = 3, nPlanes: Int = 4,
-                         dim: Int = 64): DataFrame = {
+                         dim: Int = 64,
+                         entryCellCol: Option[String] = None,
+                         nprobe: Int = 2): DataFrame = {
     require(k >= 1 && beam >= 1 && hops >= 1 && nEntry >= 1 &&
       graphRounds >= 1 && graphRounds <= 4,
       s"need k,beam,hops,nEntry>=1, graphRounds in [1,4]; " +
         s"got $k,$beam,$hops,$nEntry,$graphRounds")
+    require(entryCellCol.isEmpty || (nprobe >= 1 && nEntry % nprobe == 0),
+      s"hierarchical entry needs nprobe >= 1 dividing nEntry; " +
+        s"got nEntry=$nEntry nprobe=$nprobe")
     val base = knnBaseKey(corpus, idCol, embCol, nPlanes, dim)
     val (c, seed) = knnSeed(corpus, idCol, embCol, k, nPlanes, dim)
     // Ride the SAME round-keyed cache entries as the q280 trajectory:
@@ -1729,8 +1751,9 @@ object Similarity {
         .join(c.select(col("id").as("nid"), col("emb").as("n_emb"),
           col("nrm").as("n_nrm")), Seq("nid"))
         .select(col("id"), col("nid"),
-          round(dot(col("emb"), col("n_emb")) / (col("nrm") * col("n_nrm")), 4)
-            .as("escore"))
+          when(col("nrm") * col("n_nrm") === 0.0, lit(0.0))
+            .otherwise(round(dot(col("emb"), col("n_emb")) /
+              (col("nrm") * col("n_nrm")), 4)).as("escore"))
       graft.operators.Skew.saltedTopKPerGroup(scored, Seq("id"),
           Seq(col("escore").desc, col("nid")), 2 * k, salts = 8)
         .select("id", "nid")
@@ -1743,16 +1766,55 @@ object Similarity {
         col("nrm").as("n_nrm")), Seq("nid"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("nid"),
-        round(dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 4)
-          .as("score"))
-    // Entry: every query starts at the same nEntry smallest corpus ids.
-    // A query that IS an entry node scores itself 1.0 and expands its
-    // own neighborhood — wanted for more-like-this; the self row is
-    // excluded from the final ranking only.
-    val entry = c.orderBy("id").limit(nEntry).select(col("id").as("nid"))
-    var visited = score(
-        q.select("query_id").crossJoin(broadcast(entry)))
-      .localCheckpoint()
+        when(col("q_nrm") * col("n_nrm") === 0.0, lit(0.0))
+          .otherwise(round(dot(col("q_emb"), col("n_emb")) /
+            (col("q_nrm") * col("n_nrm")), 4)).as("score"))
+    // Entry pairs (query_id, nid). A query that IS an entry node scores
+    // itself 1.0 and expands its own neighborhood — wanted for
+    // more-like-this; the self row is excluded from the final ranking
+    // only.
+    val entryPairs = entryCellCol match {
+      case None =>
+        // legacy fixed entry: every query starts at the same nEntry
+        // smallest corpus ids
+        val entry = c.orderBy("id").limit(nEntry).select(col("id").as("nid"))
+        q.select("query_id").crossJoin(broadcast(entry))
+      case Some(cc) =>
+        val perCell = nEntry / nprobe
+        val cents = cellCentroids(corpus, cc, embCol) // q49's cache key
+          .withColumn("cnrm", sqrt(dotD(col("centroid"), col("centroid"))))
+        val pw = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(desc("pscore"), col("__cell"))
+        val probed = q.crossJoin(broadcast(cents))
+          .select(col("query_id"), col("cell").as("__cell"),
+            round(dotD(col("q_emb").cast("array<double>"), col("centroid")) /
+              (col("q_nrm") * col("cnrm")), 4).as("pscore"))
+          .withColumn("prk", row_number().over(pw))
+          .filter(col("prk") <= nprobe)
+          .join(broadcast(q), Seq("query_id"))
+          .select("query_id", "__cell", "q_emb", "q_nrm")
+        // the q49 IVF probe as entry selection: score only the probed
+        // cells' members against the query (equi join on the cell key —
+        // bounded by cell occupancy, never the corpus) and enter at
+        // each probed cell's perCell best
+        val members = c
+          .join(corpus.select(col(idCol).as("id"), col(cc).as("__cell")),
+            Seq("id"))
+          .select(col("__cell"), col("id").as("nid"),
+            col("emb").as("n_emb"), col("nrm").as("n_nrm"))
+        val ew = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id", "__cell")
+          .orderBy(desc("escore"), col("nid"))
+        members.join(broadcast(probed), Seq("__cell"))
+          .select(col("query_id"), col("__cell"), col("nid"),
+            when(col("q_nrm") * col("n_nrm") === 0.0, lit(0.0))
+              .otherwise(round(dot(col("q_emb"), col("n_emb")) /
+                (col("q_nrm") * col("n_nrm")), 4)).as("escore"))
+          .withColumn("erk", row_number().over(ew))
+          .filter(col("erk") <= perCell)
+          .select("query_id", "nid")
+    }
+    var visited = score(entryPairs).localCheckpoint()
     for (_ <- 1 to hops) {
       val bw = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(col("score").desc, col("nid"))
@@ -1802,11 +1864,13 @@ object Similarity {
   def graphAnnBeamSweep(corpus: DataFrame, idCol: String, embCol: String,
                         queries: DataFrame, k: Int = 5,
                         beams: Seq[Int] = Seq(1, 2, 8), hops: Int = 3,
-                        nEntry: Int = 4, graphRounds: Int = 3): DataFrame = {
+                        nEntry: Int = 4, graphRounds: Int = 3,
+                        entryCellCol: Option[String] = None,
+                        nprobe: Int = 2): DataFrame = {
     require(beams.nonEmpty && beams.forall(_ >= 1), s"bad beams: $beams")
     beams.sorted.map { b =>
       graphAnnBeamSearch(corpus, idCol, embCol, queries, k, b, hops,
-          nEntry, graphRounds)
+          nEntry, graphRounds, entryCellCol = entryCellCol, nprobe = nprobe)
         .groupBy("query_id")
         .agg(max("n_visited").as("nv"), sum("is_hit").as("h"),
           count(lit(1)).as("nr"))

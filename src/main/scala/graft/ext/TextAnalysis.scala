@@ -454,20 +454,22 @@ object TextAnalysis {
     * form, same as q63/q81. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     srcCol: String, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tok = fanOut(docs)
       .select(col(idCol).as("doc_id"), col(srcCol).as("source"),
         explode(tokens(normText(col(textCol)))).as("w"))
     val total = docs.agg(countDistinct(col(idCol)).as("n_total"))
     val dfT = tok.groupBy("w").agg(countDistinct("doc_id").as("n_docs"))
     val tf = tok.groupBy("source", "w").agg(count(lit(1)).as("tf"))
-    val win = Window.partitionBy("source").orderBy(col("tf").desc, col("w"))
-    tf.join(dfT, "w")
+    val scored = tf.join(dfT, "w")
       .crossJoin(broadcast(total))
       .withColumn("tfidf",
         Parity.r4(col("tf") * log(col("n_total").cast("double") / col("n_docs"))))
-      .withColumn("rank", row_number().over(win).cast("int"))
-      .filter(col("rank") <= k)
+    // salted grouped top-k (the hot-source form its docstring promised):
+    // a source-partitioned rank window would sort a hot source's whole
+    // vocabulary in one task; the salted two-phase form is
+    // output-identical under the (tf desc, w) total order
+    graft.operators.Skew.saltedTopKPerGroup(scored, Seq("source"),
+        Seq(col("tf").desc, col("w")), k, salts = 8)
       .select("source", "rank", "w", "tf", "n_docs", "tfidf")
   }
 
@@ -514,29 +516,31 @@ object TextAnalysis {
   /** Curriculum quartile bins (q205): per source, documents are ranked
     * by an integer quality proxy (stopword ratio in floor ppm — natural
     * prose scores high, boilerplate/noise low) and cut into `nBins`
-    * equi-depth bins with `ntile` (both engines implement the SQL
-    * standard: the first n mod b buckets take one extra row, ties broken
-    * by doc id). The per-(source, bin) token budget is what a curriculum
-    * schedule or quality-mix report feeds on. Scale: one scored scan
-    * projection, one source-partitioned window, one grouped aggregation
-    * — the ordinal cost is the per-source sort, the honest price of an
-    * exact equi-depth cut (approximate quantile cuts drop the window; the
-    * exact form is the oracle-checkable one). */
+    * equi-depth bins (SQL-standard NTILE semantics: the first n mod b
+    * buckets take one extra row, ties broken by doc id). The
+    * per-(source, bin) token budget is what a curriculum schedule or
+    * quality-mix report feeds on. Scale: one scored scan projection,
+    * then the per-source rank comes from
+    * [[graft.operators.GroupedPrefix]] — NOT a source-partitioned
+    * window, which would hand each source's full corpus slice to one
+    * task at 100× — and the bin is recovered from (rank, n) by the
+    * exact integer NTILE formula both engines share. */
   def curriculumBins(docs: DataFrame, srcCol: String, idCol: String,
                      textCol: String, nBins: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(nBins >= 2, s"need at least 2 bins, got $nBins")
     val t = normText(col(textCol))
     val toks = tokens(t)
     val nTokens = size(toks).cast("long")
     val nStop = size(filter(toks, w => w.isInCollection(Stopwords))).cast("long")
-    val w = Window.partitionBy(srcCol)
-      .orderBy(col("score_ppm").desc, col(idCol))
-    docs.select(col(srcCol), col(idCol), nTokens.as("n_tokens"),
+    val scored = docs.select(col(srcCol), col(idCol), nTokens.as("n_tokens"),
         nStop.as("n_stop"))
       .withColumn("score_ppm",
         expr("n_stop * 1000000 div greatest(n_tokens, 1)"))
-      .withColumn("bin", ntile(nBins).over(w))
+    graft.operators.GroupedPrefix.rankWithin(scored, srcCol, "score_ppm",
+        descending = true, ties = Seq(col(idCol)), rankCol = "__rk",
+        nCol = Some("__n"))
+      .withColumn("bin", graft.operators.GroupedPrefix
+        .ntileFromRank(col("__rk"), col("__n"), nBins))
       .groupBy(col(srcCol), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"),
         min(col("score_ppm")).as("min_score_ppm"),

@@ -641,11 +641,15 @@ object Graph {
       .select(lit("auth").as("side"), col("p").as("node"),
         col("deg").cast("long").as("degree"),
         col("a").cast("long").as("score_e6"))
-    val wr = Window.partitionBy("side")
-      .orderBy(col("score_e6").desc, col("node"))
-    hubs.unionAll(auths)
-      .withColumn("rk", row_number().over(wr))
-      .filter(col("rk") <= topK).drop("rk")
+    // Final top-k per side: `side` has exactly 2 values over the
+    // node-scale hubs∪auths union, so a partition-by-side rank window
+    // would serialize each side into ONE task at corpus scale. The
+    // salted grouped top-k is output-identical under the
+    // (score_e6 desc, node) total order (node is unique per side) and
+    // bounds per-task state to k·salts rows.
+    Skew.saltedTopKPerGroup(hubs.unionAll(auths), Seq("side"),
+        Seq(col("score_e6").desc, col("node")), topK, salts = 8)
+      .drop("rank")
       .orderBy(col("side"), col("score_e6").desc, col("node"))
   }
 

@@ -8,6 +8,86 @@ import graft.oracle.OracleDialect._
   * domain maps, and QueriesSpec pins key-set equality (both directions) with the
   * query registry. */
 object OracleCuration {
+  /** The q309 measured-loss MW base, shared with the q311 trajectory:
+    * the q181 LM chain (per-doc floored NLL), source rollup, token
+    * share, and the linearized EG factor — ends at `r2(source, n_docs,
+    * nb, share_ppm, nll_micro, excess_micro, factor_micro, raw)`. */
+  private lazy val mwBaseCtes: String =
+    """b AS (SELECT doc_id, substr(t, CAST(g AS INT), 2) AS bg
+      |      FROM (SELECT doc_id, t, unnest(range(1, length(t))) AS g
+      |            FROM n) z),
+      |dc AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg),
+      |m AS (SELECT bg, SUM(c) AS cnt FROM dc GROUP BY bg),
+      |mar AS (SELECT substr(bg, 1, 1) AS c1, SUM(cnt) AS tot
+      |        FROM m GROUP BY c1),
+      |v AS (SELECT COUNT(DISTINCT substr(bg, 2, 1)) AS vv FROM m),
+      |lp AS (SELECT m.bg,
+      |              CAST(ROUND(-ln((m.cnt + 1.0)/(mar.tot + v.vv))
+      |                         * 1000000, 0) AS BIGINT) AS lp
+      |       FROM m JOIN mar ON substr(m.bg, 1, 1) = mar.c1 CROSS JOIN v),
+      |s AS (SELECT dc.doc_id, SUM(dc.c) AS nb, SUM(dc.c * lp.lp) AS sl
+      |      FROM dc JOIN lp ON dc.bg = lp.bg GROUP BY dc.doc_id),
+      |pd AS (SELECT d.doc_id, d.source,
+      |         COALESCE(CAST(s.nb AS BIGINT), 0) AS nb,
+      |         CASE WHEN COALESCE(s.nb, 0) = 0 THEN 0
+      |           ELSE CAST(s.sl // s.nb AS BIGINT) END AS nll
+      |       FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id),
+      |per AS (SELECT source, COUNT(*) AS n_docs,
+      |          CAST(SUM(nb) AS BIGINT) AS nb,
+      |          CAST(SUM(nb * nll) AS BIGINT) AS snl
+      |        FROM pd GROUP BY source),
+      |tot AS (SELECT CAST(SUM(nb) AS BIGINT) AS tb,
+      |          CAST(SUM(snl) AS BIGINT) AS ts FROM per),
+      |rep AS (SELECT source, n_docs, nb,
+      |          CASE WHEN tb = 0 THEN 0
+      |            ELSE nb * 1000000 // tb END AS share_ppm,
+      |          CASE WHEN nb = 0 THEN 0 ELSE snl // nb END AS nll_micro,
+      |          CASE WHEN tb = 0 THEN 0 ELSE ts // tb END AS nll_bar
+      |        FROM per CROSS JOIN tot),
+      |r2 AS (SELECT source, n_docs, nb, share_ppm, nll_micro,
+      |          nll_micro - nll_bar AS excess_micro,
+      |          GREATEST(1, 1000000 + nll_micro - nll_bar)
+      |            AS factor_micro,
+      |          share_ppm * GREATEST(1, 1000000 + nll_micro - nll_bar)
+      |            AS raw
+      |        FROM rep)""".stripMargin
+
+  /** q311: the q309 MW step unrolled through 4 materialized rounds —
+    * per round, raw = share·factor (int64 by the q309 bounds), the
+    * HUGEINT-guarded floor renormalization, the per-source movement,
+    * and the round's L1-movement + Σshare certificates. */
+  private lazy val mwTrajectorySql: String = {
+    val rounds = 4
+    val roundCtes = (1 to rounds).map { t =>
+      s"""x$t AS (SELECT source, factor_micro, share_ppm AS prev,
+         |        share_ppm * factor_micro AS raw FROM w${t - 1}),
+         |t$t AS (SELECT SUM(raw) AS rt FROM x$t),
+         |w$t AS MATERIALIZED (SELECT source, factor_micro, prev,
+         |        CAST(CASE WHEN rt = 0 THEN 0
+         |          ELSE CAST(raw AS HUGEINT) * 1000000 // rt END AS BIGINT)
+         |          AS share_ppm
+         |       FROM x$t CROSS JOIN t$t),
+         |g$t AS (SELECT SUM(ABS(share_ppm - prev)) AS l1,
+         |          SUM(share_ppm) AS ss FROM w$t)""".stripMargin
+    }.mkString(",\n")
+    val legs = (1 to rounds).map { t =>
+      s"""SELECT $t AS round, source, prev, share_ppm, factor_micro, l1, ss
+         |FROM w$t CROSS JOIN g$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $nCte,
+       |$mwBaseCtes,
+       |w0 AS MATERIALIZED (SELECT source, share_ppm, factor_micro FROM r2),
+       |$roundCtes
+       |SELECT CAST(round AS INT) AS round, source,
+       |       CAST(prev AS BIGINT) AS prev_share_ppm,
+       |       CAST(share_ppm AS BIGINT) AS share_ppm,
+       |       CAST(share_ppm - prev AS BIGINT) AS delta_ppm,
+       |       CAST(factor_micro AS BIGINT) AS factor_micro,
+       |       CAST(l1 AS BIGINT) AS l1_move_ppm,
+       |       CAST(ss AS BIGINT) AS sum_share_ppm
+       |FROM ($legs)
+       |ORDER BY round, source""".stripMargin
+  }
   /** q277 packing sweep (generated): ONE shared exclusive-prefix CTE,
     * per-budget bin rollups unioned — mirrors Packing.packingSweep's
     * single-pass shape (floor(prefix / b.0), the q59 idiom). */
@@ -761,44 +841,7 @@ object OracleCuration {
     // normalizer product runs in HUGEINT (raw*1e6 can exceed int64).
     "q309_domain_reweight" ->
       s"""WITH $nCte,
-         |b AS (SELECT doc_id, substr(t, CAST(g AS INT), 2) AS bg
-         |      FROM (SELECT doc_id, t, unnest(range(1, length(t))) AS g
-         |            FROM n) z),
-         |dc AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg),
-         |m AS (SELECT bg, SUM(c) AS cnt FROM dc GROUP BY bg),
-         |mar AS (SELECT substr(bg, 1, 1) AS c1, SUM(cnt) AS tot
-         |        FROM m GROUP BY c1),
-         |v AS (SELECT COUNT(DISTINCT substr(bg, 2, 1)) AS vv FROM m),
-         |lp AS (SELECT m.bg,
-         |              CAST(ROUND(-ln((m.cnt + 1.0)/(mar.tot + v.vv))
-         |                         * 1000000, 0) AS BIGINT) AS lp
-         |       FROM m JOIN mar ON substr(m.bg, 1, 1) = mar.c1 CROSS JOIN v),
-         |s AS (SELECT dc.doc_id, SUM(dc.c) AS nb, SUM(dc.c * lp.lp) AS sl
-         |      FROM dc JOIN lp ON dc.bg = lp.bg GROUP BY dc.doc_id),
-         |pd AS (SELECT d.doc_id, d.source,
-         |         COALESCE(CAST(s.nb AS BIGINT), 0) AS nb,
-         |         CASE WHEN COALESCE(s.nb, 0) = 0 THEN 0
-         |           ELSE CAST(s.sl // s.nb AS BIGINT) END AS nll
-         |       FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id),
-         |per AS (SELECT source, COUNT(*) AS n_docs,
-         |          CAST(SUM(nb) AS BIGINT) AS nb,
-         |          CAST(SUM(nb * nll) AS BIGINT) AS snl
-         |        FROM pd GROUP BY source),
-         |tot AS (SELECT CAST(SUM(nb) AS BIGINT) AS tb,
-         |          CAST(SUM(snl) AS BIGINT) AS ts FROM per),
-         |rep AS (SELECT source, n_docs, nb,
-         |          CASE WHEN tb = 0 THEN 0
-         |            ELSE nb * 1000000 // tb END AS share_ppm,
-         |          CASE WHEN nb = 0 THEN 0 ELSE snl // nb END AS nll_micro,
-         |          CASE WHEN tb = 0 THEN 0 ELSE ts // tb END AS nll_bar
-         |        FROM per CROSS JOIN tot),
-         |r2 AS (SELECT source, n_docs, nb, share_ppm, nll_micro,
-         |          nll_micro - nll_bar AS excess_micro,
-         |          GREATEST(1, 1000000 + nll_micro - nll_bar)
-         |            AS factor_micro,
-         |          share_ppm * GREATEST(1, 1000000 + nll_micro - nll_bar)
-         |            AS raw
-         |        FROM rep),
+         |$mwBaseCtes,
          |rt AS (SELECT SUM(raw) AS rt FROM r2)
          |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
          |       CAST(nb AS BIGINT) AS n_bigrams,
@@ -811,6 +854,8 @@ object OracleCuration {
          |         AS BIGINT) AS new_share_ppm
          |FROM r2 CROSS JOIN rt
          |ORDER BY source""".stripMargin,
+
+    "q311_doremi_trajectory" -> mwTrajectorySql,
 
     "q297_source_ablation" ->
       """WITH n2 AS (SELECT source,

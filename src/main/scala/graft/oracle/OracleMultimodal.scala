@@ -240,7 +240,9 @@ object OracleMultimodal {
     // and byte length. Parity holds because the documents fixture is
     // pure ASCII (code point == byte there); a non-ASCII fixture would
     // need the oracle pixel stream derived from encode(text, 'UTF-8')
-    // octets instead, or the hashes silently diverge.
+    // octets instead, or the hashes silently diverge. GUARDED: Verify
+    // asserts octet_length == length over the whole fixture before
+    // every dump, so a fixture change fails loudly, never silently.
     // into the 4x4 mosaic with the exact integer cross-multiply
     // threshold, and mirrors the two 8-bit-band candidate join + exact
     // hamming verify — so the engine's real LZW decode + fingerprint +
@@ -296,6 +298,88 @@ object OracleMultimodal {
     // value-checking the engine's RIFF parse + fingerprint + banded
     // join end to end. Same ASCII assumption as q295 (code point ==
     // UTF-8 byte on this fixture).
+    // Video temporal near-dup: the oracle replays the GIF payload
+    // arithmetic for EVERY frame (pixel k of the concatenated stream =
+    // text byte k mod len, & 0x7f; frame f owns global indices
+    // f·d..(f+1)·d−1 with d = vw·vh), rebuilds each frame's aHash via
+    // the q295 block arithmetic, folds the brightness and aHash-popcount
+    // envelopes over 8 temporal windows (16·… replaced by the 8-window
+    // frame split 8·f//nf), and mirrors the FOUR 8-bit-band candidate
+    // join + hamming-≤1 verify — value-checking the engine's full
+    // multi-frame LZW decode + spatio-temporal fingerprint + banded
+    // join end to end. Same ASCII assumption as q295/q306 (guarded by
+    // Verify's fixture assertion).
+    "q312_video_near_dup" ->
+      """WITH v AS (SELECT doc_id, text,
+        |             CAST(1 + doc_id % 32 AS INT) AS vw,
+        |             CAST(1 + (doc_id*3) % 32 AS INT) AS vh,
+        |             CAST(1 + doc_id % 10 AS INT) AS nf,
+        |             length(text) AS len
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |px AS (SELECT doc_id, vw, vh, nf,
+        |         CAST(gi // (vw*vh) AS INT) AS f,
+        |         CAST((gi % (vw*vh)) % vw AS INT) AS x,
+        |         CAST((gi % (vw*vh)) // vw AS INT) AS y,
+        |         CASE WHEN len = 0 THEN 0
+        |           ELSE ord(substr(text, CAST((gi % len) + 1 AS INT), 1)) % 128
+        |           END AS bv
+        |       FROM (SELECT doc_id, text, vw, vh, nf, len,
+        |               unnest(range(CAST(vw AS BIGINT)*vh*nf)) AS gi
+        |             FROM v) z),
+        |bl AS (SELECT doc_id, f, (4*y//vh)*4 + (4*x//vw) AS bi,
+        |         CAST(SUM(bv) AS BIGINT) AS bs,
+        |         CAST(COUNT(*) AS BIGINT) AS bc
+        |       FROM px GROUP BY 1, 2, 3),
+        |ft AS (SELECT doc_id, f, SUM(bs) AS tot, SUM(bc) AS d
+        |       FROM bl GROUP BY 1, 2),
+        |fh AS (SELECT bl.doc_id, bl.f,
+        |         CAST(SUM(CASE WHEN bl.bs * ft.d > ft.tot * bl.bc
+        |           THEN CAST(1 AS BIGINT) << CAST(bl.bi AS INT)
+        |           ELSE 0 END) AS BIGINT) AS fhash,
+        |         MAX(ft.tot) AS fsum
+        |       FROM bl JOIN ft USING (doc_id, f) GROUP BY 1, 2),
+        |tw AS (SELECT fh.doc_id, fh.f, fh.fhash, fh.fsum, v.nf,
+        |         CAST(8*fh.f // v.nf AS INT) AS wi,
+        |         CAST(bit_count(fh.fhash) AS BIGINT) AS fpop
+        |       FROM fh JOIN v USING (doc_id)),
+        |wl AS (SELECT doc_id, wi, SUM(fsum) AS ws, SUM(fpop) AS wp,
+        |         CAST(COUNT(*) AS BIGINT) AS wc, MAX(nf) AS nf
+        |       FROM tw GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, SUM(ws) AS ts, SUM(wp) AS tp
+        |       FROM wl GROUP BY 1),
+        |tb AS (SELECT wl.doc_id,
+        |         CAST(SUM((CASE WHEN wl.ws * wl.nf > tt.ts * wl.wc
+        |             THEN CAST(1 AS BIGINT) << (16 + wl.wi) ELSE 0 END)
+        |           + (CASE WHEN wl.wp * wl.nf > tt.tp * wl.wc
+        |             THEN CAST(1 AS BIGINT) << (24 + wl.wi) ELSE 0 END))
+        |           AS BIGINT) AS tbits
+        |       FROM wl JOIN tt USING (doc_id) GROUP BY 1),
+        |hs AS (SELECT fh.doc_id, fh.fhash + tb.tbits AS vfp,
+        |         CAST(v.nf AS INT) AS n_frames
+        |       FROM fh JOIN tb USING (doc_id) JOIN v USING (doc_id)
+        |       WHERE fh.f = 0),
+        |bd AS (SELECT doc_id, vfp, 0 AS band, vfp % 256 AS bv FROM hs
+        |       UNION ALL
+        |       SELECT doc_id, vfp, 1, (vfp // 256) % 256 FROM hs
+        |       UNION ALL
+        |       SELECT doc_id, vfp, 2, (vfp // 65536) % 256 FROM hs
+        |       UNION ALL
+        |       SELECT doc_id, vfp, 3, vfp // 16777216 FROM hs),
+        |cp AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+        |         a.vfp AS va, b.vfp AS vb
+        |       FROM bd a JOIN bd b
+        |         ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |np AS (SELECT da, db FROM cp WHERE bit_count(xor(va, vb)) <= 1),
+        |sy AS (SELECT da AS doc_id, db AS partner FROM np
+        |       UNION ALL SELECT db, da FROM np),
+        |ns AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_near,
+        |         CAST(MIN(partner) AS BIGINT) AS nearest FROM sy GROUP BY 1)
+        |SELECT h.doc_id, h.vfp, h.n_frames,
+        |       COALESCE(ns.n_near, 0) AS n_near,
+        |       COALESCE(ns.nearest, -1) AS nearest_id
+        |FROM hs h LEFT JOIN ns ON h.doc_id = ns.doc_id
+        |ORDER BY h.doc_id""".stripMargin,
+
     "q306_audio_near_dup" ->
       """WITH a AS (SELECT doc_id, text,
         |             CAST(1 + doc_id % 2 AS INT) AS ch,

@@ -165,14 +165,18 @@ object OracleSimilarity {
     * — see powerRoundsCtes). */
   /** The walk's shared substrate: the unrolled descent graph, the
     * degree-capped undirected serve edges `sv`, the query set `qs`, the
-    * entry set `en`, and the exact top-k `ek` — beam-INDEPENDENT, so
-    * the q310 sweep unrolls several walks over one copy. */
-  private def graphAnnBaseCtes(graphRounds: Int, k: Int,
-                               nEntry: Int): String = {
+    * per-query hierarchical entry set `en` (IVF-centroid coarse layer:
+    * each query's `nprobe` nearest q49-centroids, entered at each
+    * probed cell's nEntry/nprobe most-central members — mirrors the
+    * engine's r15 entry), and the exact top-k `ek` — beam-INDEPENDENT,
+    * so the q310 sweep unrolls several walks over one copy. */
+  private def graphAnnBaseCtes(graphRounds: Int, k: Int, nEntry: Int,
+                               nprobe: Int = 2): String = {
     val roundBlocks = (1 to graphRounds).map { r =>
       knnRoundCtes(if (r == 1) "sd" else s"g${r - 1}", s"g$r", s"_$r")
     }.mkString(",\n")
     val gN = s"g$graphRounds"
+    val perCell = nEntry / nprobe
     s"""$embCte,
        |$knnSeedCtes,
        |$roundBlocks,
@@ -189,7 +193,38 @@ object OracleSimilarity {
        |qs AS MATERIALIZED (
        |       SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm
        |       FROM nm WHERE vec_id < 10),
-       |en AS (SELECT vec_id AS nid FROM nm ORDER BY vec_id LIMIT $nEntry),
+       |cx AS (SELECT label AS cell, g AS pos,
+       |         CAST(embedding[g] AS DOUBLE) AS v
+       |       FROM (SELECT label, embedding,
+       |               unnest(range(1, len(embedding)+1)) AS g
+       |             FROM embeddings) z),
+       |ccs AS (SELECT cell, pos,
+       |          CAST(SUM(CAST(ROUND(v*10000,0) AS BIGINT)) AS BIGINT) AS s,
+       |          COUNT(*) AS n
+       |        FROM cx GROUP BY cell, pos),
+       |cn AS (SELECT cell, centroid,
+       |         sqrt(list_dot_product(centroid, centroid)) AS cnrm
+       |       FROM (SELECT cell,
+       |               LIST(CAST(s AS DOUBLE)/10000.0/n ORDER BY pos)
+       |                 AS centroid
+       |             FROM ccs GROUP BY cell) zz),
+       |pr AS (SELECT query_id, cell FROM (SELECT *, row_number() OVER (
+       |           PARTITION BY query_id ORDER BY pscore DESC, cell) AS rk
+       |         FROM (SELECT qs.query_id, cn.cell,
+       |                 ROUND(list_dot_product(qs.q_emb, cn.centroid)
+       |                   /(qs.q_nrm*cn.cnrm), 4) AS pscore
+       |               FROM qs CROSS JOIN cn) p) z
+       |       WHERE rk <= $nprobe),
+       |en AS MATERIALIZED (
+       |       SELECT query_id, nid FROM (SELECT *, row_number() OVER (
+       |           PARTITION BY query_id, cell
+       |           ORDER BY escore DESC, nid) AS rk
+       |         FROM (SELECT pr.query_id, pr.cell, nm.vec_id AS nid,
+       |                 ROUND(list_dot_product(qs.q_emb, nm.emb)
+       |                   /(qs.q_nrm*nm.nrm), 4) AS escore
+       |               FROM pr JOIN qs USING (query_id)
+       |               JOIN nm ON nm.label = pr.cell) e) z
+       |       WHERE rk <= $perCell),
        |exq AS (SELECT qs.query_id, c.vec_id AS nid,
        |         ROUND(list_dot_product(qs.q_emb, c.emb)/(qs.q_nrm*c.nrm), 4)
        |           AS score
@@ -228,7 +263,8 @@ object OracleSimilarity {
        |       SELECT qs.query_id, en.nid,
        |         ROUND(list_dot_product(qs.q_emb, y.emb)/(qs.q_nrm*y.nrm), 4)
        |           AS score
-       |       FROM qs CROSS JOIN en JOIN nm y ON y.vec_id = en.nid),
+       |       FROM en JOIN qs USING (query_id)
+       |       JOIN nm y ON y.vec_id = en.nid),
        |$hopBlocks""".stripMargin
   }
 

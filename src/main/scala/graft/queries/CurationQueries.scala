@@ -275,25 +275,24 @@ object CurationQueries {
     * (rank−1)·10⁶ div (n−1) — 0 for the best-ranked, 10⁶ for the worst
     * — over the (score desc, doc_id) total order, so ranks are unique
     * and both engines floor the identical rational. One scored scan
-    * projection + one source-partitioned window; single-document
-    * sources pin to 0 rather than divide by zero. */
+    * projection; the per-source rank and count come from
+    * [[graft.operators.GroupedPrefix]] (NOT a source-partitioned
+    * window — one task per source at 100×); single-document sources
+    * pin to 0 rather than divide by zero. */
   def percentileNormalize(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = graft.ext.TextOps.normText(col("text"))
     val toks = graft.ext.TextOps.tokens(t)
     val nTokens = size(toks).cast("long")
     val nStop = size(org.apache.spark.sql.functions.filter(toks,
       w => w.isInCollection(TextAnalysis.Stopwords))).cast("long")
-    val w = Window.partitionBy("source")
-      .orderBy(col("score_ppm").desc, col("doc_id"))
-    val cw = Window.partitionBy("source")
-    Tables.documents(spark, dir)
+    val scored = Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"), nTokens.as("n_tokens"),
         nStop.as("n_stop"))
       .withColumn("score_ppm",
         expr("n_stop * 1000000 div greatest(n_tokens, 1)"))
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(cw))
+    graft.operators.GroupedPrefix.rankWithin(scored, "source", "score_ppm",
+        descending = true, ties = Seq(col("doc_id")), rankCol = "rk",
+        nCol = Some("n"))
       .select(col("source"), col("doc_id"),
         col("score_ppm").cast("long").as("score_ppm"),
         expr("CAST((rk - 1) * 1000000 div greatest(n - 1, 1) AS BIGINT)")
@@ -494,12 +493,12 @@ object CurationQueries {
     val withGlobal = graft.operators.PrefixSum.exclusive(scored,
       "score_ppm", descending = true, ties = Seq(col("doc_id")),
       valueCol = "n_tokens", outCol = "g_prefix")
-    val sw = org.apache.spark.sql.expressions.Window
-      .partitionBy("source")
-      .orderBy(col("score_ppm").desc, col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val withSrc = withGlobal.withColumn("s_prefix",
-      coalesce(sum("n_tokens").over(sw), lit(0L)))
+    // per-source running budget via GroupedPrefix — a source-partitioned
+    // running-sum window would hand each source's full corpus slice to
+    // one task at 100×, the same serialization as a rank window
+    val withSrc = graft.operators.GroupedPrefix.exclusiveMulti(withGlobal,
+      "source", "score_ppm", descending = true, ties = Seq(col("doc_id")),
+      valueCols = Seq("n_tokens" -> "s_prefix"))
     val budget = scored.agg(
       expr(s"sum(n_tokens) * $budgetPpm div 1000000").as("budget"))
     val caps = scored.groupBy("source")
@@ -727,6 +726,42 @@ object CurationQueries {
           "CAST(raw AS DECIMAL(38,0)) * 1000000 div rt END")
           .cast("long").as("new_share_ppm"))
       .orderBy("source")
+  }
+
+  /** MULTI-ROUND DoReMi trajectory (q311) — [[domainReweighting]]'s
+    * one linearized MW step iterated through 4 fixed rounds
+    * ([[graft.ext.Sampling.mwTrajectory]]): per round and source, the
+    * previous/new renormalized share, the signed movement, and the two
+    * round certificates (L1 movement toward the MW fixpoint, the
+    * renormalization pin Σshare). The update factor is the q309
+    * measured-loss factor, static across rounds (a fixed reference
+    * model; the published method re-trains a proxy per round — stated
+    * in the operator doc). Scale shape: one q181 scoring pass for the
+    * base, then |sources|-row rounds (two scalar aggs + a 1-row cross
+    * each), checkpointed per round. */
+  def domainReweightTrajectory(spark: SparkSession, dir: String,
+                               rounds: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sc = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+    val per = docs.select(col("doc_id"), col("source"))
+      .join(sc, Seq("doc_id"))
+      .groupBy("source")
+      .agg(sum("n_bigrams").as("nb"),
+        sum(col("n_bigrams") * col("nll_micro")).as("snl"))
+      .localCheckpoint() // read by the scalar rollup + the base
+    val tot = per.agg(sum("nb").as("tb"), sum("snl").as("ts"))
+    val base = per.crossJoin(broadcast(tot))
+      .select(col("source"),
+        expr("CASE WHEN tb = 0 THEN 0 ELSE nb * 1000000 div tb END")
+          .as("share_ppm"),
+        expr("CASE WHEN nb = 0 THEN 0 ELSE snl div nb END").as("nll_micro"),
+        expr("CASE WHEN tb = 0 THEN 0 ELSE ts div tb END")
+          .as("nll_bar_micro"))
+      .withColumn("factor_micro",
+        greatest(lit(1L),
+          lit(1000000L) + col("nll_micro") - col("nll_bar_micro")))
+      .select("source", "share_ppm", "factor_micro")
+    Sampling.mwTrajectory(base, rounds)
   }
 
   /** Leave-one-source-out OLS data valuation (q297): how much does each

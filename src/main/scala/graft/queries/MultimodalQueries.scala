@@ -209,6 +209,46 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Video temporal near-dup census (q312) — the FOURTH modality of
+    * the banded dedup family (text q34…, image q295, audio q306):
+    * [[graft.ext.Multimodal.gifTemporalFingerprint]] folds every
+    * decoded frame's aHash plus the brightness/structure envelopes
+    * into one 32-bit spatio-temporal signature; near-dups at hamming
+    * ≤ 1 via the SAME banded self-join plan widened to FOUR 8-bit
+    * bands (pigeonhole: ≤ 1 differing bit leaves ≥ 3 identical bands;
+    * candidates ~N²/256 per band, exact `bit_count(xor)` verify on the
+    * sliver only, never all-pairs). One report row per video
+    * (signature, frame count, near-dup degree, smallest partner), so
+    * the census is non-vacuous at every sf. */
+  def videoNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Multimodal.gifTemporalFingerprint(
+        Multimodal.attachPayload(Tables.documents(spark, dir), "doc_id",
+          "text"))
+      .localCheckpoint() // read by all four band tables + the spine
+    val bands = (0 until 4).map { b =>
+      fps.select(col("doc_id"), col("vfp"), lit(b).as("band"),
+        expr(s"(vfp div ${1L << (8 * b)}) % 256").as("bv"))
+    }.reduce(_ unionAll _)
+    val cand = bands
+      .join(bands.select(col("doc_id").as("doc_b"), col("vfp").as("vb"),
+        col("band"), col("bv")), Seq("band", "bv"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select("doc_id", "doc_b", "vfp", "vb").distinct()
+    val near = cand
+      .filter(bit_count(col("vfp").bitwiseXOR(col("vb"))) <= 1)
+      .select(col("doc_id"), col("doc_b"))
+    val sym = near.unionAll(near.select(col("doc_b"), col("doc_id")))
+      .toDF("d", "partner")
+    val stats = sym.groupBy("d")
+      .agg(count(lit(1)).as("n_near"), min("partner").as("nearest"))
+    fps.join(stats, fps("doc_id") === stats("d"), "left")
+      .select(col("doc_id"), col("vfp"),
+        col("n_frames").cast("int").as("n_frames"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        coalesce(col("nearest"), lit(-1L)).as("nearest_id"))
+      .orderBy("doc_id")
+  }
+
   /** Audio fingerprint near-dup census (q306):
     * [[graft.ext.Multimodal.wavEnergyFingerprint]] over every REAL
     * RIFF-parsed WAV payload (the audio third of the corpus), near-dups

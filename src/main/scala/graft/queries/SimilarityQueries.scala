@@ -474,7 +474,11 @@ object SimilarityQueries {
   /** Graph-ANN serving (q304):
     * [[graft.ext.Similarity.graphAnnBeamSearch]] — beam search over the
     * q280 3-round NN-descent graph for the q262 query set (vec_id < 10):
-    * 4 fixed smallest-id entries, 3 beam-4 hops over the undirected
+    * HIERARCHICAL entry (r15 — each query probes its 2 nearest q49
+    * IVF centroids and enters at each probed cell's 2 best-scored
+    * members for that query, 4 entries total, same walk budget as the
+    * r14 fixed-id entry; spec-pinned recall ≥ both the legacy entry
+    * and the IVF tier), 3 beam-4 hops over the undirected
     * degree-capped serve edges, top-5 answers with exact-tier hit flags
     * (the recall readout comparable to the q262 IVF curve) and the
     * per-query visited-set size (the candidate-volume cost). */
@@ -482,7 +486,7 @@ object SimilarityQueries {
     val emb = Tables.embeddings(spark, dir)
     Similarity.graphAnnBeamSearch(emb, "vec_id", "embedding",
       emb.filter(col("vec_id") < 10), k = 5, beam = 4, hops = 3,
-      nEntry = 4, graphRounds = 3)
+      nEntry = 4, graphRounds = 3, entryCellCol = Some("label"))
   }
 
   /** Graph-ANN beam-width sweep (q310):
@@ -495,7 +499,7 @@ object SimilarityQueries {
     val emb = Tables.embeddings(spark, dir)
     Similarity.graphAnnBeamSweep(emb, "vec_id", "embedding",
       emb.filter(col("vec_id") < 10), k = 5, beams = Seq(1, 2, 8),
-      hops = 3, nEntry = 4, graphRounds = 3)
+      hops = 3, nEntry = 4, graphRounds = 3, entryCellCol = Some("label"))
   }
 
   /** Embedding-space drift (q269): [[graft.ext.Drift.embeddingDrift]]

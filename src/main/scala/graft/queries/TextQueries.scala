@@ -133,21 +133,19 @@ object TextQueries {
     * Exactness: bucket = ⌊3·(pos−1)/n⌋ over the total
     * (nll_micro, doc_id) order — integer arithmetic on an exact rank,
     * no percentile estimation. Scale: the LM pass is q181's (model
-    * broadcast, integer aggregates); the ranking is ONE source-keyed
-    * window (running count, not a sort buffer beyond the shuffle sort)
-    * and the report is |source|·3 rows. */
+    * broadcast, integer aggregates); the per-source rank comes from
+    * [[graft.operators.GroupedPrefix]] (NOT a source-partitioned
+    * window — a 100× source would serialize into one task) and the
+    * report is |source|·3 rows. */
   def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nll = TextAnalysis.bigramLmScore(Tables.documents(spark, dir),
       "doc_id", "text")
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
     val j = nll.join(docs, Seq("doc_id"))
-    val w = Window.partitionBy("source")
-      .orderBy(col("nll_micro"), col("doc_id"))
-    val n = docs.groupBy("source").agg(count(lit(1)).as("nsrc"))
-    j.withColumn("pos", row_number().over(w))
-      .join(n, Seq("source"))
+    graft.operators.GroupedPrefix.rankWithin(j, "source", "nll_micro",
+        descending = false, ties = Seq(col("doc_id")), rankCol = "pos",
+        nCol = Some("nsrc"))
       .withColumn("bucket",
         expr("""CASE (3 * (pos - 1)) div nsrc WHEN 0 THEN 'head'
                 |WHEN 1 THEN 'middle' ELSE 'tail' END""".stripMargin))
@@ -174,21 +172,20 @@ object TextQueries {
     * products) and κ is ONE sign-split ppm floor division — κ can be
     * negative (systematic disagreement) and truncate-vs-floor diverges
     * there. Scale: one C4 scoring pass (scan-fused), one q181 LM pass,
-    * one source-keyed ranking window, one |sources|-row rollup. */
+    * a [[graft.operators.GroupedPrefix]] per-source rank (NOT a
+    * source-keyed window — one task per source at 100×), one
+    * |sources|-row rollup. */
   def filterAgreement(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val c4 = graft.ext.QualityFilters.c4Filter(docs, "doc_id", "text")
       .select(col("doc_id"), col("keep").cast("long").as("r1"))
     val nll = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
       .select(col("doc_id"), col("nll_micro"))
-    val w = Window.partitionBy("source")
-      .orderBy(col("nll_micro"), col("doc_id"))
-    val n = docs.groupBy("source").agg(count(lit(1)).as("nsrc"))
-    val rated = docs.select(col("doc_id"), col("source"))
+    val scored = docs.select(col("doc_id"), col("source"))
       .join(nll, Seq("doc_id")).join(c4, Seq("doc_id"))
-      .withColumn("pos", row_number().over(w))
-      .join(n, Seq("source"))
+    val rated = graft.operators.GroupedPrefix.rankWithin(scored, "source",
+        "nll_micro", descending = false, ties = Seq(col("doc_id")),
+        rankCol = "pos", nCol = Some("nsrc"))
       .withColumn("r2",
         (expr("(3 * (pos - 1)) div nsrc") === 0).cast("long"))
     val per = rated.groupBy("source").agg(count(lit(1)).as("n"),

@@ -202,18 +202,22 @@ object WarehouseAnalytics {
     * WITHIN their market segment, reported per (segment, quartile). The
     * ntile order is total-ordered (revenue desc, then key) so tile
     * boundaries are deterministic on both engines. Customer totals are
-    * one partial-agg'd shuffle; the per-segment window sorts only
-    * customer-level rows (corpus-reduced), never the fact. */
+    * one partial-agg'd shuffle; the per-segment rank comes from
+    * [[graft.operators.GroupedPrefix]] (a segment-partitioned window
+    * would sort a whole segment's customers in ONE task at 100×) and
+    * the quartile is the exact integer NTILE formula over (rank, n). */
   def revenueQuartiles(spark: SparkSession, dir: String): DataFrame = {
     val totals = Tables.orders(spark, dir)
       .groupBy("o_custkey")
       .agg(moneySum(col("o_totalprice")).as("total"))
     val seg = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("total").desc, col("o_custkey"))
-    totals.join(seg, totals("o_custkey") === seg("c_custkey"))
-      .withColumn("quartile", ntile(4).over(w))
+    val joined = totals.join(seg, totals("o_custkey") === seg("c_custkey"))
+    graft.operators.GroupedPrefix.rankWithin(joined, "c_mktsegment",
+        "total", descending = true, ties = Seq(col("o_custkey")),
+        rankCol = "__rk", nCol = Some("__n"))
+      .withColumn("quartile", graft.operators.GroupedPrefix
+        .ntileFromRank(col("__rk"), col("__n"), 4))
       .groupBy("c_mktsegment", "quartile")
       .agg(count(lit(1)).as("n_customers"),
         moneySum(col("total")).as("sum_total"),
@@ -314,7 +318,11 @@ object WarehouseAnalytics {
     * can't give per-entity. The ordering is the unique (cents, custkey)
     * total order, so both ratios divide small exact integers
     * identically on both engines (r6 display). Revenue reduces the fact
-    * first; the windows run over customer-count rows per segment. */
+    * first; the per-segment (rank, n) pair comes from
+    * [[graft.operators.GroupedPrefix]] — a segment-partitioned window
+    * would own a whole segment's customers in one task at 100× — and
+    * percent_rank/cume_dist are recovered exactly (the order is total,
+    * so there are no peers and the closed forms match SQL). */
   def percentileReport(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
     val rev = Tables.orders(spark, dir)
@@ -323,11 +331,13 @@ object WarehouseAnalytics {
     val seg = rev.join(broadcast(cust),
         rev("o_custkey") === cust("c_custkey"))
       .select(col("c_mktsegment"), col("o_custkey"), col("c"))
-    val w = Window.partitionBy("c_mktsegment")
-      .orderBy(col("c").asc, col("o_custkey").asc)
-    seg
-      .withColumn("pct_rank", r6(percent_rank().over(w)))
-      .withColumn("cume", r6(cume_dist().over(w)))
+    graft.operators.GroupedPrefix.rankWithin(seg, "c_mktsegment", "c",
+        descending = false, ties = Seq(col("o_custkey").asc),
+        rankCol = "__rk", nCol = Some("__n"))
+      .withColumn("pct_rank", r6(graft.operators.GroupedPrefix
+        .percentRankFromRank(col("__rk"), col("__n"))))
+      .withColumn("cume", r6(graft.operators.GroupedPrefix
+        .cumeDistFromRank(col("__rk"), col("__n"))))
       .select(col("c_mktsegment"), col("o_custkey"),
         (col("c").cast("double") / 100.0).as("revenue"),
         col("pct_rank"), col("cume"))
@@ -860,22 +870,22 @@ object WarehouseAnalytics {
     *
     * Scale shape: one custkey aggregation over orders (the only
     * fact-sized exchange), a key+segment dimension join Catalyst is free
-    * to broadcast, then a window partitioned by segment. With FEW huge
-    * segments the per-group sort concentrates on n_segments tasks — for
-    * that regime run each group through [[graft.operators.PrefixSum]]
-    * (count prefix = rank, value prefix = Σ rank·x via the pair trick);
-    * the registered form keeps the single-window plan, which is right
-    * whenever group count ≥ cores. */
+    * to broadcast, then the per-segment rank from
+    * [[graft.operators.GroupedPrefix]] — the FEW-huge-segments regime
+    * is exactly the one where a segment-partitioned window concentrates
+    * each segment's sort on one task, so the registered form is the
+    * grouped two-pass prefix (count prefix = rank), scale-safe at any
+    * segment size. */
   def giniBySegment(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
     val seg = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val w = Window.partitionBy("c_mktsegment")
-      .orderBy(col("cents"), col("o_custkey"))
-    rev.join(seg, col("o_custkey") === col("c_custkey"))
-      .withColumn("rk", row_number().over(w))
+    val joined = rev.join(seg, col("o_custkey") === col("c_custkey"))
+    graft.operators.GroupedPrefix.rankWithin(joined, "c_mktsegment",
+        "cents", descending = false, ties = Seq(col("o_custkey")),
+        rankCol = "rk")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
         sum(col("cents")).as("s"),
@@ -924,23 +934,21 @@ object WarehouseAnalytics {
     * the extreme 5% at each end, winsorize CLAMPS them to the 5th/95th
     * exact order statistics (so n stays constant — the estimator
     * auditors prefer when row counts must reconcile). Cut points are
-    * exact ranks (k = ⌊n/20⌋), not approximate percentiles: rank and
-    * group size ride one priority-partitioned window pass, and the
-    * winsorized sum is recovered WITHOUT a second pass as
-    * trimmed_sum + k·(lo + hi) where lo/hi are the boundary order
+    * exact ranks (k = ⌊n/20⌋), not approximate percentiles: the
+    * per-priority (rank, n) pair comes from
+    * [[graft.operators.GroupedPrefix]] — a priority-partitioned window
+    * would sort a whole priority's FACT-scale slice in one task at
+    * 100× — and the winsorized sum is recovered WITHOUT a second pass
+    * as trimmed_sum + k·(lo + hi) where lo/hi are the boundary order
     * statistics picked by conditional aggregation. All sums integer
-    * cents; each mean is one double division at the end. Five groups ×
-    * sorted members is the honest order-statistic cost (same posture
-    * note as [[giniBySegment]]). */
+    * cents; each mean is one double division at the end. */
   def robustMeans(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("cents"), col("o_orderkey"))
-    val cw = Window.partitionBy("o_orderpriority")
-    Tables.orders(spark, dir)
+    val base = Tables.orders(spark, dir)
       .select(col("o_orderpriority"), col("o_orderkey"),
         round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(cw))
+    graft.operators.GroupedPrefix.rankWithin(base, "o_orderpriority",
+        "cents", descending = false, ties = Seq(col("o_orderkey")),
+        rankCol = "rk", nCol = Some("n"))
       .withColumn("k", expr("n div 20"))
       .groupBy(col("o_orderpriority"))
       .agg(max(col("n")).as("n"), max(col("k")).as("k"),
@@ -1045,15 +1053,18 @@ object WarehouseAnalytics {
   /** RFM customer segmentation (q211) — the classic CRM triple scored
     * WITHIN market segment: recency (days from last order to the
     * segment-wide anchor date), frequency (order count), monetary
-    * (lifetime cents), each cut into quintiles by `ntile(5)` over a
-    * segment-partitioned window (standard-SQL ntile both engines
-    * share; ties broken by custkey so the cut is deterministic), then
-    * labeled with the usual marketing taxonomy. Scale shape: one
-    * custkey aggregation over orders, a broadcast-eligible segment
-    * join, one 1-row anchor broadcast, three quintile windows sharing
-    * ONE segment exchange. Quintiles within segment (not global) keep
-    * the window keyed — and compare customers against their peers,
-    * which is the defensible semantics anyway. */
+    * (lifetime cents), each cut into quintiles (standard-SQL ntile
+    * semantics both engines share; ties broken by custkey so the cut
+    * is deterministic), then labeled with the usual marketing
+    * taxonomy. Scale shape: one custkey aggregation over orders, a
+    * broadcast-eligible segment join, one 1-row anchor broadcast, then
+    * three [[graft.operators.GroupedPrefix]] ranks — NOT three
+    * segment-partitioned ntile windows, which would serialize each
+    * 5-value segment's full customer slice into one task at 100× —
+    * each quintile recovered from its (rank, n) pair by the exact
+    * integer NTILE formula. Quintiles within segment (not global)
+    * compare customers against their peers, which is the defensible
+    * semantics anyway. */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
@@ -1063,17 +1074,22 @@ object WarehouseAnalytics {
     val seg = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
     val anchor = per.agg(max(col("lastd")).as("anchor"))
-    val w = Window.partitionBy("c_mktsegment")
-    val byR = w.orderBy(col("recency_days"), col("o_custkey"))
-    val byF = w.orderBy(col("freq").desc, col("o_custkey"))
-    val byM = w.orderBy(col("cents").desc, col("o_custkey"))
-    per.join(seg, col("o_custkey") === col("c_custkey"))
+    val gp = graft.operators.GroupedPrefix
+    val base = per.join(seg, col("o_custkey") === col("c_custkey"))
       .crossJoin(broadcast(anchor))
       .withColumn("recency_days", datediff(col("anchor"), col("lastd"))
         .cast("long"))
-      .withColumn("r", lit(6) - ntile(5).over(byR))
-      .withColumn("f", lit(6) - ntile(5).over(byF))
-      .withColumn("m", lit(6) - ntile(5).over(byM))
+    val rkR = gp.rankWithin(base, "c_mktsegment", "recency_days",
+      descending = false, ties = Seq(col("o_custkey")), rankCol = "__rkr",
+      nCol = Some("__n"))
+    val rkF = gp.rankWithin(rkR, "c_mktsegment", "freq",
+      descending = true, ties = Seq(col("o_custkey")), rankCol = "__rkf")
+    val rkM = gp.rankWithin(rkF, "c_mktsegment", "cents",
+      descending = true, ties = Seq(col("o_custkey")), rankCol = "__rkm")
+    rkM
+      .withColumn("r", lit(6) - gp.ntileFromRank(col("__rkr"), col("__n"), 5))
+      .withColumn("f", lit(6) - gp.ntileFromRank(col("__rkf"), col("__n"), 5))
+      .withColumn("m", lit(6) - gp.ntileFromRank(col("__rkm"), col("__n"), 5))
       .withColumn("segment",
         when(col("r") >= 4 && col("f") >= 4 && col("m") >= 4, "champion")
           .when(col("f") >= 4, "loyal")
@@ -1283,9 +1299,10 @@ object WarehouseAnalytics {
     * only through the final exact subtraction.
     *
     * Scale shape: one custkey aggregation over the fact, a broadcastable
-    * dimension join, two rank windows sharing one segment-keyed
-    * exchange, then a per-segment aggregation — output is one row per
-    * segment. */
+    * dimension join, two [[graft.operators.GroupedPrefix]] ranks (a
+    * segment-keyed rank window would own a whole segment's customers in
+    * one task at 100×), then a per-segment aggregation — output is one
+    * row per segment. */
   def spearmanSegments(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
@@ -1293,13 +1310,14 @@ object WarehouseAnalytics {
     val cust = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"),
         round(col("c_acctbal") * 100, 0).cast("long").as("bal"))
-    val wx = Window.partitionBy("c_mktsegment")
-      .orderBy(col("bal"), col("o_custkey"))
-    val wy = Window.partitionBy("c_mktsegment")
-      .orderBy(col("cents"), col("o_custkey"))
-    rev.join(cust, col("o_custkey") === col("c_custkey"))
-      .withColumn("rx", row_number().over(wx))
-      .withColumn("ry", row_number().over(wy))
+    val gp = graft.operators.GroupedPrefix
+    val joined = rev.join(cust, col("o_custkey") === col("c_custkey"))
+    // two GroupedPrefix ranks, not two segment-partitioned windows: a
+    // 5-value segment key over customer-scale rows serializes at 100×
+    val rx = gp.rankWithin(joined, "c_mktsegment", "bal",
+      descending = false, ties = Seq(col("o_custkey")), rankCol = "rx")
+    gp.rankWithin(rx, "c_mktsegment", "cents",
+        descending = false, ties = Seq(col("o_custkey")), rankCol = "ry")
       .withColumn("d", (col("rx") - col("ry")).cast("long"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),

@@ -220,6 +220,63 @@ class PlanSpec extends SparkSpec {
       s"unbounded unpartitioned windows in: ${offenders.mkString(", ")}")
   }
 
+  test("suite-wide: no window keyed ONLY by known-low-cardinality columns over an unbounded child") {
+    // The subtler cousin of the unpartitioned window: a window whose
+    // partition key has 2-to-5 distinct values (side, source, market
+    // segment) over a data-scale child serializes each group into ONE
+    // task at 100× — it passes the partitionSpec.nonEmpty audit on a
+    // technicality. Such windows are legitimate only when the child is
+    // bounded: (a) under a GlobalLimit; (b) phase 2 of the salted
+    // grouped top-k (an inner window keyed by strictly MORE columns —
+    // group+salt — has already cut the child to ≤ k·salts per group);
+    // (c) over a collapsed value spine (an Aggregate whose grouping
+    // keys strictly contain the partition keys — the q158 idiom: the
+    // child is the distinct-value domain, not the corpus). Everything
+    // else must use GroupedPrefix / saltedTopKPerGroup.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow,
+      GlobalLimit, Aggregate}
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
+      Literal, Alias}
+    val lowCard = Set("side", "source", "c_mktsegment", "market",
+      "l_returnflag", "l_linestatus", "o_orderstatus", "l_shipmode",
+      "o_orderpriority", "predicted_lang", "lang", "segment", "half",
+      "tier", "bucket")
+    def names(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case Alias(child, _) => names(child)
+      case _: Literal => Some("__lit__")
+      case _ => None
+    }
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        q(spark, sf001).queryExecution.optimizedPlan.collect {
+          case w: LWindow
+            if w.partitionSpec.nonEmpty &&
+              w.partitionSpec.forall(p => names(p)
+                .exists(n => n == "__lit__" || lowCard(n))) &&
+              w.child.collectFirst { case g: GlobalLimit => g }.isEmpty &&
+              w.child.collectFirst { case w2: LWindow
+                if w2.partitionSpec.size > w.partitionSpec.size => w2
+              }.isEmpty &&
+              w.child.collectFirst { case ag: Aggregate
+                if ag.groupingExpressions.size > w.partitionSpec.size &&
+                  w.partitionSpec.forall(p =>
+                    ag.groupingExpressions.exists(g =>
+                      (names(g), names(p)) match {
+                        case (Some(a), Some(b)) => a == b
+                        case _ => false
+                      })) => ag
+              }.isEmpty =>
+            s"$name [${w.partitionSpec.flatMap(names).mkString(",")}]"
+        }
+    }.distinct
+    assert(offenders.isEmpty,
+      s"low-cardinality-key windows over unbounded children (use " +
+        s"GroupedPrefix or Skew.saltedTopKPerGroup): " +
+        offenders.mkString(", "))
+  }
+
   test("suite-wide: no CartesianProduct in any registered query's plan") {
     // The second silent scale-killer after the unpartitioned window: a
     // non-equi join falling back to CartesianProduct multiplies two

@@ -573,6 +573,102 @@ class MultimodalSpec extends SparkSpec {
     assert(got.getAs[Long]("n_samples") == n)
   }
 
+  test("gifTemporalFingerprint: planted duplicate collides; uniform fill " +
+      "sets no bit; frame-0 bits equal gifAHash") {
+    import spark.implicits._
+    // ids 2/98/194 share frame dims AND frame count (98%10 == 8? no —
+    // 2%10=2, 98%10=8: different nF). Use 2 and 962: 962%32=2,
+    // (962·3)%32=2886%32=6=(2·3)%32, 962%10=2=2%10 — same dims, same
+    // frame count, so identical text ⇒ identical signature through the
+    // REAL multi-frame decode.
+    val text = "temporal fingerprint fixture with varied bytes 98765!"
+    val blobs = Seq(
+      Multimodal.MediaBlob(2L, "video",
+        Multimodal.gifPayload(2L, text.getBytes("UTF-8"))),
+      Multimodal.MediaBlob(962L, "video",
+        Multimodal.gifPayload(962L, text.getBytes("UTF-8"))),
+      Multimodal.MediaBlob(194L, "video",
+        Multimodal.gifPayload(194L, Array.fill(40)('x'.toByte))))
+    val got = Multimodal.gifTemporalFingerprint(spark.createDataset(blobs))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("vfp"), r.getAs[Int]("n_frames"))).toMap
+    assert(got(2L)._1 == got(962L)._1,
+      "same content, same geometry -> same signature")
+    assert(got(194L)._1 == 0L,
+      "uniform pixels must set no spatial or temporal bit (strict >)")
+    // frame-0 spatial bits (0..15) must be exactly the q295 aHash
+    val ah = Multimodal.gifAHash(spark.createDataset(blobs))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("ahash")).toMap
+    got.foreach { case (d, (vfp, _)) =>
+      assert((vfp & 0xffffL) == ah(d), s"doc $d frame-0 bits != aHash")
+    }
+  }
+
+  test("gifTemporalFingerprint matches an independent multi-frame replay " +
+      "from the text") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog 42!"
+    val bytes = text.getBytes("UTF-8")
+    val id = 17L // 17%3 == 2: video; w=18, h=20, nF=8
+    val got = Multimodal.gifTemporalFingerprint(spark.createDataset(Seq(
+        Multimodal.MediaBlob(id, "video", Multimodal.gifPayload(id, bytes)))))
+      .collect().head
+    val w = (1 + id % 32).toInt; val h = (1 + id * 3 % 32).toInt
+    val nF = (1 + id % 10).toInt; val d = w * h
+    // per-frame aHash + pixel sum from the payload arithmetic (pixel
+    // k of the concatenated stream = bytes(k % len) & 0x7f)
+    val fHash = new Array[Long](nF); val fSum = new Array[Long](nF)
+    for (f <- 0 until nF) {
+      val sums = new Array[Long](16); val cnts = new Array[Long](16)
+      for (j <- 0 until d) {
+        val bi = (4 * (j / w) / h) * 4 + (4 * (j % w) / w)
+        sums(bi) += bytes((f * d + j) % bytes.length) & 0x7f
+        cnts(bi) += 1
+      }
+      val tot = sums.sum
+      for (k <- 0 until 16 if cnts(k) > 0 && sums(k) * d > tot * cnts(k))
+        fHash(f) |= 1L << k
+      fSum(f) = tot
+    }
+    val wS = new Array[Long](8); val wP = new Array[Long](8)
+    val wC = new Array[Long](8)
+    for (f <- 0 until nF) {
+      val wi = 8 * f / nF
+      wS(wi) += fSum(f); wP(wi) += java.lang.Long.bitCount(fHash(f))
+      wC(wi) += 1
+    }
+    var expect = fHash(0)
+    for (k <- 0 until 8 if wC(k) > 0) {
+      if (wS(k) * nF > wS.sum * wC(k)) expect |= 1L << (16 + k)
+      if (wP(k) * nF > wP.sum * wC(k)) expect |= 1L << (24 + k)
+    }
+    assert(got.getAs[Long]("vfp") == expect)
+    assert(got.getAs[Int]("n_frames") == nF)
+  }
+
+  test("q312 near-dup degrees equal the brute-force hamming<=1 census") {
+    // Four 8-bit bands are exact at radius 1 (pigeonhole: one flipped
+    // bit leaves >= 3 identical bands) — the q295/q306 argument for the
+    // 32-bit video signature.
+    val rows = graft.queries.MultimodalQueries.videoNearDup(spark, sf001)
+      .collect()
+    val fps = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("vfp"))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val brute = fps.map { case (d, h) =>
+      val near = fps.filter { case (o, oh) => o != d && ham(h, oh) <= 1 }
+      d -> (near.length.toLong,
+        if (near.isEmpty) -1L else near.map(_._1).min)
+    }.toMap
+    rows.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      assert((r.getAs[Long]("n_near"), r.getAs[Long]("nearest_id"))
+        == brute(d), s"doc $d disagrees with brute force")
+    }
+    assert(rows.nonEmpty, "census must emit one row per video")
+  }
+
   test("q306 near-dup degrees equal the brute-force hamming<=1 census") {
     // Banding over two 8-bit bands is exact at radius 1 (pigeonhole) —
     // same argument as q295, now for the audio tier.

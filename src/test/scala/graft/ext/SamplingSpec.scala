@@ -250,4 +250,36 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("id")).toSet
     assert(ones == s.map(_.getAs[Long]("id")).toSet)
   }
+
+  test("mwTrajectory replays the BigInt hand-unroll exactly (2-source fixture)") {
+    // independent driver-side replay of the MW recursion: raw =
+    // share·factor, share' = raw·1e6 div Σraw (floor), 4 rounds
+    val base = Seq(("a", 600000L, 1500000L), ("b", 400000L, 500000L))
+      .toDF("source", "share_ppm", "factor_micro")
+    val rounds = 4
+    val factors = Map("a" -> BigInt(1500000), "b" -> BigInt(500000))
+    var w = Map("a" -> BigInt(600000), "b" -> BigInt(400000))
+    val expect = (1 to rounds).map { t =>
+      val raw = w.map { case (s, v) => s -> v * factors(s) }
+      val rt = raw.values.sum
+      val nw = raw.map { case (s, v) => s -> v * 1000000 / rt }
+      val l1 = nw.map { case (s, v) => (v - w(s)).abs }.sum
+      val ss = nw.values.sum
+      val rows = nw.keys.toSeq.sorted.map(s =>
+        (t, s, w(s).toLong, nw(s).toLong, (nw(s) - w(s)).toLong,
+          factors(s).toLong, l1.toLong, ss.toLong))
+      w = nw
+      rows
+    }.flatten
+    val got = Sampling.mwTrajectory(base, rounds).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == expect)
+    // direction + renormalization pins: the max-factor source's share
+    // is non-decreasing, the min-factor source's non-increasing, and
+    // Σshare stays within |sources| flooring loss of 1e6, every round
+    got.filter(_._2 == "a").foreach(r => assert(r._5 >= 0))
+    got.filter(_._2 == "b").foreach(r => assert(r._5 <= 0))
+    got.foreach(r => assert(r._8 <= 1000000L && r._8 >= 1000000L - 2))
+  }
 }

@@ -782,7 +782,7 @@ class SimilaritySpec extends SparkSpec {
     val k = 5; val beam = 4; val hops = 3; val nEntry = 4
     val out = Similarity.graphAnnBeamSearch(emb, "vec_id", "embedding",
       queries, k = k, beam = beam, hops = hops, nEntry = nEntry,
-      graphRounds = 3).collect()
+      graphRounds = 3, entryCellCol = Some("label")).collect()
     // contract: exactly k ranked rows per query, ranks 1..k, no self hit
     val byQ = out.groupBy(_.getAs[Long]("query_id"))
     assert(byQ.size == 10)
@@ -801,9 +801,24 @@ class SimilaritySpec extends SparkSpec {
     // determinism: a rerun reproduces the identical report
     val again = Similarity.graphAnnBeamSearch(emb, "vec_id", "embedding",
       queries, k = k, beam = beam, hops = hops, nEntry = nEntry,
-      graphRounds = 3).collect()
+      graphRounds = 3, entryCellCol = Some("label")).collect()
     assert(out.map(_.toString).sorted.toSeq ==
       again.map(_.toString).sorted.toSeq)
+    // hierarchical entry (r15): at the SAME visited budget (nEntry
+    // entries, identical hop/beam caps), the IVF-centroid coarse layer
+    // must recall at least as much as the legacy smallest-id entry —
+    // the walk starts in the query's region instead of a fixed corner
+    val legacy = Similarity.graphAnnBeamSearch(emb, "vec_id", "embedding",
+      queries, k = k, beam = beam, hops = hops, nEntry = nEntry,
+      graphRounds = 3, entryCellCol = None).collect()
+    val legacyHits = legacy.map(_.getAs[Int]("is_hit").toLong).sum
+    val hierHits = out.map(_.getAs[Int]("is_hit").toLong).sum
+    assert(hierHits >= legacyHits,
+      s"hierarchical entry recall $hierHits < legacy $legacyHits")
+    legacy.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.head.getAs[Long]("n_visited") <=
+        nEntry + hops.toLong * beam * 2 * k, s"legacy walk unbounded at $q")
+    }
     // the serving readout: graph-walk recall >= the IVF tier's at its
     // default setting (nprobe=2) on the same query set — the verdict's
     // "reader at least as good as the cell probe" bar
@@ -825,7 +840,8 @@ class SimilaritySpec extends SparkSpec {
     val emb = graft.model.Tables.embeddings(spark, sf001)
     val queries = emb.filter(col("vec_id") < 10)
     val rows = Similarity.graphAnnBeamSweep(emb, "vec_id", "embedding",
-        queries, k = 5, beams = Seq(1, 2, 8)).collect()
+        queries, k = 5, beams = Seq(1, 2, 8),
+        entryCellCol = Some("label")).collect()
       .sortBy(_.getAs[Int]("beam"))
     assert(rows.map(_.getAs[Int]("beam")).toSeq == Seq(1, 2, 8))
     rows.foreach { r =>
@@ -842,7 +858,7 @@ class SimilaritySpec extends SparkSpec {
     // cross-check against the q304 single-walk report: beam 4 sits
     // between the sweep's beam-2 and beam-8 recalls (visited sets nest)
     val q304 = Similarity.graphAnnBeamSearch(emb, "vec_id", "embedding",
-      queries, k = 5, beam = 4).collect()
+      queries, k = 5, beam = 4, entryCellCol = Some("label")).collect()
     val rec4 = q304.map(_.getAs[Int]("is_hit").toLong).sum * 1000000L / 50
     assert(rec(1) <= rec4 && rec4 <= rec(2),
       s"beam-4 recall $rec4 outside sweep bracket ${rec.toSeq}")
