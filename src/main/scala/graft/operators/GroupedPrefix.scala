@@ -56,8 +56,7 @@ object GroupedPrefix {
                      descending: Boolean, ties: Seq[Column],
                      valueCols: Seq[(String, String)],
                      ranges: Int = 0): DataFrame =
-    run(df, groupCol, keyCol, descending, ties, valueCols, ranges,
-      rankCol = None, nCol = None)
+    run(df, groupCol, keyCol, descending, ties, valueCols, ranges)
 
   /** Adds `rankCol` = row_number within `groupCol` over the
     * (`keyCol` asc/desc, `ties`...) total order — 1-based, identical
@@ -68,8 +67,123 @@ object GroupedPrefix {
   def rankWithin(df: DataFrame, groupCol: String, keyCol: String,
                  descending: Boolean, ties: Seq[Column], rankCol: String,
                  nCol: Option[String] = None, ranges: Int = 0): DataFrame =
-    run(df, groupCol, keyCol, descending, ties, Seq.empty, ranges,
-      rankCol = Some(rankCol), nCol = nCol)
+    ranksMulti(df, groupCol, Seq((keyCol, descending, rankCol)), ties,
+      nCol, ranges)
+
+  /** SEVERAL grouped ranks over DIFFERENT ordering keys in ONE shared
+    * machine (q211's three RFM quintiles, q215's two Spearman rank
+    * axes): the input staging, group-index collect and quantile scan
+    * run once for all specs (multi-column `approxQuantile`); each spec
+    * then pays only its own per-range totals pass and range-keyed
+    * window. `specs` = (keyCol, descending, rankCol) triples sharing
+    * the `ties` tiebreak; output appends each spec's rank column in
+    * spec order, then `nCol`. */
+  def ranksMulti(df: DataFrame, groupCol: String,
+                 specs: Seq[(String, Boolean, String)], ties: Seq[Column],
+                 nCol: Option[String] = None, ranges: Int = 0): DataFrame = {
+    require(specs.nonEmpty, "at least one rank spec required")
+    specs.foreach { case (kc, _, _) =>
+      require(df.schema(kc).dataType.isInstanceOf[NumericType],
+        s"grouped rank range-buckets on a numeric key; " +
+          s"got ${df.schema(kc).dataType} for $kc") }
+    val spark = df.sparkSession
+    val nRanges = (if (ranges > 0) ranges
+      else spark.sessionState.conf.numShufflePartitions).max(1)
+    val input = df.localCheckpoint()
+    val groups = input.select(col(groupCol).cast("string").as("__g"))
+      .distinct().collect().map(_.getString(0)).filter(_ != null).sorted
+    require(groups.length < (1 << 21),
+      s"grouped rank supports < 2^21 groups, got ${groups.length}")
+    import spark.implicits._
+    val gidx = broadcast(groups.zipWithIndex.toSeq.toDF("__g", "__gidx"))
+    // ONE quantile pass over every distinct ordering key
+    val keyCols = specs.map(_._1).distinct
+    val boundsByKey: Map[String, Array[Double]] =
+      if (nRanges == 1) keyCols.map(_ -> Array.empty[Double]).toMap
+      else keyCols.zip(input.stat.approxQuantile(keyCols.toArray,
+          (1 until nRanges).map(_.toDouble / nRanges).toArray, 0.01))
+        .map { case (kc, bs) => kc -> bs.distinct.sorted }.toMap
+    def rng(kc: String, descending: Boolean): Column = {
+      val bounds = boundsByKey(kc)
+      val k = col(kc).cast("double")
+      val bucketed =
+        if (bounds.isEmpty) lit(0)
+        else aggregate(array(bounds.map(lit(_)): _*), lit(0),
+          (acc, b) => acc + (if (descending) when(k < b, 1).otherwise(0)
+                             else when(k > b, 1).otherwise(0)))
+      val isFloating = df.schema(kc).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType => true
+        case _ => false
+      }
+      val b =
+        if (descending) when(col(kc).isNull, lit(bounds.length))
+          .otherwise(bucketed)
+        else if (isFloating) when(isnan(col(kc)), lit(bounds.length))
+          .otherwise(bucketed)
+        else bucketed
+      (col("__gidx").cast("long") * (bounds.length + 1) + b).cast("long")
+    }
+    val based = specs.zipWithIndex.foldLeft(
+        input.withColumn("__g", col(groupCol).cast("string"))
+          .join(gidx, Seq("__g"))
+          .withColumn("__one", lit(1L))) {
+      case (acc, ((kc, desc, _), i)) =>
+        acc.withColumn(s"__rng_$i", rng(kc, desc))
+    }
+    // per-spec range counts → driver-side per-group exclusive scan
+    var gTotals: Map[Long, Long] = Map.empty
+    val withRanks = specs.zipWithIndex.foldLeft(based) {
+      case (acc, ((kc, desc, rc), i)) =>
+        val nB = boundsByKey(kc).length + 1
+        val totals = based.groupBy(s"__rng_$i")
+          .agg(sum(col("__one")).as("__tot"))
+          .orderBy(s"__rng_$i").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        if (i == 0)
+          gTotals = totals.groupBy(_._1 / nB)
+            .map { case (g, ts) => g -> ts.map(_._2).sum }
+        val offRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var curG = -1L
+        var off = 0L
+        totals.foreach { case (r, t) =>
+          val g = r / nB
+          if (g != curG) { curG = g; off = 0L }
+          offRows += Row(r, off)
+          off += t
+        }
+        val offSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(s"__rng_$i",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(s"__offset_$i",
+            org.apache.spark.sql.types.LongType)))
+        val offsetDf = broadcast(spark.createDataFrame(
+          spark.sparkContext.parallelize(offRows.toSeq, 1), offSchema))
+        val ord = (if (desc) col(kc).desc else col(kc).asc) +: ties
+        val w = Window.partitionBy(s"__rng_$i").orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        acc.join(offsetDf, Seq(s"__rng_$i"))
+          .withColumn(rc, coalesce(sum(col("__one")).over(w), lit(0L))
+            + col(s"__offset_$i") + 1L)
+    }
+    val withN = nCol match {
+      case Some(nc) =>
+        val nDf = broadcast(spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            gTotals.toSeq.sorted.map { case (g, n) => Row(g, n) }, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__gidx2",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField(nc,
+              org.apache.spark.sql.types.LongType)))))
+        withRanks.join(nDf, col("__gidx").cast("long") === col("__gidx2"))
+          .drop("__gidx2")
+      case None => withRanks
+    }
+    val helperCols = Seq("__g", "__gidx", "__one") ++
+      specs.indices.flatMap(i => Seq(s"__rng_$i", s"__offset_$i"))
+    withN.drop(helperCols: _*)
+  }
 
   /** SQL-standard NTILE(b) recovered from a [[rankWithin]] (rank, n)
     * pair: the first n mod b buckets take ⌈n/b⌉ rows, the rest ⌊n/b⌋ —
@@ -106,10 +220,9 @@ object GroupedPrefix {
 
   private def run(df: DataFrame, groupCol: String, keyCol: String,
                   descending: Boolean, ties: Seq[Column],
-                  valueCols: Seq[(String, String)], ranges: Int,
-                  rankCol: Option[String], nCol: Option[String]): DataFrame = {
-    require(valueCols.nonEmpty || rankCol.nonEmpty,
-      "need at least one value column or a rank column")
+                  valueCols: Seq[(String, String)],
+                  ranges: Int): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one value column")
     require(df.schema(keyCol).dataType.isInstanceOf[NumericType],
       s"grouped prefix range-buckets on a numeric key; " +
         s"got ${df.schema(keyCol).dataType} for $keyCol")
@@ -153,26 +266,18 @@ object GroupedPrefix {
     val based = input.withColumn("__g", col(groupCol).cast("string"))
       .join(gidx, Seq("__g"))
       .withColumn("__rng", (col("__gidx").cast("long") * nB + b).cast("long"))
-    // Pass 1: per-range totals (every value column PLUS the row count
-    // when a rank is requested) → driver-side exclusive scan with a
-    // reset at each group boundary (≤ groups·ranges rows cross the
-    // wire).
-    val wantCount = rankCol.nonEmpty
-    val vcs = valueCols ++ (if (wantCount) Seq("__one" -> "__cntpre")
-                            else Seq.empty)
-    val counted = if (wantCount) based.withColumn("__one", lit(1L)) else based
-    val totAggs = vcs.zipWithIndex.map { case ((vc, _), i) =>
+    // Pass 1: per-range totals (all value columns in one aggregation)
+    // → driver-side exclusive scan with a reset at each group boundary
+    // (≤ groups·ranges rows cross the wire).
+    val totAggs = valueCols.zipWithIndex.map { case ((vc, _), i) =>
       sum(coalesce(col(vc), lit(0L))).as(s"__tot_$i")
     }
-    val totals = counted.groupBy("__rng")
+    val totals = based.groupBy("__rng")
       .agg(totAggs.head, totAggs.tail: _*)
       .orderBy("__rng").collect()
-      .map(r => (r.getLong(0), vcs.indices.map(i => r.getLong(i + 1))))
-    // exclusive scan, reset when the composite id crosses a group
-    // boundary (rng div nB); per-group grand totals accumulate for nCol
-    val zero = vcs.indices.map(_ => 0L)
+      .map(r => (r.getLong(0), valueCols.indices.map(i => r.getLong(i + 1))))
+    val zero = valueCols.indices.map(_ => 0L)
     val offRows = scala.collection.mutable.ArrayBuffer.empty[Row]
-    val gTotals = scala.collection.mutable.Map.empty[Long, Long]
     var curG = -1L
     var acc = zero
     totals.foreach { case (rng, ts) =>
@@ -180,45 +285,25 @@ object GroupedPrefix {
       if (g != curG) { curG = g; acc = zero }
       offRows += Row.fromSeq(rng +: acc)
       acc = acc.zip(ts).map { case (a, t) => a + t }
-      if (wantCount) gTotals(g) = gTotals.getOrElse(g, 0L) + ts.last
     }
     val offSchema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("__rng",
         org.apache.spark.sql.types.LongType) +:
-        vcs.indices.map(i => org.apache.spark.sql.types.StructField(
+        valueCols.indices.map(i => org.apache.spark.sql.types.StructField(
           s"__offset_$i", org.apache.spark.sql.types.LongType)))
     val offsetDf = broadcast(spark.createDataFrame(
       spark.sparkContext.parallelize(offRows.toSeq, 1), offSchema))
     val ord = (if (descending) col(keyCol).desc else col(keyCol).asc) +: ties
     val w = Window.partitionBy("__rng").orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val prefixed = vcs.zipWithIndex
-      .foldLeft(counted.join(offsetDf, Seq("__rng"))) {
+    val prefixed = valueCols.zipWithIndex
+      .foldLeft(based.join(offsetDf, Seq("__rng"))) {
         case (acc0, ((vc, oc), i)) =>
           acc0.withColumn(oc,
             coalesce(sum(col(vc)).over(w), lit(0L)) + col(s"__offset_$i"))
       }
-    val ranked = rankCol match {
-      case Some(rc) => prefixed.withColumn(rc, col("__cntpre") + 1L)
-      case None => prefixed
-    }
-    val withN = (nCol, rankCol) match {
-      case (Some(nc), Some(_)) =>
-        val nDf = broadcast(spark.createDataFrame(
-          spark.sparkContext.parallelize(
-            gTotals.toSeq.sorted.map { case (g, n) => Row(g, n) }, 1),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("__gidx2",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField(nc,
-              org.apache.spark.sql.types.LongType)))))
-        ranked.join(nDf, col("__gidx").cast("long") === col("__gidx2"))
-          .drop("__gidx2")
-      case _ => ranked
-    }
     val helperCols = Seq("__g", "__gidx", "__rng") ++
-      (if (wantCount) Seq("__one", "__cntpre") else Seq.empty) ++
-      vcs.indices.map(i => s"__offset_$i")
-    withN.drop(helperCols: _*)
+      valueCols.indices.map(i => s"__offset_$i")
+    prefixed.drop(helperCols: _*)
   }
 }

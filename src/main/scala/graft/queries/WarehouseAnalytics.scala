@@ -1079,14 +1079,12 @@ object WarehouseAnalytics {
       .crossJoin(broadcast(anchor))
       .withColumn("recency_days", datediff(col("anchor"), col("lastd"))
         .cast("long"))
-    val rkR = gp.rankWithin(base, "c_mktsegment", "recency_days",
-      descending = false, ties = Seq(col("o_custkey")), rankCol = "__rkr",
-      nCol = Some("__n"))
-    val rkF = gp.rankWithin(rkR, "c_mktsegment", "freq",
-      descending = true, ties = Seq(col("o_custkey")), rankCol = "__rkf")
-    val rkM = gp.rankWithin(rkF, "c_mktsegment", "cents",
-      descending = true, ties = Seq(col("o_custkey")), rankCol = "__rkm")
-    rkM
+    // all three rank axes share ONE GroupedPrefix machine (one staging,
+    // one group index, one multi-column quantile pass)
+    gp.ranksMulti(base, "c_mktsegment",
+        Seq(("recency_days", false, "__rkr"), ("freq", true, "__rkf"),
+          ("cents", true, "__rkm")),
+        ties = Seq(col("o_custkey")), nCol = Some("__n"))
       .withColumn("r", lit(6) - gp.ntileFromRank(col("__rkr"), col("__n"), 5))
       .withColumn("f", lit(6) - gp.ntileFromRank(col("__rkf"), col("__n"), 5))
       .withColumn("m", lit(6) - gp.ntileFromRank(col("__rkm"), col("__n"), 5))
@@ -1312,12 +1310,12 @@ object WarehouseAnalytics {
         round(col("c_acctbal") * 100, 0).cast("long").as("bal"))
     val gp = graft.operators.GroupedPrefix
     val joined = rev.join(cust, col("o_custkey") === col("c_custkey"))
-    // two GroupedPrefix ranks, not two segment-partitioned windows: a
-    // 5-value segment key over customer-scale rows serializes at 100×
-    val rx = gp.rankWithin(joined, "c_mktsegment", "bal",
-      descending = false, ties = Seq(col("o_custkey")), rankCol = "rx")
-    gp.rankWithin(rx, "c_mktsegment", "cents",
-        descending = false, ties = Seq(col("o_custkey")), rankCol = "ry")
+    // two GroupedPrefix ranks in one shared machine, not two
+    // segment-partitioned windows: a 5-value segment key over
+    // customer-scale rows serializes at 100×
+    gp.ranksMulti(joined, "c_mktsegment",
+        Seq(("bal", false, "rx"), ("cents", false, "ry")),
+        ties = Seq(col("o_custkey")))
       .withColumn("d", (col("rx") - col("ry")).cast("long"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
