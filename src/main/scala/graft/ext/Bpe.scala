@@ -74,33 +74,45 @@ object Bpe {
         col("a").as("left_sym"), col("b").as("right_sym"),
         col("cnt").cast("long").as("pair_count"))
       val best = bestFull.select(col("a"), col("b"))
-      st = withNext.crossJoin(broadcast(best))
-        // coalesce: the last position's nxt is NULL, which would make
-        // is_match NULL (not false) when sym = a — pin it false on both
-        // engines so the window arithmetic below never sees NULL.
-        .withColumn("is_match",
-          coalesce(col("sym") === col("a") && col("nxt") === col("b"),
-            lit(false)))
-        .withColumn("mk",
-          sum(when(col("is_match"), 1).otherwise(0)).over(pw))
-        .withColumn("grp", col("pos") - col("mk"))
-        .withColumn("rs",
-          min(when(col("is_match"), col("pos")))
-            .over(Window.partitionBy("w", "grp")))
-        .withColumn("applied",
-          col("is_match") && (col("pos") - col("rs")) % 2 === 0)
-        .withColumn("absorbed",
-          coalesce(lag("applied", 1).over(pw), lit(false)))
-        .filter(!col("absorbed"))
-        .select(col("w"), col("pos").as("opos"),
-          when(col("applied"), concat(col("sym"), col("nxt")))
-            .otherwise(col("sym")).as("sym"))
-        .withColumn("pos",
-          row_number().over(Window.partitionBy("w").orderBy("opos")) - 1)
-        .select("w", "pos", "sym")
+      st = applyMerge(withNext, best)
       states += st
     }
     (vocab, st, merges.result(), states.result())
+  }
+
+  /** Merge one (a, b) pick into a symbol state, leftmost-first and
+    * non-overlapping — the run trick documented in the object header.
+    * Shared by the BPE trainer above and the WordPiece trainer
+    * ([[WordPiece]]), whose lineages differ ONLY in the pick rule.
+    * `withNext` must carry (w, pos, sym, nxt = lead(sym)); `best` is
+    * the 1-row (a, b) pick. */
+  private[ext] def applyMerge(withNext: DataFrame,
+                              best: DataFrame): DataFrame = {
+    val pw = Window.partitionBy("w").orderBy("pos")
+    withNext.crossJoin(broadcast(best))
+      // coalesce: the last position's nxt is NULL, which would make
+      // is_match NULL (not false) when sym = a — pin it false on both
+      // engines so the window arithmetic below never sees NULL.
+      .withColumn("is_match",
+        coalesce(col("sym") === col("a") && col("nxt") === col("b"),
+          lit(false)))
+      .withColumn("mk",
+        sum(when(col("is_match"), 1).otherwise(0)).over(pw))
+      .withColumn("grp", col("pos") - col("mk"))
+      .withColumn("rs",
+        min(when(col("is_match"), col("pos")))
+          .over(Window.partitionBy("w", "grp")))
+      .withColumn("applied",
+        col("is_match") && (col("pos") - col("rs")) % 2 === 0)
+      .withColumn("absorbed",
+        coalesce(lag("applied", 1).over(pw), lit(false)))
+      .filter(!col("absorbed"))
+      .select(col("w"), col("pos").as("opos"),
+        when(col("applied"), concat(col("sym"), col("nxt")))
+          .otherwise(col("sym")).as("sym"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("w").orderBy("opos")) - 1)
+      .select("w", "pos", "sym")
   }
 
   /** Top-`topWords` vocabulary words (by corpus frequency, ties by

@@ -358,6 +358,41 @@ object OracleDialect {
        |FROM bvocab v JOIN seg USING (w)
        |ORDER BY freq DESC, word LIMIT 40""".stripMargin
 
+  /** One merge round's leftmost-first non-overlapping APPLICATION
+    * CTEs (the run trick) — reads p$$r (the lead-paired state) and b$$r
+    * (the 1-row pick), emits s$$r. Shared by the BPE chain below and
+    * the WordPiece chain ([[OracleText]]), whose lineages differ only
+    * in the pick rule. */
+  private[graft] def mergeApplyCtes(r: Int): String =
+    s"""m$r AS (SELECT p.w, p.pos, p.sym, p.nxt,
+       |          COALESCE(p.sym = b.a AND p.nxt = b.b, false) AS is_match
+       |        FROM p$r p CROSS JOIN b$r b),
+       |m2$r AS (SELECT *, SUM(CASE WHEN is_match THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY w ORDER BY pos) AS mk FROM m$r),
+       |m3$r AS (SELECT *, pos - mk AS grp FROM m2$r),
+       |m4$r AS (SELECT *, MIN(CASE WHEN is_match THEN pos END)
+       |           OVER (PARTITION BY w, grp) AS rs FROM m3$r),
+       |m5$r AS (SELECT *, (is_match AND (pos - rs) % 2 = 0) AS applied
+       |         FROM m4$r),
+       |m6$r AS (SELECT *, COALESCE(lag(applied)
+       |           OVER (PARTITION BY w ORDER BY pos), false) AS absorbed
+       |         FROM m5$r),
+       |s$r AS (SELECT w,
+       |          row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
+       |          CASE WHEN applied THEN sym || nxt ELSE sym END AS sym
+       |        FROM m6$r WHERE NOT absorbed)""".stripMargin
+
+  /** The shared vocabulary + character-state prefix of both trainer
+    * chains: bvocab (word, freq) and s0 (per-character symbol rows). */
+  private[graft] lazy val trainerBaseCtes: String =
+    s"""$nCte,
+       |bvocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(t, ' ')) AS w FROM n) z
+       |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+       |s0 AS (SELECT w, CAST(g AS BIGINT) AS pos,
+       |         substr(w, CAST(g + 1 AS INT), 1) AS sym
+       |       FROM (SELECT w, unnest(range(0, length(w))) AS g FROM bvocab) z)""".stripMargin
+
   /** The shared BPE training CTE chain (vocab, char state, `rounds`
     * unrolled merge rounds) used by q232/q237/q238 — bf$$r carries each
     * round's argmax pair with its weighted count, s$$r the post-merge
@@ -374,31 +409,9 @@ object OracleDialect {
          |    WHERE p.nxt IS NOT NULL GROUP BY 1, 2) z
          |  ORDER BY cnt DESC, a, b LIMIT 1),
          |b$r AS (SELECT a, b FROM bf$r),
-         |m$r AS (SELECT p.w, p.pos, p.sym, p.nxt,
-         |          COALESCE(p.sym = b.a AND p.nxt = b.b, false) AS is_match
-         |        FROM p$r p CROSS JOIN b$r b),
-         |m2$r AS (SELECT *, SUM(CASE WHEN is_match THEN 1 ELSE 0 END)
-         |           OVER (PARTITION BY w ORDER BY pos) AS mk FROM m$r),
-         |m3$r AS (SELECT *, pos - mk AS grp FROM m2$r),
-         |m4$r AS (SELECT *, MIN(CASE WHEN is_match THEN pos END)
-         |           OVER (PARTITION BY w, grp) AS rs FROM m3$r),
-         |m5$r AS (SELECT *, (is_match AND (pos - rs) % 2 = 0) AS applied
-         |         FROM m4$r),
-         |m6$r AS (SELECT *, COALESCE(lag(applied)
-         |           OVER (PARTITION BY w ORDER BY pos), false) AS absorbed
-         |         FROM m5$r),
-         |s$r AS (SELECT w,
-         |          row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
-         |          CASE WHEN applied THEN sym || nxt ELSE sym END AS sym
-         |        FROM m6$r WHERE NOT absorbed)""".stripMargin
+         |${mergeApplyCtes(r)}""".stripMargin
     }.mkString(",\n")
-    s"""$nCte,
-       |bvocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-       |    SELECT unnest(string_split(t, ' ')) AS w FROM n) z
-       |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
-       |s0 AS (SELECT w, CAST(g AS BIGINT) AS pos,
-       |         substr(w, CAST(g + 1 AS INT), 1) AS sym
-       |       FROM (SELECT w, unnest(range(0, length(w))) AS g FROM bvocab) z),
+    s"""$trainerBaseCtes,
        |$roundCtes""".stripMargin
   }
 

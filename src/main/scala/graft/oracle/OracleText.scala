@@ -981,6 +981,48 @@ object OracleText {
     // (generated — see bpeSql).
     "q232_bpe_encode" -> bpeSql,
 
+    // WordPiece ordered merge table: the BPE mechanics (shared
+    // mergeApplyCtes) with the likelihood-ratio pick — per round the
+    // unigram table over the current state, the pair table, and the
+    // argmax of floor(cnt*1e12 / (ca*cb)) in HUGEINT with (a, b) ties,
+    // mirroring WordPiece.mergeTable's DECIMAL(38,0) quantization.
+    "q313_wordpiece_merges" -> {
+      val rounds = 6
+      val roundCtes = (1 to rounds).map { r =>
+        val prev = if (r == 1) "s0" else s"s${r - 1}"
+        s"""p$r AS MATERIALIZED (SELECT w, pos, sym,
+           |         lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+           |       FROM $prev),
+           |u$r AS MATERIALIZED (
+           |        SELECT p.sym, CAST(SUM(v.freq) AS BIGINT) AS ucnt
+           |        FROM p$r p JOIN bvocab v USING (w) GROUP BY 1),
+           |wf$r AS MATERIALIZED (SELECT a, b, cnt, ca, cb,
+           |           CAST(CAST(cnt AS HUGEINT) * 1000000000000
+           |             // (CAST(ca AS HUGEINT) * cb) AS BIGINT)
+           |             AS score_pico
+           |         FROM (SELECT z.a, z.b, z.cnt,
+           |                 ua.ucnt AS ca, ub.ucnt AS cb
+           |               FROM (SELECT p.sym AS a, p.nxt AS b,
+           |                       CAST(SUM(v.freq) AS BIGINT) AS cnt
+           |                     FROM p$r p JOIN bvocab v USING (w)
+           |                     WHERE p.nxt IS NOT NULL GROUP BY 1, 2) z
+           |               JOIN u$r ua ON ua.sym = z.a
+           |               JOIN u$r ub ON ub.sym = z.b) zz
+           |  ORDER BY score_pico DESC, a, b LIMIT 1),
+           |b$r AS (SELECT a, b FROM wf$r),
+           |${mergeApplyCtes(r)}""".stripMargin
+      }.mkString(",\n")
+      val legs = (1 to rounds).map(r =>
+        s"""SELECT CAST($r AS INT) AS merge_rank, a AS left_sym,
+           |       b AS right_sym, cnt AS pair_count, ca AS left_count,
+           |       cb AS right_count, score_pico FROM wf$r""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH $trainerBaseCtes,
+         |$roundCtes
+         |$legs
+         |ORDER BY merge_rank""".stripMargin
+    },
+
     // BPE ordered merge table: each round's argmax pair + weighted count
     // from the shared training chain.
     "q237_bpe_merge_table" ->

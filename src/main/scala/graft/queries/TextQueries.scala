@@ -360,6 +360,15 @@ object TextQueries {
     Bpe.bpeMergeTable(Tables.documents(spark, dir), "doc_id", "text",
       rounds = 6)
 
+  /** WordPiece ordered merge table (q313) — the THIRD production
+    * tokenizer lineage (BPE grows by count, unigram-LM prunes by
+    * likelihood, WordPiece grows by likelihood RATIO):
+    * [[graft.ext.WordPiece.mergeTable]] — per round the argmax pair by
+    * exact pico-unit ⌊cnt·10¹²/(ca·cb)⌋ with both unigram counts. */
+  def wordPieceMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.WordPiece.mergeTable(Tables.documents(spark, dir), "text",
+      rounds = 6)
+
   /** Corpus-wide BPE application rate per source (q238):
     * [[graft.ext.Bpe.bpeApplyRate]] — the word→pieces map broadcast
     * onto the token stream, fertility + chars-per-piece per source. */
