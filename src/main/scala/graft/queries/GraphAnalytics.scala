@@ -28,7 +28,10 @@ object GraphAnalytics {
       .distinct()
     val key = graft.ext.StageCache.keyFor(itemsLazy, "copurchase-part")
     graft.ext.StageCache.getOrStage(key) {
-      val items = itemsLazy.localCheckpoint()
+      // projection over the shared basket substrate — rename is free on
+      // the checkpointed rows, the distinct is paid once per corpus
+      val items = Baskets.items(spark, dir)
+        .select(col("oid").as("okey"), col("item").as("p"))
       val pairs = items.join(items.withColumnRenamed("p", "p2"), Seq("okey"))
         .filter(col("p") < col("p2"))
       graft.operators.Graph.undirectedEdges(pairs, "p", "p2")
@@ -53,7 +56,7 @@ object GraphAnalytics {
     val key = graft.ext.StageCache.keyFor(itLazy, "copurchase-support-w",
       minPairSupport)
     graft.ext.StageCache.getOrStage(key) {
-      val it = itLazy.localCheckpoint()
+      val it = Baskets.items(spark, dir) // shared basket substrate
       it.join(it.withColumnRenamed("item", "item2"), Seq("oid"))
         .filter(col("item") < col("item2"))
         .groupBy("item", "item2").agg(count(lit(1)).as("s"))

@@ -462,10 +462,8 @@ object WarehouseAnalytics {
     * are exact integers; ties break on the item ids. */
   def frequentTriples(spark: SparkSession, dir: String,
                       minItemSupport: Long = 2, k: Int = 25): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
-      .distinct()
-      .localCheckpoint() // support agg + prune + 3 enumeration reads
+    // the StageCache-shared basket substrate (q195/q203/q142-family)
+    val items = Baskets.items(spark, dir)
     val frequent = items.groupBy("item").agg(count(lit(1)).as("s1"))
       .filter(col("s1") >= minItemSupport)
     val pruned = items.join(frequent.select("item"), Seq("item"), "left_semi")
@@ -985,9 +983,8 @@ object WarehouseAnalytics {
     * the head is TakeOrdered. All-integer statistics. */
   def basketRules(spark: SparkSession, dir: String,
                   minPairSupport: Long = 2, topK: Int = 25): DataFrame = {
-    val it = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
-      .distinct().localCheckpoint()
+    // the StageCache-shared basket substrate (q195/q203/q142-family)
+    val it = Baskets.items(spark, dir)
     val nOrders = it.agg(countDistinct(col("oid")).as("n_orders"))
     val isup = it.groupBy("item").agg(count(lit(1)).as("s_i"))
     val pairs = it.join(it.withColumnRenamed("item", "item2"), Seq("oid"))
