@@ -483,6 +483,17 @@ object Bench {
       else standalone.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + v }
         .mkString(""","standalone":{""", ",", "}")
+    // StageCache honesty counters: evictions > 0 in a suite run means
+    // the LRU is undersized for the live key population (a warm reading
+    // silently became a rebuild — the r15 q34 swing's hypothesized
+    // mechanism); dead_rebuilds > 0 means pinned blocks were dropped
+    // under a live memo. Stamped so the adjudication is per-run data.
+    val stageCacheJson = {
+      val (scSize, scBuilds, scHits, scEvict, scDead) =
+        graft.ext.StageCache.stats
+      s""","stage_cache":{"entries":$scSize,"builds":$scBuilds,""" +
+        s""""hits":$scHits,"evictions":$scEvict,"dead_rebuilds":$scDead}"""
+    }
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }
       .mkString("{", ",", "}")
     val total = adjusted.flatMap(_._2).sum
@@ -493,7 +504,7 @@ object Bench {
     // Full detail (per-query map + pass totals) only in the file; the
     // stdout line must stay well under the driver's ~4 KB tail capture.
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"$method","n_queries":$nQueries,"pass_totals":$passTotals,"queries":$qs$standaloneJson,"errors":$errJson,"regressions":$regJson$loadJson,"sf":"${jsonEscape(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"$method","n_queries":$nQueries,"pass_totals":$passTotals,"queries":$qs$standaloneJson$stageCacheJson,"errors":$errJson,"regressions":$regJson$loadJson,"sf":"${jsonEscape(sfDir)}"}"""
     val compactLine =
       s"""{"metric":"total","value":$total,"unit":"sec","method":"$method","n_queries":$nQueries,"pass_totals":$passTotals,"errors":$errJson,"regressions":$regJson$loadJson,"sf":"${jsonEscape(sfDir)}"}"""
     try {

@@ -38,6 +38,23 @@ object Verify {
           "character-indexed oracle replays would silently diverge " +
           "from the engine's UTF-8 byte streams (OracleMultimodal)")
     }
+    // The similarity family's cosine divisions (engine AND the DuckDB
+    // oracle CTEs) assume every fixture embedding has a nonzero norm;
+    // only the beam-search serve path pins 0/0 to 0.0, and the oracle
+    // mirrors none of the guards. A zero-norm vector in a future
+    // fixture would silently diverge engine vs oracle (NaN vs 0.0 vs
+    // NULL), so assert the assumption loudly, once per dump.
+    locally {
+      import org.apache.spark.sql.functions.{col, expr}
+      val zeroNorm = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .filter(expr(
+          "aggregate(embedding, 0.0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))") === 0.0)
+        .limit(1).count()
+      require(zeroNorm == 0,
+        "embeddings fixture contains a zero-norm vector: the cosine " +
+          "divisions in graft.ext.Similarity and the OracleSimilarity " +
+          "CTEs would silently diverge (only the serve path guards 0/0)")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

@@ -185,6 +185,15 @@ object Bpe {
       .orderBy("source")
   }
 
+  /** The (word → piece count) serving map after `rounds` BPE merges —
+    * [[bpeApplyRate]]'s seg relation exposed for cross-lineage reuse
+    * (q317's fertility matrix broadcasts it onto the token stream). */
+  private[ext] def pieceCounts(docs: DataFrame, textCol: String,
+                               rounds: Int): DataFrame = {
+    val (_, st, _, _) = trainState(docs, textCol, rounds)
+    st.groupBy("w").agg(count(lit(1)).as("np"))
+  }
+
   /** VOCAB-SIZE SWEEP (q251) — the tokenizer-selection curve: ONE
     * training run, read out after EVERY merge round (BPE training is
     * greedy-incremental, so the state after round r IS the r-round

@@ -368,16 +368,43 @@ object Sampling {
   /** Deterministic corpus shuffle for training: assign each row a shard
     * (independent hash) and a position within its shard (hash order) —
     * the global-random-order guarantee sequence training needs, without
-    * RNG. At 100 TB this is exactly Spark's shuffle-write shape: one
-    * exchange hash-partitioned by shard + a partition-local sort; no
-    * global sort, no driver state, and the order is stable run-to-run so
-    * resumed jobs read identical batches. */
+    * RNG; the order is stable run-to-run so resumed jobs read identical
+    * batches.
+    *
+    * NOT a per-shard window: `nShards` is FIXED as data grows (a
+    * training job's shard count does not scale with corpus size), so
+    * `row_number over (partition by shard)` would serialize N/nShards
+    * rows into one task — the r16 audit's fixed-domain case. Instead
+    * ONE global two-pass prefix sum ([[graft.operators.PrefixSum]])
+    * runs over the composite numeric key (shard, hash-rank, key) —
+    * ranges split freely INSIDE a shard — and per-shard positions are
+    * recovered by subtracting each shard's first prefix value (shards
+    * are contiguous in the composite order), the
+    * [[Packing.packByBudgetGrouped]] idiom. Identical output to the
+    * window form (the composite order IS (bucket100(key), key) within
+    * each shard — SamplingSpec pins equality). Requires
+    * key ∈ [0, 2⁴⁴) and nShards ≤ 4096 so the composite fits a long;
+    * out-of-range keys fail loudly per row. */
   def shardShuffle(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("shard"))
-      .orderBy(bucket100(col(keyCol)), col(keyCol))
-    df.withColumn("shard", shardOf(col(keyCol), nShards))
-      .withColumn("pos", row_number().over(w).cast("long"))
+    require(nShards >= 1 && nShards <= 4096,
+      s"shardShuffle supports 1..4096 shards, got $nShards")
+    val k = col(keyCol).cast("long")
+    val guarded = when(k >= 0L && k < lit(1L << 44), k)
+      .otherwise(raise_error(concat(lit(
+        s"shardShuffle: $keyCol out of [0, 2^44): "), k.cast("string"))))
+    val base = df
+      .withColumn("shard", shardOf(col(keyCol), nShards))
+      .withColumn("__sk",
+        col("shard").cast("long") * lit(1L << 51)
+          + bucket100(col(keyCol)).cast("long") * lit(1L << 44) + guarded)
+      .withColumn("__one", lit(1L))
+    val pre = graft.operators.PrefixSum.exclusive(base, "__sk",
+      descending = false, ties = Seq.empty, valueCol = "__one",
+      outCol = "__gpos")
+    val offs = broadcast(pre.groupBy("shard").agg(min("__gpos").as("__soff")))
+    pre.join(offs, Seq("shard"))
+      .withColumn("pos", col("__gpos") - col("__soff") + 1L)
+      .drop("__sk", "__one", "__gpos", "__soff")
   }
 
   /** MULTIPLICATIVE-WEIGHTS TRAJECTORY (the multi-round core of
@@ -435,6 +462,69 @@ object Sampling {
         col("share_ppm").cast("long").as("share_ppm"),
         col("delta_ppm").cast("long").as("delta_ppm"),
         col("factor_micro").cast("long").as("factor_micro"),
+        col("l1_move_ppm").cast("long").as("l1_move_ppm"),
+        col("sum_share_ppm").cast("long").as("sum_share_ppm"))
+      .orderBy("round", "source")
+  }
+
+  /** ADAPTIVE multiplicative-weights trajectory (q318) — closes the
+    * stated gap in [[mwTrajectory]]: there the update factor is STATIC
+    * (excess loss vs the round-0 mixture), here the per-domain excess
+    * is RE-MEASURED each round against the CURRENT mixture — the
+    * reference model stays frozen (per-domain `nll_micro` is scored
+    * once; the published DoReMi's re-trained proxy is out of scope and
+    * stated), but the mixture-average baseline
+    *   nll_bar_t = ⌊Σ share_t·nll / Σ share_t⌋
+    * moves with the weights, so factor_t(d) = max(1, 10⁶ + nll(d) −
+    * nll_bar_t) is genuinely round-dependent: as MW shifts mass toward
+    * lossy domains the bar rises and the step SELF-DAMPS — the
+    * fixed-point is the equalized-excess mixture, not the max-factor
+    * vertex the static power iteration contracts to. All arithmetic
+    * exact integer (products ≤ 10⁶·10⁶-scale micro units, renorm and
+    * bar division on DECIMAL(38,0) mirroring DuckDB HUGEINT floor).
+    *
+    * Input: one row per domain, (`source`, `share_ppm`, `nll_micro`).
+    * Output adds the round's measured `nll_bar_micro` beside the q311
+    * columns. Scale shape identical to [[mwTrajectory]]: |domains|-row
+    * state, three scalar aggs + 1-row broadcast crosses per round,
+    * checkpoint-cut. */
+  def mwTrajectoryAdaptive(base: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8,
+      s"rounds must be in [1, 8], got $rounds")
+    var cur = base.select(col("source"), col("share_ppm").cast("long"),
+      col("nll_micro").cast("long")).localCheckpoint()
+    val legs = (1 to rounds).map { t =>
+      val bt = cur.agg(expr(
+        "CASE WHEN sum(share_ppm) = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(CAST(sum(share_ppm * nll_micro) AS DECIMAL(38,0)) " +
+          "div sum(share_ppm) AS BIGINT) END").as("nll_bar_micro"))
+      val x = cur.crossJoin(broadcast(bt))
+        .withColumn("factor_micro", greatest(lit(1L),
+          lit(1000000L) + col("nll_micro") - col("nll_bar_micro")))
+        .withColumn("raw", col("share_ppm") * col("factor_micro"))
+      val rt = x.agg(sum("raw").as("rt"))
+      val nxt = x.crossJoin(broadcast(rt))
+        .select(col("source"), col("nll_micro"), col("nll_bar_micro"),
+          col("factor_micro"), col("share_ppm").as("prev_share_ppm"),
+          expr("CASE WHEN rt = 0 THEN 0 ELSE " +
+            "CAST(raw AS DECIMAL(38,0)) * 1000000 div rt END")
+            .cast("long").as("share_ppm"))
+        .withColumn("delta_ppm", col("share_ppm") - col("prev_share_ppm"))
+      val roll = nxt.agg(sum(abs(col("delta_ppm"))).as("l1_move_ppm"),
+        sum(col("share_ppm")).as("sum_share_ppm"))
+      val leg = nxt.crossJoin(broadcast(roll))
+        .withColumn("round", lit(t))
+        .localCheckpoint() // next round's state AND one report slice
+      cur = leg.select("source", "share_ppm", "nll_micro")
+      leg
+    }
+    legs.reduce(_ unionAll _)
+      .select(col("round").cast("int").as("round"), col("source"),
+        col("prev_share_ppm").cast("long").as("prev_share_ppm"),
+        col("share_ppm").cast("long").as("share_ppm"),
+        col("delta_ppm").cast("long").as("delta_ppm"),
+        col("factor_micro").cast("long").as("factor_micro"),
+        col("nll_bar_micro").cast("long").as("nll_bar_micro"),
         col("l1_move_ppm").cast("long").as("l1_move_ppm"),
         col("sum_share_ppm").cast("long").as("sum_share_ppm"))
       .orderBy("round", "source")

@@ -48,11 +48,22 @@ object StageCache {
   // point by Bench's per-query sweep (an evicted id is no longer
   // pinned) or by the ContextCleaner once the DataFrame is GC'd.
   private val MaxEntries = 96
+  // Honest-adjudication counters (read by Bench's end-of-run line):
+  // a nonzero eviction count under a suite run means the LRU is
+  // undersized for the live key population — the r15 q34 swing's
+  // hypothesized mechanism — and MaxEntries must grow with the suite.
+  @volatile private var evictions = 0L
+  @volatile private var builds = 0L
+  @volatile private var hits = 0L
+  @volatile private var deadRebuilds = 0L
   private val cache =
     new java.util.LinkedHashMap[String, Entry](MaxEntries, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Entry]): Boolean =
-        size() > MaxEntries
+          e: java.util.Map.Entry[String, Entry]): Boolean = {
+        val evict = size() > MaxEntries
+        if (evict) evictions += 1
+        evict
+      }
     }
 
   /** The checkpointed RDD behind a `Dataset.localCheckpoint()` result.
@@ -85,15 +96,27 @@ object StageCache {
   def getOrStage(key: String)(build: => DataFrame): DataFrame =
     synchronized {
       touchedFlag = true
-      Option(cache.get(key)).filter(alive) match {
-        case Some(e) => e.df
+      val present = Option(cache.get(key))
+      present.filter(alive) match {
+        case Some(e) => hits += 1; e.df
         case None =>
+          if (present.nonEmpty) deadRebuilds += 1
+          builds += 1
           cache.remove(key)
           val df = build
           checkpointRdd(df).foreach(r => cache.put(key, Entry(df, r)))
           df
       }
     }
+
+  /** (live entries, builds, hits, evictions, dead-entry rebuilds) since
+    * process start — Bench stamps these on its JSON line so an LRU
+    * sized below the suite's live key population (evictions > 0) or a
+    * block-liveness leak (deadRebuilds ≫ 0) is visible per run, not a
+    * hypothesis. */
+  def stats: (Int, Long, Long, Long, Long) = synchronized {
+    (cache.size(), builds, hits, evictions, deadRebuilds)
+  }
 
   /** Reset the involvement marker (called by `Bench` before a query). */
   def resetTouched(): Unit = touchedFlag = false

@@ -40,12 +40,10 @@ import org.apache.spark.sql.functions._
 object WordPiece {
   import TextOps._
 
-  /** One row per training round: the picked merge with its pair count,
-    * both unigram counts and the exact pico-unit likelihood-ratio
-    * score — the frozen ordered artifact a WordPiece tokenizer ships
-    * (`rounds` rows of metadata at any corpus size). */
-  def mergeTable(docs: DataFrame, textCol: String,
-                 rounds: Int = 6): DataFrame = {
+  /** The shared training loop: per-round pick rows and the final
+    * symbol state after `rounds` likelihood-ratio merges. */
+  private def trainLoop(docs: DataFrame, textCol: String,
+                        rounds: Int): (Seq[DataFrame], DataFrame) = {
     require(rounds >= 1, s"need >= 1 merge round, got $rounds")
     val vocab = docs
       .select(explode(tokens(normText(col(textCol)))).as("w"))
@@ -84,6 +82,23 @@ object WordPiece {
         col("score_pico"))
       st = Bpe.applyMerge(withNext, bestFull.select(col("a"), col("b")))
     }
-    merges.result().reduce(_ unionAll _).orderBy("merge_rank")
+    (merges.result(), st)
   }
+
+  /** One row per training round: the picked merge with its pair count,
+    * both unigram counts and the exact pico-unit likelihood-ratio
+    * score — the frozen ordered artifact a WordPiece tokenizer ships
+    * (`rounds` rows of metadata at any corpus size). */
+  def mergeTable(docs: DataFrame, textCol: String,
+                 rounds: Int = 6): DataFrame =
+    trainLoop(docs, textCol, rounds)._1
+      .reduce(_ unionAll _).orderBy("merge_rank")
+
+  /** The (word → piece count) serving map after `rounds` WordPiece
+    * merges — the q238 corpus-application shape for THIS lineage
+    * (q317's fertility matrix broadcasts it onto the token stream). */
+  private[ext] def pieceCounts(docs: DataFrame, textCol: String,
+                               rounds: Int): DataFrame =
+    trainLoop(docs, textCol, rounds)._2
+      .groupBy("w").agg(count(lit(1)).as("np"))
 }

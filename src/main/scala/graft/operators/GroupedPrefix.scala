@@ -19,10 +19,13 @@ import org.apache.spark.sql.types.NumericType
   *
   *   1. the distinct group list is collected to build a dense index —
   *      metadata-scale by precondition (segments/sources/languages,
-  *      < 2²¹ enforced), the same class as [[PrefixSum]]'s per-range
-  *      offset scan; NULL groups have no defined rank and drop at the
-  *      index join (the [[graft.ext.Packing.packByBudgetGrouped]]
-  *      contract);
+  *      < 2²¹ groups AND groups·ranges < 2²⁴ enforced — pass 1's
+  *      driver scan holds one row per (group, range)), the same class
+  *      as [[PrefixSum]]'s per-range offset scan; a NULL group is a
+  *      loud `require` failure (a partition-by window would rank NULL
+  *      as its own partition — silently dropping those rows at the
+  *      index join would be row loss, so callers with a nullable key
+  *      must coalesce to a sentinel first);
   *   2. GLOBAL approximate quantiles of the ordering key split its
   *      domain into contiguous buckets with a pure function of the key
   *      (per-group distributions only affect balance, never values —
@@ -90,10 +93,27 @@ object GroupedPrefix {
     val nRanges = (if (ranges > 0) ranges
       else spark.sessionState.conf.numShufflePartitions).max(1)
     val input = df.localCheckpoint()
-    val groups = input.select(col(groupCol).cast("string").as("__g"))
-      .distinct().collect().map(_.getString(0)).filter(_ != null).sorted
+    val rawGroups = input.select(col(groupCol).cast("string").as("__g"))
+      .distinct().collect().map(_.getString(0))
+    // A partition-by window ranks NULL as its own partition; the index
+    // join here would silently DROP those rows instead. Refuse loudly
+    // (checked off the already-collected distinct list — no extra job);
+    // callers with a nullable key must coalesce to a sentinel first.
+    require(!rawGroups.contains(null),
+      s"grouped rank: NULL values in group column '$groupCol' — " +
+        "coalesce to a sentinel before ranking (NULL rows would be " +
+        "silently dropped by the group-index join)")
+    val groups = rawGroups.sorted
     require(groups.length < (1 << 21),
       s"grouped rank supports < 2^21 groups, got ${groups.length}")
+    // Pass 1 collects per-(group, range) totals and broadcasts the
+    // offset table — the driver holds ≤ groups·nRanges rows PER SPEC.
+    // Bound the PRODUCT, not just the group count: 2^21 groups ×
+    // cluster-scale shuffle partitions would be a multi-GB collect.
+    require(groups.length.toLong * nRanges < (1L << 24),
+      s"grouped rank driver scan holds groups*ranges rows; " +
+        s"${groups.length} groups * $nRanges ranges >= 2^24 — " +
+        "reduce `ranges` or pre-aggregate the group key")
     import spark.implicits._
     val gidx = broadcast(groups.zipWithIndex.toSeq.toDF("__g", "__gidx"))
     // ONE quantile pass over every distinct ordering key
@@ -232,10 +252,21 @@ object GroupedPrefix {
     // Three passes read the input (groups, quantiles, totals, final) —
     // stage the caller's narrow projection once.
     val input = df.localCheckpoint()
-    val groups = input.select(col(groupCol).cast("string").as("__g"))
-      .distinct().collect().map(_.getString(0)).filter(_ != null).sorted
+    val rawGroups = input.select(col(groupCol).cast("string").as("__g"))
+      .distinct().collect().map(_.getString(0))
+    // Same NULL contract as ranksMulti: refuse loudly rather than
+    // silently dropping NULL-group rows at the index join.
+    require(!rawGroups.contains(null),
+      s"grouped prefix: NULL values in group column '$groupCol' — " +
+        "coalesce to a sentinel before the prefix sum (NULL rows would " +
+        "be silently dropped by the group-index join)")
+    val groups = rawGroups.sorted
     require(groups.length < (1 << 21),
       s"grouped prefix supports < 2^21 groups, got ${groups.length}")
+    require(groups.length.toLong * nRanges < (1L << 24),
+      s"grouped prefix driver scan holds groups*ranges rows; " +
+        s"${groups.length} groups * $nRanges ranges >= 2^24 — " +
+        "reduce `ranges` or pre-aggregate the group key")
     import spark.implicits._
     val gidx = broadcast(groups.zipWithIndex.toSeq.toDF("__g", "__gidx"))
     val bounds =

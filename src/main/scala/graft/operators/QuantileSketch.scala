@@ -74,6 +74,131 @@ object QuantileSketch {
       .orderBy("prob_ppm")
   }
 
+  /** LOG-BUCKETED one-pass quantile sketch — the HEAVY-TAIL-mergeable
+    * tier the equi-width histogram above cannot provide (cf. DDSketch,
+    * Masson–Rim–Lee VLDB 2019; HdrHistogram's bucketing): bucket
+    * boundaries follow value MAGNITUDE, so one 10⁴× outlier costs one
+    * extra bucket instead of collapsing every interior cell (the
+    * equi-width failure: a 1 GB document in a corpus of kB-documents
+    * makes all small values share cell 0 and every percentile estimate
+    * goes vague exactly where the distribution lives).
+    *
+    * Bucketing, integer-exact on both engines (no log() call): for
+    * v ≥ 0 with e = ⌊log₂ v⌋ = length(bin(v)) − 1,
+    *   shift = max(e − subBits, 0),  bucket = shift·2^(subBits+1) + (v div 2^shift)
+    * — values < 2^(subBits+1) map to themselves (exact); larger values
+    * keep their top subBits+1 bits. The id is strictly monotone in v,
+    * each bucket spans [q·2^shift, (q+1)·2^shift − 1], so the RELATIVE
+    * value error is ≤ 2^−subBits (width/lo = 1/q ≤ 1/2^subBits) at any
+    * magnitude — the DDSketch guarantee, deterministic.
+    *
+    * Mergeability is STRONGER than the equi-width sketch's: the grid is
+    * value-independent (no (min, max) pre-scan), so bucket count maps
+    * from different partitions, snapshots or CLUSTERS merge by plain
+    * addition with no re-bucketing — the property a 100 TB fleet-wide
+    * quantile rollup actually needs. Bucket spine ≤ 64·(64−subBits)
+    * rows total regardless of data. Values must be NON-NEGATIVE (`bin`
+    * of a negative long reads its two's-complement bits — meaningless
+    * magnitude); violations fail loudly per row. */
+  def logQuantiles(df: DataFrame, valueCol: String, subBits: Int = 5,
+                   probsPpm: Seq[Long] = Seq(250000L, 500000L, 900000L,
+                     990000L, 999000L)): DataFrame = {
+    require(subBits >= 1 && subBits <= 12,
+      s"subBits must be in [1, 12], got $subBits")
+    require(probsPpm.nonEmpty && probsPpm.forall(p => p >= 0 && p <= 1000000),
+      s"probs must be ppm in [0, 1e6], got $probsPpm")
+    val spark = df.sparkSession
+    val v0 = df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val v = v0.withColumn("v",
+      when(col("v") >= 0L, col("v")).otherwise(raise_error(concat(
+        lit(s"logQuantiles: negative $valueCol: "), col("v").cast("string")))))
+    val sb = subBits
+    val cells = v
+      .withColumn("e", (length(bin(col("v"))) - 1).cast("long"))
+      .withColumn("shift", greatest(col("e") - sb, lit(0L)))
+      .withColumn("q", expr("v div shiftleft(1L, cast(shift as int))"))
+      .withColumn("bucket",
+        (col("shift") * (1L << (sb + 1)) + col("q")).cast("long"))
+      .groupBy("bucket", "shift", "q").agg(count(lit(1)).as("cnt"))
+    val n = v.agg(count(lit(1)).as("n"))
+    val cum = PrefixSum.exclusive(cells, "bucket", descending = false,
+      ties = Seq.empty, valueCol = "cnt", outCol = "cum_excl")
+    val probs = spark.createDataFrame(
+        probsPpm.distinct.sorted.map(java.lang.Long.valueOf).map(Tuple1(_)))
+      .toDF("prob_ppm")
+    cum.crossJoin(broadcast(n)).crossJoin(broadcast(probs))
+      .withColumn("rank", expr("(prob_ppm * (n - 1)) div 1000000"))
+      .filter(col("cum_excl") <= col("rank") &&
+        col("rank") < col("cum_excl") + col("cnt"))
+      .withColumn("bucket_lo",
+        expr("q * shiftleft(1L, cast(shift as int))"))
+      .withColumn("bucket_hi",
+        expr("(q + 1) * shiftleft(1L, cast(shift as int)) - 1"))
+      .withColumn("estimate",
+        expr("bucket_lo + ((rank - cum_excl) *" +
+          " (bucket_hi - bucket_lo)) div cnt"))
+      .select(col("prob_ppm"), col("bucket_lo"), col("bucket_hi"),
+        col("cnt").as("bucket_count"), col("n"), col("estimate"))
+      .orderBy("prob_ppm")
+  }
+
+  /** Per-group [[logQuantiles]]: the SAME value-independent grid (so
+    * per-group maps stay mergeable by addition — no shared pre-scan to
+    * coordinate), per-group cumulative counts over a ≤ 64·(64−subBits)-
+    * row spine per group (a window PARTITIONED by the group key over
+    * the bucket spine — bounded by the grid, never by group size), one
+    * corpus-wide (group, bucket) exchange total. */
+  def groupedLogQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                          subBits: Int = 5,
+                          probsPpm: Seq[Long] = Seq(250000L, 500000L,
+                            900000L, 990000L, 999000L)): DataFrame = {
+    require(subBits >= 1 && subBits <= 12,
+      s"subBits must be in [1, 12], got $subBits")
+    require(probsPpm.nonEmpty && probsPpm.forall(p => p >= 0 && p <= 1000000),
+      s"probs must be ppm in [0, 1e6], got $probsPpm")
+    val spark = df.sparkSession
+    val v0 = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val v = v0.withColumn("v",
+      when(col("v") >= 0L, col("v")).otherwise(raise_error(concat(
+        lit(s"groupedLogQuantiles: negative $valueCol: "),
+        col("v").cast("string")))))
+    val sb = subBits
+    val cells = v
+      .withColumn("e", (length(bin(col("v"))) - 1).cast("long"))
+      .withColumn("shift", greatest(col("e") - sb, lit(0L)))
+      .withColumn("q", expr("v div shiftleft(1L, cast(shift as int))"))
+      .withColumn("bucket",
+        (col("shift") * (1L << (sb + 1)) + col("q")).cast("long"))
+      .groupBy("g", "bucket", "shift", "q").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = cells
+      .withColumn("cum_excl", coalesce(sum("cnt").over(w), lit(0L)))
+      .withColumn("n", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+    val probs = spark.createDataFrame(
+        probsPpm.distinct.sorted.map(java.lang.Long.valueOf).map(Tuple1(_)))
+      .toDF("prob_ppm")
+    cum.crossJoin(broadcast(probs))
+      .withColumn("rank", expr("(prob_ppm * (n - 1)) div 1000000"))
+      .filter(col("cum_excl") <= col("rank") &&
+        col("rank") < col("cum_excl") + col("cnt"))
+      .withColumn("bucket_lo",
+        expr("q * shiftleft(1L, cast(shift as int))"))
+      .withColumn("bucket_hi",
+        expr("(q + 1) * shiftleft(1L, cast(shift as int)) - 1"))
+      .withColumn("estimate",
+        expr("bucket_lo + ((rank - cum_excl) *" +
+          " (bucket_hi - bucket_lo)) div cnt"))
+      .select(col("g").as(groupCol), col("prob_ppm"), col("bucket_lo"),
+        col("bucket_hi"), col("cnt").as("bucket_count"),
+        col("n").cast("long").as("n"), col("estimate"))
+      .orderBy(groupCol, "prob_ppm")
+  }
+
   /** Per-group histogram quantiles: the same one-pass sketch with a
     * SHARED global cell grid (one (min, max) scalar over the whole
     * column, so cells are comparable and mergeable across groups) and

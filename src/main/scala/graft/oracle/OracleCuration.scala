@@ -57,7 +57,7 @@ object OracleCuration {
     * HUGEINT-guarded floor renormalization, the per-source movement,
     * and the round's L1-movement + Σshare certificates. */
   private lazy val mwTrajectorySql: String = {
-    val rounds = 4
+    val rounds = graft.queries.CurationQueries.MwTrajectoryRounds
     val roundCtes = (1 to rounds).map { t =>
       s"""x$t AS (SELECT source, factor_micro, share_ppm AS prev,
          |        share_ppm * factor_micro AS raw FROM w${t - 1}),
@@ -91,6 +91,55 @@ object OracleCuration {
   /** q277 packing sweep (generated): ONE shared exclusive-prefix CTE,
     * per-budget bin rollups unioned — mirrors Packing.packingSweep's
     * single-pass shape (floor(prefix / b.0), the q59 idiom). */
+  /** q318: the adaptive MW trajectory — the q311 unroll with the
+    * mixture-mean loss RE-MEASURED per round from the current weights
+    * (HUGEINT-floored weighted mean), so each round's factor is
+    * recomputed, never static. */
+  private lazy val mwAdaptiveSql: String = {
+    val rounds = graft.queries.CurationQueries.MwTrajectoryRounds
+    val roundCtes = (1 to rounds).map { t =>
+      s"""bt$t AS (SELECT CASE WHEN SUM(share_ppm) = 0 THEN 0
+         |          ELSE CAST(SUM(CAST(share_ppm AS HUGEINT) * nll_micro)
+         |            // SUM(share_ppm) AS BIGINT) END AS nll_bar_micro
+         |        FROM w${t - 1}),
+         |x$t AS (SELECT source, nll_micro, share_ppm AS prev,
+         |          bt$t.nll_bar_micro AS nll_bar_micro,
+         |          GREATEST(1, 1000000 + nll_micro - bt$t.nll_bar_micro)
+         |            AS factor_micro,
+         |          share_ppm * GREATEST(1, 1000000 + nll_micro
+         |            - bt$t.nll_bar_micro) AS raw
+         |        FROM w${t - 1} CROSS JOIN bt$t),
+         |t$t AS (SELECT SUM(raw) AS rt FROM x$t),
+         |w$t AS MATERIALIZED (SELECT source, nll_micro, prev,
+         |        nll_bar_micro, factor_micro,
+         |        CAST(CASE WHEN rt = 0 THEN 0
+         |          ELSE CAST(raw AS HUGEINT) * 1000000 // rt END AS BIGINT)
+         |          AS share_ppm
+         |       FROM x$t CROSS JOIN t$t),
+         |g$t AS (SELECT SUM(ABS(share_ppm - prev)) AS l1,
+         |          SUM(share_ppm) AS ss FROM w$t)""".stripMargin
+    }.mkString(",\n")
+    val legs = (1 to rounds).map { t =>
+      s"""SELECT $t AS round, source, prev, share_ppm, factor_micro,
+         |       nll_bar_micro, l1, ss
+         |FROM w$t CROSS JOIN g$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $nCte,
+       |$mwBaseCtes,
+       |w0 AS MATERIALIZED (SELECT source, share_ppm, nll_micro FROM rep),
+       |$roundCtes
+       |SELECT CAST(round AS INT) AS round, source,
+       |       CAST(prev AS BIGINT) AS prev_share_ppm,
+       |       CAST(share_ppm AS BIGINT) AS share_ppm,
+       |       CAST(share_ppm - prev AS BIGINT) AS delta_ppm,
+       |       CAST(factor_micro AS BIGINT) AS factor_micro,
+       |       CAST(nll_bar_micro AS BIGINT) AS nll_bar_micro,
+       |       CAST(l1 AS BIGINT) AS l1_move_ppm,
+       |       CAST(ss AS BIGINT) AS sum_share_ppm
+       |FROM ($legs)
+       |ORDER BY round, source""".stripMargin
+  }
+
   private lazy val packingSweepSql: String = {
     val budgets = Seq(256, 512, 1024, 2048)
     val per = budgets.map { b =>
@@ -856,6 +905,7 @@ object OracleCuration {
          |ORDER BY source""".stripMargin,
 
     "q311_doremi_trajectory" -> mwTrajectorySql,
+    "q318_doremi_adaptive" -> mwAdaptiveSql,
 
     "q297_source_ablation" ->
       """WITH n2 AS (SELECT source,
@@ -905,5 +955,42 @@ object OracleCuration {
         |       r2_ppm
         |FROM met CROSS JOIN gb
         |ORDER BY source""".stripMargin,
+    // Grouped log-bucket sketch over per-source document byte lengths:
+    // the SAME value-independent grid as q314 (mergeable by addition),
+    // per-group cumulative counts over the bucket spine. Mirrors
+    // QuantileSketch.groupedLogQuantiles (subBits=5) exactly.
+    "q315_source_len_sketch" ->
+      s"""WITH v AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+         |           FROM documents WHERE n_chars IS NOT NULL),
+         |d AS (SELECT g, v, GREATEST(length(bin(v)) - 1 - 5, 0) AS shift
+         |      FROM v),
+         |d2 AS (SELECT g, v, shift,
+         |         v // (CAST(1 AS BIGINT) << CAST(shift AS INT)) AS q
+         |       FROM d),
+         |cells AS (SELECT g, shift * 64 + q AS bucket, shift, q,
+         |            COUNT(*) AS cnt
+         |          FROM d2 GROUP BY 1, 2, 3, 4),
+         |cum AS (SELECT g, bucket, shift, q, cnt,
+         |          COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY bucket
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |            AS cum_excl,
+         |          SUM(cnt) OVER (PARTITION BY g) AS n
+         |        FROM cells),
+         |probs AS (SELECT CAST(unnest([250000, 500000, 900000, 990000,
+         |            999000]) AS BIGINT) AS prob_ppm),
+         |j AS (SELECT g, prob_ppm, bucket, shift, q, cnt, cum_excl, n,
+         |        (prob_ppm * (n - 1)) // 1000000 AS rk
+         |      FROM cum CROSS JOIN probs),
+         |hit AS (SELECT *,
+         |          q * (CAST(1 AS BIGINT) << CAST(shift AS INT)) AS bucket_lo,
+         |          (q + 1) * (CAST(1 AS BIGINT) << CAST(shift AS INT)) - 1
+         |            AS bucket_hi
+         |        FROM j WHERE cum_excl <= rk AND rk < cum_excl + cnt)
+         |SELECT g AS source, prob_ppm, CAST(bucket_lo AS BIGINT) AS bucket_lo,
+         |       CAST(bucket_hi AS BIGINT) AS bucket_hi,
+         |       CAST(cnt AS BIGINT) AS bucket_count, CAST(n AS BIGINT) AS n,
+         |       CAST(bucket_lo + ((rk - cum_excl) * (bucket_hi - bucket_lo))
+         |            // cnt AS BIGINT) AS estimate
+         |FROM hit ORDER BY source, prob_ppm""".stripMargin,
   )
 }

@@ -694,5 +694,61 @@ object OracleDedup {
          |  ON spn.split_lo = ct.split_lo AND spn.split_hi = ct.split_hi
          |CROSS JOIN tot
          |ORDER BY spn.split_lo, spn.split_hi""".stripMargin,
+    // URL/host dedup tier: the synthetic 3-variant url fixture, the
+    // 6-step canonicalization (lower, scheme strip, www strip, query
+    // at first '?', trailing-slash strip, utm-drop + param sort),
+    // keep-first exact-URL dedup, then the q63 hash-order per-host
+    // quota (cap 6). kept_id_sum pins the exact winner set.
+    "q316_url_host_dedup" ->
+      s"""WITH u AS (SELECT doc_id,
+         |         CASE (doc_id // 20) % 3
+         |           WHEN 0 THEN 'https://www.' || source || '.example.com/docs/'
+         |             || CAST(doc_id // 60 AS VARCHAR) || '?utm_source=feed&b=2&a=1'
+         |           WHEN 1 THEN 'http://' || source || '.example.com/docs/'
+         |             || CAST(doc_id // 60 AS VARCHAR) || '/?a=1&b=2'
+         |           ELSE 'HTTPS://' || source || '.example.com/docs/'
+         |             || CAST(doc_id // 60 AS VARCHAR) || '?b=2&a=1'
+         |         END AS url
+         |       FROM documents),
+         |c1 AS (SELECT doc_id,
+         |         regexp_replace(regexp_replace(lower(trim(url)),
+         |           '^https?://', ''), '^www\\.', '') AS v
+         |       FROM u),
+         |c2 AS (SELECT doc_id, string_split(v, '?') AS parts FROM c1),
+         |c3 AS (SELECT doc_id,
+         |         regexp_replace(parts[1], '/+$$', '') AS path,
+         |         CASE WHEN len(parts) > 1 THEN parts[2] ELSE '' END AS q
+         |       FROM c2),
+         |c4 AS (SELECT doc_id, path,
+         |         array_to_string(list_sort(list_filter(string_split(q, '&'),
+         |           p -> NOT starts_with(p, 'utm_') AND p <> '')), '&') AS sq
+         |       FROM c3),
+         |canon AS (SELECT doc_id,
+         |            path || CASE WHEN length(sq) > 0 THEN '?' || sq
+         |                         ELSE '' END AS curl,
+         |            split_part(path, '/', 1) AS host
+         |          FROM c4),
+         |w AS (SELECT host, curl, MIN(doc_id) AS doc_id,
+         |        COUNT(*) AS n_copies
+         |      FROM canon GROUP BY 1, 2),
+         |ranked AS (SELECT host, doc_id, ROW_NUMBER() OVER (
+         |             PARTITION BY host ORDER BY $bucketExpr, doc_id)
+         |             AS qrank
+         |           FROM w),
+         |kept AS (SELECT host, doc_id FROM ranked WHERE qrank <= 6),
+         |hd AS (SELECT host, COUNT(*) AS n_docs FROM canon GROUP BY 1),
+         |hu AS (SELECT host, COUNT(*) AS n_urls FROM w GROUP BY 1),
+         |hk AS (SELECT host, COUNT(*) AS n_kept, SUM(doc_id) AS kept_id_sum
+         |       FROM kept GROUP BY 1)
+         |SELECT host, CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(n_urls AS BIGINT) AS n_urls,
+         |       CAST(n_docs - n_urls AS BIGINT) AS n_dup_removed,
+         |       CAST(n_kept AS BIGINT) AS n_kept,
+         |       CAST(n_urls - n_kept AS BIGINT) AS n_cap_removed,
+         |       CAST((n_docs - n_urls) * 1000000 // n_docs AS BIGINT)
+         |         AS dup_ppm,
+         |       CAST(kept_id_sum AS BIGINT) AS kept_id_sum
+         |FROM hd JOIN hu USING (host) JOIN hk USING (host)
+         |ORDER BY host""".stripMargin,
   )
 }

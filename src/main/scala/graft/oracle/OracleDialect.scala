@@ -363,24 +363,24 @@ object OracleDialect {
     * (the 1-row pick), emits s$$r. Shared by the BPE chain below and
     * the WordPiece chain ([[OracleText]]), whose lineages differ only
     * in the pick rule. */
-  private[graft] def mergeApplyCtes(r: Int): String =
-    s"""m$r AS (SELECT p.w, p.pos, p.sym, p.nxt,
+  private[graft] def mergeApplyCtes(r: Int, tag: String = ""): String =
+    s"""m$tag$r AS (SELECT p.w, p.pos, p.sym, p.nxt,
        |          COALESCE(p.sym = b.a AND p.nxt = b.b, false) AS is_match
-       |        FROM p$r p CROSS JOIN b$r b),
-       |m2$r AS (SELECT *, SUM(CASE WHEN is_match THEN 1 ELSE 0 END)
-       |           OVER (PARTITION BY w ORDER BY pos) AS mk FROM m$r),
-       |m3$r AS (SELECT *, pos - mk AS grp FROM m2$r),
-       |m4$r AS (SELECT *, MIN(CASE WHEN is_match THEN pos END)
-       |           OVER (PARTITION BY w, grp) AS rs FROM m3$r),
-       |m5$r AS (SELECT *, (is_match AND (pos - rs) % 2 = 0) AS applied
-       |         FROM m4$r),
-       |m6$r AS (SELECT *, COALESCE(lag(applied)
+       |        FROM p$tag$r p CROSS JOIN b$tag$r b),
+       |m2$tag$r AS (SELECT *, SUM(CASE WHEN is_match THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY w ORDER BY pos) AS mk FROM m$tag$r),
+       |m3$tag$r AS (SELECT *, pos - mk AS grp FROM m2$tag$r),
+       |m4$tag$r AS (SELECT *, MIN(CASE WHEN is_match THEN pos END)
+       |           OVER (PARTITION BY w, grp) AS rs FROM m3$tag$r),
+       |m5$tag$r AS (SELECT *, (is_match AND (pos - rs) % 2 = 0) AS applied
+       |         FROM m4$tag$r),
+       |m6$tag$r AS (SELECT *, COALESCE(lag(applied)
        |           OVER (PARTITION BY w ORDER BY pos), false) AS absorbed
-       |         FROM m5$r),
-       |s$r AS (SELECT w,
+       |         FROM m5$tag$r),
+       |s$tag$r AS (SELECT w,
        |          row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
        |          CASE WHEN applied THEN sym || nxt ELSE sym END AS sym
-       |        FROM m6$r WHERE NOT absorbed)""".stripMargin
+       |        FROM m6$tag$r WHERE NOT absorbed)""".stripMargin
 
   /** The shared vocabulary + character-state prefix of both trainer
     * chains: bvocab (word, freq) and s0 (per-character symbol rows). */
@@ -397,23 +397,58 @@ object OracleDialect {
     * unrolled merge rounds) used by q232/q237/q238 — bf$$r carries each
     * round's argmax pair with its weighted count, s$$r the post-merge
     * symbol state. */
-  private[graft] def bpeChainCtes(rounds: Int): String = {
-    val roundCtes = (1 to rounds).map { r =>
-      val prev = if (r == 1) "s0" else s"s${r - 1}"
-      s"""p$r AS (SELECT w, pos, sym,
+  /** The BPE round CTEs alone (no vocabulary base) — composable with
+    * other chains in one statement (q317). */
+  private[graft] def bpeRoundCtes(rounds: Int, tag: String = ""): String =
+    (1 to rounds).map { r =>
+      val prev = if (r == 1) "s0" else s"s$tag${r - 1}"
+      s"""p$tag$r AS (SELECT w, pos, sym,
          |         lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
          |       FROM $prev),
-         |bf$r AS (SELECT a, b, cnt FROM (
+         |bf$tag$r AS (SELECT a, b, cnt FROM (
          |    SELECT p.sym AS a, p.nxt AS b, CAST(SUM(v.freq) AS BIGINT) AS cnt
-         |    FROM p$r p JOIN bvocab v USING (w)
+         |    FROM p$tag$r p JOIN bvocab v USING (w)
          |    WHERE p.nxt IS NOT NULL GROUP BY 1, 2) z
          |  ORDER BY cnt DESC, a, b LIMIT 1),
-         |b$r AS (SELECT a, b FROM bf$r),
-         |${mergeApplyCtes(r)}""".stripMargin
+         |b$tag$r AS (SELECT a, b FROM bf$tag$r),
+         |${mergeApplyCtes(r, tag)}""".stripMargin
     }.mkString(",\n")
+
+  private[graft] def bpeChainCtes(rounds: Int, tag: String = ""): String =
     s"""$trainerBaseCtes,
-       |$roundCtes""".stripMargin
-  }
+       |${bpeRoundCtes(rounds, tag)}""".stripMargin
+
+  /** The WordPiece training chain, tagged so it can share one
+    * statement with the BPE chain (q317's three-lineage fertility
+    * readout): identical mechanics ([[mergeApplyCtes]]) with the
+    * likelihood-ratio pick — mirrors graft.ext.WordPiece. Reads
+    * `bvocab`/`s0` from [[trainerBaseCtes]] (caller includes those
+    * once); emits wf$$tag$$r (the pick rows) and s$$tag$$r states. */
+  private[graft] def wpRoundCtes(rounds: Int, tag: String): String =
+    (1 to rounds).map { r =>
+      val prev = if (r == 1) "s0" else s"s$tag${r - 1}"
+      s"""p$tag$r AS MATERIALIZED (SELECT w, pos, sym,
+         |         lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+         |       FROM $prev),
+         |u$tag$r AS MATERIALIZED (
+         |        SELECT p.sym, CAST(SUM(v.freq) AS BIGINT) AS ucnt
+         |        FROM p$tag$r p JOIN bvocab v USING (w) GROUP BY 1),
+         |wf$tag$r AS MATERIALIZED (SELECT a, b, cnt, ca, cb,
+         |           CAST(CAST(cnt AS HUGEINT) * 1000000000000
+         |             // (CAST(ca AS HUGEINT) * cb) AS BIGINT)
+         |             AS score_pico
+         |         FROM (SELECT z.a, z.b, z.cnt,
+         |                 ua.ucnt AS ca, ub.ucnt AS cb
+         |               FROM (SELECT p.sym AS a, p.nxt AS b,
+         |                       CAST(SUM(v.freq) AS BIGINT) AS cnt
+         |                     FROM p$tag$r p JOIN bvocab v USING (w)
+         |                     WHERE p.nxt IS NOT NULL GROUP BY 1, 2) z
+         |               JOIN u$tag$r ua ON ua.sym = z.a
+         |               JOIN u$tag$r ub ON ub.sym = z.b) zz
+         |  ORDER BY score_pico DESC, a, b LIMIT 1),
+         |b$tag$r AS (SELECT a, b FROM wf$tag$r),
+         |${mergeApplyCtes(r, tag)}""".stripMargin
+    }.mkString(",\n")
 
   /** Exact char-8-gram Jaccard pair CTEs over the df-capped space
     * (needs `h` from [[char8HashCte]] in scope) — shared by the q244

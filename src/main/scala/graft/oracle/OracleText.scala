@@ -59,17 +59,19 @@ object OracleText {
     (first +: steps).mkString(",\n") + s",\nuses$tag AS (\n$all)"
   }
 
-  /** The full q284 SQL: seed → E-step → prune → E-step → per-source
-    * application, every constant shared with UnigramLm's defaults. */
-  private def unigramSql(seedMulti: Int, keepMulti: Int, maxWordLen: Int,
-                         maxPieceLen: Int): String = {
+  /** The unigram-LM training CHAIN (vocab → seed → E-step → prune →
+    * E-step), ending at `npf` = (w, np) — the per-word piece count
+    * under the pruned vocabulary. Needs `tok` in scope; shared by the
+    * full q284 readout and the q317 fertility matrix (which runs it at
+    * the equal-budget keepMulti). */
+  private def unigramChainCtes(seedMulti: Int, keepMulti: Int,
+                               maxWordLen: Int, maxPieceLen: Int): String = {
     val occLegs = (1 to maxPieceLen).map { l =>
       s"""SELECT substr(w, CAST(g AS INT), $l) AS piece, freq
          |FROM (SELECT w, freq, unnest(range(1, length(w) - ${l - 2})) AS g
          |      FROM vw) z$l""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH $nCte, $tokCte,
-       |vw AS MATERIALIZED (
+    s"""vw AS MATERIALIZED (
        |  SELECT w, COUNT(*) AS freq FROM tok
        |  WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) <= $maxWordLen
        |  GROUP BY w),
@@ -106,7 +108,15 @@ object OracleText {
        |    AS BIGINT) AS lp
        |  FROM v1 CROSS JOIN t1),
        |${dpCtes("b", "vp1", maxWordLen, maxPieceLen)},
-       |npf AS MATERIALIZED (SELECT w, np FROM dpallb WHERE pos = len),
+       |npf AS MATERIALIZED (SELECT w, np FROM dpallb WHERE pos = len)""".stripMargin
+  }
+
+  /** The full q284 SQL: seed → E-step → prune → E-step → per-source
+    * application, every constant shared with UnigramLm's defaults. */
+  private def unigramSql(seedMulti: Int, keepMulti: Int, maxWordLen: Int,
+                         maxPieceLen: Int): String =
+    s"""WITH $nCte, $tokCte,
+       |${unigramChainCtes(seedMulti, keepMulti, maxWordLen, maxPieceLen)},
        |va AS (SELECT COUNT(*) AS vocab_initial FROM v0),
        |vb AS (SELECT COUNT(*) AS vocab_final FROM v1),
        |ap AS (SELECT d.source, t.w FROM tok t
@@ -128,10 +138,51 @@ object OracleText {
        |       CAST(vocab_final AS BIGINT) AS vocab_final
        |FROM agg CROSS JOIN va CROSS JOIN vb
        |ORDER BY source""".stripMargin
-  }
 
   private[graft] val sql: Map[String, String] = Map(
     "q284_unigram_lm" -> unigramSql(48, 32, 12, 4),
+    // Tokenizer fertility matrix: the THREE lineages (BPE count-argmax,
+    // unigram-LM likelihood prune, WordPiece likelihood-ratio) trained
+    // in ONE statement at the equal budget of 6 learned multi-character
+    // units each, applied to the same per-language token stream —
+    // tokens/word and bytes/token per (lineage, lang). WP rounds carry
+    // tag "t" so both merge chains share the bvocab/s0 base without
+    // CTE-name collision.
+    "q317_tokenizer_fertility" -> {
+      s"""WITH $trainerBaseCtes,
+         |$tokCte,
+         |${unigramChainCtes(48, 6, 12, 4)},
+         |${bpeRoundCtes(6, "")},
+         |${wpRoundCtes(6, "t")},
+         |segb AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS np FROM s6 GROUP BY w),
+         |segw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS np FROM st6 GROUP BY w),
+         |tw AS (SELECT d.lang, t.w FROM tok t
+         |       JOIN documents d USING (doc_id) WHERE t.w <> ''),
+         |lin AS (
+         |  SELECT 'bpe' AS lineage, lang, w, segb.np
+         |  FROM tw LEFT JOIN segb USING (w)
+         |  UNION ALL
+         |  SELECT 'unigram' AS lineage, lang, w, CAST(npf.np AS BIGINT) AS np
+         |  FROM tw LEFT JOIN npf USING (w)
+         |  UNION ALL
+         |  SELECT 'wordpiece' AS lineage, lang, w, segw.np
+         |  FROM tw LEFT JOIN segw USING (w)),
+         |agg AS (SELECT lineage, lang, COUNT(*) AS n_words,
+         |          SUM(CASE WHEN np IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS covered_words,
+         |          SUM(COALESCE(np, 1)) AS total_pieces,
+         |          SUM(length(w)) AS total_chars
+         |        FROM lin GROUP BY 1, 2)
+         |SELECT lineage, lang, CAST(n_words AS BIGINT) AS n_words,
+         |       CAST(covered_words AS BIGINT) AS covered_words,
+         |       CAST(total_pieces AS BIGINT) AS total_pieces,
+         |       CAST(total_chars AS BIGINT) AS total_chars,
+         |       CAST(total_pieces * 1000000 // n_words AS BIGINT)
+         |         AS tokens_per_word_micro,
+         |       CAST(total_chars * 1000000 // total_pieces AS BIGINT)
+         |         AS bytes_per_token_micro
+         |FROM agg ORDER BY lineage, lang""".stripMargin
+    },
     "q28_token_stats" ->
       s"""WITH $nCte
          |SELECT doc_id,
@@ -988,37 +1039,13 @@ object OracleText {
     // mirroring WordPiece.mergeTable's DECIMAL(38,0) quantization.
     "q313_wordpiece_merges" -> {
       val rounds = 6
-      val roundCtes = (1 to rounds).map { r =>
-        val prev = if (r == 1) "s0" else s"s${r - 1}"
-        s"""p$r AS MATERIALIZED (SELECT w, pos, sym,
-           |         lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
-           |       FROM $prev),
-           |u$r AS MATERIALIZED (
-           |        SELECT p.sym, CAST(SUM(v.freq) AS BIGINT) AS ucnt
-           |        FROM p$r p JOIN bvocab v USING (w) GROUP BY 1),
-           |wf$r AS MATERIALIZED (SELECT a, b, cnt, ca, cb,
-           |           CAST(CAST(cnt AS HUGEINT) * 1000000000000
-           |             // (CAST(ca AS HUGEINT) * cb) AS BIGINT)
-           |             AS score_pico
-           |         FROM (SELECT z.a, z.b, z.cnt,
-           |                 ua.ucnt AS ca, ub.ucnt AS cb
-           |               FROM (SELECT p.sym AS a, p.nxt AS b,
-           |                       CAST(SUM(v.freq) AS BIGINT) AS cnt
-           |                     FROM p$r p JOIN bvocab v USING (w)
-           |                     WHERE p.nxt IS NOT NULL GROUP BY 1, 2) z
-           |               JOIN u$r ua ON ua.sym = z.a
-           |               JOIN u$r ub ON ub.sym = z.b) zz
-           |  ORDER BY score_pico DESC, a, b LIMIT 1),
-           |b$r AS (SELECT a, b FROM wf$r),
-           |${mergeApplyCtes(r)}""".stripMargin
-      }.mkString(",\n")
       val legs = (1 to rounds).map(r =>
         s"""SELECT CAST($r AS INT) AS merge_rank, a AS left_sym,
            |       b AS right_sym, cnt AS pair_count, ca AS left_count,
            |       cb AS right_count, score_pico FROM wf$r""".stripMargin)
         .mkString("\nUNION ALL\n")
       s"""WITH $trainerBaseCtes,
-         |$roundCtes
+         |${wpRoundCtes(rounds, "")}
          |$legs
          |ORDER BY merge_rank""".stripMargin
     },

@@ -807,5 +807,42 @@ object OracleWarehouse {
         |FROM cm WHERE band < 3
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // Log-bucket (DDSketch-style) quantile sketch: magnitude-relative
+    // buckets from exact integer bit arithmetic (length(bin(v))-1 =
+    // floor(log2 v) — no float log), shift*64+q id, rank ⌊p·(n−1)⌋,
+    // within-bucket integer interpolation. Mirrors
+    // QuantileSketch.logQuantiles (subBits=5) exactly.
+    "q314_log_sketch" ->
+      s"""WITH v AS (SELECT ${cents("o_totalprice")} AS v FROM orders
+         |           WHERE o_totalprice IS NOT NULL),
+         |d AS (SELECT v, GREATEST(length(bin(v)) - 1 - 5, 0) AS shift FROM v),
+         |d2 AS (SELECT v, shift,
+         |         v // (CAST(1 AS BIGINT) << CAST(shift AS INT)) AS q
+         |       FROM d),
+         |cells AS (SELECT shift * 64 + q AS bucket, shift, q,
+         |            COUNT(*) AS cnt
+         |          FROM d2 GROUP BY 1, 2, 3),
+         |nn AS (SELECT COUNT(*) AS n FROM v),
+         |cum AS (SELECT bucket, shift, q, cnt,
+         |          COALESCE(SUM(cnt) OVER (ORDER BY bucket
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |            AS cum_excl
+         |        FROM cells),
+         |probs AS (SELECT CAST(unnest([250000, 500000, 900000, 990000,
+         |            999000]) AS BIGINT) AS prob_ppm),
+         |j AS (SELECT prob_ppm, bucket, shift, q, cnt, cum_excl, n,
+         |        (prob_ppm * (n - 1)) // 1000000 AS rk
+         |      FROM cum CROSS JOIN nn CROSS JOIN probs),
+         |hit AS (SELECT *,
+         |          q * (CAST(1 AS BIGINT) << CAST(shift AS INT)) AS bucket_lo,
+         |          (q + 1) * (CAST(1 AS BIGINT) << CAST(shift AS INT)) - 1
+         |            AS bucket_hi
+         |        FROM j WHERE cum_excl <= rk AND rk < cum_excl + cnt)
+         |SELECT prob_ppm, CAST(bucket_lo AS BIGINT) AS bucket_lo,
+         |       CAST(bucket_hi AS BIGINT) AS bucket_hi,
+         |       CAST(cnt AS BIGINT) AS bucket_count, n,
+         |       CAST(bucket_lo + ((rk - cum_excl) * (bucket_hi - bucket_lo))
+         |            // cnt AS BIGINT) AS estimate
+         |FROM hit ORDER BY prob_ppm""".stripMargin,
   )
 }

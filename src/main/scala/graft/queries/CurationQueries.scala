@@ -10,6 +10,12 @@ import graft.model.Tables
   * driver test tables. Round-12 split of the former `ExtQueries`
   * object — values unchanged. */
 object CurationQueries {
+
+  /** q311's MW round count — the ONE constant both the engine default
+    * ([[domainReweightTrajectory]]) and the oracle's unrolled CTEs
+    * (`OracleCuration.mwTrajectorySql`) derive from, so changing it in
+    * one place can't silently break parity. */
+  val MwTrajectoryRounds = 4
   /** Deterministic 90/5/5 hash-split stats (q52): per-split doc counts,
     * id ranges, char volume, and how many of each split's docs the
     * deterministic 10% subsample keeps. Split assignment is affine-mod
@@ -687,16 +693,27 @@ object CurationQueries {
     * Scale shape: one q181 scoring pass (model broadcast, map-side
     * partial aggs), one source-keyed rollup, two 1-row scalar crosses
     * (corpus mean, normalizer). */
-  def domainReweighting(spark: SparkSession, dir: String): DataFrame = {
+  /** The DoReMi family's shared (source, n_docs, nb, snl) scoring
+    * rollup — ONE q181 corpus scoring pass, StageCache-shared so the
+    * three registered riders (q309/q311/q318) pay it once per session
+    * instead of re-scoring the corpus each. */
+  private def mwPerSource(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sc = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
-    val per = docs.select(col("doc_id"), col("source"))
-      .join(sc, Seq("doc_id"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_bigrams").as("nb"),
-        sum(col("n_bigrams") * col("nll_micro")).as("snl"))
-      .localCheckpoint() // read by the scalar rollup + the report
+    graft.ext.StageCache.getOrStage(
+      graft.ext.StageCache.keyFor(docs, "mw-per-source")) {
+      val sc = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      docs.select(col("doc_id"), col("source"))
+        .join(sc, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_bigrams").as("nb"),
+          sum(col("n_bigrams") * col("nll_micro")).as("snl"))
+        .localCheckpoint()
+    }
+  }
+
+  def domainReweighting(spark: SparkSession, dir: String): DataFrame = {
+    val per = mwPerSource(spark, dir)
     val tot = per.agg(sum("nb").as("tb"), sum("snl").as("ts"))
     val rep = per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("nb"),
@@ -740,15 +757,8 @@ object CurationQueries {
     * base, then |sources|-row rounds (two scalar aggs + a 1-row cross
     * each), checkpointed per round. */
   def domainReweightTrajectory(spark: SparkSession, dir: String,
-                               rounds: Int = 4): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val sc = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
-    val per = docs.select(col("doc_id"), col("source"))
-      .join(sc, Seq("doc_id"))
-      .groupBy("source")
-      .agg(sum("n_bigrams").as("nb"),
-        sum(col("n_bigrams") * col("nll_micro")).as("snl"))
-      .localCheckpoint() // read by the scalar rollup + the base
+                               rounds: Int = MwTrajectoryRounds): DataFrame = {
+    val per = mwPerSource(spark, dir)
     val tot = per.agg(sum("nb").as("tb"), sum("snl").as("ts"))
     val base = per.crossJoin(broadcast(tot))
       .select(col("source"),
@@ -762,6 +772,27 @@ object CurationQueries {
           lit(1000000L) + col("nll_micro") - col("nll_bar_micro")))
       .select("source", "share_ppm", "factor_micro")
     Sampling.mwTrajectory(base, rounds)
+  }
+
+  /** ADAPTIVE DoReMi trajectory (q318) — q311 with the per-round
+    * RE-MEASUREMENT the published method calls for, to the extent a
+    * frozen reference scorer admits ([[graft.ext.Sampling
+    * .mwTrajectoryAdaptive]]): per-domain nll is scored once, but each
+    * round's excess is taken against the CURRENT mixture's weighted
+    * mean loss, so the factor moves with the weights and the step
+    * self-damps toward the equalized-excess mixture (vs q311's static
+    * power iteration). Output adds the round's measured
+    * `nll_bar_micro`. Shares the q309/q311 staged scoring pass. */
+  def domainReweightAdaptive(spark: SparkSession, dir: String,
+                             rounds: Int = MwTrajectoryRounds): DataFrame = {
+    val per = mwPerSource(spark, dir)
+    val tot = per.agg(sum("nb").as("tb"), sum("snl").as("ts"))
+    val base = per.crossJoin(broadcast(tot))
+      .select(col("source"),
+        expr("CASE WHEN tb = 0 THEN 0 ELSE nb * 1000000 div tb END")
+          .as("share_ppm"),
+        expr("CASE WHEN nb = 0 THEN 0 ELSE snl div nb END").as("nll_micro"))
+    Sampling.mwTrajectoryAdaptive(base, rounds)
   }
 
   /** Leave-one-source-out OLS data valuation (q297): how much does each
@@ -836,4 +867,19 @@ object CurationQueries {
         col("r2_ppm"))
       .orderBy("source")
   }
+
+  /** Per-source document-length quantiles from the log-bucket sketch
+    * (q315): p25/p50/p90/p99/p99.9 of document byte lengths per source
+    * via [[graft.operators.QuantileSketch.groupedLogQuantiles]] — the
+    * curation-report percentile tier that stays sharp under heavy
+    * tails (a single 1 GB document shifts ONE bucket, not the grid),
+    * with per-source maps mergeable by addition across snapshots
+    * because the grid is value-independent. One (source, bucket)
+    * exchange; the cumulative window rides the ≤ 64·59-row per-group
+    * bucket spine, never documents. */
+  def sourceLengthLogSketch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.QuantileSketch.groupedLogQuantiles(
+      Tables.documents(spark, dir).select(col("source"),
+        col("n_chars").cast("long").as("nbytes")),
+      "source", "nbytes", subBits = 5)
 }

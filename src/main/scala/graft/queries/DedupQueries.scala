@@ -434,4 +434,60 @@ object DedupQueries {
                 |END""".stripMargin).as("share_ppm"))
       .orderBy("split_lo", "split_hi")
   }
+
+  /** URL/host dedup tier (q316) — the CHEAP TOP of the dedup ladder
+    * (CCNet/RefinedWeb order: URL dedup and per-host caps run BEFORE
+    * any content hashing, because they remove the most bytes for
+    * string-ops cost). Three stages over a deterministic synthetic
+    * `url` column (the fixture carries none: host from `source`, page
+    * from doc_id div 60, and one of three surface variants — scheme
+    * case, `www.`, trailing slash, param order, a `utm_*` tracker — by
+    * doc_id div 20 mod 3, so every page exists in all three forms):
+    *   1. canonicalize ([[graft.ext.UrlOps]]: scheme/www/trailing-slash
+    *      strip, utm drop, param sort);
+    *   2. exact canonical-URL dedup, KEEP-FIRST (min doc_id — the
+    *      ladder's q32 winner contract);
+    *   3. per-host volume cap on the survivors via the salted q63
+    *      quota (hash-order winners, cap 6 — host counts are FIXED as
+    *      data grows, the audit's fixed-domain case, so the plain
+    *      per-host window form is never used).
+    * Per host: doc/url/kept counts, the removal split, and the kept-id
+    * sum (pins the exact quota winner SET, not just its size). */
+  def urlHostDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val page = expr("CAST(doc_id div 60 AS STRING)")
+    val hostRaw = concat(col("source"), lit(".example.com"))
+    val url = when(expr("(doc_id div 20) % 3") === 0,
+        concat(lit("https://www."), hostRaw, lit("/docs/"), page,
+          lit("?utm_source=feed&b=2&a=1")))
+      .when(expr("(doc_id div 20) % 3") === 1,
+        concat(lit("http://"), hostRaw, lit("/docs/"), page,
+          lit("/?a=1&b=2")))
+      .otherwise(
+        concat(lit("HTTPS://"), hostRaw, lit("/docs/"), page,
+          lit("?b=2&a=1")))
+    val canon = docs.select(col("doc_id"), url.as("url"))
+      .withColumn("curl", graft.ext.UrlOps.canonicalize(col("url")))
+      .withColumn("host", graft.ext.UrlOps.hostOf(col("curl")))
+    // keep-first exact URL dedup; staged once — read by the host
+    // rollup AND the quota tier
+    val winners = canon.groupBy("host", "curl")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .localCheckpoint()
+    val capped = Sampling.perKeyQuotaSalted(winners, "host", "doc_id",
+      cap = 6, salts = 8)
+    val byHost = canon.groupBy("host").agg(count(lit(1)).as("n_docs"))
+    val urls = winners.groupBy("host").agg(count(lit(1)).as("n_urls"))
+    val kept = capped.groupBy("host").agg(count(lit(1)).as("n_kept"),
+      sum("doc_id").as("kept_id_sum"))
+    byHost.join(urls, Seq("host")).join(kept, Seq("host"))
+      .select(col("host"), col("n_docs").cast("long").as("n_docs"),
+        col("n_urls").cast("long").as("n_urls"),
+        (col("n_docs") - col("n_urls")).cast("long").as("n_dup_removed"),
+        col("n_kept").cast("long").as("n_kept"),
+        (col("n_urls") - col("n_kept")).cast("long").as("n_cap_removed"),
+        expr("(n_docs - n_urls) * 1000000 div n_docs").as("dup_ppm"),
+        col("kept_id_sum").cast("long").as("kept_id_sum"))
+      .orderBy("host")
+  }
 }

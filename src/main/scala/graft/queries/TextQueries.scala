@@ -408,4 +408,12 @@ object TextQueries {
   def diversityReport(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.distinctNgramDiversity(Tables.documents(spark, dir),
       "doc_id", "source", "text")
+
+  /** Tokenizer fertility matrix (q317): tokens-per-word and
+    * bytes-per-token per (lineage, language) for the three production
+    * lineages at an equal 6-learned-unit vocabulary budget —
+    * [[graft.ext.TokenizerEval.fertilityMatrix]]. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TokenizerEval.fertilityMatrix(Tables.documents(spark, dir),
+      "lang", "text", budget = 6)
 }

@@ -23,17 +23,16 @@ object WarehouseAnalytics {
         moneySum(col("o_totalprice")).as("total_amount"))
       .orderBy("month")
 
-  /** Grouped top-k (q81): top-5 suppliers by revenue WITHIN each nation —
-    * the per-group ranking pattern that complements the global top-k
-    * (q01/q12, which plan as TakeOrderedAndProject). Revenue reduces the
-    * fact with one partial-agg'd shuffle keyed by supplier, so the rank
-    * window sees one row per SUPPLIER, never fact rows. The window
-    * partitions by nation (low cardinality): per-partition input grows
-    * as |suppliers|/|nations|, so at extreme supplier counts use
-    * [[topSuppliersPerNationSalted]] — the callable two-level form
-    * (`Skew.saltedTopKPerGroup`) whose final rank input is k·salts-bounded
-    * regardless of scale and whose output is identical (specced). */
-  def topSuppliersPerNation(spark: SparkSession, dir: String,
+  /** Grouped top-k, plain-window REFERENCE form: top-5 suppliers by
+    * revenue within each nation. Revenue reduces the fact with one
+    * partial-agg'd shuffle keyed by supplier, so the rank window sees
+    * one row per SUPPLIER — but it partitions by nation (25 fixed
+    * groups), so per-partition input grows as |suppliers|/|nations|
+    * with data: the registered q81 is [[topSuppliersPerNationSalted]]
+    * (identical output, pinned by SkewAndExtensionsSpec); this form is
+    * the reference semantics the equality spec compares against — the
+    * `packByBudgetGlobalWindow` precedent. */
+  private[graft] def topSuppliersPerNation(spark: SparkSession, dir: String,
                             k: Int = 5): DataFrame = {
     val w = Window.partitionBy("n_name")
       .orderBy(col("revenue").desc, col("s_suppkey"))
@@ -45,12 +44,13 @@ object WarehouseAnalytics {
       .orderBy("n_name", "rank")
   }
 
-  /** Skew-safe variant of [[topSuppliersPerNation]]: identical winners
-    * and ranks via `Skew.saltedTopKPerGroup` — top-k per (nation, salt)
-    * cell first, true re-rank over the ≤ k·salts survivors — for
-    * deployments where one nation's supplier count outgrows a window
-    * partition. The (revenue desc, s_suppkey) order is total, which is
-    * what makes the two forms provably equal. */
+  /** Grouped top-k (q81): the REGISTERED skew-safe form — identical
+    * winners and ranks to [[topSuppliersPerNation]] via
+    * `Skew.saltedTopKPerGroup`: top-k per (nation, salt) cell first,
+    * true re-rank over the ≤ k·salts survivors, so no task's window
+    * state grows with supplier count. The (revenue desc, s_suppkey)
+    * order is total, which is what makes the two forms provably equal
+    * (pinned by SkewAndExtensionsSpec). */
   def topSuppliersPerNationSalted(spark: SparkSession, dir: String,
                                   k: Int = 5, salts: Int = 16): DataFrame =
     graft.operators.Skew.saltedTopKPerGroup(supplierRevenue(spark, dir),
@@ -1333,4 +1333,19 @@ object WarehouseAnalytics {
         (col("rho_ppm").cast("double") / 1e6).as("rho"))
       .orderBy("c_mktsegment")
   }
+
+  /** Log-bucketed order-value quantiles (q314): p25/p50/p90/p99/p99.9
+    * of order cents from the HEAVY-TAIL sketch
+    * ([[graft.operators.QuantileSketch.logQuantiles]]) — magnitude-
+    * relative buckets (DDSketch-style, ≤ 1/32 relative value error at
+    * every scale), value-INDEPENDENT grid so partition / snapshot /
+    * cluster maps merge by plain addition with no (min, max)
+    * coordination — the q156 equi-width sketch's missing tier: one
+    * 10⁴× outlier there collapses every interior cell
+    * (QuantileSketchSpec plants exactly that and pins the contrast). */
+  def orderValueLogSketch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.QuantileSketch.logQuantiles(
+      Tables.orders(spark, dir)
+        .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
+      "cents", subBits = 5)
 }

@@ -220,61 +220,200 @@ class PlanSpec extends SparkSpec {
       s"unbounded unpartitioned windows in: ${offenders.mkString(", ")}")
   }
 
-  test("suite-wide: no window keyed ONLY by known-low-cardinality columns over an unbounded child") {
-    // The subtler cousin of the unpartitioned window: a window whose
-    // partition key has 2-to-5 distinct values (side, source, market
-    // segment) over a data-scale child serializes each group into ONE
-    // task at 100× — it passes the partitionSpec.nonEmpty audit on a
-    // technicality. Such windows are legitimate only when the child is
-    // bounded: (a) under a GlobalLimit; (b) phase 2 of the salted
-    // grouped top-k (an inner window keyed by strictly MORE columns —
-    // group+salt — has already cut the child to ≤ k·salts per group);
-    // (c) over a collapsed value spine (an Aggregate whose grouping
-    // keys strictly contain the partition keys — the q158 idiom: the
-    // child is the distinct-value domain, not the corpus). Everything
-    // else must use GroupedPrefix / saltedTopKPerGroup.
-    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow,
-      GlobalLimit, Aggregate}
+  // ---- low-cardinality window audit machinery (shared by the suite-
+  // ---- wide test and its negative specs) --------------------------------
+
+  /** A partition key with ≤ this many distinct values at sf0.001 is a
+    * low-cardinality CANDIDATE (the fixed-domain columns — side, market
+    * segment, ship mode, language, source — all measure 2–20 there);
+    * whether it is an OFFENDER is decided by the growth probe below. */
+  private val LowCardWindowThreshold = 24L
+
+  /** A candidate whose distinct count grows by at least this factor
+    * from sf0.001 to sf0.01 is an ENTITY key merely small at the tiny
+    * fixture (users 15→150, suppliers 10→100) — per-group rows stay
+    * bounded as data grows, so it is exempt. A fixed-domain key stays
+    * flat (source 20→20, priority 5→5) and is flagged. */
+  private val GrowthExemptRatio = 1.5
+
+  /** Partition keys whose group count is fixed by CONTRACT and whose
+    * per-group child rows are bounded by construction, not corpus-
+    * scale: the retrieval/ANN probe set — every query_id's child is
+    * its own ≤ k·cells candidate sliver (the q37 contract), so the
+    * window state per group is k-bounded at any corpus size. The one
+    * documented exception class; anything else fixed-domain must use
+    * GroupedPrefix / saltedTopKPerGroup. */
+  private val BoundedChildKeys = Set("query_id")
+
+  /** Measured distinct-count probes are memoized on the child plan's
+    * semantic hash — machinery shared across queries (staged tiers)
+    * probes once per suite run. */
+  private val probeCache =
+    scala.collection.mutable.Map.empty[(Int, Seq[String]), Long]
+
+  private def attrName(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[String] = {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
-      Literal, Alias}
-    val lowCard = Set("side", "source", "c_mktsegment", "market",
-      "l_returnflag", "l_linestatus", "o_orderstatus", "l_shipmode",
-      "o_orderpriority", "predicted_lang", "lang", "segment", "half",
-      "tier", "bucket")
-    def names(e: org.apache.spark.sql.catalyst.expressions.Expression)
-        : Option[String] = e match {
+      Alias, Literal}
+    e match {
       case a: AttributeReference => Some(a.name)
-      case Alias(child, _) => names(child)
+      case a: Alias => Some(a.name)
       case _: Literal => Some("__lit__")
       case _ => None
     }
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, q) =>
-        q(spark, sf001).queryExecution.optimizedPlan.collect {
-          case w: LWindow
-            if w.partitionSpec.nonEmpty &&
-              w.partitionSpec.forall(p => names(p)
-                .exists(n => n == "__lit__" || lowCard(n))) &&
-              w.child.collectFirst { case g: GlobalLimit => g }.isEmpty &&
-              w.child.collectFirst { case w2: LWindow
-                if w2.partitionSpec.size > w.partitionSpec.size => w2
-              }.isEmpty &&
-              w.child.collectFirst { case ag: Aggregate
-                if ag.groupingExpressions.size > w.partitionSpec.size &&
-                  w.partitionSpec.forall(p =>
-                    ag.groupingExpressions.exists(g =>
-                      (names(g), names(p)) match {
-                        case (Some(a), Some(b)) => a == b
-                        case _ => false
-                      })) => ag
-              }.isEmpty =>
-            s"$name [${w.partitionSpec.flatMap(names).mkString(",")}]"
+  }
+
+  /** Distinct count of `w`'s partition tuple over its OWN child plan,
+    * executed through the bridge. */
+  private def probeDistinct(
+      w: org.apache.spark.sql.catalyst.plans.logical.Window): Long = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, Distinct}
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
+      Alias, NamedExpression}
+    val key = (w.child.semanticHash(), w.partitionSpec.map(_.sql))
+    probeCache.getOrElseUpdate(key, {
+      val aliased: Seq[NamedExpression] =
+        w.partitionSpec.zipWithIndex.map {
+          case (a: AttributeReference, _) => a
+          case (e, i) => Alias(e, s"__p$i")()
         }
+      org.apache.spark.sql.GraftExpressionBridge
+        .dataFrame(spark, Distinct(Project(aliased, w.child))).count()
+    })
+  }
+
+  /** Windows surviving the STRUCTURAL exemptions — each one bounds the
+    * per-group task state by construction:
+    * (a) a GlobalLimit below (the contractual ≤k-row rank idiom);
+    * (b) phase 2 of the salted grouped top-k — an inner window keyed by
+    *     strictly MORE columns has already cut the child to ≤ k·salts
+    *     rows per group;
+    * (c) a collapsed value spine — an Aggregate below whose grouping
+    *     keys strictly contain the partition keys (matched by OUTPUT
+    *     name or exprId, so `groupBy(col("x").as("p"))` spines are
+    *     seen), i.e. the child is a distinct-value domain, not the
+    *     corpus;
+    * (d) an engineered `__`-prefixed partition column (`__rng`,
+    *     `__salt`, …): the scale operators' OWN machinery, whose range
+    *     ids / salt cells are constructed to bound per-task rows — the
+    *     very mechanism this audit pushes queries toward. */
+  private def unboundedWindows(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.catalyst.plans.logical.Window] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow,
+      GlobalLimit, Aggregate}
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
+      Alias, NamedExpression, Expression}
+    def isGroupingOutput(ag: Aggregate, ne: NamedExpression): Boolean =
+      ne match {
+        case ar: AttributeReference =>
+          ag.groupingExpressions.exists(_.semanticEquals(ar))
+        case al: Alias =>
+          ag.groupingExpressions.exists(g =>
+            g.semanticEquals(al.child) || g.semanticEquals(al))
+        case _ => false
+      }
+    def spineCovers(ag: Aggregate, p: Expression): Boolean = p match {
+      case a: AttributeReference =>
+        ag.aggregateExpressions.exists(ne =>
+          isGroupingOutput(ag, ne) &&
+            (ne.exprId == a.exprId || ne.name == a.name))
+      case _ => false
+    }
+    df.queryExecution.optimizedPlan.collect {
+      // An EMPTY spec covers the planted partitionBy(lit(1)) case: the
+      // optimizer folds a constant partition key away, so the
+      // degenerate single-group window arrives with no keys at all
+      // (cardinality 1 — the limiting case of low).
+      case w: LWindow
+        if w.child.collectFirst { case g: GlobalLimit => g }.isEmpty &&
+          w.child.collectFirst { case w2: LWindow
+            if w2.partitionSpec.size > w.partitionSpec.size => w2
+          }.isEmpty &&
+          w.child.collectFirst { case ag: Aggregate
+            if ag.groupingExpressions.size > w.partitionSpec.size &&
+              w.partitionSpec.nonEmpty &&
+              w.partitionSpec.forall(p => spineCovers(ag, p)) => ag
+          }.isEmpty &&
+          !w.partitionSpec.exists(p =>
+            attrName(p).exists(_.startsWith("__"))) &&
+          !(w.partitionSpec.nonEmpty && w.partitionSpec.forall(p =>
+            attrName(p).exists(BoundedChildKeys))) => w
+    }
+  }
+
+  /** The audit proper: MEASURED low cardinality with a growth probe.
+    * `build` constructs the query at a given sf dir; sf0.01 is built
+    * lazily, only when some window measures ≤ threshold at sf0.001.
+    * Offender = a structurally-unbounded window whose partition keys
+    * measure ≤ LowCardWindowThreshold distinct at sf0.001 AND do not
+    * grow ≥ GrowthExemptRatio× at sf0.01 (fixed domain, not an entity
+    * key). Both planted shapes — partitionBy(lit(1)) and a fresh
+    * 3-value column under any name — are caught; entity keys and the
+    * documented exemption classes are not. */
+  private def lowCardWindowOffenders(
+      build: String => org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cands = unboundedWindows(build(sf001))
+    if (cands.isEmpty) return Nil
+    lazy val at01: Map[String, Long] = {
+      try {
+        unboundedWindows(build(sf01))
+          .groupBy(w => w.partitionSpec.flatMap(attrName).mkString(","))
+          .view.mapValues(_.map(probeDistinct).max).toMap
+      } catch { case _: Throwable => Map.empty }
+    }
+    cands.flatMap { w =>
+      val label = w.partitionSpec.flatMap(attrName).mkString(",")
+      if (w.partitionSpec.isEmpty) Some(s"[<folded-constant> single-group]")
+      else {
+        val n001 = probeDistinct(w)
+        if (n001 > LowCardWindowThreshold) None
+        else {
+          val n01 = at01.getOrElse(label, 0L)
+          if (n01.toDouble >= GrowthExemptRatio * n001) None
+          else Some(s"[$label measured $n001@sf0.001, $n01@sf0.01 — " +
+            "fixed-domain]")
+        }
+      }
+    }
+  }
+
+  test("suite-wide: no window keyed at measured-low-cardinality over an unbounded child") {
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) => lowCardWindowOffenders(dir => q(spark, dir))
+        .map(d => s"$name $d")
     }.distinct
     assert(offenders.isEmpty,
       s"low-cardinality-key windows over unbounded children (use " +
         s"GroupedPrefix or Skew.saltedTopKPerGroup): " +
         offenders.mkString(", "))
+  }
+
+  test("the low-cardinality window audit catches planted offenders") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, lit, row_number, pmod}
+    def docs(dir: String) = graft.model.Tables.documents(spark, dir)
+    // a constant partition key — the degenerate single-group window
+    assert(lowCardWindowOffenders(dir => docs(dir).withColumn("rk",
+      row_number().over(Window.partitionBy(lit(1)).orderBy("doc_id"))))
+      .nonEmpty, "partitionBy(lit(1)) escaped the audit")
+    // a FRESH 3-value column under a name no list has ever seen — only
+    // the measured probe can catch it (flat 3 → 3 across sfs)
+    assert(lowCardWindowOffenders(dir => docs(dir)
+      .withColumn("axis3", pmod(col("doc_id"), lit(3)))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("axis3").orderBy("doc_id"))))
+      .exists(_.contains("fixed-domain")),
+      "a fresh 3-value partition key escaped the measured probe")
+    // sanity: an abundant entity key passes the sf0.001 threshold
+    assert(lowCardWindowOffenders(dir => docs(dir).withColumn("rk",
+      row_number().over(Window.partitionBy("doc_id").orderBy("source"))))
+      .isEmpty, "an entity-keyed window was falsely flagged")
+    // sanity: a SPARSE entity key (15 users at sf0.001) is saved by the
+    // growth probe (150 at sf0.01), never misread as fixed-domain
+    assert(lowCardWindowOffenders(dir => graft.model.Tables
+      .events(spark, dir).withColumn("rk",
+        row_number().over(Window.partitionBy("user_id").orderBy("ts"))))
+      .isEmpty, "a growing entity key was falsely flagged")
   }
 
   test("suite-wide: no CartesianProduct in any registered query's plan") {

@@ -11,6 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   lazy val sf001 = "/root/testdata/sf0.001"
+  lazy val sf01 = "/root/testdata/sf0.01"
 }
 
 object SparkSpec {

@@ -114,6 +114,26 @@ class SamplingSpec extends SparkSpec {
       .select("id", "shard", "pos").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // the prefix-sum form equals the per-shard window reference exactly
+    // (the r16 rewrite: same (bucket100(id), id) order within shard,
+    // recovered from ONE global two-pass prefix)
+    import org.apache.spark.sql.expressions.Window
+    val wRef = Window.partitionBy(col("shard"))
+      .orderBy(Sampling.bucket100(col("id")), col("id"))
+    val ref = df.withColumn("shard", Sampling.shardOf(col("id"), 4))
+      .withColumn("pos", row_number().over(wRef).cast("long"))
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.sortBy(_._1).toSeq == ref.sortBy(_._1).toSeq,
+      "prefix-sum shardShuffle diverged from the window reference")
+    // no per-shard window survives in the plan — the whole point
+    val windows = Sampling.shardShuffle(df, "id", nShards = 4)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(windows.forall(_.partitionSpec.exists(p => p.references
+      .exists(_.name.startsWith("__")))),
+      s"expected only range-keyed prefix windows, got: $windows")
   }
 
   test("temperature mix flattens a skewed source distribution") {
@@ -281,5 +301,44 @@ class SamplingSpec extends SparkSpec {
     got.filter(_._2 == "a").foreach(r => assert(r._5 >= 0))
     got.filter(_._2 == "b").foreach(r => assert(r._5 <= 0))
     got.foreach(r => assert(r._8 <= 1000000L && r._8 >= 1000000L - 2))
+  }
+
+  test("mwTrajectoryAdaptive replays the BigInt hand-unroll; the bar moves and the step damps") {
+    // per-round re-measured excess: bar_t = ⌊Σ w·nll / Σ w⌋, factor_t =
+    // max(1, 1e6 + nll − bar_t), then the same floor renormalization
+    val base = Seq(("a", 600000L, 2000000L), ("b", 400000L, 1000000L))
+      .toDF("source", "share_ppm", "nll_micro")
+    val rounds = 4
+    val nll = Map("a" -> BigInt(2000000), "b" -> BigInt(1000000))
+    var w = Map("a" -> BigInt(600000), "b" -> BigInt(400000))
+    val expect = (1 to rounds).map { t =>
+      val bar = w.map { case (s, v) => v * nll(s) }.sum / w.values.sum
+      val f = nll.map { case (s, v) =>
+        s -> (BigInt(1000000) + v - bar).max(BigInt(1)) }
+      val raw = w.map { case (s, v) => s -> v * f(s) }
+      val rt = raw.values.sum
+      val nw = raw.map { case (s, v) => s -> v * 1000000 / rt }
+      val l1 = nw.map { case (s, v) => (v - w(s)).abs }.sum
+      val ss = nw.values.sum
+      val rows = nw.keys.toSeq.sorted.map(s =>
+        (t, s, w(s).toLong, nw(s).toLong, (nw(s) - w(s)).toLong,
+          f(s).toLong, bar.toLong, l1.toLong, ss.toLong))
+      w = nw
+      rows
+    }.flatten
+    val got = Sampling.mwTrajectoryAdaptive(base, rounds).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8))).toSeq
+    assert(got == expect)
+    // the adaptive property q311 lacks: as mass moves toward the lossy
+    // domain the measured bar RISES monotonically...
+    val bars = (1 to rounds).map(t => got.find(_._1 == t).get._7)
+    assert(bars == bars.sorted && bars.distinct.size > 1,
+      s"bar did not move: $bars")
+    // ...and the L1 step SHRINKS (self-damping toward the equalized
+    // mixture, vs the static factor's run to the vertex)
+    val l1s = (1 to rounds).map(t => got.find(_._1 == t).get._8)
+    assert(l1s == l1s.sorted.reverse, s"step did not damp: $l1s")
   }
 }

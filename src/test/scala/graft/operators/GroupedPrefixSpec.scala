@@ -100,17 +100,39 @@ class GroupedPrefixSpec extends SparkSpec {
     assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 1.0)
   }
 
-  test("NULL groups drop; the prefix window is range-keyed, never group-keyed") {
+  test("NULL groups fail loudly; the prefix window is range-keyed, never group-keyed") {
+    // A partition-by window would rank NULL as its own partition; the
+    // operator's index join would silently DROP those rows instead —
+    // so a NULL group is a contract violation, refused with a loud
+    // require (the r15 ADVICE ask), not silent row loss.
     val withNull = data.withColumn("g",
       when(col("id") % 50 === 0, lit(null)).otherwise(col("g")))
-    val out = GroupedPrefix.rankWithin(withNull, "g", "v",
+    val e = intercept[IllegalArgumentException] {
+      GroupedPrefix.rankWithin(withNull, "g", "v",
+        descending = false, ties = Seq(col("id")), rankCol = "rk", ranges = 8)
+    }
+    assert(e.getMessage.contains("NULL values in group column"))
+    val out = GroupedPrefix.rankWithin(data, "g", "v",
       descending = false, ties = Seq(col("id")), rankCol = "rk", ranges = 8)
-    assert(out.filter(col("g").isNull).count() == 0)
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("hashpartitioning(__rng"),
       s"expected a range-id-keyed window exchange in:\n$plan")
     assert(!plan.contains("hashpartitioning(g#"),
       s"group-keyed window exchange leaked into:\n$plan")
+  }
+
+  test("the driver scan bound guards the groups x ranges PRODUCT") {
+    // 2^21-group ceiling alone would let pass 1 collect a multi-GB
+    // offset table at cluster-scale shuffle parallelism; the require
+    // bounds the product (r15 verdict's one-line ask).
+    import spark.implicits._
+    val many = (0 until 3000).map(i => (i.toLong, s"g$i", i.toLong))
+      .toDF("id", "g", "v")
+    val e = intercept[IllegalArgumentException] {
+      GroupedPrefix.rankWithin(many, "g", "v", descending = false,
+        ties = Seq(col("id")), rankCol = "rk", ranges = 8192)
+    }
+    assert(e.getMessage.contains("groups*ranges"))
   }
 
   test("weightedReservoir rejects fractional weight columns loudly") {
