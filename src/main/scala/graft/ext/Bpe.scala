@@ -115,6 +115,32 @@ object Bpe {
       .select("w", "pos", "sym")
   }
 
+  /** The four training artifacts, StageCache-shared across the BPE
+    * query family (q232/q237/q238/q251/q317 all train the SAME
+    * (corpus, rounds) chain — before this, each registered query
+    * re-ran the full merge loop from the scan every suite pass):
+    * (vocab, final state, ordered merge table, all states tagged by
+    * round). ONE lazy training run backs all four builds, so a fully
+    * cold call trains once and a warm call trains zero times; a
+    * partially-dead cache re-trains at most once to rebuild the dead
+    * artifact (the liveness contract — an unpersist can only
+    * un-share, never break). */
+  private def stagedArtifacts(docs: DataFrame, textCol: String,
+                              rounds: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    lazy val trained = trainState(docs, textCol, rounds)
+    def k(part: String) = StageCache.keyFor(docs, "bpe", part, textCol, rounds)
+    val vocab = StageCache.getOrStage(k("vocab"))(trained._1)
+    val st = StageCache.getOrStage(k("st"))(trained._2.localCheckpoint())
+    val merges = StageCache.getOrStage(k("merges"))(
+      trained._3.reduce(_ unionAll _).localCheckpoint())
+    val states = StageCache.getOrStage(k("states"))(
+      trained._4.zipWithIndex.map { case (s, r) =>
+        s.withColumn("round", lit(r))
+      }.reduce(_ unionAll _).localCheckpoint())
+    (vocab, st, merges, states)
+  }
+
   /** Top-`topWords` vocabulary words (by corpus frequency, ties by
     * word) with their segmentation after `rounds` BPE merge rounds:
     * (word, freq, n_chars, n_pieces, corpus_pieces, segmentation) —
@@ -122,7 +148,7 @@ object Bpe {
     * of this word under the learned merges. */
   def bpeSegment(docs: DataFrame, idCol: String, textCol: String,
                  rounds: Int = 6, topWords: Int = 40): DataFrame = {
-    val (vocab, st, _, _) = trainState(docs, textCol, rounds)
+    val (vocab, st, _, _) = stagedArtifacts(docs, textCol, rounds)
     val seg = st.groupBy("w").agg(
       count(lit(1)).as("n_pieces"),
       concat_ws(" ", transform(
@@ -149,8 +175,8 @@ object Bpe {
     * table is `rounds` rows of metadata at any corpus size. */
   def bpeMergeTable(docs: DataFrame, idCol: String, textCol: String,
                     rounds: Int = 6): DataFrame = {
-    val (_, _, merges, _) = trainState(docs, textCol, rounds)
-    merges.reduce(_ unionAll _).orderBy("merge_rank")
+    val (_, _, merges, _) = stagedArtifacts(docs, textCol, rounds)
+    merges.orderBy("merge_rank")
   }
 
   /** CORPUS-WIDE application of the learned merges (q238): the
@@ -164,7 +190,7 @@ object Bpe {
     * the corpus pays one broadcast equi join. */
   def bpeApplyRate(docs: DataFrame, srcCol: String, textCol: String,
                    rounds: Int = 6): DataFrame = {
-    val (_, st, _, _) = trainState(docs, textCol, rounds)
+    val (_, st, _, _) = stagedArtifacts(docs, textCol, rounds)
     val seg = st.groupBy("w").agg(count(lit(1)).as("n_pieces"))
     docs.select(col(srcCol).as("source"),
         explode(tokens(normText(col(textCol)))).as("w"))
@@ -190,7 +216,7 @@ object Bpe {
     * (q317's fertility matrix broadcasts it onto the token stream). */
   private[ext] def pieceCounts(docs: DataFrame, textCol: String,
                                rounds: Int): DataFrame = {
-    val (_, st, _, _) = trainState(docs, textCol, rounds)
+    val (_, st, _, _) = stagedArtifacts(docs, textCol, rounds)
     st.groupBy("w").agg(count(lit(1)).as("np"))
   }
 
@@ -207,27 +233,27 @@ object Bpe {
     * materializes; nothing corpus-sized beyond the one vocab count. */
   def bpeRoundSweep(docs: DataFrame, idCol: String, textCol: String,
                     rounds: Int = 6): DataFrame = {
-    val (vocab, _, _, states) = trainState(docs, textCol, rounds)
-    states.zipWithIndex.map { case (st, r) =>
-      st.groupBy("w").agg(count(lit(1)).as("p"))
-        .join(vocab, Seq("w"))
-        .agg(count(lit(1)).as("n_vocab_words"),
-          sum("freq").as("corpus_words"),
-          sum(col("freq") * length(col("w"))).as("corpus_chars"),
-          sum(col("freq") * col("p")).as("corpus_pieces"))
-        .select(lit(r).as("round"),
-          col("n_vocab_words").cast("long").as("n_vocab_words"),
-          col("corpus_words").cast("long").as("corpus_words"),
-          col("corpus_chars").cast("long").as("corpus_chars"),
-          col("corpus_pieces").cast("long").as("corpus_pieces"),
-          expr("corpus_pieces * 1000000 div corpus_words")
-            .as("fertility_micro"),
-          expr("corpus_chars * 1000000 div corpus_pieces")
-            .as("chars_per_piece_micro"))
-    }.reduce(_ unionAll _)
-      .select(col("round").cast("int").as("round"), col("n_vocab_words"),
-        col("corpus_words"), col("corpus_chars"), col("corpus_pieces"),
-        col("fertility_micro"), col("chars_per_piece_micro"))
+    val (vocab, _, _, states) = stagedArtifacts(docs, textCol, rounds)
+    // ONE grouped aggregation over the round-tagged state union (the
+    // former per-round loop ran rounds+1 separate agg jobs over the
+    // same relations; values identical — per (round, w) piece counts
+    // partition the union exactly as the per-state groupBys did)
+    states.groupBy("round", "w").agg(count(lit(1)).as("p"))
+      .join(vocab, Seq("w"))
+      .groupBy("round")
+      .agg(count(lit(1)).as("n_vocab_words"),
+        sum("freq").as("corpus_words"),
+        sum(col("freq") * length(col("w"))).as("corpus_chars"),
+        sum(col("freq") * col("p")).as("corpus_pieces"))
+      .select(col("round").cast("int").as("round"),
+        col("n_vocab_words").cast("long").as("n_vocab_words"),
+        col("corpus_words").cast("long").as("corpus_words"),
+        col("corpus_chars").cast("long").as("corpus_chars"),
+        col("corpus_pieces").cast("long").as("corpus_pieces"),
+        expr("corpus_pieces * 1000000 div corpus_words")
+          .as("fertility_micro"),
+        expr("corpus_chars * 1000000 div corpus_pieces")
+          .as("chars_per_piece_micro"))
       .orderBy("round")
   }
 }

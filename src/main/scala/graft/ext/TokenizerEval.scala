@@ -33,21 +33,19 @@ object TokenizerEval {
         explode(tokens(normText(col(textCol)))).as("w"))
       .filter(col("w") =!= "")
       .localCheckpoint() // tokenized once, read by all three legs
-    // Each lineage's (word → pieces) map is vocabulary-scale and built
-    // by a multi-round trainer — StageCache'd (keyed by corpus +
-    // budget) so bench pass 2 / retries ride the staged maps instead
-    // of re-training all three per pass.
-    def staged(lineage: String)(build: => DataFrame): DataFrame =
-      StageCache.getOrStage(
-        StageCache.keyFor(docs, "fertility", lineage, budget))(
-        build.localCheckpoint())
-    val npBpe = staged("bpe")(Bpe.pieceCounts(docs, textCol, budget))
-    val npWp = staged("wp")(WordPiece.pieceCounts(docs, textCol, budget))
-    val npUni = staged("uni") {
+    // The BPE/WordPiece maps derive from their lineages' StageCache'd
+    // trainer artifacts (shared with q232/q237/q238/q251 and q313);
+    // the unigram chain has no other rider at THIS budget, so its map
+    // is staged here (keyed by corpus + budget) for bench pass 2 /
+    // retries.
+    val npBpe = Bpe.pieceCounts(docs, textCol, budget)
+    val npWp = WordPiece.pieceCounts(docs, textCol, budget)
+    val npUni = StageCache.getOrStage(
+      StageCache.keyFor(docs, "fertility", "uni", budget)) {
       val (_, _, _, _, np) = UnigramLm.trainState(docs, textCol,
         seedMulti = 48, keepMulti = budget, maxWordLen = 12,
         maxPieceLen = 4)
-      np
+      np.localCheckpoint()
     }
     def leg(name: String, np: DataFrame): DataFrame =
       tw.join(broadcast(np.select(col("w"),

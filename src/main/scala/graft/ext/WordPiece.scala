@@ -85,20 +85,32 @@ object WordPiece {
     (merges.result(), st)
   }
 
+  /** (merge table, final state), StageCache-shared across the lineage's
+    * queries (q313/q317) — one lazy training run backs both builds,
+    * the [[Bpe.stagedArtifacts]] idiom. */
+  private def stagedArtifacts(docs: DataFrame, textCol: String,
+                              rounds: Int): (DataFrame, DataFrame) = {
+    lazy val trained = trainLoop(docs, textCol, rounds)
+    def k(part: String) = StageCache.keyFor(docs, "wp", part, textCol, rounds)
+    val merges = StageCache.getOrStage(k("merges"))(
+      trained._1.reduce(_ unionAll _).localCheckpoint())
+    val st = StageCache.getOrStage(k("st"))(trained._2.localCheckpoint())
+    (merges, st)
+  }
+
   /** One row per training round: the picked merge with its pair count,
     * both unigram counts and the exact pico-unit likelihood-ratio
     * score — the frozen ordered artifact a WordPiece tokenizer ships
     * (`rounds` rows of metadata at any corpus size). */
   def mergeTable(docs: DataFrame, textCol: String,
                  rounds: Int = 6): DataFrame =
-    trainLoop(docs, textCol, rounds)._1
-      .reduce(_ unionAll _).orderBy("merge_rank")
+    stagedArtifacts(docs, textCol, rounds)._1.orderBy("merge_rank")
 
   /** The (word → piece count) serving map after `rounds` WordPiece
     * merges — the q238 corpus-application shape for THIS lineage
     * (q317's fertility matrix broadcasts it onto the token stream). */
   private[ext] def pieceCounts(docs: DataFrame, textCol: String,
                                rounds: Int): DataFrame =
-    trainLoop(docs, textCol, rounds)._2
+    stagedArtifacts(docs, textCol, rounds)._2
       .groupBy("w").agg(count(lit(1)).as("np"))
 }
