@@ -269,6 +269,8 @@ object Retrieval {
           .orderBy(col("escore").desc, col("w"))))
       .filter(col("erk") <= nExp)
       .select(col("query_id"), col("w"))
+      .localCheckpoint() // |Q|·nExp rows, read TWICE (expanded ∪ exFlag):
+      // un-staged, each read re-ran stage 1 (rank + window) from the index
     val expanded = qTerms.select("query_id", "w")
       .unionAll(expTerms)
       .distinct()

@@ -1256,37 +1256,54 @@ object Similarity {
   }
 
   /** The q245 quantized scan relation: (vid, i, q) with q = round(x·10⁴)
-    * — staged once, read twice per power round. */
+    * — staged once, read twice per power round. [[StageCache]]-memoized
+    * on the corpus plan so the two registered consumers (q245 and
+    * q282's first loop) pay ONE posexplode+quantize pass per session. */
   private def quantizedE4(corpus: DataFrame, idCol: String,
-                          embCol: String): DataFrame = corpus
-    .select(col(idCol).as("vid"), posexplode(col(embCol)).as(Seq("i", "x")))
-    .select(col("vid"), col("i"),
-      round(col("x") * 1e4, 0).cast("long").as("q"))
-    .localCheckpoint()
+                          embCol: String): DataFrame =
+    StageCache.getOrStage(
+        StageCache.keyFor(corpus, "pow-e4", idCol, embCol)) {
+      corpus
+        .select(col(idCol).as("vid"), posexplode(col(embCol)).as(Seq("i", "x")))
+        .select(col("vid"), col("i"),
+          round(col("x") * 1e4, 0).cast("long").as("q"))
+        .localCheckpoint()
+    }
 
   /** The q245 power recursion over a quantized (vid, i, q) relation:
     * `rounds` rounds of s = Σᵢ qᵢvᵢ per vid (LONG), w = Σ_vid q·s per
     * dim (DECIMAL(38,0)), renormalize to e4 by max-|w| with sign-split
-    * floor division. Returns (final direction, previous round's). */
+    * floor division. Returns (final direction, previous round's).
+    * [[StageCache]]-memoized on (q plan, rounds): q245 and q282 run the
+    * IDENTICAL first loop (same staged scan relation, same rounds), so
+    * the second consumer rides the staged directions instead of
+    * re-paying rounds × (two keyed aggs) — a partially-dead cache
+    * re-runs the loop at most once (the Bpe.stagedArtifacts idiom). */
   private def powerLoop(q: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
-    var v = q.select(col("i")).distinct()
-      .select(col("i"), lit(10000L).as("v"))
-      .localCheckpoint()
-    var vPrev = v
-    for (_ <- 1 to rounds) {
-      val s = q.join(broadcast(v), Seq("i"))
-        .groupBy("vid").agg(sum(col("q") * col("v")).as("s"))
-      val w = q.join(s, Seq("vid"))
-        .groupBy("i")
-        .agg(sum(col("q").cast("decimal(38,0)") * col("s")).as("w"))
-      val m = w.agg(max(abs(col("w"))).as("m"))
-      vPrev = v
-      v = w.crossJoin(broadcast(m))
-        .select(col("i"),
-          when(col("w") >= 0, expr("(abs(w) * 10000) div m"))
-            .otherwise(-expr("(abs(w) * 10000) div m")).cast("long").as("v"))
-        .localCheckpoint() // dim rows; per-round lineage cut
+    def key(part: String) = StageCache.keyFor(q, "powloop", rounds, part)
+    lazy val looped: (DataFrame, DataFrame) = {
+      var v = q.select(col("i")).distinct()
+        .select(col("i"), lit(10000L).as("v"))
+        .localCheckpoint()
+      var vPrev = v
+      for (_ <- 1 to rounds) {
+        val s = q.join(broadcast(v), Seq("i"))
+          .groupBy("vid").agg(sum(col("q") * col("v")).as("s"))
+        val w = q.join(s, Seq("vid"))
+          .groupBy("i")
+          .agg(sum(col("q").cast("decimal(38,0)") * col("s")).as("w"))
+        val m = w.agg(max(abs(col("w"))).as("m"))
+        vPrev = v
+        v = w.crossJoin(broadcast(m))
+          .select(col("i"),
+            when(col("w") >= 0, expr("(abs(w) * 10000) div m"))
+              .otherwise(-expr("(abs(w) * 10000) div m")).cast("long").as("v"))
+          .localCheckpoint() // dim rows; per-round lineage cut
+      }
+      (v, vPrev)
     }
+    val v = StageCache.getOrStage(key("v"))(looped._1)
+    val vPrev = StageCache.getOrStage(key("vprev"))(looped._2)
     (v, vPrev)
   }
 

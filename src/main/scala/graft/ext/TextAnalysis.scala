@@ -679,30 +679,40 @@ object TextAnalysis {
     * bigrams (kept, flagged by n_bigrams = 0). */
   def bigramLmScore(docs: DataFrame, idCol: String,
                     textCol: String): DataFrame = {
-    val dc = fanOut(docs)
-      .select(col(idCol).as("doc_id"),
-        explode_outer(charShingles(normText(col(textCol)), 2)).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(col("bg")).as("c"))
-      .localCheckpoint() // model AND scoring read it; ≤ docs·charset² rows
-    val m = dc.filter(col("bg").isNotNull)
-      .groupBy("bg").agg(sum("c").as("cnt"))
-    val mar = m.groupBy(substring(col("bg"), 1, 1).as("c1"))
-      .agg(sum("cnt").as("tot"))
-    val v = m.agg(countDistinct(substring(col("bg"), 2, 1)).as("vv"))
-    val lp = m.join(mar, substring(col("bg"), 1, 1) === col("c1"))
-      .crossJoin(broadcast(v))
-      .select(col("bg"),
-        round(-log((col("cnt") + lit(1.0)) / (col("tot") + col("vv"))) * 1e6, 0)
-          .cast("long").as("lp"))
-    dc.join(broadcast(lp), Seq("bg"), "left")
-      .groupBy("doc_id")
-      .agg(coalesce(sum(when(col("bg").isNotNull, col("c"))), lit(0L))
-          .as("n_bigrams"),
-        coalesce(sum(col("c") * col("lp")), lit(0L)).as("sl"))
-      .select(col("doc_id"), col("n_bigrams"),
-        when(col("n_bigrams") === 0, 0L)
-          .otherwise(expr("sl div n_bigrams")).as("nll_micro"))
-      .orderBy("doc_id")
+    // The per-doc NLL relation is |docs| rows and FOUR registered
+    // consumers run the identical pass over the documents corpus
+    // (q181 directly, q300/q303 as their fluency leg, the DoReMi
+    // rollup's first build) — StageCache-memoized so the corpus pays
+    // one tokenize+score pass per session; Bench's retry loop still
+    // prices the standalone build.
+    val scored = StageCache.getOrStage(
+        StageCache.keyFor(docs, "bigram-lm", idCol, textCol)) {
+      val dc = fanOut(docs)
+        .select(col(idCol).as("doc_id"),
+          explode_outer(charShingles(normText(col(textCol)), 2)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(col("bg")).as("c"))
+        .localCheckpoint() // model AND scoring read it; ≤ docs·charset² rows
+      val m = dc.filter(col("bg").isNotNull)
+        .groupBy("bg").agg(sum("c").as("cnt"))
+      val mar = m.groupBy(substring(col("bg"), 1, 1).as("c1"))
+        .agg(sum("cnt").as("tot"))
+      val v = m.agg(countDistinct(substring(col("bg"), 2, 1)).as("vv"))
+      val lp = m.join(mar, substring(col("bg"), 1, 1) === col("c1"))
+        .crossJoin(broadcast(v))
+        .select(col("bg"),
+          round(-log((col("cnt") + lit(1.0)) / (col("tot") + col("vv"))) * 1e6,
+            0).cast("long").as("lp"))
+      dc.join(broadcast(lp), Seq("bg"), "left")
+        .groupBy("doc_id")
+        .agg(coalesce(sum(when(col("bg").isNotNull, col("c"))), lit(0L))
+            .as("n_bigrams"),
+          coalesce(sum(col("c") * col("lp")), lit(0L)).as("sl"))
+        .select(col("doc_id"), col("n_bigrams"),
+          when(col("n_bigrams") === 0, 0L)
+            .otherwise(expr("sl div n_bigrams")).as("nll_micro"))
+        .localCheckpoint()
+    }
+    scored.orderBy("doc_id")
   }
 
   /** WORD-bigram language-model scoring with INTERPOLATED BACKOFF

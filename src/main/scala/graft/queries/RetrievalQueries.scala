@@ -86,7 +86,34 @@ object RetrievalQueries {
     * aggs; broadcast query side) bound the work; fusion itself touches
     * only the two ALREADY-BOUNDED |Q|·k relations — zero extra corpus
     * passes, the q189 guarantee extended across modalities. */
-  def hybridRrf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def hybridRrf(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    hybridFused(spark, dir, k)
+      .select("query_id", "rank", "neighbor_id", "rrf_micro", "n_lists")
+      .orderBy("query_id", "rank")
+
+  /** The q220 fused candidate relation (|Q|·k rows), staged —
+    * [[graft.ext.StageCache]]-memoized on (documents plan, k) because
+    * TWO registered queries consume it (q220 reads it directly, q224
+    * reranks it): before this, q224's lazy plan re-ran the whole
+    * two-tier retrieve+fuse pipeline a second time per suite pass. The
+    * staging follows the Bpe merge-table precedent (a bounded derived
+    * relation shared across a query family); Bench's retry loop still
+    * prices the standalone build via `invalidateAll()`. */
+  private def hybridFused(spark: SparkSession, dir: String,
+                          k: Int): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ext.StageCache.getOrStage(
+        graft.ext.StageCache.keyFor(docs, "hybridrrf", k)) {
+      hybridFusedPlan(spark, dir, k).localCheckpoint()
+    }
+  }
+
+  /** The un-staged q220 fusion pipeline — the relation [[hybridFused]]
+    * materializes; exposed `private[graft]` so PlanSpec can pin ITS
+    * shape (the staged consumer plan is just a scan of the
+    * checkpointed rows). */
+  private[graft] def hybridFusedPlan(spark: SparkSession, dir: String,
+                                     k: Int): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val qdocs = docs.filter(col("doc_id") < 10)
       .select(col("doc_id").as("query_id"), col("text").as("qtext"))
@@ -106,8 +133,6 @@ object RetrievalQueries {
       .agg(sum("c").as("rrf_micro"), count(lit(1)).cast("int").as("n_lists"))
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "rrf_micro", "n_lists")
-      .orderBy("query_id", "rank")
   }
 
   /** Frozen-weight RERANKER over the hybrid candidates (q224) — the
@@ -131,7 +156,7 @@ object RetrievalQueries {
     * the 4-component projections are scan-side dot products against
     * literal weight arrays — reranking adds zero corpus shuffles. */
   def rerankFused(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val fused = hybridRrf(spark, dir, k)
+    val fused = hybridFused(spark, dir, k)
       .select(col("query_id"), col("rank").as("rrf_rank"), col("neighbor_id"))
     def wRow(kk: Int) = array((0 until 64).map(j =>
       lit(Multimodal.embedWeight(kk, j).toFloat)): _*)

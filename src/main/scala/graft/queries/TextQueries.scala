@@ -137,15 +137,31 @@ object TextQueries {
     * [[graft.operators.GroupedPrefix]] (NOT a source-partitioned
     * window — a 100× source would serialize into one task) and the
     * report is |source|·3 rows. */
-  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val nll = TextAnalysis.bigramLmScore(Tables.documents(spark, dir),
-      "doc_id", "text")
+  /** The shared per-source fluency-rank spine of q300 and q303:
+    * (doc_id, source, nll_micro, pos, nsrc) — both queries rank the
+    * SAME (source, nll, doc_id) relation through the same
+    * [[graft.operators.GroupedPrefix]] axis, so the rank (one staging
+    * pass + quantile + per-range scan) is [[graft.ext.StageCache]]-paid
+    * once per session; each query joins its own extra column on top. */
+  private def nllRankBySource(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("n_chars"))
-    val j = nll.join(docs, Seq("doc_id"))
-    graft.operators.GroupedPrefix.rankWithin(j, "source", "nll_micro",
-        descending = false, ties = Seq(col("doc_id")), rankCol = "pos",
-        nCol = Some("nsrc"))
+    graft.ext.StageCache.getOrStage(
+        graft.ext.StageCache.keyFor(docs, "nll-rank-source")) {
+      val nll = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("nll_micro"))
+      val j = nll.join(docs.select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      graft.operators.GroupedPrefix.rankWithin(j, "source", "nll_micro",
+          descending = false, ties = Seq(col("doc_id")), rankCol = "pos",
+          nCol = Some("nsrc"))
+        .localCheckpoint()
+    }
+  }
+
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+    nllRankBySource(spark, dir).join(docs, Seq("doc_id"))
       .withColumn("bucket",
         expr("""CASE (3 * (pos - 1)) div nsrc WHEN 0 THEN 'head'
                 |WHEN 1 THEN 'middle' ELSE 'tail' END""".stripMargin))
@@ -179,13 +195,7 @@ object TextQueries {
     val docs = Tables.documents(spark, dir)
     val c4 = graft.ext.QualityFilters.c4Filter(docs, "doc_id", "text")
       .select(col("doc_id"), col("keep").cast("long").as("r1"))
-    val nll = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
-      .select(col("doc_id"), col("nll_micro"))
-    val scored = docs.select(col("doc_id"), col("source"))
-      .join(nll, Seq("doc_id")).join(c4, Seq("doc_id"))
-    val rated = graft.operators.GroupedPrefix.rankWithin(scored, "source",
-        "nll_micro", descending = false, ties = Seq(col("doc_id")),
-        rankCol = "pos", nCol = Some("nsrc"))
+    val rated = nllRankBySource(spark, dir).join(c4, Seq("doc_id"))
       .withColumn("r2",
         (expr("(3 * (pos - 1)) div nsrc") === 0).cast("long"))
     val per = rated.groupBy("source").agg(count(lit(1)).as("n"),

@@ -781,7 +781,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("hybrid RRF fuses bounded lists: no cross product, fusion rollup keyed") {
-    val df = graft.queries.RetrievalQueries.hybridRrf(spark, sf001)
+    // r16: the fused relation is StageCache'd (q220+q224 share it), so
+    // the registered query's plan is a scan of the checkpointed rows;
+    // the shape to pin is the BUILD pipeline's.
+    val df = graft.queries.RetrievalQueries.hybridFusedPlan(spark, sf001, 5)
     val p = plan(df)
     assert(!p.contains("CartesianProduct"),
       s"cartesian in hybrid fusion:\n$p")
@@ -791,6 +794,9 @@ class PlanSpec extends SparkSpec {
     // the plan's final stages are a keyed aggregation + keyed window
     assert(p.contains("TakeOrderedAndProject") || p.contains("Window"),
       s"fusion head missing:\n$p")
+    // the registered consumer must stay cartesian-free too
+    val pc = plan(graft.queries.RetrievalQueries.hybridRrf(spark, sf001))
+    assert(!pc.contains("CartesianProduct"), s"cartesian in q220:\n$pc")
   }
 
   test("coreness: staged symmetric edges, keyed rounds, nothing quadratic") {
