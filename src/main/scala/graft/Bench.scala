@@ -489,10 +489,11 @@ object Bench {
     // mechanism); dead_rebuilds > 0 means pinned blocks were dropped
     // under a live memo. Stamped so the adjudication is per-run data.
     val stageCacheJson = {
-      val (scSize, scBuilds, scHits, scEvict, scDead) =
+      val (scSize, scBuilds, scHits, scEvict, scDead, scBytes, scPeak) =
         graft.ext.StageCache.stats
       s""","stage_cache":{"entries":$scSize,"builds":$scBuilds,""" +
-        s""""hits":$scHits,"evictions":$scEvict,"dead_rebuilds":$scDead}"""
+        s""""hits":$scHits,"evictions":$scEvict,"dead_rebuilds":$scDead,""" +
+        s""""bytes":$scBytes,"peak_bytes":$scPeak}"""
     }
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }
       .mkString("{", ",", "}")

@@ -51,6 +51,36 @@ object Factorization {
     (lit(1000L) + h1, lit(1000L) + h2)
   }
 
+  /** Stage `(u, i, r)` once per report: an alias-only projection over an
+    * already-staged (LogicalRDD-rooted) input — what BOTH registered
+    * callers pass, the [[StageCache]]'d quantity-ratings rollup — reads
+    * the staged blocks in place, so re-checkpointing it here (the
+    * pre-r17 shape) copied |ratings| rows per query per pass for
+    * nothing. An input with a real plan behind it still pays the
+    * checkpoint (it is read by every half-step and every eval). */
+  private def stagedRatings(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    def rddRooted(p: LogicalPlan): Boolean = p match {
+      case pr: Project => rddRooted(pr.child)
+      case other => other.getClass.getSimpleName == "LogicalRDD"
+    }
+    if (rddRooted(df.queryExecution.optimizedPlan)) df
+    else df.localCheckpoint()
+  }
+
+  /** The deterministic item-factor INIT relation — identical for the
+    * explicit (q294) and implicit (q305) reports over the same ratings,
+    * so it is [[StageCache]]-memoized on the ratings plan: the second
+    * report (and warm passes) ride one staged distinct instead of
+    * re-paying an |ratings|-scale distinct each. */
+  private def initFactors(r: DataFrame): DataFrame =
+    StageCache.getOrStage(StageCache.keyFor(r, "als-y0")) {
+      val (y1, y2) = initY(col("i"))
+      r.select(col("i")).distinct()
+        .select(col("i"), y1.as("f1"), y2.as("f2"))
+        .localCheckpoint()
+    }
+
   /** One ridge half-step: solve `solveKey`'s factors from the fixed
     * `fixedKey` side. `ratings` columns: (solveKey, fixedKey, r);
     * `fixed` columns: (fixedKey, f1, f2) in milli-units. Returns
@@ -100,12 +130,9 @@ object Factorization {
     // lambda <= 0 a rank-deficient entity would solve to NaN and the
     // clamp would silently convert it to a clamped factor.
     require(lambda > 0, s"lambda must be strictly positive, got $lambda")
-    val r = ratings.select(col(userCol).as("u"), col(itemCol).as("i"),
-      col("r")).localCheckpoint() // read by every half-step + every eval
-    val (y1, y2) = initY(col("i"))
-    var y = r.select(col("i")).distinct()
-      .select(col("i"), y1.as("f1"), y2.as("f2"))
-      .localCheckpoint()
+    val r = stagedRatings(ratings.select(col(userCol).as("u"),
+      col(itemCol).as("i"), col("r"))) // read by every half-step + eval
+    var y = initFactors(r)
     val evals = (1 to rounds).map { rnd =>
       val x = halfStep(r, y, "u", "i", lambda).localCheckpoint()
       y = halfStep(r, x, "i", "u", lambda).localCheckpoint()
@@ -220,12 +247,9 @@ object Factorization {
     require(rounds >= 1 && rounds <= 4, s"rounds out of [1,4]: $rounds")
     require(alpha >= 1, s"alpha must be >= 1, got $alpha")
     require(lambda > 0, s"lambda must be strictly positive, got $lambda")
-    val r = ratings.select(col(userCol).as("u"), col(itemCol).as("i"),
-      col("r")).localCheckpoint() // read by every half-step + every eval
-    val (y1, y2) = initY(col("i"))
-    var y = r.select(col("i")).distinct()
-      .select(col("i"), y1.as("f1"), y2.as("f2"))
-      .localCheckpoint()
+    val r = stagedRatings(ratings.select(col(userCol).as("u"),
+      col(itemCol).as("i"), col("r"))) // read by every half-step + eval
+    var y = initFactors(r)
     val evals = (1 to rounds).map { rnd =>
       val x = implicitHalfStep(r, y, "u", "i", alpha, lambda)
         .localCheckpoint()

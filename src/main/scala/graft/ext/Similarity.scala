@@ -1279,8 +1279,18 @@ object Similarity {
     * the second consumer rides the staged directions instead of
     * re-paying rounds × (two keyed aggs) — a partially-dead cache
     * re-runs the loop at most once (the Bpe.stagedArtifacts idiom). */
-  private def powerLoop(q: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
-    def key(part: String) = StageCache.keyFor(q, "powloop", rounds, part)
+  private def powerLoop(q: DataFrame, rounds: Int,
+                        keyBase: Option[String] = None)
+      : (DataFrame, DataFrame) = {
+    // `keyBase` lets a caller whose scan relation is REBUILT per
+    // invocation (q282's deflated residual — a fresh localCheckpoint
+    // whose LogicalRDD hashes differently every run) key the memo on a
+    // STABLE derivation of the original corpus plan instead: without
+    // it, the residual loop's two entries could never hit and two dead
+    // LRU entries accumulated per run (the r16 ADVICE finding).
+    def key(part: String) = keyBase
+      .map(b => s"$b:$part")
+      .getOrElse(StageCache.keyFor(q, "powloop", rounds, part))
     lazy val looped: (DataFrame, DataFrame) = {
       var v = q.select(col("i")).distinct()
         .select(col("i"), lit(10000L).as("v"))
@@ -1347,7 +1357,11 @@ object Similarity {
           .otherwise(-expr("(-(CAST(s AS DECIMAL(38,0)) * v)) div nv"))
           .cast("long")).as("q"))
       .localCheckpoint() // the second loop's scan relation
-    val (v2, v2Prev) = powerLoop(q2, rounds)
+    // Key the residual loop on the ORIGINAL corpus scan plan (q2 is a
+    // pure deterministic function of q, so equal keys ⇒ equal values):
+    // q2 itself is a fresh LogicalRDD each run and can never hit.
+    val (v2, v2Prev) = powerLoop(q2, rounds,
+      Some(StageCache.keyFor(q, "powloop2", rounds)))
     val cert2 = v2.select(col("i"), col("v"))
       .join(v2Prev.select(col("i"), col("v").as("vp")), Seq("i"))
       .agg(sum(expr("CAST(v AS DECIMAL(38,0)) * vp")).as("dt"),
@@ -1776,8 +1790,15 @@ object Similarity {
         .select("id", "nid")
         .localCheckpoint() // read by every hop's expansion join
     }
-    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
-      l2norm(col(embCol)).as("q_nrm")).localCheckpoint() // read per hop
+    // The query projection and the ENTRY-score relation are both
+    // beam-independent, so the q310 sweep's three legs (and q304) share
+    // them: before r17 every leg re-staged the projection and re-ran
+    // the entry probe (its scoring job is the per-leg constant cost).
+    val qKey = StageCache.keyFor(queries, "annq", idCol, embCol)
+    val q = StageCache.getOrStage(qKey) {
+      queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+        l2norm(col(embCol)).as("q_nrm")).localCheckpoint() // read per hop
+    }
     def score(cand: DataFrame): DataFrame = cand
       .join(c.select(col("id").as("nid"), col("emb").as("n_emb"),
         col("nrm").as("n_nrm")), Seq("nid"))
@@ -1831,7 +1852,17 @@ object Similarity {
           .filter(col("erk") <= perCell)
           .select("query_id", "nid")
     }
-    var visited = score(entryPairs).localCheckpoint()
+    val entryScored = StageCache.getOrStage(
+        s"$base:annentry:$qKey:$nEntry:${entryCellCol.getOrElse("-")}:" +
+          s"$nprobe") {
+      score(entryPairs).localCheckpoint()
+    }
+    // Per hop only the DELTA (newly scored candidates) checkpoints;
+    // `visited` stays a lazy union over the staged layers (the BFS
+    // posture) — re-checkpointing the whole visited set per hop
+    // re-materialized every prior layer's rows each round.
+    var layers = Vector(entryScored)
+    def visited: DataFrame = layers.reduce(_ unionAll _)
     for (_ <- 1 to hops) {
       val bw = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(col("score").desc, col("nid"))
@@ -1844,7 +1875,7 @@ object Similarity {
         // rows rejoin via the union below
         .join(visited.select("query_id", "nid"), Seq("query_id", "nid"),
           "left_anti")
-      visited = visited.unionAll(score(expanded)).localCheckpoint()
+      layers = layers :+ score(expanded).localCheckpoint()
     }
     val nv = visited.groupBy("query_id").agg(count(lit(1)).as("n_visited"))
     val exact = exactTopKFlags(corpus, queries, idCol, embCol, k)

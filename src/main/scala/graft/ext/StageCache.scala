@@ -24,15 +24,23 @@ import org.apache.spark.storage.StorageLevel
   *  - Keys embed the session identity and the corpus plan's semantic
   *    hash, so different sfDirs / sessions / params never collide.
   *
-  * Capacity is a small LRU (evicted entries are unpersisted): the cached
-  * relations are metadata-scale (corpus projection |N|·(dim+3) floats,
-  * |V|·k edge lists), bounded and safe to hold for a suite's lifetime.
-  * At 100 TB the same pattern holds per-executor nothing: staging is
-  * driver-coordinated storage of SMALL derived relations, not data-scale
-  * caching.
+  * Capacity is a small LRU bounded BOTH by entry count and by STAGED
+  * BYTES (measured from the checkpointed RDD's storage blocks at
+  * insert). The r12-r15 entries were metadata-scale (corpus projection
+  * |N|·(dim+3) floats, |V|·k edge lists); the r16 suite-CSE entries are
+  * NOT — suppCustEdges, the quantity-ratings rollup, the per-doc NLL
+  * relation and Baskets.items all grow ∝ input — so an entry-count cap
+  * alone no longer bounds pinned storage (the r16 verdict's §5 memory-
+  * budget finding). The byte budget is scale-parameterised
+  * (`SPARK_GRAFT_STAGE_CACHE_MB`, default 4096 — comfortable at the
+  * bench SFs where the full staged population measures well under it,
+  * and an explicit dial for bigger corpora); when exceeded, the
+  * least-recently-used entries are FORGOTTEN (never force-unpersisted —
+  * see the eviction note below), so at worst sharing degrades to
+  * re-staging, exactly the cold behaviour.
   */
 object StageCache {
-  private final case class Entry(df: DataFrame, rdd: RDD[_])
+  private final case class Entry(df: DataFrame, rdd: RDD[_], bytes: Long)
 
   // 96 entries with headroom over the full staged-key population
   // (~47 keys at round 14: knn trio ~7, diameter sweeps 9, graph edge
@@ -48,23 +56,58 @@ object StageCache {
   // point by Bench's per-query sweep (an evicted id is no longer
   // pinned) or by the ContextCleaner once the DataFrame is GC'd.
   private val MaxEntries = 96
+  // Byte budget over the sum of measured block sizes of live entries.
+  // Parameterised (env) with a local default that holds the whole
+  // bench-scale population: staged bytes are emitted per run on the
+  // bench JSON line (`stage_cache.bytes`), so the headroom is a
+  // measured fact, not a guess. Sizes are measured once at insert —
+  // blocks later dropped by the ContextCleaner leave a stale (over-)
+  // estimate until the entry dies, which only makes eviction earlier,
+  // never lets pinned storage exceed the budget unnoticed.
+  private val MaxBytes: Long =
+    sys.env.get("SPARK_GRAFT_STAGE_CACHE_MB")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .filter(_ > 0).getOrElse(4096L) * 1024L * 1024L
+  @volatile private var totalBytes = 0L
+  // High-water mark of totalBytes: the number the budget is actually
+  // judged against (end-of-run totals understate it — Bench's retry
+  // loop invalidates the cache before re-measuring).
+  @volatile private var peakBytes = 0L
   // Honest-adjudication counters (read by Bench's end-of-run line):
   // a nonzero eviction count under a suite run means the LRU is
-  // undersized for the live key population — the r15 q34 swing's
-  // hypothesized mechanism — and MaxEntries must grow with the suite.
+  // undersized (entries or bytes) for the live key population — the
+  // r15 q34 swing's hypothesized mechanism — and the budget must grow
+  // with the suite.
   @volatile private var evictions = 0L
   @volatile private var builds = 0L
   @volatile private var hits = 0L
   @volatile private var deadRebuilds = 0L
   private val cache =
-    new java.util.LinkedHashMap[String, Entry](MaxEntries, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Entry]): Boolean = {
-        val evict = size() > MaxEntries
-        if (evict) evictions += 1
-        evict
+    new java.util.LinkedHashMap[String, Entry](MaxEntries, 0.75f, true)
+
+  /** Measured storage footprint of a checkpointed RDD's blocks
+    * (memory + disk), 0 when unavailable — a 0 never blocks caching,
+    * it just doesn't count toward the budget. */
+  private def rddBytes(rdd: RDD[_]): Long =
+    try rdd.context.getRDDStorageInfo.find(_.id == rdd.id)
+      .map(i => i.memSize + i.diskSize).getOrElse(0L)
+    catch { case _: Throwable => 0L }
+
+  /** Forget (never unpersist) LRU entries until both budgets hold; the
+    * just-inserted key is exempt so one oversized relation still serves
+    * its own consumers. */
+  private def enforceBudget(justPut: String): Unit = {
+    val it = cache.entrySet().iterator()
+    while ((cache.size() > MaxEntries || totalBytes > MaxBytes) &&
+        cache.size() > 1 && it.hasNext) {
+      val e = it.next()
+      if (e.getKey != justPut) {
+        totalBytes -= e.getValue.bytes
+        it.remove()
+        evictions += 1
       }
     }
+  }
 
   /** The checkpointed RDD behind a `Dataset.localCheckpoint()` result.
     * `localCheckpoint` rewrites the plan to a `LogicalRDD` over the
@@ -102,20 +145,29 @@ object StageCache {
         case None =>
           if (present.nonEmpty) deadRebuilds += 1
           builds += 1
+          present.foreach(e => totalBytes -= e.bytes)
           cache.remove(key)
           val df = build
-          checkpointRdd(df).foreach(r => cache.put(key, Entry(df, r)))
+          checkpointRdd(df).foreach { r =>
+            val b = rddBytes(r)
+            cache.put(key, Entry(df, r, b))
+            totalBytes += b
+            if (totalBytes > peakBytes) peakBytes = totalBytes
+            enforceBudget(key)
+          }
           df
       }
     }
 
-  /** (live entries, builds, hits, evictions, dead-entry rebuilds) since
-    * process start — Bench stamps these on its JSON line so an LRU
-    * sized below the suite's live key population (evictions > 0) or a
-    * block-liveness leak (deadRebuilds ≫ 0) is visible per run, not a
-    * hypothesis. */
-  def stats: (Int, Long, Long, Long, Long) = synchronized {
-    (cache.size(), builds, hits, evictions, deadRebuilds)
+  /** (live entries, builds, hits, evictions, dead-entry rebuilds,
+    * staged bytes) since process start — Bench stamps these on its JSON
+    * line so an LRU sized below the suite's live key population
+    * (evictions > 0), a block-liveness leak (deadRebuilds ≫ 0), or a
+    * pinned-storage footprint approaching the byte budget is visible
+    * per run, not a hypothesis. */
+  def stats: (Int, Long, Long, Long, Long, Long, Long) = synchronized {
+    (cache.size(), builds, hits, evictions, deadRebuilds, totalBytes,
+      peakBytes)
   }
 
   /** Reset the involvement marker (called by `Bench` before a query). */
@@ -137,6 +189,7 @@ object StageCache {
     cache.values.asScala.foreach(e =>
       try e.rdd.unpersist(blocking = false) catch { case _: Throwable => () })
     cache.clear()
+    totalBytes = 0L
   }
 
   /** Stable cache-key prefix for relations derived from `corpus`:

@@ -34,7 +34,7 @@ object Bfs {
     * [[Graph.undirectedEdges]] contract); `seeds` one `seed` column. */
   def hopDistances(edges: DataFrame, seeds: DataFrame,
                    maxHops: Int): DataFrame =
-    hopDistancesAdj(symmetricAdj(edges), seeds, maxHops)
+    hopDistancesAdj(symmetricAdjStaged(edges), seeds, maxHops)
 
   /** The staged symmetric adjacency for [[hopDistancesAdj]]: both
     * directions of each canonical edge, checkpointed once. Callers
@@ -45,6 +45,17 @@ object Bfs {
     edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint()
+
+  /** [[symmetricAdj]] memoized on the edge plan
+    * ([[graft.ext.StageCache]]): THREE registered queries walk the same
+    * supplier↔customer graph (q188 multi-source hops, q285 double
+    * sweep, q291 iFUB), and before r17 q188 materialized its own
+    * 2|E|-row copy of the adjacency the sweep family had already
+    * staged. The key carries no hop cap — the adjacency does not
+    * depend on it. */
+  def symmetricAdjStaged(edges: DataFrame): DataFrame =
+    graft.ext.StageCache.getOrStage(
+      graft.ext.StageCache.keyFor(edges, "symadj-bfs"))(symmetricAdj(edges))
 
   /** [[hopDistances]] over a prebuilt [[symmetricAdj]] relation. Each
     * level's NEW reach is checkpointed once and never re-materialized:

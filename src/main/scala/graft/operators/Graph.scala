@@ -27,6 +27,22 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** The SYMMETRIC direction list (both directions of every canonical
+    * `u` < `v` edge) of one edge relation, staged once per session —
+    * [[graft.ext.StageCache]]-memoized on the edge plan because FOUR
+    * registered families over the support-pruned co-purchase graph
+    * (q223 coreness, q263/q279 LPA, q274 betweenness) each built and
+    * checkpointed this identical 2|E|-row relation per suite pass.
+    * Column types pass through untouched; consumers that need casts
+    * apply them as free projections over the staged blocks. */
+  private[operators] def symStaged(edgesIn: DataFrame): DataFrame =
+    graft.ext.StageCache.getOrStage(
+        graft.ext.StageCache.keyFor(edgesIn, "symadj")) {
+      val e = edgesIn.select(col("u"), col("v"))
+      e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint()
+    }
+
   /** Canonicalize an edge list to distinct undirected edges (u < v,
     * self-loops dropped). Columns: `u`, `v`. */
   def undirectedEdges(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
@@ -69,6 +85,16 @@ object Graph {
     val candidates = oriented.join(e2, "s")
       .filter(col("t") < col("t2"))
       .select(col("t").as("u"), col("t2").as("v"))
+    // (r17 NEGATIVE RESULT, measured: a wedge PRE-AGGREGATION —
+    // groupBy(u,v).count before the closing semi join, sum(m) after —
+    // was landed and REVERTED. In-suite at sf0.1 it took q142 from
+    // 6.35 s to 12.85 s and q175 from 2.06 s to 3.43 s in BOTH bench
+    // passes, and its ~10M-key hash-agg state pressured neighboring
+    // queries' timings: at this graph's ~1.5:1 wedge:pair ratio the
+    // dedup saves far fewer shuffle bytes than the aggregate's state
+    // costs. The candidate shuffle already partial-aggregates nothing
+    // — rows are near-unique — so §2.3 does not apply; the sampled
+    // tier (q175) remains the documented 100 TB path.)
     val tri = candidates.join(edges, Seq("u", "v"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     val degStats = deg.agg(count(lit(1)).as("n_nodes"),
@@ -174,10 +200,17 @@ object Graph {
         .groupBy("node").agg(count(lit(1)).as("deg"))
     var cur = edgesIn.localCheckpoint()
     for (_ <- 1 to rounds) {
-      val keep = degrees(cur).filter(col("deg") >= k).select("node")
+      // Peel by ANTI-joining the DROP set (deg < k) rather than
+      // semi-joining the keep set: every endpoint of `cur` has a degree
+      // row by construction, so anti(drop) ≡ semi(keep) — but the drop
+      // set is the small side (nodes actually peeling this round), so
+      // both probes broadcast and the edge list is never shuffled
+      // (guide §3.1); the keep-side semi joins shuffled it twice per
+      // round.
+      val drop = degrees(cur).filter(col("deg") < k).select("node")
       cur = cur
-        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .join(drop.withColumnRenamed("node", "u"), Seq("u"), "left_anti")
+        .join(drop.withColumnRenamed("node", "v"), Seq("v"), "left_anti")
         .localCheckpoint()
     }
     degrees(cur).select(col("node"), col("deg").cast("long").as("core_deg"))
@@ -210,10 +243,16 @@ object Graph {
     // added overhead, measured +0.7s in-suite.)
     val stats = (0 to rounds).map { r =>
       if (r > 0) {
-        val keep = deg.filter(col("deg") >= k).select("node")
+        // Anti-join the DROP set (deg < k) instead of semi-joining the
+        // keep set: endpoints of `cur` all carry degree rows, so
+        // anti(drop) ≡ semi(keep), and the drop side — the nodes
+        // actually peeling this round, a shrinking sliver after round 1
+        // — broadcasts, so the edge list is never shuffled per round
+        // (guide §3.1; the keep-side form shuffled it twice per round).
+        val drop = deg.filter(col("deg") < k).select("node")
         cur = cur
-          .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-          .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+          .join(drop.withColumnRenamed("node", "u"), Seq("u"), "left_anti")
+          .join(drop.withColumnRenamed("node", "v"), Seq("v"), "left_anti")
           .localCheckpoint()
         deg = degrees(cur)
       }
@@ -260,9 +299,10 @@ object Graph {
     * |V| rows, lineage is cut every 3 rounds — the PageRank posture. */
   def corenessHIndex(edgesIn: DataFrame, rounds: Int = 24): DataFrame = {
     require(rounds >= 1, s"need rounds>=1; got $rounds")
-    val e = edgesIn.select(col("u"), col("v")).localCheckpoint()
-    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+    // Shared staged symmetric adjacency (see [[symStaged]]): the
+    // per-query e + sym checkpoints this replaced re-materialized
+    // 3|E| rows per suite pass that q263/q279/q274 had already staged.
+    val sym = symStaged(edgesIn)
     val deg = sym.groupBy(col("u").as("node"))
       .agg(count(lit(1)).cast("long").as("c"))
       .localCheckpoint()
@@ -289,6 +329,10 @@ object Graph {
         .groupBy("node").agg(max(least(col("rk"), col("nc"))).as("c"))
       if (t % 3 == 0 || t == rounds) {
         c = c.localCheckpoint()
+        // (r17 note: deferring this probe to later blocks — the ADVICE
+        // suggestion — was tried and rejected on paper: the t=3 probe
+        // stores the baseline that lets t=6 exit, so skipping it can
+        // cost three full extra rounds to save one 1-row collect.)
         val s = Option(c.agg(sum(col("c").cast("decimal(38,0)")).as("s"))
           .collect()(0).getDecimal(0))
           .getOrElse(java.math.BigDecimal.ZERO) // empty graph: Σ = 0
@@ -528,15 +572,14 @@ object Graph {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.ext.StageCache
     def key(part: String) = StageCache.keyFor(edgesIn, "lpa", rounds, part)
-    val e = StageCache.getOrStage(key("e")) {
-      edgesIn.select(col("u").cast("long").as("u"),
-          col("v").cast("long").as("v"))
-        .localCheckpoint() // read every round + edge count + intra probe
-    }
-    val sym = StageCache.getOrStage(key("sym")) {
-      e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-        .localCheckpoint()
-    }
+    // e: a free projection over the staged canonical edges (read once
+    // per consumer leg); sym: the SHARED staged symmetric adjacency
+    // ([[symStaged]] — one materialization serves q223/q263/q279/q274),
+    // with the long cast a free projection over its blocks.
+    val e = edgesIn.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v"))
+    val sym = symStaged(edgesIn).select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v"))
     lazy val looped: (DataFrame, DataFrame) = {
       val nodes = sym.select(col("u").as("node")).distinct()
       var lab = nodes.select(col("node"), col("node").as("lab"))
@@ -668,22 +711,36 @@ object Graph {
       // pre-checkpoint plan — so each eager checkpoint re-evaluated
       // the other side's whole join+agg chain; 2 rounds of that
       // re-computation per round was most of the q264 floor.)
+      // The ∞-norm scalar rides each half-round's OWN materialization
+      // job as an Observation (the Borůvka merge-loop idiom) instead of
+      // a separate 1-row aggregate + broadcast per half-round — same
+      // integers (max over the identical checkpointed relation), two
+      // fewer scheduled jobs per round. The literal is rendered in
+      // plain digits (round 1's sums are DECIMAL(38,0) scale 0, later
+      // rounds LONG), so the `div` arithmetic is unchanged.
+      val obsH = org.apache.spark.sql.Observation(s"hits_h_$t")
       val hr = e.join(a, Seq("p"))
         .groupBy("c").agg(sum(col("a")).as("h"))
-        .localCheckpoint() // read by the max scalar + rescale + next half-round
-      val hmax = hr.agg(max(col("h")).as("mx"))
-      h = hr.crossJoin(broadcast(hmax))
-        .select(col("c"),
-          expr(s"CAST((CAST(h AS DECIMAL(38,0)) * 1000000) div mx AS BIGINT)")
-            .as("h"))
+        .observe(obsH, max(col("h")).as("mx"))
+        .localCheckpoint() // read by the rescale + next half-round
+      // Empty-graph guard: max over zero rows observes null — any
+      // positive literal serves, the rescale projects zero rows anyway.
+      def mxLit(v: Any): java.math.BigInteger =
+        Option(v).map(x => new java.math.BigDecimal(x.toString).toBigInteger)
+          .getOrElse(java.math.BigInteger.ONE)
+      val hmx = mxLit(obsH.get("mx"))
+      h = hr.select(col("c"),
+        expr(s"CAST((CAST(h AS DECIMAL(38,0)) * 1000000) div " +
+          s"CAST($hmx AS DECIMAL(38,0)) AS BIGINT)").as("h"))
+      val obsA = org.apache.spark.sql.Observation(s"hits_a_$t")
       val ar = e.join(h, Seq("c"))
         .groupBy("p").agg(sum(col("h")).as("a"))
+        .observe(obsA, max(col("a")).as("mx"))
         .localCheckpoint()
-      val amax = ar.agg(max(col("a")).as("mx"))
-      a = ar.crossJoin(broadcast(amax))
-        .select(col("p"),
-          expr(s"CAST((CAST(a AS DECIMAL(38,0)) * 1000000) div mx AS BIGINT)")
-            .as("a"))
+      val amx = mxLit(obsA.get("mx"))
+      a = ar.select(col("p"),
+        expr(s"CAST((CAST(a AS DECIMAL(38,0)) * 1000000) div " +
+          s"CAST($amx AS DECIMAL(38,0)) AS BIGINT)").as("a"))
     }
     val hubDeg = e.groupBy(col("c")).agg(count(lit(1)).as("deg"))
     val authDeg = e.groupBy(col("p")).agg(count(lit(1)).as("deg"))
@@ -738,10 +795,10 @@ object Graph {
                          maxDepth: Int = 6, topK: Int = 20): DataFrame = {
     require(nSources >= 1 && maxDepth >= 1 && topK >= 1,
       s"need nSources>=1, maxDepth>=1, topK>=1")
-    val e = edgesIn.select(col("u").cast("long").as("u"),
-      col("v").cast("long").as("v")).localCheckpoint()
-    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint() // read every forward + backward round
+    // Shared staged symmetric adjacency (read every forward + backward
+    // round); the long cast is a free projection over the staged blocks.
+    val sym = symStaged(edgesIn).select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v"))
     val sources = sym.select(col("u").as("src")).distinct()
       .orderBy("src").limit(nSources).localCheckpoint()
     // ---- forward: batched BFS with exact path counting ----
@@ -749,8 +806,19 @@ object Graph {
       .select(col("src"), col("src").as("node"),
         expr("CAST(1 AS DECIMAL(38,0))").as("sigma"))
       .localCheckpoint())
-    var visited = layers.head.select("src", "node").localCheckpoint()
-    for (t <- 1 to maxDepth) {
+    // `visited` stays a lazy UNION over the per-layer checkpointed
+    // frames (the Bfs.hopDistancesAdj posture): re-checkpointing the
+    // whole visited set every round — the pre-r17 shape — re-materialized
+    // O(rounds·|reach|) already-staged rows per round for nothing.
+    def visited: DataFrame =
+      layers.map(_.select("src", "node")).reduce(_ unionAll _)
+    // Early-fixpoint cut (output-identical to the fixed unroll): a BFS
+    // frontier once empty stays empty, so every deeper layer is an
+    // empty relation contributing zero rows to `all` below, and every
+    // backward round over it is a no-op — skipping both computes the
+    // same integers. `isEmpty` reads the just-checkpointed blocks.
+    var exhausted = false
+    for (t <- 1 to maxDepth if !exhausted) {
       val expand = layers.last
         .join(sym.select(col("u").as("node"), col("v").as("nxt")),
           Seq("node"))
@@ -758,14 +826,14 @@ object Graph {
         .agg(sum("sigma").as("sigma"))
         .join(visited, Seq("src", "node"), "left_anti")
         .localCheckpoint()
-      layers = layers :+ expand
-      visited = visited.unionAll(expand.select("src", "node"))
-        .localCheckpoint()
+      if (expand.isEmpty) exhausted = true
+      else layers = layers :+ expand
     }
+    val depth = layers.size - 1
     // ---- backward: dependency accumulation, deepest layer first ----
-    var deltas = Vector(layers(maxDepth)
+    var deltas = Vector(layers(depth)
       .withColumn("delta", expr("CAST(0 AS DECIMAL(38,0))")))
-    for (t <- (maxDepth - 1) to 0 by -1) {
+    for (t <- (depth - 1) to 0 by -1) {
       val succ = deltas.head
         .select(col("src"), col("node").as("w"),
           col("sigma").as("sw"), col("delta").as("dw"))
@@ -815,8 +883,15 @@ object Graph {
     import graft.ext.StageCache
     def key(part: String): String =
       StageCache.keyFor(edgesIn, "sweep", maxHops, part)
-    val edges = StageCache.getOrStage(key("edges"))(edgesIn.localCheckpoint())
-    val adj = StageCache.getOrStage(key("adj"))(Bfs.symmetricAdj(edges))
+    // The adjacency rides the plan-keyed SHARED memo, keyed on the raw
+    // `edgesIn` plan so q188's hopDistances over the same graph hits
+    // the same entry (the hop cap doesn't shape the adjacency). The
+    // former per-family `edges` re-checkpoint is gone: both registered
+    // callers pass the already-staged supplier↔customer edge list, and
+    // the one remaining direct read (the u0 seed scan) is a projection
+    // over its blocks.
+    val edges = edgesIn
+    val adj = Bfs.symmetricAdjStaged(edgesIn)
     val u0 = StageCache.getOrStage(key("u0")) {
       edges.select(col("u").as("node"))
         .unionAll(edges.select(col("v").as("node")))
@@ -1104,8 +1179,15 @@ object Graph {
         .select(col("e.u").as("u"), col("e.v").as("v"), col("e.s").as("s"))
         .distinct()
         .localCheckpoint() // read by the label graph, stats, cumulative set
-      cumSel = if (cumSel == null) sel
-        else cumSel.unionAll(sel).distinct().localCheckpoint()
+      // Plain union, no cross-round distinct/checkpoint: a selected
+      // edge is collapsed INTO its component by this round's exact
+      // merge (both endpoints take one label), so later rounds' lu≠lv
+      // filter can never re-select it — within-round duplicates are
+      // already removed by sel's own distinct, making the cumulative
+      // set duplicate-free by construction. The pre-r17 shape paid a
+      // forest-scale shuffle + re-materialization per round for a
+      // distinct that provably removes nothing.
+      cumSel = if (cumSel == null) sel else cumSel.unionAll(sel)
       // merge: hash-min over the selected edges' component graph
       val selLab = sel
         .join(lbl.select(col("node").as("u"), col("l").as("lu")), Seq("u"))

@@ -33,7 +33,15 @@ object PageRank {
   /** Ranks after `iters` damped rounds over `edges` (columns `u`, `v`:
     * LONG node ids; list one row per direction for an undirected
     * graph). Returns (node, degree, rank_units) for every node with at
-    * least one outgoing edge. */
+    * least one outgoing edge.
+    *
+    * INPUT CONTRACT: `edges` must be a STAGED (checkpointed or
+    * otherwise cheap-to-rescan) relation — it is read twice here (the
+    * degree count and the `ed` build), and this method deliberately
+    * does NOT checkpoint it again (both registered callers pass
+    * StageCache'd edge lists; an internal checkpoint re-materialized
+    * 2|E| rows per query per pass). A caller with a raw expensive plan
+    * must `localCheckpoint()` it first or pay double evaluation. */
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     // e is read twice (degree count, ed build) and both registered
@@ -79,7 +87,10 @@ object PageRank {
     * degree-annotated edges, plus the node-keyed teleport join against
     * the staged seed-flag relation — no new shuffle shapes vs [[ranks]].
     * Returns (node, degree, is_seed, rank_units) for every node with an
-    * outgoing edge. */
+    * outgoing edge.
+    *
+    * INPUT CONTRACT: as in [[ranks]], `edges` must already be staged —
+    * it is read twice and not checkpointed here. */
   def personalizedRanks(edges: DataFrame, seeds: DataFrame,
                         iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")

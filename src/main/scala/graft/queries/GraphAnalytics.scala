@@ -344,6 +344,11 @@ object GraphAnalytics {
       // q195/q203 and both co-purchase edge tiers; before this q258
       // re-paid the lineitem scan + distinct per suite pass
       .join(Baskets.items(spark, dir), Seq("oid"))
+      // (r17 note: a repartition(oid) before this checkpoint — to make
+      // the train-pair self-join exchange-free — was tried and REVERTED:
+      // Spark 4.1's localCheckpoint rewrites to a LogicalRDD with
+      // UnknownPartitioning (verified in the physical plan), so the
+      // extra exchange bought nothing.)
       .localCheckpoint() // read by train pairs + test baskets
     val train = it.filter(col("is_test") === 0).select("oid", "item")
     val test = it.filter(col("is_test") === 1).select("oid", "item")

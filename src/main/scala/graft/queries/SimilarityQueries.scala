@@ -208,9 +208,17 @@ object SimilarityQueries {
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v"), col("w")))
       .localCheckpoint() // read every round
     val all = emb.select(col("vec_id"), col("label"))
-    var labeled = all.filter(col("vec_id") % 5 === 0)
+    // Each round checkpoints only its INCREMENT; `labeled` stays a lazy
+    // union over the per-round checkpointed layers (the
+    // Bfs.hopDistancesAdj posture). The pre-r17 shape re-materialized
+    // the ENTIRE labeled set every round — O(rounds·|labeled|) rows
+    // rewritten across rounds·partitions tiny tasks, which is exactly
+    // the per-round scheduling overhead that made this query run
+    // FASTER on 8 cores than 32 at bench scale (r16 verdict §3).
+    var layers = Vector(all.filter(col("vec_id") % 5 === 0)
       .select(col("vec_id"), col("label"), lit(0).as("assigned_round"))
-      .localCheckpoint()
+      .localCheckpoint())
+    def labeled: DataFrame = layers.reduce(_ unionAll _)
     for (r <- 1 to rounds) {
       val newly = edges
         .join(labeled.select(col("vec_id").as("v"), col("label")), Seq("v"))
@@ -220,7 +228,8 @@ object SimilarityQueries {
         .agg(min_by(col("label"), struct(-col("s"), col("label"))).as("label"))
         .select(col("u").as("vec_id"), col("label"),
           lit(r).as("assigned_round"))
-      labeled = labeled.unionAll(newly).localCheckpoint()
+        .localCheckpoint()
+      layers = layers :+ newly
     }
     all.select("vec_id")
       .join(labeled, Seq("vec_id"), "left")
