@@ -1205,27 +1205,16 @@ object WarehouseAnalytics {
     val freq = firsts.groupBy("l_partkey")
       .agg(count(lit(1)).as("n_cust_part"))
       .filter(col("n_cust_part") >= minCust)
-    // Pair enumeration rides ONE exchange (guide §2.4): group each
-    // customer's pruned (part, first_d, adopters) rows into an array —
-    // one customer-keyed exchange — and enumerate ordered pairs
-    // LOCALLY by a double explode with the d_a < d_b guard. The
-    // pre-r17 self-join shape paid a checkpoint materialization plus
-    // TWO exchanges and two sorts of the same relation (localCheckpoint
-    // yields UnknownPartitioning, so the join re-shuffled both sides —
-    // plan-verified). Per-customer work and array width are bounded by
-    // the support prune (frequent items per customer), exactly the
-    // bound the old join relied on; pair rows, and everything
-    // downstream, are identical (set semantics — collect_list order
-    // cannot matter, pairs aggregate by key).
-    val items = firsts.join(freq, Seq("l_partkey"))
-      .groupBy(col("o_custkey"))
-      .agg(collect_list(struct(col("l_partkey").as("p"),
-        col("first_d").as("d"), col("n_cust_part").as("n"))).as("its"))
-    items.select(explode(col("its")).as("a"), col("its"))
-      .select(col("a"), explode(col("its")).as("b"))
-      .filter(col("a.d") < col("b.d"))
-      .select(col("a.p").as("part_a"), col("b.p").as("part_b"),
-        col("a.n").as("n_a"))
+    val pruned = firsts.join(freq, Seq("l_partkey"))
+      .select(col("o_custkey"), col("l_partkey"), col("first_d"),
+        col("n_cust_part"))
+      .localCheckpoint() // both sides of the pair join read it
+    val a = pruned.select(col("o_custkey"), col("l_partkey").as("part_a"),
+      col("first_d").as("d_a"), col("n_cust_part").as("n_a"))
+    val b = pruned.select(col("o_custkey"), col("l_partkey").as("part_b"),
+      col("first_d").as("d_b"))
+    a.join(b, Seq("o_custkey"))
+      .filter(col("d_a") < col("d_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_cust"), max(col("n_a")).as("n_ante"))
       .withColumn("conf_ppm", expr("n_cust * 1000000 div n_ante"))
